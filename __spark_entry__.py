@@ -1,38 +1,791 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an operator from SURVEY.md §2 (or a §7.8
+training-data extension) implemented Spark-first via nbdatatools_spark;
+``oracle_sql()`` carries the DuckDB-equivalent ANSI SQL. Column names and
+types are aligned on both sides; aggregates over doubles are either computed
+in DECIMAL (exact, engine-independent) or rounded well below the noise floor.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from nbdatatools_spark.functions.distance import l2_norm
+from nbdatatools_spark.functions.text import (
+    STOPWORDS,
+    doc_fingerprint,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from nbdatatools_spark.operators.analysis import describe, dim_moments, ks_statistic_normal
+from nbdatatools_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    simhash_near_dups,
+)
+from nbdatatools_spark.operators.knn import knn_pairs, exact_knn, knn_recall
+from nbdatatools_spark.operators.shuffle import seeded_shuffle
+from nbdatatools_spark.operators.similarity import brute_force_topk, lsh_topk
+from nbdatatools_spark.operators.windows import rebase_ordinals, window_slice
+from nbdatatools_spark.predicates import compile_pnode, parse_pnode
+from nbdatatools_spark.streaming.events import (
+    sessionize,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+        # rejects; read nanos as long and truncate to micros (identical to
+        # DuckDB's ns->us truncation, so oracle timestamps match exactly).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def _dec2(col):
+    """Exact 2-decimal money cast applied BEFORE arithmetic, so downstream
+    products/sums are exact decimal math — engine-independent to the bit."""
+    return F.col(col).cast("decimal(18,2)") if isinstance(col, str) else col.cast("decimal(18,2)")
+
+
+# ---------------------------------------------------------------------------
+# Relational core (scans, filters, joins, aggregations — S5, P2+, J*, A*)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped scan+agg over lineitem. Sums in DECIMAL (exact)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "2001-09-02")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec2("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
+            F.sum(_dec2("l_extendedprice")).cast("decimal(18,2)").alias("sum_base_price"),
+            F.sum(_dec2("l_extendedprice") * (1 - _dec2("l_discount")))
+            .cast("decimal(18,4)")
+            .alias("sum_disc_price"),
+            F.sum(_dec2("l_extendedprice") * (1 - _dec2("l_discount")) * (1 + _dec2("l_tax")))
+            .cast("decimal(18,6)")
+            .alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_shipping_priority(spark, sf_dir):
+    """customer ⋈ orders ⋈ lineitem, revenue top-10 (broadcast dims)."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1998-03-15")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1998-03-15")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(_dec2("l_extendedprice") * (1 - _dec2("l_discount")))
+            .cast("decimal(18,4)")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q5_region_revenue(spark, sf_dir):
+    """region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem star join — all dims
+    broadcast; single shuffle on the groupBy keys."""
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(_dec2("l_extendedprice") * (1 - _dec2("l_discount")))
+            .cast("decimal(18,4)")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+def agg_priority_count(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.where(F.col("o_orderdate") >= "1997-01-01")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Predicate system (P2-P8): PNode JSON -> Column, same tree -> oracle SQL
+# ---------------------------------------------------------------------------
+
+PNODE_RANGE = '{"op":"AND","nodes":[{"fieldName":"o_totalprice","op":"GT","values":[50000.0]},{"fieldName":"o_totalprice","op":"LT","values":[60000.0]}]}'
+PNODE_IN = '{"fieldName":"c_mktsegment","op":"IN","values":["BUILDING","MACHINERY"]}'
+PNODE_REGEX = '{"fieldName":"p_type","op":"MATCHES","values":["(ECO|PRO).*"]}'
+PNODE_NESTED = (
+    '{"op":"AND","nodes":['
+    '{"op":"OR","nodes":[{"fieldName":"l_quantity","op":"GE","values":[45.0]},'
+    '{"fieldName":"l_discount","op":"GE","values":[0.09]}]},'
+    '{"fieldName":"l_returnflag","op":"NE","values":["A"]}]}'
+)
+PNODE_NULL_EQ = '{"fieldName":"maybe_type","op":"EQ","values":[null]}'
+
+
+def pnode_range_filter(spark, sf_dir):
+    pred = compile_pnode(parse_pnode(PNODE_RANGE))
+    return (
+        _t(spark, sf_dir, "orders")
+        .where(pred)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+def pnode_in_filter(spark, sf_dir):
+    pred = compile_pnode(parse_pnode(PNODE_IN))
+    return (
+        _t(spark, sf_dir, "customer")
+        .where(pred)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def pnode_regex_filter(spark, sf_dir):
+    pred = compile_pnode(parse_pnode(PNODE_REGEX))
+    return (
+        _t(spark, sf_dir, "part")
+        .where(pred)
+        .groupBy("p_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("p_type")
+    )
+
+
+def pnode_nested_andor(spark, sf_dir):
+    pred = compile_pnode(parse_pnode(PNODE_NESTED))
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(pred)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.sum(_dec2("l_quantity")).cast("decimal(18,2)").alias("sum_qty"))
+        .orderBy("l_returnflag")
+    )
+
+
+def pnode_null_eq(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "maybe_type", F.expr("nullif(event_type, 'error')")
+    )
+    pred = compile_pnode(parse_pnode(PNODE_NULL_EQ))
+    return ev.where(pred).select("event_id").orderBy("event_id")
+
+
+def result_indices_hybrid(spark, sf_dir):
+    """P8: matching-ordinal facet for a predicate over metadata-like columns
+    (hybrid-query ground-truth shape, ordinal_predicate_writers_v1.md:24-33)."""
+    pred = compile_pnode(
+        parse_pnode(
+            '{"op":"AND","nodes":[{"fieldName":"user_id","op":"LE","values":[200]},'
+            '{"fieldName":"event_type","op":"IN","values":["click","purchase"]}]}'
+        )
+    )
+    ev = _t(spark, sf_dir, "events")
+    return ev.where(pred).select(F.col("event_id").alias("ordinal")).orderBy("ordinal")
+
+
+# ---------------------------------------------------------------------------
+# Windows / slices / top-k / permutation (P1, W1, W2, O2, U4)
+# ---------------------------------------------------------------------------
+
+def window_slice_rebase(spark, sf_dir):
+    """Multi-interval ordinal window + logical re-basing (P1+W2)."""
+    ev = _t(spark, sf_dir, "events")
+    sliced = window_slice(ev, ["100..200", "500..600"], ordinal="event_id")
+    return rebase_ordinals(sliced, ordinal="event_id", out="logical_ordinal").select(
+        "logical_ordinal", "event_id", "event_type"
+    )
+
+
+def topk_orders_per_customer(spark, sf_dir):
+    """Grouped top-k (W1 pattern on relational data)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .where(F.col("o_custkey") <= 100)
+        .select("o_custkey", "rank", "o_orderkey", "o_totalprice")
+    )
+
+
+def shuffled_events(spark, sf_dir):
+    """U4 seeded deterministic permutation (portable md5 sort key)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 1000)
+    return seeded_shuffle(ev, seed=42, ordinal="event_id").select(
+        "event_id", "new_ordinal"
+    )
+
+
+def union_concat(spark, sf_dir):
+    """U1 concatenation with provenance column."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "purchase").withColumn("src", F.lit("p"))
+    b = ev.where(F.col("event_type") == "error").withColumn("src", F.lit("e"))
+    return a.unionByName(b).select("src", "event_id", "user_id").orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Vector facet ops (A1-A4, P9, F1-F4, J2) over embeddings
+# ---------------------------------------------------------------------------
+
+def describe_embeddings(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("ordinal"), F.col("embedding").alias("vector")
+    )
+    return describe(emb)
+
+
+def zero_vector_count(spark, sf_dir):
+    from nbdatatools_spark.operators.analysis import count_zero_vectors
+
+    emb = _t(spark, sf_dir, "embeddings").select(F.col("embedding").alias("vector"))
+    return count_zero_vectors(emb)
+
+
+def dim_moments_embeddings(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select(F.col("embedding").alias("vector"))
+    m = dim_moments(emb)
+    return m.select(
+        "dim",
+        "n",
+        F.round("mean", 6).alias("mean"),
+        F.round("variance", 6).alias("variance"),
+        F.round("skewness", 6).alias("skewness"),
+        F.round("min", 6).alias("min"),
+        F.round("max", 6).alias("max"),
+    ).orderBy("dim")
+
+
+def vector_norms(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    return emb.select(
+        "vec_id", F.round(l2_norm(F.col("embedding")), 6).alias("l2_norm")
+    ).orderBy("vec_id")
+
+
+def knn_cosine_topk(spark, sf_dir):
+    """J2 exact KNN, cosine, broadcast-query crossJoin + windowed top-k."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20)
+    pairs = brute_force_topk(q, emb, k=10, metric="cosine")
+    return pairs.select(
+        "query_id", "rank", "base_id", F.round("distance", 6).alias("distance")
+    )
+
+
+def knn_euclidean_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    pairs = brute_force_topk(q, emb, k=5, metric="euclidean")
+    return pairs.select(
+        "query_id", "rank", "base_id", F.round("distance", 6).alias("distance")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text / documents (extensions: dedup, quality, tokens, fingerprints)
+# ---------------------------------------------------------------------------
+
+def doc_exact_dedup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        exact_dedup(docs)
+        .select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+        .orderBy("doc_id")
+    )
+
+
+def doc_dup_fingerprints(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(doc_fingerprint(F.col("text")).alias("fingerprint"))
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("survivor_id"))
+        .where(F.col("n") > 1)
+        .orderBy("fingerprint")
+    )
+
+
+def doc_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+    ).orderBy("doc_id")
+
+
+def doc_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality")
+    ).orderBy("doc_id")
+
+
+def doc_lang_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: windowed/sessionized aggregations (streaming semantics as batch)
+# ---------------------------------------------------------------------------
+
+def events_tumbling_hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = tumbling_window_agg(ev, "1 hour", keys=["event_type"])
+    return out.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    ).orderBy("window_start", "event_type")
+
+
+def events_sliding_windows(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = sliding_window_agg(ev, "1 hour", "30 minutes")
+    return out.select(
+        "window_start", "n_events", F.round("sum_value", 4).alias("sum_value")
+    ).orderBy("window_start")
+
+
+def events_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") <= 50)
+    out = sessionize(ev, gap="30 minutes")
+    return out.select(
+        "user_id",
+        F.col("session_id").cast("bigint").alias("session_id"),
+        "session_start",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    ).orderBy("user_id", "session_id")
+
+
+def events_user_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def events_json_extract(spark, sf_dir):
+    """F8-adjacent: JSON field extraction from the props payload."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Rows-only entries (approximate / non-SQL-expressible — driver records a
+# weaker check; correctness covered by pytest oracles instead)
+# ---------------------------------------------------------------------------
+
+def ann_lsh_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20)
+    return lsh_topk(q, emb, k=10, dim=64, n_bits=8)
+
+
+def minhash_candidate_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs, num_hashes=32, bands=8, shingle_size=5)
+
+
+def simhash_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return simhash_near_dups(docs, max_hamming=8, shingle_size=4)
+
+
+def ks_normal_embeddings(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select(F.col("embedding").alias("vector"))
+    return ks_statistic_normal(emb).orderBy("dim")
+
+
+def knn_self_recall(spark, sf_dir):
+    """verify_knn invariant: recall of exact KNN vs itself == 1.0."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("ordinal"), F.col("embedding").alias("vector")
+    )
+    q = emb.where(F.col("ordinal") < 50)
+    nn = exact_knn(q, emb, k=10, metric="cosine")
+    return knn_recall(nn, nn, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_region_revenue": q5_region_revenue,
+        "agg_priority_count": agg_priority_count,
+        "pnode_range_filter": pnode_range_filter,
+        "pnode_in_filter": pnode_in_filter,
+        "pnode_regex_filter": pnode_regex_filter,
+        "pnode_nested_andor": pnode_nested_andor,
+        "pnode_null_eq": pnode_null_eq,
+        "result_indices_hybrid": result_indices_hybrid,
+        "window_slice_rebase": window_slice_rebase,
+        "topk_orders_per_customer": topk_orders_per_customer,
+        "shuffled_events": shuffled_events,
+        "union_concat": union_concat,
+        "describe_embeddings": describe_embeddings,
+        "zero_vector_count": zero_vector_count,
+        "dim_moments_embeddings": dim_moments_embeddings,
+        "vector_norms": vector_norms,
+        "knn_cosine_topk": knn_cosine_topk,
+        "knn_euclidean_topk": knn_euclidean_topk,
+        "doc_exact_dedup": doc_exact_dedup,
+        "doc_dup_fingerprints": doc_dup_fingerprints,
+        "doc_token_stats": doc_token_stats,
+        "doc_quality": doc_quality,
+        "doc_lang_stats": doc_lang_stats,
+        "events_tumbling_hourly": events_tumbling_hourly,
+        "events_sliding_windows": events_sliding_windows,
+        "events_sessionize": events_sessionize,
+        "events_user_stats": events_user_stats,
+        "events_json_extract": events_json_extract,
+        # rows-only (approximate / non-SQL-expressible)
+        "ann_lsh_topk": ann_lsh_topk,
+        "minhash_candidate_pairs": minhash_candidate_pairs,
+        "simhash_pairs": simhash_pairs,
+        "ks_normal_embeddings": ks_normal_embeddings,
+        "knn_self_recall": knn_self_recall,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_STOPWORD_SQL_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# Shared SQL fragments (DuckDB dialect) mirroring functions/text.py exactly.
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+_NTOK = f"(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE CAST(len({_TOKENS}) AS INT) END)"
+_PUNCT = (
+    "(CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+    "CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END)"
+)
+_LTOKENS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_SWRATIO = (
+    f"(CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE "
+    f"CAST(len(list_filter({_LTOKENS}, x -> list_contains([{_STOPWORD_SQL_LIST}], x))) AS DOUBLE)"
+    f" / len({_LTOKENS}) END)"
+)
+_COS_DIST = (
+    "1 - list_inner_product(q.e, b.e)"
+    "/(sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(b.e, b.e)))"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(18,6)) AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-03-15'
+              AND l_shipdate > TIMESTAMP '1998-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "q5_region_revenue": """
+            SELECT n_name,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+            ORDER BY revenue DESC
+        """,
+        "agg_priority_count": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "pnode_range_filter": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE (o_totalprice > 50000.0 AND o_totalprice < 60000.0)
+            ORDER BY o_orderkey
+        """,
+        "pnode_in_filter": """
+            SELECT c_mktsegment, count(*) AS n FROM customer
+            WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "pnode_regex_filter": """
+            SELECT p_type, count(*) AS n FROM part
+            WHERE regexp_full_match(p_type, '(ECO|PRO).*')
+            GROUP BY p_type ORDER BY p_type
+        """,
+        "pnode_nested_andor": """
+            SELECT l_returnflag, count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+            FROM lineitem
+            WHERE ((l_quantity >= 45.0 OR l_discount >= 0.09) AND l_returnflag != 'A')
+            GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "pnode_null_eq": """
+            SELECT event_id FROM events
+            WHERE nullif(event_type, 'error') IS NULL
+            ORDER BY event_id
+        """,
+        "result_indices_hybrid": """
+            SELECT event_id AS ordinal FROM events
+            WHERE (user_id <= 200 AND event_type IN ('click', 'purchase'))
+            ORDER BY ordinal
+        """,
+        "window_slice_rebase": """
+            SELECT CAST(row_number() OVER (ORDER BY event_id) - 1 AS BIGINT) AS logical_ordinal,
+                   event_id, event_type
+            FROM events
+            WHERE (event_id >= 100 AND event_id < 200) OR (event_id >= 500 AND event_id < 600)
+        """,
+        "topk_orders_per_customer": """
+            SELECT o_custkey, CAST(rank AS INT) AS rank, o_orderkey, o_totalprice FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+                FROM orders) t
+            WHERE rank <= 3 AND o_custkey <= 100
+        """,
+        "shuffled_events": """
+            SELECT event_id,
+                   CAST(row_number() OVER (ORDER BY md5('42:' || CAST(event_id AS VARCHAR)) ASC, event_id ASC) - 1 AS INT) AS new_ordinal
+            FROM events WHERE event_id < 1000
+        """,
+        "union_concat": """
+            SELECT 'p' AS src, event_id, user_id FROM events WHERE event_type = 'purchase'
+            UNION ALL
+            SELECT 'e' AS src, event_id, user_id FROM events WHERE event_type = 'error'
+            ORDER BY event_id
+        """,
+        "describe_embeddings": """
+            SELECT count(*) AS count,
+                   min(vec_id) AS min_ordinal, max(vec_id) AS max_ordinal,
+                   count(DISTINCT len(embedding)) AS n_distinct_dims,
+                   CAST(min(len(embedding)) AS INT) AS min_dim,
+                   CAST(max(len(embedding)) AS INT) AS max_dim,
+                   CAST(sum(CASE WHEN list_aggregate(list_transform(embedding, x -> abs(x)), 'sum') = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+            FROM embeddings
+        """,
+        "zero_vector_count": """
+            SELECT CAST(sum(CASE WHEN list_aggregate(list_transform(embedding, x -> abs(x)), 'sum') = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+                   count(*) AS n_total
+            FROM embeddings
+        """,
+        "dim_moments_embeddings": """
+            WITH e AS (
+                SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+                       CAST(unnest(embedding) AS DOUBLE) AS value
+                FROM embeddings),
+            m AS (
+                SELECT dim, count(*) AS n, avg(value) AS mean,
+                       avg(value * value) AS m2raw, avg(value * value * value) AS m3raw,
+                       min(value) AS vmin, max(value) AS vmax
+                FROM e GROUP BY dim)
+            SELECT dim, n, round(mean, 6) AS mean,
+                   round(m2raw - mean * mean, 6) AS variance,
+                   round((m3raw - 3 * mean * m2raw + 2 * mean * mean * mean)
+                         / power(sqrt(m2raw - mean * mean), 3), 6) AS skewness,
+                   round(vmin, 6) AS min, round(vmax, 6) AS max
+            FROM m ORDER BY dim
+        """,
+        "vector_norms": """
+            SELECT vec_id,
+                   round(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS l2_norm
+            FROM embeddings WHERE vec_id < 100 ORDER BY vec_id
+        """,
+        "knn_cosine_topk": f"""
+            WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 20),
+                 b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+                 pairs AS (
+                    SELECT q.vec_id AS qid, b.vec_id AS bid, {_COS_DIST} AS dist
+                    FROM q CROSS JOIN b),
+                 ranked AS (
+                    SELECT qid, bid, dist,
+                           row_number() OVER (PARTITION BY qid ORDER BY dist ASC, bid ASC) AS rn
+                    FROM pairs)
+            SELECT qid AS query_id, CAST(rn AS INT) AS rank, bid AS base_id,
+                   round(dist, 6) AS distance
+            FROM ranked WHERE rn <= 10
+        """,
+        "knn_euclidean_topk": """
+            WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 10),
+                 b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+                 pairs AS (
+                    SELECT q.vec_id AS qid, b.vec_id AS bid,
+                           sqrt(greatest(0.0,
+                                list_inner_product(q.e, q.e) - 2 * list_inner_product(q.e, b.e)
+                                + list_inner_product(b.e, b.e))) AS dist
+                    FROM q CROSS JOIN b),
+                 ranked AS (
+                    SELECT qid, bid, dist,
+                           row_number() OVER (PARTITION BY qid ORDER BY dist ASC, bid ASC) AS rn
+                    FROM pairs)
+            SELECT qid AS query_id, CAST(rn AS INT) AS rank, bid AS base_id,
+                   round(dist, 6) AS distance
+            FROM ranked WHERE rn <= 5
+        """,
+        "doc_exact_dedup": f"""
+            SELECT doc_id, md5({_NORM}) AS fingerprint FROM (
+                SELECT doc_id, text,
+                       row_number() OVER (PARTITION BY md5({_NORM}) ORDER BY doc_id ASC) AS rn
+                FROM documents) t
+            WHERE rn = 1 ORDER BY doc_id
+        """,
+        "doc_dup_fingerprints": f"""
+            SELECT md5({_NORM}) AS fingerprint, count(*) AS n, min(doc_id) AS survivor_id
+            FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY fingerprint
+        """,
+        "doc_token_stats": f"""
+            SELECT doc_id, {_NTOK} AS n_tokens,
+                   round({_PUNCT}, 6) AS punct_ratio,
+                   round({_SWRATIO}, 6) AS stopword_ratio
+            FROM documents WHERE doc_id < 200 ORDER BY doc_id
+        """,
+        "doc_quality": f"""
+            SELECT doc_id,
+                   round(least(length(text) / 500.0, 1.0) * 0.4
+                         + least({_SWRATIO} * 4.0, 1.0) * 0.3
+                         + greatest(0.0, 1.0 - {_PUNCT} * 5.0) * 0.3, 6) AS quality
+            FROM documents WHERE doc_id < 200 ORDER BY doc_id
+        """,
+        "doc_lang_stats": """
+            SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+                   min(n_chars) AS min_chars, max(n_chars) AS max_chars
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "events_tumbling_hourly": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+        """,
+        "events_sliding_windows": """
+            WITH starts AS (
+                SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, value FROM events
+                UNION ALL
+                SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS window_start, value FROM events)
+            SELECT window_start, count(*) AS n_events, round(sum(value), 4) AS sum_value
+            FROM starts GROUP BY window_start ORDER BY window_start
+        """,
+        "events_sessionize": """
+            WITH marked AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                 > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
+                FROM events WHERE user_id <= 50),
+            sess AS (
+                SELECT user_id, ts, value,
+                       sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM marked)
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   min(ts) AS session_start, count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
+        """,
+        "events_user_stats": """
+            SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value,
+                   min(ts) AS first_ts, max(ts) AS last_ts,
+                   count(DISTINCT event_type) AS n_types
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "events_json_extract": """
+            SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+            FROM events WHERE event_id < 2000 ORDER BY event_id
+        """,
+    }

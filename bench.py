@@ -1,0 +1,82 @@
+"""Benchmark driver: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Headline set: one representative per operator family (scan+agg, star join,
+top-k join, predicate compile, window slice, KNN, LSH dedup, text stats,
+sessionization, per-dim moments) — the queries a 100TB deployment would
+actually run, not the cheapest ones.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from nbdatatools_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "pnode_nested_andor",
+    "topk_orders_per_customer",
+    "window_slice_rebase",
+    "knn_cosine_topk",
+    "dim_moments_embeddings",
+    "doc_exact_dedup",
+    "doc_token_stats",
+    "minhash_candidate_pairs",
+    "events_tumbling_hourly",
+    "events_sessionize",
+    "events_user_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_spark("nbdatatools-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    # warm the JVM/codegen path once on the smallest table so per-query
+    # timings measure the plan, not first-call JIT (reference practice:
+    # JITMaturityGuard.java:59-75).
+    qs["agg_priority_count"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        # noop sink evaluates EVERY output column (a bare .count() would let
+        # Catalyst prune the aggregate expressions being measured)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,142 @@
+"""Text-analysis column expressions for the training-data pipeline extensions.
+
+Beyond-reference surface (SURVEY §7.8): language-ID heuristics, quality
+scoring, token counting, fingerprinting, shingling for MinHash. All pure
+Catalyst expressions (split/regexp/transform/filter) — no Python UDFs — so they
+stay inside whole-stage codegen at 100TB scale.
+
+Fingerprints use md5 (not xxhash64) deliberately: md5 exists identically in
+Spark, DuckDB, and most warehouses, so fingerprints are portable and
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small deterministic English stopword list (order matters for nothing; the
+# list is part of the engine contract so oracles can replicate it).
+STOPWORDS = (
+    "the a an and or of to in is are was were for on with as by at it this that be from".split()
+)
+
+_PUNCT_CLASS = r"[^a-zA-Z0-9\s]"
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase, collapse whitespace, trim — canonical form for dedup."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of trimmed text; empty text -> empty array."""
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of non-alphanumeric, non-space characters; 0 for empty text."""
+    n = F.length(col)
+    punct = F.length(F.regexp_replace(col, r"[a-zA-Z0-9\s]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(punct.cast("double") / n)
+
+
+def stopword_ratio(col: Column) -> Column:
+    """Fraction of tokens that are common-English stopwords (lowercased)."""
+    toks = tokens(F.lower(col))
+    n = F.size(toks)
+    sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return F.when(n == 0, F.lit(0.0)).otherwise(sw.cast("double") / n)
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic document quality in [0,1]: rewards moderate length and
+    stopword presence, penalizes punctuation soup. Deterministic closed form
+    so the DuckDB oracle can replicate it exactly."""
+    n = F.length(col).cast("double")
+    length_term = F.least(n / F.lit(500.0), F.lit(1.0))
+    sw_term = F.least(stopword_ratio(col) * 4.0, F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 5.0)
+    return (length_term * 0.4 + sw_term * 0.3 + punct_pen * 0.3)
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Portable content fingerprint: md5 of the normalized text."""
+    return F.md5(normalize_text(col))
+
+
+def char_ngrams_of_norm(norm: Column, n: int = 5) -> Column:
+    """Character n-grams of an ALREADY-NORMALIZED string column.
+
+    PERF: pass a materialized column (from a prior .select), never an inline
+    normalize_text(...) expression — an expression referenced inside the
+    transform lambda is re-evaluated per array element (measured 100x
+    slowdown on the MinHash path). A projection boundary under a Generate
+    node keeps it evaluated once per row.
+    """
+    ln = F.length(norm)
+    starts = F.sequence(F.lit(1), F.greatest(ln - (n - 1), F.lit(1)))
+    return F.transform(starts, lambda i: norm.substr(i, F.lit(n)))
+
+
+def char_ngrams(col: Column, n: int = 5) -> Column:
+    """All character n-gram shingles of normalized text, as array<string>.
+
+    Implemented as sequence(1, len-n+1) -> substring — JVM-side, no UDF.
+    Texts shorter than n yield a single shingle (the whole text). For hot
+    paths prefer a two-stage select with char_ngrams_of_norm (see its PERF
+    note)."""
+    return char_ngrams_of_norm(normalize_text(col), n)
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (arrays of n consecutive tokens joined by space)."""
+    toks = tokens(normalize_text(col))
+    cnt = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    return F.when(cnt == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            starts,
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+# --- language ID (n-gram heuristic) -------------------------------------
+# Tiny per-language marker-word lists; score = matching token fraction.
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "sich", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "une", "des", "que", "pour", "dans"],
+    "es": ["el", "la", "los", "que", "es", "una", "por", "con", "para", "del"],
+}
+
+
+def lang_scores(col: Column) -> Column:
+    """Struct of per-language marker-token fractions."""
+    toks = tokens(F.lower(col))
+    n = F.greatest(F.size(toks), F.lit(1))
+    fields = [
+        (F.size(F.filter(toks, lambda t: t.isin(*words))).cast("double") / n).alias(lang)
+        for lang, words in _LANG_MARKERS.items()
+    ]
+    return F.struct(*fields)
+
+
+def detect_lang(col: Column, min_score: float = 0.05) -> Column:
+    """Best-scoring language code, or 'und' when nothing clears min_score."""
+    s = lang_scores(col)
+    langs = list(_LANG_MARKERS)
+    pairs = F.array(
+        *[F.struct(s[lang].alias("score"), F.lit(lang).alias("lang")) for lang in langs]
+    )
+    best = F.array_max(pairs)
+    return F.when(best["score"] >= min_score, best["lang"]).otherwise(F.lit("und"))

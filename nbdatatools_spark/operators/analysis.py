@@ -1,0 +1,173 @@
+"""Dataset analysis operators: zero detection, describe, per-dimension
+moments, distribution fitting (A1-A6, P9 in SURVEY §2).
+
+Reference semantics:
+- ``analyze count_zeros`` (README.md:40; 03-cli-reference.md:184-198): count
+  all-zero vectors.
+- ``analyze describe`` (README.md:41): counts, dimensions, per-facet stats.
+- model fitting (docs/user_manual/verification/06_model_fitting.md:1-60):
+  per-dimension mean/variance/skewness/kurtosis/quantiles, K-S statistic vs
+  candidate distributions.
+- answer-key invariants (A6): distances ascending per row, indices in bounds.
+
+All distributed: per-dimension stats use posexplode + groupBy(dim) — one
+shuffle keyed by dimension index (perfectly uniform keys, no skew).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def is_zero_vector(vec) -> "F.Column":
+    """True when every component is exactly zero (P9)."""
+    return F.forall(vec, lambda x: x == 0)
+
+
+def count_zero_vectors(df: DataFrame, vec: str = "vector") -> DataFrame:
+    """``analyze count_zeros`` — 1-row (n_zero, n_total)."""
+    return df.agg(
+        F.sum(F.when(is_zero_vector(F.col(vec)), 1).otherwise(0)).alias("n_zero"),
+        F.count("*").alias("n_total"),
+    )
+
+
+def describe(df: DataFrame, ordinal: str = "ordinal", vec: str = "vector") -> DataFrame:
+    """``analyze describe`` — facet cardinality, dimension uniformity, ordinal
+    span, zero count (A3). One pass, all JVM-side."""
+    return df.agg(
+        F.count("*").alias("count"),
+        F.min(ordinal).alias("min_ordinal"),
+        F.max(ordinal).alias("max_ordinal"),
+        F.countDistinct(F.size(vec)).alias("n_distinct_dims"),
+        F.min(F.size(vec)).alias("min_dim"),
+        F.max(F.size(vec)).alias("max_dim"),
+        F.sum(F.when(is_zero_vector(F.col(vec)), 1).otherwise(0)).alias("n_zero"),
+    )
+
+
+def dim_moments(df: DataFrame, vec: str = "vector") -> DataFrame:
+    """Per-dimension mean / variance / skewness / kurtosis / quantiles (A4).
+
+    Moments use explicit population formulas (avg of centered powers) so any
+    SQL oracle reproduces them bit-for-bit-ish; skew/kurt follow the g1/g2
+    population definitions used in the reference's model-fitting doc
+    (03_interpreting_results.md:7-100).
+    """
+    exploded = df.select(F.posexplode(vec).alias("dim", "value")).select(
+        "dim", F.col("value").cast("double").alias("value")
+    )
+    base = exploded.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.avg("value").alias("mean"),
+        F.avg(F.col("value") * F.col("value")).alias("m2raw"),
+        F.avg(F.pow("value", 3)).alias("m3raw"),
+        F.avg(F.pow("value", 4)).alias("m4raw"),
+        F.min("value").alias("min"),
+        F.max("value").alias("max"),
+        F.percentile_approx("value", [0.25, 0.5, 0.75], 10000).alias("quartiles"),
+    )
+    mu = F.col("mean")
+    m2 = F.col("m2raw") - mu * mu
+    m3 = F.col("m3raw") - 3 * mu * F.col("m2raw") + 2 * F.pow(mu, 3)
+    m4 = (
+        F.col("m4raw")
+        - 4 * mu * F.col("m3raw")
+        + 6 * mu * mu * F.col("m2raw")
+        - 3 * F.pow(mu, 4)
+    )
+    return base.select(
+        "dim",
+        "n",
+        "mean",
+        m2.alias("variance"),
+        (m3 / F.pow(F.sqrt(m2), 3)).alias("skewness"),
+        (m4 / (m2 * m2) - 3.0).alias("kurtosis"),
+        "min",
+        "max",
+        "quartiles",
+    )
+
+
+def empirical_cdf(df: DataFrame, vec: str = "vector") -> DataFrame:
+    """Per-dimension empirical CDF via cume_dist (W3) — input to K-S."""
+    exploded = df.select(F.posexplode(vec).alias("dim", "value"))
+    w = Window.partitionBy("dim").orderBy("value")
+    return exploded.withColumn("cdf", F.cume_dist().over(w))
+
+
+def ks_statistic_normal(df: DataFrame, vec: str = "vector") -> DataFrame:
+    """Per-dimension K-S statistic against N(mean_d, var_d) fitted per dim.
+
+    Mirrors the model-fitting pipeline's K-S step
+    (06_model_fitting.md:1-60: thresholds 0.03 strong / 0.10 acceptable).
+    Normal CDF via erf — a Catalyst-native closed form.
+    """
+    ecdf = empirical_cdf(df, vec)
+    stats = (
+        df.select(F.posexplode(vec).alias("dim", "value"))
+        .groupBy("dim")
+        .agg(F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma"))
+    )
+    joined = ecdf.join(F.broadcast(stats), "dim")
+    z = (F.col("value") - F.col("mu")) / (F.col("sigma") * math.sqrt(2.0))
+    theo = 0.5 * (1.0 + _erf(z))
+    return (
+        joined.withColumn("ks", F.abs(F.col("cdf") - theo))
+        .groupBy("dim")
+        .agg(F.max("ks").alias("ks_stat"))
+    )
+
+
+def _erf(x):
+    """Abramowitz-Stegun 7.1.26 erf approximation as a Column expr (|err| <
+    1.5e-7 — far below the 0.03 K-S threshold)."""
+    sign = F.when(x < 0, -1.0).otherwise(1.0)
+    ax = F.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = (
+        0.254829592 * t
+        - 0.284496736 * F.pow(t, 2)
+        + 1.421413741 * F.pow(t, 3)
+        - 1.453152027 * F.pow(t, 4)
+        + 1.061405429 * F.pow(t, 5)
+    )
+    return sign * (1.0 - poly * F.exp(-ax * ax))
+
+
+def neighbor_invariants(
+    indices_df: DataFrame,
+    distances_df: DataFrame,
+    base_count: int,
+    ordinal: str = "ordinal",
+) -> DataFrame:
+    """Answer-key invariants (A6): distances non-decreasing within each row,
+    indices within [0, base_count). Returns violation counts (all zero on a
+    valid answer key)."""
+    d = distances_df.select(
+        ordinal,
+        (
+            ~F.forall(
+                F.zip_with(
+                    F.slice("distances", 1, F.size("distances") - 1),
+                    F.slice("distances", 2, F.size("distances") - 1),
+                    lambda a, b: a <= b,
+                ),
+                lambda ok: ok,
+            )
+        ).alias("bad_order"),
+    )
+    i = indices_df.select(
+        ordinal,
+        (
+            ~F.forall("indices", lambda x: (x >= 0) & (x < base_count))
+        ).alias("bad_bounds"),
+    )
+    return d.join(i, ordinal).agg(
+        F.sum(F.col("bad_order").cast("int")).alias("n_bad_order"),
+        F.sum(F.col("bad_bounds").cast("int")).alias("n_bad_bounds"),
+        F.count("*").alias("n_rows"),
+    )

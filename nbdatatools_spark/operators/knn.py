@@ -1,0 +1,170 @@
+"""KNN ground-truth generation and recall verification, Spark-first.
+
+Reference semantics:
+- ``compute knn`` (README.md:38-99; J2 in SURVEY §2.3): for each query vector,
+  the top-k nearest base vectors under a profile distance function, emitted as
+  parallel ``neighbor_indices`` / ``neighbor_distances`` facets
+  (spec/datasets/types/NeighborIndices.java, NeighborDistances.java).
+- ``verify_knn`` (docs/user_manual/03-cli-reference.md:201-218): sample N
+  queries, recompute KNN, report mean recall@k against the stored answer key.
+
+Physical strategy (scale posture):
+- Exact KNN is a cross product Q x B. We BROADCAST the query side (queries are
+  the small side by construction: 1k queries vs 100k..billions of base
+  vectors), so the base table streams through executors exactly once with no
+  shuffle of the big side; per-partition partial top-k is then merged by a
+  single shuffle of Q*k rows, not Q*B.
+- Tie-break is (distance, base ordinal) ascending — deterministic under float
+  associativity (SURVEY §7 "What's hard").
+- For both-sides-large workloads, `exact_knn` accepts `block_partitions` to
+  split the query side into chunks that are broadcast sequentially (union of
+  plans — Catalyst schedules them as independent stages).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from nbdatatools_spark.functions.distance import distance_expr
+
+
+def exact_knn(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int,
+    metric: str = "cosine",
+    query_ordinal: str = "ordinal",
+    base_ordinal: str = "ordinal",
+    query_vec: str = "vector",
+    base_vec: str = "vector",
+    block_partitions: int = 1,
+) -> DataFrame:
+    """Exact top-k neighbors per query.
+
+    Returns ``(ordinal, indices ARRAY<ordinal-type>, distances ARRAY<DOUBLE>)``
+    matching the reference's neighbor facet shape (FIXTURES.md §1): row i =
+    top-k base ordinals for query i, ascending distance, ties broken by base
+    ordinal.
+    """
+    q = queries.select(
+        F.col(query_ordinal).alias("__qid"), F.col(query_vec).alias("__qvec")
+    )
+    b = base.select(
+        F.col(base_ordinal).alias("__bid"), F.col(base_vec).alias("__bvec")
+    )
+
+    def one_block(qblock: DataFrame) -> DataFrame:
+        pairs = b.crossJoin(F.broadcast(qblock)).select(
+            "__qid",
+            "__bid",
+            distance_expr(metric, F.col("__qvec"), F.col("__bvec")).alias("__dist"),
+        )
+        w = Window.partitionBy("__qid").orderBy(F.col("__dist").asc(), F.col("__bid").asc())
+        return pairs.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= k)
+
+    if block_partitions <= 1:
+        topk = one_block(q)
+    else:
+        blocks = [
+            one_block(q.where(F.pmod(F.col("__qid"), F.lit(block_partitions)) == i))
+            for i in range(block_partitions)
+        ]
+        topk = reduce(DataFrame.unionByName, blocks)
+
+    return (
+        topk.groupBy("__qid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__rn", "__bid", "__dist"))
+            ).alias("__nn")
+        )
+        .select(
+            F.col("__qid").alias("ordinal"),
+            F.transform("__nn", lambda s: s["__bid"]).alias("indices"),
+            F.transform("__nn", lambda s: s["__dist"]).alias("distances"),
+        )
+    )
+
+
+def knn_pairs(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int,
+    metric: str = "cosine",
+    **kw,
+) -> DataFrame:
+    """Exploded pair form of exact_knn: (query_ordinal, rank, base_ordinal,
+    distance) — handy for SQL-oracle comparison and downstream joins."""
+    nn = exact_knn(queries, base, k, metric, **kw)
+    return nn.select(
+        F.col("ordinal").alias("query_ordinal"),
+        F.posexplode(F.arrays_zip("indices", "distances")).alias("pos", "pair"),
+    ).select(
+        "query_ordinal",
+        (F.col("pos") + 1).alias("rank"),
+        F.col("pair.indices").alias("base_ordinal"),
+        F.col("pair.distances").alias("distance"),
+    )
+
+
+def knn_recall(
+    computed: DataFrame,
+    truth: DataFrame,
+    k: int,
+    ordinal: str = "ordinal",
+    computed_indices: str = "indices",
+    truth_indices: str = "indices",
+) -> DataFrame:
+    """Mean recall@k of computed neighbor sets vs the answer key (J3).
+
+    Reference: ``verify_knn`` — membership comparison (set-wise, not
+    order-sensitive), README.md:46-47; recall = |computed ∩ expected| / k.
+    Returns a 1-row DataFrame (mean_recall, n_queries).
+    """
+    joined = computed.select(
+        F.col(ordinal).alias("__o"), F.col(computed_indices).alias("__c")
+    ).join(
+        truth.select(F.col(ordinal).alias("__o"), F.col(truth_indices).alias("__t")),
+        "__o",
+    )
+    per_query = joined.select(
+        F.col("__o"),
+        (
+            F.size(
+                F.array_intersect(
+                    F.slice("__c", 1, k).cast("array<bigint>"),
+                    F.slice("__t", 1, k).cast("array<bigint>"),
+                )
+            ).cast("double")
+            / k
+        ).alias("recall"),
+    )
+    return per_query.agg(
+        F.avg("recall").alias("mean_recall"), F.count("*").alias("n_queries")
+    )
+
+
+def verify_knn(
+    queries: DataFrame,
+    base: DataFrame,
+    truth: DataFrame,
+    k: int = 10,
+    metric: str = "cosine",
+    sample_size: int = 100,
+    seed: int = 42,
+) -> DataFrame:
+    """End-to-end verify_knn: sample queries deterministically, recompute KNN,
+    compare to the stored answer key (03-cli-reference.md:201-218 defaults:
+    sample 100, k 10). Sampling is by smallest md5(ordinal) — deterministic
+    and portable (same rows in any engine)."""
+    sampled = (
+        queries.withColumn("__h", F.md5(F.col("ordinal").cast("string")))
+        .orderBy("__h")
+        .limit(sample_size)
+        .drop("__h")
+    )
+    computed = exact_knn(sampled, base, k, metric)
+    return knn_recall(computed, truth, k)

@@ -1,0 +1,114 @@
+"""Event-time windowing — batch + Structured Streaming (beyond-reference
+surface, SURVEY §2.9/§7.8).
+
+The reference has no event-time streaming (its "streaming" is sequential file
+IO, datatools-testdata-apis/.../fileio/VectorFileStream.java); these operators
+are the engine's extension for the driver's ``events`` table. Each windowing
+helper works identically on a batch DataFrame and a streaming one (pass a
+``readStream`` input and add a watermark); sessionize has a batch
+(gaps-and-islands window functions) implementation whose semantics match
+``F.session_window`` for the streaming path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    duration: str = "1 hour",
+    ts: str = "ts",
+    keys: list[str] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling window counts/sums keyed by window start (+ optional keys)."""
+    if watermark:
+        df = df.withWatermark(ts, watermark)
+    group = [F.window(ts, duration).alias("win")] + [F.col(k) for k in (keys or [])]
+    out = df.groupBy(*group).agg(
+        F.count("*").alias("n_events"), F.sum("value").alias("sum_value")
+    )
+    return out.select(
+        F.col("win.start").alias("window_start"),
+        *[F.col(k) for k in (keys or [])],
+        "n_events",
+        "sum_value",
+    )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    duration: str = "1 hour",
+    slide: str = "30 minutes",
+    ts: str = "ts",
+    keys: list[str] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sliding (hopping) window agg — each event lands in duration/slide
+    windows."""
+    if watermark:
+        df = df.withWatermark(ts, watermark)
+    group = [F.window(ts, duration, slide).alias("win")] + [
+        F.col(k) for k in (keys or [])
+    ]
+    out = df.groupBy(*group).agg(
+        F.count("*").alias("n_events"), F.sum("value").alias("sum_value")
+    )
+    return out.select(
+        F.col("win.start").alias("window_start"),
+        *[F.col(k) for k in (keys or [])],
+        "n_events",
+        "sum_value",
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    ts: str = "ts",
+    user: str = "user_id",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Batch sessionization via gaps-and-islands: a session breaks when the
+    gap to the previous event of the same user exceeds ``gap``.
+
+    Returns (user, session_id, session_start, session_end, n_events,
+    sum_value). Semantics line up with streaming ``F.session_window(ts, gap)``
+    so batch and stream agree on session boundaries.
+    """
+    w = Window.partitionBy(user).orderBy(F.col(ts).asc(), F.col(order_tiebreak).asc())
+    gap_expr = F.expr(f"INTERVAL {gap}")
+    marked = df.withColumn(
+        "__new_sess",
+        F.when(
+            F.col(ts).cast("timestamp") - F.lag(ts).over(w) > gap_expr, 1
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("__new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy(user, "session_id").agg(
+        F.min(ts).alias("session_start"),
+        F.max(ts).alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+
+
+def stream_events(
+    spark, path: str, schema=None, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """readStream over a parquet events directory (file-source streaming).
+
+    ``maxFilesPerTrigger`` is the ingestion-rate knob (the analogue of the
+    reference's chunk schedulers, merklev2/ChunkScheduler.java:24-75 — policy
+    collapses to a rate limit under Spark's own task scheduling)."""
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)

@@ -1,0 +1,106 @@
+"""Local mirror of the driver's t2 gate: run each __spark_entry__ query on
+Spark and its oracle SQL on DuckDB, compare row count / columns / values.
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from nbdatatools_spark.session import get_spark
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_cell(x) for x in v)
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return str(v)
+    except ImportError:
+        pass
+    return v
+
+
+def norm_rows(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm_cell(r[i]) for i in idx) for r in rows)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle-check", shuffle_partitions=8)
+    con = duckdb.connect()
+    for name in (
+        "region nation customer supplier part orders lineitem events documents embeddings".split()
+    ):
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM '{p}'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
+            continue
+        if name not in oracles:
+            print(f"ok(rows-only) {name}: {len(srows)} rows in {time.time()-t0:.1f}s")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        problems = []
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        if not problems:
+            a, b = norm_rows(scols, srows), norm_rows(ocols, orows)
+            if a != b:
+                diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                problems.append(f"values differ; first diffs: {diffs}")
+        if problems:
+            failures.append(name)
+            print(f"FAIL {name}: " + " | ".join(problems))
+        else:
+            print(f"ok {name}: {len(srows)} rows in {time.time()-t0:.1f}s")
+    print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL OK")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
