@@ -1,0 +1,97 @@
+"""Chunk-hash integrity jobs — the merkle system re-expressed for Spark (T1).
+
+Reference: merkle trees over fixed-size chunks of a file with SHA-256 leaves
+(docs/specs/merkle_v1.md:5-60), used as a read-path interceptor with
+resumable chunk state (streaming_and_caching.md:15-37). In a Spark engine
+integrity is an explicit JOB, not a read interceptor (SURVEY §3.2): create a
+chunk-digest table for a file, verify a file against a stored table, diff two
+tables. Root digests use the same binary-tree pairwise-SHA256 reduction so
+.mref-style roots are comparable across runs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_CHUNK = 1 << 20  # 1 MiB
+
+
+def chunk_digests(
+    spark: SparkSession, path: str, chunk_size: int = DEFAULT_CHUNK
+) -> DataFrame:
+    """-> (chunk_index BIGINT, offset BIGINT, length BIGINT, sha256 STRING).
+
+    Chunks are planned on the driver and hashed in parallel on executors
+    (each task reads only its byte range)."""
+    size = os.path.getsize(path)
+    chunks = [
+        (i, off, min(chunk_size, size - off))
+        for i, off in enumerate(range(0, size, chunk_size))
+    ] or [(0, 0, 0)]
+    plan = spark.createDataFrame(chunks, "chunk_index BIGINT, offset BIGINT, length BIGINT")
+
+    def hash_chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            digests = []
+            for row in pdf.itertuples(index=False):
+                with open(path, "rb") as f:
+                    f.seek(row.offset)
+                    digests.append(hashlib.sha256(f.read(row.length)).hexdigest())
+            pdf = pdf.copy()
+            pdf["sha256"] = digests
+            yield pdf
+
+    return plan.repartition(max(len(chunks) // 8, 1)).mapInPandas(
+        hash_chunks, "chunk_index BIGINT, offset BIGINT, length BIGINT, sha256 STRING"
+    )
+
+
+def merkle_root(digests: DataFrame) -> str:
+    """Pairwise SHA-256 reduction to a single root (merkle_v1.md:5-60).
+
+    The leaf list is small (file_size / 1MiB entries) — collected and reduced
+    driver-side; the expensive part (hashing data) stayed distributed."""
+    leaves = [
+        bytes.fromhex(r["sha256"])
+        for r in digests.orderBy("chunk_index").select("sha256").collect()
+    ]
+    if not leaves:
+        return hashlib.sha256(b"").hexdigest()
+    level = leaves
+    while len(level) > 1:
+        nxt = []
+        for i in range(0, len(level), 2):
+            pair = level[i] + (level[i + 1] if i + 1 < len(level) else level[i])
+            nxt.append(hashlib.sha256(pair).digest())
+        level = nxt
+    return level[0].hex()
+
+
+def verify_file(
+    spark: SparkSession, path: str, reference: DataFrame, chunk_size: int = DEFAULT_CHUNK
+) -> DataFrame:
+    """Recompute digests and anti-join against a stored digest table:
+    returns the mismatching chunk rows (empty == verified). The spoilbits/
+    spoilchunks fault-injection tests assert this catches corruption
+    (README.md:94-95)."""
+    actual = chunk_digests(spark, path, chunk_size)
+    return (
+        actual.alias("a")
+        .join(reference.alias("r"), "chunk_index", "full_outer")
+        .where(
+            F.col("a.sha256").isNull()
+            | F.col("r.sha256").isNull()
+            | (F.col("a.sha256") != F.col("r.sha256"))
+        )
+        .select(
+            "chunk_index",
+            F.col("a.sha256").alias("actual_sha256"),
+            F.col("r.sha256").alias("expected_sha256"),
+        )
+    )

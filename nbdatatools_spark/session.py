@@ -27,6 +27,15 @@ def get_spark(
     (right for 100TB parquet scans); shuffle partitions default to the local
     core count but AQE coalesces small ones.
     """
+    # make the package importable in executor Python workers regardless of
+    # the driver's cwd (mapInPandas closures unpickle by module reference)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prev = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in prev.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{prev}" if prev else pkg_root
+        )
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)

@@ -1,0 +1,251 @@
+"""Dataset manifests: dataset.yaml -> profiles -> facet DataFrames.
+
+Reference semantics (SURVEY §1.1, §3.1):
+- ``dataset.yaml``: ``attributes``, ``variables``, ``profiles`` — each profile
+  maps facet kinds (base/query/indices/distances + predicate facets) to source
+  files with optional windows (docs/specs/dataset_yaml_v1.md:25-83).
+- Profile inheritance: non-default profiles inherit the default profile's
+  facets in a two-pass build (layoutv2/DSProfileGroup.java:60-93).
+- Window sugar on sources: ``base.fvec[0..1000]`` / ``(1000)`` count form
+  (dataset_yaml_v1.md:65-79; layout/FWindow.java:82-140).
+- Sized expansion: ``sized: [10m, 100m..400m/100m, fib:1m..400m, mul:...]``
+  generates per-size profiles (layoutv2/DSSizedExpander.java:31-65).
+- Name normalization: "a:b:c" -> "c"; dataset name -> "default"
+  (TestDataGroup.java:242-260).
+
+Spark shape: the manifest is parsed driver-side (pure Python + yaml); facets
+resolve lazily to DataFrames — xvec via sources.xvec, parquet/csv native —
+with windows applied as ordinal-range filters (predicate pushdown does the
+rest).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from nbdatatools_spark.functions.units import parse_unit_count
+from nbdatatools_spark.operators.windows import window_slice
+
+try:
+    import yaml  # noqa
+    _HAVE_YAML = True
+except ImportError:
+    _HAVE_YAML = False
+    import json
+
+FACET_ALIASES = {
+    # dataset.yaml shorthand (testxvec fixture dataset.yaml) -> canonical kind
+    # (spec/datasets/types/TestDataKind.java:34-94)
+    "base": "base_vectors",
+    "query": "query_vectors",
+    "indices": "neighbor_indices",
+    "distances": "neighbor_distances",
+    "base_vectors": "base_vectors",
+    "query_vectors": "query_vectors",
+    "neighbor_indices": "neighbor_indices",
+    "neighbor_distances": "neighbor_distances",
+    "base_content": "base_content",
+    "query_terms": "query_terms",
+    "query_filters": "query_filters",
+    "metadata_predicates": "metadata_predicates",
+    "predicate_results": "predicate_results",
+    "metadata_layout": "metadata_layout",
+    "metadata_content": "metadata_content",
+}
+
+_SRC_RX = re.compile(
+    r"""^(?P<path>[^\[\(]+?)\s*(?:\[(?P<window>[^\]]+)\]|\((?P<count>\d+)\))?\s*$"""
+)
+
+
+@dataclass
+class FacetSpec:
+    source: str
+    window: list[tuple[int, int]] | None = None
+
+    @classmethod
+    def parse(cls, spec) -> "FacetSpec":
+        if isinstance(spec, dict):
+            src = spec.get("source") or spec.get("file")
+            win = spec.get("window")
+            base = cls.parse(src)
+            if win is not None:
+                base.window = _parse_window_sugar(str(win))
+            return base
+        m = _SRC_RX.match(str(spec))
+        if not m:
+            raise ValueError(f"unparseable facet source: {spec!r}")
+        window = None
+        if m.group("window"):
+            window = _parse_window_sugar(m.group("window"))
+        elif m.group("count"):
+            window = [(0, int(m.group("count")))]
+        return cls(source=m.group("path").strip(), window=window)
+
+
+def _parse_window_sugar(text: str) -> list[tuple[int, int]]:
+    """``0..1000`` or ``a..b,c..d`` or bare count (dataset_yaml_v1.md:65-79)."""
+    out = []
+    for part in text.split(","):
+        part = part.strip()
+        if ".." in part:
+            a, b = part.split("..")
+            out.append((parse_unit_count(a), parse_unit_count(b)))
+        else:
+            out.append((0, parse_unit_count(part)))
+    return out
+
+
+@dataclass
+class Profile:
+    name: str
+    facets: dict[str, FacetSpec] = field(default_factory=dict)
+
+
+def _expand_sized(spec) -> list[int]:
+    """Sized-profile expansion (layoutv2/DSSizedExpander.java:31-65):
+    ``10m`` scalar; ``a..b/step`` arithmetic; ``fib:a..b`` fibonacci-ish
+    progression; ``mul:a..b/k`` geometric."""
+    sizes: list[int] = []
+    for item in spec if isinstance(spec, list) else [spec]:
+        s = str(item).strip()
+        if s.startswith("fib:"):
+            a, b = s[4:].split("..")
+            lo, hi = parse_unit_count(a), parse_unit_count(b)
+            x, y = lo, lo
+            while x <= hi:
+                sizes.append(x)
+                x, y = x + y, x
+        elif s.startswith("mul:"):
+            body = s[4:]
+            rng, k = body.split("/")
+            a, b = rng.split("..")
+            lo, hi, k = parse_unit_count(a), parse_unit_count(b), parse_unit_count(k)
+            x = lo
+            while x <= hi:
+                sizes.append(x)
+                x *= k
+        elif ".." in s:
+            rng, _, step = s.partition("/")
+            a, b = rng.split("..")
+            lo, hi = parse_unit_count(a), parse_unit_count(b)
+            st = parse_unit_count(step) if step else max(hi - lo, 1)
+            x = lo
+            while x <= hi:
+                sizes.append(x)
+                x += st
+        else:
+            sizes.append(parse_unit_count(s))
+    return sizes
+
+
+def _size_label(n: int) -> str:
+    for mult, suffix in ((10**9, "b"), (10**6, "m"), (10**3, "k")):
+        if n % mult == 0:
+            return f"{n // mult}{suffix}"
+    return str(n)
+
+
+class DatasetManifest:
+    """Parsed dataset.yaml with two-pass profile inheritance and sized
+    expansion; resolves facets to DataFrames on demand."""
+
+    def __init__(self, root: str, data: dict):
+        self.root = root
+        self.attributes: dict = dict(data.get("attributes") or {})
+        self.name: str = data.get("name") or os.path.basename(os.path.normpath(root))
+        raw_profiles: dict = dict(data.get("profiles") or {})
+        # pass 1: default
+        self.profiles: dict[str, Profile] = {}
+        default_raw = raw_profiles.get("default") or {}
+        self.profiles["default"] = self._build_profile("default", default_raw, None)
+        # pass 2: others inherit default (DSProfileGroup.java:60-93)
+        for pname, praw in raw_profiles.items():
+            if pname == "default":
+                continue
+            if isinstance(praw, dict) and "sized" in praw:
+                for n in _expand_sized(praw["sized"]):
+                    label = f"{pname}:{_size_label(n)}"
+                    prof = self._build_profile(
+                        label, {k: v for k, v in praw.items() if k != "sized"},
+                        self.profiles["default"],
+                    )
+                    for facet in prof.facets.values():
+                        if facet.window is None:
+                            facet.window = [(0, n)]
+                    self.profiles[label] = prof
+                continue
+            self.profiles[pname] = self._build_profile(
+                pname, praw or {}, self.profiles["default"]
+            )
+
+    def _build_profile(self, name: str, raw: dict, default: Profile | None) -> Profile:
+        facets: dict[str, FacetSpec] = {}
+        if default is not None:
+            # copy inherited specs — sized expansion mutates windows, and a
+            # shared instance would leak the mutation into the default profile
+            facets.update(
+                {k: FacetSpec(v.source, list(v.window) if v.window else None)
+                 for k, v in default.facets.items()}
+            )
+        for key, spec in (raw or {}).items():
+            kind = FACET_ALIASES.get(str(key).lower())
+            if kind is None:
+                continue
+            facets[kind] = FacetSpec.parse(spec)
+        return Profile(name, facets)
+
+    def profile(self, name: str | None = None) -> Profile:
+        """Name normalization per TestDataGroup.java:242-260: 'a:b:c' resolves
+        last-segment-first; the dataset's own name means 'default'."""
+        if name is None or name == self.name:
+            name = "default"
+        if name in self.profiles:
+            return self.profiles[name]
+        short = name.split(":")[-1]
+        if short in self.profiles:
+            return self.profiles[short]
+        raise KeyError(f"no profile {name!r}; have {sorted(self.profiles)}")
+
+    def facet(self, spark: SparkSession, facet_kind: str, profile: str | None = None) -> DataFrame:
+        prof = self.profile(profile)
+        kind = FACET_ALIASES.get(facet_kind.lower(), facet_kind)
+        if kind not in prof.facets:
+            raise KeyError(f"profile {prof.name!r} has no facet {facet_kind!r}")
+        spec = prof.facets[kind]
+        path = spec.source
+        if not os.path.isabs(path):
+            path = os.path.join(self.root, path)
+        ext = path.rsplit(".", 1)[-1].lower()
+        if ext in ("parquet",):
+            df = spark.read.parquet(path)
+        elif ext == "csv":
+            from nbdatatools_spark.sources.csv_vec import read_csv_vectors
+
+            df = read_csv_vectors(spark, path)
+        else:
+            from nbdatatools_spark.sources.xvec import read_xvec
+
+            df = read_xvec(spark, path)
+        if spec.window:
+            df = window_slice(df, [f"{a}..{b}" for a, b in spec.window])
+        return df
+
+
+def load_dataset(root: str) -> DatasetManifest:
+    """Load <root>/dataset.yaml (VectorTestData.load analogue,
+    VectorTestData.java:43-56)."""
+    path = os.path.join(root, "dataset.yaml")
+    with open(path) as f:
+        text = f.read()
+    if _HAVE_YAML:
+        data = yaml.safe_load(text)
+    else:  # minimal fallback; dataset.yaml fixtures are JSON-compatible
+        data = json.loads(text)
+    if not isinstance(data, dict):
+        raise ValueError(f"{path}: manifest must be a mapping")
+    return DatasetManifest(root, data)

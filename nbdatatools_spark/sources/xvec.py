@@ -1,0 +1,220 @@
+"""xvec family ingest/egress (S1/S2 in SURVEY §2.1).
+
+Format (reference: docs/specs/dataset_yaml_v1.md:98-141): row-oriented binary,
+little-endian; every record is ``[dim:int32][dim * component]``; uniform
+dimension per file, so stride = 4 + dim*componentBytes and ordinal =
+offset / stride — O(1) random access in the reference
+(CoreXVecVectorDatasetViewMethods.java:119,155), which here becomes
+*parallel chunk planning*: the driver reads one header per file, splits the
+file into ordinal-aligned byte ranges, and executors decode ranges
+independently with numpy (Arrow-batched, no per-row Python).
+
+Formats (readers: datatools-io-xvec/.../readers/Uniform{F,I,B,D,S,M}vecReader.java):
+
+| ext  | component | numpy | Spark element type |
+|------|-----------|-------|--------------------|
+| fvec | float32   | <f4   | float              |
+| ivec | int32     | <i4   | int                |
+| bvec | uint8     | <u1   | short (widened)    |
+| dvec | float64   | <f8   | double             |
+| svec | int16     | <i2   | short              |
+| mvec | float16   | <f2   | float (widened — Half.java:35, exact IEEE binary16 incl. subnormals/NaN via numpy astype) |
+
+Egress: ``write_xvec`` streams partitions to a single file on the driver in
+ordinal order (export utility — the engine's native store is Parquet; SURVEY
+§2.1 S2). For cluster-scale egress use ``write_xvec_shards`` which writes one
+shard per partition.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+XVEC_FORMATS = {
+    "fvec": ("<f4", 4, "float"),
+    "ivec": ("<i4", 4, "int"),
+    "bvec": ("<u1", 1, "short"),
+    "dvec": ("<f8", 8, "double"),
+    "svec": ("<i2", 2, "short"),
+    "mvec": ("<f2", 2, "float"),
+}
+
+# accept plural-ish aliases the reference tooling uses (.fvecs etc.)
+_EXT_ALIASES = {f"{k}s": k for k in XVEC_FORMATS}
+
+
+def xvec_dtype(path_or_ext: str) -> tuple[str, int, str]:
+    """(numpy dtype, component bytes, spark element type) from extension —
+    schema inferred from extension as in the reference
+    (CoreXVecVectorDatasetViewMethods.java:199-223)."""
+    ext = path_or_ext.rsplit(".", 1)[-1].lower()
+    ext = _EXT_ALIASES.get(ext, ext)
+    if ext not in XVEC_FORMATS:
+        raise ValueError(f"not an xvec extension: {path_or_ext!r}")
+    return XVEC_FORMATS[ext]
+
+
+def _file_meta(path: str) -> tuple[int, int, int]:
+    """(dim, stride, count) from the first record header + file size.
+
+    Validates the endianness/dimension plausibility check of P11
+    (README.md:45): 0 < dim < 1e6 and size % stride == 0.
+    """
+    np_dtype, cbytes, _ = xvec_dtype(path)
+    size = os.path.getsize(path)
+    if size == 0:
+        return 0, 0, 0
+    with open(path, "rb") as f:
+        (dim,) = struct.unpack("<i", f.read(4))
+    if not (0 < dim < 1_000_000):
+        raise ValueError(
+            f"{path}: implausible dimension {dim} — wrong format or endianness"
+        )
+    stride = 4 + dim * cbytes
+    if size % stride != 0:
+        raise ValueError(f"{path}: size {size} not a multiple of stride {stride}")
+    return dim, stride, size // stride
+
+
+def read_xvec(
+    spark: SparkSession,
+    paths: str | list[str],
+    ordinal_start: int = 0,
+    chunk_records: int = 65536,
+    validate_dims: bool = True,
+) -> DataFrame:
+    """Parallel xvec scan -> DataFrame (ordinal BIGINT, vector ARRAY<elem>).
+
+    Driver plans (path, byte_offset, ordinal, count) chunks from uniform
+    stride; executors decode chunks with numpy via mapInPandas (Arrow
+    batches). Multiple files concatenate with continuous ordinals (U1 +
+    multi-file groups, ParquetVectorStreamer.java:80-90 analogue).
+
+    Per-record dim headers are validated against the file dim during decode
+    (data_access_v1.md:107-109) when ``validate_dims``.
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    if not paths:
+        raise ValueError("no input paths")
+    np_dtype, cbytes, spark_elem = xvec_dtype(paths[0])
+
+    chunks = []  # (path, byte_start, n_records, start_ordinal)
+    ordinal = ordinal_start
+    for p in sorted(paths):
+        d, c, s = xvec_dtype(p)
+        if d != np_dtype:
+            raise ValueError(f"mixed xvec formats in one read: {paths}")
+        dim, stride, count = _file_meta(p)
+        off = 0
+        while off < count:
+            n = min(chunk_records, count - off)
+            chunks.append((p, off * stride, n, ordinal + off, dim, stride))
+            off += n
+        ordinal += count
+
+    plan = spark.createDataFrame(
+        chunks,
+        "path STRING, byte_start BIGINT, n_records INT, start_ordinal BIGINT, dim INT, stride INT",
+    ).repartition(max(len(chunks) // 4, 1))
+
+    widen = {"<u1": "<i2", "<f2": "<f4"}.get(np_dtype)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                with open(row.path, "rb") as f:
+                    f.seek(row.byte_start)
+                    raw = f.read(row.n_records * row.stride)
+                mat = np.frombuffer(raw, dtype=np.uint8).reshape(row.n_records, row.stride)
+                headers = mat[:, :4].copy().view("<i4").ravel()
+                if validate_dims and not (headers == row.dim).all():
+                    bad = int(headers[headers != row.dim][0])
+                    raise ValueError(
+                        f"{row.path}: record header dim {bad} != file dim {row.dim}"
+                    )
+                body = mat[:, 4:].copy().view(np_dtype)
+                if widen:
+                    body = body.astype(widen)
+                yield pd.DataFrame(
+                    {
+                        "ordinal": np.arange(
+                            row.start_ordinal, row.start_ordinal + row.n_records
+                        ),
+                        "vector": list(body),
+                    }
+                )
+
+    return plan.mapInPandas(decode, f"ordinal BIGINT, vector ARRAY<{spark_elem}>")
+
+
+def write_xvec(df: DataFrame, path: str, ordinal: str = "ordinal", vec: str = "vector") -> int:
+    """Export a vector DataFrame to ONE xvec file in ordinal order.
+
+    Streams sorted partitions through the driver (toLocalIterator — bounded
+    memory); rows are encoded with numpy per partition-batch. Reference
+    writer shape: FvecVectorWriter.java:123 (+siblings). Returns record count.
+    """
+    np_dtype, cbytes, _ = xvec_dtype(path)
+    narrow = {"<i2": np_dtype, "<f4": np_dtype}  # widened types narrow back on write
+    n = 0
+    sorted_df = df.select(ordinal, vec).sort(ordinal)
+    with open(path, "wb") as out:
+        for row in sorted_df.toLocalIterator(prefetchPartitions=True):
+            v = np.asarray(row[1], dtype=np_dtype)
+            out.write(struct.pack("<i", len(v)))
+            out.write(v.tobytes())
+            n += 1
+    return n
+
+
+def write_xvec_shards(
+    df: DataFrame, directory: str, ext: str, ordinal: str = "ordinal", vec: str = "vector"
+) -> None:
+    """Cluster-scale egress: one ``part-<i>.<ext>`` per range-partition of the
+    ordinal. Executors write locally-visible storage (shared FS on a real
+    cluster)."""
+    np_dtype, cbytes, _ = xvec_dtype(f"x.{ext}")
+    os.makedirs(directory, exist_ok=True)
+
+    def write_part(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import socket
+        import uuid
+
+        fname = os.path.join(directory, f"part-{uuid.uuid4().hex[:12]}.{ext}")
+        n = 0
+        first = None
+        last = None
+        with open(fname, "wb") as out:
+            for pdf in pdf_iter:
+                for _, row in pdf.iterrows():
+                    v = np.asarray(row[vec], dtype=np_dtype)
+                    out.write(struct.pack("<i", len(v)))
+                    out.write(v.tobytes())
+                    if first is None:
+                        first = int(row[ordinal])
+                    last = int(row[ordinal])
+                    n += 1
+        if n == 0:
+            os.unlink(fname)
+            return
+        yield pd.DataFrame(
+            {"file": [fname], "n": [n], "first_ordinal": [first], "last_ordinal": [last],
+             "host": [socket.gethostname()]}
+        )
+
+    (
+        df.repartitionByRange(max(df.rdd.getNumPartitions(), 1), ordinal)
+        .sortWithinPartitions(ordinal)
+        .mapInPandas(
+            write_part,
+            "file STRING, n BIGINT, first_ordinal BIGINT, last_ordinal BIGINT, host STRING",
+        )
+        .collect()
+    )

@@ -1,0 +1,146 @@
+"""Analysis/dedup/window/shuffle operator tests vs numpy + invariants."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nbdatatools_spark.operators.analysis import (
+    count_zero_vectors,
+    describe,
+    dim_moments,
+    ks_statistic_normal,
+)
+from nbdatatools_spark.operators.dedup import clean_vectors, exact_dedup, jaccard_verify, minhash_lsh_candidates
+from nbdatatools_spark.operators.shuffle import seeded_shuffle
+from nbdatatools_spark.operators.windows import parse_window, rebase_ordinals, window_slice
+
+
+@pytest.fixture(scope="module")
+def vecdf(spark):
+    rng = np.random.default_rng(7)
+    mat = rng.normal(loc=1.0, scale=2.0, size=(300, 6)).astype(np.float32)
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(300)]
+    rows[5] = (5, [0.0] * 6)
+    rows[17] = (17, [0.0] * 6)
+    rows[40] = (40, rows[3][1])  # duplicate of ordinal 3
+    df = spark.createDataFrame(rows, "ordinal BIGINT, vector ARRAY<FLOAT>").cache()
+    return df, rows
+
+
+def test_count_zero_vectors(vecdf):
+    df, _ = vecdf
+    r = count_zero_vectors(df).collect()[0]
+    assert (r["n_zero"], r["n_total"]) == (2, 300)
+
+
+def test_describe(vecdf):
+    df, _ = vecdf
+    r = describe(df).collect()[0]
+    assert r["count"] == 300 and r["min_ordinal"] == 0 and r["max_ordinal"] == 299
+    assert r["n_distinct_dims"] == 1 and r["min_dim"] == r["max_dim"] == 6
+    assert r["n_zero"] == 2
+
+
+def test_clean_vectors(vecdf):
+    df, rows = vecdf
+    out = clean_vectors(df).select("ordinal").collect()
+    ords = sorted(r[0] for r in out)
+    assert 5 not in ords and 17 not in ords      # zeros dropped
+    assert 3 in ords and 40 not in ords          # dup keeps lowest ordinal
+    assert len(ords) == 297
+
+
+def test_dim_moments_vs_numpy(vecdf):
+    df, rows = vecdf
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    got = {r["dim"]: r for r in dim_moments(df).collect()}
+    for d in range(6):
+        col = mat[:, d]
+        assert got[d]["mean"] == pytest.approx(col.mean(), rel=1e-9)
+        assert got[d]["variance"] == pytest.approx(col.var(), rel=1e-6)
+        sk = ((col - col.mean()) ** 3).mean() / col.std() ** 3
+        assert got[d]["skewness"] == pytest.approx(sk, rel=1e-4, abs=1e-6)
+        ku = ((col - col.mean()) ** 4).mean() / col.var() ** 2 - 3
+        assert got[d]["kurtosis"] == pytest.approx(ku, rel=1e-4, abs=1e-6)
+
+
+def test_ks_normal_on_gaussian_data(spark):
+    """Gaussian data should clear the 'strong' K-S threshold 0.03 at n=2000
+    (06_model_fitting.md)."""
+    rng = np.random.default_rng(11)
+    mat = rng.normal(size=(2000, 3)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(2000)],
+        "ordinal BIGINT, vector ARRAY<FLOAT>",
+    )
+    ks = ks_statistic_normal(df).collect()
+    assert len(ks) == 3
+    assert all(r["ks_stat"] < 0.03 for r in ks)
+
+
+def test_ks_detects_uniform(spark):
+    rng = np.random.default_rng(12)
+    mat = rng.uniform(-1, 1, size=(2000, 1)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(2000)],
+        "ordinal BIGINT, vector ARRAY<FLOAT>",
+    )
+    ks = ks_statistic_normal(df).collect()[0]
+    assert ks["ks_stat"] > 0.03  # uniform is NOT normal
+
+
+# --- windows --------------------------------------------------------------
+
+def test_parse_window_sugar():
+    assert parse_window("0..1000") == [(0, 1000)]
+    assert parse_window(500) == [(0, 500)]
+    assert parse_window(["10..20", "30..40"]) == [(10, 20), (30, 40)]
+    with pytest.raises(ValueError):
+        parse_window("20..10")
+
+
+def test_window_slice_and_rebase(vecdf):
+    df, _ = vecdf
+    sliced = window_slice(df, ["10..20", "100..105"])
+    assert sliced.count() == 15
+    rb = rebase_ordinals(sliced, out="logical").orderBy("logical").collect()
+    assert [r["logical"] for r in rb] == list(range(15))
+    assert rb[0]["ordinal"] == 10 and rb[10]["ordinal"] == 100
+
+
+# --- shuffle --------------------------------------------------------------
+
+def test_seeded_shuffle_deterministic(vecdf):
+    df, _ = vecdf
+    a = [r["new_ordinal"] for r in seeded_shuffle(df, 42).orderBy("ordinal").collect()]
+    b = [r["new_ordinal"] for r in seeded_shuffle(df, 42).orderBy("ordinal").collect()]
+    c = [r["new_ordinal"] for r in seeded_shuffle(df, 43).orderBy("ordinal").collect()]
+    assert a == b                      # same seed -> same permutation
+    assert a != c                      # different seed -> different
+    assert sorted(a) == list(range(300))  # it IS a permutation
+
+
+# --- text dedup -----------------------------------------------------------
+
+def test_exact_dedup_survivor(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other text")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = sorted(r["doc_id"] for r in exact_dedup(df).collect())
+    assert out == [1, 3]  # normalization folds case/whitespace; min id survives
+
+
+def test_minhash_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near = base.replace("lazy", "sleepy")
+    other = "completely different content about spark aggregation pipelines " * 8
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id BIGINT, text STRING"
+    )
+    cands = minhash_lsh_candidates(df, num_hashes=32, bands=16)
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (1, 2) in pairs
+    verified = jaccard_verify(cands, df, threshold=0.5).collect()
+    assert any((v["id_a"], v["id_b"]) == (1, 2) and v["jaccard"] > 0.5 for v in verified)
+    assert not any({v["id_a"], v["id_b"]} == {1, 3} for v in verified)

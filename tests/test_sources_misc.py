@@ -1,0 +1,234 @@
+"""Dataset manifest, catalog, csv ingest, datagen, tokens, integrity,
+multimodal plumbing, streaming."""
+
+import json
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nbdatatools_spark.datagen import generate_vectors
+from nbdatatools_spark.functions.units import parse_unit_count
+from nbdatatools_spark.operators.integrity import chunk_digests, merkle_root, verify_file
+from nbdatatools_spark.plans.tokens import Templatizer, compute_spec_tokens
+from nbdatatools_spark.sources.catalog import Catalog
+from nbdatatools_spark.sources.csv_vec import read_csv_vectors
+from nbdatatools_spark.sources.dataset import load_dataset, _expand_sized
+
+
+# --- units ---------------------------------------------------------------
+
+def test_parse_unit_count():
+    assert parse_unit_count("10m") == 10_000_000
+    assert parse_unit_count("4G") == 4_000_000_000
+    assert parse_unit_count("4Gi") == 4 * 2**30
+    assert parse_unit_count("123") == 123
+    assert parse_unit_count(5) == 5
+    with pytest.raises(ValueError):
+        parse_unit_count("ten")
+
+
+def test_sized_expansion():
+    assert _expand_sized(["10"]) == [10]
+    assert _expand_sized("100..400/100") == [100, 200, 300, 400]
+    assert _expand_sized("mul:1..8/2") == [1, 2, 4, 8]
+    fib = _expand_sized("fib:1..20")
+    assert fib == [1, 2, 3, 5, 8, 13]  # distinct sizes (no duplicate 1)
+
+
+# --- dataset manifest ----------------------------------------------------
+
+@pytest.fixture()
+def dataset_dir(tmp_path):
+    rng = np.random.default_rng(3)
+    for name, n in [("base.fvec", 30), ("query.fvec", 10)]:
+        with open(tmp_path / name, "wb") as f:
+            for row in rng.normal(size=(n, 4)).astype("<f4"):
+                f.write(struct.pack("<i", 4) + row.tobytes())
+    (tmp_path / "dataset.yaml").write_text(
+        """
+name: testset
+attributes:
+  vendor: acme
+  distance_function: COSINE
+profiles:
+  default:
+    base: base.fvec
+    query: query.fvec
+  small:
+    base: base.fvec[0..10]
+  sizes:
+    sized: ["5..10/5"]
+    base: base.fvec
+"""
+    )
+    return str(tmp_path)
+
+
+def test_manifest_profiles_and_inheritance(spark, dataset_dir):
+    m = load_dataset(dataset_dir)
+    assert m.name == "testset"
+    # inheritance: 'small' overrides base, inherits query (DSProfileGroup 2-pass)
+    p = m.profile("small")
+    assert set(p.facets) == {"base_vectors", "query_vectors"}
+    assert m.facet(spark, "base", "small").count() == 10
+    assert m.facet(spark, "query", "small").count() == 10
+    # windows push down as ordinal filters
+    assert m.facet(spark, "base_vectors", "default").count() == 30
+
+
+def test_manifest_sized_and_name_normalization(spark, dataset_dir):
+    m = load_dataset(dataset_dir)
+    assert "sizes:5" in m.profiles and "sizes:10" in m.profiles
+    assert m.facet(spark, "base", "sizes:5").count() == 5
+    # 'a:b:c' resolves last segment; dataset name -> default
+    assert m.profile("whatever:small").name == "small"
+    assert m.profile("testset").name == "default"
+    with pytest.raises(KeyError):
+        m.profile("nope")
+
+
+# --- catalog -------------------------------------------------------------
+
+def test_catalog_lookup(tmp_path):
+    data = [
+        {"name": "glove-25", "url": "u1"},
+        {"name": "glove-100", "url": "u2"},
+        {"name": "sift-128", "url": "u3"},
+    ]
+    p = tmp_path / "catalog.json"
+    p.write_text(json.dumps(data))
+    cat = Catalog.load(str(p))
+    assert cat.find_exact("sift-128").url == "u3"
+    assert {e.name for e in cat.match_glob("glove-*")} == {"glove-25", "glove-100"}
+    assert [e.name for e in cat.match_regex(r"glove-\d{3}")] == ["glove-100"]
+    assert cat.match_one("sift*").name == "sift-128"
+    with pytest.raises(ValueError):
+        cat.match_one("glove-*")
+    with pytest.raises(KeyError):
+        cat.match_one("nothere")
+
+
+def test_catalog_build_and_save(tmp_path, dataset_dir):
+    cat = Catalog.build([dataset_dir])
+    assert [e.name for e in cat.entries] == ["testset"]
+    out = tmp_path / "cat.json"
+    cat.save(str(out))
+    assert Catalog.load(str(out)).find_exact("testset") is not None
+
+
+# --- csv ingest ----------------------------------------------------------
+
+def test_csv_autodetect(spark, tmp_path):
+    p = tmp_path / "v.csv"
+    p.write_text('id,emb\n0,"[1.0, 2.0]"\n1,"[3.0, 4.0]"\n')
+    df = read_csv_vectors(spark, str(p), ordinal_col="id")
+    rows = df.orderBy("ordinal").collect()
+    assert rows[0]["vector"] == [1.0, 2.0] and rows[1]["vector"] == [3.0, 4.0]
+
+
+def test_csv_no_header_no_ordinal(spark, tmp_path):
+    p = tmp_path / "v2.csv"
+    p.write_text('"[1, 2]"\n"[3, 4]"\n"[5, 6]"\n')
+    df = read_csv_vectors(spark, str(p), element_type="int")
+    rows = df.orderBy("ordinal").collect()
+    assert [r["ordinal"] for r in rows] == [0, 1, 2]
+    assert rows[2]["vector"] == [5, 6]
+
+
+# --- datagen -------------------------------------------------------------
+
+def test_datagen_deterministic_and_partition_independent(spark):
+    a = generate_vectors(spark, 100, 8, seed=9, partitions=2).orderBy("ordinal").collect()
+    b = generate_vectors(spark, 100, 8, seed=9, partitions=7).orderBy("ordinal").collect()
+    assert [r["vector"] for r in a] == [r["vector"] for r in b]
+    c = generate_vectors(spark, 100, 8, seed=10, partitions=2).orderBy("ordinal").collect()
+    assert [r["vector"] for r in a] != [r["vector"] for r in c]
+
+
+def test_datagen_injection(spark):
+    df = generate_vectors(
+        spark, 500, 4, seed=42, zeroes_proportion=0.05, duplicates_proportion=0.05
+    ).cache()
+    from nbdatatools_spark.operators.analysis import count_zero_vectors
+
+    nz = count_zero_vectors(df).collect()[0]["n_zero"]
+    assert 5 <= nz <= 60  # ~5% of 500
+    dup_groups = (
+        df.groupBy("vector").count().where(F.col("count") > 1).count()
+    )
+    assert dup_groups >= 3
+    # gaussian moments sane
+    stats = df.select(F.explode("vector").alias("v")).agg(
+        F.avg("v"), F.stddev_pop("v")
+    ).collect()[0]
+    assert abs(stats[0]) < 0.1 and 0.85 < stats[1] < 1.15
+
+
+# --- tokens --------------------------------------------------------------
+
+def test_templatizer(spark):
+    base = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0])], "ordinal BIGINT, vector ARRAY<FLOAT>"
+    )
+    idx = spark.createDataFrame([(0, [1, 2, 3])], "ordinal BIGINT, indices ARRAY<INT>")
+    toks = compute_spec_tokens(base=base, queries=base, indices=idx)
+    t = Templatizer({**toks, "vendor": "acme"})
+    assert t.render("${vendor}/${base_vectors}x${dimensions}_k${max_k}") == "acme/2x2_k3"
+    with pytest.raises(KeyError):
+        t.render("${missing}")
+
+
+# --- integrity -----------------------------------------------------------
+
+def test_integrity_verify_catches_corruption(spark, tmp_path):
+    p = tmp_path / "blob.bin"
+    p.write_bytes(bytes(range(256)) * 5000)  # ~1.25 MB, 2 chunks
+    ref = chunk_digests(spark, str(p)).cache()
+    assert ref.count() == 2
+    root1 = merkle_root(ref)
+    assert verify_file(spark, str(p), ref).count() == 0
+    # spoil one byte (spoilbits fault injection, README.md:94-95)
+    data = bytearray(p.read_bytes())
+    data[100] ^= 0xFF
+    p.write_bytes(bytes(data))
+    bad = verify_file(spark, str(p), ref).collect()
+    assert len(bad) == 1 and bad[0]["chunk_index"] == 0
+    assert merkle_root(chunk_digests(spark, str(p))) != root1
+
+
+# --- multimodal plumbing -------------------------------------------------
+
+def test_multimodal_image_features(spark):
+    from nbdatatools_spark.operators.multimodal import MEDIA_SCHEMA, decode_image_features, media_stats
+
+    rows = [
+        (i, "image/raw", bytes([i]) * 64, {"width": 16, "height": 16, "channels": 3,
+                                           "sample_rate": None, "duration_ms": None})
+        for i in range(4)
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = decode_image_features(media, out_size=(4, 4)).collect()
+    assert len(feats) == 4 and all(len(r["feature"]) == 16 for r in feats)
+    # deterministic fake decode: same bytes -> same feature
+    again = decode_image_features(media, out_size=(4, 4)).collect()
+    assert [r["feature"] for r in feats] == [r["feature"] for r in again]
+    stats = media_stats(media).collect()[0]
+    assert stats["kind"] == "image/raw" and stats["n"] == 4
+
+
+def test_multimodal_audio_frames(spark):
+    from nbdatatools_spark.operators.multimodal import MEDIA_SCHEMA, sample_audio_frames
+
+    pcm = (np.sin(np.linspace(0, 100, 16000)) * 3000).astype("<i2").tobytes()
+    rows = [(0, "audio/pcm16", pcm, {"width": None, "height": None, "channels": None,
+                                     "sample_rate": 16000, "duration_ms": 1000})]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    frames = sample_audio_frames(media, frame_ms=100).collect()
+    assert len(frames) == 10 and all(r["rms"] > 0 for r in frames)
+    bad = spark.createDataFrame(
+        [(1, "audio/mp3", b"x", rows[0][3])], MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception):
+        sample_audio_frames(bad).collect()

@@ -1,0 +1,68 @@
+"""Structured Streaming: file-source stream over events parquet with
+tumbling-window agg + watermark, and batch/stream agreement."""
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from nbdatatools_spark.streaming.events import (
+    sessionize,
+    stream_events,
+    tumbling_window_agg,
+)
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path, sf_dir):
+    """Copy the events table to a plain-timestamp parquet dir (the driver's
+    file uses TIMESTAMP(NANOS) which the streaming source also rejects)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = str(tmp_path / "events_stream")
+    df.coalesce(2).write.parquet(out)
+    return out
+
+
+def test_stream_tumbling_equals_batch(spark, events_dir, tmp_path):
+    batch = spark.read.parquet(events_dir)
+    expected = {
+        (r["window_start"], r["n_events"])
+        for r in tumbling_window_agg(batch, "1 hour").collect()
+    }
+
+    stream = stream_events(spark, events_dir, max_files_per_trigger=1)
+    assert stream.isStreaming
+    agg = tumbling_window_agg(stream, "1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbled")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["n_events"])
+        for r in spark.sql("SELECT * FROM tumbled").collect()
+    }
+    assert got == expected
+
+
+def test_sessionize_batch_invariants(spark, events_dir):
+    ev = spark.read.parquet(events_dir).where(F.col("user_id") <= 20)
+    sess = sessionize(ev, gap="30 minutes").cache()
+    rows = sess.collect()
+    assert all(r["session_start"] <= r["session_end"] for r in rows)
+    # session event counts sum to the filtered event count
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    # session ids are dense from 0 per user
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r["session_id"])
+    for sids in by_user.values():
+        assert sorted(sids) == list(range(len(sids)))

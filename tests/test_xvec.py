@@ -1,0 +1,104 @@
+"""xvec IO round-trips + adversarial inputs (reference shape:
+datatools-io-xvec reader/writer tests; SlabAdversarialTest.java pattern)."""
+
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nbdatatools_spark.sources.xvec import read_xvec, write_xvec, xvec_dtype
+
+
+def _write_raw(path, mat, np_dtype):
+    with open(path, "wb") as f:
+        for row in mat:
+            f.write(struct.pack("<i", len(row)))
+            f.write(np.asarray(row, dtype=np_dtype).tobytes())
+
+
+@pytest.mark.parametrize(
+    "ext,np_dtype,gen",
+    [
+        ("fvec", "<f4", lambda rng, n, d: rng.normal(size=(n, d)).astype("<f4")),
+        ("ivec", "<i4", lambda rng, n, d: rng.integers(-1000, 1000, (n, d)).astype("<i4")),
+        ("bvec", "<u1", lambda rng, n, d: rng.integers(0, 256, (n, d)).astype("<u1")),
+        ("dvec", "<f8", lambda rng, n, d: rng.normal(size=(n, d)).astype("<f8")),
+        ("svec", "<i2", lambda rng, n, d: rng.integers(-300, 300, (n, d)).astype("<i2")),
+        ("mvec", "<f2", lambda rng, n, d: rng.normal(size=(n, d)).astype("<f2")),
+    ],
+)
+def test_read_roundtrip(spark, tmp_path, ext, np_dtype, gen):
+    rng = np.random.default_rng(42)
+    mat = gen(rng, 50, 8)
+    p = str(tmp_path / f"t.{ext}")
+    _write_raw(p, mat, np_dtype)
+    df = read_xvec(spark, p, chunk_records=16)
+    rows = df.orderBy("ordinal").collect()
+    assert len(rows) == 50
+    assert [r["ordinal"] for r in rows] == list(range(50))
+    # widening rules: bvec->short, mvec->float32 (exact IEEE binary16 widen)
+    for i, r in enumerate(rows):
+        if ext == "mvec":
+            np.testing.assert_array_equal(
+                np.array(r["vector"], "<f4"), mat[i].astype("<f4")
+            )
+        else:
+            np.testing.assert_array_equal(np.array(r["vector"]), mat[i])
+
+
+def test_write_then_read(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i) + 0.5]) for i in range(20)],
+        "ordinal BIGINT, vector ARRAY<FLOAT>",
+    )
+    p = str(tmp_path / "out.fvec")
+    n = write_xvec(df, p)
+    assert n == 20
+    back = read_xvec(spark, p).orderBy("ordinal").collect()
+    assert [r["vector"] for r in back] == [[float(i), float(i) + 0.5] for i in range(20)]
+
+
+def test_multifile_concat_ordinals(spark, tmp_path):
+    rng = np.random.default_rng(1)
+    a, b = rng.normal(size=(5, 4)).astype("<f4"), rng.normal(size=(7, 4)).astype("<f4")
+    pa, pb = str(tmp_path / "a.fvec"), str(tmp_path / "b.fvec")
+    _write_raw(pa, a, "<f4")
+    _write_raw(pb, b, "<f4")
+    df = read_xvec(spark, [pa, pb])
+    assert df.count() == 12
+    assert df.agg(F.max("ordinal")).collect()[0][0] == 11
+
+
+def test_corrupt_header_dim_raises(spark, tmp_path):
+    """Per-record dim validation (data_access_v1.md:107-109)."""
+    p = str(tmp_path / "bad.fvec")
+    with open(p, "wb") as f:
+        f.write(struct.pack("<i", 4) + np.zeros(4, "<f4").tobytes())
+        f.write(struct.pack("<i", 3) + np.zeros(4, "<f4").tobytes())  # lying header
+    with pytest.raises(Exception):
+        read_xvec(spark, p).collect()
+
+
+def test_implausible_dim_raises(tmp_path, spark):
+    """P11 endianness sanity: big-endian-looking header rejected."""
+    p = str(tmp_path / "be.fvec")
+    with open(p, "wb") as f:
+        f.write(struct.pack(">i", 4) + np.zeros(4, "<f4").tobytes())  # BE header
+    with pytest.raises(ValueError, match="implausible"):
+        read_xvec(spark, p).collect()
+
+
+def test_truncated_file_raises(tmp_path, spark):
+    p = str(tmp_path / "trunc.fvec")
+    with open(p, "wb") as f:
+        f.write(struct.pack("<i", 4) + np.zeros(4, "<f4").tobytes())
+        f.write(b"\x01\x02")  # trailing garbage
+    with pytest.raises(ValueError, match="stride"):
+        read_xvec(spark, p).collect()
+
+
+def test_dtype_aliases():
+    assert xvec_dtype("x.fvecs") == xvec_dtype("x.fvec")
+    with pytest.raises(ValueError):
+        xvec_dtype("x.parquet")
