@@ -35,6 +35,7 @@ from nbdatatools_spark.operators.shuffle import seeded_shuffle
 from nbdatatools_spark.operators.similarity import brute_force_topk, lsh_topk
 from nbdatatools_spark.operators.windows import rebase_ordinals, window_slice
 from nbdatatools_spark.predicates import compile_pnode, parse_pnode
+from nbdatatools_spark.predicates.compiler import where_pnode
 from nbdatatools_spark.streaming.events import (
     sessionize,
     sliding_window_agg,
@@ -161,7 +162,7 @@ PNODE_NULL_EQ = '{"fieldName":"maybe_type","op":"EQ","values":[null]}'
 
 
 def pnode_range_filter(spark, sf_dir):
-    pred = compile_pnode(parse_pnode(PNODE_RANGE))
+    pred = compile_pnode(parse_pnode(PNODE_RANGE), two_valued=False)
     return (
         _t(spark, sf_dir, "orders")
         .where(pred)
@@ -171,7 +172,7 @@ def pnode_range_filter(spark, sf_dir):
 
 
 def pnode_in_filter(spark, sf_dir):
-    pred = compile_pnode(parse_pnode(PNODE_IN))
+    pred = compile_pnode(parse_pnode(PNODE_IN), two_valued=False)
     return (
         _t(spark, sf_dir, "customer")
         .where(pred)
@@ -182,7 +183,7 @@ def pnode_in_filter(spark, sf_dir):
 
 
 def pnode_regex_filter(spark, sf_dir):
-    pred = compile_pnode(parse_pnode(PNODE_REGEX))
+    pred = compile_pnode(parse_pnode(PNODE_REGEX), two_valued=False)
     return (
         _t(spark, sf_dir, "part")
         .where(pred)
@@ -193,7 +194,7 @@ def pnode_regex_filter(spark, sf_dir):
 
 
 def pnode_nested_andor(spark, sf_dir):
-    pred = compile_pnode(parse_pnode(PNODE_NESTED))
+    pred = compile_pnode(parse_pnode(PNODE_NESTED), two_valued=False)
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.where(pred)
@@ -207,7 +208,7 @@ def pnode_null_eq(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").withColumn(
         "maybe_type", F.expr("nullif(event_type, 'error')")
     )
-    pred = compile_pnode(parse_pnode(PNODE_NULL_EQ))
+    pred = compile_pnode(parse_pnode(PNODE_NULL_EQ), two_valued=False)
     return ev.where(pred).select("event_id").orderBy("event_id")
 
 
@@ -218,7 +219,8 @@ def result_indices_hybrid(spark, sf_dir):
         parse_pnode(
             '{"op":"AND","nodes":[{"fieldName":"user_id","op":"LE","values":[200]},'
             '{"fieldName":"event_type","op":"IN","values":["click","purchase"]}]}'
-        )
+        ),
+        two_valued=False,
     )
     ev = _t(spark, sf_dir, "events")
     return ev.where(pred).select(F.col("event_id").alias("ordinal")).orderBy("ordinal")
@@ -438,6 +440,154 @@ def events_json_extract(spark, sf_dir):
     ).orderBy("event_id")
 
 
+
+
+# ---------------------------------------------------------------------------
+# Round-1 widening: pushdown showcase, anti-join, rollups, frames, hybrid KNN
+# ---------------------------------------------------------------------------
+
+def q6_revenue_delta(spark, sf_dir):
+    """TPC-H Q6-shaped: pure filter+agg — every predicate reaches the scan."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(_dec2("l_extendedprice") * _dec2("l_discount"))
+        .cast("decimal(18,4)")
+        .alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def monthly_revenue_rollup(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(
+            F.sum(_dec2("o_totalprice")).cast("decimal(18,2)").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("month")
+    )
+
+
+def customers_without_orders(spark, sf_dir):
+    """Anti-join (complement of P8's match set — SURVEY §2.3)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def knn_dot_topk(spark, sf_dir):
+    """J2 with the dot-product metric (DistanceFunction.java:26)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    pairs = brute_force_topk(q, emb, k=5, metric="dot_product")
+    return pairs.select(
+        "query_id", "rank", "base_id", F.round("distance", 6).alias("distance")
+    )
+
+
+def hybrid_filtered_knn(spark, sf_dir):
+    """Hybrid ground truth: predicate i (label == i % 3) ∧ top-5 cosine
+    (ordinal_predicate_writers_v1.md:24-33)."""
+    from nbdatatools_spark.operators.hybrid import hybrid_ground_truth
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("ordinal"), F.col("embedding").alias("vector")
+    )
+    meta = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("ordinal"), "label"
+    )
+    q = emb.where(F.col("ordinal") < 10)
+    preds = [
+        (i, '{"fieldName":"label","op":"EQ","values":[%d]}' % (i % 3)) for i in range(10)
+    ]
+    nn = hybrid_ground_truth(q, emb, meta, preds, k=5, metric="cosine")
+    return nn.select(
+        F.col("ordinal").alias("query_id"),
+        F.posexplode(F.arrays_zip("indices", "distances")).alias("pos", "pair"),
+    ).select(
+        "query_id",
+        (F.col("pos") + 1).alias("rank"),
+        F.col("pair.indices").alias("base_id"),
+        F.round("pair.distances", 6).alias("distance"),
+    )
+
+
+def events_cume_dist(spark, sf_dir):
+    """W3 empirical-CDF primitive over event values."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") <= 20)
+    w = Window.partitionBy("event_type").orderBy("value")
+    return ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.cume_dist().over(w), 6).alias("cdf"),
+    ).orderBy("event_type", "event_id")
+
+
+def clean_embeddings(spark, sf_dir):
+    """U3 cleanfvec on the embeddings table (drop zeros + exact-dup vectors,
+    lowest-id survivor)."""
+    from nbdatatools_spark.operators.dedup import clean_vectors
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("ordinal"), F.col("embedding").alias("vector")
+    )
+    return clean_vectors(emb).select(F.col("ordinal").alias("vec_id")).orderBy("vec_id")
+
+
+def events_time_parts(spark, sf_dir):
+    """Scalar date/time extraction functions."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 3000)
+    return ev.select(
+        "event_id",
+        (F.dayofweek("ts") - 1).alias("dow"),
+        F.hour("ts").alias("hh"),
+        F.dayofmonth("ts").alias("dom"),
+    ).orderBy("event_id")
+
+
+def part_price_histogram(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.groupBy(F.floor(F.col("p_retailprice") / 100).cast("bigint").alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+def supplier_balance_rank(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey").asc())
+    return s.select(
+        "s_suppkey", "s_name", F.row_number().over(w).alias("bal_rank")
+    ).orderBy("bal_rank")
+
+
+def orders_running_total(spark, sf_dir):
+    """Window frame (rows unbounded preceding) running revenue per customer."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") <= 50)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec2("o_totalprice")).over(w).cast("decimal(18,2)").alias("running_total"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
 # ---------------------------------------------------------------------------
 # Rows-only entries (approximate / non-SQL-expressible — driver records a
 # weaker check; correctness covered by pytest oracles instead)
@@ -515,6 +665,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": events_sessionize,
         "events_user_stats": events_user_stats,
         "events_json_extract": events_json_extract,
+        "q6_revenue_delta": q6_revenue_delta,
+        "monthly_revenue_rollup": monthly_revenue_rollup,
+        "customers_without_orders": customers_without_orders,
+        "knn_dot_topk": knn_dot_topk,
+        "hybrid_filtered_knn": hybrid_filtered_knn,
+        "events_cume_dist": events_cume_dist,
+        "clean_embeddings": clean_embeddings,
+        "events_time_parts": events_time_parts,
+        "part_price_histogram": part_price_histogram,
+        "supplier_balance_rank": supplier_balance_rank,
+        "orders_running_total": orders_running_total,
         # rows-only (approximate / non-SQL-expressible)
         "ann_lsh_topk": ann_lsh_topk,
         "minhash_candidate_pairs": minhash_candidate_pairs,
@@ -787,5 +948,85 @@ def oracle_sql() -> dict[str, str]:
         "events_json_extract": """
             SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
             FROM events WHERE event_id < 2000 ORDER BY event_id
+        """,
+        "q6_revenue_delta": """
+            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+        """,
+        "monthly_revenue_rollup": """
+            SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1 ORDER BY month
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            ORDER BY c_custkey
+        """,
+        "knn_dot_topk": """
+            WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 10),
+                 b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+                 pairs AS (
+                    SELECT q.vec_id AS qid, b.vec_id AS bid,
+                           -list_inner_product(q.e, b.e) AS dist
+                    FROM q CROSS JOIN b),
+                 ranked AS (
+                    SELECT qid, bid, dist,
+                           row_number() OVER (PARTITION BY qid ORDER BY dist ASC, bid ASC) AS rn
+                    FROM pairs)
+            SELECT qid AS query_id, CAST(rn AS INT) AS rank, bid AS base_id,
+                   round(dist, 6) AS distance
+            FROM ranked WHERE rn <= 5
+        """,
+        "hybrid_filtered_knn": f"""
+            WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 10),
+                 b AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+                 pairs AS (
+                    SELECT q.vec_id AS qid, b.vec_id AS bid, {_COS_DIST} AS dist
+                    FROM q JOIN b ON b.label = q.vec_id % 3),
+                 ranked AS (
+                    SELECT qid, bid, dist,
+                           row_number() OVER (PARTITION BY qid ORDER BY dist ASC, bid ASC) AS rn
+                    FROM pairs)
+            SELECT qid AS query_id, CAST(rn AS INT) AS rank, bid AS base_id,
+                   round(dist, 6) AS distance
+            FROM ranked WHERE rn <= 5
+        """,
+        "events_cume_dist": """
+            SELECT event_type, event_id,
+                   round(cume_dist() OVER (PARTITION BY event_type ORDER BY value), 6) AS cdf
+            FROM events WHERE user_id <= 20
+            ORDER BY event_type, event_id
+        """,
+        "clean_embeddings": """
+            SELECT min(vec_id) AS vec_id FROM embeddings
+            WHERE list_aggregate(list_transform(embedding, x -> abs(x)), 'sum') != 0
+            GROUP BY embedding ORDER BY vec_id
+        """,
+        "events_time_parts": """
+            SELECT event_id, CAST(dayofweek(ts) AS INT) AS dow,
+                   CAST(hour(ts) AS INT) AS hh, CAST(dayofmonth(ts) AS INT) AS dom
+            FROM events WHERE event_id < 3000 ORDER BY event_id
+        """,
+        "part_price_histogram": """
+            SELECT CAST(floor(p_retailprice / 100) AS BIGINT) AS bucket, count(*) AS n
+            FROM part GROUP BY 1 ORDER BY bucket
+        """,
+        "supplier_balance_rank": """
+            SELECT s_suppkey, s_name,
+                   CAST(row_number() OVER (ORDER BY s_acctbal DESC, s_suppkey ASC) AS INT) AS bal_rank
+            FROM supplier ORDER BY bal_rank
+        """,
+        "orders_running_total": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                        OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                              ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2)) AS running_total
+            FROM orders WHERE o_custkey <= 50
+            ORDER BY o_custkey, o_orderkey
         """,
     }

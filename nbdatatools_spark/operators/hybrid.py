@@ -93,7 +93,9 @@ def hybrid_ground_truth(
             distance_expr(metric, F.col("__qvec"), F.col("__bvec")).alias("__dist"),
         )
     )
-    w = Window.partitionBy("__qid").orderBy(F.col("__dist").asc(), F.col("__bid").asc())
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("__dist").asc_nulls_last(), F.col("__bid").asc()
+    )
     topk = pairs.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= k)
     return (
         topk.groupBy("__qid")

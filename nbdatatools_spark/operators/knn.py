@@ -24,7 +24,10 @@ Physical strategy (scale posture):
 from __future__ import annotations
 
 from functools import reduce
+from typing import Iterator
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -41,6 +44,7 @@ def exact_knn(
     query_vec: str = "vector",
     base_vec: str = "vector",
     block_partitions: int = 1,
+    impl: str = "expr",
 ) -> DataFrame:
     """Exact top-k neighbors per query.
 
@@ -48,7 +52,22 @@ def exact_knn(
     matching the reference's neighbor facet shape (FIXTURES.md §1): row i =
     top-k base ordinals for query i, ascending distance, ties broken by base
     ordinal.
+
+    ``impl``:
+    - ``"expr"`` (default): pure Catalyst zip_with/aggregate distance inside
+      the broadcast crossJoin — bit-reproducible against sequential-sum
+      oracles; right choice for small/medium Q*B.
+    - ``"gemm"``: numpy/BLAS matrix kernel via Arrow-batched mapInPandas
+      with per-batch partial top-k (the SIMD analogue of the reference's
+      Panama-vector kernels, src/main/java25/.../DistanceFunction.java:199-232).
+      ~2 orders of magnitude faster at the reference benchmark scale
+      (100k x 256d); distances differ from sequential summation only in the
+      last float64 bits.
     """
+    if impl == "gemm":
+        return _exact_knn_gemm(
+            queries, base, k, metric, query_ordinal, base_ordinal, query_vec, base_vec
+        )
     q = queries.select(
         F.col(query_ordinal).alias("__qid"), F.col(query_vec).alias("__qvec")
     )
@@ -62,7 +81,11 @@ def exact_knn(
             "__bid",
             distance_expr(metric, F.col("__qvec"), F.col("__bvec")).alias("__dist"),
         )
-        w = Window.partitionBy("__qid").orderBy(F.col("__dist").asc(), F.col("__bid").asc())
+        # nulls/NaN LAST: zero-magnitude cosine yields NULL (policy) and plain
+        # asc would rank NULLs first, polluting every top-k with zero vectors
+        w = Window.partitionBy("__qid").orderBy(
+            F.col("__dist").asc_nulls_last(), F.col("__bid").asc()
+        )
         return pairs.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= k)
 
     if block_partitions <= 1:
@@ -85,6 +108,92 @@ def exact_knn(
             F.col("__qid").alias("ordinal"),
             F.transform("__nn", lambda s: s["__bid"]).alias("indices"),
             F.transform("__nn", lambda s: s["__dist"]).alias("distances"),
+        )
+    )
+
+
+def _exact_knn_gemm(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int,
+    metric: str,
+    query_ordinal: str,
+    base_ordinal: str,
+    query_vec: str,
+    base_vec: str,
+) -> DataFrame:
+    """BLAS path: the query block (small side by construction) is collected
+    to a numpy matrix and broadcast; each Arrow batch of the base table
+    computes a (batch x Q) distance matrix with one GEMM and keeps its local
+    top-k per query (argpartition). The final merge reduces Q*k*n_batches
+    candidate rows — a tiny shuffle — with the same (dist, ordinal)
+    tie-break as the expr path."""
+    spark = base.sparkSession
+    qrows = queries.select(query_ordinal, query_vec).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], f"ordinal BIGINT, indices ARRAY<BIGINT>, distances ARRAY<DOUBLE>"
+        )
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((qids, qmat))
+    metric_key = metric.strip().lower()
+
+    def partial_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids, Q = bc.value
+        qn = np.linalg.norm(Q, axis=1)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            bids = pdf[base_ordinal].to_numpy(dtype=np.int64)
+            B = np.array(list(pdf[base_vec]), dtype=np.float64)
+            if metric_key in ("cosine",):
+                bn = np.linalg.norm(B, axis=1)
+                denom = np.outer(bn, qn)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    D = 1.0 - (B @ Q.T) / denom
+                D[denom == 0] = np.nan  # zero-magnitude -> NULL policy
+            elif metric_key in ("euclidean", "l2"):
+                D = np.sqrt(
+                    np.maximum(
+                        (B * B).sum(1)[:, None] - 2.0 * (B @ Q.T) + (Q * Q).sum(1)[None, :],
+                        0.0,
+                    )
+                )
+            elif metric_key in ("dot_product",):
+                D = -(B @ Q.T)
+            elif metric_key in ("manhattan", "l1"):
+                D = np.abs(B[:, None, :] - Q[None, :, :]).sum(axis=2)
+            else:
+                raise ValueError(f"unknown metric {metric!r}")
+            kk = min(k, len(bids))
+            idx = np.argpartition(D, kk - 1, axis=0)[:kk]  # (kk, Q)
+            rows = {
+                "__qid": np.repeat(q_ids, kk),
+                "__bid": bids[idx.T.ravel()],
+                "__dist": np.take_along_axis(D, idx, axis=0).T.ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    partials = base.select(base_ordinal, base_vec).mapInPandas(
+        partial_topk, "__qid BIGINT, __bid BIGINT, __dist DOUBLE"
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("__dist").asc_nulls_last(), F.col("__bid").asc()
+    )
+    topk = partials.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= k)
+    return (
+        topk.groupBy("__qid")
+        .agg(F.array_sort(F.collect_list(F.struct("__rn", "__bid", "__dist"))).alias("__nn"))
+        .select(
+            F.col("__qid").alias("ordinal"),
+            F.transform("__nn", lambda s: s["__bid"]).alias("indices"),
+            # NaN (numpy's zero-magnitude marker) -> NULL, matching the expr
+            # path's cosine policy
+            F.transform(
+                "__nn",
+                lambda s: F.when(F.isnan(s["__dist"]), F.lit(None)).otherwise(s["__dist"]),
+            ).alias("distances"),
         )
     )
 
@@ -155,6 +264,7 @@ def verify_knn(
     metric: str = "cosine",
     sample_size: int = 100,
     seed: int = 42,
+    impl: str = "expr",
 ) -> DataFrame:
     """End-to-end verify_knn: sample queries deterministically, recompute KNN,
     compare to the stored answer key (03-cli-reference.md:201-218 defaults:
@@ -166,5 +276,5 @@ def verify_knn(
         .limit(sample_size)
         .drop("__h")
     )
-    computed = exact_knn(sampled, base, k, metric)
+    computed = exact_knn(sampled, base, k, metric, impl=impl)
     return knn_recall(computed, truth, k)

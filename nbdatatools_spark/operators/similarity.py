@@ -109,7 +109,9 @@ def lsh_topk(
         "bid",
         distance_expr("cosine", F.col("qvec"), F.col("bvec")).alias("distance"),
     )
-    w = Window.partitionBy("qid").orderBy(F.col("distance").asc(), F.col("bid").asc())
+    w = Window.partitionBy("qid").orderBy(
+        F.col("distance").asc_nulls_last(), F.col("bid").asc()
+    )
     return (
         pairs.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
@@ -187,7 +189,9 @@ def ivf_topk(
         "bid",
         distance_expr("cosine", F.col("qvec"), F.col("bvec")).alias("distance"),
     )
-    w = Window.partitionBy("qid").orderBy(F.col("distance").asc(), F.col("bid").asc())
+    w = Window.partitionBy("qid").orderBy(
+        F.col("distance").asc_nulls_last(), F.col("bid").asc()
+    )
     return (
         pairs.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)

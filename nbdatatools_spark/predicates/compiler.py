@@ -72,9 +72,12 @@ def compile_pnode(
 
     ``columns`` resolves positional field indices (P6); ``two_valued`` wraps
     the result in coalesce(expr, false) so null propagation matches the
-    reference's boolean evaluator. (For pure WHERE filtering the wrap is a
-    no-op observably — Spark drops null rows — but it makes the Column safe in
-    SELECT/CASE contexts too.)
+    reference's boolean evaluator in SELECT/CASE contexts.
+
+    PERF: for WHERE filtering pass ``two_valued=False`` (or use
+    ``where_pnode``): observable semantics are identical (Spark drops
+    null-result rows), but the coalesce wrapper BLOCKS parquet predicate
+    pushdown — measured as ``PushedFilters: []`` vs pushed comparisons.
     """
     if columns is not None:
         node = node.resolve(columns)
@@ -95,14 +98,15 @@ def compile_pnode(
     return F.coalesce(out, F.lit(False)) if two_valued else out
 
 
+def where_pnode(df, node: PNode, columns: list[str] | None = None):
+    """Filter a DataFrame by a PNode with pushdown-friendly compilation."""
+    return df.where(compile_pnode(node, columns or df.columns, two_valued=False))
+
+
 def result_indices(
     meta_df, node: PNode, ordinal: str = "ordinal", columns: list[str] | None = None
 ):
     """P8: the matching-ordinal set for one predicate, ascending — the
     hybrid-query ground-truth facet (specs/ordinal_predicate_writers_v1.md:
     24-33). Returns DataFrame (ordinal) sorted."""
-    return (
-        meta_df.where(compile_pnode(node, columns or meta_df.columns))
-        .select(ordinal)
-        .orderBy(ordinal)
-    )
+    return where_pnode(meta_df, node, columns).select(ordinal).orderBy(ordinal)

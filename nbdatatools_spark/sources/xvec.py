@@ -34,6 +34,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 
 XVEC_FORMATS = {
@@ -122,55 +123,90 @@ def read_xvec(
     plan = spark.createDataFrame(
         chunks,
         "path STRING, byte_start BIGINT, n_records INT, start_ordinal BIGINT, dim INT, stride INT",
-    ).repartition(max(len(chunks) // 4, 1))
+    ).repartition(len(chunks))
 
     widen = {"<u1": "<i2", "<f2": "<f4"}.get(np_dtype)
+    arrow_elem = {
+        "float": pa.float32(),
+        "int": pa.int32(),
+        "short": pa.int16(),
+        "double": pa.float64(),
+    }[spark_elem]
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for row in pdf.itertuples(index=False):
-                with open(row.path, "rb") as f:
-                    f.seek(row.byte_start)
-                    raw = f.read(row.n_records * row.stride)
-                mat = np.frombuffer(raw, dtype=np.uint8).reshape(row.n_records, row.stride)
+    def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # mapInArrow + ListArray.from_arrays: zero per-row Python objects —
+        # the whole chunk converts as two flat buffers
+        for batch in batches:
+            for row in batch.to_pylist():
+                with open(row["path"], "rb") as f:
+                    f.seek(row["byte_start"])
+                    raw = f.read(row["n_records"] * row["stride"])
+                n = row["n_records"]
+                mat = np.frombuffer(raw, dtype=np.uint8).reshape(n, row["stride"])
                 headers = mat[:, :4].copy().view("<i4").ravel()
-                if validate_dims and not (headers == row.dim).all():
-                    bad = int(headers[headers != row.dim][0])
+                if validate_dims and not (headers == row["dim"]).all():
+                    bad = int(headers[headers != row["dim"]][0])
                     raise ValueError(
-                        f"{row.path}: record header dim {bad} != file dim {row.dim}"
+                        f"{row['path']}: record header dim {bad} != file dim {row['dim']}"
                     )
                 body = mat[:, 4:].copy().view(np_dtype)
                 if widen:
                     body = body.astype(widen)
-                yield pd.DataFrame(
-                    {
-                        "ordinal": np.arange(
-                            row.start_ordinal, row.start_ordinal + row.n_records
-                        ),
-                        "vector": list(body),
-                    }
+                dim = row["dim"]
+                offsets = pa.array(
+                    np.arange(0, (n + 1) * dim, dim, dtype=np.int32), type=pa.int32()
+                )
+                values = pa.Array.from_pandas(body.ravel(), type=arrow_elem)
+                vectors = pa.ListArray.from_arrays(offsets, values)
+                ordinals = pa.array(
+                    np.arange(row["start_ordinal"], row["start_ordinal"] + n),
+                    type=pa.int64(),
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [ordinals, vectors], ["ordinal", "vector"]
                 )
 
-    return plan.mapInPandas(decode, f"ordinal BIGINT, vector ARRAY<{spark_elem}>")
+    return plan.mapInArrow(decode, f"ordinal BIGINT, vector ARRAY<{spark_elem}>")
 
 
 def write_xvec(df: DataFrame, path: str, ordinal: str = "ordinal", vec: str = "vector") -> int:
     """Export a vector DataFrame to ONE xvec file in ordinal order.
 
-    Streams sorted partitions through the driver (toLocalIterator — bounded
-    memory); rows are encoded with numpy per partition-batch. Reference
-    writer shape: FvecVectorWriter.java:123 (+siblings). Returns record count.
+    Driver-side export utility (single file is inherently driver-bound;
+    cluster egress uses write_xvec_shards). Collects via Arrow — the vector
+    column arrives as flat buffers, and header interleaving is one vectorized
+    numpy pass per record-batch, no per-row Python. Reference writer shape:
+    FvecVectorWriter.java:123 (+siblings). Returns record count.
     """
     np_dtype, cbytes, _ = xvec_dtype(path)
-    narrow = {"<i2": np_dtype, "<f4": np_dtype}  # widened types narrow back on write
     n = 0
     sorted_df = df.select(ordinal, vec).sort(ordinal)
+    tbl = sorted_df.toArrow()
     with open(path, "wb") as out:
-        for row in sorted_df.toLocalIterator(prefetchPartitions=True):
-            v = np.asarray(row[1], dtype=np_dtype)
-            out.write(struct.pack("<i", len(v)))
-            out.write(v.tobytes())
-            n += 1
+        for batch in tbl.to_batches():
+            col = batch.column(1)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            offsets = col.offsets.to_numpy()
+            lens = np.diff(offsets)
+            flat = col.values.to_numpy(zero_copy_only=False).astype(np_dtype)
+            if len(lens) == 0:
+                continue
+            if (lens == lens[0]).all():
+                dim = int(lens[0])
+                stride = 4 + dim * cbytes
+                nb = len(lens)
+                buf = np.empty((nb, stride), dtype=np.uint8)
+                buf[:, :4] = (
+                    np.full(nb, dim, dtype="<i4").view(np.uint8).reshape(nb, 4)
+                )
+                buf[:, 4:] = flat.reshape(nb, dim).view(np.uint8)
+                out.write(buf.tobytes())
+            else:  # ragged fallback (not valid xvec, but fail loudly later)
+                for i, ln in enumerate(lens):
+                    out.write(struct.pack("<i", int(ln)))
+                    out.write(flat[offsets[i] : offsets[i + 1]].tobytes())
+            n += len(lens)
     return n
 
 

@@ -64,6 +64,40 @@ def test_block_partitioned_equals_single(vecs):
     assert a == b
 
 
+def test_zero_vectors_never_rank_in_cosine_topk(spark):
+    """Regression: zero-magnitude cosine produces NULL/NaN distance; plain
+    asc ordering ranked NULLS FIRST and filled every top-k with zero vectors
+    (found at reference-scale: recall dropped to 0.0 with 1% injected
+    zeros)."""
+    rng = np.random.default_rng(2)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(50)]
+    rows += [(100 + i, [0.0] * 8) for i in range(10)]
+    df = spark.createDataFrame(rows, "ordinal BIGINT, vector ARRAY<FLOAT>")
+    q = df.where(F.col("ordinal") < 3)
+    for impl in ("expr", "gemm"):
+        nn = exact_knn(q, df, k=5, metric="cosine", impl=impl).collect()
+        for r in nn:
+            assert all(i < 100 for i in r["indices"]), f"{impl}: zero vec in top-k"
+            assert all(d is not None for d in r["distances"]), impl
+
+
+def test_gemm_impl_matches_expr(vecs):
+    """BLAS kernel returns the same neighbors/order as the Catalyst path for
+    every metric."""
+    df, _ = vecs
+    q = df.where(F.col("ordinal") < 8)
+    for metric in ("cosine", "euclidean", "dot_product", "manhattan"):
+        a = {
+            r["ordinal"]: list(r["indices"])
+            for r in exact_knn(q, df, K, metric, impl="expr").collect()
+        }
+        b = {
+            r["ordinal"]: list(r["indices"])
+            for r in exact_knn(q, df, K, metric, impl="gemm").collect()
+        }
+        assert a == b, f"gemm != expr for {metric}"
+
+
 def test_verify_knn_sampled(vecs):
     df, _ = vecs
     truth = exact_knn(df, df, K, "cosine").cache()

@@ -1,0 +1,80 @@
+"""Physical-plan assertions: pushdown reaches the scan, joins broadcast,
+codegen engages — the 100TB posture checks (SURVEY 'Optimize for scale')."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from nbdatatools_spark.predicates import compile_pnode, parse_pnode
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pnode_filter_pushes_down(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    node = parse_pnode(
+        '{"op":"AND","nodes":[{"fieldName":"o_totalprice","op":"GT","values":[50000.0]},'
+        '{"fieldName":"o_totalprice","op":"LT","values":[60000.0]}]}'
+    )
+    plan = _plan(orders.where(compile_pnode(node, two_valued=False)))
+    assert "GreaterThan(o_totalprice,50000.0)" in plan
+    assert "LessThan(o_totalprice,60000.0)" in plan
+
+
+def test_two_valued_blocks_pushdown_documented(spark, sf_dir):
+    """The coalesce wrap (two_valued=True) cannot push — this pins the
+    behavior the PERF note in compiler.py warns about."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    node = parse_pnode('{"fieldName":"o_totalprice","op":"GT","values":[50000.0]}')
+    plan = _plan(orders.where(compile_pnode(node, two_valued=True)))
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan).group(1)
+    assert "GreaterThan" not in pushed
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plan = _plan(li.select("l_orderkey", "l_quantity"))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "l_orderkey",
+        "l_quantity",
+    }
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    plan = _plan(li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_knn_uses_broadcast_not_shuffle(spark, embeddings):
+    from nbdatatools_spark.operators.knn import exact_knn
+
+    q = embeddings.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("ordinal"), F.col("embedding").alias("vector")
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("ordinal"), F.col("embedding").alias("vector")
+    )
+    plan = _plan(exact_knn(q, b, k=3))
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast side = queries
+    assert "CartesianProduct" not in plan
+
+
+def test_window_slice_pushes_ordinal_range(spark, embeddings):
+    from nbdatatools_spark.operators.windows import window_slice
+
+    plan = _plan(window_slice(embeddings, "10..20", ordinal="vec_id"))
+    assert "GreaterThanOrEqual(vec_id,10)" in plan and "LessThan(vec_id,20)" in plan
+
+
+def test_codegen_engages(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    agg.collect()
+    assert "*(" in _plan(agg)  # WholeStageCodegen star markers
