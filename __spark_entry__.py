@@ -332,10 +332,15 @@ def knn_euclidean_topk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def doc_exact_dedup(spark, sf_dir):
+    """Exact dedup survivors. groupBy(min) instead of a ranking window: a
+    hash aggregate with map-side partial beats shuffle+sort when only the
+    survivor id is needed (the row-preserving form lives in
+    operators.dedup.exact_dedup)."""
     docs = _t(spark, sf_dir, "documents")
     return (
-        exact_dedup(docs)
-        .select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+        docs.groupBy(doc_fingerprint(F.col("text")).alias("fingerprint"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "fingerprint")
         .orderBy("doc_id")
     )
 
@@ -882,11 +887,8 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rn <= 5
         """,
         "doc_exact_dedup": f"""
-            SELECT doc_id, md5({_NORM}) AS fingerprint FROM (
-                SELECT doc_id, text,
-                       row_number() OVER (PARTITION BY md5({_NORM}) ORDER BY doc_id ASC) AS rn
-                FROM documents) t
-            WHERE rn = 1 ORDER BY doc_id
+            SELECT min(doc_id) AS doc_id, md5({_NORM}) AS fingerprint
+            FROM documents GROUP BY 2 ORDER BY doc_id
         """,
         "doc_dup_fingerprints": f"""
             SELECT md5({_NORM}) AS fingerprint, count(*) AS n, min(doc_id) AS survivor_id

@@ -138,6 +138,76 @@ def _erf(x):
     return sign * (1.0 - poly * F.exp(-ax * ax))
 
 
+def ks_statistics(df: DataFrame, vec: str = "vector") -> DataFrame:
+    """Per-dimension K-S statistics against fitted candidates in ONE pass
+    over the exploded data: normal(mu, sigma) and uniform(min, max).
+
+    Returns (dim, ks_normal, ks_uniform). Candidate params fit per dim from
+    the same scan (broadcast back); empirical CDF via cume_dist. Extend by
+    adding a theoretical-CDF expression per candidate — the join/agg shape
+    stays identical.
+    """
+    ecdf = empirical_cdf(df, vec)
+    stats = (
+        df.select(F.posexplode(vec).alias("dim", "value"))
+        .groupBy("dim")
+        .agg(
+            F.avg("value").alias("mu"),
+            F.stddev_pop("value").alias("sigma"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+    joined = ecdf.join(F.broadcast(stats), "dim")
+    z = (F.col("value") - F.col("mu")) / (F.col("sigma") * math.sqrt(2.0))
+    cdf_norm = 0.5 * (1.0 + _erf(z))
+    width = F.col("hi") - F.col("lo")
+    cdf_unif = F.when(width > 0, (F.col("value") - F.col("lo")) / width).otherwise(0.5)
+    return (
+        joined.select(
+            "dim",
+            F.abs(F.col("cdf") - cdf_norm).alias("d_norm"),
+            F.abs(F.col("cdf") - cdf_unif).alias("d_unif"),
+        )
+        .groupBy("dim")
+        .agg(
+            F.max("d_norm").alias("ks_normal"),
+            F.max("d_unif").alias("ks_uniform"),
+        )
+    )
+
+
+# K-S acceptance thresholds (docs/user_manual/verification/
+# 06_model_fitting.md: 0.03 strong fit, 0.10 acceptable)
+KS_STRONG = 0.03
+KS_ACCEPTABLE = 0.10
+
+
+def fit_distributions(df: DataFrame, vec: str = "vector") -> DataFrame:
+    """Model-extraction selection step (06_model_fitting.md:1-60): per
+    dimension, pick the candidate with the lowest K-S statistic; grade the
+    fit strong/acceptable/empirical (the reference's empirical fallback when
+    nothing clears 0.10)."""
+    ks = ks_statistics(df, vec)
+    best_stat = F.least("ks_normal", "ks_uniform")
+    best_name = F.when(F.col("ks_normal") <= F.col("ks_uniform"), "normal").otherwise(
+        "uniform"
+    )
+    grade = (
+        F.when(best_stat <= KS_STRONG, "strong")
+        .when(best_stat <= KS_ACCEPTABLE, "acceptable")
+        .otherwise("empirical")
+    )
+    return ks.select(
+        "dim",
+        "ks_normal",
+        "ks_uniform",
+        best_name.alias("best_fit"),
+        best_stat.alias("ks_stat"),
+        grade.alias("fit_grade"),
+    )
+
+
 def neighbor_invariants(
     indices_df: DataFrame,
     distances_df: DataFrame,

@@ -78,6 +78,27 @@ def test_ks_normal_on_gaussian_data(spark):
     assert all(r["ks_stat"] < 0.03 for r in ks)
 
 
+def test_fit_distribution_selection(spark):
+    """A4 selection: dim0 gaussian -> normal/strong; dim1 uniform ->
+    uniform best; pathological bimodal -> empirical fallback."""
+    rng = np.random.default_rng(5)
+    n = 3000
+    d0 = rng.normal(size=n)
+    d1 = rng.uniform(-1, 1, size=n)
+    d2 = np.concatenate([rng.normal(-8, 0.1, n // 2), rng.normal(8, 0.1, n - n // 2)])
+    mat = np.stack([d0, d1, d2], axis=1).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(n)],
+        "ordinal BIGINT, vector ARRAY<FLOAT>",
+    )
+    from nbdatatools_spark.operators.analysis import fit_distributions
+
+    fits = {r["dim"]: r for r in fit_distributions(df).collect()}
+    assert fits[0]["best_fit"] == "normal" and fits[0]["fit_grade"] == "strong"
+    assert fits[1]["best_fit"] == "uniform" and fits[1]["ks_uniform"] < 0.03
+    assert fits[2]["fit_grade"] == "empirical"
+
+
 def test_ks_detects_uniform(spark):
     rng = np.random.default_rng(12)
     mat = rng.uniform(-1, 1, size=(2000, 1)).astype(np.float32)

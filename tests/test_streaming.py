@@ -53,6 +53,39 @@ def test_stream_tumbling_equals_batch(spark, events_dir, tmp_path):
     assert got == expected
 
 
+def test_stateful_running_user_stats(spark, events_dir, tmp_path):
+    """applyInPandasWithState custom operator: final per-user state after
+    draining the stream equals the batch aggregate."""
+    from nbdatatools_spark.streaming.stateful import running_user_stats
+
+    batch = spark.read.parquet(events_dir).where(F.col("user_id") <= 10)
+    expected = {
+        (r["user_id"], r["n"]): round(r["s"], 6)
+        for r in batch.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+
+    stream = stream_events(spark, events_dir).where(F.col("user_id") <= 10)
+    out = running_user_stats(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("userstate")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last emitted row per user = final state
+    rows = spark.sql(
+        "SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id "
+        "ORDER BY n_events DESC) rn FROM userstate) WHERE rn = 1"
+    ).collect()
+    got = {(r["user_id"], r["n_events"]): round(r["sum_value"], 6) for r in rows}
+    assert got == expected
+
+
 def test_sessionize_batch_invariants(spark, events_dir):
     ev = spark.read.parquet(events_dir).where(F.col("user_id") <= 20)
     sess = sessionize(ev, gap="30 minutes").cache()
