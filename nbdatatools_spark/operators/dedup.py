@@ -111,14 +111,22 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_size: int = 5,
+    max_bucket: int = 2000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded LSH.
 
     Signature split into ``bands`` rows of ``num_hashes/bands``; documents
     sharing any band hash collide. Shuffle key = (band, band_hash): uniform.
     The self-join is bucket-to-bucket (equi-join on the band hash), never a
-    cross join; giant buckets (degenerate content) are capped via a per-bucket
-    limit to bound worst-case blowup.
+    cross join.
+
+    ``max_bucket`` bounds worst-case blowup: a bucket of n docs emits
+    n(n-1)/2 pairs, so one degenerate bucket (boilerplate, empty docs) can
+    dominate the whole job at corpus scale. Buckets larger than the cap are
+    dropped from THIS band — truly near-identical documents still collide in
+    their other bands, and exact-dup handling belongs to exact_dedup anyway.
+    The cap costs one extra aggregation on the (band, band_hash) key —
+    map-side combinable, no extra pass over the text.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
@@ -141,7 +149,14 @@ def minhash_lsh_candidates(
                 ]
             )
         ).alias("band", "band_hash"),
-    )
+    ).persist()
+    if max_bucket:
+        sizes = banded.groupBy("band", "band_hash").agg(F.count("*").alias("__n"))
+        banded = banded.join(
+            sizes.where(F.col("__n") <= max_bucket).drop("__n"),
+            ["band", "band_hash"],
+            "left_semi",
+        )
     a = banded.alias("a")
     bb = banded.alias("b")
     return (

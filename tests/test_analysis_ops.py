@@ -152,6 +152,17 @@ def test_exact_dedup_survivor(spark):
     assert out == [1, 3]  # normalization folds case/whitespace; min id survives
 
 
+def test_minhash_bucket_cap(spark):
+    """Degenerate buckets (e.g. boilerplate-identical docs) are dropped when
+    they exceed max_bucket — the n^2 blowup guard."""
+    docs = [(i, "identical boilerplate text repeated " * 10) for i in range(12)]
+    df = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+    capped = minhash_lsh_candidates(df, num_hashes=16, bands=4, max_bucket=5)
+    assert capped.count() == 0
+    uncapped = minhash_lsh_candidates(df, num_hashes=16, bands=4, max_bucket=0)
+    assert uncapped.count() == 12 * 11 // 2
+
+
 def test_minhash_finds_near_dups(spark):
     base = "the quick brown fox jumps over the lazy dog " * 8
     near = base.replace("lazy", "sleepy")
