@@ -48,10 +48,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
-    # warm the JVM/codegen path once on the smallest table so per-query
-    # timings measure the plan, not first-call JIT (reference practice:
-    # JITMaturityGuard.java:59-75).
+    # warm the JVM/codegen path AND the Arrow/Python worker pool once so
+    # per-query timings measure the plan, not first-call JIT or worker
+    # fork+import (reference practice: JITMaturityGuard.java:59-75).
     qs["agg_priority_count"](spark, sf_dir).count()
+    from pyspark.sql import functions as F
+
+    warm_udf = F.pandas_udf(lambda s: s, "long")
+    spark.range(32).repartition(32).select(warm_udf("id")).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
