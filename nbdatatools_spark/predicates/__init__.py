@@ -5,4 +5,14 @@ from nbdatatools_spark.predicates.pnode import (  # noqa: F401
     parse_pnode,
 )
 from nbdatatools_spark.predicates.compiler import compile_pnode  # noqa: F401
-from nbdatatools_spark.predicates.sqlcodec import render_sql  # noqa: F401
+from nbdatatools_spark.predicates.sqlcodec import (  # noqa: F401
+    render_cddl,
+    render_cql,
+    render_sql,
+)
+from nbdatatools_spark.predicates.wire import (  # noqa: F401
+    decode_framed,
+    decode_pnode,
+    encode_framed,
+    encode_pnode,
+)

@@ -1,6 +1,6 @@
-"""PNode -> SQL WHERE-fragment renderer (P7 in SURVEY §2.2).
+"""PNode -> SQL / CQL / CDDL render codecs (P7 in SURVEY §2.2).
 
-Two dialects:
+SQL has two dialects:
 
 - ``reference``: byte-conformant with the reference's PNodeSqlCodec
   (PNodeSqlCodec.java:44-129): ``F0 > 42``, ``name IN ('a', 'b')``,
@@ -56,3 +56,74 @@ def render_sql(node: PNode, dialect: str = "reference") -> str:
         # semantic dialect: EQ NULL == IS NULL; other ops never match
         return f"{ref} IS NULL" if op == "EQ" else "FALSE"
     return f"{ref} {_SQL_OP[op]} {_render_value(first)}"
+
+
+def render_cql(node: PNode) -> str:
+    """CQL WHERE-fragment renderer, conformant with the reference's
+    PNodeCqlCodec (PNodeCqlCodec.java:48-113): conjugates join children
+    with the bare op and NO parenthesized grouping (CQL has no OR/paren
+    grouping); MATCHES is not a CQL keyword and renders as
+    ``field /* MATCHES */ 'pattern'`` with the raw pattern unescaped;
+    comparands otherwise use SQL literal quoting."""
+    if isinstance(node, Conjugate):
+        sep = f" {node.op} "
+        return sep.join(render_cql(c) for c in node.nodes)
+    assert isinstance(node, PredicateLeaf)
+    ref = _field_ref(node)
+    if node.op == "IN":
+        return f"{ref} IN ({', '.join(_render_value(v) for v in node.values)})"
+    if node.op == "MATCHES":
+        raw = node.values[0] if node.values else ""
+        return f"{ref} /* MATCHES */ '{raw}'"
+    return f"{ref} {_SQL_OP[node.op]} {_render_value(node.values[0])}"
+
+
+def _cddl_type(v) -> str:
+    """CDDL type keyword of the first comparand (PNodeCddlCodec.java:81-92);
+    bool precedes int — Python bools are ints."""
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    if isinstance(v, str):
+        return "tstr"
+    if isinstance(v, (bytes, bytearray)):
+        return "bstr"
+    if v is None:
+        return "null"
+    return "int"
+
+
+def _cddl_value(v) -> str:
+    """CDDL literal (PNodeCddlCodec.java:120-128): double-quoted text with
+    escaped quotes, lowercase booleans, bare numbers, h'...' bytes."""
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        return '"' + v.replace('"', '\\"') + '"'
+    if isinstance(v, (bytes, bytearray)):
+        return "h'...'"
+    return str(v)
+
+
+_CDDL_OP = dict(_SQL_OP, IN="IN", MATCHES="MATCHES")
+
+
+def render_cddl(node: PNode) -> str:
+    """CDDL-style renderer, conformant with the reference's PNodeCddlCodec
+    (PNodeCddlCodec.java:47-117): conjugates as ``AND { a, b }``, leaves as
+    ``field: <type> <op> <value|[values]>``."""
+    if isinstance(node, Conjugate):
+        return f"{node.op} {{ " + ", ".join(render_cddl(c) for c in node.nodes) + " }"
+    assert isinstance(node, PredicateLeaf)
+    first = node.values[0] if node.values else 0
+    vals = (
+        _cddl_value(node.values[0])
+        if len(node.values) == 1
+        else "[" + ", ".join(_cddl_value(v) for v in node.values) + "]"
+    )
+    return f"{_field_ref(node)}: {_cddl_type(first)} {_CDDL_OP[node.op]} {vals}"
