@@ -619,6 +619,16 @@ def ks_normal_embeddings(spark, sf_dir):
     return ks_statistic_normal(emb).orderBy("dim")
 
 
+def fit_embeddings_model(spark, sf_dir):
+    """Full A4 model-extraction pipeline: 7 parametric candidates +
+    composite/multimodal + empirical fallback, K-S selected (rows-only:
+    the EM/special-function selection is not SQL-expressible)."""
+    from nbdatatools_spark.operators.fitting import fit_model
+
+    emb = _t(spark, sf_dir, "embeddings").select(F.col("embedding").alias("vector"))
+    return fit_model(emb, sketch_size=256)
+
+
 def knn_self_recall(spark, sf_dir):
     """verify_knn invariant: recall of exact KNN vs itself == 1.0."""
     emb = _t(spark, sf_dir, "embeddings").select(
@@ -686,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_candidate_pairs": minhash_candidate_pairs,
         "simhash_pairs": simhash_pairs,
         "ks_normal_embeddings": ks_normal_embeddings,
+        "fit_embeddings_model": fit_embeddings_model,
         "knn_self_recall": knn_self_recall,
     }
 
