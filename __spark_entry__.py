@@ -26,6 +26,7 @@ from nbdatatools_spark.functions.text import (
 )
 from nbdatatools_spark.operators.analysis import describe, dim_moments, ks_statistic_normal
 from nbdatatools_spark.operators.dedup import (
+    embedding_near_dups,
     exact_dedup,
     minhash_lsh_candidates,
     simhash_near_dups,
@@ -614,6 +615,16 @@ def simhash_pairs(spark, sf_dir):
     return simhash_near_dups(docs, max_hamming=8, shingle_size=4)
 
 
+def embedding_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup, exact method on a subset (the LSH-blocked
+    scale path is exercised in tests; exact here so DuckDB can oracle it)."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    pairs = embedding_near_dups(emb, threshold=0.3, method="exact")
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim")
+    ).orderBy("id_a", "id_b")
+
+
 def ks_normal_embeddings(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select(F.col("embedding").alias("vector"))
     return ks_statistic_normal(emb).orderBy("dim")
@@ -691,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_price_histogram": part_price_histogram,
         "supplier_balance_rank": supplier_balance_rank,
         "orders_running_total": orders_running_total,
+        "embedding_near_dup_pairs": embedding_near_dup_pairs,
         # rows-only (approximate / non-SQL-expressible)
         "ann_lsh_topk": ann_lsh_topk,
         "minhash_candidate_pairs": minhash_candidate_pairs,
@@ -879,6 +891,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT qid AS query_id, CAST(rn AS INT) AS rank, bid AS base_id,
                    round(dist, 6) AS distance
             FROM ranked WHERE rn <= 10
+        """,
+        "embedding_near_dup_pairs": """
+            WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings WHERE vec_id < 300)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_inner_product(a.e, b.e)
+                         / (sqrt(list_inner_product(a.e, a.e))
+                            * sqrt(list_inner_product(b.e, b.e))), 6) AS cosine_sim
+            FROM s a JOIN s b ON a.vec_id < b.vec_id
+            WHERE list_inner_product(a.e, b.e)
+                  / (sqrt(list_inner_product(a.e, a.e))
+                     * sqrt(list_inner_product(b.e, b.e))) >= 0.3
+            ORDER BY id_a, id_b
         """,
         "knn_euclidean_topk": """
             WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 10),

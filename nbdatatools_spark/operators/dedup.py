@@ -296,6 +296,85 @@ def minhash_dedup(
     return df.join(dupes, id_col, "left_anti")
 
 
+# --- embedding-cosine near-dup -------------------------------------------
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    method: str = "lsh",
+    dim: int | None = None,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, cosine_sim) with cosine similarity
+    >= threshold — the embedding analogue of MinHash text dedup (SURVEY
+    §7.8).
+
+    ``method="exact"``: all-pairs self-join (id_a < id_b is a non-equi
+    condition, so Catalyst plans a broadcast nested-loop — only for
+    subsets / oracle checks).
+
+    ``method="lsh"`` (scale path): block on ``n_tables`` independent
+    random-hyperplane signatures — an equi-join per table on the signature
+    key, unioned and de-duplicated, then the exact cosine filter. Two
+    near-identical embeddings agree on every hyperplane with probability
+    1 - theta/pi per bit, so multi-table signature equality has high
+    recall at high thresholds while the join stays hash-partitioned; no
+    cross join exists anywhere in the plan.
+    """
+    from nbdatatools_spark.functions.distance import distance_expr
+    from nbdatatools_spark.operators.similarity import random_hyperplane_signature
+
+    sim = (1.0 - distance_expr("cosine", F.col("__va"), F.col("__vb"))).alias(
+        "cosine_sim"
+    )
+    if method == "exact":
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        if dim is None:
+            raise ValueError("method='lsh' requires the embedding dimension (dim=)")
+        sigs = [
+            df.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).alias("__v"),
+                random_hyperplane_signature(
+                    F.col(vec_col), dim=dim, n_bits=n_bits, seed=seed + 7919 * t
+                ).alias("__sig"),
+            )
+            for t in range(n_tables)
+        ]
+        from functools import reduce
+
+        def table_pairs(s: DataFrame) -> DataFrame:
+            a = s.select(
+                F.col("id").alias("id_a"),
+                F.col("__v").alias("__va"),
+                F.col("__sig").alias("__siga"),
+            )
+            b = s.select(
+                F.col("id").alias("id_b"),
+                F.col("__v").alias("__vb"),
+                F.col("__sig").alias("__sigb"),
+            )
+            return a.join(
+                b,
+                (F.col("__siga") == F.col("__sigb")) & (F.col("id_a") < F.col("id_b")),
+            ).select("id_a", "id_b", "__va", "__vb")
+
+        pairs = reduce(
+            DataFrame.unionByName, (table_pairs(s) for s in sigs)
+        ).dropDuplicates(["id_a", "id_b"])
+    return (
+        pairs.select("id_a", "id_b", sim)
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
 # --- SimHash --------------------------------------------------------------
 
 def simhash(

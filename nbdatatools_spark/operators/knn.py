@@ -163,7 +163,15 @@ def _exact_knn_gemm(
             elif metric_key in ("dot_product",):
                 D = -(B @ Q.T)
             elif metric_key in ("manhattan", "l1"):
-                D = np.abs(B[:, None, :] - Q[None, :, :]).sum(axis=2)
+                # L1 has no GEMM form; chunk the query axis so the (batch,
+                # q_chunk, dim) intermediate stays ~128MB regardless of
+                # batch size (the full tensor is batch*Q*dim*8B — tens of
+                # GB at production batch shapes)
+                q_chunk = max(1, int(16e6 // max(B.shape[0] * B.shape[1], 1)))
+                D = np.empty((B.shape[0], Q.shape[0]), dtype=np.float64)
+                for s in range(0, Q.shape[0], q_chunk):
+                    e = min(s + q_chunk, Q.shape[0])
+                    D[:, s:e] = np.abs(B[:, None, :] - Q[None, s:e, :]).sum(axis=2)
             else:
                 raise ValueError(f"unknown metric {metric!r}")
             kk = min(k, len(bids))

@@ -163,6 +163,38 @@ def test_minhash_bucket_cap(spark):
     assert uncapped.count() == 12 * 11 // 2
 
 
+def test_embedding_near_dups_lsh_matches_exact_at_high_threshold(spark):
+    """LSH-blocked near-dup must find the same high-similarity pairs as the
+    exact all-pairs method (hyperplane agreement probability -> 1 as
+    cosine_sim -> 1)."""
+    import numpy as np
+
+    from nbdatatools_spark.operators.dedup import embedding_near_dups
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # a near-duplicate of each: tiny perturbation
+        rows.append((100 + i, [float(x) for x in v + rng.normal(0, 0.01, 16)]))
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(df, threshold=0.999, method="exact").collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(
+            df, threshold=0.999, method="lsh", dim=16, n_bits=8, n_tables=6
+        ).collect()
+    }
+    assert exact, "fixture must contain near-dup pairs"
+    assert lsh <= exact  # LSH never invents pairs (exact filter applied)
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall} too low: {exact - lsh}"
+
+
 def test_minhash_finds_near_dups(spark):
     base = "the quick brown fox jumps over the lazy dog " * 8
     near = base.replace("lazy", "sleepy")
