@@ -136,6 +136,83 @@ def q5_region_revenue(spark, sf_dir):
     )
 
 
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: revenue lost to returned items per customer —
+    lineitem(R) ⋈ broadcast(orders window) ⋈ broadcast(customer ⋈ nation);
+    one shuffle on the groupBy key."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(_dec2("l_extendedprice") * (1 - _dec2("l_discount")))
+            .cast("decimal(18,4)")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share — conditional DECIMAL aggregate
+    over lineitem ⋈ broadcast(part)."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-02-01")
+    )
+    disc = _dec2("l_extendedprice") * (1 - _dec2("l_discount"))
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return joined.agg(
+        F.round(
+            (
+                F.sum(
+                    F.when(F.col("p_type") == "PROMO", disc).otherwise(
+                        F.lit(0).cast("decimal(12,4)")
+                    )
+                ).cast("double")
+                * 100.0
+                / F.sum(disc).cast("double")
+            ),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: customers with orders above a quantity threshold —
+    groupBy-HAVING on lineitem, semi-joined back then re-aggregated."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec2("l_quantity")).alias("__qty"))
+        .where(F.col("__qty") > 250)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            _dec2("o_totalprice").alias("o_totalprice"),
+            F.col("__qty").cast("decimal(18,2)").alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(50)
+    )
+
+
 def agg_priority_count(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return (
@@ -664,6 +741,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_region_revenue": q5_region_revenue,
+        "q10_returned_items": q10_returned_items,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q18_large_orders": q18_large_orders,
         "agg_priority_count": agg_priority_count,
         "pnode_range_filter": pnode_range_filter,
         "pnode_in_filter": pnode_in_filter,
@@ -785,6 +865,49 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_orderdate >= TIMESTAMP '1997-01-01'
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, n_name,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1997-04-01'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "q14_promo_revenue": """
+            SELECT round(
+                     CAST(sum(CASE WHEN p_type = 'PROMO'
+                              THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                                   * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                              ELSE CAST(0 AS DECIMAL(12,4)) END) AS DOUBLE) * 100.0
+                     / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                                * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE),
+                     6) AS promo_revenue_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1997-02-01'
+        """,
+        "q18_large_orders": """
+            WITH big AS (
+                SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 250)
+            SELECT c_custkey, c_name, o_orderkey,
+                   CAST(o_orderdate AS DATE) AS o_orderdate,
+                   CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice,
+                   CAST(qty AS DECIMAL(18,2)) AS total_qty
+            FROM orders
+            JOIN big ON o_orderkey = big.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 50
         """,
         "pnode_range_filter": """
             SELECT o_orderkey, o_totalprice FROM orders

@@ -98,6 +98,27 @@ def sessionize(
     )
 
 
+def stream_dedup(
+    df: DataFrame,
+    keys: list | None = None,
+    ts: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state: keeps the first event per
+    key, dropping later duplicates that arrive within the watermark delay.
+
+    ``dropDuplicatesWithinWatermark`` expires per-key state once the
+    watermark passes — state size is bounded by (keys arriving within the
+    delay window), not by the full stream history, which is what makes
+    exact dedup feasible on an unbounded 100TB/day stream. On a batch
+    DataFrame this degrades to plain dropDuplicates for parity testing.
+    """
+    keys = keys or ["event_id"]
+    if not df.isStreaming:
+        return df.dropDuplicates(keys)
+    return df.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def stream_events(
     spark, path: str, schema=None, max_files_per_trigger: int | None = None
 ) -> DataFrame:

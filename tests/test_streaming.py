@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from nbdatatools_spark.streaming.events import (
     sessionize,
+    stream_dedup,
     stream_events,
     tumbling_window_agg,
 )
@@ -99,3 +100,34 @@ def test_sessionize_batch_invariants(spark, events_dir):
         by_user.setdefault(r["user_id"], []).append(r["session_id"])
     for sids in by_user.values():
         assert sorted(sids) == list(range(len(sids)))
+
+
+def test_stream_dedup_drops_watermark_window_duplicates(spark, events_dir, tmp_path):
+    """Duplicate events arriving within the watermark delay are dropped;
+    output matches batch dropDuplicates on event_id."""
+    src = spark.read.parquet(events_dir).where(F.col("user_id") <= 10)
+    dup_dir = str(tmp_path / "events_dup")
+    # two overlapping files: every event once, plus user<=5's events again
+    src.coalesce(1).write.parquet(dup_dir)
+    src.where(F.col("user_id") <= 5).coalesce(1).write.mode("append").parquet(dup_dir)
+
+    batch = spark.read.parquet(dup_dir)
+    n_all = batch.count()
+    expected = stream_dedup(batch).count()  # batch path: plain dropDuplicates
+    assert expected < n_all  # fixture really contains duplicates
+    assert expected == src.count()
+
+    stream = stream_events(spark, dup_dir)
+    deduped = stream_dedup(stream, keys=["event_id"], watermark="10 hours")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(DISTINCT event_id) c, count(*) n FROM dedup_stream").collect()[0]
+    assert got["n"] == expected
+    assert got["c"] == expected
