@@ -19,6 +19,7 @@ from nbdatatools_spark.functions.distance import l2_norm
 from nbdatatools_spark.functions.text import (
     STOPWORDS,
     doc_fingerprint,
+    normalize_text,
     punct_ratio,
     quality_score,
     stopword_ratio,
@@ -443,6 +444,29 @@ def doc_token_stats(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def doc_subword_tokens(spark, sf_dir):
+    """BPE-ish pre-token counts (GPT-2 pre-split regex, JVM-side)."""
+    from nbdatatools_spark.functions.text import subword_token_count
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id", subword_token_count(F.col("text")).alias("n_subword_tokens")
+    ).orderBy("doc_id")
+
+
+def doc_winnow_fingerprints(spark, sf_dir):
+    """Winnowing rolling-hash fingerprint cardinality per document
+    (rows-only: xxhash64 fingerprints have no DuckDB equivalent; the
+    algorithm is differentially tested against a Python reference)."""
+    from nbdatatools_spark.functions.text import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select("doc_id", "text")
+    fp = winnow_fingerprints(docs)
+    return fp.select(
+        "doc_id", F.size("fingerprints").alias("n_fingerprints")
+    ).orderBy("doc_id")
+
+
 def doc_quality(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     return docs.select(
@@ -764,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dedup": doc_exact_dedup,
         "doc_dup_fingerprints": doc_dup_fingerprints,
         "doc_token_stats": doc_token_stats,
+        "doc_subword_tokens": doc_subword_tokens,
         "doc_quality": doc_quality,
         "doc_lang_stats": doc_lang_stats,
         "events_tumbling_hourly": events_tumbling_hourly,
@@ -789,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": simhash_pairs,
         "ks_normal_embeddings": ks_normal_embeddings,
         "fit_embeddings_model": fit_embeddings_model,
+        "doc_winnow_fingerprints": doc_winnow_fingerprints,
         "knn_self_recall": knn_self_recall,
     }
 
@@ -1057,6 +1083,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {_NTOK} AS n_tokens,
                    round({_PUNCT}, 6) AS punct_ratio,
                    round({_SWRATIO}, 6) AS stopword_ratio
+            FROM documents WHERE doc_id < 200 ORDER BY doc_id
+        """,
+        "doc_subword_tokens": """
+            SELECT doc_id,
+                   CAST(len(list_filter(
+                       regexp_extract_all(text,
+                           '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+'),
+                       x -> regexp_matches(x, '\\S'))) AS INT) AS n_subword_tokens
             FROM documents WHERE doc_id < 200 ORDER BY doc_id
         """,
         "doc_quality": f"""
