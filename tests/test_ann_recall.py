@@ -1,0 +1,82 @@
+"""Recall floors for the approximate ANN paths (LSH bucketing and IVF) vs
+brute-force ground truth on clustered synthetic embeddings — the shape real
+embedding corpora have, and the regime where ANN must work."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nbdatatools_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_topk
+
+DIM = 16
+K = 5
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """600 base vectors in 6 well-separated clusters + 30 queries drawn from
+    cluster centers (deterministic)."""
+    rng = np.random.default_rng(11)
+    centers = rng.normal(0, 10, size=(6, DIM))
+    base_rows = []
+    i = 0
+    for c in range(6):
+        for _ in range(100):
+            v = centers[c] + rng.normal(0, 0.5, DIM)
+            base_rows.append((i, [float(x) for x in v]))
+            i += 1
+    q_rows = []
+    for j in range(30):
+        c = j % 6
+        v = centers[c] + rng.normal(0, 0.5, DIM)
+        q_rows.append((j, [float(x) for x in v]))
+    schema = "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    base = spark.createDataFrame(base_rows, schema).cache()
+    queries = spark.createDataFrame(q_rows, schema).cache()
+    base.count(), queries.count()
+    return queries, base
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["base_id"])
+    return out
+
+
+def _mean_recall(approx, exact):
+    recs = [
+        len(approx.get(q, set()) & nn) / len(nn) for q, nn in exact.items()
+    ]
+    return sum(recs) / len(recs)
+
+
+def test_lsh_recall_floor(clustered):
+    queries, base = clustered
+    exact = _topk_sets(brute_force_topk(queries, base, k=K, metric="cosine"))
+    approx = _topk_sets(lsh_topk(queries, base, k=K, dim=DIM, n_bits=6))
+    r = _mean_recall(approx, exact)
+    assert r >= 0.8, f"LSH recall {r:.3f} below floor"
+
+
+def test_ivf_recall_floor(clustered):
+    queries, base = clustered
+    exact = _topk_sets(brute_force_topk(queries, base, k=K, metric="cosine"))
+    approx = _topk_sets(
+        ivf_topk(queries, base, k=K, n_centroids=6, nprobe=2)
+    )
+    r = _mean_recall(approx, exact)
+    assert r >= 0.9, f"IVF recall {r:.3f} below floor"
+
+
+def test_ivf_nprobe_monotone(clustered):
+    """More probes can only improve recall (same centroids)."""
+    queries, base = clustered
+    exact = _topk_sets(brute_force_topk(queries, base, k=K, metric="cosine"))
+    r1 = _mean_recall(
+        _topk_sets(ivf_topk(queries, base, k=K, n_centroids=6, nprobe=1)), exact
+    )
+    r4 = _mean_recall(
+        _topk_sets(ivf_topk(queries, base, k=K, n_centroids=6, nprobe=4)), exact
+    )
+    assert r4 >= r1
