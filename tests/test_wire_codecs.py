@@ -205,3 +205,66 @@ def test_cddl_conjugate_and_multivalue():
         ),
     )
     assert render_cddl(tree) == "AND { age: int > 42, division: int IN [1, 2, 3] }"
+
+
+# --- property-based round-trips (Hypothesis) ------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_values_typed = st.one_of(
+    st.integers(min_value=-(2**62), max_value=2**62),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(max_size=40),
+    st.booleans(),
+    st.binary(max_size=20),
+    st.none(),
+)
+
+
+def _leaf_typed():
+    return st.builds(
+        lambda name, op, vs: PredicateLeaf(
+            op=op, values=tuple(vs), field_name=name or "f"
+        ),
+        st.text(
+            alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=12
+        ),
+        st.sampled_from(["GT", "LT", "EQ", "NE", "GE", "LE", "IN", "MATCHES"]),
+        st.lists(_values_typed, min_size=1, max_size=4),
+    )
+
+
+def _leaf_indexed():
+    return st.builds(
+        lambda fld, op, vs: PredicateLeaf(op=op, values=tuple(vs), field=fld),
+        st.integers(min_value=0, max_value=127),
+        st.sampled_from(["GT", "LT", "EQ", "NE", "GE", "LE", "IN"]),
+        st.lists(
+            st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=5
+        ),
+    )
+
+
+def _trees(leaf):
+    return st.recursive(
+        leaf,
+        lambda kids: st.builds(
+            lambda op, nodes: Conjugate(op, tuple(nodes)),
+            st.sampled_from(["AND", "OR"]),
+            st.lists(kids, min_size=1, max_size=4),
+        ),
+        max_leaves=8,
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(node=_trees(_leaf_indexed()))
+def test_indexed_roundtrip_property(node):
+    assert decode_framed(encode_framed(node, "indexed")) == node
+
+
+@settings(max_examples=200, deadline=None)
+@given(node=_trees(_leaf_typed()))
+def test_typed_roundtrip_property(node):
+    assert decode_framed(encode_framed(node, "typed")) == node
