@@ -85,6 +85,22 @@ def exact_dedup(
 
 # --- MinHash + LSH --------------------------------------------------------
 
+def _mix64(h):
+    """splitmix64 finalizer (public domain constant set): full-avalanche
+    mix of a uint64 array. Raw polynomial rolling hashes have weak high
+    bits (degree-k polynomial => top bits follow the first byte), which
+    biases SimHash votes and MinHash minima; the finalizer fixes both."""
+    import numpy as np
+
+    h = h.copy()
+    h ^= h >> np.uint64(30)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    return h
+
+
 def _minhash_numpy_udf(num_hashes: int, shingle_size: int):
     """Arrow-batched pandas UDF: normalized text -> minhash signature.
 
@@ -115,6 +131,7 @@ def _minhash_numpy_udf(num_hashes: int, shingle_size: int):
             w = b[j : j + n]
             h1 = h1 * P1 + w
             h2 = h2 * P2 + (w + np.uint64(1))
+        h1, h2 = _mix64(h1), _mix64(h2)
         mins = (h1[None, :] + I * h2[None, :]).min(axis=1)
         # >> 1: keep values in signed-long range for Spark's array<bigint>
         return (mins >> np.uint64(1)).astype(np.int64).tolist()
@@ -377,18 +394,61 @@ def embedding_near_dups(
 
 # --- SimHash --------------------------------------------------------------
 
+def _simhash_numpy_udf(shingle_size: int):
+    """Arrow-batched pandas UDF: normalized text -> 64-bit SimHash.
+
+    Same vectorized rolling-hash front end as the MinHash kernel; votes
+    computed by broadcasting the shingle-hash array against the 64 bit
+    positions — no per-shingle string objects, no 64-column aggregate.
+    DISTINCT shingles vote once each (np.unique), matching the
+    expression path's array_distinct semantics."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    P1 = np.uint64(1099511628211)
+    BITS = np.arange(64, dtype=np.uint64)[:, None]
+    k = shingle_size
+
+    def sim_of(text) -> int:
+        b = np.frombuffer(str(text).encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        if len(b) == 0:
+            b = np.zeros(1, dtype=np.uint64)
+        n = max(len(b) - k + 1, 1)
+        h = np.zeros(n, dtype=np.uint64)
+        for j in range(min(k, len(b))):
+            h = h * P1 + b[j : j + n]
+        h = _mix64(np.unique(h))
+        ones = ((h[None, :] >> BITS) & np.uint64(1)).sum(axis=1)  # (64,)
+        sim = np.uint64(0)
+        sim_bits = (2 * ones > len(h)).astype(np.uint64)
+        sim = (sim_bits << BITS[:, 0]).sum(dtype=np.uint64)
+        # map to signed long for Spark BIGINT
+        return int(np.int64(sim))
+
+    return pandas_udf(lambda texts: texts.map(sim_of), "long")
+
+
 def simhash(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_size: int = 4,
+    impl: str = "numpy",
 ) -> DataFrame:
     """64-bit SimHash per document, as (id, simhash BIGINT).
 
     Classic Charikar scheme: for each bit position, sum +1/-1 votes of
-    xxhash64(shingle) bits; bit = 1 when the vote is positive. Expressed with
-    higher-order array functions — fully JVM-side.
+    the shingle-hash bits; bit = 1 when the vote is positive.
+
+    ``impl="numpy"`` (default): vectorized Arrow-batched kernel (see
+    _simhash_numpy_udf). ``impl="expr"``: higher-order array functions,
+    fully JVM-side — 64 flat vote columns into one hash-aggregate.
     """
+    if impl == "numpy":
+        sim = _simhash_numpy_udf(shingle_size)
+        return df.select(
+            F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("__norm")
+        ).select("id", sim("__norm").alias("simhash"))
     exploded = _shingle_rows(df, id_col, text_col, shingle_size).select(
         "id", F.xxhash64("sh").alias("h")
     )

@@ -208,3 +208,42 @@ def test_minhash_finds_near_dups(spark):
     verified = jaccard_verify(cands, df, threshold=0.5).collect()
     assert any((v["id_a"], v["id_b"]) == (1, 2) and v["jaccard"] > 0.5 for v in verified)
     assert not any({v["id_a"], v["id_b"]} == {1, 3} for v in verified)
+
+
+def test_simhash_semantic_distance(spark):
+    """SimHash's defining property: near-identical docs land close in
+    hamming space, unrelated docs far."""
+    from nbdatatools_spark.operators.dedup import simhash
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 6
+    near = base.replace("lazy", "tired")
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, "completely different content about spark engines")],
+        "doc_id BIGINT, text STRING",
+    )
+    h = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
+    d12 = bin(h[1] ^ h[2]).count("1")
+    d13 = bin(h[1] ^ h[3]).count("1")
+    assert d12 <= 12 < d13
+    # determinism: same input -> same hash
+    h2 = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert h == h2
+
+
+def test_simhash_near_dups_guarantee(spark):
+    """The 4-chunk pigeonhole blocking GUARANTEES pairs within hamming 3;
+    an exact duplicate (hamming 0) must always be found, an unrelated doc
+    never."""
+    from nbdatatools_spark.operators.dedup import simhash_near_dups
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 6
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, "completely different content about spark engines")],
+        "doc_id BIGINT, text STRING",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_dups(docs, max_hamming=3).collect()
+    }
+    assert (1, 2, 0) in pairs
+    assert all(p[:2] == (1, 2) for p in pairs)
