@@ -388,10 +388,12 @@ def vector_norms(spark, sf_dir):
 
 
 def knn_cosine_topk(spark, sf_dir):
-    """J2 exact KNN, cosine, broadcast-query crossJoin + windowed top-k."""
+    """J2 exact KNN, cosine — the GEMM (BLAS mapInPandas) kernel, which is
+    the scale path; distances agree with the sequential-sum oracle through
+    round(,6) (they differ only in the last float64 bits)."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 20)
-    pairs = brute_force_topk(q, emb, k=10, metric="cosine")
+    pairs = brute_force_topk(q, emb, k=10, metric="cosine", impl="gemm")
     return pairs.select(
         "query_id", "rank", "base_id", F.round("distance", 6).alias("distance")
     )

@@ -35,6 +35,7 @@ def brute_force_topk(
     query_id: str = "vec_id",
     base_id: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "expr",
 ) -> DataFrame:
     """Exact top-k neighbor pairs (query_id, rank, base_id, distance)."""
     nn = exact_knn(
@@ -46,6 +47,7 @@ def brute_force_topk(
         base_ordinal=base_id,
         query_vec=vec_col,
         base_vec=vec_col,
+        impl=impl,
     )
     return nn.select(
         F.col("ordinal").alias("query_id"),
