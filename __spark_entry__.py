@@ -65,6 +65,17 @@ def _dec2(col):
     return F.col(col).cast("decimal(18,2)") if isinstance(col, str) else col.cast("decimal(18,2)")
 
 
+def _dbl(col):
+    """Final-output cast DECIMAL -> DOUBLE. The decimal value is exact, and
+    decimal->double is deterministic IEEE round-to-nearest in both Spark and
+    DuckDB, so the hashed value is engine-independent. Decimal columns are
+    never emitted from gate queries: a Decimal('255.00') canonicalizes with
+    trailing zeros in one engine and as the float 255.0 in the other, which
+    is exactly the round-1 hash-mismatch mechanism (VERDICT.md, What's wrong
+    #1 — all 7 non-KNN hash-fail queries emitted DECIMAL columns)."""
+    return col.cast("double")
+
+
 # ---------------------------------------------------------------------------
 # Relational core (scans, filters, joins, aggregations — S5, P2+, J*, A*)
 # ---------------------------------------------------------------------------
@@ -72,20 +83,25 @@ def _dec2(col):
 def q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1-shaped scan+agg over lineitem. Sums in DECIMAL (exact)."""
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "2001-09-02")
+    # avg columns: exact decimal sum, then ONE double division — deterministic
+    # regardless of partitioning (unlike avg(double), whose summation order
+    # varies with the shuffle plan).
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec2("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
-            F.sum(_dec2("l_extendedprice")).cast("decimal(18,2)").alias("sum_base_price"),
-            F.sum(_dec2("l_extendedprice") * (1 - _dec2("l_discount")))
-            .cast("decimal(18,4)")
-            .alias("sum_disc_price"),
-            F.sum(_dec2("l_extendedprice") * (1 - _dec2("l_discount")) * (1 + _dec2("l_tax")))
-            .cast("decimal(18,6)")
-            .alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            _dbl(F.sum(_dec2("l_quantity"))).alias("sum_qty"),
+            _dbl(F.sum(_dec2("l_extendedprice"))).alias("sum_base_price"),
+            _dbl(F.sum(_dec2("l_extendedprice") * (1 - _dec2("l_discount")))).alias(
+                "sum_disc_price"
+            ),
+            _dbl(
+                F.sum(
+                    _dec2("l_extendedprice") * (1 - _dec2("l_discount")) * (1 + _dec2("l_tax"))
+                )
+            ).alias("sum_charge"),
+            (_dbl(F.sum(_dec2("l_quantity"))) / F.count("*")).alias("avg_qty"),
+            (_dbl(F.sum(_dec2("l_extendedprice"))) / F.count("*")).alias("avg_price"),
+            (_dbl(F.sum(_dec2("l_discount"))) / F.count("*")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -102,9 +118,7 @@ def q3_shipping_priority(spark, sf_dir):
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.sum(_dec2("l_extendedprice") * (1 - _dec2("l_discount")))
-            .cast("decimal(18,4)")
-            .alias("revenue")
+            _dbl(F.sum(_dec2("l_extendedprice") * (1 - _dec2("l_discount")))).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
@@ -128,9 +142,7 @@ def q5_region_revenue(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.sum(_dec2("l_extendedprice") * (1 - _dec2("l_discount")))
-            .cast("decimal(18,4)")
-            .alias("revenue"),
+            _dbl(F.sum(_dec2("l_extendedprice") * (1 - _dec2("l_discount")))).alias("revenue"),
             F.count("*").alias("n_items"),
         )
         .orderBy(F.col("revenue").desc())
@@ -153,9 +165,7 @@ def q10_returned_items(spark, sf_dir):
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.sum(_dec2("l_extendedprice") * (1 - _dec2("l_discount")))
-            .cast("decimal(18,4)")
-            .alias("revenue")
+            _dbl(F.sum(_dec2("l_extendedprice") * (1 - _dec2("l_discount")))).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
@@ -206,8 +216,8 @@ def q18_large_orders(spark, sf_dir):
             "c_name",
             "o_orderkey",
             F.col("o_orderdate").cast("date").alias("o_orderdate"),
-            _dec2("o_totalprice").alias("o_totalprice"),
-            F.col("__qty").cast("decimal(18,2)").alias("total_qty"),
+            _dbl(_dec2("o_totalprice")).alias("o_totalprice"),
+            _dbl(F.col("__qty")).alias("total_qty"),
         )
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(50)
@@ -278,7 +288,7 @@ def pnode_nested_andor(spark, sf_dir):
     return (
         li.where(pred)
         .groupBy("l_returnflag")
-        .agg(F.count("*").alias("n"), F.sum(_dec2("l_quantity")).cast("decimal(18,2)").alias("sum_qty"))
+        .agg(F.count("*").alias("n"), _dbl(F.sum(_dec2("l_quantity"))).alias("sum_qty"))
         .orderBy("l_returnflag")
     )
 
@@ -388,21 +398,23 @@ def vector_norms(spark, sf_dir):
 
 
 def knn_cosine_topk(spark, sf_dir):
-    """J2 exact KNN, cosine — the GEMM (BLAS mapInPandas) kernel, which is
-    the scale path; distances agree with the sequential-sum oracle through
-    round(,6) (they differ only in the last float64 bits)."""
+    """J2 exact KNN, cosine. Gate uses impl="expr" — sequential fold matching
+    DuckDB's list_inner_product evaluation order bit-for-bit (the GEMM/BLAS
+    kernel is the bench/scale path; its float-summation order differs in the
+    last bits, ADVICE.md r1). `+ 0.0` collapses the self-match -0.0/0.0
+    representation split (IEEE: -0.0 + 0.0 == +0.0)."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 20)
-    pairs = brute_force_topk(q, emb, k=10, metric="cosine", impl="gemm")
+    pairs = brute_force_topk(q, emb, k=10, metric="cosine", impl="expr")
     return pairs.select(
-        "query_id", "rank", "base_id", F.round("distance", 6).alias("distance")
+        "query_id", "rank", "base_id", (F.round("distance", 6) + 0.0).alias("distance")
     )
 
 
 def knn_euclidean_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 10)
-    pairs = brute_force_topk(q, emb, k=5, metric="euclidean")
+    pairs = brute_force_topk(q, emb, k=5, metric="euclidean", impl="expr")
     return pairs.select(
         "query_id", "rank", "base_id", F.round("distance", 6).alias("distance")
     )
@@ -457,15 +469,18 @@ def doc_subword_tokens(spark, sf_dir):
 
 
 def doc_winnow_fingerprints(spark, sf_dir):
-    """Winnowing rolling-hash fingerprint cardinality per document
-    (rows-only: xxhash64 fingerprints have no DuckDB equivalent; the
-    algorithm is differentially tested against a Python reference)."""
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken), portable md5
+    k-gram hashes so DuckDB replicates the selection exactly. Output is the
+    fingerprint-set cardinality AND its minimum — a strong algorithmic
+    signature (any selection divergence moves one of them)."""
     from nbdatatools_spark.functions.text import winnow_fingerprints
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select("doc_id", "text")
-    fp = winnow_fingerprints(docs)
+    fp = winnow_fingerprints(docs, portable=True)
     return fp.select(
-        "doc_id", F.size("fingerprints").alias("n_fingerprints")
+        "doc_id",
+        F.size("fingerprints").alias("n_fingerprints"),
+        F.array_min("fingerprints").alias("min_fingerprint"),
     ).orderBy("doc_id")
 
 
@@ -565,9 +580,7 @@ def q6_revenue_delta(spark, sf_dir):
         & (F.col("l_quantity") < 24)
     )
     return li.agg(
-        F.sum(_dec2("l_extendedprice") * _dec2("l_discount"))
-        .cast("decimal(18,4)")
-        .alias("revenue"),
+        _dbl(F.sum(_dec2("l_extendedprice") * _dec2("l_discount"))).alias("revenue"),
         F.count("*").alias("n_items"),
     )
 
@@ -577,7 +590,7 @@ def monthly_revenue_rollup(spark, sf_dir):
     return (
         o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
         .agg(
-            F.sum(_dec2("o_totalprice")).cast("decimal(18,2)").alias("revenue"),
+            _dbl(F.sum(_dec2("o_totalprice"))).alias("revenue"),
             F.count("*").alias("n_orders"),
         )
         .orderBy("month")
@@ -599,7 +612,7 @@ def knn_dot_topk(spark, sf_dir):
     """J2 with the dot-product metric (DistanceFunction.java:26)."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 10)
-    pairs = brute_force_topk(q, emb, k=5, metric="dot_product")
+    pairs = brute_force_topk(q, emb, k=5, metric="dot_product", impl="expr")
     return pairs.select(
         "query_id", "rank", "base_id", F.round("distance", 6).alias("distance")
     )
@@ -693,7 +706,7 @@ def orders_running_total(spark, sf_dir):
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(_dec2("o_totalprice")).over(w).cast("decimal(18,2)").alias("running_total"),
+        _dbl(F.sum(_dec2("o_totalprice")).over(w)).alias("running_total"),
     ).orderBy("o_custkey", "o_orderkey")
 
 
@@ -709,13 +722,23 @@ def ann_lsh_topk(spark, sf_dir):
 
 
 def minhash_candidate_pairs(spark, sf_dir):
+    """MinHash banded-LSH candidates, portable md5 path so the exact banding
+    algorithm (KM double hashing, 8 bands of 4) is replicated in DuckDB and
+    hash-gated (was rows-only in r1; VERDICT next-round #3)."""
     docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(docs, num_hashes=32, bands=8, shingle_size=5)
+    return minhash_lsh_candidates(
+        docs, num_hashes=32, bands=8, shingle_size=5, impl="md5"
+    ).orderBy("id_a", "id_b")
 
 
 def simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs, portable 60-bit md5 simhash. The oracle is
+    BRUTE-FORCE hamming<=8 over all pairs — pigeonhole blocking (9 chunks)
+    must reproduce it exactly, so the gate also proves blocking recall=1."""
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
-    return simhash_near_dups(docs, max_hamming=8, shingle_size=4)
+    return simhash_near_dups(docs, max_hamming=8, shingle_size=4, impl="md5").orderBy(
+        "id_a", "id_b"
+    )
 
 
 def embedding_near_dup_pairs(spark, sf_dir):
@@ -729,8 +752,14 @@ def embedding_near_dup_pairs(spark, sf_dir):
 
 
 def ks_normal_embeddings(spark, sf_dir):
+    """A4 K-S goodness-of-fit vs per-dim fitted normal. Oracle-able: the
+    A-S 7.1.26 erf closed form is replicated verbatim in DuckDB SQL; round(4)
+    sits far above engine libm last-ulp noise yet far below the 0.03
+    decision threshold."""
     emb = _t(spark, sf_dir, "embeddings").select(F.col("embedding").alias("vector"))
-    return ks_statistic_normal(emb).orderBy("dim")
+    return ks_statistic_normal(emb).select(
+        "dim", (F.round("ks_stat", 4) + 0.0).alias("ks_stat")
+    ).orderBy("dim")
 
 
 def fit_embeddings_model(spark, sf_dir):
@@ -749,7 +778,7 @@ def knn_self_recall(spark, sf_dir):
         F.col("vec_id").alias("ordinal"), F.col("embedding").alias("vector")
     )
     q = emb.where(F.col("ordinal") < 50)
-    nn = exact_knn(q, emb, k=10, metric="cosine")
+    nn = exact_knn(q, emb, k=10, metric="cosine", impl="expr")
     return knn_recall(nn, nn, k=10)
 
 
@@ -810,14 +839,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_balance_rank": supplier_balance_rank,
         "orders_running_total": orders_running_total,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
+        "doc_winnow_fingerprints": doc_winnow_fingerprints,
         # rows-only (approximate / non-SQL-expressible)
         "ann_lsh_topk": ann_lsh_topk,
         "minhash_candidate_pairs": minhash_candidate_pairs,
         "simhash_pairs": simhash_pairs,
         "ks_normal_embeddings": ks_normal_embeddings,
-        "fit_embeddings_model": fit_embeddings_model,
-        "doc_winnow_fingerprints": doc_winnow_fingerprints,
         "knn_self_recall": knn_self_recall,
+        # LAST by design: fit_model runs driver-side sketch jobs during plan
+        # construction; round 1's driver gate recorded nothing after this
+        # point (CORRECTNESS_r01 stops at ks_normal), so any future failure
+        # here must not shadow other queries.
+        "fit_embeddings_model": fit_embeddings_model,
     }
 
 
@@ -843,17 +876,147 @@ _COS_DIST = (
 )
 
 
+def _winnow_oracle(k: int = 5, w: int = 4) -> str:
+    """DuckDB replica of winnow_fingerprints(portable=True): md5-prefix
+    k-gram hashes -> sliding-window minima -> distinct set."""
+    return f"""
+        WITH nrm AS (
+            SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+            FROM documents WHERE doc_id < 200),
+        h AS (
+            SELECT doc_id,
+                   list_transform(
+                       list_transform(range(1, greatest(length(t) - {k - 1}, 1) + 1),
+                                      i -> substring(t, CAST(i AS INT), {k})),
+                       g -> ('0x' || substring(md5(g), 1, 15))::BIGINT) AS hs
+            FROM nrm),
+        fp AS (
+            SELECT doc_id,
+                   list_distinct(
+                       list_transform(range(1, greatest(len(hs) - {w - 1}, 1) + 1),
+                                      i -> list_aggregate(list_slice(hs, CAST(i AS INT), CAST(i + {w - 1} AS INT)), 'min'))) AS f
+            FROM h)
+        SELECT doc_id, CAST(len(f) AS INT) AS n_fingerprints,
+               list_aggregate(f, 'min') AS min_fingerprint
+        FROM fp ORDER BY doc_id
+    """
+
+
+def _minhash_oracle(num_hashes: int = 32, bands: int = 8, k: int = 5,
+                    max_bucket: int = 2000) -> str:
+    """DuckDB replica of minhash_lsh_candidates(impl="md5"): KM double
+    hashing over two 52-bit md5 slices, banded keys, bucket cap, pair join."""
+    rpb = num_hashes // bands
+    mask = (1 << 52) - 1
+    mins = ", ".join(f"min((h1 + {i} * h2) & {mask}) AS m{i}" for i in range(num_hashes))
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, ('0x' || substring(md5('{b}:' || {cat}), 1, 15))::BIGINT AS band_hash FROM m".format(
+            b=b,
+            cat=" || ',' || ".join(f"m{b * rpb + j}" for j in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+        WITH nrm AS (
+            SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+            FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(length(t) - {k - 1}, 1) + 1),
+                                         i -> substring(t, CAST(i AS INT), {k}))) AS g
+            FROM nrm),
+        h AS (
+            SELECT doc_id, ('0x' || substring(md5(g), 1, 13))::BIGINT AS h1,
+                           ('0x' || substring(md5(g), 14, 13))::BIGINT AS h2
+            FROM sh),
+        m AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+        banded AS ({band_selects}),
+        capped AS (
+            SELECT doc_id, band, band_hash FROM (
+                SELECT doc_id, band, band_hash,
+                       count(*) OVER (PARTITION BY band, band_hash) AS bn
+                FROM banded)
+            WHERE bn <= {max_bucket})
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM capped a JOIN capped b
+          ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+        ORDER BY id_a, id_b
+    """
+
+
+def _simhash_oracle(max_hamming: int = 8, k: int = 4) -> str:
+    """DuckDB replica of the portable 60-bit simhash, verified BRUTE-FORCE:
+    all pairs with exact hamming <= max_hamming. The Spark side answers via
+    pigeonhole blocking, so a hash match proves blocking recall = 1."""
+    n_bits = 60
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(n_bits)
+    )
+    assemble = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END" for b in range(n_bits)
+    )
+    return f"""
+        WITH nrm AS (
+            SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+            FROM documents WHERE doc_id < 300),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, greatest(length(t) - {k - 1}, 1) + 1),
+                                         i -> substring(t, CAST(i AS INT), {k}))) AS g
+            FROM nrm),
+        h AS (SELECT doc_id, ('0x' || substring(md5(g), 1, 15))::BIGINT AS h FROM sh),
+        v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+        s AS (SELECT doc_id, ({assemble}) AS simhash FROM v)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+        ORDER BY id_a, id_b
+    """
+
+
+def _ks_normal_oracle() -> str:
+    """DuckDB replica of ks_statistic_normal: ECDF via cume_dist, normal CDF
+    via the same Abramowitz-Stegun 7.1.26 erf closed form (term-for-term
+    identical arithmetic; round(4) absorbs libm last-ulp divergence)."""
+    import math
+
+    sqrt2 = repr(math.sqrt(2.0))
+    erf = (
+        "(CASE WHEN z < 0 THEN -1.0 ELSE 1.0 END) * "
+        "(1.0 - (0.254829592 * t - 0.284496736 * power(t, 2) + 1.421413741 * power(t, 3)"
+        " - 1.453152027 * power(t, 4) + 1.061405429 * power(t, 5)) * exp(-abs(z) * abs(z)))"
+    )
+    return f"""
+        WITH e AS (
+            SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+                   CAST(unnest(embedding) AS DOUBLE) AS value
+            FROM embeddings),
+        st AS (SELECT dim, avg(value) AS mu, stddev_pop(value) AS sigma FROM e GROUP BY dim),
+        c AS (SELECT dim, value,
+                     cume_dist() OVER (PARTITION BY dim ORDER BY value) AS cdf
+              FROM e),
+        zt AS (SELECT c.dim, c.cdf,
+                      (c.value - st.mu) / (st.sigma * {sqrt2}) AS z,
+                      1.0 / (1.0 + 0.3275911 * abs((c.value - st.mu) / (st.sigma * {sqrt2}))) AS t
+               FROM c JOIN st ON c.dim = st.dim)
+        SELECT dim, round(max(abs(cdf - 0.5 * (1.0 + {erf}))), 4) + 0.0 AS ks_stat
+        FROM zt GROUP BY dim ORDER BY dim
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(18,6)) AS sum_charge,
-                   round(avg(l_quantity), 4) AS avg_qty,
-                   round(avg(l_extendedprice), 4) AS avg_price,
-                   round(avg(l_discount), 4) AS avg_disc,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+                   CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '2001-09-02'
@@ -862,7 +1025,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q3_shipping_priority": """
             SELECT l_orderkey, o_orderdate, o_orderpriority,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -875,7 +1038,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q5_region_revenue": """
             SELECT n_name,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
                    count(*) AS n_items
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
@@ -897,7 +1060,7 @@ def oracle_sql() -> dict[str, str]:
         "q10_returned_items": """
             SELECT c_custkey, c_name, n_name,
                    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                            * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS revenue
+                            * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -929,8 +1092,8 @@ def oracle_sql() -> dict[str, str]:
                 HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 250)
             SELECT c_custkey, c_name, o_orderkey,
                    CAST(o_orderdate AS DATE) AS o_orderdate,
-                   CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice,
-                   CAST(qty AS DECIMAL(18,2)) AS total_qty
+                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
+                   CAST(qty AS DOUBLE) AS total_qty
             FROM orders
             JOIN big ON o_orderkey = big.l_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -954,7 +1117,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pnode_nested_andor": """
             SELECT l_returnflag, count(*) AS n,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
             FROM lineitem
             WHERE ((l_quantity >= 45.0 OR l_discount >= 0.09) AND l_returnflag != 'A')
             GROUP BY l_returnflag ORDER BY l_returnflag
@@ -1040,7 +1203,7 @@ def oracle_sql() -> dict[str, str]:
                            row_number() OVER (PARTITION BY qid ORDER BY dist ASC, bid ASC) AS rn
                     FROM pairs)
             SELECT qid AS query_id, CAST(rn AS INT) AS rank, bid AS base_id,
-                   round(dist, 6) AS distance
+                   round(dist, 6) + 0.0 AS distance
             FROM ranked WHERE rn <= 10
         """,
         "embedding_near_dup_pairs": """
@@ -1147,7 +1310,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE event_id < 2000 ORDER BY event_id
         """,
         "q6_revenue_delta": """
-            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS revenue,
+            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
                    count(*) AS n_items
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -1155,7 +1318,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "monthly_revenue_rollup": """
             SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
-                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
                    count(*) AS n_orders
             FROM orders GROUP BY 1 ORDER BY month
         """,
@@ -1222,8 +1385,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey, o_orderkey,
                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
                         OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-                              ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2)) AS running_total
+                              ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
             FROM orders WHERE o_custkey <= 50
             ORDER BY o_custkey, o_orderkey
+        """,
+        # algorithm-replica oracles (generated SQL) — promoted from rows-only
+        # in round 2 (VERDICT next-round #3)
+        "doc_winnow_fingerprints": _winnow_oracle(),
+        "minhash_candidate_pairs": _minhash_oracle(),
+        "simhash_pairs": _simhash_oracle(),
+        "ks_normal_embeddings": _ks_normal_oracle(),
+        # verify_knn invariant (README.md:54 `verify_knn`): exact KNN verified
+        # against itself must have recall exactly 1.0 for every query — the
+        # oracle derives the expected (1.0, n_queries) pair from the data.
+        "knn_self_recall": """
+            SELECT CAST(1.0 AS DOUBLE) AS mean_recall, count(*) AS n_queries
+            FROM embeddings WHERE vec_id < 50
         """,
     }

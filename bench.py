@@ -48,6 +48,23 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
+
+    # Same query semantics as the gate's knn_cosine_topk, but on the GEMM
+    # scale path: the gate pins impl="expr" for bit-exact DuckDB agreement
+    # (ADVICE r1); the bench measures the plan a 100TB deployment runs.
+    def knn_cosine_topk_gemm(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from nbdatatools_spark.operators.similarity import brute_force_topk
+
+        emb = entrymod._t(spark, sf_dir, "embeddings")
+        q = emb.where(F.col("vec_id") < 20)
+        pairs = brute_force_topk(q, emb, k=10, metric="cosine", impl="gemm")
+        return pairs.select(
+            "query_id", "rank", "base_id", F.round("distance", 6).alias("distance")
+        )
+
+    qs["knn_cosine_topk"] = knn_cosine_topk_gemm
     # warm the JVM/codegen path AND the Arrow/Python worker pool once so
     # per-query timings measure the plan, not first-call JIT or worker
     # fork+import (reference practice: JITMaturityGuard.java:59-75).

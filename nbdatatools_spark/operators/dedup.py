@@ -176,13 +176,31 @@ def minhash_signatures(
             F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("__norm")
         ).select("id", sig("__norm").alias("signature"))
     exploded = _shingle_rows(df, id_col, text_col, shingle_size, distinct=False)
-    # shift into a 56-bit domain: i*h2 + h1 stays < 2^63 for i <= 63, so the
-    # multiply-add never trips ANSI overflow (uniformity is unaffected).
-    h1 = F.shiftrightunsigned(F.xxhash64("sh"), 8)
-    h2 = F.shiftrightunsigned(F.xxhash64("sh", F.lit(1)), 8)
+    if impl == "md5":
+        # Portable path: h1/h2 = two disjoint 13-hex-digit (52-bit) slices of
+        # md5(shingle) — md5 renders identically in Spark and DuckDB, so the
+        # whole signature is oracle-checkable. i*h2 + h1 < 2^58 for i <= 63:
+        # no ANSI overflow in either engine. The KM combination is masked
+        # back into the 52-bit domain below: WITHOUT the wrap, i*h2 dominates
+        # for large i and every high band's argmin collapses onto the
+        # min-h2 shingle — common shingles then produce massive spurious
+        # band collisions (observed 23x candidate blowup at sf0.01).
+        h1 = F.conv(F.substring(F.md5("sh"), 1, 13), 16, 10).cast("long")
+        h2 = F.conv(F.substring(F.md5("sh"), 14, 13), 16, 10).cast("long")
+        mask = F.lit((1 << 52) - 1)
+    else:
+        # shift into a 52-bit domain: i*h2 + h1 stays < 2^59 for i <= 63, so
+        # the multiply-add never trips ANSI overflow (uniformity unaffected).
+        h1 = F.shiftrightunsigned(F.xxhash64("sh"), 12)
+        h2 = F.shiftrightunsigned(F.xxhash64("sh", F.lit(1)), 12)
+        mask = F.lit((1 << 52) - 1)
+    exploded = exploded.select("id", h1.alias("__h1"), h2.alias("__h2"))
     hashed = exploded.select(
         "id",
-        *[(h1 + F.lit(i) * h2).alias(f"h{i}") for i in range(num_hashes)],
+        *[
+            (F.col("__h1") + F.lit(i) * F.col("__h2")).bitwiseAND(mask).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
     )
     agg = hashed.groupBy("id").agg(
         *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
@@ -200,6 +218,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_size: int = 5,
     max_bucket: int = 2000,
+    impl: str = "numpy",
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded LSH.
 
@@ -217,27 +236,34 @@ def minhash_lsh_candidates(
     map-side combinable, no extra pass over the text.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size, impl=impl)
+
+    def band_hash(b):
+        joined = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice("signature", b * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+        )
+        if impl == "md5":
+            # portable band key: md5 of "<band>:<m0>,<m1>,..." (DuckDB-identical)
+            return F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{b}:"), joined)), 1, 15), 16, 10
+            ).cast("long")
+        return F.xxhash64(joined, F.lit(b))
+
+    # localCheckpoint instead of persist(): both branches of the self-join
+    # (plus the optional bucket-size semi-join) reuse the materialization, and
+    # the checkpoint blocks are dropped by the ContextCleaner when the frame
+    # is GC'd — persist() here leaked the cache for the session lifetime
+    # (VERDICT r1, minor #7).
     banded = sig.select(
         "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice("signature", b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        ),
-                        F.lit(b),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_hash"),
-    ).persist()
+        F.posexplode(F.array(*[band_hash(b) for b in range(bands)])).alias(
+            "band", "band_hash"
+        ),
+    ).localCheckpoint(eager=False)
     if max_bucket:
         sizes = banded.groupBy("band", "band_hash").agg(F.count("*").alias("__n"))
         banded = banded.join(
@@ -449,8 +475,17 @@ def simhash(
         return df.select(
             F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("__norm")
         ).select("id", sim("__norm").alias("simhash"))
+    if impl == "md5":
+        # Portable 60-bit variant: shingle hash = 15-hex-digit md5 prefix,
+        # reproducible verbatim in DuckDB ('0x'||substr(md5(sh),1,15))::BIGINT
+        # — the whole SimHash becomes oracle-checkable.
+        n_bits = 60
+        h = F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long")
+    else:
+        n_bits = 64
+        h = F.xxhash64("sh")
     exploded = _shingle_rows(df, id_col, text_col, shingle_size).select(
-        "id", F.xxhash64("sh").alias("h")
+        "id", h.alias("h")
     )
     # one flat vote column per bit; single hash-aggregate on id
     votes = exploded.select(
@@ -459,12 +494,12 @@ def simhash(
             F.when(
                 F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1)) == 1, 1
             ).otherwise(-1).alias(f"v{b}")
-            for b in range(64)
+            for b in range(n_bits)
         ],
     )
-    agg = votes.groupBy("id").agg(*[F.sum(f"v{b}").alias(f"s{b}") for b in range(64)])
+    agg = votes.groupBy("id").agg(*[F.sum(f"v{b}").alias(f"s{b}") for b in range(n_bits)])
     sim = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(n_bits):
         sim = sim + F.when(
             F.col(f"s{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
         ).otherwise(F.lit(0).cast("long"))
@@ -477,29 +512,36 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 3,
     shingle_size: int = 4,
+    impl: str = "numpy",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
-    Blocking: split the 64-bit hash into 4 16-bit chunks; by pigeonhole any
-    pair within hamming 3 shares at least one chunk — join per chunk, then
-    exact hamming via bit_count(xor)."""
+    Blocking: split the hash into ``max_hamming + 1`` equal chunks; by
+    pigeonhole any pair within ``max_hamming`` bit flips shares at least one
+    unchanged chunk — join per chunk, then exact hamming via bit_count(xor).
+    (Round 1 hard-coded 4 chunks, silently losing recall for max_hamming > 3.)
+    ``impl="md5"`` uses the portable 60-bit simhash, DuckDB-replicable."""
+    n_bits = 60 if impl == "md5" else 64
+    n_chunks = max_hamming + 1
+    # equal-width chunks; the last chunk absorbs the remainder bits
+    width = n_bits // n_chunks
     # Break lineage: the signature table feeds BOTH sides of the self-join;
-    # without this the 64-column vote pipeline is recomputed per branch AND
-    # its very deep expression tree is re-analyzed by the optimizer for every
-    # join subplan (planning dominated the runtime, measured). The
-    # materialized table is tiny: 16 bytes/doc.
-    sh = simhash(df, id_col, text_col, shingle_size).localCheckpoint()
+    # without this the vote pipeline is recomputed per branch AND its very
+    # deep expression tree is re-analyzed by the optimizer for every join
+    # subplan (planning dominated the runtime, measured). The materialized
+    # table is tiny: 16 bytes/doc.
+    sh = simhash(df, id_col, text_col, shingle_size, impl=impl).localCheckpoint()
+    chunk_exprs = []
+    for c in range(n_chunks):
+        lo = c * width
+        w = n_bits - lo if c == n_chunks - 1 else width
+        chunk_exprs.append(
+            F.shiftrightunsigned(F.col("simhash"), lo).bitwiseAND(F.lit((1 << w) - 1))
+        )
     chunks = sh.select(
         "id",
         "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF))
-                    for c in range(4)
-                ]
-            )
-        ).alias("chunk_idx", "chunk"),
+        F.posexplode(F.array(*chunk_exprs)).alias("chunk_idx", "chunk"),
     )
     a, b = chunks.alias("a"), chunks.alias("b")
     pairs = (

@@ -35,9 +35,13 @@ def brute_force_topk(
     query_id: str = "vec_id",
     base_id: str = "vec_id",
     vec_col: str = "embedding",
-    impl: str = "expr",
+    impl: str = "gemm",
 ) -> DataFrame:
-    """Exact top-k neighbor pairs (query_id, rank, base_id, distance)."""
+    """Exact top-k neighbor pairs (query_id, rank, base_id, distance).
+
+    Default ``impl="gemm"`` — per-batch partial top-k, the scale path;
+    pass ``impl="expr"`` only for bit-exact SQL-oracle comparisons (see
+    exact_knn docstring)."""
     nn = exact_knn(
         queries,
         base,
@@ -148,43 +152,43 @@ def ivf_topk(
         train = train.sample(fraction=sample_fraction, seed=seed)
     model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(train)
     centroids = [list(c) for c in model.clusterCenters()]
-    spark = base.sparkSession
-    cent_df = F.broadcast(
-        spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-            "centroid_id INT, centroid ARRAY<DOUBLE>",
-        )
-    )
 
-    bass = (
-        base.crossJoin(cent_df)
-        .select(
-            F.col(base_id).alias("bid"),
-            F.col(vec_col).alias("bvec"),
-            "centroid_id",
-            distance_expr("euclidean", F.col(vec_col), F.col("centroid")).alias("cdist"),
+    # Shuffle-free assignment (VERDICT r1 #4): the centroid table is tiny by
+    # construction, so inline it as a literal array of (cdist, centroid_id)
+    # structs and take the per-row argmin with array_min — struct comparison
+    # is field-order lexicographic, i.e. exactly the (cdist ASC, centroid_id
+    # ASC) tie-break. The old plan crossJoined base x centroids and ranked
+    # with a Window.partitionBy(bid): a full B*n_centroids shuffle just to
+    # compute a per-row minimum.
+    def _cent_struct_array(vec):
+        return F.array(
+            *[
+                F.struct(
+                    distance_expr(
+                        "euclidean", vec, F.array(*[F.lit(float(x)) for x in c])
+                    ).alias("cdist"),
+                    F.lit(i).alias("centroid_id"),
+                )
+                for i, c in enumerate(centroids)
+            ]
         )
-        .withColumn(
-            "crn",
-            F.row_number().over(Window.partitionBy("bid").orderBy(F.col("cdist").asc(), F.col("centroid_id").asc())),
-        )
-        .where(F.col("crn") == 1)
-        .select("bid", "bvec", "centroid_id")
+
+    bass = base.select(
+        F.col(base_id).alias("bid"),
+        F.col(vec_col).alias("bvec"),
+        F.array_min(_cent_struct_array(F.col(vec_col)))["centroid_id"].alias("centroid_id"),
     )
-    qprobe = (
-        queries.crossJoin(cent_df)
-        .select(
-            F.col(query_id).alias("qid"),
-            F.col(vec_col).alias("qvec"),
-            "centroid_id",
-            distance_expr("euclidean", F.col(vec_col), F.col("centroid")).alias("cdist"),
-        )
-        .withColumn(
-            "crn",
-            F.row_number().over(Window.partitionBy("qid").orderBy(F.col("cdist").asc(), F.col("centroid_id").asc())),
-        )
-        .where(F.col("crn") <= nprobe)
-        .select("qid", "qvec", "centroid_id")
+    # query side: nprobe nearest centroids = first nprobe of the sorted
+    # struct array — same projection trick, then explode (queries are small)
+    qprobe = queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(_cent_struct_array(F.col(vec_col))), 1, nprobe),
+                lambda s: s["centroid_id"],
+            )
+        ).alias("centroid_id"),
     )
     pairs = bass.join(F.broadcast(qprobe), "centroid_id").select(
         "qid",

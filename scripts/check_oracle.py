@@ -19,24 +19,32 @@ import __spark_entry__ as entrymod
 from nbdatatools_spark.session import get_spark
 
 
+HAZARDS: list[str] = []
+
+
 def norm_cell(v):
+    """Bit-exact canonicalization (VERDICT r1 #2: the old 9dp rounding was
+    laxer than the driver's hash and masked failures). Floats use full repr;
+    Decimal and -0.0 outputs are flagged as hazards because the driver's
+    canonicalization of them is engine-dependent (Decimal('255.00') vs the
+    float 255.0 was the round-1 hash-fail mechanism)."""
+    import decimal
+
     if v is None:
         return None
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 9)
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            HAZARDS.append("-0.0 float output")
+        return repr(v)
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
         return tuple(norm_cell(x) for x in v)
-    try:
-        import decimal
-
-        if isinstance(v, decimal.Decimal):
-            return str(v)
-    except ImportError:
-        pass
+    if isinstance(v, decimal.Decimal):
+        HAZARDS.append("Decimal output column")
+        return str(v)
     return v
 
 
@@ -84,6 +92,7 @@ def main():
             print(f"FAIL {name}: duckdb error: {e}")
             continue
         problems = []
+        HAZARDS.clear()
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
         if len(srows) != len(orows):
@@ -93,6 +102,8 @@ def main():
             if a != b:
                 diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
                 problems.append(f"values differ; first diffs: {diffs}")
+            if HAZARDS:
+                problems.append(f"hash-hazard outputs: {sorted(set(HAZARDS))}")
         if problems:
             failures.append(name)
             print(f"FAIL {name}: " + " | ".join(problems))

@@ -53,6 +53,24 @@ def test_small_dim_join_broadcasts(spark, sf_dir):
 
 
 def test_knn_uses_broadcast_not_shuffle(spark, embeddings):
+    q = embeddings.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("ordinal"), F.col("embedding").alias("vector")
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("ordinal"), F.col("embedding").alias("vector")
+    )
+    from nbdatatools_spark.operators.knn import exact_knn
+
+    # oracle path: query side broadcast, base never shuffled pre-ranking
+    plan = _plan(exact_knn(q, b, k=3, impl="expr"))
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast side = queries
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_default_has_no_full_pair_shuffle(spark, embeddings):
+    """VERDICT r1 #3: the DEFAULT exact_knn plan must do per-partition
+    partial top-k (GEMM mapInPandas) — the only shuffle input is Q*k rows
+    per batch, never the Q*B cross product."""
     from nbdatatools_spark.operators.knn import exact_knn
 
     q = embeddings.where(F.col("vec_id") < 5).select(
@@ -62,8 +80,22 @@ def test_knn_uses_broadcast_not_shuffle(spark, embeddings):
         F.col("vec_id").alias("ordinal"), F.col("embedding").alias("vector")
     )
     plan = _plan(exact_knn(q, b, k=3))
-    assert "BroadcastNestedLoopJoin" in plan  # broadcast side = queries
+    assert "MapInPandas" in plan  # per-batch partial top-k kernel
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_assignment_has_no_shuffle(spark, embeddings):
+    """VERDICT r1 #6: IVF base->centroid assignment is a pure projection
+    (inlined argmin), not a crossJoin + Window over B*n_centroids rows."""
+    from nbdatatools_spark.operators.similarity import ivf_topk
+
+    q = embeddings.where(F.col("vec_id") < 3)
+    plan = _plan(ivf_topk(q, embeddings, k=3, n_centroids=4, nprobe=2))
+    # exactly one Window operator remains: the final per-query top-k ranking
+    # (WindowGroupLimit helper nodes for that same window are fine)
+    assert len(re.findall(r"\bWindow \[", plan)) <= 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
 def test_window_slice_pushes_ordinal_range(spark, embeddings):
