@@ -53,24 +53,40 @@ def chunk_digests(
 
 
 def merkle_root(digests: DataFrame) -> str:
-    """Pairwise SHA-256 reduction to a single root (merkle_v1.md:5-60).
+    """Root of the REFERENCE merkle tree over these chunk digests
+    (merkle_v1.md §1.2 via sources.merkle_file.build_nodes — identical
+    geometry; round 1 used an odd-leaf-duplication reduction that matched
+    nothing). Dense mode (padding leaves = zero bytes) so the root always
+    reflects every leaf — equal to a reference .mref's node 0 whenever
+    total_chunks is a power of 2; for non-power-of-2 counts the reference's
+    null-propagation zeroes its own root (see build_nodes docstring), so
+    file-level comparison there uses the .mref leaves, not the root.
 
     The leaf list is small (file_size / 1MiB entries) — collected and reduced
     driver-side; the expensive part (hashing data) stayed distributed."""
+    from nbdatatools_spark.sources.merkle_file import MerkleShape, build_nodes
+
     leaves = [
         bytes.fromhex(r["sha256"])
         for r in digests.orderBy("chunk_index").select("sha256").collect()
     ]
     if not leaves:
         return hashlib.sha256(b"").hexdigest()
-    level = leaves
-    while len(level) > 1:
-        nxt = []
-        for i in range(0, len(level), 2):
-            pair = level[i] + (level[i + 1] if i + 1 < len(level) else level[i])
-            nxt.append(hashlib.sha256(pair).digest())
-        level = nxt
-    return level[0].hex()
+    cap = 1
+    while cap < len(leaves):
+        cap <<= 1
+    shape = MerkleShape(
+        chunk_size=0,
+        total_content_size=0,
+        total_chunks=len(leaves),
+        leaf_count=len(leaves),
+        cap_leaf=cap,
+        node_count=2 * cap - 1,
+        offset=cap - 1,
+        internal_node_count=2 * cap - 1 - len(leaves),
+    )
+    root = build_nodes(shape, leaves, null_propagation=False)[0]
+    return root.hex()
 
 
 def verify_file(

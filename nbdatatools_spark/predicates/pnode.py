@@ -70,6 +70,20 @@ class Conjugate:
 PNode = Union[PredicateLeaf, Conjugate]
 
 
+def pnode_to_dict(node: PNode) -> dict:
+    """Inverse of parse_pnode: PNode -> plain JSON-able dict (round-trips
+    through parse_pnode; used by the predicates facet view to surface stored
+    wire blobs as JSON columns)."""
+    if isinstance(node, Conjugate):
+        return {"op": node.op, "nodes": [pnode_to_dict(n) for n in node.nodes]}
+    d: dict = {"op": node.op, "values": list(node.values)}
+    if node.field_name is not None:
+        d["fieldName"] = node.field_name
+    if node.field is not None:
+        d["field"] = node.field
+    return d
+
+
 def parse_pnode(obj: str | bytes | dict) -> PNode:
     """Parse predicate JSON (string or already-loaded dict) into a PNode."""
     if isinstance(obj, (str, bytes)):

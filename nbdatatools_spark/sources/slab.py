@@ -95,3 +95,40 @@ class SlabStore:
             .partitionBy("namespace")
             .parquet(path)
         )
+
+    # --- predicate-store facet decode (SlabtasticPredicateBackend.java:42-48)
+    def read_predicate_store_typed(self) -> dict:
+        """Typed view of the four predicate-store namespaces ``predicates``
+        / ``result_indices`` / ``metadata_layout`` / ``metadata_content``
+        (same blob codecs as the SQLite backend; layout at ordinal 0).
+        See sources.sqlite_store.read_predicate_store_typed."""
+        from nbdatatools_spark.sources.metadata_codec import (
+            MetadataLayout,
+            metadata_content_view,
+            predicates_view,
+            result_indices_view,
+        )
+
+        present = set(self.namespaces())
+        out: dict = {}
+        layout = None
+        if "metadata_layout" in present:
+            blob = self.get("metadata_layout", 0)
+            if blob is not None:
+                layout = MetadataLayout.decode(blob)
+                out["layout"] = layout
+
+        def ns(df_ns: str) -> DataFrame:
+            return (
+                self.df()
+                .where(F.col("namespace") == df_ns)
+                .select("ordinal", "data")
+            )
+
+        if layout is not None and "metadata_content" in present:
+            out["metadata_content"] = metadata_content_view(ns("metadata_content"), layout)
+        if "result_indices" in present:
+            out["result_indices"] = result_indices_view(ns("result_indices"))
+        if "predicates" in present:
+            out["predicates"] = predicates_view(ns("predicates"))
+        return out
