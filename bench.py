@@ -65,6 +65,17 @@ def main() -> None:
         )
 
     qs["knn_cosine_topk"] = knn_cosine_topk_gemm
+
+    # Same reasoning for MinHash: the gate runs the portable md5 expr path so
+    # DuckDB can replicate the banding; the bench measures the vectorized
+    # numpy kernel (the 100TB path).
+    def minhash_candidate_pairs_numpy(spark, sf_dir):
+        from nbdatatools_spark.operators.dedup import minhash_lsh_candidates
+
+        docs = entrymod._t(spark, sf_dir, "documents")
+        return minhash_lsh_candidates(docs, num_hashes=32, bands=8, shingle_size=5)
+
+    qs["minhash_candidate_pairs"] = minhash_candidate_pairs_numpy
     # warm the JVM/codegen path AND the Arrow/Python worker pool once so
     # per-query timings measure the plan, not first-call JIT or worker
     # fork+import (reference practice: JITMaturityGuard.java:59-75).

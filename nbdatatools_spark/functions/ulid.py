@@ -55,14 +55,18 @@ def ulid_timestamp_ms(data_or_text: bytes | str) -> int:
 def ulid_timestamp_col(col: Column) -> Column:
     """Column version: canonical-ULID string -> TIMESTAMP. The 10-char time
     prefix decodes with a base32 polynomial — pure Catalyst (aggregate over a
-    10-char split), no UDF."""
-    chars = F.split(F.upper(F.substring(col, 1, 10)), "")
+    10-char split), no UDF.
+
+    Crockford alias chars I/L/O translate to 1/1/0 (same as the driver-side
+    ulid_decode); any OTHER character outside the alphabet yields NULL, not a
+    silently-wrong timestamp (ADVICE r1 — the old coalesce mapped invalid
+    chars to 0)."""
+    prefix = F.translate(F.upper(F.substring(col, 1, 10)), "ILO", "110")
+    chars = F.filter(F.split(prefix, ""), lambda c: c != "")
     idx = F.transform(
         chars,
-        lambda c: F.coalesce(
-            F.nullif(F.instr(F.lit(_ALPHABET), c).cast("long") - 1, F.lit(-1)),
-            F.lit(0),
-        ),
+        lambda c: F.nullif(F.instr(F.lit(_ALPHABET), c).cast("long") - 1, F.lit(-1)),
     )
+    # NULL indices propagate through the polynomial -> NULL timestamp
     ms = F.aggregate(idx, F.lit(0).cast("long"), lambda acc, x: acc * 32 + x)
     return F.timestamp_millis(ms)

@@ -64,11 +64,17 @@ def global_row_index(
     unpartitioned ``Window.orderBy`` serialized the whole table through one
     reducer; this runs at any scale).
 
-    Two phases over a range-partitioned, partition-sorted frame:
+    Two phases over ONE range-partitioned, partition-sorted frame:
     1. partition-local index = low 33 bits of monotonically_increasing_id()
        (Spark's contract: id = partitionId * 2^33 + rowInPartition);
-    2. per-partition row counts (a P-row aggregate) -> cumulative offsets,
-       broadcast-joined back on partition id.
+    2. per-partition row counts -> running offsets (a window over the P-row
+       count table only), broadcast-joined back on partition id.
+
+    Both branches reference the SAME range-partition Exchange subtree, so the
+    physical plan materializes the shuffle once and reads it twice
+    (ReusedExchange) — no checkpoint, no driver collect, single action.
+    The only unpartitioned window runs over P rows (one per partition), not
+    the data.
 
     ``order_cols`` must be a total order (unique key tuples) — with ties the
     index assignment within a tie group is partition-dependent, exactly as
@@ -76,27 +82,25 @@ def global_row_index(
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     n_part = max(int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")), 1)
-    ordered = (
+    with_local = (
         df.repartitionByRange(n_part, *cols)
         .sortWithinPartitions(*cols)
-        .localCheckpoint(eager=False)  # reused by the count job AND the output
+        .select(
+            "*",
+            F.spark_partition_id().alias("__pid"),
+            (F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))).alias(
+                "__local"
+            ),
+        )
     )
-    with_local = ordered.select(
-        "*",
-        F.spark_partition_id().alias("__pid"),
-        (F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))).alias("__local"),
-    )
-    counts = with_local.groupBy("__pid").agg(F.count("*").alias("__cnt")).collect()
-    offsets, acc = {}, 0
-    for r in sorted(counts, key=lambda r: r["__pid"]):
-        offsets[r["__pid"]] = acc
-        acc += r["__cnt"]
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(
-        [(int(p), int(o)) for p, o in offsets.items()], "__pid INT, __off BIGINT"
+    woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        with_local.groupBy("__pid")
+        .agg(F.count("*").alias("__cnt"))
+        .select("__pid", F.coalesce(F.sum("__cnt").over(woff), F.lit(0)).alias("__off"))
     )
     return (
-        with_local.join(F.broadcast(off_df), "__pid")
+        with_local.join(F.broadcast(offs), "__pid")
         .withColumn(out, (F.col("__off") + F.col("__local")).cast("bigint"))
         .drop("__pid", "__local", "__off")
     )

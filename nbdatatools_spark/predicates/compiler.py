@@ -52,6 +52,16 @@ def _leaf_to_column(leaf: PredicateLeaf, col: Column) -> Column:
         # Pattern.matches is full-match (PredicateEvaluator.java:207);
         # rlike is find() — anchor with a non-capturing group.
         return col.rlike(f"^(?:{first})$")
+    # IntVal comparand: the reference narrows the FIELD value to long
+    # (fieldVal.longValue(), truncation toward zero — PredicateEvaluator.
+    # java:148-150), so field=45.5 GT 45 is FALSE there. Spark would instead
+    # widen the long literal to double. Cast the column to long to match
+    # (Spark's double->long cast also truncates toward zero). The cast is a
+    # no-op (elided) on integral columns; on double columns it trades parquet
+    # pushdown for exact reference semantics — use float comparands when you
+    # want a pushable range scan over doubles. (ADVICE r1.)
+    if isinstance(first, int) and not isinstance(first, bool):
+        col = col.cast("long")
     if op == "IN":
         return col.isin([v for v in leaf.values if v is not None])
     cmp = {

@@ -156,8 +156,21 @@ class DatasetManifest:
 
     def __init__(self, root: str, data: dict):
         self.root = root
+        self._data = data
         self.attributes: dict = dict(data.get("attributes") or {})
         self.name: str = data.get("name") or os.path.basename(os.path.normpath(root))
+        # variables: inline section first, then variables.yaml overlay wins
+        # (TestDataGroup.java:129-150 — both coerced to string values)
+        self.variables: dict[str, str] = {
+            str(k): str(v) for k, v in (data.get("variables") or {}).items()
+        }
+        overlay_path = os.path.join(root, "variables.yaml")
+        if os.path.exists(overlay_path):
+            with open(overlay_path) as f:
+                otext = f.read()
+            overlay = yaml.safe_load(otext) if _HAVE_YAML else json.loads(otext)
+            if isinstance(overlay, dict):
+                self.variables.update({str(k): str(v) for k, v in overlay.items()})
         raw_profiles: dict = dict(data.get("profiles") or {})
         # pass 1: default
         self.profiles: dict[str, Profile] = {}
@@ -198,6 +211,33 @@ class DatasetManifest:
                 continue
             facets[kind] = FacetSpec.parse(spec)
         return Profile(name, facets)
+
+    def get_variable(self, name: str, default: str | None = None) -> str | None:
+        """Variable lookup after the variables.yaml overlay pass
+        (TestDataGroup.java:188-216)."""
+        return self.variables.get(name, default)
+
+    def attr(self, spec: str):
+        """Typed attribute lookup by attribute specifier (AttrSpec syntax,
+        attribute_syntax_v1.md): ``license`` / ``:license`` read from
+        /attributes; an explicit path like ``/attributes/license`` or
+        ``/variables/token`` walks the manifest sections. String leaves are
+        parsed through AttrValue type inference; non-strings pass through."""
+        from nbdatatools_spark.functions.attrs import AttrSpec, AttrValue
+
+        s = AttrSpec.parse(spec)
+        node: object = self._data
+        if s.path in ("", "/"):
+            node = self._data.get("attributes") or {}
+        else:
+            for seg in s.path.strip("/").split("/"):
+                if not isinstance(node, dict) or seg not in node:
+                    raise KeyError(f"no manifest section {s.path!r}")
+                node = node[seg]
+        if not isinstance(node, dict) or s.attr not in node:
+            raise KeyError(f"no attribute {s.attr!r} at {s.path!r}")
+        v = node[s.attr]
+        return AttrValue.parse(v).value if isinstance(v, str) else v
 
     def profile(self, name: str | None = None) -> Profile:
         """Name normalization per TestDataGroup.java:242-260: 'a:b:c' resolves

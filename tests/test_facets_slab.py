@@ -58,17 +58,18 @@ def test_slab_rejects_bad_schema(spark, tmp_path):
 def test_sqlite_predicate_store(spark, tmp_path):
     db = str(tmp_path / "preds.db")
     con = sqlite3.connect(db)
-    con.execute("CREATE TABLE metadata_predicates (ordinal INTEGER PRIMARY KEY, data BLOB)")
-    con.execute("CREATE TABLE predicate_results (ordinal INTEGER PRIMARY KEY, data BLOB)")
+    # the backend's actual table names (SQLitePredicateWriter.java:73-76)
+    con.execute("CREATE TABLE predicates (ordinal INTEGER PRIMARY KEY, data BLOB)")
+    con.execute("CREATE TABLE result_indices (ordinal INTEGER PRIMARY KEY, data BLOB)")
     for i in range(20):
-        con.execute("INSERT INTO metadata_predicates VALUES (?, ?)", (i, bytes([i])))
-        con.execute("INSERT INTO predicate_results VALUES (?, ?)", (i, bytes([i, i])))
+        con.execute("INSERT INTO predicates VALUES (?, ?)", (i, bytes([i])))
+        con.execute("INSERT INTO result_indices VALUES (?, ?)", (i, bytes([i, i])))
     con.commit()
     con.close()
     tables = read_predicate_store(spark, db)
-    assert set(tables) == {"metadata_predicates", "predicate_results"}
-    assert tables["metadata_predicates"].count() == 20
-    row = tables["predicate_results"].where(F.col("ordinal") == 3).collect()[0]
+    assert set(tables) == {"predicates", "result_indices"}
+    assert tables["predicates"].count() == 20
+    row = tables["result_indices"].where(F.col("ordinal") == 3).collect()[0]
     assert bytes(row["data"]) == bytes([3, 3])
 
 
@@ -159,3 +160,23 @@ def test_ulid_roundtrip_and_timestamp(spark):
     df = spark.createDataFrame([(text,)], "u STRING")
     ts = df.select(ulid_timestamp_col(F.col("u")).alias("ts")).collect()[0]["ts"]
     assert int(ts.timestamp() * 1000) == 1469918176385
+
+
+def test_ulid_timestamp_col_aliases_and_invalid(spark):
+    """Column and driver decoders agree on Crockford aliases (I/L/O -> 1/1/0)
+    and the Column decoder yields NULL (not a wrong value) for invalid chars
+    (ADVICE r1)."""
+    raw = (1469918176385).to_bytes(6, "big") + bytes(range(10))
+    text = ulid_encode(raw)
+    # swap 0 -> O and 1 -> I in the time prefix (alias chars)
+    aliased = text[:10].replace("0", "O").replace("1", "I") + text[10:]
+    assert ulid_timestamp_ms(aliased) == 1469918176385  # driver side accepts
+    df = spark.createDataFrame([(aliased,), ("U" * 26,)], "u STRING")
+    got = [
+        r["ts"]
+        for r in df.select(ulid_timestamp_col(F.col("u")).alias("ts"))
+        .orderBy(F.col("ts").asc_nulls_last())
+        .collect()
+    ]
+    assert int(got[0].timestamp() * 1000) == 1469918176385
+    assert got[1] is None  # 'U' is not in the alphabet -> NULL

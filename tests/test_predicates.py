@@ -175,6 +175,33 @@ PREDS = [
 ]
 
 
+def test_int_comparand_truncates_field_like_reference(meta):
+    """PredicateEvaluator.java:148-150: an IntVal comparand narrows the FIELD
+    value via Number.longValue() (truncation toward zero), so 0.75 GT 0 is
+    FALSE in the reference (0 > 0) — unlike SQL's widening, where it's true.
+    (ADVICE r1: the compiler previously widened like SQL.)"""
+    node = parse_pnode({"fieldName": "score", "op": "GT", "values": [0]})
+    got = sorted(
+        r[0] for r in meta.where(compile_pnode(node, meta.columns)).select("ordinal").collect()
+    )
+    # only score=1.0 truncates to 1 > 0; every fractional score truncates to 0
+    assert got == [4]
+    # EQ through truncation: score 0.5 EQ 0 matches (long(0.5) == 0)
+    node_eq = parse_pnode({"fieldName": "score", "op": "EQ", "values": [0]})
+    got_eq = sorted(
+        r[0]
+        for r in meta.where(compile_pnode(node_eq, meta.columns)).select("ordinal").collect()
+    )
+    assert got_eq == [0, 1, 2, 3, 5]
+    # float comparand keeps SQL widening: 0.75 > 0.0 is true
+    node_f = parse_pnode({"fieldName": "score", "op": "GT", "values": [0.0]})
+    got_f = sorted(
+        r[0]
+        for r in meta.where(compile_pnode(node_f, meta.columns)).select("ordinal").collect()
+    )
+    assert got_f == [0, 1, 2, 4, 5]
+
+
 def test_differential_vs_duckdb(meta):
     con = duckdb.connect()
     con.execute(

@@ -91,6 +91,78 @@ def test_manifest_sized_and_name_normalization(spark, dataset_dir):
 
 # --- catalog -------------------------------------------------------------
 
+def test_attr_syntax_value_types():
+    """ValueType.fromLiteral:144-176 + suffix parsing + range enforcement."""
+    from nbdatatools_spark.functions.attrs import (
+        AttrSet,
+        AttrSpec,
+        AttrValue,
+        ValueType,
+        value_type_of,
+    )
+
+    cases = {
+        "42b": (ValueType.BYTE, 42),
+        "42s": (ValueType.SHORT, 42),
+        "42": (ValueType.INT, 42),
+        "42i": (ValueType.INT, 42),
+        "42L": (ValueType.LONG, 42),
+        "1234567890": (ValueType.LONG, 1234567890),  # >=10 digits
+        "4.25": (ValueType.FLOAT, 4.25),
+        "1234.5678": (ValueType.DOUBLE, 1234.5678),  # >7 digits
+        "4.25f": (ValueType.FLOAT, 4.25),
+        "4.25d": (ValueType.DOUBLE, 4.25),
+        "-17": (ValueType.INT, -17),
+        "hello": (ValueType.STRING, "hello"),
+    }
+    for lit, (vt, val) in cases.items():
+        av = AttrValue.parse(lit)
+        assert (av.type, av.value) == (vt, val), lit
+        assert value_type_of(lit) == vt
+    # explicit type hint overrides inference
+    av = AttrValue.parse("(string)42")
+    assert (av.type, av.value) == (ValueType.STRING, "42")
+    with pytest.raises(ValueError, match="overflows byte"):
+        AttrValue.parse("300b")
+    with pytest.raises(ValueError, match="unknown value type"):
+        AttrValue.parse("(frob)42")
+    # attr specs: optional section path, [:.] separator
+    assert AttrSpec.parse("license") == AttrSpec("/", "license")
+    assert AttrSpec.parse("/attributes/license".replace("/license", ":license")) == AttrSpec(
+        "/attributes", "license"
+    )
+    s = AttrSet.parse("/attributes:dims = 128")
+    assert s.spec == AttrSpec("/attributes", "dims") and s.value.value == 128
+
+
+def test_manifest_variables_overlay_and_typed_attrs(tmp_path, dataset_dir):
+    """TestDataGroup.java:129-150: inline variables section first, then
+    variables.yaml overlay wins; plus typed attribute access."""
+    import pathlib
+
+    p = pathlib.Path(dataset_dir)
+    (p / "dataset.yaml").write_text(
+        (p / "dataset.yaml").read_text().replace(
+            "attributes:",
+            "variables:\n  token: inline\n  keep: yes\nattributes:\n  dims: 128\n",
+        )
+    )
+    (p / "variables.yaml").write_text("token: overlaid\nextra: added\n")
+    m = load_dataset(dataset_dir)
+    assert m.get_variable("token") == "overlaid"  # overlay wins
+    assert m.get_variable("keep") == "True"  # inline survives, stringified
+    assert m.get_variable("extra") == "added"
+    assert m.get_variable("missing", "dflt") == "dflt"
+    # typed attributes: ints infer, strings pass through typed parse
+    assert m.attr("dims") == 128
+    assert m.attr("vendor") == "acme"
+    assert m.attr("/attributes:dims") == 128
+    # explicit path walks the RAW manifest section (pre-overlay by design)
+    assert m.attr("/variables:token") == "inline"
+    with pytest.raises(KeyError):
+        m.attr("nonexistent")
+
+
 def test_catalog_lookup(tmp_path):
     data = [
         {"name": "glove-25", "url": "u1"},
