@@ -795,9 +795,16 @@ def orders_running_total(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def ann_lsh_topk(spark, sf_dir):
+    """Approximate cosine top-k via random-hyperplane LSH buckets. The
+    hyperplanes are seeded and inlined as literals, so the ENTIRE algorithm
+    (signatures, bucket join, ranking) is replicated in generated DuckDB SQL
+    — promoted from rows-only (VERDICT next-round #3)."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 20)
-    return lsh_topk(q, emb, k=10, dim=64, n_bits=8)
+    out = lsh_topk(q, emb, k=10, dim=64, n_bits=8)
+    return out.select(
+        "query_id", "rank", "base_id", (F.round("distance", 6) + 0.0).alias("distance")
+    ).orderBy("query_id", "rank")
 
 
 def minhash_candidate_pairs(spark, sf_dir):
@@ -1053,6 +1060,43 @@ def _simhash_oracle(max_hamming: int = 8, k: int = 4) -> str:
         FROM s a JOIN s b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
         ORDER BY id_a, id_b
+    """
+
+
+def _ann_lsh_oracle(k: int = 10, dim: int = 64, n_bits: int = 8, seed: int = 42) -> str:
+    """DuckDB replica of lsh_topk: the seeded hyperplanes are generated with
+    the SAME driver-side RNG and inlined as array literals, so signatures,
+    bucket equi-join, cosine distances, and the (dist, bid) tie-break all
+    reproduce bit-for-bit."""
+    from nbdatatools_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_bits, seed)
+    sig_terms = " + ".join(
+        "(CASE WHEN list_inner_product(e, [{vals}]) > 0 THEN {bit} ELSE 0 END)".format(
+            vals=", ".join(repr(float(x)) for x in plane), bit=1 << j
+        )
+        for j, plane in enumerate(planes)
+    )
+    return f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        s AS (SELECT vec_id, e, ({sig_terms}) AS sig FROM v),
+        q AS (SELECT vec_id AS qid, e AS qe, sig FROM s WHERE vec_id < 20),
+        pairs AS (
+            SELECT q.qid, s.vec_id AS bid,
+                   1 - list_inner_product(q.qe, s.e)
+                       / (sqrt(list_inner_product(q.qe, q.qe))
+                          * sqrt(list_inner_product(s.e, s.e))) AS dist
+            FROM q JOIN s ON q.sig = s.sig),
+        ranked AS (
+            SELECT qid, bid, dist,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY dist ASC NULLS LAST, bid ASC) AS rn
+            FROM pairs)
+        SELECT qid AS query_id, CAST(rn AS INT) AS rank, bid AS base_id,
+               round(dist, 6) + 0.0 AS distance
+        FROM ranked WHERE rn <= {k}
+        ORDER BY query_id, rank
     """
 
 
@@ -1481,6 +1525,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_candidate_pairs": _minhash_oracle(),
         "simhash_pairs": _simhash_oracle(),
         "ks_normal_embeddings": _ks_normal_oracle(),
+        "ann_lsh_topk": _ann_lsh_oracle(),
         # verify_knn invariant (README.md:54 `verify_knn`): exact KNN verified
         # against itself must have recall exactly 1.0 for every query — the
         # oracle derives the expected (1.0, n_queries) pair from the data.

@@ -1,12 +1,19 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata
 (beyond-reference extension, SURVEY §7.8).
 
-The Spark-side plumbing is real — schemas, Arrow batch shapes, partitioning,
-UDF signatures, tested end-to-end. The codec step is STUBBED: this container
-has no image/audio libraries, so ``decode`` uses a deterministic fake decoder
-(content-hash-seeded pixels) unless a real backend (PIL/soundfile) imports,
-in which case it is used. Downstream operators (resize, feature extraction,
-frame sampling) consume the decoder's output and are fully real.
+Media travel as ``(media_id, kind, data BINARY, meta STRUCT)`` rows; decode /
+resize / feature-extract / frame-sample run as Arrow-batched mapInPandas
+kernels over them.
+
+Codec status (functions/media_codecs.py):
+- REAL, dependency-free: BMP (uncompressed 24/32-bit), WAV (RIFF PCM16),
+  RVID raw frame-packed video, raw uint8 bitmaps/PCM buffers, block-mean
+  resize (integral-image pooling).
+- Compressed formats (JPEG/PNG/...) decode through PIL WHEN IMPORTABLE;
+  otherwise the operator raises NotImplementedError for them — it never
+  fakes success on real media.
+- ``image/fake`` is an EXPLICIT synthetic kind (content-hash-seeded pixels)
+  for datagen pipelines, not a fallback.
 
 Schemas:
   media table:   (media_id BIGINT, kind STRING, data BINARY,
@@ -25,12 +32,19 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nbdatatools_spark.functions.media_codecs import (
+    block_mean_resize,
+    decode_bmp,
+    decode_rvid,
+    decode_wav,
+)
+
 MEDIA_SCHEMA = (
     "media_id BIGINT, kind STRING, data BINARY, "
     "meta STRUCT<width INT, height INT, channels INT, sample_rate INT, duration_ms BIGINT>"
 )
 
-try:  # real decoder when available
+try:  # optional compressed-format decoder
     from PIL import Image  # noqa: F401
 
     _HAVE_PIL = True
@@ -39,12 +53,39 @@ except ImportError:
 
 
 def _fake_decode_image(data: bytes, width: int, height: int, channels: int) -> np.ndarray:
-    """Deterministic stand-in for a real image codec: pixels are a pure
-    function of the content hash. Keeps every downstream shape/aggregate
-    testable without PIL. Marked clearly as a stub."""
+    """EXPLICIT synthetic decoder (kind='image/fake'): pixels are a pure
+    function of the content hash — deterministic datagen, not a codec."""
     seed = int.from_bytes(hashlib.sha256(data).digest()[:8], "little")
     rng = np.random.Generator(np.random.Philox(key=seed))
     return rng.integers(0, 256, size=(height, width, channels), dtype=np.uint8)
+
+
+def decode_image(data: bytes, kind: str, meta) -> np.ndarray:
+    """Dispatch: BMP magic -> real numpy decoder; image/raw -> meta-shaped
+    uint8 buffer; image/fake -> synthetic; anything else -> PIL when
+    importable, else NotImplementedError."""
+    if data[:2] == b"BM":
+        return decode_bmp(bytes(data))
+    if kind == "image/raw":
+        w, h, c = int(meta["width"]), int(meta["height"]), int(meta["channels"] or 1)
+        arr = np.frombuffer(bytes(data), dtype=np.uint8)
+        if arr.size != w * h * c:
+            raise ValueError(f"image/raw: {arr.size} bytes != {h}x{w}x{c}")
+        return arr.reshape(h, w, c)
+    if kind == "image/fake":
+        return _fake_decode_image(
+            bytes(data), int(meta["width"] or 16), int(meta["height"] or 16),
+            int(meta["channels"] or 3),
+        )
+    if _HAVE_PIL:
+        import io
+
+        img = np.asarray(Image.open(io.BytesIO(bytes(data))))
+        return img[:, :, None] if img.ndim == 2 else img
+    raise NotImplementedError(
+        f"no decoder for {kind!r} in this environment (BMP/raw are built in; "
+        "compressed formats need PIL)"
+    )
 
 
 def decode_image_features(
@@ -52,45 +93,19 @@ def decode_image_features(
     out_size: tuple[int, int] = (8, 8),
     grayscale: bool = True,
 ) -> DataFrame:
-    """(media_id, feature ARRAY<FLOAT>): decode -> resize -> flatten.
-
-    mapInPandas, one Arrow batch at a time; resize via block-mean pooling
-    (numpy, real); decode via PIL when importable else the deterministic
-    fake (STUB — see module docstring).
-    """
+    """(media_id, feature ARRAY<FLOAT>): decode -> block-mean resize ->
+    flatten, one Arrow batch at a time. Resize is the vectorized
+    integral-image pooling from media_codecs (no per-block Python loop)."""
     ow, oh = out_size
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
-            for _, row in pdf.iterrows():
-                meta = row["meta"]
-                w = int(meta["width"] or 16)
-                h = int(meta["height"] or 16)
-                c = int(meta["channels"] or 3)
-                if _HAVE_PIL:
-                    import io
-
-                    try:
-                        img = np.asarray(Image.open(io.BytesIO(row["data"])))
-                        if img.ndim == 2:
-                            img = img[:, :, None]
-                    except Exception:
-                        img = _fake_decode_image(bytes(row["data"]), w, h, c)
-                else:
-                    img = _fake_decode_image(bytes(row["data"]), w, h, c)
+            for data, kind, meta in zip(pdf["data"], pdf["kind"], pdf["meta"]):
+                img = decode_image(data, kind, meta).astype(np.float64)
                 if grayscale:
-                    img = img.mean(axis=2, keepdims=True)
-                # block-mean resize to (oh, ow) — real math, no codec needed
-                hh, ww = img.shape[:2]
-                ys = (np.arange(oh + 1) * hh // oh).astype(int)
-                xs = (np.arange(ow + 1) * ww // ow).astype(int)
-                pooled = np.empty((oh, ow), dtype=np.float32)
-                for yi in range(oh):
-                    for xi in range(ow):
-                        block = img[ys[yi] : max(ys[yi + 1], ys[yi] + 1),
-                                    xs[xi] : max(xs[xi + 1], xs[xi] + 1)]
-                        pooled[yi, xi] = float(block.mean())
+                    img = img.mean(axis=2)
+                pooled = block_mean_resize(img, (oh, ow))
                 feats.append((pooled / 255.0).ravel().astype(np.float32))
             yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
 
@@ -102,32 +117,72 @@ def sample_audio_frames(
 ) -> DataFrame:
     """(media_id, frame_index INT, rms DOUBLE): frame-sample an audio blob.
 
-    Audio decode is STUBBED as int16 PCM interpretation of the raw bytes
-    (NotImplementedError for compressed kinds) — the framing/windowing math
-    and the exploded output shape are real.
-    """
+    audio/wav decodes through the real RIFF PCM16 parser (sample rate and
+    channel count from the header, channels mixed to mono); audio/pcm16 is a
+    raw int16 buffer at meta.sample_rate. Compressed kinds raise
+    NotImplementedError (no audio libs in this container)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, rms = [], [], []
-            for _, row in pdf.iterrows():
-                if row["kind"] not in ("audio/pcm16", "audio"):
+            for mid, kind, data, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["data"], pdf["meta"]
+            ):
+                if kind == "audio/wav" or bytes(data[:4]) == b"RIFF":
+                    samples, sr = decode_wav(bytes(data))
+                    pcm = samples.astype(np.float64).mean(axis=1)
+                elif kind in ("audio/pcm16", "audio"):
+                    sr = int(meta["sample_rate"] or 16000)
+                    pcm = np.frombuffer(bytes(data), dtype="<i2").astype(np.float64)
+                else:
                     raise NotImplementedError(
-                        f"audio codec for {row['kind']!r} not available in this "
-                        "environment (STUB: only raw pcm16 supported)"
+                        f"audio codec for {kind!r} not available in this "
+                        "environment (wav/pcm16 are built in)"
                     )
-                sr = int(row["meta"]["sample_rate"] or 16000)
-                pcm = np.frombuffer(bytes(row["data"]), dtype="<i2").astype(np.float64)
                 frame_len = max(int(sr * frame_ms / 1000), 1)
                 n = min(len(pcm) // frame_len, max_frames)
                 for i in range(n):
                     seg = pcm[i * frame_len : (i + 1) * frame_len]
-                    ids.append(row["media_id"])
+                    ids.append(mid)
                     idxs.append(i)
                     rms.append(float(np.sqrt(np.mean(seg * seg))))
             yield pd.DataFrame({"media_id": ids, "frame_index": idxs, "rms": rms})
 
     return media.mapInPandas(run, "media_id BIGINT, frame_index INT, rms DOUBLE")
+
+
+def sample_video_frames(
+    media: DataFrame,
+    every_n: int = 2,
+    out_size: tuple[int, int] = (4, 4),
+    max_frames: int = 32,
+) -> DataFrame:
+    """(media_id, frame_index INT, feature ARRAY<FLOAT>): sample every n-th
+    frame of an RVID container and pool each to a grayscale feature. Real
+    end-to-end for RVID; other containers raise NotImplementedError."""
+    ow, oh = out_size
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, feats = [], [], []
+            for mid, kind, data in zip(pdf["media_id"], pdf["kind"], pdf["data"]):
+                if bytes(data[:4]) != b"RVID":
+                    raise NotImplementedError(
+                        f"video codec for {kind!r} not available (RVID built in)"
+                    )
+                frames = decode_rvid(bytes(data))
+                picked = list(range(0, len(frames), max(every_n, 1)))[:max_frames]
+                for fi in picked:
+                    img = frames[fi].astype(np.float64).mean(axis=2)
+                    pooled = block_mean_resize(img, (oh, ow))
+                    ids.append(mid)
+                    idxs.append(fi)
+                    feats.append((pooled / 255.0).ravel().astype(np.float32))
+            yield pd.DataFrame({"media_id": ids, "frame_index": idxs, "feature": feats})
+
+    return media.mapInPandas(
+        run, "media_id BIGINT, frame_index INT, feature ARRAY<FLOAT>"
+    )
 
 
 def media_stats(media: DataFrame) -> DataFrame:

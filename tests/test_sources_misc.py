@@ -272,35 +272,104 @@ def test_integrity_verify_catches_corruption(spark, tmp_path):
 
 # --- multimodal plumbing -------------------------------------------------
 
-def test_multimodal_image_features(spark):
-    from nbdatatools_spark.operators.multimodal import MEDIA_SCHEMA, decode_image_features, media_stats
+def test_bmp_wav_rvid_codecs_roundtrip():
+    """Real dependency-free codecs: BMP 24/32-bit, WAV PCM16, RVID."""
+    from nbdatatools_spark.functions.media_codecs import (
+        block_mean_resize,
+        decode_bmp,
+        decode_rvid,
+        decode_wav,
+        encode_bmp,
+        encode_rvid,
+        encode_wav,
+    )
 
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(13, 7, 3), dtype=np.uint8)  # odd stride
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+    rgba = rng.integers(0, 256, size=(5, 5, 4), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(rgba)), rgba)
+    pcm = rng.integers(-3000, 3000, size=(1000, 2)).astype("<i2")
+    back, sr = decode_wav(encode_wav(pcm, 8000))
+    assert sr == 8000 and np.array_equal(back, pcm)
+    frames = rng.integers(0, 256, size=(6, 8, 8, 3), dtype=np.uint8)
+    assert np.array_equal(decode_rvid(encode_rvid(frames)), frames)
+    # block-mean pooling matches a hand mean on a uniform grid
+    flat = np.full((8, 8), 10.0)
+    assert np.allclose(block_mean_resize(flat, (2, 2)), 10.0)
+
+
+def test_multimodal_image_features(spark):
+    from nbdatatools_spark.functions.media_codecs import encode_bmp
+    from nbdatatools_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image_features,
+        media_stats,
+    )
+
+    meta = {"width": 16, "height": 16, "channels": 3, "sample_rate": None, "duration_ms": None}
+    # 2 real BMPs with KNOWN constant pixels + 2 raw bitmaps
     rows = [
-        (i, "image/raw", bytes([i]) * 64, {"width": 16, "height": 16, "channels": 3,
-                                           "sample_rate": None, "duration_ms": None})
-        for i in range(4)
+        (0, "image/bmp", encode_bmp(np.full((16, 16, 3), 255, np.uint8)), meta),
+        (1, "image/bmp", encode_bmp(np.zeros((16, 16, 3), np.uint8)), meta),
+        (2, "image/raw", bytes([128]) * (16 * 16 * 3), meta),
+        (3, "image/raw", bytes([64]) * (16 * 16 * 3), meta),
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
-    feats = decode_image_features(media, out_size=(4, 4)).collect()
-    assert len(feats) == 4 and all(len(r["feature"]) == 16 for r in feats)
-    # deterministic fake decode: same bytes -> same feature
-    again = decode_image_features(media, out_size=(4, 4)).collect()
-    assert [r["feature"] for r in feats] == [r["feature"] for r in again]
-    stats = media_stats(media).collect()[0]
-    assert stats["kind"] == "image/raw" and stats["n"] == 4
+    feats = {r["media_id"]: r["feature"] for r in decode_image_features(media, out_size=(4, 4)).collect()}
+    assert all(len(f) == 16 for f in feats.values())
+    # decoded values are EXACT, not hash-fakes
+    assert all(abs(x - 1.0) < 1e-6 for x in feats[0])
+    assert all(abs(x) < 1e-6 for x in feats[1])
+    assert all(abs(x - 128 / 255) < 1e-6 for x in feats[2])
+    stats = {r["kind"]: r for r in media_stats(media).collect()}
+    assert stats["image/raw"]["n"] == 2
+    # unknown compressed format without PIL -> loud NotImplementedError
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        bad = spark.createDataFrame([(9, "image/jpeg", b"\xff\xd8\xff\xe0junk", meta)], MEDIA_SCHEMA)
+        with pytest.raises(Exception, match="no decoder|NotImplemented"):
+            decode_image_features(bad).collect()
+
+
+def test_multimodal_video_frames(spark):
+    from nbdatatools_spark.functions.media_codecs import encode_rvid
+    from nbdatatools_spark.operators.multimodal import MEDIA_SCHEMA, sample_video_frames
+
+    frames = np.stack([np.full((8, 8, 3), 10 * i, np.uint8) for i in range(6)])
+    rows = [(0, "video/rvid", encode_rvid(frames),
+             {"width": 8, "height": 8, "channels": 3, "sample_rate": None, "duration_ms": 200})]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = sample_video_frames(media, every_n=2, out_size=(2, 2)).collect()
+    assert [r["frame_index"] for r in out] == [0, 2, 4]
+    # frame 4 is constant 40 -> pooled feature 40/255 everywhere
+    f4 = [r for r in out if r["frame_index"] == 4][0]["feature"]
+    assert all(abs(x - 40 / 255) < 1e-6 for x in f4)
 
 
 def test_multimodal_audio_frames(spark):
     from nbdatatools_spark.operators.multimodal import MEDIA_SCHEMA, sample_audio_frames
 
-    pcm = (np.sin(np.linspace(0, 100, 16000)) * 3000).astype("<i2").tobytes()
-    rows = [(0, "audio/pcm16", pcm, {"width": None, "height": None, "channels": None,
-                                     "sample_rate": 16000, "duration_ms": 1000})]
+    from nbdatatools_spark.functions.media_codecs import encode_wav
+
+    sig = (np.sin(np.linspace(0, 100, 16000)) * 3000).astype("<i2")
+    meta = {"width": None, "height": None, "channels": None,
+            "sample_rate": 16000, "duration_ms": 1000}
+    rows = [
+        (0, "audio/pcm16", sig.tobytes(), meta),
+        # real RIFF/WAVE container: sample rate read from the fmt chunk, so
+        # meta sample_rate is deliberately wrong here and must be ignored
+        (1, "audio/wav", encode_wav(sig, 16000), {**meta, "sample_rate": 1}),
+    ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     frames = sample_audio_frames(media, frame_ms=100).collect()
-    assert len(frames) == 10 and all(r["rms"] > 0 for r in frames)
-    bad = spark.createDataFrame(
-        [(1, "audio/mp3", b"x", rows[0][3])], MEDIA_SCHEMA
-    )
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r["rms"])
+    assert len(by_id[0]) == 10 and all(v > 0 for v in by_id[0])
+    # wav path decodes the same samples -> identical frame RMS values
+    assert by_id[1] == by_id[0]
+    bad = spark.createDataFrame([(2, "audio/mp3", b"x", meta)], MEDIA_SCHEMA)
     with pytest.raises(Exception):
         sample_audio_frames(bad).collect()
