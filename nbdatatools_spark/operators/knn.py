@@ -64,10 +64,15 @@ def exact_knn(
       last float64 bits. Queries exceeding the broadcast cap are processed
       in bounded blocks automatically.
     - ``"expr"``: pure Catalyst zip_with/aggregate distance inside the
-      broadcast crossJoin, ranked by an unpartitioned-by-batch window — the
-      window shuffles ALL Q*B pair rows on __qid (VERDICT r1 #3), so this is
-      the ORACLE path only: bit-reproducible against sequential-sum SQL
-      oracles on small/medium Q*B, never the 100TB plan.
+      broadcast crossJoin, ranked by a row_number window. Catalyst inserts
+      ``WindowGroupLimit ... Partial`` BELOW the exchange (SPARK-37099, the
+      rank-limit pushdown), so each map task keeps only its local top-k per
+      query before shuffling — the exchange carries <= Q*k rows per input
+      partition, not the Q*B cross product (pinned by
+      tests/test_plans.py::test_expr_knn_window_has_partial_group_limit).
+      Still the ORACLE path: the scalar fold distance is bit-reproducible
+      against sequential-sum SQL oracles, but it is ~100x slower than the
+      BLAS kernel at reference scale, so gemm remains the default.
     """
     if impl == "gemm":
         return _exact_knn_gemm(

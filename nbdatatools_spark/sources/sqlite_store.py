@@ -62,6 +62,81 @@ def read_predicate_store(spark: SparkSession, db_path: str) -> dict[str, DataFra
     }
 
 
+def write_predicate_store(
+    db_path: str,
+    layout,
+    metadata_content: "DataFrame | list[tuple[int, dict]]",
+    predicates: "list[tuple[int, object]] | None" = None,
+    result_indices: "DataFrame | list[tuple[int, list[int]]] | None" = None,
+    ordinal: str = "ordinal",
+) -> None:
+    """Write a reference-consumable SQLite predicate store
+    (SQLitePredicateWriter.java:73-92 DDL + blob wire formats) — the WRITE
+    direction of S9, so engine-computed facets (e.g. result_indices_table
+    output) round-trip into the reference toolchain.
+
+    ``metadata_content``: DataFrame with ``ordinal`` + layout field columns,
+    or pre-built (ordinal, record-dict) pairs. ``predicates``: (ordinal,
+    PNode-or-JSON). ``result_indices``: DataFrame (ordinal, indices) or
+    pairs. Stores are metadata-sized by contract (one row per query), so
+    assembly is driver-side; compute the FACETS distributed first.
+    """
+    from nbdatatools_spark.predicates.pnode import parse_pnode
+    from nbdatatools_spark.predicates.wire import encode_pnode
+    from nbdatatools_spark.sources.metadata_codec import (
+        encode_record,
+        encode_result_indices,
+    )
+
+    if isinstance(metadata_content, DataFrame):
+        names = [fd.name for fd in layout.fields]
+        metadata_content = [
+            (r[ordinal], {n: r[n] for n in names if n in r.asDict()})
+            for r in metadata_content.collect()
+        ]
+    if isinstance(result_indices, DataFrame):
+        result_indices = [
+            (r[0], [int(x) for x in r[1]]) for r in result_indices.collect()
+        ]
+    con = sqlite3.connect(db_path)
+    try:
+        # reference DDL verbatim (SQLitePredicateWriter.java:73-76)
+        con.execute(
+            "CREATE TABLE IF NOT EXISTS predicates (ordinal INTEGER PRIMARY KEY, data BLOB)"
+        )
+        con.execute(
+            "CREATE TABLE IF NOT EXISTS result_indices (ordinal INTEGER PRIMARY KEY, data BLOB)"
+        )
+        con.execute(
+            "CREATE TABLE IF NOT EXISTS metadata_layout (id INTEGER PRIMARY KEY, data BLOB)"
+        )
+        con.execute(
+            "CREATE TABLE IF NOT EXISTS metadata_content (ordinal INTEGER PRIMARY KEY, data BLOB)"
+        )
+        con.execute(
+            "INSERT OR REPLACE INTO metadata_layout (id, data) VALUES (0, ?)",
+            (layout.encode(),),
+        )
+        con.executemany(
+            "INSERT OR REPLACE INTO metadata_content (ordinal, data) VALUES (?, ?)",
+            [(int(o), encode_record(layout, rec)) for o, rec in metadata_content],
+        )
+        for o, node in predicates or []:
+            if isinstance(node, (str, bytes, dict)):
+                node = parse_pnode(node)
+            con.execute(
+                "INSERT OR REPLACE INTO predicates (ordinal, data) VALUES (?, ?)",
+                (int(o), encode_pnode(node, fmt="typed")),
+            )
+        con.executemany(
+            "INSERT OR REPLACE INTO result_indices (ordinal, data) VALUES (?, ?)",
+            [(int(o), encode_result_indices(ix)) for o, ix in (result_indices or [])],
+        )
+        con.commit()
+    finally:
+        con.close()
+
+
 def read_predicate_store_typed(spark: SparkSession, db_path: str) -> dict:
     """Fully-decoded predicate store (VERDICT r1 missing #1/#2):
 

@@ -196,6 +196,56 @@ def test_slab_predicate_store_invariant(tmp_path, spark):
     _assert_invariant(spark, typed)
 
 
+def test_write_predicate_store_full_loop(tmp_path, spark):
+    """WRITE direction of S9: engine computes the result_indices facet
+    distributed, writes a reference-layout SQLite store, reads it back
+    through the typed views, and the harness invariant still holds."""
+    from nbdatatools_spark.operators.hybrid import result_indices_table
+    from nbdatatools_spark.sources.sqlite_store import (
+        read_predicate_store_typed,
+        write_predicate_store,
+    )
+
+    layout = MetadataLayout(
+        (
+            FieldDescriptor("number", FieldType.INT),
+            FieldDescriptor("category", FieldType.TEXT),
+        )
+    )
+    meta = spark.createDataFrame(
+        [(i, (i * 13) % 50, "abc"[i % 3]) for i in range(80)],
+        "ordinal BIGINT, number BIGINT, category STRING",
+    )
+    preds = [
+        (0, '{"fieldName":"number","op":"LT","values":[20]}'),
+        (1, '{"op":"AND","nodes":[{"fieldName":"number","op":"GE","values":[10]},'
+            '{"fieldName":"category","op":"EQ","values":["a"]}]}'),
+    ]
+    ri = result_indices_table(meta, preds)
+    db = str(tmp_path / "engine_written.db")
+    write_predicate_store(
+        db, layout, meta, preds, ri.select("ordinal", "matches")
+    )
+    store = read_predicate_store_typed(spark, db)
+    assert store["layout"] == layout
+    content = store["metadata_content"]
+    stored_ri = {r["ordinal"]: list(r["indices"]) for r in store["result_indices"].collect()}
+    for r in store["predicates"].collect():
+        node = parse_pnode(r["pnode_json"])
+        got = [
+            x["ordinal"]
+            for x in content.where(compile_pnode(node, two_valued=False))
+            .select("ordinal")
+            .orderBy("ordinal")
+            .collect()
+        ]
+        assert got == stored_ri[r["ordinal"]]
+    # and the decoded predicate trees equal the originals
+    assert {r["ordinal"]: parse_pnode(r["pnode_json"]) for r in store["predicates"].collect()} == {
+        i: parse_pnode(p) for i, p in preds
+    }
+
+
 def test_pnode_wire_to_json_view_roundtrip(spark):
     node = parse_pnode(PNODE_JSON)
     blob = encode_pnode(node, fmt="typed")

@@ -85,6 +85,26 @@ def test_knn_default_has_no_full_pair_shuffle(spark, embeddings):
     assert "CartesianProduct" not in plan
 
 
+def test_expr_knn_window_has_partial_group_limit(spark, embeddings):
+    """SPARK-37099 rank-limit pushdown: the expr path's top-k window gets a
+    Partial WindowGroupLimit BELOW the exchange, bounding the shuffle at
+    Q*k rows per map task (the r1 concern was a full Q*B pair shuffle)."""
+    from nbdatatools_spark.operators.knn import exact_knn
+
+    q = embeddings.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("ordinal"), F.col("embedding").alias("vector")
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("ordinal"), F.col("embedding").alias("vector")
+    )
+    plan = _plan(exact_knn(q, b, k=3, impl="expr"))
+    # a Partial group-limit must appear, and it must be below the exchange
+    assert "Partial" in plan and "WindowGroupLimit" in plan
+    partial_pos = plan.find(", Partial")
+    exchange_pos = plan.find("Exchange hashpartitioning")
+    assert 0 <= exchange_pos < partial_pos  # plan prints top-down: partial deeper
+
+
 def test_ivf_assignment_has_no_shuffle(spark, embeddings):
     """VERDICT r1 #6: IVF base->centroid assignment is a pure projection
     (inlined argmin), not a crossJoin + Window over B*n_centroids rows."""
