@@ -127,3 +127,68 @@ def generate_vectors(
         return mat
 
     return plan.mapInPandas(gen, "ordinal BIGINT, vector ARRAY<FLOAT>")
+
+
+def make_test_dataset(
+    spark: SparkSession,
+    outdir: str,
+    n_base: int = 1000,
+    n_query: int = 100,
+    dimensions: int = 16,
+    k: int = 10,
+    seed: int = 42,
+    metric: str = "cosine",
+):
+    """``generate mktestdata`` / ``generate dataset`` (README.md:63-66):
+    build the base/query/ground-truth trio as xvec files plus a
+    ``dataset.yaml`` manifest, loadable straight back through
+    sources.dataset.load_dataset.
+
+    Emits: base.fvec, query.fvec, indices.ivec, distances.fvec and the
+    manifest (attributes: dimensions/distance_function/model + license;
+    profiles: default). Ground truth via the exact KNN kernel.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nbdatatools_spark.operators.knn import exact_knn
+    from nbdatatools_spark.sources.xvec import write_xvec
+
+    os.makedirs(outdir, exist_ok=True)
+    base = generate_vectors(spark, n_base, dimensions, seed=seed).persist()
+    queries = generate_vectors(spark, n_query, dimensions, seed=seed + 1).persist()
+    truth = exact_knn(queries, base, k=k, metric=metric).persist()
+
+    write_xvec(base, os.path.join(outdir, "base.fvec"))
+    write_xvec(queries, os.path.join(outdir, "query.fvec"))
+    write_xvec(
+        truth.select("ordinal", F.col("indices").cast("array<int>").alias("vector")),
+        os.path.join(outdir, "indices.ivec"),
+    )
+    write_xvec(
+        truth.select("ordinal", F.col("distances").cast("array<float>").alias("vector")),
+        os.path.join(outdir, "distances.fvec"),
+    )
+    manifest = f"""name: {os.path.basename(os.path.normpath(outdir))}
+attributes:
+  dimensions: {dimensions}
+  distance_function: {metric.upper()}
+  model: synthetic-splitmix64
+  license: synthetic
+  count: {n_base}
+profiles:
+  default:
+    base: base.fvec
+    query: query.fvec
+    indices: indices.ivec
+    distances: distances.fvec
+"""
+    with open(os.path.join(outdir, "dataset.yaml"), "w") as f:
+        f.write(manifest)
+    base.unpersist()
+    queries.unpersist()
+    truth.unpersist()
+    from nbdatatools_spark.sources.dataset import load_dataset
+
+    return load_dataset(outdir)

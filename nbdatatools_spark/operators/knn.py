@@ -314,3 +314,49 @@ def verify_knn(
     )
     computed = exact_knn(sampled, base, k, metric, impl=impl)
     return knn_recall(computed, truth, k)
+
+
+def verify_profiles(
+    spark,
+    manifest,
+    k: int = 10,
+    sample_size: int = 100,
+    metric: str | None = None,
+    profiles: list[str] | None = None,
+):
+    """``analyze verify_profiles`` (README.md:45-46): verify the KNN answer
+    keys of MANY profiles of one dataset efficiently — each distinct facet
+    source is loaded and cached once and shared across the profiles that
+    reference it (the reference's efficiency claim re-expressed as
+    DataFrame reuse). Returns rows (profile, mean_recall, n_queries).
+
+    ``metric`` defaults to the manifest's distance_function attribute.
+    """
+    if metric is None:
+        try:
+            metric = str(manifest.attr("distance_function")).lower()
+        except KeyError:
+            metric = "cosine"
+    names = profiles or [
+        p for p in manifest.profiles
+        if all(f in manifest.profiles[p].facets for f in ("base_vectors", "query_vectors", "neighbor_indices"))
+    ]
+    cache: dict = {}
+
+    def facet(kind: str, profile: str):
+        spec = manifest.profiles[profile].facets[kind]
+        key = (spec.source, tuple(spec.window or ()))
+        if key not in cache:
+            cache[key] = manifest.facet(spark, kind, profile).persist()
+        return cache[key]
+
+    results = []
+    for p in names:
+        base = facet("base_vectors", p)
+        queries = facet("query_vectors", p)
+        truth = facet("neighbor_indices", p).withColumnRenamed("vector", "indices")
+        r = verify_knn(queries, base, truth, k=k, sample_size=sample_size, metric=metric).collect()[0]
+        results.append((p, float(r["mean_recall"]), int(r["n_queries"])))
+    for df in cache.values():
+        df.unpersist()
+    return spark.createDataFrame(results, "profile STRING, mean_recall DOUBLE, n_queries BIGINT")

@@ -276,6 +276,41 @@ class DatasetManifest:
         return df
 
 
+def plan_missing_artifacts(manifest: "DatasetManifest") -> list[dict]:
+    """``datasets plan`` (README.md:72): walk every profile's facets and list
+    the artifacts whose source files are absent, with the engine operation
+    that would build each (the reference emits nbvectors commands; the
+    engine's analogue is the operator to run)."""
+    build_ops = {
+        "base_vectors": "datagen.generate_vectors + sources.xvec.write_xvec",
+        "query_vectors": "datagen.generate_vectors + sources.xvec.write_xvec",
+        "neighbor_indices": "operators.knn.exact_knn -> indices + write_xvec",
+        "neighbor_distances": "operators.knn.exact_knn -> distances + write_xvec",
+    }
+    missing: list[dict] = []
+    seen: set[tuple] = set()
+    for pname, prof in manifest.profiles.items():
+        for kind, spec in prof.facets.items():
+            path = spec.source
+            if not os.path.isabs(path):
+                path = os.path.join(manifest.root, path)
+            if os.path.exists(path):
+                continue
+            key = (kind, path)
+            if key in seen:
+                continue
+            seen.add(key)
+            missing.append(
+                {
+                    "profile": pname,
+                    "facet": kind,
+                    "path": path,
+                    "build_with": build_ops.get(kind, "sources.convert / write_xvec"),
+                }
+            )
+    return missing
+
+
 def load_dataset(root: str) -> DatasetManifest:
     """Load <root>/dataset.yaml (VectorTestData.load analogue,
     VectorTestData.java:43-56)."""

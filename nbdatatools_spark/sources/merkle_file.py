@@ -292,3 +292,78 @@ def verify_against_merkle(
             F.col("e.sha256").alias("expected_sha256"),
         )
     )
+
+
+# --- CLI-surface utilities (README.md merkle subcommands) ------------------
+
+def merkle_summary(path: str) -> dict:
+    """``merkle summary``: shape + validity + root digest of a merkle file."""
+    shape, nodes, bits = read_merkle_file(path)
+    return {
+        "chunk_size": shape.chunk_size,
+        "total_content_size": shape.total_content_size,
+        "total_chunks": shape.total_chunks,
+        "cap_leaf": shape.cap_leaf,
+        "node_count": shape.node_count,
+        "valid_chunks": len(bits),
+        "complete": len(bits) == shape.leaf_count,
+        "root": nodes[0].hex() if nodes else None,
+    }
+
+
+def merkle_diff(path_a: str, path_b: str) -> list[int]:
+    """``merkle diff``: chunk indices whose leaf hashes differ (or that only
+    one side has). Shapes must agree on chunk size to be comparable."""
+    sa, na, _ = read_merkle_file(path_a)
+    sb, nb, _ = read_merkle_file(path_b)
+    if sa.chunk_size != sb.chunk_size:
+        raise ValueError(
+            f"incomparable trees: chunk sizes {sa.chunk_size} vs {sb.chunk_size}"
+        )
+    out = []
+    for i in range(max(sa.leaf_count, sb.leaf_count)):
+        ha = na[sa.offset + i] if i < sa.leaf_count else None
+        hb = nb[sb.offset + i] if i < sb.leaf_count else None
+        if ha != hb:
+            out.append(i)
+    return out
+
+
+def merkle_path(path: str, chunk_index: int) -> list[tuple[int, str]]:
+    """``merkle path``: (node_index, hash hex) from the chunk's leaf up to
+    the root, following parent = (i-1)//2 (merkle_v1.md §1.2)."""
+    shape, nodes, _ = read_merkle_file(path)
+    if not (0 <= chunk_index < shape.leaf_count):
+        raise IndexError(f"chunk {chunk_index} out of range 0..{shape.leaf_count - 1}")
+    i = shape.offset + chunk_index
+    out = [(i, nodes[i].hex())]
+    while i > 0:
+        i = (i - 1) // 2
+        out.append((i, nodes[i].hex()))
+    return out
+
+
+def spoil_bits(data_path: str, bit_positions: list[int]) -> None:
+    """``merkle spoilbits`` fault injection: flip specific BITS of the data
+    file in place (bit b of byte b//8, LSB-first)."""
+    with open(data_path, "r+b") as f:
+        for b in bit_positions:
+            f.seek(b // 8)
+            (byte,) = f.read(1)
+            f.seek(b // 8)
+            f.write(bytes([byte ^ (1 << (b % 8))]))
+
+
+def spoil_chunks(data_path: str, merkle_path_: str, chunk_indices: list[int]) -> None:
+    """``merkle spoilchunks``: overwrite whole chunks (per the merkle file's
+    chunk size) with a deterministic pattern, for verification testing."""
+    shape, _, _ = read_merkle_file(merkle_path_)
+    size = os.path.getsize(data_path)
+    with open(data_path, "r+b") as f:
+        for i in chunk_indices:
+            lo = i * shape.chunk_size
+            hi = min(lo + shape.chunk_size, size)
+            if lo >= size:
+                raise IndexError(f"chunk {i} beyond data size {size}")
+            f.seek(lo)
+            f.write(bytes([0xA5]) * (hi - lo))

@@ -1,0 +1,107 @@
+"""CLI-surface parity operators (README.md:38-99): mktestdata,
+verify_profiles, merkle summary/diff/path/spoil*, datasets plan."""
+
+import os
+
+import numpy as np
+import pytest
+
+from nbdatatools_spark.datagen import make_test_dataset
+from nbdatatools_spark.operators.knn import verify_profiles
+from nbdatatools_spark.sources.dataset import load_dataset, plan_missing_artifacts
+from nbdatatools_spark.sources.merkle_file import (
+    merkle_diff,
+    merkle_file_root,
+    merkle_path,
+    merkle_summary,
+    spoil_bits,
+    spoil_chunks,
+    verify_against_merkle,
+    write_mref,
+)
+
+
+def test_mktestdata_trio_and_verify_profiles(tmp_path, spark):
+    """generate mktestdata -> loadable dataset; verify_profiles recall == 1
+    (the answer key was computed by the same exact KNN)."""
+    root = str(tmp_path / "synthds")
+    m = make_test_dataset(
+        spark, root, n_base=300, n_query=30, dimensions=8, k=5, seed=7
+    )
+    for f in ("base.fvec", "query.fvec", "indices.ivec", "distances.fvec", "dataset.yaml"):
+        assert os.path.exists(os.path.join(root, f))
+    assert m.attr("dimensions") == 8
+    assert m.attr("distance_function") == "COSINE"
+    base = m.facet(spark, "base", "default")
+    assert base.count() == 300 and len(base.first()["vector"]) == 8
+    truth = m.facet(spark, "indices", "default")
+    assert truth.count() == 30 and len(truth.first()["vector"]) == 5
+
+    res = verify_profiles(spark, m, k=5, sample_size=20).collect()
+    assert len(res) == 1
+    assert res[0]["profile"] == "default"
+    assert res[0]["mean_recall"] == 1.0
+    assert res[0]["n_queries"] == 20
+
+    # no artifacts missing on a complete dataset
+    assert plan_missing_artifacts(m) == []
+
+
+def test_plan_missing_artifacts(tmp_path, spark):
+    root = tmp_path / "partial"
+    root.mkdir()
+    rng = np.random.default_rng(5)
+    import struct as _s
+
+    with open(root / "base.fvec", "wb") as f:
+        for row in rng.normal(size=(10, 4)).astype("<f4"):
+            f.write(_s.pack("<i", 4) + row.tobytes())
+    (root / "dataset.yaml").write_text(
+        """
+profiles:
+  default:
+    base: base.fvec
+    query: query.fvec
+    indices: indices.ivec
+"""
+    )
+    m = load_dataset(str(root))
+    missing = plan_missing_artifacts(m)
+    kinds = {x["facet"] for x in missing}
+    assert kinds == {"query_vectors", "neighbor_indices"}
+    assert all("exact_knn" in x["build_with"] or "generate_vectors" in x["build_with"] for x in missing)
+
+
+def test_merkle_summary_diff_path_spoil(tmp_path, spark):
+    data = os.urandom(4096)
+    p = tmp_path / "d.bin"
+    p.write_bytes(data)
+    mref = str(tmp_path / "d.mref")
+    write_mref(spark, str(p), mref, chunk_size=1024)
+
+    s = merkle_summary(mref)
+    assert s["total_chunks"] == 4 and s["complete"] and s["chunk_size"] == 1024
+    assert s["root"] == merkle_file_root(mref)
+
+    # path from leaf 2 to root: leaf index offset+2 = 3+2, parents up to 0
+    path = merkle_path(mref, 2)
+    assert [i for i, _ in path] == [5, 2, 0]
+    assert path[-1][1] == s["root"]
+    with pytest.raises(IndexError):
+        merkle_path(mref, 4)
+
+    # spoil one BIT -> exactly that chunk flagged; diff between trees agrees
+    spoil_bits(str(p), [2048 * 8 + 3])  # a bit inside chunk 2
+    bad = verify_against_merkle(spark, str(p), mref).collect()
+    assert [r["chunk_index"] for r in bad] == [2]
+    mref2 = str(tmp_path / "d2.mref")
+    write_mref(spark, str(p), mref2, chunk_size=1024)
+    assert merkle_diff(mref, mref2) == [2]
+
+    # spoil whole chunks via the merkle file's chunk size
+    spoil_chunks(str(p), mref, [0, 3])
+    bad2 = sorted(r["chunk_index"] for r in verify_against_merkle(spark, str(p), mref).collect())
+    assert bad2 == [0, 2, 3]
+    with pytest.raises(ValueError, match="incomparable"):
+        write_mref(spark, str(p), str(tmp_path / "d3.mref"), chunk_size=2048)
+        merkle_diff(mref, str(tmp_path / "d3.mref"))
