@@ -311,6 +311,109 @@ def plan_missing_artifacts(manifest: "DatasetManifest") -> list[dict]:
     return missing
 
 
+def dataset_info(manifest: "DatasetManifest") -> dict:
+    """``vectordata info`` / ``views`` / ``profiles`` (README.md:76-80):
+    one structured summary of the manifest — attributes, variables, and
+    per-profile facet views with their sources and windows."""
+    return {
+        "name": manifest.name,
+        "root": manifest.root,
+        "attributes": dict(manifest._data.get("attributes") or {}),
+        "variables": dict(manifest.variables),
+        "profiles": {
+            pname: {
+                kind: {
+                    "source": spec.source,
+                    "window": list(spec.window) if spec.window else None,
+                }
+                for kind, spec in prof.facets.items()
+            }
+            for pname, prof in manifest.profiles.items()
+        },
+    }
+
+
+def view_size(manifest: "DatasetManifest", facet_kind: str, profile: str | None = None) -> dict:
+    """``vectordata size`` (README.md:81): counts/dimensions for one view
+    WITHOUT a Spark scan — xvec sizes come from the first record header +
+    file size, parquet from the footer metadata. Windows clip the count."""
+    prof = manifest.profile(profile)
+    kind = FACET_ALIASES.get(facet_kind.lower(), facet_kind)
+    if kind not in prof.facets:
+        raise KeyError(f"profile {prof.name!r} has no facet {facet_kind!r}")
+    spec = prof.facets[kind]
+    path = spec.source
+    if not os.path.isabs(path):
+        path = os.path.join(manifest.root, path)
+    ext = path.rsplit(".", 1)[-1].lower()
+    if ext == "parquet":
+        import pyarrow.parquet as pq
+
+        count, dim = pq.read_metadata(path).num_rows, None
+    else:
+        from nbdatatools_spark.sources.xvec import _file_meta
+
+        dim, _, count = _file_meta(path)
+    if spec.window:
+        count = sum(min(b, count) - min(a, count) for a, b in spec.window)
+    return {"facet": kind, "source": spec.source, "count": count, "dimensions": dim}
+
+
+def view_sample(
+    spark: SparkSession,
+    manifest: "DatasetManifest",
+    facet_kind: str,
+    profile: str | None = None,
+    n: int = 10,
+) -> DataFrame:
+    """``vectordata sample`` / the bounded form of ``cat`` (README.md:82-84):
+    first n rows of a view in ordinal order. The limit lands below the sort
+    in the scan plan (the xvec reader emits ordinals already ordered), so
+    only the needed leading chunks are decoded."""
+    return manifest.facet(spark, facet_kind, profile).orderBy("ordinal").limit(n)
+
+
+def curlify(
+    manifest: "DatasetManifest",
+    base_url: str,
+    profiles: list[str] | None = None,
+) -> list[str]:
+    """``datasets curlify`` (README.md:73, commandstream.md §datasets
+    curlify): emit curl commands that download exactly the bytes the chosen
+    profiles need from a remote dataset root. Windowed xvec facets become
+    HTTP range requests (``-r lo-hi``): record window [a,b) over a file with
+    stride 4+dim*cbytes maps to bytes [a*stride, b*stride). Byte ranges are
+    only computable when the manifest declares ``dimensions``; other facets
+    fall back to whole-file fetches."""
+    base_url = base_url.rstrip("/")
+    try:
+        dim = int(manifest.attr("dimensions"))
+    except (KeyError, TypeError, ValueError):
+        dim = None
+    cmds = [f"curl -fsSL -o dataset.yaml {base_url}/dataset.yaml"]
+    seen: set[str] = set()
+    names = profiles or list(manifest.profiles)
+    for pname in names:
+        for spec in manifest.profile(pname).facets.values():
+            from nbdatatools_spark.sources.xvec import xvec_dtype
+
+            rng = ""
+            if spec.window and len(spec.window) == 1 and dim:
+                try:
+                    _, cbytes, _ = xvec_dtype(spec.source)
+                except ValueError:
+                    cbytes = None
+                if cbytes:
+                    stride = 4 + dim * cbytes
+                    a, b = spec.window[0]
+                    rng = f" -r {a * stride}-{b * stride - 1}"
+            cmd = f"curl -fsSL{rng} -o {spec.source} {base_url}/{spec.source}"
+            if cmd not in seen:
+                seen.add(cmd)
+                cmds.append(cmd)
+    return cmds
+
+
 def load_dataset(root: str) -> DatasetManifest:
     """Load <root>/dataset.yaml (VectorTestData.load analogue,
     VectorTestData.java:43-56)."""

@@ -311,6 +311,41 @@ def merkle_summary(path: str) -> dict:
     }
 
 
+def merkle_treeview(
+    path: str,
+    highlight: list[int] | None = None,
+    hash_length: int = 16,
+    base: int = 0,
+) -> str:
+    """``merkle treeview`` (commandstream.md §merkle treeview): ASCII render
+    of the tree — one line per node, indented by depth, hashes truncated to
+    ``hash_length`` hex chars. ``highlight`` marks leaf chunk indices with
+    ``*``; ``base`` offsets the printed node numbers (the reference's
+    renumbering option). Padding leaves beyond leaf_count are elided."""
+    shape, nodes, _ = read_merkle_file(path)
+    hl = set(highlight or [])
+    lines: list[str] = []
+
+    def walk(i: int, depth: int) -> None:
+        is_leaf = i >= shape.offset
+        chunk = i - shape.offset if is_leaf else None
+        if is_leaf and chunk >= shape.leaf_count:
+            return
+        mark = "*" if (is_leaf and chunk in hl) else " "
+        label = f"leaf {chunk}" if is_leaf else ("root" if i == 0 else "node")
+        lines.append(
+            f"{mark}{'  ' * depth}[{i + base}] {label}: "
+            f"{nodes[i].hex()[:hash_length]}"
+        )
+        if not is_leaf:
+            walk(2 * i + 1, depth + 1)
+            walk(2 * i + 2, depth + 1)
+
+    if shape.node_count:
+        walk(0, 0)
+    return "\n".join(lines)
+
+
 def merkle_diff(path_a: str, path_b: str) -> list[int]:
     """``merkle diff``: chunk indices whose leaf hashes differ (or that only
     one side has). Shapes must agree on chunk size to be comparable."""

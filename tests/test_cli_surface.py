@@ -8,12 +8,20 @@ import pytest
 
 from nbdatatools_spark.datagen import make_test_dataset
 from nbdatatools_spark.operators.knn import verify_profiles
-from nbdatatools_spark.sources.dataset import load_dataset, plan_missing_artifacts
+from nbdatatools_spark.sources.dataset import (
+    curlify,
+    dataset_info,
+    load_dataset,
+    plan_missing_artifacts,
+    view_sample,
+    view_size,
+)
 from nbdatatools_spark.sources.merkle_file import (
     merkle_diff,
     merkle_file_root,
     merkle_path,
     merkle_summary,
+    merkle_treeview,
     spoil_bits,
     spoil_chunks,
     verify_against_merkle,
@@ -105,3 +113,70 @@ def test_merkle_summary_diff_path_spoil(tmp_path, spark):
     with pytest.raises(ValueError, match="incomparable"):
         write_mref(spark, str(p), str(tmp_path / "d3.mref"), chunk_size=2048)
         merkle_diff(mref, str(tmp_path / "d3.mref"))
+
+
+def test_vectordata_explorer_surface(tmp_path, spark):
+    """vectordata info/views/size/sample re-expressed as dataset helpers."""
+    root = str(tmp_path / "ds")
+    m = make_test_dataset(spark, root, n_base=200, n_query=20, dimensions=4, k=3)
+
+    info = dataset_info(m)
+    assert info["attributes"]["dimensions"] == 4
+    assert set(info["profiles"]) == {"default"}
+    facets = info["profiles"]["default"]
+    assert facets["base_vectors"]["source"] == "base.fvec"
+    assert facets["base_vectors"]["window"] is None
+
+    # size without a Spark scan: header + file size only
+    s = view_size(m, "base")
+    assert s["count"] == 200 and s["dimensions"] == 4
+    sq = view_size(m, "query")
+    assert sq["count"] == 20 and sq["dimensions"] == 4
+
+    rows = view_sample(spark, m, "base", n=3).collect()
+    assert [r["ordinal"] for r in rows] == [0, 1, 2]
+    assert len(rows[0]["vector"]) == 4
+
+
+def test_view_size_windowed(tmp_path, spark):
+    root = str(tmp_path / "win")
+    make_test_dataset(spark, root, n_base=100, n_query=10, dimensions=4, k=3)
+    # re-point the manifest at a window of base
+    with open(os.path.join(root, "dataset.yaml"), "a") as f:
+        f.write("  small:\n    base: base.fvec[10..40]\n")
+    m = load_dataset(root)
+    assert view_size(m, "base", "small")["count"] == 30
+
+
+def test_curlify_ranged(tmp_path, spark):
+    root = str(tmp_path / "cds")
+    make_test_dataset(spark, root, n_base=100, n_query=10, dimensions=4, k=3)
+    with open(os.path.join(root, "dataset.yaml"), "a") as f:
+        f.write("  small:\n    base: base.fvec[0..50]\n")
+    m = load_dataset(root)
+    cmds = curlify(m, "https://example.org/ds/", profiles=["small"])
+    assert cmds[0].endswith("dataset.yaml https://example.org/ds/dataset.yaml")
+    # stride = 4 + 4*4 = 20 bytes; [0,50) records -> bytes 0..999
+    ranged = [c for c in cmds if " -r " in c]
+    assert any("-r 0-999" in c and "base.fvec" in c for c in ranged)
+    # full-profile curlify: unwindowed facets fetch whole files, no dupes
+    all_cmds = curlify(m, "https://example.org/ds")
+    assert len(all_cmds) == len(set(all_cmds))
+    assert any(c.endswith("https://example.org/ds/indices.ivec") for c in all_cmds)
+
+
+def test_merkle_treeview(tmp_path, spark):
+    p = tmp_path / "t.bin"
+    p.write_bytes(os.urandom(3072))  # 3 chunks of 1024 -> capLeaf 4, 7 nodes
+    mref = str(tmp_path / "t.mref")
+    write_mref(spark, str(p), mref, chunk_size=1024)
+    view = merkle_treeview(mref, highlight=[1], hash_length=8)
+    lines = view.splitlines()
+    # root + 2 internal + 3 real leaves (padding leaf 3 elided)
+    assert len(lines) == 6
+    assert lines[0].startswith(" [0] root: ")
+    assert sum(1 for l in lines if l.startswith("*")) == 1
+    assert any("leaf 1" in l and l.startswith("*") for l in lines)
+    assert all(len(l.split(": ")[1]) == 8 for l in lines)
+    # base renumbering shifts printed indices
+    assert merkle_treeview(mref, base=100).splitlines()[0].startswith(" [100]")
