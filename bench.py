@@ -84,6 +84,16 @@ def main() -> None:
 
     warm_udf = F.pandas_udf(lambda s: s, "long")
     spark.range(32).repartition(32).select(warm_udf("id")).count()
+    # ...and the actual Arrow kernels (BLAS init + worker-side numpy import
+    # dominate the first mapInPandas call): one tiny gemm top-k and one tiny
+    # minhash pass so the timed runs measure steady-state throughput.
+    from nbdatatools_spark.operators.dedup import minhash_lsh_candidates
+    from nbdatatools_spark.operators.similarity import brute_force_topk
+
+    emb_warm = entrymod._t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 8)
+    brute_force_topk(emb_warm, emb_warm, k=2, metric="cosine", impl="gemm").count()
+    docs_warm = entrymod._t(spark, sf_dir, "documents").limit(64)
+    minhash_lsh_candidates(docs_warm, num_hashes=8, bands=4, shingle_size=5).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
