@@ -47,6 +47,13 @@ class Catalog:
         rx = re.compile(pattern)
         return [e for e in self.entries if rx.fullmatch(e.name)]
 
+    def match_tags(self, filter_spec: str) -> list[CatalogEntry]:
+        """Tag-filter selection (spec/tagging/TagFilter.java:100-108):
+        ``name``, ``name:regex``, comma-separated, any()/all()/none()."""
+        from nbdatatools_spark.functions.tags import TagFilter
+
+        return TagFilter(filter_spec).filter_items(self.entries)
+
     def match_one(self, spec: str) -> CatalogEntry:
         """Exact, then glob, then regex; must resolve to exactly one
         (Catalog.java:353 matchOne)."""
