@@ -163,3 +163,134 @@ def test_mnode_records_view(spark):
     out = {r["ordinal"]: r for r in mnode_records_view(df).collect()}
     assert out[3]["record"] == {"k": "3", "name": "r3", "flag": "False"}
     assert out[3]["tags"] == {"k": "LONG", "name": "STRING", "flag": "BOOL"}
+
+
+# --- adversarial conformance (MNodeAdversarialTest.java) -------------------
+
+class TestMNodeAdversarial:
+    def _rt(self, record, tags=None):
+        from nbdatatools_spark.sources.mnode import decode_mnode, encode_mnode
+
+        return decode_mnode(encode_mnode(record, tags))
+
+    def test_integer_extrema(self):
+        from nbdatatools_spark.sources.mnode import TAG_INT32, TAG_LONG, TAG_SHORT
+
+        rec = {
+            "lmin": -(2**63), "lmax": 2**63 - 1,
+            "imin": -(2**31), "imax": 2**31 - 1,
+            "smin": -(2**15), "smax": 2**15 - 1,
+            "zero": 0, "one": 1,
+        }
+        tags = {
+            "lmin": TAG_LONG, "lmax": TAG_LONG,
+            "imin": TAG_INT32, "imax": TAG_INT32,
+            "smin": TAG_SHORT, "smax": TAG_SHORT,
+            "zero": TAG_LONG, "one": TAG_LONG,
+        }
+        assert self._rt(rec, tags) == rec
+
+    def test_float_specials(self):
+        import math
+
+        from nbdatatools_spark.sources.mnode import TAG_DOUBLE, TAG_FLOAT32, TAG_HALF
+
+        for tag in (TAG_DOUBLE, TAG_FLOAT32, TAG_HALF):
+            out = self._rt(
+                {"nan": float("nan"), "inf": float("inf"), "ninf": float("-inf"), "nz": -0.0},
+                {k: tag for k in ("nan", "inf", "ninf", "nz")},
+            )
+            assert math.isnan(out["nan"])
+            assert out["inf"] == float("inf") and out["ninf"] == float("-inf")
+            assert out["nz"] == 0.0 and math.copysign(1.0, out["nz"]) == -1.0
+
+    def test_bigdecimal_extreme_scales_and_bigint_hundreds_of_digits(self):
+        from decimal import Decimal
+
+        from nbdatatools_spark.sources.mnode import TAG_DECIMAL, TAG_VARINT
+
+        rec = {
+            "tiny": Decimal(1).scaleb(-100),
+            "huge": Decimal(123456789).scaleb(50),
+            "big": int("9" * 300),
+            "nbig": -int("7" * 250),
+        }
+        tags = {"tiny": TAG_DECIMAL, "huge": TAG_DECIMAL, "big": TAG_VARINT, "nbig": TAG_VARINT}
+        out = self._rt(rec, tags)
+        assert out["tiny"] == rec["tiny"] and out["huge"] == rec["huge"]
+        assert out["big"] == rec["big"] and out["nbig"] == rec["nbig"]
+
+    def test_empty_string_bytes_and_utf8_4byte(self):
+        out = self._rt({"s": "", "b": b"", "emoji": "\U0001F600\U0001F680", "nul": "a\x00b"})
+        assert out["s"] == "" and out["b"] == b""
+        assert out["emoji"] == "\U0001F600\U0001F680" and out["nul"] == "a\x00b"
+
+    def test_large_blob(self):
+        blob = bytes(range(256)) * 512  # 128KiB
+        assert self._rt({"blob": blob})["blob"] == blob
+
+    def test_truncated_and_invalid_buffers_raise(self):
+        import struct as _s
+
+        import pytest as _pytest
+
+        from nbdatatools_spark.sources.mnode import decode_mnode, encode_mnode
+
+        good = encode_mnode({"name": "x", "v": 5})
+        for bad in (
+            b"",                      # empty
+            b"\x01",                  # dialect only
+            b"\x02\x01\x00",          # wrong dialect
+            good[:3],                 # field count only
+            good[:6],                 # truncated field name
+            good[:-2],                # truncated value payload
+        ):
+            with _pytest.raises((ValueError, _s.error, IndexError, UnicodeDecodeError)):
+                decode_mnode(bad)
+        # invalid type tag
+        tagged = bytearray(encode_mnode({"k": 1}))
+        tagged[-9] = 0xEE  # tag byte of the long value
+        with _pytest.raises((ValueError, KeyError, _s.error, IndexError)):
+            decode_mnode(bytes(tagged))
+
+    def test_fuzz_random_bytes_never_crash_interpreter(self):
+        import random as _random
+        import struct as _s
+
+        from nbdatatools_spark.sources.mnode import decode_mnode
+
+        rng = _random.Random(1234)
+        for _ in range(500):
+            blob = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 64)))
+            try:
+                decode_mnode(b"\x01" + blob)
+            except (ValueError, KeyError, _s.error, IndexError, UnicodeDecodeError, OverflowError):
+                pass  # controlled failure is the contract; crashes are not
+
+    def test_deeply_nested_nodes(self):
+        rec = {"leaf": 1}
+        for i in range(40):
+            rec = {f"n{i}": rec}
+        assert self._rt(rec) == rec
+
+    def test_empty_and_single_element_typed_arrays(self):
+        from nbdatatools_spark.sources.mnode import (
+            TAG_DOUBLE,
+            TAG_INT32,
+            TAG_LONG,
+            TypedArray,
+            decode_mnode,
+            encode_mnode,
+        )
+
+        for tag in (TAG_LONG, TAG_INT32, TAG_DOUBLE):
+            for vals in ((), (7,) if tag != TAG_DOUBLE else (7.5,)):
+                rec = {"a": TypedArray(tag, tuple(vals))}
+                out = decode_mnode(encode_mnode(rec))
+                got = out["a"]
+                assert got.elem_tag == tag and tuple(got.values) == tuple(vals)
+
+    def test_node_with_many_fields_preserves_order(self):
+        rec = {f"f{i:03d}": i for i in range(300)}
+        out = self._rt(rec)
+        assert list(out) == list(rec) and out == rec

@@ -130,3 +130,22 @@ def test_codegen_engages(spark, sf_dir):
     agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
     agg.collect()
     assert "*(" in _plan(agg)  # WholeStageCodegen star markers
+
+
+def test_no_cartesian_product_in_any_gate_query(spark, sf_dir):
+    """Sweep EVERY queries() entry: no physical plan may contain a
+    CartesianProduct. Broadcast nested-loop joins are allowed where one side
+    is bounded by construction (expr-KNN query side); an unconstrained
+    cartesian is never acceptable at 100TB."""
+    import __spark_entry__ as entrymod
+
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        try:
+            plan = _plan(fn(spark, sf_dir))
+        except Exception as exc:  # a query that cannot build is its own bug
+            offenders[name] = f"failed to plan: {exc}"
+            continue
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+    assert not offenders, f"cartesian/unplannable gate queries: {offenders}"
