@@ -868,6 +868,31 @@ def knn_self_recall(spark, sf_dir):
     return knn_recall(nn, nn, k=10)
 
 
+def pq_rerank_self_top1(spark, sf_dir):
+    """Product-quantization invariant (similarity.py::pq_train/pq_encode/
+    pq_topk): with exact re-ranking of the ADC shortlist, every query drawn
+    from the base set must find ITSELF at rank 1 with distance 0 — the
+    oracle derives that expected set directly from the data."""
+    from nbdatatools_spark.operators.similarity import pq_encode, pq_topk, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=8, n_codes=64, seed=42, sample_limit=4096)
+    enc = pq_encode(emb, books)
+    q = emb.where(F.col("vec_id") < 30)
+    top = pq_topk(
+        q, enc, books, k=5, metric="euclidean", rerank_base=emb, rerank_factor=4
+    )
+    return (
+        top.where(F.col("rank") == 1)
+        .select(
+            "query_id",
+            "base_id",
+            F.round("distance", 6).alias("distance"),
+        )
+        .orderBy("query_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -933,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": simhash_pairs,
         "ks_normal_embeddings": ks_normal_embeddings,
         "knn_self_recall": knn_self_recall,
+        "pq_rerank_self_top1": pq_rerank_self_top1,
         # LAST by design: fit_model runs driver-side sketch jobs during plan
         # construction; round 1's driver gate recorded nothing after this
         # point (CORRECTNESS_r01 stops at ks_normal), so any future failure
@@ -1532,5 +1558,14 @@ def oracle_sql() -> dict[str, str]:
         "knn_self_recall": """
             SELECT CAST(1.0 AS DOUBLE) AS mean_recall, count(*) AS n_queries
             FROM embeddings WHERE vec_id < 50
+        """,
+        # PQ+rerank invariant: a query from the base set finds itself at
+        # rank 1, exact distance 0 (the ADC shortlist always contains the
+        # zero-quantization-error self code, and the exact re-rank puts it
+        # first with the (distance, base_id) tie-break).
+        "pq_rerank_self_top1": """
+            SELECT vec_id AS query_id, vec_id AS base_id,
+                   CAST(0.0 AS DOUBLE) AS distance
+            FROM embeddings WHERE vec_id < 30 ORDER BY query_id
         """,
     }

@@ -203,3 +203,208 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select(F.col("qid").alias("query_id"), "rank", F.col("bid").alias("base_id"), "distance")
     )
+
+
+# --- Product quantization (PQ/ADC) -----------------------------------------
+#
+# The memory-side scale path (Jégou, Douze, Schmid, "Product Quantization
+# for Nearest Neighbor Search", TPAMI 2011): vectors are split into m
+# subspaces, each quantized against its own n_codes-entry codebook, so a
+# d-dim float32 vector compresses to m bytes (d*4/m x smaller). Search is
+# asymmetric distance computation (ADC): per query, one (m x n_codes)
+# lookup table of exact subspace distances, then each base code costs m
+# table lookups + adds — no float vector is ever touched at scan time.
+# At 100TB of raw embeddings the codes table is ~3TB at d=256, m=8: the
+# difference between a scan that fits the page cache and one that doesn't.
+
+
+def pq_train(
+    base: DataFrame,
+    m: int = 8,
+    n_codes: int = 256,
+    vec_col: str = "embedding",
+    sample_limit: int = 100_000,
+    iters: int = 20,
+    seed: int = 42,
+):
+    """Train per-subspace codebooks with Lloyd k-means on a driver-side
+    sample (codebooks are tiny: m * n_codes * d/m floats = one vector's
+    worth per code). Deterministic: seeded init, fixed iterations.
+
+    Returns a numpy array of shape (m, n_codes, d//m).
+    """
+    import numpy as np
+
+    rows = base.select(vec_col).limit(sample_limit).collect()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    n, d = X.shape
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    k = min(n_codes, n)
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, n_codes, dsub))
+    for s in range(m):
+        sub = X[:, s * dsub : (s + 1) * dsub]
+        cents = sub[rng.choice(n, size=k, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = sub[mask].mean(0)
+        books[s, :k] = cents
+        if k < n_codes:  # degenerate tiny sample: pad with the first centroid
+            books[s, k:] = cents[0]
+    return books
+
+
+def pq_encode(
+    base: DataFrame,
+    codebooks,
+    base_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes BINARY) — each vector becomes m uint8 codes. Vectorized
+    per Arrow batch; the codebooks broadcast once."""
+    import numpy as np
+    import pandas as pd
+
+    spark = base.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(codebooks))
+
+    def encode(batches):
+        books = bc.value
+        m, n_codes, dsub = books.shape
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            codes = np.empty((len(X), m), dtype=np.uint8)
+            for s in range(m):
+                sub = X[:, s * dsub : (s + 1) * dsub]
+                d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
+                codes[:, s] = d2.argmin(1)
+            yield pd.DataFrame(
+                {"id": pdf[base_id].to_numpy(), "codes": [c.tobytes() for c in codes]}
+            )
+
+    return base.select(base_id, vec_col).mapInPandas(encode, "id BIGINT, codes BINARY")
+
+
+def pq_topk(
+    queries: DataFrame,
+    encoded: DataFrame,
+    codebooks,
+    k: int,
+    metric: str = "euclidean",
+    query_id: str = "vec_id",
+    base_id: str = "vec_id",
+    vec_col: str = "embedding",
+    max_broadcast_queries: int = 65536,
+    rerank_base: DataFrame | None = None,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """ADC top-k over PQ codes: (query_id, rank, base_id, distance).
+
+    Same physical shape as the exact GEMM kernel — queries broadcast, each
+    Arrow batch of CODES computes its local top-k from per-query lookup
+    tables, the merge shuffles only Q*k*n_batches candidate rows. Metrics:
+    ``euclidean`` (additive squared-L2, reported as sqrt) and ``dot``
+    (additive inner product, reported negated); for cosine, L2-normalize
+    vectors before encoding and use ``dot``.
+
+    Pass the raw vector table as ``rerank_base`` to re-rank an ADC
+    shortlist of ``k * rerank_factor`` candidates by EXACT distance —
+    quantization error then only affects the shortlist boundary, and the
+    extra cost is one broadcast join on Q*k*factor rows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = encoded.sparkSession
+    metric_key = metric.strip().lower()
+    if metric_key not in ("euclidean", "l2", "dot", "dot_product"):
+        raise ValueError(f"pq_topk supports euclidean/dot, got {metric!r}")
+    qrows = queries.select(query_id, vec_col).limit(max_broadcast_queries + 1).collect()
+    if len(qrows) > max_broadcast_queries:
+        raise ValueError(
+            f"query side exceeds max_broadcast_queries={max_broadcast_queries}; "
+            "block the query side as in exact_knn"
+        )
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((qids, qmat, np.asarray(codebooks)))
+
+    def adc_partial(batches):
+        q_ids, Q, books = bc.value
+        m, n_codes, dsub = books.shape
+        # LUT[q, s, c] = subspace distance contribution
+        subq = Q.reshape(len(Q), m, dsub)
+        if metric_key in ("euclidean", "l2"):
+            # (Q, m, n_codes) squared distances per subspace
+            lut = ((subq[:, :, None, :] - books[None, :, :, :]) ** 2).sum(-1)
+        else:  # dot: negative inner product so smaller = closer
+            lut = -(subq[:, :, None, :] * books[None, :, :, :]).sum(-1)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            bids = pdf["id"].to_numpy(dtype=np.int64)
+            codes = np.frombuffer(b"".join(pdf["codes"]), dtype=np.uint8).reshape(-1, m)
+            D = np.zeros((len(codes), len(Q)))
+            for s in range(m):
+                D += lut[:, s, codes[:, s]].T
+            kk = min(k, len(bids))
+            idx = np.argpartition(D, kk - 1, axis=0)[:kk]
+            yield pd.DataFrame(
+                {
+                    "__qid": np.repeat(q_ids, kk),
+                    "__bid": bids[idx.T.ravel()],
+                    "__dist": np.take_along_axis(D, idx, axis=0).T.ravel(),
+                }
+            )
+
+    partials = encoded.mapInPandas(adc_partial, "__qid BIGINT, __bid BIGINT, __dist DOUBLE")
+    w = Window.partitionBy("__qid").orderBy(F.col("__dist").asc(), F.col("__bid").asc())
+    shortlist_k = k * rerank_factor if rerank_base is not None else k
+    out = partials.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= shortlist_k)
+    if rerank_base is None:
+        dist = F.sqrt("__dist") if metric_key in ("euclidean", "l2") else F.col("__dist")
+        return out.select(
+            F.col("__qid").alias("query_id"),
+            "rank",
+            F.col("__bid").alias("base_id"),
+            dist.alias("distance"),
+        )
+    # Exact re-rank (the IVFADC+rerank production shape): the Q*k*factor
+    # shortlist is tiny, so broadcast it against the raw vectors, recompute
+    # the true distance on just those candidates, and re-rank. Quantization
+    # error then only matters at the shortlist boundary.
+    qdf = queries.select(
+        F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qvec")
+    )
+    cand = (
+        rerank_base.select(F.col(base_id).alias("__bid"), F.col(vec_col).alias("__bvec"))
+        .join(F.broadcast(out.select("__qid", "__bid")), "__bid")
+        .join(F.broadcast(qdf), "__qid")
+    )
+    exact_metric = {"dot": "dot_product"}.get(metric_key, metric_key)
+    rer = cand.select(
+        "__qid",
+        "__bid",
+        distance_expr(exact_metric, F.col("__qvec"), F.col("__bvec")).alias("__dist"),
+    )
+    w2 = Window.partitionBy("__qid").orderBy(
+        F.col("__dist").asc_nulls_last(), F.col("__bid").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias("query_id"),
+            "rank",
+            F.col("__bid").alias("base_id"),
+            F.col("__dist").alias("distance"),
+        )
+    )

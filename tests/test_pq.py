@@ -1,0 +1,117 @@
+"""Product quantization: compression shape, determinism, and ADC recall
+against the exact baseline."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nbdatatools_spark.operators.similarity import (
+    brute_force_topk,
+    pq_encode,
+    pq_topk,
+    pq_train,
+)
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """400 vectors in 8 tight 32-dim clusters — PQ-friendly structure."""
+    rng = np.random.default_rng(9)
+    centers = rng.normal(size=(8, 32)) * 5
+    rows = []
+    for i in range(400):
+        c = i % 8
+        rows.append((i, (centers[c] + rng.normal(scale=0.3, size=32)).tolist()))
+    return spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+
+
+def test_pq_train_shape_and_determinism(clustered):
+    b1 = pq_train(clustered, m=4, n_codes=16, seed=5)
+    b2 = pq_train(clustered, m=4, n_codes=16, seed=5)
+    b3 = pq_train(clustered, m=4, n_codes=16, seed=6)
+    assert b1.shape == (4, 16, 8)
+    assert np.array_equal(b1, b2)
+    assert not np.array_equal(b1, b3)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(clustered, m=5)
+
+
+def test_pq_encode_is_m_bytes_per_vector(clustered):
+    books = pq_train(clustered, m=4, n_codes=16, seed=5)
+    enc = pq_encode(clustered, books)
+    rows = enc.collect()
+    assert len(rows) == 400
+    assert all(len(r["codes"]) == 4 for r in rows)  # 32 doubles -> 4 bytes
+
+
+def test_pq_adc_recall_vs_exact(clustered):
+    books = pq_train(clustered, m=8, n_codes=64, seed=5)
+    enc = pq_encode(clustered, books)
+    q = clustered.where(F.col("vec_id") < 20)
+    approx = pq_topk(q, enc, books, k=10, metric="euclidean")
+    exact = brute_force_topk(q, clustered, k=10, metric="euclidean")
+    a = {(r["query_id"], r["base_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["base_id"]) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.55, f"ADC recall too low: {recall}"
+    # rank-1 self-match must survive quantization on clustered data
+    top1 = {r["query_id"]: r["base_id"] for r in approx.collect() if r["rank"] == 1}
+    self_hits = sum(1 for qid, bid in top1.items() if qid == bid)
+    assert self_hits >= 16  # 20 queries, allow a few cluster-internal swaps
+
+
+def test_pq_more_codes_no_worse(clustered):
+    """Finer codebooks should not hurt recall (monotone-ish)."""
+    q = clustered.where(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["base_id"])
+        for r in brute_force_topk(q, clustered, k=10, metric="euclidean").collect()
+    }
+    recalls = []
+    for n_codes in (4, 64):
+        books = pq_train(clustered, m=4, n_codes=n_codes, seed=5)
+        enc = pq_encode(clustered, books)
+        a = {
+            (r["query_id"], r["base_id"])
+            for r in pq_topk(q, enc, books, k=10).collect()
+        }
+        recalls.append(len(a & exact) / len(exact))
+    assert recalls[1] >= recalls[0] - 0.02, f"recall fell with finer codes: {recalls}"
+
+
+def test_pq_dot_metric(clustered):
+    books = pq_train(clustered, m=8, n_codes=64, seed=5)
+    enc = pq_encode(clustered, books)
+    q = clustered.where(F.col("vec_id") < 5)
+    approx = pq_topk(q, enc, books, k=5, metric="dot")
+    exact = brute_force_topk(q, clustered, k=5, metric="dot_product")
+    a = {(r["query_id"], r["base_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["base_id"]) for r in exact.collect()}
+    assert len(a & e) / len(e) >= 0.4  # raw ADC under dot is noisy by nature
+    rer = pq_topk(q, enc, books, k=5, metric="dot", rerank_base=clustered, rerank_factor=6)
+    ar = {(r["query_id"], r["base_id"]) for r in rer.collect()}
+    assert len(ar & e) / len(e) >= 0.8
+
+
+def test_pq_rerank_recovers_exact_recall(clustered):
+    """ADC shortlist + exact re-rank: the production IVFADC+rerank shape
+    should recover near-exact recall."""
+    books = pq_train(clustered, m=8, n_codes=64, seed=5)
+    enc = pq_encode(clustered, books)
+    q = clustered.where(F.col("vec_id") < 20)
+    approx = pq_topk(
+        q, enc, books, k=10, metric="euclidean",
+        rerank_base=clustered, rerank_factor=4,
+    )
+    exact = brute_force_topk(q, clustered, k=10, metric="euclidean")
+    a = {(r["query_id"], r["base_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["base_id"]) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.9, f"re-ranked recall too low: {recall}"
+    # re-ranked distances are EXACT for recovered pairs
+    ad = {(r["query_id"], r["base_id"]): r["distance"] for r in approx.collect()}
+    ed = {(r["query_id"], r["base_id"]): r["distance"] for r in exact.collect()}
+    for pair in a & e:
+        # gemm's (a^2-2ab+b^2) expansion carries ~1e-6 cancellation error;
+        # the rerank path's sequential-sum distance is the more exact one
+        assert ad[pair] == pytest.approx(ed[pair], abs=1e-5)
