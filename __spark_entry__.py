@@ -868,6 +868,61 @@ def knn_self_recall(spark, sf_dir):
     return knn_recall(nn, nn, k=10)
 
 
+def doc_decontaminate(spark, sf_dir):
+    """Test-set decontamination (GPT-3 appendix-C 13-gram rule,
+    dedup.py::decontaminate): docs with doc_id % 101 == 0 play the test
+    set; training docs sharing any word 13-gram with it are dropped.
+    One equi-join on the exploded gram — never doc x doc."""
+    from nbdatatools_spark.operators.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    test = docs.where(F.col("doc_id") % 101 == 0)
+    train = docs.where(F.col("doc_id") % 101 != 0)
+    return decontaminate(train, test, n=13).select("doc_id").orderBy("doc_id")
+
+
+def doc_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition metrics (Rae et al. 2021 Table A1,
+    functions/text.py): corpus averages of duplicate-line fraction,
+    duplicate-line character fraction, and top-2-gram character fraction."""
+    from nbdatatools_spark.functions.text import (
+        dup_line_char_fraction_of,
+        dup_line_fraction_of,
+        lines_of,
+        normalize_text,
+        top_ngram_char_fraction_of,
+        word_shingles,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    # materialize lines/grams behind a projection boundary so the lambda
+    # bodies see plain attributes (see top_ngram_char_fraction_of PERF note)
+    arrays = docs.select(
+        lines_of(F.col("text")).alias("__ls"),
+        word_shingles(F.col("text"), 2).alias("__g"),
+        F.length(normalize_text(F.col("text"))).alias("__total"),
+    )
+    per_doc = arrays.select(
+        dup_line_fraction_of(F.col("__ls")).alias("dlf"),
+        dup_line_char_fraction_of(F.col("__ls")).alias("dlcf"),
+        top_ngram_char_fraction_of(F.col("__g"), F.col("__total")).alias("t2g"),
+    )
+
+    # hash-exact averaging: per-doc values rounded to 6dp, summed in DECIMAL
+    # (order-independent), ONE double division at the end (the q1 lesson)
+    def _avg6(c):
+        return F.sum(F.round(F.col(c), 6).cast("decimal(12,6)")).cast(
+            "double"
+        ) / F.count("*")
+
+    return per_doc.agg(
+        _avg6("dlf").alias("avg_dup_line_frac"),
+        _avg6("dlcf").alias("avg_dup_line_char_frac"),
+        _avg6("t2g").alias("avg_top2gram_frac"),
+        F.count("*").alias("n_docs"),
+    )
+
+
 def pq_rerank_self_top1(spark, sf_dir):
     """Product-quantization invariant (similarity.py::pq_train/pq_encode/
     pq_topk): with exact re-ranking of the ADC shortlist, every query drawn
@@ -959,6 +1014,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_normal_embeddings": ks_normal_embeddings,
         "knn_self_recall": knn_self_recall,
         "pq_rerank_self_top1": pq_rerank_self_top1,
+        "doc_decontaminate": doc_decontaminate,
+        "doc_repetition_stats": doc_repetition_stats,
         # LAST by design: fit_model runs driver-side sketch jobs during plan
         # construction; round 1's driver gate recorded nothing after this
         # point (CORRECTNESS_r01 stops at ks_normal), so any future failure
@@ -1558,6 +1615,69 @@ def oracle_sql() -> dict[str, str]:
         "knn_self_recall": """
             SELECT CAST(1.0 AS DOUBLE) AS mean_recall, count(*) AS n_queries
             FROM embeddings WHERE vec_id < 50
+        """,
+        # GPT-3 13-gram decontamination: gram explode on both sides, one
+        # equi-join, anti-join back — replicated with DuckDB list ops
+        "doc_decontaminate": """
+            WITH nrm AS (
+                SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                FROM documents),
+            toks AS (
+                SELECT doc_id, string_split(t, ' ') AS w FROM nrm WHERE length(t) > 0),
+            tg AS (
+                SELECT DISTINCT array_to_string(w[i:i+12], ' ') AS gram
+                FROM (SELECT w, unnest(generate_series(1, greatest(len(w)-12, 1))) AS i
+                      FROM toks WHERE doc_id % 101 = 0)),
+            bad AS (
+                SELECT DISTINCT doc_id
+                FROM (SELECT doc_id, array_to_string(w[i:i+12], ' ') AS gram
+                      FROM (SELECT doc_id, w,
+                                   unnest(generate_series(1, greatest(len(w)-12, 1))) AS i
+                            FROM toks WHERE doc_id % 101 <> 0))
+                JOIN tg USING (gram))
+            SELECT doc_id FROM documents
+            WHERE doc_id % 101 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+            ORDER BY doc_id
+        """,
+        # Gopher repetition metrics: per-doc list math mirrored exactly,
+        # decimal-summed 6dp values, one double division
+        "doc_repetition_stats": """
+            WITH per AS (
+                SELECT
+                  CASE WHEN len(ls) = 0 THEN 0.0
+                       ELSE CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / len(ls) END AS dlf,
+                  CASE WHEN total IS NULL OR total = 0 THEN 0.0
+                       ELSE CAST(dupc AS DOUBLE) / total END AS dlcf,
+                  CASE WHEN len(g) = 0 OR length(t) = 0 THEN 0.0
+                       ELSE CAST(list_max(cnts) * length(
+                              list_max(list_filter(g, x -> len(list_filter(g, y -> y = x)) = list_max(cnts)))
+                            ) AS DOUBLE) / length(t) END AS t2g
+                FROM (
+                  SELECT t, ls, g,
+                         list_sum(list_transform(ls, x -> length(x))) AS total,
+                         list_sum(list_transform(ls, x ->
+                             CASE WHEN len(list_filter(ls, y -> y = x)) > 1
+                                  THEN length(x) ELSE 0 END)) AS dupc,
+                         list_transform(g, x -> len(list_filter(g, y -> y = x))) AS cnts
+                  FROM (
+                    SELECT t, ls,
+                           CASE WHEN length(t) = 0 THEN []
+                                ELSE list_transform(
+                                       generate_series(1, greatest(len(w)-1, 1)),
+                                       i -> array_to_string(w[i:i+1], ' ')) END AS g
+                    FROM (
+                      SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t,
+                             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w,
+                             list_filter(
+                               list_transform(string_split(text, chr(10)), x -> trim(x)),
+                               x -> length(x) > 0) AS ls
+                      FROM documents WHERE doc_id < 300))))
+            SELECT
+              CAST(SUM(CAST(round(dlf, 6) AS DECIMAL(12,6))) AS DOUBLE)/COUNT(*) AS avg_dup_line_frac,
+              CAST(SUM(CAST(round(dlcf, 6) AS DECIMAL(12,6))) AS DOUBLE)/COUNT(*) AS avg_dup_line_char_frac,
+              CAST(SUM(CAST(round(t2g, 6) AS DECIMAL(12,6))) AS DOUBLE)/COUNT(*) AS avg_top2gram_frac,
+              COUNT(*) AS n_docs
+            FROM per
         """,
         # PQ+rerank invariant: a query from the base set finds itself at
         # rank 1, exact distance 0 (the ADC shortlist always contains the

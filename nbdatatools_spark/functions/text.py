@@ -210,3 +210,80 @@ def detect_lang(col: Column, min_score: float = 0.05) -> Column:
     )
     best = F.array_max(pairs)
     return F.when(best["score"] >= min_score, best["lang"]).otherwise(F.lit("und"))
+
+
+# --- repetition metrics (Gopher-style quality rules) -----------------------
+# Rae et al. 2021 ("Scaling Language Models: ... Gopher"), Table A1: filter
+# documents whose content is dominated by repeated lines or n-grams. All
+# closed-form Catalyst expressions (per-row array math, no UDF, no shuffle)
+# so a SQL oracle can replicate them and 100TB scan cost is pure map-side.
+
+def lines_of(col: Column) -> Column:
+    """Non-empty trimmed lines of the document."""
+    return F.filter(
+        F.transform(F.split(col, r"\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+
+
+def dup_line_fraction_of(ls: Column) -> Column:
+    """dup-line fraction over a MATERIALIZED lines array (see the PERF note
+    on char_ngrams_of_norm: inline expressions re-evaluate per lambda
+    element — pass a column from a prior .select)."""
+    n = F.size(ls)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        (n - F.size(F.array_distinct(ls))).cast("double") / n
+    )
+
+
+def dup_line_fraction(col: Column) -> Column:
+    """Fraction of lines that are repeats of an earlier line
+    (1 - distinct/total); 0 for empty docs."""
+    return dup_line_fraction_of(lines_of(col))
+
+
+def dup_line_char_fraction_of(ls: Column) -> Column:
+    """dup-line char fraction over a MATERIALIZED lines array.
+    O(L^2) in lines-per-doc — bounded per row, embarrassingly parallel."""
+    total = F.aggregate(ls, F.lit(0), lambda acc, l: acc + F.length(l))
+    dup_chars = F.aggregate(
+        ls,
+        F.lit(0),
+        lambda acc, l: acc
+        + F.when(F.size(F.filter(ls, lambda x: x == l)) > 1, F.length(l)).otherwise(0),
+    )
+    return F.when(total == 0, F.lit(0.0)).otherwise(
+        dup_chars.cast("double") / total
+    )
+
+
+def dup_line_char_fraction(col: Column) -> Column:
+    """Fraction of line characters inside lines that occur more than once."""
+    return dup_line_char_fraction_of(lines_of(col))
+
+
+def top_ngram_char_fraction_of(grams: Column, total: Column) -> Column:
+    """top-n-gram char fraction over MATERIALIZED grams + normalized length
+    (PERF: an inline word_shingles expression here re-evaluates the whole
+    shingle pipeline per array element — measured 30x slowdown)."""
+    top = F.array_max(
+        F.transform(
+            grams,
+            lambda g: F.struct(
+                F.size(F.filter(grams, lambda x: x == g)).alias("cnt"),
+                g.alias("gram"),
+            ),
+        )
+    )
+    frac = (top["cnt"] * F.length(top["gram"])).cast("double") / total
+    return F.when((F.size(grams) == 0) | (total == 0), F.lit(0.0)).otherwise(frac)
+
+
+def top_ngram_char_fraction(col: Column, n: int = 2) -> Column:
+    """Fraction of normalized characters covered by the single most frequent
+    word n-gram: count(top) * len(top) / total_chars (Gopher A1 rows
+    'top n-gram character fraction'). Count ties break toward the
+    lexicographically GREATEST gram (struct array_max order) — deterministic
+    and mirrorable in the SQL oracle. For hot paths materialize the grams
+    and use top_ngram_char_fraction_of."""
+    return top_ngram_char_fraction_of(word_shingles(col, n), F.length(normalize_text(col)))

@@ -560,3 +560,56 @@ def simhash_near_dups(
         .distinct()
     )
     return pairs
+
+
+# --- test-set decontamination ----------------------------------------------
+
+def contaminated_ids(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Training documents sharing any word n-gram with the test set
+    (the GPT-3 appendix-C 13-gram decontamination rule; Brown et al. 2020).
+
+    Plan shape: both sides explode to (ngram) / (id, ngram), the test side
+    deduplicates, and contamination is ONE equi-join on the ngram hash —
+    never a doc x doc comparison. The test side is tiny by construction
+    (benchmark suites), so Spark broadcasts it; the train-side explode is
+    map-side only. Returns (id, n_hits) with the count of distinct
+    contaminated n-grams per training doc.
+    """
+    from nbdatatools_spark.functions.text import word_shingles
+
+    test_grams = (
+        test.select(F.explode(word_shingles(F.col(text_col), n)).alias("__gram"))
+        .where(F.length("__gram") > 0)
+        .distinct()
+    )
+    train_grams = train.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("__gram"),
+    ).distinct()
+    return (
+        train_grams.join(F.broadcast(test_grams), "__gram")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Drop training docs that share any word n-gram with the test set —
+    left_anti against :func:`contaminated_ids` (broadcast: the hit list is
+    at most the contaminated-doc count)."""
+    hits = contaminated_ids(train, test, id_col, text_col, n)
+    return train.join(
+        F.broadcast(hits.withColumnRenamed("id", id_col)), id_col, "left_anti"
+    )
