@@ -38,12 +38,35 @@ except ImportError:
     import json
 
 FACET_ALIASES = {
-    # dataset.yaml shorthand (testxvec fixture dataset.yaml) -> canonical kind
-    # (spec/datasets/types/TestDataKind.java:34-94)
+    # dataset.yaml shorthand -> canonical kind, the FULL OtherNames alias
+    # table (spec/datasets/types/TestDataKind.java:34-94 canonical names,
+    # :201-223 alternatives; FacetResolutionTest.java). Resolution is
+    # case-insensitive (fromOptionalString equalsIgnoreCase) — callers
+    # lower() before lookup.
     "base": "base_vectors",
+    "train": "base_vectors",
     "query": "query_vectors",
+    "queries": "query_vectors",
+    "test": "query_vectors",
     "indices": "neighbor_indices",
+    "neighbors": "neighbor_indices",
+    "ground_truth": "neighbor_indices",
+    "gt": "neighbor_indices",
     "distances": "neighbor_distances",
+    "meta_predicates": "metadata_predicates",
+    "meta_results": "predicate_results",
+    "meta_layout": "metadata_layout",
+    "layout": "metadata_layout",
+    "meta_content": "metadata_content",
+    "content": "metadata_content",
+    "meta_base": "metadata_content",
+    "filtered_indices": "filtered_neighbor_indices",
+    "filtered_gt": "filtered_neighbor_indices",
+    "filtered_ground_truth": "filtered_neighbor_indices",
+    # quirk preserved from the reference table (TestDataKind.java:222-223):
+    # filtered_distances AND filtered_neighbors both map to the DISTANCES kind
+    "filtered_distances": "filtered_neighbor_distances",
+    "filtered_neighbors": "filtered_neighbor_distances",
     "base_vectors": "base_vectors",
     "query_vectors": "query_vectors",
     "neighbor_indices": "neighbor_indices",
@@ -55,6 +78,8 @@ FACET_ALIASES = {
     "predicate_results": "predicate_results",
     "metadata_layout": "metadata_layout",
     "metadata_content": "metadata_content",
+    "filtered_neighbor_indices": "filtered_neighbor_indices",
+    "filtered_neighbor_distances": "filtered_neighbor_distances",
 }
 
 _SRC_RX = re.compile(

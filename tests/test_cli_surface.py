@@ -180,3 +180,37 @@ def test_merkle_treeview(tmp_path, spark):
     assert all(len(l.split(": ")[1]) == 8 for l in lines)
     # base renumbering shifts printed indices
     assert merkle_treeview(mref, base=100).splitlines()[0].startswith(" [100]")
+
+
+def test_facet_alias_resolution(tmp_path, spark):
+    """FacetResolutionTest conformance: every OtherNames alias resolves to
+    its canonical kind, case-insensitively; unknown names raise."""
+    from nbdatatools_spark.sources.dataset import FACET_ALIASES
+
+    expect = {
+        "base": "base_vectors", "train": "base_vectors",
+        "query": "query_vectors", "queries": "query_vectors", "test": "query_vectors",
+        "indices": "neighbor_indices", "neighbors": "neighbor_indices",
+        "ground_truth": "neighbor_indices", "gt": "neighbor_indices",
+        "distances": "neighbor_distances",
+        "meta_layout": "metadata_layout", "layout": "metadata_layout",
+        "meta_content": "metadata_content", "content": "metadata_content",
+        "meta_base": "metadata_content",
+        "filtered_gt": "filtered_neighbor_indices",
+        # the reference's own table maps filtered_neighbors to the DISTANCES
+        # kind (TestDataKind.java:223) — quirk preserved
+        "filtered_neighbors": "filtered_neighbor_distances",
+        "base_vectors": "base_vectors",
+    }
+    for alias, canonical in expect.items():
+        assert FACET_ALIASES[alias] == canonical, alias
+
+    root = str(tmp_path / "alias_ds")
+    m = make_test_dataset(spark, root, n_base=50, n_query=5, dimensions=4, k=3)
+    # case-insensitive access through every alias of each present facet
+    for alias in ("base", "TRAIN", "Base_Vectors"):
+        assert m.facet(spark, alias).count() == 50
+    for alias in ("query", "QUERIES", "test", "gt", "ground_truth", "neighbors"):
+        assert m.facet(spark, alias).count() == 5
+    with pytest.raises(KeyError):
+        m.facet(spark, "my_custom_facet")
