@@ -242,19 +242,33 @@ def dup_line_fraction(col: Column) -> Column:
     return dup_line_fraction_of(lines_of(col))
 
 
+def _let(value: Column, body) -> Column:
+    """Let-binding for column expressions: evaluate ``value`` ONCE and refer
+    to it via a lambda variable. transform over a single-element array is the
+    only Catalyst construct that binds a name — without it, optimizer rules
+    (CollapseProject, PushPredicateThroughNonJoin) substitute attribute
+    references with their defining expressions, and an expression referenced
+    inside a higher-order-function lambda is then re-evaluated PER ELEMENT
+    (measured: the training-pipeline filter went 87s -> 2s at sf0.001)."""
+    return F.transform(F.array(value), body)[0]
+
+
 def dup_line_char_fraction_of(ls: Column) -> Column:
-    """dup-line char fraction over a MATERIALIZED lines array.
+    """dup-line char fraction over a lines array (let-bound: safe even when
+    the optimizer inlines the array expression into a filter).
     O(L^2) in lines-per-doc — bounded per row, embarrassingly parallel."""
-    total = F.aggregate(ls, F.lit(0), lambda acc, l: acc + F.length(l))
-    dup_chars = F.aggregate(
-        ls,
-        F.lit(0),
-        lambda acc, l: acc
-        + F.when(F.size(F.filter(ls, lambda x: x == l)) > 1, F.length(l)).otherwise(0),
-    )
-    return F.when(total == 0, F.lit(0.0)).otherwise(
-        dup_chars.cast("double") / total
-    )
+
+    def body(l_s):
+        total = F.aggregate(l_s, F.lit(0), lambda acc, l: acc + F.length(l))
+        dup_chars = F.aggregate(
+            l_s,
+            F.lit(0),
+            lambda acc, l: acc
+            + F.when(F.size(F.filter(l_s, lambda x: x == l)) > 1, F.length(l)).otherwise(0),
+        )
+        return F.when(total == 0, F.lit(0.0)).otherwise(dup_chars.cast("double") / total)
+
+    return _let(ls, body)
 
 
 def dup_line_char_fraction(col: Column) -> Column:
@@ -263,20 +277,24 @@ def dup_line_char_fraction(col: Column) -> Column:
 
 
 def top_ngram_char_fraction_of(grams: Column, total: Column) -> Column:
-    """top-n-gram char fraction over MATERIALIZED grams + normalized length
-    (PERF: an inline word_shingles expression here re-evaluates the whole
-    shingle pipeline per array element — measured 30x slowdown)."""
-    top = F.array_max(
-        F.transform(
-            grams,
-            lambda g: F.struct(
-                F.size(F.filter(grams, lambda x: x == g)).alias("cnt"),
-                g.alias("gram"),
-            ),
+    """top-n-gram char fraction over a grams array + normalized length.
+    Let-bound (see _let): the grams expression evaluates once per row no
+    matter where the optimizer inlines this."""
+
+    def body(g):
+        top = F.array_max(
+            F.transform(
+                g,
+                lambda x: F.struct(
+                    F.size(F.filter(g, lambda y: y == x)).alias("cnt"),
+                    x.alias("gram"),
+                ),
+            )
         )
-    )
-    frac = (top["cnt"] * F.length(top["gram"])).cast("double") / total
-    return F.when((F.size(grams) == 0) | (total == 0), F.lit(0.0)).otherwise(frac)
+        frac = (top["cnt"] * F.length(top["gram"])).cast("double") / total
+        return F.when((F.size(g) == 0) | (total == 0), F.lit(0.0)).otherwise(frac)
+
+    return _let(grams, body)
 
 
 def top_ngram_char_fraction(col: Column, n: int = 2) -> Column:
