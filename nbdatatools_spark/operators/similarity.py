@@ -408,3 +408,217 @@ def pq_topk(
             F.col("__dist").alias("distance"),
         )
     )
+
+
+# --- IVFADC: IVF coarse quantizer + PQ on residuals ------------------------
+
+
+def ivfpq_build(
+    base: DataFrame,
+    n_centroids: int = 16,
+    m: int = 8,
+    n_codes: int = 256,
+    base_id: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_limit: int = 100_000,
+    iters: int = 20,
+    seed: int = 42,
+):
+    """Train the IVFADC index (Jégou et al. TPAMI 2011 §IV): coarse k-means
+    centroids + PQ codebooks over RESIDUALS (x - centroid), then encode the
+    base table to (id, centroid_id, codes). Returns (encoded_df, index)
+    where index = (centroids, codebooks) — tiny, broadcastable.
+
+    At 100TB the encoded table is written bucketed by centroid_id, so a
+    probe touches ~nprobe/n_centroids of the files; the codes are m bytes
+    per vector, so even a full scan reads d*4/m x less than raw floats.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = base.sparkSession
+    rows = base.select(vec_col).limit(sample_limit).collect()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    n, d = X.shape
+    kc = min(n_centroids, n)
+    rng = np.random.default_rng(seed)
+    cents = X[rng.choice(n, size=kc, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for c in range(kc):
+            mask = assign == c
+            if mask.any():
+                cents[c] = X[mask].mean(0)
+    centroids = np.zeros((n_centroids, d))
+    centroids[:kc] = cents
+    if kc < n_centroids:
+        centroids[kc:] = cents[0]
+
+    # PQ books over residuals of the sample
+    resid = X - centroids[((X[:, None, :] - centroids[None, :, :]) ** 2).sum(-1).argmin(1)]
+    dsub = d // m
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    kq = min(n_codes, n)
+    books = np.empty((m, n_codes, dsub))
+    for s in range(m):
+        sub = resid[:, s * dsub : (s + 1) * dsub]
+        bc_ = sub[rng.choice(n, size=kq, replace=False)].copy()
+        for _ in range(iters):
+            dd = ((sub[:, None, :] - bc_[None, :, :]) ** 2).sum(-1)
+            a = dd.argmin(1)
+            for c in range(kq):
+                msk = a == c
+                if msk.any():
+                    bc_[c] = sub[msk].mean(0)
+        books[s, :kq] = bc_
+        if kq < n_codes:
+            books[s, kq:] = bc_[0]
+
+    bc = spark.sparkContext.broadcast((centroids, books))
+
+    def encode(batches):
+        C, B = bc.value
+        mm, ncodes, ds = B.shape
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X_ = np.array(list(pdf[vec_col]), dtype=np.float64)
+            cid = ((X_[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+            R = X_ - C[cid]
+            codes = np.empty((len(X_), mm), dtype=np.uint8)
+            for s in range(mm):
+                sub = R[:, s * ds : (s + 1) * ds]
+                dd = ((sub[:, None, :] - B[s][None, :, :]) ** 2).sum(-1)
+                codes[:, s] = dd.argmin(1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[base_id].to_numpy(),
+                    "centroid_id": cid.astype(np.int32),
+                    "codes": [c.tobytes() for c in codes],
+                }
+            )
+
+    encoded = base.select(base_id, vec_col).mapInPandas(
+        encode, "id BIGINT, centroid_id INT, codes BINARY"
+    )
+    return encoded, (centroids, books)
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    encoded: DataFrame,
+    index,
+    k: int,
+    nprobe: int = 4,
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    max_broadcast_queries: int = 65536,
+    rerank_base: DataFrame | None = None,
+    rerank_factor: int = 4,
+    base_id: str = "vec_id",
+) -> DataFrame:
+    """IVFADC search (euclidean): probe the nprobe nearest centroids per
+    query, ADC-score only codes in probed cells (per-query residual LUTs),
+    per-batch partial top-k, tiny merge. Optional exact re-rank as in
+    :func:`pq_topk`.
+
+    The probe mask costs one (rows x Q) boolean per batch; rows in cells no
+    query probes contribute nothing. Combined with centroid_id bucketing
+    (or partition pruning on a centroid_id-partitioned table) the scan
+    itself skips unprobed data at 100TB.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = encoded.sparkSession
+    centroids, books = index
+    qrows = queries.select(query_id, vec_col).limit(max_broadcast_queries + 1).collect()
+    if len(qrows) > max_broadcast_queries:
+        raise ValueError("query side exceeds max_broadcast_queries")
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([r[1] for r in qrows], dtype=np.float64)
+    qc = ((Q[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)  # (Q, C)
+    probes = np.argsort(qc, axis=1)[:, :nprobe]  # (Q, nprobe)
+    bc = spark.sparkContext.broadcast((qids, Q, centroids, books, probes))
+
+    # prune unprobed cells at the scan (partition/bucket pruning at scale)
+    probed_cells = sorted({int(c) for row in probes for c in row})
+    pruned = encoded.where(F.col("centroid_id").isin(probed_cells))
+
+    def adc_partial(batches):
+        q_ids, Q_, C, B, P = bc.value
+        mm, ncodes, ds = B.shape
+        nq = len(Q_)
+        # per (query, probed cell) residual LUT: (Q, nprobe, m, n_codes)
+        luts = np.empty((nq, P.shape[1], mm, ncodes))
+        cell_lut_idx = {}  # (q, cell) -> probe slot
+        for qi in range(nq):
+            for pj, cell in enumerate(P[qi]):
+                r = (Q_[qi] - C[cell]).reshape(mm, ds)
+                luts[qi, pj] = ((r[:, None, :] - B) ** 2).sum(-1)
+                cell_lut_idx[(qi, int(cell))] = pj
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            bids = pdf["id"].to_numpy(dtype=np.int64)
+            cells = pdf["centroid_id"].to_numpy()
+            codes = np.frombuffer(b"".join(pdf["codes"]), dtype=np.uint8).reshape(-1, mm)
+            D = np.full((len(codes), nq), np.inf)
+            for qi in range(nq):
+                probe_set = {int(c) for c in P[qi]}
+                mask = np.isin(cells, list(probe_set))
+                if not mask.any():
+                    continue
+                idxs = np.nonzero(mask)[0]
+                dv = np.zeros(len(idxs))
+                for s in range(mm):
+                    # per-row LUT slot depends on the row's cell
+                    slots = np.array([cell_lut_idx[(qi, int(c))] for c in cells[idxs]])
+                    dv += luts[qi, slots, s, codes[idxs, s]]
+                D[idxs, qi] = dv
+            kk = min(k, D.shape[0])
+            idx = np.argpartition(D, kk - 1, axis=0)[:kk]
+            out = pd.DataFrame(
+                {
+                    "__qid": np.repeat(q_ids, kk),
+                    "__bid": bids[idx.T.ravel()],
+                    "__dist": np.take_along_axis(D, idx, axis=0).T.ravel(),
+                }
+            )
+            yield out[np.isfinite(out["__dist"])]
+
+    partials = pruned.mapInPandas(adc_partial, "__qid BIGINT, __bid BIGINT, __dist DOUBLE")
+    w = Window.partitionBy("__qid").orderBy(F.col("__dist").asc(), F.col("__bid").asc())
+    shortlist_k = k * rerank_factor if rerank_base is not None else k
+    out = partials.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= shortlist_k)
+    if rerank_base is None:
+        return out.select(
+            F.col("__qid").alias("query_id"),
+            "rank",
+            F.col("__bid").alias("base_id"),
+            F.sqrt("__dist").alias("distance"),
+        )
+    qdf = queries.select(F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qvec"))
+    cand = (
+        rerank_base.select(F.col(base_id).alias("__bid"), F.col(vec_col).alias("__bvec"))
+        .join(F.broadcast(out.select("__qid", "__bid")), "__bid")
+        .join(F.broadcast(qdf), "__qid")
+    )
+    rer = cand.select(
+        "__qid",
+        "__bid",
+        distance_expr("euclidean", F.col("__qvec"), F.col("__bvec")).alias("__dist"),
+    )
+    w2 = Window.partitionBy("__qid").orderBy(F.col("__dist").asc_nulls_last(), F.col("__bid").asc())
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias("query_id"),
+            "rank",
+            F.col("__bid").alias("base_id"),
+            F.col("__dist").alias("distance"),
+        )
+    )

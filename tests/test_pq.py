@@ -115,3 +115,50 @@ def test_pq_rerank_recovers_exact_recall(clustered):
         # gemm's (a^2-2ab+b^2) expansion carries ~1e-6 cancellation error;
         # the rerank path's sequential-sum distance is the more exact one
         assert ad[pair] == pytest.approx(ed[pair], abs=1e-5)
+
+
+def test_ivfpq_recall_and_pruning(clustered, spark):
+    from nbdatatools_spark.operators.similarity import ivfpq_build, ivfpq_topk
+
+    enc, index = ivfpq_build(clustered, n_centroids=8, m=4, n_codes=32, seed=3)
+    rows = enc.collect()
+    assert len(rows) == 400 and all(len(r["codes"]) == 4 for r in rows)
+    # cells follow the generating clusters closely: 8 centroids, each ~50
+    from collections import Counter
+
+    sizes = Counter(r["centroid_id"] for r in rows)
+    assert len(sizes) == 8
+
+    q = clustered.where(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["base_id"])
+        for r in brute_force_topk(q, clustered, k=10, metric="euclidean").collect()
+    }
+    # probing ALL cells + exact rerank ~ exact search
+    full = ivfpq_topk(q, enc, index, k=10, nprobe=8, rerank_base=clustered)
+    a_full = {(r["query_id"], r["base_id"]) for r in full.collect()}
+    assert len(a_full & exact) / len(exact) >= 0.9
+    # nprobe=2 on tight clusters: still high recall (neighbors share the cell)
+    probed = ivfpq_topk(q, enc, index, k=10, nprobe=2, rerank_base=clustered)
+    a2 = {(r["query_id"], r["base_id"]) for r in probed.collect()}
+    assert len(a2 & exact) / len(exact) >= 0.8
+
+
+def test_ivfpq_nprobe_monotone(clustered, spark):
+    from nbdatatools_spark.operators.similarity import ivfpq_build, ivfpq_topk
+
+    enc, index = ivfpq_build(clustered, n_centroids=8, m=4, n_codes=32, seed=3)
+    q = clustered.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["base_id"])
+        for r in brute_force_topk(q, clustered, k=5, metric="euclidean").collect()
+    }
+    recalls = []
+    for nprobe in (1, 4, 8):
+        got = {
+            (r["query_id"], r["base_id"])
+            for r in ivfpq_topk(q, enc, index, k=5, nprobe=nprobe).collect()
+        }
+        recalls.append(len(got & exact) / len(exact))
+    assert recalls[0] <= recalls[1] + 0.05 and recalls[1] <= recalls[2] + 0.05
+    assert recalls[2] >= 0.5  # raw ADC, all cells
