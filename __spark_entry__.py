@@ -923,6 +923,21 @@ def doc_repetition_stats(spark, sf_dir):
     )
 
 
+def doc_paragraph_dedup(spark, sf_dir):
+    """Cross-document paragraph (boilerplate) removal
+    (dedup.py::paragraph_dedup, RefinedWeb repeated-span rule): any
+    normalized paragraph appearing in >= 2 distinct docs is dropped from
+    ALL of them. The synthetic docs are single-paragraph, so injected
+    duplicate docs empty out — output is per-doc surviving char count."""
+    from nbdatatools_spark.operators.dedup import paragraph_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = paragraph_dedup(docs, min_dup_docs=2)
+    return out.select("doc_id", F.length("text").alias("n_chars_kept")).orderBy(
+        "doc_id"
+    )
+
+
 def doc_training_pipeline(spark, sf_dir):
     """End-to-end training-data preparation — the composition a real corpus
     build runs, as ONE lazily-planned DataFrame chain:
@@ -1055,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_rerank_self_top1": pq_rerank_self_top1,
         "doc_decontaminate": doc_decontaminate,
         "doc_repetition_stats": doc_repetition_stats,
+        "doc_paragraph_dedup": doc_paragraph_dedup,
         "doc_training_pipeline": doc_training_pipeline,
         # LAST by design: fit_model runs driver-side sketch jobs during plan
         # construction; round 1's driver gate recorded nothing after this
@@ -1718,6 +1734,22 @@ def oracle_sql() -> dict[str, str]:
               CAST(SUM(CAST(round(t2g, 6) AS DECIMAL(12,6))) AS DOUBLE)/COUNT(*) AS avg_top2gram_frac,
               COUNT(*) AS n_docs
             FROM per
+        """,
+        # paragraph/boilerplate removal: single-paragraph synthetic docs, so
+        # a doc keeps its text iff its normalized hash is unique corpus-wide
+        "doc_paragraph_dedup": """
+            WITH h AS (
+                SELECT doc_id, text,
+                       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f,
+                       length(trim(text)) > 0 AS nonempty
+                FROM documents),
+            dup AS (
+                SELECT f FROM h WHERE nonempty
+                GROUP BY f HAVING count(DISTINCT doc_id) >= 2)
+            SELECT doc_id,
+                   CASE WHEN nonempty AND f IN (SELECT f FROM dup)
+                        THEN 0 ELSE length(text) END AS n_chars_kept
+            FROM h ORDER BY doc_id
         """,
         # end-to-end pipeline: chains the decontamination, dedup, quality,
         # and repetition replicas, then token accounting

@@ -305,3 +305,43 @@ def top_ngram_char_fraction(col: Column, n: int = 2) -> Column:
     and mirrorable in the SQL oracle. For hot paths materialize the grams
     and use top_ngram_char_fraction_of."""
     return top_ngram_char_fraction_of(word_shingles(col, n), F.length(normalize_text(col)))
+
+
+# --- PII redaction ---------------------------------------------------------
+
+# deliberately conservative public patterns; ORDER MATTERS: emails first
+# (an address contains dot-runs a later rule could clip), IPs before phones
+# (the dotted-quad prefix "192.168" would otherwise match the phone rule)
+_PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b(?:(?:25[0-5]|2[0-4]\d|1?\d?\d)\.){3}(?:25[0-5]|2[0-4]\d|1?\d?\d)\b", "[IP]"),
+    (r"\b(?:\+?\d{1,3}[-. ])?(?:\(\d{2,4}\)[-. ]?)?\d{3,4}[-. ]\d{3,4}(?:[-. ]\d{2,4})?\b", "[PHONE]"),
+)
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails, phone numbers, and IPv4 addresses with typed
+    placeholders — chained regexp_replace, pure codegen (the standard
+    pre-training scrub step). Patterns are intentionally high-precision:
+    a corpus pass must not mangle code or prose."""
+    out = col
+    for pattern, token in _PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_counts(col: Column) -> Column:
+    """(n_emails, n_phones, n_ips) struct — audit companion to redact_pii.
+    Counts apply each pattern to the SAME un-redacted text, but in redaction
+    order: later patterns count on the already-redacted form so a dotted
+    quad is never double-counted as a phone number."""
+    by_token = {}
+    stage = col
+    for pattern, token in _PII_PATTERNS:
+        by_token[token] = F.size(F.regexp_extract_all(stage, F.lit(pattern), F.lit(0)))
+        stage = F.regexp_replace(stage, pattern, token)
+    return F.struct(
+        by_token["[EMAIL]"].alias("n_emails"),
+        by_token["[PHONE]"].alias("n_phones"),
+        by_token["[IP]"].alias("n_ips"),
+    )

@@ -613,3 +613,56 @@ def decontaminate(
     return train.join(
         F.broadcast(hits.withColumnRenamed("id", id_col)), id_col, "left_anti"
     )
+
+
+# --- paragraph-level dedup -------------------------------------------------
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_dup_docs: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Remove paragraphs that appear (normalized) in >= ``min_dup_docs``
+    DISTINCT documents — the repeated-span removal step of RefinedWeb/Falcon
+    (Penedo et al. 2023) and the line-level variant of C4's boilerplate rule.
+
+    Plan shape: posexplode paragraphs -> md5 hash -> distinct-doc counts per
+    hash (16-byte shuffle payload, map-side combinable) -> broadcast-join
+    the duplicated-hash set back -> reassemble surviving paragraphs in
+    original position order with one groupBy(doc_id). Documents whose every
+    paragraph is boilerplate survive with empty text (callers drop or flag).
+    """
+    from nbdatatools_spark.functions.text import normalize_text
+
+    paras = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__para"),
+    ).withColumn("__h", F.md5(normalize_text(F.col("__para"))))
+    dup_hashes = (
+        paras.where(F.length(F.trim("__para")) > 0)
+        .groupBy("__h")
+        .agg(F.countDistinct("__id").alias("__docs"))
+        .where(F.col("__docs") >= min_dup_docs)
+        .select("__h")
+    )
+    kept = paras.join(F.broadcast(dup_hashes), "__h", "left_anti")
+    rebuilt = (
+        kept.groupBy("__id")
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__para"))),
+                    lambda s: s["__para"],
+                ),
+            ).alias("__text")
+        )
+    )
+    others = [c for c in df.columns if c != text_col]
+    return (
+        df.select(*others)
+        .join(rebuilt.withColumnRenamed("__id", id_col), id_col, "left")
+        .select(*others, F.coalesce("__text", F.lit("")).alias(text_col))
+    )

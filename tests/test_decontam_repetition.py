@@ -93,3 +93,63 @@ def test_top_ngram_char_fraction(spark):
     assert out[1] == pytest.approx(15 / 16)
     # all 2-grams unique -> count 1; top by lexicographic max; len/total
     assert 0.0 < out[2] < 1.0
+
+
+def test_paragraph_dedup_removes_cross_doc_boilerplate(spark):
+    from nbdatatools_spark.operators.dedup import paragraph_dedup
+
+    boiler = "subscribe to our newsletter"
+    df = spark.createDataFrame(
+        [
+            (1, f"unique alpha text\n{boiler}\nmore alpha"),
+            (2, f"{boiler}\nunique beta text"),
+            (3, "entirely original gamma"),
+            (4, f"Subscribe   To our NEWSLETTER\nunique delta"),  # normalized match
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r["doc_id"]: r["text"] for r in paragraph_dedup(df, min_dup_docs=2).collect()}
+    assert out[1] == "unique alpha text\nmore alpha"
+    assert out[2] == "unique beta text"
+    assert out[3] == "entirely original gamma"
+    assert out[4] == "unique delta"
+
+
+def test_paragraph_dedup_all_boilerplate_and_threshold(spark):
+    from nbdatatools_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "same\nextra")],
+        "doc_id BIGINT, text STRING",
+    )
+    out3 = {r["doc_id"]: r["text"] for r in paragraph_dedup(df, min_dup_docs=3).collect()}
+    assert out3 == {1: "", 2: "", 3: "extra"}
+    # higher threshold: nothing removed
+    out4 = {r["doc_id"]: r["text"] for r in paragraph_dedup(df, min_dup_docs=4).collect()}
+    assert out4 == {1: "same", 2: "same", 3: "same\nextra"}
+
+
+def test_redact_pii_and_counts(spark):
+    from nbdatatools_spark.functions.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+spam@example.co.uk or call 555-123-4567."),
+            (2, "server at 192.168.1.254 and 8.8.8.8; version 1.2.3.999 is not an IP... but 999 octet invalid"),
+            (3, "clean text with no personal data, pi=3.14159"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r["doc_id"]: r["r"] for r in df.select("doc_id", redact_pii(F.col("text")).alias("r")).collect()}
+    assert "[EMAIL]" in out[1] and "jane" not in out[1]
+    assert "[PHONE]" in out[1] and "555-123-4567" not in out[1]
+    assert out[2].count("[IP]") == 2 and "1.2.3.999" in out[2]
+    assert out[3] == "clean text with no personal data, pi=3.14159"
+
+    counts = {
+        r["doc_id"]: r["c"].asDict()
+        for r in df.select("doc_id", pii_counts(F.col("text")).alias("c")).collect()
+    }
+    assert counts[1] == {"n_emails": 1, "n_phones": 1, "n_ips": 0}
+    assert counts[2]["n_ips"] == 2
+    assert counts[3] == {"n_emails": 0, "n_phones": 0, "n_ips": 0}
