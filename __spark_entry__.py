@@ -837,6 +837,66 @@ def embedding_near_dup_pairs(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def _semdedup_centroids(k: int = 8, dim: int = 64, seed: int = 1234) -> list[list[float]]:
+    """Seeded Gaussian centroids shared bit-for-bit between the Spark
+    queries and their DuckDB oracles (the ann_lsh_topk hyperplane
+    convention): generated driver-side, inlined as literals on both sides."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [[float(x) for x in row] for row in rng.normal(size=(k, dim))]
+
+
+def _emb_with_injected_dups(spark, sf_dir, n_dups: int = 25, id_shift: int = 10_000):
+    """embeddings plus exact duplicates of vec_id < n_dups under shifted ids
+    — the cleanfvec-style dup injection (datagen/TestDataFiles.java:71-98),
+    done in-query so the dedup operators have real work at every SF."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = (
+        emb.where(F.col("vec_id") < n_dups)
+        .withColumn("vec_id", F.col("vec_id") + id_shift)
+    )
+    return emb.unionByName(dups)
+
+
+def embedding_cluster_assign(spark, sf_dir):
+    """Shuffle-free nearest-centroid assignment
+    (clustering.centroid_assign): the k x d centroid table is inlined as a
+    literal struct array and the per-row argmin is a single projection — the
+    SemDeDup / IVF assignment shape (no crossJoin, no Window shuffle)."""
+    from nbdatatools_spark.operators.clustering import centroid_assign
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = centroid_assign(
+        emb, _semdedup_centroids(), metric="cosine", vec_col="embedding", dist_col="cdist"
+    )
+    return out.select(
+        "vec_id", "centroid_id", (F.round("cdist", 6) + 0.0).alias("cdist")
+    ).orderBy("vec_id")
+
+
+def embedding_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) with pinned seeded
+    centroids and tau=0.95. At dim 64 a random-pair cosine is ~N(0, 1/64)
+    (and the measured non-identical max in this corpus is ~0.51), so only
+    the injected duplicate cliques exceed tau; the greedy within-cluster
+    survivor is then exactly the visit-order minimum ((centroid_sim ASC,
+    vec_id ASC)) of each clique, which the DuckDB oracle replicates with a
+    NOT EXISTS over the >= tau pair set. Chains (a~b~c, a!~c) cannot occur
+    at this margin, so greedy == clique-minimum is exact, not approximate."""
+    from nbdatatools_spark.operators.clustering import semantic_dedup
+
+    emb = _emb_with_injected_dups(spark, sf_dir)
+    out = semantic_dedup(
+        emb,
+        threshold=0.95,
+        id_col="vec_id",
+        vec_col="embedding",
+        centroids=_semdedup_centroids(),
+    )
+    return out.select("vec_id", "centroid_id").orderBy("vec_id")
+
+
 def ks_normal_embeddings(spark, sf_dir):
     """A4 K-S goodness-of-fit vs per-dim fitted normal. Oracle-able: the
     A-S 7.1.26 erf closed form is replicated verbatim in DuckDB SQL; round(4)
@@ -1060,6 +1120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_balance_rank": supplier_balance_rank,
         "orders_running_total": orders_running_total,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
+        "embedding_cluster_assign": embedding_cluster_assign,
+        "embedding_semantic_dedup": embedding_semantic_dedup,
         "doc_winnow_fingerprints": doc_winnow_fingerprints,
         # rows-only (approximate / non-SQL-expressible)
         "ann_lsh_topk": ann_lsh_topk,
@@ -1236,6 +1298,87 @@ def _ann_lsh_oracle(k: int = 10, dim: int = 64, n_bits: int = 8, seed: int = 42)
                round(dist, 6) + 0.0 AS distance
         FROM ranked WHERE rn <= {k}
         ORDER BY query_id, rank
+    """
+
+
+def _cluster_assign_oracle(k: int = 8, dim: int = 64, seed: int = 1234) -> str:
+    """DuckDB replica of centroid_assign: same seeded centroids inlined as
+    DOUBLE[] literals, same cosine-distance formula
+    (1 - dot/(sqrt(dot_aa)*sqrt(dot_bb)), sequential folds on both engines),
+    argmin via row_number ordered (cdist ASC, cid ASC) — the struct
+    tie-break centroid_assign uses."""
+    cents = _semdedup_centroids(k, dim, seed)
+    vals = ",\n                 ".join(
+        "({i}, [{v}]::DOUBLE[])".format(
+            i=i, v=", ".join(repr(x) for x in c)
+        )
+        for i, c in enumerate(cents)
+    )
+    return f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        c(cid, ce) AS (VALUES {vals}),
+        d AS (SELECT vec_id, cid,
+                     1.0 - list_inner_product(e, ce)
+                           / (sqrt(list_inner_product(e, e))
+                              * sqrt(list_inner_product(ce, ce))) AS cd
+              FROM v CROSS JOIN c),
+        r AS (SELECT vec_id, cid, cd,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cd ASC NULLS LAST, cid ASC) AS rn
+              FROM d)
+        SELECT vec_id, CAST(cid AS INT) AS centroid_id, round(cd, 6) + 0.0 AS cdist
+        FROM r WHERE rn = 1 ORDER BY vec_id
+    """
+
+
+def _semantic_dedup_oracle(
+    k: int = 8,
+    dim: int = 64,
+    seed: int = 1234,
+    tau: float = 0.95,
+    n_dups: int = 25,
+    id_shift: int = 10_000,
+) -> str:
+    """DuckDB replica of embedding_semantic_dedup. Because only duplicate
+    CLIQUES clear tau (see the query docstring), greedy == "keep x iff no
+    y with cos(x, y) >= tau precedes x in (centroid_sim ASC, vec_id ASC)
+    visit order". centroid_sim is computed with the exact Spark arithmetic
+    (1.0 - cdist) so clique ties resolve identically on both engines."""
+    cents = _semdedup_centroids(k, dim, seed)
+    vals = ",\n                 ".join(
+        "({i}, [{v}]::DOUBLE[])".format(
+            i=i, v=", ".join(repr(x) for x in c)
+        )
+        for i, c in enumerate(cents)
+    )
+    return f"""
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+            UNION ALL
+            SELECT vec_id + {id_shift}, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings WHERE vec_id < {n_dups}),
+        c(cid, ce) AS (VALUES {vals}),
+        d AS (SELECT vec_id, e, cid,
+                     1.0 - list_inner_product(e, ce)
+                           / (sqrt(list_inner_product(e, e))
+                              * sqrt(list_inner_product(ce, ce))) AS cd
+              FROM base CROSS JOIN c),
+        a AS (SELECT vec_id, e, cid, 1.0 - cd AS csim
+              FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY cd ASC NULLS LAST, cid ASC) AS rn
+                    FROM d)
+              WHERE rn = 1)
+        SELECT x.vec_id, CAST(x.cid AS INT) AS centroid_id
+        FROM a x
+        WHERE NOT EXISTS (
+            SELECT 1 FROM a y
+            WHERE y.vec_id <> x.vec_id
+              AND list_inner_product(x.e, y.e)
+                  / (sqrt(list_inner_product(x.e, x.e))
+                     * sqrt(list_inner_product(y.e, y.e))) >= {tau}
+              AND (y.csim < x.csim
+                   OR (y.csim = x.csim AND y.vec_id < x.vec_id)))
+        ORDER BY x.vec_id
     """
 
 
@@ -1665,6 +1808,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_oracle(),
         "ks_normal_embeddings": _ks_normal_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
+        "embedding_cluster_assign": _cluster_assign_oracle(),
+        "embedding_semantic_dedup": _semantic_dedup_oracle(),
         # verify_knn invariant (README.md:54 `verify_knn`): exact KNN verified
         # against itself must have recall exactly 1.0 for every query — the
         # oracle derives the expected (1.0, n_queries) pair from the data.

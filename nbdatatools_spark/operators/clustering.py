@@ -1,0 +1,220 @@
+"""Embedding clustering + semantic deduplication (SURVEY §7.8 extension).
+
+Beyond-reference training-data operators (the reference's own dedup surface
+is exact value dedup, ``README.md:97-99`` cleanfvec — see operators/dedup.py):
+
+- ``centroid_assign``: shuffle-free nearest-centroid assignment. The
+  centroid table is tiny by construction (k x d floats), so it is inlined
+  as a literal array of (distance, centroid_id) structs and the per-row
+  argmin is one ``array_min`` projection — NO shuffle, NO crossJoin, the
+  same plan shape as similarity.ivf_topk's assignment (VERDICT r1 #4).
+- ``kmeans_centroids``: MLlib KMeans (DataFrame API) on an optionally
+  sampled input, returning plain ``list[list[float]]`` centroids.
+- ``semantic_dedup``: SemDeDup (Abbas et al., "SemDeDup: Data-efficient
+  learning at web-scale through semantic deduplication", arXiv:2303.09540
+  §3): cluster embeddings with k-means, then WITHIN each cluster drop every
+  vector whose cosine similarity to an already-kept vector exceeds
+  ``threshold``. Keep priority follows the paper: candidates are visited in
+  order of LOW similarity to their cluster centroid (diversity-preserving),
+  deterministic tie-break on the id column.
+
+Scale contract (100TB posture): clustering bounds all pairwise work to
+within-cluster. The only shuffle is the applyInPandas groupBy on
+``centroid_id`` (k groups; choose k ~ N / target_cluster_size so each
+cluster fits an executor — the paper uses N/k ~ 10-50k at web scale). The
+greedy pass is an Arrow-batched numpy kernel: O(n_cluster * kept * d) with
+blocked matmuls, never a full n x n gram for large clusters.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
+
+from nbdatatools_spark.functions.distance import distance_expr
+
+
+def _centroid_struct_array(vec, centroids: Sequence[Sequence[float]], metric: str):
+    """Literal array of (distance, centroid_id) structs for a vector column.
+
+    Struct comparison is field-order lexicographic, so ``array_min`` over
+    this array IS the (distance ASC, centroid_id ASC) argmin — a pure
+    projection, evaluated inside whole-stage codegen.
+    """
+    return F.array(
+        *[
+            F.struct(
+                distance_expr(
+                    metric, vec, F.array(*[F.lit(float(x)) for x in c])
+                ).alias("cdist"),
+                F.lit(i).alias("centroid_id"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+
+
+def centroid_assign(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    metric: str = "cosine",
+    vec_col: str = "embedding",
+    out_col: str = "centroid_id",
+    dist_col: str | None = None,
+) -> DataFrame:
+    """Append nearest-centroid id (and optionally its distance) per row.
+
+    Shuffle-free: one projection over an inlined literal centroid array.
+    NULL/NaN distances (e.g. zero-magnitude cosine) rank LAST via the
+    struct tie-break only if the distance compares greater; to keep the
+    argmin total, NULL distances are coalesced to +Inf first.
+    """
+    arr = F.transform(
+        _centroid_struct_array(F.col(vec_col), centroids, metric),
+        lambda s: F.struct(
+            F.coalesce(
+                F.nanvl(s["cdist"], F.lit(float("inf"))), F.lit(float("inf"))
+            ).alias("cdist"),
+            s["centroid_id"].alias("centroid_id"),
+        ),
+    )
+    best = F.array_min(arr)
+    out = df.withColumn(out_col, best["centroid_id"])
+    if dist_col:
+        out = out.withColumn(dist_col, best["cdist"])
+    return out
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+    sample_fraction: float = 1.0,
+) -> list[list[float]]:
+    """Train k-means centroids (MLlib DataFrame API) and return them as
+    plain Python lists, ready to inline into ``centroid_assign``.
+
+    At 100TB: train on a sample (``sample_fraction``) — centroid quality
+    converges long before the full pass; assignment stays exact and full.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = df.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    if sample_fraction < 1.0:
+        train = train.sample(fraction=sample_fraction, seed=seed)
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(train)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def _greedy_keep(ids, vecs, sims, threshold: float, block: int = 1024):
+    """Exact greedy pass over one cluster, visiting rows in (centroid_sim
+    ASC, id ASC) order: keep a row iff max cosine to every already-kept row
+    is < threshold. Blocked matmuls: O(n * kept * d) flops, O(block * kept)
+    peak memory — never the full n x n gram.
+
+    Returns a boolean keep-mask aligned with the input order.
+    """
+    import numpy as np
+
+    n = len(ids)
+    order = np.lexsort((ids, sims))  # primary: centroid_sim asc, tie: id asc
+    X = vecs[order]
+    norms = np.linalg.norm(X, axis=1)
+    nz = norms > 0.0
+    Xn = np.zeros_like(X)
+    Xn[nz] = X[nz] / norms[nz, None]  # zero-norm rows: sim 0 to everything
+
+    keep_sorted = np.zeros(n, dtype=bool)
+    kept_rows: list = []  # list of normalized blocks already kept
+    for s in range(0, n, block):
+        e = min(s + block, n)
+        B = Xn[s:e]
+        if kept_rows:
+            K = np.concatenate(kept_rows, axis=0)
+            best = (B @ K.T).max(axis=1)
+        else:
+            best = np.full(e - s, -np.inf)
+        gram = B @ B.T  # within-block pairs still need sequential greedy
+        for j in range(e - s):
+            if best[j] >= threshold:
+                continue
+            keep_sorted[s + j] = True
+            later = gram[j, j + 1 :]
+            np.maximum(best[j + 1 :], later, out=best[j + 1 :])
+        kept_block = B[keep_sorted[s:e]]
+        if len(kept_block):
+            kept_rows.append(kept_block)
+
+    keep = np.zeros(n, dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 16,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    centroids: Sequence[Sequence[float]] | None = None,
+    keep_all_columns: bool = True,
+) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540): k-means cluster, then within-cluster
+    greedy cosine dedup at ``threshold``. Returns the kept rows with
+    ``centroid_id`` and ``centroid_sim`` (cosine similarity to the assigned
+    centroid) appended.
+
+    Visit order is LOW centroid similarity first (paper §3: among semantic
+    duplicates, the example least similar to the centroid is retained),
+    tie-broken by ``id_col`` so the result is deterministic under any
+    partitioning. Pass precomputed ``centroids`` to pin them exactly (tests,
+    incremental runs); otherwise MLlib KMeans trains them with ``seed``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if centroids is None:
+        centroids = kmeans_centroids(df, k, vec_col=vec_col, seed=seed)
+
+    assigned = centroid_assign(
+        df, centroids, metric="cosine", vec_col=vec_col, dist_col="__cdist"
+    ).withColumn(
+        # cosine distance -> similarity; +Inf distance (zero vectors) -> sim 0
+        "centroid_sim",
+        F.when(F.col("__cdist") == float("inf"), F.lit(0.0)).otherwise(
+            1.0 - F.col("__cdist")
+        ),
+    ).drop("__cdist")
+
+    narrow = assigned.select(id_col, vec_col, "centroid_id", "centroid_sim")
+    schema = StructType(
+        [
+            narrow.schema[id_col],
+            StructField("centroid_id", narrow.schema["centroid_id"].dataType),
+            StructField("centroid_sim", narrow.schema["centroid_sim"].dataType),
+        ]
+    )
+
+    def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        vecs = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        sims = pdf["centroid_sim"].to_numpy()
+        mask = _greedy_keep(ids, vecs, sims, threshold)
+        return pdf.loc[mask, [id_col, "centroid_id", "centroid_sim"]]
+
+    kept = narrow.groupBy("centroid_id").applyInPandas(dedup_cluster, schema)
+    if not keep_all_columns:
+        return kept
+    # re-attach the original columns (incl. the vector) by id: the kept set
+    # is the small side after dedup, but ids are unique on both sides, so a
+    # plain equi-join on id_col is one co-partitioned shuffle
+    return df.join(kept, id_col)
