@@ -983,6 +983,21 @@ def doc_repetition_stats(spark, sf_dir):
     )
 
 
+def doc_mixture_sample(spark, sf_dir):
+    """Domain-mixture rebalancing (operators/sampling.py): closed-form
+    per-source keep rates for a skewed target (src0 -> 50% of the corpus,
+    the rest split evenly), then content-keyed deterministic sampling
+    (md5-prefix uint52 vs rate * 2^52 — portable, partition-invariant).
+    The DuckDB oracle replicates the rate solve AND the hash rule with the
+    identical double arithmetic, so the gate is hash-exact."""
+    from nbdatatools_spark.operators.sampling import mixture_rates, stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = mixture_rates(docs, "source", target={"src0": 0.5})
+    out = stratified_sample(docs, rates, strata_col="source", key_col="doc_id", seed=42)
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
 def doc_paragraph_dedup(spark, sf_dir):
     """Cross-document paragraph (boilerplate) removal
     (dedup.py::paragraph_dedup, RefinedWeb repeated-span rule): any
@@ -1132,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_rerank_self_top1": pq_rerank_self_top1,
         "doc_decontaminate": doc_decontaminate,
         "doc_repetition_stats": doc_repetition_stats,
+        "doc_mixture_sample": doc_mixture_sample,
         "doc_paragraph_dedup": doc_paragraph_dedup,
         "doc_training_pipeline": doc_training_pipeline,
         # LAST by design: fit_model runs driver-side sketch jobs during plan
@@ -1882,6 +1898,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         # paragraph/boilerplate removal: single-paragraph synthetic docs, so
         # a doc keeps its text iff its normalized hash is unique corpus-wide
+        # mixture rebalancing: replicate the closed-form rate solve
+        # (T = min_s(w_s/p_s), rate_s = p_s*T/w_s) and the md5-uint52
+        # content-hash keep rule with identical double arithmetic
+        "doc_mixture_sample": """
+            WITH w AS (SELECT source, CAST(count(*) AS DOUBLE) AS ws
+                       FROM documents GROUP BY source),
+            k AS (SELECT count(*) AS ns FROM w),
+            p AS (SELECT source, ws,
+                         CASE WHEN source = 'src0' THEN 0.5
+                              ELSE (1.0 - 0.5) / (ns - 1) END AS ps
+                  FROM w, k),
+            t AS (SELECT min(ws * 1.0 / ps) AS tt FROM p),
+            r AS (SELECT source, ps * tt / ws AS rate FROM p, t),
+            h AS (SELECT doc_id, d.source,
+                         ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 13))::BIGINT AS hv
+                  FROM documents d)
+            SELECT h.doc_id, h.source
+            FROM h JOIN r USING (source)
+            WHERE hv < rate * 4503599627370496.0
+            ORDER BY doc_id
+        """,
         "doc_paragraph_dedup": """
             WITH h AS (
                 SELECT doc_id, text,

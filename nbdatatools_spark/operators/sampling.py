@@ -1,0 +1,114 @@
+"""Deterministic corpus sampling + domain-mixture rebalancing (SURVEY §7.8
+training-data extension).
+
+A corpus build downsamples overrepresented sources to hit a target domain
+mixture (the static variant of mixture reweighting — cf. Du et al. PaLM §3,
+Xie et al. DoReMi; the engine computes closed-form static rates, not the
+iterative proxy-model loop). Two properties matter at 100TB:
+
+- **Content-keyed determinism**: ``df.sample`` is seed+partition dependent —
+  re-running after a repartition keeps DIFFERENT rows. Sampling here is a
+  pure function of (key, seed): keep iff ``md5_52(key || ':' || seed) <
+  rate * 2^52``. Stable across runs, partitionings, and engines (md5-prefix
+  arithmetic is the same portable convention as functions.text.kgram_hashes,
+  so DuckDB oracles replicate it bit-for-bit).
+- **No shuffle**: the keep-decision is one projection; ``mixture_rates`` is
+  one tiny groupBy collect (n_strata rows to the driver), then the rates
+  are inlined as a literal CASE chain.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HASH_SPACE = float(1 << 52)
+
+
+def sample_hash(key: Column, seed: int = 42) -> Column:
+    """Portable uint52 hash of a key column: first 13 hex chars of
+    md5(key ':' seed) as a BIGINT. Uniform on [0, 2^52)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", key.cast("string"), F.lit(str(seed)))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, key_col: str = "doc_id", seed: int = 42
+) -> DataFrame:
+    """Deterministic Bernoulli(fraction) sample keyed on ``key_col``."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.where(sample_hash(F.col(key_col), seed) < fraction * _HASH_SPACE)
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: Mapping[str, float],
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    default_rate: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: stratum s keeps rows with
+    ``hash < rates[s] * 2^52``; strata absent from ``rates`` (and NULL)
+    use ``default_rate``. The rate lookup is a literal CASE chain — pure
+    projection, no join, no shuffle."""
+    rate = F.lit(float(default_rate))
+    for s, r in sorted(rates.items()):
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for stratum {s!r} must be in [0, 1], got {r}")
+        rate = F.when(F.col(strata_col) == s, F.lit(float(r))).otherwise(rate)
+    return df.where(sample_hash(F.col(key_col), seed) < rate * _HASH_SPACE)
+
+
+def mixture_rates(
+    df: DataFrame,
+    strata_col: str = "source",
+    target: Mapping[str, float] | None = None,
+    weight_col: str | None = None,
+    cap: float = 1.0,
+) -> dict[str, float]:
+    """Closed-form per-stratum keep rates that achieve a target mixture.
+
+    With stratum weights ``w_s`` (row counts, or sums of ``weight_col`` —
+    e.g. token counts) and target proportions ``p_s``, the largest total
+    retained corpus satisfying ``kept_s / total = p_s`` and ``rate_s <=
+    cap`` is ``T = min_s(w_s * cap / p_s)``, ``rate_s = p_s * T / w_s``.
+
+    ``target=None`` means uniform over the observed strata. A partial
+    target dict assigns the named strata their proportions and splits the
+    remaining mass evenly over the other observed strata. Unknown strata in
+    ``target`` raise (silent typos would skew the mixture)."""
+    rows = (
+        df.groupBy(strata_col)
+        .agg(
+            (
+                F.sum(weight_col) if weight_col else F.count(F.lit(1))
+            ).cast("double").alias("w")
+        )
+        .collect()
+    )
+    weights = {r[strata_col]: r["w"] for r in rows}
+    if target is not None:
+        unknown = set(target) - set(weights)
+        if unknown:
+            raise ValueError(f"target strata not present in data: {sorted(unknown)}")
+        named_mass = sum(target.values())
+        if named_mass > 1.0 + 1e-12:
+            raise ValueError(f"target proportions sum to {named_mass} > 1")
+        rest = [s for s in weights if s not in target]
+        props = dict(target)
+        if rest:
+            for s in rest:
+                props[s] = (1.0 - named_mass) / (len(weights) - len(target))
+    else:
+        props = {s: 1.0 / len(weights) for s in weights}
+    t = min(weights[s] * cap / props[s] for s in props if props[s] > 0)
+    return {s: (props[s] * t / weights[s]) if props[s] > 0 else 0.0 for s in props}
