@@ -983,6 +983,22 @@ def doc_repetition_stats(spark, sf_dir):
     )
 
 
+def doc_pack_sequences(spark, sf_dir):
+    """Concat-then-chunk sequence packing (operators/packing.py): global
+    token-stream spans via two-phase partition-offset running sums (the
+    scalable zipWithIndex shape — no single-reducer window), budget 2048,
+    n_chars standing in for the token count. All-integer output."""
+    from nbdatatools_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("n_tokens")
+    )
+    out = pack_sequences(docs, 2048)
+    return out.select(
+        "doc_id", "start_tok", "seq_first", "seq_last", "seq_offset"
+    ).orderBy("doc_id")
+
+
 def doc_mixture_sample(spark, sf_dir):
     """Domain-mixture rebalancing (operators/sampling.py): closed-form
     per-source keep rates for a skewed target (src0 -> 50% of the corpus,
@@ -1148,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate": doc_decontaminate,
         "doc_repetition_stats": doc_repetition_stats,
         "doc_mixture_sample": doc_mixture_sample,
+        "doc_pack_sequences": doc_pack_sequences,
         "doc_paragraph_dedup": doc_paragraph_dedup,
         "doc_training_pipeline": doc_training_pipeline,
         # LAST by design: fit_model runs driver-side sketch jobs during plan
@@ -1898,6 +1915,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         # paragraph/boilerplate removal: single-paragraph synthetic docs, so
         # a doc keeps its text iff its normalized hash is unique corpus-wide
+        # sequence packing: exclusive running sum + integer div/mod — all
+        # integers, engine-exact (DuckDB sum(BIGINT) is HUGEINT, cast back)
+        "doc_pack_sequences": """
+            WITH c AS (
+                SELECT doc_id, n_chars,
+                       CAST(COALESCE(sum(n_chars) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            0) AS BIGINT) AS start_tok
+                FROM documents)
+            SELECT doc_id, start_tok,
+                   start_tok // 2048 AS seq_first,
+                   CASE WHEN n_chars > 0 THEN (start_tok + n_chars - 1) // 2048
+                        ELSE start_tok // 2048 END AS seq_last,
+                   start_tok % 2048 AS seq_offset
+            FROM c ORDER BY doc_id
+        """,
         # mixture rebalancing: replicate the closed-form rate solve
         # (T = min_s(w_s/p_s), rate_s = p_s*T/w_s) and the md5-uint52
         # content-hash keep rule with identical double arithmetic

@@ -1,0 +1,67 @@
+"""Sequence-packing tests: single-partition differential, partition
+invariance, conservation, and boundary cases."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nbdatatools_spark.operators.packing import pack_sequences
+
+
+def _reference_pack(rows, max_tokens):
+    """Driver-side replica: lay out in order, slice every max_tokens."""
+    out, cursor = {}, 0
+    for doc_id, tok in sorted(rows):
+        first = cursor // max_tokens
+        last = (cursor + tok - 1) // max_tokens if tok > 0 else first
+        out[doc_id] = (cursor, first, last, cursor % max_tokens)
+        cursor += tok
+    return out
+
+
+@pytest.mark.parametrize("n_partitions", [1, 7])
+def test_pack_matches_reference_and_is_partition_invariant(spark, n_partitions):
+    rows = [(i, (i * 37) % 900 + 1) for i in range(500)]
+    # include empties and a giant doc spanning many sequences
+    rows += [(500, 0), (501, 10_000), (502, 0), (503, 1)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, n_tokens BIGINT").repartition(
+        n_partitions
+    )
+    got = {
+        r["doc_id"]: (r["start_tok"], r["seq_first"], r["seq_last"], r["seq_offset"])
+        for r in pack_sequences(df, 2048).collect()
+    }
+    assert got == _reference_pack(rows, 2048)
+
+
+def test_pack_conservation_and_no_gaps(spark):
+    rows = [(i, (i * 13) % 300 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, n_tokens BIGINT")
+    out = pack_sequences(df, 512).orderBy("doc_id").collect()
+    cursor = 0
+    for r in out:
+        assert r["start_tok"] == cursor  # contiguous: no gaps, no overlap
+        cursor += r["n_tokens"]
+    assert cursor == sum(t for _, t in rows)
+
+
+def test_pack_exact_boundary_fill(spark):
+    # doc 0 fills sequence 0 exactly; doc 1 starts sequence 1 at offset 0
+    df = spark.createDataFrame(
+        [(0, 1024), (1, 10), (2, 1014), (3, 5)], "doc_id BIGINT, n_tokens BIGINT"
+    )
+    got = {
+        r["doc_id"]: (r["seq_first"], r["seq_last"], r["seq_offset"])
+        for r in pack_sequences(df, 1024).collect()
+    }
+    assert got[0] == (0, 0, 0)
+    assert got[1] == (1, 1, 0)
+    assert got[2] == (1, 1, 10)   # ends at 2048 exactly -> still sequence 1
+    assert got[3] == (2, 2, 0)
+
+
+def test_pack_rejects_nonpositive_budget(spark):
+    df = spark.createDataFrame([(0, 1)], "doc_id BIGINT, n_tokens BIGINT")
+    with pytest.raises(ValueError):
+        pack_sequences(df, 0)
