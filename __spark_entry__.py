@@ -983,6 +983,17 @@ def doc_repetition_stats(spark, sf_dir):
     )
 
 
+def corpus_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary top-k (analysis.vocab_topk): wordcount over
+    normalized whitespace tokens, global top-100 by (occurrences DESC,
+    token ASC) via TakeOrderedAndProject — all-integer output plus the
+    token string, hash-trivial."""
+    from nbdatatools_spark.operators.analysis import vocab_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_topk(docs, k=100)
+
+
 def doc_pack_sequences(spark, sf_dir):
     """Concat-then-chunk sequence packing (operators/packing.py): global
     token-stream spans via two-phase partition-offset running sums (the
@@ -1165,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_stats": doc_repetition_stats,
         "doc_mixture_sample": doc_mixture_sample,
         "doc_pack_sequences": doc_pack_sequences,
+        "corpus_vocab_topk": corpus_vocab_topk,
         "doc_paragraph_dedup": doc_paragraph_dedup,
         "doc_training_pipeline": doc_training_pipeline,
         # LAST by design: fit_model runs driver-side sketch jobs during plan
@@ -1915,6 +1927,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         # paragraph/boilerplate removal: single-paragraph synthetic docs, so
         # a doc keeps its text iff its normalized hash is unique corpus-wide
+        # vocabulary top-k: normalize -> single-space split -> count; the
+        # (n_occurrences DESC, token ASC) tie-break is total, so top-100 is
+        # engine-stable
+        "corpus_vocab_topk": """
+            WITH t AS (
+                SELECT doc_id,
+                       unnest(string_split(
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                           ' ')) AS token
+                FROM documents),
+            g AS (SELECT token,
+                         count(*) AS n_occurrences,
+                         count(DISTINCT doc_id) AS n_docs
+                  FROM t WHERE length(token) > 0
+                  GROUP BY token)
+            SELECT token, n_occurrences, n_docs
+            FROM g ORDER BY n_occurrences DESC, token ASC LIMIT 100
+        """,
         # sequence packing: exclusive running sum + integer div/mod — all
         # integers, engine-exact (DuckDB sum(BIGINT) is HUGEINT, cast back)
         "doc_pack_sequences": """

@@ -241,3 +241,36 @@ def neighbor_invariants(
         F.sum(F.col("bad_bounds").cast("int")).alias("n_bad_bounds"),
         F.count("*").alias("n_rows"),
     )
+
+
+def vocab_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 100,
+    exact_doc_counts: bool = True,
+) -> DataFrame:
+    """Corpus vocabulary: global top-k tokens by occurrence count, with
+    document frequency — the wordcount shape of text analysis (SURVEY §7.8).
+
+    Plan: explode(whitespace tokens of normalized text) -> one groupBy on
+    token (map-side combinable counts) -> TakeOrderedAndProject for the
+    global top-k (no full sort, no single-reducer window). Document
+    frequency is countDistinct(id) — exact by default; at 100TB pass
+    ``exact_doc_counts=False`` for approx_count_distinct (HLL, one pass,
+    no distinct expansion)."""
+    from nbdatatools_spark.functions.text import normalize_text, tokens
+
+    ex = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("token"),
+    )
+    ndocs = (
+        F.count_distinct("__id") if exact_doc_counts else F.approx_count_distinct("__id")
+    )
+    return (
+        ex.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"), ndocs.alias("n_docs"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(k)
+    )

@@ -166,3 +166,22 @@ def test_semantic_dedup_greedy_keeps_low_centroid_sim_survivor(spark):
     )
     out = semantic_dedup(df, threshold=0.999, centroids=cent).collect()
     assert [r["vec_id"] for r in out] == [1]
+
+
+def test_vocab_topk_counts_and_order(spark):
+    from nbdatatools_spark.operators.analysis import vocab_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "THE   cat  flew"),
+            (3, ""),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = vocab_topk(df, k=3).collect()
+    assert [(r["token"], r["n_occurrences"], r["n_docs"]) for r in out] == [
+        ("the", 3, 2),
+        ("cat", 2, 2),
+        ("flew", 1, 1),  # count-1 ties broken alphabetically
+    ]
