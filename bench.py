@@ -34,6 +34,9 @@ HEADLINE = [
     "doc_exact_dedup",
     "doc_token_stats",
     "minhash_candidate_pairs",
+    "embedding_semantic_dedup",
+    "doc_mixture_sample",
+    "doc_pack_sequences",
     "events_tumbling_hourly",
     "events_sessionize",
     "events_user_stats",
