@@ -983,6 +983,21 @@ def doc_repetition_stats(spark, sf_dir):
     )
 
 
+def doc_dsir_weights(spark, sf_dir):
+    """DSIR importance weighting (operators/importance.py, Xie et al.
+    NeurIPS 2023): unigram log-likelihood ratio of every document against
+    the English-labeled subset as the target domain. Per-token ratios are
+    rounded to 9dp and summed in DECIMAL, so the aggregation is exact and
+    the DuckDB replica (same vocab cap, same add-1 smoothing over V+1,
+    same rounding point) hash-matches."""
+    from nbdatatools_spark.operators.importance import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en")
+    out = dsir_weights(docs, target, vocab_size=10_000, alpha=1.0)
+    return out.orderBy("doc_id")
+
+
 def corpus_vocab_topk(spark, sf_dir):
     """Corpus vocabulary top-k (analysis.vocab_topk): wordcount over
     normalized whitespace tokens, global top-100 by (occurrences DESC,
@@ -1176,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_stats": doc_repetition_stats,
         "doc_mixture_sample": doc_mixture_sample,
         "doc_pack_sequences": doc_pack_sequences,
+        "doc_dsir_weights": doc_dsir_weights,
         "corpus_vocab_topk": corpus_vocab_topk,
         "doc_paragraph_dedup": doc_paragraph_dedup,
         "doc_training_pipeline": doc_training_pipeline,
@@ -1927,6 +1943,50 @@ def oracle_sql() -> dict[str, str]:
         """,
         # paragraph/boilerplate removal: single-paragraph synthetic docs, so
         # a doc keeps its text iff its normalized hash is unique corpus-wide
+        # DSIR: unigram models with add-1 smoothing over V+1 outcomes,
+        # per-token ln ratios rounded to 9dp then DECIMAL-summed per doc —
+        # the round-before-sum makes the aggregate order-independent and
+        # engine-exact (ln last-ulp divergence sits 7 digits below the
+        # rounding point)
+        "doc_dsir_weights": """
+            WITH tok AS (
+                SELECT doc_id, lang,
+                       unnest(string_split(
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                           ' ')) AS token
+                FROM documents),
+            tok2 AS (SELECT * FROM tok WHERE length(token) > 0),
+            rc AS (SELECT token, count(*) AS n_raw FROM tok2 GROUP BY token),
+            tc AS (SELECT token, count(*) AS n_tgt FROM tok2 WHERE lang = 'en'
+                   GROUP BY token),
+            j AS (SELECT COALESCE(rc.token, tc.token) AS token,
+                         COALESCE(n_raw, 0) AS n_raw,
+                         COALESCE(n_tgt, 0) AS n_tgt
+                  FROM rc FULL OUTER JOIN tc ON rc.token = tc.token),
+            vocab AS (SELECT * FROM j
+                      ORDER BY (n_raw + n_tgt) DESC, token ASC LIMIT 10000),
+            tot AS (SELECT CAST(sum(n_raw) AS DOUBLE) + 1.0 * 10001 AS denom_r,
+                           CAST(sum(n_tgt) AS DOUBLE) + 1.0 * 10001 AS denom_t
+                    FROM j),
+            ratios AS (
+                SELECT token,
+                       CAST(round(ln((n_tgt + 1.0) / (n_raw + 1.0))
+                                  + ln(denom_r / denom_t), 9)
+                            AS DECIMAL(20,9)) AS log_ratio
+                FROM vocab, tot),
+            scored AS (
+                SELECT t.doc_id, r.log_ratio
+                FROM tok2 t JOIN ratios r ON t.token = r.token),
+            per AS (
+                SELECT doc_id, count(*) AS n_tokens,
+                       CAST(sum(log_ratio) AS DOUBLE) AS dsir_logweight
+                FROM scored GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(per.n_tokens, 0) AS n_tokens,
+                   COALESCE(per.dsir_logweight, 0.0) AS dsir_logweight
+            FROM documents d LEFT JOIN per USING (doc_id)
+            ORDER BY d.doc_id
+        """,
         # vocabulary top-k: normalize -> single-space split -> count; the
         # (n_occurrences DESC, token ASC) tie-break is total, so top-100 is
         # engine-stable
