@@ -983,6 +983,28 @@ def doc_repetition_stats(spark, sf_dir):
     )
 
 
+def doc_quality_deciles(spark, sf_dir):
+    """Exact quality percentiles + decile binning
+    (analysis.exact_percent_rank): rank over (round(quality,6), doc_id) —
+    a total order whose keys are already proven engine-exact by the
+    doc_quality gate — via the two-phase global index (no single-reducer
+    window, no approx_percentile error)."""
+    from nbdatatools_spark.functions.text import quality_score
+    from nbdatatools_spark.operators.analysis import exact_percent_rank
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality")
+    )
+    r = exact_percent_rank(docs, [F.col("quality").asc(), F.col("doc_id").asc()])
+    return r.select(
+        "doc_id",
+        "quality",
+        "rank",
+        "percentile",
+        F.least(F.lit(9), F.floor(F.col("percentile") * 10)).cast("int").alias("decile"),
+    ).orderBy("doc_id")
+
+
 def doc_dsir_weights(spark, sf_dir):
     """DSIR importance weighting (operators/importance.py, Xie et al.
     NeurIPS 2023): unigram log-likelihood ratio of every document against
@@ -1192,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mixture_sample": doc_mixture_sample,
         "doc_pack_sequences": doc_pack_sequences,
         "doc_dsir_weights": doc_dsir_weights,
+        "doc_quality_deciles": doc_quality_deciles,
         "corpus_vocab_topk": corpus_vocab_topk,
         "doc_paragraph_dedup": doc_paragraph_dedup,
         "doc_training_pipeline": doc_training_pipeline,
@@ -1943,6 +1966,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         # paragraph/boilerplate removal: single-paragraph synthetic docs, so
         # a doc keeps its text iff its normalized hash is unique corpus-wide
+        # exact percentiles: row_number over the engine-exact
+        # (round(quality,6), doc_id) total order; rank/(n-1) is an
+        # integer-over-integer division — identical doubles both engines
+        "doc_quality_deciles": """
+            WITH q AS (
+                SELECT doc_id,
+                       round(least(length(text) / 500.0, 1.0) * 0.4
+                             + least((CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> list_contains(['the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'are', 'was', 'were', 'for', 'on', 'with', 'as', 'by', 'at', 'it', 'this', 'that', 'be', 'from'], x))) AS DOUBLE) / len(regexp_split_to_array(trim(lower(text)), '\\s+')) END) * 4.0, 1.0) * 0.3
+                             + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END) * 5.0) * 0.3, 6) AS quality
+                FROM documents),
+            r AS (SELECT doc_id, quality,
+                         row_number() OVER (ORDER BY quality, doc_id) - 1 AS rank
+                  FROM q),
+            n AS (SELECT CAST(count(*) AS DOUBLE) - 1.0 AS denom FROM q)
+            SELECT doc_id, quality, rank,
+                   rank / denom AS percentile,
+                   CAST(least(9, floor(rank / denom * 10)) AS INT) AS decile
+            FROM r, n ORDER BY doc_id
+        """,
         # DSIR: unigram models with add-1 smoothing over V+1 outcomes,
         # per-token ln ratios rounded to 9dp then DECIMAL-summed per doc —
         # the round-before-sum makes the aggregate order-independent and

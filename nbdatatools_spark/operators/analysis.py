@@ -274,3 +274,27 @@ def vocab_topk(
         .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
         .limit(k)
     )
+
+
+def exact_percent_rank(
+    df: DataFrame,
+    order_cols: list,
+    rank_col: str = "rank",
+    pct_col: str = "percentile",
+) -> DataFrame:
+    """EXACT percentile position ``(row_number - 1) / (n - 1)`` over a total
+    order — the quantile-binning primitive (quality curricula, decile
+    filtering) computed scalably: the global index is the two-phase
+    partition-offset shape (windows.global_row_index), so no single-reducer
+    window and no approx_percentile error bound anywhere.
+
+    ``order_cols`` must be a TOTAL order (append an id tie-break);
+    row_number semantics, not SQL percent_rank's tie-sharing — with a total
+    order the two never differ on distinct keys and this stays
+    deterministic on ties."""
+    from nbdatatools_spark.operators.windows import global_row_index
+
+    n = df.count()
+    denom = float(n - 1) if n > 1 else 1.0
+    idx = global_row_index(df, order_cols, out=rank_col)
+    return idx.withColumn(pct_col, F.col(rank_col) / F.lit(denom))

@@ -65,3 +65,26 @@ def test_pack_rejects_nonpositive_budget(spark):
     df = spark.createDataFrame([(0, 1)], "doc_id BIGINT, n_tokens BIGINT")
     with pytest.raises(ValueError):
         pack_sequences(df, 0)
+
+
+def test_exact_percent_rank_total_order_and_edges(spark):
+    from nbdatatools_spark.operators.analysis import exact_percent_rank
+    from pyspark.sql import functions as F
+
+    # ties on value resolved by id tie-break; partition-invariant
+    rows = [(i, float(i % 5)) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, v DOUBLE")
+    for parts in (1, 7):
+        out = {
+            r["doc_id"]: (r["rank"], r["percentile"])
+            for r in exact_percent_rank(
+                df.repartition(parts), [F.col("v").asc(), F.col("doc_id").asc()]
+            ).collect()
+        }
+        expect_order = sorted(rows, key=lambda t: (t[1], t[0]))
+        for rk, (i, _) in enumerate(expect_order):
+            assert out[i] == (rk, rk / 49.0)
+    # single row: percentile 0, no zero-division
+    one = spark.createDataFrame([(0, 1.0)], "doc_id BIGINT, v DOUBLE")
+    r = exact_percent_rank(one, [F.col("v"), F.col("doc_id")]).collect()[0]
+    assert (r["rank"], r["percentile"]) == (0, 0.0)
