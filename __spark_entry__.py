@@ -1151,14 +1151,42 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Ordering matters: the driver records correctness rows for the FIRST
+    50 entries only. Rounds 1-3 left the 16 LLM-pipeline / approximate-ANN
+    queries past the window, so they were never driver-verified. Layout now:
+
+    - entries 1-15: the previously-unrecorded set (minhash, simhash, LSH-ANN,
+      PQ, K-S, recall, decontamination, repetition, mixture, packing, DSIR,
+      deciles, vocab, paragraph-dedup, training-pipeline);
+    - entries 16-49: the rest of the actively-evolving set;
+    - entry 50 (last recorded): fit_embeddings_model — it runs driver-side
+      sketch jobs during plan construction, and in round 1 a failure there
+      shadowed everything after it; at position 50 a failure can only shadow
+      the already-stable tail;
+    - entries 51-66: long-stable relational/streaming queries, all
+      hash-green in CORRECTNESS_r03 — union(r03, r04) covers all 66.
+    """
     return {
+        # -- previously driver-unrecorded (rounds 1-3): record these first --
+        "ann_lsh_topk": ann_lsh_topk,
+        "minhash_candidate_pairs": minhash_candidate_pairs,
+        "simhash_pairs": simhash_pairs,
+        "ks_normal_embeddings": ks_normal_embeddings,
+        "knn_self_recall": knn_self_recall,
+        "pq_rerank_self_top1": pq_rerank_self_top1,
+        "doc_decontaminate": doc_decontaminate,
+        "doc_repetition_stats": doc_repetition_stats,
+        "doc_mixture_sample": doc_mixture_sample,
+        "doc_pack_sequences": doc_pack_sequences,
+        "doc_dsir_weights": doc_dsir_weights,
+        "doc_quality_deciles": doc_quality_deciles,
+        "corpus_vocab_topk": corpus_vocab_topk,
+        "doc_paragraph_dedup": doc_paragraph_dedup,
+        "doc_training_pipeline": doc_training_pipeline,
+        # -- actively-evolving set --
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_region_revenue": q5_region_revenue,
-        "q10_returned_items": q10_returned_items,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q18_large_orders": q18_large_orders,
-        "agg_priority_count": agg_priority_count,
         "pnode_range_filter": pnode_range_filter,
         "pnode_in_filter": pnode_in_filter,
         "pnode_regex_filter": pnode_regex_filter,
@@ -1176,53 +1204,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_norms": vector_norms,
         "knn_cosine_topk": knn_cosine_topk,
         "knn_euclidean_topk": knn_euclidean_topk,
+        "knn_dot_topk": knn_dot_topk,
+        "hybrid_filtered_knn": hybrid_filtered_knn,
+        "events_cume_dist": events_cume_dist,
+        "clean_embeddings": clean_embeddings,
         "doc_exact_dedup": doc_exact_dedup,
         "doc_dup_fingerprints": doc_dup_fingerprints,
         "doc_token_stats": doc_token_stats,
         "doc_subword_tokens": doc_subword_tokens,
         "doc_quality": doc_quality,
         "doc_lang_stats": doc_lang_stats,
+        "embedding_near_dup_pairs": embedding_near_dup_pairs,
+        "embedding_cluster_assign": embedding_cluster_assign,
+        "embedding_semantic_dedup": embedding_semantic_dedup,
+        "doc_winnow_fingerprints": doc_winnow_fingerprints,
+        # position 50 — last recorded slot; see docstring.
+        "fit_embeddings_model": fit_embeddings_model,
+        # -- long-stable tail (past the 50-entry recording window; all
+        #    hash-green in CORRECTNESS_r03) --
+        "agg_priority_count": agg_priority_count,
+        "q10_returned_items": q10_returned_items,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q18_large_orders": q18_large_orders,
+        "q6_revenue_delta": q6_revenue_delta,
+        "monthly_revenue_rollup": monthly_revenue_rollup,
+        "customers_without_orders": customers_without_orders,
         "events_tumbling_hourly": events_tumbling_hourly,
         "events_sliding_windows": events_sliding_windows,
         "events_sessionize": events_sessionize,
         "events_user_stats": events_user_stats,
         "events_json_extract": events_json_extract,
-        "q6_revenue_delta": q6_revenue_delta,
-        "monthly_revenue_rollup": monthly_revenue_rollup,
-        "customers_without_orders": customers_without_orders,
-        "knn_dot_topk": knn_dot_topk,
-        "hybrid_filtered_knn": hybrid_filtered_knn,
-        "events_cume_dist": events_cume_dist,
-        "clean_embeddings": clean_embeddings,
         "events_time_parts": events_time_parts,
         "part_price_histogram": part_price_histogram,
         "supplier_balance_rank": supplier_balance_rank,
         "orders_running_total": orders_running_total,
-        "embedding_near_dup_pairs": embedding_near_dup_pairs,
-        "embedding_cluster_assign": embedding_cluster_assign,
-        "embedding_semantic_dedup": embedding_semantic_dedup,
-        "doc_winnow_fingerprints": doc_winnow_fingerprints,
-        # rows-only (approximate / non-SQL-expressible)
-        "ann_lsh_topk": ann_lsh_topk,
-        "minhash_candidate_pairs": minhash_candidate_pairs,
-        "simhash_pairs": simhash_pairs,
-        "ks_normal_embeddings": ks_normal_embeddings,
-        "knn_self_recall": knn_self_recall,
-        "pq_rerank_self_top1": pq_rerank_self_top1,
-        "doc_decontaminate": doc_decontaminate,
-        "doc_repetition_stats": doc_repetition_stats,
-        "doc_mixture_sample": doc_mixture_sample,
-        "doc_pack_sequences": doc_pack_sequences,
-        "doc_dsir_weights": doc_dsir_weights,
-        "doc_quality_deciles": doc_quality_deciles,
-        "corpus_vocab_topk": corpus_vocab_topk,
-        "doc_paragraph_dedup": doc_paragraph_dedup,
-        "doc_training_pipeline": doc_training_pipeline,
-        # LAST by design: fit_model runs driver-side sketch jobs during plan
-        # construction; round 1's driver gate recorded nothing after this
-        # point (CORRECTNESS_r01 stops at ks_normal), so any future failure
-        # here must not shadow other queries.
-        "fit_embeddings_model": fit_embeddings_model,
     }
 
 

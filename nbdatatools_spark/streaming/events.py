@@ -127,9 +127,19 @@ def stream_events(
     ``maxFilesPerTrigger`` is the ingestion-rate knob (the analogue of the
     reference's chunk schedulers, merklev2/ChunkScheduler.java:24-75 — policy
     collapses to a rate limit under Spark's own task scheduling)."""
+    from pyspark.sql.types import TimestampNTZType
+
     if schema is None:
         schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(path)
+    out = reader.parquet(path)
+    # Event-time watermarks require TIMESTAMP (LTZ); parquet written with
+    # isAdjustedToUTC=false (e.g. pyarrow timestamp[us] default) arrives as
+    # TIMESTAMP_NTZ and withWatermark would throw. Wall-clock values are
+    # preserved (interpreted in the session timezone).
+    for f in out.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            out = out.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return out

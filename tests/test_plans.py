@@ -149,3 +149,38 @@ def test_no_cartesian_product_in_any_gate_query(spark, sf_dir):
         if "CartesianProduct" in plan:
             offenders[name] = "CartesianProduct"
     assert not offenders, f"cartesian/unplannable gate queries: {offenders}"
+
+
+def test_decontam_shuffles_hashes_not_gram_strings(spark, documents):
+    """VERDICT r3 #4: the train-side distinct and the contamination join
+    must key on xxhash64 of the gram (8-byte long), never the raw 13-word
+    string (~80-100B) — at corpus scale the string distinct was the job's
+    dominant shuffle."""
+    from nbdatatools_spark.operators.dedup import contaminated_ids
+
+    train = documents.where(F.col("doc_id") % 101 != 0)
+    test = documents.where(F.col("doc_id") % 101 == 0)
+    out = contaminated_ids(train, test, n=13)
+    assert "xxhash64" in out._jdf.queryExecution().optimizedPlan().toString()
+    for line in _plan(out).splitlines():
+        if "Exchange" in line:
+            assert "__gram" not in line, f"raw gram string reaches a shuffle: {line}"
+
+
+def test_paragraph_dedup_no_forced_broadcast(spark, documents):
+    """VERDICT r3 #3: the duplicated-paragraph hash set is unbounded at
+    corpus scale, so the anti-join must not carry a user broadcast hint by
+    default (AQE decides at runtime); the opt-in flag restores it."""
+    from nbdatatools_spark.operators.dedup import paragraph_dedup
+
+    default_logical = (
+        paragraph_dedup(documents)._jdf.queryExecution().analyzed().toString()
+    )
+    assert "ResolvedHint" not in default_logical
+    forced_logical = (
+        paragraph_dedup(documents, broadcast_dup_hashes=True)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "ResolvedHint" in forced_logical

@@ -18,11 +18,16 @@ from nbdatatools_spark.streaming.events import (
 
 @pytest.fixture()
 def events_dir(spark, tmp_path, sf_dir):
-    """Copy the events table to a plain-timestamp parquet dir (the driver's
-    file uses TIMESTAMP(NANOS) which the streaming source also rejects)."""
+    """Copy the events table to a plain-timestamp parquet dir. Some driver
+    data generations use TIMESTAMP(NANOS) (which the streaming source
+    rejects) and others plain micros — mirror __spark_entry__._t: read nanos
+    as long under the legacy conf and truncate, pass micros through."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # watermarks require TIMESTAMP (LTZ); micros-generated data reads as NTZ
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     out = str(tmp_path / "events_stream")
     df.coalesce(2).write.parquet(out)
     return out
