@@ -317,6 +317,73 @@ def jaccard_verify(
     return out
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, component) for every id in the undirected edge list; component
+    = the minimum id reachable (min-label propagation).
+
+    Each round is one equi-join + min-aggregate keyed on the 8-byte id —
+    shuffle payload is (id, label) pairs over the DUPLICATE-PAIR graph only
+    (tiny vs the corpus), never the documents. Rounds needed = graph
+    diameter, which for near-dup clusters is small (duplicate cliques have
+    diameter 1-2; pathological chains are bounded by ``max_iter``). Each
+    round localCheckpoints to cut lineage — without it the plan doubles per
+    iteration and optimizer time dominates.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("__nbr_min"))
+        .select(
+            F.col("src").alias("id"),
+            F.least("src", "__nbr_min").alias("component"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("component").alias("__dc")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("__dc").alias("__nbr_comp"))
+            .select(F.col("src").alias("id"), "__nbr_comp")
+        )
+        new_labels = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    "component", F.coalesce("__nbr_comp", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -325,17 +392,31 @@ def minhash_dedup(
     bands: int = 16,
     shingle_size: int = 5,
     threshold: float = 0.7,
+    transitive: bool = False,
+    max_iter: int = 20,
 ) -> DataFrame:
-    """Full near-dup removal: LSH candidates -> Jaccard verify -> drop the
-    higher id of each confirmed pair (connected via min-id union by one hop;
-    exact transitive closure is iterative and intentionally out of the hot
-    path)."""
+    """Full near-dup removal: LSH candidates -> Jaccard verify -> drop
+    confirmed duplicates.
+
+    ``transitive=False`` (default, the hot path): drop the higher id of
+    each confirmed pair — one-hop min-id union. Multi-hop chains (A~B~C
+    where A!~C) can leave more than one survivor.
+
+    ``transitive=True``: exact connected components over the verified-pair
+    graph via :func:`connected_components` (bounded min-label propagation,
+    O(diameter) rounds of 8-byte-key joins on the pair graph only); exactly
+    one survivor — the minimum id — per duplicate cluster.
+    """
     cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, shingle_size)
-    dupes = (
-        jaccard_verify(cands, df, id_col, text_col, shingle_size, threshold)
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
-    )
+    verified = jaccard_verify(cands, df, id_col, text_col, shingle_size, threshold)
+    if transitive:
+        dupes = (
+            connected_components(verified, max_iter=max_iter)
+            .where(F.col("id") != F.col("component"))
+            .select(F.col("id").alias(id_col))
+        )
+    else:
+        dupes = verified.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(dupes, id_col, "left_anti")
 
 
