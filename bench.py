@@ -40,6 +40,8 @@ HEADLINE = [
     "events_tumbling_hourly",
     "events_sessionize",
     "events_user_stats",
+    "verify_profiles",
+    "stream_ingest_available_now",
 ]
 
 
@@ -79,6 +81,60 @@ def main() -> None:
         return minhash_lsh_candidates(docs, num_hashes=32, bands=8, shingle_size=5)
 
     qs["minhash_candidate_pairs"] = minhash_candidate_pairs_numpy
+
+    # verify_profiles (knn.py:319, README.md:45-46 'analyze verify_profiles'):
+    # golden dataset built UNTIMED; the timed entry is the multi-profile
+    # answer-key verification itself (sampled recompute + recall join).
+    import shutil
+    import tempfile
+
+    from nbdatatools_spark.datagen import make_test_dataset
+    from nbdatatools_spark.operators.knn import verify_profiles
+
+    bench_tmp = tempfile.mkdtemp(prefix="nbdt_bench_")
+    golden = make_test_dataset(
+        spark,
+        os.path.join(bench_tmp, "golden"),
+        n_base=10_000,
+        n_query=200,
+        dimensions=64,
+        k=10,
+        seed=42,
+    )
+
+    def verify_profiles_bench(spark, sf_dir):
+        return verify_profiles(spark, golden, k=10, sample_size=100)
+
+    qs["verify_profiles"] = verify_profiles_bench
+
+    # Structured Streaming ingest (streaming/events.py:122): file-source
+    # stream over the events table, Trigger.AvailableNow, tumbling-window
+    # agg into a memory sink. Source dir prepared untimed; the timed entry
+    # drains the whole stream — this is the reference chunk-scheduler
+    # analogue (maxFilesPerTrigger rate control) under a real sink.
+    from nbdatatools_spark.streaming.events import stream_events, tumbling_window_agg
+
+    stream_src = os.path.join(bench_tmp, "events_stream")
+    ev = entrymod._t(spark, sf_dir, "events")
+    ev.withColumn("ts", ev["ts"].cast("timestamp")).coalesce(8).write.parquet(stream_src)
+
+    def stream_ingest_available_now(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        stream = stream_events(spark, stream_src, max_files_per_trigger=4)
+        agg = tumbling_window_agg(stream, "1 hour", watermark="2 hours")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("bench_tumbled")
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(bench_tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table("bench_tumbled")
+
+    qs["stream_ingest_available_now"] = stream_ingest_available_now
     # warm the JVM/codegen path AND the Arrow/Python worker pool once so
     # per-query timings measure the plan, not first-call JIT or worker
     # fork+import (reference practice: JITMaturityGuard.java:59-75).
@@ -121,6 +177,7 @@ def main() -> None:
             }
         )
     )
+    shutil.rmtree(bench_tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":

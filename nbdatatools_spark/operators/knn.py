@@ -323,6 +323,7 @@ def verify_profiles(
     sample_size: int = 100,
     metric: str | None = None,
     profiles: list[str] | None = None,
+    impl: str = "gemm",
 ):
     """``analyze verify_profiles`` (README.md:45-46): verify the KNN answer
     keys of MANY profiles of one dataset efficiently — each distinct facet
@@ -355,7 +356,9 @@ def verify_profiles(
         base = facet("base_vectors", p)
         queries = facet("query_vectors", p)
         truth = facet("neighbor_indices", p).withColumnRenamed("vector", "indices")
-        r = verify_knn(queries, base, truth, k=k, sample_size=sample_size, metric=metric).collect()[0]
+        r = verify_knn(
+            queries, base, truth, k=k, sample_size=sample_size, metric=metric, impl=impl
+        ).collect()[0]
         results.append((p, float(r["mean_recall"]), int(r["n_queries"])))
     for df in cache.values():
         df.unpersist()
