@@ -817,6 +817,28 @@ def minhash_candidate_pairs(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def doc_minhash_dedup_transitive(spark, sf_dir):
+    """End-to-end transitive MinHash dedup (dedup.py::minhash_dedup
+    transitive=True): banded LSH candidates -> exact Jaccard verify ->
+    connected components (min-label propagation, dedup.py::
+    connected_components) -> single survivor (min id) per near-dup
+    cluster. Oracle replays the whole chain in DuckDB with a RECURSIVE
+    reachability CTE, so the closure itself is hash-gated."""
+    from nbdatatools_spark.operators.dedup import minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    out = minhash_dedup(
+        docs,
+        num_hashes=32,
+        bands=8,
+        shingle_size=5,
+        threshold=0.5,
+        transitive=True,
+        impl="md5",
+    )
+    return out.select("doc_id").orderBy("doc_id")
+
+
 def simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs, portable 60-bit md5 simhash. The oracle is
     BRUTE-FORCE hamming<=8 over all pairs — pigeonhole blocking (9 chunks)
@@ -1183,6 +1205,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_vocab_topk": corpus_vocab_topk,
         "doc_paragraph_dedup": doc_paragraph_dedup,
         "doc_training_pipeline": doc_training_pipeline,
+        # new in r4: transitive-closure dedup (connected components)
+        "doc_minhash_dedup_transitive": doc_minhash_dedup_transitive,
         # -- actively-evolving set --
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -1217,11 +1241,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
         "embedding_cluster_assign": embedding_cluster_assign,
         "embedding_semantic_dedup": embedding_semantic_dedup,
-        "doc_winnow_fingerprints": doc_winnow_fingerprints,
         # position 50 — last recorded slot; see docstring.
         "fit_embeddings_model": fit_embeddings_model,
         # -- long-stable tail (past the 50-entry recording window; all
         #    hash-green in CORRECTNESS_r03) --
+        "doc_winnow_fingerprints": doc_winnow_fingerprints,
         "agg_priority_count": agg_priority_count,
         "q10_returned_items": q10_returned_items,
         "q14_promo_revenue": q14_promo_revenue,
@@ -1289,10 +1313,11 @@ def _winnow_oracle(k: int = 5, w: int = 4) -> str:
     """
 
 
-def _minhash_oracle(num_hashes: int = 32, bands: int = 8, k: int = 5,
-                    max_bucket: int = 2000) -> str:
-    """DuckDB replica of minhash_lsh_candidates(impl="md5"): KM double
-    hashing over two 52-bit md5 slices, banded keys, bucket cap, pair join."""
+def _minhash_ctes(num_hashes: int = 32, bands: int = 8, k: int = 5,
+                  max_bucket: int = 2000) -> str:
+    """Shared WITH-body replicating minhash_lsh_candidates(impl="md5") up to
+    the ``capped`` banded table: KM double hashing over two 52-bit md5
+    slices, banded keys, bucket cap."""
     rpb = num_hashes // bands
     mask = (1 << 52) - 1
     mins = ", ".join(f"min((h1 + {i} * h2) & {mask}) AS m{i}" for i in range(num_hashes))
@@ -1304,7 +1329,7 @@ def _minhash_oracle(num_hashes: int = 32, bands: int = 8, k: int = 5,
         for b in range(bands)
     )
     return f"""
-        WITH nrm AS (
+        nrm AS (
             SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
             FROM documents),
         sh AS (
@@ -1323,11 +1348,65 @@ def _minhash_oracle(num_hashes: int = 32, bands: int = 8, k: int = 5,
                 SELECT doc_id, band, band_hash,
                        count(*) OVER (PARTITION BY band, band_hash) AS bn
                 FROM banded)
-            WHERE bn <= {max_bucket})
+            WHERE bn <= {max_bucket})"""
+
+
+def _minhash_oracle(num_hashes: int = 32, bands: int = 8, k: int = 5,
+                    max_bucket: int = 2000) -> str:
+    """DuckDB replica of minhash_lsh_candidates(impl="md5")."""
+    return f"""
+        WITH {_minhash_ctes(num_hashes, bands, k, max_bucket)}
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM capped a JOIN capped b
           ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
         ORDER BY id_a, id_b
+    """
+
+
+def _minhash_transitive_oracle(num_hashes: int = 32, bands: int = 8, k: int = 5,
+                               max_bucket: int = 2000,
+                               threshold: float = 0.5) -> str:
+    """DuckDB replica of minhash_dedup(transitive=True, impl="md5"):
+    banded candidates -> exact shingle-set Jaccard verify -> exact
+    connected components via a RECURSIVE reachability CTE -> keep the
+    minimum id per component. Jaccard arithmetic mirrors jaccard_verify
+    exactly: |A∩B| and |A∪B| are exact ints over distinct shingle sets,
+    one IEEE double division, so the threshold test agrees bit-for-bit."""
+    return f"""
+        WITH RECURSIVE {_minhash_ctes(num_hashes, bands, k, max_bucket)},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM capped a JOIN capped b
+              ON a.band = b.band AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id),
+        sets AS (
+            SELECT doc_id,
+                   list_distinct(
+                       list_transform(range(1, greatest(length(t) - {k - 1}, 1) + 1),
+                                      i -> substring(t, CAST(i AS INT), {k}))) AS g
+            FROM nrm),
+        ver AS (
+            SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN sets sa ON sa.doc_id = c.id_a
+            JOIN sets sb ON sb.doc_id = c.id_b
+            WHERE CAST(len(list_intersect(sa.g, sb.g)) AS DOUBLE)
+                  / len(list_distinct(list_concat(sa.g, sb.g))) >= {threshold}),
+        edges AS (
+            SELECT id_a AS s, id_b AS d FROM ver
+            UNION
+            SELECT id_b, id_a FROM ver),
+        reach(id, r) AS (
+            SELECT s, d FROM edges
+            UNION
+            SELECT w.id, e.d FROM reach w JOIN edges e ON e.s = w.r),
+        dropped AS (
+            SELECT id FROM (
+                SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id)
+            WHERE comp < id)
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM dropped)
+        ORDER BY doc_id
     """
 
 
@@ -1904,6 +1983,7 @@ def oracle_sql() -> dict[str, str]:
         # in round 2 (VERDICT next-round #3)
         "doc_winnow_fingerprints": _winnow_oracle(),
         "minhash_candidate_pairs": _minhash_oracle(),
+        "doc_minhash_dedup_transitive": _minhash_transitive_oracle(),
         "simhash_pairs": _simhash_oracle(),
         "ks_normal_embeddings": _ks_normal_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),

@@ -394,9 +394,12 @@ def minhash_dedup(
     threshold: float = 0.7,
     transitive: bool = False,
     max_iter: int = 20,
+    impl: str = "numpy",
 ) -> DataFrame:
     """Full near-dup removal: LSH candidates -> Jaccard verify -> drop
-    confirmed duplicates.
+    confirmed duplicates. ``impl`` selects the signature kernel
+    (see :func:`minhash_signatures`; "md5" is the DuckDB-replicable path
+    the oracle gate runs).
 
     ``transitive=False`` (default, the hot path): drop the higher id of
     each confirmed pair — one-hop min-id union. Multi-hop chains (A~B~C
@@ -407,7 +410,9 @@ def minhash_dedup(
     O(diameter) rounds of 8-byte-key joins on the pair graph only); exactly
     one survivor — the minimum id — per duplicate cluster.
     """
-    cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, shingle_size)
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, num_hashes, bands, shingle_size, impl=impl
+    )
     verified = jaccard_verify(cands, df, id_col, text_col, shingle_size, threshold)
     if transitive:
         dupes = (
