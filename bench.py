@@ -82,6 +82,27 @@ def main() -> None:
 
     qs["minhash_candidate_pairs"] = minhash_candidate_pairs_numpy
 
+    # Same reasoning for SemDeDup: the gate pins the literal-expression
+    # centroid assignment for bit-exact DuckDB parity; the bench measures
+    # the Arrow GEMM kernel (centroid_assign impl="gemm"), the 100TB path.
+    def embedding_semantic_dedup_gemm(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from nbdatatools_spark.operators.clustering import semantic_dedup
+
+        emb = entrymod._emb_with_injected_dups(spark, sf_dir)
+        out = semantic_dedup(
+            emb,
+            threshold=0.95,
+            id_col="vec_id",
+            vec_col="embedding",
+            centroids=entrymod._semdedup_centroids(),
+            assign_impl="gemm",
+        )
+        return out.select("vec_id", "centroid_id")
+
+    qs["embedding_semantic_dedup"] = embedding_semantic_dedup_gemm
+
     # verify_profiles (knn.py:319, README.md:45-46 'analyze verify_profiles'):
     # golden dataset built UNTIMED; the timed entry is the multi-profile
     # answer-key verification itself (sampled recompute + recall join).

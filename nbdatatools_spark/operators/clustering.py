@@ -64,14 +64,31 @@ def centroid_assign(
     vec_col: str = "embedding",
     out_col: str = "centroid_id",
     dist_col: str | None = None,
+    impl: str = "expr",
 ) -> DataFrame:
     """Append nearest-centroid id (and optionally its distance) per row.
 
-    Shuffle-free: one projection over an inlined literal centroid array.
-    NULL/NaN distances (e.g. zero-magnitude cosine) rank LAST via the
+    Shuffle-free in both impls — assignment is a map-side transform.
+
+    ``impl="expr"``: one projection over an inlined literal centroid
+    array; bit-exact vs the DuckDB oracle (sequential folds) — the gate
+    path. NULL/NaN distances (zero-magnitude cosine) rank LAST via the
     struct tie-break only if the distance compares greater; to keep the
     argmin total, NULL distances are coalesced to +Inf first.
+
+    ``impl="gemm"``: Arrow-batched numpy kernel — one (batch x k) distance
+    matrix per Arrow batch, argmin with the same (distance, centroid_id)
+    tie-break (np.argmin keeps the first = lowest cid). The scale path:
+    the literal-expression tree costs O(k*d) interpreted ops per ROW and
+    seconds of driver-side analysis at k*d in the thousands; the kernel
+    is two BLAS calls per batch. Distances differ from the expr path only
+    in float summation order (last-ulp), so use "expr" when exact oracle
+    parity matters.
     """
+    if impl == "gemm":
+        return _centroid_assign_gemm(
+            df, centroids, metric, vec_col, out_col, dist_col
+        )
     arr = F.transform(
         _centroid_struct_array(F.col(vec_col), centroids, metric),
         lambda s: F.struct(
@@ -86,6 +103,79 @@ def centroid_assign(
     if dist_col:
         out = out.withColumn(dist_col, best["cdist"])
     return out
+
+
+def _centroid_assign_gemm(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    metric: str,
+    vec_col: str,
+    out_col: str,
+    dist_col: str | None,
+) -> DataFrame:
+    """mapInPandas nearest-centroid kernel (see centroid_assign impl="gemm").
+
+    Semantics pinned to the expr path: NaN/undefined distances -> +Inf
+    (zero-norm cosine rows get +Inf to every centroid and land on cid 0);
+    argmin tie-break = lowest centroid_id (np.argmin first-occurrence)."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, IntegerType, StructField
+
+    C = np.asarray(centroids, dtype=np.float64)  # (k, d)
+    if metric == "cosine":
+        cn = np.linalg.norm(C, axis=1)
+        Cn = np.zeros_like(C)
+        nz = cn > 0
+        Cn[nz] = C[nz] / cn[nz, None]
+        zero_cent = ~nz
+    fields = list(df.schema.fields) + [StructField(out_col, IntegerType())]
+    if dist_col:
+        fields.append(StructField(dist_col, DoubleType()))
+    schema = StructType(fields)
+
+    def assign_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(**{out_col: np.array([], dtype=np.int32)})
+                continue
+            V = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if metric == "cosine":
+                vn = np.linalg.norm(V, axis=1)
+                Vn = np.zeros_like(V)
+                vnz = vn > 0
+                Vn[vnz] = V[vnz] / vn[vnz, None]
+                D = 1.0 - Vn @ Cn.T
+                D[~vnz, :] = np.inf  # zero-norm row: undefined -> +Inf
+                if zero_cent.any():
+                    D[:, zero_cent] = np.inf
+            elif metric in ("euclidean", "l2"):
+                # |v-c|^2 = |v|^2 - 2 v.c + |c|^2, clipped for fp negatives
+                sq = (
+                    (V * V).sum(axis=1)[:, None]
+                    - 2.0 * (V @ C.T)
+                    + (C * C).sum(axis=1)[None, :]
+                )
+                D = np.sqrt(np.clip(sq, 0.0, None))
+            elif metric in ("dot", "dot_product"):
+                D = -(V @ C.T)
+            elif metric in ("l1", "manhattan"):
+                D = np.stack(
+                    [np.abs(V - C[i][None, :]).sum(axis=1) for i in range(len(C))],
+                    axis=1,
+                )
+            else:
+                raise ValueError(f"unsupported metric {metric!r}")
+            D = np.where(np.isnan(D), np.inf, D)
+            cid = D.argmin(axis=1)
+            out = pdf.copy()
+            out[out_col] = cid.astype(np.int32)
+            if dist_col:
+                out[dist_col] = D[np.arange(len(cid)), cid]
+            yield out
+
+    return df.mapInPandas(assign_batches, schema)
 
 
 def kmeans_centroids(
@@ -167,6 +257,7 @@ def semantic_dedup(
     seed: int = 42,
     centroids: Sequence[Sequence[float]] | None = None,
     keep_all_columns: bool = True,
+    assign_impl: str = "expr",
 ) -> DataFrame:
     """SemDeDup (arXiv:2303.09540): k-means cluster, then within-cluster
     greedy cosine dedup at ``threshold``. Returns the kept rows with
@@ -186,7 +277,12 @@ def semantic_dedup(
         centroids = kmeans_centroids(df, k, vec_col=vec_col, seed=seed)
 
     assigned = centroid_assign(
-        df, centroids, metric="cosine", vec_col=vec_col, dist_col="__cdist"
+        df,
+        centroids,
+        metric="cosine",
+        vec_col=vec_col,
+        dist_col="__cdist",
+        impl=assign_impl,
     ).withColumn(
         # cosine distance -> similarity; +Inf distance (zero vectors) -> sim 0
         "centroid_sim",

@@ -185,3 +185,64 @@ def test_vocab_topk_counts_and_order(spark):
         ("cat", 2, 2),
         ("flew", 1, 1),  # count-1 ties broken alphabetically
     ]
+
+
+def test_centroid_assign_gemm_matches_expr(spark, embeddings):
+    """The Arrow GEMM kernel and the literal-expression path must assign
+    identical centroids (distances may differ in the last ulp; the argmin
+    margins in real data dwarf that)."""
+    from nbdatatools_spark.operators.clustering import centroid_assign
+
+    cents = [[(0.1 * ((i * 7 + j * 3) % 11 - 5)) for j in range(64)] for i in range(8)]
+    for metric in ("cosine", "euclidean", "dot_product"):
+        expr = {
+            r["vec_id"]: r["centroid_id"]
+            for r in centroid_assign(
+                embeddings, cents, metric=metric, impl="expr"
+            ).select("vec_id", "centroid_id").collect()
+        }
+        gemm = {
+            r["vec_id"]: r["centroid_id"]
+            for r in centroid_assign(
+                embeddings, cents, metric=metric, impl="gemm"
+            ).select("vec_id", "centroid_id").collect()
+        }
+        assert expr == gemm, f"metric {metric}: assignments diverge"
+
+
+def test_centroid_assign_gemm_zero_vector_and_ties(spark):
+    """Zero-norm cosine rows -> +Inf everywhere -> cid 0 (expr parity);
+    exact distance ties -> lowest centroid_id on both paths."""
+    from nbdatatools_spark.operators.clustering import centroid_assign
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 2.0])],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    cents = [[0.0, 1.0], [0.0, 1.0], [1.0, 0.0]]  # 0 and 1 identical: tie
+    for impl in ("expr", "gemm"):
+        got = {
+            r["vec_id"]: r["centroid_id"]
+            for r in centroid_assign(df, cents, impl=impl).collect()
+        }
+        assert got == {0: 0, 1: 2, 2: 0}, f"impl {impl}: {got}"
+
+
+def test_semantic_dedup_gemm_assign_same_survivors(spark, embeddings):
+    from nbdatatools_spark.operators.clustering import semantic_dedup
+
+    cents = [[(0.1 * ((i * 7 + j * 3) % 11 - 5)) for j in range(64)] for i in range(8)]
+    kept_expr = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            embeddings, threshold=0.95, centroids=cents, keep_all_columns=False
+        ).collect()
+    }
+    kept_gemm = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            embeddings, threshold=0.95, centroids=cents,
+            keep_all_columns=False, assign_impl="gemm",
+        ).collect()
+    }
+    assert kept_expr == kept_gemm
