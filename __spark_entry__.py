@@ -817,6 +817,59 @@ def minhash_candidate_pairs(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def doc_c4_filters(spark, sf_dir):
+    """C4 heuristic cleaning (Raffel et al. 2020, arXiv:1910.10683 §2.2;
+    functions/text.py::c4_*): line retention (terminal punctuation, >=3
+    words, no javascript boilerplate) + page retention (no lorem ipsum, no
+    code braces, >=3 sentence terminators) — pure Catalyst predicates,
+    map-side only.
+
+    The synthetic corpus has no punctuation or newlines, so the raw rules
+    are vacuous on it; the query first RESHAPES each doc deterministically
+    (7-word lines; every 3rd line unpunctuated; lines 5 and 16 prefixed
+    'javascript '; doc_id%17==3 injects a lorem-ipsum line, doc_id%19==7 a
+    brace line) so every rule actually fires, and the DuckDB oracle
+    replays both the reshaping and the rules with list ops."""
+    from nbdatatools_spark.functions.text import (
+        c4_clean_lines,
+        c4_keep_line,
+        c4_page_keep,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    nl = F.greatest(F.ceil(F.size(w) / F.lit(7)).cast("int"), F.lit(1))
+    body = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.concat(
+            F.when(i % 11 == 5, F.lit("javascript ")).otherwise(F.lit("")),
+            F.concat_ws(" ", F.slice(w, i * 7 + 1, 7)),
+            F.when(i % 3 == 0, F.lit("")).otherwise(F.lit(".")),
+        ),
+    )
+    pre_lorem = F.when(
+        F.col("doc_id") % 17 == 3, F.array(F.lit("lorem ipsum dolor."))
+    ).otherwise(F.array().cast("array<string>"))
+    pre_brace = F.when(
+        F.col("doc_id") % 19 == 7, F.array(F.lit("code { sample."))
+    ).otherwise(F.array().cast("array<string>"))
+    shaped = docs.select(
+        "doc_id",
+        F.concat_ws("\n", F.concat(pre_lorem, pre_brace, body)).alias("__text"),
+    )
+    cleaned = c4_clean_lines(F.col("__text"))
+    return shaped.select(
+        "doc_id",
+        # lambda wrapper is REQUIRED: F.filter would call the bare
+        # two-parameter function as (element, index) — see c4_keep_line
+        F.size(
+            F.filter(F.split("__text", "\n"), lambda l: c4_keep_line(l))
+        ).alias("n_lines_kept"),
+        F.length(cleaned).alias("n_chars_clean"),
+        c4_page_keep(cleaned).cast("int").alias("page_keep"),
+    ).orderBy("doc_id")
+
+
 def doc_minhash_dedup_transitive(spark, sf_dir):
     """End-to-end transitive MinHash dedup (dedup.py::minhash_dedup
     transitive=True): banded LSH candidates -> exact Jaccard verify ->
@@ -1205,8 +1258,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_vocab_topk": corpus_vocab_topk,
         "doc_paragraph_dedup": doc_paragraph_dedup,
         "doc_training_pipeline": doc_training_pipeline,
-        # new in r4: transitive-closure dedup (connected components)
+        # new in r4: transitive-closure dedup + C4 heuristic cleaning
         "doc_minhash_dedup_transitive": doc_minhash_dedup_transitive,
+        "doc_c4_filters": doc_c4_filters,
         # -- actively-evolving set --
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -1230,7 +1284,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_euclidean_topk": knn_euclidean_topk,
         "knn_dot_topk": knn_dot_topk,
         "hybrid_filtered_knn": hybrid_filtered_knn,
-        "events_cume_dist": events_cume_dist,
         "clean_embeddings": clean_embeddings,
         "doc_exact_dedup": doc_exact_dedup,
         "doc_dup_fingerprints": doc_dup_fingerprints,
@@ -1246,6 +1299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- long-stable tail (past the 50-entry recording window; all
         #    hash-green in CORRECTNESS_r03) --
         "doc_winnow_fingerprints": doc_winnow_fingerprints,
+        "events_cume_dist": events_cume_dist,
         "agg_priority_count": agg_priority_count,
         "q10_returned_items": q10_returned_items,
         "q14_promo_revenue": q14_promo_revenue,
@@ -1984,6 +2038,46 @@ def oracle_sql() -> dict[str, str]:
         "doc_winnow_fingerprints": _winnow_oracle(),
         "minhash_candidate_pairs": _minhash_oracle(),
         "doc_minhash_dedup_transitive": _minhash_transitive_oracle(),
+        # C4 line + page retention rules over the same deterministic
+        # reshaping (7-word lines, punctuation/javascript/lorem/brace
+        # injection) — list-op replica
+        "doc_c4_filters": """
+            WITH base AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                FROM documents),
+            shaped AS (
+                SELECT doc_id,
+                       list_concat(list_concat(
+                           CASE WHEN doc_id % 17 = 3
+                                THEN ['lorem ipsum dolor.'] ELSE [] END,
+                           CASE WHEN doc_id % 19 = 7
+                                THEN ['code { sample.'] ELSE [] END),
+                           list_transform(
+                               range(0, greatest(CAST(ceil(len(w) / 7.0) AS INT), 1)),
+                               i -> (CASE WHEN i % 11 = 5 THEN 'javascript ' ELSE '' END)
+                                    || array_to_string(w[CAST(i*7+1 AS INT):CAST(i*7+7 AS INT)], ' ')
+                                    || (CASE WHEN i % 3 = 0 THEN '' ELSE '.' END)))
+                       AS ls
+                FROM base),
+            l AS (
+                SELECT doc_id,
+                       list_filter(ls, x ->
+                           right(trim(x), 1) IN ('.', '!', '?', '"')
+                           AND len(regexp_split_to_array(trim(x), '\\s+')) >= 3
+                           AND NOT contains(lower(trim(x)), 'javascript')) AS kept
+                FROM shaped),
+            c AS (
+                SELECT doc_id, CAST(len(kept) AS INT) AS n_lines_kept,
+                       coalesce(array_to_string(kept, chr(10)), '') AS cleaned
+                FROM l)
+            SELECT doc_id, n_lines_kept,
+                   CAST(length(cleaned) AS INT) AS n_chars_clean,
+                   CAST(NOT contains(lower(cleaned), 'lorem ipsum')
+                        AND NOT contains(lower(cleaned), '{')
+                        AND len(regexp_extract_all(cleaned, '[.!?]')) >= 3
+                        AS INT) AS page_keep
+            FROM c ORDER BY doc_id
+        """,
         "simhash_pairs": _simhash_oracle(),
         "ks_normal_embeddings": _ks_normal_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),

@@ -345,3 +345,46 @@ def pii_counts(col: Column) -> Column:
         by_token["[PHONE]"].alias("n_phones"),
         by_token["[IP]"].alias("n_ips"),
     )
+
+
+# --- C4 / FineWeb heuristic cleaning ---------------------------------------
+
+def c4_keep_line(line: Column, min_words: int = 3) -> Column:
+    """C4 line-retention rule (Raffel et al. 2020, arXiv:1910.10683 §2.2):
+    keep a line iff it ends in terminal punctuation, has at least
+    ``min_words`` whitespace words, and does not mention javascript (the
+    cookie/JS-warning boilerplate rule). Pure codegen predicates.
+
+    NEVER pass this function to ``F.filter``/``F.transform`` directly —
+    wrap it: ``F.filter(arr, lambda l: c4_keep_line(l))``. The HOF helpers
+    inspect callable arity and invoke two-parameter functions as
+    ``(element, index)``, so a direct pass silently binds the ELEMENT INDEX
+    to ``min_words`` (observed: per-line thresholds equal to the line
+    number). Keyword-only args are rejected by PySpark's HOF validation,
+    so the API cannot enforce this shape itself."""
+    t = F.trim(line)
+    return (
+        F.substring(t, -1, 1).isin(".", "!", "?", '"')
+        & (F.size(F.split(t, r"\s+")) >= min_words)
+        & ~F.lower(t).contains("javascript")
+    )
+
+
+def c4_clean_lines(col: Column, min_words: int = 3) -> Column:
+    """Text with only the C4-retained lines, newline-rejoined in original
+    order (filter preserves array order)."""
+    return F.concat_ws(
+        "\n", F.filter(F.split(col, "\n"), lambda l: c4_keep_line(l, min_words))
+    )
+
+
+def c4_page_keep(cleaned: Column, min_sentences: int = 3) -> Column:
+    """C4 page-retention rule over the line-cleaned text: no lorem-ipsum
+    placeholder, no curly brace (code), and at least ``min_sentences``
+    sentence terminators."""
+    low = F.lower(cleaned)
+    return (
+        ~low.contains("lorem ipsum")
+        & ~low.contains("{")
+        & (F.regexp_count(cleaned, F.lit(r"[.!?]")) >= min_sentences)
+    )

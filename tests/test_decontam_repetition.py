@@ -153,3 +153,66 @@ def test_redact_pii_and_counts(spark):
     assert counts[1] == {"n_emails": 1, "n_phones": 1, "n_ips": 0}
     assert counts[2]["n_ips"] == 2
     assert counts[3] == {"n_emails": 0, "n_phones": 0, "n_ips": 0}
+
+
+# --- C4 heuristic cleaning -------------------------------------------------
+
+def test_c4_line_and_page_rules(spark):
+    from nbdatatools_spark.functions.text import (
+        c4_clean_lines,
+        c4_keep_line,
+        c4_page_keep,
+    )
+
+    text = "\n".join([
+        "A good sentence with enough words.",   # kept
+        "Too short.",                            # < 3 words
+        "No terminal punctuation at all",        # no punct
+        "Please enable javascript to continue.", # js boilerplate
+        'He said "stop right there."',           # kept (quote ok? ends .)
+        "Another proper sentence right here!",   # kept
+        "And one more to clear the bar?",        # kept
+    ])
+    df = spark.createDataFrame([(1, text)], "doc_id BIGINT, text STRING")
+    kept = df.select(
+        F.filter(F.split("text", "\n"), lambda l: c4_keep_line(l)).alias("k")
+    ).collect()[0]["k"]
+    assert len(kept) == 4 and kept[0].startswith("A good")
+
+    cleaned = df.select(c4_clean_lines(F.col("text")).alias("c")).collect()[0]["c"]
+    assert "javascript" not in cleaned and "Too short." not in cleaned
+    assert df.select(c4_page_keep(c4_clean_lines(F.col("text"))).alias("p")).collect()[0]["p"]
+
+    # page drops: lorem ipsum, code braces, too few sentences
+    for bad in ("Lorem ipsum dolor sit amet.", "function f() { return 1; }."):
+        d2 = spark.createDataFrame([(1, bad + "\n" + text)], "doc_id BIGINT, text STRING")
+        assert not d2.select(
+            c4_page_keep(c4_clean_lines(F.col("text"))).alias("p")
+        ).collect()[0]["p"]
+    short = spark.createDataFrame(
+        [(1, "Just one proper sentence here.")], "doc_id BIGINT, text STRING"
+    )
+    assert not short.select(
+        c4_page_keep(c4_clean_lines(F.col("text"))).alias("p")
+    ).collect()[0]["p"]
+
+
+def test_c4_keep_line_arity_trap_documented(spark):
+    """REGRESSION PIN: F.filter calls a bare two-parameter callable as
+    (element, index) — passing c4_keep_line directly binds the line number
+    to min_words and silently drops lines whose word count < their index.
+    The engine's call sites must always wrap in a single-arg lambda; this
+    test pins the trap so the behavior change is loud if PySpark fixes it."""
+    from nbdatatools_spark.functions.text import c4_keep_line
+
+    lines = ["w%d " % i * 7 for i in range(12)]  # 7 words each
+    lines = [l.strip() + "." for l in lines]
+    df = spark.createDataFrame([("\n".join(lines),)], "t STRING")
+    wrapped = df.select(
+        F.size(F.filter(F.split("t", "\n"), lambda l: c4_keep_line(l))).alias("n")
+    ).collect()[0]["n"]
+    bare = df.select(
+        F.size(F.filter(F.split("t", "\n"), c4_keep_line)).alias("n")
+    ).collect()[0]["n"]
+    assert wrapped == 12
+    assert bare == 8  # lines 8..11 dropped: index > 7 words — the trap
