@@ -817,6 +817,34 @@ def minhash_candidate_pairs(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def events_asof_join(spark, sf_dir):
+    """Backward-inclusive as-of join (operators/temporal.py::asof_join):
+    each purchase event gains the latest at-or-before view event of the
+    same user — the union-tag + keyed-window shape (ONE shuffle on
+    user_id, no range-condition nested-loop). Oracle replays it as a
+    rank-1 range join in DuckDB (exact integer micros lag; matched value
+    copied verbatim, no float arithmetic)."""
+    from nbdatatools_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    views = ev.where(F.col("event_type") == "view")
+    j = asof_join(
+        purchases, views, on="ts", by="user_id", tie="event_id",
+        values=("event_id", "value"),
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "matched_event_id",
+        "matched_value",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("matched_ts").cast("timestamp"))
+        ).alias("lag_us"),
+    ).orderBy("event_id")
+
+
 def doc_c4_filters(spark, sf_dir):
     """C4 heuristic cleaning (Raffel et al. 2020, arXiv:1910.10683 §2.2;
     functions/text.py::c4_*): line retention (terminal punctuation, >=3
@@ -1258,9 +1286,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_vocab_topk": corpus_vocab_topk,
         "doc_paragraph_dedup": doc_paragraph_dedup,
         "doc_training_pipeline": doc_training_pipeline,
-        # new in r4: transitive-closure dedup + C4 heuristic cleaning
+        # new in r4: transitive dedup, C4 cleaning, as-of join
         "doc_minhash_dedup_transitive": doc_minhash_dedup_transitive,
         "doc_c4_filters": doc_c4_filters,
+        "events_asof_join": events_asof_join,
         # -- actively-evolving set --
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -1286,7 +1315,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_filtered_knn": hybrid_filtered_knn,
         "clean_embeddings": clean_embeddings,
         "doc_exact_dedup": doc_exact_dedup,
-        "doc_dup_fingerprints": doc_dup_fingerprints,
         "doc_token_stats": doc_token_stats,
         "doc_subword_tokens": doc_subword_tokens,
         "doc_quality": doc_quality,
@@ -1300,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    hash-green in CORRECTNESS_r03) --
         "doc_winnow_fingerprints": doc_winnow_fingerprints,
         "events_cume_dist": events_cume_dist,
+        "doc_dup_fingerprints": doc_dup_fingerprints,
         "agg_priority_count": agg_priority_count,
         "q10_returned_items": q10_returned_items,
         "q14_promo_revenue": q14_promo_revenue,
@@ -2038,6 +2067,27 @@ def oracle_sql() -> dict[str, str]:
         "doc_winnow_fingerprints": _winnow_oracle(),
         "minhash_candidate_pairs": _minhash_oracle(),
         "doc_minhash_dedup_transitive": _minhash_transitive_oracle(),
+        # as-of join: rank-1 range-join replica, exact integer micros lag
+        "events_asof_join": """
+            WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+            v AS (SELECT * FROM events WHERE event_type = 'view'),
+            j AS (
+                SELECT p.event_id, p.user_id,
+                       v.event_id AS matched_event_id,
+                       v.value AS matched_value,
+                       epoch_us(p.ts) - epoch_us(v.ts) AS lag_us,
+                       row_number() OVER (
+                           PARTITION BY p.event_id
+                           ORDER BY v.ts DESC, v.event_id DESC) AS rn
+                FROM p JOIN v
+                  ON p.user_id = v.user_id AND v.ts <= p.ts)
+            SELECT event_id, user_id, matched_event_id, matched_value, lag_us
+            FROM j WHERE rn = 1
+            UNION ALL
+            SELECT p.event_id, p.user_id, NULL, NULL, NULL
+            FROM p WHERE p.event_id NOT IN (SELECT event_id FROM j)
+            ORDER BY event_id
+        """,
         # C4 line + page retention rules over the same deterministic
         # reshaping (7-word lines, punctuation/javascript/lorem/brace
         # injection) — list-op replica

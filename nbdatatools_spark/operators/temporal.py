@@ -1,0 +1,108 @@
+"""Temporal joins — as-of join (beyond-reference surface, SURVEY §7.8).
+
+The classic time-series primitive Spark lacks natively: for each left row,
+attach the most recent right row of the same key at-or-before the left
+row's event time (backward inclusive). A naive range-condition join
+(``l.ts >= r.ts``) plans as a broadcast-nested-loop / cartesian at scale;
+the scalable shape is the union-tag trick:
+
+1. union both sides with a side tag (right=0, left=1);
+2. one shuffle: partition by the join key, sort within partitions by
+   (time, side, tie) — right rows sort before left rows at equal time, so
+   equal timestamps match (inclusive);
+3. carry the right payload forward with ``last(..., ignorenulls=True)``
+   over rows unbounded-preceding..current — a running carry, no
+   per-row scan;
+4. keep left rows, optionally null out matches older than ``tolerance``.
+
+Cost: ONE hash shuffle on the key + in-partition sort — the same bill as
+any keyed window; no data-dependent blowup, no cross product. Skewed keys
+hit the same mitigation as any keyed op (AQE / salting upstream).
+
+Determinism: right-side ties on (key, time) resolve to the greatest
+``tie`` column value (sort asc + last-carry), so results are
+partition-invariant and oracle-replicable (rank by time DESC, tie DESC,
+keep first).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "user_id",
+    tie: str | None = None,
+    values: tuple = ("value",),
+    prefix: str = "matched_",
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Backward-inclusive as-of join: every ``left`` row gains
+    ``{prefix}{v}`` for each right column in ``values`` plus
+    ``{prefix}{on}`` — from the latest right row with the same ``by`` key
+    and right.on <= left.on; NULLs when no prior right row exists (or the
+    match is older than ``tolerance_seconds``).
+
+    ``tie`` breaks right-side timestamp ties deterministically (greatest
+    value wins); required if (by, on) is not unique on the right.
+    """
+    lcols = left.columns
+    rtypes = dict(right.dtypes)
+    carried = [F.col(v).alias(f"__r_{v}") for v in values]
+    tie_expr = (
+        F.col(tie).cast("long") if tie is not None else F.lit(0).cast("long")
+    )
+    rdf = right.select(
+        F.lit(None).cast(left.select(F.struct(*lcols)).schema[0].dataType).alias("__l"),
+        F.col(by).alias("__by"),
+        F.col(on).alias("__on"),
+        F.lit(0).alias("__side"),
+        tie_expr.alias("__tie"),
+        *carried,
+    )
+    ldf = left.select(
+        F.struct(*lcols).alias("__l"),
+        F.col(by).alias("__by"),
+        F.col(on).alias("__on"),
+        F.lit(1).alias("__side"),
+        F.lit(0).cast("long").alias("__tie"),
+        *[F.lit(None).cast(rtypes[v]).alias(f"__r_{v}") for v in values],
+    )
+    u = rdf.unionByName(ldf)
+    w = (
+        Window.partitionBy("__by")
+        .orderBy(F.col("__on").asc(), F.col("__side").asc(), F.col("__tie").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carry_on = F.last(
+        F.when(F.col("__side") == 0, F.col("__on")), ignorenulls=True
+    ).over(w)
+    out = u.select(
+        "__l",
+        "__side",
+        carry_on.alias(f"__m_{on}"),
+        *[
+            F.last(F.col(f"__r_{v}"), ignorenulls=True).over(w).alias(f"__m_{v}")
+            for v in values
+        ],
+    ).where(F.col("__side") == 1)
+    if tolerance_seconds is not None:
+        # micros-delta comparison: timezone-shift-invariant (both sides move)
+        fresh = (
+            F.unix_micros(F.col("__l")[on].cast("timestamp"))
+            - F.unix_micros(F.col(f"__m_{on}").cast("timestamp"))
+        ) <= tolerance_seconds * 1_000_000
+        out = out.select(
+            "__l",
+            F.when(fresh, F.col(f"__m_{on}")).alias(f"__m_{on}"),
+            *[F.when(fresh, F.col(f"__m_{v}")).alias(f"__m_{v}") for v in values],
+        )
+    return out.select(
+        *[F.col("__l")[c].alias(c) for c in lcols],
+        F.col(f"__m_{on}").alias(f"{prefix}{on}"),
+        *[F.col(f"__m_{v}").alias(f"{prefix}{v}") for v in values],
+    )
