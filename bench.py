@@ -40,6 +40,8 @@ HEADLINE = [
     "events_tumbling_hourly",
     "events_sessionize",
     "events_user_stats",
+    "events_asof_join",
+    "doc_c4_filters",
     "verify_profiles",
     "stream_ingest_available_now",
 ]
