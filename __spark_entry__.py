@@ -1165,6 +1165,33 @@ def doc_mixture_sample(spark, sf_dir):
     return out.select("doc_id", "source").orderBy("doc_id")
 
 
+def doc_domain_cap(spark, sf_dir):
+    """Per-domain cap (operators/sampling.py::domain_cap — the
+    overrepresented-site rule in web-corpus builds): keep the 10
+    deterministically-smallest (md5_52(doc_id), doc_id) rows per source.
+    Slim (source, key, hash) ranking shuffle + threshold join-back; the
+    DuckDB oracle replicates with a row_number over the same portable
+    hash, so the gate is hash-exact."""
+    from nbdatatools_spark.operators.sampling import domain_cap
+
+    docs = _t(spark, sf_dir, "documents")
+    out = domain_cap(docs, cap=10, strata_col="source", key_col="doc_id", seed=42)
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
+def doc_split_assign(spark, sf_dir):
+    """Deterministic stratum-free train/val/test split
+    (operators/sampling.py::train_val_test_split): content-keyed hash
+    ranges [0,.8), [.8,.9), [.9,1) of the md5-uint52 space — a pure
+    projection, per-row decidable, partition- and engine-invariant. The
+    oracle replicates the cumulative-boundary double arithmetic."""
+    from nbdatatools_spark.operators.sampling import train_val_test_split
+
+    docs = _t(spark, sf_dir, "documents")
+    out = train_val_test_split(docs, (0.8, 0.1, 0.1), key_col="doc_id", seed=42)
+    return out.select("doc_id", "source", "split").orderBy("doc_id")
+
+
 def doc_paragraph_dedup(spark, sf_dir):
     """Cross-document paragraph (boilerplate) removal
     (dedup.py::paragraph_dedup, RefinedWeb repeated-span rule): any
@@ -1286,10 +1313,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_vocab_topk": corpus_vocab_topk,
         "doc_paragraph_dedup": doc_paragraph_dedup,
         "doc_training_pipeline": doc_training_pipeline,
-        # new in r4: transitive dedup, C4 cleaning, as-of join
+        # new in r4: transitive dedup, C4 cleaning, as-of join, domain
+        # caps, train/val/test split
         "doc_minhash_dedup_transitive": doc_minhash_dedup_transitive,
         "doc_c4_filters": doc_c4_filters,
         "events_asof_join": events_asof_join,
+        "doc_domain_cap": doc_domain_cap,
+        "doc_split_assign": doc_split_assign,
         # -- actively-evolving set --
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -1320,12 +1350,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": doc_quality,
         "doc_lang_stats": doc_lang_stats,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
-        "embedding_cluster_assign": embedding_cluster_assign,
-        "embedding_semantic_dedup": embedding_semantic_dedup,
         # position 50 — last recorded slot; see docstring.
         "fit_embeddings_model": fit_embeddings_model,
         # -- long-stable tail (past the 50-entry recording window; all
         #    hash-green in CORRECTNESS_r03) --
+        "embedding_cluster_assign": embedding_cluster_assign,
+        "embedding_semantic_dedup": embedding_semantic_dedup,
         "doc_winnow_fingerprints": doc_winnow_fingerprints,
         "events_cume_dist": events_cume_dist,
         "doc_dup_fingerprints": doc_dup_fingerprints,
@@ -2322,6 +2352,30 @@ def oracle_sql() -> dict[str, str]:
             FROM h JOIN r USING (source)
             WHERE hv < rate * 4503599627370496.0
             ORDER BY doc_id
+        """,
+        # per-domain cap: survivors are the cap smallest (md5_52(key), key)
+        # per stratum — replicated as a row_number over the same hash
+        "doc_domain_cap": """
+            WITH h AS (SELECT doc_id, source,
+                   ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 13))::BIGINT AS hv
+                   FROM documents),
+            r AS (SELECT doc_id, source, row_number() OVER
+                   (PARTITION BY source ORDER BY hv, doc_id) AS rn FROM h)
+            SELECT doc_id, source FROM r WHERE rn <= 10 ORDER BY doc_id
+        """,
+        # train/val/test split: hash-range membership; boundary doubles
+        # accumulate left-to-right exactly as the Spark builder does
+        # (explicit DOUBLE casts — DuckDB decimal literals would round
+        # differently)
+        "doc_split_assign": """
+            WITH h AS (SELECT doc_id, source,
+                   ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 13))::BIGINT AS hv
+                   FROM documents)
+            SELECT doc_id, source,
+                   CASE WHEN hv < CAST(0.8 AS DOUBLE) * 4503599627370496.0 THEN 'train'
+                        WHEN hv < (CAST(0.8 AS DOUBLE) + CAST(0.1 AS DOUBLE)) * 4503599627370496.0 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM h ORDER BY doc_id
         """,
         "doc_paragraph_dedup": """
             WITH h AS (

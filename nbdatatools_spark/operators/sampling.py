@@ -19,9 +19,9 @@ iterative proxy-model loop). Two properties matter at 100TB:
 
 from __future__ import annotations
 
-from typing import Mapping
+from typing import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _HASH_SPACE = float(1 << 52)
@@ -112,3 +112,88 @@ def mixture_rates(
         props = {s: 1.0 / len(weights) for s in weights}
     t = min(weights[s] * cap / props[s] for s in props if props[s] > 0)
     return {s: (props[s] * t / weights[s]) if props[s] > 0 else 0.0 for s in props}
+
+
+def domain_cap(
+    df: DataFrame,
+    cap: int,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per stratum (per-domain caps, the
+    overrepresented-site rule in web-corpus builds — cf. RefinedWeb /
+    Gopher's per-domain limits), deterministically: the survivors are the
+    ``cap`` smallest ``(md5_52(key), key)`` pairs in each stratum, a pure
+    function of content keys — stable across runs, partitionings, engines.
+
+    100-TB shape: rather than ranking full rows, rank a SLIM projection
+    ``(stratum, key, hash)`` (~24 bytes/row) and derive each stratum's
+    exact cap-th-smallest ``(hash, key)`` threshold — one tiny table,
+    one row per over-cap stratum. The wide rows are then filtered by a
+    join on ``strata_col`` against that threshold table; the join side is
+    n_strata rows, so AQE picks a broadcast when it fits (deliberately NOT
+    a forced ``F.broadcast`` — at millions of domains the planner must be
+    free to shuffle instead). Documents never enter the ranking shuffle.
+
+    Known limit: one stratum's slim rows sort in one task. At ~24 B/row a
+    100M-row domain is ~2.4 GB — acceptable; beyond that, pre-filter with
+    an approximate quantile of the hash before the exact rank.
+
+    NULL strata are capped too (null-safe join).
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    h = sample_hash(F.col(key_col), seed)
+    slim = df.select(
+        F.col(strata_col).alias("__s"),
+        F.col(key_col).alias("__k"),
+        h.alias("__h"),
+    )
+    w = Window.partitionBy("__s").orderBy("__h", "__k")
+    thresholds = (
+        slim.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == cap)
+        .select("__s", F.col("__h").alias("__ht"), F.col("__k").alias("__kt"))
+    )
+    joined = df.join(thresholds, df[strata_col].eqNullSafe(thresholds["__s"]), "left")
+    keep = (
+        thresholds["__ht"].isNull()  # under-cap stratum: no threshold row
+        | (h < thresholds["__ht"])
+        | ((h == thresholds["__ht"]) & (df[key_col] <= thresholds["__kt"]))
+    )
+    return joined.where(keep).drop("__s", "__ht", "__kt")
+
+
+def train_val_test_split(
+    df: DataFrame,
+    fractions: Sequence[float] = (0.98, 0.01, 0.01),
+    names: Sequence[str] = ("train", "val", "test"),
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Assign every row a split label by content-keyed hash range —
+    ``split_i`` gets rows with ``md5_52(key)`` in the half-open interval
+    ``[cum_{i-1}, cum_i) * 2^52``. Pure projection (no shuffle, no state);
+    the same row lands in the same split on every run, engine, and
+    partitioning, and membership is decidable per-row (a streaming ingest
+    can label on arrival). Boundaries accumulate left-to-right in double
+    precision — oracles must replicate the same summation order."""
+    if len(fractions) != len(names):
+        raise ValueError("fractions and names must have equal length")
+    if any(f < 0 for f in fractions):
+        raise ValueError(f"fractions must be >= 0, got {list(fractions)}")
+    total = 0.0
+    for f in fractions:
+        total += f
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    hv = sample_hash(F.col(key_col), seed)
+    cum = 0.0
+    expr = None
+    for frac, name in zip(fractions[:-1], names[:-1]):
+        cum += frac
+        cond = hv < cum * _HASH_SPACE
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    split = F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", split)

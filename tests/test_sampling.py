@@ -8,10 +8,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from nbdatatools_spark.operators.sampling import (
+    domain_cap,
     hash_sample,
     mixture_rates,
     sample_hash,
     stratified_sample,
+    train_val_test_split,
 )
 
 
@@ -109,3 +111,97 @@ def test_end_to_end_mixture_is_achieved(spark):
     }
     assert got["small"] == 1000  # rate 1.0 stratum keeps everything
     assert abs(got["big"] - 1000) < 160  # binomial(9000, 1/9): 5 sigma ~ 157
+
+
+def test_domain_cap_exact_counts_and_determinism(docs):
+    out = domain_cap(docs, cap=30, strata_col="source", key_col="doc_id")
+    by_src = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src == {f"src{i}": 30 for i in range(4)}  # exactly cap each
+    # partition-invariant survivor set
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in domain_cap(docs.repartition(13), 30, "source", "doc_id").collect()
+    )
+    assert a == b
+
+
+def test_domain_cap_matches_duckdb_row_number(docs):
+    got = sorted(r["doc_id"] for r in domain_cap(docs, 25, "source", "doc_id").collect())
+    pdf = docs.toPandas()
+    duckdb.register("d", pdf)
+    want = sorted(
+        r[0]
+        for r in duckdb.sql(
+            """
+            WITH h AS (SELECT doc_id, source,
+                   ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 13))::BIGINT AS hv
+                   FROM d),
+            r AS (SELECT doc_id, row_number() OVER
+                   (PARTITION BY source ORDER BY hv, doc_id) AS rn FROM h)
+            SELECT doc_id FROM r WHERE rn <= 25
+            """
+        ).fetchall()
+    )
+    duckdb.unregister("d")
+    assert got == want
+
+
+def test_domain_cap_under_cap_stratum_keeps_all(spark):
+    rows = [(i, "tiny" if i < 5 else "big") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, source STRING")
+    out = domain_cap(df, cap=20, strata_col="source", key_col="doc_id")
+    by_src = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src == {"tiny": 5, "big": 20}
+    # null stratum is capped too (null-safe join)
+    with_null = spark.createDataFrame(
+        [(i, None) for i in range(30)], "doc_id BIGINT, source STRING"
+    )
+    capped = domain_cap(with_null, cap=7, strata_col="source", key_col="doc_id")
+    assert capped.count() == 7
+
+
+def test_domain_cap_rejects_bad_cap(docs):
+    with pytest.raises(ValueError):
+        domain_cap(docs, 0)
+
+
+def test_split_partition_invariant_and_total(docs):
+    out = train_val_test_split(docs, (0.8, 0.1, 0.1), key_col="doc_id")
+    assert out.count() == 400
+    a = sorted((r["doc_id"], r["split"]) for r in out.collect())
+    b = sorted(
+        (r["doc_id"], r["split"])
+        for r in train_val_test_split(
+            docs.repartition(11), (0.8, 0.1, 0.1), key_col="doc_id"
+        ).collect()
+    )
+    assert a == b
+    by_split = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    # binomial noise bounds: 5 sigma ~ 40 (train), ~ 30 (val/test)
+    assert abs(by_split.get("train", 0) - 320) < 45
+    assert abs(by_split.get("val", 0) - 40) < 31
+    assert abs(by_split.get("test", 0) - 40) < 31
+
+
+def test_split_is_pure_projection(docs):
+    plan = train_val_test_split(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # no shuffle: per-row decidable
+
+
+def test_split_validates_fractions(docs):
+    with pytest.raises(ValueError):
+        train_val_test_split(docs, (0.5, 0.4))  # doesn't sum to 1
+    with pytest.raises(ValueError):
+        train_val_test_split(docs, (0.5, 0.5, 0.0), names=("a", "b"))
+    with pytest.raises(ValueError):
+        train_val_test_split(docs, (1.5, -0.5))
