@@ -1165,6 +1165,35 @@ def doc_mixture_sample(spark, sf_dir):
     return out.select("doc_id", "source").orderBy("doc_id")
 
 
+def events_range_join(spark, sf_dir):
+    """Bucketed interval join (operators/temporal.py::range_join): count
+    events inside each purchase-anchored half-open 30-minute window —
+    NO equi key; the operator manufactures one from epoch-time buckets
+    (explode interval -> bucket ids, hash-join, exact-range recheck), so
+    the plan is a hash join, never a nested loop. DECIMAL value sums keep
+    the oracle hash-exact."""
+    from nbdatatools_spark.operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+    )
+    pts = ev.select("event_id", "ts", "value")
+    j = range_join(pts, iv, point_ts="ts", bucket_seconds=600)
+    return (
+        j.groupBy("interval_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dbl(F.sum(F.col("value").cast("decimal(18,6)"))).alias("sum_value"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+        .orderBy("interval_id")
+    )
+
+
 def doc_domain_cap(spark, sf_dir):
     """Per-domain cap (operators/sampling.py::domain_cap — the
     overrepresented-site rule in web-corpus builds): keep the 10
@@ -1320,6 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": events_asof_join,
         "doc_domain_cap": doc_domain_cap,
         "doc_split_assign": doc_split_assign,
+        "events_range_join": events_range_join,
         # -- actively-evolving set --
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -1349,11 +1379,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_subword_tokens": doc_subword_tokens,
         "doc_quality": doc_quality,
         "doc_lang_stats": doc_lang_stats,
-        "embedding_near_dup_pairs": embedding_near_dup_pairs,
         # position 50 — last recorded slot; see docstring.
         "fit_embeddings_model": fit_embeddings_model,
         # -- long-stable tail (past the 50-entry recording window; all
         #    hash-green in CORRECTNESS_r03) --
+        "embedding_near_dup_pairs": embedding_near_dup_pairs,
         "embedding_cluster_assign": embedding_cluster_assign,
         "embedding_semantic_dedup": embedding_semantic_dedup,
         "doc_winnow_fingerprints": doc_winnow_fingerprints,
@@ -2352,6 +2382,20 @@ def oracle_sql() -> dict[str, str]:
             FROM h JOIN r USING (source)
             WHERE hv < rate * 4503599627370496.0
             ORDER BY doc_id
+        """,
+        # range join: plain BETWEEN theta-join in the oracle; the Spark
+        # side manufactures the epoch-bucket equi key
+        "events_range_join": """
+            WITH iv AS (SELECT event_id AS interval_id, ts AS start_ts,
+                               ts + INTERVAL 30 MINUTE AS end_ts
+                        FROM events WHERE event_type = 'purchase')
+            SELECT interval_id,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+                   min(e.event_id) AS first_event,
+                   max(e.event_id) AS last_event
+            FROM iv JOIN events e ON e.ts >= iv.start_ts AND e.ts < iv.end_ts
+            GROUP BY interval_id ORDER BY interval_id
         """,
         # per-domain cap: survivors are the cap smallest (md5_52(key), key)
         # per stratum — replicated as a row_number over the same hash

@@ -1,4 +1,5 @@
-"""Temporal joins — as-of join (beyond-reference surface, SURVEY §7.8).
+"""Temporal joins — as-of join and bucketed range join (beyond-reference
+surface, SURVEY §7.8).
 
 The classic time-series primitive Spark lacks natively: for each left row,
 attach the most recent right row of the same key at-or-before the left
@@ -105,4 +106,75 @@ def asof_join(
         *[F.col("__l")[c].alias(c) for c in lcols],
         F.col(f"__m_{on}").alias(f"{prefix}{on}"),
         *[F.col(f"__m_{v}").alias(f"{prefix}{v}") for v in values],
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str = "ts",
+    start: str = "start_ts",
+    end: str = "end_ts",
+    bucket_seconds: int = 600,
+    max_span_buckets: int = 10_000,
+) -> DataFrame:
+    """Interval (range) join with NO equi key: inner-join every ``points``
+    row to every ``intervals`` row with ``start <= point_ts < end``
+    (half-open — back-to-back intervals never double-match a boundary
+    point).
+
+    A raw range-condition join plans as BroadcastNestedLoopJoin /
+    cartesian — O(P·I) comparisons, a scale-killer. The scalable shape
+    manufactures an equi key from time itself:
+
+    1. explode each interval into the ``bucket_seconds``-wide epoch
+       buckets its span covers (``sequence`` + ``explode``);
+    2. bucket each point by ``floor(epoch / bucket_seconds)`` — a pure
+       projection;
+    3. hash equi-join on the bucket id, then re-check the exact range
+       predicate.
+
+    Each matching (point, interval) pair meets in EXACTLY one bucket (the
+    point's), so no post-join dedup is needed. Cost: one hash shuffle of
+    points + intervals replicated x(span/bucket) — pick ``bucket_seconds``
+    near the median interval span so the replication factor stays small.
+    Hot time-buckets (load spikes) are plain join skew: AQE's skew-join
+    split handles them.
+
+    Pathologically long intervals explode the replication factor, so any
+    interval spanning more than ``max_span_buckets`` buckets raises at
+    execution time (loud, not silent) — widen ``bucket_seconds`` or split
+    such intervals upstream.
+
+    Columns: result carries all point and interval columns; the frames
+    must not share column names (raises up front).
+    """
+    overlap = set(points.columns) & set(intervals.columns)
+    if overlap:
+        raise ValueError(
+            f"points and intervals share column names {sorted(overlap)}; "
+            "alias one side first"
+        )
+    if bucket_seconds < 1:
+        raise ValueError(f"bucket_seconds must be >= 1, got {bucket_seconds}")
+    b_us = F.lit(int(bucket_seconds) * 1_000_000)
+    p_bucket = F.floor(F.unix_micros(F.col(point_ts).cast("timestamp")) / b_us)
+    i_first = F.floor(F.unix_micros(F.col(start).cast("timestamp")) / b_us)
+    i_last = F.floor(F.unix_micros(F.col(end).cast("timestamp")) / b_us)
+    span_ok = (i_last - i_first) < F.lit(int(max_span_buckets))
+    guarded_last = F.when(span_ok, i_last).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("range_join: interval spans too many buckets (max "),
+                F.lit(str(max_span_buckets)),
+                F.lit("); widen bucket_seconds or split the interval"),
+            )
+        )
+    )
+    ib = intervals.withColumn("__b", F.explode(F.sequence(i_first, guarded_last)))
+    pb = points.withColumn("__b", p_bucket)
+    return (
+        pb.join(ib, "__b")
+        .where((F.col(point_ts) >= F.col(start)) & (F.col(point_ts) < F.col(end)))
+        .drop("__b")
     )

@@ -1,11 +1,12 @@
-"""As-of join (operators/temporal.py): semantics + the one-shuffle plan."""
+"""As-of join + bucketed range join (operators/temporal.py): semantics +
+the scalable-plan assertions."""
 
 from datetime import datetime
 
 import pytest
 from pyspark.sql import functions as F
 
-from nbdatatools_spark.operators.temporal import asof_join
+from nbdatatools_spark.operators.temporal import asof_join, range_join
 
 
 def _ts(s):
@@ -92,3 +93,80 @@ def test_asof_preserves_left_rowcount(spark, sf_dir):
         on="ts", by="user_id", tie="event_id", values=("event_id",),
     )
     assert j.count() == purchases.count()
+
+
+@pytest.fixture(scope="module")
+def points_intervals(spark):
+    pts = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00")),
+            (2, _ts("2024-01-01T10:04:59")),
+            (3, _ts("2024-01-01T10:05:00")),  # on an end boundary
+            (4, _ts("2024-01-01T10:30:00")),
+            (5, _ts("2024-01-01T23:00:00")),  # matches nothing
+        ],
+        "point_id BIGINT, ts TIMESTAMP",
+    )
+    iv = spark.createDataFrame(
+        [
+            (100, _ts("2024-01-01T10:00:00"), _ts("2024-01-01T10:05:00")),
+            (101, _ts("2024-01-01T10:05:00"), _ts("2024-01-01T10:10:00")),
+            (102, _ts("2024-01-01T09:00:00"), _ts("2024-01-01T11:00:00")),  # long
+        ],
+        "interval_id BIGINT, start_ts TIMESTAMP, end_ts TIMESTAMP",
+    )
+    return pts, iv
+
+
+def test_range_join_half_open_membership(spark, points_intervals):
+    pts, iv = points_intervals
+    got = sorted(
+        (r["point_id"], r["interval_id"])
+        for r in range_join(pts, iv, bucket_seconds=60).collect()
+    )
+    # boundary point 3 belongs to 101 (start-inclusive), not 100 (end-exclusive)
+    assert got == [
+        (1, 100), (1, 102), (2, 100), (2, 102),
+        (3, 101), (3, 102), (4, 102),
+    ]
+
+
+def test_range_join_bucket_size_invariance(spark, points_intervals):
+    pts, iv = points_intervals
+    a = sorted(
+        (r["point_id"], r["interval_id"])
+        for r in range_join(pts, iv, bucket_seconds=7).collect()
+    )
+    b = sorted(
+        (r["point_id"], r["interval_id"])
+        for r in range_join(pts, iv, bucket_seconds=3600).collect()
+    )
+    assert a == b
+
+
+def test_range_join_plan_is_hash_join_not_nested_loop(spark, points_intervals):
+    pts, iv = points_intervals
+    plan = (
+        range_join(pts, iv, bucket_seconds=60)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_range_join_span_guard_raises(spark, points_intervals):
+    pts, iv = points_intervals
+    with pytest.raises(Exception) as exc_info:
+        range_join(pts, iv, bucket_seconds=1, max_span_buckets=100).collect()
+    assert "spans too many buckets" in str(exc_info.value)
+
+
+def test_range_join_rejects_column_collision(spark, points_intervals):
+    pts, iv = points_intervals
+    with pytest.raises(ValueError, match="share column names"):
+        range_join(pts.withColumnRenamed("point_id", "interval_id"), iv)
