@@ -1221,6 +1221,18 @@ def doc_split_assign(spark, sf_dir):
     return out.select("doc_id", "source", "split").orderBy("doc_id")
 
 
+def doc_bigram_lm(spark, sf_dir):
+    """Corpus bigram-LM fluency scoring (operators/lm.py — the CCNet
+    quality signal, self-fit add-k model): mean -ln p(w2|w1) per doc.
+    All count/join keys are md5 digests (no token-string shuffles); terms
+    are 9dp-DECIMAL-summed then one double division, so the DuckDB
+    replica of the whole model build is hash-exact."""
+    from nbdatatools_spark.operators.lm import bigram_lm_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_lm_score(docs, add_k=0.5).orderBy("doc_id")
+
+
 def doc_paragraph_dedup(spark, sf_dir):
     """Cross-document paragraph (boilerplate) removal
     (dedup.py::paragraph_dedup, RefinedWeb repeated-span rule): any
@@ -1350,6 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_domain_cap": doc_domain_cap,
         "doc_split_assign": doc_split_assign,
         "events_range_join": events_range_join,
+        "doc_bigram_lm": doc_bigram_lm,
         # -- actively-evolving set --
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -1378,11 +1391,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": doc_token_stats,
         "doc_subword_tokens": doc_subword_tokens,
         "doc_quality": doc_quality,
-        "doc_lang_stats": doc_lang_stats,
         # position 50 — last recorded slot; see docstring.
         "fit_embeddings_model": fit_embeddings_model,
         # -- long-stable tail (past the 50-entry recording window; all
         #    hash-green in CORRECTNESS_r03) --
+        "doc_lang_stats": doc_lang_stats,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
         "embedding_cluster_assign": embedding_cluster_assign,
         "embedding_semantic_dedup": embedding_semantic_dedup,
@@ -2381,6 +2394,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT h.doc_id, h.source
             FROM h JOIN r USING (source)
             WHERE hv < rate * 4503599627370496.0
+            ORDER BY doc_id
+        """,
+        # bigram LM: full model build (unigram/bigram counts, V, add-k
+        # smoothing) replicated; 9dp-rounded -ln terms DECIMAL-summed
+        "doc_bigram_lm": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t
+                FROM documents),
+            uni AS (
+                SELECT u.w AS w, count(*) AS n1
+                FROM toks, unnest(t) AS u(w) GROUP BY u.w),
+            v AS (SELECT count(*) AS vs FROM uni),
+            bg AS (
+                SELECT doc_id, b.bg AS bg, split_part(b.bg, ' ', 1) AS w1
+                FROM toks,
+                     unnest(list_transform(generate_series(2, len(t)),
+                                           i -> t[i-1] || ' ' || t[i])) AS b(bg)),
+            c2 AS (SELECT bg, count(*) AS n2 FROM bg GROUP BY bg),
+            terms AS (
+                SELECT doc_id,
+                       CAST(round(-ln((n2 + 0.5) / (n1 + 0.5 * vs)), 9)
+                            AS DECIMAL(20,9)) AS term
+                FROM bg JOIN c2 USING (bg) JOIN uni ON bg.w1 = uni.w, v),
+            per AS (SELECT doc_id, count(*) AS nb,
+                           CAST(sum(term) AS DECIMAL(38,9)) AS s
+                    FROM terms GROUP BY doc_id)
+            SELECT d.doc_id, CAST(coalesce(nb, 0) AS INT) AS n_bigrams,
+                   round(CAST(s AS DOUBLE) / nb, 6) AS lm_score
+            FROM (SELECT doc_id FROM documents) d
+            LEFT JOIN per USING (doc_id)
             ORDER BY doc_id
         """,
         # range join: plain BETWEEN theta-join in the oracle; the Spark

@@ -1,0 +1,122 @@
+"""Corpus bigram language-model fluency scoring (beyond-reference surface,
+SURVEY §7.8 — the CCNet / Wenzek et al. arXiv:1911.00359 quality signal:
+score each document by its per-token negative log-likelihood under a
+language model; low = fluent/common, high = noise. The classic pipeline
+uses a pretrained KenLM; the engine computes the self-contained variant —
+an add-k-smoothed bigram model fit on the corpus itself (or a reference
+corpus), entirely in DataFrame ops.
+
+Model: ``p(w2 | w1) = (c(w1 w2) + k) / (c(w1) + k * V)`` with unigram
+occurrence counts ``c(w1)``, bigram counts ``c(w1 w2)``, vocabulary size
+``V`` (distinct corpus tokens), Laplace-style ``add_k``. Per-document
+score = mean over the document's bigrams of ``-ln p(w2 | w1)``.
+
+100-TB shape:
+- tokens/bigrams are never shuffled as strings: every count/join key is
+  the 128-bit md5 hex of the token or bigram (the same slim-digest rule
+  the dedup family uses — a 13-gram string shuffle was this repo's
+  round-2 scale bug; not repeated here);
+- counting is groupBy on digests (map-side partial aggregation); scoring
+  is two hash joins (bigram digest, then first-token digest) + one
+  groupBy(doc) — all keyed, nothing all-pairs;
+- ``V`` is one driver-side scalar (a count job), inlined as a literal —
+  same bounded-collect pattern as sampling.mixture_rates.
+
+Exactness: the per-bigram term ``-ln p`` is rounded to 9dp and cast to
+DECIMAL(20,9) BEFORE summation (exact, order-invariant), then ONE double
+division by the bigram count — the dsir_log_ratios convention, replicated
+bit-for-bit by the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nbdatatools_spark.functions.text import tokens
+
+_TERM_DEC = "decimal(20,9)"
+_SUM_DEC = "decimal(38,9)"
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 0.5,
+    lm_corpus: DataFrame | None = None,
+) -> DataFrame:
+    """Score every ``docs`` row under an add-k bigram LM fit on
+    ``lm_corpus`` (default: ``docs`` itself — self-scoring, the common
+    corpus-filtering setup). Returns ``(id_col, n_bigrams INT, lm_score
+    DOUBLE)`` — mean ``-ln p(w2|w1)`` rounded to 6dp; NULL score (and
+    n_bigrams = 0) for documents with fewer than two tokens. Bigrams
+    unseen in ``lm_corpus`` get the smoothed floor ``k / (c(w1) + kV)``
+    (and ``c(w1) = 0`` for unseen first tokens).
+    """
+    if add_k <= 0:
+        raise ValueError(f"add_k must be > 0, got {add_k}")
+    corpus = lm_corpus if lm_corpus is not None else docs
+
+    def _toks(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("__id"),
+            tokens(F.lower(F.col(text_col))).alias("__t"),
+        )
+
+    corpus_toks = _toks(corpus)
+    # unigram counts keyed by md5(token); V = distinct tokens
+    uni = (
+        corpus_toks.select(F.explode("__t").alias("__w"))
+        .groupBy(F.md5(F.col("__w")).alias("__h1"))
+        .agg(F.count(F.lit(1)).alias("__n1"))
+    )
+    vocab_size = uni.count()  # bounded driver scalar, inlined below
+    # bigram digests per doc: (doc, md5(bigram), md5(first token)).
+    # Space-joined pairs are collision-free (tokens are whitespace-split).
+    # The size guard matters: Spark's sequence(2, n) DESCENDS for n < 2
+    # instead of returning empty.
+    def _bigrams(df: DataFrame) -> DataFrame:
+        t = F.col("__t")
+        pairs = F.when(
+            F.size(t) >= 2,
+            F.expr(
+                "transform(sequence(2, size(__t)), "
+                "i -> struct(concat(__t[i-2], ' ', __t[i-1]) AS bg, __t[i-2] AS w1))"
+            ),
+        ).otherwise(F.expr("CAST(array() AS array<struct<bg:string,w1:string>>)"))
+        return df.select("__id", F.explode(pairs).alias("__p")).select(
+            "__id",
+            F.md5(F.col("__p.bg")).alias("__h2"),
+            F.md5(F.col("__p.w1")).alias("__h1"),
+        )
+
+    big = (
+        _bigrams(corpus_toks)
+        .groupBy("__h2")
+        .agg(F.count(F.lit(1)).alias("__n2"))
+    )
+    doc_bigrams = _bigrams(_toks(docs))
+    denom = F.coalesce(F.col("__n1"), F.lit(0)) + F.lit(float(add_k) * vocab_size)
+    p = (F.coalesce(F.col("__n2"), F.lit(0)) + F.lit(float(add_k))) / denom
+    term = F.round(-F.log(p), 9).cast(_TERM_DEC)
+    per_doc = (
+        doc_bigrams.join(big, "__h2", "left")
+        .join(uni, "__h1", "left")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("__nb"),
+            F.sum(term).cast(_SUM_DEC).alias("__s"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(per_doc, F.col(id_col) == F.col("__id"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__nb"), F.lit(0)).cast("int").alias("n_bigrams"),
+            F.round(
+                F.col("__s").cast("double") / F.col("__nb"), 6
+            ).alias("lm_score"),
+        )
+    )

@@ -1,0 +1,120 @@
+"""Bigram LM fluency scoring (operators/lm.py): closed-form checks on a
+tiny corpus, DuckDB differential for the full smoothed model, and the
+no-string-shuffle plan property."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from nbdatatools_spark.operators.lm import bigram_lm_score
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    rows = [
+        (1, "the cat sat"),
+        (2, "the cat ran"),
+        (3, "single"),
+        (4, "   "),
+    ]
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+
+def test_closed_form_tiny_corpus(tiny):
+    # corpus tokens: the x2, cat x2, sat, ran, single -> V = 5
+    # bigrams: "the cat" x2, "cat sat", "cat ran"
+    # k = 0.5, kV = 2.5
+    # p(cat|the) = (2+.5)/(2+2.5) = 5/9
+    # p(sat|cat) = (1+.5)/(2+2.5) = 1/3 ; p(ran|cat) same
+    out = {r["doc_id"]: r for r in bigram_lm_score(tiny, add_k=0.5).collect()}
+    t1 = round(-math.log(2.5 / 4.5), 9)
+    t2 = round(-math.log(1.5 / 4.5), 9)
+    assert out[1]["n_bigrams"] == 2
+    assert out[1]["lm_score"] == pytest.approx(round((t1 + t2) / 2, 6), abs=1e-9)
+    assert out[2]["lm_score"] == out[1]["lm_score"]  # symmetric corpus
+    assert out[3]["n_bigrams"] == 0 and out[3]["lm_score"] is None
+    assert out[4]["n_bigrams"] == 0 and out[4]["lm_score"] is None
+
+
+def test_unseen_bigrams_get_smoothed_floor(spark, tiny):
+    new = spark.createDataFrame(
+        [(10, "cat the"), (11, "zebra qux")], "doc_id BIGINT, text STRING"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in bigram_lm_score(new, add_k=0.5, lm_corpus=tiny).collect()
+    }
+    # "cat the": c2=0, c(cat)=2 -> p = .5/4.5; "zebra qux": c2=0, c1=0 -> p = .5/2.5
+    assert out[10]["lm_score"] == pytest.approx(
+        round(round(-math.log(0.5 / 4.5), 9), 6), abs=1e-9
+    )
+    assert out[11]["lm_score"] == pytest.approx(
+        round(round(-math.log(0.5 / 2.5), 9), 6), abs=1e-9
+    )
+
+
+def test_matches_duckdb_on_real_docs(spark, sf_dir):
+    import __spark_entry__ as e
+
+    docs = e._t(spark, sf_dir, "documents").limit(150).cache()
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["lm_score"])
+        for r in bigram_lm_score(docs, add_k=0.5).collect()
+    }
+    pdf = docs.select("doc_id", "text").toPandas()
+    duckdb.register("docs", pdf)
+    want = {
+        r[0]: (r[1], r[2])
+        for r in duckdb.sql(
+            """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t
+                FROM docs),
+            uni AS (
+                SELECT u.w AS w, count(*) AS n1
+                FROM toks, unnest(t) AS u(w) GROUP BY u.w),
+            v AS (SELECT count(*) AS vs FROM uni),
+            bg AS (
+                SELECT doc_id, b.bg AS bg, split_part(b.bg, ' ', 1) AS w1
+                FROM toks,
+                     unnest(list_transform(generate_series(2, len(t)),
+                                           i -> t[i-1] || ' ' || t[i])) AS b(bg)),
+            c2 AS (SELECT bg, count(*) AS n2 FROM bg GROUP BY bg),
+            terms AS (
+                SELECT doc_id,
+                       CAST(round(-ln((n2 + 0.5) / (n1 + 0.5 * vs)), 9)
+                            AS DECIMAL(20,9)) AS term
+                FROM bg JOIN c2 USING (bg) JOIN uni ON bg.w1 = uni.w, v),
+            per AS (SELECT doc_id, count(*) AS nb,
+                           CAST(sum(term) AS DECIMAL(38,9)) AS s
+                    FROM terms GROUP BY doc_id)
+            SELECT d.doc_id, CAST(coalesce(nb, 0) AS INT),
+                   round(CAST(s AS DOUBLE) / nb, 6)
+            FROM (SELECT DISTINCT doc_id FROM docs) d
+            LEFT JOIN per USING (doc_id)
+            """
+        ).fetchall()
+    }
+    duckdb.unregister("docs")
+    assert got == want
+
+
+def test_no_token_string_shuffle(tiny):
+    # every exchange key is a 32-hex digest or the doc id — raw token /
+    # bigram strings never cross a shuffle boundary
+    plan = (
+        bigram_lm_score(tiny)._jdf.queryExecution().executedPlan().toString()
+    )
+    for key in ("__w", "__p.bg", "__p.w1"):
+        assert f"hashpartitioning({key}" not in plan
+
+
+def test_rejects_bad_k(tiny):
+    with pytest.raises(ValueError):
+        bigram_lm_score(tiny, add_k=0.0)
