@@ -1194,6 +1194,26 @@ def events_range_join(spark, sf_dir):
     )
 
 
+def orders_priority_cube(spark, sf_dir):
+    """Multidimensional aggregate via native CUBE (df.cube -> Expand +
+    one hash aggregate — Catalyst's map-side-combined grouping-sets plan,
+    no per-grouping rescan): order count + exact-decimal revenue by
+    (order year, priority) with all subtotal planes; grouping_id
+    disambiguates data NULLs from subtotal NULLs. DuckDB replicates with
+    CUBE + GROUPING(), same bit layout."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn("o_year", F.year("o_orderdate"))
+        .cube("o_year", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            _dbl(F.sum(_dec2("o_totalprice"))).alias("revenue"),
+        )
+        .orderBy("gid", "o_year", "o_orderpriority")
+    )
+
+
 def doc_domain_cap(spark, sf_dir):
     """Per-domain cap (operators/sampling.py::domain_cap — the
     overrepresented-site rule in web-corpus builds): keep the 10
@@ -1363,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_assign": doc_split_assign,
         "events_range_join": events_range_join,
         "doc_bigram_lm": doc_bigram_lm,
+        "orders_priority_cube": orders_priority_cube,
         # -- actively-evolving set --
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -1390,11 +1411,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dedup": doc_exact_dedup,
         "doc_token_stats": doc_token_stats,
         "doc_subword_tokens": doc_subword_tokens,
-        "doc_quality": doc_quality,
         # position 50 — last recorded slot; see docstring.
         "fit_embeddings_model": fit_embeddings_model,
         # -- long-stable tail (past the 50-entry recording window; all
         #    hash-green in CORRECTNESS_r03) --
+        "doc_quality": doc_quality,
         "doc_lang_stats": doc_lang_stats,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
         "embedding_cluster_assign": embedding_cluster_assign,
@@ -2395,6 +2416,18 @@ def oracle_sql() -> dict[str, str]:
             FROM h JOIN r USING (source)
             WHERE hv < rate * 4503599627370496.0
             ORDER BY doc_id
+        """,
+        # CUBE with GROUPING() bit layout matching Spark grouping_id():
+        # for cube(a, b), gid = GROUPING(a)*2 + GROUPING(b)
+        "orders_priority_cube": """
+            SELECT year(o_orderdate) AS o_year, o_orderpriority,
+                   GROUPING(year(o_orderdate)) * 2
+                     + GROUPING(o_orderpriority) AS gid,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM orders
+            GROUP BY CUBE (year(o_orderdate), o_orderpriority)
+            ORDER BY gid, o_year, o_orderpriority
         """,
         # bigram LM: full model build (unigram/bigram counts, V, add-k
         # smoothing) replicated; 9dp-rounded -ln terms DECIMAL-summed
