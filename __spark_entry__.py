@@ -1253,6 +1253,19 @@ def doc_bigram_lm(spark, sf_dir):
     return bigram_lm_score(docs, add_k=0.5).orderBy("doc_id")
 
 
+def doc_dup_spans(spark, sf_dir):
+    """Exact duplicated-span accounting (dedup.py::duplicate_span_stats —
+    the distributed Lee-et-al. exact-substring signal): per-doc count and
+    ratio of 5-token windows occurring verbatim in >= 2 docs. Digest-only
+    shuffles; oracle replicates the shingling and counts on raw grams."""
+    from nbdatatools_spark.operators.dedup import duplicate_span_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_span_stats(docs, span_tokens=5, min_dup_docs=2).orderBy(
+        "doc_id"
+    )
+
+
 def doc_paragraph_dedup(spark, sf_dir):
     """Cross-document paragraph (boilerplate) removal
     (dedup.py::paragraph_dedup, RefinedWeb repeated-span rule): any
@@ -1384,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": events_range_join,
         "doc_bigram_lm": doc_bigram_lm,
         "orders_priority_cube": orders_priority_cube,
+        "doc_dup_spans": doc_dup_spans,
         # -- actively-evolving set --
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -1410,11 +1424,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_embeddings": clean_embeddings,
         "doc_exact_dedup": doc_exact_dedup,
         "doc_token_stats": doc_token_stats,
-        "doc_subword_tokens": doc_subword_tokens,
         # position 50 — last recorded slot; see docstring.
         "fit_embeddings_model": fit_embeddings_model,
         # -- long-stable tail (past the 50-entry recording window; all
         #    hash-green in CORRECTNESS_r03) --
+        "doc_subword_tokens": doc_subword_tokens,
         "doc_quality": doc_quality,
         "doc_lang_stats": doc_lang_stats,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
@@ -2416,6 +2430,29 @@ def oracle_sql() -> dict[str, str]:
             FROM h JOIN r USING (source)
             WHERE hv < rate * 4503599627370496.0
             ORDER BY doc_id
+        """,
+        # duplicated 5-token spans: same shingling as word_shingles
+        # (normalize, space-split, starts 1..max(len-4,1))
+        "doc_dup_spans": """
+            WITH nrm AS (
+                SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                FROM documents),
+            toks AS (
+                SELECT doc_id, string_split(t, ' ') AS w FROM nrm WHERE length(t) > 0),
+            spans AS (
+                SELECT doc_id, array_to_string(w[i:i+4], ' ') AS g
+                FROM (SELECT doc_id, w,
+                             unnest(generate_series(1, greatest(len(w)-4, 1))) AS i
+                      FROM toks)),
+            dup AS (SELECT g FROM spans GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+            per AS (SELECT doc_id, count(*) AS n,
+                           sum(CASE WHEN g IN (SELECT g FROM dup) THEN 1 ELSE 0 END) AS nd
+                    FROM spans GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(n, 0) AS INT) AS n_spans,
+                   CAST(coalesce(nd, 0) AS INT) AS n_dup_spans,
+                   round(CAST(nd AS DOUBLE) / n, 6) AS dup_span_ratio
+            FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id
         """,
         # CUBE with GROUPING() bit layout matching Spark grouping_id():
         # for cube(a, b), gid = GROUPING(a)*2 + GROUPING(b)

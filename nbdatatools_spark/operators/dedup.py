@@ -777,3 +777,69 @@ def paragraph_dedup(
         .join(rebuilt.withColumnRenamed("__id", id_col), id_col, "left")
         .select(*others, F.coalesce("__text", F.lit("")).alias(text_col))
     )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 13,
+    min_dup_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicated-span accounting — the per-document signal behind
+    exact-substring dedup (Lee et al. 2022, arXiv:2107.06499: training-set
+    substrings repeated verbatim across documents should be removed; the
+    full suffix-array span-splice is a single-node algorithm, so the
+    engine computes the distributed token-shingle form): for every
+    document, the count and fraction of its ``span_tokens``-token windows
+    that also occur verbatim in >= ``min_dup_docs`` distinct documents.
+    Downstream, rows with high ``dup_span_ratio`` are dropped or sent to
+    span-splicing.
+
+    Plan: explode token shingles, md5 map-side (spans never shuffle as
+    strings — 16-byte digests only), distinct-doc counts per digest
+    (map-side combinable), join the over-threshold digest set back (AQE
+    decides broadcast vs shuffle), one groupBy(doc). All keyed, nothing
+    all-pairs.
+
+    Returns ``(id_col, n_spans INT, n_dup_spans INT, dup_span_ratio
+    DOUBLE)`` — ratio rounded 6dp, NULL for span-less (empty) docs.
+    Documents shorter than ``span_tokens`` contribute one short span
+    (word_shingles semantics), so near-empty exact duplicates still
+    register."""
+    if span_tokens < 1:
+        raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
+    if min_dup_docs < 2:
+        raise ValueError(f"min_dup_docs must be >= 2, got {min_dup_docs}")
+    from nbdatatools_spark.functions.text import word_shingles
+
+    rows = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_shingles(F.col(text_col), span_tokens)).alias("__g"),
+    ).select("__id", F.md5("__g").alias("__h"))
+    dup = (
+        rows.groupBy("__h")
+        .agg(F.countDistinct("__id").alias("__docs"))
+        .where(F.col("__docs") >= min_dup_docs)
+        .select("__h", F.lit(1).alias("__dup"))
+    )
+    per_doc = (
+        rows.join(dup, "__h", "left")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.count("__dup").alias("__nd"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, F.col(id_col) == F.col("__id"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__n"), F.lit(0)).cast("int").alias("n_spans"),
+            F.coalesce(F.col("__nd"), F.lit(0)).cast("int").alias("n_dup_spans"),
+            F.round(
+                F.col("__nd").cast("double") / F.col("__n"), 6
+            ).alias("dup_span_ratio"),
+        )
+    )

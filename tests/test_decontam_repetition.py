@@ -216,3 +216,52 @@ def test_c4_keep_line_arity_trap_documented(spark):
     ).collect()[0]["n"]
     assert wrapped == 12
     assert bare == 8  # lines 8..11 dropped: index > 7 words — the trap
+
+
+def test_duplicate_span_stats_tiny(spark):
+    from nbdatatools_spark.operators.dedup import duplicate_span_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),      # shares "a b c" with doc 2
+            (2, "a b c x y"),
+            (3, "p q r s t"),      # unique
+            (4, ""),               # empty -> no spans
+            (5, "a b"),            # short: single sub-k span
+            (6, "a b"),            # exact duplicate of 5 -> dup span
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_span_ratio"])
+        for r in duplicate_span_stats(df, span_tokens=3).collect()
+    }
+    # doc1 spans: "a b c","b c d","c d e" -> 1 dup; doc2: "a b c","b c x","c x y"
+    assert out[1] == (3, 1, round(1 / 3, 6))
+    assert out[2] == (3, 1, round(1 / 3, 6))
+    assert out[3] == (3, 0, 0.0)
+    assert out[4] == (0, 0, None)
+    assert out[5] == (1, 1, 1.0)
+    assert out[6] == (1, 1, 1.0)
+
+
+def test_duplicate_span_stats_multiplicity_within_doc_not_dup(spark):
+    from nbdatatools_spark.operators.dedup import duplicate_span_stats
+
+    # span repeats WITHIN one doc only -> not cross-doc duplicated
+    df = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "z z z z")], "doc_id BIGINT, text STRING"
+    )
+    out = {r["doc_id"]: r["n_dup_spans"] for r in
+           duplicate_span_stats(df, span_tokens=3, min_dup_docs=2).collect()}
+    assert out[1] == 0 and out[2] == 0
+
+
+def test_duplicate_span_stats_validates_args(spark):
+    from nbdatatools_spark.operators.dedup import duplicate_span_stats
+
+    df = spark.createDataFrame([(1, "x")], "doc_id BIGINT, text STRING")
+    with pytest.raises(ValueError):
+        duplicate_span_stats(df, span_tokens=0)
+    with pytest.raises(ValueError):
+        duplicate_span_stats(df, min_dup_docs=1)
