@@ -1194,6 +1194,45 @@ def events_range_join(spark, sf_dir):
     )
 
 
+def events_funnel(spark, sf_dir):
+    """Per-user conversion funnel (signup -> first purchase at/after the
+    first signup): one keyed window to attach each user's first signup
+    time, then a filtered keyed min — both stages hash-partition on
+    user_id, so AQE collapses them into one shuffle. Latency is exact
+    integer micros (no float time math)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    with_signup = ev.withColumn(
+        "signup_ts",
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w),
+    )
+    return (
+        with_signup.groupBy("user_id")
+        .agg(
+            F.min("signup_ts").alias("signup_ts"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & F.col("signup_ts").isNotNull()
+                    & (F.col("ts") >= F.col("signup_ts")),
+                    F.col("ts"),
+                )
+            ).alias("first_purchase_ts"),
+        )
+        .select(
+            "user_id",
+            "signup_ts",
+            "first_purchase_ts",
+            F.col("first_purchase_ts").isNotNull().alias("converted"),
+            (
+                F.unix_micros(F.col("first_purchase_ts").cast("timestamp"))
+                - F.unix_micros(F.col("signup_ts").cast("timestamp"))
+            ).alias("micros_to_convert"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def orders_priority_cube(spark, sf_dir):
     """Multidimensional aggregate via native CUBE (df.cube -> Expand +
     one hash aggregate — Catalyst's map-side-combined grouping-sets plan,
@@ -1264,6 +1303,18 @@ def doc_dup_spans(spark, sf_dir):
     return duplicate_span_stats(docs, span_tokens=5, min_dup_docs=2).orderBy(
         "doc_id"
     )
+
+
+def corpus_vocab_coverage(spark, sf_dir):
+    """Zipf coverage thresholds (analysis.py::vocab_coverage): smallest
+    top-k vocabulary covering 50/90/99% of token occurrences. Two-phase
+    partition-offset cumsum over (count DESC, token ASC) — no
+    single-reducer window over the vocabulary; all-integer cum/total
+    with one rounded double division keeps the oracle hash-exact."""
+    from nbdatatools_spark.operators.analysis import vocab_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_coverage(docs, (0.5, 0.9, 0.99))
 
 
 def doc_paragraph_dedup(spark, sf_dir):
@@ -1398,6 +1449,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bigram_lm": doc_bigram_lm,
         "orders_priority_cube": orders_priority_cube,
         "doc_dup_spans": doc_dup_spans,
+        "events_funnel": events_funnel,
+        "corpus_vocab_coverage": corpus_vocab_coverage,
         # -- actively-evolving set --
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -1422,12 +1475,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_dot_topk": knn_dot_topk,
         "hybrid_filtered_knn": hybrid_filtered_knn,
         "clean_embeddings": clean_embeddings,
-        "doc_exact_dedup": doc_exact_dedup,
-        "doc_token_stats": doc_token_stats,
         # position 50 — last recorded slot; see docstring.
         "fit_embeddings_model": fit_embeddings_model,
         # -- long-stable tail (past the 50-entry recording window; all
         #    hash-green in CORRECTNESS_r03) --
+        "doc_exact_dedup": doc_exact_dedup,
+        "doc_token_stats": doc_token_stats,
         "doc_subword_tokens": doc_subword_tokens,
         "doc_quality": doc_quality,
         "doc_lang_stats": doc_lang_stats,
@@ -2430,6 +2483,47 @@ def oracle_sql() -> dict[str, str]:
             FROM h JOIN r USING (source)
             WHERE hv < rate * 4503599627370496.0
             ORDER BY doc_id
+        """,
+        # Zipf coverage: same tokenization as corpus_vocab_topk; rank and
+        # running sum over (count DESC, token ASC)
+        "corpus_vocab_coverage": """
+            WITH t AS (
+                SELECT unnest(string_split(
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                           ' ')) AS token
+                FROM documents),
+            c AS (SELECT token, count(*) AS n FROM t
+                  WHERE length(token) > 0 GROUP BY token),
+            tot AS (SELECT sum(n) AS total FROM c),
+            r AS (SELECT row_number() OVER (ORDER BY n DESC, token ASC) AS rnk,
+                         sum(n) OVER (ORDER BY n DESC, token ASC
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM c),
+            ps AS (SELECT * FROM (VALUES (CAST(0.5 AS DOUBLE)),
+                                         (CAST(0.9 AS DOUBLE)),
+                                         (CAST(0.99 AS DOUBLE))) AS v(p)),
+            sel AS (SELECT p, min(rnk) AS k
+                    FROM ps, r, tot WHERE cum >= p * total GROUP BY p)
+            SELECT sel.p AS threshold, sel.k AS k_tokens,
+                   round(CAST(r.cum AS DOUBLE) / tot.total, 6) AS coverage
+            FROM sel JOIN r ON r.rnk = sel.k, tot
+            ORDER BY threshold
+        """,
+        # signup -> first-purchase funnel; latency in exact integer micros
+        "events_funnel": """
+            WITH s AS (SELECT user_id,
+                              min(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts
+                       FROM events GROUP BY user_id),
+            p AS (SELECT e.user_id, min(e.ts) AS first_purchase_ts
+                  FROM events e JOIN s USING (user_id)
+                  WHERE e.event_type = 'purchase'
+                    AND s.signup_ts IS NOT NULL AND e.ts >= s.signup_ts
+                  GROUP BY e.user_id)
+            SELECT s.user_id, s.signup_ts, p.first_purchase_ts,
+                   p.first_purchase_ts IS NOT NULL AS converted,
+                   epoch_us(p.first_purchase_ts) - epoch_us(s.signup_ts)
+                     AS micros_to_convert
+            FROM s LEFT JOIN p USING (user_id) ORDER BY user_id
         """,
         # duplicated 5-token spans: same shingling as word_shingles
         # (normalize, space-split, starts 1..max(len-4,1))

@@ -276,6 +276,104 @@ def vocab_topk(
     )
 
 
+def vocab_coverage(
+    df: DataFrame,
+    thresholds: tuple = (0.5, 0.9, 0.99),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Zipf coverage curve: for each threshold p, the smallest k such that
+    the top-k tokens (by occurrence count, token-asc tie-break) cover >= p
+    of all token occurrences — the vocabulary-sizing question for
+    tokenizer/vocab design ("how big a vocab covers 99% of the corpus?").
+
+    Plan: one token-count groupBy (map-side combinable), then a global
+    running sum over (count DESC, token ASC) in the two-phase
+    partition-offset shape (windows.global_row_index's pattern: partition-
+    local cumsum + P-row offset table joined back — no single-reducer
+    window over the vocabulary). Total occurrences is one driver scalar
+    (bounded collect). Threshold selection is three conditional
+    min(struct) aggregates in ONE pass — no crossJoin.
+
+    Returns ``(threshold DOUBLE, k_tokens BIGINT, coverage DOUBLE)`` —
+    coverage is the exact covered-occurrence share at that k, rounded 6dp.
+    """
+    from nbdatatools_spark.functions.text import normalize_text, tokens
+
+    if not thresholds or any(not 0.0 < p <= 1.0 for p in thresholds):
+        raise ValueError(f"thresholds must be in (0, 1], got {thresholds}")
+    counts = (
+        df.select(F.explode(tokens(normalize_text(F.col(text_col)))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    order = [F.col("n").desc(), F.col("token").asc()]
+    n_part = max(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")), 1
+    )
+    local = (
+        counts.repartitionByRange(n_part, *order)
+        .sortWithinPartitions(*order)
+        .select(
+            "*",
+            F.spark_partition_id().alias("__pid"),
+            (F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))).alias(
+                "__local"
+            ),
+        )
+    )
+    wl = (
+        Window.partitionBy("__pid")
+        .orderBy("__local")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = local.select(
+        "__pid", "__local", "n", F.sum("n").over(wl).alias("__lcum")
+    )
+    woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        local.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__cnt"), F.sum("n").alias("__sum"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__cnt").over(woff), F.lit(0)).alias("__cnt_off"),
+            F.coalesce(F.sum("__sum").over(woff), F.lit(0)).alias("__sum_off"),
+        )
+    )
+    ranked = local.join(offs, "__pid").select(
+        (F.col("__local") + F.col("__cnt_off") + 1).alias("rnk"),
+        (F.col("__lcum") + F.col("__sum_off")).alias("cum"),
+    )
+    total = counts.agg(F.sum("n")).collect()[0][0] or 0
+    picks = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.lit(float(p)) * F.lit(int(total)),
+                F.struct(F.col("rnk"), F.col("cum")),
+            )
+        ).alias(f"__p{i}")
+        for i, p in enumerate(thresholds)
+    ]
+    one = ranked.agg(*picks)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(float(p)).alias("threshold"),
+                F.col(f"__p{i}.rnk").alias("k_tokens"),
+                F.round(
+                    F.col(f"__p{i}.cum").cast("double") / F.lit(int(total)), 6
+                ).alias("coverage"),
+            )
+            for i, p in enumerate(thresholds)
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("r"))
+        .select("r.threshold", "r.k_tokens", "r.coverage")
+        .orderBy("threshold")
+    )
+
+
 def exact_percent_rank(
     df: DataFrame,
     order_cols: list,

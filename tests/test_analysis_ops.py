@@ -296,3 +296,38 @@ def test_minhash_dedup_transitive_single_survivor(spark):
                   minhash_dedup(df, threshold=0.55, transitive=True).collect()}
     assert kept_onehop == {1, 2, 4}      # the one-hop gap: two survivors
     assert kept_trans == {1, 4}          # exactly one survivor of the cluster
+
+
+def test_vocab_coverage_closed_form(spark):
+    from nbdatatools_spark.operators.analysis import vocab_coverage
+
+    df = spark.createDataFrame(
+        [(1, "a a a a b b c d"), (2, "a b e")], "doc_id BIGINT, text STRING"
+    )
+    # counts a:5 b:3 c:1 d:1 e:1 (total 11); cum 5,8,9,10,11
+    out = {r["threshold"]: (r["k_tokens"], r["coverage"])
+           for r in vocab_coverage(df, (0.5, 0.9, 1.0)).collect()}
+    assert out[0.5] == (2, round(8 / 11, 6))
+    assert out[0.9] == (4, round(10 / 11, 6))
+    assert out[1.0] == (5, 1.0)
+
+
+def test_vocab_coverage_partition_invariant(spark, sf_dir):
+    import __spark_entry__ as e
+    from nbdatatools_spark.operators.analysis import vocab_coverage
+
+    docs = e._t(spark, sf_dir, "documents")
+    a = vocab_coverage(docs).collect()
+    b = vocab_coverage(docs.repartition(7)).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_vocab_coverage_validates_thresholds(spark):
+    from nbdatatools_spark.operators.analysis import vocab_coverage
+
+    df = spark.createDataFrame([(1, "x")], "doc_id BIGINT, text STRING")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        vocab_coverage(df, (0.0, 0.5))
+    with _pytest.raises(ValueError):
+        vocab_coverage(df, ())
