@@ -1305,6 +1305,23 @@ def doc_dup_spans(spark, sf_dir):
     )
 
 
+def embedding_covariance(spark, sf_dir):
+    """Pairwise covariance of the first 16 embedding dims
+    (analysis.py::covariance_matrix): per-row upper-triangle product
+    expansion -> one map-side-combinable groupBy — 136 uniform keys, no
+    joins. Population formula avg(xy)-avg(x)avg(y), rounded 6dp (the
+    dim_moments cross-engine convention)."""
+    from nbdatatools_spark.operators.analysis import covariance_matrix
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = covariance_matrix(emb, "embedding", dims=16)
+    # + 0.0 collapses IEEE -0.0 to +0.0 on both engines (near-zero
+    # covariances round to signed zero differently otherwise)
+    return out.select(
+        "i", "j", "n", (F.round(F.col("cov"), 6) + F.lit(0.0)).alias("cov")
+    ).orderBy("i", "j")
+
+
 def corpus_vocab_coverage(spark, sf_dir):
     """Zipf coverage thresholds (analysis.py::vocab_coverage): smallest
     top-k vocabulary covering 50/90/99% of token occurrences. Two-phase
@@ -1451,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_spans": doc_dup_spans,
         "events_funnel": events_funnel,
         "corpus_vocab_coverage": corpus_vocab_coverage,
+        "embedding_covariance": embedding_covariance,
         # -- actively-evolving set --
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -1474,11 +1492,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_euclidean_topk": knn_euclidean_topk,
         "knn_dot_topk": knn_dot_topk,
         "hybrid_filtered_knn": hybrid_filtered_knn,
-        "clean_embeddings": clean_embeddings,
         # position 50 — last recorded slot; see docstring.
         "fit_embeddings_model": fit_embeddings_model,
         # -- long-stable tail (past the 50-entry recording window; all
         #    hash-green in CORRECTNESS_r03) --
+        "clean_embeddings": clean_embeddings,
         "doc_exact_dedup": doc_exact_dedup,
         "doc_token_stats": doc_token_stats,
         "doc_subword_tokens": doc_subword_tokens,
@@ -2483,6 +2501,21 @@ def oracle_sql() -> dict[str, str]:
             FROM h JOIN r USING (source)
             WHERE hv < rate * 4503599627370496.0
             ORDER BY doc_id
+        """,
+        # pairwise covariance, population formula, same avg-then-round
+        # convention as dim_moments
+        "embedding_covariance": """
+            WITH p AS (
+                SELECT i.i AS i, j.j AS j,
+                       CAST(embedding[i.i + 1] AS DOUBLE) AS x,
+                       CAST(embedding[j.j + 1] AS DOUBLE) AS y
+                FROM embeddings,
+                     generate_series(0, 15) AS i(i),
+                     generate_series(0, 15) AS j(j)
+                WHERE j.j >= i.i)
+            SELECT i, j, count(*) AS n,
+                   round(avg(x * y) - avg(x) * avg(y), 6) + 0.0 AS cov
+            FROM p GROUP BY i, j ORDER BY i, j
         """,
         # Zipf coverage: same tokenization as corpus_vocab_topk; rank and
         # running sum over (count DESC, token ASC)

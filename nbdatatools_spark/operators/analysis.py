@@ -276,6 +276,55 @@ def vocab_topk(
     )
 
 
+def covariance_matrix(
+    df: DataFrame, vec: str = "vector", dims: int | None = None
+) -> DataFrame:
+    """Pairwise population covariance of the first ``dims`` vector
+    dimensions (default: all) — the input to PCA / whitening / redundancy
+    analysis over an embedding column.
+
+    Plan: each row emits its upper-triangle (i <= j) products as an
+    inline-generated struct array (pure Catalyst transform/flatten, no
+    UDF), exploded into ONE groupBy((i, j)) — d(d+1)/2 perfectly uniform
+    keys, fully map-side combinable: the shuffle payload is d(d+1)/2
+    partial aggregates per task regardless of row count. No joins, no
+    second pass. (For d in the hundreds, prefer a blocked numpy/Arrow
+    gramian like clustering's GEMM kernel — the per-row pair expansion is
+    CPU-bound at d^2/2 entries; at d <= ~64 the Catalyst path wins on
+    simplicity and shuffle shape.)
+
+    cov = avg(xy) - avg(x) avg(y) (population, matching dim_moments'
+    population variance on the diagonal). Returns ``(i, j, n, cov)``.
+    """
+    first = df.select(F.size(vec).alias("d")).first()
+    d = int(first["d"]) if first is not None else 0
+    if dims is not None:
+        d = min(d, int(dims))
+    if d < 1:
+        raise ValueError("covariance_matrix needs at least one dimension")
+    hi = d - 1
+    pairs = F.expr(
+        f"flatten(transform(sequence(0, {hi}), i -> "
+        f"transform(sequence(i, {hi}), j -> struct("
+        f"i AS i, j AS j, "
+        f"CAST({vec}[i] AS DOUBLE) AS x, CAST({vec}[j] AS DOUBLE) AS y))))"
+    )
+    ex = df.select(F.explode(pairs).alias("p")).select(
+        F.col("p.i").alias("i"),
+        F.col("p.j").alias("j"),
+        F.col("p.x").alias("x"),
+        F.col("p.y").alias("y"),
+    )
+    return (
+        ex.groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.avg(F.col("x") * F.col("y")) - F.avg("x") * F.avg("y")).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
+
+
 def vocab_coverage(
     df: DataFrame,
     thresholds: tuple = (0.5, 0.9, 0.99),

@@ -331,3 +331,38 @@ def test_vocab_coverage_validates_thresholds(spark):
         vocab_coverage(df, (0.0, 0.5))
     with _pytest.raises(ValueError):
         vocab_coverage(df, ())
+
+
+def test_covariance_matrix_vs_numpy(spark):
+    import numpy as np
+    from nbdatatools_spark.operators.analysis import covariance_matrix
+
+    rng = np.random.default_rng(7)
+    data = rng.normal(size=(300, 6)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(data)],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+    got = {(r["i"], r["j"]): r["cov"]
+           for r in covariance_matrix(df, "embedding").collect()}
+    want = np.cov(data.astype("float64").T, bias=True)
+    assert len(got) == 21  # 6*7/2 upper triangle
+    for (i, j), v in got.items():
+        assert v == pytest.approx(want[i, j], abs=1e-9)
+    # diagonal equals dim_moments population variance
+    from nbdatatools_spark.operators.analysis import dim_moments
+    var = {r["dim"]: r["variance"]
+           for r in dim_moments(df, "embedding").collect()}
+    for i in range(6):
+        assert got[(i, i)] == pytest.approx(var[i], abs=1e-9)
+
+
+def test_covariance_matrix_dims_cap_and_validation(spark):
+    from nbdatatools_spark.operators.analysis import covariance_matrix
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0])], "vec_id BIGINT, embedding ARRAY<FLOAT>"
+    )
+    assert covariance_matrix(df, "embedding", dims=2).count() == 3
+    with pytest.raises(ValueError):
+        covariance_matrix(df.where("vec_id < 0"), "embedding")
