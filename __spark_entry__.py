@@ -1322,6 +1322,29 @@ def embedding_covariance(spark, sf_dir):
     ).orderBy("i", "j")
 
 
+def embedding_pca(spark, sf_dir):
+    """Top-2 PCA over the first 16 embedding dims
+    (analysis.py::pca_top_components + pca_project): distributed
+    covariance -> driver eigh on d^2 scalars (bounded collect; sign-
+    normalized for determinism) -> literal-array Catalyst projection (no
+    shuffle, no UDF). Eigendecomposition is not SQL-expressible, so this
+    entry has no oracle_sql (driver records the weaker rows-only check;
+    tests/test_analysis_ops.py carries the numpy differential)."""
+    from nbdatatools_spark.operators.analysis import pca_project, pca_top_components
+
+    emb = _t(spark, sf_dir, "embeddings")
+    _, comps = pca_top_components(emb, "embedding", k=2, dims=16)
+    return (
+        pca_project(emb, comps, "embedding")
+        .select(
+            "vec_id",
+            F.round("pc0", 6).alias("pc0"),
+            F.round("pc1", 6).alias("pc1"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def corpus_vocab_coverage(spark, sf_dir):
     """Zipf coverage thresholds (analysis.py::vocab_coverage): smallest
     top-k vocabulary covering 50/90/99% of token occurrences. Two-phase
@@ -1469,6 +1492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": events_funnel,
         "corpus_vocab_coverage": corpus_vocab_coverage,
         "embedding_covariance": embedding_covariance,
+        "embedding_pca": embedding_pca,
         # -- actively-evolving set --
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -1491,11 +1515,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine_topk": knn_cosine_topk,
         "knn_euclidean_topk": knn_euclidean_topk,
         "knn_dot_topk": knn_dot_topk,
-        "hybrid_filtered_knn": hybrid_filtered_knn,
         # position 50 — last recorded slot; see docstring.
         "fit_embeddings_model": fit_embeddings_model,
         # -- long-stable tail (past the 50-entry recording window; all
         #    hash-green in CORRECTNESS_r03) --
+        "hybrid_filtered_knn": hybrid_filtered_knn,
         "clean_embeddings": clean_embeddings,
         "doc_exact_dedup": doc_exact_dedup,
         "doc_token_stats": doc_token_stats,

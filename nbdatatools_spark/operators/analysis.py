@@ -325,6 +325,69 @@ def covariance_matrix(
     )
 
 
+def pca_top_components(
+    df: DataFrame, vec: str = "vector", k: int = 2, dims: int | None = None
+):
+    """Top-k principal components of a vector column: ONE distributed
+    pass (covariance_matrix — map-side-combined d(d+1)/2 partial sums),
+    then an eigendecomposition of the d x d matrix on the driver. The
+    driver step is O(d^3) on d^2 SCALARS — bounded by construction
+    (dimensionality, not row count), the same legitimate-collect shape as
+    fitting's moment sketches; rows never leave the executors.
+
+    Sign convention: each eigenvector is flipped so its largest-magnitude
+    coordinate is positive (eigh's sign is otherwise arbitrary), making
+    results deterministic across BLAS builds.
+
+    Returns ``(eigenvalues, components)``: list[float] (descending) and
+    list[list[float]] (row per component).
+    """
+    import numpy as np
+
+    cov_rows = covariance_matrix(df, vec, dims=dims).collect()
+    d = max(r["j"] for r in cov_rows) + 1
+    if not 1 <= k <= d:
+        raise ValueError(f"k must be in [1, {d}], got {k}")
+    m = np.zeros((d, d))
+    for r in cov_rows:
+        m[r["i"], r["j"]] = m[r["j"], r["i"]] = r["cov"]
+    vals, vecs = np.linalg.eigh(m)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for idx in order:
+        v = vecs[:, idx]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+    return [float(vals[i]) for i in order], comps
+
+
+def pca_project(
+    df: DataFrame,
+    components: list,
+    vec: str = "vector",
+    out_prefix: str = "pc",
+) -> DataFrame:
+    """Project vectors onto fixed components (from pca_top_components or
+    any external model): one literal-array dot product per component —
+    pure Catalyst ``zip_with`` + ``aggregate``, whole-stage codegen, no
+    shuffle, no UDF. Appends ``{out_prefix}0..{k-1}`` DOUBLE columns."""
+    out = df
+    for c_idx, comp in enumerate(components):
+        lit = F.array(*[F.lit(float(x)) for x in comp])
+        dot = F.aggregate(
+            F.zip_with(
+                F.slice(F.col(vec), 1, len(comp)),
+                lit,
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out = out.withColumn(f"{out_prefix}{c_idx}", dot)
+    return out
+
+
 def vocab_coverage(
     df: DataFrame,
     thresholds: tuple = (0.5, 0.9, 0.99),

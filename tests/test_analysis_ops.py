@@ -366,3 +366,64 @@ def test_covariance_matrix_dims_cap_and_validation(spark):
     assert covariance_matrix(df, "embedding", dims=2).count() == 3
     with pytest.raises(ValueError):
         covariance_matrix(df.where("vec_id < 0"), "embedding")
+
+
+def test_pca_matches_numpy(spark):
+    import numpy as np
+    from nbdatatools_spark.operators.analysis import (
+        pca_project,
+        pca_top_components,
+    )
+
+    rng = np.random.default_rng(11)
+    # anisotropic cloud: dominant axis along (1, 1, 0)/sqrt(2)
+    base = rng.normal(size=(400, 3)) * np.array([3.0, 0.5, 0.2])
+    rot = np.array([[2**-0.5, 2**-0.5, 0], [-(2**-0.5), 2**-0.5, 0], [0, 0, 1.0]])
+    data = (base @ rot).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(data)],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+    vals, comps = pca_top_components(df, "embedding", k=2)
+    x = data.astype("float64")
+    cov = np.cov(x.T, bias=True)
+    want_vals = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    assert vals[0] == pytest.approx(want_vals[0], rel=1e-4)
+    assert vals[1] == pytest.approx(want_vals[1], rel=1e-4)
+    assert vals[0] > vals[1] > 0
+    # PC1 aligns with the planted dominant axis
+    pc1 = np.array(comps[0])
+    planted = np.array([2**-0.5, 2**-0.5, 0.0])
+    assert abs(float(pc1 @ planted)) > 0.99
+    # projection matches numpy dot within float32-input tolerance
+    proj = {r["vec_id"]: r["pc0"]
+            for r in pca_project(df, comps, "embedding").collect()}
+    want_proj = x @ pc1
+    for i in range(0, 400, 37):
+        assert proj[i] == pytest.approx(float(want_proj[i]), abs=1e-4)
+
+
+def test_pca_project_no_shuffle_no_udf(spark):
+    from nbdatatools_spark.operators.analysis import pca_project
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id BIGINT, embedding ARRAY<FLOAT>"
+    )
+    plan = (
+        pca_project(df, [[1.0, 0.0], [0.0, 1.0]], "embedding")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pca_validates_k(spark):
+    from nbdatatools_spark.operators.analysis import pca_top_components
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [2.0, 1.0])], "vec_id BIGINT, embedding ARRAY<FLOAT>"
+    )
+    with pytest.raises(ValueError):
+        pca_top_components(df, "embedding", k=5)
