@@ -41,7 +41,12 @@ HEADLINE = [
     "events_sessionize",
     "events_user_stats",
     "events_asof_join",
+    "events_range_join",
     "doc_c4_filters",
+    "doc_bigram_lm",
+    "doc_dup_spans",
+    "doc_domain_cap",
+    "embedding_covariance",
     "verify_profiles",
     "stream_ingest_available_now",
 ]
