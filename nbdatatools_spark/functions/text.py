@@ -168,16 +168,24 @@ def char_ngrams(col: Column, n: int = 5) -> Column:
 
 
 def word_shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (arrays of n consecutive tokens joined by space)."""
-    toks = tokens(normalize_text(col))
-    cnt = F.size(toks)
-    starts = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
-    return F.when(cnt == 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            starts,
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    """Word n-gram shingles (arrays of n consecutive tokens joined by space).
+
+    The token array is let-bound so the normalize+split expression runs
+    ONCE per row — without the binding, Catalyst inlines it into the
+    transform lambda and re-runs the regex per shingle (the _let trap;
+    measured ~12x slower on duplicate_span_stats at sf0.1)."""
+
+    def body(toks):
+        cnt = F.size(toks)
+        starts = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+        return F.when(cnt == 0, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                starts,
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
         )
-    )
+
+    return _let(tokens(normalize_text(col)), body)
 
 
 # --- language ID (n-gram heuristic) -------------------------------------

@@ -74,17 +74,28 @@ def bigram_lm_score(
     vocab_size = uni.count()  # bounded driver scalar, inlined below
     # bigram digests per doc: (doc, md5(bigram), md5(first token)).
     # Space-joined pairs are collision-free (tokens are whitespace-split).
-    # The size guard matters: Spark's sequence(2, n) DESCENDS for n < 2
-    # instead of returning empty.
+    # The token array is let-bound (functions.text._let) so the tokenize
+    # split runs once per row, not once per bigram after Catalyst inlines
+    # the projection. The size guard matters: Spark's sequence(2, n)
+    # DESCENDS for n < 2 instead of returning empty.
     def _bigrams(df: DataFrame) -> DataFrame:
-        t = F.col("__t")
-        pairs = F.when(
-            F.size(t) >= 2,
-            F.expr(
-                "transform(sequence(2, size(__t)), "
-                "i -> struct(concat(__t[i-2], ' ', __t[i-1]) AS bg, __t[i-2] AS w1))"
-            ),
-        ).otherwise(F.expr("CAST(array() AS array<struct<bg:string,w1:string>>)"))
+        from nbdatatools_spark.functions.text import _let
+
+        def pairs_of(t):
+            return F.when(
+                F.size(t) >= 2,
+                F.transform(
+                    F.sequence(F.lit(2), F.size(t)),
+                    lambda i: F.struct(
+                        F.concat(
+                            F.element_at(t, i - 1), F.lit(" "), F.element_at(t, i)
+                        ).alias("bg"),
+                        F.element_at(t, i - 1).alias("w1"),
+                    ),
+                ),
+            ).otherwise(F.expr("CAST(array() AS array<struct<bg:string,w1:string>>)"))
+
+        pairs = _let(F.col("__t"), pairs_of)
         return df.select("__id", F.explode(pairs).alias("__p")).select(
             "__id",
             F.md5(F.col("__p.bg")).alias("__h2"),
