@@ -2690,7 +2690,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_paragraph_dedup": """
             WITH h AS (
                 SELECT doc_id, text,
-                       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f,
+                       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f,
                        length(trim(text)) > 0 AS nonempty
                 FROM documents),
             dup AS (
