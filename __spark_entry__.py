@@ -1150,6 +1150,26 @@ def doc_pack_sequences(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def doc_pack_bucketed(spark, sf_dir):
+    """Length-bucketed (curriculum) packing
+    (packing.py::pack_sequences_bucketed): an independent token stream per
+    length bucket (n_chars div 256), keyed two-phase cumsum — range
+    partitioning splits big buckets across tasks instead of serializing
+    them through one window reducer. All-integer; the oracle's per-bucket
+    window cumsum replicates it exactly."""
+    from nbdatatools_spark.operators.packing import pack_sequences_bucketed
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").alias("n_tokens"),
+        F.expr("n_chars div 256").alias("bucket"),
+    )
+    out = pack_sequences_bucketed(docs, 2048, bucket_col="bucket")
+    return out.select(
+        "doc_id", "bucket", "start_tok", "seq_first", "seq_last", "seq_offset"
+    ).orderBy("doc_id")
+
+
 def doc_mixture_sample(spark, sf_dir):
     """Domain-mixture rebalancing (operators/sampling.py): closed-form
     per-source keep rates for a skewed target (src0 -> 50% of the corpus,
@@ -1493,6 +1513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_vocab_coverage": corpus_vocab_coverage,
         "embedding_covariance": embedding_covariance,
         "embedding_pca": embedding_pca,
+        "doc_pack_bucketed": doc_pack_bucketed,
         # -- actively-evolving set --
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -1514,11 +1535,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_norms": vector_norms,
         "knn_cosine_topk": knn_cosine_topk,
         "knn_euclidean_topk": knn_euclidean_topk,
-        "knn_dot_topk": knn_dot_topk,
         # position 50 — last recorded slot; see docstring.
         "fit_embeddings_model": fit_embeddings_model,
         # -- long-stable tail (past the 50-entry recording window; all
         #    hash-green in CORRECTNESS_r03) --
+        "knn_dot_topk": knn_dot_topk,
         "hybrid_filtered_knn": hybrid_filtered_knn,
         "clean_embeddings": clean_embeddings,
         "doc_exact_dedup": doc_exact_dedup,
@@ -2499,6 +2520,22 @@ def oracle_sql() -> dict[str, str]:
                             0) AS BIGINT) AS start_tok
                 FROM documents)
             SELECT doc_id, start_tok,
+                   start_tok // 2048 AS seq_first,
+                   CASE WHEN n_chars > 0 THEN (start_tok + n_chars - 1) // 2048
+                        ELSE start_tok // 2048 END AS seq_last,
+                   start_tok % 2048 AS seq_offset
+            FROM c ORDER BY doc_id
+        """,
+        # bucketed packing: same integer math, per-bucket window cumsum
+        "doc_pack_bucketed": """
+            WITH c AS (
+                SELECT doc_id, n_chars, n_chars // 256 AS bucket,
+                       CAST(COALESCE(sum(n_chars) OVER (PARTITION BY n_chars // 256
+                                ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            0) AS BIGINT) AS start_tok
+                FROM documents)
+            SELECT doc_id, bucket, start_tok,
                    start_tok // 2048 AS seq_first,
                    CASE WHEN n_chars > 0 THEN (start_tok + n_chars - 1) // 2048
                         ELSE start_tok // 2048 END AS seq_last,

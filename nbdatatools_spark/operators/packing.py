@@ -98,3 +98,105 @@ def pack_sequences(
         .withColumn(f"{seq_prefix}_offset", F.col(start_col) % max_tokens)
         .drop("__pid", "__local_start", "__off")
     )
+
+
+def pack_sequences_bucketed(
+    df: DataFrame,
+    max_tokens: int,
+    bucket_col: str,
+    token_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    start_col: str = "start_tok",
+    seq_prefix: str = "seq",
+) -> DataFrame:
+    """Length-bucketed (curriculum) packing: an independent
+    concat-then-chunk token stream PER ``bucket_col`` value — the padding-
+    waste reduction of T5/fairseq length-bucketed batching (similar-length
+    docs pack together, so sequences rarely straddle a short doc against a
+    long one). Output columns match :func:`pack_sequences`, with
+    ``start_tok`` / ``{seq_prefix}_*`` relative to the document's OWN
+    bucket stream.
+
+    Scale shape: same two-phase partition-offset cumsum as
+    :func:`pack_sequences`, keyed by bucket — data is range-partitioned on
+    (bucket, order) so each bucket is contiguous, the Arrow-batched local
+    pass resets its accumulator at bucket boundaries (vectorized groupwise
+    cumsum, no per-row Python), and the offset table is per (partition,
+    bucket) — P x B_per_partition rows, still tiny. A giant bucket spreads
+    over MANY partitions (range partitioning splits it), unlike a naive
+    ``Window.partitionBy(bucket)`` which would serialize it through one
+    reducer.
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    import numpy as np
+
+    n_part = max(int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")), 1)
+    d = (
+        df.repartitionByRange(n_part, F.col(bucket_col), F.col(order_col))
+        .sortWithinPartitions(bucket_col, order_col)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    out_schema = StructType(list(d.schema) + [StructField("__local_start", LongType())])
+    tok, bkt = token_col, bucket_col
+
+    def local_cumsum(batches):
+        run = 0  # running token count of the open bucket
+        prev = None  # the open bucket's value (None before any row)
+        for pdf in batches:
+            t = pdf[tok].to_numpy()
+            b = pdf[bkt].to_numpy()
+            n = len(t)
+            if n == 0:
+                yield pdf.assign(__local_start=np.array([], dtype=np.int64))
+                continue
+            cs = t.cumsum() - t  # exclusive cumsum over the batch
+            # first row index of each bucket group within the batch
+            firsts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+            sizes = np.diff(np.r_[firsts, n])
+            starts = cs - np.repeat(cs[firsts], sizes)
+            if prev is not None and b[0] == prev:
+                starts[: sizes[0]] += run
+            run = int(starts[n - 1] + t[n - 1])
+            prev = b[n - 1]
+            yield pdf.assign(__local_start=starts.astype(np.int64))
+
+    local = d.mapInPandas(local_cumsum, out_schema)
+
+    # per-(pid, bucket) totals -> per-bucket running offsets across
+    # partitions (window over the tiny totals table, keyed by bucket)
+    woff = (
+        Window.partitionBy("__b")
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        d.groupBy(F.col("__pid"), F.col(bkt).alias("__b"))
+        .agg(F.sum(tok).cast("long").alias("__cnt"))
+        .select(
+            F.col("__pid").alias("__opid"),
+            "__b",
+            F.coalesce(F.sum("__cnt").over(woff), F.lit(0)).alias("__off"),
+        )
+    )
+    start = (F.col("__off") + F.col("__local_start")).cast("long")
+    return (
+        local.join(
+            F.broadcast(offs),
+            (F.col("__pid") == F.col("__opid"))
+            & F.col(bkt).eqNullSafe(F.col("__b")),
+        )
+        .drop("__opid")
+        .withColumn(start_col, start)
+        .withColumn(f"{seq_prefix}_first", F.expr(f"{start_col} div {max_tokens}"))
+        .withColumn(
+            f"{seq_prefix}_last",
+            F.expr(
+                f"CASE WHEN {tok} > 0"
+                f" THEN ({start_col} + {tok} - 1) div {max_tokens}"
+                f" ELSE {start_col} div {max_tokens} END"
+            ),
+        )
+        .withColumn(f"{seq_prefix}_offset", F.col(start_col) % max_tokens)
+        .drop("__pid", "__local_start", "__b", "__off")
+    )

@@ -88,3 +88,61 @@ def test_exact_percent_rank_total_order_and_edges(spark):
     one = spark.createDataFrame([(0, 1.0)], "doc_id BIGINT, v DOUBLE")
     r = exact_percent_rank(one, [F.col("v"), F.col("doc_id")]).collect()[0]
     assert (r["rank"], r["percentile"]) == (0, 0.0)
+
+
+def _reference_pack_bucketed(rows, max_tokens):
+    """Driver-side replica: independent stream per bucket."""
+    out, cursors = {}, {}
+    for doc_id, bucket, tok in sorted(rows):
+        cursor = cursors.get(bucket, 0)
+        first = cursor // max_tokens
+        last = (cursor + tok - 1) // max_tokens if tok > 0 else first
+        out[doc_id] = (cursor, first, last, cursor % max_tokens)
+        cursors[bucket] = cursor + tok
+    return out
+
+
+@pytest.mark.parametrize("n_partitions", [1, 5, 32])
+def test_pack_bucketed_matches_reference(spark, n_partitions):
+    from nbdatatools_spark.operators.packing import pack_sequences_bucketed
+
+    # buckets of very different sizes, incl. docs > max_tokens and empties
+    rows = [
+        (i, i % 3, (i * 37) % 600) for i in range(400)
+    ] + [(1000, 7, 0), (1001, 7, 2048)]
+    df = spark.createDataFrame(
+        rows, "doc_id BIGINT, bucket BIGINT, n_tokens BIGINT"
+    ).repartition(n_partitions)
+    got = {
+        r["doc_id"]: (r["start_tok"], r["seq_first"], r["seq_last"], r["seq_offset"])
+        for r in pack_sequences_bucketed(
+            df, 512, bucket_col="bucket"
+        ).collect()
+    }
+    want = _reference_pack_bucketed([(d, b, t) for d, b, t in rows], 512)
+    assert got == want
+
+
+def test_pack_bucketed_matches_global_pack_within_single_bucket(spark):
+    from nbdatatools_spark.operators.packing import pack_sequences_bucketed
+
+    rows = [(i, (i * 13) % 90) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, n_tokens BIGINT")
+    single = df.withColumn("bucket", F.lit(0))
+    a = {
+        r["doc_id"]: (r["start_tok"], r["seq_first"], r["seq_last"], r["seq_offset"])
+        for r in pack_sequences_bucketed(single, 256, "bucket").collect()
+    }
+    b = {
+        r["doc_id"]: (r["start_tok"], r["seq_first"], r["seq_last"], r["seq_offset"])
+        for r in pack_sequences(df, 256).collect()
+    }
+    assert a == b
+
+
+def test_pack_bucketed_rejects_nonpositive_budget(spark):
+    from nbdatatools_spark.operators.packing import pack_sequences_bucketed
+
+    df = spark.createDataFrame([(1, 0, 5)], "doc_id BIGINT, bucket BIGINT, n_tokens BIGINT")
+    with pytest.raises(ValueError):
+        pack_sequences_bucketed(df, 0, "bucket")
