@@ -1214,6 +1214,28 @@ def events_range_join(spark, sf_dir):
     )
 
 
+def events_approx_distinct(spark, sf_dir):
+    """HLL sketch vs exact: per event type, exact distinct users plus a
+    bounded-error check on approx_count_distinct (rsd 0.05). The sketch
+    is the 100-TB path (one pass, register merge — no distinct
+    expansion); the gate pins BOTH the exact count and the claim that the
+    sketch landed within its error bound (HLL merge is commutative, so
+    the boolean is deterministic). Oracle: exact count + literal TRUE."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.approx_count_distinct("user_id", 0.05).alias("__approx"),
+    )
+    ok = (
+        F.abs(F.col("__approx") - F.col("n_users"))
+        / F.col("n_users")
+        <= F.lit(0.05)
+    )
+    return agg.select(
+        "event_type", "n_users", ok.alias("approx_ok")
+    ).orderBy("event_type")
+
+
 def events_funnel(spark, sf_dir):
     """Per-user conversion funnel (signup -> first purchase at/after the
     first signup): one keyed window to attach each user's first signup
@@ -1514,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_covariance": embedding_covariance,
         "embedding_pca": embedding_pca,
         "doc_pack_bucketed": doc_pack_bucketed,
+        "events_approx_distinct": events_approx_distinct,
         # -- actively-evolving set --
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -1534,11 +1557,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_moments_embeddings": dim_moments_embeddings,
         "vector_norms": vector_norms,
         "knn_cosine_topk": knn_cosine_topk,
-        "knn_euclidean_topk": knn_euclidean_topk,
         # position 50 — last recorded slot; see docstring.
         "fit_embeddings_model": fit_embeddings_model,
         # -- long-stable tail (past the 50-entry recording window; all
         #    hash-green in CORRECTNESS_r03) --
+        "knn_euclidean_topk": knn_euclidean_topk,
         "knn_dot_topk": knn_dot_topk,
         "hybrid_filtered_knn": hybrid_filtered_knn,
         "clean_embeddings": clean_embeddings,
@@ -2602,6 +2625,13 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(r.cum AS DOUBLE) / tot.total, 6) AS coverage
             FROM sel JOIN r ON r.rnk = sel.k, tot
             ORDER BY threshold
+        """,
+        # approx-distinct invariant: oracle pins the exact counts and the
+        # within-bound claim; a drifting sketch fails the gate
+        "events_approx_distinct": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users,
+                   TRUE AS approx_ok
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         # signup -> first-purchase funnel; latency in exact integer micros
         "events_funnel": """
