@@ -277,21 +277,28 @@ def vocab_topk(
 
 
 def covariance_matrix(
-    df: DataFrame, vec: str = "vector", dims: int | None = None
+    df: DataFrame, vec: str = "vector", dims: int | None = None, impl: str = "expr"
 ) -> DataFrame:
     """Pairwise population covariance of the first ``dims`` vector
     dimensions (default: all) — the input to PCA / whitening / redundancy
     analysis over an embedding column.
 
-    Plan: each row emits its upper-triangle (i <= j) products as an
-    inline-generated struct array (pure Catalyst transform/flatten, no
-    UDF), exploded into ONE groupBy((i, j)) — d(d+1)/2 perfectly uniform
-    keys, fully map-side combinable: the shuffle payload is d(d+1)/2
-    partial aggregates per task regardless of row count. No joins, no
-    second pass. (For d in the hundreds, prefer a blocked numpy/Arrow
-    gramian like clustering's GEMM kernel — the per-row pair expansion is
-    CPU-bound at d^2/2 entries; at d <= ~64 the Catalyst path wins on
-    simplicity and shuffle shape.)
+    Two implementations, the knn-style expr/gemm duality:
+
+    - ``impl="expr"`` (default, the oracle path): each row emits its
+      upper-triangle (i <= j) products as an inline-generated struct
+      array (pure Catalyst transform/flatten, no UDF), exploded into ONE
+      groupBy((i, j)) — d(d+1)/2 perfectly uniform keys, fully map-side
+      combinable: the shuffle payload is d(d+1)/2 partial aggregates per
+      task regardless of row count. Wins at d <= ~64.
+    - ``impl="gemm"`` (the scale path for d in the hundreds): one Arrow
+      pass computes per-partition gramian partials (n, sum_x, X^T X — a
+      BLAS matmul per batch), the driver combines P partials of d^2
+      scalars (bounded by dimensionality, not rows; the fitting-sketch
+      collect shape). Per-row cost is the d^2 GEMM flop, not d^2/2
+      Catalyst struct allocations — orders of magnitude faster at d=256.
+      Float accumulation order differs from expr, so results agree to
+      ~1e-12 relative, not bitwise; the gate pins the expr path.
 
     cov = avg(xy) - avg(x) avg(y) (population, matching dim_moments'
     population variance on the diagonal). Returns ``(i, j, n, cov)``.
@@ -302,6 +309,10 @@ def covariance_matrix(
         d = min(d, int(dims))
     if d < 1:
         raise ValueError("covariance_matrix needs at least one dimension")
+    if impl == "gemm":
+        return _covariance_gemm(df, vec, d)
+    if impl != "expr":
+        raise ValueError(f"impl must be 'expr' or 'gemm', got {impl!r}")
     hi = d - 1
     pairs = F.expr(
         f"flatten(transform(sequence(0, {hi}), i -> "
@@ -325,8 +336,58 @@ def covariance_matrix(
     )
 
 
+def _covariance_gemm(df: DataFrame, vec: str, d: int) -> DataFrame:
+    """Gramian partials per partition (numpy X^T X over Arrow batches) +
+    driver combine — see covariance_matrix(impl="gemm")."""
+    import numpy as np
+
+    spark = df.sparkSession
+
+    def partials(batches):
+        import pandas as pd
+
+        n = 0
+        s = np.zeros(d, dtype=np.float64)
+        ss = np.zeros((d, d), dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.asarray(
+                [row[:d] for row in pdf["__v"].to_list()], dtype=np.float64
+            )
+            n += m.shape[0]
+            s += m.sum(axis=0)
+            ss += m.T @ m
+        yield pd.DataFrame(
+            {"n": [n], "s": [s.tolist()], "ss": [ss.ravel().tolist()]}
+        )
+
+    rows = (
+        df.select(F.col(vec).alias("__v"))
+        .mapInPandas(partials, "n long, s array<double>, ss array<double>")
+        .collect()
+    )
+    n_tot = sum(r["n"] for r in rows)
+    if n_tot == 0:
+        raise ValueError("covariance_matrix needs at least one row")
+    s_tot = np.zeros(d)
+    ss_tot = np.zeros((d, d))
+    for r in rows:
+        s_tot += np.asarray(r["s"])
+        ss_tot += np.asarray(r["ss"]).reshape(d, d)
+    mean = s_tot / n_tot
+    cov = ss_tot / n_tot - np.outer(mean, mean)
+    out = [
+        (i, j, int(n_tot), float(cov[i, j]))
+        for i in range(d)
+        for j in range(i, d)
+    ]
+    return spark.createDataFrame(out, "i INT, j INT, n BIGINT, cov DOUBLE")
+
+
 def pca_top_components(
-    df: DataFrame, vec: str = "vector", k: int = 2, dims: int | None = None
+    df: DataFrame, vec: str = "vector", k: int = 2, dims: int | None = None,
+    impl: str = "expr",
 ):
     """Top-k principal components of a vector column: ONE distributed
     pass (covariance_matrix — map-side-combined d(d+1)/2 partial sums),
@@ -344,7 +405,7 @@ def pca_top_components(
     """
     import numpy as np
 
-    cov_rows = covariance_matrix(df, vec, dims=dims).collect()
+    cov_rows = covariance_matrix(df, vec, dims=dims, impl=impl).collect()
     d = max(r["j"] for r in cov_rows) + 1
     if not 1 <= k <= d:
         raise ValueError(f"k must be in [1, {d}], got {k}")

@@ -91,6 +91,15 @@ def main() -> None:
     results["predicate_result_indices_1k_sec"] = round(time.time() - t0, 2)
     results["predicate_result_indices_rows"] = n_preds
 
+    # 4b. embedding analytics at full dim: gramian covariance + PCA
+    # (impl="gemm": per-partition X^T X partials, driver eigh on d^2)
+    from nbdatatools_spark.operators.analysis import pca_top_components
+
+    t0 = time.time()
+    vals, _comps = pca_top_components(base, "vector", k=4, impl="gemm")
+    results["pca_cov256_gemm_sec"] = round(time.time() - t0, 2)
+    results["pca_explained_top4"] = [round(v, 4) for v in vals]
+
     # 5. cleanfvec (zero+dup removal) throughput
     t0 = time.time()
     kept = clean_vectors(base).count()

@@ -427,3 +427,24 @@ def test_pca_validates_k(spark):
     )
     with pytest.raises(ValueError):
         pca_top_components(df, "embedding", k=5)
+
+
+def test_covariance_gemm_matches_expr(spark):
+    import numpy as np
+    from nbdatatools_spark.operators.analysis import covariance_matrix
+
+    rng = np.random.default_rng(3)
+    data = rng.normal(size=(500, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(data)],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    ).repartition(9)
+    a = {(r["i"], r["j"]): r["cov"]
+         for r in covariance_matrix(df, "embedding", impl="expr").collect()}
+    b = {(r["i"], r["j"]): r["cov"]
+         for r in covariance_matrix(df, "embedding", impl="gemm").collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert b[k] == pytest.approx(a[k], abs=1e-12)
+    with pytest.raises(ValueError):
+        covariance_matrix(df, "embedding", impl="nope")
