@@ -1236,6 +1236,28 @@ def events_approx_distinct(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def events_attribution(spark, sf_dir):
+    """View-to-purchase attribution (streaming/events.py::
+    stream_interval_join, batch mode — the SAME operator runs on streams
+    with watermark-bounded state; tests/test_streaming.py proves
+    stream==batch parity): views of the same user within 10 minutes
+    before each purchase, aggregated per purchase."""
+    from nbdatatools_spark.streaming.events import stream_interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    views = ev.where(F.col("event_type") == "view")
+    j = stream_interval_join(purchases, views, lookback="10 minutes")
+    return (
+        j.groupBy(F.col("event_id").alias("purchase_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_views"),
+            F.max("r_event_id").alias("last_view_id"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
 def events_funnel(spark, sf_dir):
     """Per-user conversion funnel (signup -> first purchase at/after the
     first signup): one keyed window to attach each user's first signup
@@ -1537,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca": embedding_pca,
         "doc_pack_bucketed": doc_pack_bucketed,
         "events_approx_distinct": events_approx_distinct,
+        "events_attribution": events_attribution,
         # -- actively-evolving set --
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -1556,11 +1579,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zero_vector_count": zero_vector_count,
         "dim_moments_embeddings": dim_moments_embeddings,
         "vector_norms": vector_norms,
-        "knn_cosine_topk": knn_cosine_topk,
         # position 50 — last recorded slot; see docstring.
         "fit_embeddings_model": fit_embeddings_model,
         # -- long-stable tail (past the 50-entry recording window; all
         #    hash-green in CORRECTNESS_r03) --
+        "knn_cosine_topk": knn_cosine_topk,
         "knn_euclidean_topk": knn_euclidean_topk,
         "knn_dot_topk": knn_dot_topk,
         "hybrid_filtered_knn": hybrid_filtered_knn,
@@ -2625,6 +2648,18 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(r.cum AS DOUBLE) / tot.total, 6) AS coverage
             FROM sel JOIN r ON r.rnk = sel.k, tot
             ORDER BY threshold
+        """,
+        # interval-join attribution: views within 10 min before a purchase
+        "events_attribution": """
+            SELECT p.event_id AS purchase_id,
+                   count(*) AS n_views,
+                   max(v.event_id) AS last_view_id
+            FROM events p JOIN events v
+              ON p.user_id = v.user_id
+             AND v.ts >= p.ts - INTERVAL 10 MINUTE
+             AND v.ts <= p.ts
+            WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+            GROUP BY p.event_id ORDER BY purchase_id
         """,
         # approx-distinct invariant: oracle pins the exact counts and the
         # within-bound claim; a drifting sketch fails the gate

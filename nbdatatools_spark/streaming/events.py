@@ -119,6 +119,48 @@ def stream_dedup(
     return df.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lookback: str = "10 minutes",
+    watermark: str = "1 hour",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream interval join: each left row pairs with right rows of
+    the same ``by`` key whose event time falls in
+    ``[left_ts - lookback, left_ts]`` (the click-to-impression attribution
+    shape from the Structured Streaming join guide).
+
+    On streams BOTH sides get event-time watermarks and the range
+    condition bounds join state: Spark retires buffered right rows once
+    the left watermark passes ``right_ts + lookback`` — state is bounded
+    by (events per lookback window), not stream history, which is what
+    makes the join feasible on an unbounded stream. Inner rows emit as
+    they match (no watermark wait). On batch frames the same condition
+    runs as a plain join, giving stream==batch parity for free.
+
+    Right columns come back ``{right_prefix}``-renamed to keep the output
+    unambiguous.
+    """
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(right_ts, watermark)
+    r = right.select(
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in right.columns]
+    )
+    rts = f"{right_prefix}{right_ts}"
+    cond = (
+        (F.col(by) == F.col(f"{right_prefix}{by}"))
+        & (F.col(rts) >= F.col(left_ts) - F.expr(f"INTERVAL {lookback}"))
+        & (F.col(rts) <= F.col(left_ts))
+    )
+    return left.join(r, cond, "inner")
+
+
 def stream_events(
     spark, path: str, schema=None, max_files_per_trigger: int | None = None
 ) -> DataFrame:

@@ -136,3 +136,37 @@ def test_stream_dedup_drops_watermark_window_duplicates(spark, events_dir, tmp_p
     got = spark.sql("SELECT count(DISTINCT event_id) c, count(*) n FROM dedup_stream").collect()[0]
     assert got["n"] == expected
     assert got["c"] == expected
+
+
+def test_stream_interval_join_equals_batch(spark, events_dir, tmp_path):
+    from nbdatatools_spark.streaming.events import stream_interval_join
+
+    batch = spark.read.parquet(events_dir)
+    purchases = batch.where(F.col("event_type") == "purchase")
+    views = batch.where(F.col("event_type") == "view")
+    expected = {
+        (r["event_id"], r["r_event_id"])
+        for r in stream_interval_join(
+            purchases, views, lookback="10 minutes"
+        ).collect()
+    }
+    assert expected  # fixture has view->purchase pairs within 10 min
+
+    stream = stream_events(spark, events_dir, max_files_per_trigger=1)
+    sp = stream.where(F.col("event_type") == "purchase")
+    sv = stream.where(F.col("event_type") == "view")
+    joined = stream_interval_join(sp, sv, lookback="10 minutes", watermark="2 hours")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ivjoin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ivckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_id"], r["r_event_id"])
+        for r in spark.sql("SELECT * FROM ivjoin").collect()
+    }
+    assert got == expected
