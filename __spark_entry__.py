@@ -1421,6 +1421,20 @@ def corpus_vocab_coverage(spark, sf_dir):
     return vocab_coverage(docs, (0.5, 0.9, 0.99))
 
 
+def doc_bm25_search(spark, sf_dir):
+    """Okapi BM25 top-20 lexical retrieval (lm.py::bm25_topk, Lucene idf):
+    query-term-filtered df/tf aggregates (the shuffle touches |query|
+    keys, not the vocabulary), two bounded driver scalars (N, avgdl),
+    TakeOrderedAndProject top-k. 9dp-DECIMAL-summed contributions keep
+    the DuckDB replica hash-exact; ties break on doc_id."""
+    from nbdatatools_spark.operators.lm import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, ["vector", "hash", "spill"], top_k=20
+    ).orderBy("rank")
+
+
 def doc_paragraph_dedup(spark, sf_dir):
     """Cross-document paragraph (boilerplate) removal
     (dedup.py::paragraph_dedup, RefinedWeb repeated-span rule): any
@@ -1560,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_bucketed": doc_pack_bucketed,
         "events_approx_distinct": events_approx_distinct,
         "events_attribution": events_attribution,
+        "doc_bm25_search": doc_bm25_search,
         # -- actively-evolving set --
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -1578,11 +1593,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "describe_embeddings": describe_embeddings,
         "zero_vector_count": zero_vector_count,
         "dim_moments_embeddings": dim_moments_embeddings,
-        "vector_norms": vector_norms,
         # position 50 — last recorded slot; see docstring.
         "fit_embeddings_model": fit_embeddings_model,
         # -- long-stable tail (past the 50-entry recording window; all
         #    hash-green in CORRECTNESS_r03) --
+        "vector_norms": vector_norms,
         "knn_cosine_topk": knn_cosine_topk,
         "knn_euclidean_topk": knn_euclidean_topk,
         "knn_dot_topk": knn_dot_topk,
@@ -2750,6 +2765,43 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id FROM documents) d
             LEFT JOIN per USING (doc_id)
             ORDER BY doc_id
+        """,
+        # BM25: Lucene idf, query-filtered df/tf, 9dp decimal-summed
+        # contributions; literal doubles via explicit casts so the
+        # arithmetic matches Spark's inlined Python doubles bit-for-bit
+        "doc_bm25_search": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t
+                FROM documents),
+            lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+            stats AS (SELECT count(*) AS n,
+                             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+                      FROM lens),
+            hits AS (SELECT doc_id, u.w AS w FROM toks, unnest(t) AS u(w)
+                     WHERE u.w IN ('hash', 'spill', 'vector')),
+            dfc AS (SELECT w, count(DISTINCT doc_id) AS dfreq FROM hits GROUP BY w),
+            tf AS (SELECT doc_id, w, count(*) AS tfreq FROM hits GROUP BY doc_id, w),
+            contrib AS (
+                SELECT tf.doc_id,
+                       CAST(round(
+                         round(ln(1.0 + (CAST(n AS DOUBLE) - dfreq + 0.5)
+                                        / (dfreq + 0.5)), 9)
+                         * (tfreq * (CAST(1.2 AS DOUBLE) + 1.0))
+                         / (tfreq + CAST(1.2 AS DOUBLE)
+                            * (CAST(0.25 AS DOUBLE)
+                               + CAST(0.75 AS DOUBLE) * dl / avgdl)),
+                       9) AS DECIMAL(20,9)) AS c
+                FROM tf JOIN dfc USING (w)
+                     JOIN lens ON tf.doc_id = lens.doc_id, stats),
+            scored AS (SELECT doc_id,
+                              round(CAST(CAST(sum(c) AS DECIMAL(38,9)) AS DOUBLE), 6) AS score
+                       FROM contrib GROUP BY doc_id),
+            ranked AS (SELECT doc_id, score,
+                              CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+                       FROM scored)
+            SELECT doc_id, score, rank FROM ranked WHERE rank <= 20 ORDER BY rank
         """,
         # range join: plain BETWEEN theta-join in the oracle; the Spark
         # side manufactures the epoch-bucket equi key

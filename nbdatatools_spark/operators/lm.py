@@ -1,5 +1,8 @@
-"""Corpus bigram language-model fluency scoring (beyond-reference surface,
-SURVEY §7.8 — the CCNet / Wenzek et al. arXiv:1911.00359 quality signal:
+"""Corpus language-model scoring + lexical retrieval (beyond-reference
+surface, SURVEY §7.8).
+
+Bigram-LM fluency scoring — the CCNet / Wenzek et al. arXiv:1911.00359
+quality signal:
 score each document by its per-token negative log-likelihood under a
 language model; low = fluent/common, high = noise. The classic pipeline
 uses a pretrained KenLM; the engine computes the self-contained variant —
@@ -30,7 +33,7 @@ bit-for-bit by the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from nbdatatools_spark.functions.text import tokens
@@ -130,4 +133,94 @@ def bigram_lm_score(
                 F.col("__s").cast("double") / F.col("__nb"), 6
             ).alias("lm_score"),
         )
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """Okapi BM25 lexical retrieval: score every document against a bag of
+    query terms and return the global top-k — the classic keyword-search
+    primitive (Robertson & Zaragoza 2009), with the Lucene idf variant
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``.
+
+    Plan: document lengths are one map-side projection; df (document
+    frequency) per query term comes from ONE filtered groupBy — the
+    corpus is filtered to the literal query-term set BEFORE any shuffle,
+    so the aggregate touches |terms-in-query| keys, not the vocabulary.
+    N and avgdl are two bounded driver scalars. tf is a second filtered
+    groupBy keyed (doc, term). The final top-k is TakeOrderedAndProject
+    (no global sort).
+
+    Exactness: idf and each per-term score contribution are rounded to
+    9dp and DECIMAL-summed per doc (order-invariant — a doc's terms sum
+    in unknown order), then ONE rounding to 6dp; ties break on doc_id.
+    Returns ``(id_col, score DOUBLE, rank INT)``.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    terms = sorted({t.lower() for t in query_terms})
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        tokens(F.lower(F.col(text_col))).alias("__t"),
+    )
+    lens = toks.select("__id", F.size("__t").alias("__dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("__dl").alias("tot")
+    ).collect()[0]
+    n_docs, total_tokens = int(stats["n"]), int(stats["tot"] or 0)
+    if n_docs == 0:
+        raise ValueError("bm25_topk needs a non-empty corpus")
+    avgdl = total_tokens / n_docs  # one double division, engine-exact
+    hits = toks.select(
+        "__id", F.explode("__t").alias("__w")
+    ).where(F.col("__w").isin(terms))
+    df_counts = (
+        hits.groupBy("__w").agg(F.count_distinct("__id").alias("__df"))
+    )
+    tf = hits.groupBy("__id", "__w").agg(F.count(F.lit(1)).alias("__tf"))
+    idf = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("__df") + F.lit(0.5))
+            / (F.col("__df") + F.lit(0.5))
+        ),
+        9,
+    )
+    contrib = F.round(
+        idf
+        * (F.col("__tf") * F.lit(float(k1) + 1.0))
+        / (
+            F.col("__tf")
+            + F.lit(float(k1))
+            * (
+                F.lit(1.0 - float(b))
+                + F.lit(float(b)) * F.col("__dl") / F.lit(float(avgdl))
+            )
+        ),
+        9,
+    ).cast(_TERM_DEC)
+    scored = (
+        tf.join(df_counts, "__w")
+        .join(lens, "__id")
+        .groupBy("__id")
+        .agg(F.sum(contrib).cast(_SUM_DEC).alias("__s"))
+        .select(
+            F.col("__id").alias(id_col),
+            F.round(F.col("__s").cast("double"), 6).alias("score"),
+        )
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(top_k)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
     )

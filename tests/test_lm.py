@@ -118,3 +118,43 @@ def test_no_token_string_shuffle(tiny):
 def test_rejects_bad_k(tiny):
     with pytest.raises(ValueError):
         bigram_lm_score(tiny, add_k=0.0)
+
+
+def test_bm25_closed_form(spark):
+    import math
+    from nbdatatools_spark.operators.lm import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "apple cherry"),
+            (3, "durian elderberry fig"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r["doc_id"]: (r["score"], r["rank"])
+           for r in bm25_topk(df, ["apple", "banana"], top_k=3).collect()}
+    # N=3, avgdl=8/3; df(apple)=2, df(banana)=1
+    avgdl = 8 / 3
+    idf_a = round(math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5)), 9)
+    idf_b = round(math.log(1.0 + (3 - 1 + 0.5) / (1 + 0.5)), 9)
+
+    def c(idf, tf, dl):
+        return round(idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 9)
+
+    s1 = round(c(idf_a, 2, 3) + c(idf_b, 1, 3), 6)
+    s2 = round(c(idf_a, 1, 2), 6)
+    assert out[1] == (pytest.approx(s1, abs=1e-9), 1)
+    assert out[2] == (pytest.approx(s2, abs=1e-9), 2)
+    assert 3 not in out  # no query terms -> unscored, not rank 3
+
+
+def test_bm25_case_insensitive_and_validation(spark):
+    from nbdatatools_spark.operators.lm import bm25_topk
+
+    df = spark.createDataFrame([(1, "Apple APPLE")], "doc_id BIGINT, text STRING")
+    assert bm25_topk(df, ["aPpLe"], top_k=1).collect()[0]["doc_id"] == 1
+    with pytest.raises(ValueError):
+        bm25_topk(df, [])
+    with pytest.raises(ValueError):
+        bm25_topk(df, ["x"], top_k=0)
