@@ -46,6 +46,9 @@ HEADLINE = [
     "doc_bigram_lm",
     "doc_dup_spans",
     "doc_domain_cap",
+    "doc_pack_bucketed",
+    "doc_bm25_search",
+    "events_attribution",
     "embedding_covariance",
     "verify_profiles",
     "stream_ingest_available_now",
