@@ -68,11 +68,15 @@ def bigram_lm_score(
         )
 
     corpus_toks = _toks(corpus)
-    # unigram counts keyed by md5(token); V = distinct tokens
+    # unigram counts keyed by md5(token); V = distinct tokens. Persisted
+    # (vocab-sized, the facets.py caching pattern): the V count job
+    # materializes it, and the scoring join below reuses the cached
+    # counts instead of re-tokenizing the corpus.
     uni = (
         corpus_toks.select(F.explode("__t").alias("__w"))
         .groupBy(F.md5(F.col("__w")).alias("__h1"))
         .agg(F.count(F.lit(1)).alias("__n1"))
+        .persist()
     )
     vocab_size = uni.count()  # bounded driver scalar, inlined below
     # bigram digests per doc: (doc, md5(bigram), md5(first token)).
@@ -105,12 +109,20 @@ def bigram_lm_score(
             F.md5(F.col("__p.w1")).alias("__h1"),
         )
 
+    # Self-scoring reuses ONE persisted bigram-digest pass for both the
+    # model counts and the per-doc scoring rows (they are the same
+    # relation); scoring a separate corpus computes each side once.
+    if lm_corpus is None:
+        doc_bigrams = _bigrams(corpus_toks).persist()
+        corpus_bigrams = doc_bigrams
+    else:
+        corpus_bigrams = _bigrams(corpus_toks)
+        doc_bigrams = _bigrams(_toks(docs))
     big = (
-        _bigrams(corpus_toks)
+        corpus_bigrams
         .groupBy("__h2")
         .agg(F.count(F.lit(1)).alias("__n2"))
     )
-    doc_bigrams = _bigrams(_toks(docs))
     denom = F.coalesce(F.col("__n1"), F.lit(0)) + F.lit(float(add_k) * vocab_size)
     p = (F.coalesce(F.col("__n2"), F.lit(0)) + F.lit(float(add_k))) / denom
     term = F.round(-F.log(p), 9).cast(_TERM_DEC)
