@@ -205,3 +205,84 @@ def test_split_validates_fractions(docs):
         train_val_test_split(docs, (0.5, 0.5, 0.0), names=("a", "b"))
     with pytest.raises(ValueError):
         train_val_test_split(docs, (1.5, -0.5))
+
+
+# --- property-based differentials (Hypothesis) ---------------------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+
+def _py_hash52(key, seed):
+    """Python replica of sampling.sample_hash."""
+    import hashlib
+
+    return int(hashlib.md5(f"{key}:{seed}".encode()).hexdigest()[:13], 16)
+
+
+if _HAVE_HYP:
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        cap=st.integers(min_value=1, max_value=12),
+        seed=st.integers(min_value=0, max_value=10_000),
+        n=st.integers(min_value=0, max_value=60),
+    )
+    def test_domain_cap_matches_python_replica(spark, cap, seed, n):
+        rows = [(i, f"s{i % 5}") for i in range(n)]
+        df = spark.createDataFrame(rows, "doc_id BIGINT, source STRING")
+        got = sorted(
+            r["doc_id"] for r in domain_cap(df, cap, "source", "doc_id", seed).collect()
+        )
+        by_src = {}
+        for i, s in rows:
+            by_src.setdefault(s, []).append((_py_hash52(i, seed), i))
+        want = sorted(
+            i for ranked in by_src.values() for _, i in sorted(ranked)[:cap]
+        )
+        assert got == want
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        f1=st.integers(min_value=0, max_value=100),
+        f2=st.integers(min_value=0, max_value=100),
+        seed=st.integers(min_value=0, max_value=10_000),
+    )
+    def test_split_matches_python_replica(spark, f1, f2, seed):
+        # integer-percent fractions sum exactly to 1 in double space
+        fa, fb = f1 / 100.0, (100 - f1) * f2 / 10_000.0
+        fc = 1.0 - fa - fb
+        fractions, names = (fa, fb, fc), ("a", "b", "c")
+        df = spark.createDataFrame(
+            [(i,) for i in range(80)], "doc_id BIGINT"
+        )
+        got = {
+            r["doc_id"]: r["split"]
+            for r in train_val_test_split(
+                df, fractions, names, "doc_id", seed
+            ).collect()
+        }
+        space = float(1 << 52)
+        for i in range(80):
+            h = _py_hash52(i, seed)
+            cum = 0.0
+            expected = names[-1]
+            for frac, name in zip(fractions[:-1], names[:-1]):
+                cum += frac
+                if h < cum * space:
+                    expected = name
+                    break
+            assert got[i] == expected
