@@ -1258,6 +1258,32 @@ def events_attribution(spark, sf_dir):
     )
 
 
+def events_pivot_counts(spark, sf_dir):
+    """Native pivot (groupBy.pivot with an EXPLICIT value list — no
+    pivot-value discovery job, deterministic column order): per-user
+    event counts by type. Oracle: conditional-sum replica."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .orderBy("user_id")
+    )
+
+
+def orders_status_setops(spark, sf_dir):
+    """Set operations (§2.7): customers with fulfilled orders INTERSECT
+    customers with open orders, EXCEPT high-value-order customers —
+    native intersect/exceptAll-free distinct set algebra (hash
+    aggregates, no sort)."""
+    o = _t(spark, sf_dir, "orders")
+    fulfilled = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    open_ = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    big = o.where(F.col("o_totalprice") > 400000).select("o_custkey")
+    return fulfilled.intersect(open_).subtract(big).orderBy("o_custkey")
+
+
 def events_funnel(spark, sf_dir):
     """Per-user conversion funnel (signup -> first purchase at/after the
     first signup): one keyed window to attach each user's first signup
@@ -1575,6 +1601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_approx_distinct": events_approx_distinct,
         "events_attribution": events_attribution,
         "doc_bm25_search": doc_bm25_search,
+        "events_pivot_counts": events_pivot_counts,
+        "orders_status_setops": orders_status_setops,
         # -- actively-evolving set --
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -1591,12 +1619,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffled_events": shuffled_events,
         "union_concat": union_concat,
         "describe_embeddings": describe_embeddings,
-        "zero_vector_count": zero_vector_count,
-        "dim_moments_embeddings": dim_moments_embeddings,
         # position 50 — last recorded slot; see docstring.
         "fit_embeddings_model": fit_embeddings_model,
         # -- long-stable tail (past the 50-entry recording window; all
         #    hash-green in CORRECTNESS_r03) --
+        "zero_vector_count": zero_vector_count,
+        "dim_moments_embeddings": dim_moments_embeddings,
         "vector_norms": vector_norms,
         "knn_cosine_topk": knn_cosine_topk,
         "knn_euclidean_topk": knn_euclidean_topk,
@@ -2663,6 +2691,25 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(r.cum AS DOUBLE) / tot.total, 6) AS coverage
             FROM sel JOIN r ON r.rnk = sel.k, tot
             ORDER BY threshold
+        """,
+        # pivot: conditional-count replica with the same explicit columns
+        "events_pivot_counts": """
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        # set algebra: INTERSECT / EXCEPT (both distinct in both engines)
+        "orders_status_setops": """
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+            ORDER BY o_custkey
         """,
         # interval-join attribution: views within 10 min before a purchase
         "events_attribution": """
