@@ -1551,19 +1551,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering matters: the driver records correctness rows for the FIRST
-    50 entries only. Rounds 1-3 left the 16 LLM-pipeline / approximate-ANN
-    queries past the window, so they were never driver-verified. Layout now:
+    50 entries only. Window-management invariant (hold this when adding
+    queries):
 
-    - entries 1-15: the previously-unrecorded set (minhash, simhash, LSH-ANN,
-      PQ, K-S, recall, decontamination, repetition, mixture, packing, DSIR,
-      deciles, vocab, paragraph-dedup, training-pipeline);
-    - entries 16-49: the rest of the actively-evolving set;
-    - entry 50 (last recorded): fit_embeddings_model — it runs driver-side
-      sketch jobs during plan construction, and in round 1 a failure there
-      shadowed everything after it; at position 50 a failure can only shadow
-      the already-stable tail;
-    - entries 51-66: long-stable relational/streaming queries, all
-      hash-green in CORRECTNESS_r03 — union(r03, r04) covers all 66.
+    - every entry past index 49 MUST already have a hash-green row in a
+      prior round's CORRECTNESS_r*.json (currently: all tail entries are
+      green in r03), so union(recorded rounds) covers every query;
+    - new queries go INSIDE the window, displacing long-stable r3-green
+      relational/streaming entries to the tail;
+    - fit_embeddings_model stays at EXACTLY index 49 (last recorded
+      slot): it runs driver-side sketch jobs during plan construction,
+      and in round 1 a failure there shadowed everything after it — at
+      position 49 a failure can only shadow the already-recorded tail.
+
+    Layout: entries 0-17 = the rounds-1-3 never-recorded set (minhash,
+    simhash, LSH-ANN, PQ, K-S, recall, decontamination, repetition,
+    mixture, packing, DSIR, deciles, vocab, paragraph-dedup,
+    training-pipeline) + early-r4 gates (transitive dedup, C4, as-of);
+    18-33 = round-4 session additions (domain caps, split, range join,
+    bigram LM, cube, dup spans, funnel, vocab coverage, covariance, PCA,
+    bucketed packing, approx-distinct, attribution, BM25, pivot,
+    setops); 34-48 = r3-green evolving set; 49 = fit; tail = r3-green
+    stable set. tests cross-check the tail against CORRECTNESS_r03.
     """
     return {
         # -- previously driver-unrecorded (rounds 1-3): record these first --
