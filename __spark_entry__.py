@@ -1540,6 +1540,169 @@ def pq_rerank_self_top1(spark, sf_dir):
     )
 
 
+def doc_chunk_overlap(spark, sf_dir):
+    """Sliding-window document chunking (64-token chunks, stride 32 —
+    overlapping): the retrieval/context-window preparation primitive.
+    Pure map-side Catalyst (split once, sequence+posexplode, slice) —
+    no shuffle, no UDF; embarrassingly parallel at 100 TB."""
+    from nbdatatools_spark.operators.packing import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"), chunk_size=64, stride=32)
+
+
+def doc_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirtes keys on the portable md5-uint52 hash, weight = n_chars):
+    one projection + global top-k (TakeOrderedAndProject). Scores are
+    9dp-rounded with doc_id tie-break so selection is engine-invariant."""
+    from nbdatatools_spark.operators.sampling import weighted_sample
+
+    return weighted_sample(
+        _t(spark, sf_dir, "documents"), k=50, weight_col="n_chars"
+    ).select("doc_id", "source", "n_chars", "es_score")
+
+
+def doc_ngram_jaccard(spark, sf_dir):
+    """Exact character-5-gram Jaccard verification on a fixed candidate
+    pair set (every 5th doc vs its successor): the verify stage behind
+    MinHash candidates. Shingle sets join only for candidate ids (tiny
+    vs corpus); |A∩B| / |A∪B| via array_intersect/array_union."""
+    from nbdatatools_spark.operators.dedup import jaccard_verify
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = docs.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    ).where(F.col("doc_id") % 5 == 0)
+    return jaccard_verify(cands, docs, shingle_size=5, threshold=0.0).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def doc_strip_markup(spark, sf_dir):
+    """HTML/markup stripping over synthesized crawl pages (each document
+    wrapped in tags + a script block + entities, then cleaned): the C4
+    cleaning front-door. Pure codegen regexp_replace/replace chain,
+    map-side only; patterns are RE2-safe so the oracle replays them."""
+    from nbdatatools_spark.functions.text import strip_markup
+
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit('<div id="'),
+        F.col("doc_id").cast("string"),
+        F.lit('"><p>'),
+        F.col("text"),
+        F.lit(
+            "</p>&nbsp;&amp; more</div><script>if (1 < 2) x();</script><!-- footer -->"
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        strip_markup(page).alias("clean_text"),
+        F.length(strip_markup(page)).alias("clean_len"),
+    )
+
+
+def corpus_bpe_merges(spark, sf_dir):
+    """Distributed BPE merge learning (Sennrich et al. 2016): ONE corpus
+    pass builds the word vocabulary; each of 8 merge steps runs over the
+    vocabulary only (pair explode + map-side-combined groupBy + argmax)
+    with a leftmost-greedy Catalyst fold rewriting symbols. Iterative
+    driver-coordinated algorithm — no SQL oracle (rows-only check),
+    pytest carries a pure-Python differential."""
+    from nbdatatools_spark.operators.bpe import learn_bpe_merges
+
+    merges = learn_bpe_merges(
+        _t(spark, sf_dir, "documents"), n_merges=8, min_count=2
+    )
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, pair_count long"
+    )
+
+
+def events_decayed_sum(spark, sf_dir):
+    """Per-user exponentially-decayed value sum (discrete-time EWMA
+    numerator, decay 0.9): one hash shuffle on user_id (window + groupBy
+    share partitioning). Terms 9dp-rounded and DECIMAL-summed — order-
+    independent, engine-exact."""
+    from nbdatatools_spark.operators.temporal import exp_decayed_sum
+
+    return exp_decayed_sum(
+        _t(spark, sf_dir, "events"), "user_id", "value", ["ts", "event_id"], decay=0.9
+    )
+
+
+def events_transition_counts(spark, sf_dir):
+    """Event-type transition matrix: per-user next-event via lead() over
+    (ts, event_id), then one map-side-combinable pair count. All
+    integers/strings — hash-exact."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+
+
+def events_quantile_sketch(spark, sf_dir):
+    """Approximate-quantile sketch gate (Greenwald–Khanna via
+    approx_percentile, accuracy 100 => rank error <= 1%): the sketch path
+    for 100-TB quantiles. Same invariant pattern as the HLL gate: the
+    oracle pins the EXACT quantiles and the within-rank-bound booleans —
+    a drifting sketch fails the gate. GK merge is deterministic, so the
+    booleans are stable."""
+    ev = _t(spark, sf_dir, "events")
+    ps = [0.25, 0.5, 0.75, 0.9, 0.99]
+    ps_sql = ", ".join(str(p) for p in ps)
+    lo = [max(p - 0.02, 0.0) for p in ps]
+    hi = [min(p + 0.02, 1.0) for p in ps]
+    agg = ev.agg(
+        F.expr(f"percentile(value, array({ps_sql}))").alias("exact"),
+        F.expr(f"approx_percentile(value, array({ps_sql}), 100)").alias("approx"),
+        F.expr(
+            f"percentile(value, array({', '.join(str(p) for p in lo)}))"
+        ).alias("lo"),
+        F.expr(
+            f"percentile(value, array({', '.join(str(p) for p in hi)}))"
+        ).alias("hi"),
+    )
+    idx = F.posexplode(F.array(*[F.lit(p) for p in ps]))
+    return (
+        agg.select(idx.alias("i", "p"), "exact", "approx", "lo", "hi")
+        .select(
+            "p",
+            F.round(F.element_at("exact", F.col("i") + 1), 6).alias("exact_q"),
+            (
+                (F.element_at("approx", F.col("i") + 1) >= F.element_at("lo", F.col("i") + 1))
+                & (F.element_at("approx", F.col("i") + 1) <= F.element_at("hi", F.col("i") + 1))
+            ).alias("within_bound"),
+        )
+    )
+
+
+def events_salted_join(spark, sf_dir):
+    """Skew-mitigated equi-join gate: events (fact) salted-joined to a
+    per-user dim, then re-aggregated. Salting spreads a hot user over
+    `salts` shuffle partitions; the gate pins result parity with the
+    plain join. Value sums are 6dp-DECIMAL so the merge order can't
+    change the answer."""
+    from nbdatatools_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    joined = salted_join(ev, dim, on=["user_id"], salts=8)
+    return joined.groupBy("user_id", "n_events").agg(
+        F.sum(F.round(F.col("value"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sum_value")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1612,16 +1775,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25_search": doc_bm25_search,
         "events_pivot_counts": events_pivot_counts,
         "orders_status_setops": orders_status_setops,
+        # new this session: chunking, weighted sampling, Jaccard verify,
+        # markup strip, BPE learning, EWMA, transitions, quantile sketch,
+        # salted join
+        "doc_chunk_overlap": doc_chunk_overlap,
+        "doc_weighted_sample": doc_weighted_sample,
+        "doc_ngram_jaccard": doc_ngram_jaccard,
+        "doc_strip_markup": doc_strip_markup,
+        "corpus_bpe_merges": corpus_bpe_merges,
+        "events_decayed_sum": events_decayed_sum,
+        "events_transition_counts": events_transition_counts,
+        "events_quantile_sketch": events_quantile_sketch,
+        "events_salted_join": events_salted_join,
         # -- actively-evolving set --
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_region_revenue": q5_region_revenue,
-        "pnode_range_filter": pnode_range_filter,
-        "pnode_in_filter": pnode_in_filter,
-        "pnode_regex_filter": pnode_regex_filter,
-        "pnode_nested_andor": pnode_nested_andor,
-        "pnode_null_eq": pnode_null_eq,
-        "result_indices_hybrid": result_indices_hybrid,
         "predicate_store_roundtrip": predicate_store_roundtrip,
         "window_slice_rebase": window_slice_rebase,
         "topk_orders_per_customer": topk_orders_per_customer,
@@ -1632,6 +1798,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fit_embeddings_model": fit_embeddings_model,
         # -- long-stable tail (past the 50-entry recording window; all
         #    hash-green in CORRECTNESS_r03) --
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_region_revenue": q5_region_revenue,
+        "pnode_range_filter": pnode_range_filter,
+        "pnode_in_filter": pnode_in_filter,
+        "pnode_regex_filter": pnode_regex_filter,
+        "pnode_nested_andor": pnode_nested_andor,
+        "pnode_null_eq": pnode_null_eq,
+        "result_indices_hybrid": result_indices_hybrid,
         "zero_vector_count": zero_vector_count,
         "dim_moments_embeddings": dim_moments_embeddings,
         "vector_norms": vector_norms,
@@ -2971,5 +3146,115 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id AS query_id, vec_id AS base_id,
                    CAST(0.0 AS DOUBLE) AS distance
             FROM embeddings WHERE vec_id < 30 ORDER BY query_id
+        """,
+        # sliding-window chunking: starts step by 32, chunk = 64 tokens
+        "doc_chunk_overlap": """
+            WITH nrm AS (
+                SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                FROM documents),
+            toks AS (
+                SELECT doc_id, string_split(t, ' ') AS w FROM nrm WHERE length(t) > 0),
+            st AS (
+                SELECT doc_id, w, unnest(generate_series(0, len(w)-1, 32)) AS s
+                FROM toks)
+            SELECT doc_id,
+                   CAST(s // 32 AS INT) AS chunk_id,
+                   CAST(s AS INT) AS start_token,
+                   CAST(least(64, len(w) - s) AS INT) AS n_chunk_tokens,
+                   array_to_string(w[s+1:s+64], ' ') AS chunk_text
+            FROM st ORDER BY doc_id, chunk_id
+        """,
+        # Efraimidis-Spirtes keys on the shared md5-uint52 convention:
+        # u = (h+1)/2^52, score = ln(u)/w, top-50 by (score DESC, doc_id)
+        "doc_weighted_sample": """
+            WITH h AS (
+                SELECT doc_id, source, n_chars,
+                       ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 13))::BIGINT AS hv
+                FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+            SELECT doc_id, source, n_chars,
+                   round(ln((hv + 1) / 4503599627370496.0) / n_chars, 9) AS es_score
+            FROM h ORDER BY es_score DESC, doc_id LIMIT 50
+        """,
+        # exact char-5-gram Jaccard on the fixed (id, id+1 | id%5=0) pairs
+        "doc_ngram_jaccard": """
+            WITH nrm AS (
+                SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                FROM documents),
+            sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(len(t)-4, 1)),
+                           i -> substr(t, CAST(i AS INT), 5))) AS s
+                FROM nrm),
+            c AS (SELECT doc_id AS id_a, doc_id + 1 AS id_b
+                  FROM documents WHERE doc_id % 5 = 0)
+            SELECT c.id_a, c.id_b,
+                   round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                         / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+            FROM c JOIN sh sa ON sa.doc_id = c.id_a
+                   JOIN sh sb ON sb.doc_id = c.id_b
+            ORDER BY id_a
+        """,
+        # markup strip: same synthesized page, same RE2-safe pattern chain
+        # ('g' flag — Spark regexp_replace is replace-all by default)
+        "doc_strip_markup": """
+            WITH page AS (
+                SELECT doc_id,
+                       '<div id="' || CAST(doc_id AS VARCHAR) || '"><p>' || text ||
+                       '</p>&nbsp;&amp; more</div><script>if (1 < 2) x();</script><!-- footer -->' AS s
+                FROM documents),
+            c1 AS (SELECT doc_id, regexp_replace(s, '(?is)<script[^>]*>.*?</script\\s*>', ' ', 'g') AS s FROM page),
+            c2 AS (SELECT doc_id, regexp_replace(s, '(?is)<style[^>]*>.*?</style\\s*>', ' ', 'g') AS s FROM c1),
+            c3 AS (SELECT doc_id, regexp_replace(s, '(?s)<!--.*?-->', ' ', 'g') AS s FROM c2),
+            c4 AS (SELECT doc_id, regexp_replace(s, '(?s)<[^>]*>', ' ', 'g') AS s FROM c3),
+            c5 AS (SELECT doc_id,
+                          replace(replace(replace(replace(replace(replace(s,
+                              '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                              '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS s
+                   FROM c4),
+            fin AS (SELECT doc_id, trim(regexp_replace(s, '\\s+', ' ', 'g')) AS s FROM c5)
+            SELECT doc_id, s AS clean_text, CAST(length(s) AS INT) AS clean_len
+            FROM fin ORDER BY doc_id
+        """,
+        # EWMA numerator: v_i * 0.9^(n-i) terms, 9dp-rounded, DECIMAL-summed
+        "events_decayed_sum": """
+            WITH r AS (
+                SELECT user_id, value,
+                       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
+                       count(*) OVER (PARTITION BY user_id) AS n
+                FROM events)
+            SELECT user_id, count(*) AS n_events,
+                   CAST(sum(CAST(round(value * power(0.9, n - i), 9)
+                                 AS DECIMAL(38,9))) AS DOUBLE) AS decayed_sum
+            FROM r GROUP BY user_id ORDER BY user_id
+        """,
+        "events_transition_counts": """
+            WITH p AS (
+                SELECT user_id, event_type AS from_type,
+                       lead(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS to_type
+                FROM events)
+            SELECT from_type, to_type, count(*) AS n_transitions
+            FROM p WHERE to_type IS NOT NULL
+            GROUP BY from_type, to_type ORDER BY from_type, to_type
+        """,
+        # sketch invariant gate: oracle pins EXACT quantiles + the
+        # within-rank-bound booleans (GK merge is deterministic)
+        "events_quantile_sketch": """
+            WITH q AS (SELECT quantile_cont(value, [0.25, 0.5, 0.75, 0.9, 0.99]) AS qs
+                       FROM events)
+            SELECT CAST(p AS DOUBLE) AS p, round(qs[i], 6) AS exact_q,
+                   TRUE AS within_bound
+            FROM q, (VALUES (1, 0.25), (2, 0.5), (3, 0.75), (4, 0.9), (5, 0.99)) AS t(i, p)
+            ORDER BY p
+        """,
+        # salted-join parity: plain join + 6dp-DECIMAL value sums
+        "events_salted_join": """
+            WITH dim AS (SELECT user_id, count(*) AS n_events
+                         FROM events GROUP BY user_id)
+            SELECT e.user_id, d.n_events,
+                   CAST(sum(CAST(round(e.value, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+            FROM events e JOIN dim d USING (user_id)
+            GROUP BY e.user_id, d.n_events ORDER BY user_id
         """,
     }

@@ -396,3 +396,36 @@ def c4_page_keep(cleaned: Column, min_sentences: int = 3) -> Column:
         & ~low.contains("{")
         & (F.regexp_count(cleaned, F.lit(r"[.!?]")) >= min_sentences)
     )
+
+
+# HTML entities a markup stripper must decode (the named set that appears
+# in web-crawl text; numeric entities are left alone — decoding arbitrary
+# &#NNNN; needs a codepoint function and is out of scope for a cleaner).
+_HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),  # LAST: earlier decodes must not create new & to re-decode
+)
+
+
+def strip_markup(col: Column) -> Column:
+    """Strip HTML/XML markup from crawl text: drop <script>/<style> blocks
+    wholesale, replace remaining tags and comments with a space, decode the
+    common named entities, collapse whitespace.
+
+    The C4/web-crawl cleaning front-door (Raffel et al. 2020 §2.2 strips
+    markup before line rules). Pure codegen regexp_replace/replace chain —
+    map-side only, no UDF; patterns are shared Java-regex/RE2 syntax (no
+    backreferences — RE2 lacks them) so a SQL oracle replicates them
+    verbatim.
+    """
+    out = F.regexp_replace(col, r"(?is)<script[^>]*>.*?</script\s*>", " ")
+    out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style\s*>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"(?s)<[^>]*>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))

@@ -1,0 +1,144 @@
+"""Distributed BPE merge learning (SURVEY §7.8 training-data extension).
+
+Tokenizer training is part of the corpus-build pipeline: learn the byte-pair
+merge table from the (deduplicated, cleaned) corpus itself (Sennrich et al.
+ACL 2016, arXiv:1508.07909). The distributed formulation is the classic
+word-vocabulary factorization:
+
+1. ONE pass over the corpus builds the word-frequency vocabulary
+   (``groupBy word``) — after this, the corpus is never touched again;
+2. each merge iteration runs over the VOCABULARY (distinct words), which is
+   orders of magnitude smaller than the corpus (Heaps' law): explode
+   adjacent symbol pairs weighted by word count, one map-side-combinable
+   groupBy over pairs, take the argmax (count DESC, pair ASC — fully
+   deterministic), then rewrite every word's symbol array with a leftmost
+   greedy fold (``F.aggregate`` — pure Catalyst, no UDF).
+
+At 100 TB the corpus pass dominates and is embarrassingly parallel; the
+k merge iterations cost k tiny vocab-sized shuffles. The symbol rewrite is
+a projection; each iteration's vocab is cached and the predecessor
+unpersisted so lineage stays flat.
+
+The leftmost-greedy fold matches the reference BPE semantics: in a run like
+``aaa`` merging ``(a, a)`` produces ``[aa, a]`` (the freshly merged symbol
+does not re-merge with the next element in the same pass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _merge_pair(sym_col, left: str, right: str):
+    """Leftmost-greedy single-pass merge of adjacent (left, right) symbol
+    pairs inside an array<string> column, as a Catalyst fold."""
+    merged = left + right
+    return F.aggregate(
+        sym_col,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def word_vocabulary(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Word-frequency vocabulary of a corpus: (word, count, symbols) where
+    symbols is the initial per-character symbol array."""
+    from ..functions.text import normalize_text
+
+    words = (
+        df.select(
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("count"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")), lambda i: F.col("word").substr(i, F.lit(1))
+    )
+    return words.withColumn("symbols", chars)
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+    min_count: int = 2,
+) -> list[tuple[int, str, str, int]]:
+    """Learn up to ``n_merges`` BPE merges from a document corpus.
+
+    Returns ``[(step, left, right, pair_count), ...]`` in merge order.
+    Stops early when the best remaining pair occurs fewer than
+    ``min_count`` times (weighted by word frequency). Deterministic:
+    argmax ties break on (left, right) lexicographic order.
+    """
+    if n_merges <= 0:
+        raise ValueError(f"n_merges must be positive, got {n_merges}")
+    vocab = word_vocabulary(df, text_col).cache()
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for step in range(n_merges):
+            pairs = (
+                # one-symbol words have no adjacent pair; sequence(1, 0)
+                # would generate a DESCENDING [1, 0] — filter them out
+                vocab.where(F.size("symbols") >= 2)
+                .select(
+                    "count",
+                    F.explode(
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("symbols") - 1),
+                            lambda i: F.struct(
+                                F.element_at("symbols", i).alias("left"),
+                                F.element_at("symbols", i + 1).alias("right"),
+                            ),
+                        )
+                    ).alias("pair"),
+                )
+                .groupBy("pair.left", "pair.right")
+                .agg(F.sum("count").alias("pair_count"))
+                .orderBy(F.desc("pair_count"), "left", "right")
+                .limit(1)
+                .collect()
+            )
+            if not pairs or pairs[0]["pair_count"] < min_count:
+                break
+            left, right, cnt = pairs[0]["left"], pairs[0]["right"], int(pairs[0]["pair_count"])
+            merges.append((step, left, right, cnt))
+            nxt = vocab.withColumn("symbols", _merge_pair(F.col("symbols"), left, right)).cache()
+            nxt.count()  # materialize before dropping the predecessor
+            vocab.unpersist()
+            vocab = nxt
+    finally:
+        vocab.unpersist()
+    return merges
+
+
+def bpe_segment(df: DataFrame, merges, text_col: str = "text", out_col: str = "bpe_tokens") -> DataFrame:
+    """Apply a learned merge table to a corpus: per-word character symbols
+    folded through the merges in order. Pure projection (map-side)."""
+    from ..functions.text import normalize_text
+
+    words = F.split(normalize_text(F.col(text_col)), " ")
+
+    def seg(word):
+        sym = F.transform(
+            F.sequence(F.lit(1), F.length(word)), lambda i: word.substr(i, F.lit(1))
+        )
+        for _, left, right, _ in merges:
+            sym = _merge_pair(sym, left, right)
+        return sym
+
+    return df.withColumn(
+        out_col,
+        F.flatten(F.transform(words, lambda w: F.when(w == "", F.array().cast("array<string>")).otherwise(seg(w)))),
+    )

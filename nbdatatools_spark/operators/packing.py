@@ -200,3 +200,65 @@ def pack_sequences_bucketed(
         .withColumn(f"{seq_prefix}_offset", F.col(start_col) % max_tokens)
         .drop("__pid", "__local_start", "__b", "__off")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking: split each document into
+    ``chunk_size``-token windows whose starts step by ``stride`` tokens
+    (stride < chunk_size ⇒ overlapping chunks — the retrieval/context-window
+    preparation shape; stride == chunk_size ⇒ disjoint chunks).
+
+    Reference scope analogue: the reference slices vector files into
+    fixed-size logical windows (datatools-vectordata window slicing); this
+    is the text-column counterpart a training/RAG pipeline needs.
+
+    Scale shape: pure map-side Catalyst — normalize, split once (let-bound,
+    see functions.text.word_shingles for the re-evaluation trap), generate
+    starts with ``sequence(0, n-1, stride)``, explode, slice. No shuffle,
+    no UDF; chunking 100 TB is embarrassingly parallel.
+
+    Output: one row per chunk — (id, chunk_id, start_token, n_chunk_tokens,
+    chunk_text). Empty/whitespace-only documents yield zero chunks.
+    """
+    if chunk_size <= 0:
+        raise ValueError(f"chunk_size must be positive, got {chunk_size}")
+    stride = chunk_size if stride is None else stride
+    if not 0 < stride <= chunk_size:
+        raise ValueError(
+            f"stride must be in (0, chunk_size], got {stride} (chunk_size {chunk_size})"
+        )
+    from ..functions.text import normalize_text
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__toks"),
+    ).where(F.element_at("__toks", 1) != "")
+    out = (
+        toks.select(
+            "id",
+            "__toks",
+            F.size("__toks").alias("__n"),
+            F.posexplode(
+                F.sequence(F.lit(0), F.size("__toks") - 1, F.lit(stride))
+            ).alias("chunk_id", "start_token"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "chunk_id",
+            "start_token",
+            F.least(F.lit(chunk_size), F.col("__n") - F.col("start_token")).alias(
+                "n_chunk_tokens"
+            ),
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("start_token") + 1, F.lit(chunk_size)),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )
+    return out

@@ -197,3 +197,42 @@ def train_val_test_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     split = F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
     return df.withColumn("split", split)
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    seed: int = 42,
+    score_col: str = "es_score",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: top-``k`` rows
+    by the Efraimidis–Spirtes key (Inf. Proc. Letters 97(5), 2006).
+
+    Each row draws u ∈ (0, 1] from the same portable content-keyed md5
+    hash as ``hash_sample`` (u = (md5_52 + 1) / 2^52) and scores
+    ``ln(u) / w`` — taking the k LARGEST scores (all ≤ 0; closest to 0
+    wins) is distributionally identical to sequential weighted draws
+    without replacement. Content-keying makes the sample a pure function
+    of (key, seed): partition- and engine-invariant, reproducible at
+    100 TB with zero coordination.
+
+    Scale shape: one projection + global top-k (TakeOrderedAndProject —
+    per-partition partial top-k, no full sort). Scores are rounded to 9dp
+    with a ``key_col`` tie-break so the selected set is stable across
+    engines (same discipline as lm.bigram_lm_score).
+
+    Rows with NULL or non-positive weight are excluded (zero-weight rows
+    can never be drawn; negative weights are undefined).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    u = (sample_hash(F.col(key_col), seed) + 1) / F.lit(_HASH_SPACE)
+    score = F.round(F.log(u) / F.col(weight_col), 9)
+    return (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn(score_col, score)
+        .orderBy(F.col(score_col).desc(), F.col(key_col))
+        .limit(k)
+    )

@@ -28,6 +28,8 @@ keep first).
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -177,4 +179,44 @@ def range_join(
         pb.join(ib, "__b")
         .where((F.col(point_ts) >= F.col(start)) & (F.col(point_ts) < F.col(end)))
         .drop("__b")
+    )
+
+
+def exp_decayed_sum(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    order_cols: Sequence[str],
+    decay: float = 0.9,
+) -> DataFrame:
+    """Per-key exponentially-decayed value sum: with the key's events in
+    ``order_cols`` order as v_1..v_n, returns Σ v_i · decay^(n-i) — recency
+    weighting where the newest event counts fully and each step back decays
+    by ``decay`` (the discrete-time EWMA numerator; time-series feature
+    engineering over event streams).
+
+    Scale shape: ONE hash shuffle on the key (row_number/count window and
+    the final groupBy share the partitioning — AQE collapses them, same
+    shape as the funnel gate). Engine-exact: each term is rounded to 9dp
+    and DECIMAL-summed, so the per-key sum is order-independent and a SQL
+    oracle reproduces it bit-for-bit; only pow/multiply run in doubles.
+
+    Output: (key, n_events, decayed_sum DOUBLE).
+    """
+    if not 0.0 < decay <= 1.0:
+        raise ValueError(f"decay must be in (0, 1], got {decay}")
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    wk = Window.partitionBy(key_col)
+    term = F.round(
+        F.col(value_col)
+        * F.pow(F.lit(float(decay)), F.count("*").over(wk) - F.row_number().over(w)),
+        9,
+    ).cast("decimal(38,9)")
+    return (
+        df.select(F.col(key_col), term.alias("__term"))
+        .groupBy(key_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("__term").cast("double").alias("decayed_sum"),
+        )
     )
