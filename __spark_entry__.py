@@ -1703,6 +1703,75 @@ def events_salted_join(spark, sf_dir):
     )
 
 
+def embedding_standardize(spark, sf_dir):
+    """Per-dimension z-score standardization (whitening front-door for
+    clustering/ANN/SemDeDup): one bounded moment pass (d rows), then a
+    shuffle-free literal-array transform projection. Means/stds are
+    9dp-rounded SQL-side in BOTH engines before standardizing, so avg()
+    summation-order ulps can't propagate into the output."""
+    from nbdatatools_spark.operators.analysis import standardize_vectors
+
+    return standardize_vectors(_t(spark, sf_dir, "embeddings"))
+
+
+def events_trailing_window(spark, sf_dir):
+    """Trailing 1-hour per-user range window (count + value sum at each
+    event): Spark's RANGE BETWEEN frame over epoch micros — the native
+    sliding aggregate, one hash shuffle on user_id. RANGE includes
+    timestamp peers, so ties can't make the frame partition-dependent;
+    sums are 6dp-DECIMAL."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "__us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("__us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("trailing_n"),
+        F.sum(F.round(F.col("value"), 6).cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_sum"),
+    )
+
+
+def events_outlier_flags(spark, sf_dir):
+    """Robust outlier detection per event type: flag |v - median| >
+    3 · 1.4826 · MAD (the scale-free z-score analogue). Two grouped
+    percentile passes + a broadcast of the tiny per-type stats table;
+    median/MAD are 9dp-rounded in both engines before thresholding.
+    Returns per-type outlier counts."""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 9).alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.round(F.expr("percentile(abs(value - med), 0.5)"), 9).alias("mad"))
+    )
+    stats = med.join(mad, "event_type")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                (
+                    F.abs(F.col("value") - F.col("med"))
+                    > 3.0 * 1.4826 * F.col("mad")
+                ).cast("long")
+            ).alias("n_outliers"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1787,10 +1856,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transition_counts": events_transition_counts,
         "events_quantile_sketch": events_quantile_sketch,
         "events_salted_join": events_salted_join,
+        "embedding_standardize": embedding_standardize,
+        "events_trailing_window": events_trailing_window,
+        "events_outlier_flags": events_outlier_flags,
         # -- actively-evolving set --
-        "predicate_store_roundtrip": predicate_store_roundtrip,
-        "window_slice_rebase": window_slice_rebase,
-        "topk_orders_per_customer": topk_orders_per_customer,
         "shuffled_events": shuffled_events,
         "union_concat": union_concat,
         "describe_embeddings": describe_embeddings,
@@ -1807,6 +1876,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pnode_nested_andor": pnode_nested_andor,
         "pnode_null_eq": pnode_null_eq,
         "result_indices_hybrid": result_indices_hybrid,
+        "predicate_store_roundtrip": predicate_store_roundtrip,
+        "window_slice_rebase": window_slice_rebase,
+        "topk_orders_per_customer": topk_orders_per_customer,
         "zero_vector_count": zero_vector_count,
         "dim_moments_embeddings": dim_moments_embeddings,
         "vector_norms": vector_norms,
@@ -3247,6 +3319,59 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS within_bound
             FROM q, (VALUES (1, 0.25), (2, 0.5), (3, 0.75), (4, 0.9), (5, 0.99)) AS t(i, p)
             ORDER BY p
+        """,
+        # z-score standardization: same 9dp-rounded mu/sd fit, same
+        # element-wise projection
+        "embedding_standardize": """
+            WITH e AS (
+                SELECT CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
+                       CAST(unnest(embedding) AS DOUBLE) AS v
+                FROM embeddings),
+            m AS (
+                SELECT dim, round(avg(v), 9) AS mu,
+                       round(sqrt(avg(v * v) - avg(v) * avg(v)), 9) AS sd
+                FROM e GROUP BY dim),
+            arr AS (SELECT list(mu ORDER BY dim) AS mus,
+                           list(sd ORDER BY dim) AS sds
+                    FROM m)
+            SELECT vec_id,
+                   list_transform(generate_series(1, len(embedding)),
+                       i -> CASE WHEN sds[i] = 0.0 THEN 0.0
+                                 ELSE round((CAST(embedding[i] AS DOUBLE) - mus[i]) / sds[i], 6)
+                            END) AS z
+            FROM embeddings, arr ORDER BY vec_id
+        """,
+        # trailing 1h per-user range frame over epoch micros (RANGE
+        # includes ts peers => tie-order independent)
+        "events_trailing_window": """
+            SELECT event_id, user_id,
+                   count(*) OVER w AS trailing_n,
+                   CAST(sum(CAST(round(value, 6) AS DECIMAL(38,6))) OVER w
+                        AS DOUBLE) AS trailing_sum
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+            ORDER BY event_id
+        """,
+        # robust outliers: |v - median| > 3 * 1.4826 * MAD, med/mad
+        # 9dp-rounded before thresholding in both engines
+        "events_outlier_flags": """
+            WITH med AS (
+                SELECT event_type, round(quantile_cont(value, 0.5), 9) AS med
+                FROM events GROUP BY event_type),
+            mad AS (
+                SELECT e.event_type,
+                       round(quantile_cont(abs(e.value - m.med), 0.5), 9) AS mad
+                FROM events e JOIN med m USING (event_type)
+                GROUP BY e.event_type),
+            s AS (SELECT med.event_type, med.med, mad.mad
+                  FROM med JOIN mad USING (event_type))
+            SELECT e.event_type, count(*) AS n_events,
+                   sum(CASE WHEN abs(e.value - s.med) > 3.0 * 1.4826 * s.mad
+                            THEN 1 ELSE 0 END) AS n_outliers,
+                   max(s.med) AS med, max(s.mad) AS mad
+            FROM events e JOIN s USING (event_type)
+            GROUP BY e.event_type ORDER BY e.event_type
         """,
         # salted-join parity: plain join + 6dp-DECIMAL value sums
         "events_salted_join": """

@@ -50,6 +50,11 @@ HEADLINE = [
     "doc_bm25_search",
     "events_attribution",
     "embedding_covariance",
+    "doc_chunk_overlap",
+    "doc_weighted_sample",
+    "corpus_bpe_merges",
+    "events_trailing_window",
+    "embedding_standardize",
     "verify_profiles",
     "stream_ingest_available_now",
 ]

@@ -569,3 +569,54 @@ def exact_percent_rank(
     denom = float(n - 1) if n > 1 else 1.0
     idx = global_row_index(df, order_cols, out=rank_col)
     return idx.withColumn(pct_col, F.col(rank_col) / F.lit(denom))
+
+
+def standardize_vectors(
+    df: DataFrame,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "z",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-dimension z-score standardization of an embedding column
+    ((x - mean_d) / std_d, population std) — the whitening/normalization
+    preprocessing step in front of clustering, ANN, and SemDeDup.
+
+    Scale shape: ONE corpus pass computes the d-row per-dimension moment
+    table (posexplode + map-side-combined groupBy, output bounded by
+    dimensionality, not corpus size — the same bounded-driver-result shape
+    as pca_top_components); the fitted means/stds are inlined as literal
+    arrays and the standardization itself is a shuffle-free, UDF-free
+    transform projection.
+
+    Engine-exact: means/stds are rounded to 9dp SQL-side BEFORE the
+    projection (both engines standardize with the same literals, so avg()
+    summation-order ulps can't propagate); outputs round to
+    ``round_digits``. Zero-variance dimensions standardize to 0.0.
+    """
+    stats = (
+        df.select(F.posexplode(vec).alias("dim", "value"))
+        .select("dim", F.col("value").cast("double").alias("v"))
+        .groupBy("dim")
+        .agg(
+            F.round(F.avg("v"), 9).alias("mu"),
+            F.round(
+                F.sqrt(F.avg(F.col("v") * F.col("v")) - F.avg("v") * F.avg("v")), 9
+            ).alias("sd"),
+        )
+        .orderBy("dim")
+        .collect()  # d rows — bounded by dimensionality
+    )
+    mus = F.array(*[F.lit(float(r.mu)) for r in stats])
+    sds = F.array(*[F.lit(float(r.sd)) for r in stats])
+    z = F.transform(
+        F.col(vec),
+        lambda x, i: F.when(F.element_at(sds, i + 1) == 0.0, F.lit(0.0)).otherwise(
+            F.round(
+                (x.cast("double") - F.element_at(mus, i + 1))
+                / F.element_at(sds, i + 1),
+                round_digits,
+            )
+        ),
+    )
+    return df.select(F.col(id_col), z.alias(out_col))

@@ -448,3 +448,42 @@ def test_covariance_gemm_matches_expr(spark):
         assert b[k] == pytest.approx(a[k], abs=1e-12)
     with pytest.raises(ValueError):
         covariance_matrix(df, "embedding", impl="nope")
+
+
+def test_standardize_vectors_matches_numpy(spark, embeddings):
+    import numpy as np
+
+    from nbdatatools_spark.operators.analysis import standardize_vectors
+
+    rows = embeddings.limit(100).collect()
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    mu = np.round(X.mean(axis=0), 9)
+    sd = np.round(np.sqrt((X * X).mean(axis=0) - X.mean(axis=0) ** 2), 9)
+    expect = {
+        r.vec_id: np.round((np.asarray(r.embedding, dtype=np.float64) - mu) / sd, 6)
+        for r in rows
+    }
+    got = standardize_vectors(
+        spark.createDataFrame(rows, embeddings.schema)
+    ).collect()
+    for r in got:
+        assert np.allclose(r.z, expect[r.vec_id], atol=2e-6), r.vec_id
+
+
+def test_standardize_vectors_zero_variance_dim(spark):
+    from nbdatatools_spark.operators.analysis import standardize_vectors
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 5.0]), (1, [1.0, 7.0])], "vec_id long, embedding array<double>"
+    )
+    z = {r.vec_id: r.z for r in standardize_vectors(df).collect()}
+    assert z[0][0] == 0.0 and z[1][0] == 0.0  # constant dim -> 0
+    assert z[0][1] == -1.0 and z[1][1] == 1.0  # +-1 around the mean
+
+
+def test_standardize_projection_has_no_shuffle(spark, embeddings):
+    from nbdatatools_spark.operators.analysis import standardize_vectors
+
+    out = standardize_vectors(embeddings)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # fit collects d rows; projection is map-side
