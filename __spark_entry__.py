@@ -1772,6 +1772,26 @@ def events_outlier_flags(spark, sf_dir):
     )
 
 
+def doc_incremental_dedup(spark, sf_dir):
+    """Incremental-ingest dedup: an incoming batch (fresh docs + re-keyed
+    copies of existing docs simulating re-crawled pages) is deduped
+    within itself, then anti-joined against the standing corpus's
+    DISTINCT fingerprint set. Both stages shuffle 16-byte md5 digests
+    only; join strategy left to AQE (no forced broadcast)."""
+    from nbdatatools_spark.operators.dedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    cols = docs.columns
+    existing = docs.where(F.col("doc_id") < 250)
+    fresh = docs.where(F.col("doc_id") >= 250)
+    recrawl = existing.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        *[c for c in cols if c != "doc_id"],
+    )
+    incoming = fresh.select(cols).unionByName(recrawl.select(cols))
+    return incremental_dedup(incoming, existing).select("doc_id", "source")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1859,8 +1879,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_standardize": embedding_standardize,
         "events_trailing_window": events_trailing_window,
         "events_outlier_flags": events_outlier_flags,
+        "doc_incremental_dedup": doc_incremental_dedup,
         # -- actively-evolving set --
-        "shuffled_events": shuffled_events,
         "union_concat": union_concat,
         "describe_embeddings": describe_embeddings,
         # position 50 — last recorded slot; see docstring.
@@ -1876,6 +1896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pnode_nested_andor": pnode_nested_andor,
         "pnode_null_eq": pnode_null_eq,
         "result_indices_hybrid": result_indices_hybrid,
+        "shuffled_events": shuffled_events,
         "predicate_store_roundtrip": predicate_store_roundtrip,
         "window_slice_rebase": window_slice_rebase,
         "topk_orders_per_customer": topk_orders_per_customer,
@@ -3381,5 +3402,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(e.value, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
             FROM events e JOIN dim d USING (user_id)
             GROUP BY e.user_id, d.n_events ORDER BY user_id
+        """,
+        # incremental dedup: within-batch min-id survivor + anti-join
+        # against the standing corpus's distinct fingerprints
+        "doc_incremental_dedup": f"""
+            WITH nrm AS (
+                SELECT doc_id, source, md5({_NORM}) AS fp FROM documents),
+            ex AS (SELECT DISTINCT fp FROM nrm WHERE doc_id < 250),
+            inc AS (
+                SELECT doc_id, source, fp FROM nrm WHERE doc_id >= 250
+                UNION ALL
+                SELECT doc_id + 10000, source, fp FROM nrm
+                WHERE doc_id < 250 AND doc_id % 5 = 0),
+            batch AS (
+                SELECT doc_id, source, fp,
+                       row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                FROM inc)
+            SELECT doc_id, source FROM batch
+            WHERE rn = 1 AND fp NOT IN (SELECT fp FROM ex)
+            ORDER BY doc_id
         """,
     }

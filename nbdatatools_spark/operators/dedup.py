@@ -83,6 +83,36 @@ def exact_dedup(
     return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
 
 
+def incremental_dedup(
+    incoming: DataFrame,
+    existing: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup an incoming batch against an existing corpus, then within
+    itself — the production incremental-ingest path (daily crawl deltas
+    joining a standing corpus; re-crawled pages must not re-enter).
+
+    Two stages, both digest-only on the shuffle/join path:
+
+    1. within-batch exact dedup (keep the lowest-id row per fingerprint,
+       same rule as ``exact_dedup``);
+    2. anti-join the batch against the DISTINCT fingerprint set of the
+       existing corpus — both sides shuffle 16-byte md5 digests, never
+       documents. The join strategy is left to AQE (the existing-side
+       digest set on a 100 TB corpus is far beyond broadcast range; cf.
+       the paragraph_dedup forced-broadcast hazard, VERDICT r3 #3).
+    """
+    fp = doc_fingerprint(F.col(text_col))
+    batch = exact_dedup(incoming, id_col=id_col, text_col=text_col)
+    seen = existing.select(fp.alias("__fp")).distinct()
+    return (
+        batch.withColumn("__fp", fp)
+        .join(seen, "__fp", "left_anti")
+        .drop("__fp")
+    )
+
+
 # --- MinHash + LSH --------------------------------------------------------
 
 def _mix64(h):

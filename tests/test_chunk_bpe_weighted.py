@@ -233,3 +233,36 @@ def test_exp_decayed_sum_partition_invariant(spark):
     r1 = sorted(exp_decayed_sum(df1, "k", "v", ["t"]).collect())
     r32 = sorted(exp_decayed_sum(df32, "k", "v", ["t"]).collect())
     assert r1 == r32
+
+
+# ---------------------------------------------------------------------------
+# incremental_dedup
+# ---------------------------------------------------------------------------
+
+def test_incremental_dedup_removes_recrawls_and_batch_dups(spark):
+    from nbdatatools_spark.operators.dedup import incremental_dedup
+
+    existing = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, "Alpha   beta"),   # dup of existing #1 after normalization
+            (11, "fresh content"),
+            (12, "fresh content"),  # within-batch dup of #11
+            (13, "entirely new"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id for r in incremental_dedup(incoming, existing).collect()
+    )
+    assert kept == [11, 13]
+
+
+def test_incremental_dedup_no_forced_broadcast(spark, documents):
+    from nbdatatools_spark.operators.dedup import incremental_dedup
+
+    out = incremental_dedup(documents, documents)
+    logical = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical  # join strategy left to AQE
