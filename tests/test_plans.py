@@ -205,3 +205,46 @@ def test_recording_window_invariant():
         row = r3.get(q)
         assert row is not None, f"tail query {q!r} has no recorded driver row"
         assert row["hash_match"], f"tail query {q!r} was not hash-green in r03"
+
+
+def test_decayed_sum_single_shuffle(spark, sf_dir):
+    """window(partitionBy k) + groupBy(k) reuse ONE hash exchange — the
+    docstring's one-shuffle claim, pinned."""
+    import __spark_entry__ as e
+
+    from nbdatatools_spark.operators.temporal import exp_decayed_sum
+
+    plan = (
+        exp_decayed_sum(e._t(spark, sf_dir, "events"), "user_id", "value", ["ts", "event_id"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+
+
+def test_trailing_range_window_single_shuffle(spark, sf_dir):
+    import __spark_entry__ as e
+
+    plan = (
+        e.events_trailing_window(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+
+
+def test_weighted_sample_uses_partial_topk(spark, documents):
+    """Global top-k must plan as TakeOrderedAndProject (per-partition
+    partial top-k), never a full sort."""
+    from nbdatatools_spark.operators.sampling import weighted_sample
+
+    plan = (
+        weighted_sample(documents, 10, "n_chars")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
