@@ -1792,6 +1792,45 @@ def doc_incremental_dedup(spark, sf_dir):
     return incremental_dedup(incoming, existing).select("doc_id", "source")
 
 
+def doc_dedup_keep_best(spark, sf_dir):
+    """Keep-best exact dedup: one map-side-combinable max_by aggregate per
+    fingerprint ordered by (quality, id) — the curation variant of
+    exact_dedup (keep the better capture of a twice-crawled page, not the
+    smaller id). Gate injects re-keyed duplicate docs with a synthetic
+    deterministic quality column."""
+    from nbdatatools_spark.operators.dedup import exact_dedup_keep_best
+
+    docs = _t(spark, sf_dir, "documents")
+    u = docs.select("doc_id", "text").unionByName(
+        docs.where(F.col("doc_id") % 4 == 0).select(
+            (F.col("doc_id") + 20_000).alias("doc_id"), "text"
+        )
+    )
+    w = u.withColumn("q", (F.col("doc_id") * 37) % 101)
+    return exact_dedup_keep_best(w, "q").select(
+        "fingerprint", "n_dups", "doc_id", "q"
+    )
+
+
+def doc_embedding_align(spark, sf_dir):
+    """Multimodal alignment join: documents ⋈ embeddings on id, then
+    per-source count + L2-norm aggregates (6dp-rounded, DECIMAL-summed).
+    The text+vector feature-table shape every multimodal pipeline
+    materializes; both sides shuffle on the join key, aggregates combine
+    map-side."""
+    from nbdatatools_spark.functions.distance import l2_norm
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    j = docs.join(emb, docs.doc_id == emb.vec_id)
+    return j.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.round(l2_norm(F.col("embedding")), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sum_l2_norm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1880,9 +1919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_trailing_window": events_trailing_window,
         "events_outlier_flags": events_outlier_flags,
         "doc_incremental_dedup": doc_incremental_dedup,
-        # -- actively-evolving set --
-        "union_concat": union_concat,
-        "describe_embeddings": describe_embeddings,
+        "doc_dedup_keep_best": doc_dedup_keep_best,
+        "doc_embedding_align": doc_embedding_align,
         # position 50 — last recorded slot; see docstring.
         "fit_embeddings_model": fit_embeddings_model,
         # -- long-stable tail (past the 50-entry recording window; all
@@ -1896,6 +1934,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pnode_nested_andor": pnode_nested_andor,
         "pnode_null_eq": pnode_null_eq,
         "result_indices_hybrid": result_indices_hybrid,
+        "union_concat": union_concat,
+        "describe_embeddings": describe_embeddings,
         "shuffled_events": shuffled_events,
         "predicate_store_roundtrip": predicate_store_roundtrip,
         "window_slice_rebase": window_slice_rebase,
@@ -3421,5 +3461,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source FROM batch
             WHERE rn = 1 AND fp NOT IN (SELECT fp FROM ex)
             ORDER BY doc_id
+        """,
+        # keep-best dedup: arg-max by (q, doc_id) per fingerprint
+        "doc_dedup_keep_best": f"""
+            WITH u AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 20000, text FROM documents WHERE doc_id % 4 = 0),
+            w AS (SELECT doc_id, (doc_id * 37) % 101 AS q,
+                         md5({_NORM}) AS fp
+                  FROM u),
+            r AS (SELECT fp, doc_id, q,
+                         row_number() OVER (PARTITION BY fp
+                                            ORDER BY q DESC, doc_id DESC) AS rn,
+                         count(*) OVER (PARTITION BY fp) AS n_dups
+                  FROM w)
+            SELECT fp AS fingerprint, n_dups, doc_id, q
+            FROM r WHERE rn = 1 ORDER BY fingerprint
+        """,
+        # multimodal alignment join: per-source doc counts + 6dp-DECIMAL
+        # L2-norm sums over the doc_id = vec_id join
+        "doc_embedding_align": """
+            SELECT d.source, count(*) AS n_docs,
+                   CAST(sum(CAST(round(sqrt(list_inner_product(
+                            CAST(e.embedding AS DOUBLE[]),
+                            CAST(e.embedding AS DOUBLE[]))), 6)
+                            AS DECIMAL(38,6))) AS DOUBLE) AS sum_l2_norm
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+            GROUP BY d.source ORDER BY d.source
         """,
     }

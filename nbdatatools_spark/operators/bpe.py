@@ -142,3 +142,52 @@ def bpe_segment(df: DataFrame, merges, text_col: str = "text", out_col: str = "b
         out_col,
         F.flatten(F.transform(words, lambda w: F.when(w == "", F.array().cast("array<string>")).otherwise(seg(w)))),
     )
+
+
+def corpus_base_chars(df: DataFrame, text_col: str = "text") -> list[str]:
+    """Distinct characters of the normalized corpus (the BPE base
+    alphabet): one explode + distinct, output bounded by alphabet size."""
+    from ..functions.text import normalize_text
+
+    norm = normalize_text(F.col(text_col))
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(norm)), lambda i: norm.substr(i, F.lit(1))
+    )
+    rows = (
+        df.select(F.explode(chars).alias("c"))
+        .where(F.col("c") != " ")
+        .distinct()
+        .collect()
+    )
+    return sorted(r.c for r in rows)
+
+
+def bpe_vocab(merges, base_chars) -> dict[str, int]:
+    """Token-id vocabulary: base alphabet first (sorted), then merge
+    outputs in merge order — the GPT-2-style id layout."""
+    vocab = list(dict.fromkeys(sorted(base_chars)))
+    for _, left, right, _ in merges:
+        tok = left + right
+        if tok not in vocab:
+            vocab.append(tok)
+    return {tok: i for i, tok in enumerate(vocab)}
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges,
+    vocab: dict[str, int],
+    text_col: str = "text",
+    out_col: str = "token_ids",
+) -> DataFrame:
+    """Encode a corpus to BPE token ids: segment with the merge table,
+    then map symbols through a literal vocab map — pure projection,
+    map-side; the vocab map is bounded (alphabet + n_merges entries).
+    Symbols missing from the vocab encode as NULL (loud, not silent)."""
+    seg = bpe_segment(df, merges, text_col=text_col, out_col="__bpe")
+    mapping = F.create_map(
+        *[x for tok, i in vocab.items() for x in (F.lit(tok), F.lit(i))]
+    )
+    return seg.withColumn(
+        out_col, F.transform(F.col("__bpe"), lambda t: mapping[t])
+    ).drop("__bpe")

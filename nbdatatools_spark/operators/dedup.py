@@ -113,6 +113,35 @@ def incremental_dedup(
     )
 
 
+def exact_dedup_keep_best(
+    df: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact dedup keeping the BEST duplicate instead of the lowest id:
+    one map-side-combinable ``max_by`` aggregate per fingerprint, ordered
+    by (quality, id) — deterministic on quality ties.
+
+    The curation variant of ``exact_dedup``: when a page is crawled twice,
+    keep the capture with the higher quality signal (longer render, later
+    fetch, better extraction score), not whichever got the smaller id.
+    Unlike the window/row_number formulation this is a single aggregate —
+    partial max_by merges map-side, so the shuffle carries one candidate
+    row per (partition, fingerprint), not every duplicate.
+    """
+    cols = df.columns
+    best = F.max_by(
+        F.struct(*[F.col(c) for c in cols]),
+        F.struct(F.col(quality_col), F.col(id_col)),
+    ).alias("__best")
+    return (
+        df.groupBy(doc_fingerprint(F.col(text_col)).alias("fingerprint"))
+        .agg(best, F.count("*").alias("n_dups"))
+        .select("fingerprint", "n_dups", *[F.col(f"__best.{c}").alias(c) for c in cols])
+    )
+
+
 # --- MinHash + LSH --------------------------------------------------------
 
 def _mix64(h):

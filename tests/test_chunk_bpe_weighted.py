@@ -266,3 +266,58 @@ def test_incremental_dedup_no_forced_broadcast(spark, documents):
     out = incremental_dedup(documents, documents)
     logical = out._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in logical  # join strategy left to AQE
+
+
+# ---------------------------------------------------------------------------
+# exact_dedup_keep_best / bpe_encode
+# ---------------------------------------------------------------------------
+
+def test_keep_best_prefers_quality_then_id(spark):
+    from nbdatatools_spark.operators.dedup import exact_dedup_keep_best
+
+    df = spark.createDataFrame(
+        [
+            (1, "same text", 5),
+            (2, "same  TEXT", 9),   # same fingerprint, higher quality -> wins
+            (3, "same text", 9),    # quality tie with #2 -> higher id wins
+            (4, "unique", 1),
+        ],
+        "doc_id long, text string, q long",
+    )
+    rows = {r.doc_id: r for r in exact_dedup_keep_best(df, "q").collect()}
+    assert set(rows) == {3, 4}
+    assert rows[3].n_dups == 3
+    assert rows[4].n_dups == 1
+
+
+def test_keep_best_is_single_aggregate_no_window(spark, documents):
+    from nbdatatools_spark.operators.dedup import exact_dedup_keep_best
+
+    df = documents.withColumn("q", F.col("doc_id") % 7)
+    plan = exact_dedup_keep_best(df, "q")._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert plan.count("Exchange") == 1  # one hash agg shuffle, partials map-side
+
+
+def test_bpe_encode_round_trips_vocab_ids(spark):
+    from nbdatatools_spark.operators.bpe import (
+        bpe_encode,
+        bpe_vocab,
+        corpus_base_chars,
+        learn_bpe_merges,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "low low")], "doc_id long, text string"
+    )
+    merges = learn_bpe_merges(df, n_merges=3, min_count=2)
+    chars = corpus_base_chars(df)
+    assert chars == sorted(set("lowerst"))
+    vocab = bpe_vocab(merges, chars)
+    # base chars take ids [0, len) in sorted order; merges append after
+    assert vocab["e"] < vocab[merges[0][1] + merges[0][2]]
+    enc = {r.doc_id: r.token_ids for r in bpe_encode(df, merges, vocab).collect()}
+    inv = {i: t for t, i in vocab.items()}
+    decoded = "".join(inv[i] for i in enc[2])
+    assert decoded == "lowlow"
+    assert all(i is not None for ids in enc.values() for i in ids)
