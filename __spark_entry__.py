@@ -1855,15 +1855,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       and in round 1 a failure there shadowed everything after it — at
       position 49 a failure can only shadow the already-recorded tail.
 
-    Layout: entries 0-17 = the rounds-1-3 never-recorded set (minhash,
+    Layout: entries 0-14 = the rounds-1-3 never-recorded set (minhash,
     simhash, LSH-ANN, PQ, K-S, recall, decontamination, repetition,
     mixture, packing, DSIR, deciles, vocab, paragraph-dedup,
-    training-pipeline) + early-r4 gates (transitive dedup, C4, as-of);
-    18-33 = round-4 session additions (domain caps, split, range join,
-    bigram LM, cube, dup spans, funnel, vocab coverage, covariance, PCA,
-    bucketed packing, approx-distinct, attribution, BM25, pivot,
-    setops); 34-48 = r3-green evolving set; 49 = fit; tail = r3-green
-    stable set. tests cross-check the tail against CORRECTNESS_r03.
+    training-pipeline); 15-33 = round-4 session-1 gates (transitive
+    dedup, C4, as-of, domain caps, split, range join, bigram LM, cube,
+    dup spans, funnel, vocab coverage, covariance, PCA, bucketed packing,
+    approx-distinct, attribution, BM25, pivot, setops); 34-48 = round-4
+    session-2 gates (chunking, weighted sample, Jaccard, markup strip,
+    BPE, EWMA, transitions, quantile sketch, salted join, standardize,
+    trailing window, outliers, incremental dedup, keep-best,
+    multimodal-align); 49 = fit. The window is now FULL of this-round
+    entries — the next session must wait for CORRECTNESS_r04 before
+    displacing any of them. Tail = r3-green stable set; tests cross-check
+    the tail against CORRECTNESS_r03.
     """
     return {
         # -- previously driver-unrecorded (rounds 1-3): record these first --
