@@ -55,6 +55,8 @@ HEADLINE = [
     "corpus_bpe_merges",
     "events_trailing_window",
     "embedding_standardize",
+    "doc_incremental_dedup",
+    "doc_dedup_keep_best",
     "verify_profiles",
     "stream_ingest_available_now",
 ]
