@@ -55,3 +55,51 @@ def running_user_stats(events):
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def running_decayed_sum(
+    events,
+    decay: float = 0.5,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    order_cols: tuple = ("ts", "event_id"),
+):
+    """Streaming EWMA: per-key exponentially-decayed value sum maintained
+    incrementally across micro-batches (state recurrence s ← v + decay·s —
+    the online form of operators.temporal.exp_decayed_sum's Σ v_i·d^(n-i);
+    with in-order arrival the final state equals the batch operator).
+
+    State per key is two scalars (count, ewma) — bounded regardless of
+    stream length, the O(1)-per-key shape GroupState is for. Events are
+    folded in ``order_cols`` order WITHIN each micro-batch; cross-batch
+    order is the source's (file/offset) order, as with any streaming
+    recurrence.
+    """
+    if not 0.0 < decay <= 1.0:
+        raise ValueError(f"decay must be in (0, 1], got {decay}")
+    order = list(order_cols)
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        (k,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            for v in pdf.sort_values(order)[value_col]:
+                s = float(v) + decay * s
+                n += 1
+        state.update((n, s))
+        state.setTimeoutDuration(60 * 60 * 1000)
+        yield pd.DataFrame({"key": [k], "n_events": [n], "decayed_sum": [s]})
+
+    out_schema = "key BIGINT, n_events BIGINT, decayed_sum DOUBLE"
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="n BIGINT, ewma DOUBLE",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

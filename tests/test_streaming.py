@@ -170,3 +170,64 @@ def test_stream_interval_join_equals_batch(spark, events_dir, tmp_path):
         for r in spark.sql("SELECT * FROM ivjoin").collect()
     }
     assert got == expected
+
+
+def test_streaming_decayed_sum_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming EWMA state after draining an in-order stream equals the
+    batch exp_decayed_sum: counts bit-exact, values within n*0.5e-9 (the
+    batch operator rounds each term to 9dp for oracle portability; the
+    streaming recurrence is exact)."""
+    import os
+
+    import __spark_entry__ as e
+    from nbdatatools_spark.operators.temporal import exp_decayed_sum
+    from nbdatatools_spark.streaming.stateful import running_decayed_sum
+
+    ev = (
+        e._t(spark, sf_dir, "events")
+        .where(F.col("user_id") <= 10)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("value", F.round(F.col("value") * 4) / 4)
+    )
+    expected = {
+        r.user_id: (r.n_events, r.decayed_sum)
+        for r in exp_decayed_sum(ev, "user_id", "value", ["ts", "event_id"], decay=0.5).collect()
+    }
+
+    # 4 ts-contiguous slices written as f0..f3: file order == time order,
+    # so cross-batch arrival respects event time
+    src = str(tmp_path / "ewma_src")
+    os.makedirs(src)
+    ordered = ev.orderBy("ts", "event_id").collect()
+    n = len(ordered)
+    schema = ev.schema
+    for i in range(4):
+        lo, hi = i * n // 4, (i + 1) * n // 4
+        spark.createDataFrame(ordered[lo:hi], schema).coalesce(1).write.parquet(
+            os.path.join(src, f"slice={i}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/slice=*")
+    )
+    out = running_decayed_sum(stream, decay=0.5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ewma_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY key "
+        "ORDER BY n_events DESC) rn FROM ewma_state) WHERE rn = 1"
+    ).collect()
+    got = {r.key: (r.n_events, r.decayed_sum) for r in rows}
+    assert set(got) == set(expected)
+    for k, (n, s_stream) in got.items():
+        n_batch, s_batch = expected[k]
+        assert n == n_batch, k
+        assert abs(s_stream - s_batch) < 1e-6, (k, s_stream, s_batch)
