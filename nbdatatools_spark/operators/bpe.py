@@ -85,6 +85,7 @@ def learn_bpe_merges(
     if n_merges <= 0:
         raise ValueError(f"n_merges must be positive, got {n_merges}")
     vocab = word_vocabulary(df, text_col).cache()
+    prev = None  # one-generation unpersist lag: see loop tail
     merges: list[tuple[int, str, str, int]] = []
     try:
         for step in range(n_merges):
@@ -115,10 +116,17 @@ def learn_bpe_merges(
             left, right, cnt = pairs[0]["left"], pairs[0]["right"], int(pairs[0]["pair_count"])
             merges.append((step, left, right, cnt))
             nxt = vocab.withColumn("symbols", _merge_pair(F.col("symbols"), left, right)).cache()
-            nxt.count()  # materialize before dropping the predecessor
-            vocab.unpersist()
+            # the pair-count job above materialized THIS generation's cache,
+            # so the grandparent is no longer reachable from any lazy plan —
+            # unpersist it one generation late instead of forcing an extra
+            # count() job per merge (halves the jobs per iteration)
+            if prev is not None:
+                prev.unpersist()
+            prev = vocab
             vocab = nxt
     finally:
+        if prev is not None:
+            prev.unpersist()
         vocab.unpersist()
     return merges
 
