@@ -622,3 +622,81 @@ def ivfpq_topk(
             F.col("__dist").alias("distance"),
         )
     )
+
+
+# --- Scalar quantization (SQ8) ---------------------------------------------
+
+def sq8_train(df: DataFrame, vec_col: str = "embedding") -> tuple[list, list]:
+    """Per-dimension (min, max) quantization bounds: one bounded moment
+    pass (d-row output), the SQ companion of pq_train. Returns
+    (mins, maxes) python lists for literal inlining."""
+    rows = (
+        df.select(F.posexplode(vec_col).alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.min(F.col("v").cast("double")).alias("lo"),
+             F.max(F.col("v").cast("double")).alias("hi"))
+        .orderBy("dim")
+        .collect()
+    )
+    return [r.lo for r in rows], [r.hi for r in rows]
+
+
+def sq8_encode(
+    df: DataFrame,
+    mins: list,
+    maxes: list,
+    vec_col: str = "embedding",
+    out_col: str = "sq_code",
+) -> DataFrame:
+    """Affine int8 quantization: code = round(255 * (x - lo) / (hi - lo)),
+    clamped to [0, 255], stored as array<tinyint> offset by -128 —
+    4x smaller than float32 at rest and on the shuffle wire (the standard
+    faiss SQ8 layout). Pure literal-array transform projection: no
+    shuffle, no UDF. Constant dimensions (hi == lo) encode as 0."""
+    lo = F.array(*[F.lit(float(v)) for v in mins])
+    span = F.array(
+        *[F.lit(float(h) - float(l)) for l, h in zip(mins, maxes)]
+    )
+    code = F.transform(
+        F.col(vec_col),
+        lambda x, i: (
+            F.when(F.element_at(span, i + 1) == 0.0, F.lit(0))
+            .otherwise(
+                F.greatest(
+                    F.lit(0),
+                    F.least(
+                        F.lit(255),
+                        F.round(
+                            (x.cast("double") - F.element_at(lo, i + 1))
+                            * 255.0
+                            / F.element_at(span, i + 1),
+                            0,
+                        ).cast("int"),
+                    ),
+                )
+            )
+            - 128
+        ).cast("tinyint"),
+    )
+    return df.withColumn(out_col, code)
+
+
+def sq8_decode(
+    df: DataFrame,
+    mins: list,
+    maxes: list,
+    code_col: str = "sq_code",
+    out_col: str = "embedding_dq",
+) -> DataFrame:
+    """Dequantize SQ8 codes back to doubles (reconstruction error is
+    bounded by span/510 per dimension — pinned by tests)."""
+    lo = F.array(*[F.lit(float(v)) for v in mins])
+    span = F.array(
+        *[F.lit(float(h) - float(l)) for l, h in zip(mins, maxes)]
+    )
+    vec = F.transform(
+        F.col(code_col),
+        lambda c, i: F.element_at(lo, i + 1)
+        + (c.cast("double") + 128.0) * F.element_at(span, i + 1) / 255.0,
+    )
+    return df.withColumn(out_col, vec)

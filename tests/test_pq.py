@@ -162,3 +162,44 @@ def test_ivfpq_nprobe_monotone(clustered, spark):
         recalls.append(len(got & exact) / len(exact))
     assert recalls[0] <= recalls[1] + 0.05 and recalls[1] <= recalls[2] + 0.05
     assert recalls[2] >= 0.5  # raw ADC, all cells
+
+
+# --- SQ8 scalar quantization ------------------------------------------------
+
+def test_sq8_roundtrip_error_bound(spark, embeddings):
+    from pyspark.sql import functions as F
+
+    from nbdatatools_spark.operators.similarity import (
+        sq8_decode,
+        sq8_encode,
+        sq8_train,
+    )
+
+    mins, maxes = sq8_train(embeddings)
+    enc = sq8_encode(embeddings, mins, maxes)
+    # tinyint storage: 1 byte/dim vs 4 (schema-level compression claim)
+    assert dict(enc.dtypes)["sq_code"] == "array<tinyint>"
+    dec = sq8_decode(enc, mins, maxes)
+    rows = dec.select("embedding", "embedding_dq").collect()
+    spans = [h - l for l, h in zip(mins, maxes)]
+    for r in rows:
+        for d, (x, y) in enumerate(zip(r.embedding, r.embedding_dq)):
+            assert abs(x - y) <= spans[d] / 510.0 + 1e-9, (d, x, y)
+
+
+def test_sq8_constant_dim_and_plan(spark):
+    from pyspark.sql import functions as F
+
+    from nbdatatools_spark.operators.similarity import sq8_encode, sq8_train
+
+    df = spark.createDataFrame(
+        [(0, [1.0, -2.0]), (1, [1.0, 4.0])], "vec_id long, embedding array<double>"
+    )
+    mins, maxes = sq8_train(df)
+    assert mins[0] == maxes[0] == 1.0
+    enc = sq8_encode(df, mins, maxes)
+    codes = {r.vec_id: list(r.sq_code) for r in enc.collect()}
+    assert codes[0][0] == -128 and codes[1][0] == -128  # constant dim -> 0-128
+    assert codes[0][1] == -128 and codes[1][1] == 127   # span endpoints
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # encode is a pure projection
