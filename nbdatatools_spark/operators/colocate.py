@@ -66,3 +66,82 @@ def join_shuffle_count(df: DataFrame) -> int:
     co-located join). AQE wraps the plan, so count on the final string."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return plan.count("Exchange ") + plan.count("Exchange(")
+
+
+# --- Z-order layout ---------------------------------------------------------
+
+def zorder_value(cols, bounds, bits: int = 16):
+    """Morton (Z-order) key over N numeric columns: each column is affine-
+    scaled into [0, 2^bits) with the provided (min, max) bounds, then the
+    bit planes are interleaved — pure Catalyst shift/mask arithmetic,
+    codegen-friendly, no UDF.
+
+    Sorting data by this key clusters rows that are close in EVERY listed
+    dimension, so parquet row-group min/max stats become selective for
+    filters on ANY of the columns (the multi-dimensional data-skipping
+    layout Delta/Iceberg expose as OPTIMIZE ZORDER). A single-column sort
+    only bounds its own column's spans.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder needs at least 2 columns")
+    if bits * n > 62:
+        raise ValueError(f"bits * n_cols must fit a long, got {bits}x{n}")
+    scaled = []
+    for c, (lo, hi) in zip(cols, bounds):
+        span = float(hi) - float(lo)
+        if span <= 0:
+            scaled.append(F.lit(0).cast("long"))
+            continue
+        x = (F.col(c).cast("double") - float(lo)) * (((1 << bits) - 1) / span)
+        scaled.append(
+            F.greatest(
+                F.lit(0), F.least(F.lit((1 << bits) - 1), F.round(x, 0).cast("long"))
+            )
+        )
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, s in enumerate(scaled):
+            z = z + F.shiftleft(
+                F.shiftright(s, i).bitwiseAND(F.lit(1)), i * n + j
+            )
+    return z
+
+
+def column_bounds(df: DataFrame, cols) -> list:
+    """One aggregate pass: [(min, max), ...] for each column."""
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        *[f for c in cols for f in (F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
+                                    F.max(F.col(c).cast("double")).alias(f"__hi_{c}"))]
+    ).first()
+    return [(row[f"__lo_{c}"], row[f"__hi_{c}"]) for c in cols]
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols,
+    bits: int = 16,
+    num_files: int = 16,
+) -> None:
+    """Write parquet laid out in Z-order over ``cols``: range-partition on
+    the Morton key (num_files contiguous key ranges -> one file each) and
+    sort within partitions, so every file's row-group stats bound a small
+    hyper-rectangle of the key space. One shuffle, paid once at layout
+    time — the multi-dimensional analogue of write_bucketed."""
+    from pyspark.sql import functions as F
+
+    bounds = column_bounds(df, cols)
+    z = zorder_value(cols, bounds, bits).alias("__z")
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(num_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

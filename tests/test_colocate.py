@@ -69,3 +69,80 @@ def test_unbucketed_same_join_does_shuffle(spark, sf_dir):
         assert join_shuffle_count(joined) >= 2
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+
+
+# --- Z-order layout ---------------------------------------------------------
+
+def test_zorder_value_matches_python_morton(spark):
+    from nbdatatools_spark.operators.colocate import zorder_value
+
+    bits = 8
+    df = spark.createDataFrame(
+        [(a, b) for a in (0, 1, 2, 100, 255) for b in (0, 3, 200, 255)],
+        "a long, b long",
+    )
+    got = {
+        (r.a, r.b): r.z
+        for r in df.withColumn(
+            "z", zorder_value(["a", "b"], [(0, 255), (0, 255)], bits)
+        ).collect()
+    }
+
+    def morton(a, b):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (a, b), z in got.items():
+        assert z == morton(a, b), (a, b)
+
+
+def test_zorder_layout_bounds_both_dims(spark, tmp_path):
+    """Per-file spans: a z-ordered layout bounds BOTH columns' min/max
+    ranges (so row-group stats skip on either filter); a single-column
+    sort bounds only its own."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nbdatatools_spark.operators.colocate import write_zordered
+
+    rng = random.Random(11)
+    data = [(rng.randrange(10_000), rng.randrange(10_000)) for _ in range(20_000)]
+    df = spark.createDataFrame(data, "x long, y long")
+
+    zpath = str(tmp_path / "zord")
+    write_zordered(df, zpath, ["x", "y"], bits=12, num_files=16)
+    spath = str(tmp_path / "xsort")
+    df.repartitionByRange(16, F.col("x")).sortWithinPartitions("x").write.parquet(spath)
+
+    def file_spans(path, col):
+        out = (
+            spark.read.parquet(path)
+            .withColumn("__f", F.input_file_name())
+            .groupBy("__f")
+            .agg((F.max(col) - F.min(col)).alias("span"))
+            .agg(F.avg("span"))
+            .first()[0]
+        )
+        return out / 10_000.0  # normalize by domain
+
+    # single-column sort: x tightly bounded, y unbounded (~full domain)
+    assert file_spans(spath, "x") < 0.15
+    assert file_spans(spath, "y") > 0.8
+    # z-order: BOTH dims bounded well below the full domain
+    assert file_spans(zpath, "x") < 0.5
+    assert file_spans(zpath, "y") < 0.5
+
+
+def test_zorder_validation(spark):
+    import pytest as _pytest
+
+    from nbdatatools_spark.operators.colocate import zorder_value
+
+    with _pytest.raises(ValueError):
+        zorder_value(["a"], [(0, 1)])
+    with _pytest.raises(ValueError):
+        zorder_value(["a", "b", "c"], [(0, 1)] * 3, bits=21)
