@@ -93,6 +93,7 @@ def harness(spark):
 @settings(
     max_examples=40,
     deadline=None,
+    derandomize=True,  # driver reruns replay exactly the validated examples
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(tree=_trees)

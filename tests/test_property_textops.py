@@ -17,6 +17,7 @@ from nbdatatools_spark.operators.temporal import exp_decayed_sum
 _SETTINGS = dict(
     max_examples=12,
     deadline=None,
+    derandomize=True,  # driver reruns replay exactly the validated examples
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 

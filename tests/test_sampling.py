@@ -230,6 +230,7 @@ if _HAVE_HYP:
     @settings(
         max_examples=15,
         deadline=None,
+        derandomize=True,
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )
     @given(
@@ -254,6 +255,7 @@ if _HAVE_HYP:
     @settings(
         max_examples=15,
         deadline=None,
+        derandomize=True,
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )
     @given(

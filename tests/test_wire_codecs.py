@@ -258,13 +258,13 @@ def _trees(leaf):
     )
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, derandomize=True)
 @given(node=_trees(_leaf_indexed()))
 def test_indexed_roundtrip_property(node):
     assert decode_framed(encode_framed(node, "indexed")) == node
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, derandomize=True)
 @given(node=_trees(_leaf_typed()))
 def test_typed_roundtrip_property(node):
     assert decode_framed(encode_framed(node, "typed")) == node
