@@ -1831,6 +1831,143 @@ def doc_embedding_align(spark, sf_dir):
     )
 
 
+def events_gapfill(spark, sf_dir):
+    """Time-series resample + LOCF gap-fill (temporal.py::gapfill): 6-hour
+    buckets per user, every bucket between the user's first and last
+    observation materialized; missing buckets carry the last observed
+    bucket value forward. Raw events collapse to bucket partials in the
+    first exchange; the grid/join/carry stages run on bucket rows only."""
+    from nbdatatools_spark.operators.temporal import gapfill
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") <= 30)
+    out = gapfill(ev, bucket_seconds=21600)
+    # NULL-free projection for the hash compare: is_gap already encodes
+    # which buckets were empty (filled_value is never NULL — the grid
+    # starts at each key's first OBSERVED bucket)
+    return out.select(
+        "user_id",
+        "bucket_ts",
+        "n_events",
+        F.coalesce("bucket_value", F.lit(0.0)).alias("bucket_value"),
+        "filled_value",
+        "is_gap",
+    ).orderBy("user_id", "bucket_ts")
+
+
+def embedding_maxsim(spark, sf_dir):
+    """ColBERT-style late-interaction retrieval (similarity.py::
+    maxsim_topk): queries and docs as bags of token vectors; score =
+    sum over query tokens of the max cosine against any doc token.
+    Gate shapes the embeddings table into 2 queries x 4 tokens (vec_id
+    < 8) against 10 label-grouped docs (vec_id 8..207); broadcast
+    interaction, two map-side-combinable reductions, rank window on
+    doc-level rows."""
+    from nbdatatools_spark.operators.similarity import maxsim_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 8).select(
+        (F.col("vec_id") % 2).alias("query_id"),
+        F.floor(F.col("vec_id") / 2).alias("token_pos"),
+        F.col("embedding").alias("vec"),
+    )
+    d = emb.where((F.col("vec_id") >= 8) & (F.col("vec_id") < 208)).select(
+        F.col("label").alias("doc_id"),
+        F.col("vec_id").alias("token_pos"),
+        F.col("embedding").alias("vec"),
+    )
+    return maxsim_topk(q, d, k=5).orderBy("query_id", "rank")
+
+
+def doc_edit_distance_pairs(spark, sf_dir):
+    """Blocked character-level near-dup verify (dedup.py::
+    edit_distance_pairs): within (lang, source) blocks, id-ordered pairs
+    with |n_chars delta| <= 3 scored by Levenshtein over the first 60
+    normalized chars; pairs at distance <= 45 survive. The O(n^2) work
+    is confined to equi-join blocks — one hash shuffle, no cross
+    product; levenshtein runs JVM-side in codegen."""
+    from nbdatatools_spark.operators.dedup import edit_distance_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return edit_distance_pairs(docs, max_distance=45).orderBy("id_a", "id_b")
+
+
+def doc_contamination_frac(spark, sf_dir):
+    """Graded test-set contamination (dedup.py::contamination_fraction):
+    per training doc, the fraction of its distinct word 13-grams found
+    in the test split (doc_id % 101 == 0) — the PaLM-style overlap dial
+    behind the boolean decontaminate drop. Grams shuffle as 8-byte
+    hashes; the test gram table broadcasts."""
+    from nbdatatools_spark.operators.dedup import contamination_fraction
+
+    docs = _t(spark, sf_dir, "documents")
+    test = docs.where(F.col("doc_id") % 101 == 0)
+    train = docs.where(F.col("doc_id") % 101 != 0)
+    return contamination_fraction(train, test, n=13).orderBy("id")
+
+
+def orders_snapshot_diff(spark, sf_dir):
+    """CDC snapshot diff (cdc.py::snapshot_diff): yesterday = orders as
+    stored; today = drop keys % 11 (deletes), bump o_totalprice on keys
+    % 5 (updates), re-key % 7 rows +10M (inserts). Both sides project to
+    (key, compared cols) before the full-outer join — the shuffle never
+    carries wide rows; AQE picks the join strategy."""
+    from nbdatatools_spark.operators.cdc import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    new = (
+        orders.where(F.col("o_orderkey") % 11 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            "o_orderstatus",
+        )
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 7 == 0).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                "o_totalprice",
+                "o_orderstatus",
+            )
+        )
+    )
+    return snapshot_diff(
+        old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    ).orderBy("o_orderkey", "change_type")
+
+
+def orders_quality_report(spark, sf_dir):
+    """Deequ-style declarative quality verification (quality_checks.py):
+    five constraint families over orders + an FK against customer. All
+    row-local checks share ONE map-side-combinable aggregate pass; the
+    unique check is one distinct-count; the FK check is one anti-join
+    against the (broadcastable) parent key set."""
+    from nbdatatools_spark.operators.quality_checks import (
+        foreign_key,
+        in_range,
+        matches,
+        not_null,
+        quality_report,
+        unique,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return quality_report(
+        orders,
+        [
+            not_null("o_custkey"),
+            unique("o_orderkey"),
+            in_range("o_totalprice", 0, 200000),
+            matches("o_orderpriority", "^[1-5]-"),
+            foreign_key("o_custkey", customer, "c_custkey"),
+        ],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1980,7 +2117,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_price_histogram": part_price_histogram,
         "supplier_balance_rank": supplier_balance_rank,
         "orders_running_total": orders_running_total,
+        # -- pending first driver recording (added after the r4 window
+        #    filled; local-oracle-green now, rotate into the recorded
+        #    window once CORRECTNESS_r04 lands) --
+        "events_gapfill": events_gapfill,
+        "embedding_maxsim": embedding_maxsim,
+        "doc_edit_distance_pairs": doc_edit_distance_pairs,
+        "doc_contamination_frac": doc_contamination_frac,
+        "orders_snapshot_diff": orders_snapshot_diff,
+        "orders_quality_report": orders_quality_report,
     }
+
+
+# Tail entries added after the current round's 50-slot recording window
+# filled: green under scripts/check_oracle.py but awaiting their first
+# driver CORRECTNESS row (see test_plans.py::test_recording_window_invariant).
+PENDING_FIRST_RECORDING = frozenset(
+    {
+        "events_gapfill",
+        "embedding_maxsim",
+        "doc_edit_distance_pairs",
+        "doc_contamination_frac",
+        "orders_snapshot_diff",
+        "orders_quality_report",
+    }
+)
 
 
 _STOPWORD_SQL_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -3494,5 +3655,172 @@ def oracle_sql() -> dict[str, str]:
                             AS DECIMAL(38,6))) AS DOUBLE) AS sum_l2_norm
             FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
             GROUP BY d.source ORDER BY d.source
+        """,
+        # 6h-bucket resample + LOCF gap-fill: observed bucket partials,
+        # per-user generate_series grid, left join, IGNORE NULLS carry
+        "events_gapfill": """
+            WITH obs AS (
+                SELECT user_id,
+                       CAST(floor(epoch_us(ts) / 21600000000) AS BIGINT) AS b,
+                       CAST(count(*) AS INT) AS n_events,
+                       CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6)))
+                            AS DOUBLE) AS bucket_value
+                FROM events WHERE user_id <= 30 GROUP BY 1, 2),
+            bounds AS (SELECT user_id, min(b) AS b0, max(b) AS b1
+                       FROM obs GROUP BY 1),
+            grid AS (SELECT user_id, unnest(generate_series(b0, b1)) AS b
+                     FROM bounds),
+            j AS (SELECT g.user_id, g.b, o.n_events, o.bucket_value
+                  FROM grid g LEFT JOIN obs o USING (user_id, b))
+            SELECT user_id,
+                   make_timestamp(b * 21600000000) AS bucket_ts,
+                   CAST(coalesce(n_events, 0) AS INT) AS n_events,
+                   coalesce(bucket_value, 0.0) AS bucket_value,
+                   last_value(bucket_value IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS filled_value,
+                   n_events IS NULL AS is_gap
+            FROM j ORDER BY user_id, b
+        """,
+        # ColBERT MaxSim: per-(query, token, doc) max of 9dp-rounded
+        # cosine, 9dp-DECIMAL-summed per (query, doc), rank by
+        # (score DESC, doc ASC)
+        "embedding_maxsim": """
+            WITH q AS (SELECT vec_id % 2 AS qid,
+                              CAST(floor(vec_id / 2) AS BIGINT) AS qpos,
+                              CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings WHERE vec_id < 8),
+            d AS (SELECT label AS did, CAST(embedding AS DOUBLE[]) AS e
+                  FROM embeddings WHERE vec_id >= 8 AND vec_id < 208),
+            inter AS (
+                SELECT q.qid, q.qpos, d.did,
+                       round(list_inner_product(q.e, d.e)
+                             / (sqrt(list_inner_product(q.e, q.e))
+                                * sqrt(list_inner_product(d.e, d.e))), 9) AS sim
+                FROM q CROSS JOIN d),
+            best AS (SELECT qid, qpos, did, max(sim) AS best
+                     FROM inter GROUP BY 1, 2, 3),
+            scores AS (SELECT qid, did,
+                              CAST(sum(CAST(best AS DECIMAL(38,9)))
+                                   AS DOUBLE) AS maxsim_score
+                       FROM best GROUP BY 1, 2),
+            ranked AS (SELECT qid, did, maxsim_score,
+                              row_number() OVER (
+                                  PARTITION BY qid
+                                  ORDER BY maxsim_score DESC, did ASC) AS rn
+                       FROM scores)
+            SELECT qid AS query_id, CAST(rn AS INT) AS rank,
+                   did AS doc_id, maxsim_score
+            FROM ranked WHERE rn <= 5 ORDER BY query_id, rank
+        """,
+        # blocked Levenshtein verify: (lang, source) blocks, id-ordered,
+        # |n_chars delta| <= 3, distance over first 60 normalized chars
+        "doc_edit_distance_pairs": f"""
+            WITH s AS (SELECT lang, source, doc_id, n_chars,
+                              substr({_NORM}, 1, 60) AS t
+                       FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(levenshtein(a.t, b.t) AS INT) AS edit_distance
+            FROM s a JOIN s b
+              ON a.lang = b.lang AND a.source = b.source
+             AND a.doc_id < b.doc_id
+             AND abs(a.n_chars - b.n_chars) <= 3
+            WHERE levenshtein(a.t, b.t) <= 45
+            ORDER BY id_a, id_b
+        """,
+        # graded contamination: distinct 13-grams per train doc, fraction
+        # present in the test split's gram set (same shingling as
+        # doc_decontaminate)
+        "doc_contamination_frac": """
+            WITH nrm AS (
+                SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                FROM documents),
+            toks AS (
+                SELECT doc_id, string_split(t, ' ') AS w
+                FROM nrm WHERE length(t) > 0),
+            tg AS (
+                SELECT DISTINCT array_to_string(w[i:i+12], ' ') AS gram
+                FROM (SELECT w, unnest(generate_series(1, greatest(len(w)-12, 1))) AS i
+                      FROM toks WHERE doc_id % 101 = 0)),
+            trg AS (
+                SELECT DISTINCT doc_id, array_to_string(w[i:i+12], ' ') AS gram
+                FROM (SELECT doc_id, w,
+                             unnest(generate_series(1, greatest(len(w)-12, 1))) AS i
+                      FROM toks WHERE doc_id % 101 <> 0)),
+            per AS (
+                SELECT doc_id, CAST(count(*) AS INT) AS n_grams,
+                       CAST(sum(CASE WHEN gram IN (SELECT gram FROM tg)
+                                     THEN 1 ELSE 0 END) AS INT) AS n_contaminated
+                FROM trg GROUP BY 1)
+            SELECT d.doc_id AS id,
+                   CAST(coalesce(p.n_grams, 0) AS INT) AS n_grams,
+                   CAST(coalesce(p.n_contaminated, 0) AS INT) AS n_contaminated,
+                   CASE WHEN coalesce(p.n_grams, 0) = 0 THEN 0.0
+                        ELSE round(CAST(p.n_contaminated AS DOUBLE)
+                                   / p.n_grams, 6) END AS contamination_frac
+            FROM documents d LEFT JOIN per p USING (doc_id)
+            WHERE d.doc_id % 101 <> 0 ORDER BY id
+        """,
+        # CDC snapshot diff: synthesized new snapshot (deletes % 11,
+        # +1.0 price updates % 5, re-keyed inserts % 7), full outer join,
+        # IS DISTINCT FROM change detection, unchanged rows dropped
+        "orders_snapshot_diff": """
+            WITH old AS (
+                SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+            new AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                            ELSE o_totalprice END AS o_totalprice,
+                       o_orderstatus
+                FROM orders WHERE o_orderkey % 11 <> 0
+                UNION ALL
+                SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+                FROM orders WHERE o_orderkey % 7 = 0),
+            j AS (
+                SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                       CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                            WHEN n.o_orderkey IS NULL THEN 'delete'
+                            WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                              OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                            THEN 'update'
+                            ELSE 'unchanged' END AS change_type
+                FROM old o FULL OUTER JOIN new n
+                  ON o.o_orderkey = n.o_orderkey)
+            SELECT o_orderkey, change_type FROM j
+            WHERE change_type <> 'unchanged'
+            ORDER BY o_orderkey, change_type
+        """,
+        # Deequ-style quality report: one row per check, names sorted
+        "orders_quality_report": """
+            SELECT "check", n_violations, n_violations = 0 AS passed
+            FROM (
+                SELECT 'not_null(o_custkey)' AS "check",
+                       CAST((SELECT count(*) FROM orders
+                             WHERE o_custkey IS NULL) AS BIGINT) AS n_violations
+                UNION ALL
+                SELECT 'unique(o_orderkey)',
+                       CAST((SELECT count(*) - count(DISTINCT o_orderkey)
+                             FROM orders) AS BIGINT)
+                UNION ALL
+                SELECT 'in_range(o_totalprice,0,200000)',
+                       CAST((SELECT count(*) FROM orders
+                             WHERE o_totalprice IS NOT NULL
+                               AND (o_totalprice < 0 OR o_totalprice > 200000))
+                            AS BIGINT)
+                UNION ALL
+                SELECT 'matches(o_orderpriority)',
+                       CAST((SELECT count(*) FROM orders
+                             WHERE o_orderpriority IS NOT NULL
+                               AND NOT regexp_matches(o_orderpriority, '^[1-5]-'))
+                            AS BIGINT)
+                UNION ALL
+                SELECT 'foreign_key(o_custkey)',
+                       CAST((SELECT count(*) FROM orders o
+                             WHERE o.o_custkey IS NOT NULL
+                               AND o.o_custkey NOT IN
+                                   (SELECT c_custkey FROM customer
+                                    WHERE c_custkey IS NOT NULL)) AS BIGINT)
+            ) ORDER BY "check"
         """,
     }

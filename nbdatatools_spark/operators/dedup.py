@@ -18,6 +18,8 @@ pairs, never the text. No driver-side collect anywhere.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -754,6 +756,136 @@ def contaminated_ids(
         train_grams.join(F.broadcast(test_grams), "__gh")
         .groupBy("id")
         .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def contamination_fraction(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Per-document contamination score: of each training doc's DISTINCT
+    word n-grams, the fraction also present in the test set — the graded
+    companion to the boolean :func:`contaminated_ids` drop rule (PaLM /
+    Chowdhery et al. 2022 §7 measure 70%-overlap contamination rather
+    than any-overlap; this operator produces that dial).
+
+    Same plan shape and shuffle discipline as :func:`contaminated_ids`:
+    grams project to 8-byte ``xxhash64`` keys map-side (raw n-gram
+    strings never shuffle), the tiny test-gram table broadcasts, and the
+    per-doc aggregate combines map-side. The only addition is a LEFT
+    join marker instead of an inner join, so uncontaminated docs report
+    0.0 rather than vanishing. Returns (id, n_grams, n_contaminated,
+    contamination_frac) — fraction rounded to 6dp for engine-exact
+    comparison; docs with no grams report zero counts.
+    """
+    from nbdatatools_spark.functions.text import word_shingles
+
+    test_grams = (
+        test.select(F.explode(word_shingles(F.col(text_col), n)).alias("__gram"))
+        .where(F.length("__gram") > 0)
+        .select(F.xxhash64("__gram").alias("__gh"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    train_grams = (
+        train.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(F.col(text_col), n)).alias("__gram"),
+        )
+        .where(F.length("__gram") > 0)
+        .select("id", F.xxhash64("__gram").alias("__gh"))
+        .distinct()
+    )
+    scored = (
+        train_grams.join(F.broadcast(test_grams), "__gh", "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("int").alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("int").alias(
+                "n_contaminated"
+            ),
+        )
+    )
+    ids = train.select(F.col(id_col).alias("id")).distinct()
+    return ids.join(scored, "id", "left").select(
+        "id",
+        F.coalesce("n_grams", F.lit(0)).cast("int").alias("n_grams"),
+        F.coalesce("n_contaminated", F.lit(0)).cast("int").alias("n_contaminated"),
+        F.when(
+            F.coalesce("n_grams", F.lit(0)) == 0, F.lit(0.0)
+        )
+        .otherwise(
+            F.round(
+                F.col("n_contaminated").cast("double") / F.col("n_grams"), 6
+            )
+        )
+        .alias("contamination_frac"),
+    )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    block_cols: Sequence[str] = ("lang", "source"),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    len_col: str | None = "n_chars",
+    max_len_delta: int = 3,
+    prefix_len: int = 60,
+    max_distance: int = 15,
+) -> DataFrame:
+    """Blocked edit-distance near-dup verification: within each
+    ``block_cols`` group, compare id-ordered document pairs whose lengths
+    differ by at most ``max_len_delta`` and keep pairs whose Levenshtein
+    distance over the first ``prefix_len`` normalized chars is at most
+    ``max_distance``. The character-level verify stage complementing the
+    token-level :func:`jaccard_verify` — the classic fuzzy-dedup rule for
+    short records (titles, citations, product names) where shingle
+    methods are too coarse.
+
+    Scale shape: the O(n²) comparison is confined to equi-join blocks —
+    one hash shuffle on ``block_cols``, never a cross product (blocking
+    is the standard entity-resolution discipline; pick blocks so group
+    sizes stay executor-bounded, exactly like SemDeDup's per-cluster
+    greedy). The length pre-filter prunes most in-block pairs before the
+    O(prefix_len²) distance evaluates; ``levenshtein`` runs JVM-side in
+    whole-stage codegen. Returns (id_a, id_b, edit_distance), id_a <
+    id_b.
+    """
+    if prefix_len < 1:
+        raise ValueError(f"prefix_len must be >= 1, got {prefix_len}")
+    norm = F.substring(normalize_text(F.col(text_col)), 1, prefix_len)
+    length = (
+        F.col(len_col) if len_col is not None else F.length(F.col(text_col))
+    )
+    slim = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("__id"),
+        norm.alias("__t"),
+        length.cast("long").alias("__len"),
+    )
+    a, b = slim.alias("a"), slim.alias("b")
+    cond = (F.col(f"a.{block_cols[0]}") == F.col(f"b.{block_cols[0]}"))
+    for c in block_cols[1:]:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    cond = (
+        cond
+        & (F.col("a.__id") < F.col("b.__id"))
+        & (
+            F.abs(F.col("a.__len") - F.col("b.__len"))
+            <= F.lit(int(max_len_delta))
+        )
+    )
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.levenshtein(F.col("a.__t"), F.col("b.__t")).alias("edit_distance"),
+        )
+        .where(F.col("edit_distance") <= F.lit(int(max_distance)))
     )
 
 

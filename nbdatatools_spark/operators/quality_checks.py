@@ -1,0 +1,160 @@
+"""Declarative data-quality verification (Deequ-style; Schelter et al.
+VLDB 2018) — constraint checks over a DataFrame reported as one row per
+check: ``(check STRING, n_violations BIGINT, passed BOOLEAN)``.
+
+The core trick is Deequ's: every ROW-LOCAL constraint (not-null, range,
+regex, custom predicate) compiles to a conditional-count aggregate, and
+ALL of them run in a single map-side-combinable pass over the data — one
+job, no shuffle beyond the final 1-row reduce, however many checks you
+stack. Only two check families genuinely need more:
+
+- ``unique(cols)`` — a distinct count (one hash-aggregate shuffle on the
+  checked columns);
+- ``foreign_key(cols, parent, parent_cols)`` — a left-anti join against
+  the parent's distinct keys (AQE picks broadcast when the parent is
+  small, the usual dim-table case).
+
+Each family contributes its own job; results union into one tiny report
+frame. At 100 TB the row-local pass is a single scan, the unique check
+shuffles only the key columns, and FK checks shuffle child keys against
+the (usually broadcast) parent key set — nothing materializes wide rows.
+
+Checks are (name, kind, payload) tuples built by the helper
+constructors; ``quality_report`` is the runner.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def not_null(col: str) -> tuple:
+    """Violation: the column is NULL."""
+    return (f"not_null({col})", "row", F.col(col).isNull())
+
+
+def in_range(col: str, lo, hi) -> tuple:
+    """Violation: value outside [lo, hi] (NULLs don't violate — stack a
+    not_null check for that)."""
+    c = F.col(col)
+    return (
+        f"in_range({col},{lo},{hi})",
+        "row",
+        c.isNotNull() & ((c < F.lit(lo)) | (c > F.lit(hi))),
+    )
+
+
+def matches(col: str, pattern: str) -> tuple:
+    """Violation: non-NULL value does not match the anchored regex."""
+    c = F.col(col)
+    return (
+        f"matches({col})",
+        "row",
+        c.isNotNull() & ~c.rlike(pattern),
+    )
+
+
+def satisfies(name: str, violation_cond) -> tuple:
+    """Violation: the arbitrary boolean Column is true."""
+    return (f"satisfies({name})", "row", violation_cond)
+
+
+def unique(cols: str | Sequence[str]) -> tuple:
+    """Violation count: count(*) - count(DISTINCT cols) — rows beyond
+    the first per duplicate key. Rows where ANY checked column is NULL
+    are dropped by count(DISTINCT ...) in both Spark and ANSI SQL, so
+    every NULL-keyed row counts as a violation (stack not_null checks to
+    attribute them)."""
+    cs = [cols] if isinstance(cols, str) else list(cols)
+    return (f"unique({','.join(cs)})", "unique", cs)
+
+
+def foreign_key(
+    cols: str | Sequence[str], parent: DataFrame, parent_cols: str | Sequence[str]
+) -> tuple:
+    """Violation count: child rows with a non-NULL key absent from the
+    parent key set (SQL-standard FK semantics: NULL keys pass)."""
+    cs = [cols] if isinstance(cols, str) else list(cols)
+    ps = [parent_cols] if isinstance(parent_cols, str) else list(parent_cols)
+    if len(cs) != len(ps):
+        raise ValueError(f"child/parent key arity mismatch: {cs} vs {ps}")
+    return (f"foreign_key({','.join(cs)})", "fk", (cs, parent, ps))
+
+
+def quality_report(df: DataFrame, checks: Sequence[tuple]) -> DataFrame:
+    """Run the checks; returns (check, n_violations, passed), one row per
+    check, in a deterministic order (sorted by check name).
+
+    All row-local checks share ONE aggregate pass; each unique/fk check
+    adds one slim keyed job; the union is a handful of 1-row frames.
+    """
+    if not checks:
+        raise ValueError("no checks given")
+    names = [c[0] for c in checks]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate check names: {sorted(names)}")
+    spark = df.sparkSession
+    reports: list[DataFrame] = []
+
+    row_checks = [(n, cond) for n, kind, cond in checks if kind == "row"]
+    if row_checks:
+        agg_row = df.agg(
+            *[
+                F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"c{i}")
+                for i, (_, cond) in enumerate(row_checks)
+            ]
+        )
+        stacked = agg_row.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(n).alias("check"),
+                            F.coalesce(F.col(f"c{i}"), F.lit(0)).alias(
+                                "n_violations"
+                            ),
+                        )
+                        for i, (n, _) in enumerate(row_checks)
+                    ]
+                )
+            ).alias("r")
+        ).select("r.check", "r.n_violations")
+        reports.append(stacked)
+
+    for n, kind, payload in checks:
+        if kind == "unique":
+            cs = payload
+            rep = df.agg(
+                (F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in cs]))
+                .cast("long")
+                .alias("n_violations")
+            ).select(F.lit(n).alias("check"), "n_violations")
+            reports.append(rep)
+        elif kind == "fk":
+            cs, parent, ps = payload
+            # non-NULL composite keys only (SQL FK: NULL passes)
+            cond = F.lit(True)
+            for c in cs:
+                cond = cond & F.col(c).isNotNull()
+            child_keys = df.select(*[F.col(c) for c in cs]).where(cond)
+            parent_keys = parent.select(
+                *[F.col(p).alias(c) for c, p in zip(cs, ps)]
+            ).distinct()
+            rep = (
+                child_keys.join(parent_keys, cs, "left_anti")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+                .select(F.lit(n).alias("check"), "n_violations")
+            )
+            reports.append(rep)
+
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "check",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    ).orderBy("check")

@@ -700,3 +700,83 @@ def sq8_decode(
         + (c.cast("double") + 128.0) * F.element_at(span, i + 1) / 255.0,
     )
     return df.withColumn(out_col, vec)
+
+
+# --- Late-interaction (MaxSim / ColBERT) ------------------------------------
+
+def maxsim_topk(
+    query_tokens: DataFrame,
+    doc_tokens: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    doc_id: str = "doc_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Late-interaction retrieval scoring (ColBERT MaxSim; Khattab &
+    Zaharia SIGIR 2020): both queries and documents are BAGS of token
+    vectors, and score(q, d) = sum over query tokens of the MAX cosine
+    similarity against any document token. Catches term-level matches a
+    single pooled embedding blurs away.
+
+    Inputs are long-form token tables — ``query_tokens`` (query_id,
+    token_pos, vec) and ``doc_tokens`` (doc_id, token_pos, vec) — the
+    layout that scales (multi-vector docs as rows, not mega-arrays).
+
+    Scale shape: the query token block broadcasts (retrieval queries are
+    the small side by definition); document tokens stream past it in ONE
+    pass with no shuffle at the interaction stage. The two reductions —
+    per-(query, token, doc) max, then per-(query, doc) sum — are
+    map-side-combinable hash aggregates whose key space is |q_tokens| x
+    |docs|, already a ~tokens-per-doc reduction of the interaction
+    output. Top-k per query is a rank window over doc-level rows only.
+    At 100 TB you'd pre-prune candidates with ANN (lsh_topk / ivf_topk
+    on pooled vectors) and MaxSim-rescore the survivors — this operator
+    IS that rescorer.
+
+    Engine-exact: per-pair cosine is rounded to 9dp before the max (max
+    of rounded = rounded max ordering), and per-query-token maxima are
+    9dp-DECIMAL-summed so doc scores are order-independent. Ties on
+    score break by doc_id ascending. Returns (query_id, rank, doc_id,
+    maxsim_score DOUBLE).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    q = query_tokens.select(
+        F.col(query_id).alias("__qid"),
+        F.col("token_pos").alias("__qpos"),
+        F.col(vec_col).alias("__qv"),
+    )
+    d = doc_tokens.select(
+        F.col(doc_id).alias("__did"),
+        F.col(vec_col).alias("__dv"),
+    )
+    from nbdatatools_spark.functions.distance import cosine_similarity
+
+    sim = F.round(cosine_similarity(F.col("__qv"), F.col("__dv")), 9)
+    per_token_best = (
+        d.crossJoin(F.broadcast(q))
+        .select("__qid", "__qpos", "__did", sim.alias("__sim"))
+        .groupBy("__qid", "__qpos", "__did")
+        .agg(F.max("__sim").alias("__best"))
+    )
+    doc_scores = (
+        per_token_best.groupBy("__qid", "__did")
+        .agg(
+            F.sum(F.col("__best").cast("decimal(38,9)"))
+            .cast("double")
+            .alias("maxsim_score")
+        )
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("maxsim_score").desc(), F.col("__did").asc()
+    )
+    return (
+        doc_scores.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            "rank",
+            F.col("__did").alias(doc_id),
+            "maxsim_score",
+        )
+    )

@@ -182,6 +182,78 @@ def range_join(
     )
 
 
+def gapfill(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_seconds: int = 3600,
+    max_span_buckets: int = 100_000,
+) -> DataFrame:
+    """Time-series resample + gap-fill: bucket each key's events into
+    ``bucket_seconds``-wide epoch buckets, then materialize EVERY bucket
+    between the key's first and last observation — missing buckets get
+    ``n_events = 0``, a NULL ``bucket_value``, and a last-observation-
+    carried-forward ``filled_value``. The regular-grid front-door for
+    downstream window features (trailing windows, EWMA) that assume
+    dense time series.
+
+    Scale shape: raw events collapse to bucket-level partial aggregates
+    in the FIRST exchange (one row per (key, bucket) per partition
+    map-side); everything after — per-key bounds, the ``sequence``-
+    exploded grid, the left join, the LOCF carry window — runs on
+    bucket-level rows only. Grid size is bounded loudly: a key spanning
+    more than ``max_span_buckets`` buckets raises at execution time
+    (widen the bucket or split the key upstream), the same guard
+    discipline as `range_join`.
+
+    Engine-exact: bucket values are 6dp-DECIMAL-summed; bucket ids are
+    integer floor-division of epoch micros.
+    """
+    if bucket_seconds < 1:
+        raise ValueError(f"bucket_seconds must be >= 1, got {bucket_seconds}")
+    b_us = int(bucket_seconds) * 1_000_000
+    bucket = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(b_us)
+    ).cast("long")
+    obs = df.groupBy(F.col(key_col), bucket.alias("__b")).agg(
+        F.count("*").cast("int").alias("n_events"),
+        F.sum(F.round(F.col(value_col), 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("bucket_value"),
+    )
+    bounds = obs.groupBy(key_col).agg(
+        F.min("__b").alias("__b0"), F.max("__b").alias("__b1")
+    )
+    span_ok = (F.col("__b1") - F.col("__b0")) < F.lit(int(max_span_buckets))
+    guarded_b1 = F.when(span_ok, F.col("__b1")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("gapfill: key spans too many buckets (max "),
+                F.lit(str(max_span_buckets)),
+                F.lit("); widen bucket_seconds or split the key upstream"),
+            )
+        )
+    )
+    grid = bounds.select(
+        key_col, F.explode(F.sequence(F.col("__b0"), guarded_b1)).alias("__b")
+    )
+    joined = grid.join(obs, [key_col, "__b"], "left")
+    wc = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("__b").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        F.col(key_col),
+        F.timestamp_micros(F.col("__b") * F.lit(b_us)).alias("bucket_ts"),
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("int").alias("n_events"),
+        F.col("bucket_value"),
+        F.last("bucket_value", ignorenulls=True).over(wc).alias("filled_value"),
+        F.col("n_events").isNull().alias("is_gap"),
+    )
+
+
 def exp_decayed_sum(
     df: DataFrame,
     key_col: str,

@@ -1,0 +1,205 @@
+"""Snapshot diff (operators/cdc.py) and declarative quality checks
+(operators/quality_checks.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nbdatatools_spark.operators.cdc import snapshot_diff
+from nbdatatools_spark.operators.quality_checks import (
+    foreign_key,
+    in_range,
+    matches,
+    not_null,
+    quality_report,
+    satisfies,
+    unique,
+)
+
+SNAP = "k BIGINT, v DOUBLE, s STRING"
+
+
+@pytest.fixture(scope="module")
+def snapshots(spark):
+    old = spark.createDataFrame(
+        [
+            (1, 10.0, "a"),
+            (2, 20.0, "b"),
+            (3, 30.0, "c"),
+            (4, None, "d"),  # NULL compared value
+            (5, 50.0, None),
+        ],
+        SNAP,
+    )
+    new = spark.createDataFrame(
+        [
+            (1, 10.0, "a"),      # unchanged
+            (2, 21.0, "b"),      # update (v)
+            (3, 30.0, "cc"),     # update (s)
+            (4, None, "d"),      # unchanged (NULL == NULL)
+            # 5 absent              delete
+            (6, 60.0, "f"),      # insert
+        ],
+        SNAP,
+    )
+    return old, new
+
+
+def test_snapshot_diff_classifies(snapshots):
+    old, new = snapshots
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert got == {2: "update", 3: "update", 5: "delete", 6: "insert"}
+
+
+def test_snapshot_diff_include_unchanged(snapshots):
+    old, new = snapshots
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(old, new, ["k"], include_unchanged=True).collect()
+    }
+    assert got[1] == "unchanged" and got[4] == "unchanged"
+    assert len(got) == 6
+
+
+def test_snapshot_diff_digest_mode_agrees(snapshots):
+    old, new = snapshots
+    a = sorted(
+        (r["k"], r["change_type"])
+        for r in snapshot_diff(old, new, ["k"], include_unchanged=True).collect()
+    )
+    b = sorted(
+        (r["k"], r["change_type"])
+        for r in snapshot_diff(
+            old, new, ["k"], include_unchanged=True, digest=True
+        ).collect()
+    )
+    assert a == b
+
+
+def test_snapshot_diff_compare_subset(snapshots):
+    old, new = snapshots
+    # comparing only v: doc 3 (s changed, v same) becomes unchanged
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(old, new, ["k"], ["v"]).collect()
+    }
+    assert 3 not in got
+    assert got[2] == "update"
+
+
+def test_snapshot_diff_null_key_raises(spark, snapshots):
+    _, new = snapshots
+    bad = spark.createDataFrame([(None, 1.0, "x")], SNAP)
+    with pytest.raises(Exception, match="NULL key"):
+        snapshot_diff(bad, new, ["k"]).collect()
+
+
+def test_snapshot_diff_validates_keys(snapshots):
+    old, new = snapshots
+    with pytest.raises(ValueError, match="key_cols"):
+        snapshot_diff(old, new, [])
+
+
+def test_snapshot_diff_slim_projection(snapshots):
+    """The join inputs must not carry columns outside key+compared —
+    column pruning reaches the scan."""
+    old, new = snapshots
+    plan = (
+        snapshot_diff(old, new, ["k"], ["v"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    # the pre-shuffle projections carry only key + v + presence marker;
+    # 's' never enters the exchange (ExistingRDD scans can't prune, so
+    # check the Project nodes feeding the join, not the scan line)
+    for line in plan.splitlines():
+        if "Project" in line and "__present" in line:
+            assert "s#" not in line
+
+
+# --- quality checks --------------------------------------------------------
+
+ROWS = "id BIGINT, grade STRING, score DOUBLE, ref BIGINT"
+
+
+@pytest.fixture(scope="module")
+def table(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "A-1", 50.0, 10),
+            (2, "B-2", 150.0, 10),   # score out of [0, 100]
+            (2, "C-3", 60.0, 20),    # duplicate id
+            (4, None, 70.0, 30),     # NULL grade
+            (5, "bad", 80.0, None),  # grade regex violation; NULL ref passes FK
+            (6, "A-9", 90.0, 99),    # ref 99 absent from parent
+        ],
+        ROWS,
+    )
+    parent = spark.createDataFrame([(10,), (20,), (30,)], "pid BIGINT")
+    return df, parent
+
+
+def test_quality_report_counts(table):
+    df, parent = table
+    rep = {
+        r["check"]: (r["n_violations"], r["passed"])
+        for r in quality_report(
+            df,
+            [
+                not_null("grade"),
+                unique("id"),
+                in_range("score", 0, 100),
+                matches("grade", "^[A-C]-[0-9]$"),
+                foreign_key("ref", parent, "pid"),
+            ],
+        ).collect()
+    }
+    assert rep["not_null(grade)"] == (1, False)
+    assert rep["unique(id)"] == (1, False)
+    assert rep["in_range(score,0,100)"] == (1, False)
+    assert rep["matches(grade)"] == (1, False)  # NULL grade doesn't violate regex
+    assert rep["foreign_key(ref)"] == (1, False)  # NULL ref passes
+
+
+def test_quality_report_all_pass(table):
+    df, parent = table
+    rep = quality_report(df, [not_null("id"), in_range("score", 0, 1000)]).collect()
+    assert all(r["passed"] and r["n_violations"] == 0 for r in rep)
+
+
+def test_quality_report_satisfies(table):
+    df, _ = table
+    rep = quality_report(
+        df, [satisfies("score_above_id", F.col("score") > F.col("id"))]
+    ).collect()
+    assert rep[0]["n_violations"] == 6  # every row violates: score > id
+
+
+def test_quality_report_single_pass_for_row_checks(table):
+    """All row-local checks compile into ONE aggregate over one scan —
+    no joins, no extra exchanges per check."""
+    df, _ = table
+    plan = (
+        quality_report(
+            df, [not_null("grade"), in_range("score", 0, 100), matches("grade", "x")]
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("HashAggregate") <= 2  # partial + final of one agg
+    assert "Join" not in plan
+
+
+def test_quality_report_validates(table):
+    df, parent = table
+    with pytest.raises(ValueError, match="no checks"):
+        quality_report(df, [])
+    with pytest.raises(ValueError, match="duplicate check"):
+        quality_report(df, [not_null("grade"), not_null("grade")])
+    with pytest.raises(ValueError, match="arity"):
+        foreign_key(["a", "b"], parent, "pid")

@@ -265,3 +265,58 @@ def test_duplicate_span_stats_validates_args(spark):
         duplicate_span_stats(df, span_tokens=0)
     with pytest.raises(ValueError):
         duplicate_span_stats(df, min_dup_docs=1)
+
+
+def test_contamination_fraction_grades_overlap(corpus):
+    from nbdatatools_spark.operators.dedup import contamination_fraction
+
+    train, test = corpus
+    rows = {
+        r["id"]: r
+        for r in contamination_fraction(train, test, n=13).collect()
+    }
+    # every training doc reports, contaminated or not
+    assert set(rows) == {1, 2, 3, 4}
+    # docs 1 and 4 contain 13-grams of the shared sentence; 2 shares none
+    assert rows[1]["n_contaminated"] >= 1
+    assert rows[4]["n_contaminated"] >= 1
+    assert rows[2]["n_contaminated"] == 0
+    assert rows[2]["contamination_frac"] == 0.0
+    # doc 3 is 2 words: one short gram, never in the test set
+    assert rows[3]["n_grams"] == 1
+    assert rows[3]["contamination_frac"] == 0.0
+    for r in rows.values():
+        assert 0.0 <= r["contamination_frac"] <= 1.0
+        assert r["n_contaminated"] <= r["n_grams"]
+
+
+def test_contamination_fraction_python_replica(corpus):
+    """Differential vs a direct python set computation of the same rule."""
+    from nbdatatools_spark.operators.dedup import contamination_fraction
+
+    train, test = corpus
+    n = 13
+
+    def grams(text):
+        w = " ".join(text.lower().split()).split(" ")
+        if not any(w):
+            return set()
+        out = set()
+        for i in range(max(len(w) - n + 1, 1)):
+            out.add(" ".join(w[i : i + n]))
+        return out
+
+    test_g = set()
+    for r in test.collect():
+        test_g |= grams(r["text"])
+    expected = {}
+    for r in train.collect():
+        g = grams(r["text"])
+        hit = len(g & test_g)
+        frac = round(hit / len(g), 6) if g else 0.0
+        expected[r["doc_id"]] = (len(g), hit, frac)
+    got = {
+        r["id"]: (r["n_grams"], r["n_contaminated"], r["contamination_frac"])
+        for r in contamination_fraction(train, test, n=n).collect()
+    }
+    assert got == expected

@@ -202,9 +202,17 @@ def test_recording_window_invariant():
     r3_path = os.path.join(os.path.dirname(e.__file__), "CORRECTNESS_r03.json")
     r3 = json.load(open(r3_path))
     for q in qs[50:]:
+        if q in e.PENDING_FIRST_RECORDING:
+            continue  # added after the r4 window filled; checked below
         row = r3.get(q)
         assert row is not None, f"tail query {q!r} has no recorded driver row"
         assert row["hash_match"], f"tail query {q!r} was not hash-green in r03"
+    # pending entries must sit in the tail (never displace recorded slots)
+    # and must carry a DuckDB oracle so check_oracle covers them now
+    oracles = e.oracle_sql()
+    for q in e.PENDING_FIRST_RECORDING:
+        assert qs.index(q) >= 50, f"pending query {q!r} is inside the window"
+        assert q in oracles, f"pending query {q!r} has no DuckDB oracle"
 
 
 def test_decayed_sum_single_shuffle(spark, sf_dir):

@@ -170,3 +170,80 @@ def test_range_join_rejects_column_collision(spark, points_intervals):
     pts, iv = points_intervals
     with pytest.raises(ValueError, match="share column names"):
         range_join(pts.withColumnRenamed("point_id", "interval_id"), iv)
+
+
+class TestGapfill:
+    @pytest.fixture(scope="class")
+    def series(self, spark):
+        from nbdatatools_spark.operators.temporal import gapfill
+
+        ev = spark.createDataFrame(
+            [
+                # user A: observations in hour-buckets 0, 0, 3 -> gaps 1, 2
+                (1, "A", _ts("2024-01-01T00:10:00"), 1.0),
+                (2, "A", _ts("2024-01-01T00:40:00"), 2.5),
+                (3, "A", _ts("2024-01-01T03:05:00"), 4.0),
+                # user B: a single observation -> single-bucket grid, no gaps
+                (4, "B", _ts("2024-01-01T05:59:59"), 7.0),
+            ],
+            "event_id BIGINT, user_id STRING, ts TIMESTAMP, value DOUBLE",
+        )
+        rows = (
+            gapfill(ev, key_col="user_id", bucket_seconds=3600)
+            .orderBy("user_id", "bucket_ts")
+            .collect()
+        )
+        return rows
+
+    def test_grid_is_dense_and_locf_carries(self, series):
+        a = [r for r in series if r["user_id"] == "A"]
+        assert [r["bucket_ts"].hour for r in a] == [0, 1, 2, 3]
+        assert [r["n_events"] for r in a] == [2, 0, 0, 1]
+        assert [r["is_gap"] for r in a] == [False, True, True, False]
+        assert a[0]["bucket_value"] == 3.5
+        # LOCF: gap buckets carry bucket 0's value until the next observation
+        assert [r["filled_value"] for r in a] == [3.5, 3.5, 3.5, 4.0]
+        assert all(r["bucket_value"] is None for r in a if r["is_gap"])
+
+    def test_single_observation_key(self, series):
+        b = [r for r in series if r["user_id"] == "B"]
+        assert len(b) == 1
+        assert b[0]["n_events"] == 1 and not b[0]["is_gap"]
+        assert b[0]["filled_value"] == 7.0
+
+    def test_partition_invariance(self, spark):
+        from nbdatatools_spark.operators.temporal import gapfill
+
+        base = [
+            (i, f"u{i % 3}", _ts("2024-01-01T00:00:00"), float(i))
+            for i in range(1, 40)
+        ]
+        # spread events over 30 hours
+        import datetime as dt
+
+        data = [
+            (e, u, t + dt.timedelta(hours=(e * 7) % 30), v)
+            for e, u, t, v in base
+        ]
+        schema = "event_id BIGINT, user_id STRING, ts TIMESTAMP, value DOUBLE"
+        one = spark.createDataFrame(data, schema).coalesce(1)
+        many = spark.createDataFrame(data, schema).repartition(8)
+        collect = lambda df: sorted(
+            (r["user_id"], r["bucket_ts"], r["n_events"], r["filled_value"])
+            for r in gapfill(df, key_col="user_id", bucket_seconds=3600).collect()
+        )
+        assert collect(one) == collect(many)
+
+    def test_span_guard_raises(self, spark):
+        from nbdatatools_spark.operators.temporal import gapfill
+
+        ev = spark.createDataFrame(
+            [
+                (1, "A", _ts("2024-01-01T00:00:00"), 1.0),
+                (2, "A", _ts("2026-01-01T00:00:00"), 2.0),  # ~17.5k hourly buckets
+            ],
+            "event_id BIGINT, user_id STRING, ts TIMESTAMP, value DOUBLE",
+        )
+        out = gapfill(ev, key_col="user_id", bucket_seconds=3600, max_span_buckets=100)
+        with pytest.raises(Exception, match="spans too many buckets"):
+            out.collect()
