@@ -1968,6 +1968,71 @@ def orders_quality_report(spark, sf_dir):
     )
 
 
+def doc_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical top-50 and dense cosine top-50 (query
+    = vec 0's embedding, candidates restricted to document ids) fused by
+    reciprocal-rank fusion (lm.py::rrf_fuse, Cormack et al. SIGIR 2009).
+    Fusion shuffles only slim (id, rank) projections; final top-20 is
+    TakeOrderedAndProject. 9dp-DECIMAL term sums keep the DuckDB replica
+    hash-exact."""
+    from nbdatatools_spark.operators.lm import bm25_topk, rrf_fuse
+    from nbdatatools_spark.operators.similarity import brute_force_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, ["vector", "hash", "spill"], top_k=50).select(
+        "doc_id", "rank"
+    )
+    base = emb.join(
+        docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    q = emb.where(F.col("vec_id") == 0)
+    dense = brute_force_topk(q, base, k=50, metric="cosine", impl="expr").select(
+        F.col("base_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([lex, dense], id_col="doc_id", k0=60, top_k=20).orderBy("rank")
+
+
+def events_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix (temporal.py::cohort_retention):
+    first-touch groupBy assigns each user's cohort week; the distinct
+    (user, activity-week) set joins back and counts per (cohort, offset).
+    All-integer cells; Monday-aligned week arithmetic is engine-exact."""
+    from nbdatatools_spark.operators.temporal import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts", period="week").orderBy(
+        "cohort", "period_offset"
+    )
+
+
+def orders_column_profile(spark, sf_dir):
+    """Single-pass column profiling (quality_checks.py::profile_columns,
+    the Deequ analyzer surface): counts/nulls/distincts/min/max for two
+    string and two numeric orders columns — every statistic from ONE
+    aggregate over one scan, exploded into the per-column report."""
+    from nbdatatools_spark.operators.quality_checks import profile_columns
+
+    orders = _t(spark, sf_dir, "orders")
+    return profile_columns(
+        orders, ["o_custkey", "o_orderpriority", "o_orderstatus", "o_totalprice"]
+    ).orderBy("column")
+
+
+def doc_group_keywords(spark, sf_dir):
+    """Distinguishing keywords per source — class-level TF-IDF
+    (analysis.py::group_keywords, the c-TF-IDF idea of BERTopic): one
+    corpus tokenize pass -> (group, token) counts -> group-frequency idf
+    -> per-group top-5 over vocab-sized rows. Score = count * 9dp-rounded
+    idf, 6dp-rounded — hash-exact in DuckDB."""
+    from nbdatatools_spark.operators.analysis import group_keywords
+
+    docs = _t(spark, sf_dir, "documents")
+    return group_keywords(docs, "source", "text", top_k=5, min_count=2).orderBy(
+        "source", "rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2126,6 +2191,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_contamination_frac": doc_contamination_frac,
         "orders_snapshot_diff": orders_snapshot_diff,
         "orders_quality_report": orders_quality_report,
+        "doc_rrf_fusion": doc_rrf_fusion,
+        "events_cohort_retention": events_cohort_retention,
+        "orders_column_profile": orders_column_profile,
+        "doc_group_keywords": doc_group_keywords,
     }
 
 
@@ -2140,6 +2209,10 @@ PENDING_FIRST_RECORDING = frozenset(
         "doc_contamination_frac",
         "orders_snapshot_diff",
         "orders_quality_report",
+        "doc_rrf_fusion",
+        "events_cohort_retention",
+        "orders_column_profile",
+        "doc_group_keywords",
     }
 )
 
@@ -3822,5 +3895,148 @@ def oracle_sql() -> dict[str, str]:
                                    (SELECT c_custkey FROM customer
                                     WHERE c_custkey IS NOT NULL)) AS BIGINT)
             ) ORDER BY "check"
+        """,
+        # RRF hybrid retrieval: bm25 top-50 + dense cosine top-50 (query =
+        # vec 0), fused by 9dp-rounded reciprocal-rank terms, DECIMAL-summed
+        "doc_rrf_fusion": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t
+                FROM documents),
+            lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+            stats AS (SELECT count(*) AS n,
+                             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+                      FROM lens),
+            hits AS (SELECT doc_id, u.w AS w FROM toks, unnest(t) AS u(w)
+                     WHERE u.w IN ('hash', 'spill', 'vector')),
+            dfc AS (SELECT w, count(DISTINCT doc_id) AS dfreq FROM hits GROUP BY w),
+            tf AS (SELECT doc_id, w, count(*) AS tfreq FROM hits GROUP BY doc_id, w),
+            contrib AS (
+                SELECT tf.doc_id,
+                       CAST(round(
+                         round(ln(1.0 + (CAST(n AS DOUBLE) - dfreq + 0.5)
+                                        / (dfreq + 0.5)), 9)
+                         * (tfreq * (CAST(1.2 AS DOUBLE) + 1.0))
+                         / (tfreq + CAST(1.2 AS DOUBLE)
+                            * (CAST(0.25 AS DOUBLE)
+                               + CAST(0.75 AS DOUBLE) * dl / avgdl)),
+                       9) AS DECIMAL(20,9)) AS c
+                FROM tf JOIN dfc USING (w)
+                     JOIN lens ON tf.doc_id = lens.doc_id, stats),
+            bscored AS (SELECT doc_id,
+                               round(CAST(CAST(sum(c) AS DECIMAL(38,9)) AS DOUBLE), 6) AS score
+                        FROM contrib GROUP BY doc_id),
+            lex AS (SELECT doc_id,
+                           CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+                    FROM bscored),
+            bb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+                   WHERE vec_id IN (SELECT doc_id FROM documents)),
+            qq AS (SELECT e FROM bb WHERE vec_id = 0),
+            dpairs AS (SELECT b.vec_id AS doc_id, {_COS_DIST} AS dist
+                       FROM bb b CROSS JOIN qq q),
+            dense AS (SELECT doc_id,
+                             CAST(row_number() OVER (ORDER BY dist ASC, doc_id ASC) AS INT) AS rank
+                      FROM dpairs),
+            unioned AS (
+                SELECT doc_id, rank FROM lex WHERE rank <= 50
+                UNION ALL
+                SELECT doc_id, rank FROM dense WHERE rank <= 50),
+            fused AS (
+                SELECT doc_id,
+                       CAST(count(*) AS INT) AS n_lists,
+                       round(CAST(CAST(sum(CAST(round(
+                           CAST(1.0 AS DOUBLE) / (60 + rank), 9)
+                           AS DECIMAL(20,9))) AS DECIMAL(38,9)) AS DOUBLE), 6)
+                           AS rrf_score
+                FROM unioned GROUP BY doc_id),
+            rranked AS (
+                SELECT doc_id, n_lists, rrf_score,
+                       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS rank
+                FROM fused)
+            SELECT doc_id, n_lists, rrf_score, rank
+            FROM rranked WHERE rank <= 20 ORDER BY rank
+        """,
+        # cohort retention: Monday week-trunc both engines; offsets are
+        # exact integer days/7
+        "events_cohort_retention": """
+            WITH first AS (
+                SELECT user_id,
+                       CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+                FROM events GROUP BY user_id),
+            act AS (
+                SELECT DISTINCT user_id,
+                       CAST(date_trunc('week', ts) AS DATE) AS p
+                FROM events)
+            SELECT cohort,
+                   CAST(date_diff('day', cohort, p) / 7 AS INT) AS period_offset,
+                   count(*) AS n_users
+            FROM act JOIN first USING (user_id)
+            GROUP BY cohort, period_offset
+            ORDER BY cohort, period_offset
+        """,
+        # column profile: one UNION-ALL branch per column; numerics report
+        # rounded doubles, strings report min/max strings
+        "orders_column_profile": """
+            SELECT * FROM (
+                SELECT 'o_custkey' AS "column",
+                       count(*) AS n_rows,
+                       count(*) - count(o_custkey) AS n_null,
+                       count(DISTINCT o_custkey) AS n_distinct,
+                       NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str,
+                       round(CAST(min(o_custkey) AS DOUBLE), 6) AS min_num,
+                       round(CAST(max(o_custkey) AS DOUBLE), 6) AS max_num
+                FROM orders
+                UNION ALL
+                SELECT 'o_orderpriority', count(*),
+                       count(*) - count(o_orderpriority),
+                       count(DISTINCT o_orderpriority),
+                       min(o_orderpriority), max(o_orderpriority),
+                       NULL::DOUBLE, NULL::DOUBLE
+                FROM orders
+                UNION ALL
+                SELECT 'o_orderstatus', count(*),
+                       count(*) - count(o_orderstatus),
+                       count(DISTINCT o_orderstatus),
+                       min(o_orderstatus), max(o_orderstatus),
+                       NULL::DOUBLE, NULL::DOUBLE
+                FROM orders
+                UNION ALL
+                SELECT 'o_totalprice', count(*),
+                       count(*) - count(o_totalprice),
+                       count(DISTINCT o_totalprice),
+                       NULL::VARCHAR, NULL::VARCHAR,
+                       round(CAST(min(o_totalprice) AS DOUBLE), 6),
+                       round(CAST(max(o_totalprice) AS DOUBLE), 6)
+                FROM orders
+            ) ORDER BY "column"
+        """,
+        # class-level tf-idf keywords: idf over group frequency, 9dp idf,
+        # 6dp score, per-group top-5
+        "doc_group_keywords": """
+            WITH t AS (
+                SELECT source,
+                       unnest(string_split(
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                           ' ')) AS token
+                FROM documents),
+            c AS (SELECT source, token, count(*) AS n_occurrences
+                  FROM t WHERE length(token) > 0
+                  GROUP BY source, token),
+            gf AS (SELECT token, count(*) AS n_groups_with FROM c GROUP BY token),
+            g AS (SELECT count(DISTINCT source) AS ng FROM documents),
+            s AS (SELECT source, c.token, n_occurrences, n_groups_with,
+                         round(n_occurrences
+                               * round(ln(CAST(ng AS DOUBLE) / n_groups_with), 9),
+                               6) AS score
+                  FROM c JOIN gf USING (token), g
+                  WHERE n_occurrences >= 2),
+            r AS (SELECT source, token, n_occurrences, n_groups_with, score,
+                         CAST(row_number() OVER (
+                             PARTITION BY source
+                             ORDER BY score DESC, token ASC) AS INT) AS rank
+                  FROM s)
+            SELECT source, token, n_occurrences, n_groups_with, score, rank
+            FROM r WHERE rank <= 5 ORDER BY source, rank
         """,
     }

@@ -620,3 +620,66 @@ def standardize_vectors(
         ),
     )
     return df.select(F.col(id_col), z.alias(out_col))
+
+
+def group_keywords(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Distinguishing keywords per group — class-based TF-IDF (the
+    c-TF-IDF idea behind BERTopic, Grootendorst arXiv:2203.05794,
+    restated as classic group-level tf-idf): treat each group (domain,
+    source, language, cluster id, ...) as one pseudo-document; score
+    token t in group g by ``count(t in g) * ln(G / groups_containing(t))``
+    and keep each group's top-k. Tokens present in every group (idf = 0)
+    score 0 and only surface if nothing rarer exists.
+
+    Plan: explode normalized tokens -> ONE map-side-combinable
+    groupBy(group, token) count (the only pass over corpus text) ->
+    group-frequency aggregate over the VOCAB-sized count table -> G is
+    one bounded driver scalar (strata count, the mixture_rates pattern)
+    -> per-group top-k via a ranking window over slim (group, token,
+    score) rows. Nothing wide shuffles; the window partitions by group
+    over vocab-sized input, not corpus-sized.
+
+    Exactness: idf rounded 9dp, score = count * idf rounded 6dp; ties
+    break on token ASC. Returns ``(group_col, token, n_occurrences,
+    n_groups_with, score, rank)``.
+    """
+    from pyspark.sql import Window
+
+    from nbdatatools_spark.functions.text import normalize_text, tokens
+
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    ex = df.select(
+        F.col(group_col).alias("__g"),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("token"),
+    )
+    counts = ex.groupBy("__g", "token").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    n_groups = df.select(group_col).distinct().count()
+    gf = counts.groupBy("token").agg(F.count(F.lit(1)).alias("n_groups_with"))
+    idf = F.round(F.log(F.lit(float(n_groups)) / F.col("n_groups_with")), 9)
+    scored = (
+        counts.where(F.col("n_occurrences") >= min_count)
+        .join(gf, "token")
+        .select(
+            F.col("__g").alias(group_col),
+            "token",
+            "n_occurrences",
+            "n_groups_with",
+            F.round(F.col("n_occurrences") * idf, 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= top_k)
+    )

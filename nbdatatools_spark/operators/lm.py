@@ -236,3 +236,64 @@ def bm25_topk(
         .limit(top_k)
         .withColumn("rank", F.row_number().over(w).cast("int"))
     )
+
+
+def rrf_fuse(
+    ranked: list,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher SIGIR 2009) —
+    the standard hybrid-retrieval combiner: fuse any number of ranked
+    candidate lists (lexical BM25, dense KNN, ...) into one list by
+    ``score(d) = sum over lists of 1 / (k0 + rank_l(d))``. Documents
+    missing from a list simply contribute nothing — no imputation.
+
+    Each input frame needs ``(id_col, rank_col)``; anything else is
+    ignored. Plan: union the slim (id, rank) projections (wide payloads
+    never enter the fusion), ONE map-side-combinable groupBy on the id,
+    TakeOrderedAndProject global top-k — no full sort, no join between
+    the lists. At 100 TB the candidate lists are top-k outputs (bounded),
+    so fusion is a trivially small job; the shape still holds for
+    million-row candidate pools (digest-sized shuffle keys).
+
+    Exactness: each reciprocal term is rounded to 9dp and DECIMAL-summed
+    (order-invariant across lists), then ONE 6dp rounding of the double —
+    the bm25_topk convention, replicable verbatim in an oracle engine.
+    Returns ``(id_col, n_lists INT, rrf_score DOUBLE, rank INT)`` ranked
+    by (rrf_score DESC, id ASC).
+    """
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    if k0 < 1:
+        raise ValueError(f"k0 must be >= 1, got {k0}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    slim = None
+    for df in ranked:
+        part = df.select(
+            F.col(id_col).alias("__id"),
+            F.col(rank_col).cast("int").alias("__r"),
+        )
+        slim = part if slim is None else slim.unionByName(part)
+    term = F.round(F.lit(1.0) / (F.lit(int(k0)) + F.col("__r")), 9).cast(_TERM_DEC)
+    fused = (
+        slim.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_lists"),
+            F.sum(term).cast(_SUM_DEC).alias("__s"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_lists",
+            F.round(F.col("__s").cast("double"), 6).alias("rrf_score"),
+        )
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    return (
+        fused.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(top_k)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )

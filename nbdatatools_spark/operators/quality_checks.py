@@ -158,3 +158,70 @@ def quality_report(df: DataFrame, checks: Sequence[tuple]) -> DataFrame:
         "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     ).orderBy("check")
+
+
+_NUM_TYPES = ("tinyint", "smallint", "int", "bigint", "float", "double")
+
+
+def profile_columns(
+    df: DataFrame, cols: Sequence[str], approx: bool = False
+) -> DataFrame:
+    """Single-pass column profiling (the Deequ/Glue "analyzer" surface):
+    per requested column, row count, NULL count, distinct count, and
+    min/max — strings in ``min_str/max_str``, numerics rounded to 6dp in
+    ``min_num/max_num``. Returns one row per column:
+    ``(column, n_rows, n_null, n_distinct, min_str, max_str, min_num,
+    max_num)``.
+
+    Plan: ALL per-column statistics compile into ONE aggregate over one
+    scan — count/min/max combine map-side; the exact distinct counts
+    make Catalyst expand the input (one duplicate of the slim projection
+    per distinct column), which is the classic multi-distinct plan and
+    is fine while the column list is short. For 100-TB profiling runs
+    pass ``approx=True``: ``approx_count_distinct`` (HLL) keeps the
+    whole profile a single non-expanded map-side-combinable pass.
+    The 1-row aggregate then explodes into the per-column report frame —
+    driver never collects anything.
+    """
+    if not cols:
+        raise ValueError("profile_columns needs at least one column")
+    dtypes = dict(df.dtypes)
+    missing = [c for c in cols if c not in dtypes]
+    if missing:
+        raise ValueError(f"columns not in frame: {missing}")
+    nd = F.approx_count_distinct if approx else F.count_distinct
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+        aggs.append(nd(F.col(c)).alias(f"__nd_{c}"))
+        if dtypes[c] in _NUM_TYPES:
+            aggs.append(F.round(F.min(c).cast("double"), 6).alias(f"__min_{c}"))
+            aggs.append(F.round(F.max(c).cast("double"), 6).alias(f"__max_{c}"))
+        else:
+            aggs.append(F.min(F.col(c).cast("string")).alias(f"__min_{c}"))
+            aggs.append(F.max(F.col(c).cast("string")).alias(f"__max_{c}"))
+    row = df.agg(*aggs)
+    entries = []
+    for c in cols:
+        is_num = dtypes[c] in _NUM_TYPES
+        entries.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_rows"),
+                (F.col("__n") - F.col(f"__nn_{c}")).alias("n_null"),
+                F.col(f"__nd_{c}").cast("bigint").alias("n_distinct"),
+                (F.lit(None).cast("string") if is_num else F.col(f"__min_{c}")).alias(
+                    "min_str"
+                ),
+                (F.lit(None).cast("string") if is_num else F.col(f"__max_{c}")).alias(
+                    "max_str"
+                ),
+                (F.col(f"__min_{c}") if is_num else F.lit(None).cast("double")).alias(
+                    "min_num"
+                ),
+                (F.col(f"__max_{c}") if is_num else F.lit(None).cast("double")).alias(
+                    "max_num"
+                ),
+            )
+        )
+    return row.select(F.explode(F.array(*entries)).alias("__p")).select("__p.*")

@@ -292,3 +292,61 @@ def exp_decayed_sum(
             F.sum("__term").cast("double").alias("decayed_sum"),
         )
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix — the standard product-analytics rollup:
+    assign every user to the cohort of their first-ever event period,
+    then count how many of each cohort's users are active again k
+    periods later. Returns ``(cohort DATE, period_offset INT,
+    n_users BIGINT)``.
+
+    Plan (all-integer, no approximation):
+    1. first-touch pass: ONE map-side-combinable ``groupBy(user).min(ts)``
+       — the only pass over raw events that aggregates them; cohort =
+       ``date_trunc(period, first_ts)``;
+    2. activity set: events project to ``(user, date_trunc(period, ts))``
+       + distinct — the shuffle carries (id, date) pairs, never wide rows;
+    3. one equi-join on the user id (AQE free to pick broadcast/shuffle —
+       the first-touch side is |users| rows, unbounded at corpus scale,
+       so no forced hint) and a final count per (cohort, offset).
+
+    Offset arithmetic is exact integer days/7 (both bounds are Monday
+    week-starts), so every output cell is engine-exact.
+    """
+    if period not in ("week", "month"):
+        raise ValueError(f"period must be 'week' or 'month', got {period!r}")
+    first = (
+        events.groupBy(F.col(user_col).alias("__u"))
+        .agg(F.min(ts_col).alias("__first"))
+        .select(
+            "__u", F.date_trunc(period, F.col("__first")).cast("date").alias("__cohort")
+        )
+    )
+    active = (
+        events.select(
+            F.col(user_col).alias("__u"),
+            F.date_trunc(period, F.col(ts_col)).cast("date").alias("__p"),
+        )
+        .distinct()
+    )
+    if period == "week":
+        offset = (F.datediff(F.col("__p"), F.col("__cohort")) / 7).cast("int")
+    else:
+        offset = (
+            (F.year("__p") - F.year("__cohort")) * 12
+            + (F.month("__p") - F.month("__cohort"))
+        ).cast("int")
+    return (
+        active.join(first, "__u")
+        .groupBy(
+            F.col("__cohort").alias("cohort"),
+            offset.alias("period_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -487,3 +487,60 @@ def test_standardize_projection_has_no_shuffle(spark, embeddings):
     out = standardize_vectors(embeddings)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # fit collects d rows; projection is map-side
+
+
+# ---------------------------------------------------------------------------
+# group_keywords
+# ---------------------------------------------------------------------------
+
+def test_group_keywords_closed_form(spark):
+    from nbdatatools_spark.operators.analysis import group_keywords
+    import math
+
+    rows = [
+        (1, "g1", "apple apple common common"),
+        (2, "g1", "apple common"),
+        (3, "g2", "banana banana common common"),
+        (4, "g2", "banana common"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, src STRING, text STRING")
+    out = group_keywords(docs, "src", "text", top_k=2, min_count=1).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["src"], []).append(r)
+    # apple: 3x in g1 only -> idf = ln(2); common: both groups -> idf 0
+    ln2 = round(math.log(2.0), 9)
+    g1 = {r["token"]: r for r in by_group["g1"]}
+    assert g1["apple"]["rank"] == 1
+    assert g1["apple"]["n_occurrences"] == 3
+    assert g1["apple"]["n_groups_with"] == 1
+    assert g1["apple"]["score"] == pytest.approx(round(3 * ln2, 6), abs=1e-9)
+    assert g1["common"]["score"] == 0.0
+    g2 = {r["token"]: r for r in by_group["g2"]}
+    assert g2["banana"]["rank"] == 1
+    assert g2["banana"]["score"] == pytest.approx(round(3 * ln2, 6), abs=1e-9)
+
+
+def test_group_keywords_min_count_and_ties(spark):
+    from nbdatatools_spark.operators.analysis import group_keywords
+
+    rows = [
+        (1, "g1", "rare zebra zebra yak yak"),
+        (2, "g2", "other other thing thing"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, src STRING, text STRING")
+    out = [
+        r
+        for r in group_keywords(docs, "src", "text", top_k=5, min_count=2).collect()
+        if r["src"] == "g1"
+    ]
+    toks = {r["token"] for r in out}
+    assert "rare" not in toks  # below min_count
+    # yak/zebra tie on score -> token ASC order
+    ranks = {r["token"]: r["rank"] for r in out}
+    assert ranks["yak"] < ranks["zebra"]
+
+    with pytest.raises(ValueError):
+        group_keywords(docs, top_k=0)
+    with pytest.raises(ValueError):
+        group_keywords(docs, min_count=0)

@@ -203,3 +203,65 @@ def test_quality_report_validates(table):
         quality_report(df, [not_null("grade"), not_null("grade")])
     with pytest.raises(ValueError, match="arity"):
         foreign_key(["a", "b"], parent, "pid")
+
+
+# ---------------------------------------------------------------------------
+# profile_columns
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def profile_df(spark):
+    rows = [
+        (1, "alpha", 10.5),
+        (2, "beta", None),
+        (3, None, 2.25),
+        (4, "alpha", 2.25),
+    ]
+    return spark.createDataFrame(rows, "id BIGINT, name STRING, score DOUBLE")
+
+
+def test_profile_columns_stats(profile_df):
+    from nbdatatools_spark.operators.quality_checks import profile_columns
+
+    out = {
+        r["column"]: r
+    for r in profile_columns(profile_df, ["id", "name", "score"]).collect()}
+    assert set(out) == {"id", "name", "score"}
+    for r in out.values():
+        assert r["n_rows"] == 4
+    assert out["id"]["n_null"] == 0
+    assert out["id"]["n_distinct"] == 4
+    assert out["id"]["min_num"] == 1.0 and out["id"]["max_num"] == 4.0
+    assert out["id"]["min_str"] is None and out["id"]["max_str"] is None
+    assert out["name"]["n_null"] == 1
+    assert out["name"]["n_distinct"] == 2  # NULL excluded, alpha dup collapses
+    assert out["name"]["min_str"] == "alpha" and out["name"]["max_str"] == "beta"
+    assert out["name"]["min_num"] is None
+    assert out["score"]["n_null"] == 1
+    assert out["score"]["n_distinct"] == 2
+    assert out["score"]["min_num"] == 2.25 and out["score"]["max_num"] == 10.5
+
+
+def test_profile_columns_approx_and_single_pass(profile_df):
+    from nbdatatools_spark.operators.quality_checks import profile_columns
+
+    out = {
+        r["column"]: r
+        for r in profile_columns(profile_df, ["id", "name"], approx=True).collect()
+    }
+    # HLL is exact at these cardinalities
+    assert out["id"]["n_distinct"] == 4
+    assert out["name"]["n_distinct"] == 2
+    # approx profile is one non-expanded aggregate: no Expand node, and a
+    # single scan of the source
+    plan = profile_columns(profile_df, ["id", "name"], approx=True)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+
+
+def test_profile_columns_validation(profile_df):
+    from nbdatatools_spark.operators.quality_checks import profile_columns
+
+    with pytest.raises(ValueError):
+        profile_columns(profile_df, [])
+    with pytest.raises(ValueError):
+        profile_columns(profile_df, ["nope"])

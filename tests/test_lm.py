@@ -158,3 +158,68 @@ def test_bm25_case_insensitive_and_validation(spark):
         bm25_topk(df, [])
     with pytest.raises(ValueError):
         bm25_topk(df, ["x"], top_k=0)
+
+
+# ---------------------------------------------------------------------------
+# rrf_fuse
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ranked_lists(spark):
+    lex = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "doc_id BIGINT, rank INT"
+    )
+    dense = spark.createDataFrame(
+        [(11, 1), (10, 2), (13, 3)], "doc_id BIGINT, rank INT"
+    )
+    return lex, dense
+
+
+def test_rrf_closed_form(ranked_lists):
+    from nbdatatools_spark.operators.lm import rrf_fuse
+
+    lex, dense = ranked_lists
+    out = {r["doc_id"]: r for r in rrf_fuse([lex, dense], k0=60, top_k=10).collect()}
+
+    def term(rank):
+        return round(1.0 / (60 + rank), 9)
+
+    # doc 10: ranks 1 (lex) + 2 (dense); doc 11: 2 + 1 -> identical scores,
+    # tie breaks on doc_id
+    s_both = round(term(1) + term(2), 6)
+    assert out[10]["rrf_score"] == pytest.approx(s_both, abs=1e-9)
+    assert out[11]["rrf_score"] == pytest.approx(s_both, abs=1e-9)
+    assert out[10]["rank"] == 1 and out[11]["rank"] == 2  # id tie-break
+    assert out[10]["n_lists"] == 2
+    # single-list docs contribute one term only
+    assert out[12]["n_lists"] == 1
+    assert out[12]["rrf_score"] == pytest.approx(round(term(3), 6), abs=1e-9)
+    assert out[13]["rrf_score"] == pytest.approx(round(term(3), 6), abs=1e-9)
+    # 12 vs 13 same score -> id order
+    assert out[12]["rank"] < out[13]["rank"]
+
+
+def test_rrf_top_k_and_three_lists(ranked_lists, spark):
+    from nbdatatools_spark.operators.lm import rrf_fuse
+
+    lex, dense = ranked_lists
+    third = spark.createDataFrame([(12, 1)], "doc_id BIGINT, rank INT")
+    out = rrf_fuse([lex, dense, third], k0=60, top_k=3).collect()
+    assert len(out) == 3
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    # docs 10/11 (1/61 + 1/62 each) still beat doc 12's 1/61 + 1/63;
+    # doc 12's second contribution lifts it past solo doc 13
+    assert [r["doc_id"] for r in out] == [10, 11, 12]
+    assert out[2]["n_lists"] == 2
+
+
+def test_rrf_validation(ranked_lists):
+    from nbdatatools_spark.operators.lm import rrf_fuse
+
+    lex, _ = ranked_lists
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+    with pytest.raises(ValueError):
+        rrf_fuse([lex], k0=0)
+    with pytest.raises(ValueError):
+        rrf_fuse([lex], top_k=0)

@@ -247,3 +247,70 @@ class TestGapfill:
         out = gapfill(ev, key_col="user_id", bucket_seconds=3600, max_span_buckets=100)
         with pytest.raises(Exception, match="spans too many buckets"):
             out.collect()
+
+
+# ---------------------------------------------------------------------------
+# cohort_retention
+# ---------------------------------------------------------------------------
+
+def test_cohort_retention_closed_form(spark):
+    from nbdatatools_spark.operators.temporal import cohort_retention
+
+    rows = [
+        # user 1: first in week of Mon 2024-01-01, active again weeks +1, +3
+        (1, "2024-01-03 10:00:00"),
+        (1, "2024-01-09 10:00:00"),
+        (1, "2024-01-23 10:00:00"),
+        # user 2: same cohort, only week 0 (two events, one distinct week)
+        (2, "2024-01-05 00:00:00"),
+        (2, "2024-01-07 23:59:59"),
+        # user 3: cohort of Mon 2024-01-08, active week 0 and +1
+        (3, "2024-01-10 12:00:00"),
+        (3, "2024-01-15 12:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id BIGINT, ts STRING").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = {
+        (str(r["cohort"]), r["period_offset"]): r["n_users"]
+        for r in cohort_retention(ev).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 3): 1,
+        ("2024-01-08", 0): 1,
+        ("2024-01-08", 1): 1,
+    }
+
+
+def test_cohort_retention_monthly(spark):
+    from nbdatatools_spark.operators.temporal import cohort_retention
+
+    rows = [
+        (1, "2024-01-31 23:00:00"),
+        (1, "2024-02-01 01:00:00"),
+        (1, "2024-04-15 01:00:00"),
+        (2, "2024-02-10 00:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id BIGINT, ts STRING").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = {
+        (str(r["cohort"]), r["period_offset"]): r["n_users"]
+        for r in cohort_retention(ev, period="month").collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 3): 1,
+        ("2024-02-01", 0): 1,
+    }
+
+
+def test_cohort_retention_validation(spark):
+    from nbdatatools_spark.operators.temporal import cohort_retention
+
+    ev = spark.createDataFrame([(1, "2024-01-01 00:00:00")], "user_id BIGINT, ts STRING")
+    with pytest.raises(ValueError):
+        cohort_retention(ev, period="day")
