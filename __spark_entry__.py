@@ -2033,6 +2033,40 @@ def doc_group_keywords(spark, sf_dir):
     )
 
 
+def events_rolling_active(spark, sf_dir):
+    """Rolling 7-day active users (temporal.py::rolling_active_users):
+    distinct (user, day) pairs fan out to the 7 report days each supports
+    — a bounded amplification of slim integer pairs, never of raw events
+    — then one distinct count per day. All-integer, hash-exact."""
+    from nbdatatools_spark.operators.temporal import rolling_active_users
+
+    ev = _t(spark, sf_dir, "events")
+    return rolling_active_users(ev, window_days=7, end_date="2024-01-30").orderBy(
+        "day"
+    )
+
+
+def events_top_paths(spark, sf_dir):
+    """Top-20 session paths (temporal.py::session_paths): gaps-and-islands
+    sessionization and the per-session ordered event-type concatenation
+    share ONE user-key shuffle; path counts are map-side combinable and
+    the top-k is TakeOrderedAndProject. Counts integer; ties on path."""
+    from nbdatatools_spark.operators.temporal import session_paths
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") <= 50)
+    return session_paths(ev, gap="30 minutes", top_k=20).orderBy("rank")
+
+
+def events_key_skew(spark, sf_dir):
+    """Hot-key diagnostics (skew.py::key_skew_stats): per-key counts from
+    one map-side-combinable pass, top-10 users by event volume with
+    6dp-rounded share / cumulative share of the table."""
+    from nbdatatools_spark.operators.skew import key_skew_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return key_skew_stats(ev, "user_id", top_k=10).orderBy("rank")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2195,6 +2229,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohort_retention": events_cohort_retention,
         "orders_column_profile": orders_column_profile,
         "doc_group_keywords": doc_group_keywords,
+        "events_rolling_active": events_rolling_active,
+        "events_top_paths": events_top_paths,
+        "events_key_skew": events_key_skew,
     }
 
 
@@ -2213,6 +2250,9 @@ PENDING_FIRST_RECORDING = frozenset(
         "events_cohort_retention",
         "orders_column_profile",
         "doc_group_keywords",
+        "events_rolling_active",
+        "events_top_paths",
+        "events_key_skew",
     }
 )
 
@@ -4038,5 +4078,56 @@ def oracle_sql() -> dict[str, str]:
                   FROM s)
             SELECT source, token, n_occurrences, n_groups_with, score, rank
             FROM r WHERE rank <= 5 ORDER BY source, rank
+        """,
+        # rolling 7-day actives: activity days fan out to the report days
+        # they support; count(DISTINCT user) dedups overlapping windows
+        "events_rolling_active": """
+            WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+            fan AS (SELECT user_id, CAST(u.day AS DATE) AS day
+                    FROM act, unnest(generate_series(
+                        CAST(d AS TIMESTAMP),
+                        CAST(d AS TIMESTAMP) + INTERVAL 6 DAY,
+                        INTERVAL 1 DAY)) AS u(day))
+            SELECT day, count(DISTINCT user_id) AS n_active
+            FROM fan WHERE day <= DATE '2024-01-30'
+            GROUP BY day ORDER BY day
+        """,
+        # session paths: gaps-and-islands + ordered string_agg, exact
+        # (ts, event_id) ordering both engines
+        "events_top_paths": """
+            WITH e AS (SELECT user_id, event_id, event_type, ts
+                       FROM events WHERE user_id <= 50),
+            m AS (SELECT user_id, event_id, event_type, ts,
+                         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                              THEN 1 ELSE 0 END AS brk
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT user_id, event_id, event_type, ts,
+                         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+                  FROM m),
+            p AS (SELECT user_id, session_id,
+                         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+                  FROM s GROUP BY user_id, session_id),
+            c AS (SELECT path, count(*) AS n_sessions FROM p GROUP BY path),
+            r AS (SELECT path, n_sessions,
+                         CAST(row_number() OVER (ORDER BY n_sessions DESC, path ASC)
+                              AS INT) AS rank
+                  FROM c)
+            SELECT path, n_sessions, rank FROM r WHERE rank <= 20 ORDER BY rank
+        """,
+        # hot-key stats: integer counts + one double division per share
+        "events_key_skew": """
+            WITH c AS (SELECT user_id AS key, count(*) AS n
+                       FROM events GROUP BY user_id),
+            t AS (SELECT count(*) AS total FROM events),
+            r AS (SELECT key, n,
+                         row_number() OVER (ORDER BY n DESC, key ASC) AS rn,
+                         sum(n) OVER (ORDER BY n DESC, key ASC
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM c)
+            SELECT CAST(rn AS INT) AS rank, key, n,
+                   round(n / CAST(total AS DOUBLE), 6) AS share,
+                   round(cum / CAST(total AS DOUBLE), 6) AS cum_share
+            FROM r, t WHERE rn <= 10 ORDER BY rank
         """,
     }

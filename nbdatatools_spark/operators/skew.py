@@ -85,3 +85,41 @@ def two_phase_agg(
         *[F.col(k) for k in keys], F.col("__salt")
     ).agg(*partial_aggs())
     return phase1.groupBy(*[F.col(k) for k in keys]).agg(*merge_aggs())
+
+
+def key_skew_stats(
+    df: DataFrame, key_col: str, top_k: int = 20
+) -> DataFrame:
+    """Hot-key diagnostics — the measurement that decides whether a join
+    or aggregate needs ``salted_join``/AQE skew handling at all: per
+    hottest key, its row count, share of the table, and the cumulative
+    share of all keys at or above its rank. Returns
+    ``(rank INT, key, n BIGINT, share DOUBLE, cum_share DOUBLE)``.
+
+    Plan: ONE map-side-combinable groupBy(key) count is the only pass
+    over data; the global total is one bounded driver scalar (the bm25
+    N pattern); the top-k is TakeOrderedAndProject over the key-count
+    table; the rank/cumulative window runs over the k returned rows
+    only. Shares are one double division each, rounded to 6dp —
+    engine-exact on integer inputs.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = df.count()
+    if total == 0:
+        raise ValueError("key_skew_stats needs a non-empty frame")
+    from pyspark.sql import Window
+
+    top = counts.orderBy(F.col("n").desc(), F.col("key").asc()).limit(top_k)
+    w = Window.orderBy(F.col("n").desc(), F.col("key").asc())
+    cum = F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "key",
+        "n",
+        F.round(F.col("n") / F.lit(float(total)), 6).alias("share"),
+        F.round(cum / F.lit(float(total)), 6).alias("cum_share"),
+    )

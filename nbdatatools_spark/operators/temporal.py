@@ -350,3 +350,96 @@ def cohort_retention(
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def rolling_active_users(
+    events: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    end_date: str | None = None,
+) -> DataFrame:
+    """Rolling active-user counts — DAU/WAU/MAU: for every calendar day,
+    the number of distinct users with at least one event in the trailing
+    ``window_days`` days (inclusive of the day itself). Returns
+    ``(day DATE, n_active BIGINT)``.
+
+    Exact, not sketched, and never a per-day scan: the raw event stream
+    collapses to the distinct (user, day) activity set first (slim integer
+    pairs — the only pass over raw events), each activity day then fans
+    out to the ``window_days`` report days it supports (a bounded W-fold
+    amplification of the SLIM pairs, not the events), and one distinct
+    count per day finishes. Days with no preceding activity simply don't
+    appear. ``end_date`` (ISO) trims the trailing fan-out past the last
+    day of interest; default keeps every day any window reaches.
+    """
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    act = events.select(
+        F.col(user_col).alias("__u"), F.to_date(ts_col).alias("__d")
+    ).distinct()
+    fan = act.select(
+        "__u",
+        F.explode(
+            F.expr(f"sequence(__d, date_add(__d, {int(window_days) - 1}), interval 1 day)")
+        ).alias("day"),
+    )
+    if end_date is not None:
+        fan = fan.where(F.col("day") <= F.lit(end_date).cast("date"))
+    return fan.groupBy("day").agg(F.count_distinct("__u").alias("n_active"))
+
+
+def session_paths(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    top_k: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Top-k session paths — the event-type sequences users actually
+    follow: sessionize (gaps-and-islands, streaming/events.py semantics),
+    concatenate each session's event types in exact (ts, tiebreak) order,
+    and count path frequencies. Returns ``(path STRING, n_sessions
+    BIGINT, rank INT)`` — the path-analysis staple behind funnels.
+
+    Plan: ONE hash shuffle on the user key covers both sessionization
+    windows and the per-session path build (sort_array over a
+    collect_list confined to one session's rows — bounded by session
+    length, deterministic regardless of partition order); path counts are
+    a map-side-combinable groupBy; the global top-k is
+    TakeOrderedAndProject. All-integer counts; ties break on path ASC.
+    """
+    from nbdatatools_spark.streaming.events import assign_sessions
+
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    sess = assign_sessions(
+        events, gap=gap, ts=ts_col, user=user_col, order_tiebreak=order_tiebreak
+    )
+    paths = sess.groupBy(user_col, "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col(ts_col).alias("t"),
+                            F.col(order_tiebreak).alias("o"),
+                            F.col(type_col).alias("e"),
+                        )
+                    )
+                ),
+                lambda s: s["e"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    w = Window.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(top_k)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )

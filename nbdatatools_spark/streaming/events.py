@@ -64,6 +64,31 @@ def sliding_window_agg(
     )
 
 
+def assign_sessions(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    ts: str = "ts",
+    user: str = "user_id",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Row-level session assignment (gaps-and-islands): every input row
+    gains a ``session_id`` (0-based per user, in time order) that breaks
+    when the gap to the user's previous event exceeds ``gap``. One hash
+    shuffle on the user key; both windows share its partitioning."""
+    w = Window.partitionBy(user).orderBy(F.col(ts).asc(), F.col(order_tiebreak).asc())
+    gap_expr = F.expr(f"INTERVAL {gap}")
+    marked = df.withColumn(
+        "__new_sess",
+        F.when(
+            F.col(ts).cast("timestamp") - F.lag(ts).over(w) > gap_expr, 1
+        ).otherwise(0),
+    )
+    return marked.withColumn(
+        "session_id",
+        F.sum("__new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).drop("__new_sess")
+
+
 def sessionize(
     df: DataFrame,
     gap: str = "30 minutes",
@@ -78,18 +103,7 @@ def sessionize(
     sum_value). Semantics line up with streaming ``F.session_window(ts, gap)``
     so batch and stream agree on session boundaries.
     """
-    w = Window.partitionBy(user).orderBy(F.col(ts).asc(), F.col(order_tiebreak).asc())
-    gap_expr = F.expr(f"INTERVAL {gap}")
-    marked = df.withColumn(
-        "__new_sess",
-        F.when(
-            F.col(ts).cast("timestamp") - F.lag(ts).over(w) > gap_expr, 1
-        ).otherwise(0),
-    )
-    sess = marked.withColumn(
-        "session_id",
-        F.sum("__new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    sess = assign_sessions(df, gap=gap, ts=ts, user=user, order_tiebreak=order_tiebreak)
     return sess.groupBy(user, "session_id").agg(
         F.min(ts).alias("session_start"),
         F.max(ts).alias("session_end"),

@@ -80,3 +80,29 @@ def test_two_phase_agg_equals_plain(skewed):
         )
     )
     assert two == plain
+
+
+def test_key_skew_stats_closed_form(spark):
+    from nbdatatools_spark.operators.skew import key_skew_stats
+
+    rows = [(k,) for k in ["a"] * 6 + ["b"] * 3 + ["c"] * 1]
+    df = spark.createDataFrame(rows, "k STRING")
+    out = key_skew_stats(df, "k", top_k=2).orderBy("rank").collect()
+    assert [(r["rank"], r["key"], r["n"]) for r in out] == [(1, "a", 6), (2, "b", 3)]
+    assert out[0]["share"] == 0.6 and out[0]["cum_share"] == 0.6
+    assert out[1]["share"] == 0.3 and out[1]["cum_share"] == 0.9
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        key_skew_stats(df, "k", top_k=0)
+    with _pytest.raises(ValueError):
+        key_skew_stats(df.where("k = 'zzz'"), "k")
+
+
+def test_key_skew_stats_tiebreak(spark):
+    from nbdatatools_spark.operators.skew import key_skew_stats
+
+    df = spark.createDataFrame([("y",), ("x",)], "k STRING")
+    out = key_skew_stats(df, "k", top_k=2).orderBy("rank").collect()
+    assert [r["key"] for r in out] == ["x", "y"]

@@ -314,3 +314,76 @@ def test_cohort_retention_validation(spark):
     ev = spark.createDataFrame([(1, "2024-01-01 00:00:00")], "user_id BIGINT, ts STRING")
     with pytest.raises(ValueError):
         cohort_retention(ev, period="day")
+
+
+# ---------------------------------------------------------------------------
+# rolling_active_users / session_paths
+# ---------------------------------------------------------------------------
+
+def test_rolling_active_users_closed_form(spark):
+    from nbdatatools_spark.operators.temporal import rolling_active_users
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-01 11:00:00"),  # same (user, day) collapses
+        (2, "2024-01-03 10:00:00"),
+        (1, "2024-01-05 10:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id BIGINT, ts STRING").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = {
+        str(r["day"]): r["n_active"]
+        for r in rolling_active_users(ev, window_days=3, end_date="2024-01-07").collect()
+    }
+    # user1 day1 covers 01..03; user2 day3 covers 03..05; user1 day5 covers 05..07
+    assert out == {
+        "2024-01-01": 1,
+        "2024-01-02": 1,
+        "2024-01-03": 2,
+        "2024-01-04": 1,
+        "2024-01-05": 2,
+        "2024-01-06": 1,
+        "2024-01-07": 1,
+    }
+    with pytest.raises(ValueError):
+        rolling_active_users(ev, window_days=0)
+
+
+def test_session_paths_closed_form(spark):
+    from nbdatatools_spark.operators.temporal import session_paths
+
+    rows = [
+        # user 1, session 0: view > click ; session 1 (90 min later): buy
+        (1, 1, "view", "2024-01-01 10:00:00"),
+        (2, 1, "click", "2024-01-01 10:10:00"),
+        (3, 1, "buy", "2024-01-01 11:45:00"),
+        # user 2: one session view > click (same path as user 1 s0)
+        (4, 2, "view", "2024-01-02 09:00:00"),
+        (5, 2, "click", "2024-01-02 09:20:00"),
+        # user 3: solo view
+        (6, 3, "view", "2024-01-03 09:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id BIGINT, user_id BIGINT, event_type STRING, ts STRING"
+    ).select("event_id", "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"))
+    out = session_paths(ev, gap="30 minutes", top_k=10).collect()
+    got = {r["path"]: (r["n_sessions"], r["rank"]) for r in out}
+    assert got["view>click"] == (2, 1)
+    # 'buy' and 'view' both 1 session -> path ASC tie-break
+    assert got["buy"][0] == 1 and got["view"][0] == 1
+    assert got["buy"][1] < got["view"][1]
+
+
+def test_session_paths_tiebreak_same_ts(spark):
+    from nbdatatools_spark.operators.temporal import session_paths
+
+    rows = [
+        (10, 1, "a", "2024-01-01 10:00:00"),
+        (11, 1, "b", "2024-01-01 10:00:00"),  # same ts -> event_id order
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id BIGINT, user_id BIGINT, event_type STRING, ts STRING"
+    ).select("event_id", "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"))
+    out = session_paths(ev, top_k=5).collect()
+    assert out[0]["path"] == "a>b"
