@@ -306,35 +306,25 @@ def cohort_retention(
     periods later. Returns ``(cohort DATE, period_offset INT,
     n_users BIGINT)``.
 
-    Plan (all-integer, no approximation):
-    1. first-touch pass: ONE map-side-combinable ``groupBy(user).min(ts)``
-       — the only pass over raw events that aggregates them; cohort =
-       ``date_trunc(period, first_ts)``;
-    2. activity set: events project to ``(user, date_trunc(period, ts))``
-       + distinct — the shuffle carries (id, date) pairs, never wide rows;
-    3. one equi-join on the user id (AQE free to pick broadcast/shuffle —
-       the first-touch side is |users| rows, unbounded at corpus scale,
-       so no forced hint) and a final count per (cohort, offset).
+    Plan (all-integer, no approximation): ONE map-side-combinable
+    ``groupBy(user)`` computes BOTH the first-touch cohort (min) and the
+    distinct activity-period set (``collect_set`` over the truncated
+    date — bounded by periods-per-user, i.e. weeks of product history,
+    never event volume) in a single pass and single shuffle; exploding
+    the set and counting per (cohort, offset) is the only other
+    exchange. No join anywhere — the join-based formulation costs 3+
+    shuffles (pinned in test_plans).
 
     Offset arithmetic is exact integer days/7 (both bounds are Monday
     week-starts), so every output cell is engine-exact.
     """
     if period not in ("week", "month"):
         raise ValueError(f"period must be 'week' or 'month', got {period!r}")
-    first = (
-        events.groupBy(F.col(user_col).alias("__u"))
-        .agg(F.min(ts_col).alias("__first"))
-        .select(
-            "__u", F.date_trunc(period, F.col("__first")).cast("date").alias("__cohort")
-        )
+    per_user = events.groupBy(F.col(user_col).alias("__u")).agg(
+        F.date_trunc(period, F.min(ts_col)).cast("date").alias("__cohort"),
+        F.collect_set(F.date_trunc(period, F.col(ts_col)).cast("date")).alias("__ps"),
     )
-    active = (
-        events.select(
-            F.col(user_col).alias("__u"),
-            F.date_trunc(period, F.col(ts_col)).cast("date").alias("__p"),
-        )
-        .distinct()
-    )
+    active = per_user.select("__cohort", F.explode("__ps").alias("__p"))
     if period == "week":
         offset = (F.datediff(F.col("__p"), F.col("__cohort")) / 7).cast("int")
     else:
@@ -342,14 +332,10 @@ def cohort_retention(
             (F.year("__p") - F.year("__cohort")) * 12
             + (F.month("__p") - F.month("__cohort"))
         ).cast("int")
-    return (
-        active.join(first, "__u")
-        .groupBy(
-            F.col("__cohort").alias("cohort"),
-            offset.alias("period_offset"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_users"))
-    )
+    return active.groupBy(
+        F.col("__cohort").alias("cohort"),
+        offset.alias("period_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_users"))
 
 
 def rolling_active_users(

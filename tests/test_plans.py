@@ -256,3 +256,48 @@ def test_weighted_sample_uses_partial_topk(spark, documents):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_cohort_retention_two_aggregate_shuffles(spark, sf_dir):
+    """Single-pass per-user aggregate (min + collect_set) then one
+    (cohort, offset) count — no join, 2 exchanges before any output sort."""
+    import __spark_entry__ as e
+
+    from nbdatatools_spark.operators.temporal import cohort_retention
+
+    plan = _plan(cohort_retention(e._t(spark, sf_dir, "events")))
+    assert plan.count("Exchange") == 2
+    assert "Join" not in plan
+
+
+def test_key_skew_single_shuffle_partial_topk(spark, sf_dir):
+    """One map-side-combinable key-count exchange; global top-k is
+    TakeOrderedAndProject; the rank window runs over the k rows only."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.events_key_skew(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_session_paths_single_user_shuffle(spark, sf_dir):
+    """Sessionization windows + per-session path build share ONE user-key
+    hash exchange; path counts combine map-side into TakeOrderedAndProject."""
+    import __spark_entry__ as e
+
+    from nbdatatools_spark.operators.temporal import session_paths
+
+    plan = _plan(session_paths(e._t(spark, sf_dir, "events")))
+    assert plan.count("Exchange hashpartitioning") <= 2  # user key + path count
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rrf_no_join_between_lists(spark):
+    """Fusion is union + ONE groupBy — candidate lists are never joined."""
+    from nbdatatools_spark.operators.lm import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1)], "doc_id BIGINT, rank INT")
+    b = spark.createDataFrame([(1, 2)], "doc_id BIGINT, rank INT")
+    plan = _plan(rrf_fuse([a, b], top_k=5))
+    assert "Join" not in plan
+    assert "Union" in plan
