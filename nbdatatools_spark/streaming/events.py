@@ -199,3 +199,32 @@ def stream_events(
         if isinstance(f.dataType, TimestampNTZType):
             out = out.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return out
+
+
+def stream_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join — the dimension-lookup shape of every
+    ingest pipeline (events joined to a user/device/geo table while in
+    flight). The static side re-resolves per micro-batch, so a dimension
+    refreshed underneath the query (new parquet files in its path) is
+    picked up without restarting the stream.
+
+    Stream-static joins are STATELESS (only stream-stream joins buffer
+    state), so no watermark is needed; inner/left joins are supported by
+    Structured Streaming, and ``how`` defaults to 'left' so late
+    dimension rows can't silently drop events. ``broadcast_dim=True``
+    (the common case: dimensions fit in memory) makes every micro-batch
+    a map-side hash join — no shuffle of the stream whatsoever; pass
+    False for big dimensions and let AQE shuffle each micro-batch.
+
+    Runs unchanged on batch frames (stream==batch parity testable).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"stream-static join supports inner/left, got {how!r}")
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on, how)

@@ -231,3 +231,45 @@ def test_streaming_decayed_sum_equals_batch(spark, sf_dir, tmp_path):
         n_batch, s_batch = expected[k]
         assert n == n_batch, k
         assert abs(s_stream - s_batch) < 1e-6, (k, s_stream, s_batch)
+
+
+def test_stream_enrich_equals_batch_and_broadcasts(spark, events_dir, tmp_path):
+    from nbdatatools_spark.streaming.events import stream_enrich, stream_events
+
+    batch = spark.read.parquet(events_dir)
+    dim = (
+        batch.select("user_id").distinct()
+        .withColumn("segment", F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd"))
+    )
+    expected = {
+        (r["event_id"], r["segment"])
+        for r in stream_enrich(batch, dim, "user_id").select("event_id", "segment").collect()
+    }
+    # batch plan: broadcast hash join, stream side never shuffles
+    plan = (
+        stream_enrich(batch, dim, "user_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+    stream = stream_events(spark, events_dir, max_files_per_trigger=1)
+    out = stream_enrich(stream, dim, "user_id").select("event_id", "segment")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_id"], r["segment"])
+        for r in spark.sql("SELECT * FROM enriched").collect()
+    }
+    assert got == expected
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        stream_enrich(batch, dim, "user_id", how="full")
