@@ -2067,6 +2067,32 @@ def events_key_skew(spark, sf_dir):
     return key_skew_stats(ev, "user_id", top_k=10).orderBy("rank")
 
 
+def embedding_group_centroids(spark, sf_dir):
+    """Per-source mean embedding (clustering.py::group_centroids): the
+    alignment join feeds a posexplode of the SLIM (source, vector)
+    projection into ONE map-side-combinable (group, dim) aggregate.
+    9dp-rounded DECIMAL element sums keep every cell engine-exact."""
+    from nbdatatools_spark.operators.clustering import group_centroids
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    aligned = docs.join(emb, "doc_id")
+    return group_centroids(aligned, "source", "embedding").orderBy("source", "dim")
+
+
+def corpus_posting_lists(spark, sf_dir):
+    """Inverted-index export (lm.py::posting_lists): distinct (token, doc)
+    hits, a token-keyed ranking window caps postings at 20 BEFORE any
+    collect, one same-key groupBy computes df + the capped sorted list.
+    min_df=5 prunes the tail."""
+    from nbdatatools_spark.operators.lm import posting_lists
+
+    docs = _t(spark, sf_dir, "documents")
+    return posting_lists(docs, min_df=5, max_postings=20).orderBy("token")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2232,6 +2258,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling_active": events_rolling_active,
         "events_top_paths": events_top_paths,
         "events_key_skew": events_key_skew,
+        "embedding_group_centroids": embedding_group_centroids,
+        "corpus_posting_lists": corpus_posting_lists,
     }
 
 
@@ -2253,6 +2281,8 @@ PENDING_FIRST_RECORDING = frozenset(
         "events_rolling_active",
         "events_top_paths",
         "events_key_skew",
+        "embedding_group_centroids",
+        "corpus_posting_lists",
     }
 )
 
@@ -4129,5 +4159,36 @@ def oracle_sql() -> dict[str, str]:
                    round(n / CAST(total AS DOUBLE), 6) AS share,
                    round(cum / CAST(total AS DOUBLE), 6) AS cum_share
             FROM r, t WHERE rn <= 10 ORDER BY rank
+        """,
+        # per-source centroids: 9dp-rounded DECIMAL element sums, one
+        # rounded double division per cell
+        "embedding_group_centroids": """
+            WITH a AS (SELECT d.source, CAST(e.embedding AS DOUBLE[]) AS emb
+                       FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+            ex AS (SELECT source,
+                          CAST(generate_subscripts(emb, 1) - 1 AS INT) AS dim,
+                          CAST(round(unnest(emb), 9) AS DECIMAL(20,9)) AS term
+                   FROM a)
+            SELECT source, dim, count(*) AS n_vectors,
+                   round(CAST(CAST(sum(term) AS DECIMAL(38,9)) AS DOUBLE)
+                         / count(*), 6) AS mean
+            FROM ex GROUP BY source, dim ORDER BY source, dim
+        """,
+        # posting lists: distinct hits, rank-capped postings, df over all
+        "corpus_posting_lists": """
+            WITH t AS (
+                SELECT doc_id,
+                       unnest(string_split(
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                           ' ')) AS token
+                FROM documents),
+            h AS (SELECT DISTINCT doc_id, token FROM t WHERE length(token) > 0),
+            r AS (SELECT token, doc_id,
+                         row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+                  FROM h),
+            g AS (SELECT token, count(*) AS df,
+                         list_sort(list(doc_id) FILTER (WHERE rn <= 20)) AS postings
+                  FROM r GROUP BY token)
+            SELECT token, df, postings FROM g WHERE df >= 5 ORDER BY token
         """,
     }

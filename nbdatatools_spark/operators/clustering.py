@@ -314,3 +314,41 @@ def semantic_dedup(
     # is the small side after dedup, but ids are unique on both sides, so a
     # plain equi-join on id_col is one co-partitioned shuffle
     return df.join(kept, id_col)
+
+
+def group_centroids(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group mean embedding (domain / cluster / language prototypes) in
+    long format: ``(group_col, dim INT, n_vectors BIGINT, mean DOUBLE)``
+    — the aggregation behind SemDeDup-style cluster prototypes, per-domain
+    embedding drift monitoring, and nearest-centroid routing tables.
+
+    Plan: posexplode to (group, dim, value) — a d-fold amplification of a
+    SLIM projection, never of full rows — then ONE map-side-combinable
+    groupBy(group, dim). Exactness: each element is rounded to 9dp and
+    DECIMAL-summed (order-invariant across partitions — a plain double
+    ``avg`` drifts in the last bits with partition order), then one
+    rounded double division by the group count; an oracle engine
+    reproduces every cell bit-for-bit.
+    """
+    ex = df.select(
+        F.col(group_col).alias("__g"),
+        F.posexplode(vec_col).alias("dim", "__v"),
+    )
+    term = F.round(F.col("__v").cast("double"), 9).cast("decimal(20,9)")
+    return (
+        ex.groupBy("__g", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(term).cast("decimal(38,9)").alias("__s"),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("dim").cast("int").alias("dim"),
+            "n_vectors",
+            F.round(F.col("__s").cast("double") / F.col("n_vectors"), 6).alias("mean"),
+        )
+    )

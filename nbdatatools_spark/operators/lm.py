@@ -297,3 +297,57 @@ def rrf_fuse(
         .limit(top_k)
         .withColumn("rank", F.row_number().over(w).cast("int"))
     )
+
+
+def posting_lists(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    max_postings: int = 1000,
+) -> DataFrame:
+    """Inverted-index export — per token: document frequency and a
+    bounded, doc-id-ordered posting list. The materialization behind
+    lexical search (the artifact BM25 queries at serve time), as
+    ``(token, df BIGINT, postings ARRAY<BIGINT>)``.
+
+    Plan: distinct (token, doc) hits -> ONE token-keyed ranking window
+    caps each posting list at ``max_postings`` BEFORE any collect (an
+    uncapped ``collect_list`` on a stopword at corpus scale is an
+    executor OOM — the cap is enforced in the shuffle, not after it) ->
+    one groupBy(token) on the SAME key computes the full df count and
+    conditionally collects only in-cap ids (``collect_list`` skips the
+    NULLed-out overflow), so AQE reuses the window's partitioning.
+    ``sort_array`` makes the list partition-order-independent. Hot-token
+    skew is the documented hazard: AQE skew handling splits the sort,
+    and ``min_df`` prunes the long tail.
+    """
+    if min_df < 1:
+        raise ValueError(f"min_df must be >= 1, got {min_df}")
+    if max_postings < 1:
+        raise ValueError(f"max_postings must be >= 1, got {max_postings}")
+    from nbdatatools_spark.functions.text import normalize_text, tokens as _tok
+
+    hits = (
+        docs.select(
+            F.col(id_col).alias("__id"),
+            F.explode(_tok(normalize_text(F.col(text_col)))).alias("token"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("token").orderBy(F.col("__id").asc())
+    capped = hits.withColumn("__rn", F.row_number().over(w))
+    out = (
+        capped.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("__rn") <= max_postings, F.col("__id"))
+                )
+            ).alias("postings"),
+        )
+    )
+    if min_df > 1:
+        out = out.where(F.col("df") >= min_df)
+    return out

@@ -246,3 +246,37 @@ def test_semantic_dedup_gemm_assign_same_survivors(spark, embeddings):
         ).collect()
     }
     assert kept_expr == kept_gemm
+
+
+def test_group_centroids_numpy_differential(spark):
+    import numpy as np
+
+    from nbdatatools_spark.operators.clustering import group_centroids
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(40):
+        g = "a" if i % 2 == 0 else "b"
+        rows.append((g, [float(x) for x in rng.normal(size=8)]))
+    df = spark.createDataFrame(rows, "src STRING, embedding ARRAY<DOUBLE>")
+    out = group_centroids(df, "src").collect()
+    by = {}
+    for r in out:
+        by[(r["src"], r["dim"])] = (r["n_vectors"], r["mean"])
+    for g in ("a", "b"):
+        vecs = np.array([v for s, v in rows if s == g])
+        terms = np.round(vecs, 9)
+        for d in range(8):
+            n, mean = by[(g, d)]
+            assert n == 20
+            assert mean == pytest.approx(round(terms[:, d].sum() / n, 6), abs=1e-9)
+
+
+def test_group_centroids_partition_invariance(spark):
+    from nbdatatools_spark.operators.clustering import group_centroids
+
+    rows = [("g", [0.1, 0.2]), ("g", [0.3, 0.4]), ("g", [0.5, 0.6])]
+    df = spark.createDataFrame(rows, "src STRING, embedding ARRAY<DOUBLE>")
+    a = sorted(map(tuple, group_centroids(df.repartition(1), "src").collect()))
+    b = sorted(map(tuple, group_centroids(df.repartition(7), "src").collect()))
+    assert a == b

@@ -223,3 +223,40 @@ def test_rrf_validation(ranked_lists):
         rrf_fuse([lex], k0=0)
     with pytest.raises(ValueError):
         rrf_fuse([lex], top_k=0)
+
+
+# ---------------------------------------------------------------------------
+# posting_lists
+# ---------------------------------------------------------------------------
+
+def test_posting_lists_closed_form(spark):
+    from nbdatatools_spark.operators.lm import posting_lists
+
+    rows = [
+        (3, "apple banana apple"),   # dup token within doc collapses
+        (1, "apple cherry"),
+        (2, "apple"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {r["token"]: r for r in posting_lists(docs).collect()}
+    assert out["apple"]["df"] == 3
+    assert out["apple"]["postings"] == [1, 2, 3]  # sorted, not arrival order
+    assert out["banana"]["df"] == 1 and out["banana"]["postings"] == [3]
+
+
+def test_posting_lists_cap_and_min_df(spark):
+    from nbdatatools_spark.operators.lm import posting_lists
+
+    rows = [(i, "stopword plus%d" % (i % 3)) for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {r["token"]: r for r in posting_lists(docs, max_postings=4, min_df=4).collect()}
+    # stopword in all 10 docs: df reports 10, postings capped to lowest 4 ids
+    assert out["stopword"]["df"] == 10
+    assert out["stopword"]["postings"] == [0, 1, 2, 3]
+    # plus0 appears in docs 0,3,6,9 (df=4); plus1/plus2 have df=3 -> pruned
+    assert set(out) == {"stopword", "plus0"}
+
+    with pytest.raises(ValueError):
+        posting_lists(docs, min_df=0)
+    with pytest.raises(ValueError):
+        posting_lists(docs, max_postings=0)
