@@ -2094,6 +2094,403 @@ def corpus_posting_lists(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Relational surface completion: the remaining TPC-H query shapes, adapted to
+# the driver schema (no partsupp table -> the distinct (l_partkey, l_suppkey)
+# pairs actually observed in lineitem stand in as the supplier-part relation;
+# no commitdate/receiptdate -> "late" is l_shipdate more than 60 days after
+# o_orderdate). Each exercises a distinct Catalyst capability the earlier
+# gates don't: decorrelated EXISTS (q4), correlated MIN with ties (q2),
+# scalar-subquery thresholds (q11/q15/q17/q22), CASE-share aggregation (q8),
+# outer-join distributions (q13), disjunctive pushdown (q19), stacked
+# semi/anti joins (q20/q21). All money math is DECIMAL until the final cast.
+# ---------------------------------------------------------------------------
+
+def _supplied_pairs(li):
+    """Derived partsupp: the distinct supplier-part pairs seen in lineitem.
+    Projects to two 8-byte keys BEFORE the distinct, so the dedup shuffle
+    carries 16 bytes/row regardless of lineitem width."""
+    return li.select("l_partkey", "l_suppkey").distinct()
+
+
+def q2_min_balance_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: for each qualifying part, the EUROPE supplier(s) with
+    the minimum account balance among those that supplied it. The correlated
+    MIN subquery decorrelates into one per-part aggregate re-joined on
+    (partkey, balance) — ties survive, as in the reference query. part,
+    supplier⋈nation⋈region, and the 2k-row min table all broadcast; the only
+    wide shuffle is the 16-byte pair distinct."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = _supplied_pairs(li)
+    p = _t(spark, sf_dir, "part").where(F.col("p_size").isin(15, 30))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = (
+        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .join(F.broadcast(eu), ps.l_suppkey == eu.s_suppkey)
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    mins = cand.groupBy(F.col("p_partkey").alias("mk_partkey")).agg(
+        F.min("s_acctbal").alias("mk_minbal")
+    )
+    return (
+        cand.join(
+            F.broadcast(mins),
+            (cand.p_partkey == mins.mk_partkey) & (cand.s_acctbal == mins.mk_minbal),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "s_suppkey")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey", "s_suppkey")
+    )
+
+
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: priority distribution of orders with at least one
+    late-shipped item. EXISTS becomes a left-semi join whose condition spans
+    both sides (shipdate vs orderdate), so it plans as one hash shuffle on
+    orderkey — the decorrelation Catalyst applies to correlated EXISTS."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    sel = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (F.datediff(li.l_shipdate, o.o_orderdate) > 60),
+        "left_semi",
+    )
+    return (
+        sel.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: shipping volume between two nations by year — the
+    supplier-nation × customer-nation revenue matrix for the NATION_3 ↔
+    NATION_7 corridor. All four dims broadcast; one shuffle on the 3-column
+    grouping key."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    pair = (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7") | (
+        F.col("supp_nation") == "NATION_7"
+    ) & (F.col("cust_nation") == "NATION_3")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("cn_key"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(_dbl(F.sum(_dec2("l_extendedprice") * (1 - _dec2("l_discount")))).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: NATION_2's share of the ASIA customer market for
+    ECONOMY parts, by order year. The share is a conditional-sum ratio inside
+    ONE aggregate pass (no second scan); numerator and denominator stay
+    DECIMAL-exact until a single final division."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    cn = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey")
+    )
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    vol = _dec2("l_extendedprice") * (1 - _dec2("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cn), o.o_custkey == cn.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                _dbl(
+                    F.sum(F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(F.lit(0).cast("decimal(18,2)")))
+                )
+                / _dbl(F.sum(vol))
+            ).alias("mkt_share"),
+            _dbl(F.sum(vol)).alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit on 'red' parts by supplier nation and order
+    year. Star join with every dim broadcast, one shuffle on (nation, year)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").contains("red"))
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(_dbl(F.sum(_dec2("l_extendedprice") * (1 - _dec2("l_discount")))).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape: parts whose traded value exceeds 1.4× the mean
+    per-part value (a scale-invariant form of Q11's fraction-of-total
+    threshold — the absolute fraction shrinks as the part table grows). The
+    scalar subquery is a one-row aggregate over the per-part rollup,
+    broadcast back via crossJoin — no collect, no second scan of lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(_dec2("l_extendedprice") * (1 - _dec2("l_discount"))).alias("__val")
+    )
+    total = per_part.agg(F.sum("__val").alias("__tot"), F.count("*").alias("__cnt"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(_dbl(F.col("__val")) > 1.4 * (_dbl(F.col("__tot")) / F.col("__cnt")))
+        .select("l_partkey", _dbl(F.col("__val")).alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of customers by order count, zeros
+    included — left outer join then two stacked aggregates. The second
+    groupBy runs over at most max-orders-per-customer distinct keys."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    counts = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue over a quarter.
+    The MAX scalar subquery is a one-row aggregate over the per-supplier
+    rollup, broadcast back — ties preserved, no window over a single
+    unpartitioned ordering."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_dec2("l_extendedprice") * (1 - _dec2("l_discount"))).alias("__rev")
+    )
+    mx = rev.agg(F.max("__rev").alias("__mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("__rev") == F.col("__mx"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            _dbl(F.col("__rev")).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q12_lateness_priority(spark, sf_dir):
+    """TPC-H Q12 shape (no shipmode column -> lateness buckets): count
+    high- vs low-priority orders per shipping-lag bucket. The CASE sums run
+    inside one aggregate pass; the orders dim broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lag = F.datediff("l_shipdate", "o_orderdate")
+    bucket = (
+        F.when(lag > 90, "very_late").when(lag > 30, "late").otherwise("ontime")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .groupBy(bucket.alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+def q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape: distinct supplier count per (brand, type, size) over
+    the derived supplier-part relation, excluding one brand, one type, and
+    suppliers with negative balance (NOT IN -> broadcast anti-join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = _supplied_pairs(li)
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: average yearly revenue lost if small-quantity
+    orders for one brand were dropped. The correlated per-part AVG
+    decorrelates into a per-part aggregate broadcast back onto lineitem —
+    lineitem is scanned twice but never shuffled wide (the avg table is
+    |part| rows)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3")
+    avg_qty = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy(F.col("l_partkey").alias("aq_partkey"))
+        .agg((_dbl(F.sum(_dec2("l_quantity"))) / F.count("*")).alias("aq_avg"))
+    )
+    return (
+        li.join(F.broadcast(avg_qty), li.l_partkey == F.col("aq_partkey"))
+        .where(F.col("l_quantity") < 0.5 * F.col("aq_avg"))
+        .agg((_dbl(F.sum(_dec2("l_extendedprice"))) / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: revenue under a disjunction of three brand/size/
+    quantity conjunctions. The whole predicate is a single Catalyst filter
+    over the broadcast part join — each disjunct prunes on both join sides
+    (partkey filter pushes to the part scan, quantity to lineitem)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return j.where(cond).agg(
+        _dbl(F.sum(_dec2("l_extendedprice") * (1 - _dec2("l_discount")))).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q20_part_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers who moved a significant volume of 'small'
+    parts in 1997 — nested semi-joins (supplier ⊂ qualifying pairs ⊂
+    filtered parts) with a per-pair HAVING threshold. The per-(supp, part)
+    rollup shuffles two 8-byte keys + one decimal."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").startswith("small"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    qualifying = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec2("l_quantity")).alias("__qty"))
+        .where(F.col("__qty") > 40)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(qualifying, s.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def q21_late_sole_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper in a
+    multi-supplier finished order. The EXISTS/NOT-EXISTS pair collapses into
+    one per-order aggregate (distinct suppliers vs distinct late suppliers)
+    — equivalent semantics, one shuffle on orderkey instead of two
+    correlated self-joins of lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    flagged = (
+        li.join(F.broadcast(o.select("o_orderkey", "o_orderdate")), li.l_orderkey == F.col("o_orderkey"))
+        .withColumn("__late", (F.datediff("l_shipdate", "o_orderdate") > 60).cast("int"))
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("__n_supp"),
+        F.countDistinct(F.when(F.col("__late") == 1, F.col("l_suppkey"))).alias("__n_late"),
+    )
+    culprits = (
+        flagged.where(F.col("__late") == 1)
+        .join(
+            per_order.where((F.col("__n_supp") > 1) & (F.col("__n_late") == 1)),
+            "l_orderkey",
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        culprits.join(F.broadcast(s), culprits.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+def q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: well-funded customers with no recent orders, by
+    nation. Global scalar AVG (one-row broadcast) + anti-join against the
+    recent-orders keys."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") >= "2000-08-01")
+    n = _t(spark, sf_dir, "nation")
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        (_dbl(F.sum(_dec2("c_acctbal"))) / F.count("*")).alias("__avg")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("__avg"))
+        .join(o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            _dbl(F.sum(_dec2("c_acctbal"))).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -2260,6 +2657,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_key_skew": events_key_skew,
         "embedding_group_centroids": embedding_group_centroids,
         "corpus_posting_lists": corpus_posting_lists,
+        "q2_min_balance_supplier": q2_min_balance_supplier,
+        "q4_order_priority": q4_order_priority,
+        "q7_nation_volume": q7_nation_volume,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_parts": q11_important_parts,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q12_lateness_priority": q12_lateness_priority,
+        "q16_supplier_part_counts": q16_supplier_part_counts,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q20_part_suppliers": q20_part_suppliers,
+        "q21_late_sole_suppliers": q21_late_sole_suppliers,
+        "q22_idle_customers": q22_idle_customers,
     }
 
 
@@ -2283,6 +2695,21 @@ PENDING_FIRST_RECORDING = frozenset(
         "events_key_skew",
         "embedding_group_centroids",
         "corpus_posting_lists",
+        "q2_min_balance_supplier",
+        "q4_order_priority",
+        "q7_nation_volume",
+        "q8_market_share",
+        "q9_product_profit",
+        "q11_important_parts",
+        "q13_customer_distribution",
+        "q15_top_supplier",
+        "q12_lateness_priority",
+        "q16_supplier_part_counts",
+        "q17_small_quantity_revenue",
+        "q19_disjunctive_revenue",
+        "q20_part_suppliers",
+        "q21_late_sole_suppliers",
+        "q22_idle_customers",
     }
 )
 
@@ -4190,5 +4617,241 @@ def oracle_sql() -> dict[str, str]:
                          list_sort(list(doc_id) FILTER (WHERE rn <= 20)) AS postings
                   FROM r GROUP BY token)
             SELECT token, df, postings FROM g WHERE df >= 5 ORDER BY token
+        """,
+        "q2_min_balance_supplier": """
+            WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+            eu AS (
+                SELECT s_suppkey, s_name, s_acctbal, n_name
+                FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'EUROPE'),
+            cand AS (
+                SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name
+                FROM ps
+                JOIN part ON ps.l_partkey = p_partkey
+                JOIN eu ON ps.l_suppkey = eu.s_suppkey
+                WHERE p_size IN (15, 30)),
+            mins AS (SELECT p_partkey AS mk_partkey, min(s_acctbal) AS mk_minbal
+                     FROM cand GROUP BY p_partkey)
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_name, s_suppkey
+            FROM cand JOIN mins
+              ON p_partkey = mk_partkey AND s_acctbal = mk_minbal
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1997-07-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND date_diff('day', CAST(o_orderdate AS DATE),
+                                  CAST(l_shipdate AS DATE)) > 60)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "q7_nation_volume": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INT) AS l_year,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+               OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
+        """,
+        "q8_market_share": """
+            WITH flat AS (
+                SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                       CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2))) AS vol,
+                       sn.n_name AS supp_nation
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation cn ON c_nationkey = cn.n_nationkey
+                JOIN region ON cn.n_regionkey = r_regionkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation sn ON s_nationkey = sn.n_nationkey
+                WHERE p_type = 'ECONOMY' AND r_name = 'ASIA')
+            SELECT o_year,
+                   CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN vol
+                                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                     / CAST(sum(vol) AS DOUBLE) AS mkt_share,
+                   CAST(sum(vol) AS DOUBLE) AS total_volume
+            FROM flat
+            GROUP BY o_year
+            ORDER BY o_year
+        """,
+        "q9_product_profit": """
+            SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY 1, 2
+            ORDER BY nation, o_year DESC
+        """,
+        "q11_important_parts": """
+            WITH per_part AS (
+                SELECT l_partkey,
+                       sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS val
+                FROM lineitem GROUP BY l_partkey),
+            tot AS (SELECT sum(val) AS t, count(*) AS c FROM per_part)
+            SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+            FROM per_part, tot
+            WHERE CAST(val AS DOUBLE) > 1.4 * (CAST(t AS DOUBLE) / c)
+            ORDER BY part_value DESC, l_partkey
+        """,
+        "q13_customer_distribution": """
+            WITH counts AS (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer
+                LEFT JOIN orders ON c_custkey = o_custkey
+                     AND o_orderpriority <> '1-URGENT'
+                GROUP BY c_custkey)
+            SELECT c_count, count(*) AS custdist
+            FROM counts
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS r
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-04-01'
+                GROUP BY l_suppkey),
+            mx AS (SELECT max(r) AS m FROM rev)
+            SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+            FROM rev CROSS JOIN mx
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE r = m
+            ORDER BY s_suppkey
+        """,
+        "q12_lateness_priority": """
+            SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                       CAST(l_shipdate AS DATE)) > 90 THEN 'very_late'
+                        WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                       CAST(l_shipdate AS DATE)) > 30 THEN 'late'
+                        ELSE 'ontime' END AS ship_bucket,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q16_supplier_part_counts": """
+            WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM ps JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+              AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+              AND l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "q17_small_quantity_revenue": """
+            WITH aq AS (
+                SELECT l_partkey AS aq_partkey,
+                       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                         / count(*) AS aq_avg
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                WHERE p_brand = 'Brand#3'
+                GROUP BY l_partkey)
+            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                     / 7.0 AS avg_yearly
+            FROM lineitem JOIN aq ON l_partkey = aq_partkey
+            WHERE l_quantity < 0.5 * aq_avg
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q20_part_suppliers": """
+            WITH qualifying AS (
+                SELECT DISTINCT l_suppkey
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                WHERE p_name LIKE 'small%'
+                  AND l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1998-01-01'
+                GROUP BY l_suppkey, l_partkey
+                HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 40)
+            SELECT s_suppkey, s_name, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE s_suppkey IN (SELECT l_suppkey FROM qualifying)
+            ORDER BY s_suppkey
+        """,
+        "q21_late_sole_suppliers": """
+            WITH flagged AS (
+                SELECT l_orderkey, l_suppkey,
+                       CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                           CAST(l_shipdate AS DATE)) > 60
+                            THEN 1 ELSE 0 END AS late
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderstatus = 'F'),
+            per_order AS (
+                SELECT l_orderkey,
+                       count(DISTINCT l_suppkey) AS n_supp,
+                       count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late
+                FROM flagged GROUP BY l_orderkey),
+            culprits AS (
+                SELECT DISTINCT f.l_orderkey, f.l_suppkey
+                FROM flagged f
+                JOIN per_order p ON f.l_orderkey = p.l_orderkey
+                WHERE f.late = 1 AND p.n_supp > 1 AND p.n_late = 1)
+            SELECT s_name, count(*) AS numwait
+            FROM culprits JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 20
+        """,
+        "q22_idle_customers": """
+            WITH avg_bal AS (
+                SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                         / count(*) AS a
+                FROM customer WHERE c_acctbal > 0)
+            SELECT n_name, count(*) AS numcust,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+            FROM customer CROSS JOIN avg_bal
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_acctbal > a
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-08-01')
+            GROUP BY n_name
+            ORDER BY n_name
         """,
     }
