@@ -2319,6 +2319,58 @@ def q15_top_supplier(spark, sf_dir):
     )
 
 
+def doc_gopher_filter(spark, sf_dir):
+    """Full Gopher page-level rule set (Rae et al. 2021 Table A1) as per-doc
+    flags (functions/text.py::gopher_quality_flags): word-count bounds, mean
+    word length, symbol ratio, bullet/ellipsis line fractions, alpha-word
+    fraction, stopword presence, and the conjunction. Pure Catalyst,
+    map-side only; every ratio is one int/int division so the DuckDB oracle
+    reproduces the doubles exactly."""
+    from nbdatatools_spark.functions.text import gopher_quality_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", gopher_quality_flags(F.col("text")).alias("g"))
+        .select("doc_id", "g.*")
+        .orderBy("doc_id")
+    )
+
+
+def doc_token_entropy(spark, sf_dir):
+    """Per-doc unigram Shannon entropy (operators/lm.py::token_entropy) —
+    the lexical-diversity quality signal. Digest-keyed count shuffle; 9dp
+    decimal-summed c*ln(c) terms; one double expression per doc."""
+    from nbdatatools_spark.operators.lm import token_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_entropy(docs).orderBy("doc_id")
+
+
+def embedding_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (similarity.py::hard_negatives): top-5 nearest
+    DIFFERENT-label vectors per query. Gate pins impl="expr" (sequential
+    fold = DuckDB list_inner_product order); the GEMM label-mask kernel is
+    the scale path, differential-tested in tests/test_ann_recall.py."""
+    from nbdatatools_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 16)
+    pairs = hard_negatives(q, emb, k=5, impl="expr")
+    return pairs.select(
+        "query_id", "rank", "base_id", (F.round("distance", 6) + 0.0).alias("distance")
+    )
+
+
+def embedding_dim_quantiles(spark, sf_dir):
+    """Exact per-dimension quartiles (analysis.py::dim_quantiles) — the
+    distribution companion to dim_moments. One (dim, value) shuffle, exact
+    sort-based percentile with SQL-standard interpolation."""
+    from nbdatatools_spark.operators.analysis import dim_quantiles
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return dim_quantiles(emb, vec="embedding")
+
+
 def q12_lateness_priority(spark, sf_dir):
     """TPC-H Q12 shape (no shipmode column -> lateness buckets): count
     high- vs low-priority orders per shipping-lag bucket. The CASE sums run
@@ -2672,6 +2724,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_part_suppliers": q20_part_suppliers,
         "q21_late_sole_suppliers": q21_late_sole_suppliers,
         "q22_idle_customers": q22_idle_customers,
+        "doc_gopher_filter": doc_gopher_filter,
+        "doc_token_entropy": doc_token_entropy,
+        "embedding_hard_negatives": embedding_hard_negatives,
+        "embedding_dim_quantiles": embedding_dim_quantiles,
     }
 
 
@@ -2710,6 +2766,10 @@ PENDING_FIRST_RECORDING = frozenset(
         "q20_part_suppliers",
         "q21_late_sole_suppliers",
         "q22_idle_customers",
+        "doc_gopher_filter",
+        "doc_token_entropy",
+        "embedding_hard_negatives",
+        "embedding_dim_quantiles",
     }
 )
 
@@ -4853,5 +4913,109 @@ def oracle_sql() -> dict[str, str]:
                     AND o_orderdate >= TIMESTAMP '2000-08-01')
             GROUP BY n_name
             ORDER BY n_name
+        """,
+        "doc_gopher_filter": f"""
+            WITH t AS (
+                SELECT doc_id, text,
+                       {_TOKENS} AS toks,
+                       {_NTOK} AS n,
+                       list_filter(list_transform(string_split(text, chr(10)),
+                                                  l -> trim(l)),
+                                   l -> length(l) > 0) AS ls
+                FROM documents),
+            m AS (
+                SELECT doc_id, n,
+                       CASE WHEN n = 0 THEN 0.0
+                            ELSE CAST(list_sum(list_transform(toks, x -> length(x)))
+                                      AS DOUBLE) / n END AS mean_wl,
+                       CASE WHEN n = 0 THEN 0.0
+                            ELSE CAST(len(list_filter(toks,
+                                          x -> regexp_matches(x, '[a-zA-Z]')))
+                                      AS DOUBLE) / n END AS alpha_frac,
+                       CASE WHEN n = 0 THEN 0.0
+                            ELSE CAST((length(text) - length(replace(text, '#', '')))
+                                      + (length(text) - length(replace(text, '...', ''))) / 3
+                                      AS DOUBLE) / n END AS sym_ratio,
+                       CASE WHEN len(ls) = 0 THEN 0.0
+                            ELSE CAST(len(list_filter(ls,
+                                          l -> starts_with(l, '-') OR starts_with(l, '*')
+                                               OR starts_with(l, '•')))
+                                      AS DOUBLE) / len(ls) END AS bullet_frac,
+                       CASE WHEN len(ls) = 0 THEN 0.0
+                            ELSE CAST(len(list_filter(ls, l -> ends_with(l, '...')))
+                                      AS DOUBLE) / len(ls) END AS ellipsis_frac,
+                       len(list_intersect(
+                           list_distinct(CASE WHEN length(trim(text)) = 0
+                                              THEN CAST([] AS VARCHAR[])
+                                              ELSE {_LTOKENS} END),
+                           [{_STOPWORD_SQL_LIST}])) AS sw_present
+                FROM t)
+            SELECT doc_id,
+                   (n >= 50 AND n <= 100000) AS ok_word_count,
+                   (mean_wl >= 3.0 AND mean_wl <= 10.0) AS ok_mean_word_len,
+                   (sym_ratio <= 0.1) AS ok_symbol_ratio,
+                   (bullet_frac <= 0.9) AS ok_bullet,
+                   (ellipsis_frac <= 0.3) AS ok_ellipsis,
+                   (alpha_frac >= 0.8) AS ok_alpha,
+                   (sw_present >= 2) AS ok_stopwords,
+                   ((n >= 50 AND n <= 100000) AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+                    AND sym_ratio <= 0.1 AND bullet_frac <= 0.9
+                    AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+                    AND sw_present >= 2) AS keep,
+                   round(mean_wl, 6) AS mean_word_len,
+                   round(sym_ratio, 6) AS symbol_ratio,
+                   round(alpha_frac, 6) AS alpha_frac,
+                   n AS n_words
+            FROM m ORDER BY doc_id
+        """,
+        "doc_token_entropy": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+                FROM documents WHERE length(trim(text)) > 0),
+            cnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+            agg AS (
+                SELECT doc_id, sum(c) AS n, count(*) AS nd,
+                       sum(CAST(round(c * ln(CAST(c AS DOUBLE)), 9)
+                                AS DECIMAL(20,9))) AS s
+                FROM cnt GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(CAST(n AS INT), 0) AS n_tokens,
+                   COALESCE(CAST(nd AS INT), 0) AS n_distinct,
+                   CASE WHEN n IS NULL THEN NULL
+                        ELSE round(ln(CAST(n AS DOUBLE)) - CAST(s AS DOUBLE) / n, 6)
+                   END AS entropy
+            FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+            ORDER BY d.doc_id
+        """,
+        "embedding_hard_negatives": f"""
+            WITH q AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings WHERE vec_id < 16),
+                 b AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings),
+                 pairs AS (
+                    SELECT q.vec_id AS qid, b.vec_id AS bid, {_COS_DIST} AS dist
+                    FROM q JOIN b ON q.label <> b.label
+                    WHERE list_inner_product(b.e, b.e) > 0
+                      AND list_inner_product(q.e, q.e) > 0),
+                 ranked AS (
+                    SELECT qid, bid, dist,
+                           row_number() OVER (PARTITION BY qid
+                                              ORDER BY dist ASC, bid ASC) AS rn
+                    FROM pairs)
+            SELECT qid AS query_id, CAST(rn AS INT) AS rank, bid AS base_id,
+                   round(dist, 6) + 0.0 AS distance
+            FROM ranked WHERE rn <= 5
+        """,
+        "embedding_dim_quantiles": """
+            WITH v AS (
+                SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+                       CAST(unnest(embedding) AS DOUBLE) AS x
+                FROM embeddings)
+            SELECT dim, count(*) AS n,
+                   round(quantile_cont(x, 0.25), 6) AS q25,
+                   round(quantile_cont(x, 0.5), 6) AS q50,
+                   round(quantile_cont(x, 0.75), 6) AS q75
+            FROM v GROUP BY dim ORDER BY dim
         """,
     }

@@ -429,3 +429,83 @@ def strip_markup(col: Column) -> Column:
     for ent, ch in _HTML_ENTITIES:
         out = F.replace(out, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def gopher_quality_flags(col: Column) -> Column:
+    """Full Gopher page-level quality rule set (Rae et al. 2021,
+    arXiv:2112.11446 Table A1) — the rules decidable from raw text without a
+    tokenizer, as a struct of per-rule booleans plus the conjunction:
+
+    - ``ok_word_count``: 50 <= words <= 100_000
+    - ``ok_mean_word_len``: mean word length in [3, 10]
+    - ``ok_symbol_ratio``: ('#' + '...') occurrences / words <= 0.1
+    - ``ok_bullet``: fraction of lines starting with a bullet <= 0.9
+    - ``ok_ellipsis``: fraction of lines ending with '...' <= 0.3
+    - ``ok_alpha``: fraction of words containing a letter >= 0.8
+    - ``ok_stopwords``: at least 2 distinct common stopwords present
+    - ``keep``: AND of all seven
+
+    Pure Catalyst (split/filter/aggregate higher-order functions), map-side
+    only; every ratio is one integer/integer division so a SQL oracle
+    reproduces the doubles bit-for-bit. Complements ``quality_score``
+    (heuristic scalar) and the repetition metrics (``dup_line_fraction``
+    etc.) — together they form the full Gopher filter. The token and line
+    arrays are let-bound (``_let``): without it the optimizer inlines the
+    split into every higher-order lambda and re-tokenizes per element.
+    """
+
+    def over_lines(toks, ls):
+        n = F.size(toks)
+        total_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+        mean_wl = F.when(n == 0, F.lit(0.0)).otherwise(total_chars.cast("double") / n)
+        alpha_frac = F.when(n == 0, F.lit(0.0)).otherwise(
+            F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))).cast("double") / n
+        )
+        n_hash = F.length(col) - F.length(F.replace(col, F.lit("#"), F.lit("")))
+        n_ellipsis = (
+            F.length(col) - F.length(F.replace(col, F.lit("..."), F.lit("")))
+        ) / F.lit(3)
+        sym_ratio = F.when(n == 0, F.lit(0.0)).otherwise(
+            (n_hash + n_ellipsis).cast("double") / n
+        )
+        n_lines = F.size(ls)
+        bullet_frac = F.when(n_lines == 0, F.lit(0.0)).otherwise(
+            F.size(
+                F.filter(
+                    ls,
+                    lambda l: l.startswith("-") | l.startswith("*") | l.startswith("•"),
+                )
+            ).cast("double")
+            / n_lines
+        )
+        ellipsis_frac = F.when(n_lines == 0, F.lit(0.0)).otherwise(
+            F.size(F.filter(ls, lambda l: l.endswith("..."))).cast("double") / n_lines
+        )
+        sw_lits = F.array(*[F.lit(w) for w in STOPWORDS])
+        # lowering commutes with whitespace tokenization, so the stopword
+        # scan reuses the bound token array instead of a second split
+        sw_present = F.size(
+            F.array_intersect(F.array_distinct(F.transform(toks, F.lower)), sw_lits)
+        )
+        flags = {
+            "ok_word_count": (n >= 50) & (n <= 100000),
+            "ok_mean_word_len": (mean_wl >= 3.0) & (mean_wl <= 10.0),
+            "ok_symbol_ratio": sym_ratio <= 0.1,
+            "ok_bullet": bullet_frac <= 0.9,
+            "ok_ellipsis": ellipsis_frac <= 0.3,
+            "ok_alpha": alpha_frac >= 0.8,
+            "ok_stopwords": sw_present >= 2,
+        }
+        keep = None
+        for c in flags.values():
+            keep = c if keep is None else (keep & c)
+        return F.struct(
+            *[c.alias(name) for name, c in flags.items()],
+            keep.alias("keep"),
+            F.round(mean_wl, 6).alias("mean_word_len"),
+            F.round(sym_ratio, 6).alias("symbol_ratio"),
+            F.round(alpha_frac, 6).alias("alpha_frac"),
+            n.alias("n_words"),
+        )
+
+    return _let(tokens(col), lambda toks: _let(lines_of(col), lambda ls: over_lines(toks, ls)))

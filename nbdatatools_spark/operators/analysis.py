@@ -683,3 +683,29 @@ def group_keywords(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= top_k)
     )
+
+
+def dim_quantiles(
+    df: DataFrame,
+    vec: str = "vector",
+    probs: tuple = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Exact per-dimension quantiles of the vector population — the
+    distribution companion to ``dim_moments`` (which only carries moments).
+    posexplode -> ONE groupBy(dim) with Spark's exact sort-based
+    ``percentile`` (linear interpolation at rank p*(n-1), the SQL-standard
+    ``quantile_cont`` definition, so a SQL oracle matches to rounding).
+    The shuffle carries (dim, value) pairs — d*n 12-byte rows, uniformly
+    keyed by construction (every vector contributes one value per dim).
+    """
+    probs_arr = F.array(*[F.lit(float(p)) for p in probs])
+    out = (
+        df.select(F.posexplode(vec).alias("dim", "__v"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.percentile(F.col("__v").cast("double"), probs_arr).alias("__q"),
+        )
+    )
+    cols = [F.round(F.col("__q")[i], 6).alias(f"q{int(p * 100)}") for i, p in enumerate(probs)]
+    return out.select("dim", "n", *cols).orderBy("dim")

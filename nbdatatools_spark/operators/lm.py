@@ -351,3 +351,56 @@ def posting_lists(
     if min_df > 1:
         out = out.where(F.col("df") >= min_df)
     return out
+
+
+def token_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document unigram Shannon entropy in nats — the lexical-diversity
+    quality signal (low entropy = repetitive/templated text, the same family
+    as the Gopher repetition rules but distribution-based):
+
+        H = ln(n) - (sum_w c_w ln c_w) / n
+
+    over lowercased whitespace tokens. Returns ``(id_col, n_tokens,
+    n_distinct, entropy)``; entropy is NULL for empty documents and exactly
+    0.0 for single-token ones.
+
+    Plan: one explode -> groupBy (doc, md5(token)) count (the shuffle key is
+    the id plus a 16-byte digest — token strings never shuffle, the
+    bigram_lm_score discipline) -> one same-key doc rollup. The c*ln(c)
+    terms are rounded to 9dp and DECIMAL-summed (order-independent, so the
+    result is partition-count-invariant and engine-exact); the final
+    ``ln(n) - s/n`` is one double expression per document.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("__w"),
+    )
+    per_tok = toks.groupBy("__id", F.md5("__w").alias("__h")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    term = F.round(F.col("__c") * F.log(F.col("__c").cast("double")), 9).cast(_TERM_DEC)
+    per_doc = per_tok.groupBy("__id").agg(
+        F.sum("__c").alias("__n"),
+        F.count(F.lit(1)).alias("__distinct"),
+        F.sum(term).cast(_SUM_DEC).alias("__s"),
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(per_doc, F.col(id_col) == F.col("__id"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__n"), F.lit(0)).cast("int").alias("n_tokens"),
+            F.coalesce(F.col("__distinct"), F.lit(0)).cast("int").alias("n_distinct"),
+            F.when(F.col("__n").isNull(), F.lit(None).cast("double")).otherwise(
+                F.round(
+                    F.log(F.col("__n").cast("double"))
+                    - F.col("__s").cast("double") / F.col("__n"),
+                    6,
+                )
+            ).alias("entropy"),
+        )
+    )

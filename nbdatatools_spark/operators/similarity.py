@@ -780,3 +780,141 @@ def maxsim_topk(
             "maxsim_score",
         )
     )
+
+
+def hard_negatives(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int,
+    label_col: str = "label",
+    metric: str = "cosine",
+    query_id: str = "vec_id",
+    base_id: str = "vec_id",
+    vec_col: str = "embedding",
+    impl: str = "gemm",
+    max_broadcast_queries: int = 65536,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query vector,
+    the ``k`` nearest base vectors whose ``label_col`` DIFFERS from the
+    query's — the standard in-batch-negatives upgrade (dense-retrieval
+    training mines the most-similar wrong-class examples as negatives).
+
+    Returns ``(query_id, rank, base_id, distance)``; pairs with undefined
+    distance (zero-magnitude cosine) are excluded — a NULL-distance negative
+    is useless for training. Ties break on (distance, base_id).
+
+    ``impl="gemm"`` (scale path): the query block (ids, vectors, labels) is
+    one bounded driver collect broadcast to every task; each Arrow batch of
+    the base side computes the distance matrix with one BLAS GEMM, masks
+    same-label pairs to +inf, and keeps its local top-k per query — the
+    merge shuffle carries Q*k rows per batch, never Q*B (the exact_knn
+    kernel shape with a label mask). ``impl="expr"`` is the sequential-fold
+    Catalyst path whose arithmetic a SQL oracle reproduces bit-for-bit.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if impl == "expr":
+        q = queries.select(
+            F.col(query_id).alias("qid"),
+            F.col(vec_col).alias("qvec"),
+            F.col(label_col).alias("qlabel"),
+        )
+        b = base.select(
+            F.col(base_id).alias("bid"),
+            F.col(vec_col).alias("bvec"),
+            F.col(label_col).alias("blabel"),
+        )
+        pairs = (
+            b.crossJoin(F.broadcast(q))
+            .where(F.col("qlabel") != F.col("blabel"))
+            .select(
+                "qid",
+                "bid",
+                distance_expr(metric, F.col("qvec"), F.col("bvec")).alias("distance"),
+            )
+            .where(F.col("distance").isNotNull())
+        )
+        w = Window.partitionBy("qid").orderBy(F.col("distance").asc(), F.col("bid").asc())
+        return (
+            pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(
+                F.col("qid").alias("query_id"), "rank", F.col("bid").alias("base_id"), "distance"
+            )
+        )
+
+    spark = base.sparkSession
+    qrows = (
+        queries.select(query_id, vec_col, label_col)
+        .limit(max_broadcast_queries + 1)
+        .collect()
+    )
+    if len(qrows) > max_broadcast_queries:
+        raise ValueError(
+            f"query side exceeds max_broadcast_queries={max_broadcast_queries}; "
+            "mine negatives in blocks (pmod on the query id) as exact_knn does"
+        )
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id BIGINT, rank INT, base_id BIGINT, distance DOUBLE"
+        )
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qlab = np.array([r[2] for r in qrows])
+    bc = spark.sparkContext.broadcast((qids, qmat, qlab))
+    metric_key = metric.strip().lower()
+
+    def partial_topk(batches):
+        q_ids, Q, q_labels = bc.value
+        qn = np.linalg.norm(Q, axis=1)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            bids = pdf[base_id].to_numpy(dtype=np.int64)
+            blab = pdf[label_col].to_numpy()
+            B = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if metric_key == "cosine":
+                bn = np.linalg.norm(B, axis=1)
+                denom = np.outer(bn, qn)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    D = 1.0 - (B @ Q.T) / denom
+                D[denom == 0] = np.inf  # undefined -> excluded
+            elif metric_key in ("euclidean", "l2"):
+                D = np.sqrt(
+                    np.maximum(
+                        (B * B).sum(1)[:, None] - 2.0 * (B @ Q.T) + (Q * Q).sum(1)[None, :],
+                        0.0,
+                    )
+                )
+            elif metric_key == "dot_product":
+                D = -(B @ Q.T)
+            else:
+                raise ValueError(f"unknown metric {metric!r}")
+            D[blab[:, None] == q_labels[None, :]] = np.inf  # mask same-label
+            kk = min(k, len(bids))
+            idx = np.argpartition(D, kk - 1, axis=0)[:kk]
+            dist = np.take_along_axis(D, idx, axis=0).T.ravel()
+            rows = pd.DataFrame(
+                {
+                    "__qid": np.repeat(q_ids, kk),
+                    "__bid": bids[idx.T.ravel()],
+                    "__dist": dist,
+                }
+            )
+            yield rows[np.isfinite(rows["__dist"])]
+
+    partials = base.select(base_id, vec_col, label_col).mapInPandas(
+        partial_topk, "__qid BIGINT, __bid BIGINT, __dist DOUBLE"
+    )
+    w = Window.partitionBy("__qid").orderBy(F.col("__dist").asc(), F.col("__bid").asc())
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias("query_id"),
+            "rank",
+            F.col("__bid").alias("base_id"),
+            F.col("__dist").alias("distance"),
+        )
+    )
