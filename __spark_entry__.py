@@ -2486,9 +2486,11 @@ def q20_part_suppliers(spark, sf_dir):
 def q21_late_sole_suppliers(spark, sf_dir):
     """TPC-H Q21 shape: suppliers who were the ONLY late shipper in a
     multi-supplier finished order. The EXISTS/NOT-EXISTS pair collapses into
-    one per-order aggregate (distinct suppliers vs distinct late suppliers)
-    — equivalent semantics, one shuffle on orderkey instead of two
-    correlated self-joins of lineitem."""
+    per-order aggregates — equivalent semantics without two correlated
+    self-joins of lineitem. The (order, supplier) pre-aggregate replaces a
+    double countDistinct, which would Expand every row 3x for the two
+    distinct aggregates; per-pair max(late) then plain count/sum gets the
+    same numbers with map-side combine at every step."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     s = _t(spark, sf_dir, "supplier")
@@ -2496,18 +2498,20 @@ def q21_late_sole_suppliers(spark, sf_dir):
         li.join(F.broadcast(o.select("o_orderkey", "o_orderdate")), li.l_orderkey == F.col("o_orderkey"))
         .withColumn("__late", (F.datediff("l_shipdate", "o_orderdate") > 60).cast("int"))
     )
-    per_order = flagged.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("__n_supp"),
-        F.countDistinct(F.when(F.col("__late") == 1, F.col("l_suppkey"))).alias("__n_late"),
+    per_pair = flagged.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("__late").alias("__late")
+    )
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("__n_supp"),
+        F.sum("__late").alias("__n_late"),
     )
     culprits = (
-        flagged.where(F.col("__late") == 1)
+        per_pair.where(F.col("__late") == 1)
         .join(
             per_order.where((F.col("__n_supp") > 1) & (F.col("__n_late") == 1)),
             "l_orderkey",
         )
         .select("l_orderkey", "l_suppkey")
-        .distinct()
     )
     return (
         culprits.join(F.broadcast(s), culprits.l_suppkey == s.s_suppkey)

@@ -57,6 +57,12 @@ HEADLINE = [
     "embedding_standardize",
     "doc_incremental_dedup",
     "doc_dedup_keep_best",
+    "doc_gopher_filter",
+    "doc_token_entropy",
+    "embedding_hard_negatives",
+    "embedding_dim_quantiles",
+    "q13_customer_distribution",
+    "q21_late_sole_suppliers",
     "verify_profiles",
     "stream_ingest_available_now",
 ]
@@ -119,6 +125,17 @@ def main() -> None:
         return out.select("vec_id", "centroid_id")
 
     qs["embedding_semantic_dedup"] = embedding_semantic_dedup_gemm
+
+    # Same reasoning for hard negatives: the gate pins impl="expr" for the
+    # DuckDB oracle; the bench measures the GEMM label-mask kernel.
+    def embedding_hard_negatives_gemm(spark, sf_dir):
+        from nbdatatools_spark.operators.similarity import hard_negatives
+
+        emb = entrymod._t(spark, sf_dir, "embeddings")
+        q = emb.where(F.col("vec_id") < 16)
+        return hard_negatives(q, emb, k=5, impl="gemm")
+
+    qs["embedding_hard_negatives"] = embedding_hard_negatives_gemm
 
     # verify_profiles (knn.py:319, README.md:45-46 'analyze verify_profiles'):
     # golden dataset built UNTIMED; the timed entry is the multi-profile
