@@ -2379,6 +2379,62 @@ def embedding_dim_quantiles(spark, sf_dir):
     return dim_quantiles(emb, vec="embedding")
 
 
+def orders_apply_changes(spark, sf_dir):
+    """MERGE INTO semantics (cdc.py::apply_changes): apply a change batch
+    (upserts = post-cutoff orders with re-priced totals, deletes = a keyed
+    subset) to the pre-cutoff snapshot; one anti-join (AQE broadcasts the
+    delta) + unionByName. Emits the new snapshot keyed rows."""
+    from nbdatatools_spark.operators.cdc import apply_changes
+
+    o = _t(spark, sf_dir, "orders")
+    target = o.where(F.col("o_orderdate") < "2000-01-01").select(
+        "o_orderkey", "o_orderstatus", _dbl(_dec2("o_totalprice")).alias("o_totalprice")
+    )
+    upserts = (
+        o.where(F.col("o_orderdate") >= "2000-01-01")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            _dbl(_dec2("o_totalprice") * F.lit(2).cast("decimal(18,2)")).alias("o_totalprice"),
+        )
+        .withColumn("op", F.lit("upsert"))
+    )
+    deletes = (
+        o.where((F.col("o_orderdate") < "2000-01-01") & (F.col("o_orderkey") % 37 == 0))
+        .select("o_orderkey", "o_orderstatus", _dbl(_dec2("o_totalprice")).alias("o_totalprice"))
+        .withColumn("op", F.lit("delete"))
+    )
+    changes = upserts.unionByName(deletes)
+    return apply_changes(target, changes, ["o_orderkey"]).orderBy("o_orderkey")
+
+
+def events_scd2_history(spark, sf_dir):
+    """SCD Type-2 history (cdc.py::scd2_history) over three 10-day activity
+    snapshots of the events table: per-user (n_events, top_type) attribute
+    runs become half-open validity intervals; absence from a snapshot
+    closes the interval (gap = delete + re-insert). One key shuffle carries
+    lag/run-number/rollup/lead; the snapshot calendar broadcasts."""
+    from nbdatatools_spark.operators.cdc import scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    snaps = ev.groupBy(
+        "user_id",
+        (F.floor((F.dayofmonth("ts") - 1) / 10) + 1).cast("int").alias("snap"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        F.max("event_type").alias("top_type"),
+    )
+    out = scd2_history(snaps, ["user_id"], "snap")
+    return out.select(
+        "user_id",
+        "n_ev",
+        "top_type",
+        "valid_from",
+        "valid_to",
+        "is_current",
+    ).orderBy("user_id", "valid_from")
+
+
 def q12_lateness_priority(spark, sf_dir):
     """TPC-H Q12 shape (no shipmode column -> lateness buckets): count
     high- vs low-priority orders per shipping-lag bucket. The CASE sums run
@@ -2740,6 +2796,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_entropy": doc_token_entropy,
         "embedding_hard_negatives": embedding_hard_negatives,
         "embedding_dim_quantiles": embedding_dim_quantiles,
+        "orders_apply_changes": orders_apply_changes,
+        "events_scd2_history": events_scd2_history,
     }
 
 
@@ -2782,6 +2840,8 @@ PENDING_FIRST_RECORDING = frozenset(
         "doc_token_entropy",
         "embedding_hard_negatives",
         "embedding_dim_quantiles",
+        "orders_apply_changes",
+        "events_scd2_history",
     }
 )
 
@@ -5029,5 +5089,72 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(x, 0.5), 6) AS q50,
                    round(quantile_cont(x, 0.75), 6) AS q75
             FROM v GROUP BY dim ORDER BY dim
+        """,
+        "orders_apply_changes": """
+            WITH target AS (
+                SELECT o_orderkey, o_orderstatus,
+                       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+                FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'),
+            upserts AS (
+                SELECT o_orderkey, o_orderstatus,
+                       CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                            * CAST(2 AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+                FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'),
+            deletes AS (
+                SELECT o_orderkey FROM orders
+                WHERE o_orderdate < TIMESTAMP '2000-01-01' AND o_orderkey % 37 = 0),
+            change_keys AS (
+                SELECT o_orderkey FROM upserts
+                UNION ALL SELECT o_orderkey FROM deletes)
+            SELECT * FROM (
+                SELECT t.* FROM target t
+                WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM change_keys)
+                UNION ALL
+                SELECT * FROM upserts)
+            ORDER BY o_orderkey
+        """,
+        "events_scd2_history": """
+            WITH snaps AS (
+                SELECT user_id,
+                       CAST(floor((day(ts) - 1) / 10) + 1 AS INT) AS snap,
+                       count(*) AS n_ev, max(event_type) AS top_type
+                FROM events GROUP BY 1, 2),
+            cal AS (
+                SELECT snap AS c_snap,
+                       CAST(row_number() OVER (ORDER BY snap) AS INT) AS idx
+                FROM (SELECT DISTINCT snap FROM snaps)),
+            rows_ AS (
+                SELECT user_id, n_ev, top_type, snap, idx
+                FROM snaps JOIN cal ON snap = c_snap),
+            marked AS (
+                SELECT *,
+                       lag(idx) OVER w AS prev_idx,
+                       lag(n_ev) OVER w AS prev_n,
+                       lag(top_type) OVER w AS prev_t
+                FROM rows_
+                WINDOW w AS (PARTITION BY user_id ORDER BY idx)),
+            runs_in AS (
+                SELECT *,
+                       CASE WHEN prev_idx IS NULL OR prev_idx <> idx - 1
+                                 OR prev_n <> n_ev OR prev_t <> top_type
+                            THEN 1 ELSE 0 END AS chg
+                FROM marked),
+            numbered AS (
+                SELECT *,
+                       sum(chg) OVER (PARTITION BY user_id ORDER BY idx
+                                      ROWS UNBOUNDED PRECEDING) AS run
+                FROM runs_in),
+            runs AS (
+                SELECT user_id, run, min(snap) AS valid_from,
+                       max(idx) AS max_idx,
+                       max(n_ev) AS n_ev, max(top_type) AS top_type
+                FROM numbered GROUP BY user_id, run),
+            last_idx AS (SELECT max(idx) AS li FROM cal)
+            SELECT user_id, CAST(n_ev AS BIGINT) AS n_ev, top_type,
+                   valid_from,
+                   (SELECT c_snap FROM cal WHERE idx = max_idx + 1) AS valid_to,
+                   (max_idx = (SELECT li FROM last_idx)) AS is_current
+            FROM runs
+            ORDER BY user_id, valid_from
         """,
     }

@@ -89,3 +89,187 @@ def snapshot_diff(
     if not include_unchanged:
         out = out.where(F.col("change_type") != "unchanged")
     return out
+
+
+def apply_changes(
+    target: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    op_col: str = "op",
+    ops: tuple = ("upsert", "delete"),
+) -> DataFrame:
+    """MERGE INTO semantics without a table format: apply a change batch to
+    a keyed snapshot and return the new snapshot — upserts replace or insert
+    whole rows, deletes remove keys. The Delta/Iceberg ``MERGE WHEN MATCHED
+    THEN UPDATE / WHEN NOT MATCHED THEN INSERT / ... THEN DELETE`` shape as
+    a plain DataFrame transform (the storage-side transaction is the table
+    format's job; the relational semantics are this operator's).
+
+    ``changes`` must carry the target's columns plus ``op_col`` with values
+    in ``ops`` ('upsert' | 'delete'); unknown op values fail loudly at
+    execution (raise_error column guard, the snapshot_diff discipline).
+    If a key appears multiple times in one batch the call is rejected —
+    change batches must be key-deduplicated first (e.g. keep the last
+    change per key upstream); silently picking one would hide an ordering
+    bug.
+
+    Scale shape: ONE left-anti join of the target against the change keys
+    (AQE broadcasts a small delta — the common case — so the big snapshot
+    never shuffles), then a unionByName with the upsert rows. The
+    duplicate-key guard is an aggregate on the slim key projection.
+    """
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("key_cols must be non-empty")
+    if op_col not in changes.columns:
+        raise ValueError(f"changes is missing op column {op_col!r}")
+    valid = F.col(op_col).isin(*ops)
+    guarded = changes.withColumn(
+        "__op_ok",
+        F.when(valid, F.lit(1)).otherwise(
+            F.raise_error(F.concat(F.lit(f"apply_changes: unknown {op_col}="), F.col(op_col)))
+        ),
+    )
+    # duplicate-key guard: any key with >1 change row is an upstream bug
+    dup_guard = (
+        guarded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__dup_ok",
+            F.when(F.col("__n") == 1, F.lit(1)).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("apply_changes: duplicate change rows for key ("),
+                        F.concat_ws(",", *[F.col(k).cast("string") for k in keys]),
+                        F.lit(")"),
+                    )
+                )
+            ),
+        )
+        .select(*keys, "__dup_ok")
+    )
+    checked = (
+        guarded.where(F.col("__op_ok") == 1)
+        .join(dup_guard, keys)
+        .where(F.col("__dup_ok") == 1)
+        .select(*changes.columns)
+    )
+    survivors = target.join(checked.select(*keys), keys, "left_anti")
+    upserts = checked.where(F.col(op_col).isin("upsert")).select(*target.columns)
+    return survivors.unionByName(upserts)
+
+
+def scd2_history(
+    snapshots: DataFrame,
+    key_cols: Sequence[str],
+    snapshot_col: str,
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Build a slowly-changing-dimension Type-2 history from a stack of
+    snapshots: one validity interval per (key, unchanged-attribute run) —
+    ``(keys, attrs, valid_from, valid_to, is_current)`` with half-open
+    [valid_from, valid_to) intervals, ``valid_to`` NULL while current.
+
+    ``snapshots`` holds every snapshot unioned, tagged by ``snapshot_col``
+    (a sortable snapshot id: date, batch number, …); one row per (key,
+    snapshot) — duplicates fail loudly. A key absent from a snapshot closes
+    its interval at that snapshot (and a later reappearance opens a new
+    one, even with identical attributes — delete + re-insert, not
+    continuity).
+
+    Plan: the snapshot CALENDAR (distinct snapshot ids, dense-indexed) is a
+    tiny broadcast — it turns "absent from the next snapshot" into integer
+    arithmetic. ONE hash shuffle on the key then carries everything:
+    change/gap detection (lag), run numbering (running sum of change
+    markers), the per-run rollup, and the next-run lead all reuse the same
+    (key) partitioning, so Catalyst plans a single Exchange for the wide
+    data. Compared columns collapse to one xxhash64 before the lag (8
+    bytes of window state per row at any row width; a collision can only
+    merge two adjacent versions — the snapshot_diff digest caveat).
+    """
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("key_cols must be non-empty")
+    if compare_cols is None:
+        compare_cols = [
+            c for c in snapshots.columns if c not in set(keys) | {snapshot_col}
+        ]
+    cmps = list(compare_cols)
+    from pyspark.sql import Window
+
+    # dense calendar index: N_snapshots rows, single-partition window is
+    # over the calendar only (the packing.py two-phase discipline does not
+    # apply at dozens of rows)
+    calendar = (
+        snapshots.select(F.col(snapshot_col).alias("__snap")).distinct()
+        .withColumn("__idx", F.row_number().over(Window.orderBy("__snap")))
+    )
+    latest = calendar.agg(F.max("__idx").alias("__last_idx"))
+
+    digest = F.xxhash64(
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in cmps]
+    )
+    rows = snapshots.join(
+        F.broadcast(calendar), snapshots[snapshot_col] == F.col("__snap")
+    ).select(*keys, *cmps, "__snap", "__idx", digest.alias("__d"))
+
+    w = Window.partitionBy(*keys).orderBy("__idx")
+    wdup = Window.partitionBy(*keys, "__idx")
+    marked = (
+        rows.withColumn("__ndup", F.count(F.lit(1)).over(wdup))
+        .withColumn(
+            "__dup_ok",
+            F.when(F.col("__ndup") == 1, F.lit(1)).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("scd2_history: duplicate rows for key ("),
+                        F.concat_ws(",", *[F.col(k).cast("string") for k in keys]),
+                        F.lit(") in one snapshot"),
+                    )
+                )
+            ),
+        )
+        .withColumn("__prev_idx", F.lag("__idx").over(w))
+        .withColumn("__prev_d", F.lag("__d").over(w))
+        .withColumn(
+            "__chg",
+            F.when(
+                F.col("__prev_idx").isNull()                       # first sighting
+                | (F.col("__prev_idx") != F.col("__idx") - 1)      # gap = delete+reinsert
+                | (F.col("__prev_d") != F.col("__d")),             # attribute change
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .where(F.col("__dup_ok") == 1)  # filter references the guard so
+        # Catalyst cannot prune the raise_error column away
+        .withColumn("__run", F.sum("__chg").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    runs = marked.groupBy(*keys, "__run").agg(
+        F.min("__snap").alias("valid_from"),
+        F.max("__idx").alias("__max_idx"),
+        *[F.max(c).alias(c) for c in cmps],  # constant within a run
+    )
+    # A run ends right after its last sighting, whatever follows (an
+    # attribute change starts the next run at exactly max_idx+1; a gap or
+    # final disappearance also closes at calendar[max_idx+1]) — so
+    # valid_to is always the calendar snapshot after max_idx, NULL when
+    # max_idx IS the last snapshot (still current).
+    after = calendar.select(
+        F.col("__idx").alias("__after_idx"), F.col("__snap").alias("__after_snap")
+    )
+    out = (
+        runs.crossJoin(F.broadcast(latest))
+        .join(
+            F.broadcast(after),
+            F.col("__after_idx") == F.col("__max_idx") + 1,
+            "left",
+        )
+        .select(
+            *keys,
+            *cmps,
+            "valid_from",
+            F.col("__after_snap").alias("valid_to"),
+            (F.col("__max_idx") == F.col("__last_idx")).alias("is_current"),
+        )
+    )
+    return out

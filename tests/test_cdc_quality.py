@@ -265,3 +265,109 @@ def test_profile_columns_validation(profile_df):
         profile_columns(profile_df, [])
     with pytest.raises(ValueError):
         profile_columns(profile_df, ["nope"])
+
+
+# ---------------------------------------------------------------------------
+# apply_changes (MERGE semantics)
+# ---------------------------------------------------------------------------
+
+class TestApplyChanges:
+    def _target(self, spark):
+        return spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "id BIGINT, status STRING, amt DOUBLE",
+        )
+
+    def test_upsert_insert_delete(self, spark):
+        from nbdatatools_spark.operators.cdc import apply_changes
+
+        changes = spark.createDataFrame(
+            [
+                (2, "B", 21.0, "upsert"),   # update existing
+                (4, "d", 40.0, "upsert"),   # insert new
+                (3, None, 0.0, "delete"),   # delete
+            ],
+            "id BIGINT, status STRING, amt DOUBLE, op STRING",
+        )
+        out = {
+            r.id: (r.status, r.amt)
+            for r in apply_changes(self._target(spark), changes, ["id"]).collect()
+        }
+        assert out == {1: ("a", 10.0), 2: ("B", 21.0), 4: ("d", 40.0)}
+
+    def test_duplicate_change_key_raises(self, spark):
+        from nbdatatools_spark.operators.cdc import apply_changes
+
+        changes = spark.createDataFrame(
+            [(2, "x", 1.0, "upsert"), (2, "y", 2.0, "upsert")],
+            "id BIGINT, status STRING, amt DOUBLE, op STRING",
+        )
+        with pytest.raises(Exception, match="duplicate change rows"):
+            apply_changes(self._target(spark), changes, ["id"]).collect()
+
+    def test_unknown_op_raises(self, spark):
+        from nbdatatools_spark.operators.cdc import apply_changes
+
+        changes = spark.createDataFrame(
+            [(2, "x", 1.0, "merge")], "id BIGINT, status STRING, amt DOUBLE, op STRING"
+        )
+        with pytest.raises(Exception, match="unknown op"):
+            apply_changes(self._target(spark), changes, ["id"]).collect()
+
+
+# ---------------------------------------------------------------------------
+# scd2_history
+# ---------------------------------------------------------------------------
+
+class TestScd2History:
+    def _snaps(self, spark):
+        # key A: x@1, x@2, y@3  -> [1,3) x; [3,-) y current
+        # key B: x@1, (absent 2), x@3 -> [1,2) x closed; [3,-) x current (gap)
+        # key C: x@1, x@2, absent 3 -> [1,3) x closed, not current
+        rows = [
+            ("A", 1, "x"), ("A", 2, "x"), ("A", 3, "y"),
+            ("B", 1, "x"), ("B", 3, "x"),
+            ("C", 1, "x"), ("C", 2, "x"),
+        ]
+        return spark.createDataFrame(rows, "k STRING, snap INT, attr STRING")
+
+    def test_closed_form_runs(self, spark):
+        from nbdatatools_spark.operators.cdc import scd2_history
+
+        out = sorted(
+            (r.k, r.attr, r.valid_from, r.valid_to, r.is_current)
+            for r in scd2_history(self._snaps(spark), ["k"], "snap").collect()
+        )
+        assert out == [
+            ("A", "x", 1, 3, False),
+            ("A", "y", 3, None, True),
+            ("B", "x", 1, 2, False),   # closed by the gap at snapshot 2
+            ("B", "x", 3, None, True),
+            ("C", "x", 1, 3, False),
+        ]
+
+    def test_duplicate_snapshot_row_raises(self, spark):
+        from nbdatatools_spark.operators.cdc import scd2_history
+
+        snaps = spark.createDataFrame(
+            [("A", 1, "x"), ("A", 1, "y")], "k STRING, snap INT, attr STRING"
+        )
+        with pytest.raises(Exception, match="duplicate rows"):
+            scd2_history(snaps, ["k"], "snap").collect()
+
+    def test_one_wide_exchange(self, spark):
+        """The lag/run/rollup/lead chain reuses ONE key partitioning; only
+        the tiny calendar adds exchanges (broadcast + its single-partition
+        row_number)."""
+        from nbdatatools_spark.operators.cdc import scd2_history
+
+        plan = (
+            scd2_history(self._snaps(spark), ["k"], "snap")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        import re
+
+        wide = len(re.findall(r"Exchange hashpartitioning\(k", plan))
+        assert wide == 1, plan
