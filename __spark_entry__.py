@@ -2379,6 +2379,24 @@ def embedding_dim_quantiles(spark, sf_dir):
     return dim_quantiles(emb, vec="embedding")
 
 
+def embedding_psi_drift(spark, sf_dir):
+    """Per-dim Population Stability Index (analysis.py::embedding_psi)
+    between the first 250 vectors (baseline) and the rest (current) — the
+    production drift monitor. Two map-side bin projections union into ONE
+    uniform (dim, bin) groupBy; 9dp decimal-summed smoothing terms."""
+    from nbdatatools_spark.operators.analysis import embedding_psi
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_psi(
+        emb.where(F.col("vec_id") < 250),
+        emb.where(F.col("vec_id") >= 250),
+        vec="embedding",
+        n_bins=10,
+        lo=-4.0,
+        hi=4.0,
+    )
+
+
 def orders_apply_changes(spark, sf_dir):
     """MERGE INTO semantics (cdc.py::apply_changes): apply a change batch
     (upserts = post-cutoff orders with re-priced totals, deletes = a keyed
@@ -2798,6 +2816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dim_quantiles": embedding_dim_quantiles,
         "orders_apply_changes": orders_apply_changes,
         "events_scd2_history": events_scd2_history,
+        "embedding_psi_drift": embedding_psi_drift,
     }
 
 
@@ -2842,6 +2861,7 @@ PENDING_FIRST_RECORDING = frozenset(
         "embedding_dim_quantiles",
         "orders_apply_changes",
         "events_scd2_history",
+        "embedding_psi_drift",
     }
 )
 
@@ -5156,5 +5176,46 @@ def oracle_sql() -> dict[str, str]:
                    (max_idx = (SELECT li FROM last_idx)) AS is_current
             FROM runs
             ORDER BY user_id, valid_from
+        """,
+        "embedding_psi_drift": """
+            WITH v AS (
+                SELECT vec_id,
+                       CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+                       CAST(unnest(embedding) AS DOUBLE) AS x
+                FROM embeddings),
+            binned AS (
+                SELECT dim,
+                       least(greatest(CAST(floor((x - (-4.0)) / 0.8) AS INT), 0), 9)
+                         AS bin,
+                       CASE WHEN vec_id < 250 THEN 0 ELSE 1 END AS side
+                FROM v),
+            counts AS (
+                SELECT dim, bin,
+                       sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS cb,
+                       sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cc
+                FROM binned GROUP BY dim, bin),
+            totals AS (
+                SELECT dim, sum(cb) AS nb, sum(cc) AS nc FROM counts GROUP BY dim),
+            grid AS (
+                SELECT t.dim, t.nb, t.nc, gs.bin
+                FROM totals t, (SELECT unnest(generate_series(0, 9)) AS bin) gs),
+            full_ AS (
+                SELECT g.dim, g.nb, g.nc, g.bin,
+                       COALESCE(c.cb, 0) AS cb, COALESCE(c.cc, 0) AS cc
+                FROM grid g LEFT JOIN counts c
+                  ON g.dim = c.dim AND g.bin = c.bin),
+            terms AS (
+                SELECT dim, cb, cc,
+                       CAST(round(
+                           (CAST(cb + 1 AS DOUBLE) / (nb + 10)
+                            - CAST(cc + 1 AS DOUBLE) / (nc + 10))
+                           * ln((CAST(cb + 1 AS DOUBLE) / (nb + 10))
+                                / (CAST(cc + 1 AS DOUBLE) / (nc + 10))), 9)
+                         AS DECIMAL(20,9)) AS term
+                FROM full_)
+            SELECT dim,
+                   round(CAST(sum(term) AS DOUBLE), 6) AS psi,
+                   sum(cb) AS n_baseline, sum(cc) AS n_current
+            FROM terms GROUP BY dim ORDER BY dim
         """,
     }

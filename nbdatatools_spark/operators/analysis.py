@@ -709,3 +709,81 @@ def dim_quantiles(
     )
     cols = [F.round(F.col("__q")[i], 6).alias(f"q{int(p * 100)}") for i, p in enumerate(probs)]
     return out.select("dim", "n", *cols).orderBy("dim")
+
+
+def embedding_psi(
+    baseline: DataFrame,
+    current: DataFrame,
+    vec: str = "embedding",
+    n_bins: int = 10,
+    lo: float = -4.0,
+    hi: float = 4.0,
+) -> DataFrame:
+    """Per-dimension Population Stability Index between two embedding
+    populations — the standard production drift monitor (PSI < 0.1 stable,
+    0.1-0.25 drifting, > 0.25 shifted):
+
+        PSI_d = sum_bins (p_b - q_b) * ln(p_b / q_b)
+
+    over ``n_bins`` fixed-width bins on [lo, hi] (values outside clamp to
+    the edge bins), with add-one smoothing on counts so empty bins stay
+    defined. Fixed literal edges keep the monitor stateless and
+    engine-portable; pass the baseline's own quantiles as (lo, hi) bounds
+    upstream if adaptive edges are wanted.
+
+    Plan: each side is one posexplode -> map-side bin projection; the two
+    sides union (no join) into ONE (dim, bin) groupBy with conditional
+    counts — 2*N*d slim rows shuffle on perfectly uniform keys, then a
+    d-row rollup. The (p-q)*ln(p/q) terms are rounded to 9dp and
+    DECIMAL-summed (order-independent, engine-exact to the final 6dp
+    rounding).
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    width = (hi - lo) / n_bins
+
+    def binned(df: DataFrame, tag: int) -> DataFrame:
+        x = F.col("__v").cast("double")
+        idx = F.floor((x - F.lit(float(lo))) / F.lit(float(width))).cast("int")
+        clamped = F.least(F.greatest(idx, F.lit(0)), F.lit(n_bins - 1))
+        return df.select(F.posexplode(vec).alias("dim", "__v")).select(
+            "dim", clamped.alias("bin"), F.lit(tag).alias("__side")
+        )
+
+    counts = (
+        binned(baseline, 0)
+        .unionByName(binned(current, 1))
+        .groupBy("dim", "bin")
+        .agg(
+            F.sum(F.when(F.col("__side") == 0, 1).otherwise(0)).alias("__cb"),
+            F.sum(F.when(F.col("__side") == 1, 1).otherwise(0)).alias("__cc"),
+        )
+    )
+    totals = counts.groupBy("dim").agg(
+        F.sum("__cb").alias("__nb"), F.sum("__cc").alias("__nc")
+    )
+    # full dim x bin grid: a bin empty on BOTH sides still contributes its
+    # smoothing term (the canonical PSI definition) — observed-only groupBy
+    # keys would silently drop it
+    grid = totals.select(
+        "dim", "__nb", "__nc",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"),
+    )
+    full = (
+        grid.join(counts, ["dim", "bin"], "left")
+        .na.fill(0, ["__cb", "__cc"])
+    )
+    p = (F.col("__cb") + 1).cast("double") / (F.col("__nb") + F.lit(n_bins))
+    q = (F.col("__cc") + 1).cast("double") / (F.col("__nc") + F.lit(n_bins))
+    term = F.round((p - q) * F.log(p / q), 9).cast("decimal(20,9)")
+    return (
+        full.groupBy("dim")
+        .agg(
+            F.round(F.sum(term).cast("decimal(38,9)").cast("double"), 6).alias("psi"),
+            F.sum("__cb").alias("n_baseline"),
+            F.sum("__cc").alias("n_current"),
+        )
+        .orderBy("dim")
+    )

@@ -228,3 +228,62 @@ def stream_enrich(
         raise ValueError(f"stream-static join supports inner/left, got {how!r}")
     d = F.broadcast(dim) if broadcast_dim else dim
     return stream.join(d, on, how)
+
+
+def stream_apply_changes(
+    changes_stream: DataFrame,
+    target_dir: str,
+    key_cols,
+    op_col: str = "op",
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming MERGE sink — the Delta/Iceberg ``MERGE INTO`` streaming
+    idiom without a table format: each micro-batch of change rows
+    (``op_col`` in upsert/delete) is applied to the keyed parquet snapshot
+    at ``target_dir`` via ``operators.cdc.apply_changes``, and the snapshot
+    is atomically swapped (write-new-then-rename; a reader sees the old or
+    the new snapshot, never a half-written one).
+
+    foreachBatch is the exactly-once boundary Structured Streaming gives a
+    non-transactional sink: the checkpoint records the batch id BEFORE the
+    swap, so a crash between write and checkpoint replays the batch —
+    apply_changes is idempotent per batch (same keys, same rows), making
+    replay safe. Within a batch, duplicate change keys fail loudly
+    (apply_changes' guard); across batches, later batches win — standard
+    CDC ordering, the caller's responsibility to feed in commit order
+    (one batch per source commit window).
+
+    Returns the streaming query (caller awaits termination). The batch
+    parity property: draining a change stream through this sink equals
+    one big apply_changes of all batches applied in order.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from nbdatatools_spark.operators.cdc import apply_changes
+
+    keys = list(key_cols)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        target = spark.read.parquet(target_dir)
+        merged = apply_changes(target, batch_df, keys, op_col=op_col)
+        # write beside, swap atomically (rename within the same filesystem)
+        parent = os.path.dirname(os.path.abspath(target_dir))
+        tmp = tempfile.mkdtemp(prefix="__merge_", dir=parent)
+        out = os.path.join(tmp, "snapshot")
+        merged.write.mode("overwrite").parquet(out)
+        old = target_dir + f".old_{batch_id}"
+        os.rename(target_dir, old)
+        os.rename(out, target_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    writer = changes_stream.writeStream.foreachBatch(apply_batch).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -157,3 +157,62 @@ def test_dim_quantiles_matches_numpy(spark, embeddings):
         assert got[dim].q50 == pytest.approx(np.quantile(col, 0.5), abs=1e-6)
         assert got[dim].q75 == pytest.approx(np.quantile(col, 0.75), abs=1e-6)
     assert len(got) == X.shape[1]
+
+
+# ---------------------------------------------------------------------------
+# embedding_psi
+# ---------------------------------------------------------------------------
+
+def test_psi_zero_for_identical_populations(spark, embeddings):
+    from nbdatatools_spark.operators.analysis import embedding_psi
+
+    out = embedding_psi(embeddings, embeddings, vec="embedding").collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.psi == 0.0
+        assert r.n_baseline == r.n_current
+
+
+def test_psi_detects_planted_shift(spark):
+    from nbdatatools_spark.operators.analysis import embedding_psi
+
+    base = spark.createDataFrame(
+        [(i, [0.0, 0.0]) for i in range(200)], "id BIGINT, v ARRAY<DOUBLE>"
+    )
+    # dim 0 shifted hard into another bin; dim 1 unchanged
+    cur = spark.createDataFrame(
+        [(i, [3.0, 0.0]) for i in range(200)], "id BIGINT, v ARRAY<DOUBLE>"
+    )
+    rows = {r.dim: r.psi for r in embedding_psi(base, cur, vec="v").collect()}
+    assert rows[0] > 0.25  # "shifted" by the standard PSI reading
+    assert rows[1] == 0.0
+
+
+def test_psi_closed_form_two_bins(spark):
+    import math
+
+    from nbdatatools_spark.operators.analysis import embedding_psi
+
+    base = spark.createDataFrame(
+        [(1, [0.25]), (2, [0.25]), (3, [0.75])], "id BIGINT, v ARRAY<DOUBLE>"
+    )
+    cur = spark.createDataFrame(
+        [(1, [0.75]), (2, [0.75]), (3, [0.25])], "id BIGINT, v ARRAY<DOUBLE>"
+    )
+    got = embedding_psi(base, cur, vec="v", n_bins=2, lo=0.0, hi=1.0).collect()[0]
+    # smoothed: p = (2+1)/5, (1+1)/5; q mirrored
+    p0, p1, q0, q1 = 3 / 5, 2 / 5, 2 / 5, 3 / 5
+    expect = round(
+        round((p0 - q0) * math.log(p0 / q0), 9) + round((p1 - q1) * math.log(p1 / q1), 9),
+        6,
+    )
+    assert got.psi == pytest.approx(expect, abs=1e-9)
+
+
+def test_psi_validation(spark, embeddings):
+    from nbdatatools_spark.operators.analysis import embedding_psi
+
+    with pytest.raises(ValueError):
+        embedding_psi(embeddings, embeddings, n_bins=1)
+    with pytest.raises(ValueError):
+        embedding_psi(embeddings, embeddings, lo=1.0, hi=1.0)

@@ -273,3 +273,62 @@ def test_stream_enrich_equals_batch_and_broadcasts(spark, events_dir, tmp_path):
 
     with _pytest.raises(ValueError):
         stream_enrich(batch, dim, "user_id", how="full")
+
+
+def test_stream_apply_changes_equals_sequential_merge(spark, tmp_path):
+    """Draining change batches through the foreachBatch MERGE sink equals
+    applying the same batches sequentially with apply_changes."""
+    import os
+    import time
+
+    from nbdatatools_spark.operators.cdc import apply_changes
+    from nbdatatools_spark.streaming.events import stream_apply_changes
+
+    target_dir = str(tmp_path / "snapshot")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id BIGINT, status STRING, amt DOUBLE",
+    ).write.parquet(target_dir)
+
+    batches = [
+        [(2, "B", 21.0, "upsert"), (4, "d", 40.0, "upsert")],
+        [(1, None, 0.0, "delete"), (4, "D", 41.0, "upsert")],
+        [(5, "e", 50.0, "upsert"), (3, None, 0.0, "delete")],
+    ]
+    schema = "id BIGINT, status STRING, amt DOUBLE, op STRING"
+    changes_dir = str(tmp_path / "changes")
+    os.makedirs(changes_dir)
+    for i, rows in enumerate(batches):
+        # one file per batch; mtime order drives file-source batch order
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            changes_dir
+        )
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(changes_dir)
+    )
+    q = stream_apply_changes(
+        stream,
+        target_dir,
+        ["id"],
+        checkpoint_dir=str(tmp_path / "ckpt_merge"),
+    )
+    q.awaitTermination(120)
+
+    expected_df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id BIGINT, status STRING, amt DOUBLE",
+    )
+    for rows in batches:
+        expected_df = apply_changes(
+            expected_df, spark.createDataFrame(rows, schema), ["id"]
+        )
+    expected = {(r.id, r.status, r.amt) for r in expected_df.collect()}
+    got = {
+        (r.id, r.status, r.amt) for r in spark.read.parquet(target_dir).collect()
+    }
+    assert got == expected == {(2, "B", 21.0), (4, "D", 41.0), (5, "e", 50.0)}
