@@ -2379,6 +2379,52 @@ def embedding_dim_quantiles(spark, sf_dir):
     return dim_quantiles(emb, vec="embedding")
 
 
+def orders_incremental_agg(spark, sf_dir):
+    """Incremental view maintenance (cdc.py::incremental_agg_update): update
+    a per-status (count, revenue) aggregate under the same upsert/delete
+    batch as orders_apply_changes WITHOUT rescanning the merged snapshot —
+    signed delta algebra over the change keys only. The oracle recomputes
+    from scratch on the post-merge snapshot: the two paths share no code,
+    so the hash match proves the incremental identity itself."""
+    from nbdatatools_spark.operators.cdc import incremental_agg_update
+
+    o = _t(spark, sf_dir, "orders")
+    target = o.where(F.col("o_orderdate") < "2000-01-01").select(
+        "o_orderkey", "o_orderstatus", _dec2("o_totalprice").alias("price")
+    )
+    upserts = (
+        o.where(F.col("o_orderdate") >= "2000-01-01")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            (_dec2("o_totalprice") * F.lit(2).cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("price"),
+        )
+        .withColumn("op", F.lit("upsert"))
+    )
+    deletes = (
+        o.where((F.col("o_orderdate") < "2000-01-01") & (F.col("o_orderkey") % 37 == 0))
+        .select("o_orderkey", "o_orderstatus", _dec2("o_totalprice").alias("price"))
+        .withColumn("op", F.lit("delete"))
+    )
+    changes = upserts.unionByName(deletes)
+    state = target.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("price").alias("price")
+    )
+    out = incremental_agg_update(
+        state,
+        target,
+        changes,
+        group_cols=["o_orderstatus"],
+        key_cols=["o_orderkey"],
+        sum_cols=["price"],
+    )
+    return out.select(
+        "o_orderstatus", "n", _dbl(F.col("price")).alias("revenue")
+    ).orderBy("o_orderstatus")
+
+
 def embedding_psi_drift(spark, sf_dir):
     """Per-dim Population Stability Index (analysis.py::embedding_psi)
     between the first 250 vectors (baseline) and the rest (current) — the
@@ -2817,6 +2863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_apply_changes": orders_apply_changes,
         "events_scd2_history": events_scd2_history,
         "embedding_psi_drift": embedding_psi_drift,
+        "orders_incremental_agg": orders_incremental_agg,
     }
 
 
@@ -2862,6 +2909,7 @@ PENDING_FIRST_RECORDING = frozenset(
         "orders_apply_changes",
         "events_scd2_history",
         "embedding_psi_drift",
+        "orders_incremental_agg",
     }
 )
 
@@ -5217,5 +5265,31 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(term) AS DOUBLE), 6) AS psi,
                    sum(cb) AS n_baseline, sum(cc) AS n_current
             FROM terms GROUP BY dim ORDER BY dim
+        """,
+        "orders_incremental_agg": """
+            WITH target AS (
+                SELECT o_orderkey, o_orderstatus,
+                       CAST(o_totalprice AS DECIMAL(18,2)) AS price
+                FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'),
+            upserts AS (
+                SELECT o_orderkey, o_orderstatus,
+                       CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                            * CAST(2 AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS price
+                FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'),
+            deletes AS (
+                SELECT o_orderkey FROM orders
+                WHERE o_orderdate < TIMESTAMP '2000-01-01' AND o_orderkey % 37 = 0),
+            change_keys AS (
+                SELECT o_orderkey FROM upserts
+                UNION ALL SELECT o_orderkey FROM deletes),
+            merged AS (
+                SELECT o_orderstatus, price FROM target
+                WHERE o_orderkey NOT IN (SELECT o_orderkey FROM change_keys)
+                UNION ALL
+                SELECT o_orderstatus, price FROM upserts)
+            SELECT o_orderstatus, count(*) AS n,
+                   CAST(sum(price) AS DOUBLE) AS revenue
+            FROM merged GROUP BY o_orderstatus
+            ORDER BY o_orderstatus
         """,
     }

@@ -273,3 +273,62 @@ def scd2_history(
         )
     )
     return out
+
+
+def incremental_agg_update(
+    state: DataFrame,
+    target: DataFrame,
+    changes: DataFrame,
+    group_cols: Sequence[str],
+    key_cols: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    op_col: str = "op",
+    count_col: str = "n",
+) -> DataFrame:
+    """Incremental view maintenance for a grouped count/sum aggregate: given
+    the current aggregate ``state`` (``group_cols`` + ``count_col`` + one
+    summed column per ``sum_cols``), the current ``target`` snapshot, and a
+    change batch (upserts/deletes keyed by ``key_cols``), produce the
+    aggregate of the POST-merge snapshot without rescanning it — the
+    100-TB rule: a day's delta must not cost a full-corpus aggregate.
+
+    Algebra (counts and sums are group-homomorphic): rows being replaced or
+    deleted contribute -1 * their measures, upsert rows +1; the signed
+    union aggregates to a per-group delta (a |changes|-sized computation —
+    the ONE join against ``target`` is a left-semi on change keys, which
+    AQE executes as a broadcast lookup for a small delta), then one
+    full-outer merge with ``state``. Groups whose count reaches 0 drop out.
+
+    The correctness identity — incremental result == from-scratch aggregate
+    of ``apply_changes(target, changes)`` — is the gate's oracle: the two
+    paths share no code.
+    """
+    groups = list(group_cols)
+    keys = list(key_cols)
+    sums = list(sum_cols)
+    if not groups or not keys:
+        raise ValueError("group_cols and key_cols must be non-empty")
+    old = target.join(changes.select(*keys), keys, "left_semi")
+    neg = old.select(*groups, F.lit(-1).alias("__w"), *sums)
+    pos = changes.where(F.col(op_col) == "upsert").select(
+        *groups, F.lit(1).alias("__w"), *sums
+    )
+    delta = (
+        neg.unionByName(pos)
+        .groupBy(*groups)
+        .agg(
+            F.sum("__w").alias("__dn"),
+            *[F.sum(F.col("__w") * F.col(c)).alias(f"__d_{c}") for c in sums],
+        )
+    )
+    merged = state.join(delta, groups, "full_outer").select(
+        *groups,
+        (F.coalesce(F.col(count_col), F.lit(0)) + F.coalesce(F.col("__dn"), F.lit(0))).alias(
+            count_col
+        ),
+        *[
+            (F.coalesce(F.col(c), F.lit(0)) + F.coalesce(F.col(f"__d_{c}"), F.lit(0))).alias(c)
+            for c in sums
+        ],
+    )
+    return merged.where(F.col(count_col) != 0)

@@ -371,3 +371,46 @@ class TestScd2History:
 
         wide = len(re.findall(r"Exchange hashpartitioning\(k", plan))
         assert wide == 1, plan
+
+
+class TestIncrementalAggUpdate:
+    def test_matches_from_scratch(self, spark):
+        from nbdatatools_spark.operators.cdc import apply_changes, incremental_agg_update
+
+        target = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "c", 5.0)],
+            "id BIGINT, g STRING, m DOUBLE",
+        )
+        changes = spark.createDataFrame(
+            [
+                (2, "b", 25.0, "upsert"),   # moves group a -> b
+                (4, None, 0.0, "delete"),   # group c empties out
+                (5, "a", 7.0, "upsert"),    # new row
+            ],
+            "id BIGINT, g STRING, m DOUBLE, op STRING",
+        )
+        state = target.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("m").alias("m")
+        )
+        inc = {
+            r.g: (r.n, r.m)
+            for r in incremental_agg_update(
+                state, target, changes, ["g"], ["id"], ["m"]
+            ).collect()
+        }
+        scratch = {
+            r.g: (r.n, r.m)
+            for r in apply_changes(target, changes, ["id"])
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("m").alias("m"))
+            .collect()
+        }
+        assert inc == scratch == {"a": (2, 17.0), "b": (2, 55.0)}
+        assert "c" not in inc  # zero-count groups drop out
+
+    def test_validation(self, spark):
+        from nbdatatools_spark.operators.cdc import incremental_agg_update
+
+        df = spark.createDataFrame([(1, "a", 1.0)], "id BIGINT, g STRING, m DOUBLE")
+        with pytest.raises(ValueError):
+            incremental_agg_update(df, df, df, [], ["id"], ["m"])
