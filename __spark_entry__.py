@@ -2379,6 +2379,21 @@ def embedding_dim_quantiles(spark, sf_dir):
     return dim_quantiles(emb, vec="embedding")
 
 
+def events_multi_touch(spark, sf_dir):
+    """Multi-touch attribution (temporal.py::multi_touch_attribution):
+    linear credit split of purchase value across view/click touches in the
+    prior 24h; unmatched conversions credit 'direct' in full (conservation:
+    total credit == total converted value). One user-keyed equi-join; the
+    per-conversion windows reuse its partitioning."""
+    from nbdatatools_spark.operators.temporal import multi_touch_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return multi_touch_attribution(
+        ev, conversion_type="purchase", touch_types=("view", "click"),
+        lookback_seconds=86400, model="linear",
+    )
+
+
 def orders_incremental_agg(spark, sf_dir):
     """Incremental view maintenance (cdc.py::incremental_agg_update): update
     a per-status (count, revenue) aggregate under the same upsert/delete
@@ -2864,6 +2879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_scd2_history": events_scd2_history,
         "embedding_psi_drift": embedding_psi_drift,
         "orders_incremental_agg": orders_incremental_agg,
+        "events_multi_touch": events_multi_touch,
     }
 
 
@@ -2910,6 +2926,7 @@ PENDING_FIRST_RECORDING = frozenset(
         "events_scd2_history",
         "embedding_psi_drift",
         "orders_incremental_agg",
+        "events_multi_touch",
     }
 )
 
@@ -5291,5 +5308,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(price) AS DOUBLE) AS revenue
             FROM merged GROUP BY o_orderstatus
             ORDER BY o_orderstatus
+        """,
+        "events_multi_touch": """
+            WITH conv AS (
+                SELECT user_id AS u, ts AS cts, event_id AS cid, value AS val
+                FROM events WHERE event_type = 'purchase'),
+            touch AS (
+                SELECT user_id AS u, ts AS tts, event_id AS tid,
+                       event_type AS channel
+                FROM events WHERE event_type IN ('view', 'click')),
+            matched AS (
+                SELECT c.cid, c.val, t.channel
+                FROM conv c JOIN touch t ON c.u = t.u
+                 AND t.tts <= c.cts
+                 AND t.tts > c.cts - INTERVAL '86400 seconds'),
+            counted AS (
+                SELECT cid, val, channel,
+                       count(*) OVER (PARTITION BY cid) AS n
+                FROM matched),
+            direct AS (
+                SELECT cid, val, 'direct' AS channel, CAST(1 AS BIGINT) AS n
+                FROM conv
+                WHERE cid NOT IN (SELECT cid FROM matched)),
+            rows_ AS (
+                SELECT cid, val, channel, n FROM counted
+                UNION ALL SELECT cid, val, channel, n FROM direct)
+            SELECT channel,
+                   round(CAST(sum(CAST(round(val / n, 9) AS DECIMAL(20,9)))
+                              AS DOUBLE), 6) AS credit,
+                   count(*) AS n_touches,
+                   count(DISTINCT cid) AS n_conversions
+            FROM rows_ GROUP BY channel ORDER BY channel
         """,
     }

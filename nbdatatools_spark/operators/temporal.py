@@ -429,3 +429,103 @@ def session_paths(
         .limit(top_k)
         .withColumn("rank", F.row_number().over(w).cast("int"))
     )
+
+
+def multi_touch_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: Sequence[str] = ("view", "click"),
+    lookback_seconds: int = 86400,
+    model: str = "linear",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Multi-touch conversion attribution: split each conversion's value
+    across the touchpoints that preceded it within the lookback window —
+    the marketing-analytics staple behind channel ROI. Models:
+
+    - ``linear``: value / n_touches to every touch
+    - ``first`` / ``last``: all value to the first / last touch
+      (ties break on (timestamp, event id) — deterministic)
+
+    Conversions with NO touch in the window are attributed to the
+    ``direct`` channel in full, so total credit always equals total
+    converted value (conservation is a test invariant).
+
+    Returns one row per channel: ``(channel, credit, n_touches,
+    n_conversions)`` — credit 6dp over 9dp-rounded DECIMAL-summed terms.
+
+    Plan: conversions and touches are two filtered projections of the same
+    scan; the pairing is a user-keyed equi-join (ONE hash shuffle per side
+    — time predicates can't equi-join, but the user key bounds the blowup
+    to per-user activity, the funnel/session discipline) and the
+    per-conversion count/rank windows reuse the same user partitioning.
+    """
+    if model not in ("linear", "first", "last"):
+        raise ValueError(f"unknown attribution model {model!r}")
+    conv = events.where(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__cts"),
+        F.col(id_col).alias("__cid"),
+        F.col(value_col).alias("__val"),
+    )
+    touch = events.where(F.col(type_col).isin(*touch_types)).select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__tts"),
+        F.col(id_col).alias("__tid"),
+        F.col(type_col).alias("channel"),
+    )
+    paired = conv.join(touch, "__u", "left").where(
+        F.col("__tts").isNull()
+        | (
+            (F.col("__tts") <= F.col("__cts"))
+            & (
+                F.col("__tts")
+                > F.col("__cts") - F.expr(f"INTERVAL {int(lookback_seconds)} SECOND")
+            )
+        )
+    )
+    # a conversion whose joined touches ALL fail the window still needs its
+    # direct row: re-attach unmatched conversions via anti-join
+    matched_ids = paired.where(F.col("__tts").isNotNull()).select("__cid").distinct()
+    direct = conv.join(matched_ids, "__cid", "left_anti").select(
+        "__cid",
+        F.col("__val"),
+        F.lit("direct").alias("channel"),
+        F.lit(1).alias("__n"),
+        F.lit(1).alias("__rn_first"),
+        F.lit(1).alias("__rn_last"),
+    )
+    wc = Window.partitionBy("__cid")
+    wf = Window.partitionBy("__cid").orderBy(F.col("__tts").asc(), F.col("__tid").asc())
+    wl = Window.partitionBy("__cid").orderBy(F.col("__tts").desc(), F.col("__tid").desc())
+    attributed = (
+        paired.where(F.col("__tts").isNotNull())
+        .withColumn("__n", F.count(F.lit(1)).over(wc))
+        .withColumn("__rn_first", F.row_number().over(wf))
+        .withColumn("__rn_last", F.row_number().over(wl))
+        .select("__cid", "__val", "channel", "__n", "__rn_first", "__rn_last")
+        .unionByName(direct)
+    )
+    if model == "linear":
+        credit = F.col("__val") / F.col("__n")
+        rows = attributed
+    elif model == "first":
+        credit = F.col("__val")
+        rows = attributed.where(F.col("__rn_first") == 1)
+    else:
+        credit = F.col("__val")
+        rows = attributed.where(F.col("__rn_last") == 1)
+    term = F.round(credit, 9).cast("decimal(20,9)")
+    return (
+        rows.groupBy("channel")
+        .agg(
+            F.round(F.sum(term).cast("decimal(38,9)").cast("double"), 6).alias("credit"),
+            F.count(F.lit(1)).alias("n_touches"),
+            F.countDistinct("__cid").alias("n_conversions"),
+        )
+        .orderBy("channel")
+    )

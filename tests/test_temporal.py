@@ -387,3 +387,73 @@ def test_session_paths_tiebreak_same_ts(spark):
     ).select("event_id", "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"))
     out = session_paths(ev, top_k=5).collect()
     assert out[0]["path"] == "a>b"
+
+
+class TestMultiTouchAttribution:
+    def _events(self, spark):
+        # user 1: view@t1, click@t2, purchase@t3 (100) -> linear 50/50
+        # user 2: purchase@t1 with no prior touch -> direct
+        # user 3: view just OUTSIDE lookback -> direct
+        rows = [
+            (1, 1, "2024-01-02 10:00:00", "view", 0.0),
+            (2, 1, "2024-01-02 11:00:00", "click", 0.0),
+            (3, 1, "2024-01-02 12:00:00", "purchase", 100.0),
+            (4, 2, "2024-01-02 12:00:00", "purchase", 40.0),
+            (5, 3, "2024-01-01 11:59:00", "view", 0.0),
+            (6, 3, "2024-01-02 12:00:00", "purchase", 60.0),
+        ]
+        return spark.createDataFrame(
+            [(i, u, ts, t, v) for i, u, ts, t, v in rows],
+            "event_id BIGINT, user_id BIGINT, ts STRING, event_type STRING, value DOUBLE",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def test_linear_with_direct_fallback(self, spark):
+        from nbdatatools_spark.operators.temporal import multi_touch_attribution
+
+        out = {
+            r.channel: (r.credit, r.n_touches, r.n_conversions)
+            for r in multi_touch_attribution(self._events(spark)).collect()
+        }
+        assert out["view"] == (50.0, 1, 1)
+        assert out["click"] == (50.0, 1, 1)
+        assert out["direct"] == (100.0, 2, 2)  # users 2 and 3
+
+    def test_first_and_last_models(self, spark):
+        from nbdatatools_spark.operators.temporal import multi_touch_attribution
+
+        first = {
+            r.channel: r.credit
+            for r in multi_touch_attribution(self._events(spark), model="first").collect()
+        }
+        last = {
+            r.channel: r.credit
+            for r in multi_touch_attribution(self._events(spark), model="last").collect()
+        }
+        assert first["view"] == 100.0 and "click" not in first
+        assert last["click"] == 100.0 and "view" not in last
+
+    def test_credit_conservation(self, spark, sf_dir):
+        import os
+
+        from nbdatatools_spark.operators.temporal import multi_touch_attribution
+
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        total_value = (
+            ev.where(F.col("event_type") == "purchase")
+            .agg(F.sum(F.round("value", 9).cast("decimal(20,9)")).alias("s"))
+            .collect()[0]
+            .s
+        )
+        credit = (
+            multi_touch_attribution(ev)
+            .agg(F.sum(F.col("credit")).alias("s"))
+            .collect()[0]
+            .s
+        )
+        assert abs(float(credit) - float(total_value)) < 1e-3
+
+    def test_unknown_model_raises(self, spark):
+        from nbdatatools_spark.operators.temporal import multi_touch_attribution
+
+        with pytest.raises(ValueError):
+            multi_touch_attribution(self._events(spark), model="u_shaped")
