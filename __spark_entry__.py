@@ -2379,6 +2379,47 @@ def embedding_dim_quantiles(spark, sf_dir):
     return dim_quantiles(emb, vec="embedding")
 
 
+def doc_entity_resolution(spark, sf_dir):
+    """End-to-end entity resolution: blocked edit-distance pairing
+    (dedup.py::edit_distance_pairs — O(n²) confined to (lang, source)
+    blocks) -> exact transitive clusters (connected_components: min-label
+    propagation over the pair graph, 8-byte-key joins) -> quality-based
+    survivorship (max_by on (quality, -id): best quality wins, ties to the
+    lowest id). One lazily-planned chain, the doc_training_pipeline
+    composition discipline; the oracle replays the whole chain incl. a
+    RECURSIVE reachability CTE."""
+    from nbdatatools_spark.operators.dedup import connected_components, edit_distance_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = edit_distance_pairs(docs, max_distance=45)
+    comp = connected_components(pairs)
+    labeled = (
+        docs.select("doc_id", F.round(quality_score(F.col("text")), 6).alias("quality"))
+        .join(comp, F.col("doc_id") == comp.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("cluster"),
+            "quality",
+        )
+    )
+    best = labeled.groupBy("cluster").agg(
+        F.max_by(
+            "doc_id",
+            F.struct(F.col("quality").alias("q"), (-F.col("doc_id")).alias("nid")),
+        ).alias("__survivor")
+    )
+    return (
+        labeled.join(F.broadcast(best), "cluster")
+        .select(
+            "doc_id",
+            "cluster",
+            (F.col("doc_id") == F.col("__survivor")).alias("survivor"),
+            "quality",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def events_multi_touch(spark, sf_dir):
     """Multi-touch attribution (temporal.py::multi_touch_attribution):
     linear credit split of purchase value across view/click touches in the
@@ -2880,6 +2921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_psi_drift": embedding_psi_drift,
         "orders_incremental_agg": orders_incremental_agg,
         "events_multi_touch": events_multi_touch,
+        "doc_entity_resolution": doc_entity_resolution,
     }
 
 
@@ -2927,6 +2969,7 @@ PENDING_FIRST_RECORDING = frozenset(
         "embedding_psi_drift",
         "orders_incremental_agg",
         "events_multi_touch",
+        "doc_entity_resolution",
     }
 )
 
@@ -5339,5 +5382,46 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_touches,
                    count(DISTINCT cid) AS n_conversions
             FROM rows_ GROUP BY channel ORDER BY channel
+        """,
+        "doc_entity_resolution": f"""
+            WITH RECURSIVE s AS (
+                SELECT lang, source, doc_id, n_chars,
+                       substr({_NORM}, 1, 60) AS t
+                FROM documents),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM s a JOIN s b
+                  ON a.lang = b.lang AND a.source = b.source
+                 AND a.doc_id < b.doc_id
+                 AND abs(a.n_chars - b.n_chars) <= 3
+                WHERE levenshtein(a.t, b.t) <= 45),
+            edges AS (
+                SELECT id_a AS es, id_b AS ed FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+            reach(id, r) AS (
+                SELECT es, ed FROM edges
+                UNION
+                SELECT w.id, e.ed FROM reach w JOIN edges e ON e.es = w.r),
+            comp AS (
+                SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id),
+            labeled AS (
+                SELECT d.doc_id,
+                       COALESCE(c.component, d.doc_id) AS cluster,
+                       round(least(length(d.text) / 500.0, 1.0) * 0.4
+                             + least({_SWRATIO.replace('text', 'd.text')} * 4.0, 1.0) * 0.3
+                             + greatest(0.0, 1.0 - {_PUNCT.replace('text', 'd.text')} * 5.0) * 0.3,
+                             6) AS quality
+                FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+            best AS (
+                SELECT cluster, doc_id AS survivor_id FROM (
+                    SELECT cluster, doc_id,
+                           row_number() OVER (PARTITION BY cluster
+                                              ORDER BY quality DESC, doc_id ASC) AS rn
+                    FROM labeled)
+                WHERE rn = 1)
+            SELECT l.doc_id, l.cluster,
+                   (l.doc_id = b.survivor_id) AS survivor, l.quality
+            FROM labeled l JOIN best b ON l.cluster = b.cluster
+            ORDER BY l.doc_id
         """,
     }
