@@ -2379,6 +2379,19 @@ def embedding_dim_quantiles(spark, sf_dir):
     return dim_quantiles(emb, vec="embedding")
 
 
+def events_ab_test(spark, sf_dir):
+    """Two-proportion A/B readout (analysis.py::ab_test_report): synthetic
+    3-way split on user_id % 3, conversion = any purchase event. One
+    user-grain aggregate then variant-level counts; pooled-variance z with
+    an A-S-erf two-sided p-value (4dp: exp's last ulp is libm-dependent,
+    the ks gate discipline)."""
+    from nbdatatools_spark.operators.analysis import ab_test_report
+
+    ev = _t(spark, sf_dir, "events")
+    variant = F.concat(F.lit("v"), (F.col("user_id") % 3).cast("string"))
+    return ab_test_report(ev, variant, F.col("event_type") == "purchase")
+
+
 def doc_entity_resolution(spark, sf_dir):
     """End-to-end entity resolution: blocked edit-distance pairing
     (dedup.py::edit_distance_pairs — O(n²) confined to (lang, source)
@@ -2922,6 +2935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_incremental_agg": orders_incremental_agg,
         "events_multi_touch": events_multi_touch,
         "doc_entity_resolution": doc_entity_resolution,
+        "events_ab_test": events_ab_test,
     }
 
 
@@ -2970,6 +2984,7 @@ PENDING_FIRST_RECORDING = frozenset(
         "orders_incremental_agg",
         "events_multi_touch",
         "doc_entity_resolution",
+        "events_ab_test",
     }
 )
 
@@ -5423,5 +5438,50 @@ def oracle_sql() -> dict[str, str]:
                    (l.doc_id = b.survivor_id) AS survivor, l.quality
             FROM labeled l JOIN best b ON l.cluster = b.cluster
             ORDER BY l.doc_id
+        """,
+        "events_ab_test": """
+            WITH per_user AS (
+                SELECT concat('v', CAST(user_id % 3 AS VARCHAR)) AS v, user_id,
+                       max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+                FROM events GROUP BY 1, 2),
+            per_variant AS (
+                SELECT v, count(*) AS users, sum(c) AS conv
+                FROM per_user GROUP BY v),
+            pairs AS (
+                SELECT a.v AS variant_a, a.users AS users_a, a.conv AS conv_a,
+                       b.v AS variant_b, b.users AS users_b, b.conv AS conv_b
+                FROM per_variant a JOIN per_variant b ON a.v < b.v),
+            stats AS (
+                SELECT *,
+                       CAST(conv_a AS DOUBLE) / users_a AS ra,
+                       CAST(conv_b AS DOUBLE) / users_b AS rb,
+                       CAST(conv_a + conv_b AS DOUBLE) / (users_a + users_b) AS pp
+                FROM pairs),
+            zcalc AS (
+                SELECT *,
+                       CASE WHEN sqrt(pp * (1.0 - pp)
+                                      * (1.0 / users_a + 1.0 / users_b)) = 0.0
+                            THEN 0.0
+                            ELSE (ra - rb)
+                                 / sqrt(pp * (1.0 - pp)
+                                        * (1.0 / users_a + 1.0 / users_b))
+                       END AS z
+                FROM stats),
+            tcalc AS (
+                SELECT *,
+                       1.0 / (1.0 + 0.3275911 * abs(z / 1.4142135623730951)) AS t,
+                       z / 1.4142135623730951 AS zz
+                FROM zcalc)
+            SELECT variant_a, variant_b, users_a, conv_a,
+                   round(ra, 6) AS rate_a,
+                   users_b, conv_b, round(rb, 6) AS rate_b,
+                   round(z, 6) + 0.0 AS z,
+                   round(1.0 - ((CASE WHEN abs(zz) < 0 THEN -1.0 ELSE 1.0 END)
+                         * (1.0 - (0.254829592 * t - 0.284496736 * power(t, 2)
+                                   + 1.421413741 * power(t, 3)
+                                   - 1.453152027 * power(t, 4)
+                                   + 1.061405429 * power(t, 5))
+                           * exp(-abs(zz) * abs(zz)))), 4) + 0.0 AS p_value
+            FROM tcalc ORDER BY variant_a, variant_b
         """,
     }

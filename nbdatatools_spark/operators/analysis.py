@@ -787,3 +787,79 @@ def embedding_psi(
         )
         .orderBy("dim")
     )
+
+
+def ab_test_report(
+    events: DataFrame,
+    variant_col,
+    conversion_pred,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Two-proportion z-test between experiment variants — the A/B readout:
+    per-variant exposed users and converting users, conversion rates, and
+    (on the pairwise rows) the pooled-variance z statistic with a two-sided
+    p-value via the Abramowitz-Stegun erf (the ks_statistics discipline, so
+    a SQL oracle reproduces it to rounding).
+
+    ``variant_col`` assigns each row a variant label (any deterministic
+    Column — e.g. a hash of the user id for a synthetic split);
+    ``conversion_pred`` is a boolean Column marking converting events.
+
+    Returns one row per unordered variant pair: ``(variant_a, variant_b,
+    users_a, conv_a, rate_a, users_b, conv_b, rate_b, z, p_value)``.
+
+    Plan: ONE distinct over (variant, user, converted-flag collapsed by
+    max) — user grain — then a variant-level aggregate (a handful of
+    rows); the pairwise join runs on the tiny variant table. The event
+    scan is touched once.
+    """
+    per_user = (
+        events.select(
+            variant_col.alias("__v"),
+            F.col(user_col).alias("__u"),
+            F.when(conversion_pred, 1).otherwise(0).alias("__c"),
+        )
+        .groupBy("__v", "__u")
+        .agg(F.max("__c").alias("__c"))
+    )
+    per_variant = per_user.groupBy("__v").agg(
+        F.count(F.lit(1)).alias("users"), F.sum("__c").alias("conv")
+    )
+    a = per_variant.select(
+        F.col("__v").alias("variant_a"),
+        F.col("users").alias("users_a"),
+        F.col("conv").alias("conv_a"),
+    )
+    b = per_variant.select(
+        F.col("__v").alias("variant_b"),
+        F.col("users").alias("users_b"),
+        F.col("conv").alias("conv_b"),
+    )
+    pairs = a.join(b, F.col("variant_a") < F.col("variant_b"))
+    ra = F.col("conv_a").cast("double") / F.col("users_a")
+    rb = F.col("conv_b").cast("double") / F.col("users_b")
+    p_pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("users_a") + F.col("users_b")
+    )
+    se = F.sqrt(
+        p_pool
+        * (1.0 - p_pool)
+        * (1.0 / F.col("users_a") + 1.0 / F.col("users_b"))
+    )
+    z = F.when(se == 0.0, F.lit(0.0)).otherwise((ra - rb) / se)
+    p_value = 1.0 - _erf(F.abs(z) / F.lit(math.sqrt(2.0)))
+    return pairs.select(
+        "variant_a",
+        "variant_b",
+        "users_a",
+        "conv_a",
+        F.round(ra, 6).alias("rate_a"),
+        "users_b",
+        "conv_b",
+        F.round(rb, 6).alias("rate_b"),
+        # +0.0 collapses -0.0 (equal rates); p_value rounds to 4dp because
+        # its exp() is not correctly-rounded and the last ulp differs
+        # between libm implementations (the ks_statistic_normal precedent)
+        (F.round(z, 6) + 0.0).alias("z"),
+        (F.round(p_value, 4) + 0.0).alias("p_value"),
+    ).orderBy("variant_a", "variant_b")

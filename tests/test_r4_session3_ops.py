@@ -216,3 +216,50 @@ def test_psi_validation(spark, embeddings):
         embedding_psi(embeddings, embeddings, n_bins=1)
     with pytest.raises(ValueError):
         embedding_psi(embeddings, embeddings, lo=1.0, hi=1.0)
+
+
+# ---------------------------------------------------------------------------
+# ab_test_report
+# ---------------------------------------------------------------------------
+
+def test_ab_test_closed_form(spark):
+    import math
+
+    from nbdatatools_spark.operators.analysis import ab_test_report
+
+    # variant A: 4 users, 2 convert; variant B: 4 users, 1 converts
+    rows = []
+    eid = 0
+    for u, v, conv in [
+        (1, "A", True), (2, "A", True), (3, "A", False), (4, "A", False),
+        (5, "B", True), (6, "B", False), (7, "B", False), (8, "B", False),
+    ]:
+        rows.append((eid, u, v, "purchase" if conv else "view")); eid += 1
+        rows.append((eid, u, v, "view")); eid += 1  # noise events
+    df = spark.createDataFrame(
+        rows, "event_id BIGINT, user_id BIGINT, variant STRING, event_type STRING"
+    )
+    out = ab_test_report(
+        df, F.col("variant"), F.col("event_type") == "purchase"
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.users_a, r.conv_a, r.users_b, r.conv_b) == (4, 2, 4, 1)
+    assert r.rate_a == 0.5 and r.rate_b == 0.25
+    pp = 3 / 8
+    se = math.sqrt(pp * (1 - pp) * (1 / 4 + 1 / 4))
+    assert r.z == pytest.approx(round((0.5 - 0.25) / se, 6), abs=1e-9)
+    # p-value sanity: |z| ~ 0.73 -> p ~ 0.465 (not significant)
+    assert 0.4 < r.p_value < 0.55
+
+
+def test_ab_test_equal_rates_zero_z(spark):
+    from nbdatatools_spark.operators.analysis import ab_test_report
+
+    df = spark.createDataFrame(
+        [(1, 1, "A", "purchase"), (2, 2, "B", "purchase")],
+        "event_id BIGINT, user_id BIGINT, variant STRING, event_type STRING",
+    )
+    r = ab_test_report(df, F.col("variant"), F.col("event_type") == "purchase").collect()[0]
+    assert r.z == 0.0  # se == 0 with both rates 1.0 -> guarded to exactly 0
+    assert r.p_value == 1.0
