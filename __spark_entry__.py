@@ -2379,6 +2379,30 @@ def embedding_dim_quantiles(spark, sf_dir):
     return dim_quantiles(emb, vec="embedding")
 
 
+def events_cooccurrence(spark, sf_dir):
+    """Market-basket co-occurrence with lift (analysis.py::
+    cooccurrence_stats): users as baskets, event types as items. One
+    (user, type) distinct; pair join keyed on user; lift arithmetic on
+    pair-cardinality rows."""
+    from nbdatatools_spark.operators.analysis import cooccurrence_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return cooccurrence_stats(ev, basket_col="user_id", item_col="event_type")
+
+
+def doc_group_percent_rank(spark, sf_dir):
+    """Within-group score normalization (analysis.py::group_percent_rank):
+    percent rank of engine-exact rounded quality inside each source group.
+    Groups partition the window — per-task state is one group's rows."""
+    from nbdatatools_spark.operators.analysis import group_percent_rank
+
+    docs = _t(spark, sf_dir, "documents")
+    slim = docs.select(
+        "doc_id", "source", F.round(quality_score(F.col("text")), 6).alias("quality")
+    )
+    return group_percent_rank(slim, ["source"], "quality").orderBy("doc_id")
+
+
 def events_ab_test(spark, sf_dir):
     """Two-proportion A/B readout (analysis.py::ab_test_report): synthetic
     3-way split on user_id % 3, conversion = any purchase event. One
@@ -2936,6 +2960,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_multi_touch": events_multi_touch,
         "doc_entity_resolution": doc_entity_resolution,
         "events_ab_test": events_ab_test,
+        "events_cooccurrence": events_cooccurrence,
+        "doc_group_percent_rank": doc_group_percent_rank,
     }
 
 
@@ -2985,6 +3011,8 @@ PENDING_FIRST_RECORDING = frozenset(
         "events_multi_touch",
         "doc_entity_resolution",
         "events_ab_test",
+        "events_cooccurrence",
+        "doc_group_percent_rank",
     }
 )
 
@@ -5483,5 +5511,38 @@ def oracle_sql() -> dict[str, str]:
                                    + 1.061405429 * power(t, 5))
                            * exp(-abs(zz) * abs(zz)))), 4) + 0.0 AS p_value
             FROM tcalc ORDER BY variant_a, variant_b
+        """,
+        "events_cooccurrence": """
+            WITH hits AS (
+                SELECT DISTINCT user_id AS b, event_type AS i FROM events),
+            n AS (SELECT CAST(count(DISTINCT b) AS DOUBLE) AS nb FROM hits),
+            item_counts AS (
+                SELECT i, count(*) AS ni FROM hits GROUP BY i),
+            pair_counts AS (
+                SELECT a.i AS item_a, b2.i AS item_b, count(*) AS n_both
+                FROM hits a JOIN hits b2 ON a.b = b2.b AND a.i < b2.i
+                GROUP BY 1, 2)
+            SELECT item_a, item_b, n_both,
+                   ca.ni AS n_a, cb.ni AS n_b,
+                   round(n_both / nb, 6) AS support,
+                   round((n_both * nb) / (CAST(ca.ni AS DOUBLE) * cb.ni), 6) AS lift
+            FROM pair_counts
+            JOIN item_counts ca ON item_a = ca.i
+            JOIN item_counts cb ON item_b = cb.i
+            CROSS JOIN n
+            ORDER BY item_a, item_b
+        """,
+        "doc_group_percent_rank": f"""
+            SELECT doc_id, source,
+                   round(least(length(text) / 500.0, 1.0) * 0.4
+                         + least({_SWRATIO} * 4.0, 1.0) * 0.3
+                         + greatest(0.0, 1.0 - {_PUNCT} * 5.0) * 0.3, 6) AS quality,
+                   round(percent_rank() OVER (
+                       PARTITION BY source
+                       ORDER BY round(least(length(text) / 500.0, 1.0) * 0.4
+                                      + least({_SWRATIO} * 4.0, 1.0) * 0.3
+                                      + greatest(0.0, 1.0 - {_PUNCT} * 5.0) * 0.3, 6) ASC),
+                         6) AS pct_rank
+            FROM documents ORDER BY doc_id
         """,
     }

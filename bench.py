@@ -63,6 +63,13 @@ HEADLINE = [
     "embedding_dim_quantiles",
     "q13_customer_distribution",
     "q21_late_sole_suppliers",
+    "orders_apply_changes",
+    "events_scd2_history",
+    "embedding_psi_drift",
+    "orders_incremental_agg",
+    "events_multi_touch",
+    "doc_entity_resolution",
+    "events_ab_test",
     "verify_profiles",
     "stream_ingest_available_now",
 ]

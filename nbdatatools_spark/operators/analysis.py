@@ -863,3 +863,74 @@ def ab_test_report(
         (F.round(z, 6) + 0.0).alias("z"),
         (F.round(p_value, 4) + 0.0).alias("p_value"),
     ).orderBy("variant_a", "variant_b")
+
+
+def cooccurrence_stats(
+    df: DataFrame,
+    basket_col: str = "user_id",
+    item_col: str = "event_type",
+) -> DataFrame:
+    """Market-basket co-occurrence with lift: for every unordered item
+    pair, the number of baskets containing both, each item's basket count,
+    support, and lift = P(ab) / (P(a) P(b)) — the association-rule readout
+    (lift > 1: items co-occur more than independence predicts).
+
+    Plan: ONE distinct over (basket, item) — the only corpus-sized
+    shuffle; the pair self-join keys on the basket id (per-basket blowup
+    = distinct-items², the funnel discipline — cap baskets upstream for
+    pathological cardinality); item totals and the final lift arithmetic
+    run on item- and pair-cardinality rows.
+    """
+    hits = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    n_baskets = hits.select("__b").distinct().count()  # bounded driver scalar
+    item_counts = hits.groupBy("__i").agg(F.count(F.lit(1)).alias("__ni"))
+    a = hits.select(F.col("__b"), F.col("__i").alias("item_a"))
+    b = hits.select(F.col("__b"), F.col("__i").alias("item_b"))
+    pair_counts = (
+        a.join(b, "__b")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ca = item_counts.select(F.col("__i").alias("item_a"), F.col("__ni").alias("n_a"))
+    cb = item_counts.select(F.col("__i").alias("item_b"), F.col("__ni").alias("n_b"))
+    n = float(n_baskets)
+    support = F.col("n_both") / F.lit(n)
+    lift = (F.col("n_both") * F.lit(n)) / (
+        F.col("n_a").cast("double") * F.col("n_b")
+    )
+    return (
+        pair_counts.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(support, 6).alias("support"),
+            F.round(lift, 6).alias("lift"),
+        )
+        .orderBy("item_a", "item_b")
+    )
+
+
+def group_percent_rank(
+    df: DataFrame,
+    group_cols,
+    order_col: str,
+    out_col: str = "pct_rank",
+) -> DataFrame:
+    """Exact percent rank of ``order_col`` WITHIN each group —
+    within-group score normalization (the per-group companion of
+    exact_percent_rank's global two-phase index). Groups partition the
+    window, so no single-reducer hazard: state per task is one group's
+    rows. percent_rank = (rank - 1) / (n - 1), ties share a rank; single-
+    row groups get 0.0 (SQL-standard)."""
+    groups = list(group_cols)
+    if not groups:
+        raise ValueError("group_cols must be non-empty")
+    w = Window.partitionBy(*groups).orderBy(F.col(order_col).asc())
+    return df.withColumn(out_col, F.round(F.percent_rank().over(w), 6))
