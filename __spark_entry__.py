@@ -2379,6 +2379,16 @@ def embedding_dim_quantiles(spark, sf_dir):
     return dim_quantiles(emb, vec="embedding")
 
 
+def embedding_winsorize(spark, sf_dir):
+    """Per-dim winsorization (analysis.py::winsorize_vectors): clip every
+    component into its dimension's exact [p1, p99] range. One d-row
+    quantile pass; the clip is a shuffle-free literal-array projection."""
+    from nbdatatools_spark.operators.analysis import winsorize_vectors
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return winsorize_vectors(emb, lo_q=0.01, hi_q=0.99).orderBy("vec_id")
+
+
 def events_cooccurrence(spark, sf_dir):
     """Market-basket co-occurrence with lift (analysis.py::
     cooccurrence_stats): users as baskets, event types as items. One
@@ -2962,6 +2972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ab_test": events_ab_test,
         "events_cooccurrence": events_cooccurrence,
         "doc_group_percent_rank": doc_group_percent_rank,
+        "embedding_winsorize": embedding_winsorize,
     }
 
 
@@ -3013,6 +3024,7 @@ PENDING_FIRST_RECORDING = frozenset(
         "events_ab_test",
         "events_cooccurrence",
         "doc_group_percent_rank",
+        "embedding_winsorize",
     }
 )
 
@@ -5544,5 +5556,23 @@ def oracle_sql() -> dict[str, str]:
                                       + greatest(0.0, 1.0 - {_PUNCT} * 5.0) * 0.3, 6) ASC),
                          6) AS pct_rank
             FROM documents ORDER BY doc_id
+        """,
+        "embedding_winsorize": """
+            WITH v AS (
+                SELECT vec_id,
+                       CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+                       CAST(unnest(embedding) AS DOUBLE) AS x
+                FROM embeddings),
+            bounds AS (
+                SELECT dim,
+                       round(quantile_cont(x, 0.01), 9) AS lo,
+                       round(quantile_cont(x, 0.99), 9) AS hi
+                FROM v GROUP BY dim),
+            clipped AS (
+                SELECT v.vec_id, v.dim,
+                       round(least(greatest(v.x, b.lo), b.hi), 6) AS c
+                FROM v JOIN bounds b ON v.dim = b.dim)
+            SELECT vec_id, list(c ORDER BY dim) AS clipped
+            FROM clipped GROUP BY vec_id ORDER BY vec_id
         """,
     }

@@ -934,3 +934,52 @@ def group_percent_rank(
         raise ValueError("group_cols must be non-empty")
     w = Window.partitionBy(*groups).orderBy(F.col(order_col).asc())
     return df.withColumn(out_col, F.round(F.percent_rank().over(w), 6))
+
+
+def winsorize_vectors(
+    df: DataFrame,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    lo_q: float = 0.01,
+    hi_q: float = 0.99,
+    out_col: str = "clipped",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-dimension winsorization: clip each component into its
+    dimension's [lo_q, hi_q] exact quantile range — the outlier-taming
+    front-door before moments/standardization when heavy tails would
+    otherwise dominate (the clip-don't-drop counterpart of the
+    median/MAD outlier flags).
+
+    Scale shape (the standardize_vectors discipline): ONE corpus pass
+    computes the d-row exact-quantile table (sort-based percentile keyed
+    by dim — uniform keys); the bounds are inlined as literal arrays and
+    the clip is a shuffle-free, UDF-free transform projection. Bounds
+    round to 9dp before the projection so both engines clip with the
+    same literals.
+    """
+    if not 0.0 <= lo_q < hi_q <= 1.0:
+        raise ValueError(f"need 0 <= lo_q < hi_q <= 1, got ({lo_q}, {hi_q})")
+    stats = (
+        df.select(F.posexplode(vec).alias("dim", "value"))
+        .groupBy("dim")
+        .agg(
+            F.round(F.percentile(F.col("value").cast("double"), F.lit(float(lo_q))), 9).alias("lo"),
+            F.round(F.percentile(F.col("value").cast("double"), F.lit(float(hi_q))), 9).alias("hi"),
+        )
+        .orderBy("dim")
+        .collect()  # d rows — bounded by dimensionality
+    )
+    los = F.array(*[F.lit(float(r.lo)) for r in stats])
+    his = F.array(*[F.lit(float(r.hi)) for r in stats])
+    clipped = F.transform(
+        F.col(vec),
+        lambda x, i: F.round(
+            F.least(
+                F.greatest(x.cast("double"), F.element_at(los, i + 1)),
+                F.element_at(his, i + 1),
+            ),
+            round_digits,
+        ),
+    )
+    return df.select(F.col(id_col), clipped.alias(out_col))

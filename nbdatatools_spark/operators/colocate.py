@@ -145,3 +145,49 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    target_mb: int = 128,
+    sort_cols=None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files of
+    roughly ``target_mb`` each — the lakehouse maintenance job (streaming
+    sinks and per-batch MERGE writers accrete small files; scan cost at
+    100 TB is dominated by file-open overhead once files shrink below the
+    row-group size). Returns the output file count.
+
+    Partition count = ceil(total_bytes / target_mb) from the source's
+    actual on-disk size (no data scan to plan). With ``sort_cols`` the
+    rewrite range-partitions and sorts within partitions (repartitionByRange
+    + sortWithinPartitions), so every output file covers a tight key range
+    — min/max pruning works after compaction (the write_zordered
+    single-key analogue). Without it, coalesce-style repartition only.
+    """
+    import math as _math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n = max(1, _math.ceil(total / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_dir)
+    if sort_cols:
+        from pyspark.sql import functions as F
+
+        cols = [F.col(c) for c in sort_cols]
+        out = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+    else:
+        out = df.repartition(n)
+    out.write.mode("overwrite").parquet(dst_dir)
+    return sum(
+        1
+        for root, _dirs, files in os.walk(dst_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )

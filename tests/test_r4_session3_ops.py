@@ -263,3 +263,68 @@ def test_ab_test_equal_rates_zero_z(spark):
     r = ab_test_report(df, F.col("variant"), F.col("event_type") == "purchase").collect()[0]
     assert r.z == 0.0  # se == 0 with both rates 1.0 -> guarded to exactly 0
     assert r.p_value == 1.0
+
+
+# ---------------------------------------------------------------------------
+# winsorize_vectors / compact_parquet
+# ---------------------------------------------------------------------------
+
+def test_winsorize_matches_numpy(spark, embeddings):
+    from nbdatatools_spark.operators.analysis import winsorize_vectors
+
+    X = np.array(
+        [r.embedding for r in embeddings.select("embedding").orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    lo = np.round(np.quantile(X, 0.05, axis=0), 9)
+    hi = np.round(np.quantile(X, 0.95, axis=0), 9)
+    expect = np.round(np.clip(X, lo, hi), 6)
+    got = winsorize_vectors(embeddings, lo_q=0.05, hi_q=0.95).orderBy("vec_id").collect()
+    G = np.array([r.clipped for r in got])
+    assert np.allclose(G, expect, atol=2e-6)
+    # clipping actually engaged (some values at the bounds)
+    assert (G == np.round(lo, 6)).any() or (G == np.round(hi, 6)).any()
+
+
+def test_winsorize_validation(spark, embeddings):
+    from nbdatatools_spark.operators.analysis import winsorize_vectors
+
+    with pytest.raises(ValueError):
+        winsorize_vectors(embeddings, lo_q=0.5, hi_q=0.5)
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from nbdatatools_spark.operators.colocate import compact_parquet
+
+    src = str(tmp_path / "frag")
+    # 40 tiny files
+    spark.range(0, 40000).withColumn("k", F.col("id") % 97).repartition(40).write.parquet(src)
+    import os
+
+    n_src = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+    assert n_src == 40
+    dst = str(tmp_path / "compact")
+    n_out = compact_parquet(spark, src, dst, target_mb=128)
+    assert n_out == 1  # tiny total size -> one file
+    assert spark.read.parquet(dst).count() == 40000
+
+    # sorted variant: every output file covers a tight key range
+    dst2 = str(tmp_path / "compact_sorted")
+    spark.range(0, 2_000_000).withColumn("k", (F.col("id") * 7919) % 1000).withColumn(
+        "pad", F.md5(F.col("id").cast("string"))
+    ).repartition(40).write.parquet(str(tmp_path / "frag2"))
+    compact_parquet(spark, str(tmp_path / "frag2"), dst2, target_mb=1, sort_cols=["k"])
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in os.listdir(dst2):
+        if f.endswith(".parquet"):
+            md = pq.read_metadata(os.path.join(dst2, f))
+            ks = [
+                (md.row_group(i).column(1).statistics.min, md.row_group(i).column(1).statistics.max)
+                for i in range(md.num_row_groups)
+            ]
+            spans.append((min(k[0] for k in ks), max(k[1] for k in ks)))
+    assert len(spans) > 1
+    total_span = sum(hi - lo for lo, hi in spans)
+    assert total_span < 1000 * 1.2  # near-disjoint ranges, not ~full-domain each
