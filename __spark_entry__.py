@@ -2811,10 +2811,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     session-2 gates (chunking, weighted sample, Jaccard, markup strip,
     BPE, EWMA, transitions, quantile sketch, salted join, standardize,
     trailing window, outliers, incremental dedup, keep-best,
-    multimodal-align); 49 = fit. The window is now FULL of this-round
-    entries — the next session must wait for CORRECTNESS_r04 before
-    displacing any of them. Tail = r3-green stable set; tests cross-check
-    the tail against CORRECTNESS_r03.
+    multimodal-align); 49 = fit. The window is FULL of round-4 entries —
+    displace them only after CORRECTNESS_r04 lands. Tail = the r3-green
+    stable set (tests cross-check it against CORRECTNESS_r03) followed by
+    every session-3+ addition (relational completion q2..q22, Gopher
+    flags, token entropy, hard negatives, dim quantiles, CDC family,
+    PSI, attribution, entity resolution, A/B, co-occurrence, percent
+    rank, winsorize) under PENDING_FIRST_RECORDING, all local-oracle
+    green and awaiting their first recorded round.
     """
     return {
         # -- previously driver-unrecorded (rounds 1-3): record these first --

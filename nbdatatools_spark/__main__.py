@@ -1,0 +1,379 @@
+"""``python -m nbdatatools_spark`` — the CLI surface of the engine, mirroring
+the reference's ``nbvectors`` command tree (reference README.md:32-99) so a
+reference user can run the same commands against the Spark engine:
+
+    analyze count_zeros|describe|verify_knn
+    compute knn
+    convert file
+    generate vectors|mktestdata
+    merkle create|verify|summary|diff|path|treeview|spoilbits|spoilchunks
+    catalog
+    datasets list
+    vectordata info|size|sample
+    cleanup cleanfvec
+    version
+
+Vector I/O dispatches on extension: ``.fvec/.ivec/.bvec/.dvec/.svec/.mvec``
+via the xvec codecs, ``.parquet`` as an (ordinal, vector) table. Analysis
+commands print one JSON object per result row; exit code 0 on success,
+2 on usage errors, 1 on verification failure (verify_knn below threshold,
+merkle corruption) — scriptable like the reference CLI.
+
+Spark is constructed lazily: merkle/catalog commands are pure-Python and
+never start a JVM.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+_XVEC_EXTS = (".fvec", ".ivec", ".bvec", ".dvec", ".svec", ".mvec")
+
+
+def _spark():
+    from nbdatatools_spark.session import get_spark
+
+    return get_spark("nbdatatools-cli")
+
+
+def _read_vectors(spark, path: str):
+    if path.endswith(_XVEC_EXTS):
+        from nbdatatools_spark.sources.xvec import read_xvec
+
+        return read_xvec(spark, path)
+    if path.endswith(".parquet") or os.path.isdir(path):
+        return spark.read.parquet(path)
+    if path.endswith(".csv"):
+        from nbdatatools_spark.sources.csv_vec import read_csv_vectors
+
+        return read_csv_vectors(spark, path)
+    raise SystemExit(f"unsupported vector input: {path}")
+
+
+def _write_vectors(df, path: str) -> None:
+    if path.endswith(_XVEC_EXTS):
+        from nbdatatools_spark.sources.xvec import write_xvec
+
+        write_xvec(df, path)
+    elif path.endswith(".parquet"):
+        df.write.mode("overwrite").parquet(path)
+    elif path.endswith(".json"):
+        from nbdatatools_spark.sources.convert import write_vectors_json
+
+        write_vectors_json(df, path)
+    elif path.endswith((".yaml", ".yml")):
+        from nbdatatools_spark.sources.convert import write_vectors_yaml
+
+        write_vectors_yaml(df, path)
+    else:
+        raise SystemExit(f"unsupported vector output: {path}")
+
+
+def _emit(rows) -> None:
+    for r in rows:
+        print(json.dumps(r.asDict() if hasattr(r, "asDict") else r, default=str))
+
+
+def _cmd_analyze(args) -> int:
+    spark = _spark()
+    df = _read_vectors(spark, args.input)
+    if args.what == "count_zeros":
+        from nbdatatools_spark.operators.analysis import count_zero_vectors
+
+        _emit(count_zero_vectors(df, vec=args.vec_col).collect())
+        return 0
+    if args.what == "describe":
+        from nbdatatools_spark.operators.analysis import describe
+
+        _emit(describe(df, ordinal=args.ordinal_col, vec=args.vec_col).collect())
+        return 0
+    if args.what == "verify_knn":
+        from nbdatatools_spark.operators.knn import verify_knn
+
+        base = df
+        queries = _read_vectors(spark, args.queries)
+        truth = spark.read.parquet(args.truth) if args.truth.endswith(".parquet") else None
+        if truth is None:
+            from nbdatatools_spark.sources.xvec import read_xvec
+
+            idx = read_xvec(spark, args.truth)
+            from pyspark.sql import functions as F
+
+            truth = idx.select("ordinal", F.col("vector").alias("indices"))
+        rep = verify_knn(
+            queries, base, truth, k=args.k, metric=args.metric, sample_size=args.sample
+        ).collect()
+        _emit(rep)
+        mean_recall = rep[0]["mean_recall"] if rep else 0.0
+        return 0 if mean_recall >= args.min_recall else 1
+    raise SystemExit(2)
+
+
+def _cmd_compute_knn(args) -> int:
+    from pyspark.sql import functions as F
+
+    from nbdatatools_spark.operators.knn import exact_knn
+
+    spark = _spark()
+    base = _read_vectors(spark, args.base)
+    queries = _read_vectors(spark, args.query)
+    nn = exact_knn(queries, base, k=args.k, metric=args.metric, impl=args.impl)
+    if args.out_indices:
+        _write_vectors(nn.select("ordinal", F.col("indices").cast("array<int>").alias("vector")), args.out_indices)
+    if args.out_distances:
+        _write_vectors(nn.select("ordinal", F.col("distances").cast("array<float>").alias("vector")), args.out_distances)
+    if not args.out_indices and not args.out_distances:
+        _emit(nn.orderBy("ordinal").limit(args.limit).collect())
+    return 0
+
+
+def _cmd_convert(args) -> int:
+    spark = _spark()
+    _write_vectors(_read_vectors(spark, args.input), args.output)
+    return 0
+
+
+def _cmd_generate(args) -> int:
+    spark = _spark()
+    if args.what == "vectors":
+        from nbdatatools_spark.datagen import generate_vectors
+
+        df = generate_vectors(
+            spark,
+            count=args.count,
+            dimensions=args.dimensions,
+            seed=args.seed,
+            zeroes_proportion=args.zeroes,
+            duplicates_proportion=args.duplicates,
+        )
+        _write_vectors(df, args.output)
+        return 0
+    if args.what == "mktestdata":
+        from nbdatatools_spark.datagen import make_test_dataset
+
+        m = make_test_dataset(
+            spark,
+            args.dir,
+            n_base=args.n_base,
+            n_query=args.n_query,
+            dimensions=args.dimensions,
+            k=args.k,
+            seed=args.seed,
+        )
+        print(json.dumps({"dir": args.dir, "profiles": sorted(m.profiles)}))
+        return 0
+    raise SystemExit(2)
+
+
+def _cmd_merkle(args) -> int:
+    from nbdatatools_spark.sources import merkle_file as mk
+
+    if args.what == "create":
+        out = args.output or args.input + ".mref"
+        mk.write_mref(_spark(), args.input, out)
+        print(json.dumps({"mref": out}))
+        return 0
+    if args.what == "verify":
+        bad = [
+            r.chunk_index
+            for r in mk.verify_against_merkle(_spark(), args.input, args.merkle).collect()
+        ]
+        print(json.dumps({"ok": not bad, "bad_chunks": sorted(bad)}))
+        return 0 if not bad else 1
+    if args.what == "summary":
+        print(json.dumps(mk.merkle_summary(args.input), default=str))
+        return 0
+    if args.what == "diff":
+        print(json.dumps({"differing_chunks": mk.merkle_diff(args.input, args.other)}))
+        return 0
+    if args.what == "path":
+        print(json.dumps(mk.merkle_path(args.input, args.chunk)))
+        return 0
+    if args.what == "treeview":
+        print(mk.merkle_treeview(args.input))
+        return 0
+    if args.what == "spoilbits":
+        mk.spoil_bits(args.input, [int(b) for b in args.bits.split(",")])
+        return 0
+    if args.what == "spoilchunks":
+        mk.spoil_chunks(args.input, args.merkle, [int(c) for c in args.chunks.split(",")])
+        return 0
+    raise SystemExit(2)
+
+
+def _cmd_catalog(args) -> int:
+    from nbdatatools_spark.sources.catalog import Catalog
+
+    cat = Catalog.build(args.roots)
+    cat.save(args.output)
+    print(json.dumps({"entries": len(cat.entries), "catalog": args.output}))
+    return 0
+
+
+def _cmd_datasets_list(args) -> int:
+    from nbdatatools_spark.sources.catalog import Catalog
+
+    cat = Catalog.load(args.catalog)
+    for e in cat.entries:
+        print(json.dumps({"name": e.name, "url": e.url, "tags": e.tags}, default=str))
+    return 0
+
+
+def _cmd_vectordata(args) -> int:
+    from nbdatatools_spark.sources.dataset import (
+        dataset_info,
+        load_dataset,
+        view_sample,
+        view_size,
+    )
+
+    m = load_dataset(args.dataset)
+    if args.what == "info":
+        print(json.dumps(dataset_info(m), default=str))
+        return 0
+    if args.what == "size":
+        print(json.dumps(view_size(m, args.facet, args.profile), default=str))
+        return 0
+    if args.what == "sample":
+        spark = _spark()
+        rows = view_sample(spark, m, args.facet, n=args.n, profile=args.profile)
+        _emit(rows if isinstance(rows, list) else rows.collect())
+        return 0
+    raise SystemExit(2)
+
+
+def _cmd_cleanup(args) -> int:
+    from nbdatatools_spark.operators.dedup import clean_vectors
+
+    spark = _spark()
+    df = _read_vectors(spark, args.input)
+    _write_vectors(clean_vectors(df), args.output)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="nbdatatools_spark")
+    sub = p.add_subparsers(dest="group", required=True)
+
+    an = sub.add_parser("analyze").add_subparsers(dest="what", required=True)
+    for w in ("count_zeros", "describe"):
+        a = an.add_parser(w)
+        a.add_argument("--input", required=True)
+        a.add_argument("--vec-col", default="vector")
+        a.add_argument("--ordinal-col", default="ordinal")
+        a.set_defaults(func=_cmd_analyze)
+    vk = an.add_parser("verify_knn")
+    vk.add_argument("--input", required=True, help="base vectors")
+    vk.add_argument("--queries", required=True)
+    vk.add_argument("--truth", required=True, help="answer-key indices (ivec/parquet)")
+    vk.add_argument("--k", type=int, default=10)
+    vk.add_argument("--metric", default="cosine")
+    vk.add_argument("--sample", type=int, default=100)
+    vk.add_argument("--min-recall", type=float, default=1.0)
+    vk.set_defaults(func=_cmd_analyze)
+
+    co = sub.add_parser("compute").add_subparsers(dest="what", required=True)
+    kn = co.add_parser("knn")
+    kn.add_argument("--base", required=True)
+    kn.add_argument("--query", required=True)
+    kn.add_argument("--k", type=int, default=10)
+    kn.add_argument("--metric", default="cosine")
+    kn.add_argument("--impl", default="gemm")
+    kn.add_argument("--out-indices")
+    kn.add_argument("--out-distances")
+    kn.add_argument("--limit", type=int, default=20)
+    kn.set_defaults(func=_cmd_compute_knn)
+
+    cv = sub.add_parser("convert").add_subparsers(dest="what", required=True)
+    cf = cv.add_parser("file")
+    cf.add_argument("--input", required=True)
+    cf.add_argument("--output", required=True)
+    cf.set_defaults(func=_cmd_convert)
+
+    gn = sub.add_parser("generate").add_subparsers(dest="what", required=True)
+    gv = gn.add_parser("vectors")
+    gv.add_argument("--count", type=int, required=True)
+    gv.add_argument("--dimensions", type=int, required=True)
+    gv.add_argument("--output", required=True)
+    gv.add_argument("--seed", type=int, default=42)
+    gv.add_argument("--zeroes", type=float, default=0.0)
+    gv.add_argument("--duplicates", type=float, default=0.0)
+    gv.set_defaults(func=_cmd_generate)
+    gm = gn.add_parser("mktestdata")
+    gm.add_argument("--dir", required=True)
+    gm.add_argument("--n-base", type=int, default=1000)
+    gm.add_argument("--n-query", type=int, default=100)
+    gm.add_argument("--dimensions", type=int, default=16)
+    gm.add_argument("--k", type=int, default=10)
+    gm.add_argument("--seed", type=int, default=42)
+    gm.set_defaults(func=_cmd_generate)
+
+    mkp = sub.add_parser("merkle").add_subparsers(dest="what", required=True)
+    for w, extra in (
+        ("create", ()),
+        ("verify", ("--merkle",)),
+        ("summary", ()),
+        ("diff", ("--other",)),
+        ("path", ("--chunk",)),
+        ("treeview", ()),
+        ("spoilbits", ("--bits",)),
+        ("spoilchunks", ("--merkle", "--chunks")),
+    ):
+        mp = mkp.add_parser(w)
+        mp.add_argument("--input", required=True)
+        if w == "create":
+            mp.add_argument("--output")
+        for e in extra:
+            if e == "--chunk":
+                mp.add_argument(e, type=int, required=True)
+            else:
+                mp.add_argument(e, required=True)
+        mp.set_defaults(func=_cmd_merkle)
+
+    ct = sub.add_parser("catalog")
+    ct.add_argument("roots", nargs="+")
+    ct.add_argument("--output", required=True)
+    ct.set_defaults(func=_cmd_catalog, what=None)
+
+    ds = sub.add_parser("datasets").add_subparsers(dest="what", required=True)
+    dl = ds.add_parser("list")
+    dl.add_argument("--catalog", required=True)
+    dl.set_defaults(func=_cmd_datasets_list)
+
+    vd = sub.add_parser("vectordata").add_subparsers(dest="what", required=True)
+    vi = vd.add_parser("info")
+    vi.add_argument("--dataset", required=True)
+    vi.set_defaults(func=_cmd_vectordata)
+    vs = vd.add_parser("size")
+    vs.add_argument("--dataset", required=True)
+    vs.add_argument("--facet", default="base")
+    vs.add_argument("--profile", default=None)
+    vs.set_defaults(func=_cmd_vectordata)
+    vsa = vd.add_parser("sample")
+    vsa.add_argument("--dataset", required=True)
+    vsa.add_argument("--facet", default="base")
+    vsa.add_argument("--n", type=int, default=5)
+    vsa.add_argument("--profile", default=None)
+    vsa.set_defaults(func=_cmd_vectordata)
+
+    cl = sub.add_parser("cleanup").add_subparsers(dest="what", required=True)
+    cc = cl.add_parser("cleanfvec")
+    cc.add_argument("--input", required=True)
+    cc.add_argument("--output", required=True)
+    cc.set_defaults(func=_cmd_cleanup)
+
+    vr = sub.add_parser("version")
+    vr.set_defaults(func=lambda a: (print(__import__("nbdatatools_spark").__version__), 0)[1], what=None)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

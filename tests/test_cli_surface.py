@@ -214,3 +214,103 @@ def test_facet_alias_resolution(tmp_path, spark):
         assert m.facet(spark, alias).count() == 5
     with pytest.raises(KeyError):
         m.facet(spark, "my_custom_facet")
+
+
+def test_cli_main_end_to_end(tmp_path, spark, capsys):
+    """python -m nbdatatools_spark: the nbvectors-shaped command tree runs
+    end-to-end — generate, analyze, compute knn, verify, convert, merkle
+    round-trip incl. corruption exit code, catalog/datasets, cleanup."""
+    import json as _json
+
+    from nbdatatools_spark.__main__ import main
+
+    root = str(tmp_path / "ds")
+    assert main(
+        [
+            "generate", "mktestdata", "--dir", root,
+            "--n-base", "200", "--n-query", "20",
+            "--dimensions", "8", "--k", "5", "--seed", "3",
+        ]
+    ) == 0
+    base = os.path.join(root, "base.fvec")
+
+    assert main(["analyze", "describe", "--input", base]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    desc = _json.loads(out[-1])
+    assert desc["count"] == 200 and desc["min_dim"] == 8
+
+    assert main(["analyze", "count_zeros", "--input", base]) == 0
+    nz = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert nz["n_total"] == 200
+
+    # compute knn to ivec, then verify_knn against the generated truth
+    out_idx = str(tmp_path / "my_indices.ivec")
+    assert main(
+        [
+            "compute", "knn", "--base", base,
+            "--query", os.path.join(root, "query.fvec"),
+            "--k", "5", "--metric", "cosine", "--out-indices", out_idx,
+        ]
+    ) == 0
+    assert os.path.exists(out_idx)
+
+    rc = main(
+        [
+            "analyze", "verify_knn", "--input", base,
+            "--queries", os.path.join(root, "query.fvec"),
+            "--truth", os.path.join(root, "indices.ivec"),
+            "--k", "5", "--metric", "cosine", "--sample", "20",
+        ]
+    )
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and rep["mean_recall"] == 1.0
+
+    # convert fvec -> parquet -> fvec byte-identical vectors
+    pq_dir = str(tmp_path / "base_pq.parquet")
+    assert main(["convert", "file", "--input", base, "--output", pq_dir]) == 0
+    back = str(tmp_path / "back.fvec")
+    assert main(["convert", "file", "--input", pq_dir, "--output", back]) == 0
+    a = spark.read.parquet(pq_dir).orderBy("ordinal").collect()
+    from nbdatatools_spark.sources.xvec import read_xvec
+
+    b = read_xvec(spark, back).orderBy("ordinal").collect()
+    assert [r.vector for r in a] == [r.vector for r in b]
+
+    # merkle: create -> verify ok -> spoil -> verify fails (exit 1)
+    assert main(["merkle", "create", "--input", base]) == 0
+    mref = base + ".mref"
+    assert main(["merkle", "verify", "--input", base, "--merkle", mref]) == 0
+    assert main(["merkle", "summary", "--input", mref]) == 0
+    spoiled = str(tmp_path / "spoiled.fvec")
+    import shutil
+
+    shutil.copy(base, spoiled)
+    assert main(["merkle", "spoilbits", "--input", spoiled, "--bits", "99"]) == 0
+    assert main(["merkle", "verify", "--input", spoiled, "--merkle", mref]) == 1
+    capsys.readouterr()
+
+    # catalog + datasets list
+    cat_path = str(tmp_path / "catalog.json")
+    assert main(["catalog", root, "--output", cat_path]) == 0
+    assert main(["datasets", "list", "--catalog", cat_path]) == 0
+    listed = capsys.readouterr().out.strip().splitlines()
+    assert any("ds" in ln for ln in listed[-3:])
+
+    # vectordata info/size
+    assert main(["vectordata", "info", "--dataset", root]) == 0
+    assert main(["vectordata", "size", "--dataset", root, "--facet", "base"]) == 0
+
+    # cleanup cleanfvec drops zero + duplicate vectors
+    dirty = str(tmp_path / "dirty.fvec")
+    assert main(
+        [
+            "generate", "vectors", "--count", "100", "--dimensions", "4",
+            "--output", dirty, "--zeroes", "0.2", "--duplicates", "0.2",
+        ]
+    ) == 0
+    cleaned = str(tmp_path / "clean.fvec")
+    assert main(["cleanup", "cleanfvec", "--input", dirty, "--output", cleaned]) == 0
+    n_clean = read_xvec(spark, cleaned).count()
+    assert 0 < n_clean < 100
+
+    assert main(["version"]) == 0
