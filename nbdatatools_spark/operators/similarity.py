@@ -918,3 +918,133 @@ def hard_negatives(
             F.col("__dist").alias("distance"),
         )
     )
+
+
+def ivf_build_index(
+    base: DataFrame,
+    index_dir: str,
+    n_centroids: int = 16,
+    seed: int = 42,
+    base_id: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_fraction: float = 1.0,
+) -> dict:
+    """Materialize an IVF index on disk — build once, probe many (ivf_topk
+    re-trains and re-assigns per call; at 100 TB the assignment pass IS the
+    job, so it must be paid once and reused across query batches).
+
+    Layout under ``index_dir``:
+    - ``centroids.parquet`` (centroid_id INT, centroid ARRAY<DOUBLE>) — tiny
+    - ``assignments.parquet`` — the base table + ``centroid_id``, written
+      PARTITIONED BY centroid_id, so a probe of c cells reads exactly c
+      directories (partition pruning = the inverted-list seek)
+
+    Returns ``{"n_centroids", "n_vectors"}``. Training and the shuffle-free
+    literal-argmin assignment reuse the ivf_topk internals.
+    """
+    import os
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = base.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    if sample_fraction < 1.0:
+        train = train.sample(fraction=sample_fraction, seed=seed)
+    model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(train)
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    spark = base.sparkSession
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "centroid_id INT, centroid ARRAY<DOUBLE>",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "centroids.parquet"))
+
+    def _cent_struct_array(vec):
+        return F.array(
+            *[
+                F.struct(
+                    distance_expr(
+                        "euclidean", vec, F.array(*[F.lit(float(x)) for x in c])
+                    ).alias("cdist"),
+                    F.lit(i).alias("centroid_id"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+
+    assigned = base.withColumn(
+        "centroid_id",
+        F.array_min(_cent_struct_array(F.col(vec_col)))["centroid_id"],
+    )
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        os.path.join(index_dir, "assignments.parquet")
+    )
+    n = spark.read.parquet(os.path.join(index_dir, "assignments.parquet")).count()
+    return {"n_centroids": len(centroids), "n_vectors": n}
+
+
+def ivf_search_index(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 4,
+    query_id: str = "vec_id",
+    base_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a materialized IVF index (ivf_build_index layout): load the
+    tiny centroid table, compute each query's nprobe nearest cells, and
+    scan ONLY those cells — ``centroid_id IN (...)`` prunes partitions of
+    the assignments table, so the scan touches c directories out of
+    n_centroids (visible as PartitionFilters in the plan). Ranking is the
+    ivf_topk tail: per-cell candidates, global top-k window per query."""
+    import os
+
+    cents = spark.read.parquet(os.path.join(index_dir, "centroids.parquet")).collect()
+    centroids = {r.centroid_id: list(r.centroid) for r in cents}
+
+    def _cent_struct_array(vec):
+        return F.array(
+            *[
+                F.struct(
+                    distance_expr(
+                        "euclidean", vec, F.array(*[F.lit(float(x)) for x in c])
+                    ).alias("cdist"),
+                    F.lit(i).alias("centroid_id"),
+                )
+                for i, c in sorted(centroids.items())
+            ]
+        )
+
+    qprobe = queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(_cent_struct_array(F.col(vec_col))), 1, nprobe),
+                lambda s: s["centroid_id"],
+            )
+        ).alias("centroid_id"),
+    )
+    # bounded driver list of probed cells -> partition-pruning IN filter
+    probed = sorted({r.centroid_id for r in qprobe.select("centroid_id").distinct().collect()})
+    assignments = spark.read.parquet(os.path.join(index_dir, "assignments.parquet")).where(
+        F.col("centroid_id").isin(probed)
+    )
+    pairs = assignments.select(
+        F.col(base_id).alias("bid"), F.col(vec_col).alias("bvec"), "centroid_id"
+    ).join(F.broadcast(qprobe), "centroid_id").select(
+        "qid",
+        "bid",
+        distance_expr("cosine", F.col("qvec"), F.col("bvec")).alias("distance"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("distance").asc_nulls_last(), F.col("bid").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("qid").alias("query_id"), "rank", F.col("bid").alias("base_id"), "distance")
+    )

@@ -80,3 +80,30 @@ def test_ivf_nprobe_monotone(clustered):
         _topk_sets(ivf_topk(queries, base, k=K, n_centroids=6, nprobe=4)), exact
     )
     assert r4 >= r1
+
+
+def test_ivf_index_persist_and_search(spark, embeddings, tmp_path):
+    """Materialized IVF index: search results match the in-memory ivf_topk
+    with the same centroids/seed; partition pruning engages on probed cells."""
+    from nbdatatools_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_search_index,
+        ivf_topk,
+    )
+
+    idx = str(tmp_path / "ivf_index")
+    meta = ivf_build_index(embeddings, idx, n_centroids=8, seed=42)
+    assert meta["n_centroids"] == 8
+    assert meta["n_vectors"] == embeddings.count()
+
+    q = embeddings.where(F.col("vec_id") < 10)
+    from_index = ivf_search_index(spark, idx, q, k=5, nprobe=3)
+    in_memory = ivf_topk(q, embeddings, k=5, n_centroids=8, nprobe=3, seed=42)
+    a = [(r.query_id, r.rank, r.base_id) for r in from_index.orderBy("query_id", "rank").collect()]
+    b = [(r.query_id, r.rank, r.base_id) for r in in_memory.orderBy("query_id", "rank").collect()]
+    assert a == b
+
+    # partition pruning: the assignments scan carries a PartitionFilters
+    # entry on centroid_id (c directories read, not n_centroids)
+    plan = from_index._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan
