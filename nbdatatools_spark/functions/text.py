@@ -100,7 +100,14 @@ def winnow_overlap(fp_a: Column, fp_b: Column) -> Column:
 
 
 def tokens(col: Column) -> Column:
-    """Whitespace tokenization of trimmed text; empty text -> empty array."""
+    """Whitespace tokenization of trimmed text; empty text -> empty array.
+
+    Engine note: ``F.trim`` strips ASCII SPACES only (SQL semantics), so
+    text that starts/ends with other whitespace (\n, \t) yields empty
+    leading/trailing tokens from the split — the DuckDB oracles
+    (``trim``/``regexp_split_to_array``) share the identical behavior, so
+    the two engines always agree. Normalize with ``normalize_text`` first
+    when strict word semantics matter."""
     t = F.trim(col)
     return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
         F.split(t, r"\s+")

@@ -141,3 +141,94 @@ def test_keep_best_property(spark, rows):
     for fp, cands in by_fp.items():
         q, i = max(cands)
         assert got[fp] == (len(cands), i, q), fp
+
+
+# --- session-3: token_entropy and gopher_quality_flags vs python replicas --
+
+_docs = st.lists(
+    st.text(
+        alphabet="ab c#.123-\n",  # words, digits, symbols, bullets, newlines
+        min_size=0,
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _engine_tokens(text):
+    """Replica of functions.text.tokens: SQL trim strips SPACES only, and
+    the \s+ split keeps empty boundary fields for other edge whitespace."""
+    import re
+
+    t = text.strip(" ")
+    if not t:
+        return []
+    return re.split(r"\s+", t)
+
+
+@settings(**_SETTINGS)
+@given(texts=_docs)
+def test_token_entropy_property(spark, texts):
+    from collections import Counter
+
+    from nbdatatools_spark.operators.lm import token_entropy
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id BIGINT, text STRING"
+    )
+    got = {r.doc_id: r for r in token_entropy(df).collect()}
+    for i, t in enumerate(texts):
+        toks = _engine_tokens(t.lower())
+        r = got[i]
+        assert r.n_tokens == len(toks)
+        assert r.n_distinct == len(set(toks))
+        if not toks:
+            assert r.entropy is None
+        else:
+            n = len(toks)
+            s = sum(
+                Decimal(str(round(c * math.log(c), 9))) for c in Counter(toks).values()
+            )
+            expect = round(math.log(n) - float(s) / n, 6)
+            assert r.entropy == expect
+
+
+def _gopher_ref(text):
+    toks = _engine_tokens(text)
+    n = len(toks)
+    mean_wl = (sum(len(t) for t in toks) / n) if n else 0.0
+    alpha = (sum(1 for t in toks if any(c.isalpha() and c.isascii() for c in t)) / n) if n else 0.0
+    n_hash = text.count("#")
+    n_ell = (len(text) - len(text.replace("...", ""))) / 3
+    sym = ((n_hash + n_ell) / n) if n else 0.0
+    lines = [l.strip() for l in text.split("\n") if l.strip()]
+    nl = len(lines)
+    bullet = (sum(1 for l in lines if l.startswith(("-", "*", "•"))) / nl) if nl else 0.0
+    ell = (sum(1 for l in lines if l.endswith("...")) / nl) if nl else 0.0
+    return n, round(mean_wl, 6), round(sym, 6), round(alpha, 6), bullet, ell
+
+
+@settings(**_SETTINGS)
+@given(texts=_docs)
+def test_gopher_flags_property(spark, texts):
+    from pyspark.sql import functions as F
+
+    from nbdatatools_spark.functions.text import gopher_quality_flags
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id BIGINT, text STRING")
+    got = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id", gopher_quality_flags(F.col("text")).alias("g")
+        ).select("doc_id", "g.*").collect()
+    }
+    for i, t in enumerate(texts):
+        n, mean_wl, sym, alpha, bullet, ell = _gopher_ref(t)
+        r = got[i]
+        assert r.n_words == n
+        assert r.mean_word_len == mean_wl
+        assert r.symbol_ratio == sym
+        assert r.alpha_frac == alpha
+        assert r.ok_bullet == (bullet <= 0.9)
+        assert r.ok_ellipsis == (ell <= 0.3)
