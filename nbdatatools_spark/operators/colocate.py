@@ -191,3 +191,66 @@ def compact_parquet(
         for f in files
         if f.endswith(".parquet")
     )
+
+
+def layout_report(spark, path: str, cols=None):
+    """Per-row-group min/max layout report for a parquet dataset — the
+    observability behind data skipping: after write_zordered or
+    compact_parquet(sort_cols=...), this is how you SEE that each file
+    bounds a tight range (and how you catch layout rot as appends land).
+
+    Returns (file, row_group, n_rows, column, min, max) — stats read from
+    parquet FOOTERS only, never data pages. The file list fans out over
+    the cluster (mapInPandas over a file-name DataFrame, pyarrow footer
+    reads per executor), so a million-file lake reports in parallel;
+    values are stringified (layout inspection, not arithmetic).
+    """
+    import os
+
+    files = []
+    for root, _dirs, names in os.walk(path):
+        for f in names:
+            if f.endswith(".parquet"):
+                files.append(os.path.join(root, f))
+    if not files:
+        raise ValueError(f"no parquet files under {path}")
+    fdf = spark.createDataFrame([(f,) for f in sorted(files)], "file STRING")
+
+    def read_footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for fname in pdf["file"]:
+                md = pq.read_metadata(fname)
+                schema_names = [md.schema.column(i).name for i in range(md.num_columns)]
+                want = [
+                    i
+                    for i, n in enumerate(schema_names)
+                    if cols is None or n in set(cols)
+                ]
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for i in want:
+                        c = g.column(i)
+                        st = c.statistics
+                        rows.append(
+                            {
+                                "file": fname,
+                                "row_group": rg,
+                                "n_rows": g.num_rows,
+                                "column": schema_names[i],
+                                "min": None if st is None else str(st.min),
+                                "max": None if st is None else str(st.max),
+                            }
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["file", "row_group", "n_rows", "column", "min", "max"],
+            )
+
+    return fdf.repartition(min(len(files), 64)).mapInPandas(
+        read_footers,
+        "file STRING, row_group INT, n_rows BIGINT, column STRING, min STRING, max STRING",
+    )

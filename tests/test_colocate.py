@@ -146,3 +146,39 @@ def test_zorder_validation(spark):
         zorder_value(["a"], [(0, 1)])
     with _pytest.raises(ValueError):
         zorder_value(["a", "b", "c"], [(0, 1)] * 3, bits=21)
+
+
+def test_layout_report_reflects_sorted_compaction(spark, tmp_path):
+    """layout_report reads footer stats distributed; after a sorted
+    compaction the per-file key spans are near-disjoint, and the report
+    shows it without touching data pages."""
+    from nbdatatools_spark.operators.colocate import compact_parquet, layout_report
+
+    src = str(tmp_path / "raw")
+    spark.range(0, 200_000).withColumn("k", (F.col("id") * 7919) % 1000).withColumn(
+        "pad", F.md5(F.col("id").cast("string"))
+    ).repartition(16).write.parquet(src)
+    dst = str(tmp_path / "sorted")
+    n_files = compact_parquet(spark, src, dst, target_mb=1, sort_cols=["k"])
+
+    rep = layout_report(spark, dst, cols=["k"]).collect()
+    assert {r.column for r in rep} == {"k"}
+    assert sum(r.n_rows for r in rep) == 200_000
+    by_file = {}
+    for r in rep:
+        lo, hi = int(r.min), int(r.max)
+        cur = by_file.get(r.file)
+        by_file[r.file] = (
+            (lo, hi) if cur is None else (min(cur[0], lo), max(cur[1], hi))
+        )
+    assert len(by_file) == n_files
+    spans = sorted(by_file.values())
+    # consecutive files overlap at most at the boundary key (range
+    # partitioning): total span ~ domain, not n_files * domain
+    total = sum(hi - lo for lo, hi in spans)
+    assert total <= 1000 * 1.2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        layout_report(spark, str(tmp_path / "missing"))
