@@ -2389,6 +2389,27 @@ def embedding_winsorize(spark, sf_dir):
     return winsorize_vectors(emb, lo_q=0.01, hi_q=0.99).orderBy("vec_id")
 
 
+def doc_config_pipeline(spark, sf_dir):
+    """Declarative pipeline-as-config (plans/pipeline.py::run_pipeline):
+    the curation chain [lang_filter -> quality_filter -> exact_dedup ->
+    split -> token_stats] expressed as a step list (loadable from YAML),
+    composed into ONE lazily-planned frame. The oracle replays the same
+    composition from the individual steps' SQL fragments — hash equality
+    proves the runner composes exactly."""
+    from nbdatatools_spark.plans.pipeline import run_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    steps = [
+        {"op": "lang_filter", "langs": ["en"]},
+        {"op": "quality_filter", "min_score": 0.3},
+        {"op": "exact_dedup"},
+        {"op": "split", "fractions": [0.8, 0.1, 0.1]},
+        {"op": "token_stats"},
+    ]
+    out, _report = run_pipeline(docs, steps)
+    return out.select("doc_id", "split", "n_tokens").orderBy("doc_id")
+
+
 def events_cooccurrence(spark, sf_dir):
     """Market-basket co-occurrence with lift (analysis.py::
     cooccurrence_stats): users as baskets, event types as items. One
@@ -2977,6 +2998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cooccurrence": events_cooccurrence,
         "doc_group_percent_rank": doc_group_percent_rank,
         "embedding_winsorize": embedding_winsorize,
+        "doc_config_pipeline": doc_config_pipeline,
     }
 
 
@@ -3029,6 +3051,7 @@ PENDING_FIRST_RECORDING = frozenset(
         "events_cooccurrence",
         "doc_group_percent_rank",
         "embedding_winsorize",
+        "doc_config_pipeline",
     }
 )
 
@@ -5578,5 +5601,28 @@ def oracle_sql() -> dict[str, str]:
                 FROM v JOIN bounds b ON v.dim = b.dim)
             SELECT vec_id, list(c ORDER BY dim) AS clipped
             FROM clipped GROUP BY vec_id ORDER BY vec_id
+        """,
+        "doc_config_pipeline": f"""
+            WITH kept AS (
+                SELECT doc_id, text FROM documents
+                WHERE lang IN ('en')
+                  AND round(least(length(text) / 500.0, 1.0) * 0.4
+                            + least({_SWRATIO} * 4.0, 1.0) * 0.3
+                            + greatest(0.0, 1.0 - {_PUNCT} * 5.0) * 0.3, 6) >= 0.3),
+            dedup AS (
+                SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5({_NORM})),
+            final AS (
+                SELECT k.doc_id, k.text FROM kept k
+                JOIN dedup d ON k.doc_id = d.doc_id),
+            h AS (
+                SELECT doc_id, text,
+                       ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 13))::BIGINT AS hv
+                FROM final)
+            SELECT doc_id,
+                   CASE WHEN hv < CAST(0.8 AS DOUBLE) * 4503599627370496.0 THEN 'train'
+                        WHEN hv < (CAST(0.8 AS DOUBLE) + CAST(0.1 AS DOUBLE)) * 4503599627370496.0 THEN 'val'
+                        ELSE 'test' END AS split,
+                   {_NTOK} AS n_tokens
+            FROM h ORDER BY doc_id
         """,
     }

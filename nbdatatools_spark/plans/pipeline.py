@@ -1,0 +1,162 @@
+"""Declarative corpus-pipeline runner: a pipeline is DATA (a list of named
+steps with params — loadable from YAML/JSON), not code. The composition
+surface over the training-data operators: a curation run becomes a config
+artifact that is diffable, reviewable, and replayable, and the runner
+builds ONE lazily-planned DataFrame chain (Catalyst optimizes across step
+boundaries exactly as it does for the hand-written doc_training_pipeline
+gate).
+
+    steps:
+      - op: strip_markup
+      - op: lang_filter
+        langs: [en]
+      - op: quality_filter
+        min_score: 0.3
+      - op: exact_dedup
+      - op: split
+        fractions: [0.9, 0.05, 0.05]
+
+Every step maps a documents frame to a documents frame (filter or
+projection); ``run_pipeline`` returns the composed frame plus an optional
+per-step row-count report (each count is an action — pass
+``count_steps=False`` for pure lazy composition).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _op_strip_markup(df, text_col="text", **_):
+    from nbdatatools_spark.functions.text import strip_markup
+
+    return df.withColumn(text_col, strip_markup(F.col(text_col)))
+
+
+def _op_redact_pii(df, text_col="text", **_):
+    from nbdatatools_spark.functions.text import redact_pii
+
+    return df.withColumn(text_col, redact_pii(F.col(text_col)))
+
+
+def _op_lang_filter(df, langs=("en",), lang_col="lang", **_):
+    return df.where(F.col(lang_col).isin(*list(langs)))
+
+
+def _op_quality_filter(df, min_score=0.3, text_col="text", **_):
+    from nbdatatools_spark.functions.text import quality_score
+
+    return df.where(F.round(quality_score(F.col(text_col)), 6) >= float(min_score))
+
+
+def _op_gopher_filter(df, text_col="text", **_):
+    from nbdatatools_spark.functions.text import gopher_quality_flags
+
+    return df.where(gopher_quality_flags(F.col(text_col))["keep"])
+
+
+def _op_repetition_filter(df, max_dup_line_frac=0.3, text_col="text", **_):
+    from nbdatatools_spark.functions.text import dup_line_fraction
+
+    return df.where(dup_line_fraction(F.col(text_col)) <= float(max_dup_line_frac))
+
+
+def _op_c4_clean(df, min_words=3, min_sentences=3, text_col="text", **_):
+    from nbdatatools_spark.functions.text import c4_clean_lines, c4_page_keep
+
+    cleaned = df.withColumn(
+        text_col, c4_clean_lines(F.col(text_col), min_words=int(min_words))
+    )
+    return cleaned.where(c4_page_keep(F.col(text_col), min_sentences=int(min_sentences)))
+
+
+def _op_exact_dedup(df, id_col="doc_id", text_col="text", **_):
+    from nbdatatools_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(df, id_col=id_col, text_col=text_col)
+
+
+def _op_minhash_dedup(df, **params):
+    from nbdatatools_spark.operators.dedup import minhash_dedup
+
+    return minhash_dedup(df, **params)
+
+
+def _op_split(df, fractions=(0.98, 0.01, 0.01), names=("train", "val", "test"),
+              key_col="doc_id", seed=42, **_):
+    from nbdatatools_spark.operators.sampling import train_val_test_split
+
+    return train_val_test_split(
+        df, fractions=tuple(float(x) for x in fractions), names=tuple(names),
+        key_col=key_col, seed=int(seed),
+    )
+
+
+def _op_token_stats(df, text_col="text", **_):
+    from nbdatatools_spark.functions.text import token_count
+
+    return df.withColumn("n_tokens", token_count(F.col(text_col)))
+
+
+STEP_REGISTRY = {
+    "strip_markup": _op_strip_markup,
+    "redact_pii": _op_redact_pii,
+    "lang_filter": _op_lang_filter,
+    "quality_filter": _op_quality_filter,
+    "gopher_filter": _op_gopher_filter,
+    "repetition_filter": _op_repetition_filter,
+    "c4_clean": _op_c4_clean,
+    "exact_dedup": _op_exact_dedup,
+    "minhash_dedup": _op_minhash_dedup,
+    "split": _op_split,
+    "token_stats": _op_token_stats,
+}
+
+
+def load_pipeline_config(path: str) -> list[dict]:
+    """Load a pipeline spec from YAML (if pyyaml is importable) or JSON.
+    The spec is ``{"steps": [{"op": name, ...params}, ...]}`` or a bare
+    list of steps."""
+    with open(path) as f:
+        raw = f.read()
+    try:
+        import yaml  # type: ignore
+
+        data = yaml.safe_load(raw)
+    except ImportError:
+        data = json.loads(raw)
+    steps = data["steps"] if isinstance(data, dict) else data
+    if not isinstance(steps, list):
+        raise ValueError(f"pipeline config must be a list of steps, got {type(steps)}")
+    return steps
+
+
+def run_pipeline(
+    df: DataFrame,
+    steps: list[dict],
+    count_steps: bool = False,
+) -> tuple[DataFrame, list[dict]]:
+    """Compose ``steps`` over ``df``. Unknown ops and non-dict steps fail
+    loudly up front (config validation before any job runs). Returns
+    ``(result_frame, report)`` — report rows carry the step name, params,
+    and (when ``count_steps``) the row count after the step."""
+    for s in steps:
+        if not isinstance(s, dict) or "op" not in s:
+            raise ValueError(f"each step needs an 'op' key, got {s!r}")
+        if s["op"] not in STEP_REGISTRY:
+            raise ValueError(
+                f"unknown pipeline op {s['op']!r}; known: {sorted(STEP_REGISTRY)}"
+            )
+    report: list[dict] = []
+    out = df
+    for s in steps:
+        params = {k: v for k, v in s.items() if k != "op"}
+        out = STEP_REGISTRY[s["op"]](out, **params)
+        row: dict = {"op": s["op"], **params}
+        if count_steps:
+            row["rows"] = out.count()
+        report.append(row)
+    return out, report

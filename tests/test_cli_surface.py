@@ -314,3 +314,49 @@ def test_cli_main_end_to_end(tmp_path, spark, capsys):
     assert 0 < n_clean < 100
 
     assert main(["version"]) == 0
+
+
+def test_pipeline_runner_config_roundtrip(spark, tmp_path, documents):
+    """plans/pipeline.py: YAML/JSON config loads, validates loudly, and the
+    composed frame equals hand-chaining the same operators."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from nbdatatools_spark.functions.text import quality_score
+    from nbdatatools_spark.operators.dedup import exact_dedup
+    from nbdatatools_spark.plans.pipeline import (
+        load_pipeline_config,
+        run_pipeline,
+    )
+
+    cfg = {
+        "steps": [
+            {"op": "lang_filter", "langs": ["en", "de"]},
+            {"op": "quality_filter", "min_score": 0.2},
+            {"op": "exact_dedup"},
+            {"op": "token_stats"},
+        ]
+    }
+    p = tmp_path / "pipeline.json"
+    p.write_text(_json.dumps(cfg))
+    steps = load_pipeline_config(str(p))
+    out, report = run_pipeline(documents, steps, count_steps=True)
+
+    manual = documents.where(F.col("lang").isin("en", "de"))
+    manual = manual.where(F.round(quality_score(F.col("text")), 6) >= 0.2)
+    manual = exact_dedup(manual)
+    got = sorted(r.doc_id for r in out.collect())
+    want = sorted(r.doc_id for r in manual.collect())
+    assert got == want and len(got) > 0
+    assert [r["op"] for r in report] == [s["op"] for s in cfg["steps"]]
+    assert report[-1]["rows"] == len(got)
+    # counts monotonically non-increasing through the filters
+    assert report[0]["rows"] >= report[1]["rows"] >= report[2]["rows"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown pipeline op"):
+        run_pipeline(documents, [{"op": "nope"}])
+    with _pytest.raises(ValueError, match="'op' key"):
+        run_pipeline(documents, ["exact_dedup"])
