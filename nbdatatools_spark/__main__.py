@@ -10,6 +10,7 @@ reference user can run the same commands against the Spark engine:
     catalog
     datasets list
     vectordata info|size|sample
+    corpus run (declarative curation pipeline from YAML/JSON config)
     cleanup cleanfvec
     version
 
@@ -245,6 +246,20 @@ def _cmd_vectordata(args) -> int:
     raise SystemExit(2)
 
 
+def _cmd_corpus_run(args) -> int:
+    from nbdatatools_spark.plans.pipeline import load_pipeline_config, run_pipeline
+
+    spark = _spark()
+    docs = spark.read.parquet(args.input)
+    steps = load_pipeline_config(args.config)
+    out, report = run_pipeline(docs, steps, count_steps=args.report)
+    out.write.mode("overwrite").parquet(args.output)
+    for row in report:
+        print(json.dumps(row, default=str))
+    print(json.dumps({"output": args.output, "rows": spark.read.parquet(args.output).count()}))
+    return 0
+
+
 def _cmd_cleanup(args) -> int:
     from nbdatatools_spark.operators.dedup import clean_vectors
 
@@ -358,6 +373,14 @@ def build_parser() -> argparse.ArgumentParser:
     vsa.add_argument("--n", type=int, default=5)
     vsa.add_argument("--profile", default=None)
     vsa.set_defaults(func=_cmd_vectordata)
+
+    cp = sub.add_parser("corpus").add_subparsers(dest="what", required=True)
+    cr = cp.add_parser("run")
+    cr.add_argument("--input", required=True)
+    cr.add_argument("--config", required=True)
+    cr.add_argument("--output", required=True)
+    cr.add_argument("--report", action="store_true")
+    cr.set_defaults(func=_cmd_corpus_run)
 
     cl = sub.add_parser("cleanup").add_subparsers(dest="what", required=True)
     cc = cl.add_parser("cleanfvec")

@@ -360,3 +360,42 @@ def test_pipeline_runner_config_roundtrip(spark, tmp_path, documents):
         run_pipeline(documents, [{"op": "nope"}])
     with _pytest.raises(ValueError, match="'op' key"):
         run_pipeline(documents, ["exact_dedup"])
+
+
+def test_cli_corpus_run(tmp_path, spark, sf_dir, capsys):
+    import json as _json
+    import os as _os
+
+    from nbdatatools_spark.__main__ import main
+
+    cfg = tmp_path / "pipe.json"
+    cfg.write_text(
+        _json.dumps(
+            {
+                "steps": [
+                    {"op": "lang_filter", "langs": ["en"]},
+                    {"op": "exact_dedup"},
+                    {"op": "token_stats"},
+                ]
+            }
+        )
+    )
+    out_dir = str(tmp_path / "curated.parquet")
+    rc = main(
+        [
+            "corpus", "run",
+            "--input", _os.path.join(sf_dir, "documents.parquet"),
+            "--config", str(cfg),
+            "--output", out_dir,
+            "--report",
+        ]
+    )
+    assert rc == 0
+    lines = [_json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert [l.get("op") for l in lines[:-1]] == ["lang_filter", "exact_dedup", "token_stats"]
+    assert lines[-1]["rows"] == lines[-2]["rows"]
+    from pyspark.sql import functions as F
+
+    curated = spark.read.parquet(out_dir)
+    assert "n_tokens" in curated.columns
+    assert curated.where(F.col("lang") != "en").count() == 0
