@@ -1048,3 +1048,92 @@ def duplicate_span_stats(
             ).alias("dup_span_ratio"),
         )
     )
+
+
+def minhash_quality_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+    threshold: float = 0.7,
+    sample_ids: int = 200,
+    impl: str = "numpy",
+) -> DataFrame:
+    """Measured precision/recall of MinHash-LSH candidate generation against
+    EXACT Jaccard ground truth on a bounded sample — the tuning readout for
+    (num_hashes, bands, threshold): banding theory gives the s-curve, this
+    gives the number on YOUR corpus before a 100-TB run commits to the
+    parameters.
+
+    Sample = the ``sample_ids`` lowest ids (deterministic); ground truth =
+    exact all-pairs Jaccard WITHIN the sample (O(sample²) — bounded by
+    construction, never corpus-sized). Returns one row:
+    ``(n_sample, n_true_pairs, n_candidates, n_candidates_true, precision,
+    recall)`` where precision/recall treat candidate-generation as the
+    retrieval step for true pairs (>= threshold).
+    """
+    sample = df.where(F.col(id_col) < sample_ids) if str(df.schema[id_col].dataType) in (
+        "LongType()", "IntegerType()"
+    ) else df.limit(sample_ids)
+    sample = sample.select(id_col, text_col).persist()
+
+    cand = minhash_lsh_candidates(
+        sample,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_size=shingle_size,
+        impl=impl,
+    ).select("id_a", "id_b")
+
+    sh = sample.select(
+        F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("__n")
+    ).select(
+        "id",
+        F.array_distinct(char_ngrams_of_norm(F.col("__n"), shingle_size)).alias("sh"),
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    truth = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b")
+    )
+    joined = truth.withColumn("__t", F.lit(1)).join(
+        cand.withColumn("__c", F.lit(1)), ["id_a", "id_b"], "full_outer"
+    )
+    agg = joined.agg(
+        F.sum(F.coalesce("__t", F.lit(0))).alias("n_true"),
+        F.sum(F.coalesce("__c", F.lit(0))).alias("n_cand"),
+        F.sum(
+            F.when(F.col("__t").isNotNull() & F.col("__c").isNotNull(), 1).otherwise(0)
+        ).alias("n_hit"),
+    )
+    n_sample = sample.count()
+    sample.unpersist()
+    return agg.select(
+        F.lit(n_sample).alias("n_sample"),
+        F.col("n_true").alias("n_true_pairs"),
+        F.col("n_cand").alias("n_candidates"),
+        F.col("n_hit").alias("n_candidates_true"),
+        F.round(
+            F.when(F.col("n_cand") == 0, F.lit(None)).otherwise(
+                F.col("n_hit").cast("double") / F.col("n_cand")
+            ),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.when(F.col("n_true") == 0, F.lit(None)).otherwise(
+                F.col("n_hit").cast("double") / F.col("n_true")
+            ),
+            6,
+        ).alias("recall"),
+    )

@@ -87,3 +87,31 @@ def test_subword_token_count(spark):
     ).select(subword_token_count(F.col("text")).alias("n")).collect()
     # "Hello" ", " "world" "'s" " 42" " tests" " done" "!" -> 8
     assert [r["n"] for r in rows] == [8, 0, 0, 1]
+
+
+def test_minhash_quality_report(spark, documents):
+    """Measured precision/recall of LSH candidate generation vs exact
+    Jaccard ground truth on a bounded sample: aggressive banding (many
+    bands) must reach high recall; counts must be internally consistent."""
+    from nbdatatools_spark.operators.dedup import minhash_quality_report
+
+    r = minhash_quality_report(
+        documents,
+        num_hashes=64,
+        bands=32,       # aggressive: high candidate rate -> high recall
+        shingle_size=5,
+        threshold=0.5,
+        sample_ids=120,
+    ).collect()[0]
+    assert r.n_sample > 0
+    assert r.n_candidates_true <= min(r.n_true_pairs, r.n_candidates)
+    if r.n_true_pairs:
+        assert r.recall >= 0.9
+    if r.n_candidates:
+        assert 0.0 <= r.precision <= 1.0
+    # conservative banding (few bands) can only lower the candidate count
+    r2 = minhash_quality_report(
+        documents, num_hashes=64, bands=4, shingle_size=5,
+        threshold=0.5, sample_ids=120,
+    ).collect()[0]
+    assert r2.n_candidates <= r.n_candidates
