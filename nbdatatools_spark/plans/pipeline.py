@@ -95,6 +95,36 @@ def _op_split(df, fractions=(0.98, 0.01, 0.01), names=("train", "val", "test"),
     )
 
 
+def _op_lm_filter(df, max_score=8.0, text_col="text", id_col="doc_id", **_):
+    """Self-scored bigram-LM fluency filter (CCNet-style): drop documents
+    whose mean -ln p(w2|w1) under a model fit on the batch itself exceeds
+    ``max_score``. Documents too short to score (< 2 tokens) are kept —
+    the length rules, not the LM, own that call."""
+    from nbdatatools_spark.operators.lm import bigram_lm_score
+
+    scored = bigram_lm_score(df, text_col=text_col, id_col=id_col)
+    keep = scored.where(
+        F.col("lm_score").isNull() | (F.col("lm_score") <= float(max_score))
+    ).select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
+def _op_domain_cap(df, cap=100, strata_col="source", key_col="doc_id", seed=42, **_):
+    from nbdatatools_spark.operators.sampling import domain_cap
+
+    return domain_cap(df, cap=int(cap), strata_col=strata_col, key_col=key_col, seed=int(seed))
+
+
+def _op_stratified_sample(df, rates=None, strata_col="source", key_col="doc_id",
+                          default_rate=1.0, seed=42, **_):
+    from nbdatatools_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        df, rates=dict(rates or {}), strata_col=strata_col, key_col=key_col,
+        default_rate=float(default_rate), seed=int(seed),
+    )
+
+
 def _op_token_stats(df, text_col="text", **_):
     from nbdatatools_spark.functions.text import token_count
 
@@ -113,6 +143,9 @@ STEP_REGISTRY = {
     "minhash_dedup": _op_minhash_dedup,
     "split": _op_split,
     "token_stats": _op_token_stats,
+    "lm_filter": _op_lm_filter,
+    "domain_cap": _op_domain_cap,
+    "stratified_sample": _op_stratified_sample,
 }
 
 

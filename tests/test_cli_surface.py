@@ -399,3 +399,40 @@ def test_cli_corpus_run(tmp_path, spark, sf_dir, capsys):
     curated = spark.read.parquet(out_dir)
     assert "n_tokens" in curated.columns
     assert curated.where(F.col("lang") != "en").count() == 0
+
+
+def test_pipeline_extended_steps(spark, documents):
+    """lm_filter / domain_cap / stratified_sample pipeline steps compose and
+    match the underlying operators directly."""
+    from pyspark.sql import functions as F
+
+    from nbdatatools_spark.operators.sampling import domain_cap, stratified_sample
+    from nbdatatools_spark.plans.pipeline import run_pipeline
+
+    steps = [
+        {"op": "domain_cap", "cap": 10},
+        {"op": "stratified_sample", "rates": {"src0": 0.5}, "default_rate": 1.0},
+        {"op": "lm_filter", "max_score": 100.0},  # permissive: LM keeps all
+    ]
+    out, report = run_pipeline(documents, steps, count_steps=True)
+    manual = stratified_sample(
+        domain_cap(documents, cap=10), rates={"src0": 0.5}, default_rate=1.0
+    )
+    got = sorted(r.doc_id for r in out.collect())
+    want = sorted(r.doc_id for r in manual.collect())
+    assert got == want and len(got) > 0
+    # per-source cap actually applied
+    per_src = out.groupBy("source").count().collect()
+    assert all(r["count"] <= 10 for r in per_src)
+    # restrictive LM filter at the corpus median drops the disfluent tail
+    from nbdatatools_spark.operators.lm import bigram_lm_score
+
+    med = (
+        bigram_lm_score(documents)
+        .agg(F.percentile(F.col("lm_score"), F.lit(0.5)).alias("m"))
+        .collect()[0]
+        .m
+    )
+    strict, _ = run_pipeline(documents, [{"op": "lm_filter", "max_score": float(med)}])
+    n_strict = strict.count()
+    assert 0 < n_strict < documents.count()
