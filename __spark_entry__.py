@@ -2389,6 +2389,21 @@ def embedding_winsorize(spark, sf_dir):
     return winsorize_vectors(emb, lo_q=0.01, hi_q=0.99).orderBy("vec_id")
 
 
+def doc_sentence_stats(spark, sf_dir):
+    """Per-doc sentence structure (text.py::sentence_stats): count, mean
+    words per sentence, terminal-punctuation fraction. Sentinel-split
+    segmentation (group-reference replacement then split — portable to
+    RE2, which lacks lookbehind); map-side only."""
+    from nbdatatools_spark.functions.text import sentence_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", sentence_stats(F.col("text")).alias("s"))
+        .select("doc_id", "s.*")
+        .orderBy("doc_id")
+    )
+
+
 def doc_config_pipeline(spark, sf_dir):
     """Declarative pipeline-as-config (plans/pipeline.py::run_pipeline):
     the curation chain [lang_filter -> quality_filter -> exact_dedup ->
@@ -2999,6 +3014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_group_percent_rank": doc_group_percent_rank,
         "embedding_winsorize": embedding_winsorize,
         "doc_config_pipeline": doc_config_pipeline,
+        "doc_sentence_stats": doc_sentence_stats,
     }
 
 
@@ -3052,6 +3068,7 @@ PENDING_FIRST_RECORDING = frozenset(
         "doc_group_percent_rank",
         "embedding_winsorize",
         "doc_config_pipeline",
+        "doc_sentence_stats",
     }
 )
 
@@ -5624,5 +5641,34 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split,
                    {_NTOK} AS n_tokens
             FROM h ORDER BY doc_id
+        """,
+        "doc_sentence_stats": """
+            WITH segs AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE list_filter(
+                                list_transform(
+                                    string_split(
+                                        regexp_replace(trim(text),
+                                                       '([.!?])\\s+',
+                                                       '\\1' || chr(1), 'g'),
+                                        chr(1)),
+                                    s -> trim(s)),
+                                s -> length(s) > 0)
+                       END AS ss
+                FROM documents)
+            SELECT doc_id,
+                   CAST(len(ss) AS INT) AS n_sentences,
+                   round(CASE WHEN len(ss) = 0 THEN 0.0
+                              ELSE CAST(list_sum(list_transform(ss,
+                                       s -> len(regexp_split_to_array(trim(s), '\\s+'))))
+                                   AS DOUBLE) / len(ss) END, 6)
+                     AS mean_words_per_sentence,
+                   round(CASE WHEN len(ss) = 0 THEN 0.0
+                              ELSE CAST(len(list_filter(ss,
+                                       s -> regexp_matches(s, '[.!?]$')))
+                                   AS DOUBLE) / len(ss) END, 6) AS terminal_frac
+            FROM segs ORDER BY doc_id
         """,
     }

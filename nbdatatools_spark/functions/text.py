@@ -516,3 +516,47 @@ def gopher_quality_flags(col: Column) -> Column:
         )
 
     return _let(tokens(col), lambda toks: _let(lines_of(col), lambda ls: over_lines(toks, ls)))
+
+
+def sentences_of(col: Column) -> Column:
+    """Sentence segmentation by terminal punctuation. Portable formulation:
+    mark each "[.!?] + whitespace" boundary with a \x01 sentinel via a
+    group-reference replacement, then split on the sentinel — RE2 (DuckDB)
+    has no lookbehind, but group references in REPLACEMENTS work in both
+    engines, so a SQL oracle replicates this mechanically (unlike Spark's
+    locale-aware ``F.sentences``). Empty text -> empty array; text without
+    terminal punctuation is one sentence; boundary-only segments drop."""
+    t = F.trim(col)
+    marked = F.regexp_replace(t, r"([.!?])\s+", "$1\x01")
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.filter(
+            F.transform(F.split(marked, "\x01"), F.trim),
+            lambda s: F.length(s) > 0,
+        )
+    )
+
+
+def sentence_stats(col: Column) -> Column:
+    """Per-document sentence statistics as a struct: sentence count, mean
+    words per sentence (one int/int division), and the fraction of
+    sentences ending in terminal punctuation — the document-structure
+    quality signals C4/Gopher consult beyond raw token counts. Let-bound
+    sentence array; pure Catalyst."""
+
+    def over(ss):
+        n = F.size(ss)
+        words = F.aggregate(
+            ss, F.lit(0), lambda acc, s: acc + F.size(F.split(F.trim(s), r"\s+"))
+        )
+        terminal = F.size(F.filter(ss, lambda s: s.rlike("[.!?]$")))
+        return F.struct(
+            n.alias("n_sentences"),
+            F.round(
+                F.when(n == 0, F.lit(0.0)).otherwise(words.cast("double") / n), 6
+            ).alias("mean_words_per_sentence"),
+            F.round(
+                F.when(n == 0, F.lit(0.0)).otherwise(terminal.cast("double") / n), 6
+            ).alias("terminal_frac"),
+        )
+
+    return _let(sentences_of(col), over)

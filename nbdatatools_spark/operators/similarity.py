@@ -1048,3 +1048,76 @@ def ivf_search_index(
         .where(F.col("rank") <= k)
         .select(F.col("qid").alias("query_id"), "rank", F.col("bid").alias("base_id"), "distance")
     )
+
+
+def ann_tuning_report(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobes=(1, 2, 4, 8),
+    seed: int = 42,
+    query_id: str = "vec_id",
+    base_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Measured recall@k vs nprobe for IVF search — the ANN counterpart of
+    minhash_quality_report: before a 100-TB index commits to (n_centroids,
+    nprobe), this reports the recall curve on YOUR vectors against exact
+    brute-force ground truth (computed once, on the GEMM kernel).
+
+    Returns one row per probed setting: ``(nprobe, n_queries, recall,
+    mean_candidates)`` — recall = mean per-query |IVF∩exact| / k;
+    mean_candidates = average scanned-cell candidate count (the cost dial
+    the recall buys). All comparisons run on id sets, never distances, so
+    kernel float noise can't blur the readout.
+    """
+    from nbdatatools_spark.operators.knn import exact_knn
+
+    truth = exact_knn(
+        queries, base, k,
+        metric="cosine",
+        query_ordinal=query_id, base_ordinal=base_id,
+        query_vec=vec_col, base_vec=vec_col,
+        impl="gemm",
+    ).select(F.col("ordinal").alias("qid"), F.col("indices").alias("__truth"))
+
+    spark = base.sparkSession
+    out = []
+    for nprobe in nprobes:
+        approx = ivf_topk(
+            queries, base, k,
+            n_centroids=n_centroids, nprobe=int(nprobe), seed=seed,
+            query_id=query_id, base_id=base_id, vec_col=vec_col,
+        )
+        got = approx.groupBy(F.col("query_id").alias("qid")).agg(
+            F.collect_list("base_id").alias("__got"),
+            F.count(F.lit(1)).alias("__n_cand"),
+        )
+        row = (
+            truth.join(got, "qid", "left")
+            .select(
+                (
+                    F.size(
+                        F.array_intersect(
+                            F.col("__truth").cast("array<bigint>"),
+                            F.coalesce(F.col("__got"), F.array().cast("array<bigint>")).cast(
+                                "array<bigint>"
+                            ),
+                        )
+                    ).cast("double")
+                    / F.lit(float(k))
+                ).alias("__recall"),
+                F.coalesce(F.col("__n_cand"), F.lit(0)).alias("__n_cand"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_queries"),
+                F.round(F.avg("__recall"), 6).alias("recall"),
+                F.round(F.avg("__n_cand"), 6).alias("mean_candidates"),
+            )
+            .collect()[0]
+        )
+        out.append((int(nprobe), row.n_queries, row.recall, row.mean_candidates))
+    return spark.createDataFrame(
+        out, "nprobe INT, n_queries BIGINT, recall DOUBLE, mean_candidates DOUBLE"
+    )

@@ -1,0 +1,76 @@
+"""Round-4 session-4 operators: sentence stats, ANN tuning report, Catalyst
+cost diagnostics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nbdatatools_spark.functions.text import sentence_stats, sentences_of
+
+
+def _stats(spark, text):
+    df = spark.createDataFrame([(1, text)], "doc_id BIGINT, text STRING")
+    return df.select(sentence_stats(F.col("text")).alias("s")).select("s.*").first()
+
+
+def test_sentence_stats_closed_form(spark):
+    r = _stats(spark, "One two three. Four five! Six seven eight nine")
+    assert r.n_sentences == 3
+    # 3 + 2 + 4 words -> mean 3.0
+    assert r.mean_words_per_sentence == 3.0
+    assert r.terminal_frac == round(2 / 3, 6)
+
+    r = _stats(spark, "no terminal punctuation here")
+    assert r.n_sentences == 1 and r.terminal_frac == 0.0
+
+    r = _stats(spark, "   ")
+    assert r.n_sentences == 0 and r.mean_words_per_sentence == 0.0
+
+
+def test_sentences_of_drops_empty_segments(spark):
+    df = spark.createDataFrame([(1, "A b.  C d?   ")], "id BIGINT, text STRING")
+    ss = df.select(sentences_of(F.col("text")).alias("ss")).first().ss
+    assert ss == ["A b.", "C d?"]
+
+
+def test_ann_tuning_report_monotone_recall(spark, embeddings):
+    from nbdatatools_spark.operators.similarity import ann_tuning_report
+
+    q = embeddings.where(F.col("vec_id") < 12)
+    rep = {
+        r.nprobe: r
+        for r in ann_tuning_report(
+            q, embeddings, k=5, n_centroids=8, nprobes=(1, 4, 8)
+        ).collect()
+    }
+    assert set(rep) == {1, 4, 8}
+    # recall and candidate cost both non-decreasing in nprobe
+    assert rep[1].recall <= rep[4].recall <= rep[8].recall
+    assert rep[1].mean_candidates <= rep[4].mean_candidates <= rep[8].mean_candidates
+    # probing every cell IS exhaustive search -> exact recall
+    assert rep[8].recall == 1.0
+    assert all(r.n_queries == 12 for r in rep.values())
+
+
+def test_cost_report_and_broadcast_predicate(spark, sf_dir):
+    import os
+
+    from nbdatatools_spark.plans.cost import cost_report, would_broadcast
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    rep = cost_report(li.where(F.col("l_quantity") > 49).select("l_orderkey"))
+    assert rep[0]["size_bytes"] > 0
+    assert any("Relation" in r["node"] or "Filter" in r["node"] for r in rep)
+    # the slim projection's estimate is below the full-width scan's
+    full = cost_report(li)[0]["size_bytes"]
+    slim = rep[0]["size_bytes"]
+    assert slim < full
+
+    region = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    assert would_broadcast(region)  # 5 rows
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert not would_broadcast(region)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
