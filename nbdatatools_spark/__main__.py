@@ -223,6 +223,14 @@ def _cmd_datasets_list(args) -> int:
     return 0
 
 
+def _cmd_datasets_download(args) -> int:
+    from nbdatatools_spark.sources.http_range import download_verified
+
+    report = download_verified(args.url, args.merkle, args.out)
+    print(json.dumps(report))
+    return 0
+
+
 def _cmd_vectordata(args) -> int:
     from nbdatatools_spark.sources.dataset import (
         dataset_info,
@@ -357,6 +365,11 @@ def build_parser() -> argparse.ArgumentParser:
     dl = ds.add_parser("list")
     dl.add_argument("--catalog", required=True)
     dl.set_defaults(func=_cmd_datasets_list)
+    dd = ds.add_parser("download")
+    dd.add_argument("--url", required=True)
+    dd.add_argument("--merkle", required=True, help="local .mref for verification")
+    dd.add_argument("--out", required=True)
+    dd.set_defaults(func=_cmd_datasets_download)
 
     vd = sub.add_parser("vectordata").add_subparsers(dest="what", required=True)
     vi = vd.add_parser("info")

@@ -208,3 +208,30 @@ def test_served_bytes_hash_equal(http_root):
     local = hashlib.sha256((root / "dataset.yaml").read_bytes()).hexdigest()
     remote = hashlib.sha256(fetch(f"{url}/dataset.yaml")).hexdigest()
     assert local == remote
+
+
+def test_cli_datasets_download_verified(http_root, tmp_path, spark, capsys):
+    """CLI `datasets download`: chunked range-fetch with per-chunk merkle
+    verification, exit 0 and a full byte-identical copy."""
+    import json as _json
+
+    from nbdatatools_spark.__main__ import main
+    from nbdatatools_spark.sources.merkle_file import write_mref
+
+    root, url = http_root
+    mref = str(tmp_path / "dl.mref")
+    write_mref(spark, str(root / "base.fvec"), mref, chunk_size=64)
+    out = str(tmp_path / "downloaded.fvec")
+    rc = main(
+        [
+            "datasets", "download",
+            "--url", f"{url}/base.fvec",
+            "--merkle", mref,
+            "--out", out,
+        ]
+    )
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["chunks_fetched"] == rep["chunks_total"] > 0
+    with open(out, "rb") as f_out, open(root / "base.fvec", "rb") as f_src:
+        assert f_out.read() == f_src.read()
