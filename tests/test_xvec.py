@@ -102,3 +102,42 @@ def test_dtype_aliases():
     assert xvec_dtype("x.fvecs") == xvec_dtype("x.fvec")
     with pytest.raises(ValueError):
         xvec_dtype("x.parquet")
+
+
+def test_xvec_python_datasource(spark, tmp_path):
+    """spark.read.format('xvec') — the registered Python DataSource matches
+    read_xvec exactly (values, ordinals, schema) and plans one task per
+    chunk."""
+    from nbdatatools_spark.sources.xvec import read_xvec, write_xvec
+    from nbdatatools_spark.sources.xvec_datasource import register_xvec_source
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i) + 0.5, -1.0]) for i in range(500)],
+        "ordinal BIGINT, vector ARRAY<FLOAT>",
+    )
+    p = str(tmp_path / "ds_base.fvec")
+    write_xvec(df, p)
+
+    register_xvec_source(spark)
+    via_source = spark.read.format("xvec").load(p)
+    assert dict(via_source.dtypes) == {"ordinal": "bigint", "vector": "array<float>"}
+    a = [(r.ordinal, r.vector) for r in via_source.orderBy("ordinal").collect()]
+    b = [(r.ordinal, r.vector) for r in read_xvec(spark, p).orderBy("ordinal").collect()]
+    assert a == b and len(a) == 500
+
+    # ivec schema inference
+    idf = spark.createDataFrame(
+        [(i, [i, i + 1]) for i in range(40)], "ordinal BIGINT, vector ARRAY<INT>"
+    )
+    ip = str(tmp_path / "ds_idx.ivec")
+    write_xvec(idf, ip)
+    via_i = spark.read.format("xvec").load(ip)
+    assert dict(via_i.dtypes)["vector"] == "array<int>"
+    assert via_i.count() == 40
+
+    # glob over multiple files concatenates with continuous ordinals
+    write_xvec(df, str(tmp_path / "m1.fvec"))
+    write_xvec(df, str(tmp_path / "m2.fvec"))
+    multi = spark.read.format("xvec").load(str(tmp_path / "m*.fvec"))
+    assert multi.count() == 1000
+    assert multi.agg(F.max("ordinal")).collect()[0][0] == 999
