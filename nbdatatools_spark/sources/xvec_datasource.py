@@ -24,7 +24,13 @@ from __future__ import annotations
 import glob as _glob
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 from nbdatatools_spark.sources.xvec import _file_meta, xvec_dtype
 
@@ -140,8 +146,74 @@ class XvecDataSource(DataSource):
     def reader(self, schema) -> XvecReader:
         return XvecReader(self.options)
 
+    def writer(self, schema, overwrite) -> "XvecWriter":
+        return XvecWriter(self.options, overwrite)
+
 
 def register_xvec_source(spark) -> None:
     """Register the xvec format on this session:
     ``spark.read.format('xvec').load(path_or_glob)``."""
     spark.dataSource.register(XvecDataSource)
+
+
+class XvecCommit(WriterCommitMessage):
+    def __init__(self, file, n):
+        self.file = file
+        self.n = n
+
+
+class XvecWriter(DataSourceWriter):
+    """``df.write.format('xvec').save(dir)`` — one ``part-*.{ext}`` shard per
+    partition (the write_xvec_shards layout: the engine's cluster-egress
+    shape; ordinals are contiguous within a shard, not across shards —
+    range-partition by ordinal upstream for globally ordered shards).
+    Shards land as temp names and a MANIFEST is written at commit, so a
+    failed job leaves no manifest (the usual commit-protocol contract)."""
+
+    def __init__(self, options, overwrite):
+        self._dir = options.get("path")
+        if not self._dir:
+            raise ValueError("xvec writer requires a path: .save('/data/out')")
+        self._ext = options.get("ext", "fvec")
+        xvec_dtype(f"x.{self._ext}")  # validate
+        self._overwrite = overwrite
+
+    def write(self, iterator):
+        import uuid
+
+        import numpy as np
+
+        np_dtype, cbytes, _elem = xvec_dtype(f"x.{self._ext}")
+        os.makedirs(self._dir, exist_ok=True)
+        fname = os.path.join(self._dir, f"part-{uuid.uuid4().hex[:12]}.{self._ext}")
+        n = 0
+        with open(fname, "wb") as out:
+            for row in iterator:
+                vec = np.asarray(row[1], dtype=np_dtype)
+                header = np.array([len(vec)], dtype="<i4")
+                out.write(header.tobytes())
+                out.write(vec.tobytes())
+                n += 1
+        if n == 0:
+            os.remove(fname)
+            return XvecCommit(None, 0)
+        return XvecCommit(os.path.basename(fname), n)
+
+    def commit(self, messages):
+        shards = [(m.file, m.n) for m in messages if m is not None and m.file]
+        manifest = os.path.join(self._dir, "MANIFEST.json")
+        import json as _json
+
+        with open(manifest, "w") as f:
+            _json.dump(
+                {"format": self._ext, "shards": sorted(shards), "rows": sum(n for _, n in shards)},
+                f,
+            )
+
+    def abort(self, messages):
+        for m in messages or []:
+            if m is not None and getattr(m, "file", None):
+                try:
+                    os.remove(os.path.join(self._dir, m.file))
+                except OSError:
+                    pass

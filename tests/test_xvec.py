@@ -141,3 +141,28 @@ def test_xvec_python_datasource(spark, tmp_path):
     multi = spark.read.format("xvec").load(str(tmp_path / "m*.fvec"))
     assert multi.count() == 1000
     assert multi.agg(F.max("ordinal")).collect()[0][0] == 999
+
+
+def test_xvec_datasource_writer_roundtrip(spark, tmp_path):
+    """df.write.format('xvec').save(dir): shard-per-partition egress with a
+    commit-time MANIFEST; reading the directory back recovers every vector."""
+    import json as _json
+    import os as _os
+
+    from nbdatatools_spark.sources.xvec_datasource import register_xvec_source
+
+    register_xvec_source(spark)
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.5]) for i in range(300)], "ordinal BIGINT, vector ARRAY<FLOAT>"
+    ).repartition(4)
+    out = str(tmp_path / "egress")
+    df.write.format("xvec").mode("append").save(out)
+
+    manifest = _json.load(open(_os.path.join(out, "MANIFEST.json")))
+    assert manifest["rows"] == 300 and manifest["format"] == "fvec"
+    assert len(manifest["shards"]) <= 4 and all(n > 0 for _, n in manifest["shards"])
+
+    back = spark.read.format("xvec").load(out + "/part-*.fvec")
+    vals = sorted(r.vector[0] for r in back.collect())
+    assert vals == [float(i) for i in range(300)]
+    assert back.count() == 300
