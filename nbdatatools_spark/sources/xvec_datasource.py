@@ -29,6 +29,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -149,6 +150,9 @@ class XvecDataSource(DataSource):
     def writer(self, schema, overwrite) -> "XvecWriter":
         return XvecWriter(self.options, overwrite)
 
+    def simpleStreamReader(self, schema) -> "XvecStreamReader":
+        return XvecStreamReader(self.options)
+
 
 def register_xvec_source(spark) -> None:
     """Register the xvec format on this session:
@@ -217,3 +221,72 @@ class XvecWriter(DataSourceWriter):
                     os.remove(os.path.join(self._dir, m.file))
                 except OSError:
                     pass
+
+
+class XvecStreamReader(SimpleDataSourceStreamReader):
+    """Streaming xvec ingest: monitor a directory (or glob) for NEW vector
+    files and emit their records — continuous ingest for the vector-file
+    drop-folder pattern (the streaming face of the reference's chunked
+    scheduler consumption; T1/T2 collapse to Structured Streaming offsets).
+
+    Offset = {"seen": [files already ingested], "next_ordinal": N}: files
+    are ingested whole (xvec files are immutable artifacts — partial files
+    are the writer's concern, as in the reference's publisher flow), and
+    ordinals continue monotonically across batches. readBetweenOffsets
+    replays exactly the files between two offsets, so checkpoint recovery
+    re-emits identical micro-batches.
+    """
+
+    def __init__(self, options):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("xvec stream requires a path")
+
+    def initialOffset(self) -> dict:
+        return {"seen": [], "next_ordinal": 0}
+
+    def _list(self):
+        try:
+            return _resolve_paths(self._path)
+        except ValueError:
+            return []
+
+    def _decode_file(self, path, ordinal_start):
+        import numpy as np
+
+        np_dtype, cbytes, _elem = xvec_dtype(path)
+        widen = {"<u1": "<i2", "<f2": "<f4"}.get(np_dtype)
+        dim, stride, count = _file_meta(path)
+        with open(path, "rb") as f:
+            raw = f.read()
+        if count == 0:
+            return
+        mat = np.frombuffer(raw, dtype=np.uint8).reshape(count, stride)
+        body = mat[:, 4:].copy().view(np_dtype)
+        if widen:
+            body = body.astype(widen)
+        for i in range(count):
+            yield (ordinal_start + i, body[i].tolist())
+
+    def read(self, start: dict):
+        seen = set(start.get("seen", []))
+        ordinal = int(start.get("next_ordinal", 0))
+        new_files = [p for p in self._list() if p not in seen]
+        rows = []
+        for p in new_files:
+            _d, _s, count = _file_meta(p)
+            rows.extend(self._decode_file(p, ordinal))
+            ordinal += count
+        end = {"seen": sorted(seen | set(new_files)), "next_ordinal": ordinal}
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        seen = set(start.get("seen", []))
+        ordinal = int(start.get("next_ordinal", 0))
+        for p in sorted(set(end.get("seen", [])) - seen):
+            _d, _s, count = _file_meta(p)
+            yield from self._decode_file(p, ordinal)
+            ordinal += count
+
+    def commit(self, end: dict) -> None:
+        pass

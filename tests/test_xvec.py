@@ -166,3 +166,56 @@ def test_xvec_datasource_writer_roundtrip(spark, tmp_path):
     vals = sorted(r.vector[0] for r in back.collect())
     assert vals == [float(i) for i in range(300)]
     assert back.count() == 300
+
+
+def test_xvec_streaming_source_incremental(spark, tmp_path):
+    """spark.readStream.format('xvec'): drop-folder ingest — first drain
+    picks up existing files; a restart with the same checkpoint ingests
+    ONLY the file that arrived in between, with continuing ordinals."""
+    import os as _os
+
+    from nbdatatools_spark.sources.xvec import write_xvec
+    from nbdatatools_spark.sources.xvec_datasource import register_xvec_source
+
+    register_xvec_source(spark)
+    drop = str(tmp_path / "drop")
+    _os.makedirs(drop)
+
+    def mkfile(name, lo, hi):
+        df = spark.createDataFrame(
+            [(i, [float(i)]) for i in range(lo, hi)], "ordinal BIGINT, vector ARRAY<FLOAT>"
+        )
+        write_xvec(df, _os.path.join(drop, name))
+
+    mkfile("a.fvec", 0, 50)
+    mkfile("b.fvec", 50, 80)
+
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def drain():
+        stream = spark.readStream.format("xvec").load(drop)
+        q = (
+            stream.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    got1 = spark.read.parquet(sink).collect()
+    assert len(got1) == 80
+    assert sorted(r.vector[0] for r in got1) == [float(i) for i in range(80)]
+    # ordinals are continuous across the two files
+    assert sorted(r.ordinal for r in got1) == list(range(80))
+
+    mkfile("c.fvec", 80, 100)
+    drain()
+    got2 = spark.read.parquet(sink).collect()
+    # same checkpoint: only the new file lands in the second drain
+    assert len(got2) == 100
+    assert sorted(r.ordinal for r in got2) == list(range(100))
+    assert sorted(r.vector[0] for r in got2) == [float(i) for i in range(100)]
