@@ -2389,6 +2389,28 @@ def embedding_winsorize(spark, sf_dir):
     return winsorize_vectors(emb, lo_q=0.01, hi_q=0.99).orderBy("vec_id")
 
 
+def embedding_bq_hamming(spark, sf_dir):
+    """Binary-quantization scan (similarity.py::bq_topk): sign-bit packed
+    codes (d/64 bigint words, two's-complement bit 63), top-5 by Hamming
+    with (hamming, base_id) ties. The base side streams past a broadcast
+    query-code block touching d/8 bytes per vector."""
+    from nbdatatools_spark.operators.similarity import bq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    return bq_topk(q, emb, k=5, dim=64).orderBy("query_id", "rank")
+
+
+def embedding_matryoshka(spark, sf_dir):
+    """Matryoshka prefix truncation (similarity.py::truncate_embeddings):
+    first 16 dims, re-normalized to unit L2. Pure projection — slice + one
+    fold per row; 6dp rounding after one division per element."""
+    from nbdatatools_spark.operators.similarity import truncate_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return truncate_embeddings(emb, dims=16).select("vec_id", "embedding").orderBy("vec_id")
+
+
 def doc_sentence_stats(spark, sf_dir):
     """Per-doc sentence structure (text.py::sentence_stats): count, mean
     words per sentence, terminal-punctuation fraction. Sentinel-split
@@ -3015,6 +3037,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_winsorize": embedding_winsorize,
         "doc_config_pipeline": doc_config_pipeline,
         "doc_sentence_stats": doc_sentence_stats,
+        "embedding_matryoshka": embedding_matryoshka,
+        "embedding_bq_hamming": embedding_bq_hamming,
     }
 
 
@@ -3069,6 +3093,8 @@ PENDING_FIRST_RECORDING = frozenset(
         "embedding_winsorize",
         "doc_config_pipeline",
         "doc_sentence_stats",
+        "embedding_matryoshka",
+        "embedding_bq_hamming",
     }
 )
 
@@ -3365,6 +3391,38 @@ def _semantic_dedup_oracle(
               AND (y.csim < x.csim
                    OR (y.csim = x.csim AND y.vec_id < x.vec_id)))
         ORDER BY x.vec_id
+    """
+
+
+def _bq_hamming_oracle(k: int = 5, n_queries: int = 10, dim: int = 64) -> str:
+    """DuckDB replica of bq_topk (no rerank): identical literal-weight sign
+    packing (bit 63 carries the two's-complement sign weight) and
+    bit_count(xor) Hamming, same (hamming, base_id) tie-break."""
+    def weight(i: int) -> str:
+        # -(1<<63) parses as unary minus over an overflowing positive
+        # literal; spell it as (-max-1) so it stays in INT64
+        return f"{1 << i}::BIGINT" if i < 63 else "(-9223372036854775807::BIGINT - 1)"
+
+    terms = " + ".join(
+        f"CASE WHEN embedding[{i + 1}] > 0 THEN {weight(i)} ELSE 0::BIGINT END"
+        for i in range(dim)
+    )
+    return f"""
+        WITH codes AS (
+            SELECT vec_id, ({terms}) AS w FROM embeddings),
+        pairs AS (
+            SELECT q.vec_id AS qid, b.vec_id AS bid,
+                   CAST(bit_count(xor(q.w, b.w)) AS INT) AS hamming
+            FROM codes q CROSS JOIN codes b
+            WHERE q.vec_id < {n_queries}),
+        ranked AS (
+            SELECT qid, bid, hamming,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY hamming ASC, bid ASC) AS rn
+            FROM pairs)
+        SELECT qid AS query_id, CAST(rn AS INT) AS rank, bid AS base_id, hamming
+        FROM ranked WHERE rn <= {k}
+        ORDER BY query_id, rank
     """
 
 
@@ -5671,4 +5729,20 @@ def oracle_sql() -> dict[str, str]:
                                    AS DOUBLE) / len(ss) END, 6) AS terminal_frac
             FROM segs ORDER BY doc_id
         """,
+        "embedding_matryoshka": """
+            WITH p AS (
+                SELECT vec_id,
+                       list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS pre
+                FROM embeddings),
+            n AS (
+                SELECT vec_id, pre,
+                       sqrt(list_inner_product(pre, pre)) AS nrm
+                FROM p)
+            SELECT vec_id,
+                   CASE WHEN nrm = 0.0 THEN pre
+                        ELSE list_transform(pre, x -> round(x / nrm, 6))
+                   END AS embedding
+            FROM n ORDER BY vec_id
+        """,
+        "embedding_bq_hamming": _bq_hamming_oracle(),
     }

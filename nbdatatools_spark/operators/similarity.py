@@ -1121,3 +1121,127 @@ def ann_tuning_report(
     return spark.createDataFrame(
         out, "nprobe INT, n_queries BIGINT, recall DOUBLE, mean_candidates DOUBLE"
     )
+
+
+def truncate_embeddings(
+    df: DataFrame,
+    dims: int,
+    vec_col: str = "embedding",
+    renormalize: bool = True,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Matryoshka truncation (Kusupati et al. NeurIPS 2022): keep the first
+    ``dims`` components — MRL-trained models pack coarse-to-fine signal into
+    prefixes, so truncation is the zero-cost storage/latency dial (d/dims x
+    smaller vectors, same column layout). ``renormalize=True`` rescales to
+    unit L2 (cosine consumers expect unit vectors; a truncated prefix is
+    not unit even when the full vector is).
+
+    Pure projection — slice + one aggregate fold per row, no shuffle, no
+    UDF. Zero-magnitude prefixes stay zero (no division)."""
+    if dims < 1:
+        raise ValueError(f"dims must be >= 1, got {dims}")
+    prefix = F.slice(F.col(vec_col), 1, dims)
+
+    def body(p):
+        norm = F.sqrt(
+            F.aggregate(p, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
+        )
+        scaled = F.transform(
+            p, lambda x: F.round(x.cast("double") / norm, round_digits)
+        )
+        return F.when(norm == 0.0, F.transform(p, lambda x: x.cast("double"))).otherwise(
+            scaled
+        )
+
+    from nbdatatools_spark.functions.text import _let
+
+    out = _let(prefix, body) if renormalize else F.transform(
+        prefix, lambda x: F.round(x.cast("double"), round_digits)
+    )
+    return df.withColumn(vec_col, out)
+
+
+def bq_encode(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    out_col: str = "bq",
+) -> DataFrame:
+    """Binary quantization: pack each vector's SIGN BITS into
+    ``ceil(d/64)`` bigint words — 32x smaller than float32, and Hamming
+    distance over the packed words approximates angular distance well for
+    zero-centered embeddings (the vector-DB BQ fast path; rerank survivors
+    exactly). Pure Catalyst: per-word literal-weight CASE sums (bit 63
+    carries the two's-complement sign weight), no UDF, no shuffle."""
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    n_words = (dim + 63) // 64
+    vec = F.col(vec_col)
+    words = []
+    for w in range(n_words):
+        lo = w * 64
+        n_bits = min(64, dim - lo)
+        term = F.lit(0).cast("long")
+        for i in range(n_bits):
+            weight = (1 << i) if i < 63 else -(1 << 63)
+            term = term + F.when(
+                F.element_at(vec, lo + i + 1) > 0, F.lit(weight).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        words.append(term)
+    return df.withColumn(out_col, F.array(*words))
+
+
+def bq_topk(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int,
+    dim: int,
+    query_id: str = "vec_id",
+    base_id: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int = 0,
+) -> DataFrame:
+    """Top-k by Hamming distance over binary-quantized codes — the BQ scan:
+    the base side streams past a broadcast query-code block touching only
+    d/8 bytes per vector; ``rerank > 0`` keeps the top-``rerank`` Hamming
+    survivors per query and re-orders the final k by EXACT cosine (the
+    standard BQ-then-rerank recipe). Ties break on (distance, base_id).
+
+    Returns (query_id, rank, base_id, hamming[, distance])."""
+    qc = bq_encode(queries, dim, vec_col=vec_col).select(
+        F.col(query_id).alias("qid"), F.col(vec_col).alias("qvec"), F.col("bq").alias("qbq")
+    )
+    bc = bq_encode(base, dim, vec_col=vec_col).select(
+        F.col(base_id).alias("bid"), F.col(vec_col).alias("bvec"), F.col("bq").alias("bbq")
+    )
+    ham = F.aggregate(
+        F.zip_with(F.col("qbq"), F.col("bbq"), lambda a, b: F.bit_count(a.bitwiseXOR(b))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    pairs = bc.crossJoin(F.broadcast(qc)).select(
+        "qid", "bid", "qvec", "bvec", ham.alias("hamming")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("hamming").asc(), F.col("bid").asc())
+    if rerank <= 0:
+        return (
+            pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(F.col("qid").alias("query_id"), "rank", F.col("bid").alias("base_id"), "hamming")
+        )
+    survivors = (
+        pairs.withColumn("__hr", F.row_number().over(w)).where(F.col("__hr") <= max(rerank, k))
+    )
+    exact = survivors.select(
+        "qid",
+        "bid",
+        "hamming",
+        distance_expr("cosine", F.col("qvec"), F.col("bvec")).alias("distance"),
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("distance").asc_nulls_last(), F.col("bid").asc())
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(F.col("qid").alias("query_id"), "rank", F.col("bid").alias("base_id"), "hamming", "distance")
+    )

@@ -74,3 +74,57 @@ def test_cost_report_and_broadcast_predicate(spark, sf_dir):
         assert not would_broadcast(region)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+# ---------------------------------------------------------------------------
+# truncate_embeddings / bq
+# ---------------------------------------------------------------------------
+
+def test_matryoshka_truncation_matches_numpy(spark, embeddings):
+    import numpy as np
+
+    from nbdatatools_spark.operators.similarity import truncate_embeddings
+
+    got = truncate_embeddings(embeddings, dims=8).orderBy("vec_id").collect()
+    X = np.array(
+        [r.embedding for r in embeddings.orderBy("vec_id").collect()], dtype=np.float64
+    )[:, :8]
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    expect = np.round(X / norms, 6)
+    G = np.array([r.embedding for r in got])
+    assert G.shape == expect.shape
+    assert np.allclose(G, expect, atol=2e-6)
+    # unit vectors out
+    assert np.allclose(np.linalg.norm(G, axis=1), 1.0, atol=1e-4)
+
+
+def test_bq_encode_bits_match_numpy(spark, embeddings):
+    import numpy as np
+
+    from nbdatatools_spark.operators.similarity import bq_encode
+
+    rows = bq_encode(embeddings, dim=64).select("vec_id", "embedding", "bq").collect()
+    for r in rows[:50]:
+        v = np.array(r.embedding)
+        word = 0
+        for i in range(64):
+            if v[i] > 0:
+                word |= 1 << i
+        # two's-complement view of the packed uint64
+        expect = word - (1 << 64) if word >= (1 << 63) else word
+        assert r.bq == [expect]
+
+
+def test_bq_rerank_recovers_exact_top1(spark, embeddings):
+    """With a generous rerank pool, BQ-then-exact recovers the true cosine
+    top-1 for most queries (BQ keeps angular order approximately)."""
+    from nbdatatools_spark.operators.similarity import bq_topk, brute_force_topk
+
+    q = embeddings.where(F.col("vec_id") < 20)
+    bq = bq_topk(q, embeddings, k=1, dim=64, rerank=100).collect()
+    exact = brute_force_topk(q, embeddings, k=1, metric="cosine").collect()
+    bq_top = {r.query_id: r.base_id for r in bq}
+    ex_top = {r.query_id: r.base_id for r in exact}
+    hits = sum(1 for qid in ex_top if bq_top.get(qid) == ex_top[qid])
+    assert hits >= 16  # >= 80% top-1 recovery at rerank=100/500
