@@ -2389,6 +2389,52 @@ def embedding_winsorize(spark, sf_dir):
     return winsorize_vectors(emb, lo_q=0.01, hi_q=0.99).orderBy("vec_id")
 
 
+def events_trending(spark, sf_dir):
+    """Trending items: top-3 event types per daily window by count, dense
+    rank with (count DESC, type) ties. One map-side-combinable (day, type)
+    aggregate; the rank window runs over the aggregated rows (≤ days×types),
+    never raw events."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("day").orderBy(F.col("n").desc(), F.col("event_type").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .orderBy("day", "rank")
+    )
+
+
+def events_weekly_deltas(spark, sf_dir):
+    """Week-over-week reporting: weekly event counts and value sums with
+    lag deltas and a percent change (one double division, 6dp). The lag
+    window runs over the weekly rollup (handful of rows), partitioned by
+    event_type so no single-reducer hazard."""
+    ev = _t(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("week"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        _dbl(F.sum(F.round("value", 6).cast("decimal(20,6)"))).alias("total_value"),
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("n").over(w)
+    return weekly.select(
+        "week",
+        "event_type",
+        "n",
+        "total_value",
+        (F.col("n") - F.coalesce(prev, F.col("n"))).alias("delta_n"),
+        F.round(
+            F.when(prev.isNull() | (prev == 0), F.lit(0.0)).otherwise(
+                (F.col("n") - prev).cast("double") / prev
+            ),
+            6,
+        ).alias("pct_change"),
+    ).orderBy("event_type", "week")
+
+
 def embedding_bq_hamming(spark, sf_dir):
     """Binary-quantization scan (similarity.py::bq_topk): sign-bit packed
     codes (d/64 bigint words, two's-complement bit 63), top-5 by Hamming
@@ -3039,6 +3085,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sentence_stats": doc_sentence_stats,
         "embedding_matryoshka": embedding_matryoshka,
         "embedding_bq_hamming": embedding_bq_hamming,
+        "events_trending": events_trending,
+        "events_weekly_deltas": events_weekly_deltas,
     }
 
 
@@ -3095,6 +3143,8 @@ PENDING_FIRST_RECORDING = frozenset(
         "doc_sentence_stats",
         "embedding_matryoshka",
         "embedding_bq_hamming",
+        "events_trending",
+        "events_weekly_deltas",
     }
 )
 
@@ -5745,4 +5795,35 @@ def oracle_sql() -> dict[str, str]:
             FROM n ORDER BY vec_id
         """,
         "embedding_bq_hamming": _bq_hamming_oracle(),
+        "events_trending": """
+            WITH counts AS (
+                SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n
+                FROM events GROUP BY 1, 2),
+            ranked AS (
+                SELECT day, event_type, n,
+                       CAST(row_number() OVER (PARTITION BY day
+                                               ORDER BY n DESC, event_type ASC)
+                            AS INT) AS rank
+                FROM counts)
+            SELECT day, event_type, n, rank FROM ranked
+            WHERE rank <= 3 ORDER BY day, rank
+        """,
+        "events_weekly_deltas": """
+            WITH weekly AS (
+                SELECT date_trunc('week', ts) AS week, event_type,
+                       count(*) AS n,
+                       CAST(sum(CAST(round(value, 6) AS DECIMAL(20,6)))
+                            AS DOUBLE) AS total_value
+                FROM events GROUP BY 1, 2),
+            lagd AS (
+                SELECT *, lag(n) OVER (PARTITION BY event_type ORDER BY week)
+                       AS prev
+                FROM weekly)
+            SELECT week, event_type, n, total_value,
+                   (n - COALESCE(prev, n)) AS delta_n,
+                   round(CASE WHEN prev IS NULL OR prev = 0 THEN 0.0
+                              ELSE CAST(n - prev AS DOUBLE) / prev END, 6)
+                     AS pct_change
+            FROM lagd ORDER BY event_type, week
+        """,
     }

@@ -70,6 +70,10 @@ HEADLINE = [
     "events_multi_touch",
     "doc_entity_resolution",
     "events_ab_test",
+    "doc_config_pipeline",
+    "doc_sentence_stats",
+    "embedding_bq_hamming",
+    "embedding_matryoshka",
     "verify_profiles",
     "stream_ingest_available_now",
 ]
