@@ -2,7 +2,7 @@
 the reference's ``nbvectors`` command tree (reference README.md:32-99) so a
 reference user can run the same commands against the Spark engine:
 
-    analyze count_zeros|describe|verify_knn
+    analyze count_zeros|describe|verify_knn|verify_profiles
     compute knn
     convert file
     generate vectors|mktestdata
@@ -10,7 +10,7 @@ reference user can run the same commands against the Spark engine:
     catalog
     datasets list
     vectordata info|size|sample
-    corpus run (declarative curation pipeline from YAML/JSON config)
+    corpus stats|run (report / declarative curation pipeline)
     cleanup cleanfvec
     version
 
@@ -254,6 +254,54 @@ def _cmd_vectordata(args) -> int:
     raise SystemExit(2)
 
 
+def _cmd_corpus_stats(args) -> int:
+    """One-command corpus report: size, languages, quality distribution,
+    exact-dup rate, token totals — the first look at a new documents table."""
+    from pyspark.sql import functions as F
+
+    from nbdatatools_spark.functions.text import doc_fingerprint, quality_score, token_count
+
+    spark = _spark()
+    docs = spark.read.parquet(args.input)
+    text = F.col(args.text_col)
+    agg = docs.select(
+        F.col(args.id_col).alias("id"),
+        F.col("lang") if "lang" in docs.columns else F.lit(None).alias("lang"),
+        F.round(quality_score(text), 6).alias("q"),
+        token_count(text).alias("toks"),
+        doc_fingerprint(text).alias("fp"),
+    )
+    base = agg.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").alias("n_tokens"),
+        F.round(F.avg("q"), 6).alias("mean_quality"),
+        F.expr("percentile(q, 0.5)").alias("median_quality"),
+        F.countDistinct("fp").alias("n_distinct"),
+    ).collect()[0]
+    out = base.asDict()
+    out["dup_rate"] = round(1.0 - out["n_distinct"] / out["n_docs"], 6) if out["n_docs"] else 0.0
+    if "lang" in docs.columns:
+        out["langs"] = {
+            r["lang"]: r["count"]
+            for r in agg.groupBy("lang").count().orderBy("lang").collect()
+        }
+    print(json.dumps(out, default=str))
+    return 0
+
+
+def _cmd_verify_profiles(args) -> int:
+    from nbdatatools_spark.operators.knn import verify_profiles
+    from nbdatatools_spark.sources.dataset import load_dataset
+
+    spark = _spark()
+    m = load_dataset(args.dataset)
+    rows = verify_profiles(spark, m, k=args.k, sample_size=args.sample).collect()
+    for r in sorted(rows, key=lambda r: r.profile):
+        print(json.dumps(r.asDict(), default=str))
+    worst = min((r.mean_recall for r in rows), default=0.0)
+    return 0 if worst >= args.min_recall else 1
+
+
 def _cmd_corpus_run(args) -> int:
     from nbdatatools_spark.plans.pipeline import load_pipeline_config, run_pipeline
 
@@ -297,6 +345,12 @@ def build_parser() -> argparse.ArgumentParser:
     vk.add_argument("--sample", type=int, default=100)
     vk.add_argument("--min-recall", type=float, default=1.0)
     vk.set_defaults(func=_cmd_analyze)
+    vp = an.add_parser("verify_profiles")
+    vp.add_argument("--dataset", required=True)
+    vp.add_argument("--k", type=int, default=10)
+    vp.add_argument("--sample", type=int, default=100)
+    vp.add_argument("--min-recall", type=float, default=1.0)
+    vp.set_defaults(func=_cmd_verify_profiles)
 
     co = sub.add_parser("compute").add_subparsers(dest="what", required=True)
     kn = co.add_parser("knn")
@@ -388,6 +442,11 @@ def build_parser() -> argparse.ArgumentParser:
     vsa.set_defaults(func=_cmd_vectordata)
 
     cp = sub.add_parser("corpus").add_subparsers(dest="what", required=True)
+    cs = cp.add_parser("stats")
+    cs.add_argument("--input", required=True)
+    cs.add_argument("--text-col", default="text")
+    cs.add_argument("--id-col", default="doc_id")
+    cs.set_defaults(func=_cmd_corpus_stats)
     cr = cp.add_parser("run")
     cr.add_argument("--input", required=True)
     cr.add_argument("--config", required=True)

@@ -436,3 +436,35 @@ def test_pipeline_extended_steps(spark, documents):
     strict, _ = run_pipeline(documents, [{"op": "lm_filter", "max_score": float(med)}])
     n_strict = strict.count()
     assert 0 < n_strict < documents.count()
+
+
+def test_cli_corpus_stats_and_verify_profiles(tmp_path, spark, sf_dir, capsys):
+    import json as _json
+    import os as _os
+
+    from nbdatatools_spark.__main__ import main
+
+    assert main(
+        ["corpus", "stats", "--input", _os.path.join(sf_dir, "documents.parquet")]
+    ) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_docs"] > 0 and rep["n_tokens"] > 0
+    assert 0.0 <= rep["dup_rate"] < 1.0
+    assert "en" in rep["langs"]
+
+    root = str(tmp_path / "vpds")
+    assert main(
+        [
+            "generate", "mktestdata", "--dir", root,
+            "--n-base", "150", "--n-query", "15",
+            "--dimensions", "8", "--k", "4", "--seed", "5",
+        ]
+    ) == 0
+    rc = main(
+        ["analyze", "verify_profiles", "--dataset", root, "--k", "4", "--sample", "15"]
+    )
+    lines = [
+        _json.loads(l) for l in capsys.readouterr().out.strip().splitlines() if l.startswith("{")
+    ]
+    assert rc == 0
+    assert any(l.get("mean_recall") == 1.0 for l in lines)
