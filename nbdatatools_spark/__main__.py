@@ -310,9 +310,21 @@ def _cmd_corpus_run(args) -> int:
     steps = load_pipeline_config(args.config)
     out, report = run_pipeline(docs, steps, count_steps=args.report)
     out.write.mode("overwrite").parquet(args.output)
+    n_out = spark.read.parquet(args.output).count()
     for row in report:
         print(json.dumps(row, default=str))
-    print(json.dumps({"output": args.output, "rows": spark.read.parquet(args.output).count()}))
+    # provenance beside the data: the exact steps, input, and counts that
+    # produced this output — the replayability artifact
+    prov = {
+        "input": args.input,
+        "config": args.config,
+        "steps": steps,
+        "rows_out": n_out,
+        "report": report,
+    }
+    with open(os.path.join(args.output, "_pipeline.json"), "w") as f:
+        json.dump(prov, f, indent=2, default=str)
+    print(json.dumps({"output": args.output, "rows": n_out}))
     return 0
 
 

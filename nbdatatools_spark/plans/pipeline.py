@@ -125,6 +125,29 @@ def _op_stratified_sample(df, rates=None, strata_col="source", key_col="doc_id",
     )
 
 
+def _op_schema_check(df, columns=None, **_):
+    """Data-contract guard: fail the pipeline LOUDLY at plan time if the
+    frame is missing expected columns (optionally with types). ``columns``
+    is a dict {name: type_string} or a list of names; a mismatch raises
+    before any job runs — config errors must not surface as downstream
+    AnalysisExceptions three steps later."""
+    if not columns:
+        raise ValueError("schema_check needs 'columns' (list or {name: type})")
+    have = dict(df.dtypes)
+    if isinstance(columns, dict):
+        wanted = columns.items()
+    else:
+        wanted = ((c, None) for c in columns)
+    for name, typ in wanted:
+        if name not in have:
+            raise ValueError(f"schema_check: missing column {name!r}; have {sorted(have)}")
+        if typ is not None and have[name] != typ:
+            raise ValueError(
+                f"schema_check: column {name!r} is {have[name]}, expected {typ}"
+            )
+    return df
+
+
 def _op_token_stats(df, text_col="text", **_):
     from nbdatatools_spark.functions.text import token_count
 
@@ -143,6 +166,7 @@ STEP_REGISTRY = {
     "minhash_dedup": _op_minhash_dedup,
     "split": _op_split,
     "token_stats": _op_token_stats,
+    "schema_check": _op_schema_check,
     "lm_filter": _op_lm_filter,
     "domain_cap": _op_domain_cap,
     "stratified_sample": _op_stratified_sample,

@@ -468,3 +468,42 @@ def test_cli_corpus_stats_and_verify_profiles(tmp_path, spark, sf_dir, capsys):
     ]
     assert rc == 0
     assert any(l.get("mean_recall") == 1.0 for l in lines)
+
+
+def test_pipeline_schema_check_and_provenance(tmp_path, spark, sf_dir, documents, capsys):
+    import json as _json
+    import os as _os
+
+    from nbdatatools_spark.__main__ import main
+    from nbdatatools_spark.plans.pipeline import run_pipeline
+
+    # schema_check passes with names, enforces types, fails loudly
+    ok, _ = run_pipeline(
+        documents, [{"op": "schema_check", "columns": ["doc_id", "text"]}]
+    )
+    assert ok.count() == documents.count()
+    ok2, _ = run_pipeline(
+        documents, [{"op": "schema_check", "columns": {"doc_id": "bigint"}}]
+    )
+    assert ok2 is not None
+    with pytest.raises(ValueError, match="missing column"):
+        run_pipeline(documents, [{"op": "schema_check", "columns": ["nope"]}])
+    with pytest.raises(ValueError, match="expected"):
+        run_pipeline(documents, [{"op": "schema_check", "columns": {"doc_id": "string"}}])
+
+    # corpus run writes a _pipeline.json provenance artifact
+    cfg = tmp_path / "p.json"
+    cfg.write_text(
+        _json.dumps({"steps": [{"op": "schema_check", "columns": ["doc_id", "text"]},
+                                {"op": "exact_dedup"}]})
+    )
+    out_dir = str(tmp_path / "out.parquet")
+    assert main(
+        ["corpus", "run", "--input", _os.path.join(sf_dir, "documents.parquet"),
+         "--config", str(cfg), "--output", out_dir, "--report"]
+    ) == 0
+    capsys.readouterr()
+    prov = _json.load(open(_os.path.join(out_dir, "_pipeline.json")))
+    assert prov["rows_out"] == spark.read.parquet(out_dir).count()
+    assert [s["op"] for s in prov["steps"]] == ["schema_check", "exact_dedup"]
+    assert prov["report"][-1]["rows"] == prov["rows_out"]
