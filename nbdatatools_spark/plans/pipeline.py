@@ -154,6 +154,30 @@ def _op_token_stats(df, text_col="text", **_):
     return df.withColumn("n_tokens", token_count(F.col(text_col)))
 
 
+def _op_classifier_filter(df, threshold=0.5, top_frac=0.25, bottom_frac=0.25,
+                          text_col="text", **_):
+    """Self-trained classifier filter (the GPT-3/CCNet reference-vs-crawl
+    setup without an external reference corpus): label the heuristic-quality
+    extremes of THIS batch (top ``top_frac`` as positive, bottom
+    ``bottom_frac`` as negative), train the hashed-BoW logistic model on
+    them, score everything, and keep docs above ``threshold``. The
+    classifier generalizes beyond the seed heuristic — it learns lexical
+    evidence the closed-form score can't express. Quantile cut points are
+    two bounded scalars; training is distributed; scoring is JVM map-only."""
+    from nbdatatools_spark.functions.text import quality_score
+    from nbdatatools_spark.operators.quality_model import quality_filter, train_quality_filter
+
+    scored = df.withColumn("__q", F.round(quality_score(F.col(text_col)), 6))
+    cuts = scored.agg(
+        F.expr(f"percentile(__q, {1.0 - float(top_frac)})").alias("hi"),
+        F.expr(f"percentile(__q, {float(bottom_frac)})").alias("lo"),
+    ).collect()[0]
+    pos = scored.where(F.col("__q") >= float(cuts.hi)).drop("__q")
+    neg = scored.where(F.col("__q") <= float(cuts.lo)).drop("__q")
+    model = train_quality_filter(pos, neg, text_col=text_col)
+    return quality_filter(df, model, threshold=float(threshold), text_col=text_col)
+
+
 STEP_REGISTRY = {
     "strip_markup": _op_strip_markup,
     "redact_pii": _op_redact_pii,
@@ -167,6 +191,7 @@ STEP_REGISTRY = {
     "split": _op_split,
     "token_stats": _op_token_stats,
     "schema_check": _op_schema_check,
+    "classifier_filter": _op_classifier_filter,
     "lm_filter": _op_lm_filter,
     "domain_cap": _op_domain_cap,
     "stratified_sample": _op_stratified_sample,

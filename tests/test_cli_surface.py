@@ -507,3 +507,25 @@ def test_pipeline_schema_check_and_provenance(tmp_path, spark, sf_dir, documents
     assert prov["rows_out"] == spark.read.parquet(out_dir).count()
     assert [s["op"] for s in prov["steps"]] == ["schema_check", "exact_dedup"]
     assert prov["report"][-1]["rows"] == prov["rows_out"]
+
+
+def test_pipeline_classifier_filter_step(spark, documents):
+    """Self-trained classifier filter: keeps a nontrivial subset whose mean
+    heuristic quality exceeds the dropped set's (the classifier agrees with
+    its seed signal in aggregate)."""
+    from pyspark.sql import functions as F
+
+    from nbdatatools_spark.functions.text import quality_score
+    from nbdatatools_spark.plans.pipeline import run_pipeline
+
+    out, _ = run_pipeline(
+        documents, [{"op": "classifier_filter", "threshold": 0.5}]
+    )
+    kept = out.select("doc_id")
+    n_kept = kept.count()
+    n_all = documents.count()
+    assert 0 < n_kept < n_all
+    q = documents.withColumn("__q", F.round(quality_score(F.col("text")), 6))
+    mean_kept = q.join(kept, "doc_id").agg(F.avg("__q")).collect()[0][0]
+    mean_dropped = q.join(kept, "doc_id", "left_anti").agg(F.avg("__q")).collect()[0][0]
+    assert mean_kept > mean_dropped
