@@ -103,3 +103,74 @@ def running_decayed_sum(
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def running_zscore_flags(events, z_threshold: float = 3.0, min_n: int = 5):
+    """Online anomaly flagging: per-key running moments (count, sum, sum of
+    squares) over event values; each arriving event is scored against the
+    state BEFORE it is absorbed (a point can't vouch for itself), and
+    events with ``|z| > z_threshold`` after ``min_n`` observations flag as
+    anomalies. State is three scalars per key — bounded at any stream
+    length, the EWMA/stats discipline.
+
+    The within-batch pass is VECTORIZED: prior counts/means/variances for
+    every event come from numpy prefix sums over the (ts, event_id)-sorted
+    batch — no per-row Python, the mapInPandas kernel discipline. Emits one
+    row per event: (user_id, event_id, value, z, is_anomaly); a drained
+    availableNow stream equals the batch expanding-window computation
+    (parity-tested).
+    """
+    import numpy as np
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n0, s0, ss0 = state.get if state.exists else (0, 0.0, 0.0)
+        frames = [p for p in pdfs if not p.empty]
+        if not frames:
+            state.update((n0, s0, ss0))
+            state.setTimeoutDuration(60 * 60 * 1000)
+            yield pd.DataFrame(
+                [], columns=["user_id", "event_id", "value", "z", "is_anomaly"]
+            )
+            return
+        allp = pd.concat(frames).sort_values(["ts", "event_id"])
+        x = allp["value"].to_numpy(dtype=np.float64)
+        m = len(x)
+        csum = np.concatenate(([0.0], np.cumsum(x)[:-1]))
+        csq = np.concatenate(([0.0], np.cumsum(x * x)[:-1]))
+        n_prior = n0 + np.arange(m, dtype=np.float64)
+        sum_prior = s0 + csum
+        ss_prior = ss0 + csq
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean_prior = np.where(n_prior > 0, sum_prior / n_prior, 0.0)
+            var_prior = np.where(
+                n_prior > 0, ss_prior / n_prior - mean_prior * mean_prior, 0.0
+            )
+        var_prior = np.maximum(var_prior, 0.0)
+        std = np.sqrt(var_prior)
+        ok = (n_prior >= min_n) & (std > 0)
+        z = np.where(ok, (x - mean_prior) / np.where(std > 0, std, 1.0), 0.0)
+        z = np.round(z, 6)
+        flags = ok & (np.abs(z) > z_threshold)
+        state.update((n0 + m, float(s0 + x.sum()), float(ss0 + (x * x).sum())))
+        state.setTimeoutDuration(60 * 60 * 1000)
+        yield pd.DataFrame(
+            {
+                "user_id": np.full(m, user_id, dtype=np.int64),
+                "event_id": allp["event_id"].to_numpy(dtype=np.int64),
+                "value": x,
+                "z": z,
+                "is_anomaly": flags,
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id BIGINT, event_id BIGINT, value DOUBLE, z DOUBLE, is_anomaly BOOLEAN",
+        stateStructType="n BIGINT, s DOUBLE, ss DOUBLE",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

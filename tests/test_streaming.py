@@ -332,3 +332,50 @@ def test_stream_apply_changes_equals_sequential_merge(spark, tmp_path):
         (r.id, r.status, r.amt) for r in spark.read.parquet(target_dir).collect()
     }
     assert got == expected == {(2, "B", 21.0), (4, "D", 41.0), (5, "e", 50.0)}
+
+
+def test_running_zscore_flags_equals_batch_expanding_window(spark, events_dir, tmp_path):
+    """Drained stream == python expanding-window replica: each event scored
+    against the PRIOR state; anomalies = |z| > 3 after 5 observations."""
+    import math
+
+    from nbdatatools_spark.streaming.events import stream_events
+    from nbdatatools_spark.streaming.stateful import running_zscore_flags
+
+    stream = stream_events(spark, events_dir, max_files_per_trigger=2)
+    q = (
+        running_zscore_flags(stream)
+        .writeStream.format("memory")
+        .queryName("zflags")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_z"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.event_id: (r.z, r.is_anomaly) for r in spark.sql("SELECT * FROM zflags").collect()
+    }
+
+    batch = spark.read.parquet(events_dir).orderBy("ts", "event_id").collect()
+    by_user: dict = {}
+    expect = {}
+    for r in batch:
+        n, s, ss = by_user.get(r.user_id, (0, 0.0, 0.0))
+        x = float(r.value)
+        if n > 0:
+            mean = s / n
+            var = max(ss / n - mean * mean, 0.0)
+        else:
+            mean, var = 0.0, 0.0
+        std = math.sqrt(var)
+        z = (x - mean) / std if (n >= 5 and std > 0) else 0.0
+        expect[r.event_id] = (round(z, 6), n >= 5 and std > 0 and abs(round(z, 6)) > 3.0)
+        by_user[r.user_id] = (n + 1, s + x, ss + x * x)
+
+    assert len(got) == len(expect)
+    mismatched = [
+        eid for eid in expect
+        if got[eid][1] != expect[eid][1] or abs(got[eid][0] - expect[eid][0]) > 1e-6
+    ]
+    assert not mismatched, mismatched[:5]
