@@ -287,3 +287,43 @@ def stream_apply_changes(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_drift_monitor(
+    stream,
+    baseline,
+    metrics_dir: str,
+    vec_col: str = "embedding",
+    n_bins: int = 10,
+    lo: float = -4.0,
+    hi: float = 4.0,
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming drift monitor: per micro-batch, compute the per-dimension
+    PSI of the batch against a STATIC baseline (operators.analysis
+    .embedding_psi) and append one row per dimension to a parquet metrics
+    sink tagged with the batch id — the production guardrail that pages
+    before a drifted embedding model poisons a corpus build.
+
+    foreachBatch because PSI is a batch-vs-reference comparison, not a
+    running aggregate: each micro-batch is its own "current" population.
+    The baseline re-resolves per batch (stream_enrich discipline), so a
+    refreshed baseline parquet is picked up without restart.
+    """
+    from nbdatatools_spark.operators.analysis import embedding_psi
+
+    def measure(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        psi = embedding_psi(
+            baseline, batch_df, vec=vec_col, n_bins=n_bins, lo=lo, hi=hi
+        ).withColumn("batch_id", F.lit(batch_id))
+        psi.write.mode("append").parquet(metrics_dir)
+
+    writer = stream.writeStream.foreachBatch(measure).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -379,3 +379,38 @@ def test_running_zscore_flags_equals_batch_expanding_window(spark, events_dir, t
         if got[eid][1] != expect[eid][1] or abs(got[eid][0] - expect[eid][0]) > 1e-6
     ]
     assert not mismatched, mismatched[:5]
+
+
+def test_stream_drift_monitor_matches_batch_psi(spark, tmp_path, sf_dir):
+    """Each micro-batch's PSI rows in the metrics sink equal embedding_psi
+    of that batch against the baseline computed directly."""
+    import os as _os
+
+    from nbdatatools_spark.operators.analysis import embedding_psi
+    from nbdatatools_spark.streaming.events import stream_drift_monitor
+
+    emb = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
+    baseline = emb.where(F.col("vec_id") < 30)
+    current_dir = str(tmp_path / "incoming")
+    emb.where(F.col("vec_id") >= 30).coalesce(1).write.parquet(current_dir)
+
+    stream = spark.readStream.schema(emb.schema).parquet(current_dir)
+    q = stream_drift_monitor(
+        stream,
+        baseline,
+        metrics_dir=str(tmp_path / "metrics"),
+        checkpoint_dir=str(tmp_path / "ckpt_psi"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.batch_id, r.dim): (r.psi, r.n_baseline, r.n_current)
+        for r in spark.read.parquet(str(tmp_path / "metrics")).collect()
+    }
+    expect = {
+        r.dim: (r.psi, r.n_baseline, r.n_current)
+        for r in embedding_psi(baseline, emb.where(F.col("vec_id") >= 30)).collect()
+    }
+    assert len(got) == len(expect)  # one micro-batch (single file)
+    for (bid, dim), v in got.items():
+        assert v == expect[dim]
