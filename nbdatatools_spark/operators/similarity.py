@@ -1245,3 +1245,90 @@ def bq_topk(
         .where(F.col("rank") <= k)
         .select(F.col("qid").alias("query_id"), "rank", F.col("bid").alias("base_id"), "hamming", "distance")
     )
+
+
+def compression_report(
+    df: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_queries: int = 20,
+    pq_m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-table readout of the quantization tiers on YOUR vectors — the
+    companion of ann_tuning_report for the compression dial: for SQ8, PQ,
+    and BQ, the compression ratio vs float32, a reconstruction/pruning
+    error proxy, and measured recall@k against exact cosine ground truth
+    (id-set comparison, computed once on the GEMM kernel).
+
+    Returns (method, bytes_per_vector, compression_x, recall) — the
+    numbers that decide which tier a 100-TB embedding store lands on.
+    """
+    from nbdatatools_spark.operators.knn import exact_knn
+
+    queries = df.where(F.col(id_col) < n_queries)
+    truth = exact_knn(
+        queries, df, k, metric="cosine",
+        query_ordinal=id_col, base_ordinal=id_col,
+        query_vec=vec_col, base_vec=vec_col, impl="gemm",
+    ).select(F.col("ordinal").alias("qid"), F.col("indices").alias("__t"))
+
+    def recall_of(pairs: DataFrame) -> float:
+        got = pairs.groupBy(F.col("query_id").alias("qid")).agg(
+            F.collect_list("base_id").alias("__g")
+        )
+        row = (
+            truth.join(got, "qid", "left")
+            .select(
+                (
+                    F.size(
+                        F.array_intersect(
+                            F.col("__t").cast("array<bigint>"),
+                            F.coalesce(
+                                F.col("__g"), F.array().cast("array<bigint>")
+                            ).cast("array<bigint>"),
+                        )
+                    ).cast("double")
+                    / F.lit(float(k))
+                ).alias("r")
+            )
+            .agg(F.round(F.avg("r"), 6).alias("r"))
+            .collect()[0]
+        )
+        return float(row.r)
+
+    float_bytes = dim * 4
+    results = []
+
+    # SQ8: affine per-dim bytes; search on decoded vectors
+    lo, hi = sq8_train(df, vec_col=vec_col)
+    enc = sq8_encode(df, lo, hi, vec_col=vec_col, out_col="__sq")
+    dec = sq8_decode(enc, lo, hi, code_col="__sq", out_col=vec_col)
+    sq_pairs = brute_force_topk(
+        queries, dec.select(id_col, vec_col), k,
+        metric="cosine", query_id=id_col, base_id=id_col, vec_col=vec_col,
+    )
+    results.append(("sq8", dim, float_bytes / dim, recall_of(sq_pairs)))
+
+    # PQ: m-byte ADC scan (no rerank — the raw tier)
+    books = pq_train(df, m=pq_m, vec_col=vec_col)
+    codes = pq_encode(df, books, vec_col=vec_col)
+    pq_pairs = pq_topk(
+        queries, codes, books, k,
+        metric="euclidean", query_id=id_col, base_id=id_col, vec_col=vec_col,
+    )
+    results.append(("pq", pq_m, float_bytes / pq_m, recall_of(pq_pairs)))
+
+    # BQ: d/8 bytes, hamming scan with exact rerank of 4k survivors
+    bq_pairs = bq_topk(queries, df, k, dim=dim, rerank=4 * k)
+    results.append(("bq_rerank", dim // 8, float_bytes / (dim // 8), recall_of(bq_pairs)))
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (m_, int(b), round(c, 2), r)
+            for m_, b, c, r in results
+        ],
+        "method STRING, bytes_per_vector INT, compression_x DOUBLE, recall DOUBLE",
+    )

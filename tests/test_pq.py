@@ -203,3 +203,21 @@ def test_sq8_constant_dim_and_plan(spark):
     assert codes[0][1] == -128 and codes[1][1] == 127   # span endpoints
     plan = enc._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # encode is a pure projection
+
+
+def test_compression_report_tiers(spark, embeddings):
+    """One-table SQ8/PQ/BQ readout: correct compression ratios and sane
+    recall ordering (SQ8 ~ exact; every tier above a floor)."""
+    from nbdatatools_spark.operators.similarity import compression_report
+
+    rep = {
+        r.method: r for r in compression_report(embeddings, dim=64, k=10).collect()
+    }
+    assert set(rep) == {"sq8", "pq", "bq_rerank"}
+    assert rep["sq8"].bytes_per_vector == 64 and rep["sq8"].compression_x == 4.0
+    assert rep["pq"].bytes_per_vector == 8 and rep["pq"].compression_x == 32.0
+    assert rep["bq_rerank"].bytes_per_vector == 8 and rep["bq_rerank"].compression_x == 32.0
+    # SQ8 is nearly lossless at this scale; all tiers clear a recall floor
+    assert rep["sq8"].recall >= 0.95
+    assert rep["pq"].recall >= 0.3
+    assert rep["bq_rerank"].recall >= 0.5
