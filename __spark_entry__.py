@@ -2921,8 +2921,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every session-3+ addition (relational completion q2..q22, Gopher
     flags, token entropy, hard negatives, dim quantiles, CDC family,
     PSI, attribution, entity resolution, A/B, co-occurrence, percent
-    rank, winsorize) under PENDING_FIRST_RECORDING, all local-oracle
-    green and awaiting their first recorded round.
+    rank, winsorize, config pipeline, sentence stats, matryoshka, BQ
+    hamming, trending, weekly deltas) under PENDING_FIRST_RECORDING, all
+    local-oracle green and awaiting their first recorded round.
     """
     return {
         # -- previously driver-unrecorded (rounds 1-3): record these first --
