@@ -2,7 +2,7 @@
 the reference's ``nbvectors`` command tree (reference README.md:32-99) so a
 reference user can run the same commands against the Spark engine:
 
-    analyze count_zeros|describe|verify_knn|verify_profiles
+    analyze count_zeros|describe|verify_knn|verify_profiles|tune_ann|tune_compression
     compute knn
     convert file
     generate vectors|mktestdata
@@ -10,7 +10,7 @@ reference user can run the same commands against the Spark engine:
     catalog
     datasets list
     vectordata info|size|sample
-    corpus stats|run (report / declarative curation pipeline)
+    corpus stats|run|tune_dedup (report / pipeline / dedup-parameter tuning)
     cleanup cleanfvec
     version
 
@@ -254,6 +254,49 @@ def _cmd_vectordata(args) -> int:
     raise SystemExit(2)
 
 
+def _cmd_tune_ann(args) -> int:
+    from pyspark.sql import functions as F
+
+    from nbdatatools_spark.operators.similarity import ann_tuning_report
+
+    spark = _spark()
+    emb = spark.read.parquet(args.input)
+    q = emb.where(F.col(args.id_col) < args.n_queries)
+    rep = ann_tuning_report(
+        q, emb, k=args.k, n_centroids=args.n_centroids,
+        nprobes=tuple(int(x) for x in args.nprobes.split(",")),
+        query_id=args.id_col, base_id=args.id_col, vec_col=args.vec_col,
+    )
+    _emit(rep.collect())
+    return 0
+
+
+def _cmd_tune_compression(args) -> int:
+    from nbdatatools_spark.operators.similarity import compression_report
+
+    spark = _spark()
+    emb = spark.read.parquet(args.input)
+    rep = compression_report(
+        emb, dim=args.dim, k=args.k, n_queries=args.n_queries,
+        id_col=args.id_col, vec_col=args.vec_col,
+    )
+    _emit(rep.collect())
+    return 0
+
+
+def _cmd_tune_dedup(args) -> int:
+    from nbdatatools_spark.operators.dedup import minhash_quality_report
+
+    spark = _spark()
+    docs = spark.read.parquet(args.input)
+    rep = minhash_quality_report(
+        docs, num_hashes=args.num_hashes, bands=args.bands,
+        threshold=args.threshold, sample_ids=args.sample,
+    )
+    _emit(rep.collect())
+    return 0
+
+
 def _cmd_corpus_stats(args) -> int:
     """One-command corpus report: size, languages, quality distribution,
     exact-dup rate, token totals — the first look at a new documents table."""
@@ -363,6 +406,23 @@ def build_parser() -> argparse.ArgumentParser:
     vp.add_argument("--sample", type=int, default=100)
     vp.add_argument("--min-recall", type=float, default=1.0)
     vp.set_defaults(func=_cmd_verify_profiles)
+    ta = an.add_parser("tune_ann")
+    ta.add_argument("--input", required=True)
+    ta.add_argument("--k", type=int, default=10)
+    ta.add_argument("--n-queries", type=int, default=20)
+    ta.add_argument("--n-centroids", type=int, default=16)
+    ta.add_argument("--nprobes", default="1,2,4,8")
+    ta.add_argument("--id-col", default="vec_id")
+    ta.add_argument("--vec-col", default="embedding")
+    ta.set_defaults(func=_cmd_tune_ann)
+    tc = an.add_parser("tune_compression")
+    tc.add_argument("--input", required=True)
+    tc.add_argument("--dim", type=int, required=True)
+    tc.add_argument("--k", type=int, default=10)
+    tc.add_argument("--n-queries", type=int, default=20)
+    tc.add_argument("--id-col", default="vec_id")
+    tc.add_argument("--vec-col", default="embedding")
+    tc.set_defaults(func=_cmd_tune_compression)
 
     co = sub.add_parser("compute").add_subparsers(dest="what", required=True)
     kn = co.add_parser("knn")
@@ -459,6 +519,13 @@ def build_parser() -> argparse.ArgumentParser:
     cs.add_argument("--text-col", default="text")
     cs.add_argument("--id-col", default="doc_id")
     cs.set_defaults(func=_cmd_corpus_stats)
+    td = cp.add_parser("tune_dedup")
+    td.add_argument("--input", required=True)
+    td.add_argument("--num-hashes", type=int, default=64)
+    td.add_argument("--bands", type=int, default=16)
+    td.add_argument("--threshold", type=float, default=0.7)
+    td.add_argument("--sample", type=int, default=200)
+    td.set_defaults(func=_cmd_tune_dedup)
     cr = cp.add_parser("run")
     cr.add_argument("--input", required=True)
     cr.add_argument("--config", required=True)

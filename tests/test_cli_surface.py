@@ -529,3 +529,34 @@ def test_pipeline_classifier_filter_step(spark, documents):
     mean_kept = q.join(kept, "doc_id").agg(F.avg("__q")).collect()[0][0]
     mean_dropped = q.join(kept, "doc_id", "left_anti").agg(F.avg("__q")).collect()[0][0]
     assert mean_kept > mean_dropped
+
+
+def test_cli_tuning_reports(sf_dir, capsys):
+    import json as _json
+    import os as _os
+
+    from nbdatatools_spark.__main__ import main
+
+    emb = _os.path.join(sf_dir, "embeddings.parquet")
+    assert main(
+        ["analyze", "tune_ann", "--input", emb, "--k", "5",
+         "--n-queries", "8", "--n-centroids", "8", "--nprobes", "2,8"]
+    ) == 0
+    lines = [_json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert {l["nprobe"] for l in lines} == {2, 8}
+    assert max(l["recall"] for l in lines) == 1.0  # nprobe == n_centroids
+
+    assert main(
+        ["analyze", "tune_compression", "--input", emb, "--dim", "64",
+         "--k", "5", "--n-queries", "8"]
+    ) == 0
+    lines = [_json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert {l["method"] for l in lines} == {"sq8", "pq", "bq_rerank"}
+
+    docs = _os.path.join(sf_dir, "documents.parquet")
+    assert main(
+        ["corpus", "tune_dedup", "--input", docs, "--bands", "32",
+         "--threshold", "0.5", "--sample", "80"]
+    ) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_sample"] > 0
