@@ -2389,6 +2389,19 @@ def embedding_winsorize(spark, sf_dir):
     return winsorize_vectors(emb, lo_q=0.01, hi_q=0.99).orderBy("vec_id")
 
 
+def events_funnel_steps(spark, sf_dir):
+    """Generalized 3-step funnel (temporal.py::funnel_steps): view -> click
+    -> purchase within 7 days of the first view; strict temporal order with
+    (ts, event_id) tie-break. Each stage is a per-user keyed min on one
+    user partitioning; raw events shuffle once per stage projection."""
+    from nbdatatools_spark.operators.temporal import funnel_steps
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_steps(
+        ev, steps=["view", "click", "purchase"], within_seconds=7 * 86400
+    )
+
+
 def events_trending(spark, sf_dir):
     """Trending items: top-3 event types per daily window by count, dense
     rank with (count DESC, type) ties. One map-side-combinable (day, type)
@@ -3088,6 +3101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_bq_hamming": embedding_bq_hamming,
         "events_trending": events_trending,
         "events_weekly_deltas": events_weekly_deltas,
+        "events_funnel_steps": events_funnel_steps,
     }
 
 
@@ -3146,6 +3160,7 @@ PENDING_FIRST_RECORDING = frozenset(
         "embedding_bq_hamming",
         "events_trending",
         "events_weekly_deltas",
+        "events_funnel_steps",
     }
 )
 
@@ -5808,6 +5823,54 @@ def oracle_sql() -> dict[str, str]:
                 FROM counts)
             SELECT day, event_type, n, rank FROM ranked
             WHERE rank <= 3 ORDER BY day, rank
+        """,
+        "events_funnel_steps": """
+            WITH s1 AS (
+                SELECT u, t0 FROM (
+                    SELECT user_id AS u, ts AS t0,
+                           row_number() OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS rn
+                    FROM events WHERE event_type = 'view')
+                WHERE rn = 1),
+            s2 AS (
+                SELECT u, t0, tprev FROM (
+                    SELECT s1.u, s1.t0, e.ts AS tprev,
+                           row_number() OVER (PARTITION BY s1.u
+                                              ORDER BY e.ts, e.event_id) AS rn
+                    FROM s1 JOIN events e
+                      ON e.user_id = s1.u AND e.event_type = 'click'
+                     AND e.ts >= s1.t0)
+                WHERE rn = 1
+                  AND tprev <= t0 + INTERVAL '604800 seconds'),
+            s3 AS (
+                SELECT u, t0, tprev FROM (
+                    SELECT s2.u, s2.t0, e.ts AS tprev,
+                           row_number() OVER (PARTITION BY s2.u
+                                              ORDER BY e.ts, e.event_id) AS rn
+                    FROM s2 JOIN events e
+                      ON e.user_id = s2.u AND e.event_type = 'purchase'
+                     AND e.ts >= s2.tprev)
+                WHERE rn = 1
+                  AND tprev <= t0 + INTERVAL '604800 seconds'),
+            c AS (SELECT (SELECT count(*) FROM s1) AS n1,
+                         (SELECT count(*) FROM s2) AS n2,
+                         (SELECT count(*) FROM s3) AS n3)
+            SELECT * FROM (
+                SELECT 1 AS step_index, 'view' AS step, n1 AS n_users,
+                       round(CASE WHEN n1 = 0 THEN 0.0 ELSE n1 / CAST(n1 AS DOUBLE) END, 6) AS pct_of_first,
+                       round(CASE WHEN n1 = 0 THEN 0.0 ELSE n1 / CAST(n1 AS DOUBLE) END, 6) AS pct_of_prev
+                FROM c
+                UNION ALL
+                SELECT 2, 'click', n2,
+                       round(CASE WHEN n1 = 0 THEN 0.0 ELSE n2 / CAST(n1 AS DOUBLE) END, 6),
+                       round(CASE WHEN n1 = 0 THEN 0.0 ELSE n2 / CAST(n1 AS DOUBLE) END, 6)
+                FROM c
+                UNION ALL
+                SELECT 3, 'purchase', n3,
+                       round(CASE WHEN n1 = 0 THEN 0.0 ELSE n3 / CAST(n1 AS DOUBLE) END, 6),
+                       round(CASE WHEN n2 = 0 THEN 0.0 ELSE n3 / CAST(n2 AS DOUBLE) END, 6)
+                FROM c)
+            ORDER BY step_index
         """,
         "events_weekly_deltas": """
             WITH weekly AS (

@@ -529,3 +529,78 @@ def multi_touch_attribution(
         )
         .orderBy("channel")
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: Sequence[str],
+    within_seconds: int | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Generalized N-step conversion funnel: for each user, walk the step
+    sequence in strict temporal order (step i+1 must occur at-or-after the
+    completion of step i; ties break on event id) and report how many users
+    reach each stage, with drop-off and overall conversion rates.
+    ``within_seconds`` bounds the WHOLE journey (first-step time to last).
+
+    Plan: one filtered projection per step feeds an iterated keyed min —
+    every stage is a per-user aggregate on the SAME user partitioning
+    (Catalyst/AQE collapse the chain to one shuffle per stage over
+    user-cardinality rows, the 2-step events_funnel discipline; raw events
+    shuffle once). Emits (step_index, step, n_users, pct_of_first,
+    pct_of_prev) — one row per step.
+    """
+    step_list = list(steps)
+    if len(step_list) < 2:
+        raise ValueError(f"need >= 2 steps, got {step_list}")
+    # stage 0: first occurrence of step[0] per user
+    cur = (
+        events.where(F.col(type_col) == step_list[0])
+        .groupBy(F.col(user_col).alias("__u"))
+        .agg(F.min(F.struct(F.col(ts_col).alias("t"), F.col(id_col).alias("i"))).alias("__at"))
+        .select("__u", F.col("__at.t").alias("__t0"), F.col("__at.t").alias("__tprev"))
+    )
+    counts = [("1_" + step_list[0], None)]  # placeholder; fill after actions
+    stage_counts = [cur.count()]
+    for s in step_list[1:]:
+        nxt = (
+            events.where(F.col(type_col) == s)
+            .select(
+                F.col(user_col).alias("__u"),
+                F.col(ts_col).alias("__ts"),
+                F.col(id_col).alias("__id"),
+            )
+        )
+        cur = (
+            cur.join(nxt, "__u")
+            .where(F.col("__ts") >= F.col("__tprev"))
+            .groupBy("__u", "__t0")
+            .agg(F.min(F.struct(F.col("__ts").alias("t"), F.col("__id").alias("i"))).alias("__at"))
+            .select("__u", "__t0", F.col("__at.t").alias("__tprev"))
+        )
+        if within_seconds is not None:
+            cur = cur.where(
+                F.col("__tprev")
+                <= F.col("__t0") + F.expr(f"INTERVAL {int(within_seconds)} SECOND")
+            )
+        stage_counts.append(cur.count())
+    spark = events.sparkSession
+    rows = []
+    for i, (s, n) in enumerate(zip(step_list, stage_counts)):
+        first = stage_counts[0]
+        prev = stage_counts[i - 1] if i else n
+        rows.append(
+            (
+                i + 1,
+                s,
+                n,
+                round(n / first, 6) if first else 0.0,
+                round(n / prev, 6) if prev else 0.0,
+            )
+        )
+    return spark.createDataFrame(
+        rows, "step_index INT, step STRING, n_users BIGINT, pct_of_first DOUBLE, pct_of_prev DOUBLE"
+    )

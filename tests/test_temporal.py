@@ -457,3 +457,56 @@ class TestMultiTouchAttribution:
 
         with pytest.raises(ValueError):
             multi_touch_attribution(self._events(spark), model="u_shaped")
+
+
+class TestFunnelSteps:
+    def test_closed_form_three_steps(self, spark):
+        from nbdatatools_spark.operators.temporal import funnel_steps
+
+        rows = [
+            # user 1 completes all three in order
+            (1, 1, "2024-01-01 10:00:00", "view"),
+            (2, 1, "2024-01-01 11:00:00", "click"),
+            (3, 1, "2024-01-01 12:00:00", "purchase"),
+            # user 2: click BEFORE view -> stops at view
+            (4, 2, "2024-01-01 09:00:00", "click"),
+            (5, 2, "2024-01-01 10:00:00", "view"),
+            # user 3: view+click, no purchase
+            (6, 3, "2024-01-01 10:00:00", "view"),
+            (7, 3, "2024-01-01 10:30:00", "click"),
+            # user 4: never views
+            (8, 4, "2024-01-01 10:00:00", "purchase"),
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id BIGINT, user_id BIGINT, ts STRING, event_type STRING"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {r.step: (r.n_users, r.pct_of_first, r.pct_of_prev)
+               for r in funnel_steps(ev, ["view", "click", "purchase"]).collect()}
+        assert out["view"] == (3, 1.0, 1.0)
+        assert out["click"] == (2, round(2 / 3, 6), round(2 / 3, 6))
+        assert out["purchase"] == (1, round(1 / 3, 6), 0.5)
+
+    def test_within_bound_cuts_slow_journeys(self, spark):
+        from nbdatatools_spark.operators.temporal import funnel_steps
+
+        rows = [
+            (1, 1, "2024-01-01 10:00:00", "view"),
+            (2, 1, "2024-01-05 10:00:00", "click"),   # 4 days later
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id BIGINT, user_id BIGINT, ts STRING, event_type STRING"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        fast = funnel_steps(ev, ["view", "click"], within_seconds=86400).collect()
+        slow = funnel_steps(ev, ["view", "click"], within_seconds=5 * 86400).collect()
+        assert {r.step: r.n_users for r in fast}["click"] == 0
+        assert {r.step: r.n_users for r in slow}["click"] == 1
+
+    def test_validation(self, spark):
+        from nbdatatools_spark.operators.temporal import funnel_steps
+
+        ev = spark.createDataFrame(
+            [(1, 1, "2024-01-01", "view")],
+            "event_id BIGINT, user_id BIGINT, ts STRING, event_type STRING",
+        )
+        with pytest.raises(ValueError):
+            funnel_steps(ev, ["view"])
