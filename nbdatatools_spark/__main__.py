@@ -11,6 +11,7 @@ reference user can run the same commands against the Spark engine:
     datasets list
     vectordata info|size|sample
     corpus stats|run|tune_dedup (report / pipeline / dedup-parameter tuning)
+    explain (physical plan + Catalyst cost estimates for any gate query)
     cleanup cleanfvec
     version
 
@@ -297,6 +298,32 @@ def _cmd_tune_dedup(args) -> int:
     return 0
 
 
+def _cmd_explain(args) -> int:
+    """Print a gate query's physical plan and per-node Catalyst cost
+    estimates — the .explain() mandate as a CLI surface."""
+    import importlib.util
+
+    from nbdatatools_spark.plans.cost import cost_report
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "__spark_entry__.py")
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    qs = entry.queries()
+    if args.query not in qs:
+        print(json.dumps({"error": f"unknown query {args.query}",
+                          "known": sorted(qs)[:20]}))
+        return 2
+    spark = _spark()
+    df = qs[args.query](spark, args.sf_dir)
+    print(df._jdf.queryExecution().executedPlan().toString())
+    for row in cost_report(df):
+        print(json.dumps(row))
+    return 0
+
+
 def _cmd_corpus_stats(args) -> int:
     """One-command corpus report: size, languages, quality distribution,
     exact-dup rate, token totals — the first look at a new documents table."""
@@ -538,6 +565,11 @@ def build_parser() -> argparse.ArgumentParser:
     cc.add_argument("--input", required=True)
     cc.add_argument("--output", required=True)
     cc.set_defaults(func=_cmd_cleanup)
+
+    ex = sub.add_parser("explain")
+    ex.add_argument("--query", required=True)
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ex.set_defaults(func=_cmd_explain, what=None)
 
     vr = sub.add_parser("version")
     vr.set_defaults(func=lambda a: (print(__import__("nbdatatools_spark").__version__), 0)[1], what=None)

@@ -560,3 +560,14 @@ def test_cli_tuning_reports(sf_dir, capsys):
     ) == 0
     rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["n_sample"] > 0
+
+
+def test_cli_explain(capsys):
+    from nbdatatools_spark.__main__ import main
+
+    assert main(["explain", "--query", "q1_pricing_summary"]) == 0
+    out = capsys.readouterr().out
+    assert "HashAggregate" in out or "AdaptiveSparkPlan" in out
+    assert '"size_bytes"' in out
+    assert main(["explain", "--query", "no_such_query"]) == 2
+    capsys.readouterr()
