@@ -70,6 +70,7 @@ HEADLINE = [
     "events_multi_touch",
     "doc_entity_resolution",
     "events_ab_test",
+    "events_funnel_steps",
     "doc_config_pipeline",
     "doc_sentence_stats",
     "embedding_bq_hamming",
