@@ -2389,6 +2389,20 @@ def embedding_winsorize(spark, sf_dir):
     return winsorize_vectors(emb, lo_q=0.01, hi_q=0.99).orderBy("vec_id")
 
 
+def doc_readability(spark, sf_dir):
+    """Flesch-Kincaid readability (text.py::readability_stats): portable
+    vowel-group syllable heuristic, sentinel sentence split; all-integer
+    counts, two divisions, one linear combination — engine-exact at 6dp."""
+    from nbdatatools_spark.functions.text import readability_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", readability_stats(F.col("text")).alias("r"))
+        .select("doc_id", "r.*")
+        .orderBy("doc_id")
+    )
+
+
 def events_funnel_steps(spark, sf_dir):
     """Generalized 3-step funnel (temporal.py::funnel_steps): view -> click
     -> purchase within 7 days of the first view; strict temporal order with
@@ -3102,6 +3116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_trending": events_trending,
         "events_weekly_deltas": events_weekly_deltas,
         "events_funnel_steps": events_funnel_steps,
+        "doc_readability": doc_readability,
     }
 
 
@@ -3161,6 +3176,7 @@ PENDING_FIRST_RECORDING = frozenset(
         "events_trending",
         "events_weekly_deltas",
         "events_funnel_steps",
+        "doc_readability",
     }
 )
 
@@ -5823,6 +5839,46 @@ def oracle_sql() -> dict[str, str]:
                 FROM counts)
             SELECT day, event_type, n, rank FROM ranked
             WHERE rank <= 3 ORDER BY day, rank
+        """,
+        "doc_readability": f"""
+            WITH seg AS (
+                SELECT doc_id,
+                       {_TOKENS} AS toks,
+                       {_NTOK} AS n_words,
+                       CASE WHEN length(trim(text)) = 0
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE list_filter(
+                                list_transform(
+                                    string_split(
+                                        regexp_replace(trim(text),
+                                                       '([.!?])\\s+',
+                                                       '\\1' || chr(1), 'g'),
+                                        chr(1)),
+                                    s -> trim(s)),
+                                s -> length(s) > 0)
+                       END AS ss
+                FROM documents),
+            m AS (
+                SELECT doc_id, n_words,
+                       CAST(len(ss) AS INT) AS n_sentences,
+                       greatest(CAST(len(ss) AS INT), 1) AS sents_div,
+                       CASE WHEN n_words = 0 THEN 0
+                            ELSE CAST(list_sum(list_transform(toks,
+                                 t -> greatest(len(regexp_extract_all(lower(t),
+                                                   '[aeiouy]+')), 1))) AS INT)
+                       END AS n_syllables
+                FROM seg)
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   CASE WHEN n_words = 0 THEN NULL
+                        ELSE round(0.39 * (CAST(n_words AS DOUBLE) / sents_div)
+                                   + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+                                   - 15.59, 6) END AS fk_grade,
+                   CASE WHEN n_words = 0 THEN NULL
+                        ELSE round(206.835
+                                   - 1.015 * (CAST(n_words AS DOUBLE) / sents_div)
+                                   - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words),
+                                   6) END AS fk_ease
+            FROM m ORDER BY doc_id
         """,
         "events_funnel_steps": """
             WITH s1 AS (

@@ -560,3 +560,46 @@ def sentence_stats(col: Column) -> Column:
         )
 
     return _let(sentences_of(col), over)
+
+
+def readability_stats(col: Column) -> Column:
+    """Flesch-Kincaid readability from portable counts: words (whitespace
+    tokens), sentences (sentinel split), and a vowel-group syllable
+    heuristic (runs of [aeiouy]+ per lowercased word — the standard
+    dictionary-free approximation). Emits a struct of the raw counts plus
+
+        grade  = 0.39*(words/sentences) + 11.8*(syllables/words) - 15.59
+        ease   = 206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)
+
+    Empty documents emit zero counts and NULL scores. All-integer counts,
+    two divisions and a linear combination — engine-exact at 6dp, so a SQL
+    oracle replicates it bit-for-bit."""
+
+    def over(toks, ss):
+        n_words = F.size(toks)
+        n_sents = F.greatest(F.size(ss), F.lit(1))
+        syl = F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.greatest(
+                F.size(F.regexp_extract_all(F.lower(t), F.lit("[aeiouy]+"), F.lit(0))),
+                F.lit(1),
+            ),
+        )
+        wps = n_words.cast("double") / n_sents
+        spw = syl.cast("double") / n_words
+        grade = F.round(0.39 * wps + 11.8 * spw - 15.59, 6)
+        ease = F.round(206.835 - 1.015 * wps - 84.6 * spw, 6)
+        empty = n_words == 0
+        return F.struct(
+            n_words.alias("n_words"),
+            F.size(ss).alias("n_sentences"),
+            F.when(empty, F.lit(0)).otherwise(syl).alias("n_syllables"),
+            F.when(empty, F.lit(None).cast("double")).otherwise(grade).alias("fk_grade"),
+            F.when(empty, F.lit(None).cast("double")).otherwise(ease).alias("fk_ease"),
+        )
+
+    return _let(
+        tokens(col), lambda toks: _let(sentences_of(col), lambda ss: over(toks, ss))
+    )

@@ -128,3 +128,28 @@ def test_bq_rerank_recovers_exact_top1(spark, embeddings):
     ex_top = {r.query_id: r.base_id for r in exact}
     hits = sum(1 for qid in ex_top if bq_top.get(qid) == ex_top[qid])
     assert hits >= 16  # >= 80% top-1 recovery at rerank=100/500
+
+
+def test_readability_closed_form(spark):
+    from nbdatatools_spark.functions.text import readability_stats
+
+    def stats(text):
+        df = spark.createDataFrame([(1, text)], "doc_id BIGINT, text STRING")
+        return df.select(readability_stats(F.col("text")).alias("r")).select("r.*").first()
+
+    # "The cat sat. The dog ran." -> 6 words, 2 sentences, 6 syllables
+    r = stats("The cat sat. The dog ran.")
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (6, 2, 6)
+    wps, spw = 6 / 2, 6 / 6
+    assert r.fk_grade == round(0.39 * wps + 11.8 * spw - 15.59, 6)
+    assert r.fk_ease == round(206.835 - 1.015 * wps - 84.6 * spw, 6)
+
+    # vowel-group heuristic: 'beautiful' -> eau+i+u = 3 groups
+    r = stats("beautiful")
+    assert r.n_syllables == 3 and r.n_sentences == 1
+
+    # no-vowel token floors at 1 syllable; empty doc -> NULL scores
+    r = stats("hmm 123")
+    assert r.n_syllables == 2
+    r = stats("   ")
+    assert r.n_words == 0 and r.fk_grade is None and r.fk_ease is None
