@@ -2949,7 +2949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     flags, token entropy, hard negatives, dim quantiles, CDC family,
     PSI, attribution, entity resolution, A/B, co-occurrence, percent
     rank, winsorize, config pipeline, sentence stats, matryoshka, BQ
-    hamming, trending, weekly deltas) under PENDING_FIRST_RECORDING, all
+    hamming, trending, weekly deltas, N-step funnel, readability) under PENDING_FIRST_RECORDING, all
     local-oracle green and awaiting their first recorded round.
     """
     return {
