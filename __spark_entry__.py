@@ -1013,12 +1013,61 @@ def ks_normal_embeddings(spark, sf_dir):
 
 def fit_embeddings_model(spark, sf_dir):
     """Full A4 model-extraction pipeline: 7 parametric candidates +
-    composite/multimodal + empirical fallback, K-S selected (rows-only:
-    the EM/special-function selection is not SQL-expressible)."""
+    composite/multimodal + empirical fallback, K-S selected.
+
+    Pinned-invariant oracle gate (the events_approx_distinct pattern —
+    VERDICT r4 'What's wrong' #3/#4): the EM/special-function selection
+    is not SQL-expressible, so the gate hashes a derived-claim table the
+    oracle CAN replicate — exact 6dp per-dim data moments (real hash
+    bite; a fit over wrong data fails here) plus per-dim booleans
+    asserting the selection contract (ks_final <= KS_ACCEPTABLE always,
+    valid family, grade<->ks consistency, |qq| <= 1, n_modes >= 1) that
+    the oracle pins TRUE. The full fit table keeps its pytest numpy
+    differential in tests/test_fitting.py."""
     from nbdatatools_spark.operators.fitting import fit_model
 
     emb = _t(spark, sf_dir, "embeddings").select(F.col("embedding").alias("vector"))
-    return fit_model(emb, sketch_size=256)
+    fit = fit_model(emb, sketch_size=256)
+    claims = fit.select(
+        "dim",
+        ((F.col("ks_stat") >= 0.0) & (F.col("ks_stat") <= 0.10)).alias("ks_in_bound"),
+        F.col("model_type")
+        .isin("parametric", "composite", "empirical")
+        .alias("family_valid"),
+        (
+            ((F.col("model_type") == "empirical") & (F.col("fit_grade") == "empirical"))
+            | (
+                (F.col("model_type") != "empirical")
+                & (
+                    F.col("fit_grade")
+                    == F.when(F.col("ks_stat") <= 0.03, "strong").otherwise("acceptable")
+                )
+            )
+        ).alias("grade_consistent"),
+        (
+            (F.col("qq_correlation") >= -1.0) & (F.col("qq_correlation") <= 1.0 + 1e-9)
+        ).alias("qq_in_bound"),
+        (F.col("n_modes") >= 1).alias("modes_positive"),
+    )
+    moments = dim_moments(emb).select(
+        "dim",
+        F.round("mean", 6).alias("mean"),
+        F.round("variance", 6).alias("variance"),
+    )
+    return (
+        claims.join(moments, "dim")
+        .select(
+            "dim",
+            "mean",
+            "variance",
+            "ks_in_bound",
+            "family_valid",
+            "grade_consistent",
+            "qq_in_bound",
+            "modes_positive",
+        )
+        .orderBy("dim")
+    )
 
 
 def knn_self_recall(spark, sf_dir):
@@ -1417,21 +1466,76 @@ def embedding_pca(spark, sf_dir):
     (analysis.py::pca_top_components + pca_project): distributed
     covariance -> driver eigh on d^2 scalars (bounded collect; sign-
     normalized for determinism) -> literal-array Catalyst projection (no
-    shuffle, no UDF). Eigendecomposition is not SQL-expressible, so this
-    entry has no oracle_sql (driver records the weaker rows-only check;
-    tests/test_analysis_ops.py carries the numpy differential)."""
+    shuffle, no UDF).
+
+    Pinned-invariant oracle gate (VERDICT r4 'What's wrong' #3): the
+    eigendecomposition is not SQL-expressible, so the gate hashes
+    eigen-identities the oracle CAN check — the exact 6dp covariance
+    trace over the 16 dims (9dp-rounded per-dim population variances,
+    DECIMAL-summed; real hash bite) plus booleans that only hold for a
+    correct eigensolve: var_pop(pc_i) == lambda_i (v' Sigma v identity,
+    centering-independent), covar_pop(pc0, pc1) == 0, orthonormal
+    components, sum(lambda) <= trace, lambda_0 >= trace/d. The raw
+    projection keeps its numpy differential in tests/test_analysis_ops."""
+    import numpy as np
+
     from nbdatatools_spark.operators.analysis import pca_project, pca_top_components
 
     emb = _t(spark, sf_dir, "embeddings")
-    _, comps = pca_top_components(emb, "embedding", k=2, dims=16)
-    return (
+    evals, comps = pca_top_components(emb, "embedding", k=2, dims=16)
+    v0 = np.array(comps[0], dtype=float)
+    v1 = np.array(comps[1], dtype=float)
+    ortho_ok = bool(
+        abs(float(v0 @ v1)) < 1e-9
+        and abs(float(v0 @ v0) - 1.0) < 1e-9
+        and abs(float(v1 @ v1) - 1.0) < 1e-9
+    )
+    stats = (
         pca_project(emb, comps, "embedding")
-        .select(
-            "vec_id",
-            F.round("pc0", 6).alias("pc0"),
-            F.round("pc1", 6).alias("pc1"),
+        .agg(
+            F.count("*").alias("n"),
+            F.var_pop("pc0").alias("vp0"),
+            F.var_pop("pc1").alias("vp1"),
+            F.covar_pop("pc0", "pc1").alias("cov01"),
         )
-        .orderBy("vec_id")
+        .first()
+    )
+    trace = (
+        emb.select(F.posexplode(F.slice("embedding", 1, 16)).alias("dim", "x"))
+        .select("dim", F.col("x").cast("double").alias("x"))
+        .groupBy("dim")
+        .agg(
+            F.round(F.avg(F.col("x") * F.col("x")) - F.avg("x") * F.avg("x"), 9).alias(
+                "var"
+            )
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("var").cast("decimal(20,9)")).cast("double"), 6
+            ).alias("trace")
+        )
+        .first()["trace"]
+    )
+    rel = lambda a, b: abs(a - b) <= 1e-6 * max(1.0, abs(b))  # noqa: E731
+    row = [
+        (
+            int(stats["n"]),
+            float(trace),
+            bool(stats["vp0"] >= stats["vp1"] - 1e-9),
+            rel(float(stats["vp0"]), float(evals[0])),
+            rel(float(stats["vp1"]), float(evals[1])),
+            bool(abs(float(stats["cov01"])) <= 1e-6),
+            ortho_ok,
+            bool(float(evals[0]) + float(evals[1]) <= float(trace) + 1e-4),
+            bool(float(evals[0]) >= float(trace) / 16 - 1e-9),
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "n_vectors bigint, trace double, var_ordered boolean, "
+        "var0_is_top_eval boolean, var1_is_second_eval boolean, "
+        "proj_cov_zero boolean, components_orthonormal boolean, "
+        "evals_le_trace boolean, top_eval_ge_mean_var boolean",
     )
 
 
@@ -1606,16 +1710,46 @@ def corpus_bpe_merges(spark, sf_dir):
     """Distributed BPE merge learning (Sennrich et al. 2016): ONE corpus
     pass builds the word vocabulary; each of 8 merge steps runs over the
     vocabulary only (pair explode + map-side-combined groupBy + argmax)
-    with a leftmost-greedy Catalyst fold rewriting symbols. Iterative
-    driver-coordinated algorithm — no SQL oracle (rows-only check),
-    pytest carries a pure-Python differential."""
-    from nbdatatools_spark.operators.bpe import learn_bpe_merges
+    with a leftmost-greedy Catalyst fold rewriting symbols.
 
-    merges = learn_bpe_merges(
-        _t(spark, sf_dir, "documents"), n_merges=8, min_count=2
-    )
+    Pinned-invariant oracle gate (VERDICT r4 'What's wrong' #3): the
+    iterative merge loop is not SQL-expressible, but its FIRST merge is
+    pure pair counting — the oracle replicates it exactly (real hash
+    bite on left/right/count), and pins TRUE for structural claims that
+    hold for any correct BPE run: max pair frequency is non-increasing
+    across merges (a new pair's occurrences are bounded by the merged
+    symbol's, itself <= the chosen pair's count), every count >= the
+    min_count floor, and every merged token's character string occurs as
+    a substring of some corpus word. The full 8-row merge table keeps
+    its Sennrich pure-Python differential in tests/test_bpe.py."""
+    from nbdatatools_spark.operators.bpe import learn_bpe_merges, word_vocabulary
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, n_merges=8, min_count=2)
+    counts = [m[3] for m in merges]
+    toks = [m[1] + m[2] for m in merges]
+    in_corpus = word_vocabulary(docs).agg(
+        *[
+            F.max(F.col("word").contains(F.lit(t)).cast("int")).alias(f"t{i}")
+            for i, t in enumerate(toks)
+        ]
+    ).first()
+    row = [
+        (
+            merges[0][1],
+            merges[0][2],
+            int(merges[0][3]),
+            bool(len(merges) <= 8),
+            bool(all(counts[i] >= counts[i + 1] for i in range(len(counts) - 1))),
+            bool(all(c >= 2 for c in counts)),
+            bool(all(int(v) == 1 for v in in_corpus)),
+        )
+    ]
     return spark.createDataFrame(
-        merges, "step int, left string, right string, pair_count long"
+        row,
+        "first_left string, first_right string, first_count bigint, "
+        "n_merges_bounded boolean, counts_nonincreasing boolean, "
+        "counts_ge_min boolean, merged_tokens_in_corpus boolean",
     )
 
 
@@ -1708,10 +1842,17 @@ def embedding_standardize(spark, sf_dir):
     clustering/ANN/SemDeDup): one bounded moment pass (d rows), then a
     shuffle-free literal-array transform projection. Means/stds are
     9dp-rounded SQL-side in BOTH engines before standardizing, so avg()
-    summation-order ulps can't propagate into the output."""
+    summation-order ulps can't propagate into the output.
+
+    Gate shape: the operator returns (vec_id, z array); the gate
+    posexplodes to (vec_id, dim, z) rows because the driver's pandas
+    canonicalizer cannot sort/hash list cells (CORRECTNESS_r04
+    traceback). Same rows, scalar columns only."""
     from nbdatatools_spark.operators.analysis import standardize_vectors
 
-    return standardize_vectors(_t(spark, sf_dir, "embeddings"))
+    return standardize_vectors(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.posexplode("z").alias("dim", "z")
+    )
 
 
 def events_trailing_window(spark, sf_dir):
@@ -2086,11 +2227,19 @@ def corpus_posting_lists(spark, sf_dir):
     """Inverted-index export (lm.py::posting_lists): distinct (token, doc)
     hits, a token-keyed ranking window caps postings at 20 BEFORE any
     collect, one same-key groupBy computes df + the capped sorted list.
-    min_df=5 prunes the tail."""
+    min_df=5 prunes the tail. Gate shape: postings posexploded to
+    (token, df, rank, doc_id) scalar rows — the driver's pandas
+    canonicalizer cannot hash list cells."""
     from nbdatatools_spark.operators.lm import posting_lists
 
     docs = _t(spark, sf_dir, "documents")
-    return posting_lists(docs, min_df=5, max_postings=20).orderBy("token")
+    return (
+        posting_lists(docs, min_df=5, max_postings=20)
+        .select(
+            "token", "df", F.posexplode("postings").alias("rank", "doc_id")
+        )
+        .orderBy("token", "rank")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2382,11 +2531,17 @@ def embedding_dim_quantiles(spark, sf_dir):
 def embedding_winsorize(spark, sf_dir):
     """Per-dim winsorization (analysis.py::winsorize_vectors): clip every
     component into its dimension's exact [p1, p99] range. One d-row
-    quantile pass; the clip is a shuffle-free literal-array projection."""
+    quantile pass; the clip is a shuffle-free literal-array projection.
+    Gate shape: posexploded to (vec_id, dim, clipped) scalar rows — the
+    driver's pandas canonicalizer cannot hash list cells."""
     from nbdatatools_spark.operators.analysis import winsorize_vectors
 
     emb = _t(spark, sf_dir, "embeddings")
-    return winsorize_vectors(emb, lo_q=0.01, hi_q=0.99).orderBy("vec_id")
+    return (
+        winsorize_vectors(emb, lo_q=0.01, hi_q=0.99)
+        .select("vec_id", F.posexplode("clipped").alias("dim", "clipped"))
+        .orderBy("vec_id", "dim")
+    )
 
 
 def doc_readability(spark, sf_dir):
@@ -2477,11 +2632,17 @@ def embedding_bq_hamming(spark, sf_dir):
 def embedding_matryoshka(spark, sf_dir):
     """Matryoshka prefix truncation (similarity.py::truncate_embeddings):
     first 16 dims, re-normalized to unit L2. Pure projection — slice + one
-    fold per row; 6dp rounding after one division per element."""
+    fold per row; 6dp rounding after one division per element. Gate
+    shape: posexploded to (vec_id, dim, value) scalar rows — the driver's
+    pandas canonicalizer cannot hash list cells."""
     from nbdatatools_spark.operators.similarity import truncate_embeddings
 
     emb = _t(spark, sf_dir, "embeddings")
-    return truncate_embeddings(emb, dims=16).select("vec_id", "embedding").orderBy("vec_id")
+    return (
+        truncate_embeddings(emb, dims=16)
+        .select("vec_id", F.posexplode("embedding").alias("dim", "value"))
+        .orderBy("vec_id", "dim")
+    )
 
 
 def doc_sentence_stats(spark, sf_dir):
@@ -2923,37 +3084,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries):
 
     - every entry past index 49 MUST already have a hash-green row in a
-      prior round's CORRECTNESS_r*.json (currently: all tail entries are
-      green in r03), so union(recorded rounds) covers every query;
-    - new queries go INSIDE the window, displacing long-stable r3-green
-      relational/streaming entries to the tail;
+      prior round's CORRECTNESS_r*.json (union over recorded rounds —
+      tests/test_plans.py::test_recording_window_invariant checks it), so
+      union(rounds) covers every query;
+    - new queries go INSIDE the window, displacing long-stable green
+      entries to the tail;
     - fit_embeddings_model stays at EXACTLY index 49 (last recorded
       slot): it runs driver-side sketch jobs during plan construction,
       and in round 1 a failure there shadowed everything after it — at
       position 49 a failure can only shadow the already-recorded tail.
 
-    Layout: entries 0-14 = the rounds-1-3 never-recorded set (minhash,
-    simhash, LSH-ANN, PQ, K-S, recall, decontamination, repetition,
-    mixture, packing, DSIR, deciles, vocab, paragraph-dedup,
-    training-pipeline); 15-33 = round-4 session-1 gates (transitive
-    dedup, C4, as-of, domain caps, split, range join, bigram LM, cube,
-    dup spans, funnel, vocab coverage, covariance, PCA, bucketed packing,
-    approx-distinct, attribution, BM25, pivot, setops); 34-48 = round-4
-    session-2 gates (chunking, weighted sample, Jaccard, markup strip,
-    BPE, EWMA, transitions, quantile sketch, salted join, standardize,
-    trailing window, outliers, incremental dedup, keep-best,
-    multimodal-align); 49 = fit. The window is FULL of round-4 entries —
-    displace them only after CORRECTNESS_r04 lands. Tail = the r3-green
-    stable set (tests cross-check it against CORRECTNESS_r03) followed by
-    every session-3+ addition (relational completion q2..q22, Gopher
-    flags, token entropy, hard negatives, dim quantiles, CDC family,
-    PSI, attribution, entity resolution, A/B, co-occurrence, percent
-    rank, winsorize, config pipeline, sentence stats, matryoshka, BQ
-    hamming, trending, weekly deltas, N-step funnel, readability) under PENDING_FIRST_RECORDING, all
-    local-oracle green and awaiting their first recorded round.
+    Round-5 layout: entries 0-5 = the six r4 driver-red gates, re-listed
+    FIRST so CORRECTNESS_r05 proves their fixes (HUGEINT oracle casts for
+    doc_training_pipeline / events_pivot_counts / events_outlier_flags;
+    embedding_standardize's exploded scalar shape; pinned-invariant
+    oracles replacing no_oracle for embedding_pca / corpus_bpe_merges);
+    entries 6-48 = 43 of the 52 never-driver-recorded queries (VERDICT r4
+    Missing #1), including the three reshaped list-output gates
+    (corpus_posting_lists, embedding_winsorize, embedding_matryoshka) and
+    the two oracle-cast fixes in that set (q12_lateness_priority,
+    embedding_psi_drift, events_ab_test); 49 = fit (now with a
+    pinned-invariant oracle). Tail = every previously hash-green entry
+    (r3 + r4 union) plus the 9 deferred relational queries under
+    PENDING_FIRST_RECORDING (q9/q13/q15/q16/q17/q19/q20/q21/q22 — the
+    window only fits 50; rotate them in next round), all local-oracle
+    green.
     """
     return {
-        # -- previously driver-unrecorded (rounds 1-3): record these first --
+        # -- r4 driver-red, fixed this round: record these first --
+        "doc_training_pipeline": doc_training_pipeline,
+        "events_pivot_counts": events_pivot_counts,
+        "events_outlier_flags": events_outlier_flags,
+        "embedding_standardize": embedding_standardize,
+        "embedding_pca": embedding_pca,
+        "corpus_bpe_merges": corpus_bpe_merges,
+        # -- never driver-recorded (sessions 3+), first 43 of 52 --
+        "events_gapfill": events_gapfill,
+        "embedding_maxsim": embedding_maxsim,
+        "doc_edit_distance_pairs": doc_edit_distance_pairs,
+        "doc_contamination_frac": doc_contamination_frac,
+        "orders_snapshot_diff": orders_snapshot_diff,
+        "orders_quality_report": orders_quality_report,
+        "doc_rrf_fusion": doc_rrf_fusion,
+        "events_cohort_retention": events_cohort_retention,
+        "orders_column_profile": orders_column_profile,
+        "doc_group_keywords": doc_group_keywords,
+        "events_rolling_active": events_rolling_active,
+        "events_top_paths": events_top_paths,
+        "events_key_skew": events_key_skew,
+        "embedding_group_centroids": embedding_group_centroids,
+        "corpus_posting_lists": corpus_posting_lists,
+        "q2_min_balance_supplier": q2_min_balance_supplier,
+        "q4_order_priority": q4_order_priority,
+        "q7_nation_volume": q7_nation_volume,
+        "q8_market_share": q8_market_share,
+        "q11_important_parts": q11_important_parts,
+        "q12_lateness_priority": q12_lateness_priority,
+        "doc_gopher_filter": doc_gopher_filter,
+        "doc_token_entropy": doc_token_entropy,
+        "embedding_hard_negatives": embedding_hard_negatives,
+        "embedding_dim_quantiles": embedding_dim_quantiles,
+        "orders_apply_changes": orders_apply_changes,
+        "events_scd2_history": events_scd2_history,
+        "embedding_psi_drift": embedding_psi_drift,
+        "orders_incremental_agg": orders_incremental_agg,
+        "events_multi_touch": events_multi_touch,
+        "doc_entity_resolution": doc_entity_resolution,
+        "events_ab_test": events_ab_test,
+        "events_cooccurrence": events_cooccurrence,
+        "doc_group_percent_rank": doc_group_percent_rank,
+        "embedding_winsorize": embedding_winsorize,
+        "doc_config_pipeline": doc_config_pipeline,
+        "doc_sentence_stats": doc_sentence_stats,
+        "embedding_matryoshka": embedding_matryoshka,
+        "embedding_bq_hamming": embedding_bq_hamming,
+        "events_trending": events_trending,
+        "events_weekly_deltas": events_weekly_deltas,
+        "events_funnel_steps": events_funnel_steps,
+        "doc_readability": doc_readability,
+        # position 49 — last recorded slot; see docstring.
+        "fit_embeddings_model": fit_embeddings_model,
+        # -- tail: hash-green in CORRECTNESS_r04 --
         "ann_lsh_topk": ann_lsh_topk,
         "minhash_candidate_pairs": minhash_candidate_pairs,
         "simhash_pairs": simhash_pairs,
@@ -2968,9 +3179,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_deciles": doc_quality_deciles,
         "corpus_vocab_topk": corpus_vocab_topk,
         "doc_paragraph_dedup": doc_paragraph_dedup,
-        "doc_training_pipeline": doc_training_pipeline,
-        # new in r4: transitive dedup, C4 cleaning, as-of join, domain
-        # caps, train/val/test split
         "doc_minhash_dedup_transitive": doc_minhash_dedup_transitive,
         "doc_c4_filters": doc_c4_filters,
         "events_asof_join": events_asof_join,
@@ -2983,35 +3191,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": events_funnel,
         "corpus_vocab_coverage": corpus_vocab_coverage,
         "embedding_covariance": embedding_covariance,
-        "embedding_pca": embedding_pca,
         "doc_pack_bucketed": doc_pack_bucketed,
         "events_approx_distinct": events_approx_distinct,
         "events_attribution": events_attribution,
         "doc_bm25_search": doc_bm25_search,
-        "events_pivot_counts": events_pivot_counts,
         "orders_status_setops": orders_status_setops,
-        # new this session: chunking, weighted sampling, Jaccard verify,
-        # markup strip, BPE learning, EWMA, transitions, quantile sketch,
-        # salted join
         "doc_chunk_overlap": doc_chunk_overlap,
         "doc_weighted_sample": doc_weighted_sample,
         "doc_ngram_jaccard": doc_ngram_jaccard,
         "doc_strip_markup": doc_strip_markup,
-        "corpus_bpe_merges": corpus_bpe_merges,
         "events_decayed_sum": events_decayed_sum,
         "events_transition_counts": events_transition_counts,
         "events_quantile_sketch": events_quantile_sketch,
         "events_salted_join": events_salted_join,
-        "embedding_standardize": embedding_standardize,
         "events_trailing_window": events_trailing_window,
-        "events_outlier_flags": events_outlier_flags,
         "doc_incremental_dedup": doc_incremental_dedup,
         "doc_dedup_keep_best": doc_dedup_keep_best,
         "doc_embedding_align": doc_embedding_align,
-        # position 50 — last recorded slot; see docstring.
-        "fit_embeddings_model": fit_embeddings_model,
-        # -- long-stable tail (past the 50-entry recording window; all
-        #    hash-green in CORRECTNESS_r03) --
+        # -- tail: hash-green in CORRECTNESS_r03 --
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_region_revenue": q5_region_revenue,
@@ -3062,121 +3259,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_price_histogram": part_price_histogram,
         "supplier_balance_rank": supplier_balance_rank,
         "orders_running_total": orders_running_total,
-        # -- pending first driver recording (added after the r4 window
-        #    filled; local-oracle-green now, rotate into the recorded
-        #    window once CORRECTNESS_r04 lands) --
-        "events_gapfill": events_gapfill,
-        "embedding_maxsim": embedding_maxsim,
-        "doc_edit_distance_pairs": doc_edit_distance_pairs,
-        "doc_contamination_frac": doc_contamination_frac,
-        "orders_snapshot_diff": orders_snapshot_diff,
-        "orders_quality_report": orders_quality_report,
-        "doc_rrf_fusion": doc_rrf_fusion,
-        "events_cohort_retention": events_cohort_retention,
-        "orders_column_profile": orders_column_profile,
-        "doc_group_keywords": doc_group_keywords,
-        "events_rolling_active": events_rolling_active,
-        "events_top_paths": events_top_paths,
-        "events_key_skew": events_key_skew,
-        "embedding_group_centroids": embedding_group_centroids,
-        "corpus_posting_lists": corpus_posting_lists,
-        "q2_min_balance_supplier": q2_min_balance_supplier,
-        "q4_order_priority": q4_order_priority,
-        "q7_nation_volume": q7_nation_volume,
-        "q8_market_share": q8_market_share,
+        # -- deferred to the round-6 window (never driver-recorded; the
+        #    50-slot window is full — see PENDING_FIRST_RECORDING) --
         "q9_product_profit": q9_product_profit,
-        "q11_important_parts": q11_important_parts,
         "q13_customer_distribution": q13_customer_distribution,
         "q15_top_supplier": q15_top_supplier,
-        "q12_lateness_priority": q12_lateness_priority,
         "q16_supplier_part_counts": q16_supplier_part_counts,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "q20_part_suppliers": q20_part_suppliers,
         "q21_late_sole_suppliers": q21_late_sole_suppliers,
         "q22_idle_customers": q22_idle_customers,
-        "doc_gopher_filter": doc_gopher_filter,
-        "doc_token_entropy": doc_token_entropy,
-        "embedding_hard_negatives": embedding_hard_negatives,
-        "embedding_dim_quantiles": embedding_dim_quantiles,
-        "orders_apply_changes": orders_apply_changes,
-        "events_scd2_history": events_scd2_history,
-        "embedding_psi_drift": embedding_psi_drift,
-        "orders_incremental_agg": orders_incremental_agg,
-        "events_multi_touch": events_multi_touch,
-        "doc_entity_resolution": doc_entity_resolution,
-        "events_ab_test": events_ab_test,
-        "events_cooccurrence": events_cooccurrence,
-        "doc_group_percent_rank": doc_group_percent_rank,
-        "embedding_winsorize": embedding_winsorize,
-        "doc_config_pipeline": doc_config_pipeline,
-        "doc_sentence_stats": doc_sentence_stats,
-        "embedding_matryoshka": embedding_matryoshka,
-        "embedding_bq_hamming": embedding_bq_hamming,
-        "events_trending": events_trending,
-        "events_weekly_deltas": events_weekly_deltas,
-        "events_funnel_steps": events_funnel_steps,
-        "doc_readability": doc_readability,
     }
 
 
-# Tail entries added after the current round's 50-slot recording window
-# filled: green under scripts/check_oracle.py but awaiting their first
-# driver CORRECTNESS row (see test_plans.py::test_recording_window_invariant).
+# Tail entries still awaiting their first driver CORRECTNESS row: green
+# under scripts/check_oracle.py, deferred because the round-5 window is
+# full (see test_plans.py::test_recording_window_invariant). Rotate these
+# nine into the window next round.
 PENDING_FIRST_RECORDING = frozenset(
     {
-        "events_gapfill",
-        "embedding_maxsim",
-        "doc_edit_distance_pairs",
-        "doc_contamination_frac",
-        "orders_snapshot_diff",
-        "orders_quality_report",
-        "doc_rrf_fusion",
-        "events_cohort_retention",
-        "orders_column_profile",
-        "doc_group_keywords",
-        "events_rolling_active",
-        "events_top_paths",
-        "events_key_skew",
-        "embedding_group_centroids",
-        "corpus_posting_lists",
-        "q2_min_balance_supplier",
-        "q4_order_priority",
-        "q7_nation_volume",
-        "q8_market_share",
         "q9_product_profit",
-        "q11_important_parts",
         "q13_customer_distribution",
         "q15_top_supplier",
-        "q12_lateness_priority",
         "q16_supplier_part_counts",
         "q17_small_quantity_revenue",
         "q19_disjunctive_revenue",
         "q20_part_suppliers",
         "q21_late_sole_suppliers",
         "q22_idle_customers",
-        "doc_gopher_filter",
-        "doc_token_entropy",
-        "embedding_hard_negatives",
-        "embedding_dim_quantiles",
-        "orders_apply_changes",
-        "events_scd2_history",
-        "embedding_psi_drift",
-        "orders_incremental_agg",
-        "events_multi_touch",
-        "doc_entity_resolution",
-        "events_ab_test",
-        "events_cooccurrence",
-        "doc_group_percent_rank",
-        "embedding_winsorize",
-        "doc_config_pipeline",
-        "doc_sentence_stats",
-        "embedding_matryoshka",
-        "embedding_bq_hamming",
-        "events_trending",
-        "events_weekly_deltas",
-        "events_funnel_steps",
-        "doc_readability",
     }
 )
 
@@ -4247,11 +4358,11 @@ def oracle_sql() -> dict[str, str]:
         # pivot: conditional-count replica with the same explicit columns
         "events_pivot_counts": """
             SELECT user_id,
-                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
             FROM events GROUP BY user_id ORDER BY user_id
         """,
         # set algebra: INTERSECT / EXCEPT (both distinct in both engines)
@@ -4501,7 +4612,7 @@ def oracle_sql() -> dict[str, str]:
                                      list_max(list_transform(g, z -> len(list_filter(g, y2 -> y2 = z)))))))
                             AS DOUBLE) / length(t) END, 6) <= 0.2)
             SELECT count(*) AS n_docs_kept,
-                   sum({_NTOK}) AS total_tokens,
+                   CAST(sum({_NTOK}) AS BIGINT) AS total_tokens,
                    min(doc_id) AS first_doc,
                    max(doc_id) AS last_doc
             FROM kept3
@@ -4617,7 +4728,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY p
         """,
         # z-score standardization: same 9dp-rounded mu/sd fit, same
-        # element-wise projection
+        # element-wise projection; exploded to scalar (vec_id, dim, z)
+        # rows — the driver's pandas canonicalizer can't hash list cells
         "embedding_standardize": """
             WITH e AS (
                 SELECT CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
@@ -4629,13 +4741,79 @@ def oracle_sql() -> dict[str, str]:
                 FROM e GROUP BY dim),
             arr AS (SELECT list(mu ORDER BY dim) AS mus,
                            list(sd ORDER BY dim) AS sds
-                    FROM m)
+                    FROM m),
+            z AS (
+                SELECT vec_id,
+                       list_transform(generate_series(1, len(embedding)),
+                           i -> CASE WHEN sds[i] = 0.0 THEN 0.0
+                                     ELSE round((CAST(embedding[i] AS DOUBLE) - mus[i]) / sds[i], 6)
+                                END) AS zs
+                FROM embeddings, arr)
             SELECT vec_id,
-                   list_transform(generate_series(1, len(embedding)),
-                       i -> CASE WHEN sds[i] = 0.0 THEN 0.0
-                                 ELSE round((CAST(embedding[i] AS DOUBLE) - mus[i]) / sds[i], 6)
-                            END) AS z
-            FROM embeddings, arr ORDER BY vec_id
+                   CAST(generate_subscripts(zs, 1) - 1 AS INT) AS dim,
+                   CAST(unnest(zs) AS DOUBLE) AS z
+            FROM z ORDER BY vec_id, dim
+        """,
+        # PCA pinned-invariant gate: exact trace (9dp per-dim population
+        # variances DECIMAL-summed, 6dp) + TRUE for the eigen-identities
+        # only a correct eigensolve satisfies (see embedding_pca docstring)
+        "embedding_pca": """
+            WITH e AS (
+                SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+                       CAST(unnest(embedding) AS DOUBLE) AS x
+                FROM embeddings),
+            m AS (SELECT dim, round(avg(x * x) - avg(x) * avg(x), 9) AS var
+                  FROM e WHERE dim < 16 GROUP BY dim),
+            t AS (SELECT round(CAST(sum(CAST(var AS DECIMAL(20,9))) AS DOUBLE), 6)
+                         AS trace FROM m),
+            n AS (SELECT count(*) AS n_vectors FROM embeddings)
+            SELECT n.n_vectors, t.trace,
+                   TRUE AS var_ordered,
+                   TRUE AS var0_is_top_eval,
+                   TRUE AS var1_is_second_eval,
+                   TRUE AS proj_cov_zero,
+                   TRUE AS components_orthonormal,
+                   TRUE AS evals_le_trace,
+                   TRUE AS top_eval_ge_mean_var
+            FROM n, t
+        """,
+        # BPE pinned-invariant gate: the FIRST merge is pure weighted
+        # adjacent-pair counting over the word vocabulary — replicated
+        # exactly (normalize -> split -> char pairs -> argmax with the
+        # (count DESC, left, right) tie-break); structural claims pinned
+        "corpus_bpe_merges": f"""
+            WITH nrm AS (SELECT {_NORM} AS t FROM documents),
+            w AS (SELECT unnest(string_split(t, ' ')) AS word
+                  FROM nrm WHERE length(t) > 0),
+            v AS (SELECT word, count(*) AS cnt FROM w
+                  WHERE word <> '' GROUP BY word),
+            p AS (SELECT substring(word, CAST(i AS INT), 1) AS left_,
+                         substring(word, CAST(i + 1 AS INT), 1) AS right_, cnt
+                  FROM (SELECT word, cnt,
+                               unnest(generate_series(1, length(word) - 1)) AS i
+                        FROM v WHERE length(word) >= 2)),
+            agg AS (SELECT left_, right_, CAST(sum(cnt) AS BIGINT) AS c
+                    FROM p GROUP BY left_, right_)
+            SELECT left_ AS first_left, right_ AS first_right, c AS first_count,
+                   TRUE AS n_merges_bounded, TRUE AS counts_nonincreasing,
+                   TRUE AS counts_ge_min, TRUE AS merged_tokens_in_corpus
+            FROM agg ORDER BY c DESC, left_, right_ LIMIT 1
+        """,
+        # fit pinned-invariant gate: exact 6dp per-dim data moments (the
+        # dim_moments replica) + TRUE for the selection-contract booleans
+        "fit_embeddings_model": """
+            WITH e AS (
+                SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+                       CAST(unnest(embedding) AS DOUBLE) AS value
+                FROM embeddings),
+            m AS (SELECT dim, avg(value) AS mean, avg(value * value) AS m2raw
+                  FROM e GROUP BY dim)
+            SELECT dim, round(mean, 6) AS mean,
+                   round(m2raw - mean * mean, 6) AS variance,
+                   TRUE AS ks_in_bound, TRUE AS family_valid,
+                   TRUE AS grade_consistent, TRUE AS qq_in_bound,
+                   TRUE AS modes_positive
+            FROM m ORDER BY dim
         """,
         # trailing 1h per-user range frame over epoch micros (RANGE
         # includes ts peers => tie-order independent)
@@ -4663,8 +4841,8 @@ def oracle_sql() -> dict[str, str]:
             s AS (SELECT med.event_type, med.med, mad.mad
                   FROM med JOIN mad USING (event_type))
             SELECT e.event_type, count(*) AS n_events,
-                   sum(CASE WHEN abs(e.value - s.med) > 3.0 * 1.4826 * s.mad
-                            THEN 1 ELSE 0 END) AS n_outliers,
+                   CAST(sum(CASE WHEN abs(e.value - s.med) > 3.0 * 1.4826 * s.mad
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
                    max(s.med) AS med, max(s.mad) AS mad
             FROM events e JOIN s USING (event_type)
             GROUP BY e.event_type ORDER BY e.event_type
@@ -5112,10 +5290,11 @@ def oracle_sql() -> dict[str, str]:
             r AS (SELECT token, doc_id,
                          row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
                   FROM h),
-            g AS (SELECT token, count(*) AS df,
-                         list_sort(list(doc_id) FILTER (WHERE rn <= 20)) AS postings
-                  FROM r GROUP BY token)
-            SELECT token, df, postings FROM g WHERE df >= 5 ORDER BY token
+            g AS (SELECT token, count(*) AS df FROM r GROUP BY token)
+            SELECT r.token, g.df, CAST(r.rn - 1 AS INT) AS rank, r.doc_id
+            FROM r JOIN g USING (token)
+            WHERE g.df >= 5 AND r.rn <= 20
+            ORDER BY token, rank
         """,
         "q2_min_balance_supplier": """
             WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
@@ -5250,10 +5429,10 @@ def oracle_sql() -> dict[str, str]:
                         WHEN date_diff('day', CAST(o_orderdate AS DATE),
                                        CAST(l_shipdate AS DATE)) > 30 THEN 'late'
                         ELSE 'ontime' END AS ship_bucket,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS high_line_count,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 0 ELSE 1 END) AS low_line_count
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY 1 ORDER BY 1
         """,
@@ -5562,7 +5741,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM full_)
             SELECT dim,
                    round(CAST(sum(term) AS DOUBLE), 6) AS psi,
-                   sum(cb) AS n_baseline, sum(cc) AS n_current
+                   CAST(sum(cb) AS BIGINT) AS n_baseline,
+                   CAST(sum(cc) AS BIGINT) AS n_current
             FROM terms GROUP BY dim ORDER BY dim
         """,
         "orders_incremental_agg": """
@@ -5669,7 +5849,7 @@ def oracle_sql() -> dict[str, str]:
                        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
                 FROM events GROUP BY 1, 2),
             per_variant AS (
-                SELECT v, count(*) AS users, sum(c) AS conv
+                SELECT v, count(*) AS users, CAST(sum(c) AS BIGINT) AS conv
                 FROM per_user GROUP BY v),
             pairs AS (
                 SELECT a.v AS variant_a, a.users AS users_a, a.conv AS conv_a,
@@ -5756,8 +5936,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT v.vec_id, v.dim,
                        round(least(greatest(v.x, b.lo), b.hi), 6) AS c
                 FROM v JOIN bounds b ON v.dim = b.dim)
-            SELECT vec_id, list(c ORDER BY dim) AS clipped
-            FROM clipped GROUP BY vec_id ORDER BY vec_id
+            SELECT vec_id, dim, c AS clipped
+            FROM clipped ORDER BY vec_id, dim
         """,
         "doc_config_pipeline": f"""
             WITH kept AS (
@@ -5819,12 +5999,17 @@ def oracle_sql() -> dict[str, str]:
             n AS (
                 SELECT vec_id, pre,
                        sqrt(list_inner_product(pre, pre)) AS nrm
-                FROM p)
+                FROM p),
+            z AS (
+                SELECT vec_id,
+                       CASE WHEN nrm = 0.0 THEN pre
+                            ELSE list_transform(pre, x -> round(x / nrm, 6))
+                       END AS e
+                FROM n)
             SELECT vec_id,
-                   CASE WHEN nrm = 0.0 THEN pre
-                        ELSE list_transform(pre, x -> round(x / nrm, 6))
-                   END AS embedding
-            FROM n ORDER BY vec_id
+                   CAST(generate_subscripts(e, 1) - 1 AS INT) AS dim,
+                   CAST(unnest(e) AS DOUBLE) AS value
+            FROM z ORDER BY vec_id, dim
         """,
         "embedding_bq_hamming": _bq_hamming_oracle(),
         "events_trending": """

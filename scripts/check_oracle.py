@@ -53,6 +53,50 @@ def norm_rows(cols, rows):
     return sorted(tuple(norm_cell(r[i]) for i in idx) for r in rows)
 
 
+_SCALAR_INTS = {"tinyint", "smallint", "int", "bigint"}
+
+
+def hazard_scan(con, sql, sdf):
+    """Mirror the DRIVER's pandas canonicalization (fetchdf + sort_values
+    + value hash) hazards that the bit-exact fetchall comparison below is
+    blind to — the exact mechanism behind all four r4 driver failures
+    that were local-green (VERDICT r4 'What's wrong' #1/#2):
+
+    - DuckDB types sum(<any integer>) as HUGEINT, and fetchdf renders
+      HUGEINT as float64, so the driver hashes 2.0 != Spark's 2 even
+      though fetchall yields Python int 2 (bit-exact locally).
+    - list/struct/map-valued output columns blow up the driver's pandas
+      sort_values with TypeError: unhashable type: 'list'.
+    """
+    from pyspark.sql import types as T
+
+    for f in sdf.schema.fields:
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+            HAZARDS.append(
+                f"non-scalar spark output column {f.name} "
+                f"({f.dataType.simpleString()}): driver pandas sort dies on list cells"
+            )
+    spark_types = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+    try:
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    except Exception:
+        return
+    for row in desc:
+        col, typ = row[0], str(row[1]).upper()
+        if "HUGEINT" in typ:
+            HAZARDS.append(
+                f"HUGEINT oracle column {col}: fetchdf renders float64, "
+                f"driver hashes 2.0 != 2 — CAST the sum() to BIGINT"
+            )
+        elif typ.endswith("[]") or typ.startswith("STRUCT") or typ.startswith("MAP"):
+            HAZARDS.append(f"non-scalar oracle column {col} ({typ})")
+        elif typ in ("INTEGER", "SMALLINT", "TINYINT") and spark_types.get(col) == "bigint":
+            # fetchdf int32 vs Spark int64 is fine for the hash, but a
+            # nullable int oracle column coerces to float64 in pandas;
+            # only flag when nulls are possible is too expensive — skip.
+            pass
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -93,6 +137,7 @@ def main():
             continue
         problems = []
         HAZARDS.clear()
+        hazard_scan(con, oracles[name], sdf)
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
         if len(srows) != len(orows):
@@ -102,8 +147,8 @@ def main():
             if a != b:
                 diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
                 problems.append(f"values differ; first diffs: {diffs}")
-            if HAZARDS:
-                problems.append(f"hash-hazard outputs: {sorted(set(HAZARDS))}")
+        if HAZARDS:
+            problems.append(f"hash-hazard outputs: {sorted(set(HAZARDS))}")
         if problems:
             failures.append(name)
             print(f"FAIL {name}: " + " | ".join(problems))
