@@ -11,6 +11,8 @@ reference user can run the same commands against the Spark engine:
     datasets list
     vectordata info|size|sample
     corpus stats|run|tune_dedup (report / pipeline / dedup-parameter tuning)
+    slab get|namespaces|check|analyze|import|append|export|rewrite
+        (byte-compatible slabtastic .slab files — cli/CMD_slab_*.java)
     explain (physical plan + Catalyst cost estimates for any gate query)
     cleanup cleanfvec
     version
@@ -407,6 +409,186 @@ def _cmd_cleanup(args) -> int:
     return 0
 
 
+def _parse_ordinals(spec: str) -> list[int]:
+    """Reference ordinal specifiers (CMD_slab_get.java): comma-separated
+    ordinals or ``m..n`` inclusive ranges."""
+    out: list[int] = []
+    for part in spec.split(","):
+        part = part.strip()
+        if ".." in part:
+            lo, hi = part.split("..", 1)
+            out.extend(range(int(lo), int(hi) + 1))
+        elif part:
+            out.append(int(part))
+    return out
+
+
+def _slab_source_records(args):
+    """Yield (namespace, ordinal, data) from an import source, dispatching
+    on extension like CMD_slab_import's content-type detection: .slab
+    (slab-to-slab copy), .parquet (slab table or (ordinal, vector)),
+    xvec (raw per-vector bytes), anything else = one record per text line."""
+    src = getattr(args, "src", None) or args.from_
+    ns = args.namespace
+    start = args.start_ordinal if args.start_ordinal >= 0 else 0
+    if src.endswith(".slab"):
+        from nbdatatools_spark.sources.slab_binary import SlabBinaryReader
+
+        with SlabBinaryReader(src) as r:
+            yield from r.iter_records()
+        return
+    if src.endswith(".parquet") or os.path.isdir(src):
+        spark = _spark()
+        df = spark.read.parquet(src)
+        if "data" in df.columns and "ordinal" in df.columns:
+            from pyspark.sql import functions as F
+
+            if "namespace" not in df.columns:
+                df = df.withColumn("namespace", F.lit(ns))
+            rows = (
+                df.select("namespace", "ordinal", "data")
+                .repartition(1)
+                .sortWithinPartitions("namespace", "ordinal")
+                .toLocalIterator()
+            )
+            for row in rows:
+                yield row["namespace"] or "", int(row["ordinal"]), bytes(row["data"])
+            return
+        raise SystemExit(f"parquet import needs (ordinal, data) columns: {src}")
+    if src.endswith(_XVEC_EXTS):
+        import struct as _struct
+
+        from nbdatatools_spark.sources.xvec import read_xvec
+
+        fmt = {"f": "f", "i": "i", "b": "B", "d": "d", "s": "h"}[os.path.basename(src).rsplit(".", 1)[1][0]]
+        for row in read_xvec(_spark(), src).orderBy("ordinal").toLocalIterator():
+            vec = row["vector"]
+            yield ns, start + int(row["ordinal"]), _struct.pack(f"<{len(vec)}{fmt}", *vec)
+        return
+    with open(src, "rb") as fh:
+        payload = fh.read()
+    sep = b"\x00" if b"\x00" in payload else b"\n"
+    parts = payload.split(sep)
+    if parts and parts[-1] == b"":
+        parts.pop()
+    for i, rec in enumerate(parts):
+        yield ns, start + i, rec
+
+
+def _cmd_slab(args) -> int:
+    from nbdatatools_spark.sources.slab_binary import (
+        SlabBinaryReader,
+        SlabBinaryWriter,
+        SlabFormatError,
+    )
+
+    what = args.what
+    if what == "get":
+        with SlabBinaryReader(args.file) as r:
+            for o in _parse_ordinals(args.ordinals):
+                data = r.get(o, args.namespace)
+                if args.as_hex:
+                    print(" ".join(f"{b:02x}" for b in data))
+                elif args.as_base64:
+                    import base64
+
+                    print(base64.b64encode(data).decode())
+                else:
+                    print(data.decode("utf-8", "replace"))
+        return 0
+    if what == "namespaces":
+        with SlabBinaryReader(args.file) as r:
+            for name in r.namespaces():
+                print(json.dumps({
+                    "namespace": name,
+                    "index": r.namespace_index(name),
+                    "pages": len(r.page_entries(name)),
+                    "records": r.count(name),
+                }))
+        return 0
+    if what == "check":
+        try:
+            with SlabBinaryReader(args.file) as r:
+                print(json.dumps(r.check()))
+            return 0
+        except SlabFormatError as e:
+            print(json.dumps({"error": str(e)}))
+            return 1
+    if what == "analyze":
+        with SlabBinaryReader(args.file) as r:
+            print(json.dumps(r.analyze()))
+        return 0
+    if what in ("import", "append"):
+        append = what == "append" or args.append
+        if os.path.exists(args.file) and not append and not args.force:
+            raise SystemExit(f"{args.file} exists; use --force or --append")
+        kw = {"preferred_page_size": args.page_size,
+              "min_page_size": args.min_page_size,
+              "page_alignment": args.page_alignment}
+        if append and os.path.exists(args.file):
+            w = SlabBinaryWriter.open_for_append(args.file, **kw)
+        else:
+            w = SlabBinaryWriter.create_with_buffer(args.file, **kw)
+        n = 0
+        with w:
+            if append and args.start_ordinal < 0:
+                # auto-detect (CMD_slab_import --start-ordinal default):
+                # generated ordinals continue after the last existing one
+                st = w._ns.get(args.namespace)
+                args.start_ordinal = (
+                    st.last_written + 1 if st is not None and st.has_written else 0
+                )
+            for ns, o, data in _slab_source_records(args):
+                w.write(o, data, ns)
+                n += 1
+        print(json.dumps({"file": args.file, "records_written": n}))
+        return 0
+    if what == "export":
+        with SlabBinaryReader(args.file) as r:
+            wanted = set(_parse_ordinals(args.range)) if args.range else None
+            rows = (
+                (ns, o, d)
+                for ns, o, d in r.iter_records(
+                    args.namespace if args.namespace is not None else None
+                )
+                if wanted is None or o in wanted
+            )
+            if args.to and (args.to.endswith(".parquet") or args.format == "parquet"):
+                spark = _spark()
+                df = spark.createDataFrame(
+                    [(ns, o, bytearray(d)) for ns, o, d in rows],
+                    "namespace string, ordinal bigint, data binary",
+                )
+                df.write.mode("overwrite" if args.force else "errorifexists").parquet(args.to)
+            else:
+                out = open(args.to, "wb") if args.to else sys.stdout.buffer
+                try:
+                    for _, _, d in rows:
+                        out.write(d)
+                        if args.format == "lines":
+                            out.write(b"\n")
+                finally:
+                    if args.to:
+                        out.close()
+        return 0
+    if what == "rewrite":
+        target = args.output or args.file
+        with SlabBinaryReader(args.file) as r:
+            records = list(r.iter_records())
+        w = SlabBinaryWriter.create_with_buffer(
+            target + (".rewrite" if target == args.file else ""),
+            preferred_page_size=args.page_size,
+        )
+        with w:
+            for ns, o, d in records:
+                w.write(o, d, ns)
+        if target == args.file:
+            os.replace(target + ".rewrite", target)
+        print(json.dumps({"file": target, "records": len(records)}))
+        return 0
+    raise SystemExit(2)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="nbdatatools_spark")
     sub = p.add_subparsers(dest="group", required=True)
@@ -565,6 +747,45 @@ def build_parser() -> argparse.ArgumentParser:
     cc.add_argument("--input", required=True)
     cc.add_argument("--output", required=True)
     cc.set_defaults(func=_cmd_cleanup)
+
+    # slab: byte-compatible slabtastic CLI (reference cli/CMD_slab_*.java)
+    sl = sub.add_parser("slab").add_subparsers(dest="what", required=True)
+    sg = sl.add_parser("get")
+    sg.add_argument("file")
+    sg.add_argument("-o", "--ordinals", required=True)
+    sg.add_argument("-n", "--namespace", default="")
+    sg.add_argument("--as-hex", action="store_true")
+    sg.add_argument("--as-base64", action="store_true")
+    sg.set_defaults(func=_cmd_slab)
+    for w in ("namespaces", "check", "analyze"):
+        sp = sl.add_parser(w)
+        sp.add_argument("file")
+        sp.set_defaults(func=_cmd_slab)
+    for w in ("import", "append"):
+        si = sl.add_parser(w)
+        si.add_argument("file")
+        si.add_argument("--from", dest="from_", required=True)
+        si.add_argument("-n", "--namespace", default="")
+        si.add_argument("--append", action="store_true")
+        si.add_argument("-f", "--force", action="store_true")
+        si.add_argument("--page-size", "--preferred-page-size", type=int, default=65536)
+        si.add_argument("--min-page-size", type=int, default=512)
+        si.add_argument("--page-alignment", action="store_true")
+        si.add_argument("--start-ordinal", type=int, default=-1)
+        si.set_defaults(func=_cmd_slab)
+    se = sl.add_parser("export")
+    se.add_argument("file")
+    se.add_argument("--to", default=None)
+    se.add_argument("-n", "--namespace", default=None)
+    se.add_argument("--range", default=None)
+    se.add_argument("--format", choices=("raw", "lines", "parquet"), default="raw")
+    se.add_argument("-f", "--force", action="store_true")
+    se.set_defaults(func=_cmd_slab)
+    sr = sl.add_parser("rewrite")
+    sr.add_argument("file")
+    sr.add_argument("--output", default=None)
+    sr.add_argument("--page-size", "--preferred-page-size", type=int, default=65536)
+    sr.set_defaults(func=_cmd_slab)
 
     ex = sub.add_parser("explain")
     ex.add_argument("--query", required=True)
