@@ -2,14 +2,15 @@
 the reference's ``nbvectors`` command tree (reference README.md:32-99) so a
 reference user can run the same commands against the Spark engine:
 
-    analyze count_zeros|describe|verify_knn|verify_profiles|tune_ann|tune_compression
+    analyze count_zeros|describe|select|slice|find|check-endian
+            |verify_knn|verify_profiles|tune_ann|tune_compression
     compute knn
     convert file
     generate vectors|mktestdata
     merkle create|verify|summary|diff|path|treeview|spoilbits|spoilchunks
     catalog
-    datasets list
-    vectordata info|size|sample
+    datasets list|download|plan|curlify|prebuffer
+    vectordata info|views|profiles|size|sample|cat|prebuffer|verify
     corpus stats|run|tune_dedup (report / pipeline / dedup-parameter tuning)
     slab get|namespaces|check|analyze|import|append|export|rewrite
         (byte-compatible slabtastic .slab files — cli/CMD_slab_*.java)
@@ -94,6 +95,40 @@ def _cmd_analyze(args) -> int:
 
         _emit(describe(df, ordinal=args.ordinal_col, vec=args.vec_col).collect())
         return 0
+    if args.what == "select":
+        from nbdatatools_spark.operators.facets import select_by_ordinals
+
+        out = select_by_ordinals(df, _parse_ordinals(args.ordinals))
+        if args.output:
+            _write_vectors(out, args.output)
+            print(json.dumps({"selected": out.count(), "output": args.output}))
+        else:
+            _emit(out.orderBy("ordinal").collect())
+        return 0
+    if args.what == "slice":
+        from nbdatatools_spark.operators.windows import rebase_ordinals, window_slice
+
+        out = rebase_ordinals(window_slice(df, [args.window]))
+        if args.output:
+            _write_vectors(out, args.output)
+            print(json.dumps({"rows": out.count(), "output": args.output}))
+        else:
+            _emit(out.orderBy("ordinal").collect())
+        return 0
+    if args.what == "find":
+        from pyspark.sql import functions as F
+
+        from nbdatatools_spark.operators.analysis import is_zero_vector
+        from nbdatatools_spark.operators.facets import find_vectors
+
+        crit = (
+            is_zero_vector(F.col(args.vec_col))
+            if args.zero_vectors
+            else F.expr(args.where)
+        )
+        out = find_vectors(df, crit, limit=args.limit)
+        _emit(out.select("ordinal").orderBy("ordinal").collect())
+        return 0
     if args.what == "verify_knn":
         from nbdatatools_spark.operators.knn import verify_knn
 
@@ -114,6 +149,37 @@ def _cmd_analyze(args) -> int:
         mean_recall = rep[0]["mean_recall"] if rep else 0.0
         return 0 if mean_recall >= args.min_recall else 1
     raise SystemExit(2)
+
+
+def _cmd_check_endian(args) -> int:
+    """analyze check-endian (reference README.md:45): pure-Python header
+    plausibility probe — parse the first record header little-endian; when
+    implausible, retry big-endian and report the suspected byte order.
+    Exit 1 unless the file reads as well-formed little-endian xvec."""
+    import struct as _struct
+
+    from nbdatatools_spark.sources.xvec import _file_meta
+
+    path = args.input
+    try:
+        dim, stride, count = _file_meta(path)
+        print(json.dumps({
+            "path": path, "endianness": "little", "dim": dim,
+            "stride": stride, "count": count, "ok": True,
+        }))
+        return 0
+    except ValueError as e:
+        report = {"path": path, "ok": False, "error": str(e)}
+        try:
+            with open(path, "rb") as f:
+                (be_dim,) = _struct.unpack(">i", f.read(4))
+            if 0 < be_dim < 1_000_000:
+                report["endianness"] = "big-suspected"
+                report["be_dim"] = be_dim
+        except Exception:
+            pass
+        print(json.dumps(report))
+        return 1
 
 
 def _cmd_compute_knn(args) -> int:
@@ -246,6 +312,16 @@ def _cmd_vectordata(args) -> int:
     if args.what == "info":
         print(json.dumps(dataset_info(m), default=str))
         return 0
+    if args.what == "profiles":
+        for name in m.profiles:
+            print(json.dumps({"profile": name, "facets": sorted(m.profiles[name].facets)}))
+        return 0
+    if args.what == "views":
+        info = dataset_info(m)
+        for pname, prof in info.get("profiles", {}).items():
+            for kind, view in prof.items():
+                print(json.dumps({"profile": pname, "facet": kind, **view}, default=str))
+        return 0
     if args.what == "size":
         print(json.dumps(view_size(m, args.facet, args.profile), default=str))
         return 0
@@ -254,7 +330,60 @@ def _cmd_vectordata(args) -> int:
         rows = view_sample(spark, m, args.facet, n=args.n, profile=args.profile)
         _emit(rows if isinstance(rows, list) else rows.collect())
         return 0
+    if args.what == "cat":
+        spark = _spark()
+        df = m.facet(spark, args.facet, args.profile).orderBy("ordinal")
+        if args.limit:
+            df = df.limit(args.limit)
+        for row in df.toLocalIterator():  # stream, never collect the view
+            print(json.dumps(row.asDict(), default=str))
+        return 0
+    if args.what in ("prebuffer", "verify"):
+        from nbdatatools_spark.operators.facets import prebuffer
+
+        spark = _spark()
+        facets = [args.facet] if args.facet else sorted(m.profile(args.profile).facets)
+        reports = []
+        ok = True
+        for kind in facets:
+            df = m.facet(spark, kind, args.profile)
+            cached = prebuffer(df)
+            rep = {"facet": kind, "rows": cached.count()}
+            if args.what == "verify" and "vector" in cached.columns:
+                from pyspark.sql import functions as F
+
+                dims = cached.agg(
+                    F.min(F.size("vector")).alias("min_dim"),
+                    F.max(F.size("vector")).alias("max_dim"),
+                ).first()
+                rep["min_dim"], rep["max_dim"] = dims["min_dim"], dims["max_dim"]
+                rep["uniform_dim"] = dims["min_dim"] == dims["max_dim"]
+                ok = ok and rep["uniform_dim"]
+            reports.append(rep)
+        _emit(reports)
+        return 0 if ok else 1
     raise SystemExit(2)
+
+
+def _cmd_datasets_plan(args) -> int:
+    from nbdatatools_spark.sources.dataset import load_dataset, plan_missing_artifacts
+
+    _emit(plan_missing_artifacts(load_dataset(args.dataset)))
+    return 0
+
+
+def _cmd_datasets_curlify(args) -> int:
+    from nbdatatools_spark.sources.dataset import curlify, load_dataset
+
+    m = load_dataset(args.dataset)
+    for cmd in curlify(m, args.base_url, profiles=args.profiles):
+        print(cmd)
+    return 0
+
+
+def _cmd_datasets_prebuffer(args) -> int:
+    args.what = "prebuffer"
+    return _cmd_vectordata(args)
 
 
 def _cmd_tune_ann(args) -> int:
@@ -600,6 +729,28 @@ def build_parser() -> argparse.ArgumentParser:
         a.add_argument("--vec-col", default="vector")
         a.add_argument("--ordinal-col", default="ordinal")
         a.set_defaults(func=_cmd_analyze)
+    asel = an.add_parser("select")
+    asel.add_argument("--input", required=True)
+    asel.add_argument("--ordinals", required=True, help="e.g. 0,5,9..12")
+    asel.add_argument("--output", default=None)
+    asel.add_argument("--vec-col", default="vector")
+    asel.set_defaults(func=_cmd_analyze)
+    asl = an.add_parser("slice")
+    asl.add_argument("--input", required=True)
+    asl.add_argument("--window", required=True, help="a..b (re-based)")
+    asl.add_argument("--output", default=None)
+    asl.add_argument("--vec-col", default="vector")
+    asl.set_defaults(func=_cmd_analyze)
+    af = an.add_parser("find")
+    af.add_argument("--input", required=True)
+    af.add_argument("--where", default=None, help="SQL criteria over (ordinal, vector)")
+    af.add_argument("--zero-vectors", action="store_true")
+    af.add_argument("--limit", type=int, default=None)
+    af.add_argument("--vec-col", default="vector")
+    af.set_defaults(func=_cmd_analyze)
+    ae = an.add_parser("check-endian")
+    ae.add_argument("--input", required=True)
+    ae.set_defaults(func=_cmd_check_endian)
     vk = an.add_parser("verify_knn")
     vk.add_argument("--input", required=True, help="base vectors")
     vk.add_argument("--queries", required=True)
@@ -697,6 +848,19 @@ def build_parser() -> argparse.ArgumentParser:
     ct.set_defaults(func=_cmd_catalog, what=None)
 
     ds = sub.add_parser("datasets").add_subparsers(dest="what", required=True)
+    dp = ds.add_parser("plan")
+    dp.add_argument("--dataset", required=True)
+    dp.set_defaults(func=_cmd_datasets_plan)
+    dc = ds.add_parser("curlify")
+    dc.add_argument("--dataset", required=True)
+    dc.add_argument("--base-url", required=True)
+    dc.add_argument("--profiles", nargs="*", default=None)
+    dc.set_defaults(func=_cmd_datasets_curlify)
+    dpb = ds.add_parser("prebuffer")
+    dpb.add_argument("--dataset", required=True)
+    dpb.add_argument("--facet", default=None)
+    dpb.add_argument("--profile", default=None)
+    dpb.set_defaults(func=_cmd_datasets_prebuffer)
     dl = ds.add_parser("list")
     dl.add_argument("--catalog", required=True)
     dl.set_defaults(func=_cmd_datasets_list)
@@ -707,6 +871,22 @@ def build_parser() -> argparse.ArgumentParser:
     dd.set_defaults(func=_cmd_datasets_download)
 
     vd = sub.add_parser("vectordata").add_subparsers(dest="what", required=True)
+    for w in ("views", "profiles"):
+        vv = vd.add_parser(w)
+        vv.add_argument("--dataset", required=True)
+        vv.set_defaults(func=_cmd_vectordata)
+    vc = vd.add_parser("cat")
+    vc.add_argument("--dataset", required=True)
+    vc.add_argument("--facet", default="base")
+    vc.add_argument("--profile", default=None)
+    vc.add_argument("--limit", type=int, default=None)
+    vc.set_defaults(func=_cmd_vectordata)
+    for w in ("prebuffer", "verify"):
+        vpb = vd.add_parser(w)
+        vpb.add_argument("--dataset", required=True)
+        vpb.add_argument("--facet", default=None)
+        vpb.add_argument("--profile", default=None)
+        vpb.set_defaults(func=_cmd_vectordata)
     vi = vd.add_parser("info")
     vi.add_argument("--dataset", required=True)
     vi.set_defaults(func=_cmd_vectordata)

@@ -91,6 +91,7 @@ _SRC_RX = re.compile(
 class FacetSpec:
     source: str
     window: list[tuple[int, int]] | None = None
+    type: str | None = None  # 'xvec' | 'virtdata' | None (inferred)
 
     @classmethod
     def parse(cls, spec) -> "FacetSpec":
@@ -100,6 +101,8 @@ class FacetSpec:
             base = cls.parse(src)
             if win is not None:
                 base.window = _parse_window_sugar(str(win))
+            if spec.get("type") is not None:
+                base.type = str(spec["type"])
             return base
         m = _SRC_RX.match(str(spec))
         if not m:
@@ -110,6 +113,13 @@ class FacetSpec:
         elif m.group("count"):
             window = [(0, int(m.group("count")))]
         return cls(source=m.group("path").strip(), window=window)
+
+    def resolved_type(self) -> str:
+        """Type-inference rules (dataset_yaml_v1.md:91-94): explicit type
+        wins; paths ending in .json are virtdata; everything else xvec."""
+        if self.type:
+            return self.type
+        return "virtdata" if self.source.endswith(".json") else "xvec"
 
 
 def _parse_window_sugar(text: str) -> list[tuple[int, int]]:
@@ -123,6 +133,41 @@ def _parse_window_sugar(text: str) -> list[tuple[int, int]]:
         else:
             out.append((0, parse_unit_count(part)))
     return out
+
+
+def _virtdata_facet(spark: SparkSession, model_path: str, spec: "FacetSpec") -> DataFrame:
+    """Resolve a virtdata facet: load the model JSON (per-space generator
+    parameters; deterministic on the vector index per dataset_yaml_v1.md
+    §3.2) and produce the (ordinal, vector) frame via the counter-based
+    generator. The view size comes from the facet window (``model.json[N]``
+    sugar) or the model's own ``count``."""
+    import json
+
+    from nbdatatools_spark.datagen import generate_vectors
+
+    with open(model_path) as fh:
+        model = json.load(fh)
+    if "dimensions" not in model:
+        raise ValueError(f"virtdata model {model_path} must declare 'dimensions'")
+    if spec.window:
+        count = max(b for _, b in spec.window)
+    elif "count" in model:
+        count = int(model["count"])
+    else:
+        raise ValueError(
+            f"virtdata facet {model_path} needs a window (model.json[N]) or a "
+            f"'count' in the model JSON"
+        )
+    return generate_vectors(
+        spark,
+        count=count,
+        dimensions=int(model["dimensions"]),
+        seed=int(model.get("seed", 42)),
+        variability=float(model.get("variability", 1.0)),
+        scale=float(model.get("scale", 0.0)),
+        zeroes_proportion=float(model.get("zeroes_proportion", 0.0)),
+        duplicates_proportion=float(model.get("duplicates_proportion", 0.0)),
+    )
 
 
 @dataclass
@@ -285,17 +330,24 @@ class DatasetManifest:
         path = spec.source
         if not os.path.isabs(path):
             path = os.path.join(self.root, path)
-        ext = path.rsplit(".", 1)[-1].lower()
-        if ext in ("parquet",):
-            df = spark.read.parquet(path)
-        elif ext == "csv":
-            from nbdatatools_spark.sources.csv_vec import read_csv_vectors
-
-            df = read_csv_vectors(spark, path)
+        if spec.resolved_type() == "virtdata":
+            # model-backed generated view (dataset_yaml_v1.md:89-94,143-145;
+            # reference downloader/VirtualVectorTestDataView.java): the
+            # model JSON declares the generator parameters, vector i is a
+            # pure function of (seed, i) — datagen.generate_vectors
+            df = _virtdata_facet(spark, path, spec)
         else:
-            from nbdatatools_spark.sources.xvec import read_xvec
+            ext = path.rsplit(".", 1)[-1].lower()
+            if ext in ("parquet",):
+                df = spark.read.parquet(path)
+            elif ext == "csv":
+                from nbdatatools_spark.sources.csv_vec import read_csv_vectors
 
-            df = read_xvec(spark, path)
+                df = read_csv_vectors(spark, path)
+            else:
+                from nbdatatools_spark.sources.xvec import read_xvec
+
+                df = read_xvec(spark, path)
         if spec.window:
             df = window_slice(df, [f"{a}..{b}" for a, b in spec.window])
         return df

@@ -1,0 +1,125 @@
+"""Round-5 CLI completion (VERDICT r4 Missing #4): analyze
+select/slice/find/check-endian, datasets plan/curlify/prebuffer,
+vectordata views/profiles/cat/prebuffer/verify — all operators existed;
+these tests pin the command wiring (reference README.md:42-79)."""
+
+import json
+import os
+import struct
+
+from nbdatatools_spark.__main__ import main
+from nbdatatools_spark.datagen import make_test_dataset
+
+
+def _mkds(spark, tmp_path, **kw):
+    root = str(tmp_path / "ds")
+    make_test_dataset(spark, root, n_base=60, n_query=6, dimensions=4, k=3,
+                      seed=11, **kw)
+    return root
+
+
+def test_analyze_select_slice_find(spark, tmp_path, capsys):
+    root = _mkds(spark, tmp_path)
+    base = os.path.join(root, "base.fvec")
+
+    assert main(["analyze", "select", "--input", base, "--ordinals", "3,10..12"]) == 0
+    rows = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert [r["ordinal"] for r in rows] == [3, 10, 11, 12]
+
+    out = str(tmp_path / "sel.fvec")
+    assert main(["analyze", "select", "--input", base, "--ordinals", "0..4",
+                 "--output", out]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["selected"] == 5 and os.path.exists(out)
+
+    # slice re-bases ordinals to 0..n
+    assert main(["analyze", "slice", "--input", base, "--window", "20..25"]) == 0
+    rows = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert [r["ordinal"] for r in rows] == [0, 1, 2, 3, 4]
+
+    assert main(["analyze", "find", "--input", base,
+                 "--where", "ordinal % 17 = 0", "--limit", "3"]) == 0
+    rows = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert {r["ordinal"] for r in rows} <= {0, 17, 34, 51} and len(rows) == 3
+
+
+def test_analyze_find_zero_vectors(spark, tmp_path, capsys):
+    from nbdatatools_spark.datagen import generate_vectors
+    from nbdatatools_spark.sources.xvec import write_xvec
+
+    base = str(tmp_path / "zeros.fvec")
+    write_xvec(
+        generate_vectors(spark, count=60, dimensions=4, seed=11,
+                         zeroes_proportion=0.2),
+        base,
+    )
+    assert main(["analyze", "find", "--input", base, "--zero-vectors"]) == 0
+    found = {json.loads(x)["ordinal"] for x in capsys.readouterr().out.strip().splitlines()}
+    assert found  # the 20% zero set is found through the CLI
+    assert main(["analyze", "count_zeros", "--input", base]) == 0
+    nz = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert nz["n_zero"] == len(found)
+
+
+def test_check_endian(tmp_path, capsys):
+    good = tmp_path / "good.fvec"
+    with open(good, "wb") as f:
+        for _ in range(3):
+            f.write(struct.pack("<i", 4) + struct.pack("<4f", 1, 2, 3, 4))
+    assert main(["analyze", "check-endian", "--input", str(good)]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["ok"] and rep["endianness"] == "little" and rep["dim"] == 4
+
+    bad = tmp_path / "be.fvec"
+    with open(bad, "wb") as f:
+        for _ in range(3):
+            f.write(struct.pack(">i", 4) + struct.pack(">4f", 1, 2, 3, 4))
+    assert main(["analyze", "check-endian", "--input", str(bad)]) == 1
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert not rep["ok"] and rep["endianness"] == "big-suspected" and rep["be_dim"] == 4
+
+
+def test_datasets_plan_curlify_prebuffer(spark, tmp_path, capsys):
+    root = _mkds(spark, tmp_path)
+    # plan: drop one artifact -> it shows up as missing
+    os.rename(os.path.join(root, "query.fvec"), os.path.join(root, "query.bak"))
+    assert main(["datasets", "plan", "--dataset", root]) == 0
+    missing = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert {m["facet"] for m in missing} == {"query_vectors"}
+    os.rename(os.path.join(root, "query.bak"), os.path.join(root, "query.fvec"))
+
+    assert main(["datasets", "curlify", "--dataset", root,
+                 "--base-url", "http://example.com/ds"]) == 0
+    cmds = capsys.readouterr().out.strip().splitlines()
+    assert cmds and all(c.startswith("curl") for c in cmds)
+    assert any("base.fvec" in c for c in cmds)
+
+    assert main(["datasets", "prebuffer", "--dataset", root, "--facet", "base"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows"] == 60
+
+
+def test_vectordata_views_profiles_cat_verify(spark, tmp_path, capsys):
+    root = _mkds(spark, tmp_path)
+
+    assert main(["vectordata", "profiles", "--dataset", root]) == 0
+    profs = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert any(p["profile"] == "default" for p in profs)
+    assert "base_vectors" in profs[0]["facets"]
+
+    assert main(["vectordata", "views", "--dataset", root]) == 0
+    views = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert {v["facet"] for v in views} >= {"base_vectors", "query_vectors"}
+    assert all("source" in v for v in views)
+
+    assert main(["vectordata", "cat", "--dataset", root, "--facet", "base",
+                 "--limit", "4"]) == 0
+    rows = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert [r["ordinal"] for r in rows] == [0, 1, 2, 3]
+    assert len(rows[0]["vector"]) == 4
+
+    assert main(["vectordata", "verify", "--dataset", root]) == 0
+    reps = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    by_facet = {r["facet"]: r for r in reps}
+    assert by_facet["base_vectors"]["rows"] == 60
+    assert by_facet["base_vectors"]["uniform_dim"] is True
