@@ -4,9 +4,9 @@ reference user can run the same commands against the Spark engine:
 
     analyze count_zeros|describe|select|slice|find|check-endian
             |verify_knn|verify_profiles|tune_ann|tune_compression
-    compute knn
+    compute knn|sort
     convert file
-    generate vectors|mktestdata
+    generate vectors|dataset|mktestdata|fvec-extract|ivec-extract|ivec-shuffle
     merkle create|verify|summary|diff|path|treeview|spoilbits|spoilchunks
     catalog
     datasets list|download|plan|curlify|prebuffer
@@ -221,7 +221,9 @@ def _cmd_generate(args) -> int:
         )
         _write_vectors(df, args.output)
         return 0
-    if args.what == "mktestdata":
+    if args.what in ("mktestdata", "dataset"):
+        # 'generate dataset' (README.md:58) = sample dataset WITH its
+        # dataset.yaml; make_test_dataset writes the manifest already
         from nbdatatools_spark.datagen import make_test_dataset
 
         m = make_test_dataset(
@@ -235,7 +237,54 @@ def _cmd_generate(args) -> int:
         )
         print(json.dumps({"dir": args.dir, "profiles": sorted(m.profiles)}))
         return 0
+    if args.what in ("fvec-extract", "ivec-extract"):
+        # P12 slice composition (README.md:61-62): window + re-base + write
+        from nbdatatools_spark.operators.windows import rebase_ordinals, window_slice
+
+        df = _read_vectors(spark, args.input)
+        out = rebase_ordinals(window_slice(df, [args.window]))
+        _write_vectors(out, args.output)
+        print(json.dumps({"rows": out.count(), "output": args.output}))
+        return 0
+    if args.what == "ivec-shuffle":
+        # U4 (README.md:63): seeded permutation with fresh 0-based ordinals
+        from pyspark.sql import functions as F
+
+        from nbdatatools_spark.operators.shuffle import seeded_shuffle
+
+        df = _read_vectors(spark, args.input)
+        out = seeded_shuffle(df, seed=args.seed).select(
+            F.col("new_ordinal").alias("ordinal"), "vector"
+        )
+        _write_vectors(out, args.output)
+        print(json.dumps({"rows": out.count(), "seed": args.seed, "output": args.output}))
+        return 0
     raise SystemExit(2)
+
+
+def _cmd_compute_sort(args) -> int:
+    """compute sort (README.md:55): external merge sort for vectors —
+    Spark's sort IS the distributed external sort (spillable per-partition
+    sort + range-partitioned merge). Keys: ordinal or L2 norm."""
+    from pyspark.sql import functions as F
+
+    from nbdatatools_spark.functions.distance import l2_norm
+    from nbdatatools_spark.operators.windows import global_row_index
+
+    spark = _spark()
+    df = _read_vectors(spark, args.input)
+    key = l2_norm(F.col("vector")) if args.by == "norm" else F.col("ordinal")
+    key = key.desc() if args.desc else key.asc()
+    # renumber 0..n-1 along the sort key (two-phase partition-offset index,
+    # no single-reducer window)
+    out = (
+        global_row_index(df, [key], out="__new")
+        .drop("ordinal")
+        .withColumnRenamed("__new", "ordinal")
+    )
+    _write_vectors(out.select("ordinal", "vector"), args.output)
+    print(json.dumps({"rows": out.count(), "by": args.by, "output": args.output}))
+    return 0
 
 
 def _cmd_merkle(args) -> int:
@@ -795,6 +844,12 @@ def build_parser() -> argparse.ArgumentParser:
     kn.add_argument("--out-distances")
     kn.add_argument("--limit", type=int, default=20)
     kn.set_defaults(func=_cmd_compute_knn)
+    cso = co.add_parser("sort")
+    cso.add_argument("--input", required=True)
+    cso.add_argument("--output", required=True)
+    cso.add_argument("--by", choices=("ordinal", "norm"), default="ordinal")
+    cso.add_argument("--desc", action="store_true")
+    cso.set_defaults(func=_cmd_compute_sort)
 
     cv = sub.add_parser("convert").add_subparsers(dest="what", required=True)
     cf = cv.add_parser("file")
@@ -811,14 +866,26 @@ def build_parser() -> argparse.ArgumentParser:
     gv.add_argument("--zeroes", type=float, default=0.0)
     gv.add_argument("--duplicates", type=float, default=0.0)
     gv.set_defaults(func=_cmd_generate)
-    gm = gn.add_parser("mktestdata")
-    gm.add_argument("--dir", required=True)
-    gm.add_argument("--n-base", type=int, default=1000)
-    gm.add_argument("--n-query", type=int, default=100)
-    gm.add_argument("--dimensions", type=int, default=16)
-    gm.add_argument("--k", type=int, default=10)
-    gm.add_argument("--seed", type=int, default=42)
-    gm.set_defaults(func=_cmd_generate)
+    for w in ("mktestdata", "dataset"):
+        gm = gn.add_parser(w)
+        gm.add_argument("--dir", required=True)
+        gm.add_argument("--n-base", type=int, default=1000)
+        gm.add_argument("--n-query", type=int, default=100)
+        gm.add_argument("--dimensions", type=int, default=16)
+        gm.add_argument("--k", type=int, default=10)
+        gm.add_argument("--seed", type=int, default=42)
+        gm.set_defaults(func=_cmd_generate)
+    for w in ("fvec-extract", "ivec-extract"):
+        ge = gn.add_parser(w)
+        ge.add_argument("--input", required=True)
+        ge.add_argument("--window", required=True)
+        ge.add_argument("--output", required=True)
+        ge.set_defaults(func=_cmd_generate)
+    gs = gn.add_parser("ivec-shuffle")
+    gs.add_argument("--input", required=True)
+    gs.add_argument("--output", required=True)
+    gs.add_argument("--seed", type=int, default=42)
+    gs.set_defaults(func=_cmd_generate)
 
     mkp = sub.add_parser("merkle").add_subparsers(dest="what", required=True)
     for w, extra in (

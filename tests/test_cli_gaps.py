@@ -99,6 +99,54 @@ def test_datasets_plan_curlify_prebuffer(spark, tmp_path, capsys):
     assert rep["rows"] == 60
 
 
+def test_generate_extract_shuffle_sort(spark, tmp_path, capsys):
+    """generate dataset / fvec-extract / ivec-extract / ivec-shuffle and
+    compute sort (reference README.md:52-63)."""
+    from nbdatatools_spark.sources.xvec import read_xvec
+
+    root = str(tmp_path / "gds")
+    assert main(["generate", "dataset", "--dir", root, "--n-base", "40",
+                 "--n-query", "12", "--dimensions", "4", "--k", "3"]) == 0
+    assert os.path.exists(os.path.join(root, "dataset.yaml"))
+    capsys.readouterr()
+
+    base = os.path.join(root, "base.fvec")
+    ext = str(tmp_path / "ext.fvec")
+    assert main(["generate", "fvec-extract", "--input", base,
+                 "--window", "10..20", "--output", ext]) == 0
+    sliced = read_xvec(spark, ext).orderBy("ordinal").collect()
+    full = read_xvec(spark, base).orderBy("ordinal").collect()
+    assert [r["ordinal"] for r in sliced] == list(range(10))
+    assert sliced[0]["vector"] == full[10]["vector"]  # re-based, same data
+    capsys.readouterr()
+
+    idx = os.path.join(root, "indices.ivec")
+    iext = str(tmp_path / "iext.ivec")
+    assert main(["generate", "ivec-extract", "--input", idx,
+                 "--window", "0..2", "--output", iext]) == 0
+    assert read_xvec(spark, iext).count() == 2
+    capsys.readouterr()
+
+    shuf = str(tmp_path / "shuf.ivec")
+    assert main(["generate", "ivec-shuffle", "--input", idx,
+                 "--output", shuf, "--seed", "9"]) == 0
+    orig = [tuple(r["vector"]) for r in read_xvec(spark, idx).orderBy("ordinal").collect()]
+    got = [tuple(r["vector"]) for r in read_xvec(spark, shuf).orderBy("ordinal").collect()]
+    assert sorted(got) == sorted(orig) and got != orig  # permutation, moved
+    capsys.readouterr()
+
+    srt = str(tmp_path / "sorted.fvec")
+    assert main(["compute", "sort", "--input", base, "--by", "norm",
+                 "--output", srt]) == 0
+    import math
+
+    norms = [
+        math.sqrt(sum(x * x for x in r["vector"]))
+        for r in read_xvec(spark, srt).orderBy("ordinal").collect()
+    ]
+    assert norms == sorted(norms)
+
+
 def test_vectordata_views_profiles_cat_verify(spark, tmp_path, capsys):
     root = _mkds(spark, tmp_path)
 
