@@ -670,3 +670,155 @@ def write_slab_binary(df, path: str, preferred_page_size: int = 65536,
                 os.unlink(writer.path)
         raise
     return n
+
+
+# ---------------------------------------------------------------------------
+# slab as a first-class Spark data source (Python DataSource API, Spark 4) —
+# the X1 registered-reader pattern, same as sources/xvec_datasource.py:
+#
+#     register_slab_source(spark)
+#     df = spark.read.format("slab").load("/data/file.slab")
+#     df.write.format("slab").save("/data/outdir")        # sharded egress
+#
+# Read planning: the driver reads only the trailing index; one
+# InputPartition per data page (row-group shape), executors decode their
+# own byte ranges into Arrow batches. Write: one part-*.slab shard per
+# partition + commit-protocol MANIFEST — ordinals must ascend per
+# namespace WITHIN each partition (sortWithinPartitions upstream), the
+# writer's strictly-ascending check raises a clear error otherwise.
+# ---------------------------------------------------------------------------
+
+
+try:
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        DataSourceWriter,
+        InputPartition,
+        WriterCommitMessage,
+    )
+except ImportError:  # pragma: no cover - pyspark<4 has no Python DataSource API
+    DataSource = object  # type: ignore[assignment]
+
+
+class SlabPagePartition(InputPartition):
+    def __init__(self, path, namespace, offset):
+        self.path = path
+        self.namespace = namespace
+        self.offset = offset
+
+
+class SlabDataSourceReader(DataSourceReader):
+    def __init__(self, options):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("slab source requires a path: .load('/data/x.slab')")
+        only_ns = options.get("namespace")
+        self._parts: list[SlabPagePartition] = []
+        reader = SlabBinaryReader(self._path)
+        try:
+            names = [only_ns] if only_ns is not None else reader.namespaces()
+            for name in names:
+                self._parts.extend(
+                    SlabPagePartition(self._path, name, off)
+                    for _, off in reader.page_entries(name)
+                )
+        finally:
+            reader.close()
+
+    def partitions(self):
+        return self._parts or [SlabPagePartition(None, "", 0)]
+
+    def read(self, part: SlabPagePartition):
+        import pyarrow as pa
+
+        if part.path is None:
+            return
+        with open(part.path, "rb") as fh:
+            fh.seek(part.offset)
+            head = fh.read(HEADER_SIZE)
+            (page_size,) = struct.unpack("<I", head[4:8])
+            fh.seek(part.offset)
+            footer, records = decode_page(fh.read(page_size), part.offset)
+        n = footer.record_count
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([part.namespace] * n, type=pa.string()),
+                pa.array(range(footer.start_ordinal, footer.start_ordinal + n),
+                         type=pa.int64()),
+                pa.array(records, type=pa.binary()),
+            ],
+            ["namespace", "ordinal", "data"],
+        )
+
+
+class SlabShardCommit(WriterCommitMessage):
+    def __init__(self, file, n):
+        self.file = file
+        self.n = n
+
+
+class SlabDataSourceWriter(DataSourceWriter):
+    def __init__(self, options, overwrite):
+        self._dir = options.get("path")
+        if not self._dir:
+            raise ValueError("slab writer requires a path: .save('/data/outdir')")
+        self._page_size = int(options.get("preferred_page_size", 65536))
+
+    def write(self, iterator):
+        import uuid
+
+        os.makedirs(self._dir, exist_ok=True)
+        fname = os.path.join(self._dir, f"part-{uuid.uuid4().hex[:12]}.slab")
+        n = 0
+        writer = SlabBinaryWriter(fname, preferred_page_size=self._page_size)
+        with writer:
+            for row in iterator:
+                ns, ordinal, data = row[0] or "", int(row[1]), bytes(row[2])
+                writer.write(ordinal, data, ns)
+                n += 1
+        if n == 0:
+            os.remove(fname)
+            return SlabShardCommit(None, 0)
+        return SlabShardCommit(os.path.basename(fname), n)
+
+    def commit(self, messages):
+        import json as _json
+
+        shards = [(m.file, m.n) for m in messages if m is not None and m.file]
+        with open(os.path.join(self._dir, "MANIFEST.json"), "w") as f:
+            _json.dump(
+                {"format": "slab", "shards": sorted(shards),
+                 "rows": sum(c for _, c in shards)},
+                f,
+            )
+
+    def abort(self, messages):
+        for m in messages or []:
+            if m is not None and getattr(m, "file", None):
+                try:
+                    os.remove(os.path.join(self._dir, m.file))
+                except OSError:
+                    pass
+
+
+class SlabDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "slab"
+
+    def schema(self) -> str:
+        return SLAB_BINARY_SCHEMA
+
+    def reader(self, schema) -> SlabDataSourceReader:
+        return SlabDataSourceReader(self.options)
+
+    def writer(self, schema, overwrite) -> SlabDataSourceWriter:
+        return SlabDataSourceWriter(self.options, overwrite)
+
+
+def register_slab_source(spark) -> None:
+    """Register the slab format on this session:
+    ``spark.read.format('slab').load(path)`` /
+    ``df.write.format('slab').save(dir)``."""
+    spark.dataSource.register(SlabDataSource)

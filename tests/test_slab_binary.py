@@ -302,6 +302,45 @@ def test_slab_cli_tour(spark, tmp_path, capsys):
     assert "offset" in json.loads(capsys.readouterr().out.strip())["error"]
 
 
+def test_slab_registered_datasource(spark, tmp_path):
+    """spark.read.format('slab') / df.write.format('slab') — the X1
+    registered-source surface, parity with read_slab_binary and the
+    sharded-egress commit protocol (MANIFEST only on success)."""
+    from nbdatatools_spark.sources.slab_binary import register_slab_source
+
+    register_slab_source(spark)
+    rows = [("", i, b"r%d" % i) for i in range(300)] + [
+        ("aux", i, b"a%d" % i) for i in range(40)
+    ]
+    path = _write(tmp_path / "ds.slab", rows, preferred_page_size=1024)
+
+    df = spark.read.format("slab").load(path)
+    got = sorted((r["namespace"], r["ordinal"], bytes(r["data"])) for r in df.collect())
+    assert got == sorted(rows)
+    # namespace option prunes pages at planning time
+    aux = spark.read.format("slab").option("namespace", "aux").load(path)
+    assert aux.count() == 40
+
+    # sharded write: ascending ordinals within each partition
+    out_dir = str(tmp_path / "shards")
+    (
+        df.repartition(3, "namespace")
+        .sortWithinPartitions("namespace", "ordinal")
+        .write.format("slab")
+        .mode("overwrite")
+        .save(out_dir)
+    )
+    import json as _json
+
+    manifest = _json.load(open(os.path.join(out_dir, "MANIFEST.json")))
+    assert manifest["rows"] == 340
+    back = []
+    for shard, _n in manifest["shards"]:
+        with SlabBinaryReader(os.path.join(out_dir, shard)) as r:
+            back.extend(r.iter_records())
+    assert sorted(back) == sorted(rows)
+
+
 def test_slab_binary_to_parquet_store_bridge(spark, tmp_path):
     """.slab -> Parquet SlabStore -> .slab: the interop path a reference
     user takes to move existing artifacts onto the engine's at-scale
