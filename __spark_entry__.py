@@ -3073,6 +3073,84 @@ def q22_idle_customers(spark, sf_dir):
 # Driver contract
 # ---------------------------------------------------------------------------
 
+def corpus_pmi_bigrams(spark, sf_dir):
+    """Top-50 PMI collocations (lm.py::pmi_bigrams, Church & Hanks 1990):
+    adjacent-pair mutual information over the corpus — the boilerplate /
+    collocation detector. Vocab-keyed aggregates + two equi-joins +
+    TakeOrderedAndProject; totals are two bounded driver scalars (the
+    bm25 pattern). pmi = round(ln of exact integer ratios, 6)."""
+    from nbdatatools_spark.operators.lm import pmi_bigrams
+
+    return pmi_bigrams(_t(spark, sf_dir, "documents"), min_count=5, top_k=50).select(
+        F.col("left").alias("w1"),
+        F.col("right").alias("w2"),
+        "n_pair",
+        "pmi",
+        "rank",
+    )
+
+
+def corpus_zipf_fit(spark, sf_dir):
+    """Zipf rank-frequency fit (analysis.py::zipf_fit): least-squares
+    ln(freq)~ln(rank) over the top-500 vocabulary — one-row corpus-health
+    readout (slope/intercept/R^2). Partial top-k feeds a <=500-row rank
+    window; regression terms 9dp-rounded and DECIMAL-summed."""
+    from nbdatatools_spark.operators.analysis import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"), top_v=500, min_count=2)
+
+
+def doc_winnow_pairs(spark, sf_dir):
+    """Partial-duplicate candidates via winnowing fingerprint overlap
+    (dedup.py::winnow_candidate_pairs, the MOSS join): fingerprint
+    equi-join with a hot-bucket cap — never doc x doc. Docs sharing >= 3
+    selected fingerprints (shared substrings >= k+w-1 chars each)."""
+    from nbdatatools_spark.operators.dedup import winnow_candidate_pairs
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return winnow_candidate_pairs(
+        docs, k=5, w=4, min_shared=3, max_bucket=200, portable=True
+    ).orderBy("id_a", "id_b")
+
+
+def doc_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity tiers (lm.py::perplexity_buckets,
+    Wenzek et al. 1911.00359 §4.3): bigram-LM score every doc, rank via
+    the two-phase partition-offset global index (no single-reducer
+    window), cut into 3 equal-count tiers with pure integer arithmetic
+    (nb*rank DIV n — no double-boundary hazard)."""
+    from nbdatatools_spark.operators.lm import perplexity_buckets
+
+    return perplexity_buckets(_t(spark, sf_dir, "documents"), n_buckets=3).orderBy(
+        "doc_id"
+    )
+
+
+def corpus_source_overlap(spark, sf_dir):
+    """Cross-slice contamination matrix (dedup.py::source_overlap_matrix):
+    distinct shared word 5-grams + gram-set Jaccard for every source pair.
+    Grams shuffle as xxhash64 digests only; the overlap join is
+    digest-keyed with per-digest buckets bounded by |slices|."""
+    from nbdatatools_spark.operators.dedup import source_overlap_matrix
+
+    return source_overlap_matrix(
+        _t(spark, sf_dir, "documents"), group_col="source", n=5
+    ).orderBy("slice_a", "slice_b")
+
+
+def doc_remove_dup_spans(spark, sf_dir):
+    """ExactSubstr duplicated-span removal (dedup.py::remove_duplicate_spans,
+    Lee et al. 2107.06499): every 13-token window occurring >= 2 times in
+    the corpus is cut from every doc; kept tokens re-joined. Digest-keyed
+    count + one digest equi-join; per-doc mask via sort-based
+    array_except."""
+    from nbdatatools_spark.operators.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(
+        _t(spark, sf_dir, "documents"), k=13, min_occurrences=2
+    ).orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3270,6 +3348,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_part_suppliers": q20_part_suppliers,
         "q21_late_sole_suppliers": q21_late_sole_suppliers,
         "q22_idle_customers": q22_idle_customers,
+        # -- round-5 additions (never recorded; window full) --
+        "corpus_pmi_bigrams": corpus_pmi_bigrams,
+        "corpus_zipf_fit": corpus_zipf_fit,
+        "doc_winnow_pairs": doc_winnow_pairs,
+        "doc_perplexity_buckets": doc_perplexity_buckets,
+        "corpus_source_overlap": corpus_source_overlap,
+        "doc_remove_dup_spans": doc_remove_dup_spans,
     }
 
 
@@ -3288,6 +3373,12 @@ PENDING_FIRST_RECORDING = frozenset(
         "q20_part_suppliers",
         "q21_late_sole_suppliers",
         "q22_idle_customers",
+        "corpus_pmi_bigrams",
+        "corpus_zipf_fit",
+        "doc_winnow_pairs",
+        "doc_perplexity_buckets",
+        "corpus_source_overlap",
+        "doc_remove_dup_spans",
     }
 )
 
@@ -4814,6 +4905,214 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS grade_consistent, TRUE AS qq_in_bound,
                    TRUE AS modes_positive
             FROM m ORDER BY dim
+        """,
+        # PMI collocations: exact integer count ratios, one 6dp-rounded ln,
+        # (pmi DESC, w1, w2) rank; P counts ALL adjacent positions (incl.
+        # empty tokens) exactly like the engine's greatest(size-1, 0)
+        "corpus_pmi_bigrams": """
+            WITH toks AS (
+                SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t
+                FROM documents),
+            uni AS (SELECT u.w AS w, count(*) AS n1
+                    FROM toks, unnest(t) AS u(w) WHERE u.w <> '' GROUP BY u.w),
+            tot AS (SELECT CAST(sum(n1) AS DOUBLE) AS n FROM uni),
+            ptot AS (SELECT CAST(sum(greatest(len(t) - 1, 0)) AS DOUBLE) AS p
+                     FROM toks),
+            prs AS (SELECT t[i-1] AS l, t[i] AS r
+                    FROM (SELECT t, unnest(generate_series(2, len(t))) AS i
+                          FROM toks)
+                    WHERE t[i-1] <> '' AND t[i] <> ''),
+            pc AS (SELECT l, r, count(*) AS n_pair FROM prs
+                   GROUP BY l, r HAVING count(*) >= 5),
+            scored AS (
+                SELECT pc.l AS w1, pc.r AS w2, pc.n_pair,
+                       round(ln((n_pair / p) / ((ul.n1 / n) * (ur.n1 / n))), 6) AS pmi
+                FROM pc JOIN uni ul ON pc.l = ul.w
+                        JOIN uni ur ON pc.r = ur.w, tot, ptot)
+            SELECT w1, w2, n_pair, pmi,
+                   CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS INT) AS rank
+            FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 50
+        """,
+        # Zipf fit: 9dp regression terms DECIMAL-summed, closed-form
+        # slope/intercept/R^2 with IDENTICAL expression trees both engines
+        "corpus_zipf_fit": """
+            WITH toks AS (
+                SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t
+                FROM documents),
+            cnt AS (SELECT u.w AS w, count(*) AS n
+                    FROM toks, unnest(t) AS u(w) WHERE u.w <> ''
+                    GROUP BY u.w HAVING count(*) >= 2),
+            top AS (SELECT w, n FROM cnt ORDER BY n DESC, w ASC LIMIT 500),
+            xy AS (SELECT
+                       round(ln(CAST(row_number() OVER (ORDER BY n DESC, w ASC)
+                                     AS DOUBLE)), 9) AS x,
+                       round(ln(CAST(n AS DOUBLE)), 9) AS y
+                   FROM top),
+            s AS (SELECT
+                      CAST(count(*) AS DOUBLE) AS v,
+                      CAST(sum(CAST(round(x, 9) AS DECIMAL(30,9))) AS DOUBLE) AS sx,
+                      CAST(sum(CAST(round(y, 9) AS DECIMAL(30,9))) AS DOUBLE) AS sy,
+                      CAST(sum(CAST(round(x * x, 9) AS DECIMAL(30,9))) AS DOUBLE) AS sxx,
+                      CAST(sum(CAST(round(x * y, 9) AS DECIMAL(30,9))) AS DOUBLE) AS sxy,
+                      CAST(sum(CAST(round(y * y, 9) AS DECIMAL(30,9))) AS DOUBLE) AS syy
+                  FROM xy)
+            SELECT CAST(v AS BIGINT) AS n_ranks,
+                   round((v * sxy - sx * sy) / (v * sxx - sx * sx), 6) AS slope,
+                   round((sy - ((v * sxy - sx * sy) / (v * sxx - sx * sx)) * sx) / v,
+                         6) AS intercept,
+                   round(((v * sxy - sx * sy)
+                          / (sqrt(v * sxx - sx * sx) * sqrt(v * syy - sy * sy)))
+                         * ((v * sxy - sx * sy)
+                            / (sqrt(v * sxx - sx * sx) * sqrt(v * syy - sy * sy))),
+                         6) AS r_squared
+            FROM s
+        """,
+        # winnowing pair candidates: same md5-prefix fingerprint pipeline
+        # as doc_winnow_fingerprints, hot-bucket drop, fingerprint
+        # equi-join with (id_a < id_b), >= 3 shared
+        "doc_winnow_pairs": """
+            WITH nrm AS (
+                SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                FROM documents WHERE doc_id < 300),
+            h AS (
+                SELECT doc_id,
+                       list_transform(
+                           list_transform(range(1, greatest(length(t) - 4, 1) + 1),
+                                          i -> substring(t, CAST(i AS INT), 5)),
+                           g -> ('0x' || substring(md5(g), 1, 15))::BIGINT) AS hs
+                FROM nrm),
+            fp AS (
+                SELECT doc_id,
+                       list_distinct(
+                           list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+                                          i -> list_aggregate(
+                                              list_slice(hs, CAST(i AS INT),
+                                                         CAST(i + 3 AS INT)),
+                                              'min'))) AS f
+                FROM h),
+            ex AS (SELECT doc_id, unnest(f) AS fp FROM fp),
+            hot AS (SELECT fp FROM ex GROUP BY fp HAVING count(*) > 200),
+            pr AS (SELECT * FROM ex WHERE fp NOT IN (SELECT fp FROM hot))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 3
+            ORDER BY id_a, id_b
+        """,
+        # CCNet perplexity tiers: full bigram-LM replica (doc_bigram_lm's
+        # CTE chain), 0-based rank over (lm_score, doc_id), pure-integer
+        # bucket cut (3*rk)//n — no double boundary anywhere
+        "doc_perplexity_buckets": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t
+                FROM documents),
+            uni AS (
+                SELECT u.w AS w, count(*) AS n1
+                FROM toks, unnest(t) AS u(w) GROUP BY u.w),
+            v AS (SELECT count(*) AS vs FROM uni),
+            bg AS (
+                SELECT doc_id, b.bg AS bg, split_part(b.bg, ' ', 1) AS w1
+                FROM toks,
+                     unnest(list_transform(generate_series(2, len(t)),
+                                           i -> t[i-1] || ' ' || t[i])) AS b(bg)),
+            c2 AS (SELECT bg, count(*) AS n2 FROM bg GROUP BY bg),
+            terms AS (
+                SELECT doc_id,
+                       CAST(round(-ln((n2 + 0.5) / (n1 + 0.5 * vs)), 9)
+                            AS DECIMAL(20,9)) AS term
+                FROM bg JOIN c2 USING (bg) JOIN uni ON bg.w1 = uni.w, v),
+            per AS (SELECT doc_id, count(*) AS nb,
+                           CAST(sum(term) AS DECIMAL(38,9)) AS s
+                    FROM terms GROUP BY doc_id),
+            scored AS (
+                SELECT d.doc_id, CAST(coalesce(nb, 0) AS INT) AS n_bigrams,
+                       round(CAST(s AS DOUBLE) / nb, 6) AS lm_score
+                FROM (SELECT doc_id FROM documents) d
+                LEFT JOIN per USING (doc_id)),
+            hs AS (
+                SELECT doc_id, n_bigrams, lm_score,
+                       row_number() OVER (ORDER BY lm_score ASC, doc_id ASC)
+                           - 1 AS rk,
+                       count(*) OVER () AS n
+                FROM scored WHERE lm_score IS NOT NULL)
+            SELECT doc_id, n_bigrams, lm_score,
+                   CAST(least(2, (3 * rk) // n) AS INT) AS bucket,
+                   list_extract(['head', 'middle', 'tail'],
+                                CAST(least(2, (3 * rk) // n) AS INT) + 1)
+                       AS bucket_label
+            FROM hs
+            UNION ALL
+            SELECT doc_id, n_bigrams, lm_score,
+                   CAST(NULL AS INT) AS bucket, 'unscored' AS bucket_label
+            FROM scored WHERE lm_score IS NULL
+            ORDER BY doc_id
+        """,
+        # cross-slice gram overlap: same normalize+shingle fragments as the
+        # engine's word_shingles (whole-doc gram when len < n), distinct
+        # (slice, gram), gram equi-join with slice_a < slice_b
+        "corpus_source_overlap": """
+            WITH nrm AS (
+                SELECT source,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+                FROM documents),
+            tk AS (SELECT source,
+                          CASE WHEN length(nt) = 0 THEN []::VARCHAR[]
+                               ELSE regexp_split_to_array(nt, ' ') END AS t
+                   FROM nrm),
+            g AS (SELECT DISTINCT source,
+                         array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+                  FROM tk,
+                       unnest(generate_series(1, greatest(len(t) - 4, 1))) AS s(i)
+                  WHERE len(t) > 0),
+            tot AS (SELECT source, count(*) AS n FROM g GROUP BY source),
+            sh AS (SELECT a.source AS slice_a, b.source AS slice_b,
+                          count(*) AS n_shared
+                   FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+                   GROUP BY 1, 2)
+            SELECT slice_a, slice_b,
+                   CAST(n_shared AS BIGINT) AS n_shared,
+                   CAST(ta.n AS BIGINT) AS n_a,
+                   CAST(tb.n AS BIGINT) AS n_b,
+                   round(CAST(n_shared AS DOUBLE) / (ta.n + tb.n - n_shared), 6)
+                       AS jaccard
+            FROM sh JOIN tot ta ON sh.slice_a = ta.source
+                    JOIN tot tb ON sh.slice_b = tb.source
+            ORDER BY slice_a, slice_b
+        """,
+        # ExactSubstr span removal: positional 13-grams on raw (unlowered)
+        # tokens, dup = total occurrences >= 2 (intra-doc repeats count),
+        # covered-position mask, kept tokens re-joined with single spaces
+        "doc_remove_dup_spans": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+                FROM documents),
+            g AS (SELECT doc_id, i,
+                         array_to_string(list_slice(t, i, i + 12), ' ') AS gram
+                  FROM toks, unnest(generate_series(1, len(t) - 12)) AS s(i)
+                  WHERE len(t) >= 13),
+            dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+            hits AS (SELECT g.doc_id, g.i FROM g JOIN dup USING (gram)),
+            cp AS (SELECT h.doc_id,
+                          unnest(generate_series(h.i, least(h.i + 12, len(t.t)))) AS p
+                   FROM hits h JOIN toks t USING (doc_id)),
+            cov AS (SELECT doc_id, list(DISTINCT p) AS c FROM cp GROUP BY doc_id),
+            kept AS (SELECT t.doc_id, t.t AS t,
+                            list_filter(
+                                generate_series(1, len(t.t)),
+                                p -> NOT list_contains(coalesce(cov.c, []), p)) AS kp
+                     FROM toks t LEFT JOIN cov USING (doc_id))
+            SELECT doc_id,
+                   coalesce(array_to_string(list_transform(kp, p -> t[p]), ' '), '')
+                       AS clean_text,
+                   CAST(len(t) AS INT) AS n_tokens,
+                   CAST(len(t) - len(kp) AS INT) AS n_removed
+            FROM kept ORDER BY doc_id
         """,
         # trailing 1h per-user range frame over epoch micros (RANGE
         # includes ts peers => tie-order independent)

@@ -983,3 +983,70 @@ def winsorize_vectors(
         ),
     )
     return df.select(F.col(id_col), clipped.alias(out_col))
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_v: int = 1000,
+    min_count: int = 2,
+) -> DataFrame:
+    """Zipf's-law fit of the corpus rank-frequency curve: least-squares
+    slope/intercept/R^2 of ln(freq) on ln(rank) over the top ``top_v``
+    vocabulary entries — the one-row corpus-health readout (natural text
+    sits near slope -1; templated or synthetic corpora drift far off it).
+
+    Scale shape: the vocabulary aggregate is map-side combinable; the
+    global top-v plans as TakeOrderedAndProject (per-partition partial
+    top-k), so the ranking window only ever sees <= top_v rows — never a
+    single-reducer pass over the vocabulary. The regression reduces to
+    five bounded sums.
+
+    Engine-exact: per-rank regression terms are 9dp-rounded then
+    DECIMAL-summed (order-independent); the closed-form slope/intercept/R^2
+    are single double divisions rounded to 6dp — the dim_moments recipe.
+    """
+    from nbdatatools_spark.functions.text import tokens
+
+    counts = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+        .orderBy(F.col("n").desc(), F.col("w").asc())
+        .limit(top_v)
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("w").asc())
+    xy = counts.select(
+        F.row_number().over(w).cast("double").alias("r"),
+        F.col("n").cast("double").alias("c"),
+    ).select(
+        F.round(F.log("r"), 9).alias("x"),
+        F.round(F.log("c"), 9).alias("y"),
+    )
+
+    def _dsum(expr):
+        return F.sum(F.round(expr, 9).cast("decimal(30,9)")).cast("double")
+
+    agg = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("v"),
+        _dsum(F.col("x")).alias("sx"),
+        _dsum(F.col("y")).alias("sy"),
+        _dsum(F.col("x") * F.col("x")).alias("sxx"),
+        _dsum(F.col("x") * F.col("y")).alias("sxy"),
+        _dsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    v, sx, sy, sxx, sxy, syy = (F.col(c) for c in ("v", "sx", "sy", "sxx", "sxy", "syy"))
+    denom = v * sxx - sx * sx
+    slope = (v * sxy - sx * sy) / denom
+    intercept = (sy - slope * sx) / v
+    # R^2 = corr^2 in the simple-regression case
+    corr_num = v * sxy - sx * sy
+    corr_den = F.sqrt(denom) * F.sqrt(v * syy - sy * sy)
+    return agg.select(
+        v.cast("bigint").alias("n_ranks"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round((corr_num / corr_den) * (corr_num / corr_den), 6).alias("r_squared"),
+    )

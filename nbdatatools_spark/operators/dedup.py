@@ -1137,3 +1137,205 @@ def minhash_quality_report(
             6,
         ).alias("recall"),
     )
+
+
+def winnow_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket: int = 200,
+    portable: bool = True,
+) -> DataFrame:
+    """Partial-duplicate candidate pairs via winnowing fingerprints
+    (Schleimer/Wilkerson/Aiken SIGMOD'03 — the MOSS algorithm): two docs
+    sharing >= ``min_shared`` selected fingerprints share a substring of
+    length >= k + w - 1 per fingerprint; this is the detector for
+    copy-with-edits (quotes, mirrored passages) that whole-document
+    MinHash misses.
+
+    Scale shape: the SAME banded-equi-join discipline as MinHash LSH —
+    explode each doc's fingerprint set, equi-join on the fingerprint
+    value, NEVER doc x doc. Fingerprints appearing in more than
+    ``max_bucket`` docs are dropped before the self-join (boilerplate
+    fingerprints, the stop-word analogue: their quadratic bucket would
+    dominate cost while carrying no discriminative signal). Pair counting
+    is one map-side-combinable aggregate on (id_a, id_b).
+    """
+    from nbdatatools_spark.functions.text import winnow_fingerprints
+
+    # PERF: the repartition between the fingerprint projection and the
+    # explode is load-bearing, not cosmetic — without a barrier Catalyst
+    # folds the whole normalize->kgram->window-minima HOF expression into
+    # Generate's generator, and Generate is outside whole-stage codegen, so
+    # the nested-lambda tree evaluates INTERPRETED (measured >100x slower
+    # on 500-char docs). With the barrier the expression runs codegen'd in
+    # the map stage and the explode reads a plain attribute; the shuffle
+    # also spreads docs across tasks, which is what 100 TB wants anyway.
+    arr = winnow_fingerprints(
+        df.select(id_col, text_col), text_col=text_col, k=k, w=w, portable=portable
+    ).repartition(id_col)
+    fps = arr.select(F.col(id_col).alias("__id"), F.explode("fingerprints").alias("fp"))
+    hot = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") > max_bucket)
+        .select("fp")
+    )
+    pruned = fps.join(hot, "fp", "left_anti")
+    a = pruned.select(F.col("__id").alias("id_a"), "fp")
+    b = pruned.select(F.col("__id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Cross-slice contamination matrix: for every pair of corpus slices
+    (sources, dumps, domains), the number of distinct word ``n``-grams they
+    share plus the gram-set Jaccard — the pre-mixing audit that catches one
+    slice silently containing another (mirror dumps, re-crawls, benchmark
+    leakage between sub-corpora). The pairwise face of the GPT-3 13-gram
+    decontamination rule (contaminated_ids).
+
+    Scale shape: grams project to ``xxhash64`` digests map-side (raw
+    13-word strings never shuffle — the dedup-family rule); the corpus-
+    sized shuffle is ONE distinct over (slice, digest); the overlap join
+    is digest-keyed, and each digest's bucket is bounded by the number of
+    slices (a gram shared by s slices yields <= s(s-1)/2 pair rows, s =
+    |slices| ~ tens) — never doc x doc, never slice x slice on raw text.
+    Per-slice gram totals ride the same distinct relation.
+
+    Returns ``(slice_a, slice_b, n_shared, n_a, n_b, jaccard)`` for pairs
+    with at least one shared gram, slice_a < slice_b.
+    """
+    from nbdatatools_spark.functions.text import word_shingles
+
+    grams = (
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.explode(word_shingles(F.col(text_col), n)).alias("__gram"),
+        )
+        .where(F.length("__gram") > 0)
+        .select("__g", F.xxhash64("__gram").alias("__gh"))
+        .distinct()
+        .persist()
+    )
+    totals = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__tot"))
+    a = grams.select(F.col("__g").alias("slice_a"), "__gh")
+    b = grams.select(F.col("__g").alias("slice_b"), "__gh")
+    shared = (
+        a.join(b, "__gh")
+        .where(F.col("slice_a") < F.col("slice_b"))
+        .groupBy("slice_a", "slice_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ta = totals.select(F.col("__g").alias("slice_a"), F.col("__tot").alias("n_a"))
+    tb = totals.select(F.col("__g").alias("slice_b"), F.col("__tot").alias("n_b"))
+    return (
+        shared.join(ta, "slice_a")
+        .join(tb, "slice_b")
+        .select(
+            "slice_a",
+            "slice_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 13,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span REMOVAL (Lee et al. 2022,
+    arXiv:2107.06499 §3.1): any ``k``-token window occurring at least
+    ``min_occurrences`` times across the corpus (counting intra-document
+    repeats, as the suffix-array formulation does) is cut from every
+    document, and the survivors' tokens are re-joined. The companion of
+    duplicate_span_stats that actually produces the cleaned corpus.
+
+    Scale shape: positional k-gram digests (``xxhash64``; raw gram strings
+    never shuffle) -> ONE digest-keyed count to find duplicated grams ->
+    one digest-keyed equi-join carries (doc, position) hits back -> per-doc
+    covered-position mask built with array HOFs (array_except is a
+    sort-based O(len log len) per row, not O(len * covered)). Per-doc state
+    is bounded by the doc's own token count; nothing is ever doc x doc.
+
+    Whitespace is canonicalized: output text is the kept tokens joined by
+    single spaces (byte-identical tokens, original case). Returns
+    ``(id_col, clean_text, n_tokens, n_removed)``.
+    """
+    from nbdatatools_spark.functions.text import _let, tokens
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_occurrences < 2:
+        raise ValueError(f"min_occurrences must be >= 2, got {min_occurrences}")
+    toks = df.select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__t"))
+    # positional grams: (doc, start, digest); docs shorter than k emit none
+    def gram_structs(t):
+        return F.when(
+            F.size(t) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (k - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.xxhash64(F.concat_ws(" ", F.slice(t, i, k))).alias("gh"),
+                ),
+            ),
+        ).otherwise(F.expr("CAST(array() AS array<struct<pos:int,gh:bigint>>)"))
+
+    grams = toks.select(
+        "__id", F.explode(_let(F.col("__t"), gram_structs)).alias("__p")
+    ).select("__id", F.col("__p.pos").alias("__pos"), F.col("__p.gh").alias("__gh"))
+    dup = (
+        grams.groupBy("__gh")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .where(F.col("__cnt") >= min_occurrences)
+        .select("__gh")
+    )
+    starts = (
+        grams.join(dup, "__gh")
+        .groupBy("__id")
+        .agg(F.collect_list("__pos").alias("__starts"))
+    )
+    joined = toks.join(starts, "__id", "left")
+    t, s = F.col("__t"), F.coalesce(F.col("__starts"), F.expr("array()"))
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(s, lambda i: F.sequence(i, F.least(i + (k - 1), F.size(t))))
+        )
+    )
+    all_pos = F.when(F.size(t) > 0, F.sequence(F.lit(1), F.size(t))).otherwise(
+        F.expr("CAST(array() AS array<int>)")
+    )
+    kept = F.array_except(all_pos, covered)
+    return joined.select(
+        F.col("__id").alias(id_col),
+        F.concat_ws(
+            " ", F.transform(kept, lambda p: F.element_at(t, p))
+        ).alias("clean_text"),
+        F.size(t).cast("int").alias("n_tokens"),
+        (F.size(t) - F.size(kept)).cast("int").alias("n_removed"),
+    )

@@ -404,3 +404,164 @@ def token_entropy(
             ).alias("entropy"),
         )
     )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top-k PMI collocations (Church & Hanks 1990): adjacent token pairs
+    scored by ln(p(xy) / (p(x) p(y))), the classic corpus-linguistics
+    collocation mine — and, for a training corpus, the quickest detector
+    of templated boilerplate (high-PMI pairs dominating the corpus are
+    sentence skeletons, not language).
+
+    Scale shape: one map-side-combinable unigram aggregate and one bigram
+    aggregate (shuffle payload = distinct vocab/bigram keys, not corpus
+    rows), min_count prunes the bigram tail BEFORE the two vocab-keyed
+    equi-joins, and top-k plans as TakeOrderedAndProject. Corpus totals
+    (N tokens, P pairs) are two bounded driver scalars, the bm25 pattern.
+
+    Engine-exact: pmi = round(ln(ratio-of-exact-integer-ratios), 6) — same
+    ln discipline as token_entropy's oracle; ties break on (left, right).
+    """
+    toks = df.select(tokens(F.lower(F.col(text_col))).alias("__t"))
+    uni = (
+        toks.select(F.explode("__t").alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n1"))
+        .persist()
+    )
+    from nbdatatools_spark.functions.text import _let
+
+    def pairs_of(t):
+        return F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(2), F.size(t)),
+                lambda i: F.struct(
+                    F.element_at(t, i - 1).alias("left"),
+                    F.element_at(t, i).alias("right"),
+                ),
+            ),
+        ).otherwise(F.expr("CAST(array() AS array<struct<left:string,right:string>>)"))
+
+    big = (
+        toks.select(F.explode(_let(F.col("__t"), pairs_of)).alias("p"))
+        .select("p.left", "p.right")
+        .where((F.col("left") != "") & (F.col("right") != ""))
+        .groupBy("left", "right")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= min_count)
+    )
+    totals = uni.agg(
+        F.sum("n1").alias("n_tokens"),
+    ).first()
+    n_tokens = int(totals["n_tokens"] or 0)
+    n_pairs = int(
+        toks.select(
+            F.sum(F.greatest(F.size("__t") - 1, F.lit(0))).alias("p")
+        ).first()["p"]
+        or 0
+    )
+    if n_tokens == 0 or n_pairs == 0:
+        return big.select(
+            "left", "right", "n_pair",
+            F.lit(None).cast("double").alias("pmi"),
+            F.lit(0).cast("int").alias("rank"),
+        ).limit(0)
+    ul = uni.select(F.col("w").alias("left"), F.col("n1").alias("n_left"))
+    ur = uni.select(F.col("w").alias("right"), F.col("n1").alias("n_right"))
+    scored = (
+        big.join(ul, "left")
+        .join(ur, "right")
+        .select(
+            "left",
+            "right",
+            "n_pair",
+            F.round(
+                F.log(
+                    (F.col("n_pair").cast("double") / F.lit(float(n_pairs)))
+                    / (
+                        (F.col("n_left").cast("double") / F.lit(float(n_tokens)))
+                        * (F.col("n_right").cast("double") / F.lit(float(n_tokens)))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    ranked = scored.orderBy(
+        F.col("pmi").desc(), F.col("left").asc(), F.col("right").asc()
+    ).limit(top_k)
+    w = Window.orderBy(F.col("pmi").desc(), F.col("left").asc(), F.col("right").asc())
+    return ranked.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+    add_k: float = 0.5,
+    lm_corpus: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. arXiv:1911.00359
+    §4.3): rank every document by its LM score (bigram_lm_score) and cut
+    the scored corpus into ``n_buckets`` equal-count tiers — bucket 0
+    ("head") = most fluent, last bucket ("tail") = noisiest. The standard
+    curriculum/quality dial: train on head+middle, drop or down-weight
+    tail.
+
+    Scale shape: scoring is bigram_lm_score's digest-keyed shape; the
+    global ranking is the two-phase partition-offset index
+    (windows.global_row_index) — no single-reducer window. The bucket cut
+    is pure integer arithmetic ``min(nb-1, nb * rank // n)`` on the
+    0-based rank (exact in both engines — no double division whose
+    representation could flip a boundary row). Unscored documents
+    (< 2 tokens) get bucket NULL / label 'unscored'.
+
+    Returns ``(id_col, n_bigrams, lm_score, bucket INT, bucket_label)``.
+    """
+    from nbdatatools_spark.operators.windows import global_row_index
+
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    scored = bigram_lm_score(
+        docs, text_col=text_col, id_col=id_col, add_k=add_k, lm_corpus=lm_corpus
+    )
+    has_score = scored.where(F.col("lm_score").isNotNull())
+    n_scored = has_score.count()  # bounded driver scalar, inlined below
+    ranked = global_row_index(
+        has_score,
+        [F.col("lm_score").asc(), F.col(id_col).asc()],
+        out="__rank",
+    )
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.expr(f"({int(n_buckets)} * __rank) DIV {max(n_scored, 1)}"),
+    ).cast("int")
+    labels = (
+        ["head", "middle", "tail"]
+        if n_buckets == 3
+        else [f"b{i}" for i in range(n_buckets)]
+    )
+    label = F.element_at(F.array(*[F.lit(s) for s in labels]), bucket + 1)
+    tiered = ranked.select(
+        id_col,
+        "n_bigrams",
+        "lm_score",
+        bucket.alias("bucket"),
+        label.alias("bucket_label"),
+    )
+    unscored = scored.where(F.col("lm_score").isNull()).select(
+        id_col,
+        "n_bigrams",
+        "lm_score",
+        F.lit(None).cast("int").alias("bucket"),
+        F.lit("unscored").alias("bucket_label"),
+    )
+    return tiered.unionByName(unscored)

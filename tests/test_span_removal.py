@@ -1,0 +1,130 @@
+"""Round-5 curation operators: ExactSubstr span removal, cross-slice
+contamination matrix (dedup.py), CCNet perplexity buckets (lm.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nbdatatools_spark.operators.dedup import (
+    remove_duplicate_spans,
+    source_overlap_matrix,
+)
+from nbdatatools_spark.operators.lm import perplexity_buckets
+
+
+def test_remove_dup_spans_closed_form(spark):
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "x y z a b c d q"),
+        (3, "totally unique words here only once ok fine"),
+        (4, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(df, k=4, min_occurrences=2).collect()
+    }
+    # "a b c d" occurs in docs 1 and 2: covers pos 1-4 in doc 1, 4-7 in doc 2
+    assert out[1]["clean_text"] == "e f g h" and out[1]["n_removed"] == 4
+    assert out[2]["clean_text"] == "x y z q" and out[2]["n_removed"] == 4
+    assert out[3]["n_removed"] == 0 and out[3]["clean_text"].startswith("totally")
+    assert out[4]["clean_text"] == "" and out[4]["n_tokens"] == 0
+
+
+def test_remove_dup_spans_intra_doc_repeat(spark):
+    # the duplicated trigram occurs twice WITHIN one doc: both occurrences cut
+    df = spark.createDataFrame(
+        [(1, "p q r zz p q r ww")], "doc_id BIGINT, text STRING"
+    )
+    row = remove_duplicate_spans(df, k=3, min_occurrences=2).first()
+    assert row["clean_text"] == "zz ww"
+    assert row["n_removed"] == 6
+
+
+def test_remove_dup_spans_overlapping_windows_merge(spark):
+    # two docs share a 5-token run; with k=4 the two overlapping dup
+    # windows cover the union of positions, not double-count
+    df = spark.createDataFrame(
+        [(1, "m n o p q tail1 only"), (2, "head2 m n o p q other")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(df, k=4, min_occurrences=2).collect()
+    }
+    assert out[1]["clean_text"] == "tail1 only" and out[1]["n_removed"] == 5
+    assert out[2]["clean_text"] == "head2 other" and out[2]["n_removed"] == 5
+
+
+def test_remove_dup_spans_validation(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id BIGINT, text STRING")
+    with pytest.raises(ValueError):
+        remove_duplicate_spans(df, k=0)
+    with pytest.raises(ValueError):
+        remove_duplicate_spans(df, min_occurrences=1)
+
+
+def test_source_overlap_closed_form(spark):
+    rows = [
+        (1, "alpha beta gamma delta", "s1"),
+        (2, "alpha beta gamma other", "s2"),
+        (3, "nothing in common here", "s3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING, source STRING")
+    out = source_overlap_matrix(df, n=2).collect()
+    pairs = {(r["slice_a"], r["slice_b"]): r for r in out}
+    # s1 2-grams: {alpha beta, beta gamma, gamma delta}; s2: {alpha beta,
+    # beta gamma, gamma other}; shared = 2, union = 4
+    assert set(pairs) == {("s1", "s2")}
+    r = pairs[("s1", "s2")]
+    assert r["n_shared"] == 2 and r["n_a"] == 3 and r["n_b"] == 3
+    assert r["jaccard"] == pytest.approx(0.5, abs=1e-9)
+
+
+def test_source_overlap_dedups_within_slice(spark):
+    # the same gram in two docs of ONE slice counts once for that slice
+    rows = [
+        (1, "dup gram here", "s1"),
+        (2, "dup gram there", "s1"),
+        (3, "dup gram echo", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING, source STRING")
+    r = source_overlap_matrix(df, n=2).first()
+    assert (r["slice_a"], r["slice_b"], r["n_shared"]) == ("s1", "s2", 1)
+
+
+def test_perplexity_buckets_cut_points(spark):
+    # 6 scorable docs -> with 3 buckets, exactly 2 per tier; bucket is
+    # (3 * rank) DIV 6 on the (lm_score, doc_id) total order
+    rows = [(i, f"w{i} w{i} common common w{i}") for i in range(6)] + [(9, "one")]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = perplexity_buckets(df, n_buckets=3).collect()
+    scored = sorted(
+        (r for r in out if r["bucket"] is not None),
+        key=lambda r: (r["lm_score"], r["doc_id"]),
+    )
+    assert [r["bucket"] for r in scored] == [0, 0, 1, 1, 2, 2]
+    assert [r["bucket_label"] for r in scored] == [
+        "head", "head", "middle", "middle", "tail", "tail",
+    ]
+    unscored = [r for r in out if r["bucket"] is None]
+    assert len(unscored) == 1 and unscored[0]["bucket_label"] == "unscored"
+
+
+def test_perplexity_buckets_validation_and_labels(spark, documents):
+    with pytest.raises(ValueError):
+        perplexity_buckets(documents, n_buckets=1)
+    out = perplexity_buckets(documents.limit(50), n_buckets=4)
+    labels = {r["bucket_label"] for r in out.collect()}
+    assert labels <= {"b0", "b1", "b2", "b3", "unscored"}
+
+
+def test_span_removal_plan_has_no_cartesian(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d")], "doc_id BIGINT, text STRING"
+    )
+    plan = (
+        remove_duplicate_spans(df, k=2)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
