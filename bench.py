@@ -75,6 +75,12 @@ HEADLINE = [
     "doc_sentence_stats",
     "embedding_bq_hamming",
     "embedding_matryoshka",
+    "corpus_pmi_bigrams",
+    "corpus_zipf_fit",
+    "doc_winnow_pairs",
+    "doc_perplexity_buckets",
+    "corpus_source_overlap",
+    "doc_remove_dup_spans",
     "verify_profiles",
     "stream_ingest_available_now",
 ]

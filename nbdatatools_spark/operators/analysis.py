@@ -261,10 +261,13 @@ def vocab_topk(
     no distinct expansion)."""
     from nbdatatools_spark.functions.text import normalize_text, tokens
 
+    # explode_outer + null drop (here and below): inner explode's
+    # inferred size()>0 filter inlines the tokenize chain into an
+    # interpreted per-row scan filter (the winnow_candidate_pairs trap).
     ex = df.select(
         F.col(id_col).alias("__id"),
-        F.explode(tokens(normalize_text(F.col(text_col)))).alias("token"),
-    )
+        F.explode_outer(tokens(normalize_text(F.col(text_col)))).alias("token"),
+    ).where(F.col("token").isNotNull())
     ndocs = (
         F.count_distinct("__id") if exact_doc_counts else F.approx_count_distinct("__id")
     )
@@ -320,7 +323,10 @@ def covariance_matrix(
         f"i AS i, j AS j, "
         f"CAST({vec}[i] AS DOUBLE) AS x, CAST({vec}[j] AS DOUBLE) AS y))))"
     )
-    ex = df.select(F.explode(pairs).alias("p")).select(
+    ex = (
+        df.select(F.explode_outer(pairs).alias("p"))
+        .where(F.col("p").isNotNull())
+    ).select(
         F.col("p.i").alias("i"),
         F.col("p.j").alias("j"),
         F.col("p.x").alias("x"),
@@ -476,7 +482,8 @@ def vocab_coverage(
     if not thresholds or any(not 0.0 < p <= 1.0 for p in thresholds):
         raise ValueError(f"thresholds must be in (0, 1], got {thresholds}")
     counts = (
-        df.select(F.explode(tokens(normalize_text(F.col(text_col)))).alias("token"))
+        df.select(F.explode_outer(tokens(normalize_text(F.col(text_col)))).alias("token"))
+        .where(F.col("token").isNotNull())
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -659,8 +666,8 @@ def group_keywords(
         raise ValueError(f"min_count must be >= 1, got {min_count}")
     ex = df.select(
         F.col(group_col).alias("__g"),
-        F.explode(tokens(normalize_text(F.col(text_col)))).alias("token"),
-    )
+        F.explode_outer(tokens(normalize_text(F.col(text_col)))).alias("token"),
+    ).where(F.col("token").isNotNull())
     counts = ex.groupBy("__g", "token").agg(F.count(F.lit(1)).alias("n_occurrences"))
     n_groups = df.select(group_col).distinct().count()
     gf = counts.groupBy("token").agg(F.count(F.lit(1)).alias("n_groups_with"))
@@ -1009,7 +1016,7 @@ def zipf_fit(
     from nbdatatools_spark.functions.text import tokens
 
     counts = (
-        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        df.select(F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("w"))
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -55,9 +55,12 @@ def word_vocabulary(
     symbols is the initial per-character symbol array."""
     from ..functions.text import normalize_text
 
+    # explode_outer: the inner explode's inferred size()>0 filter would
+    # inline the normalize+split chain at the scan (winnow trap); null
+    # rows fail the != '' predicate below.
     words = (
         df.select(
-            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word")
+            F.explode_outer(F.split(normalize_text(F.col(text_col)), " ")).alias("word")
         )
         .where(F.col("word") != "")
         .groupBy("word")
@@ -162,7 +165,7 @@ def corpus_base_chars(df: DataFrame, text_col: str = "text") -> list[str]:
         F.sequence(F.lit(1), F.length(norm)), lambda i: norm.substr(i, F.lit(1))
     )
     rows = (
-        df.select(F.explode(chars).alias("c"))
+        df.select(F.explode_outer(chars).alias("c"))
         .where(F.col("c") != " ")
         .distinct()
         .collect()

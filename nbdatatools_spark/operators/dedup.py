@@ -53,7 +53,13 @@ def _shingle_rows(
     grams = char_ngrams_of_norm(F.col("__norm"), shingle_size)
     if distinct:
         grams = F.array_distinct(grams)
-    return norm.select("id", F.explode(grams).alias("sh"))
+    # explode_outer + null drop: inner explode's inferred size()>0 filter
+    # would inline the normalize+ngram chain into an interpreted per-row
+    # scan filter (the winnow_candidate_pairs trap); semantics unchanged.
+    return (
+        norm.select("id", F.explode_outer(grams).alias("sh"))
+        .where(F.col("sh").isNotNull())
+    )
 
 
 # --- reference U3: vector cleanup ---------------------------------------
@@ -739,7 +745,7 @@ def contaminated_ids(
     from nbdatatools_spark.functions.text import word_shingles
 
     test_grams = (
-        test.select(F.explode(word_shingles(F.col(text_col), n)).alias("__gram"))
+        test.select(F.explode_outer(word_shingles(F.col(text_col), n)).alias("__gram"))
         .where(F.length("__gram") > 0)
         .select(F.xxhash64("__gram").alias("__gh"))
         .distinct()
@@ -747,8 +753,9 @@ def contaminated_ids(
     train_grams = (
         train.select(
             F.col(id_col).alias("id"),
-            F.explode(word_shingles(F.col(text_col), n)).alias("__gram"),
+            F.explode_outer(word_shingles(F.col(text_col), n)).alias("__gram"),
         )
+        .where(F.col("__gram").isNotNull())
         .select("id", F.xxhash64("__gram").alias("__gh"))
         .distinct()
     )
@@ -784,7 +791,7 @@ def contamination_fraction(
     from nbdatatools_spark.functions.text import word_shingles
 
     test_grams = (
-        test.select(F.explode(word_shingles(F.col(text_col), n)).alias("__gram"))
+        test.select(F.explode_outer(word_shingles(F.col(text_col), n)).alias("__gram"))
         .where(F.length("__gram") > 0)
         .select(F.xxhash64("__gram").alias("__gh"))
         .distinct()
@@ -793,7 +800,7 @@ def contamination_fraction(
     train_grams = (
         train.select(
             F.col(id_col).alias("id"),
-            F.explode(word_shingles(F.col(text_col), n)).alias("__gram"),
+            F.explode_outer(word_shingles(F.col(text_col), n)).alias("__gram"),
         )
         .where(F.length("__gram") > 0)
         .select("id", F.xxhash64("__gram").alias("__gh"))
@@ -1020,8 +1027,8 @@ def duplicate_span_stats(
 
     rows = df.select(
         F.col(id_col).alias("__id"),
-        F.explode(word_shingles(F.col(text_col), span_tokens)).alias("__g"),
-    ).select("__id", F.md5("__g").alias("__h"))
+        F.explode_outer(word_shingles(F.col(text_col), span_tokens)).alias("__g"),
+    ).where(F.col("__g").isNotNull()).select("__id", F.md5("__g").alias("__h"))
     dup = (
         rows.groupBy("__h")
         .agg(F.countDistinct("__id").alias("__docs"))
@@ -1166,18 +1173,26 @@ def winnow_candidate_pairs(
     """
     from nbdatatools_spark.functions.text import winnow_fingerprints
 
-    # PERF: the repartition between the fingerprint projection and the
-    # explode is load-bearing, not cosmetic — without a barrier Catalyst
-    # folds the whole normalize->kgram->window-minima HOF expression into
-    # Generate's generator, and Generate is outside whole-stage codegen, so
-    # the nested-lambda tree evaluates INTERPRETED (measured >100x slower
-    # on 500-char docs). With the barrier the expression runs codegen'd in
-    # the map stage and the explode reads a plain attribute; the shuffle
-    # also spreads docs across tasks, which is what 100 TB wants anyway.
+    # PERF (two traps, both measured on this exact pipeline):
+    # 1. The repartition between the fingerprint projection and the explode
+    #    keeps the staged normalize->kgram->window-minima projections on the
+    #    map side of a shuffle, so the explode reads a plain attribute and
+    #    the shuffle spreads docs across tasks — what 100 TB wants anyway.
+    # 2. explode_outer, NOT explode: for inner explode, Catalyst's
+    #    InferFiltersFromGenerate synthesizes `size(fingerprints) > 0` and
+    #    predicate pushdown substitutes the WHOLE nested HOF chain into a
+    #    per-row interpreted DataFilter at the parquet scan — the O(n*w)
+    #    md5 tree evaluated twice per row, once interpreted (measured ~100x:
+    #    292s -> 3s at sf0.01). The rule skips outer generate; the only
+    #    cost is a null row per empty doc, dropped on the cheap exploded
+    #    attribute below.
     arr = winnow_fingerprints(
         df.select(id_col, text_col), text_col=text_col, k=k, w=w, portable=portable
     ).repartition(id_col)
-    fps = arr.select(F.col(id_col).alias("__id"), F.explode("fingerprints").alias("fp"))
+    fps = (
+        arr.select(F.col(id_col).alias("__id"), F.explode_outer("fingerprints").alias("fp"))
+        .where(F.col("fp").isNotNull())
+    )
     hot = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("__df"))
@@ -1225,7 +1240,7 @@ def source_overlap_matrix(
     grams = (
         df.select(
             F.col(group_col).alias("__g"),
-            F.explode(word_shingles(F.col(text_col), n)).alias("__gram"),
+            F.explode_outer(word_shingles(F.col(text_col), n)).alias("__gram"),
         )
         .where(F.length("__gram") > 0)
         .select("__g", F.xxhash64("__gram").alias("__gh"))
@@ -1306,9 +1321,16 @@ def remove_duplicate_spans(
             ),
         ).otherwise(F.expr("CAST(array() AS array<struct<pos:int,gh:bigint>>)"))
 
-    grams = toks.select(
-        "__id", F.explode(_let(F.col("__t"), gram_structs)).alias("__p")
-    ).select("__id", F.col("__p.pos").alias("__pos"), F.col("__p.gh").alias("__gh"))
+    # explode_outer, not explode: inner explode triggers Catalyst's
+    # InferFiltersFromGenerate, whose size()>0 filter pushes the whole
+    # tokenize+hash chain into an interpreted per-row scan filter (the
+    # winnow_candidate_pairs trap). Null rows from gram-less docs drop on
+    # the cheap exploded attribute instead.
+    grams = (
+        toks.select("__id", F.explode_outer(_let(F.col("__t"), gram_structs)).alias("__p"))
+        .where(F.col("__p").isNotNull())
+        .select("__id", F.col("__p.pos").alias("__pos"), F.col("__p.gh").alias("__gh"))
+    )
     dup = (
         grams.groupBy("__gh")
         .agg(F.count(F.lit(1)).alias("__cnt"))

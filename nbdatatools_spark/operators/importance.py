@@ -36,8 +36,11 @@ _WEIGHT_DEC = "decimal(38,9)"
 def _token_counts(df: DataFrame, text_col: str) -> DataFrame:
     from nbdatatools_spark.functions.text import normalize_text, tokens
 
+    # explode_outer + null drop: see winnow_candidate_pairs (Catalyst
+    # InferFiltersFromGenerate would inline the tokenize chain at the scan)
     return (
-        df.select(F.explode(tokens(normalize_text(F.col(text_col)))).alias("token"))
+        df.select(F.explode_outer(tokens(normalize_text(F.col(text_col)))).alias("token"))
+        .where(F.col("token").isNotNull())
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -125,8 +128,9 @@ def dsir_weights(
     oov = F.lit(oov_ratio).cast(_RATIO_DEC)
 
     ex = raw.select(
-        F.col(id_col), F.explode(tokens(normalize_text(F.col(text_col)))).alias("token")
-    )
+        F.col(id_col),
+        F.explode_outer(tokens(normalize_text(F.col(text_col)))).alias("token"),
+    ).where(F.col("token").isNotNull())
     scored = ex.join(F.broadcast(ratios), "token", "left").select(
         id_col, F.coalesce("log_ratio", oov).alias("log_ratio")
     )

@@ -72,8 +72,14 @@ def bigram_lm_score(
     # (vocab-sized, the facets.py caching pattern): the V count job
     # materializes it, and the scoring join below reuses the cached
     # counts instead of re-tokenizing the corpus.
+    # explode_outer across this module: inner explode's inferred size()>0
+    # filter inlines the tokenize chain into an interpreted per-row scan
+    # filter (the winnow_candidate_pairs trap; measured 3x on this gate).
+    # Every site drops the empty-doc null row explicitly so counts, V, and
+    # groupings are bit-identical to the inner-explode semantics.
     uni = (
-        corpus_toks.select(F.explode("__t").alias("__w"))
+        corpus_toks.select(F.explode_outer("__t").alias("__w"))
+        .where(F.col("__w").isNotNull())
         .groupBy(F.md5(F.col("__w")).alias("__h1"))
         .agg(F.count(F.lit(1)).alias("__n1"))
         .persist()
@@ -102,11 +108,20 @@ def bigram_lm_score(
                 ),
             ).otherwise(F.expr("CAST(array() AS array<struct<bg:string,w1:string>>)"))
 
+        # explode_outer + explicit null drop: inner explode's inferred
+        # size()>0 filter inlines the tokenize chain into an interpreted
+        # scan filter (the winnow_candidate_pairs trap); the null row a
+        # <2-token doc emits must NOT reach the count (it would score 1
+        # phantom bigram), hence the isNotNull before the digests.
         pairs = _let(F.col("__t"), pairs_of)
-        return df.select("__id", F.explode(pairs).alias("__p")).select(
-            "__id",
-            F.md5(F.col("__p.bg")).alias("__h2"),
-            F.md5(F.col("__p.w1")).alias("__h1"),
+        return (
+            df.select("__id", F.explode_outer(pairs).alias("__p"))
+            .where(F.col("__p").isNotNull())
+            .select(
+                "__id",
+                F.md5(F.col("__p.bg")).alias("__h2"),
+                F.md5(F.col("__p.w1")).alias("__h1"),
+            )
         )
 
     # Self-scoring reuses ONE persisted bigram-digest pass for both the
@@ -193,7 +208,7 @@ def bm25_topk(
         raise ValueError("bm25_topk needs a non-empty corpus")
     avgdl = total_tokens / n_docs  # one double division, engine-exact
     hits = toks.select(
-        "__id", F.explode("__t").alias("__w")
+        "__id", F.explode_outer("__t").alias("__w")
     ).where(F.col("__w").isin(terms))
     df_counts = (
         hits.groupBy("__w").agg(F.count_distinct("__id").alias("__df"))
@@ -331,8 +346,9 @@ def posting_lists(
     hits = (
         docs.select(
             F.col(id_col).alias("__id"),
-            F.explode(_tok(normalize_text(F.col(text_col)))).alias("token"),
+            F.explode_outer(_tok(normalize_text(F.col(text_col)))).alias("token"),
         )
+        .where(F.col("token").isNotNull())
         .distinct()
     )
     w = Window.partitionBy("token").orderBy(F.col("__id").asc())
@@ -377,8 +393,8 @@ def token_entropy(
     """
     toks = docs.select(
         F.col(id_col).alias("__id"),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("__w"),
-    )
+        F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("__w"),
+    ).where(F.col("__w").isNotNull())
     per_tok = toks.groupBy("__id", F.md5("__w").alias("__h")).agg(
         F.count(F.lit(1)).alias("__c")
     )
@@ -429,7 +445,7 @@ def pmi_bigrams(
     """
     toks = df.select(tokens(F.lower(F.col(text_col))).alias("__t"))
     uni = (
-        toks.select(F.explode("__t").alias("w"))
+        toks.select(F.explode_outer("__t").alias("w"))
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n1"))
@@ -449,8 +465,11 @@ def pmi_bigrams(
             ),
         ).otherwise(F.expr("CAST(array() AS array<struct<left:string,right:string>>)"))
 
+    # explode_outer: inner explode's inferred size()>0 filter would inline
+    # the tokenize chain into the scan filter (see winnow_candidate_pairs);
+    # the null rows from <2-token docs fail the != '' predicates below.
     big = (
-        toks.select(F.explode(_let(F.col("__t"), pairs_of)).alias("p"))
+        toks.select(F.explode_outer(_let(F.col("__t"), pairs_of)).alias("p"))
         .select("p.left", "p.right")
         .where((F.col("left") != "") & (F.col("right") != ""))
         .groupBy("left", "right")

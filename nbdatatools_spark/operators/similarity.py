@@ -183,12 +183,16 @@ def ivf_topk(
     qprobe = queries.select(
         F.col(query_id).alias("qid"),
         F.col(vec_col).alias("qvec"),
-        F.explode(
+        F.explode_outer(
             F.transform(
                 F.slice(F.array_sort(_cent_struct_array(F.col(vec_col))), 1, nprobe),
                 lambda s: s["centroid_id"],
             )
         ).alias("centroid_id"),
+        # explode_outer: inner explode's inferred size()>0 filter would
+        # inline the whole centroid-distance array build into an
+        # interpreted per-row scan filter (the winnow trap); the array is
+        # never empty (nprobe >= 1), so semantics are unchanged.
     )
     pairs = bass.join(F.broadcast(qprobe), "centroid_id").select(
         "qid",
@@ -1021,12 +1025,16 @@ def ivf_search_index(
     qprobe = queries.select(
         F.col(query_id).alias("qid"),
         F.col(vec_col).alias("qvec"),
-        F.explode(
+        F.explode_outer(
             F.transform(
                 F.slice(F.array_sort(_cent_struct_array(F.col(vec_col))), 1, nprobe),
                 lambda s: s["centroid_id"],
             )
         ).alias("centroid_id"),
+        # explode_outer: inner explode's inferred size()>0 filter would
+        # inline the whole centroid-distance array build into an
+        # interpreted per-row scan filter (the winnow trap); the array is
+        # never empty (nprobe >= 1), so semantics are unchanged.
     )
     # bounded driver list of probed cells -> partition-pruning IN filter
     probed = sorted({r.centroid_id for r in qprobe.select("centroid_id").distinct().collect()})
