@@ -988,6 +988,83 @@ def ivf_build_index(
     return {"n_centroids": len(centroids), "n_vectors": n}
 
 
+def ivf_append_index(
+    new_vectors: DataFrame,
+    index_dir: str,
+    base_id: str = "vec_id",
+    vec_col: str = "embedding",
+    drop_existing_ids: bool = False,
+) -> dict:
+    """Incrementally extend a materialized IVF index (ivf_build_index
+    layout) with a new vector batch — the maintenance path a 100-TB index
+    lives on: the nightly embedding delta is assigned to the EXISTING
+    centroids and appended into the partitioned assignments table, so the
+    cost is O(|delta| * n_centroids) map-side arithmetic plus a
+    partitioned append. Nothing retrains, and the standing corpus is
+    never rescanned or rewritten (dynamic-partition append adds files
+    inside each centroid_id directory; partition pruning in
+    ivf_search_index is unaffected).
+
+    ``drop_existing_ids=True`` anti-joins the batch against the index's id
+    set first (re-crawled embeddings must not enter twice). That check
+    reads the ids column of the WHOLE index — one column-pruned scan, the
+    documented price; leave it off when upstream ingest already dedups.
+
+    Centroid quality drifts as the corpus outgrows its training sample;
+    the returned per-append summary {"n_appended", "n_cells_touched",
+    "max_cell_fraction"} is the rebalance dial — when max_cell_fraction
+    of the APPENDED batch concentrates in few cells, the distribution has
+    moved and ivf_build_index should be re-run.
+    """
+    import os
+
+    spark = new_vectors.sparkSession
+    cents = spark.read.parquet(os.path.join(index_dir, "centroids.parquet")).collect()
+    if not cents:
+        raise ValueError(f"no centroids found under {index_dir!r}")
+    centroids = {r.centroid_id: list(r.centroid) for r in cents}
+
+    batch = new_vectors
+    if drop_existing_ids:
+        seen = spark.read.parquet(
+            os.path.join(index_dir, "assignments.parquet")
+        ).select(F.col(base_id))
+        batch = batch.join(seen, base_id, "left_anti")
+
+    def _cent_struct_array(vec):
+        return F.array(
+            *[
+                F.struct(
+                    distance_expr(
+                        "euclidean", vec, F.array(*[F.lit(float(x)) for x in c])
+                    ).alias("cdist"),
+                    F.lit(i).alias("centroid_id"),
+                )
+                for i, c in sorted(centroids.items())
+            ]
+        )
+
+    assigned = batch.withColumn(
+        "centroid_id",
+        F.array_min(_cent_struct_array(F.col(vec_col)))["centroid_id"],
+    )
+    assigned.write.mode("append").partitionBy("centroid_id").parquet(
+        os.path.join(index_dir, "assignments.parquet")
+    )
+    # bounded readout: n_centroids rows, computed on the batch only
+    cell_counts = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n")
+    ).collect()
+    n_appended = sum(r.n for r in cell_counts)
+    return {
+        "n_appended": int(n_appended),
+        "n_cells_touched": len(cell_counts),
+        "max_cell_fraction": (
+            round(max(r.n for r in cell_counts) / n_appended, 6) if n_appended else 0.0
+        ),
+    }
+
+
 def ivf_search_index(
     spark,
     index_dir: str,

@@ -107,3 +107,66 @@ def test_ivf_index_persist_and_search(spark, embeddings, tmp_path):
     # entry on centroid_id (c directories read, not n_centroids)
     plan = from_index._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "centroid_id" in plan
+
+
+def test_ivf_append_index_incremental(spark, embeddings, tmp_path):
+    """Incremental index maintenance: building on half the corpus then
+    appending the other half yields EXACTLY the assignments a direct
+    argmin over the union (same centroids) would produce, search sees
+    the appended vectors, and re-appending with drop_existing_ids=True
+    is a no-op."""
+    from pyspark.sql import functions as F
+
+    from nbdatatools_spark.operators.similarity import (
+        ivf_append_index,
+        ivf_build_index,
+        ivf_search_index,
+    )
+
+    idx = str(tmp_path / "ivf_incr")
+    first = embeddings.where(F.col("vec_id") % 2 == 0)
+    second = embeddings.where(F.col("vec_id") % 2 == 1)
+    ivf_build_index(first, idx, n_centroids=8, seed=42)
+
+    rep = ivf_append_index(second, idx)
+    assert rep["n_appended"] == second.count()
+    assert 1 <= rep["n_cells_touched"] <= 8
+    assert 0.0 < rep["max_cell_fraction"] <= 1.0
+
+    # the on-disk assignments equal a fresh argmin over the union with the
+    # SAME centroids: per-id centroid assignment must match exactly
+    import os
+
+    cents = spark.read.parquet(os.path.join(idx, "centroids.parquet")).collect()
+    stored = {
+        r.vec_id: r.centroid_id
+        for r in spark.read.parquet(os.path.join(idx, "assignments.parquet")).collect()
+    }
+    assert len(stored) == embeddings.count()
+    import math
+
+    cent = {r.centroid_id: list(r.centroid) for r in cents}
+    for row in embeddings.collect():
+        v = list(row.embedding)
+        best = min(
+            sorted(cent),
+            key=lambda c: (
+                math.sqrt(sum((a - b) ** 2 for a, b in zip(v, cent[c]))),
+                c,
+            ),
+        )
+        assert stored[row.vec_id] == best, row.vec_id
+
+    # search on the appended index returns odd (appended) ids too
+    q = embeddings.where(F.col("vec_id") < 4)
+    res = ivf_search_index(spark, idx, q, k=5, nprobe=8)
+    returned = {r.base_id for r in res.collect()}
+    assert any(b % 2 == 1 for b in returned)
+
+    # idempotent re-append under drop_existing_ids
+    rep2 = ivf_append_index(second, idx, drop_existing_ids=True)
+    assert rep2["n_appended"] == 0
+    assert (
+        spark.read.parquet(os.path.join(idx, "assignments.parquet")).count()
+        == embeddings.count()
+    )
