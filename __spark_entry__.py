@@ -3151,6 +3151,24 @@ def doc_remove_dup_spans(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def doc_dedup_cluster_sizes(spark, sf_dir):
+    """Near-dup cluster-size histogram (dedup.py::dedup_cluster_sizes):
+    LSH candidates -> Jaccard verify -> connected components -> per-size
+    cluster counts (singletons included). The pre-dedup audit of how the
+    duplicate mass distributes. Oracle replays the chain incl. RECURSIVE
+    reachability, then the same two aggregates."""
+    from nbdatatools_spark.operators.dedup import dedup_cluster_sizes
+
+    return dedup_cluster_sizes(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=32,
+        bands=8,
+        shingle_size=5,
+        threshold=0.5,
+        impl="md5",
+    ).orderBy("cluster_size")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3355,6 +3373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_perplexity_buckets": doc_perplexity_buckets,
         "corpus_source_overlap": corpus_source_overlap,
         "doc_remove_dup_spans": doc_remove_dup_spans,
+        "doc_dedup_cluster_sizes": doc_dedup_cluster_sizes,
     }
 
 
@@ -3379,6 +3398,7 @@ PENDING_FIRST_RECORDING = frozenset(
         "doc_perplexity_buckets",
         "corpus_source_overlap",
         "doc_remove_dup_spans",
+        "doc_dedup_cluster_sizes",
     }
 )
 
@@ -3525,6 +3545,53 @@ def _minhash_transitive_oracle(num_hashes: int = 32, bands: int = 8, k: int = 5,
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT id FROM dropped)
         ORDER BY doc_id
+    """
+
+
+def _minhash_cluster_sizes_oracle(num_hashes: int = 32, bands: int = 8, k: int = 5,
+                                  max_bucket: int = 2000,
+                                  threshold: float = 0.5) -> str:
+    """DuckDB replica of dedup_cluster_sizes: the _minhash_transitive_oracle
+    chain (banded candidates -> exact Jaccard verify -> RECURSIVE
+    reachability components), then every doc joins its component
+    (singletons = own id) and two aggregates form the histogram."""
+    return f"""
+        WITH RECURSIVE {_minhash_ctes(num_hashes, bands, k, max_bucket)},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM capped a JOIN capped b
+              ON a.band = b.band AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id),
+        sets AS (
+            SELECT doc_id,
+                   list_distinct(
+                       list_transform(range(1, greatest(length(t) - {k - 1}, 1) + 1),
+                                      i -> substring(t, CAST(i AS INT), {k}))) AS g
+            FROM nrm),
+        ver AS (
+            SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN sets sa ON sa.doc_id = c.id_a
+            JOIN sets sb ON sb.doc_id = c.id_b
+            WHERE CAST(len(list_intersect(sa.g, sb.g)) AS DOUBLE)
+                  / len(list_distinct(list_concat(sa.g, sb.g))) >= {threshold}),
+        edges AS (
+            SELECT id_a AS s, id_b AS d FROM ver
+            UNION
+            SELECT id_b, id_a FROM ver),
+        reach(id, r) AS (
+            SELECT s, d FROM edges
+            UNION
+            SELECT w.id, e.d FROM reach w JOIN edges e ON e.s = w.r),
+        comp AS (
+            SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id),
+        allc AS (
+            SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+        sizes AS (SELECT comp, count(*) AS cluster_size FROM allc GROUP BY comp)
+        SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters
+        FROM sizes GROUP BY cluster_size ORDER BY cluster_size
     """
 
 
@@ -4134,6 +4201,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_winnow_fingerprints": _winnow_oracle(),
         "minhash_candidate_pairs": _minhash_oracle(),
         "doc_minhash_dedup_transitive": _minhash_transitive_oracle(),
+        "doc_dedup_cluster_sizes": _minhash_cluster_sizes_oracle(),
         # as-of join: rank-1 range-join replica, exact integer micros lag
         "events_asof_join": """
             WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),

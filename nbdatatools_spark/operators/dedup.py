@@ -1361,3 +1361,45 @@ def remove_duplicate_spans(
         F.size(t).cast("int").alias("n_tokens"),
         (F.size(t) - F.size(kept)).cast("int").alias("n_removed"),
     )
+
+
+def dedup_cluster_sizes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_size: int = 5,
+    threshold: float = 0.5,
+    max_iter: int = 20,
+    impl: str = "md5",
+) -> DataFrame:
+    """Near-dup cluster-size histogram — the BEFORE-the-run audit of a
+    dedup pass: how much of the corpus sits in clusters of 2, of 10, of
+    10,000 (one viral boilerplate page)? The size distribution decides
+    whether plain survivor-keeping suffices or the corpus needs
+    keep-best / downweighting, and a heavy tail is the first sign the
+    threshold is catching template families rather than true duplicates.
+
+    Composition of the gate-verified pieces: banded LSH candidates ->
+    exact Jaccard verify -> connected components (min-label propagation
+    over the pair graph only) -> every document joins its component
+    (singletons are their own cluster of 1) -> two bounded aggregates.
+    Shuffle keys are 8-byte ids throughout; the histogram output is
+    bounded by the distinct cluster sizes, not the corpus.
+    Returns ``(cluster_size, n_clusters)``.
+    """
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, num_hashes, bands, shingle_size, impl=impl
+    )
+    verified = jaccard_verify(cands, df, id_col, text_col, shingle_size, threshold)
+    comp = connected_components(verified, max_iter=max_iter)
+    allc = (
+        df.select(F.col(id_col).alias("id"))
+        .join(comp, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+    )
+    sizes = allc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )

@@ -128,3 +128,27 @@ def test_span_removal_plan_has_no_cartesian(spark):
         remove_duplicate_spans(df, k=2)._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_cluster_sizes_closed_form(spark):
+    from nbdatatools_spark.operators.dedup import dedup_cluster_sizes
+
+    dup = "the exact same duplicated document body text here repeated verbatim"
+    rows = [
+        (1, dup),
+        (2, dup),
+        (3, dup),
+        (4, "a completely different and unrelated document about catalysts"),
+        (5, "yet another unique text with nothing shared at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {
+        r["cluster_size"]: r["n_clusters"]
+        for r in dedup_cluster_sizes(
+            df, num_hashes=16, bands=8, threshold=0.5, impl="md5"
+        ).collect()
+    }
+    # one 3-clique of identical docs + two singletons
+    assert out == {1: 2, 3: 1}
+    # mass conservation: sum(size * count) == corpus size
+    assert sum(s * n for s, n in out.items()) == 5
