@@ -3169,6 +3169,25 @@ def doc_dedup_cluster_sizes(spark, sf_dir):
     ).orderBy("cluster_size")
 
 
+def doc_token_budget_select(spark, sf_dir):
+    """Best-first selection under a global token budget
+    (sampling.py::token_budget_select): rank by (quality DESC, doc_id),
+    two-phase partition-offset cumsum lays the global token stream, keep
+    the whole-document prefix fitting 10k tokens. The 'best N tokens'
+    assembly step of a curation run."""
+    from nbdatatools_spark.functions.text import quality_score, token_count
+    from nbdatatools_spark.operators.sampling import token_budget_select
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return token_budget_select(
+        docs, 10_000, quality_col="quality", token_col="n_tokens"
+    ).orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3374,6 +3393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_source_overlap": corpus_source_overlap,
         "doc_remove_dup_spans": doc_remove_dup_spans,
         "doc_dedup_cluster_sizes": doc_dedup_cluster_sizes,
+        "doc_token_budget_select": doc_token_budget_select,
     }
 
 
@@ -3399,6 +3419,7 @@ PENDING_FIRST_RECORDING = frozenset(
         "corpus_source_overlap",
         "doc_remove_dup_spans",
         "doc_dedup_cluster_sizes",
+        "doc_token_budget_select",
     }
 )
 
@@ -5181,6 +5202,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(t) AS INT) AS n_tokens,
                    CAST(len(t) - len(kp) AS INT) AS n_removed
             FROM kept ORDER BY doc_id
+        """,
+        # token-budget prefix: identical 6dp quality + token counts, one
+        # window cumsum over the SAME (quality DESC, doc_id) total order —
+        # integer arithmetic end-to-end, so the prefix cut agrees exactly
+        "doc_token_budget_select": f"""
+            WITH q AS (
+                SELECT doc_id,
+                       round(least(length(text) / 500.0, 1.0) * 0.4
+                             + least({_SWRATIO} * 4.0, 1.0) * 0.3
+                             + greatest(0.0, 1.0 - {_PUNCT} * 5.0) * 0.3,
+                             6) AS quality,
+                       CAST({_NTOK} AS BIGINT) AS n_tokens
+                FROM documents),
+            c AS (
+                SELECT doc_id, quality, n_tokens,
+                       CAST(coalesce(sum(n_tokens) OVER (
+                           ORDER BY quality DESC, doc_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS BIGINT) AS start_tok
+                FROM q)
+            SELECT doc_id, quality, n_tokens, start_tok
+            FROM c WHERE start_tok + n_tokens <= 10000
+            ORDER BY doc_id
         """,
         # trailing 1h per-user range frame over epoch micros (RANGE
         # includes ts peers => tie-order independent)

@@ -236,3 +236,76 @@ def weighted_sample(
         .orderBy(F.col(score_col).desc(), F.col(key_col))
         .limit(k)
     )
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget_tokens: int,
+    quality_col: str,
+    token_col: str,
+    id_col: str = "doc_id",
+    keep_partial: bool = False,
+) -> DataFrame:
+    """Best-first corpus selection under a global token budget — "give me
+    the highest-quality ``budget_tokens`` tokens": rank documents by
+    (quality DESC, id), lay them on one global token stream, and keep the
+    prefix that fits. The final assembly step of a curation run, after
+    filtering and dedup have scored what survives.
+
+    Scale shape: the two-phase partition-offset cumsum from
+    packing.pack_sequences on the composite (quality DESC, id) range
+    partitioning — phase 1 is an Arrow-batched partition-local running
+    sum (zero shuffle beyond the range partition), phase 2 broadcasts a
+    P-row offset table; no single-reducer window ever sees the corpus.
+    The budget test is per-row-decidable integer arithmetic.
+
+    ``keep_partial=False`` keeps only documents that fit WHOLE
+    (start + n_tokens <= budget); ``True`` also keeps the single document
+    straddling the boundary (start < budget). Appends ``start_tok``.
+
+    Determinism contract: ``quality_col`` must be identically computed in
+    any replicating engine (round scores before passing them in — the
+    gate uses the 6dp-rounded quality_score) so the total order, hence
+    the cumsum, matches bit-for-bit.
+    """
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    order = [F.col(quality_col).desc(), F.col(id_col).asc()]
+    n_part = max(int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")), 1)
+    d = (
+        df.repartitionByRange(n_part, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    out_schema = StructType(list(d.schema) + [StructField("__local_start", LongType())])
+    tok = token_col
+
+    def local_cumsum(batches):
+        running = 0
+        for pdf in batches:
+            t = pdf[tok].to_numpy()
+            starts = t.cumsum() - t + running
+            running = int(starts[-1] + t[-1]) if len(t) else running
+            yield pdf.assign(__local_start=starts)
+
+    local = d.mapInPandas(local_cumsum, out_schema)
+    woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        d.groupBy("__pid")
+        .agg(F.sum(tok).cast("long").alias("__cnt"))
+        .select("__pid", F.coalesce(F.sum("__cnt").over(woff), F.lit(0)).alias("__off"))
+    )
+    start = (F.col("__off") + F.col("__local_start")).cast("long")
+    fits = (
+        start < F.lit(int(budget_tokens))
+        if keep_partial
+        else start + F.col(tok) <= F.lit(int(budget_tokens))
+    )
+    return (
+        local.join(F.broadcast(offs), "__pid")
+        .withColumn("start_tok", start)
+        .where(fits)
+        .drop("__pid", "__local_start", "__off")
+    )

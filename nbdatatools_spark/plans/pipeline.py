@@ -109,6 +109,54 @@ def _op_lm_filter(df, max_score=8.0, text_col="text", id_col="doc_id", **_):
     return df.join(keep, id_col, "left_semi")
 
 
+def _op_remove_dup_spans(df, k=13, min_occurrences=2, id_col="doc_id",
+                         text_col="text", **_):
+    """ExactSubstr duplicated-span removal as a pipeline step (Lee et al.
+    2107.06499): text is REWRITTEN (duplicated k-token windows cut), all
+    other columns carried through on one id-keyed join."""
+    from nbdatatools_spark.operators.dedup import remove_duplicate_spans
+
+    cleaned = remove_duplicate_spans(
+        df, id_col=id_col, text_col=text_col, k=int(k),
+        min_occurrences=int(min_occurrences),
+    ).select(F.col(id_col), F.col("clean_text"))
+    others = [c for c in df.columns if c != text_col]
+    return (
+        df.select(*others)
+        .join(cleaned, id_col)
+        .withColumnRenamed("clean_text", text_col)
+    )
+
+
+def _op_perplexity_filter(df, keep=("head", "middle"), n_buckets=3,
+                          id_col="doc_id", text_col="text", **_):
+    """CCNet tier filter: keep only documents in the named perplexity
+    buckets (plus unscored short docs if 'unscored' is listed)."""
+    from nbdatatools_spark.operators.lm import perplexity_buckets
+
+    tiers = perplexity_buckets(
+        df, text_col=text_col, id_col=id_col, n_buckets=int(n_buckets)
+    ).where(F.col("bucket_label").isin(*list(keep))).select(id_col)
+    return df.join(tiers, id_col, "left_semi")
+
+
+def _op_token_budget(df, budget_tokens=1_000_000, id_col="doc_id",
+                     text_col="text", **_):
+    """Best-first token-budget selection (the 'best N tokens' assembly
+    cut): rank by 6dp-rounded quality_score, keep the whole-document
+    prefix that fits the budget."""
+    from nbdatatools_spark.functions.text import quality_score, token_count
+    from nbdatatools_spark.operators.sampling import token_budget_select
+
+    scored = df.withColumn(
+        "__q", F.round(quality_score(F.col(text_col)), 6)
+    ).withColumn("__nt", token_count(F.col(text_col)).cast("long"))
+    return token_budget_select(
+        scored, int(budget_tokens), quality_col="__q", token_col="__nt",
+        id_col=id_col,
+    ).drop("__q", "__nt", "start_tok")
+
+
 def _op_domain_cap(df, cap=100, strata_col="source", key_col="doc_id", seed=42, **_):
     from nbdatatools_spark.operators.sampling import domain_cap
 
@@ -193,6 +241,9 @@ STEP_REGISTRY = {
     "schema_check": _op_schema_check,
     "classifier_filter": _op_classifier_filter,
     "lm_filter": _op_lm_filter,
+    "remove_dup_spans": _op_remove_dup_spans,
+    "perplexity_filter": _op_perplexity_filter,
+    "token_budget": _op_token_budget,
     "domain_cap": _op_domain_cap,
     "stratified_sample": _op_stratified_sample,
 }

@@ -571,3 +571,44 @@ def test_cli_explain(capsys):
     assert '"size_bytes"' in out
     assert main(["explain", "--query", "no_such_query"]) == 2
     capsys.readouterr()
+
+
+def test_pipeline_curation_steps_round5(spark, documents):
+    """remove_dup_spans / perplexity_filter / token_budget pipeline steps
+    compose and match the underlying operators directly."""
+    from pyspark.sql import functions as F
+
+    from nbdatatools_spark.plans.pipeline import run_pipeline
+
+    steps = [
+        {"op": "remove_dup_spans", "k": 13},
+        {"op": "perplexity_filter", "keep": ["head", "middle", "unscored"]},
+        {"op": "token_budget", "budget_tokens": 5000},
+    ]
+    out, report = run_pipeline(documents, steps, count_steps=True)
+    rows = out.collect()
+    assert 0 < len(rows) < documents.count()
+    # schema preserved: text rewritten in place, other columns carried
+    assert set(documents.columns) <= set(out.columns)
+    # the budget holds on the FINAL text (token counts of kept docs)
+    from nbdatatools_spark.functions.text import token_count
+
+    total = out.select(F.sum(token_count(F.col("text"))).alias("t")).first()["t"]
+    assert total <= 5000
+    # report has one row per step
+    assert [r["op"] for r in report] == [
+        "remove_dup_spans", "perplexity_filter", "token_budget",
+    ]
+
+
+def test_pipeline_remove_dup_spans_rewrites_text(spark):
+    from nbdatatools_spark.plans.pipeline import run_pipeline
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f", "s1"), (2, "z a b c d q", "s1")],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    out, _ = run_pipeline(df, [{"op": "remove_dup_spans", "k": 4}], count_steps=False)
+    got = {r.doc_id: r.text for r in out.collect()}
+    assert got == {1: "e f", 2: "z q"}
+    assert [r.source for r in out.collect()] == ["s1", "s1"]

@@ -152,3 +152,57 @@ def test_dedup_cluster_sizes_closed_form(spark):
     assert out == {1: 2, 3: 1}
     # mass conservation: sum(size * count) == corpus size
     assert sum(s * n for s, n in out.items()) == 5
+
+
+def test_token_budget_select_prefix_semantics(spark):
+    from nbdatatools_spark.operators.sampling import token_budget_select
+
+    rows = [
+        (1, 0.9, 40),
+        (2, 0.8, 50),
+        (3, 0.7, 30),  # start 90: 90+30 > 100 -> out
+        (4, 0.6, 5),   # start 120 even though it would "fit" a knapsack
+        (5, 0.9, 0),   # zero-token doc inside the prefix
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, quality DOUBLE, n_tokens BIGINT")
+    out = {
+        r["doc_id"]: r["start_tok"]
+        for r in token_budget_select(
+            df, 100, quality_col="quality", token_col="n_tokens"
+        ).collect()
+    }
+    # order: (0.9,1) (0.9,5) (0.8,2) (0.7,3) (0.6,4)
+    assert out == {1: 0, 5: 40, 2: 40}
+    part = {
+        r["doc_id"]
+        for r in token_budget_select(
+            df, 100, quality_col="quality", token_col="n_tokens", keep_partial=True
+        ).collect()
+    }
+    assert part == {1, 5, 2, 3}  # the straddler (start 90 < 100) joins
+    with pytest.raises(ValueError):
+        token_budget_select(df, -1, quality_col="quality", token_col="n_tokens")
+
+
+def test_token_budget_select_matches_window_replica(spark, documents):
+    from nbdatatools_spark.functions.text import quality_score, token_count
+    from nbdatatools_spark.operators.sampling import token_budget_select
+    from pyspark.sql import Window
+
+    docs = documents.select(
+        "doc_id",
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    got = token_budget_select(docs, 3000, quality_col="quality", token_col="n_tokens")
+    w = (
+        Window.orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ref = (
+        docs.withColumn("start_tok", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .where(F.col("start_tok") + F.col("n_tokens") <= 3000)
+    )
+    a = sorted((r.doc_id, r.start_tok) for r in got.collect())
+    b = sorted((r.doc_id, r.start_tok) for r in ref.collect())
+    assert a == b and len(a) > 0
