@@ -11,7 +11,7 @@ reference user can run the same commands against the Spark engine:
     catalog
     datasets list|download|plan|curlify|prebuffer
     vectordata info|views|profiles|size|sample|cat|prebuffer|verify
-    corpus stats|run|tune_dedup (report / pipeline / dedup-parameter tuning)
+    corpus stats|run|tune_dedup|cluster_sizes|select_budget (report / pipeline / tuning / audits)
     slab get|namespaces|check|analyze|import|append|export|rewrite
         (byte-compatible slabtastic .slab files — cli/CMD_slab_*.java)
     explain (physical plan + Catalyst cost estimates for any gate query)
@@ -539,6 +539,47 @@ def _cmd_corpus_stats(args) -> int:
     return 0
 
 
+def _cmd_corpus_cluster_sizes(args) -> int:
+    """Near-dup cluster-size histogram: the pre-dedup audit of how the
+    duplicate mass distributes (pairs vs template families)."""
+    from nbdatatools_spark.operators.dedup import dedup_cluster_sizes
+
+    spark = _spark()
+    docs = spark.read.parquet(args.input)
+    rows = dedup_cluster_sizes(
+        docs, id_col=args.id_col, text_col=args.text_col,
+        num_hashes=args.num_hashes, bands=args.bands,
+        threshold=args.threshold,
+    ).orderBy("cluster_size").collect()
+    for r in rows:
+        print(json.dumps(r.asDict()))
+    return 0
+
+
+def _cmd_corpus_select_budget(args) -> int:
+    """Best-first token-budget selection: write the highest-quality
+    whole-document prefix fitting --budget tokens."""
+    from pyspark.sql import functions as F
+
+    from nbdatatools_spark.functions.text import quality_score, token_count
+    from nbdatatools_spark.operators.sampling import token_budget_select
+
+    spark = _spark()
+    docs = spark.read.parquet(args.input)
+    scored = docs.withColumn(
+        "__q", F.round(quality_score(F.col(args.text_col)), 6)
+    ).withColumn("__nt", token_count(F.col(args.text_col)).cast("long"))
+    out = token_budget_select(
+        scored, args.budget, quality_col="__q", token_col="__nt",
+        id_col=args.id_col, keep_partial=args.keep_partial,
+    )
+    kept = out.drop("__q", "__nt", "start_tok")
+    kept.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"kept_docs": n, "budget_tokens": args.budget}))
+    return 0
+
+
 def _cmd_verify_profiles(args) -> int:
     from nbdatatools_spark.operators.knn import verify_profiles
     from nbdatatools_spark.sources.dataset import load_dataset
@@ -988,6 +1029,22 @@ def build_parser() -> argparse.ArgumentParser:
     cr.add_argument("--output", required=True)
     cr.add_argument("--report", action="store_true")
     cr.set_defaults(func=_cmd_corpus_run)
+    ccs = cp.add_parser("cluster_sizes")
+    ccs.add_argument("--input", required=True)
+    ccs.add_argument("--text-col", default="text")
+    ccs.add_argument("--id-col", default="doc_id")
+    ccs.add_argument("--num-hashes", type=int, default=32)
+    ccs.add_argument("--bands", type=int, default=8)
+    ccs.add_argument("--threshold", type=float, default=0.5)
+    ccs.set_defaults(func=_cmd_corpus_cluster_sizes)
+    csb = cp.add_parser("select_budget")
+    csb.add_argument("--input", required=True)
+    csb.add_argument("--output", required=True)
+    csb.add_argument("--budget", type=int, required=True)
+    csb.add_argument("--text-col", default="text")
+    csb.add_argument("--id-col", default="doc_id")
+    csb.add_argument("--keep-partial", action="store_true")
+    csb.set_defaults(func=_cmd_corpus_select_budget)
 
     cl = sub.add_parser("cleanup").add_subparsers(dest="what", required=True)
     cc = cl.add_parser("cleanfvec")

@@ -171,3 +171,30 @@ def test_vectordata_views_profiles_cat_verify(spark, tmp_path, capsys):
     by_facet = {r["facet"]: r for r in reps}
     assert by_facet["base_vectors"]["rows"] == 60
     assert by_facet["base_vectors"]["uniform_dim"] is True
+
+
+def test_corpus_cluster_sizes_and_select_budget_cli(tmp_path, capsys, sf_dir):
+    import json as _json
+
+    from nbdatatools_spark.__main__ import main as cli_main
+
+    docs = f"{sf_dir}/documents.parquet"
+    rc = cli_main([
+        "corpus", "cluster_sizes", "--input", docs,
+        "--num-hashes", "16", "--bands", "8", "--threshold", "0.5",
+    ])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    hist = [_json.loads(l) for l in lines]
+    assert hist and all(h["cluster_size"] >= 1 and h["n_clusters"] >= 1 for h in hist)
+
+    out = str(tmp_path / "budget.parquet")
+    rc = cli_main([
+        "corpus", "select_budget", "--input", docs, "--output", out,
+        "--budget", "3000",
+    ])
+    assert rc == 0
+    rep = _json.loads(
+        [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    )
+    assert 0 < rep["kept_docs"] and rep["budget_tokens"] == 3000
