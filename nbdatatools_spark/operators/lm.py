@@ -549,9 +549,12 @@ def perplexity_buckets(
 
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    # persisted: the scored frame is read three times (the n_scored count,
+    # the ranked tier branch, the unscored branch) — without the persist
+    # the whole LM model build re-runs per action
     scored = bigram_lm_score(
         docs, text_col=text_col, id_col=id_col, add_k=add_k, lm_corpus=lm_corpus
-    )
+    ).persist()
     has_score = scored.where(F.col("lm_score").isNotNull())
     n_scored = has_score.count()  # bounded driver scalar, inlined below
     ranked = global_row_index(
