@@ -3220,10 +3220,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the two oracle-cast fixes in that set (q12_lateness_priority,
     embedding_psi_drift, events_ab_test); 49 = fit (now with a
     pinned-invariant oracle). Tail = every previously hash-green entry
-    (r3 + r4 union) plus the 9 deferred relational queries under
-    PENDING_FIRST_RECORDING (q9/q13/q15/q16/q17/q19/q20/q21/q22 — the
-    window only fits 50; rotate them in next round), all local-oracle
-    green.
+    (r3 + r4 union) plus the PENDING_FIRST_RECORDING set — the 9 deferred
+    relational queries (q9/q13/q15/q16/q17/q19/q20/q21/q22) and the 8
+    round-5 session-2 additions (pmi / zipf / winnow pairs / perplexity
+    buckets / source overlap / span removal / cluster sizes / token
+    budget) — the window only fits 50; rotate them in round 6. All
+    local-oracle green at sf0.001 and sf0.01.
     """
     return {
         # -- r4 driver-red, fixed this round: record these first --
