@@ -3188,6 +3188,25 @@ def doc_token_budget_select(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def events_pagerank(spark, sf_dir):
+    """Weighted PageRank over the event-type transition graph
+    (graph.py::pagerank, 10 fixed power steps, damping 0.85): which states
+    accumulate journey mass. Each step is one edge-keyed join + one
+    dst-keyed aggregate — the web-scale power-iteration shape. 9dp
+    DECIMAL-summed contributions make every rank bit-replayable; the
+    oracle chains 10 explicit iteration CTEs."""
+    from nbdatatools_spark.operators.graph import pagerank
+
+    edges = events_transition_counts(spark, sf_dir)
+    pr = pagerank(
+        edges, src="from_type", dst="to_type", weight="n_transitions",
+        damping=0.85, iterations=10,
+    )
+    return pr.select(
+        F.col("node").alias("event_type"), F.round("rank", 6).alias("rank")
+    ).orderBy("event_type")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3396,6 +3415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_remove_dup_spans": doc_remove_dup_spans,
         "doc_dedup_cluster_sizes": doc_dedup_cluster_sizes,
         "doc_token_budget_select": doc_token_budget_select,
+        "events_pagerank": events_pagerank,
     }
 
 
@@ -3422,6 +3442,7 @@ PENDING_FIRST_RECORDING = frozenset(
         "doc_remove_dup_spans",
         "doc_dedup_cluster_sizes",
         "doc_token_budget_select",
+        "events_pagerank",
     }
 )
 
@@ -3615,6 +3636,50 @@ def _minhash_cluster_sizes_oracle(num_hashes: int = 32, bands: int = 8, k: int =
         SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
                CAST(count(*) AS BIGINT) AS n_clusters
         FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+    """
+
+
+def _pagerank_oracle(iterations: int = 10, damping: float = 0.85) -> str:
+    """DuckDB replica of graph.pagerank over the transition graph: the
+    fixed power iteration unrolled into explicit chained CTEs (r1..rN) —
+    per-edge contributions round(,9)-then-DECIMAL-summed, rank update one
+    double multiply-add rounded to 9dp; identical expression trees to the
+    engine, so every iteration agrees bit-for-bit."""
+    d = repr(float(damping))
+    its = []
+    for t in range(1, iterations + 1):
+        its.append(f"""
+        r{t} AS (
+            SELECT nodes.node,
+                   round((1.0 - {d}) / nn.n
+                         + {d} * coalesce(CAST(inc.i AS DOUBLE), 0.0), 9) AS rank
+            FROM nodes CROSS JOIN nn
+            LEFT JOIN (
+                SELECT ew.d AS node,
+                       sum(CAST(round((r{t - 1}.rank * ew.w) / ew.ow, 9)
+                                AS DECIMAL(28,9))) AS i
+                FROM ew JOIN r{t - 1} ON ew.s = r{t - 1}.node
+                GROUP BY ew.d) inc
+              ON nodes.node = inc.node)""")
+    return f"""
+        WITH p AS (
+            SELECT user_id, event_type AS from_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS to_type
+            FROM events),
+        e AS (
+            SELECT from_type AS s, to_type AS d,
+                   CAST(count(*) AS DOUBLE) AS w
+            FROM p WHERE to_type IS NOT NULL
+            GROUP BY from_type, to_type),
+        nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        ow AS (SELECT s, sum(w) AS ow FROM e GROUP BY s),
+        ew AS (SELECT e.s, e.d, e.w, ow.ow FROM e JOIN ow USING (s)),
+        r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+        {",".join(its)}
+        SELECT node AS event_type, round(rank, 6) AS rank
+        FROM r{iterations} ORDER BY event_type
     """
 
 
@@ -4225,6 +4290,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_candidate_pairs": _minhash_oracle(),
         "doc_minhash_dedup_transitive": _minhash_transitive_oracle(),
         "doc_dedup_cluster_sizes": _minhash_cluster_sizes_oracle(),
+        "events_pagerank": _pagerank_oracle(),
         # as-of join: rank-1 range-join replica, exact integer micros lag
         "events_asof_join": """
             WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),

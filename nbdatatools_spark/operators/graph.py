@@ -1,0 +1,97 @@
+"""Graph analytics beyond connected components (SURVEY §7.8 extension):
+fixed-iteration weighted PageRank as pure DataFrame ops.
+
+Scale shape: every iteration is ONE edge-keyed equi-join (edges x current
+ranks on src) plus ONE dst-keyed aggregate — the standard distributed
+power-iteration shape that runs at web-graph scale (edges never
+materialize on the driver; per-iteration state is (node, rank)).
+``localCheckpoint`` per iteration cuts the lineage exactly as
+``dedup.connected_components`` does — without it the plan doubles per
+round and optimizer time dominates.
+
+Exactness contract (what makes the gate oracle-able): per-edge
+contributions are rounded to 9dp and DECIMAL-summed (order-invariant),
+the rank update is one double multiply-add rounded to 9dp, and the
+teleport term is a Python double literal — an engine replaying the same
+fixed iteration count reproduces every rank bit-for-bit.
+
+Semantics note: this is the simplified (teleport-only) PageRank — mass
+from dangling nodes (no out-edges) is NOT redistributed, the common
+formulation for transition graphs where every observed state has
+outgoing transitions. Ranks therefore need not sum to exactly 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_CONTRIB_DEC = "decimal(28,9)"
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    damping: float = 0.85,
+    iterations: int = 10,
+) -> DataFrame:
+    """Weighted PageRank after exactly ``iterations`` power steps over a
+    directed edge list. ``weight=None`` treats every edge as weight 1.
+    Returns ``(node, rank)`` with rank rounded to 9dp.
+
+    rank_0(v) = 1/N;
+    rank_{t+1}(v) = round((1-d)/N + d * sum_{(u,v) in E}
+                          round(rank_t(u) * w(u,v) / out_w(u), 9), 9)
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0,1), got {damping}")
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    w_col = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = (
+        edges.select(
+            F.col(src).alias("__s"), F.col(dst).alias("__d"), w_col.alias("__w")
+        )
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .union(e.select(F.col("__d").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()  # bounded driver scalar, inlined as a literal
+    if n_nodes == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    teleport = (1.0 - damping) / n_nodes  # python double, replayable literal
+    outw = e.groupBy("__s").agg(F.sum("__w").alias("__ow"))
+    ew = e.join(outw, "__s")  # (src, dst, w, out_w) — static per run
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            ew.join(ranks.withColumnRenamed("node", "__s"), "__s")
+            .select(
+                F.col("__d").alias("node"),
+                F.round((F.col("rank") * F.col("__w")) / F.col("__ow"), 9)
+                .cast(_CONTRIB_DEC)
+                .alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * F.coalesce(F.col("__in").cast("double"), F.lit(0.0)),
+                    9,
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

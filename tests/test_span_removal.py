@@ -206,3 +206,53 @@ def test_token_budget_select_matches_window_replica(spark, documents):
     a = sorted((r.doc_id, r.start_tok) for r in got.collect())
     b = sorted((r.doc_id, r.start_tok) for r in ref.collect())
     assert a == b and len(a) > 0
+
+
+def test_pagerank_closed_form_and_invariants(spark):
+    import math
+
+    from nbdatatools_spark.operators.graph import pagerank
+
+    # two-node cycle with equal weights: symmetric -> both ranks equal 1/2
+    e = spark.createDataFrame(
+        [("a", "b", 1), ("b", "a", 1)], "src STRING, dst STRING, w BIGINT"
+    )
+    out = {r.node: r.rank for r in pagerank(e, weight="w", iterations=10).collect()}
+    assert out["a"] == out["b"] == pytest.approx(0.5, abs=1e-9)
+
+    # star a->b, a->c with weights 3 and 1: b gets 3x c's inflow term
+    e2 = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1)], "src STRING, dst STRING, w BIGINT"
+    )
+    out2 = {r.node: r.rank for r in pagerank(e2, weight="w", iterations=1).collect()}
+    third = 1.0 / 3.0
+    tele = 0.15 / 3.0
+    assert out2["a"] == pytest.approx(tele, abs=1e-9)  # no in-edges
+    assert out2["b"] == pytest.approx(
+        round(tele + 0.85 * round(third * 3.0 / 4.0, 9), 9), abs=1e-9
+    )
+    assert out2["c"] == pytest.approx(
+        round(tele + 0.85 * round(third * 1.0 / 4.0, 9), 9), abs=1e-9
+    )
+    # python power-iteration replica agrees on a small random-ish graph
+    edges = [("a", "b", 2), ("b", "c", 1), ("c", "a", 1), ("a", "c", 1), ("c", "b", 2)]
+    e3 = spark.createDataFrame(edges, "src STRING, dst STRING, w BIGINT")
+    got = {r.node: r.rank for r in pagerank(e3, weight="w", iterations=10).collect()}
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    outw = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0.0) + float(w)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(10):
+        inc = {v: 0.0 for v in nodes}
+        for s, d, w in edges:
+            inc[d] += round(r[s] * float(w) / outw[s], 9)
+        r = {v: round((1.0 - 0.85) / n + 0.85 * inc[v], 9) for v in nodes}
+    for v in nodes:
+        assert got[v] == pytest.approx(r[v], abs=1e-8), v
+
+    with pytest.raises(ValueError):
+        pagerank(e, damping=1.5)
+    with pytest.raises(ValueError):
+        pagerank(e, iterations=0)
