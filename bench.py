@@ -81,6 +81,9 @@ HEADLINE = [
     "doc_perplexity_buckets",
     "corpus_source_overlap",
     "doc_remove_dup_spans",
+    "doc_dedup_cluster_sizes",
+    "doc_token_budget_select",
+    "events_pagerank",
     "verify_profiles",
     "stream_ingest_available_now",
 ]
