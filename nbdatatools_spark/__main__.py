@@ -4,7 +4,7 @@ reference user can run the same commands against the Spark engine:
 
     analyze count_zeros|describe|select|slice|find|check-endian
             |verify_knn|verify_profiles|tune_ann|tune_compression
-    compute knn|sort
+    compute knn|sort|ivf_build|ivf_append|ivf_search
     convert file
     generate vectors|dataset|mktestdata|fvec-extract|ivec-extract|ivec-shuffle
     merkle create|verify|summary|diff|path|treeview|spoilbits|spoilchunks
@@ -197,6 +197,48 @@ def _cmd_compute_knn(args) -> int:
         _write_vectors(nn.select("ordinal", F.col("distances").cast("array<float>").alias("vector")), args.out_distances)
     if not args.out_indices and not args.out_distances:
         _emit(nn.orderBy("ordinal").limit(args.limit).collect())
+    return 0
+
+
+def _cmd_compute_ivf(args) -> int:
+    """Persisted-IVF index lifecycle: build (train centroids + partitioned
+    assignments), search (nprobe partition-pruned scan), append (assign a
+    delta to the existing centroids — no retrain, no rewrite)."""
+    spark = _spark()
+    if args.what == "ivf_build":
+        from nbdatatools_spark.operators.similarity import ivf_build_index
+
+        base = spark.read.parquet(args.input)
+        meta = ivf_build_index(
+            base, args.index, n_centroids=args.centroids, seed=args.seed,
+            base_id=args.id_col, vec_col=args.vec_col,
+        )
+        print(json.dumps(meta))
+        return 0
+    if args.what == "ivf_append":
+        from nbdatatools_spark.operators.similarity import ivf_append_index
+
+        batch = spark.read.parquet(args.input)
+        rep = ivf_append_index(
+            batch, args.index, base_id=args.id_col, vec_col=args.vec_col,
+            drop_existing_ids=args.drop_existing,
+        )
+        print(json.dumps(rep))
+        return 0
+    # ivf_search
+    from nbdatatools_spark.operators.similarity import ivf_search_index
+
+    queries = spark.read.parquet(args.query)
+    if args.query_ids:
+        from pyspark.sql import functions as F
+
+        ids = [int(x) for x in args.query_ids.split(",")]
+        queries = queries.where(F.col(args.id_col).isin(ids))
+    out = ivf_search_index(
+        spark, args.index, queries, k=args.k, nprobe=args.nprobe,
+        query_id=args.id_col, base_id=args.id_col, vec_col=args.vec_col,
+    )
+    _emit(out.orderBy("query_id", "rank").limit(args.limit).collect())
     return 0
 
 
@@ -885,6 +927,25 @@ def build_parser() -> argparse.ArgumentParser:
     kn.add_argument("--out-distances")
     kn.add_argument("--limit", type=int, default=20)
     kn.set_defaults(func=_cmd_compute_knn)
+    for ivf_what in ("ivf_build", "ivf_append", "ivf_search"):
+        iv = co.add_parser(ivf_what)
+        iv.add_argument("--index", required=True)
+        iv.add_argument("--id-col", default="vec_id")
+        iv.add_argument("--vec-col", default="embedding")
+        if ivf_what == "ivf_build":
+            iv.add_argument("--input", required=True)
+            iv.add_argument("--centroids", type=int, default=16)
+            iv.add_argument("--seed", type=int, default=42)
+        elif ivf_what == "ivf_append":
+            iv.add_argument("--input", required=True)
+            iv.add_argument("--drop-existing", action="store_true")
+        else:
+            iv.add_argument("--query", required=True)
+            iv.add_argument("--query-ids", default="")
+            iv.add_argument("--k", type=int, default=10)
+            iv.add_argument("--nprobe", type=int, default=4)
+            iv.add_argument("--limit", type=int, default=50)
+        iv.set_defaults(func=_cmd_compute_ivf)
     cso = co.add_parser("sort")
     cso.add_argument("--input", required=True)
     cso.add_argument("--output", required=True)

@@ -198,3 +198,41 @@ def test_corpus_cluster_sizes_and_select_budget_cli(tmp_path, capsys, sf_dir):
         [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
     )
     assert 0 < rep["kept_docs"] and rep["budget_tokens"] == 3000
+
+
+def test_compute_ivf_lifecycle_cli(tmp_path, capsys, sf_dir):
+    import json as _json
+
+    import duckdb
+
+    from nbdatatools_spark.__main__ import main as cli_main
+
+    emb = f"{sf_dir}/embeddings.parquet"
+    idx = str(tmp_path / "ivf")
+    half_a = str(tmp_path / "half_a.parquet")
+    half_b = str(tmp_path / "half_b.parquet")
+    duckdb.sql(
+        f"COPY (SELECT * FROM '{emb}' WHERE vec_id % 2 = 0) TO '{half_a}' (FORMAT PARQUET)"
+    )
+    duckdb.sql(
+        f"COPY (SELECT * FROM '{emb}' WHERE vec_id % 2 = 1) TO '{half_b}' (FORMAT PARQUET)"
+    )
+
+    rc = cli_main(["compute", "ivf_build", "--input", half_a, "--index", idx,
+                   "--centroids", "4"])
+    assert rc == 0
+    meta = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["n_centroids"] == 4 and meta["n_vectors"] > 0
+
+    rc = cli_main(["compute", "ivf_append", "--input", half_b, "--index", idx])
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_appended"] > 0
+
+    rc = cli_main(["compute", "ivf_search", "--index", idx, "--query", emb,
+                   "--query-ids", "0,1", "--k", "3", "--nprobe", "4"])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    rows = [_json.loads(l) for l in lines]
+    assert rows and {r["query_id"] for r in rows} == {0, 1}
+    assert all(1 <= r["rank"] <= 3 for r in rows)
