@@ -3207,6 +3207,18 @@ def events_pagerank(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def doc_tfidf_topterms(spark, sf_dir):
+    """Per-document tf-idf keywords (analysis.py::tfidf_top_terms): ONE
+    (doc, token) tf pass + vocab-sized df aggregate + per-doc top-3
+    ranking window (per-task state = one doc's vocabulary). score =
+    round(tf * round(ln(N/df), 9), 6), ties on token ASC."""
+    from nbdatatools_spark.operators.analysis import tfidf_top_terms
+
+    return tfidf_top_terms(
+        _t(spark, sf_dir, "documents"), top_k=3, min_df=2
+    ).orderBy("doc_id", "rank")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3416,6 +3428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_cluster_sizes": doc_dedup_cluster_sizes,
         "doc_token_budget_select": doc_token_budget_select,
         "events_pagerank": events_pagerank,
+        "doc_tfidf_topterms": doc_tfidf_topterms,
     }
 
 
@@ -3443,6 +3456,7 @@ PENDING_FIRST_RECORDING = frozenset(
         "doc_dedup_cluster_sizes",
         "doc_token_budget_select",
         "events_pagerank",
+        "doc_tfidf_topterms",
     }
 )
 
@@ -4291,6 +4305,34 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash_dedup_transitive": _minhash_transitive_oracle(),
         "doc_dedup_cluster_sizes": _minhash_cluster_sizes_oracle(),
         "events_pagerank": _pagerank_oracle(),
+        # per-doc tf-idf: normalized tokens, vocab df with min_df prune,
+        # score = round(tf * round(ln(N/df), 9), 6), per-doc rank window
+        "doc_tfidf_topterms": """
+            WITH nrm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+                FROM documents),
+            tk AS (SELECT doc_id,
+                          CASE WHEN length(nt) = 0 THEN []::VARCHAR[]
+                               ELSE regexp_split_to_array(nt, ' ') END AS t
+                   FROM nrm),
+            tf AS (SELECT doc_id, u.w AS token, count(*) AS tf
+                   FROM tk, unnest(t) AS u(w) GROUP BY doc_id, u.w),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+            dfq AS (SELECT token, count(*) AS df FROM tf
+                    GROUP BY token HAVING count(*) >= 2),
+            scored AS (
+                SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+                       round(tf.tf * round(ln(n / df), 9), 6) AS score
+                FROM tf JOIN dfq USING (token), nn),
+            r AS (SELECT *,
+                         CAST(row_number() OVER (
+                             PARTITION BY doc_id
+                             ORDER BY score DESC, token ASC) AS INT) AS rank
+                  FROM scored)
+            SELECT doc_id, token, tf, df, score, rank
+            FROM r WHERE rank <= 3 ORDER BY doc_id, rank
+        """,
         # as-of join: rank-1 range-join replica, exact integer micros lag
         "events_asof_join": """
             WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),

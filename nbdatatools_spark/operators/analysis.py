@@ -1057,3 +1057,59 @@ def zipf_fit(
         F.round(intercept, 6).alias("intercept"),
         F.round((corr_num / corr_den) * (corr_num / corr_den), 6).alias("r_squared"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+    min_df: int = 1,
+) -> DataFrame:
+    """Per-DOCUMENT tf-idf keyword extraction (the document-grain
+    companion of group_keywords' c-TF-IDF): score token t in doc d by
+    ``tf(t, d) * ln(N / df(t))`` and keep each document's top-k — the
+    classic per-doc keyword/tag extractor feeding search facets,
+    clustering labels, and weak supervision.
+
+    Plan: explode normalized tokens -> ONE map-side-combinable
+    groupBy(doc, token) tf count (the only pass over corpus text) ->
+    document-frequency aggregate over the (doc, token)-distinct rows ->
+    N is one bounded driver scalar -> per-doc top-k via a ranking window
+    partitioned by doc (per-task state = one document's vocabulary,
+    never corpus-wide). min_df prunes hapax noise BEFORE the join.
+
+    Exactness: idf = round(ln(N / df), 9); score = round(tf * idf, 6);
+    ties break on token ASC. Returns ``(id_col, token, tf, df, score,
+    rank)``.
+    """
+    from nbdatatools_spark.functions.text import normalize_text, tokens
+
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    if min_df < 1:
+        raise ValueError(f"min_df must be >= 1, got {min_df}")
+    ex = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode_outer(tokens(normalize_text(F.col(text_col)))).alias("token"),
+    ).where(F.col("token").isNotNull())
+    tf = ex.groupBy("__id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(id_col).distinct().count()  # bounded driver scalar
+    dfreq = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_df)
+    )
+    idf = F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 9)
+    scored = tf.join(dfreq, "token").select(
+        "__id", "token", "tf", "df",
+        F.round(F.col("tf") * idf, 6).alias("score"),
+    )
+    w = Window.partitionBy("__id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= top_k)
+        .select(F.col("__id").alias(id_col), "token", "tf", "df", "score", "rank")
+    )

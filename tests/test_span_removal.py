@@ -256,3 +256,34 @@ def test_pagerank_closed_form_and_invariants(spark):
         pagerank(e, damping=1.5)
     with pytest.raises(ValueError):
         pagerank(e, iterations=0)
+
+
+def test_tfidf_topterms_closed_form(spark):
+    import math
+
+    from nbdatatools_spark.operators.analysis import tfidf_top_terms
+
+    rows = [
+        (1, "apple apple banana common"),
+        (2, "banana cherry common"),
+        (3, "cherry cherry common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = tfidf_top_terms(df, top_k=2, min_df=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    idf = lambda df_t: round(math.log(3.0 / df_t), 9)
+    # doc 1: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5); common 0
+    d1 = sorted(by_doc[1], key=lambda r: r.rank)
+    assert [(r.token, r.tf, r.df) for r in d1] == [("apple", 2, 1), ("banana", 1, 2)]
+    assert d1[0].score == pytest.approx(round(2 * idf(1), 6), abs=1e-9)
+    assert d1[1].score == pytest.approx(round(1 * idf(2), 6), abs=1e-9)
+    # common appears in all docs -> idf 0 -> score 0, only surfaces last
+    d3 = sorted(by_doc[3], key=lambda r: r.rank)
+    assert d3[0].token == "cherry" and d3[1].token == "common"
+    assert d3[1].score == pytest.approx(0.0, abs=1e-12)
+    with pytest.raises(ValueError):
+        tfidf_top_terms(df, top_k=0)
+    with pytest.raises(ValueError):
+        tfidf_top_terms(df, min_df=0)
