@@ -3219,6 +3219,20 @@ def doc_tfidf_topterms(spark, sf_dir):
     ).orderBy("doc_id", "rank")
 
 
+def corpus_packing_report(spark, sf_dir):
+    """Packing-parameter tuning readout (packing.py::packing_report): per
+    candidate sequence length, the sequence count / padding waste /
+    oversized-doc exposure of a concat-then-chunk run — ONE map-side
+    aggregate, closed-form rows."""
+    from nbdatatools_spark.functions.text import token_count
+    from nbdatatools_spark.operators.packing import packing_report
+
+    docs = _t(spark, sf_dir, "documents").select(
+        token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return packing_report(docs, [128, 256, 512]).orderBy("max_tokens")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3429,6 +3443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_budget_select": doc_token_budget_select,
         "events_pagerank": events_pagerank,
         "doc_tfidf_topterms": doc_tfidf_topterms,
+        "corpus_packing_report": corpus_packing_report,
     }
 
 
@@ -3457,6 +3472,7 @@ PENDING_FIRST_RECORDING = frozenset(
         "doc_token_budget_select",
         "events_pagerank",
         "doc_tfidf_topterms",
+        "corpus_packing_report",
     }
 )
 
@@ -4332,6 +4348,33 @@ def oracle_sql() -> dict[str, str]:
                   FROM scored)
             SELECT doc_id, token, tf, df, score, rank
             FROM r WHERE rank <= 3 ORDER BY doc_id, rank
+        """,
+        # packing report: one scalar aggregate, per-candidate closed form
+        "corpus_packing_report": f"""
+            WITH q AS (SELECT CAST({_NTOK} AS BIGINT) AS nt FROM documents),
+            s AS (SELECT CAST(sum(nt) AS BIGINT) AS total,
+                         CAST(sum(CASE WHEN nt > 128 THEN 1 ELSE 0 END) AS BIGINT) AS o128,
+                         CAST(sum(CASE WHEN nt > 256 THEN 1 ELSE 0 END) AS BIGINT) AS o256,
+                         CAST(sum(CASE WHEN nt > 512 THEN 1 ELSE 0 END) AS BIGINT) AS o512
+                  FROM q)
+            SELECT c.max_tokens,
+                   CAST(ceil(s.total / CAST(c.max_tokens AS DOUBLE)) AS BIGINT)
+                       AS n_sequences,
+                   s.total AS total_tokens,
+                   CAST(CAST(ceil(s.total / CAST(c.max_tokens AS DOUBLE)) AS BIGINT)
+                        * c.max_tokens - s.total AS BIGINT) AS padding_tokens,
+                   CASE WHEN ceil(s.total / CAST(c.max_tokens AS DOUBLE)) > 0
+                        THEN round(
+                            (CAST(ceil(s.total / CAST(c.max_tokens AS DOUBLE)) AS BIGINT)
+                             * c.max_tokens - s.total)
+                            / (CAST(ceil(s.total / CAST(c.max_tokens AS DOUBLE)) AS BIGINT)
+                               * CAST(c.max_tokens AS DOUBLE)), 6)
+                        ELSE 0.0 END AS padding_frac,
+                   CASE c.max_tokens WHEN 128 THEN s.o128
+                                     WHEN 256 THEN s.o256
+                                     ELSE s.o512 END AS n_oversized_docs
+            FROM s, (VALUES (128), (256), (512)) AS c(max_tokens)
+            ORDER BY c.max_tokens
         """,
         # as-of join: rank-1 range-join replica, exact integer micros lag
         "events_asof_join": """

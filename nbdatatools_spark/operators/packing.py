@@ -17,6 +17,8 @@ range partition on the ordering key.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
@@ -261,4 +263,60 @@ def chunk_documents(
             ).alias("chunk_text"),
         )
     )
+    return out
+
+
+def packing_report(
+    df: DataFrame,
+    max_tokens_candidates: Sequence[int],
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Packing-parameter tuning readout (the pack_sequences companion of
+    minhash_quality_report / ann_tuning_report): for each candidate
+    sequence length, the sequence count, padding waste, and oversized-doc
+    exposure a concat-then-chunk packing run would produce — the measured
+    answer to "train at 2k, 4k, or 8k?" before a 100-TB tokenization run
+    commits.
+
+    One corpus pass computes (total_tokens, n_docs, max_doc_tokens,
+    per-candidate oversized-doc counts) as a single map-side-combinable
+    aggregate; every report row is closed-form arithmetic on those
+    scalars. Concat-then-chunk wastes only the final partial sequence
+    (padding_frac = tail padding / capacity); docs longer than the
+    candidate straddle sequence boundaries (n_oversized_docs exposes how
+    often attention masks must cut).
+
+    Returns one row per candidate: ``(max_tokens, n_sequences,
+    total_tokens, padding_tokens, padding_frac, n_oversized_docs)``.
+    """
+    cands = sorted({int(c) for c in max_tokens_candidates})
+    if not cands or cands[0] < 1:
+        raise ValueError(
+            f"max_tokens_candidates must be positive ints, got {max_tokens_candidates}"
+        )
+    tok = F.col(token_col).cast("long")
+    aggs = [
+        F.sum(tok).alias("__total"),
+        F.count(F.lit(1)).alias("__docs"),
+    ] + [
+        F.sum(F.when(tok > c, 1).otherwise(0)).cast("long").alias(f"__over_{c}")
+        for c in cands
+    ]
+    row = df.agg(*aggs)
+    spark = df.sparkSession
+    out = None
+    for c in cands:
+        n_seq = F.ceil(F.col("__total") / F.lit(float(c))).cast("long")
+        pad = (n_seq * F.lit(c) - F.col("__total")).cast("long")
+        one = row.select(
+            F.lit(c).alias("max_tokens"),
+            n_seq.alias("n_sequences"),
+            F.col("__total").cast("long").alias("total_tokens"),
+            pad.alias("padding_tokens"),
+            F.when(n_seq > 0, F.round(pad / (n_seq * F.lit(float(c))), 6))
+            .otherwise(F.lit(0.0))
+            .alias("padding_frac"),
+            F.col(f"__over_{c}").alias("n_oversized_docs"),
+        )
+        out = one if out is None else out.unionByName(one)
     return out

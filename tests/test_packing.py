@@ -146,3 +146,26 @@ def test_pack_bucketed_rejects_nonpositive_budget(spark):
     df = spark.createDataFrame([(1, 0, 5)], "doc_id BIGINT, bucket BIGINT, n_tokens BIGINT")
     with pytest.raises(ValueError):
         pack_sequences_bucketed(df, 0, "bucket")
+
+
+def test_packing_report_closed_form(spark):
+    import pytest as _pt
+
+    from nbdatatools_spark.operators.packing import packing_report
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 25), (3, 7)], "doc_id BIGINT, n_tokens BIGINT"
+    )
+    out = {r.max_tokens: r for r in packing_report(df, [16, 64]).collect()}
+    # total = 42; at 16: 3 sequences, 48 capacity, 6 padding; doc 2 oversized
+    r16 = out[16]
+    assert (r16.n_sequences, r16.total_tokens, r16.padding_tokens) == (3, 42, 6)
+    assert r16.padding_frac == _pt.approx(round(6 / 48.0, 6), abs=1e-9)
+    assert r16.n_oversized_docs == 1
+    # at 64: one sequence, 22 padding, nothing oversized
+    r64 = out[64]
+    assert (r64.n_sequences, r64.padding_tokens, r64.n_oversized_docs) == (1, 22, 0)
+    with _pt.raises(ValueError):
+        packing_report(df, [])
+    with _pt.raises(ValueError):
+        packing_report(df, [0, 16])
