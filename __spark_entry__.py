@@ -3233,6 +3233,19 @@ def corpus_packing_report(spark, sf_dir):
     return packing_report(docs, [128, 256, 512]).orderBy("max_tokens")
 
 
+def doc_curriculum_interleave(spark, sf_dir):
+    """Deterministic stratified training order
+    (sampling.py::curriculum_interleave): round-robin across lang tiers —
+    within-tier ranks from ONE two-phase global index minus per-tier
+    offsets, final position a second two-phase index over the integer
+    interleave key. Pure-integer output, bit-replayable."""
+    from nbdatatools_spark.operators.sampling import curriculum_interleave
+
+    return curriculum_interleave(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang"), tier_col="lang"
+    ).orderBy("training_pos")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3444,6 +3457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pagerank": events_pagerank,
         "doc_tfidf_topterms": doc_tfidf_topterms,
         "corpus_packing_report": corpus_packing_report,
+        "doc_curriculum_interleave": doc_curriculum_interleave,
     }
 
 
@@ -3473,6 +3487,7 @@ PENDING_FIRST_RECORDING = frozenset(
         "events_pagerank",
         "doc_tfidf_topterms",
         "corpus_packing_report",
+        "doc_curriculum_interleave",
     }
 )
 
@@ -4375,6 +4390,27 @@ def oracle_sql() -> dict[str, str]:
                                      ELSE s.o512 END AS n_oversized_docs
             FROM s, (VALUES (128), (256), (512)) AS c(max_tokens)
             ORDER BY c.max_tokens
+        """,
+        # curriculum interleave: per-tier 0-based ranks, integer round-robin
+        # key rank*n_tiers + tier_idx, dense global rank of the key
+        "doc_curriculum_interleave": """
+            WITH nt AS (SELECT count(DISTINCT lang) AS n FROM documents),
+            ti AS (SELECT lang,
+                          CAST(row_number() OVER (ORDER BY lang) - 1 AS INT)
+                              AS tier_idx
+                   FROM (SELECT DISTINCT lang FROM documents)),
+            r AS (SELECT d.doc_id, d.lang, ti.tier_idx,
+                         CAST(row_number() OVER (PARTITION BY d.lang
+                                                 ORDER BY d.doc_id) - 1
+                              AS BIGINT) AS rank_in_tier
+                  FROM documents d JOIN ti USING (lang)),
+            k AS (SELECT doc_id, lang, tier_idx, rank_in_tier,
+                         rank_in_tier * nt.n + tier_idx AS key
+                  FROM r, nt)
+            SELECT doc_id, lang, tier_idx, rank_in_tier,
+                   CAST(row_number() OVER (ORDER BY key, doc_id) - 1 AS BIGINT)
+                       AS training_pos
+            FROM k ORDER BY training_pos
         """,
         # as-of join: rank-1 range-join replica, exact integer micros lag
         "events_asof_join": """

@@ -309,3 +309,66 @@ def token_budget_select(
         .where(fits)
         .drop("__pid", "__local_start", "__off")
     )
+
+
+def curriculum_interleave(
+    df: DataFrame,
+    tier_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified interleave — the training-order builder
+    that round-robins documents across tiers (quality deciles, perplexity
+    buckets, languages, domains) so every training window sees a balanced
+    tier mix instead of a tier-sorted corpus: document at within-tier
+    rank r in tier t gets interleave key ``r * n_tiers + t_idx``, and the
+    final ``training_pos`` is the dense global rank of that key (unequal
+    tiers compact naturally as shorter tiers exhaust).
+
+    Scale shape: within-tier ranks come from ONE two-phase global index
+    over (tier, id) (windows.global_row_index — range partitioned, no
+    single reducer) minus per-tier offsets (a tier-count-sized aggregate
+    broadcast back); the final position is a second two-phase index over
+    the integer interleave key. A per-tier row_number window would drag
+    each tier through one task — this never does.
+
+    Returns ``(id_col, tier_col, tier_idx, rank_in_tier, training_pos)``,
+    all 0-based integers — bit-replayable by any engine.
+    """
+    from nbdatatools_spark.operators.windows import global_row_index
+
+    tiers = sorted(
+        r[0] for r in df.select(tier_col).distinct().collect()
+    )  # bounded driver list (strata count, the mixture_rates pattern)
+    if not tiers:
+        return df.select(
+            F.col(id_col), F.col(tier_col),
+            F.lit(0).alias("tier_idx"),
+            F.lit(0).cast("long").alias("rank_in_tier"),
+            F.lit(0).cast("long").alias("training_pos"),
+        ).limit(0)
+    n_tiers = len(tiers)
+    tier_idx = F.coalesce(
+        *[F.when(F.col(tier_col) == t, i) for i, t in enumerate(tiers)]
+    ) if n_tiers > 1 else F.lit(0)
+    idx = global_row_index(
+        df.select(id_col, tier_col),
+        [F.col(tier_col).asc(), F.col(id_col).asc()],
+        out="__gidx",
+    )
+    offs = idx.groupBy(tier_col).agg(F.min("__gidx").alias("__toff"))
+    ranked = idx.join(F.broadcast(offs), tier_col).select(
+        id_col,
+        tier_col,
+        tier_idx.cast("int").alias("tier_idx"),
+        (F.col("__gidx") - F.col("__toff")).cast("long").alias("rank_in_tier"),
+    )
+    keyed = ranked.withColumn(
+        "__key", F.col("rank_in_tier") * F.lit(n_tiers) + F.col("tier_idx")
+    )
+    out = global_row_index(
+        keyed, [F.col("__key").asc(), F.col(id_col).asc()], out="training_pos"
+    )
+    return out.select(
+        id_col, tier_col, "tier_idx", "rank_in_tier",
+        F.col("training_pos").cast("long").alias("training_pos"),
+    )

@@ -287,3 +287,24 @@ def test_tfidf_topterms_closed_form(spark):
         tfidf_top_terms(df, top_k=0)
     with pytest.raises(ValueError):
         tfidf_top_terms(df, min_df=0)
+
+
+def test_curriculum_interleave_round_robin(spark):
+    from nbdatatools_spark.operators.sampling import curriculum_interleave
+
+    rows = [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "b"), (6, "c")]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, lang STRING")
+    out = sorted(
+        curriculum_interleave(df, tier_col="lang").collect(),
+        key=lambda r: r.training_pos,
+    )
+    # round-robin a,b,c then a,b (c exhausted) then a
+    assert [r.lang for r in out] == ["a", "b", "c", "a", "b", "a"]
+    assert [r.doc_id for r in out] == [1, 4, 6, 2, 5, 3]
+    assert [r.training_pos for r in out] == list(range(6))
+    # per-tier ranks are dense 0-based
+    a_ranks = [r.rank_in_tier for r in out if r.lang == "a"]
+    assert sorted(a_ranks) == [0, 1, 2]
+    # balanced prefix: any window of n_tiers positions while all tiers
+    # live contains distinct tiers
+    assert len({r.lang for r in out[:3]}) == 3
