@@ -3246,6 +3246,17 @@ def doc_curriculum_interleave(spark, sf_dir):
     ).orderBy("training_pos")
 
 
+def embedding_outliers(spark, sf_dir):
+    """Top-20 diagonal-Mahalanobis embedding outliers
+    (analysis.py::mahalanobis_outliers): d-row moment fit + broadcast
+    join + per-vector DECIMAL-summed z² + TakeOrderedAndProject."""
+    from nbdatatools_spark.operators.analysis import mahalanobis_outliers
+
+    return mahalanobis_outliers(
+        _t(spark, sf_dir, "embeddings"), top_k=20
+    ).orderBy("rank")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3458,6 +3469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf_topterms": doc_tfidf_topterms,
         "corpus_packing_report": corpus_packing_report,
         "doc_curriculum_interleave": doc_curriculum_interleave,
+        "embedding_outliers": embedding_outliers,
     }
 
 
@@ -3488,6 +3500,7 @@ PENDING_FIRST_RECORDING = frozenset(
         "doc_tfidf_topterms",
         "corpus_packing_report",
         "doc_curriculum_interleave",
+        "embedding_outliers",
     }
 )
 
@@ -4411,6 +4424,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY key, doc_id) - 1 AS BIGINT)
                        AS training_pos
             FROM k ORDER BY training_pos
+        """,
+        # diagonal-Mahalanobis outliers: 9dp mu/sd (naive-moment sd, the
+        # standardize fit), 9dp z^2 DECIMAL-summed, round(sqrt, 6) top-20
+        "embedding_outliers": """
+            WITH e AS (
+                SELECT vec_id,
+                       CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
+                       CAST(unnest(embedding) AS DOUBLE) AS v
+                FROM embeddings),
+            m AS (
+                SELECT dim, round(avg(v), 9) AS mu,
+                       round(sqrt(avg(v * v) - avg(v) * avg(v)), 9) AS sd
+                FROM e GROUP BY dim),
+            t AS (
+                SELECT e.vec_id,
+                       CAST(CASE WHEN m.sd > 0
+                                 THEN round(((e.v - m.mu) / m.sd)
+                                            * ((e.v - m.mu) / m.sd), 9)
+                                 ELSE 0.0 END AS DECIMAL(28,9)) AS z2
+                FROM e JOIN m USING (dim)),
+            d AS (SELECT vec_id,
+                         round(sqrt(CAST(sum(z2) AS DOUBLE)), 6) AS mdist
+                  FROM t GROUP BY vec_id),
+            r AS (SELECT vec_id, mdist,
+                         CAST(row_number() OVER (ORDER BY mdist DESC,
+                                                 vec_id ASC) AS INT) AS rank
+                  FROM d)
+            SELECT vec_id, mdist, rank FROM r WHERE rank <= 20 ORDER BY rank
         """,
         # as-of join: rank-1 range-join replica, exact integer micros lag
         "events_asof_join": """

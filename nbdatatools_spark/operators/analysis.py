@@ -1113,3 +1113,66 @@ def tfidf_top_terms(
         .where(F.col("rank") <= top_k)
         .select(F.col("__id").alias(id_col), "token", "tf", "df", "score", "rank")
     )
+
+
+def mahalanobis_outliers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-k embedding outliers by diagonal-covariance Mahalanobis
+    distance — the corrupt/degenerate-embedding detector (encoder NaN
+    rows, scale blowups, wrong-model mixtures) run before embeddings
+    feed ANN indexes or semantic dedup: distance(v) =
+    sqrt(sum_d ((v_d - mu_d) / sd_d)^2), zero-variance dims contribute 0.
+
+    Scale shape: ONE posexplode pass fits the d-row moment table
+    (map-side-combined, output bounded by dimensionality); z² terms join
+    the broadcast moments and DECIMAL-sum per vector (order-invariant);
+    the global top-k plans as TakeOrderedAndProject. Nothing corpus-sized
+    ever sits in one task.
+
+    Exactness: mu/sd rounded 9dp, each z² term rounded 9dp then
+    DECIMAL(28,9)-summed, distance = round(sqrt(sum), 6); ties on id.
+    Returns ``(id_col, mdist, rank)``.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    ex = df.select(
+        F.col(id_col).alias("__id"), F.posexplode(vec_col).alias("dim", "v")
+    ).select("__id", "dim", F.col("v").cast("double").alias("v"))
+    # naive-moment sd (same expression tree as the DuckDB oracle and the
+    # standardize_vectors fit) so the 9dp rounding sees identical doubles
+    stats = ex.groupBy("dim").agg(
+        F.round(F.avg("v"), 9).alias("mu"),
+        F.round(
+            F.sqrt(F.avg(F.col("v") * F.col("v")) - F.avg("v") * F.avg("v")), 9
+        ).alias("sd"),
+    )
+    z2 = (
+        ex.join(F.broadcast(stats), "dim")
+        .select(
+            "__id",
+            F.when(
+                F.col("sd") > 0,
+                # explicit x*x, not pow(x, 2): libm pow need not be
+                # bit-identical to multiplication across engines
+                F.round(
+                    ((F.col("v") - F.col("mu")) / F.col("sd"))
+                    * ((F.col("v") - F.col("mu")) / F.col("sd")),
+                    9,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .cast("decimal(28,9)")
+            .alias("__t"),
+        )
+        .groupBy("__id")
+        .agg(F.round(F.sqrt(F.sum("__t").cast("double")), 6).alias("mdist"))
+    )
+    w = Window.orderBy(F.col("mdist").desc(), F.col("__id").asc())
+    ranked = z2.orderBy(F.col("mdist").desc(), F.col("__id").asc()).limit(top_k)
+    return ranked.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        F.col("__id").alias(id_col), "mdist", "rank"
+    )

@@ -544,3 +544,30 @@ def test_group_keywords_min_count_and_ties(spark):
         group_keywords(docs, top_k=0)
     with pytest.raises(ValueError):
         group_keywords(docs, min_count=0)
+
+
+def test_mahalanobis_outliers_planted_blowup(spark):
+    import numpy as np
+    import pytest as _pt
+
+    from nbdatatools_spark.operators.analysis import mahalanobis_outliers
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(100)]
+    rows.append((999, [50.0] * 8))  # planted scale blowup
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    out = mahalanobis_outliers(df, top_k=5).collect()
+    assert out[0].vec_id == 999 and out[0].rank == 1
+    assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == [1, 2, 3, 4, 5]
+    # distances non-increasing with rank
+    ds = [r.mdist for r in sorted(out, key=lambda r: r.rank)]
+    assert ds == sorted(ds, reverse=True)
+    # numpy differential on the winner (engine rounding replicated)
+    X = np.array([r[1] for r in rows])
+    mu = np.round(X.mean(axis=0), 9)
+    sd = np.round(np.sqrt((X * X).mean(axis=0) - X.mean(axis=0) ** 2), 9)
+    z2 = np.round(((X[-1] - mu) / sd) ** 2, 9)
+    want = round(float(np.sqrt(z2.sum())), 6)
+    assert out[0].mdist == _pt.approx(want, abs=1e-6)
+    with _pt.raises(ValueError):
+        mahalanobis_outliers(df, top_k=0)
