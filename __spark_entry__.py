@@ -3290,11 +3290,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     embedding_psi_drift, events_ab_test); 49 = fit (now with a
     pinned-invariant oracle). Tail = every previously hash-green entry
     (r3 + r4 union) plus the PENDING_FIRST_RECORDING set — the 9 deferred
-    relational queries (q9/q13/q15/q16/q17/q19/q20/q21/q22) and the 9
+    relational queries (q9/q13/q15/q16/q17/q19/q20/q21/q22) and the 13
     round-5 session-2 additions (pmi / zipf / winnow pairs / perplexity
     buckets / source overlap / span removal / cluster sizes / token
-    budget / pagerank) — the window only fits 50; rotate them in round 6.
-    All local-oracle green at sf0.001 and sf0.01.
+    budget / pagerank / tfidf keywords / packing report / curriculum
+    interleave / mahalanobis outliers) — the window only fits 50; rotate
+    them in round 6. All local-oracle green at sf0.001 and sf0.01.
     """
     return {
         # -- r4 driver-red, fixed this round: record these first --

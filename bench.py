@@ -84,6 +84,10 @@ HEADLINE = [
     "doc_dedup_cluster_sizes",
     "doc_token_budget_select",
     "events_pagerank",
+    "doc_tfidf_topterms",
+    "corpus_packing_report",
+    "doc_curriculum_interleave",
+    "embedding_outliers",
     "verify_profiles",
     "stream_ingest_available_now",
 ]
