@@ -3257,6 +3257,20 @@ def embedding_outliers(spark, sf_dir):
     ).orderBy("rank")
 
 
+def doc_winnow_verify(spark, sf_dir):
+    """Winnowing detect -> verify (dedup.py::winnow_verify): candidate
+    pairs scored by fingerprint overlap coefficient |A∩B|/min(|A|,|B|),
+    kept at >= 0.6 — the MOSS containment verdict the fingerprint join
+    only approximates. Pair-keyed joins; never doc x doc."""
+    from nbdatatools_spark.operators.dedup import winnow_verify
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return winnow_verify(
+        docs, k=5, w=4, min_shared=3, max_bucket=200, min_overlap=0.6,
+        portable=True,
+    ).orderBy("id_a", "id_b")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3471,6 +3485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_packing_report": corpus_packing_report,
         "doc_curriculum_interleave": doc_curriculum_interleave,
         "embedding_outliers": embedding_outliers,
+        "doc_winnow_verify": doc_winnow_verify,
     }
 
 
@@ -3502,6 +3517,7 @@ PENDING_FIRST_RECORDING = frozenset(
         "corpus_packing_report",
         "doc_curriculum_interleave",
         "embedding_outliers",
+        "doc_winnow_verify",
     }
 )
 
@@ -4453,6 +4469,46 @@ def oracle_sql() -> dict[str, str]:
                                                  vec_id ASC) AS INT) AS rank
                   FROM d)
             SELECT vec_id, mdist, rank FROM r WHERE rank <= 20 ORDER BY rank
+        """,
+        # winnow verify: the doc_winnow_pairs pipeline + overlap
+        # coefficient |A∩B|/min(|A|,|B|) on the full fingerprint sets
+        "doc_winnow_verify": """
+            WITH nrm AS (
+                SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                FROM documents WHERE doc_id < 300),
+            h AS (
+                SELECT doc_id,
+                       list_transform(
+                           list_transform(range(1, greatest(length(t) - 4, 1) + 1),
+                                          i -> substring(t, CAST(i AS INT), 5)),
+                           g -> ('0x' || substring(md5(g), 1, 15))::BIGINT) AS hs
+                FROM nrm),
+            fp AS (
+                SELECT doc_id,
+                       list_distinct(
+                           list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+                                          i -> list_aggregate(
+                                              list_slice(hs, CAST(i AS INT),
+                                                         CAST(i + 3 AS INT)),
+                                              'min'))) AS f
+                FROM h),
+            ex AS (SELECT doc_id, unnest(f) AS fpv FROM fp),
+            hot AS (SELECT fpv FROM ex GROUP BY fpv HAVING count(*) > 200),
+            pr AS (SELECT * FROM ex WHERE fpv NOT IN (SELECT fpv FROM hot)),
+            cand AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(count(*) AS BIGINT) AS n_shared
+                FROM pr a JOIN pr b ON a.fpv = b.fpv AND a.doc_id < b.doc_id
+                GROUP BY 1, 2 HAVING count(*) >= 3)
+            SELECT c.id_a, c.id_b, c.n_shared,
+                   round(CAST(len(list_intersect(fa.f, fb.f)) AS DOUBLE)
+                         / least(len(fa.f), len(fb.f)), 6) AS overlap
+            FROM cand c
+            JOIN fp fa ON fa.doc_id = c.id_a
+            JOIN fp fb ON fb.doc_id = c.id_b
+            WHERE round(CAST(len(list_intersect(fa.f, fb.f)) AS DOUBLE)
+                        / least(len(fa.f), len(fb.f)), 6) >= 0.6
+            ORDER BY id_a, id_b
         """,
         # as-of join: rank-1 range-join replica, exact integer micros lag
         "events_asof_join": """

@@ -1403,3 +1403,53 @@ def dedup_cluster_sizes(
     return sizes.groupBy("cluster_size").agg(
         F.count(F.lit(1)).alias("n_clusters")
     )
+
+
+def winnow_verify(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket: int = 200,
+    min_overlap: float = 0.5,
+    portable: bool = True,
+) -> DataFrame:
+    """Winnowing detect -> verify, the MOSS two-stage mirror of the
+    minhash_lsh_candidates -> jaccard_verify discipline: candidate pairs
+    from the fingerprint equi-join (winnow_candidate_pairs) are scored by
+    the fingerprint-set overlap coefficient |A∩B| / min(|A|,|B|)
+    (functions.text.winnow_overlap) and kept at >= ``min_overlap`` — the
+    containment-style score that catches a short document embedded
+    inside a long one, which Jaccard dilutes.
+
+    Scale shape: candidates are bucketed (never doc x doc); the verify
+    join carries each candidate pair's two fingerprint ARRAYS (bounded by
+    doc length), keyed by id — per-task state is one pair. Returns
+    ``(id_a, id_b, n_shared, overlap)``.
+    """
+    from nbdatatools_spark.functions.text import winnow_fingerprints, winnow_overlap
+
+    cands = winnow_candidate_pairs(
+        df, id_col=id_col, text_col=text_col, k=k, w=w,
+        min_shared=min_shared, max_bucket=max_bucket, portable=portable,
+    )
+    fps = winnow_fingerprints(
+        df.select(id_col, text_col), text_col=text_col, k=k, w=w, portable=portable
+    ).select(F.col(id_col).alias("__fid"), F.col("fingerprints").alias("__fp"))
+    fa = fps.select(F.col("__fid").alias("id_a"), F.col("__fp").alias("__fpa"))
+    fb = fps.select(F.col("__fid").alias("id_b"), F.col("__fp").alias("__fpb"))
+    scored = (
+        cands.join(fa, "id_a")
+        .join(fb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.round(winnow_overlap(F.col("__fpa"), F.col("__fpb")), 6).alias(
+                "overlap"
+            ),
+        )
+    )
+    return scored.where(F.col("overlap") >= float(min_overlap))

@@ -150,3 +150,27 @@ def test_no_inferred_hof_filter_at_scan(spark):
         # attribute reference like fingerprints#10) inside any Filter
         hits = re.findall(r"Filter [^\n]*size\([a-z_]+\(", plan)
         assert not hits, hits
+
+
+def test_winnow_verify_containment_catch(spark):
+    """A short doc embedded verbatim in a long one: Jaccard dilutes but
+    the overlap coefficient reads high — the containment case winnow
+    verify exists for."""
+    from nbdatatools_spark.operators.dedup import winnow_verify
+
+    short = "this exact passage is copied wholesale into the longer file"
+    long = (
+        "padding sentence one with plenty of original words here. "
+        + short
+        + " trailing filler content extending the document much further on and on"
+    )
+    rows = [(1, short), (2, long), (3, "entirely unrelated text about nothing")]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = winnow_verify(df, k=5, w=4, min_shared=2, min_overlap=0.6).collect()
+    pairs = {(r.id_a, r.id_b): r for r in out}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)].overlap >= 0.6
+    assert all(3 not in p for p in pairs)
+    # permissive floor keeps everything the candidate stage emits
+    loose = winnow_verify(df, k=5, w=4, min_shared=2, min_overlap=0.0).count()
+    assert loose >= len(out)
