@@ -81,7 +81,9 @@ HEADLINE = [
     "doc_perplexity_buckets",
     "corpus_source_overlap",
     "doc_remove_dup_spans",
-    "doc_dedup_cluster_sizes",
+    # doc_dedup_cluster_sizes stays a gate but not a headline entry: like
+    # doc_minhash_dedup_transitive it runs the full LSH+verify+closure
+    # chain (16s at sf0.1 — it would be ~17% of the whole bench)
     "doc_token_budget_select",
     "events_pagerank",
     "doc_tfidf_topterms",
