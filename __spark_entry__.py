@@ -3271,6 +3271,27 @@ def doc_winnow_verify(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def doc_langid_eval(spark, sf_dir):
+    """Lang-ID confusion matrix (functions.text.detect_lang vs the
+    ground-truth lang label): the evaluation readout for the marker-word
+    heuristic — per (label, predicted) doc counts. Pure map-side scoring
+    + one small groupBy; ties in the per-language scores break toward
+    the larger language code (array_max struct semantics, replicated by
+    the oracle's struct max)."""
+    from nbdatatools_spark.functions.text import detect_lang
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("label"),
+            detect_lang(F.col("text")).alias("predicted"),
+        )
+        .groupBy("label", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("label", "predicted")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3486,6 +3507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_curriculum_interleave": doc_curriculum_interleave,
         "embedding_outliers": embedding_outliers,
         "doc_winnow_verify": doc_winnow_verify,
+        "doc_langid_eval": doc_langid_eval,
     }
 
 
@@ -3518,6 +3540,7 @@ PENDING_FIRST_RECORDING = frozenset(
         "doc_curriculum_interleave",
         "embedding_outliers",
         "doc_winnow_verify",
+        "doc_langid_eval",
     }
 )
 
@@ -3755,6 +3778,39 @@ def _pagerank_oracle(iterations: int = 10, damping: float = 0.85) -> str:
         {",".join(its)}
         SELECT node AS event_type, round(rank, 6) AS rank
         FROM r{iterations} ORDER BY event_type
+    """
+
+
+def _langid_eval_oracle(min_score: float = 0.05) -> str:
+    """DuckDB replica of detect_lang: marker-fraction scores generated
+    from the SAME _LANG_MARKERS lists, argmax via struct max (score then
+    lang — ties toward the larger code, matching Spark's array_max)."""
+    from nbdatatools_spark.functions.text import _LANG_MARKERS
+
+    score_cols = []
+    structs = []
+    for lang, words in _LANG_MARKERS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        score_cols.append(
+            f"CAST(len(list_filter(t, x -> x IN ({lst}))) AS DOUBLE)"
+            f" / greatest(len(t), 1) AS s_{lang}"
+        )
+        structs.append(f"{{'score': s_{lang}, 'lang': '{lang}'}}")
+    return f"""
+        WITH tk AS (
+            SELECT lang AS label,
+                   CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t
+            FROM documents),
+        sc AS (SELECT label, {", ".join(score_cols)} FROM tk),
+        b AS (SELECT label,
+                     list_aggregate([{", ".join(structs)}], 'max') AS best
+              FROM sc)
+        SELECT label,
+               CASE WHEN best.score >= {min_score} THEN best.lang
+                    ELSE 'und' END AS predicted,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM b GROUP BY 1, 2 ORDER BY label, predicted
     """
 
 
@@ -4366,6 +4422,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash_dedup_transitive": _minhash_transitive_oracle(),
         "doc_dedup_cluster_sizes": _minhash_cluster_sizes_oracle(),
         "events_pagerank": _pagerank_oracle(),
+        "doc_langid_eval": _langid_eval_oracle(),
         # per-doc tf-idf: normalized tokens, vocab df with min_df prune,
         # score = round(tf * round(ln(N/df), 9), 6), per-doc rank window
         "doc_tfidf_topterms": """

@@ -308,3 +308,20 @@ def test_curriculum_interleave_round_robin(spark):
     # balanced prefix: any window of n_tiers positions while all tiers
     # live contains distinct tiers
     assert len({r.lang for r in out[:3]}) == 3
+
+
+def test_detect_lang_closed_form(spark):
+    from nbdatatools_spark.functions.text import detect_lang
+
+    rows = [
+        (1, "the cat and the dog ran to the house"),          # en
+        (2, "der hund und die katze ist nicht da"),           # de
+        (3, "le chat est dans la maison pour une nuit"),      # fr
+        (4, "xyzzy qwerty plugh"),                            # nothing scores
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {
+        r.doc_id: r.p
+        for r in df.select("doc_id", detect_lang(F.col("text")).alias("p")).collect()
+    }
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "und"}
