@@ -3313,34 +3313,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       and in round 1 a failure there shadowed everything after it — at
       position 49 a failure can only shadow the already-recorded tail.
 
-    Round-5 layout: entries 0-5 = the six r4 driver-red gates, re-listed
-    FIRST so CORRECTNESS_r05 proves their fixes (HUGEINT oracle casts for
-    doc_training_pipeline / events_pivot_counts / events_outlier_flags;
-    embedding_standardize's exploded scalar shape; pinned-invariant
-    oracles replacing no_oracle for embedding_pca / corpus_bpe_merges);
-    entries 6-48 = 43 of the 52 never-driver-recorded queries (VERDICT r4
-    Missing #1), including the three reshaped list-output gates
-    (corpus_posting_lists, embedding_winsorize, embedding_matryoshka) and
-    the two oracle-cast fixes in that set (q12_lateness_priority,
-    embedding_psi_drift, events_ab_test); 49 = fit (now with a
-    pinned-invariant oracle). Tail = every previously hash-green entry
-    (r3 + r4 union) plus the PENDING_FIRST_RECORDING set — the 9 deferred
-    relational queries (q9/q13/q15/q16/q17/q19/q20/q21/q22) and the 13
-    round-5 session-2 additions (pmi / zipf / winnow pairs / perplexity
-    buckets / source overlap / span removal / cluster sizes / token
-    budget / pagerank / tfidf keywords / packing report / curriculum
-    interleave / mahalanobis outliers) — the window only fits 50; rotate
-    them in round 6. All local-oracle green at sf0.001 and sf0.01.
+    Round-6 layout: entries 0-23 = the 24 queries never driver-recorded
+    through round 5 (the deferred relational completions q9/q13/q15/q16/
+    q17/q19/q20/q21/q22 and the round-5 session-2 additions); entries
+    24-48 = r3-era hash-green entries taking a refresh row, displaced
+    toward the tail as round-6 gates land; 49 = fit_embeddings_model
+    (pinned-invariant oracle, green in r5). After this round every
+    registry entry has a driver CORRECTNESS row.
     """
     return {
-        # -- r4 driver-red, fixed this round: record these first --
+        # -- round-6 window slots 0-23: the 24 entries never driver-
+        #    recorded in rounds 1-5 (r5 PENDING_FIRST_RECORDING set) --
+        "q9_product_profit": q9_product_profit,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_part_counts": q16_supplier_part_counts,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q20_part_suppliers": q20_part_suppliers,
+        "q21_late_sole_suppliers": q21_late_sole_suppliers,
+        "q22_idle_customers": q22_idle_customers,
+        "corpus_pmi_bigrams": corpus_pmi_bigrams,
+        "corpus_zipf_fit": corpus_zipf_fit,
+        "doc_winnow_pairs": doc_winnow_pairs,
+        "doc_perplexity_buckets": doc_perplexity_buckets,
+        "corpus_source_overlap": corpus_source_overlap,
+        "doc_remove_dup_spans": doc_remove_dup_spans,
+        "doc_dedup_cluster_sizes": doc_dedup_cluster_sizes,
+        "doc_token_budget_select": doc_token_budget_select,
+        "events_pagerank": events_pagerank,
+        "doc_tfidf_topterms": doc_tfidf_topterms,
+        "corpus_packing_report": corpus_packing_report,
+        "doc_curriculum_interleave": doc_curriculum_interleave,
+        "embedding_outliers": embedding_outliers,
+        "doc_winnow_verify": doc_winnow_verify,
+        "doc_langid_eval": doc_langid_eval,
+        # -- slots 24-48: r3-era green entries queued for a refresh row;
+        #    new round-6 gates displace these toward the tail --
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_region_revenue": q5_region_revenue,
+        "pnode_range_filter": pnode_range_filter,
+        "pnode_in_filter": pnode_in_filter,
+        "pnode_regex_filter": pnode_regex_filter,
+        "pnode_nested_andor": pnode_nested_andor,
+        "pnode_null_eq": pnode_null_eq,
+        "result_indices_hybrid": result_indices_hybrid,
+        "union_concat": union_concat,
+        "describe_embeddings": describe_embeddings,
+        "shuffled_events": shuffled_events,
+        "predicate_store_roundtrip": predicate_store_roundtrip,
+        "window_slice_rebase": window_slice_rebase,
+        "topk_orders_per_customer": topk_orders_per_customer,
+        "zero_vector_count": zero_vector_count,
+        "dim_moments_embeddings": dim_moments_embeddings,
+        "vector_norms": vector_norms,
+        "knn_cosine_topk": knn_cosine_topk,
+        "knn_euclidean_topk": knn_euclidean_topk,
+        "knn_dot_topk": knn_dot_topk,
+        "hybrid_filtered_knn": hybrid_filtered_knn,
+        "clean_embeddings": clean_embeddings,
+        "doc_exact_dedup": doc_exact_dedup,
+        "doc_token_stats": doc_token_stats,
+        # position 49 — last recorded slot; see docstring.
+        "fit_embeddings_model": fit_embeddings_model,
+        # -- tail: every entry below is hash-green in a recorded round --
         "doc_training_pipeline": doc_training_pipeline,
         "events_pivot_counts": events_pivot_counts,
         "events_outlier_flags": events_outlier_flags,
         "embedding_standardize": embedding_standardize,
         "embedding_pca": embedding_pca,
         "corpus_bpe_merges": corpus_bpe_merges,
-        # -- never driver-recorded (sessions 3+), first 43 of 52 --
         "events_gapfill": events_gapfill,
         "embedding_maxsim": embedding_maxsim,
         "doc_edit_distance_pairs": doc_edit_distance_pairs,
@@ -3384,9 +3427,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_weekly_deltas": events_weekly_deltas,
         "events_funnel_steps": events_funnel_steps,
         "doc_readability": doc_readability,
-        # position 49 — last recorded slot; see docstring.
-        "fit_embeddings_model": fit_embeddings_model,
-        # -- tail: hash-green in CORRECTNESS_r04 --
         "ann_lsh_topk": ann_lsh_topk,
         "minhash_candidate_pairs": minhash_candidate_pairs,
         "simhash_pairs": simhash_pairs,
@@ -3430,32 +3470,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_incremental_dedup": doc_incremental_dedup,
         "doc_dedup_keep_best": doc_dedup_keep_best,
         "doc_embedding_align": doc_embedding_align,
-        # -- tail: hash-green in CORRECTNESS_r03 --
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_region_revenue": q5_region_revenue,
-        "pnode_range_filter": pnode_range_filter,
-        "pnode_in_filter": pnode_in_filter,
-        "pnode_regex_filter": pnode_regex_filter,
-        "pnode_nested_andor": pnode_nested_andor,
-        "pnode_null_eq": pnode_null_eq,
-        "result_indices_hybrid": result_indices_hybrid,
-        "union_concat": union_concat,
-        "describe_embeddings": describe_embeddings,
-        "shuffled_events": shuffled_events,
-        "predicate_store_roundtrip": predicate_store_roundtrip,
-        "window_slice_rebase": window_slice_rebase,
-        "topk_orders_per_customer": topk_orders_per_customer,
-        "zero_vector_count": zero_vector_count,
-        "dim_moments_embeddings": dim_moments_embeddings,
-        "vector_norms": vector_norms,
-        "knn_cosine_topk": knn_cosine_topk,
-        "knn_euclidean_topk": knn_euclidean_topk,
-        "knn_dot_topk": knn_dot_topk,
-        "hybrid_filtered_knn": hybrid_filtered_knn,
-        "clean_embeddings": clean_embeddings,
-        "doc_exact_dedup": doc_exact_dedup,
-        "doc_token_stats": doc_token_stats,
         "doc_subword_tokens": doc_subword_tokens,
         "doc_quality": doc_quality,
         "doc_lang_stats": doc_lang_stats,
@@ -3481,68 +3495,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_price_histogram": part_price_histogram,
         "supplier_balance_rank": supplier_balance_rank,
         "orders_running_total": orders_running_total,
-        # -- deferred to the round-6 window (never driver-recorded; the
-        #    50-slot window is full — see PENDING_FIRST_RECORDING) --
-        "q9_product_profit": q9_product_profit,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q15_top_supplier": q15_top_supplier,
-        "q16_supplier_part_counts": q16_supplier_part_counts,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q19_disjunctive_revenue": q19_disjunctive_revenue,
-        "q20_part_suppliers": q20_part_suppliers,
-        "q21_late_sole_suppliers": q21_late_sole_suppliers,
-        "q22_idle_customers": q22_idle_customers,
-        # -- round-5 additions (never recorded; window full) --
-        "corpus_pmi_bigrams": corpus_pmi_bigrams,
-        "corpus_zipf_fit": corpus_zipf_fit,
-        "doc_winnow_pairs": doc_winnow_pairs,
-        "doc_perplexity_buckets": doc_perplexity_buckets,
-        "corpus_source_overlap": corpus_source_overlap,
-        "doc_remove_dup_spans": doc_remove_dup_spans,
-        "doc_dedup_cluster_sizes": doc_dedup_cluster_sizes,
-        "doc_token_budget_select": doc_token_budget_select,
-        "events_pagerank": events_pagerank,
-        "doc_tfidf_topterms": doc_tfidf_topterms,
-        "corpus_packing_report": corpus_packing_report,
-        "doc_curriculum_interleave": doc_curriculum_interleave,
-        "embedding_outliers": embedding_outliers,
-        "doc_winnow_verify": doc_winnow_verify,
-        "doc_langid_eval": doc_langid_eval,
     }
 
 
-# Tail entries still awaiting their first driver CORRECTNESS row: green
-# under scripts/check_oracle.py, deferred because the round-5 window is
-# full (see test_plans.py::test_recording_window_invariant). Rotate these
-# nine into the window next round.
-PENDING_FIRST_RECORDING = frozenset(
-    {
-        "q9_product_profit",
-        "q13_customer_distribution",
-        "q15_top_supplier",
-        "q16_supplier_part_counts",
-        "q17_small_quantity_revenue",
-        "q19_disjunctive_revenue",
-        "q20_part_suppliers",
-        "q21_late_sole_suppliers",
-        "q22_idle_customers",
-        "corpus_pmi_bigrams",
-        "corpus_zipf_fit",
-        "doc_winnow_pairs",
-        "doc_perplexity_buckets",
-        "corpus_source_overlap",
-        "doc_remove_dup_spans",
-        "doc_dedup_cluster_sizes",
-        "doc_token_budget_select",
-        "events_pagerank",
-        "doc_tfidf_topterms",
-        "corpus_packing_report",
-        "doc_curriculum_interleave",
-        "embedding_outliers",
-        "doc_winnow_verify",
-        "doc_langid_eval",
-    }
-)
+# Tail entries still awaiting their first driver CORRECTNESS row. Empty
+# since round 6: the 24 deferred entries were rotated into window slots
+# 0-23 (see queries() docstring); keep new unrecorded gates INSIDE the
+# window, or list them here if the 50-slot window is full.
+PENDING_FIRST_RECORDING: frozenset[str] = frozenset()
 
 
 _STOPWORD_SQL_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)

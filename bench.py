@@ -75,6 +75,11 @@ HEADLINE = [
     "doc_sentence_stats",
     "embedding_bq_hamming",
     "embedding_matryoshka",
+    "verify_profiles",
+    "stream_ingest_available_now",
+    # Newest additions LAST: the JSON-line emitter trims from the end when
+    # the line would overflow the driver's 2000-char stdout tail, so the
+    # baseline-continuity entries above always stay in the parsed record.
     "corpus_pmi_bigrams",
     "corpus_zipf_fit",
     "doc_winnow_pairs",
@@ -90,8 +95,6 @@ HEADLINE = [
     "corpus_packing_report",
     "doc_curriculum_interleave",
     "embedding_outliers",
-    "verify_profiles",
-    "stream_ingest_available_now",
 ]
 
 
@@ -253,24 +256,48 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     # record box contention alongside the numbers (VERDICT r4 perf note:
     # a loaded box uniformly ~2x-inflates untouched queries; the judge
-    # needs the loadavg to tell contention from regression)
+    # needs the loadavg to tell contention from regression) — on stderr:
+    # the driver's record keeps only the last ~2000 chars of stdout and
+    # parses the final JSON line out of that tail, so the stdout line must
+    # stay comfortably under 2000 chars (round 5's 66-entry line overflowed
+    # the tail and the whole bench recorded as parsed=null).
     load1, load5, load15 = os.getloadavg()
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "env": {
-                    "loadavg_at_exit": [round(load1, 2), round(load5, 2), round(load15, 2)],
-                    "loadavg_at_start": _LOAD_AT_START,
-                    "cpus": os.cpu_count(),
-                },
+    env = {
+        "loadavg_at_exit": [round(load1, 2), round(load5, 2), round(load15, 2)],
+        "loadavg_at_start": _LOAD_AT_START,
+        "cpus": os.cpu_count(),
+    }
+    print(f"# env: {json.dumps(env)}", file=sys.stderr)
+    print(f"# full_timings: {json.dumps(timings)}", file=sys.stderr)
+
+    # Greedy fit: keep per-query timings in HEADLINE order (baseline-
+    # continuity queries are listed first) until the rendered line hits the
+    # budget; aggregate the dropped newest entries as {"other": {n, sec}} so
+    # value == sum(queries.values()) + other.sec always holds.
+    budget = 1750
+    kept = dict(timings)
+    names = list(kept)
+    dropped: list[str] = []
+    while True:
+        payload = {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": kept,
+            "sf": sf,
+        }
+        if dropped:
+            payload["other"] = {
+                "n": len(dropped),
+                "sec": round(sum(timings[n] for n in dropped), 3),
+                "names_on_stderr": True,
             }
-        )
-    )
+        line = json.dumps(payload, separators=(",", ":"))
+        if len(line) <= budget or not names:
+            break
+        dropped.append(names.pop())
+        kept = {n: timings[n] for n in names}
+    print(line)
     shutil.rmtree(bench_tmp, ignore_errors=True)
 
 

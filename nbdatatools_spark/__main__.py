@@ -121,6 +121,8 @@ def _cmd_analyze(args) -> int:
         from nbdatatools_spark.operators.analysis import is_zero_vector
         from nbdatatools_spark.operators.facets import find_vectors
 
+        if not args.zero_vectors and args.where is None:
+            raise SystemExit("find requires --where or --zero-vectors")
         crit = (
             is_zero_vector(F.col(args.vec_col))
             if args.zero_vectors
@@ -721,7 +723,11 @@ def _slab_source_records(args):
 
         from nbdatatools_spark.sources.xvec import read_xvec
 
-        fmt = {"f": "f", "i": "i", "b": "B", "d": "d", "s": "h"}[os.path.basename(src).rsplit(".", 1)[1][0]]
+        # .mvec is float16 on disk but read_xvec widens to float32 at ingest
+        # (SURVEY F5); the slab payload stores the widened f32 vector.
+        fmt = {"f": "f", "i": "i", "b": "B", "d": "d", "s": "h", "m": "f"}[
+            os.path.basename(src).rsplit(".", 1)[1][0]
+        ]
         for row in read_xvec(_spark(), src).orderBy("ordinal").toLocalIterator():
             vec = row["vector"]
             yield ns, start + int(row["ordinal"]), _struct.pack(f"<{len(vec)}{fmt}", *vec)
@@ -814,6 +820,8 @@ def _cmd_slab(args) -> int:
                 )
                 if wanted is None or o in wanted
             )
+            if args.format == "parquet" and not args.to:
+                raise SystemExit("slab export --format parquet requires --to")
             if args.to and (args.to.endswith(".parquet") or args.format == "parquet"):
                 spark = _spark()
                 df = spark.createDataFrame(

@@ -1245,7 +1245,11 @@ def source_overlap_matrix(
         .where(F.length("__gram") > 0)
         .select("__g", F.xxhash64("__gram").alias("__gh"))
         .distinct()
-        .persist()
+        # localCheckpoint, not persist: the returned frame is lazy, so a
+        # persist here would leak the cache entry for the whole session
+        # (the caller never sees `grams` to unpersist it) — the hazard the
+        # minhash verify path documents above.
+        .localCheckpoint(eager=False)
     )
     totals = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__tot"))
     a = grams.select(F.col("__g").alias("slice_a"), "__gh")

@@ -15,7 +15,7 @@ Format summary (all little-endian):
 - page  = ``[magic 'SLAB'][page_size:4][records...][pad][offsets:(N+1)*4][footer:16]``
 - footer = ``[start_ordinal:5 signed][record_count:3 unsigned][page_size:4]
   [page_type:1][namespace_index:1][footer_length:2]``
-- record offsets are fence-post int32s from page start (first is 8);
+- record offsets are fence-post uint32s from page start (first is 8);
 - pages are padded to a multiple of 512 bytes; max page size 2^32;
 - page types: 1 = pages page (index), 2 = data page, 3 = namespaces page;
 - the LAST page of the file is the authoritative index: a pages page
@@ -96,7 +96,7 @@ class PageFooter:
         return (
             ord5
             + self.record_count.to_bytes(3, "little")
-            + struct.pack("<iBBH", self.page_size, self.page_type,
+            + struct.pack("<IBBH", self.page_size, self.page_type,
                           self.namespace_index, self.footer_length)
         )
 
@@ -106,8 +106,8 @@ class PageFooter:
             raise SlabFormatError(f"footer must be {FOOTER_SIZE} bytes, got {len(raw)}")
         ordinal = int.from_bytes(raw[0:5], "little", signed=True)
         record_count = int.from_bytes(raw[5:8], "little")
-        page_size, page_type, ns_index, footer_len = struct.unpack("<iBBH", raw[8:16])
-        return cls(ordinal, record_count, page_size & 0xFFFFFFFF, page_type,
+        page_size, page_type, ns_index, footer_len = struct.unpack("<IBBH", raw[8:16])
+        return cls(ordinal, record_count, page_size, page_type,
                    ns_index, footer_len)
 
     def validate(self, offset: int = -1) -> None:
@@ -154,7 +154,7 @@ def encode_page(start_ordinal: int, page_type: int, records: list[bytes],
         offsets.append(pos)
     offsets_start = page_size - FOOTER_SIZE - len(offsets) * OFFSET_ENTRY_SIZE
     for i, off in enumerate(offsets):
-        struct.pack_into("<i", buf, offsets_start + i * OFFSET_ENTRY_SIZE, off)
+        struct.pack_into("<I", buf, offsets_start + i * OFFSET_ENTRY_SIZE, off)
     footer = PageFooter(start_ordinal, len(records), page_size, page_type,
                         namespace_index)
     buf[page_size - FOOTER_SIZE:] = footer.encode()
@@ -188,7 +188,7 @@ def decode_page(raw: bytes, file_offset: int = -1):
             f"offset array start {offsets_start} underruns header at file offset "
             f"{file_offset} ({n} records)"
         )
-    offsets = struct.unpack_from(f"<{n + 1}i", raw, offsets_start)
+    offsets = struct.unpack_from(f"<{n + 1}I", raw, offsets_start)
     records = []
     for i in range(n):
         lo, hi = offsets[i], offsets[i + 1]
