@@ -95,6 +95,13 @@ HEADLINE = [
     "corpus_packing_report",
     "doc_curriculum_interleave",
     "embedding_outliers",
+    # round-6 additions
+    "embedding_lloyd_kmeans",
+    "events_concurrency",
+    "events_triangle_count",
+    "doc_dataset_card",
+    "doc_kneser_ney",
+    "doc_minhash_calibration",
 ]
 
 

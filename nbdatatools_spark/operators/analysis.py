@@ -1176,3 +1176,191 @@ def mahalanobis_outliers(
     return ranked.withColumn("rank", F.row_number().over(w).cast("int")).select(
         F.col("__id").alias(id_col), "mdist", "rank"
     )
+
+
+def dataset_card(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-slice dataset card (the datasheet/data-statement summary a
+    training-data release ships): document and token volume, length
+    distribution, exact-duplicate rate, language mix entropy, punctuation
+    profile — one row per ``group_col`` value.
+
+    Exactness: token counts are integers (exact sums); mean ratios ride
+    9dp-rounded DECIMAL sums (order-invariant); lang-mix entropy
+    DECIMAL-sums ``round(p*ln p, 12)`` per language so the
+    group-iteration order can't perturb the double result; p50 uses
+    exact interpolated percentile (DuckDB ``quantile_cont`` semantics).
+
+    100-TB shape: two keyed aggregates (doc-grain, then (slice, lang)
+    grain) joined on the slice key — all map-side-partial groupBys; the
+    dup-rate distinct rides the same md5 digest discipline as
+    exact_dedup (16-byte keys, raw text never shuffles).
+    """
+    from nbdatatools_spark.functions.text import normalize_text, punct_ratio, token_count
+
+    doc = df.select(
+        F.col(group_col).alias("slice"),
+        F.col(lang_col).alias("__lang"),
+        token_count(F.col(text_col)).alias("__ntok"),
+        F.md5(normalize_text(F.col(text_col))).alias("__dig"),
+        F.round(punct_ratio(F.col(text_col)), 9).cast("decimal(20,9)").alias("__punct"),
+    )
+    per_slice = doc.groupBy("slice").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__ntok").cast("bigint").alias("total_tokens"),
+        F.round(F.sum("__ntok").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_tokens"
+        ),
+        F.round(F.expr("percentile(__ntok, 0.5)"), 6).alias("p50_tokens"),
+        F.countDistinct("__dig").alias("__ndistinct"),
+        F.round(
+            F.sum("__punct").cast("decimal(38,9)").cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_punct_ratio"),
+    )
+    lang_counts = doc.groupBy("slice", "__lang").agg(
+        F.count(F.lit(1)).alias("__nl")
+    )
+    slice_totals = lang_counts.groupBy("slice").agg(
+        F.sum("__nl").alias("__n"), F.count(F.lit(1)).alias("n_langs")
+    )
+    p = F.col("__nl").cast("double") / F.col("__n")
+    entropy = (
+        lang_counts.join(slice_totals, "slice")
+        .groupBy("slice", "n_langs")
+        .agg(
+            F.round(
+                -F.sum(F.round(p * F.log(p), 12).cast("decimal(24,12)"))
+                .cast("decimal(38,12)")
+                .cast("double"),
+                6,
+            ).alias("lang_entropy")
+        )
+    )
+    return (
+        per_slice.join(entropy, "slice")
+        .select(
+            "slice",
+            "n_docs",
+            "total_tokens",
+            "mean_tokens",
+            "p50_tokens",
+            F.round(
+                F.lit(1.0) - F.col("__ndistinct") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_rate"),
+            "n_langs",
+            "lang_entropy",
+            "mean_punct_ratio",
+        )
+        .orderBy("slice")
+    )
+
+
+def rake_keyphrases(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 25,
+    max_phrase_len: int = 4,
+) -> DataFrame:
+    """Corpus-level RAKE keyphrase extraction (Rose et al. 2010): split
+    text into candidate phrases at stopwords/punctuation, score each
+    word by degree/frequency over co-occurrence within phrases, score a
+    phrase as the sum of its word scores; return the ``top_n`` phrases
+    by score.
+
+    Window-native formulation (no UDF): tokens get a per-doc position;
+    a run id = running count of stopword/boundary tokens segments each
+    doc into phrases (one window over in-doc positions); degree(w) =
+    sum over phrases containing w of phrase length, freq(w) = word
+    occurrences — both integer aggregates.
+
+    Exactness: scores are ratios of integers combined by a 9dp-rounded
+    DECIMAL sum per phrase; ordering ties break on the phrase string.
+
+    100-TB shape: the window partitions BY DOCUMENT (state = one doc's
+    tokens); word/phrase tables group on md5 digests with exemplar
+    strings (the kneser_ney discipline); top-n is
+    TakeOrderedAndProject.
+    """
+    from nbdatatools_spark.functions.text import STOPWORDS, tokens
+
+    toks = df.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode_outer(
+            tokens(F.lower(F.regexp_replace(F.col(text_col), r"[^a-zA-Z\s]", " ")))
+        ).alias("__pos", "__w"),
+    ).where(F.col("__w").isNotNull() & (F.length("__w") > 0))
+    stop_arr = F.array(*[F.lit(w) for w in sorted(STOPWORDS)])
+    marked = toks.withColumn(
+        "__isstop", F.array_contains(stop_arr, F.col("__w")).cast("int")
+    )
+    w = Window.partitionBy("__doc").orderBy("__pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    runs = marked.withColumn("__run", F.sum("__isstop").over(w)).where(
+        F.col("__isstop") == 0
+    )
+    phrases = (
+        runs.groupBy("__doc", "__run")
+        .agg(
+            F.array_join(F.collect_list("__w"), " ").alias("__phrase"),
+            F.count(F.lit(1)).alias("__plen"),
+        )
+        .where(F.col("__plen") <= max_phrase_len)
+        .localCheckpoint(eager=False)
+    )
+    words = phrases.select(
+        F.col("__plen"), F.explode(F.split("__phrase", " ")).alias("__w")
+    )
+    word_scores = words.groupBy(F.md5("__w").alias("__hw")).agg(
+        F.min("__w").alias("__w"),
+        F.sum("__plen").alias("__deg"),
+        F.count(F.lit(1)).alias("__freq"),
+    )
+    # word scores combine per phrase TYPE (occurrence weighting already
+    # lives in deg/freq); build the phrase->word map from distinct phrases
+    phrase_words = (
+        phrases.select("__phrase")
+        .distinct()
+        .select(
+            F.md5("__phrase").alias("__hp"),
+            F.col("__phrase"),
+            F.explode(F.split("__phrase", " ")).alias("__w"),
+        )
+        .select("__hp", "__phrase", F.md5("__w").alias("__hw"))
+    )
+    scored = (
+        phrase_words.join(word_scores.select("__hw", "__deg", "__freq"), "__hw")
+        .groupBy("__hp")
+        .agg(
+            F.min("__phrase").alias("phrase"),
+            F.sum(
+                F.round(
+                    F.col("__deg").cast("double") / F.col("__freq"), 9
+                ).cast("decimal(20,9)")
+            )
+            .cast("decimal(38,9)")
+            .cast("double")
+            .alias("score"),
+        )
+    )
+    counts = phrases.groupBy(F.md5("__phrase").alias("__hp")).agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    return (
+        scored.join(counts, "__hp")
+        .select(
+            "phrase",
+            "n_occurrences",
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), "phrase")
+        .limit(top_n)
+    )

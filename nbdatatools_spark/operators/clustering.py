@@ -352,3 +352,104 @@ def group_centroids(
             F.round(F.col("__s").cast("double") / F.col("n_vectors"), 6).alias("mean"),
         )
     )
+
+
+def lloyd_fixed_iterations(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic fixed-iteration Lloyd k-means as pure DataFrame ops
+    (the oracle-able counterpart of ``kmeans_centroids``'s MLlib path).
+
+    Exactness contract (what makes the gate hash-replicable, the pagerank
+    discipline): init centroids are the ``k`` rows with the smallest ids,
+    components rounded to 6dp; per-row assignment keys on
+    ``(round(l2_dist, 6), centroid_id)`` argmin; per-iteration centroid
+    means are 9dp-DECIMAL-summed (order-invariant) then rounded to 6dp.
+    An engine replaying the same iteration count reproduces every
+    assignment and mean bit-for-bit. Empty clusters keep their previous
+    centroid.
+
+    Scale shape: each iteration is one map-side assignment over k
+    BROADCAST-LITERAL centroids (no join, no shuffle) plus one
+    (centroid, dim)-keyed aggregate producing k*d cells; driver-side
+    state is the k*d centroid table only. The same per-iteration bill as
+    semantic_dedup's assignment pass; corpus size never hits the driver.
+
+    Returns ``(centroid_id, n_assigned, inertia)`` per final cluster,
+    inertia = DECIMAL-exact sum of squared (6dp-rounded) distances.
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    init_rows = base.orderBy("__id").limit(k).collect()
+    centroids = {
+        i: [round(float(x), 6) for x in r["__v"]] for i, r in enumerate(init_rows)
+    }
+
+    def _assign(frame: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
+        arr = F.array(
+            *[
+                F.struct(
+                    F.round(
+                        distance_expr(
+                            "euclidean",
+                            F.col("__v"),
+                            F.array(*[F.lit(x) for x in cents[i]]),
+                        ),
+                        6,
+                    ).alias("d"),
+                    F.lit(i).alias("cid"),
+                )
+                for i in sorted(cents)
+            ]
+        )
+        best = F.array_min(arr)
+        return frame.withColumn("__cid", best["cid"]).withColumn("__d", best["d"])
+
+    for _ in range(iterations):
+        assigned = _assign(base, centroids)
+        mean_rows = (
+            assigned.select("__cid", F.posexplode("__v").alias("dim", "x"))
+            .groupBy("__cid", "dim")
+            .agg(
+                F.round(
+                    F.sum(F.round(F.col("x"), 9).cast("decimal(20,9)"))
+                    .cast("decimal(38,9)")
+                    .cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("m")
+            )
+            .collect()
+        )
+        new_cents: dict[int, list[float]] = {}
+        for r in mean_rows:
+            new_cents.setdefault(int(r["__cid"]), [0.0] * len(centroids[0]))[
+                int(r["dim"])
+            ] = float(r["m"])
+        # empty clusters keep their previous centroid
+        centroids = {
+            i: new_cents.get(i, centroids[i]) for i in range(len(centroids))
+        }
+
+    final = _assign(base, centroids)
+    return (
+        final.groupBy(F.col("__cid").alias("centroid_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            F.round(
+                F.sum(
+                    F.round(F.col("__d") * F.col("__d"), 9).cast("decimal(20,9)")
+                )
+                .cast("decimal(38,9)")
+                .cast("double"),
+                6,
+            ).alias("inertia"),
+        )
+        .orderBy("centroid_id")
+    )

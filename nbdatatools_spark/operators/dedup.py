@@ -1457,3 +1457,81 @@ def winnow_verify(
         )
     )
     return scored.where(F.col("overlap") >= float(min_overlap))
+
+
+def minhash_calibration(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_size: int = 5,
+    impl: str = "md5",
+) -> DataFrame:
+    """MinHash estimator calibration on the LSH candidate pairs: for each
+    banded candidate, the estimated Jaccard (fraction of agreeing
+    signature slots — the unbiased MinHash estimator) next to the exact
+    distinct-shingle Jaccard, plus the absolute estimation error. The
+    verification-ethos companion of jaccard_verify: it quantifies how
+    tight ``num_hashes`` is for THIS corpus instead of assuming the
+    1/sqrt(k) theory bound.
+
+    Exactness: slot agreement and set sizes are integers; both ratios
+    and the error are single double divisions rounded to 6dp; with
+    ``impl="md5"`` the whole chain (signatures, banding, estimator) is
+    DuckDB-replicable bit-for-bit.
+
+    100-TB shape: candidates come from the banded equi-join (bucketed,
+    never all-pairs); signature and shingle-set joins touch CANDIDATE
+    ROWS only; signatures are num_hashes longs, shingle sets ride the
+    same array-intersect bill as jaccard_verify.
+
+    Returns ``(id_a, id_b, est_jaccard, exact_jaccard, abs_err)``.
+    """
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, num_hashes, bands, shingle_size, impl=impl
+    )
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_size, impl=impl
+    )
+    est = (
+        cands.join(
+            sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("__sa")),
+            "id_a",
+        )
+        .join(
+            sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("__sb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        "__sa", "__sb", lambda a, b: (a == b).cast("int")
+                    ),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                ).cast("double")
+                / F.lit(float(num_hashes)),
+                6,
+            ).alias("est_jaccard"),
+        )
+    )
+    exact = jaccard_verify(
+        est.select("id_a", "id_b"), df, id_col, text_col, shingle_size, threshold=0.0
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("exact_jaccard"))
+    return (
+        est.join(exact, ["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            "exact_jaccard",
+            F.round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 6).alias(
+                "abs_err"
+            ),
+        )
+        .orderBy("id_a", "id_b")
+    )

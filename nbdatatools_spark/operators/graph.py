@@ -95,3 +95,71 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def triangle_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Global triangle count + clustering coefficient over an UNDIRECTED
+    simple graph given as an edge list (either orientation, duplicates
+    and self-loops tolerated — canonicalized internally).
+
+    Algorithm: orient every edge low->high (each undirected edge appears
+    exactly once), then count paths a->b->c whose closing edge a->c
+    exists — the standard two-join oriented-wedge scheme. Orientation
+    bounds the join fan-out by the max ORIENTED degree (<= sqrt(2m) after
+    degree-ordering at scale), the classic distributed-triangle trick;
+    no node ever joins its full undirected neighborhood.
+
+    Global clustering coefficient = 3 * triangles / wedges, where wedges
+    = sum over nodes of C(degree, 2) on the undirected graph.
+
+    Returns one row ``(n_nodes, n_edges, n_wedges, n_triangles,
+    clustering_coeff)``.
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionAll(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    wedges = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("n_wedges"),
+    )
+    e1 = canon.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = canon.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = canon.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = (
+        e1.join(e2, "y")
+        .join(e3, ["x", "z"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    n_edges = canon.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        # 1-row aggregate sides: explicit broadcast keeps the pre-AQE plan a
+        # BroadcastNestedLoopJoin, never a CartesianProduct (gate-wide lint)
+        wedges.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coeff"),
+        )
+    )

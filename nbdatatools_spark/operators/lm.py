@@ -587,3 +587,103 @@ def perplexity_buckets(
         F.lit("unscored").alias("bucket_label"),
     )
     return tiered.unionByName(unscored)
+
+
+def kneser_ney_bigrams(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+    top_n: int = 20,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Chen & Goodman 1998),
+    the production smoothing for n-gram LMs (KenLM's default) — the
+    principled upgrade over ``bigram_lm_score``'s add-k:
+
+        P_KN(w2|w1) = max(c(w1 w2) - d, 0) / c(w1 .)
+                      + (d * N1+(w1, .) / c(w1 .)) * Pcont(w2)
+        Pcont(w2)   = N1+(. , w2) / N1+(. , .)
+
+    with ``c(w1 .)`` = count of w1 in first position, ``N1+`` the
+    continuation type counts. Returns the ``top_n`` bigrams by
+    probability: ``(w1, w2, n_bigram, p_kn)`` ordered (p_kn DESC, w1,
+    w2).
+
+    Exactness: all inputs are integer counts; the probability is ONE
+    fixed-shape double expression, term1 + term2 with explicit
+    parenthesization mirrored by the oracle, rounded to 9dp.
+
+    100-TB shape: counting groups on md5 digests (map-side partials;
+    each distinct bigram carries its exemplar strings once, the bm25
+    term-table discipline); the three model tables join digest-keyed;
+    the global type count is one bounded driver scalar; the final top-n
+    is a TakeOrderedAndProject, never a full sort.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        tokens(F.lower(F.col(text_col))).alias("__t"),
+    )
+    from nbdatatools_spark.functions.text import _let
+
+    def pairs_of(t):
+        return F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(2), F.size(t)),
+                lambda i: F.struct(
+                    F.element_at(t, i - 1).alias("w1"),
+                    F.element_at(t, i).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.expr("CAST(array() AS array<struct<w1:string,w2:string>>)"))
+
+    # explode_outer + explicit null drop (the winnow_candidate_pairs trap:
+    # inner explode's inferred size()>0 filter inlines the tokenize chain
+    # into an interpreted per-row scan filter).
+    pairs = (
+        toks.select(F.explode_outer(_let(F.col("__t"), pairs_of)).alias("__p"))
+        .where(F.col("__p").isNotNull())
+        .select(
+            F.md5(F.concat("__p.w1", F.lit(" "), "__p.w2")).alias("__hb"),
+            F.md5("__p.w1").alias("__h1"),
+            F.md5("__p.w2").alias("__h2"),
+            F.col("__p.w1").alias("__w1"),
+            F.col("__p.w2").alias("__w2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # distinct bigram types with counts + exemplar strings (md5 is 1:1 on
+    # the space-joined pair — whitespace-split tokens cannot collide)
+    types = (
+        pairs.groupBy("__hb")
+        .agg(
+            F.count(F.lit(1)).alias("__nb"),
+            F.min("__w1").alias("w1"),
+            F.min("__w2").alias("w2"),
+            F.min("__h1").alias("__h1"),
+            F.min("__h2").alias("__h2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    c1 = pairs.groupBy("__h1").agg(F.count(F.lit(1)).alias("__c1"))
+    nfollow = types.groupBy("__h1").agg(F.count(F.lit(1)).alias("__nf"))
+    nprec = types.groupBy("__h2").agg(F.count(F.lit(1)).alias("__np"))
+    n_types = types.count()  # bounded driver scalar (vocab-bounded)
+    d = float(discount)
+    term1 = F.greatest(F.col("__nb") - d, F.lit(0.0)) / F.col("__c1")
+    term2 = ((d * F.col("__nf")) / F.col("__c1")) * (
+        F.col("__np") / F.lit(float(n_types))
+    )
+    return (
+        types.join(c1, "__h1")
+        .join(nfollow, "__h1")
+        .join(nprec, "__h2")
+        .select(
+            "w1",
+            "w2",
+            F.col("__nb").alias("n_bigram"),
+            F.round(term1 + term2, 9).alias("p_kn"),
+        )
+        .orderBy(F.desc("p_kn"), "w1", "w2")
+        .limit(top_n)
+    )

@@ -372,3 +372,87 @@ def curriculum_interleave(
         id_col, tier_col, "tier_idx", "rank_in_tier",
         F.col("training_pos").cast("long").alias("training_pos"),
     )
+
+
+def ipf_weights(
+    df: DataFrame,
+    row_col: str = "lang",
+    col_col: str = "source",
+    iterations: int = 2,
+) -> DataFrame:
+    """Iterative proportional fitting (raking) of per-cell sampling
+    weights so BOTH marginals of the (row_col x col_col) contingency
+    table approach uniform targets — the two-constraint generalization
+    of ``domain_cap`` (which balances one key and lets the other drift).
+
+    After ``iterations`` rounds of alternating row/column scaling the
+    weighted cell mass w*n satisfies sum_c(w*n) ~ N/|rows| per row and
+    sum_r(w*n) ~ N/|cols| per column (classical IPF converges
+    geometrically; 2 rounds is the standard mixture-balancing setting).
+
+    Exactness contract: n are integer counts; weights update as
+    ``w = round(w * (target / masked_sum), 9)`` where every marginal sum
+    is a 9dp-rounded DECIMAL sum of the cell masses (order-invariant) —
+    the lloyd/pagerank fixed-iteration discipline, fully SQL-unrollable.
+
+    100-TB shape: ONE corpus-grain aggregate produces the cell table
+    (|rows| x |cols| cells — category-bounded, tiny); all iterations run
+    on that bounded table (join + keyed agg per half-step,
+    localCheckpoint per round to cut lineage). Applying the weights
+    downstream is a broadcast join + per-row Bernoulli, the
+    weighted_sample bill.
+
+    Returns ``(row_key, col_key, n, weight, weighted_n)`` sorted.
+    """
+    cells = (
+        df.groupBy(
+            F.col(row_col).alias("row_key"), F.col(col_col).alias("col_key")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("weight", F.lit(1.0))
+        .localCheckpoint(eager=False)
+    )
+    totals = cells.agg(
+        F.sum("n").alias("__N"),
+        F.countDistinct("row_key").alias("__nr"),
+        F.countDistinct("col_key").alias("__nc"),
+    ).collect()[0]
+    row_target = float(totals["__N"]) / float(totals["__nr"])
+    col_target = float(totals["__N"]) / float(totals["__nc"])
+
+    def _mass():
+        return F.round(F.col("n") * F.col("weight"), 9).cast("decimal(24,9)")
+
+    for _ in range(iterations):
+        row_mass = (
+            cells.groupBy("row_key")
+            .agg(F.sum(_mass()).cast("decimal(38,9)").cast("double").alias("__rm"))
+        )
+        cells = (
+            cells.join(row_mass, "row_key")
+            .withColumn(
+                "weight",
+                F.round(F.col("weight") * (F.lit(row_target) / F.col("__rm")), 9),
+            )
+            .drop("__rm")
+        )
+        col_mass = (
+            cells.groupBy("col_key")
+            .agg(F.sum(_mass()).cast("decimal(38,9)").cast("double").alias("__cm"))
+        )
+        cells = (
+            cells.join(col_mass, "col_key")
+            .withColumn(
+                "weight",
+                F.round(F.col("weight") * (F.lit(col_target) / F.col("__cm")), 9),
+            )
+            .drop("__cm")
+            .localCheckpoint(eager=False)
+        )
+    return cells.select(
+        "row_key",
+        "col_key",
+        "n",
+        "weight",
+        F.round(F.col("n") * F.col("weight"), 6).alias("weighted_n"),
+    ).orderBy("row_key", "col_key")

@@ -706,6 +706,65 @@ def sq8_decode(
     return df.withColumn(out_col, vec)
 
 
+def sq8_error_report(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension SQ8 reconstruction-error audit: train (min, max)
+    bounds, quantize-dequantize, and report per dim
+    ``(dim, lo, hi, mse, max_abs_err, within_bound)`` where the bound is
+    the affine-quantizer guarantee span/(2*255) (+1 quantization-grid ulp
+    of slack for the round-trip arithmetic).
+
+    Exactness contract: code = clamp(round((x-lo)*255/span), 0, 255) with
+    Spark HALF_UP rounding == C round() for the non-negative operand;
+    per-dim MSE is a 12dp-rounded DECIMAL sum (order-invariant) over
+    squared errors; max is order-free. Fully SQL-replicable.
+
+    Scale shape: one bounded (dim)-keyed min/max pass (d-row driver
+    collect, the codebook discipline), then a single map-side
+    encode+decode projection and one (dim)-keyed aggregate. No UDF, no
+    unbounded driver state.
+    """
+    mins, maxes = sq8_train(df, vec_col=vec_col)
+    enc = sq8_encode(df, mins, maxes, vec_col=vec_col, out_col="__sq")
+    dec = sq8_decode(enc, mins, maxes, code_col="__sq", out_col="__dq")
+    lo = F.array(*[F.lit(float(v)) for v in mins])
+    hi = F.array(*[F.lit(float(v)) for v in maxes])
+    err = dec.select(
+        F.posexplode(
+            F.zip_with(
+                F.col(vec_col),
+                F.col("__dq"),
+                lambda x, y: x.cast("double") - y,
+            )
+        ).alias("dim", "e")
+    )
+    per_dim = err.groupBy("dim").agg(
+        F.round(
+            F.sum(F.round(F.col("e") * F.col("e"), 12).cast("decimal(24,12)"))
+            .cast("decimal(38,12)")
+            .cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("mse"),
+        F.max(F.round(F.abs("e"), 9)).alias("max_abs_err"),
+    )
+    return per_dim.select(
+        "dim",
+        F.round(F.element_at(lo, F.col("dim") + 1), 6).alias("lo"),
+        F.round(F.element_at(hi, F.col("dim") + 1), 6).alias("hi"),
+        "mse",
+        "max_abs_err",
+        (
+            F.col("max_abs_err")
+            <= (F.element_at(hi, F.col("dim") + 1) - F.element_at(lo, F.col("dim") + 1))
+            / 510.0
+            + (F.element_at(hi, F.col("dim") + 1) - F.element_at(lo, F.col("dim") + 1))
+            / 255.0
+            * 1e-9
+            + 1e-12
+        ).alias("within_bound"),
+    ).orderBy("dim")
+
+
 # --- Late-interaction (MaxSim / ColBERT) ------------------------------------
 
 def maxsim_topk(

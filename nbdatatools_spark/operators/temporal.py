@@ -604,3 +604,229 @@ def funnel_steps(
     return spark.createDataFrame(
         rows, "step_index INT, step STRING, n_users BIGINT, pct_of_first DOUBLE, pct_of_prev DOUBLE"
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str | None = None,
+    period: int = 7,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of a daily series
+    (beyond-reference surface, SURVEY §7.8): trend = centered
+    ``period``-day moving average (only where the full window exists),
+    seasonal = per-weekday mean of the detrended values, residual =
+    value - trend - seasonal.
+
+    Input grain: raw events; the series is the daily row count (or the
+    daily sum of ``value_col``). Scale shape: one date-grain aggregate
+    (map-side partial), then windows over the DATE-GRAIN series — days,
+    not events — so window state is calendar-bounded. The per-weekday
+    seasonal means ride a DECIMAL-exact sum (order-independent,
+    oracle-replicable).
+
+    Returns ``(day, value, trend, seasonal, residual)`` ordered by day.
+    """
+    daily = (
+        df.groupBy(F.to_date(ts_col).alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("value")
+            if value_col is None
+            else F.sum(F.col(value_col)).cast("double").alias("value")
+        )
+    )
+    half = period // 2
+    w = Window.orderBy("day").rowsBetween(-half, half)
+    trended = daily.select(
+        "day",
+        "value",
+        F.when(
+            F.count(F.lit(1)).over(w) == period,
+            F.round(F.sum("value").over(w) / period, 6),
+        ).alias("trend"),
+    )
+    detr = trended.withColumn(
+        "detrended",
+        F.round(F.col("value") - F.col("trend"), 9).cast("decimal(20,9)"),
+    )
+    seasonal = (
+        detr.where(F.col("trend").isNotNull())
+        .groupBy(F.dayofweek("day").alias("dow"))
+        .agg(
+            F.round(
+                F.sum("detrended").cast("decimal(38,9)").cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("seasonal")
+        )
+    )
+    return (
+        trended.withColumn("dow", F.dayofweek("day"))
+        .join(F.broadcast(seasonal), "dow", "left")
+        .select(
+            "day",
+            "value",
+            "trend",
+            "seasonal",
+            F.round(F.col("value") - F.col("trend") - F.col("seasonal"), 6).alias(
+                "residual"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    ts_col: str = "ts",
+    baseline_days: int = 7,
+    drift_k: float = 0.5,
+    threshold_h: float = 4.0,
+) -> DataFrame:
+    """One-sided CUSUM change detection on the daily event-count series
+    (beyond-reference surface). The textbook recursion
+    ``S_t = max(0, S_{t-1} + z_t - k)`` is re-expressed CLOSED-FORM so no
+    sequential state is needed:
+
+        S_t = R_t - min(0, min_{s<=t} R_s),  R_t = cumsum(z_t - k)
+
+    — a running sum and a running min, both plain window functions over
+    the date-grain series (days, not events; window state is
+    calendar-bounded). Baseline mean/std come from the first
+    ``baseline_days`` days (population std, DECIMAL-exact sums).
+
+    Returns ``(day, n_events, z, cusum_pos, is_alarm)`` ordered by day.
+    """
+    daily = df.groupBy(F.to_date(ts_col).alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    wfirst = Window.orderBy("day")
+    ranked = daily.withColumn("rn", F.row_number().over(wfirst))
+    base = ranked.where(F.col("rn") <= baseline_days).agg(
+        (F.sum("n_events").cast("double") / F.count(F.lit(1))).alias("mu"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("double").alias("ss"),
+    )
+    base = base.select(
+        "mu",
+        F.sqrt(
+            F.greatest(
+                F.lit(0.0), F.col("ss") / F.col("n") - F.col("mu") * F.col("mu")
+            )
+        ).alias("sigma"),
+    )
+    scored = ranked.crossJoin(F.broadcast(base)).select(
+        "day",
+        "n_events",
+        F.round(
+            (F.col("n_events") - F.col("mu"))
+            / F.when(F.col("sigma") > 0, F.col("sigma")).otherwise(F.lit(1.0)),
+            9,
+        ).alias("z"),
+    )
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    # DECIMAL cumsum: windowed double sums are association-order-dependent
+    # (DuckDB evaluates frames via segment trees); decimal is exact and
+    # order-independent, so the running sum is oracle-replicable bit-exact.
+    run = scored.withColumn(
+        "r",
+        F.sum(F.round(F.col("z") - drift_k, 9).cast("decimal(20,9)"))
+        .over(wcum)
+        .cast("decimal(38,9)")
+        .cast("double"),
+    )
+    run = run.withColumn("rmin", F.least(F.lit(0.0), F.min("r").over(wcum)))
+    return run.select(
+        "day",
+        "n_events",
+        F.round("z", 6).alias("z"),
+        F.round(F.col("r") - F.col("rmin"), 6).alias("cusum_pos"),
+        (F.round(F.col("r") - F.col("rmin"), 6) > threshold_h).alias("is_alarm"),
+    ).orderBy("day")
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    cutoff: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier accounting via the Median Absolute
+    Deviation (beyond-reference surface): med = median(value), mad =
+    median(|value - med|), outlier where |value - med| > cutoff * 1.4826
+    * mad. Medians use exact linear-interpolated percentile(0.5) (matches
+    DuckDB ``quantile_cont``).
+
+    Scale shape: two keyed exact-percentile aggregates (Spark's
+    percentile is a single-shuffle sort-based agg per group) and one
+    map-side flag pass — no windows over raw rows, no collect. Groups are
+    the unit of parallelism.
+
+    Returns ``(key, n, med, mad, n_outliers, outlier_frac)`` per group.
+    """
+    med = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    joined = df.select(F.col(key_col).alias("key"), F.col(value_col).alias("v")).join(
+        F.broadcast(med), "key"
+    )
+    mad = joined.groupBy("key").agg(
+        F.expr("percentile(abs(v - med), 0.5)").alias("mad")
+    )
+    flagged = joined.join(F.broadcast(mad), "key")
+    return (
+        flagged.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("med"), 6).alias("med"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.sum(
+                (
+                    F.abs(F.col("v") - F.col("med"))
+                    > cutoff * 1.4826 * F.col("mad")
+                ).cast("long")
+            ).alias("n_outliers"),
+        )
+        .withColumn(
+            "outlier_frac", F.round(F.col("n_outliers") / F.col("n"), 6)
+        )
+        .orderBy("key")
+    )
+
+
+def interval_concurrency(
+    df: DataFrame,
+    ts_col: str = "ts",
+    duration_minutes: int = 10,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Sweep-line interval-overlap counting (beyond-reference surface):
+    each event occupies ``[ts, ts + duration)``; emit +1/-1 boundary
+    deltas, order by (time, delta) — ends sort before starts at the same
+    instant, so touching intervals do NOT overlap — and a running sum
+    gives the instantaneous concurrency. Aggregated to the max
+    concurrency per ``bucket``.
+
+    Scale shape: 2N boundary rows, ONE global time-ordered window (the
+    same bill as any global sort — range-partitioned by Spark); bucket
+    aggregation is map-side after the window. For keyed workloads add the
+    key to the window partition and the state bounds per key.
+
+    Returns ``(bucket_start, max_concurrent)`` ordered by bucket.
+    """
+    starts = df.select(F.col(ts_col).alias("t"), F.lit(1).alias("delta"))
+    ends = df.select(
+        (F.col(ts_col) + F.expr(f"INTERVAL {int(duration_minutes)} MINUTE")).alias(
+            "t"
+        ),
+        F.lit(-1).alias("delta"),
+    )
+    bounds = starts.unionByName(ends)
+    w = Window.orderBy("t", "delta").rowsBetween(Window.unboundedPreceding, 0)
+    conc = bounds.withColumn("concurrent", F.sum("delta").over(w))
+    return (
+        conc.where(F.col("delta") == 1)
+        .groupBy(F.date_trunc(bucket, "t").alias("bucket_start"))
+        .agg(F.max("concurrent").alias("max_concurrent"))
+        .orderBy("bucket_start")
+    )
