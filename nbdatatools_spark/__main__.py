@@ -624,6 +624,153 @@ def _cmd_corpus_select_budget(args) -> int:
     return 0
 
 
+def _emit_rows(df) -> int:
+    """Print one JSON line per row (timestamps/dates via str)."""
+    for r in df.collect():
+        print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
+def _cmd_corpus_card(args) -> int:
+    """Per-slice dataset card: the datasheet a training-data release
+    ships (volume, token stats, dup rate, language entropy)."""
+    from nbdatatools_spark.operators.analysis import dataset_card
+
+    docs = _spark().read.parquet(args.input)
+    return _emit_rows(
+        dataset_card(docs, group_col=args.group_col, text_col=args.text_col)
+    )
+
+
+def _cmd_corpus_keyphrases(args) -> int:
+    from nbdatatools_spark.operators.analysis import rake_keyphrases
+
+    docs = _spark().read.parquet(args.input)
+    return _emit_rows(
+        rake_keyphrases(
+            docs, text_col=args.text_col, id_col=args.id_col, top_n=args.top
+        )
+    )
+
+
+def _cmd_corpus_kneser_ney(args) -> int:
+    from nbdatatools_spark.operators.lm import kneser_ney_bigrams
+
+    docs = _spark().read.parquet(args.input)
+    return _emit_rows(
+        kneser_ney_bigrams(
+            docs, text_col=args.text_col, id_col=args.id_col,
+            discount=args.discount, top_n=args.top,
+        )
+    )
+
+
+def _cmd_corpus_calibrate_minhash(args) -> int:
+    """Estimated-vs-exact Jaccard on the banded candidates: how tight is
+    num_hashes on THIS corpus (mean/max |error| summary + worst pairs)."""
+    from pyspark.sql import functions as F
+
+    from nbdatatools_spark.operators.dedup import minhash_calibration
+
+    docs = _spark().read.parquet(args.input)
+    cal = minhash_calibration(
+        docs, id_col=args.id_col, text_col=args.text_col,
+        num_hashes=args.num_hashes, bands=args.bands, impl="md5",
+    ).localCheckpoint(eager=False)
+    summary = cal.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("abs_err"), 6).alias("mean_abs_err"),
+        F.round(F.max("abs_err"), 6).alias("max_abs_err"),
+    ).first()
+    print(json.dumps(summary.asDict()))
+    for r in cal.orderBy(F.desc("abs_err")).limit(args.top).collect():
+        print(json.dumps(r.asDict()))
+    return 0
+
+
+def _cmd_corpus_balance(args) -> int:
+    from nbdatatools_spark.operators.sampling import ipf_weights
+
+    docs = _spark().read.parquet(args.input)
+    return _emit_rows(
+        ipf_weights(
+            docs, row_col=args.row_col, col_col=args.col_col,
+            iterations=args.iterations,
+        )
+    )
+
+
+def _cmd_compute_kmeans(args) -> int:
+    from nbdatatools_spark.operators.clustering import lloyd_fixed_iterations
+
+    df = _spark().read.parquet(args.input)
+    return _emit_rows(
+        lloyd_fixed_iterations(
+            df, k=args.k, iterations=args.iterations,
+            id_col=args.id_col, vec_col=args.vec_col,
+        )
+    )
+
+
+def _cmd_analyze_sq8_error(args) -> int:
+    from nbdatatools_spark.operators.similarity import sq8_error_report
+
+    df = _spark().read.parquet(args.input)
+    return _emit_rows(sq8_error_report(df, vec_col=args.vec_col))
+
+
+def _cmd_events(args) -> int:
+    """Temporal analytics over an events parquet (ts column)."""
+    from pyspark.sql import functions as F
+
+    from nbdatatools_spark.operators import temporal
+
+    spark = _spark()
+    ev = spark.read.parquet(args.input)
+    if dict(ev.dtypes).get(args.ts_col) == "bigint":
+        ev = ev.withColumn(
+            args.ts_col, F.timestamp_micros(F.expr(f"{args.ts_col} div 1000"))
+        )
+    if args.what == "seasonal":
+        return _emit_rows(temporal.seasonal_decompose(ev, ts_col=args.ts_col))
+    if args.what == "cusum":
+        return _emit_rows(
+            temporal.cusum_changepoints(
+                ev, ts_col=args.ts_col, baseline_days=args.baseline_days,
+                threshold_h=args.threshold,
+            )
+        )
+    if args.what == "mad":
+        return _emit_rows(
+            temporal.mad_outliers(
+                ev, key_col=args.key_col, value_col=args.value_col
+            )
+        )
+    if args.what == "concurrency":
+        return _emit_rows(
+            temporal.interval_concurrency(
+                ev, ts_col=args.ts_col, duration_minutes=args.duration
+            )
+        )
+    if args.what == "triangles":
+        from nbdatatools_spark.operators.graph import triangle_stats
+
+        occ = ev.select(
+            F.col(args.key_col), F.date_trunc("hour", args.ts_col).alias("h"),
+            F.col(args.node_col),
+        ).distinct()
+        a = occ.select(args.key_col, "h", F.col(args.node_col).alias("ua"))
+        b = occ.select(args.key_col, "h", F.col(args.node_col).alias("ub"))
+        edges = (
+            a.join(b, [args.key_col, "h"])
+            .where(F.col("ua") < F.col("ub"))
+            .select("ua", "ub")
+            .distinct()
+        )
+        return _emit_rows(triangle_stats(edges, src="ua", dst="ub"))
+    raise SystemExit(f"unknown events subcommand {args.what!r}")
+
+
 def _cmd_verify_profiles(args) -> int:
     from nbdatatools_spark.operators.knn import verify_profiles
     from nbdatatools_spark.sources.dataset import load_dataset
@@ -1114,6 +1261,70 @@ def build_parser() -> argparse.ArgumentParser:
     csb.add_argument("--id-col", default="doc_id")
     csb.add_argument("--keep-partial", action="store_true")
     csb.set_defaults(func=_cmd_corpus_select_budget)
+
+    ccd = cp.add_parser("card")
+    ccd.add_argument("--input", required=True)
+    ccd.add_argument("--group-col", default="source")
+    ccd.add_argument("--text-col", default="text")
+    ccd.set_defaults(func=_cmd_corpus_card)
+    ckp = cp.add_parser("keyphrases")
+    ckp.add_argument("--input", required=True)
+    ckp.add_argument("--text-col", default="text")
+    ckp.add_argument("--id-col", default="doc_id")
+    ckp.add_argument("--top", type=int, default=25)
+    ckp.set_defaults(func=_cmd_corpus_keyphrases)
+    ckn = cp.add_parser("kneser_ney")
+    ckn.add_argument("--input", required=True)
+    ckn.add_argument("--text-col", default="text")
+    ckn.add_argument("--id-col", default="doc_id")
+    ckn.add_argument("--discount", type=float, default=0.75)
+    ckn.add_argument("--top", type=int, default=20)
+    ckn.set_defaults(func=_cmd_corpus_kneser_ney)
+    cmc = cp.add_parser("calibrate_minhash")
+    cmc.add_argument("--input", required=True)
+    cmc.add_argument("--text-col", default="text")
+    cmc.add_argument("--id-col", default="doc_id")
+    cmc.add_argument("--num-hashes", type=int, default=32)
+    cmc.add_argument("--bands", type=int, default=8)
+    cmc.add_argument("--top", type=int, default=10)
+    cmc.set_defaults(func=_cmd_corpus_calibrate_minhash)
+    cbl = cp.add_parser("balance")
+    cbl.add_argument("--input", required=True)
+    cbl.add_argument("--row-col", default="lang")
+    cbl.add_argument("--col-col", default="source")
+    cbl.add_argument("--iterations", type=int, default=2)
+    cbl.set_defaults(func=_cmd_corpus_balance)
+
+    km = co.add_parser("kmeans")
+    km.add_argument("--input", required=True)
+    km.add_argument("-k", type=int, default=8)
+    km.add_argument("--iterations", type=int, default=2)
+    km.add_argument("--id-col", default="vec_id")
+    km.add_argument("--vec-col", default="embedding")
+    km.set_defaults(func=_cmd_compute_kmeans)
+
+    a8 = an.add_parser("sq8-error")
+    a8.add_argument("--input", required=True)
+    a8.add_argument("--vec-col", default="embedding")
+    a8.set_defaults(func=_cmd_analyze_sq8_error)
+
+    evp = sub.add_parser("events").add_subparsers(dest="what", required=True)
+    for w in ("seasonal", "cusum", "mad", "concurrency", "triangles"):
+        ev = evp.add_parser(w)
+        ev.add_argument("--input", required=True)
+        ev.add_argument("--ts-col", default="ts")
+        if w == "cusum":
+            ev.add_argument("--baseline-days", type=int, default=7)
+            ev.add_argument("--threshold", type=float, default=4.0)
+        if w == "mad":
+            ev.add_argument("--key-col", default="event_type")
+            ev.add_argument("--value-col", default="value")
+        if w == "concurrency":
+            ev.add_argument("--duration", type=int, default=10)
+        if w == "triangles":
+            ev.add_argument("--key-col", default="event_type")
+            ev.add_argument("--node-col", default="user_id")
+        ev.set_defaults(func=_cmd_events)
 
     cl = sub.add_parser("cleanup").add_subparsers(dest="what", required=True)
     cc = cl.add_parser("cleanfvec")
