@@ -3367,26 +3367,22 @@ def events_concurrency(spark, sf_dir):
 
 
 def events_triangle_count(spark, sf_dir):
-    """Triangle census of the user co-occurrence graph (graph.py::
-    triangle_stats): edges join users sharing an (event_type, hour)
-    bucket; oriented low->high edges make the two-join wedge-close count
-    scan each undirected edge once. Returns the one-row census with the
+    """Triangle census of the user co-visitation graph (graph.py::
+    cooccurrence_edges + triangle_stats): edges join users sharing >= 3
+    distinct (event_type, hour) buckets, buckets capped at 100 users
+    (the LSH max_bucket discipline); DEGREE-ordered orientation bounds
+    the wedge join by sqrt(2m) out-degree. One-row census with the
     global clustering coefficient."""
-    from nbdatatools_spark.operators.graph import triangle_stats
+    from nbdatatools_spark.operators.graph import cooccurrence_edges, triangle_stats
 
     ev = _t(spark, sf_dir, "events")
     occ = ev.select(
         "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
-    ).distinct()
-    a = occ.select("event_type", "h", F.col("user_id").alias("ua"))
-    b = occ.select("event_type", "h", F.col("user_id").alias("ub"))
-    edges = (
-        a.join(b, ["event_type", "h"])
-        .where(F.col("ua") < F.col("ub"))
-        .select("ua", "ub")
-        .distinct()
     )
-    return triangle_stats(edges, src="ua", dst="ub")
+    edges = cooccurrence_edges(
+        occ, ["event_type", "h"], "user_id", max_bucket=100, min_support=3
+    )
+    return triangle_stats(edges, src="src", dst="dst")
 
 
 def doc_dataset_card(spark, sf_dir):
@@ -7237,14 +7233,23 @@ def oracle_sql() -> dict[str, str]:
             FROM c WHERE delta = 1 GROUP BY 1 ORDER BY 1
         """,
         "events_triangle_count": """
-            WITH occ AS (
+            WITH occ0 AS (
                 SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id
                 FROM events),
+            kept AS (
+                SELECT event_type, h FROM occ0
+                GROUP BY event_type, h HAVING count(*) <= 100),
+            occ AS (
+                SELECT o.event_type, o.h, o.user_id
+                FROM occ0 o JOIN kept k
+                  ON o.event_type = k.event_type AND o.h = k.h),
             edges AS (
-                SELECT DISTINCT a.user_id AS a, b.user_id AS b
+                SELECT a.user_id AS a, b.user_id AS b
                 FROM occ a JOIN occ b
                   ON a.event_type = b.event_type AND a.h = b.h
-                 AND a.user_id < b.user_id),
+                 AND a.user_id < b.user_id
+                GROUP BY a.user_id, b.user_id
+                HAVING count(*) >= 3),
             deg AS (
                 SELECT node, count(*) AS deg FROM (
                     SELECT a AS node FROM edges

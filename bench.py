@@ -145,6 +145,20 @@ def main() -> None:
 
     qs["minhash_candidate_pairs"] = minhash_candidate_pairs_numpy
 
+    # Same gate/bench split for the calibration chain: the gate pins
+    # impl="md5" so DuckDB replays the signatures; the bench measures the
+    # vectorized numpy signature kernel (the 100TB path).
+    def doc_minhash_calibration_numpy(spark, sf_dir):
+        from nbdatatools_spark.operators.dedup import minhash_calibration
+
+        docs = entrymod._t(spark, sf_dir, "documents")
+        return minhash_calibration(
+            docs, num_hashes=32, bands=8, shingle_size=5, impl="numpy",
+            max_pairs=20_000,
+        )
+
+    qs["doc_minhash_calibration"] = doc_minhash_calibration_numpy
+
     # Same reasoning for SemDeDup: the gate pins the literal-expression
     # centroid assignment for bit-exact DuckDB parity; the bench measures
     # the Arrow GEMM kernel (centroid_assign impl="gemm"), the 100TB path.

@@ -480,6 +480,30 @@ def minhash_dedup(
     cands = minhash_lsh_candidates(
         df, id_col, text_col, num_hashes, bands, shingle_size, impl=impl
     )
+    if max_pairs is not None:
+        # Calibration is a statistical readout — at corpus scale you sample
+        # the candidates instead of exact-verifying millions of pairs. The
+        # sample is a DETERMINISTIC md5 ranking over the pair key, so it is
+        # content-stable across runs/partitionings and oracle-replicable.
+        rank = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("id_a").cast("string"),
+                        F.lit(":"),
+                        F.col("id_b").cast("string"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        cands = (
+            cands.orderBy(rank.asc(), F.col("id_a").asc(), F.col("id_b").asc())
+            .limit(int(max_pairs))
+        )
     verified = jaccard_verify(cands, df, id_col, text_col, shingle_size, threshold)
     if transitive:
         dupes = (
@@ -1396,6 +1420,30 @@ def dedup_cluster_sizes(
     cands = minhash_lsh_candidates(
         df, id_col, text_col, num_hashes, bands, shingle_size, impl=impl
     )
+    if max_pairs is not None:
+        # Calibration is a statistical readout — at corpus scale you sample
+        # the candidates instead of exact-verifying millions of pairs. The
+        # sample is a DETERMINISTIC md5 ranking over the pair key, so it is
+        # content-stable across runs/partitionings and oracle-replicable.
+        rank = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("id_a").cast("string"),
+                        F.lit(":"),
+                        F.col("id_b").cast("string"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        cands = (
+            cands.orderBy(rank.asc(), F.col("id_a").asc(), F.col("id_b").asc())
+            .limit(int(max_pairs))
+        )
     verified = jaccard_verify(cands, df, id_col, text_col, shingle_size, threshold)
     comp = connected_components(verified, max_iter=max_iter)
     allc = (
@@ -1467,6 +1515,7 @@ def minhash_calibration(
     bands: int = 8,
     shingle_size: int = 5,
     impl: str = "md5",
+    max_pairs: int | None = None,
 ) -> DataFrame:
     """MinHash estimator calibration on the LSH candidate pairs: for each
     banded candidate, the estimated Jaccard (fraction of agreeing
@@ -1491,6 +1540,30 @@ def minhash_calibration(
     cands = minhash_lsh_candidates(
         df, id_col, text_col, num_hashes, bands, shingle_size, impl=impl
     )
+    if max_pairs is not None:
+        # Calibration is a statistical readout — at corpus scale you sample
+        # the candidates instead of exact-verifying millions of pairs. The
+        # sample is a DETERMINISTIC md5 ranking over the pair key, so it is
+        # content-stable across runs/partitionings and oracle-replicable.
+        rank = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("id_a").cast("string"),
+                        F.lit(":"),
+                        F.col("id_b").cast("string"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        cands = (
+            cands.orderBy(rank.asc(), F.col("id_a").asc(), F.col("id_b").asc())
+            .limit(int(max_pairs))
+        )
     sigs = minhash_signatures(
         df, id_col, text_col, num_hashes, shingle_size, impl=impl
     )
