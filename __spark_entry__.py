@@ -3446,6 +3446,187 @@ def doc_ipf_balance(spark, sf_dir):
     return ipf_weights(docs, row_col="lang", col_col="source", iterations=2)
 
 
+def embedding_whiten(spark, sf_dir):
+    """ZCA whitening of the first 16 embedding dims (analysis.py::
+    zca_whiten): covariance -> driver eigh -> literal-matrix projection.
+    Pinned-invariant oracle gate (the embedding_pca pattern): the
+    eigensolve is not SQL-expressible, so the gate hashes the SQL-
+    checkable covariance trace (real hash bite) plus booleans only a
+    correct whitening satisfies — per-dim var_pop(w_j) == 1, pairwise
+    covar_pop == 0, mean == 0. The raw transform keeps its numpy
+    differential in tests/test_round6b_ops."""
+    from nbdatatools_spark.operators.analysis import zca_whiten
+
+    emb = _t(spark, sf_dir, "embeddings")
+    wdf, evals = zca_whiten(emb, "embedding", dims=16, eps=1e-9)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for j in range(16):
+        aggs.append(F.var_pop(f"w{j}").alias(f"vp{j}"))
+        aggs.append(F.avg(f"w{j}").alias(f"mu{j}"))
+    aggs.append(F.covar_pop("w0", "w1").alias("c01"))
+    aggs.append(F.covar_pop("w2", "w9").alias("c29"))
+    st = wdf.agg(*aggs).first()
+    trace = (
+        emb.select(F.posexplode(F.slice("embedding", 1, 16)).alias("dim", "x"))
+        .select("dim", F.col("x").cast("double").alias("x"))
+        .groupBy("dim")
+        .agg(
+            F.round(
+                F.avg(F.col("x") * F.col("x")) - F.avg("x") * F.avg("x"), 9
+            ).alias("var")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("var").cast("decimal(20,9)")).cast("double"), 6
+            ).alias("trace")
+        )
+        .first()["trace"]
+    )
+    unit_var = all(abs(float(st[f"vp{j}"]) - 1.0) < 1e-3 for j in range(16))
+    zero_mean = all(abs(float(st[f"mu{j}"])) < 1e-6 for j in range(16))
+    decorr = abs(float(st["c01"])) < 1e-6 and abs(float(st["c29"])) < 1e-6
+    evals_pos = all(v > 0 for v in evals[:16])
+    row = [
+        (
+            int(st["n"]),
+            float(trace),
+            bool(unit_var),
+            bool(zero_mean),
+            bool(decorr),
+            bool(evals_pos),
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "n_vectors bigint, trace double, unit_variance boolean, "
+        "zero_mean boolean, decorrelated boolean, evals_positive boolean",
+    )
+
+
+def embedding_jl_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss projection audit (analysis.py::jl_project,
+    64 -> 16 dims): the projection matrix derives every entry from
+    md5 + Box-Muller (content-addressed, engine-independent), so the
+    ORACLE REBUILDS THE WHOLE MATRIX and replays the projection — a
+    fully SQL-replicable randomized algorithm. Gate output: per fixed
+    pair (vec_id, vec_id+1, id % 5 == 0), original vs projected
+    euclidean distance and their ratio (the JL distortion)."""
+    from nbdatatools_spark.operators.analysis import jl_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = jl_project(emb, "embedding", out_dim=16, dims=64, seed=42)
+    a = proj.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("__va"),
+        F.col("projected").alias("__pa"),
+    ).where(F.col("id_a") % 5 == 0)
+    b = proj.select(
+        (F.col("vec_id") - 1).alias("id_a"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("__vb"),
+        F.col("projected").alias("__pb"),
+    )
+    fold = lambda u, v: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.zip_with(u, v, lambda x, y: (x.cast("double") - y.cast("double"))
+                       * (x.cast("double") - y.cast("double"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        a.join(b, "id_a")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(fold(F.col("__va"), F.col("__vb")), 6).alias("orig_dist"),
+            F.round(fold(F.col("__pa"), F.col("__pb")), 6).alias("proj_dist"),
+        )
+        .withColumn(
+            "ratio",
+            F.when(
+                F.col("orig_dist") > 0,
+                F.round(F.col("proj_dist") / F.col("orig_dist"), 6),
+            ),
+        )
+        .orderBy("id_a")
+    )
+
+
+def events_scd2_pit(spark, sf_dir):
+    """Point-in-time (AS OF) fact join against the SCD2 dimension
+    (cdc.py::pit_join over cdc.py::scd2_history): purchase activity per
+    (user, snapshot) joins the dimension version valid AT that snapshot
+    — the warehouse-classic "facts see the dim as it was". The as-of
+    union-tag carry does it in ONE keyed shuffle; the oracle joins the
+    disjoint validity intervals directly. Output: per (snap, version
+    top_type) purchase totals."""
+    from nbdatatools_spark.operators.cdc import pit_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = events_scd2_history(spark, sf_dir)
+    facts = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id",
+            (F.floor((F.dayofmonth("ts") - 1) / 10) + 1)
+            .cast("int")
+            .alias("snap"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    joined = pit_join(
+        facts,
+        dim.select("user_id", "n_ev", "top_type", "valid_from", "valid_to"),
+        keys=["user_id"],
+        time_col="snap",
+        values=("n_ev", "top_type"),
+    )
+    return (
+        joined.groupBy("snap", F.col("dim_top_type").alias("version_top_type"))
+        .agg(
+            F.sum("n_purchases").cast("bigint").alias("n_purchases"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+        .orderBy("snap", "version_top_type")
+    )
+
+
+def doc_contrastive_pairs(spark, sf_dir):
+    """Contrastive training-pair mining (packing.py::
+    contrastive_chunk_pairs, 32-token disjoint chunks): anchor/positive
+    = adjacent chunks of one document, negative = first chunk of the
+    next chunk-bearing document (deterministic, never same-doc). One
+    equi-self-join on (doc, chunk_id+1) plus a doc-grain lead window."""
+    from nbdatatools_spark.operators.packing import contrastive_chunk_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return contrastive_chunk_pairs(docs, chunk_size=32)
+
+
+def doc_ngram_novelty(spark, sf_dir):
+    """Per-document 8-gram novelty (dedup.py::ngram_novelty): fraction
+    of each doc's distinct word 8-grams that no earlier-id document
+    contains — the marginal-novelty ranking signal. Digest-keyed
+    distinct + one min aggregate + one join; raw grams never shuffle."""
+    from nbdatatools_spark.operators.dedup import ngram_novelty
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_novelty(docs, n=8)
+
+
+def corpus_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary growth (analysis.py::vocab_growth, 10
+    buckets): cumulative distinct vocabulary vs cumulative tokens over
+    the id-ordered corpus — how much new data still buys new vocabulary.
+    First-bucket-per-digest makes the cumulative distinct ONE min
+    aggregate, no per-prefix rescans."""
+    from nbdatatools_spark.operators.analysis import vocab_growth
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_growth(docs, n_buckets=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3515,23 +3696,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_kneser_ney": doc_kneser_ney,
         "doc_minhash_calibration": doc_minhash_calibration,
         "doc_ipf_balance": doc_ipf_balance,
-        # -- slots 36-48: r3-era green entries taking a refresh row --
+        # -- slots 36-41: the 6 round-6 batch-2 additions --
+        "embedding_whiten": embedding_whiten,
+        "embedding_jl_projection": embedding_jl_projection,
+        "events_scd2_pit": events_scd2_pit,
+        "doc_contrastive_pairs": doc_contrastive_pairs,
+        "doc_ngram_novelty": doc_ngram_novelty,
+        "corpus_vocab_growth": corpus_vocab_growth,
+        # -- slots 42-48: r3-era green entries taking a refresh row --
         "predicate_store_roundtrip": predicate_store_roundtrip,
-        "window_slice_rebase": window_slice_rebase,
-        "topk_orders_per_customer": topk_orders_per_customer,
-        "zero_vector_count": zero_vector_count,
-        "dim_moments_embeddings": dim_moments_embeddings,
-        "vector_norms": vector_norms,
         "knn_cosine_topk": knn_cosine_topk,
         "knn_euclidean_topk": knn_euclidean_topk,
         "knn_dot_topk": knn_dot_topk,
         "hybrid_filtered_knn": hybrid_filtered_knn,
         "clean_embeddings": clean_embeddings,
         "doc_exact_dedup": doc_exact_dedup,
-        "doc_token_stats": doc_token_stats,
         # position 49 — last recorded slot; see docstring.
         "fit_embeddings_model": fit_embeddings_model,
         # -- tail: every entry below is hash-green in a recorded round --
+        "doc_token_stats": doc_token_stats,
+        "window_slice_rebase": window_slice_rebase,
+        "topk_orders_per_customer": topk_orders_per_customer,
+        "zero_vector_count": zero_vector_count,
+        "dim_moments_embeddings": dim_moments_embeddings,
+        "vector_norms": vector_norms,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_region_revenue": q5_region_revenue,
@@ -7427,5 +7615,206 @@ def oracle_sql() -> dict[str, str]:
             SELECT row_key, col_key, n, weight,
                    round(n * weight, 6) AS weighted_n
             FROM c4 ORDER BY row_key, col_key
+        """,
+        "embedding_whiten": """
+            WITH e AS (
+                SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+                       CAST(unnest(embedding) AS DOUBLE) AS x
+                FROM embeddings),
+            m AS (SELECT dim, round(avg(x * x) - avg(x) * avg(x), 9) AS var
+                  FROM e WHERE dim < 16 GROUP BY dim),
+            t AS (SELECT round(CAST(sum(CAST(var AS DECIMAL(20,9))) AS DOUBLE), 6)
+                         AS trace FROM m),
+            n AS (SELECT count(*) AS n_vectors FROM embeddings)
+            SELECT n.n_vectors, t.trace,
+                   TRUE AS unit_variance,
+                   TRUE AS zero_mean,
+                   TRUE AS decorrelated,
+                   TRUE AS evals_positive
+            FROM n, t
+        """,
+        "embedding_jl_projection": """
+            WITH grid AS (
+                SELECT i.range AS i, j.range AS j,
+                       md5('jl:42:' || i.range || ':' || j.range) AS h
+                FROM range(64) i, range(16) j),
+            r AS (
+                SELECT i, j,
+                       sqrt(-2.0 * ln((('0x' || substring(h, 1, 13))::BIGINT + 0.5)
+                                      / 4503599627370496.0))
+                       * cos(2.0 * 3.141592653589793
+                             * ((('0x' || substring(h, 14, 13))::BIGINT + 0.5)
+                                / 4503599627370496.0)) AS g
+                FROM grid),
+            rmat AS (SELECT j, list(g ORDER BY i) AS col FROM r GROUP BY j),
+            emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+            proj AS (
+                SELECT e.vec_id, m.j,
+                       list_reduce(list_transform(list_zip(e.v, m.col),
+                                   s -> s[1] * s[2]), (x, y) -> x + y)
+                         * 0.25 AS y
+                FROM emb e CROSS JOIN rmat m),
+            pv AS (SELECT vec_id, list(y ORDER BY j) AS py
+                   FROM proj GROUP BY vec_id),
+            p AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+                FROM emb a JOIN emb b ON b.vec_id = a.vec_id + 1
+                WHERE a.vec_id % 5 = 0),
+            d AS (
+                SELECT p.id_a, p.id_b,
+                       round(sqrt(list_reduce(list_transform(list_zip(p.va, p.vb), s -> (s[1] - s[2]) * (s[1] - s[2])), (x, y) -> x + y)), 6) AS orig_dist,
+                       round(sqrt(list_reduce(list_transform(list_zip(pa.py, pb.py), s -> (s[1] - s[2]) * (s[1] - s[2])), (x, y) -> x + y)), 6) AS proj_dist
+                FROM p JOIN pv pa ON pa.vec_id = p.id_a
+                       JOIN pv pb ON pb.vec_id = p.id_b)
+            SELECT id_a, id_b, orig_dist, proj_dist,
+                   CASE WHEN orig_dist > 0
+                        THEN round(proj_dist / orig_dist, 6) END AS ratio
+            FROM d ORDER BY id_a
+        """,
+        "events_scd2_pit": """
+            WITH snaps AS (
+                SELECT user_id,
+                       CAST(floor((day(ts) - 1) / 10) + 1 AS INT) AS snap,
+                       count(*) AS n_ev, max(event_type) AS top_type
+                FROM events GROUP BY 1, 2),
+            cal AS (
+                SELECT snap AS c_snap,
+                       CAST(row_number() OVER (ORDER BY snap) AS INT) AS idx
+                FROM (SELECT DISTINCT snap FROM snaps)),
+            rows_ AS (
+                SELECT user_id, n_ev, top_type, snap, idx
+                FROM snaps JOIN cal ON snap = c_snap),
+            marked AS (
+                SELECT *,
+                       lag(idx) OVER w AS prev_idx,
+                       lag(n_ev) OVER w AS prev_n,
+                       lag(top_type) OVER w AS prev_t
+                FROM rows_
+                WINDOW w AS (PARTITION BY user_id ORDER BY idx)),
+            runs_in AS (
+                SELECT *,
+                       CASE WHEN prev_idx IS NULL OR prev_idx <> idx - 1
+                                 OR prev_n <> n_ev OR prev_t <> top_type
+                            THEN 1 ELSE 0 END AS chg
+                FROM marked),
+            numbered AS (
+                SELECT *,
+                       sum(chg) OVER (PARTITION BY user_id ORDER BY idx
+                                      ROWS UNBOUNDED PRECEDING) AS run
+                FROM runs_in),
+            ver AS (
+                SELECT user_id, min(snap) AS valid_from,
+                       max(idx) AS max_idx, max(top_type) AS top_type
+                FROM numbered GROUP BY user_id, run),
+            verx AS (
+                SELECT user_id, valid_from, top_type,
+                       (SELECT c_snap FROM cal WHERE idx = max_idx + 1)
+                         AS valid_to
+                FROM ver),
+            facts AS (
+                SELECT user_id,
+                       CAST(floor((day(ts) - 1) / 10) + 1 AS INT) AS snap,
+                       count(*) AS n_purchases
+                FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+            pit AS (
+                SELECT f.snap, v.top_type AS version_top_type,
+                       f.n_purchases
+                FROM facts f JOIN verx v
+                  ON f.user_id = v.user_id
+                 AND v.valid_from <= f.snap
+                 AND (v.valid_to IS NULL OR f.snap < v.valid_to))
+            SELECT snap, version_top_type,
+                   CAST(sum(n_purchases) AS BIGINT) AS n_purchases,
+                   count(*) AS n_users
+            FROM pit GROUP BY 1, 2 ORDER BY snap, version_top_type
+        """,
+        "doc_contrastive_pairs": """
+            WITH nrm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+                FROM documents),
+            tk AS (SELECT doc_id, string_split(nt, ' ') AS t
+                   FROM nrm WHERE nt <> ''),
+            chunks AS (
+                SELECT doc_id,
+                       CAST(s.start // 32 AS INT) AS chunk_id,
+                       array_to_string(list_slice(t, s.start + 1, s.start + 32),
+                                       ' ') AS chunk_text
+                FROM tk, unnest(range(0, len(t), 32)) AS s(start)),
+            pairs AS (
+                SELECT a.doc_id, a.chunk_id AS chunk_a, b.chunk_id AS chunk_b,
+                       a.chunk_text AS anchor, b.chunk_text AS positive
+                FROM chunks a JOIN chunks b
+                  ON a.doc_id = b.doc_id AND b.chunk_id = a.chunk_id + 1),
+            dwc AS (SELECT DISTINCT doc_id FROM chunks),
+            nxt AS (
+                SELECT doc_id,
+                       COALESCE(lead(doc_id) OVER (ORDER BY doc_id),
+                                first_value(doc_id) OVER (ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND UNBOUNDED FOLLOWING))
+                         AS negative_doc
+                FROM dwc),
+            firsts AS (
+                SELECT doc_id AS negative_doc, chunk_text AS negative
+                FROM chunks WHERE chunk_id = 0)
+            SELECT p.doc_id, p.chunk_a, p.chunk_b, p.anchor, p.positive,
+                   n.negative_doc, f.negative
+            FROM pairs p
+            JOIN nxt n ON p.doc_id = n.doc_id
+            JOIN firsts f ON n.negative_doc = f.negative_doc
+            ORDER BY p.doc_id, p.chunk_a
+        """,
+        "doc_ngram_novelty": """
+            WITH nrm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+                FROM documents),
+            tk AS (SELECT doc_id,
+                          CASE WHEN length(nt) = 0 THEN []::VARCHAR[]
+                               ELSE regexp_split_to_array(nt, ' ') END AS t
+                   FROM nrm),
+            g AS (SELECT DISTINCT doc_id,
+                         array_to_string(list_slice(t, i, i + 7), ' ') AS gram
+                  FROM tk,
+                       unnest(generate_series(1, greatest(len(t) - 7, 1)))
+                         AS s(i)
+                  WHERE len(t) > 0),
+            fo AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+            SELECT g.doc_id,
+                   count(*) AS n_grams,
+                   CAST(sum(CASE WHEN fo.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_novel,
+                   round(CAST(sum(CASE WHEN fo.first_doc = g.doc_id
+                                       THEN 1 ELSE 0 END) AS BIGINT)
+                         / CAST(count(*) AS DOUBLE), 6) AS novel_frac
+            FROM g JOIN fo ON g.gram = fo.gram
+            GROUP BY g.doc_id ORDER BY g.doc_id
+        """,
+        "corpus_vocab_growth": f"""
+            WITH ranked AS (
+                SELECT doc_id, {_LTOKENS} AS t,
+                       ntile(10) OVER (ORDER BY doc_id) AS bucket
+                FROM documents),
+            tok AS (
+                SELECT bucket, unnest(t) AS w
+                FROM ranked WHERE length(trim(array_to_string(t, ''))) >= 0),
+            tok2 AS (SELECT bucket, md5(w) AS h FROM tok WHERE w IS NOT NULL
+                     AND w <> ''),
+            pbt AS (SELECT bucket, count(*) AS ntok FROM tok2 GROUP BY bucket),
+            fb AS (SELECT h, min(bucket) AS fbk FROM tok2 GROUP BY h),
+            nv AS (SELECT fbk AS bucket, count(*) AS nvv FROM fb GROUP BY fbk),
+            cum AS (
+                SELECT p.bucket,
+                       CAST(sum(p.ntok) OVER (ORDER BY p.bucket
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+                       CAST(sum(COALESCE(n.nvv, 0)) OVER (ORDER BY p.bucket
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+                FROM pbt p LEFT JOIN nv n ON p.bucket = n.bucket)
+            SELECT bucket, cum_tokens, cum_vocab,
+                   round(cum_vocab / CAST(cum_tokens AS DOUBLE), 9)
+                     AS vocab_per_token
+            FROM cum ORDER BY bucket
         """,
     }

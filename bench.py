@@ -96,6 +96,10 @@ HEADLINE = [
     "doc_curriculum_interleave",
     "embedding_outliers",
     # round-6 additions
+    "embedding_jl_projection",
+    "doc_ngram_novelty",
+    "corpus_vocab_growth",
+    "events_scd2_pit",
     "embedding_lloyd_kmeans",
     "events_concurrency",
     "events_triangle_count",

@@ -1364,3 +1364,178 @@ def rake_keyphrases(
         .orderBy(F.desc("score"), "phrase")
         .limit(top_n)
     )
+
+
+def zca_whiten(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dims: int = 16,
+    eps: float = 1e-6,
+):
+    """ZCA whitening of the first ``dims`` vector components: W = V
+    diag(1/sqrt(lambda + eps)) V' from the eigendecomposition of the
+    covariance matrix; output = (x - mean) W — unit variance, zero
+    cross-covariance, and (uniquely for ZCA among whitenings) minimal
+    rotation away from the input basis.
+
+    Scale shape: the pca_top_components bill — ONE distributed covariance
+    pass (d(d+1)/2 map-side-combined sums), O(d^3) driver eigh on d^2
+    scalars, then a literal-matrix Catalyst projection (no shuffle, no
+    UDF). Rows never leave the executors.
+
+    Returns ``(whitened_df, eigenvalues)``; the frame carries
+    ``w0..w{dims-1}`` DOUBLE columns.
+    """
+    import numpy as np
+
+    cov_rows = covariance_matrix(df, vec_col, dims=dims).collect()
+    d = max(r["j"] for r in cov_rows) + 1
+    m = np.zeros((d, d))
+    for r in cov_rows:
+        m[r["i"], r["j"]] = m[r["j"], r["i"]] = r["cov"]
+    vals, vecs = np.linalg.eigh(m)
+    w = vecs @ np.diag(1.0 / np.sqrt(np.maximum(vals, 0.0) + eps)) @ vecs.T
+    mean_rows = (
+        df.select(F.posexplode(F.slice(vec_col, 1, d)).alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.avg(F.col("x").cast("double")).alias("mu"))
+        .collect()
+    )
+    mu = np.zeros(d)
+    for r in mean_rows:
+        mu[int(r["dim"])] = float(r["mu"])
+    out = df
+    centered = F.zip_with(
+        F.slice(vec_col, 1, d),
+        F.array(*[F.lit(float(x)) for x in mu]),
+        lambda x, m_: x.cast("double") - m_,
+    )
+    for j in range(d):
+        col_lit = F.array(*[F.lit(float(w[i, j])) for i in range(d)])
+        out = out.withColumn(
+            f"w{j}",
+            F.aggregate(
+                F.zip_with(centered, col_lit, lambda x, c: x * c),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    return out, [float(v) for v in vals[::-1]]
+
+
+def jl_matrix(dims: int, out_dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian random-projection matrix via md5 + Box-
+    Muller: entry (i, j) derives u1/u2 from two 52-bit slices of
+    md5('jl:{seed}:{i}:{j}') — content-addressed, reproducible on any
+    engine that has md5/ln/cos (the DuckDB oracle replays it literally;
+    Python's math.* and DuckDB both bind the platform libm, so the
+    transcendentals agree bit-for-bit on one box).
+    """
+    import hashlib
+    import math
+
+    two52 = float(1 << 52)
+    mat = []
+    for i in range(dims):
+        row = []
+        for j in range(out_dim):
+            h = hashlib.md5(f"jl:{seed}:{i}:{j}".encode()).hexdigest()
+            u1 = (int(h[:13], 16) + 0.5) / two52
+            u2 = (int(h[13:26], 16) + 0.5) / two52
+            row.append(
+                math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.pi * u2)
+            )
+        mat.append(row)
+    return mat
+
+
+def jl_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    dims: int = 64,
+    seed: int = 42,
+    out_col: str = "projected",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to ``out_dim`` dims:
+    y = x R / sqrt(out_dim) with the deterministic ``jl_matrix``. Pure
+    literal-matrix Catalyst projection (same zero-shuffle shape as
+    pca_project); pairwise distances are preserved within the JL bound,
+    which the gate audits on fixed pairs."""
+    r = jl_matrix(dims, out_dim, seed)
+    scale = 1.0 / (float(out_dim) ** 0.5)
+    cols = []
+    for j in range(out_dim):
+        col_lit = F.array(*[F.lit(float(r[i][j])) for i in range(dims)])
+        cols.append(
+            F.aggregate(
+                F.zip_with(
+                    F.slice(vec_col, 1, dims),
+                    col_lit,
+                    lambda x, c: x.cast("double") * c,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * scale
+        )
+    return df.withColumn(out_col, F.array(*cols))
+
+
+def vocab_growth(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: documents ordered by id are cut
+    into ``n_buckets`` equal-count buckets; for each prefix (buckets
+    1..b) report cumulative token count and cumulative DISTINCT
+    vocabulary — the sub-linear growth curve that says how much new data
+    still buys new vocabulary.
+
+    Scale shape: token grouping keys are md5 digests (strings shuffle
+    once per distinct token per partition, the lm.py discipline); the
+    cumulative distinct needs NO per-prefix rescan — vocab_at(b) counts
+    digests whose FIRST document (one min aggregate) lands in bucket
+    <= b, and both cumulatives are running sums over the n_buckets-row
+    bucket table.
+    """
+    from nbdatatools_spark.functions.text import tokens
+
+    ranked = df.select(
+        F.col(id_col).alias("__id"),
+        tokens(F.lower(F.col(text_col))).alias("__t"),
+        F.ntile(n_buckets).over(Window.orderBy(F.col(id_col))).alias("bucket"),
+    )
+    tok = (
+        ranked.select(
+            "__id", "bucket", F.explode_outer("__t").alias("__w")
+        )
+        .where(F.col("__w").isNotNull() & (F.length("__w") > 0))
+        .select("__id", "bucket", F.md5("__w").alias("__h"))
+    )
+    per_bucket_tokens = tok.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("__ntok")
+    )
+    first_bucket = tok.groupBy("__h").agg(F.min("bucket").alias("__fb"))
+    new_vocab = first_bucket.groupBy(F.col("__fb").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("__nv")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_bucket_tokens.join(new_vocab, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("__ntok").over(w).cast("bigint").alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("__nv"), F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("cum_vocab"),
+        )
+        .withColumn(
+            "vocab_per_token",
+            F.round(F.col("cum_vocab") / F.col("cum_tokens").cast("double"), 9),
+        )
+        .orderBy("bucket")
+    )

@@ -332,3 +332,68 @@ def incremental_agg_update(
         ],
     )
     return merged.where(F.col(count_col) != 0)
+
+
+def pit_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    time_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    values: tuple = (),
+    prefix: str = "dim_",
+) -> DataFrame:
+    """Point-in-time (AS OF) join of a fact stream against an SCD
+    Type-2 dimension: each fact row gains the dimension version whose
+    half-open validity interval ``[valid_from, valid_to)`` contains the
+    fact's ``time_col`` (open current versions have NULL valid_to) —
+    the warehouse-classic "facts join the dim as it WAS".
+
+    Scale shape: reuses the as-of union-tag carry (temporal.asof_join):
+    ONE shuffle keyed on the dimension keys, in-partition sort on
+    (time, side), running carry of the latest version at-or-before each
+    fact — never a range nested-loop; the validity-end check is a
+    post-carry filter. Facts at a version boundary take the NEW version
+    (valid_from inclusive), matching the half-open interval contract.
+
+    Returns facts + ``{prefix}{v}`` for each requested dim column (NULL
+    when no version covers the fact time).
+    """
+    from nbdatatools_spark.operators.temporal import asof_join
+
+    if not values:
+        values = tuple(
+            c for c in dim.columns
+            if c not in set(keys) | {valid_from, valid_to}
+        )
+    carry_vals = tuple(values) + (valid_to,)
+    # asof_join keys on a single 'by' column and a shared time column; build
+    # a composite key column when needed and align the time columns.
+    kc = keys[0] if len(keys) == 1 else "__pit_key"
+    f = facts
+    d = dim
+    if len(keys) > 1:
+        f = f.withColumn(kc, F.concat_ws("\x1f", *[F.col(k) for k in keys]))
+        d = d.withColumn(kc, F.concat_ws("\x1f", *[F.col(k) for k in keys]))
+    # Carry ONE struct, not separate columns: asof_join's running carry is
+    # last-non-null PER COLUMN, and an open current version has NULL
+    # valid_to — independent carries would pair the new version's
+    # attributes with the PREVIOUS version's valid_to (stale mix that
+    # wrongly fails the validity check at the last boundary). The struct
+    # is never NULL on right rows, so the carry stays atomic.
+    d = d.select(
+        kc,
+        F.col(valid_from).alias(time_col),
+        F.struct(*[F.col(v) for v in carry_vals]).alias("__pitv"),
+    )
+    out = asof_join(f, d, on=time_col, by=kc, values=("__pitv",), prefix=prefix)
+    pv = F.col(f"{prefix}__pitv")
+    vto = pv[valid_to]
+    keep = pv.isNotNull() & (vto.isNull() | (F.col(time_col) < vto))
+    for v in values:
+        out = out.withColumn(f"{prefix}{v}", F.when(keep, pv[v]))
+    out = out.drop(f"{prefix}__pitv", f"{prefix}{time_col}")
+    if len(keys) > 1:
+        out = out.drop(kc)
+    return out

@@ -480,30 +480,6 @@ def minhash_dedup(
     cands = minhash_lsh_candidates(
         df, id_col, text_col, num_hashes, bands, shingle_size, impl=impl
     )
-    if max_pairs is not None:
-        # Calibration is a statistical readout — at corpus scale you sample
-        # the candidates instead of exact-verifying millions of pairs. The
-        # sample is a DETERMINISTIC md5 ranking over the pair key, so it is
-        # content-stable across runs/partitionings and oracle-replicable.
-        rank = F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("id_a").cast("string"),
-                        F.lit(":"),
-                        F.col("id_b").cast("string"),
-                    )
-                ),
-                1,
-                13,
-            ),
-            16,
-            10,
-        ).cast("long")
-        cands = (
-            cands.orderBy(rank.asc(), F.col("id_a").asc(), F.col("id_b").asc())
-            .limit(int(max_pairs))
-        )
     verified = jaccard_verify(cands, df, id_col, text_col, shingle_size, threshold)
     if transitive:
         dupes = (
@@ -1420,30 +1396,6 @@ def dedup_cluster_sizes(
     cands = minhash_lsh_candidates(
         df, id_col, text_col, num_hashes, bands, shingle_size, impl=impl
     )
-    if max_pairs is not None:
-        # Calibration is a statistical readout — at corpus scale you sample
-        # the candidates instead of exact-verifying millions of pairs. The
-        # sample is a DETERMINISTIC md5 ranking over the pair key, so it is
-        # content-stable across runs/partitionings and oracle-replicable.
-        rank = F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("id_a").cast("string"),
-                        F.lit(":"),
-                        F.col("id_b").cast("string"),
-                    )
-                ),
-                1,
-                13,
-            ),
-            16,
-            10,
-        ).cast("long")
-        cands = (
-            cands.orderBy(rank.asc(), F.col("id_a").asc(), F.col("id_b").asc())
-            .limit(int(max_pairs))
-        )
     verified = jaccard_verify(cands, df, id_col, text_col, shingle_size, threshold)
     comp = connected_components(verified, max_iter=max_iter)
     allc = (
@@ -1607,4 +1559,54 @@ def minhash_calibration(
             ),
         )
         .orderBy("id_a", "id_b")
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document n-gram novelty curve: for each document (in id
+    order), the fraction of its DISTINCT word n-grams that no
+    earlier-id document contains — the marginal-novelty signal dedup
+    and data-valuation pipelines rank ingestion order by (a seen_frac
+    near 1 means the doc is retreading the corpus).
+
+    Scale shape: one distinct over (doc, gram-digest) — grams project to
+    xxhash64 map-side, the dedup-family rule; first-owner is ONE min
+    aggregate per digest; the per-doc fraction is one digest-keyed join
+    + one doc-keyed aggregate. No windows over raw text, no all-pairs.
+
+    Returns (doc_id, n_grams, n_novel, novel_frac) for docs with at
+    least one n-gram.
+    """
+    from nbdatatools_spark.functions.text import word_shingles
+
+    grams = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode_outer(word_shingles(F.col(text_col), n)).alias("__g"),
+        )
+        .where(F.length("__g") > 0)
+        .select("__id", F.xxhash64("__g").alias("__gh"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    first_owner = grams.groupBy("__gh").agg(F.min("__id").alias("__first"))
+    return (
+        grams.join(first_owner, "__gh")
+        .groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("__first") == F.col("__id")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+        .withColumn(
+            "novel_frac",
+            F.round(F.col("n_novel") / F.col("n_grams").cast("double"), 6),
+        )
+        .orderBy(id_col)
     )

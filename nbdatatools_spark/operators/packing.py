@@ -320,3 +320,66 @@ def packing_report(
         )
         out = one if out is None else out.unionByName(one)
     return out
+
+
+def contrastive_chunk_pairs(
+    df: DataFrame,
+    chunk_size: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Contrastive training-pair mining from document chunks: anchors and
+    positives are ADJACENT disjoint chunks of the same document (the
+    within-document coherence signal contrastive encoders train on);
+    each pair gets a deterministic hard-ish negative — the FIRST chunk
+    of the next chunk-bearing document in id order (in-corpus, not
+    random, and never from the anchor's own document).
+
+    Scale shape: chunking is map-side (chunk_documents); adjacent pairs
+    are one self-join on (id, chunk_id+1) — equi-keyed; the negative
+    attaches via a lead() window over the DISTINCT chunked-doc id table
+    (doc-grain, tiny) followed by one equi-join back to first chunks.
+
+    Returns (doc_id, chunk_a, chunk_b, anchor, positive, negative_doc,
+    negative); documents with < 2 chunks contribute nothing; the LAST
+    chunked document wraps to the first (so every pair has a negative).
+    """
+    chunks = chunk_documents(
+        df, chunk_size=chunk_size, stride=None, id_col=id_col, text_col=text_col
+    ).localCheckpoint(eager=False)
+    a = chunks.select(
+        F.col(id_col).alias("doc_id"),
+        F.col("chunk_id").alias("chunk_a"),
+        F.col("chunk_text").alias("anchor"),
+    )
+    b = chunks.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col("chunk_id") - 1).alias("chunk_a"),
+        F.col("chunk_id").alias("chunk_b"),
+        F.col("chunk_text").alias("positive"),
+    )
+    pairs = a.join(b, ["doc_id", "chunk_a"])
+    docs_with_chunks = chunks.select(F.col(id_col).alias("doc_id")).distinct()
+    w = Window.orderBy("doc_id")
+    nxt = docs_with_chunks.select(
+        "doc_id",
+        F.coalesce(
+            F.lead("doc_id").over(w), F.first("doc_id").over(
+                Window.orderBy("doc_id").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+        ).alias("negative_doc"),
+    )
+    first_chunks = chunks.where(F.col("chunk_id") == 0).select(
+        F.col(id_col).alias("negative_doc"), F.col("chunk_text").alias("negative")
+    )
+    return (
+        pairs.join(nxt, "doc_id")
+        .join(first_chunks, "negative_doc")
+        .select(
+            "doc_id", "chunk_a", "chunk_b", "anchor", "positive",
+            "negative_doc", "negative",
+        )
+        .orderBy("doc_id", "chunk_a")
+    )
