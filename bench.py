@@ -310,6 +310,8 @@ def main() -> None:
             "unit": "sec",
             "queries": kept,
             "sf": sf,
+            # compact contention record (VERDICT r4 #6): [start_1m, exit_1m]
+            "load": [_LOAD_AT_START[0], round(load1, 1)],
         }
         if dropped:
             payload["other"] = {
