@@ -3651,10 +3651,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-6 layout: entries 0-23 = the 24 queries never driver-recorded
     through round 5 (the deferred relational completions q9/q13/q15/q16/
     q17/q19/q20/q21/q22 and the round-5 session-2 additions); entries
-    24-48 = r3-era hash-green entries taking a refresh row, displaced
-    toward the tail as round-6 gates land; 49 = fit_embeddings_model
-    (pinned-invariant oracle, green in r5). After this round every
-    registry entry has a driver CORRECTNESS row.
+    24-35 = the round-6 batch-1 additions (lloyd kmeans, sq8 error,
+    seasonal/cusum/mad/concurrency/triangles, dataset card, rake,
+    kneser-ney, minhash calibration, ipf); 36-41 = the batch-2 additions
+    (whiten, jl projection, scd2 pit, contrastive pairs, ngram novelty,
+    vocab growth); 42-48 = r3-era hash-green entries taking a refresh
+    row; 49 = fit_embeddings_model (pinned-invariant oracle, green in
+    r5). After this round every registry entry has a driver CORRECTNESS
+    row.
     """
     return {
         # -- round-6 window slots 0-23: the 24 entries never driver-
