@@ -3627,6 +3627,186 @@ def corpus_vocab_growth(spark, sf_dir):
     return vocab_growth(docs, n_buckets=10)
 
 
+# ---------------------------------------------------------------------------
+# Round-6 batch 3: corpus QC + sketch-audit family
+# ---------------------------------------------------------------------------
+
+def doc_fertility(spark, sf_dir):
+    """Tokenizer fertility/compression per document (functions/text.py::
+    fertility_stats; cf. Rust et al. 2021's fertility metric): byte/char
+    counts, whitespace vs GPT-2-pre-split token counts, subwords-per-word
+    and bytes-per-subword at 6dp. Pure-codegen map-side projection."""
+    from nbdatatools_spark.functions.text import fertility_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", fertility_stats(F.col("text")).alias("f"))
+        .select("doc_id", "f.*")
+        .orderBy("doc_id")
+    )
+
+
+def _qc_text_variant(kind):
+    """Deterministically inject damage/script markers so the QC gates
+    exercise non-zero paths on the clean synthetic corpus; the oracle
+    replays the identical CASE chain."""
+    t = F.col("text")
+    if kind == "encoding":
+        return (
+            F.when(F.col("doc_id") % 7 == 0, F.concat(t, F.lit(" Ã© â€™ �")))
+            .when(F.col("doc_id") % 11 == 0, F.concat(t, F.lit("\x07")))
+            .otherwise(t)
+        )
+    return (
+        F.when(F.col("doc_id") % 5 == 0, F.concat(t, F.lit(" привет")))
+        .when(F.col("doc_id") % 6 == 0, F.concat(t, F.lit(" 你好 123")))
+        .when(F.col("doc_id") % 9 == 0, F.concat(t, F.lit(" مرحبا Ελλάδα 한국")))
+        .otherwise(t)
+    )
+
+
+def doc_encoding_quality(spark, sf_dir):
+    """Encoding-sanity QC (functions/text.py::encoding_quality): U+FFFD /
+    control / mojibake-marker counts and the non-ASCII ratio, over a
+    corpus with deterministically injected damage (doc_id % 7 gets
+    mojibake + replacement chars, % 11 a bare BEL). Keep-only regex
+    counts — map-side codegen only."""
+    from nbdatatools_spark.functions.text import encoding_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", encoding_quality(_qc_text_variant("encoding")).alias("e"))
+        .select("doc_id", "e.*")
+        .orderBy("doc_id")
+    )
+
+
+def doc_script_profile(spark, sf_dir):
+    """Writing-script census (functions/text.py::script_profile): per-doc
+    character counts for 7 script classes (literal codepoint ranges, no
+    \\p{Script}), dominant script with fixed-priority tie-break, over a
+    corpus with injected Cyrillic/CJK/Arabic/Greek/Hangul snippets."""
+    from nbdatatools_spark.functions.text import script_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", script_profile(_qc_text_variant("script")).alias("s"))
+        .select("doc_id", "s.*")
+        .orderBy("doc_id")
+    )
+
+
+def doc_length_drift(spark, sf_dir):
+    """Token-length drift per source vs src0 (analysis.py::length_drift):
+    PSI over fixed-width token-count bins, add-one smoothed, 9dp terms
+    DECIMAL-summed. One slim (group, bin) shuffle + a broadcast of the
+    10-row reference histogram."""
+    from nbdatatools_spark.operators.analysis import length_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    return length_drift(docs, reference="src0", n_bins=10, bin_width=64)
+
+
+def doc_bloom_decontaminate(spark, sf_dir):
+    """Bloom-prefiltered 13-gram decontamination (dedup.py::
+    bloom_decontaminate, Kirsch-Mitzenmacher double hashing over
+    md5-uint52 prefixes): train = non-test docs PLUS re-idded copies of
+    the test docs (guaranteed true hits), screened map-side against a
+    deliberately small 8192-bit / k=2 filter so false positives appear
+    and the exact-confirm stage is exercised. The train side never
+    shuffles before the per-doc verdict."""
+    from nbdatatools_spark.operators.dedup import bloom_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    test = docs.where(F.col("doc_id") % 101 == 0)
+    train = docs.where(F.col("doc_id") % 101 != 0).unionByName(
+        test.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+    )
+    return bloom_decontaminate(train, test, n=13, m_bits=8192, k=2).orderBy("id")
+
+
+def corpus_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy-hitter audit (lm.py::cms_heavy_hitters,
+    Cormode & Muthukrishnan 2005): 4x1024 sketch over the token stream
+    (fixed size regardless of corpus), exact top-20 tokens with their
+    sketch estimates and overestimates. Sketch build = one (d, pos)
+    groupBy with map-side combine."""
+    from nbdatatools_spark.operators.lm import cms_heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    return cms_heavy_hitters(docs, depth=4, width=1024, topk=20)
+
+
+def embedding_silhouette(spark, sf_dir):
+    """Simplified silhouette per label cluster (clustering.py::
+    simplified_silhouette — centroid variant, O(n*k) not O(n^2)):
+    mean own-centroid distance, nearest-other distance, and mean
+    silhouette per label; knn-convention distance folds and the
+    group_centroids DECIMAL discipline keep it engine-exact."""
+    from nbdatatools_spark.operators.clustering import simplified_silhouette
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return simplified_silhouette(emb)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch 4: augmentation + audit family (tail + PENDING_FIRST_RECORDING
+# until the round-7 window rotation)
+# ---------------------------------------------------------------------------
+
+def doc_span_corruption(spark, sf_dir):
+    """T5 span-corruption pair generation (packing.py::span_corruption,
+    Raffel et al. 2020 §3.3.4): deterministic md5-seeded span masks,
+    sentinel-numbered input/target pair per document. One doc-grain
+    window pass — no recursion, no cross-doc shuffle."""
+    from nbdatatools_spark.operators.packing import span_corruption
+
+    docs = _t(spark, sf_dir, "documents")
+    return span_corruption(docs, mask_rate=0.15, mean_span=3, seed=42)
+
+
+def embedding_hubness(spark, sf_dir):
+    """k-occurrence hubness audit (knn.py::hubness_stats, Radovanovic
+    et al. 2010): how many other vectors list each vector in their
+    10-NN (self excluded); anti-hubs report 0. expr impl for bit-exact
+    oracle parity (GEMM is the scale default)."""
+    from nbdatatools_spark.operators.knn import hubness_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hubness_stats(emb, k=10, metric="cosine", impl="expr")
+
+
+def corpus_source_similarity(spark, sf_dir):
+    """Pairwise tf-idf cosine between sources (lm.py::source_similarity):
+    digest-keyed token joins, 9dp DECIMAL-summed products — the
+    vector-space source-mix audit."""
+    from nbdatatools_spark.operators.lm import source_similarity
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_similarity(docs)
+
+
+def embedding_robust_scale(spark, sf_dir):
+    """Median/IQR robust scaling per dimension (analysis.py::
+    robust_scale_vectors — RobustScaler semantics): exact interpolated
+    percentiles per dim, broadcast d-row stats, map-side scale. Exploded
+    (id, dim, z) scalar shape (driver-hashable)."""
+    from nbdatatools_spark.operators.analysis import robust_scale_vectors
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return robust_scale_vectors(emb)
+
+
+def doc_boilerplate_prefixes(spark, sf_dir):
+    """Boilerplate line-prefix mining (dedup.py::boilerplate_prefixes):
+    top first-5-token line openings by distinct-doc spread — the
+    template detector upstream of paragraph_dedup."""
+    from nbdatatools_spark.operators.dedup import boilerplate_prefixes
+
+    docs = _t(spark, sf_dir, "documents")
+    return boilerplate_prefixes(docs, k_tokens=5, min_docs=2, top_n=50)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3655,8 +3835,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     seasonal/cusum/mad/concurrency/triangles, dataset card, rake,
     kneser-ney, minhash calibration, ipf); 36-41 = the batch-2 additions
     (whiten, jl projection, scd2 pit, contrastive pairs, ngram novelty,
-    vocab growth); 42-48 = r3-era hash-green entries taking a refresh
-    row; 49 = fit_embeddings_model (pinned-invariant oracle, green in
+    vocab growth); 42-48 = the batch-3 QC/sketch additions (fertility,
+    encoding QC, script profile, length drift, bloom decontaminate, CMS
+    heavy hitters, silhouette — they displaced the r3-era refresh
+    entries, which are all hash-green in recorded rounds, back to the
+    tail); 49 = fit_embeddings_model (pinned-invariant oracle, green in
     r5). After this round every registry entry has a driver CORRECTNESS
     row.
     """
@@ -3707,7 +3890,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_contrastive_pairs": doc_contrastive_pairs,
         "doc_ngram_novelty": doc_ngram_novelty,
         "corpus_vocab_growth": corpus_vocab_growth,
-        # -- slots 42-48: r3-era green entries taking a refresh row --
+        # -- slots 42-48: the 7 round-6 batch-3 additions (first driver
+        #    rows; they displace the r3-era refresh entries to the tail) --
+        "doc_fertility": doc_fertility,
+        "doc_encoding_quality": doc_encoding_quality,
+        "doc_script_profile": doc_script_profile,
+        "doc_length_drift": doc_length_drift,
+        "doc_bloom_decontaminate": doc_bloom_decontaminate,
+        "corpus_cms_heavy_hitters": corpus_cms_heavy_hitters,
+        "embedding_silhouette": embedding_silhouette,
+        # position 49 — last recorded slot; see docstring.
+        "fit_embeddings_model": fit_embeddings_model,
+        # -- tail: every entry below is hash-green in a recorded round --
         "predicate_store_roundtrip": predicate_store_roundtrip,
         "knn_cosine_topk": knn_cosine_topk,
         "knn_euclidean_topk": knn_euclidean_topk,
@@ -3715,9 +3909,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_filtered_knn": hybrid_filtered_knn,
         "clean_embeddings": clean_embeddings,
         "doc_exact_dedup": doc_exact_dedup,
-        # position 49 — last recorded slot; see docstring.
-        "fit_embeddings_model": fit_embeddings_model,
-        # -- tail: every entry below is hash-green in a recorded round --
         "doc_token_stats": doc_token_stats,
         "window_slice_rebase": window_slice_rebase,
         "topk_orders_per_customer": topk_orders_per_customer,
@@ -3853,14 +4044,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_price_histogram": part_price_histogram,
         "supplier_balance_rank": supplier_balance_rank,
         "orders_running_total": orders_running_total,
+        # round-6 batch 4 (pending first recording; round-7 window rotation)
+        "doc_span_corruption": doc_span_corruption,
+        "embedding_hubness": embedding_hubness,
+        "corpus_source_similarity": corpus_source_similarity,
+        "embedding_robust_scale": embedding_robust_scale,
+        "doc_boilerplate_prefixes": doc_boilerplate_prefixes,
     }
 
 
-# Tail entries still awaiting their first driver CORRECTNESS row. Empty
-# since round 6: the 24 deferred entries were rotated into window slots
-# 0-23 (see queries() docstring); keep new unrecorded gates INSIDE the
-# window, or list them here if the 50-slot window is full.
-PENDING_FIRST_RECORDING: frozenset[str] = frozenset()
+# Tail entries still awaiting their first driver CORRECTNESS row. The
+# round-6 50-slot window was full when batch 4 landed; rotate these into
+# window slots in round 7 (the queries() docstring discipline).
+PENDING_FIRST_RECORDING: frozenset[str] = frozenset(
+    {
+        "doc_span_corruption",
+        "embedding_hubness",
+        "corpus_source_similarity",
+        "embedding_robust_scale",
+        "doc_boilerplate_prefixes",
+    }
+)
 
 
 _STOPWORD_SQL_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -7820,5 +8024,370 @@ def oracle_sql() -> dict[str, str]:
                    round(cum_vocab / CAST(cum_tokens AS DOUBLE), 9)
                      AS vocab_per_token
             FROM cum ORDER BY bucket
+        """,
+        # fertility: byte/char/token counts + ratios, all map-side exprs
+        "doc_fertility": """
+            WITH c AS (
+                SELECT doc_id,
+                       CAST(strlen(text) AS INT) AS nb,
+                       CAST(length(text) AS INT) AS nc,
+                       (CASE WHEN length(trim(text)) = 0 THEN 0
+                             ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) END) AS nw,
+                       CAST(len(list_filter(
+                           regexp_extract_all(text,
+                               '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+'),
+                           x -> regexp_matches(x, '\\S'))) AS INT) AS ns
+                FROM documents)
+            SELECT doc_id, nb AS n_bytes, nc AS n_chars, nw AS n_ws_tokens,
+                   ns AS n_subword_tokens,
+                   CASE WHEN nw > 0 THEN round(CAST(ns AS DOUBLE) / nw, 6) END AS fertility,
+                   CASE WHEN ns > 0 THEN round(CAST(nb AS DOUBLE) / ns, 6) END AS bytes_per_subword
+            FROM c ORDER BY doc_id
+        """,
+        # encoding QC over the injected-damage variant; keep-only regex counts
+        "doc_encoding_quality": """
+            WITH t2 AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN text || ' Ã© â€™ �'
+                            WHEN doc_id % 11 = 0 THEN text || chr(7)
+                            ELSE text END AS t
+                FROM documents),
+            c AS (
+                SELECT doc_id, length(t) AS n,
+                       CAST(length(t) - length(replace(t, '�', '')) AS INT) AS nr,
+                       CAST(length(regexp_replace(t,
+                           '[^\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g')) AS INT) AS nc,
+                       CAST(len(regexp_extract_all(t,
+                           'Ã[©¨¤¶¼± ]|â€[™œ”“–—]|Â[ °£]')) AS INT) AS nm,
+                       CAST(length(regexp_replace(t, '[\\x00-\\x7f]', '', 'g')) AS INT) AS na
+                FROM t2)
+            SELECT doc_id, nr AS n_replacement, nc AS n_control, nm AS n_mojibake,
+                   na AS n_non_ascii,
+                   CASE WHEN n = 0 THEN 0.0
+                        ELSE round(CAST(na AS DOUBLE) / n, 6) END AS non_ascii_ratio,
+                   (nr = 0 AND nc = 0 AND nm = 0) AS is_clean
+            FROM c ORDER BY doc_id
+        """,
+        # script census over the injected-snippet variant; literal ranges
+        "doc_script_profile": """
+            WITH t2 AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0 THEN text || ' привет'
+                            WHEN doc_id % 6 = 0 THEN text || ' 你好 123'
+                            WHEN doc_id % 9 = 0 THEN text || ' مرحبا Ελλάδα 한국'
+                            ELSE text END AS t
+                FROM documents),
+            c AS (
+                SELECT doc_id, length(t) AS n,
+                       CAST(length(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS INT) AS nl,
+                       CAST(length(regexp_replace(t, '[^0-9]', '', 'g')) AS INT) AS nd,
+                       CAST(length(regexp_replace(t, '[^Ѐ-ӿ]', '', 'g')) AS INT) AS ncy,
+                       CAST(length(regexp_replace(t, '[^Ͱ-Ͽ]', '', 'g')) AS INT) AS ngr,
+                       CAST(length(regexp_replace(t, '[^一-鿿]', '', 'g')) AS INT) AS ncj,
+                       CAST(length(regexp_replace(t, '[^؀-ۿ]', '', 'g')) AS INT) AS nar,
+                       CAST(length(regexp_replace(t, '[^가-힯]', '', 'g')) AS INT) AS nha
+                FROM t2),
+            g AS (SELECT *, greatest(nl, nd, ncy, ngr, ncj, nar, nha) AS best FROM c)
+            SELECT doc_id, nl AS n_latin, nd AS n_digit, ncy AS n_cyrillic,
+                   ngr AS n_greek, ncj AS n_cjk, nar AS n_arabic, nha AS n_hangul,
+                   CASE WHEN best = 0 THEN 'none'
+                        WHEN nl = best THEN 'latin'
+                        WHEN nd = best THEN 'digit'
+                        WHEN ncy = best THEN 'cyrillic'
+                        WHEN ngr = best THEN 'greek'
+                        WHEN ncj = best THEN 'cjk'
+                        WHEN nar = best THEN 'arabic'
+                        ELSE 'hangul' END AS dominant,
+                   CASE WHEN n = 0 THEN 0.0
+                        ELSE round(CAST(best AS DOUBLE) / n, 6) END AS dominant_ratio
+            FROM g ORDER BY doc_id
+        """,
+        # token-length PSI per source vs src0; add-one smoothing, 9dp
+        # DECIMAL-summed terms (the embedding_psi discipline)
+        "doc_length_drift": """
+            WITH d0 AS (
+                SELECT source AS grp,
+                       least(CAST(floor(CAST(ntok AS DOUBLE) / 64) AS INT), 9) AS bin
+                FROM (SELECT source,
+                             (CASE WHEN length(trim(text)) = 0 THEN 0
+                                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS ntok
+                      FROM documents)),
+            counts AS (SELECT grp, bin, count(*) AS c FROM d0 GROUP BY 1, 2),
+            tot AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY 1),
+            grid AS (SELECT grp, n, unnest(generate_series(0, 9)) AS bin FROM tot),
+            fullg AS (SELECT g.grp, g.n, g.bin, coalesce(c.c, 0) AS c
+                      FROM grid g LEFT JOIN counts c ON c.grp = g.grp AND c.bin = g.bin),
+            ref AS (SELECT bin, c AS cr, n AS nr FROM fullg WHERE grp = 'src0'),
+            terms AS (
+                SELECT f.grp, f.n, r.nr,
+                       CAST(round(((r.cr + 1.0) / (r.nr + 10) - (f.c + 1.0) / (f.n + 10))
+                                  * ln(((r.cr + 1.0) / (r.nr + 10))
+                                       / ((f.c + 1.0) / (f.n + 10))), 9)
+                            AS DECIMAL(20,9)) AS term
+                FROM fullg f JOIN ref r USING (bin))
+            SELECT grp, round(CAST(CAST(sum(term) AS DECIMAL(38,9)) AS DOUBLE), 6) AS psi,
+                   CAST(max(n) AS BIGINT) AS n_docs,
+                   CAST(max(nr) AS BIGINT) AS n_reference
+            FROM terms GROUP BY grp ORDER BY grp
+        """,
+        # bloom decontamination: KM double hashing over md5-uint52 prefixes,
+        # m=8192 k=2; bloom hit = both positions in the test-set bit set
+        "doc_bloom_decontaminate": """
+            WITH tr AS (
+                SELECT doc_id AS id, text FROM documents WHERE doc_id % 101 <> 0
+                UNION ALL
+                SELECT doc_id + 1000000 AS id, text FROM documents WHERE doc_id % 101 = 0),
+            g_tr AS (
+                SELECT DISTINCT id, array_to_string(w[i:i+12], ' ') AS gram
+                FROM (SELECT id, w, unnest(generate_series(1, greatest(len(w) - 12, 1))) AS i
+                      FROM (SELECT id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+                            FROM tr
+                            WHERE length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) > 0))
+                WHERE length(array_to_string(w[i:i+12], ' ')) > 0),
+            te_g AS (
+                SELECT DISTINCT array_to_string(w[i:i+12], ' ') AS gram
+                FROM (SELECT w, unnest(generate_series(1, greatest(len(w) - 12, 1))) AS i
+                      FROM (SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+                            FROM documents
+                            WHERE doc_id % 101 = 0
+                              AND length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) > 0))
+                WHERE length(array_to_string(w[i:i+12], ' ')) > 0),
+            pos AS (
+                SELECT DISTINCT (h1 + i * (2 * h2 + 1)) % 8192 AS p
+                FROM (SELECT ('0x' || substring(md5(gram), 1, 13))::BIGINT AS h1,
+                             ('0x' || substring(md5(gram), 14, 13))::BIGINT AS h2
+                      FROM te_g),
+                     (SELECT unnest(generate_series(0, 1)) AS i)),
+            trpos AS (
+                SELECT id, gram, (h1 + i * (2 * h2 + 1)) % 8192 AS p
+                FROM (SELECT id, gram,
+                             ('0x' || substring(md5(gram), 1, 13))::BIGINT AS h1,
+                             ('0x' || substring(md5(gram), 14, 13))::BIGINT AS h2
+                      FROM g_tr),
+                     (SELECT unnest(generate_series(0, 1)) AS i)),
+            bl AS (SELECT id, gram FROM trpos JOIN pos USING (p)
+                   GROUP BY id, gram HAVING count(*) = 2),
+            perdoc AS (
+                SELECT t.id,
+                       coalesce(gc.n_grams, 0) AS n_grams,
+                       coalesce(bc.n_bloom, 0) AS n_bloom,
+                       coalesce(ec.n_exact, 0) AS n_exact
+                FROM (SELECT id FROM tr) t
+                LEFT JOIN (SELECT id, count(*) AS n_grams FROM g_tr GROUP BY id) gc USING (id)
+                LEFT JOIN (SELECT id, count(*) AS n_bloom FROM bl GROUP BY id) bc USING (id)
+                LEFT JOIN (SELECT id, count(*) AS n_exact
+                           FROM g_tr WHERE gram IN (SELECT gram FROM te_g)
+                           GROUP BY id) ec USING (id))
+            SELECT id, CAST(n_grams AS INT) AS n_grams,
+                   CAST(n_bloom AS INT) AS n_bloom_hits,
+                   n_bloom > 0 AS bloom_flagged,
+                   CAST(n_exact AS INT) AS n_exact_hits,
+                   n_exact > 0 AS contaminated,
+                   (n_bloom > 0 AND n_exact = 0) AS false_positive
+            FROM perdoc ORDER BY id
+        """,
+        # CMS audit: 4x1024 sketch rebuilt in SQL; estimate = min over rows
+        "corpus_cms_heavy_hitters": """
+            WITH nrm AS (SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                         FROM documents),
+            tok AS (SELECT unnest(string_split(t, ' ')) AS token
+                    FROM nrm WHERE length(t) > 0),
+            tk AS (SELECT token FROM tok WHERE length(token) > 0),
+            ds AS (SELECT unnest(generate_series(0, 3)) AS d),
+            cells AS (
+                SELECT d,
+                       ('0x' || substring(md5(CAST(d AS VARCHAR) || ':' || token), 1, 13))::BIGINT % 1024 AS pos,
+                       count(*) AS cnt
+                FROM tk, ds GROUP BY 1, 2),
+            exact AS (SELECT token, count(*) AS exact_n FROM tk GROUP BY token
+                      ORDER BY exact_n DESC, token LIMIT 20),
+            est AS (
+                SELECT e.token, e.exact_n, min(c.cnt) AS cms_est
+                FROM exact e
+                CROSS JOIN ds
+                JOIN cells c
+                  ON c.d = ds.d
+                 AND c.pos = ('0x' || substring(md5(CAST(ds.d AS VARCHAR) || ':' || e.token), 1, 13))::BIGINT % 1024
+                GROUP BY e.token, e.exact_n)
+            SELECT token, exact_n, CAST(cms_est AS BIGINT) AS cms_est,
+                   CAST(cms_est - exact_n AS BIGINT) AS overestimate
+            FROM est ORDER BY exact_n DESC, token
+        """,
+        # simplified silhouette: 9dp DECIMAL centroids, knn-convention
+        # |x|^2-2xc+|c|^2 distances, 6dp per-row values, DECIMAL means
+        "embedding_silhouette": """
+            WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings),
+            ex AS (SELECT label,
+                          CAST(generate_subscripts(e, 1) - 1 AS INT) AS dim,
+                          CAST(round(unnest(e), 9) AS DECIMAL(20,9)) AS t
+                   FROM v),
+            cd AS (SELECT label, dim,
+                          round(CAST(CAST(sum(t) AS DECIMAL(38,9)) AS DOUBLE)
+                                / count(*), 9) AS m
+                   FROM ex GROUP BY 1, 2),
+            cent AS (SELECT label AS c_label, list(m ORDER BY dim) AS c
+                     FROM cd GROUP BY 1),
+            p AS (SELECT v.vec_id, v.label, cent.c_label,
+                         sqrt(greatest(0.0,
+                              list_inner_product(v.e, v.e)
+                              - 2 * list_inner_product(v.e, cent.c)
+                              + list_inner_product(cent.c, cent.c))) AS d
+                  FROM v CROSS JOIN cent),
+            pv AS (SELECT vec_id, label,
+                          round(min(CASE WHEN c_label = label THEN d END), 6) AS a,
+                          round(min(CASE WHEN c_label <> label THEN d END), 6) AS b
+                   FROM p GROUP BY 1, 2),
+            s AS (SELECT label, a, b,
+                         CASE WHEN greatest(a, b) > 0
+                              THEN round((b - a) / greatest(a, b), 6)
+                              ELSE 0.0 END AS sil
+                  FROM pv)
+            SELECT label, count(*) AS n_vectors,
+                   round(CAST(CAST(sum(CAST(a AS DECIMAL(20,9))) AS DECIMAL(38,9)) AS DOUBLE) / count(*), 6) AS mean_a,
+                   round(CAST(CAST(sum(CAST(b AS DECIMAL(20,9))) AS DECIMAL(38,9)) AS DOUBLE) / count(*), 6) AS mean_b,
+                   round(CAST(CAST(sum(CAST(sil AS DECIMAL(20,9))) AS DECIMAL(38,9)) AS DOUBLE) / count(*), 6) AS mean_silhouette
+            FROM s GROUP BY label ORDER BY label
+        """,
+        # T5 span corruption: the md5 start/length draws, bounded-frame
+        # reach window, and sentinel numbering all replayed in SQL
+        "doc_span_corruption": f"""
+            WITH tok AS (
+                SELECT doc_id AS id,
+                       CAST(generate_subscripts(w, 1) - 1 AS INT) AS pos,
+                       unnest(w) AS tok
+                FROM (SELECT doc_id,
+                             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+                      FROM documents
+                      WHERE length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) > 0)),
+            m AS (
+                SELECT id, pos, tok,
+                       (('0x' || substring(md5(CAST(id AS VARCHAR) || ':' || CAST(pos AS VARCHAR) || ':42'), 1, 13))::BIGINT
+                        < {int(0.15 / 3 * (1 << 52))}) AS start,
+                       CAST(1 + (('0x' || substring(md5(CAST(id AS VARCHAR) || ':' || CAST(pos AS VARCHAR) || ':42'), 14, 13))::BIGINT % 5) AS INT) AS len
+                FROM tok WHERE length(tok) > 0),
+            r AS (
+                SELECT *, max(CASE WHEN start THEN pos + len END)
+                          OVER (PARTITION BY id ORDER BY pos
+                                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS reach
+                FROM m),
+            f AS (SELECT *, coalesce(reach, -1) > pos AS masked FROM r),
+            g AS (SELECT *, masked AND NOT coalesce(
+                                lag(masked) OVER (PARTITION BY id ORDER BY pos),
+                                FALSE) AS span_start
+                  FROM f),
+            s AS (SELECT *, CAST(sum(CASE WHEN span_start THEN 1 ELSE 0 END)
+                                 OVER (PARTITION BY id ORDER BY pos
+                                       ROWS UNBOUNDED PRECEDING) - 1 AS INT) AS span_id
+                  FROM g),
+            p AS (
+                SELECT id, pos, masked, span_start,
+                       CASE WHEN span_start THEN '<extra_id_' || span_id || '>'
+                            WHEN NOT masked THEN tok END AS in_piece,
+                       CASE WHEN span_start THEN '<extra_id_' || span_id || '>' || ' ' || tok
+                            WHEN masked THEN tok END AS tgt_piece
+                FROM s)
+            SELECT id, count(*) AS n_tokens,
+                   CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS INT) AS n_masked,
+                   CAST(sum(CASE WHEN span_start THEN 1 ELSE 0 END) AS INT) AS n_spans,
+                   coalesce(array_to_string(list_filter(list(in_piece ORDER BY pos),
+                                               x -> x IS NOT NULL), ' '), '') AS corrupted,
+                   coalesce(array_to_string(list_filter(list(tgt_piece ORDER BY pos),
+                                               x -> x IS NOT NULL), ' '), '') AS target
+            FROM p GROUP BY id ORDER BY id
+        """,
+        # hubness: full-rank cosine 10-NN occurrence counts, anti-hubs = 0
+        "embedding_hubness": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            pairs AS (
+                SELECT q.vec_id AS qid, b.vec_id AS bid,
+                       1 - list_inner_product(q.e, b.e)
+                           / (sqrt(list_inner_product(q.e, q.e))
+                              * sqrt(list_inner_product(b.e, b.e))) AS dist
+                FROM v q CROSS JOIN v b WHERE q.vec_id <> b.vec_id),
+            rk AS (SELECT qid, bid,
+                          row_number() OVER (PARTITION BY qid ORDER BY dist ASC, bid ASC) AS rn
+                   FROM pairs),
+            occ AS (SELECT bid AS id, CAST(count(*) AS INT) AS k_occurrence
+                    FROM rk WHERE rn <= 10 GROUP BY 1)
+            SELECT v.vec_id AS id, coalesce(o.k_occurrence, 0) AS k_occurrence
+            FROM v LEFT JOIN occ o ON o.id = v.vec_id ORDER BY id
+        """,
+        # source similarity: tf-idf weights on md5-16 token keys, DECIMAL
+        # dot/norm sums, dynamic slice count
+        "corpus_source_similarity": """
+            WITH tk AS (
+                SELECT source AS grp, substring(md5(w), 1, 16) AS h
+                FROM (SELECT source, unnest(string_split(nrm, ' ')) AS w
+                      FROM (SELECT source,
+                                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nrm
+                            FROM documents)
+                      WHERE length(nrm) > 0)
+                WHERE length(w) > 0),
+            tf AS (SELECT grp, h, count(*) AS tf FROM tk GROUP BY 1, 2),
+            dfq AS (SELECT h, count(*) AS dft FROM tf GROUP BY 1),
+            wts AS (
+                SELECT grp, h,
+                       round(CAST(tf AS DOUBLE)
+                             * ln((SELECT CAST(count(DISTINCT source) AS DOUBLE)
+                                   FROM documents) / dft), 9) AS w
+                FROM tf JOIN dfq USING (h)),
+            nrm2 AS (SELECT grp,
+                            sqrt(CAST(CAST(sum(CAST(round(w * w, 9) AS DECIMAL(28,9)))
+                                           AS DECIMAL(38,9)) AS DOUBLE)) AS nrm
+                     FROM wts GROUP BY 1),
+            dots AS (
+                SELECT a.grp AS source_a, b.grp AS source_b,
+                       CAST(CAST(sum(CAST(round(a.w * b.w, 9) AS DECIMAL(28,9)))
+                                 AS DECIMAL(38,9)) AS DOUBLE) AS dot
+                FROM wts a JOIN wts b ON a.h = b.h AND a.grp < b.grp
+                GROUP BY 1, 2)
+            SELECT na.grp AS source_a, nb.grp AS source_b,
+                   CASE WHEN na.nrm > 0 AND nb.nrm > 0 AND dot IS NOT NULL
+                        THEN round(dot / (na.nrm * nb.nrm), 6)
+                        ELSE 0.0 END AS cosine
+            FROM nrm2 na
+            CROSS JOIN nrm2 nb
+            LEFT JOIN dots ON dots.source_a = na.grp AND dots.source_b = nb.grp
+            WHERE na.grp < nb.grp
+            ORDER BY source_a, source_b
+        """,
+        # robust scaling: quantile_cont == Spark interpolated percentile
+        "embedding_robust_scale": """
+            WITH ex AS (
+                SELECT vec_id AS id,
+                       CAST(generate_subscripts(e, 1) - 1 AS INT) AS dim,
+                       unnest(e) AS v
+                FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)),
+            st AS (SELECT dim,
+                          quantile_cont(v, 0.5) AS med,
+                          quantile_cont(v, 0.25) AS q1,
+                          quantile_cont(v, 0.75) AS q3
+                   FROM ex GROUP BY dim)
+            SELECT id, dim,
+                   CASE WHEN q3 > q1 THEN round((v - med) / (q3 - q1), 6) END AS z
+            FROM ex JOIN st USING (dim) ORDER BY id, dim
+        """,
+        # boilerplate prefixes: first-5-token line openings, distinct-doc
+        # spread, deterministic (n_docs DESC, prefix) top-50
+        "doc_boilerplate_prefixes": """
+            WITH ln_ AS (
+                SELECT doc_id AS id, trim(l) AS line
+                FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+                      FROM documents)
+                WHERE length(trim(l)) > 0),
+            pl AS (
+                SELECT id,
+                       array_to_string(
+                           (string_split(trim(regexp_replace(lower(line), '\\s+', ' ', 'g')), ' '))[1:5],
+                           ' ') AS prefix
+                FROM ln_),
+            pd AS (SELECT id, prefix, count(*) AS n
+                   FROM pl WHERE length(prefix) > 0 GROUP BY 1, 2),
+            ag AS (SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs,
+                          CAST(sum(n) AS BIGINT) AS n_lines
+                   FROM pd GROUP BY 1)
+            SELECT prefix, n_docs, n_lines FROM ag
+            WHERE n_docs >= 2 ORDER BY n_docs DESC, prefix LIMIT 50
         """,
     }

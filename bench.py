@@ -106,6 +106,18 @@ HEADLINE = [
     "doc_dataset_card",
     "doc_kneser_ney",
     "doc_minhash_calibration",
+    # round-6 batch-3 additions
+    "doc_fertility",
+    "doc_length_drift",
+    "doc_bloom_decontaminate",
+    "corpus_cms_heavy_hitters",
+    "embedding_silhouette",
+    # round-6 batch-4 additions
+    "doc_span_corruption",
+    "embedding_hubness",
+    "corpus_source_similarity",
+    "embedding_robust_scale",
+    "doc_boilerplate_prefixes",
 ]
 
 

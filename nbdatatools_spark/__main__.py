@@ -4,14 +4,19 @@ reference user can run the same commands against the Spark engine:
 
     analyze count_zeros|describe|select|slice|find|check-endian
             |verify_knn|verify_profiles|tune_ann|tune_compression
+            |sq8-error|silhouette|hubness|robust-scale
     compute knn|sort|ivf_build|ivf_append|ivf_search
     convert file
     generate vectors|dataset|mktestdata|fvec-extract|ivec-extract|ivec-shuffle
+             |denoising-pairs
     merkle create|verify|summary|diff|path|treeview|spoilbits|spoilchunks
     catalog
     datasets list|download|plan|curlify|prebuffer
     vectordata info|views|profiles|size|sample|cat|prebuffer|verify
-    corpus stats|run|tune_dedup|cluster_sizes|select_budget (report / pipeline / tuning / audits)
+    corpus stats|run|tune_dedup|cluster_sizes|select_budget|card|keyphrases
+           |kneser_ney|calibrate_minhash|balance|qc|length_drift|cms_topk
+           |bloom_decontam|source_similarity|boilerplate
+           (report / pipeline / tuning / audits / hygiene)
     slab get|namespaces|check|analyze|import|append|export|rewrite
         (byte-compatible slabtastic .slab files — cli/CMD_slab_*.java)
     explain (physical plan + Catalyst cost estimates for any gate query)
@@ -700,6 +705,170 @@ def _cmd_corpus_balance(args) -> int:
     )
 
 
+def _cmd_corpus_qc(args) -> int:
+    """Per-slice text-hygiene report: tokenizer fertility, encoding
+    cleanliness, and script mix — the pre-training QC dashboard row."""
+    from pyspark.sql import functions as F
+
+    from nbdatatools_spark.functions.text import (
+        encoding_quality,
+        fertility_stats,
+        script_profile,
+    )
+
+    docs = _spark().read.parquet(args.input)
+    per_doc = docs.select(
+        F.col(args.group_col).alias("grp"),
+        fertility_stats(F.col(args.text_col)).alias("f"),
+        encoding_quality(F.col(args.text_col)).alias("e"),
+        script_profile(F.col(args.text_col)).alias("s"),
+    )
+    return _emit_rows(
+        per_doc.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("f.fertility"), 6).alias("mean_fertility"),
+            F.round(F.avg("f.bytes_per_subword"), 6).alias("mean_bytes_per_subword"),
+            F.round(F.avg(F.col("e.is_clean").cast("int")), 6).alias("clean_frac"),
+            F.round(F.avg("e.non_ascii_ratio"), 6).alias("mean_non_ascii_ratio"),
+            F.round(
+                F.avg((F.col("s.dominant") != "latin").cast("int")), 6
+            ).alias("non_latin_frac"),
+        )
+        .orderBy("grp")
+    )
+
+
+def _cmd_corpus_length_drift(args) -> int:
+    from nbdatatools_spark.operators.analysis import length_drift
+
+    docs = _spark().read.parquet(args.input)
+    return _emit_rows(
+        length_drift(
+            docs, reference=args.reference, group_col=args.group_col,
+            text_col=args.text_col, n_bins=args.bins, bin_width=args.bin_width,
+        )
+    )
+
+
+def _cmd_corpus_cms_topk(args) -> int:
+    from nbdatatools_spark.operators.lm import cms_heavy_hitters
+
+    docs = _spark().read.parquet(args.input)
+    return _emit_rows(
+        cms_heavy_hitters(
+            docs, text_col=args.text_col, depth=args.depth, width=args.width,
+            topk=args.top,
+        )
+    )
+
+
+def _cmd_corpus_bloom_decontam(args) -> int:
+    """Bloom-prefiltered decontamination: summary line + contaminated ids."""
+    from pyspark.sql import functions as F
+
+    from nbdatatools_spark.operators.dedup import bloom_decontaminate
+
+    spark = _spark()
+    train = spark.read.parquet(args.train)
+    test = spark.read.parquet(args.test)
+    out = bloom_decontaminate(
+        train, test, id_col=args.id_col, text_col=args.text_col,
+        n=args.n, m_bits=args.m_bits, k=args.k,
+    ).localCheckpoint(eager=False)
+    summary = out.agg(
+        F.count(F.lit(1)).alias("n_train_docs"),
+        F.sum(F.col("bloom_flagged").cast("long")).alias("n_flagged"),
+        F.sum(F.col("contaminated").cast("long")).alias("n_contaminated"),
+        F.sum(F.col("false_positive").cast("long")).alias("n_false_positive"),
+    ).first()
+    print(json.dumps(summary.asDict()))
+    for r in out.where("contaminated").orderBy("id").collect():
+        print(json.dumps(r.asDict()))
+    return 0
+
+
+def _cmd_analyze_silhouette(args) -> int:
+    from nbdatatools_spark.operators.clustering import simplified_silhouette
+
+    df = _spark().read.parquet(args.input)
+    return _emit_rows(
+        simplified_silhouette(
+            df, vector_col=args.vec_col, label_col=args.label_col,
+            id_col=args.id_col,
+        )
+    )
+
+
+def _cmd_corpus_source_similarity(args) -> int:
+    from nbdatatools_spark.operators.lm import source_similarity
+
+    docs = _spark().read.parquet(args.input)
+    return _emit_rows(
+        source_similarity(docs, group_col=args.group_col, text_col=args.text_col)
+    )
+
+
+def _cmd_corpus_boilerplate(args) -> int:
+    from nbdatatools_spark.operators.dedup import boilerplate_prefixes
+
+    docs = _spark().read.parquet(args.input)
+    return _emit_rows(
+        boilerplate_prefixes(
+            docs, id_col=args.id_col, text_col=args.text_col,
+            k_tokens=args.k_tokens, min_docs=args.min_docs, top_n=args.top,
+        )
+    )
+
+
+def _cmd_generate_denoising_pairs(args) -> int:
+    """T5 span-corruption input/target pairs written to parquet."""
+    from nbdatatools_spark.operators.packing import span_corruption
+
+    docs = _spark().read.parquet(args.input)
+    out = span_corruption(
+        docs, id_col=args.id_col, text_col=args.text_col,
+        mask_rate=args.mask_rate, mean_span=args.mean_span, seed=args.seed,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"rows": out.count(), "output": args.output}))
+    return 0
+
+
+def _cmd_analyze_hubness(args) -> int:
+    """k-occurrence distribution summary + the top hub ids."""
+    from pyspark.sql import functions as F
+
+    from nbdatatools_spark.operators.knn import hubness_stats
+
+    df = _spark().read.parquet(args.input)
+    occ = hubness_stats(
+        df, k=args.k, metric=args.metric, id_col=args.id_col,
+        vec_col=args.vec_col,
+    ).localCheckpoint(eager=False)
+    summary = occ.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("k_occurrence"), 6).alias("mean"),
+        F.max("k_occurrence").alias("max"),
+        F.round(F.skewness("k_occurrence"), 6).alias("skewness"),
+        F.sum((F.col("k_occurrence") == 0).cast("long")).alias("n_antihubs"),
+    ).first()
+    print(json.dumps(summary.asDict()))
+    for r in occ.orderBy(F.desc("k_occurrence"), "id").limit(args.top).collect():
+        print(json.dumps(r.asDict()))
+    return 0
+
+
+def _cmd_analyze_robust_scale(args) -> int:
+    from nbdatatools_spark.operators.analysis import robust_scale_vectors
+
+    df = _spark().read.parquet(args.input)
+    out = robust_scale_vectors(df, vec=args.vec_col, id_col=args.id_col)
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"rows": out.count(), "output": args.output}))
+    return 0
+
+
 def _cmd_compute_kmeans(args) -> int:
     from nbdatatools_spark.operators.clustering import lloyd_fixed_iterations
 
@@ -1294,6 +1463,81 @@ def build_parser() -> argparse.ArgumentParser:
     cbl.add_argument("--col-col", default="source")
     cbl.add_argument("--iterations", type=int, default=2)
     cbl.set_defaults(func=_cmd_corpus_balance)
+    cqc = cp.add_parser("qc")
+    cqc.add_argument("--input", required=True)
+    cqc.add_argument("--text-col", default="text")
+    cqc.add_argument("--group-col", default="source")
+    cqc.set_defaults(func=_cmd_corpus_qc)
+    cld = cp.add_parser("length_drift")
+    cld.add_argument("--input", required=True)
+    cld.add_argument("--reference", required=True)
+    cld.add_argument("--text-col", default="text")
+    cld.add_argument("--group-col", default="source")
+    cld.add_argument("--bins", type=int, default=10)
+    cld.add_argument("--bin-width", type=int, default=64)
+    cld.set_defaults(func=_cmd_corpus_length_drift)
+    ccm = cp.add_parser("cms_topk")
+    ccm.add_argument("--input", required=True)
+    ccm.add_argument("--text-col", default="text")
+    ccm.add_argument("--depth", type=int, default=4)
+    ccm.add_argument("--width", type=int, default=1024)
+    ccm.add_argument("--top", type=int, default=20)
+    ccm.set_defaults(func=_cmd_corpus_cms_topk)
+    cbd = cp.add_parser("bloom_decontam")
+    cbd.add_argument("--train", required=True)
+    cbd.add_argument("--test", required=True)
+    cbd.add_argument("--id-col", default="doc_id")
+    cbd.add_argument("--text-col", default="text")
+    cbd.add_argument("-n", type=int, default=13)
+    cbd.add_argument("--m-bits", type=int, default=1 << 20)
+    cbd.add_argument("-k", type=int, default=4)
+    cbd.set_defaults(func=_cmd_corpus_bloom_decontam)
+
+    css = cp.add_parser("source_similarity")
+    css.add_argument("--input", required=True)
+    css.add_argument("--text-col", default="text")
+    css.add_argument("--group-col", default="source")
+    css.set_defaults(func=_cmd_corpus_source_similarity)
+    cbp = cp.add_parser("boilerplate")
+    cbp.add_argument("--input", required=True)
+    cbp.add_argument("--text-col", default="text")
+    cbp.add_argument("--id-col", default="doc_id")
+    cbp.add_argument("--k-tokens", type=int, default=5)
+    cbp.add_argument("--min-docs", type=int, default=3)
+    cbp.add_argument("--top", type=int, default=50)
+    cbp.set_defaults(func=_cmd_corpus_boilerplate)
+
+    gdn = gn.add_parser("denoising-pairs")
+    gdn.add_argument("--input", required=True)
+    gdn.add_argument("--output", required=True)
+    gdn.add_argument("--text-col", default="text")
+    gdn.add_argument("--id-col", default="doc_id")
+    gdn.add_argument("--mask-rate", type=float, default=0.15)
+    gdn.add_argument("--mean-span", type=int, default=3)
+    gdn.add_argument("--seed", type=int, default=42)
+    gdn.set_defaults(func=_cmd_generate_denoising_pairs)
+
+    ahb = an.add_parser("hubness")
+    ahb.add_argument("--input", required=True)
+    ahb.add_argument("-k", type=int, default=10)
+    ahb.add_argument("--metric", default="cosine")
+    ahb.add_argument("--vec-col", default="embedding")
+    ahb.add_argument("--id-col", default="vec_id")
+    ahb.add_argument("--top", type=int, default=10)
+    ahb.set_defaults(func=_cmd_analyze_hubness)
+    ars = an.add_parser("robust-scale")
+    ars.add_argument("--input", required=True)
+    ars.add_argument("--output", required=True)
+    ars.add_argument("--vec-col", default="embedding")
+    ars.add_argument("--id-col", default="vec_id")
+    ars.set_defaults(func=_cmd_analyze_robust_scale)
+
+    asl2 = an.add_parser("silhouette")
+    asl2.add_argument("--input", required=True)
+    asl2.add_argument("--vec-col", default="embedding")
+    asl2.add_argument("--label-col", default="label")
+    asl2.add_argument("--id-col", default="vec_id")
+    asl2.set_defaults(func=_cmd_analyze_silhouette)
 
     km = co.add_parser("kmeans")
     km.add_argument("--input", required=True)

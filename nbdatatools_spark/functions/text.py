@@ -603,3 +603,121 @@ def readability_stats(col: Column) -> Column:
     return _let(
         tokens(col), lambda toks: _let(sentences_of(col), lambda ss: over(toks, ss))
     )
+
+
+def fertility_stats(col: Column) -> Column:
+    """Tokenizer-fertility profile of a document: byte/char/token counts
+    under both tokenizations (whitespace words and the GPT-2-style
+    pre-split of ``subword_tokens``) plus the two derived ratios LLM
+    curation reports use:
+
+        fertility         = subword_tokens / whitespace_tokens
+        bytes_per_subword = utf8_bytes / subword_tokens
+
+    (cf. the tokenizer-fertility metric of Rust et al. 2021, ACL — how
+    many model tokens a word costs; compression ratio bytes/token is the
+    standard BPE-efficiency readout.) Empty inputs yield NULL ratios.
+    Pure codegen — counts and two divisions, rounded to 6dp, so a DuckDB
+    oracle replicates it bit-for-bit. Map-side only at any scale."""
+
+    def over(nb, nc, nw, ns):
+        fert = F.when(nw > 0, F.round(ns.cast("double") / nw, 6))
+        bps = F.when(ns > 0, F.round(nb.cast("double") / ns, 6))
+        return F.struct(
+            nb.alias("n_bytes"),
+            nc.alias("n_chars"),
+            nw.alias("n_ws_tokens"),
+            ns.alias("n_subword_tokens"),
+            fert.alias("fertility"),
+            bps.alias("bytes_per_subword"),
+        )
+
+    return over(
+        F.octet_length(col),
+        F.length(col),
+        token_count(col),
+        subword_token_count(col),
+    )
+
+
+# Mojibake markers: UTF-8 bytes of common Latin-1/Windows-1252 characters
+# re-decoded as Latin-1 — the classic double-encoding signatures ("Ã©" for
+# é, "â€™" for a right quote). Literal alternation: portable across Java
+# regex and RE2.
+_MOJIBAKE_RE = (
+    "Ã[©¨¤¶¼± ]"
+    "|â€[™œ”“–—]"
+    "|Â[ °£]"
+)
+
+# C0 controls except \t \n \r, plus DEL. Keep-only counting: strip the
+# complement, count what remains.
+_CONTROL_KEEP = "[^\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
+def encoding_quality(col: Column) -> Column:
+    """Encoding-sanity QC flags for a text column: U+FFFD replacement
+    characters (decoder damage), stray C0/DEL control characters,
+    mojibake double-encoding markers, and the non-ASCII character ratio.
+    ``is_clean`` = no damage markers at all. The standard pre-training
+    hygiene pass (cf. the UTF-8 fixing step of CCNet / ftfy's taxonomy),
+    expressed as four keep-only regex counts — pure codegen, map-side
+    only, replicated bit-for-bit by the DuckDB oracle."""
+    n = F.length(col)
+    n_repl = n - F.length(F.regexp_replace(col, "�", ""))
+    n_ctrl = F.length(F.regexp_replace(col, _CONTROL_KEEP, ""))
+    n_moji = F.size(F.regexp_extract_all(col, F.lit(_MOJIBAKE_RE), F.lit(0)))
+    n_nonascii = F.length(F.regexp_replace(col, "[\x00-\x7f]", ""))
+    ratio = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(n_nonascii.cast("double") / n, 6)
+    )
+    return F.struct(
+        n_repl.alias("n_replacement"),
+        n_ctrl.alias("n_control"),
+        n_moji.alias("n_mojibake"),
+        n_nonascii.alias("n_non_ascii"),
+        ratio.alias("non_ascii_ratio"),
+        ((n_repl == 0) & (n_ctrl == 0) & (n_moji == 0)).alias("is_clean"),
+    )
+
+
+# Script classes as literal codepoint ranges (the chars below are the
+# actual range endpoints, so the same pattern string works in Java regex
+# and RE2 — no \p{Script} dependency). Priority order breaks count ties.
+_SCRIPT_CLASSES = [
+    ("latin", "A-Za-z"),
+    ("digit", "0-9"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("greek", "Ͱ-Ͽ"),
+    ("cjk", "一-鿿"),
+    ("arabic", "؀-ۿ"),
+    ("hangul", "가-힯"),
+]
+
+
+def script_profile(col: Column) -> Column:
+    """Per-document writing-script census: character counts per script
+    class (latin/digit/cyrillic/greek/cjk/arabic/hangul — literal
+    codepoint ranges, no \\p{Script} so the DuckDB oracle matches), the
+    dominant script (max count, ties broken by the fixed class order,
+    'none' when no class matches), and the dominant ratio over all
+    characters. The language-ID pre-filter of multilingual curation
+    (script mix flags translation artifacts and mixed-corpus bleed).
+    Keep-only regex counts — pure codegen, map-side only."""
+    n = F.length(col)
+    counts = [
+        (name, F.length(F.regexp_replace(col, f"[^{rng}]", "")))
+        for name, rng in _SCRIPT_CLASSES
+    ]
+    best = F.greatest(*[c for _, c in counts])
+    dominant = F.lit("none")
+    for name, c in reversed(counts):
+        dominant = F.when((best > 0) & (c == best), F.lit(name)).otherwise(dominant)
+    fields = [c.alias(f"n_{name}") for name, c in counts]
+    fields.append(dominant.alias("dominant"))
+    fields.append(
+        F.when(n == 0, F.lit(0.0))
+        .otherwise(F.round(best.cast("double") / n, 6))
+        .alias("dominant_ratio")
+    )
+    return F.struct(*fields)

@@ -1539,3 +1539,111 @@ def vocab_growth(
         )
         .orderBy("bucket")
     )
+
+
+def length_drift(
+    df: DataFrame,
+    reference: str,
+    group_col: str = "source",
+    text_col: str = "text",
+    n_bins: int = 10,
+    bin_width: int = 64,
+) -> DataFrame:
+    """Token-length drift of every corpus slice against a reference slice:
+    Population Stability Index over the whitespace-token-count
+    distribution (the document-level sibling of :func:`embedding_psi` —
+    PSI < 0.1 stable, 0.1-0.25 drifting, > 0.25 shifted). Length
+    distributions are the cheapest reliable drift tripwire between crawl
+    snapshots / source mixes: truncation bugs, boilerplate changes and
+    extractor regressions all move them before content metrics notice.
+
+    Bins are fixed-width (``bin_width`` tokens, top bin open-ended) so the
+    monitor is stateless and engine-portable; add-one smoothing keeps
+    empty bins defined; the reference slice reports PSI = 0.0 against
+    itself (sanity row). A ``reference`` value absent from the data
+    yields an EMPTY result (the broadcast reference histogram has no
+    rows) — callers should treat 0 output rows as a config error.
+
+    Plan: ONE map-side (group, bin) projection of slim rows, one
+    groupBy(group, bin) count with map-side combine, a per-group total,
+    an exploded full bin grid (a bin empty in a slice still contributes
+    its smoothing term), and a broadcast join of the n_bins-row reference
+    histogram. The (p-q)*ln(p/q) terms round to 9dp and DECIMAL-sum
+    (order-independent, engine-exact at the final 6dp).
+    """
+    from nbdatatools_spark.functions.text import token_count
+
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    binned = df.select(
+        F.col(group_col).alias("grp"),
+        F.least(
+            (token_count(F.col(text_col)) / F.lit(bin_width)).cast("int"),
+            F.lit(n_bins - 1),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("grp", "bin").agg(F.count(F.lit(1)).alias("__c"))
+    totals = counts.groupBy("grp").agg(F.sum("__c").alias("__n"))
+    grid = totals.select(
+        "grp", "__n", F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin")
+    )
+    full = grid.join(counts, ["grp", "bin"], "left").na.fill(0, ["__c"])
+    ref = (
+        full.where(F.col("grp") == reference)
+        .select(F.col("bin"), F.col("__c").alias("__cr"), F.col("__n").alias("__nr"))
+    )
+    joined = full.join(F.broadcast(ref), "bin")
+    p = (F.col("__cr") + 1).cast("double") / (F.col("__nr") + F.lit(n_bins))
+    q = (F.col("__c") + 1).cast("double") / (F.col("__n") + F.lit(n_bins))
+    term = F.round((p - q) * F.log(p / q), 9).cast("decimal(20,9)")
+    return (
+        joined.groupBy("grp")
+        .agg(
+            F.round(F.sum(term).cast("decimal(38,9)").cast("double"), 6).alias("psi"),
+            F.max("__n").alias("n_docs"),
+            F.max("__nr").alias("n_reference"),
+        )
+        .orderBy("grp")
+    )
+
+
+def robust_scale_vectors(
+    df: DataFrame,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Median/IQR robust scaling per embedding dimension (the
+    outlier-resistant sibling of standardize_vectors — scikit-learn's
+    RobustScaler semantics): z = (x - median) / (q3 - q1). Heavy-tailed
+    activation dims where mean/std standardization saturates keep a
+    usable spread under quartile scaling.
+
+    Plan: ONE posexplode -> per-dim exact interpolated percentiles
+    (Spark's sort-based percentile agg, d groups — the mad_outliers
+    pattern, = DuckDB quantile_cont) -> broadcast the d-row stats table
+    back -> map-side scale projection. Returns exploded (id, dim, z)
+    rows, 6dp (driver-hashable scalar shape); zero-IQR dims emit NULL.
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"), F.posexplode(vec).alias("dim", "__v")
+    ).select("id", "dim", F.col("__v").cast("double").alias("__v"))
+    stats = ex.groupBy("dim").agg(
+        F.expr("percentile(__v, 0.5)").alias("__med"),
+        F.expr("percentile(__v, 0.25)").alias("__q1"),
+        F.expr("percentile(__v, 0.75)").alias("__q3"),
+    )
+    return (
+        ex.join(F.broadcast(stats), "dim")
+        .select(
+            "id",
+            "dim",
+            F.when(
+                F.col("__q3") > F.col("__q1"),
+                F.round(
+                    (F.col("__v") - F.col("__med")) / (F.col("__q3") - F.col("__q1")),
+                    6,
+                ),
+            ).alias("z"),
+        )
+        .orderBy("id", "dim")
+    )

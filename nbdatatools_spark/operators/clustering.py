@@ -453,3 +453,107 @@ def lloyd_fixed_iterations(
         )
         .orderBy("centroid_id")
     )
+
+
+def simplified_silhouette(
+    df: DataFrame,
+    vector_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Simplified silhouette per cluster (Hruschka et al.'s centroid
+    variant of Rousseeuw 1987): for each vector, ``a`` = euclidean
+    distance to its OWN cluster centroid, ``b`` = distance to the nearest
+    OTHER centroid, ``s = (b - a) / max(a, b)``. The O(n*k) audit of a
+    labeling/clustering (full silhouette is O(n^2) — never at corpus
+    scale); mean s per cluster localizes which clusters are mush.
+
+    Engine-exactness discipline: per-dim centroid means are computed as
+    DECIMAL sums of 9dp-rounded components with ONE double division,
+    rounded to 9dp (the group_centroids convention); distances use the
+    |x|^2 - 2x.c + |c|^2 expansion with sequential ``aggregate`` dot
+    folds (the knn expr convention, = DuckDB list_inner_product); per-row
+    a/b/s round to 6dp, then DECIMAL-mean per cluster.
+
+    Plan: one posexplode -> (label, dim) aggregate builds the k x d
+    centroid table (tiny by construction); vectors crossJoin the
+    BROADCAST centroid table (BroadcastNestedLoopJoin on a k-row side —
+    bounded, the knn recall-join shape) -> one groupBy(id) computes a
+    and b together -> one groupBy(label) rollup. For throughput-critical
+    big-k jobs use the ``_centroid_assign_gemm`` numpy path instead;
+    this expression path is the oracle-exact audit.
+    """
+    cents = (
+        df.select(F.col(label_col).alias("c_label"), F.posexplode(vector_col).alias("dim", "__v"))
+        .groupBy("c_label", "dim")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("__v").cast("double"), 9).cast("decimal(20,9)"))
+                .cast("decimal(38,9)")
+                .cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("__m")
+        )
+        .groupBy("c_label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "__m"))), lambda s: s["__m"]
+            ).alias("__cent")
+        )
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    x = F.col("__x")
+    c = F.col("__cent")
+    dist = F.sqrt(F.greatest(F.lit(0.0), dot(x, x) - 2 * dot(x, c) + dot(c, c)))
+    pairs = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(label_col).alias("__lab"),
+            F.col(vector_col).cast("array<double>").alias("__x"),
+        )
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "__id",
+            "__lab",
+            (F.col("c_label") == F.col("__lab")).alias("__own"),
+            dist.alias("__d"),
+        )
+    )
+    per_vec = (
+        pairs.groupBy("__id", "__lab")
+        .agg(
+            F.round(F.min(F.when(F.col("__own"), F.col("__d"))), 6).alias("a"),
+            F.round(F.min(F.when(~F.col("__own"), F.col("__d"))), 6).alias("b"),
+        )
+        .withColumn(
+            "s",
+            F.when(
+                F.greatest("a", "b") > 0,
+                F.round((F.col("b") - F.col("a")) / F.greatest("a", "b"), 6),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+    def mean6(col):
+        return F.round(
+            F.sum(F.col(col).cast("decimal(20,9)")).cast("decimal(38,9)").cast("double")
+            / F.count(F.lit(1)),
+            6,
+        )
+
+    return (
+        per_vec.groupBy(F.col("__lab").alias(label_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            mean6("a").alias("mean_a"),
+            mean6("b").alias("mean_b"),
+            mean6("s").alias("mean_silhouette"),
+        )
+        .orderBy(label_col)
+    )

@@ -1610,3 +1610,190 @@ def ngram_novelty(
         )
         .orderBy(id_col)
     )
+
+
+# --- Bloom-filter decontamination prefilter --------------------------------
+
+def _bloom_hash_cols(gram: "Column", m_bits: int, k: int):
+    """The k portable Bloom bit positions of a gram string: Kirsch-
+    Mitzenmacher double hashing ``(h1 + i*(2*h2+1)) % m`` over two 52-bit
+    md5 prefixes (the repo's md5-uint52 convention, replicable in DuckDB;
+    forcing the stride odd keeps it nonzero for every gram)."""
+    h1 = F.conv(F.substring(F.md5(gram), 1, 13), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(gram), 14, 13), 16, 10).cast("long")
+    return [(h1 + F.lit(i) * (F.lit(2) * h2 + F.lit(1))) % F.lit(m_bits) for i in range(k)]
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """Bloom-prefiltered test-set decontamination: the 13-gram rule of
+    :func:`contaminated_ids`, but the train side is screened map-side
+    against a compact Bloom filter of the test-set grams BEFORE any join
+    — the 100-TB pattern for membership tests against a reference set
+    (cf. Bloom 1970; Broder & Mitzenmacher's double-hashing scheme via
+    Kirsch-Mitzenmacher 2006: k positions from two hashes).
+
+    Plan shape, and why it scales:
+
+    - Test side: distinct grams -> k bit positions each (md5-uint52 double
+      hashing) -> DISTINCT positions. Bounded by ``m_bits`` rows by
+      construction; collected once (<= m_bits ints, ~2 MB at the 2^20
+      default) and broadcast to executors as a packed numpy bitmap.
+    - Train side: per-doc DISTINCT gram array stays inside one row
+      (``array_distinct`` over the shingle expression — map-side); one
+      Arrow-batched pandas UDF probes every gram against the broadcast
+      bitmap. ZERO train-side shuffle up to the per-doc verdict — the
+      expensive exact join runs only for the bloom-flagged subset.
+    - Exact confirm: flagged docs explode grams, project to 8-byte
+      ``xxhash64`` digests (raw gram strings never shuffle — the
+      contaminated_ids discipline) and join the broadcast test-digest
+      set; Bloom's no-false-negative guarantee makes the unflagged
+      majority exactly clean, so skipping them is lossless.
+
+    False-positive rate per gram ~= (1 - e^{-k*N/m})^k for N test grams.
+    Returns one row per train doc: (id, n_grams, n_bloom_hits,
+    bloom_flagged, n_exact_hits, contaminated, false_positive).
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from nbdatatools_spark.functions.text import word_shingles
+
+    test_grams = (
+        test.select(F.explode_outer(word_shingles(F.col(text_col), n)).alias("__gram"))
+        .where(F.length("__gram") > 0)
+        .distinct()
+    )
+    positions = (
+        test_grams.select(
+            F.explode(F.array(*_bloom_hash_cols(F.col("__gram"), m_bits, k))).alias(
+                "__pos"
+            )
+        )
+        .distinct()
+        .collect()
+    )  # bounded by m_bits rows by construction
+    bitmap = np.zeros(m_bits, dtype=bool)
+    if positions:
+        bitmap[np.array([r["__pos"] for r in positions], dtype=np.int64)] = True
+    spark = train.sparkSession
+    bc = spark.sparkContext.broadcast(np.packbits(bitmap))
+
+    mb, kk = m_bits, k
+
+    def _hits_batch(grams):
+        bits = np.unpackbits(bc.value).astype(bool)
+        out = np.empty(len(grams), dtype=np.int32)
+        for i, gs in enumerate(grams):
+            c = 0
+            for g in gs if gs is not None else ():
+                hx = hashlib.md5(g.encode("utf-8")).hexdigest()
+                h1 = int(hx[:13], 16)
+                stride = 2 * int(hx[13:26], 16) + 1
+                if all(bits[(h1 + j * stride) % mb] for j in range(kk)):
+                    c += 1
+            out[i] = c
+        return pd.Series(out)
+
+    # no type hints: `from __future__ import annotations` stringifies them
+    # and pandas_udf can't resolve pd.Series from this nested scope
+    bloom_hits = pandas_udf(_hits_batch, "int")
+
+    per_doc = (
+        train.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(
+                F.filter(word_shingles(F.col(text_col), n), lambda g: F.length(g) > 0)
+            ).alias("__grams"),
+        )
+        .select(
+            "id",
+            F.size("__grams").alias("n_grams"),
+            bloom_hits(F.col("__grams")).alias("n_bloom_hits"),
+            F.col("__grams"),
+        )
+        .withColumn("bloom_flagged", F.col("n_bloom_hits") > 0)
+        .localCheckpoint(eager=False)
+    )
+
+    test_digests = test_grams.select(F.xxhash64("__gram").alias("__gh")).distinct()
+    exact = (
+        per_doc.where("bloom_flagged")
+        .select("id", F.explode("__grams").alias("__gram"))
+        .select("id", F.xxhash64("__gram").alias("__gh"))
+        .join(F.broadcast(test_digests), "__gh")
+        .groupBy("id")
+        .agg(F.count("*").alias("__n_exact"))
+    )
+    return (
+        per_doc.drop("__grams")
+        .join(exact, "id", "left")
+        .select(
+            "id",
+            "n_grams",
+            "n_bloom_hits",
+            "bloom_flagged",
+            F.coalesce(F.col("__n_exact"), F.lit(0)).cast("int").alias("n_exact_hits"),
+            (F.coalesce(F.col("__n_exact"), F.lit(0)) > 0).alias("contaminated"),
+            (
+                F.col("bloom_flagged")
+                & (F.coalesce(F.col("__n_exact"), F.lit(0)) == 0)
+            ).alias("false_positive"),
+        )
+    )
+
+
+def boilerplate_prefixes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_tokens: int = 5,
+    min_docs: int = 3,
+    top_n: int = 50,
+) -> DataFrame:
+    """Boilerplate line-prefix mining: the most widespread first-k-token
+    line openings across documents (cookie banners, nav bars, license
+    headers all repeat their opening tokens long before the full line
+    matches — this surfaces the templates paragraph_dedup then removes).
+
+    Plan: lines explode map-side, each line projects to its normalized
+    first-``k_tokens`` prefix; ONE groupBy(prefix) computes distinct-doc
+    and occurrence counts (prefixes are short bounded strings — the one
+    deliberate exception to the digest rule, since the output IS the
+    prefix text and a TakeOrderedAndProject caps the result at
+    ``top_n``). Distinct-doc counting dedups (id, prefix) first so a
+    100x-repeated banner in one doc counts once.
+
+    Returns (prefix, n_docs, n_lines) — top_n by (n_docs DESC, prefix).
+    """
+    from nbdatatools_spark.functions.text import lines_of, normalize_text
+
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(lines_of(F.col(text_col))).alias("line"),
+    ).where(F.col("line").isNotNull())
+    prefix = F.concat_ws(
+        " ", F.slice(F.split(normalize_text(F.col("line")), " "), 1, k_tokens)
+    )
+    pl = lines.select("id", prefix.alias("prefix")).where(F.length("prefix") > 0)
+    per_doc = pl.groupBy("id", "prefix").agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        per_doc.groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__n").cast("bigint").alias("n_lines"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_docs"), "prefix")
+        .limit(top_n)
+    )

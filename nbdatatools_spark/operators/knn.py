@@ -363,3 +363,49 @@ def verify_profiles(
     for df in cache.values():
         df.unpersist()
     return spark.createDataFrame(results, "profile STRING, mean_recall DOUBLE, n_queries BIGINT")
+
+
+def hubness_stats(
+    df: DataFrame,
+    k: int = 10,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    impl: str = "gemm",
+) -> DataFrame:
+    """k-occurrence hubness audit (Radovanovic et al. JMLR 2010): for each
+    vector, N_k = how many OTHER vectors list it among their k nearest
+    (self excluded). High-dimensional embedding spaces grow hubs — points
+    in everyone's neighbor list — which poison retrieval training pairs
+    and ANN recall; the N_k distribution (and its skewness, computed
+    downstream of this frame) is the standard diagnostic.
+
+    Plan: one self-KNN at k+1 (GEMM partial top-k by default — the scale
+    path), drop self rows, deterministic re-rank by (distance, base_id)
+    to exactly k, then ONE groupBy(base_id) count joined back to the id
+    universe so zero-occurrence anti-hubs report 0. Shuffles carry
+    (query_id, base_id, distance) triples only.
+
+    Returns (id, k_occurrence) — every input id exactly once.
+    """
+    from pyspark.sql import Window
+
+    from nbdatatools_spark.operators.similarity import brute_force_topk
+
+    pairs = brute_force_topk(
+        df, df, k + 1, metric=metric, query_id=id_col, base_id=id_col,
+        vec_col=vec_col, impl=impl,
+    ).where(F.col("query_id") != F.col("base_id"))
+    w = Window.partitionBy("query_id").orderBy("distance", "base_id")
+    topk = pairs.withColumn("__rk", F.row_number().over(w)).where(
+        F.col("__rk") <= k
+    )
+    occ = topk.groupBy(F.col("base_id").alias("id")).agg(
+        F.count(F.lit(1)).cast("int").alias("k_occurrence")
+    )
+    ids = df.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(occ, "id", "left")
+        .select("id", F.coalesce("k_occurrence", F.lit(0)).alias("k_occurrence"))
+        .orderBy("id")
+    )

@@ -383,3 +383,123 @@ def contrastive_chunk_pairs(
         )
         .orderBy("doc_id", "chunk_a")
     )
+
+
+def span_corruption(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mask_rate: float = 0.15,
+    mean_span: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """T5-style span-corruption pair generation (Raffel et al. 2020 §3.1.4
+    / 3.3.4): mask contiguous token spans, replace each span with a
+    sentinel in the input and emit the masked spans behind the same
+    sentinels as the target — the standard denoising-objective data prep.
+
+    Determinism contract: spans are a pure function of (id, position,
+    seed) via md5-uint52 hashes — partition-invariant, re-run-stable, and
+    engine-portable (a DuckDB oracle rebuilds the exact masks). A span
+    starts at position j iff ``h(id:j:seed) < (mask_rate/mean_span)*2^52``;
+    its length is ``1 + h2 % (2*mean_span - 1)`` (uniform on [1,
+    2*mean_span-1], mean = mean_span). Overlapping spans merge.
+
+    Plan shape: one posexplode -> map-side start/length projection ->
+    per-doc window pass (partitionBy id — doc-grain keys, embarrassingly
+    parallel; reach = max(start_pos + len) over the bounded trailing
+    frame, so masked(i) is a single bounded-frame window max, no
+    recursion) -> one groupBy(id) rebuilds input/target with ordered
+    sentinel numbering. No shuffle wider than the (id, pos) explode.
+
+    Returns (id, n_tokens, n_masked, n_spans, corrupted, target).
+    """
+    from nbdatatools_spark.functions.text import normalize_text, tokens
+
+    if not 0.0 < mask_rate < 1.0:
+        raise ValueError(f"mask_rate must be in (0, 1), got {mask_rate}")
+    if mean_span < 1:
+        raise ValueError(f"mean_span must be >= 1, got {mean_span}")
+    span_mod = 2 * mean_span - 1  # lengths 1..span_mod, mean = mean_span
+    p_start = mask_rate / mean_span
+    thresh = int(p_start * (1 << 52))
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode_outer(tokens(normalize_text(F.col(text_col)))).alias(
+            "pos", "tok"
+        ),
+    ).where(F.col("tok").isNotNull() & (F.length("tok") > 0))
+    key = F.concat_ws(
+        ":", F.col("id").cast("string"), F.col("pos").cast("string"), F.lit(str(seed))
+    )
+    h1 = F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(key), 14, 13), 16, 10).cast("long")
+    marked = toks.select(
+        "id",
+        "pos",
+        "tok",
+        (h1 < F.lit(thresh)).alias("start"),
+        (F.lit(1) + (h2 % F.lit(span_mod))).cast("int").alias("len"),
+    )
+
+    w_reach = (
+        Window.partitionBy("id").orderBy("pos").rowsBetween(-(span_mod - 1), 0)
+    )
+    reach = F.max(
+        F.when(F.col("start"), F.col("pos") + F.col("len"))
+    ).over(w_reach)
+    flagged = marked.select(
+        "id", "pos", "tok", "start", (F.coalesce(reach, F.lit(-1)) > F.col("pos")).alias("masked")
+    )
+    w_ord = Window.partitionBy("id").orderBy("pos")
+    spans = flagged.select(
+        "id",
+        "pos",
+        "tok",
+        "masked",
+        (
+            F.col("masked")
+            & ~F.coalesce(F.lag("masked").over(w_ord), F.lit(False))
+        ).alias("span_start"),
+    ).withColumn(
+        "span_id",
+        (F.sum(F.col("span_start").cast("int")).over(w_ord) - 1).cast("int"),
+    )
+    sentinel = F.concat(F.lit("<extra_id_"), F.col("span_id"), F.lit(">"))
+    pieces = spans.select(
+        "id",
+        "pos",
+        "masked",
+        "span_start",
+        F.when(F.col("span_start"), sentinel)
+        .when(~F.col("masked"), F.col("tok"))
+        .alias("in_piece"),
+        F.when(F.col("span_start"), F.concat(sentinel, F.lit(" "), F.col("tok")))
+        .when(F.col("masked"), F.col("tok"))
+        .alias("tgt_piece"),
+    )
+
+    def joined(col):
+        return F.concat_ws(
+            " ",
+            F.filter(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", F.col(col).alias("p")))),
+                    lambda s: s["p"],
+                ),
+                lambda x: x.isNotNull(),
+            ),
+        )
+
+    return (
+        pieces.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("masked").cast("int")).cast("int").alias("n_masked"),
+            F.sum(F.col("span_start").cast("int")).cast("int").alias("n_spans"),
+            joined("in_piece").alias("corrupted"),
+            joined("tgt_piece").alias("target"),
+        )
+        .orderBy("id")
+    )

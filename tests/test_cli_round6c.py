@@ -1,0 +1,111 @@
+"""Round-6 batch-3 CLI wiring: corpus qc/length_drift/cms_topk/
+bloom_decontam, analyze silhouette."""
+
+import json
+import os
+
+from nbdatatools_spark.__main__ import main
+
+SF = os.environ.get("NBDT_TEST_SF_DIR", "/root/testdata/sf0.001")
+DOCS = os.path.join(SF, "documents.parquet")
+EMB = os.path.join(SF, "embeddings.parquet")
+
+
+def _lines(capsys):
+    return [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+
+
+def test_corpus_qc_cli(spark, capsys):
+    assert main(["corpus", "qc", "--input", DOCS]) == 0
+    rows = _lines(capsys)
+    assert rows and {"grp", "n_docs", "mean_fertility", "clean_frac"} <= set(rows[0])
+    assert all(0.0 <= r["clean_frac"] <= 1.0 for r in rows)
+
+
+def test_corpus_length_drift_cli(spark, capsys):
+    assert main(["corpus", "length_drift", "--input", DOCS, "--reference", "src0"]) == 0
+    rows = _lines(capsys)
+    by = {r["grp"]: r for r in rows}
+    assert by["src0"]["psi"] == 0.0
+    assert all(r["psi"] >= 0.0 for r in rows)
+
+
+def test_corpus_cms_topk_cli(spark, capsys):
+    assert main(["corpus", "cms_topk", "--input", DOCS, "--top", "5"]) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 5
+    assert all(r["cms_est"] >= r["exact_n"] for r in rows)
+
+
+def test_corpus_bloom_decontam_cli(spark, capsys, tmp_path):
+    # split the corpus so the test set shares text with train (true hits)
+    from nbdatatools_spark.session import get_spark
+
+    spark_ = get_spark()
+    docs = spark_.read.parquet(DOCS)
+    docs.where("doc_id % 50 = 0").write.mode("overwrite").parquet(
+        str(tmp_path / "test.parquet")
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "train.parquet"))
+    assert (
+        main(
+            [
+                "corpus", "bloom_decontam",
+                "--train", str(tmp_path / "train.parquet"),
+                "--test", str(tmp_path / "test.parquet"),
+                "--m-bits", "8192", "-k", "2",
+            ]
+        )
+        == 0
+    )
+    rows = _lines(capsys)
+    summary = rows[0]
+    assert summary["n_contaminated"] >= 10  # the copies themselves hit
+    assert summary["n_flagged"] >= summary["n_contaminated"]
+    assert all(r["contaminated"] for r in rows[1:])
+
+
+def test_analyze_silhouette_cli(spark, capsys):
+    assert main(["analyze", "silhouette", "--input", EMB]) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 10
+    assert all(-1.0 <= r["mean_silhouette"] <= 1.0 for r in rows)
+
+
+def test_corpus_source_similarity_cli(spark, capsys):
+    assert main(["corpus", "source_similarity", "--input", DOCS]) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 190
+    assert all(-1e-6 <= r["cosine"] <= 1.0 + 1e-6 for r in rows)
+
+
+def test_corpus_boilerplate_cli(spark, capsys):
+    assert main(["corpus", "boilerplate", "--input", DOCS, "--min-docs", "2"]) == 0
+    rows = _lines(capsys)
+    assert rows and all(r["n_docs"] >= 2 for r in rows)
+
+
+def test_generate_denoising_pairs_cli(spark, capsys, tmp_path):
+    out = str(tmp_path / "pairs.parquet")
+    assert main(["generate", "denoising-pairs", "--input", DOCS, "--output", out]) == 0
+    rows = _lines(capsys)
+    assert rows[0]["rows"] == 500
+    from nbdatatools_spark.session import get_spark
+
+    df = get_spark().read.parquet(out)
+    assert {"id", "corrupted", "target", "n_masked"} <= set(df.columns)
+
+
+def test_analyze_hubness_cli(spark, capsys):
+    assert main(["analyze", "hubness", "--input", EMB, "-k", "5", "--top", "3"]) == 0
+    rows = _lines(capsys)
+    assert rows[0]["n_vectors"] == 500
+    assert rows[0]["mean"] == 5.0  # sum N_k == n*k exactly
+    assert len(rows) == 4
+
+
+def test_analyze_robust_scale_cli(spark, capsys, tmp_path):
+    out = str(tmp_path / "scaled.parquet")
+    assert main(["analyze", "robust-scale", "--input", EMB, "--output", out]) == 0
+    rows = _lines(capsys)
+    assert rows[0]["rows"] == 32000
