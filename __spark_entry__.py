@@ -3807,6 +3807,89 @@ def doc_boilerplate_prefixes(spark, sf_dir):
     return boilerplate_prefixes(docs, k_tokens=5, min_docs=2, top_n=50)
 
 
+# ---------------------------------------------------------------------------
+# Round-6 batch 5: filter-evaluation metrics + reciprocal/cross-corpus dedup
+# (tail + PENDING_FIRST_RECORDING until the round-7 window rotation)
+# ---------------------------------------------------------------------------
+
+def _scored_docs(spark, sf_dir):
+    """Shared frame for the evaluation gates: 6dp quality score (rounded
+    so per-score grouping is engine-exact) + a long-document label."""
+    from nbdatatools_spark.functions.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.round(quality_score(F.col("text")), 6).alias("score"),
+        (F.col("n_chars") >= 400).alias("y"),
+    )
+
+
+def doc_quality_auc(spark, sf_dir):
+    """Exact ROC-AUC of the heuristic quality score against the
+    long-document label (evaluation.py::ranking_auc, Mann-Whitney
+    rank-sum with tie-averaged ranks; two-phase running sum — no
+    single-reducer window)."""
+    from nbdatatools_spark.operators.evaluation import ranking_auc
+
+    return ranking_auc(_scored_docs(spark, sf_dir), "score", "y")
+
+
+def doc_score_calibration(spark, sf_dir):
+    """Reliability-diagram table for the quality score (evaluation.py::
+    calibration_bins): 10 fixed bins on [0, 1], per-bin count, DECIMAL
+    mean score, observed positive rate."""
+    from nbdatatools_spark.operators.evaluation import calibration_bins
+
+    return calibration_bins(
+        _scored_docs(spark, sf_dir), "score", "y", n_bins=10, lo=0.0, hi=1.0
+    )
+
+
+def doc_filter_agreement(spark, sf_dir):
+    """Cohen's kappa between two filter decisions (evaluation.py::
+    filter_agreement): the quality >= 0.5 rule vs the n_chars >= 400
+    rule — 2x2 confusion counts, raw agreement, chance-corrected kappa.
+    ONE map-side-combining aggregate."""
+    from nbdatatools_spark.functions.text import quality_score
+    from nbdatatools_spark.operators.evaluation import filter_agreement
+
+    docs = _t(spark, sf_dir, "documents")
+    flags = docs.select(
+        (F.round(quality_score(F.col("text")), 6) >= 0.5).alias("a"),
+        (F.col("n_chars") >= 400).alias("b"),
+    )
+    return filter_agreement(flags, "a", "b")
+
+
+def embedding_mutual_knn(spark, sf_dir):
+    """Mutual 10-NN pairs (knn.py::mutual_knn_pairs): reciprocal
+    neighborhood near-dup mining — one self-KNN + one reversed-key
+    equi-join, never all-pairs. expr impl for oracle parity."""
+    from nbdatatools_spark.operators.knn import mutual_knn_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return mutual_knn_pairs(emb, k=10, metric="cosine", impl="expr")
+
+
+def doc_cross_corpus_near_dups(spark, sf_dir):
+    """Cross-corpus near-dup pairs (dedup.py::cross_corpus_near_dups):
+    corpus A = even doc ids, corpus B = odd ids PLUS re-idded copies of
+    every 10th even doc (guaranteed cross hits at jaccard 1.0). Banded
+    LSH on the tagged union, cross-side filter, exact Jaccard verify at
+    0.5. md5 impl for oracle parity (numpy kernel is the scale default)."""
+    from nbdatatools_spark.operators.dedup import cross_corpus_near_dups
+
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1).unionByName(
+        docs.where((F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 10 == 0))
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+    )
+    return cross_corpus_near_dups(
+        a, b, num_hashes=32, bands=8, shingle_size=5, threshold=0.5, impl="md5"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4050,6 +4133,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_source_similarity": corpus_source_similarity,
         "embedding_robust_scale": embedding_robust_scale,
         "doc_boilerplate_prefixes": doc_boilerplate_prefixes,
+        # round-6 batch 5 (pending first recording; round-7 window rotation)
+        "doc_quality_auc": doc_quality_auc,
+        "doc_score_calibration": doc_score_calibration,
+        "doc_filter_agreement": doc_filter_agreement,
+        "embedding_mutual_knn": embedding_mutual_knn,
+        "doc_cross_corpus_near_dups": doc_cross_corpus_near_dups,
     }
 
 
@@ -4063,6 +4152,11 @@ PENDING_FIRST_RECORDING: frozenset[str] = frozenset(
         "corpus_source_similarity",
         "embedding_robust_scale",
         "doc_boilerplate_prefixes",
+        "doc_quality_auc",
+        "doc_score_calibration",
+        "doc_filter_agreement",
+        "embedding_mutual_knn",
+        "doc_cross_corpus_near_dups",
     }
 )
 
@@ -4086,6 +4180,21 @@ _SWRATIO = (
 _COS_DIST = (
     "1 - list_inner_product(q.e, b.e)"
     "/(sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(b.e, b.e)))"
+)
+# 6dp-rounded heuristic quality score (the doc_quality oracle expression,
+# shared by the evaluation-metric oracles).
+_QUALITY6 = (
+    f"round(least(length(text) / 500.0, 1.0) * 0.4"
+    f" + least({_SWRATIO} * 4.0, 1.0) * 0.3"
+    f" + greatest(0.0, 1.0 - {_PUNCT} * 5.0) * 0.3, 6)"
+)
+# Tagged union for the cross-corpus near-dup oracle: corpus A = even ids,
+# corpus B = odd ids + re-idded copies of every 10th even doc.
+_CROSS_SRC = (
+    "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0"
+    " UNION ALL SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1"
+    " UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents"
+    " WHERE doc_id % 2 = 0 AND doc_id % 10 = 0)"
 )
 
 
@@ -4116,10 +4225,13 @@ def _winnow_oracle(k: int = 5, w: int = 4) -> str:
 
 
 def _minhash_ctes(num_hashes: int = 32, bands: int = 8, k: int = 5,
-                  max_bucket: int = 2000) -> str:
+                  max_bucket: int = 2000,
+                  source: str = "documents") -> str:
     """Shared WITH-body replicating minhash_lsh_candidates(impl="md5") up to
     the ``capped`` banded table: KM double hashing over two 52-bit md5
-    slices, banded keys, bucket cap."""
+    slices, banded keys, bucket cap. ``source`` is any relation expression
+    with (doc_id, text) columns — pass a parenthesized UNION for
+    cross-corpus replicas."""
     rpb = num_hashes // bands
     mask = (1 << 52) - 1
     mins = ", ".join(f"min((h1 + {i} * h2) & {mask}) AS m{i}" for i in range(num_hashes))
@@ -4133,7 +4245,7 @@ def _minhash_ctes(num_hashes: int = 32, bands: int = 8, k: int = 5,
     return f"""
         nrm AS (
             SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
-            FROM documents),
+            FROM {source}),
         sh AS (
             SELECT doc_id,
                    unnest(list_transform(range(1, greatest(length(t) - {k - 1}, 1) + 1),
@@ -8389,5 +8501,106 @@ def oracle_sql() -> dict[str, str]:
                    FROM pd GROUP BY 1)
             SELECT prefix, n_docs, n_lines FROM ag
             WHERE n_docs >= 2 ORDER BY n_docs DESC, prefix LIMIT 50
+        """,
+        # exact ROC-AUC by rank-sum: per-score collapse, tie-averaged ranks
+        "doc_quality_auc": f"""
+            WITH sc AS (SELECT {_QUALITY6} AS s,
+                               CAST(n_chars >= 400 AS INT) AS y
+                        FROM documents),
+            g AS (SELECT s, count(*) AS n, sum(y) AS np FROM sc GROUP BY s),
+            r AS (SELECT n, np,
+                         coalesce(sum(n) OVER (ORDER BY s
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                              0) AS bef
+                  FROM g)
+            SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+                   CAST(sum(n) - sum(np) AS BIGINT) AS n_neg,
+                   round((sum(np * (bef + (n + 1) / 2.0))
+                          - (sum(np) * (sum(np) + 1)) / 2.0)
+                         / (sum(np) * (sum(n) - sum(np))), 6) AS auc
+            FROM r
+        """,
+        # reliability diagram: fixed [0,1] bins, DECIMAL mean score
+        "doc_score_calibration": f"""
+            WITH sc AS (SELECT {_QUALITY6} AS s,
+                               CAST(n_chars >= 400 AS INT) AS y
+                        FROM documents),
+            b AS (SELECT least(greatest(CAST(floor((s - 0.0) / 0.1) AS INT), 0), 9) AS bin,
+                         s, y
+                  FROM sc)
+            SELECT bin, count(*) AS n,
+                   round(CAST(CAST(sum(CAST(round(s, 9) AS DECIMAL(20,9)))
+                              AS DECIMAL(38,9)) AS DOUBLE) / count(*), 6) AS mean_score,
+                   round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS positive_rate
+            FROM b GROUP BY bin ORDER BY bin
+        """,
+        # Cohen's kappa from the 2x2 table; NULL when both filters constant
+        "doc_filter_agreement": f"""
+            WITH f AS (SELECT CAST({_QUALITY6} >= 0.5 AS INT) AS a,
+                              CAST(n_chars >= 400 AS INT) AS b
+                       FROM documents),
+            c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(a * b) AS BIGINT) AS n11,
+                         CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+                         CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+                         CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+                  FROM f),
+            k AS (SELECT n, n11, n10, n01, n00,
+                         (n11 + n00) / CAST(n AS DOUBLE) AS po,
+                         ((n11 + n10) / CAST(n AS DOUBLE)) * ((n11 + n01) / CAST(n AS DOUBLE))
+                         + ((n01 + n00) / CAST(n AS DOUBLE)) * ((n10 + n00) / CAST(n AS DOUBLE)) AS pe
+                  FROM c)
+            SELECT n, n11, n10, n01, n00,
+                   round(po, 6) AS agreement,
+                   CASE WHEN pe < 1.0 THEN round((po - pe) / (1 - pe), 6) END AS kappa
+            FROM k
+        """,
+        # mutual 10-NN: directed top-10 edges self-joined on the reversed key
+        "embedding_mutual_knn": f"""
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            pairs AS (
+                SELECT q.vec_id AS qid, b.vec_id AS bid, {_COS_DIST} AS dist
+                FROM v q CROSS JOIN v b WHERE q.vec_id <> b.vec_id),
+            rk AS (SELECT qid, bid, dist,
+                          row_number() OVER (PARTITION BY qid ORDER BY dist ASC, bid ASC) AS rn
+                   FROM pairs),
+            e AS (SELECT qid, bid, dist FROM rk WHERE rn <= 10)
+            SELECT a.qid AS id_a, a.bid AS id_b, round(a.dist, 6) AS distance
+            FROM e a JOIN e b ON a.qid = b.bid AND a.bid = b.qid AND a.qid < a.bid
+            ORDER BY id_a, id_b
+        """,
+        # cross-corpus near dups: banding over the tagged union, cross-side
+        # filter, exact Jaccard verify at 0.5
+        "doc_cross_corpus_near_dups": f"""
+            WITH {_minhash_ctes(32, 8, 5, 2000, source=_CROSS_SRC)},
+            cand AS (
+                SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
+                FROM capped a JOIN capped b
+                  ON a.band = b.band AND a.band_hash = b.band_hash
+                 AND a.doc_id < b.doc_id),
+            sided AS (
+                SELECT x, y,
+                       CASE WHEN x >= 1000000 OR x % 2 = 1 THEN 1 ELSE 0 END AS sx,
+                       CASE WHEN y >= 1000000 OR y % 2 = 1 THEN 1 ELSE 0 END AS sy
+                FROM cand),
+            crossp AS (
+                SELECT DISTINCT CASE WHEN sx = 0 THEN x ELSE y END AS id_a,
+                                CASE WHEN sx = 0 THEN y ELSE x END AS id_b
+                FROM sided WHERE sx <> sy),
+            sets AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(length(t) - 4, 1) + 1),
+                           i -> substring(t, CAST(i AS INT), 5))) AS g
+                FROM nrm),
+            ver AS (
+                SELECT c.id_a, c.id_b,
+                       CAST(len(list_intersect(sa.g, sb.g)) AS DOUBLE)
+                       / len(list_distinct(list_concat(sa.g, sb.g))) AS j
+                FROM crossp c
+                JOIN sets sa ON sa.doc_id = c.id_a
+                JOIN sets sb ON sb.doc_id = c.id_b)
+            SELECT id_a, id_b, round(j, 6) AS jaccard
+            FROM ver WHERE j >= 0.5 ORDER BY id_a, id_b
         """,
     }

@@ -118,6 +118,10 @@ HEADLINE = [
     "corpus_source_similarity",
     "embedding_robust_scale",
     "doc_boilerplate_prefixes",
+    # round-6 batch-5 additions
+    "doc_quality_auc",
+    "doc_cross_corpus_near_dups",
+    "embedding_mutual_knn",
 ]
 
 

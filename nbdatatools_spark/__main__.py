@@ -5,7 +5,7 @@ reference user can run the same commands against the Spark engine:
     analyze count_zeros|describe|select|slice|find|check-endian
             |verify_knn|verify_profiles|tune_ann|tune_compression
             |sq8-error|silhouette|hubness|robust-scale
-    compute knn|sort|ivf_build|ivf_append|ivf_search
+    compute knn|sort|ivf_build|ivf_append|ivf_search|kmeans|mutual-knn
     convert file
     generate vectors|dataset|mktestdata|fvec-extract|ivec-extract|ivec-shuffle
              |denoising-pairs
@@ -15,8 +15,8 @@ reference user can run the same commands against the Spark engine:
     vectordata info|views|profiles|size|sample|cat|prebuffer|verify
     corpus stats|run|tune_dedup|cluster_sizes|select_budget|card|keyphrases
            |kneser_ney|calibrate_minhash|balance|qc|length_drift|cms_topk
-           |bloom_decontam|source_similarity|boilerplate
-           (report / pipeline / tuning / audits / hygiene)
+           |bloom_decontam|source_similarity|boilerplate|filter_eval
+           |cross_dedup (report / pipeline / tuning / audits / hygiene)
     slab get|namespaces|check|analyze|import|append|export|rewrite
         (byte-compatible slabtastic .slab files — cli/CMD_slab_*.java)
     explain (physical plan + Catalyst cost estimates for any gate query)
@@ -869,6 +869,67 @@ def _cmd_analyze_robust_scale(args) -> int:
     return 0
 
 
+def _cmd_corpus_filter_eval(args) -> int:
+    """Evaluate a score expression against a boolean label expression:
+    exact AUC + Cohen's kappa summary line, then calibration-bin rows."""
+    from pyspark.sql import functions as F
+
+    from nbdatatools_spark.operators.evaluation import (
+        calibration_bins,
+        filter_agreement,
+        ranking_auc,
+    )
+
+    df = _spark().read.parquet(args.input)
+    scored = df.select(
+        F.round(F.expr(args.score_expr), 6).alias("__score"),
+        F.expr(args.label_expr).cast("boolean").alias("__label"),
+    ).localCheckpoint(eager=False)
+    auc = ranking_auc(scored, "__score", "__label").first().asDict()
+    kap = filter_agreement(
+        scored.select(
+            (F.col("__score") >= args.threshold).alias("a"),
+            F.col("__label").alias("b"),
+        ),
+        "a",
+        "b",
+    ).first()
+    auc.update({"agreement": kap["agreement"], "kappa": kap["kappa"]})
+    print(json.dumps(auc))
+    for r in calibration_bins(
+        scored, "__score", "__label", n_bins=args.bins, lo=args.lo, hi=args.hi
+    ).collect():
+        print(json.dumps(r.asDict()))
+    return 0
+
+
+def _cmd_compute_mutual_knn(args) -> int:
+    from nbdatatools_spark.operators.knn import mutual_knn_pairs
+
+    df = _spark().read.parquet(args.input)
+    return _emit_rows(
+        mutual_knn_pairs(
+            df, k=args.k, metric=args.metric, id_col=args.id_col,
+            vec_col=args.vec_col,
+        ).limit(args.limit)
+    )
+
+
+def _cmd_corpus_cross_dedup(args) -> int:
+    from nbdatatools_spark.operators.dedup import cross_corpus_near_dups
+
+    spark = _spark()
+    return _emit_rows(
+        cross_corpus_near_dups(
+            spark.read.parquet(args.a),
+            spark.read.parquet(args.b),
+            id_col=args.id_col, text_col=args.text_col,
+            num_hashes=args.num_hashes, bands=args.bands,
+            shingle_size=args.shingle_size, threshold=args.threshold,
+        )
+    )
+
+
 def _cmd_compute_kmeans(args) -> int:
     from nbdatatools_spark.operators.clustering import lloyd_fixed_iterations
 
@@ -1531,6 +1592,35 @@ def build_parser() -> argparse.ArgumentParser:
     ars.add_argument("--vec-col", default="embedding")
     ars.add_argument("--id-col", default="vec_id")
     ars.set_defaults(func=_cmd_analyze_robust_scale)
+
+    cfe = cp.add_parser("filter_eval")
+    cfe.add_argument("--input", required=True)
+    cfe.add_argument("--score-expr", required=True)
+    cfe.add_argument("--label-expr", required=True)
+    cfe.add_argument("--threshold", type=float, default=0.5)
+    cfe.add_argument("--bins", type=int, default=10)
+    cfe.add_argument("--lo", type=float, default=0.0)
+    cfe.add_argument("--hi", type=float, default=1.0)
+    cfe.set_defaults(func=_cmd_corpus_filter_eval)
+    cxd = cp.add_parser("cross_dedup")
+    cxd.add_argument("--a", required=True)
+    cxd.add_argument("--b", required=True)
+    cxd.add_argument("--id-col", default="doc_id")
+    cxd.add_argument("--text-col", default="text")
+    cxd.add_argument("--num-hashes", type=int, default=32)
+    cxd.add_argument("--bands", type=int, default=8)
+    cxd.add_argument("--shingle-size", type=int, default=5)
+    cxd.add_argument("--threshold", type=float, default=0.5)
+    cxd.set_defaults(func=_cmd_corpus_cross_dedup)
+
+    cmk = co.add_parser("mutual-knn")
+    cmk.add_argument("--input", required=True)
+    cmk.add_argument("-k", type=int, default=10)
+    cmk.add_argument("--metric", default="cosine")
+    cmk.add_argument("--vec-col", default="embedding")
+    cmk.add_argument("--id-col", default="vec_id")
+    cmk.add_argument("--limit", type=int, default=1000)
+    cmk.set_defaults(func=_cmd_compute_mutual_knn)
 
     asl2 = an.add_parser("silhouette")
     asl2.add_argument("--input", required=True)

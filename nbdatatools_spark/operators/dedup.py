@@ -1797,3 +1797,64 @@ def boilerplate_prefixes(
         .orderBy(F.desc("n_docs"), "prefix")
         .limit(top_n)
     )
+
+
+def cross_corpus_near_dups(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_size: int = 5,
+    threshold: float = 0.5,
+    impl: str = "numpy",
+) -> DataFrame:
+    """Near-duplicate pairs BETWEEN two corpora (crawl delta vs standing
+    corpus — the MinHash sibling of :func:`incremental_dedup`'s exact
+    path): banded-LSH candidates restricted to cross-corpus pairs, then
+    exact Jaccard verification at ``threshold``.
+
+    Reuses the full LSH machinery on the tagged union (one pipeline, one
+    banding pass); the cross-corpus restriction is a post-banding filter
+    on the tag pair, so within-corpus duplicates never reach the verify
+    join. Returns (id_a, id_b, jaccard) with id_a from ``a``, id_b from
+    ``b``, ordered.
+
+    Caller contract: ids must be unique ACROSS the two frames (same rule
+    as incremental_dedup; shift one side's ids upstream if they collide).
+    """
+    ta = a.select(
+        F.col(id_col).alias("__xid"), F.col(text_col).alias("__xtext"),
+        F.lit(0).alias("__side"),
+    )
+    tb = b.select(
+        F.col(id_col).alias("__xid"), F.col(text_col).alias("__xtext"),
+        F.lit(1).alias("__side"),
+    )
+    u = ta.unionByName(tb)
+    cand = minhash_lsh_candidates(
+        u, id_col="__xid", text_col="__xtext", num_hashes=num_hashes,
+        bands=bands, shingle_size=shingle_size, impl=impl,
+    )
+    sides = u.select("__xid", "__side")
+    sa = sides.select(F.col("__xid").alias("id_a"), F.col("__side").alias("__sa"))
+    sb = sides.select(F.col("__xid").alias("id_b"), F.col("__side").alias("__sb"))
+    cross = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(F.col("__sa") != F.col("__sb"))
+        .select(
+            # orient: id_a always the corpus-a doc
+            F.when(F.col("__sa") == 0, F.col("id_a")).otherwise(F.col("id_b")).alias("id_a"),
+            F.when(F.col("__sa") == 0, F.col("id_b")).otherwise(F.col("id_a")).alias("id_b"),
+        )
+        .distinct()
+    )
+    verified = jaccard_verify(
+        cross, u, id_col="__xid", text_col="__xtext",
+        shingle_size=shingle_size, threshold=threshold,
+    )
+    return verified.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")

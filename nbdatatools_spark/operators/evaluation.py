@@ -1,0 +1,194 @@
+"""Classifier / filter evaluation metrics (SURVEY §7.8 training-data
+extension): the readouts a curation team runs before trusting a quality
+signal enough to gate a 100-TB corpus on it.
+
+- ``ranking_auc``: exact ROC-AUC of a continuous score against a boolean
+  label via the Mann-Whitney U rank-sum identity (average ranks for
+  ties) — no threshold sweep, no curve materialization.
+- ``calibration_bins``: reliability-diagram table (fixed score bins,
+  observed positive rate per bin) — is a 0.8 score right 80% of the time.
+- ``filter_agreement``: Cohen's kappa between two boolean filter
+  decisions — how much two heuristics (e.g. Gopher vs C4 page rules)
+  actually agree beyond chance before they're stacked in a pipeline.
+
+Exactness: everything reduces to integer counts and ranks plus a handful
+of divisions — rounded to 6dp at the end, DuckDB-replicable bit-for-bit.
+
+Scale shape: ``ranking_auc`` is ONE global sort (Spark range-partitions
+it; ties collapse to per-score groups before ranking so the rank table
+is at most |distinct scores| rows); the other two are single aggregates
+with map-side combine. Nothing is all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ranking_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: Column | str,
+) -> DataFrame:
+    """Exact ROC-AUC via the rank-sum identity:
+
+        AUC = (R_pos - n_pos*(n_pos+1)/2) / (n_pos * n_neg)
+
+    where ``R_pos`` is the sum of average ranks (ascending score, ties
+    share the mean rank of their group) over the positive rows.
+
+    Plan: collapse to per-(score) groups first — ONE groupBy(score) with
+    counts of rows/positives — then compute each group's preceding-row
+    count with the TWO-PHASE running sum (the windows.global_row_index
+    discipline: range-partition by score, partition-local cumsum, P-row
+    offset table broadcast back — no single-reducer global window), and
+    the tie-averaged rank in closed form: groups occupying rows
+    [c+1, c+n] have average rank c + (n+1)/2. Returns one row:
+    (n_pos, n_neg, auc).
+    """
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    grouped = (
+        df.select(F.col(score_col).alias("__s"), lab.cast("int").alias("__y"))
+        .groupBy("__s")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__y").alias("__np"),
+        )
+    )
+    n_part = max(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")), 1
+    )
+    g2 = (
+        grouped.repartitionByRange(n_part, F.col("__s"))
+        .sortWithinPartitions("__s")
+        .select("*", F.spark_partition_id().alias("__pid"))
+    )
+    w_loc = (
+        Window.partitionBy("__pid")
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        g2.groupBy("__pid")
+        .agg(F.sum("__n").alias("__cnt"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+        )
+    )
+    ranked = (
+        g2.join(F.broadcast(offs), "__pid")
+        .select(
+            "__s",
+            "__n",
+            "__np",
+            (
+                F.coalesce(F.sum("__n").over(w_loc), F.lit(0)) + F.col("__off")
+            ).alias("__before"),
+        )
+    )
+    # average rank of every row in this score group
+    avg_rank = F.col("__before") + (F.col("__n") + 1) / F.lit(2.0)
+    return ranked.agg(
+        F.sum("__np").cast("bigint").alias("n_pos"),
+        (F.sum("__n") - F.sum("__np")).cast("bigint").alias("n_neg"),
+        F.round(
+            (
+                F.sum(F.col("__np") * avg_rank)
+                - (F.sum("__np") * (F.sum("__np") + 1)) / F.lit(2.0)
+            )
+            / (F.sum("__np") * (F.sum("__n") - F.sum("__np"))),
+            6,
+        ).alias("auc"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: Column | str,
+    n_bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Reliability-diagram table: fixed-width score bins on [lo, hi]
+    (values outside clamp to the edge bins), per-bin count, mean score,
+    and observed positive rate. The calibration readout for any
+    quality/classifier score. One map-side bin projection + one groupBy.
+    Returns (bin, n, mean_score, positive_rate) for occupied bins."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    width = (hi - lo) / n_bins
+    idx = F.floor(
+        (F.col("__s") - F.lit(float(lo))) / F.lit(float(width))
+    ).cast("int")
+    return (
+        df.select(
+            F.col(score_col).cast("double").alias("__s"),
+            lab.cast("int").alias("__y"),
+        )
+        .select(
+            F.least(F.greatest(idx, F.lit(0)), F.lit(n_bins - 1)).alias("bin"),
+            "__s",
+            "__y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.round(F.col("__s"), 9).cast("decimal(20,9)"))
+                .cast("decimal(38,9)")
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_score"),
+            F.round(F.sum("__y").cast("double") / F.count(F.lit(1)), 6).alias(
+                "positive_rate"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+def filter_agreement(
+    df: DataFrame,
+    flag_a: Column | str,
+    flag_b: Column | str,
+) -> DataFrame:
+    """Cohen's kappa between two boolean filter decisions:
+
+        kappa = (p_o - p_e) / (1 - p_e)
+
+    with observed agreement ``p_o`` and chance agreement ``p_e`` from the
+    marginals. Returns one row: the 2x2 confusion counts, raw agreement,
+    and kappa (NULL when 1 - p_e == 0, i.e. both filters are constant).
+    ONE aggregate with map-side combine — any scale."""
+    a = (F.col(flag_a) if isinstance(flag_a, str) else flag_a).cast("int")
+    b = (F.col(flag_b) if isinstance(flag_b, str) else flag_b).cast("int")
+    c = df.select(a.alias("__a"), b.alias("__b")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__a") * F.col("__b")).cast("bigint").alias("n11"),
+        F.sum(F.col("__a") * (1 - F.col("__b"))).cast("bigint").alias("n10"),
+        F.sum((1 - F.col("__a")) * F.col("__b")).cast("bigint").alias("n01"),
+        F.sum((1 - F.col("__a")) * (1 - F.col("__b"))).cast("bigint").alias("n00"),
+    )
+    n = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")) / n
+    pe = (
+        ((F.col("n11") + F.col("n10")) / n) * ((F.col("n11") + F.col("n01")) / n)
+        + ((F.col("n01") + F.col("n00")) / n) * ((F.col("n10") + F.col("n00")) / n)
+    )
+    return c.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(po, 6).alias("agreement"),
+        F.when(pe < 1.0, F.round((po - pe) / (1 - pe), 6)).alias("kappa"),
+    )

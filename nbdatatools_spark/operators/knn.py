@@ -409,3 +409,53 @@ def hubness_stats(
         .select("id", F.coalesce("k_occurrence", F.lit(0)).alias("k_occurrence"))
         .orderBy("id")
     )
+
+
+def mutual_knn_pairs(
+    df: DataFrame,
+    k: int = 10,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    impl: str = "gemm",
+) -> DataFrame:
+    """Mutual k-NN pairs: unordered pairs (a, b) where each vector lists
+    the other in its k nearest (self excluded) — the high-precision
+    near-duplicate / strong-link miner (reciprocal neighborhood beats
+    one-sided top-k for dedup candidates because hubs fail the
+    reciprocity test; cf. the reciprocal-rank heuristics of Qin et al.
+    CVPR 2011).
+
+    Plan: ONE self-KNN at k+1 (GEMM partial top-k default), self-drop +
+    deterministic re-rank to k, then the directed edge list self-joins on
+    the REVERSED key pair — an equi-join on (query, base) ids, never
+    all-pairs. Returns (id_a, id_b, distance) with id_a < id_b, ordered.
+    """
+    from pyspark.sql import Window
+
+    from nbdatatools_spark.operators.similarity import brute_force_topk
+
+    pairs = brute_force_topk(
+        df, df, k + 1, metric=metric, query_id=id_col, base_id=id_col,
+        vec_col=vec_col, impl=impl,
+    ).where(F.col("query_id") != F.col("base_id"))
+    w = Window.partitionBy("query_id").orderBy("distance", "base_id")
+    edges = (
+        pairs.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .select("query_id", "base_id", "distance")
+        .localCheckpoint(eager=False)
+    )
+    fwd = edges.where(F.col("query_id") < F.col("base_id")).select(
+        F.col("query_id").alias("id_a"),
+        F.col("base_id").alias("id_b"),
+        F.col("distance").alias("__d"),
+    )
+    rev = edges.where(F.col("query_id") > F.col("base_id")).select(
+        F.col("base_id").alias("id_a"), F.col("query_id").alias("id_b")
+    )
+    return (
+        fwd.join(rev, ["id_a", "id_b"])
+        .select("id_a", "id_b", F.round("__d", 6).alias("distance"))
+        .orderBy("id_a", "id_b")
+    )

@@ -109,3 +109,55 @@ def test_analyze_robust_scale_cli(spark, capsys, tmp_path):
     assert main(["analyze", "robust-scale", "--input", EMB, "--output", out]) == 0
     rows = _lines(capsys)
     assert rows[0]["rows"] == 32000
+
+
+def test_corpus_filter_eval_cli(spark, capsys):
+    assert (
+        main(
+            [
+                "corpus", "filter_eval", "--input", DOCS,
+                "--score-expr", "least(n_chars / 1000.0, 1.0)",
+                "--label-expr", "n_chars >= 400",
+            ]
+        )
+        == 0
+    )
+    rows = _lines(capsys)
+    head = rows[0]
+    assert head["auc"] == 1.0  # label is a threshold of the score itself
+    assert {"n_pos", "n_neg", "agreement", "kappa"} <= set(head)
+    assert all("positive_rate" in r for r in rows[1:])
+
+
+def test_compute_mutual_knn_cli(spark, capsys):
+    assert main(["compute", "mutual-knn", "--input", EMB, "-k", "5", "--limit", "20"]) == 0
+    rows = _lines(capsys)
+    assert rows and all(r["id_a"] < r["id_b"] for r in rows)
+
+
+def test_corpus_cross_dedup_cli(spark, capsys, tmp_path):
+    from nbdatatools_spark.session import get_spark
+
+    spark_ = get_spark()
+    docs = spark_.read.parquet(DOCS)
+    docs.where("doc_id % 2 = 0").write.mode("overwrite").parquet(str(tmp_path / "a.parquet"))
+    from pyspark.sql import functions as F
+
+    b = docs.where("doc_id % 2 = 1").unionByName(
+        docs.where("doc_id % 20 = 0").withColumn("doc_id", F.col("doc_id") + F.lit(10**6))
+    )
+    b.write.mode("overwrite").parquet(str(tmp_path / "b.parquet"))
+    assert (
+        main(
+            [
+                "corpus", "cross_dedup",
+                "--a", str(tmp_path / "a.parquet"),
+                "--b", str(tmp_path / "b.parquet"),
+            ]
+        )
+        == 0
+    )
+    rows = _lines(capsys)
+    found = {(r["id_a"], r["id_b"]) for r in rows}
+    assert all(ia % 2 == 0 and ia < 10**6 for ia, _ in found)
+    assert (0, 10**6) in found  # the planted copy of doc 0
