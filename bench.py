@@ -113,15 +113,19 @@ HEADLINE = [
     "corpus_cms_heavy_hitters",
     "embedding_silhouette",
     # round-6 batch-4 additions
+    # (embedding_hubness and embedding_mutual_knn stay gates but NOT
+    # headline entries: their gate impl is the expr KNN for bit-exact
+    # oracle parity, which is a 5000x5000 crossJoin at sf0.1 — 143.7s
+    # measured, over half the whole bench. The GEMM scale path is the
+    # production impl and is timed in BASELINE.md's round-6 table:
+    # 2.8s at sf0.1, 28.9s at sf1. Same policy as doc_dedup_cluster_sizes.)
     "doc_span_corruption",
-    "embedding_hubness",
     "corpus_source_similarity",
     "embedding_robust_scale",
     "doc_boilerplate_prefixes",
     # round-6 batch-5 additions
     "doc_quality_auc",
     "doc_cross_corpus_near_dups",
-    "embedding_mutual_knn",
 ]
 
 
