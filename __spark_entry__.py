@@ -3890,6 +3890,55 @@ def doc_cross_corpus_near_dups(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-6 batch 6: robust statistics (tail + PENDING_FIRST_RECORDING)
+# ---------------------------------------------------------------------------
+
+def events_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend of each event type's daily volume
+    (temporal.py::theil_sen): slope = median pairwise slope over the
+    date-grain series, intercept = median residual. Grouped O(n^2)
+    bounded by series length; exact interpolated medians."""
+    from nbdatatools_spark.operators.temporal import theil_sen
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    series = daily.select(
+        "event_type",
+        F.datediff("d", F.lit("1970-01-01")).cast("double").alias("x"),
+        "y",
+    )
+    return theil_sen(series, "event_type", "x", "y")
+
+
+def events_bootstrap_ci(spark, sf_dir):
+    """Deterministic bootstrap 95% CI for each event type's mean daily
+    volume (temporal.py::bootstrap_mean_ci, 200 md5-seeded resamples —
+    partition-invariant, engine-replayable draws)."""
+    from nbdatatools_spark.operators.temporal import bootstrap_mean_ci
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    return bootstrap_mean_ci(
+        daily, "event_type", "d", "cnt", n_boot=200, alpha=0.05, seed=42
+    )
+
+
+def embedding_cka(spark, sf_dir):
+    """Linear CKA between the full 64-dim embedding and its 8-dim prefix
+    (analysis.py::linear_cka, Kornblith et al. 2019) — how much geometry
+    the Matryoshka truncation keeps. One dim-pair covariance table,
+    DECIMAL-disciplined; all three Frobenius norms read the same table."""
+    from nbdatatools_spark.operators.analysis import linear_cka
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return linear_cka(emb, vec="embedding", m=8, id_col="vec_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4141,6 +4190,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_filter_agreement": doc_filter_agreement,
         "embedding_mutual_knn": embedding_mutual_knn,
         "doc_cross_corpus_near_dups": doc_cross_corpus_near_dups,
+        # round-6 batch 6 (pending first recording; round-7 window rotation)
+        "events_theil_sen": events_theil_sen,
+        "events_bootstrap_ci": events_bootstrap_ci,
+        "embedding_cka": embedding_cka,
     }
 
 
@@ -4159,6 +4212,9 @@ PENDING_FIRST_RECORDING: frozenset[str] = frozenset(
         "doc_filter_agreement",
         "embedding_mutual_knn",
         "doc_cross_corpus_near_dups",
+        "events_theil_sen",
+        "events_bootstrap_ci",
+        "embedding_cka",
     }
 )
 
@@ -8604,5 +8660,97 @@ def oracle_sql() -> dict[str, str]:
                 JOIN sets sb ON sb.doc_id = c.id_b)
             SELECT id_a, id_b, round(j, 6) AS jaccard
             FROM ver WHERE j >= 0.5 ORDER BY id_a, id_b
+        """,
+        # Theil-Sen: median pairwise slope + median residual, quantile_cont
+        "events_theil_sen": """
+            WITH daily AS (
+                SELECT event_type AS g,
+                       CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS DOUBLE) AS x,
+                       CAST(count(*) AS DOUBLE) AS y
+                FROM events GROUP BY 1, CAST(ts AS DATE)),
+            sl AS (SELECT a.g, (b.y - a.y) / (b.x - a.x) AS sl
+                   FROM daily a JOIN daily b ON a.g = b.g AND a.x < b.x),
+            ms AS (SELECT g, quantile_cont(sl, 0.5) AS slope FROM sl GROUP BY g),
+            np AS (SELECT g, count(*) AS n_points FROM daily GROUP BY g),
+            mi AS (SELECT d.g, quantile_cont(d.y - ms.slope * d.x, 0.5) AS intercept
+                   FROM daily d JOIN ms ON ms.g = d.g GROUP BY d.g)
+            SELECT np.g AS event_type, CAST(np.n_points AS BIGINT) AS n_points,
+                   round(ms.slope, 6) AS slope, round(mi.intercept, 6) AS intercept
+            FROM np JOIN ms ON ms.g = np.g JOIN mi ON mi.g = np.g
+            ORDER BY event_type
+        """,
+        # bootstrap CI: md5-seeded draws replayed, DECIMAL replicate means
+        "events_bootstrap_ci": """
+            WITH daily AS (
+                SELECT event_type AS g, CAST(ts AS DATE) AS o,
+                       CAST(count(*) AS DOUBLE) AS v
+                FROM events GROUP BY 1, 2),
+            series AS (
+                SELECT g, v,
+                       CAST(row_number() OVER (PARTITION BY g ORDER BY o) - 1 AS INT) AS idx
+                FROM daily),
+            sizes AS (SELECT g, count(*) AS n FROM series GROUP BY g),
+            draws AS (
+                SELECT s.g, b.b,
+                       CAST(('0x' || substring(md5(s.g || ':' || CAST(b.b AS VARCHAR)
+                                 || ':' || CAST(i.i AS VARCHAR) || ':42'), 1, 13))::BIGINT
+                            % s.n AS INT) AS idx
+                FROM sizes s,
+                     (SELECT unnest(generate_series(0, 199)) AS b) b,
+                     LATERAL (SELECT unnest(generate_series(0, CAST(s.n - 1 AS INT))) AS i) i),
+            bm AS (
+                SELECT d.g, d.b,
+                       CAST(CAST(sum(CAST(round(se.v, 9) AS DECIMAL(24,9)))
+                                 AS DECIMAL(38,9)) AS DOUBLE) / count(*) AS m
+                FROM draws d JOIN series se ON se.g = d.g AND se.idx = d.idx
+                GROUP BY d.g, d.b),
+            pt AS (
+                SELECT g, CAST(count(*) AS BIGINT) AS n,
+                       round(CAST(CAST(sum(CAST(round(v, 9) AS DECIMAL(24,9)))
+                                  AS DECIMAL(38,9)) AS DOUBLE) / count(*), 6) AS mean
+                FROM series GROUP BY g),
+            ci AS (SELECT g, round(quantile_cont(m, 0.025), 6) AS ci_lo,
+                          round(quantile_cont(m, 0.975), 6) AS ci_hi
+                   FROM bm GROUP BY g)
+            SELECT pt.g AS event_type, pt.n, pt.mean, ci.ci_lo, ci.ci_hi
+            FROM pt JOIN ci ON ci.g = pt.g ORDER BY event_type
+        """,
+        # linear CKA: full dim-pair covariance table, three Frobenius blocks
+        "embedding_cka": """
+            WITH ex AS (
+                SELECT vec_id AS rid,
+                       CAST(generate_subscripts(e, 1) - 1 AS INT) AS i,
+                       unnest(e) AS v
+                FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)),
+            sums AS (
+                SELECT a.i AS i, b.i AS j, count(*) AS n,
+                       CAST(CAST(sum(CAST(round(a.v * b.v, 9) AS DECIMAL(25,9)))
+                                 AS DECIMAL(38,9)) AS DOUBLE) AS sxy
+                FROM ex a JOIN ex b ON a.rid = b.rid GROUP BY 1, 2),
+            means AS (
+                SELECT i, round(CAST(CAST(sum(CAST(round(v, 9) AS DECIMAL(20,9)))
+                                AS DECIMAL(38,9)) AS DOUBLE) / count(*), 9) AS mu
+                FROM ex GROUP BY i),
+            cov AS (
+                SELECT s.i, s.j, s.n,
+                       round(s.sxy / s.n - mi.mu * mj.mu, 9) AS c
+                FROM sums s
+                JOIN means mi ON mi.i = s.i
+                JOIN means mj ON mj.i = s.j),
+            agg AS (
+                SELECT max(n) AS n,
+                       CAST(CAST(sum(CASE WHEN j < 8
+                                 THEN CAST(round(c * c, 12) AS DECIMAL(24,12)) END)
+                                 AS DECIMAL(38,12)) AS DOUBLE) AS fxy,
+                       CAST(CAST(sum(CAST(round(c * c, 12) AS DECIMAL(24,12)))
+                                 AS DECIMAL(38,12)) AS DOUBLE) AS fxx,
+                       CAST(CAST(sum(CASE WHEN i < 8 AND j < 8
+                                 THEN CAST(round(c * c, 12) AS DECIMAL(24,12)) END)
+                                 AS DECIMAL(38,12)) AS DOUBLE) AS fyy
+                FROM cov)
+            SELECT CAST(64 AS INT) AS d, CAST(8 AS INT) AS m,
+                   CAST(n AS BIGINT) AS n,
+                   round(fxy / sqrt(fxx * fyy), 6) AS cka
+            FROM agg
         """,
     }

@@ -126,6 +126,10 @@ HEADLINE = [
     # round-6 batch-5 additions
     "doc_quality_auc",
     "doc_cross_corpus_near_dups",
+    # round-6 batch-6 additions
+    "events_theil_sen",
+    "events_bootstrap_ci",
+    "embedding_cka",
 ]
 
 

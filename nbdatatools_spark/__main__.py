@@ -4,7 +4,7 @@ reference user can run the same commands against the Spark engine:
 
     analyze count_zeros|describe|select|slice|find|check-endian
             |verify_knn|verify_profiles|tune_ann|tune_compression
-            |sq8-error|silhouette|hubness|robust-scale
+            |sq8-error|silhouette|hubness|robust-scale|cka
     compute knn|sort|ivf_build|ivf_append|ivf_search|kmeans|mutual-knn
     convert file
     generate vectors|dataset|mktestdata|fvec-extract|ivec-extract|ivec-shuffle
@@ -19,6 +19,7 @@ reference user can run the same commands against the Spark engine:
            |cross_dedup (report / pipeline / tuning / audits / hygiene)
     slab get|namespaces|check|analyze|import|append|export|rewrite
         (byte-compatible slabtastic .slab files — cli/CMD_slab_*.java)
+    events seasonal|cusum|mad|concurrency|triangles|theil_sen|bootstrap_ci
     explain (physical plan + Catalyst cost estimates for any gate query)
     cleanup cleanfvec
     version
@@ -788,6 +789,15 @@ def _cmd_corpus_bloom_decontam(args) -> int:
     return 0
 
 
+def _cmd_analyze_cka(args) -> int:
+    from nbdatatools_spark.operators.analysis import linear_cka
+
+    df = _spark().read.parquet(args.input)
+    return _emit_rows(
+        linear_cka(df, vec=args.vec_col, m=args.m, id_col=args.id_col)
+    )
+
+
 def _cmd_analyze_silhouette(args) -> int:
     from nbdatatools_spark.operators.clustering import simplified_silhouette
 
@@ -980,6 +990,23 @@ def _cmd_events(args) -> int:
         return _emit_rows(
             temporal.interval_concurrency(
                 ev, ts_col=args.ts_col, duration_minutes=args.duration
+            )
+        )
+    if args.what in ("theil_sen", "bootstrap_ci"):
+        daily = ev.groupBy(
+            args.key_col, F.to_date(args.ts_col).alias("__d")
+        ).agg(F.count(F.lit(1)).cast("double").alias("__y"))
+        if args.what == "theil_sen":
+            series = daily.select(
+                args.key_col,
+                F.datediff("__d", F.lit("1970-01-01")).cast("double").alias("__x"),
+                "__y",
+            )
+            return _emit_rows(temporal.theil_sen(series, args.key_col, "__x", "__y"))
+        return _emit_rows(
+            temporal.bootstrap_mean_ci(
+                daily, args.key_col, "__d", "__y",
+                n_boot=args.n_boot, alpha=args.alpha,
             )
         )
     if args.what == "triangles":
@@ -1622,6 +1649,12 @@ def build_parser() -> argparse.ArgumentParser:
     cmk.add_argument("--limit", type=int, default=1000)
     cmk.set_defaults(func=_cmd_compute_mutual_knn)
 
+    ack = an.add_parser("cka")
+    ack.add_argument("--input", required=True)
+    ack.add_argument("-m", type=int, default=8)
+    ack.add_argument("--vec-col", default="embedding")
+    ack.add_argument("--id-col", default="vec_id")
+    ack.set_defaults(func=_cmd_analyze_cka)
     asl2 = an.add_parser("silhouette")
     asl2.add_argument("--input", required=True)
     asl2.add_argument("--vec-col", default="embedding")
@@ -1643,7 +1676,8 @@ def build_parser() -> argparse.ArgumentParser:
     a8.set_defaults(func=_cmd_analyze_sq8_error)
 
     evp = sub.add_parser("events").add_subparsers(dest="what", required=True)
-    for w in ("seasonal", "cusum", "mad", "concurrency", "triangles"):
+    for w in ("seasonal", "cusum", "mad", "concurrency", "triangles",
+              "theil_sen", "bootstrap_ci"):
         ev = evp.add_parser(w)
         ev.add_argument("--input", required=True)
         ev.add_argument("--ts-col", default="ts")
@@ -1658,6 +1692,11 @@ def build_parser() -> argparse.ArgumentParser:
         if w == "triangles":
             ev.add_argument("--key-col", default="event_type")
             ev.add_argument("--node-col", default="user_id")
+        if w in ("theil_sen", "bootstrap_ci"):
+            ev.add_argument("--key-col", default="event_type")
+        if w == "bootstrap_ci":
+            ev.add_argument("--n-boot", type=int, default=200)
+            ev.add_argument("--alpha", type=float, default=0.05)
         ev.set_defaults(func=_cmd_events)
 
     cl = sub.add_parser("cleanup").add_subparsers(dest="what", required=True)

@@ -1647,3 +1647,105 @@ def robust_scale_vectors(
         )
         .orderBy("id", "dim")
     )
+
+
+def linear_cka(
+    df: DataFrame,
+    vec: str = "embedding",
+    m: int = 8,
+    dims: int | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Linear Centered Kernel Alignment between a full embedding and its
+    first-``m``-dimension truncation (Kornblith et al. ICML 2019 eq. 5,
+    feature-space form):
+
+        CKA(X, Y) = ||Cov(X,Y)||_F^2 / (||Cov(X,X)||_F * ||Cov(Y,Y)||_F)
+
+    — how much of the representation's structure the truncation keeps
+    (the quantitative companion to the Matryoshka family: CKA ~ 1 means
+    the prefix already spans the geometry).
+
+    Engine-exactness: ONE full d x d covariance table via a per-row
+    upper... no — all (i, j) pairs from a dim-pair self-join, products
+    rounded to 9dp and DECIMAL-summed, covariances rounded to 9dp,
+    squared terms rounded to 12dp and DECIMAL-summed into the three
+    Frobenius norms (all three read the SAME cov table: Cxy = the
+    (i < d, j < m) block, Cxx = everything, Cyy = the (i < m, j < m)
+    block). Returns one row (d, m, n, cka) at 6dp.
+
+    Scale note: the dim-pair join materializes n * d^2 slim rows —
+    the oracle-exact audit path, fine for d <= ~128. For d in the
+    hundreds use covariance_matrix(impl="gemm") and compute CKA from
+    its output (one Arrow pass; same formula).
+    """
+    if dims is None:
+        first = df.select(F.size(vec).alias("d")).first()
+        dims = int(first["d"])
+    if not 0 < m <= dims:
+        raise ValueError(f"need 0 < m <= dims, got m={m} dims={dims}")
+    ex = df.select(
+        F.col(id_col).alias("rid"),
+        F.posexplode(F.col(vec).cast("array<double>")).alias("i", "v"),
+    ).where(F.col("i") < dims)
+    a, b = ex.alias("a"), ex.alias("b")
+    prods = a.join(b, F.col("a.rid") == F.col("b.rid")).select(
+        F.col("a.i").alias("i"),
+        F.col("b.i").alias("j"),
+        (F.col("a.v") * F.col("b.v")).alias("xy"),
+        F.col("a.v").alias("x"),
+    )
+    sums = prods.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round("xy", 9).cast("decimal(25,9)"))
+        .cast("decimal(38,9)")
+        .cast("double")
+        .alias("sxy"),
+    )
+    means = (
+        ex.groupBy("i")
+        .agg(
+            F.round(
+                F.sum(F.round("v", 9).cast("decimal(20,9)"))
+                .cast("decimal(38,9)")
+                .cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mu")
+        )
+    )
+    mi = means.select(F.col("i"), F.col("mu").alias("mi"))
+    mj = means.select(F.col("i").alias("j"), F.col("mu").alias("mj"))
+    cov = (
+        sums.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            "i",
+            "j",
+            "n",
+            F.round(
+                F.col("sxy") / F.col("n") - F.col("mi") * F.col("mj"), 9
+            ).alias("c"),
+        )
+    )
+    sq = F.round(F.col("c") * F.col("c"), 12).cast("decimal(24,12)")
+    agg = cov.agg(
+        F.max("n").alias("n"),
+        F.sum(F.when((F.col("i") < dims) & (F.col("j") < m), sq))
+        .cast("decimal(38,12)")
+        .cast("double")
+        .alias("__fxy"),
+        F.sum(sq).cast("decimal(38,12)").cast("double").alias("__fxx"),
+        F.sum(F.when((F.col("i") < m) & (F.col("j") < m), sq))
+        .cast("decimal(38,12)")
+        .cast("double")
+        .alias("__fyy"),
+    )
+    return agg.select(
+        F.lit(dims).alias("d"),
+        F.lit(m).alias("m"),
+        F.col("n"),
+        F.round(
+            F.col("__fxy") / F.sqrt(F.col("__fxx") * F.col("__fyy")), 6
+        ).alias("cka"),
+    )

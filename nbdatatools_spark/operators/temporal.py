@@ -830,3 +830,164 @@ def interval_concurrency(
         .agg(F.max("concurrent").alias("max_concurrent"))
         .orderBy("bucket_start")
     )
+
+
+def theil_sen(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Theil-Sen robust trend per group (Theil 1950 / Sen 1968): slope =
+    median of all pairwise slopes, intercept = median of ``y - slope*x``
+    — the outlier-resistant replacement for least squares on noisy
+    volume/metric series (one bad day cannot drag the trend).
+
+    Intended for GROUPED, date-grain series: the pairwise self-join is
+    O(n^2) WITHIN each group (bounded — a year of daily points is ~66k
+    pairs), keyed on the group column so groups parallelize. Medians use
+    exact interpolated percentile (the mad_outliers convention,
+    = DuckDB quantile_cont). Returns (group, n_points, slope, intercept)
+    at 6dp.
+    """
+    # localCheckpoint: the series feeds both self-join sides, the count,
+    # and the residual pass — without it the upstream aggregate re-executes
+    # four times (11 -> 5 exchanges in the audited plan)
+    s = df.select(
+        F.col(group_col).alias("g"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    ).localCheckpoint(eager=False)
+    a, b = s.alias("a"), s.alias("b")
+    slopes = a.join(
+        b, (F.col("a.g") == F.col("b.g")) & (F.col("a.x") < F.col("b.x"))
+    ).select(
+        F.col("a.g").alias("g"),
+        ((F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x"))).alias("sl"),
+    )
+    med_slope = slopes.groupBy("g").agg(
+        F.expr("percentile(sl, 0.5)").alias("slope")
+    )
+    n_pts = s.groupBy("g").agg(F.count(F.lit(1)).alias("n_points"))
+    resid = s.join(F.broadcast(med_slope), "g").select(
+        "g", (F.col("y") - F.col("slope") * F.col("x")).alias("r")
+    )
+    med_int = resid.groupBy("g").agg(
+        F.expr("percentile(r, 0.5)").alias("intercept")
+    )
+    return (
+        n_pts.join(med_slope, "g")
+        .join(med_int, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "n_points",
+            F.round("slope", 6).alias("slope"),
+            F.round("intercept", 6).alias("intercept"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    n_boot: int = 200,
+    alpha: float = 0.05,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic bootstrap percentile CI for each group's mean
+    (Efron 1979): ``n_boot`` with-replacement resamples whose draws are a
+    pure function of (group, replicate, position, seed) via md5-uint52 —
+    partition-invariant, engine-portable, no RNG state.
+
+    Intended for grouped, BOUNDED series (date-grain metrics: the draws
+    table is groups x n_boot x n rows — a year of daily points at
+    B = 200 is 73k draws per group). ``order_col`` must totally order
+    each group's rows (the draw index addresses rows by that order).
+
+    Plan: per-group row index (one window over the bounded series),
+    draws generated by exploding two sequences map-side, ONE equi-join
+    back on (group, index), a (group, replicate) DECIMAL mean, then one
+    exact-percentile aggregate per group. Returns (group, n, mean,
+    ci_lo, ci_hi) at 6dp.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    w = Window.partitionBy("g").orderBy("o")
+    series = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(order_col).alias("o"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .withColumn("idx", F.row_number().over(w) - 1)
+        .localCheckpoint(eager=False)
+    )
+    sizes = series.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    draws = (
+        sizes.select(
+            "g", "n", F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("b")
+        )
+        .select(
+            "g", "n", "b",
+            F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("i"),
+        )
+        .select(
+            "g",
+            "b",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.col("g").cast("string"),
+                                F.col("b").cast("string"),
+                                F.col("i").cast("string"),
+                                F.lit(str(seed)),
+                            )
+                        ),
+                        1,
+                        13,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("n")
+            ).cast("int").alias("idx"),
+        )
+    )
+    boot_means = (
+        draws.join(series.select("g", "idx", "v"), ["g", "idx"])
+        .groupBy("g", "b")
+        .agg(
+            (
+                F.sum(F.round(F.col("v"), 9).cast("decimal(24,9)"))
+                .cast("decimal(38,9)")
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+    )
+    point = series.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.round(F.col("v"), 9).cast("decimal(24,9)"))
+            .cast("decimal(38,9)")
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean"),
+    )
+    lo, hi = alpha / 2.0, 1.0 - alpha / 2.0
+    ci = boot_means.groupBy("g").agg(
+        F.round(F.expr(f"percentile(m, {lo!r})"), 6).alias("ci_lo"),
+        F.round(F.expr(f"percentile(m, {hi!r})"), 6).alias("ci_hi"),
+    )
+    return (
+        point.join(ci, "g")
+        .select(F.col("g").alias(group_col), "n", "mean", "ci_lo", "ci_hi")
+        .orderBy(group_col)
+    )

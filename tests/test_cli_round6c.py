@@ -9,6 +9,7 @@ from nbdatatools_spark.__main__ import main
 SF = os.environ.get("NBDT_TEST_SF_DIR", "/root/testdata/sf0.001")
 DOCS = os.path.join(SF, "documents.parquet")
 EMB = os.path.join(SF, "embeddings.parquet")
+EVENTS = os.path.join(SF, "events.parquet")
 
 
 def _lines(capsys):
@@ -161,3 +162,21 @@ def test_corpus_cross_dedup_cli(spark, capsys, tmp_path):
     found = {(r["id_a"], r["id_b"]) for r in rows}
     assert all(ia % 2 == 0 and ia < 10**6 for ia, _ in found)
     assert (0, 10**6) in found  # the planted copy of doc 0
+
+
+def test_events_theil_sen_cli(spark, capsys):
+    assert main(["events", "theil_sen", "--input", EVENTS]) == 0
+    rows = _lines(capsys)
+    assert rows and all({"slope", "intercept", "n_points"} <= set(r) for r in rows)
+
+
+def test_events_bootstrap_ci_cli(spark, capsys):
+    assert main(["events", "bootstrap_ci", "--input", EVENTS, "--n-boot", "50"]) == 0
+    rows = _lines(capsys)
+    assert rows and all(r["ci_lo"] <= r["mean"] <= r["ci_hi"] for r in rows)
+
+
+def test_analyze_cka_cli(spark, capsys):
+    assert main(["analyze", "cka", "--input", EMB, "-m", "16"]) == 0
+    rows = _lines(capsys)
+    assert rows[0]["m"] == 16 and 0.0 < rows[0]["cka"] <= 1.0
