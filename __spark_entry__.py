@@ -3939,6 +3939,35 @@ def embedding_cka(spark, sf_dir):
     return linear_cka(emb, vec="embedding", m=8, id_col="vec_id")
 
 
+def events_dp_counts(spark, sf_dir):
+    """Differentially-private event-type counts (analysis.py::dp_counts,
+    Laplace mechanism at eps = 1): deterministic md5-seeded noise so the
+    release is reproducible and SQL-replayable; true count + abs error
+    kept for the mechanism audit."""
+    from nbdatatools_spark.operators.analysis import dp_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return dp_counts(ev, "event_type", epsilon=1.0, seed=42)
+
+
+def orders_rollup_revenue(spark, sf_dir):
+    """ROLLUP revenue report over (priority, status) — subtotals + grand
+    total with grouping_id disambiguating NULL keys from rolled-up
+    levels. Beyond-reference relational surface (the reference has no
+    grouping sets; SURVEY §2.4); DECIMAL-exact money sums."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            _dbl(F.sum(_dec2("o_totalprice"))).alias("revenue"),
+        )
+        .select("gid", "o_orderpriority", "o_orderstatus", "n_orders", "revenue")
+        .orderBy("gid", "o_orderpriority", "o_orderstatus")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4194,6 +4223,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_theil_sen": events_theil_sen,
         "events_bootstrap_ci": events_bootstrap_ci,
         "embedding_cka": embedding_cka,
+        # round-6 batch 7 (pending first recording; round-7 window rotation)
+        "events_dp_counts": events_dp_counts,
+        "orders_rollup_revenue": orders_rollup_revenue,
     }
 
 
@@ -4215,6 +4247,8 @@ PENDING_FIRST_RECORDING: frozenset[str] = frozenset(
         "events_theil_sen",
         "events_bootstrap_ci",
         "embedding_cka",
+        "events_dp_counts",
+        "orders_rollup_revenue",
     }
 )
 
@@ -8752,5 +8786,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n AS BIGINT) AS n,
                    round(fxy / sqrt(fxx * fyy), 6) AS cka
             FROM agg
+        """,
+        # Laplace-mechanism counts: md5 uniform -> inverse-CDF noise
+        "events_dp_counts": """
+            WITH c AS (SELECT event_type AS g, count(*) AS n
+                       FROM events GROUP BY 1),
+            u AS (SELECT g, n,
+                         (('0x' || substring(md5(g || ':42'), 1, 13))::BIGINT + 0.5)
+                         / 4503599627370496.0 - 0.5 AS uu
+                  FROM c),
+            z AS (SELECT g, n,
+                         -1.0 * sign(uu) * ln(1.0 - 2.0 * abs(uu)) AS noise
+                  FROM u)
+            SELECT g AS event_type,
+                   round(n + noise, 6) AS noisy_count,
+                   CAST(n AS BIGINT) AS true_count,
+                   round(abs(noise), 6) AS abs_error
+            FROM z ORDER BY event_type
+        """,
+        # ROLLUP subtotals: grouping_id == DuckDB GROUPING bitmask
+        "orders_rollup_revenue": """
+            SELECT CAST(GROUPING(o_orderpriority, o_orderstatus) AS INT) AS gid,
+                   o_orderpriority, o_orderstatus,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM orders
+            GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+            ORDER BY gid, o_orderpriority, o_orderstatus
         """,
     }

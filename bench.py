@@ -130,6 +130,9 @@ HEADLINE = [
     "events_theil_sen",
     "events_bootstrap_ci",
     "embedding_cka",
+    # round-6 batch-7 additions
+    "events_dp_counts",
+    "orders_rollup_revenue",
 ]
 
 

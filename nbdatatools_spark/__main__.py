@@ -20,6 +20,7 @@ reference user can run the same commands against the Spark engine:
     slab get|namespaces|check|analyze|import|append|export|rewrite
         (byte-compatible slabtastic .slab files — cli/CMD_slab_*.java)
     events seasonal|cusum|mad|concurrency|triangles|theil_sen|bootstrap_ci
+           |dp_counts
     explain (physical plan + Catalyst cost estimates for any gate query)
     cleanup cleanfvec
     version
@@ -992,6 +993,12 @@ def _cmd_events(args) -> int:
                 ev, ts_col=args.ts_col, duration_minutes=args.duration
             )
         )
+    if args.what == "dp_counts":
+        from nbdatatools_spark.operators.analysis import dp_counts
+
+        return _emit_rows(
+            dp_counts(ev, args.key_col, epsilon=args.epsilon, seed=args.seed)
+        )
     if args.what in ("theil_sen", "bootstrap_ci"):
         daily = ev.groupBy(
             args.key_col, F.to_date(args.ts_col).alias("__d")
@@ -1677,7 +1684,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     evp = sub.add_parser("events").add_subparsers(dest="what", required=True)
     for w in ("seasonal", "cusum", "mad", "concurrency", "triangles",
-              "theil_sen", "bootstrap_ci"):
+              "theil_sen", "bootstrap_ci", "dp_counts"):
         ev = evp.add_parser(w)
         ev.add_argument("--input", required=True)
         ev.add_argument("--ts-col", default="ts")
@@ -1692,11 +1699,14 @@ def build_parser() -> argparse.ArgumentParser:
         if w == "triangles":
             ev.add_argument("--key-col", default="event_type")
             ev.add_argument("--node-col", default="user_id")
-        if w in ("theil_sen", "bootstrap_ci"):
+        if w in ("theil_sen", "bootstrap_ci", "dp_counts"):
             ev.add_argument("--key-col", default="event_type")
         if w == "bootstrap_ci":
             ev.add_argument("--n-boot", type=int, default=200)
             ev.add_argument("--alpha", type=float, default=0.05)
+        if w == "dp_counts":
+            ev.add_argument("--epsilon", type=float, default=1.0)
+            ev.add_argument("--seed", type=int, default=42)
         ev.set_defaults(func=_cmd_events)
 
     cl = sub.add_parser("cleanup").add_subparsers(dest="what", required=True)

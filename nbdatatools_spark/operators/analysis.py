@@ -1749,3 +1749,61 @@ def linear_cka(
             F.col("__fxy") / F.sqrt(F.col("__fxx") * F.col("__fyy")), 6
         ).alias("cka"),
     )
+
+
+def dp_counts(
+    df: DataFrame,
+    group_col: str,
+    epsilon: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Differentially-private group counts via the Laplace mechanism
+    (Dwork et al. 2006; sensitivity 1 for a count), with DETERMINISTIC
+    noise: the Laplace draw is inverse-CDF over an md5-uint52 uniform of
+    (group, seed) — reproducible across runs, partitionings, and engines
+    (the repo's sampling convention applied to noise).
+
+        u ~ U(-1/2, 1/2);  noise = -(1/eps) * sign(u) * ln(1 - 2|u|)
+
+    Returns (group, noisy_count, true_count, abs_error) at 6dp. The
+    true-count/error columns exist for MECHANISM AUDITS (calibration of
+    eps against observed error) — an actual private release publishes
+    noisy_count alone and discards the rest. One aggregate + a map-side
+    noise projection; any scale.
+
+    Deterministic-noise caveat: a fixed seed means re-releasing the same
+    group never re-randomizes — correct for audit reproducibility, but a
+    production release must rotate seeds per release to avoid averaging
+    attacks.
+    """
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0, got {epsilon}")
+    counts = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("g").cast("string"), F.lit(str(seed)))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 52)) - F.lit(0.5)
+    noise = (
+        F.lit(-1.0 / epsilon)
+        * F.signum(u)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u))
+    )
+    return (
+        counts.select(
+            F.col("g").alias(group_col),
+            F.round(F.col("n") + noise, 6).alias("noisy_count"),
+            F.col("n").alias("true_count"),
+            F.round(F.abs(noise), 6).alias("abs_error"),
+        )
+        .orderBy(group_col)
+    )

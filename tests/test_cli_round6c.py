@@ -180,3 +180,13 @@ def test_analyze_cka_cli(spark, capsys):
     assert main(["analyze", "cka", "--input", EMB, "-m", "16"]) == 0
     rows = _lines(capsys)
     assert rows[0]["m"] == 16 and 0.0 < rows[0]["cka"] <= 1.0
+
+
+def test_events_dp_counts_cli(spark, capsys):
+    assert main(["events", "dp_counts", "--input", EVENTS, "--epsilon", "2.0"]) == 0
+    rows = _lines(capsys)
+    assert rows and all(
+        abs(r["noisy_count"] - r["true_count"]) == r["abs_error"]
+        or abs(abs(r["noisy_count"] - r["true_count"]) - r["abs_error"]) < 1e-6
+        for r in rows
+    )

@@ -121,3 +121,55 @@ def test_cka_validation(spark, embeddings):
         linear_cka(embeddings, m=0)
     with pytest.raises(ValueError):
         linear_cka(embeddings, m=65)
+
+
+# --- dp counts / rollup (batch 7) ---------------------------------------------
+
+
+def test_dp_counts_mechanism(spark):
+    import hashlib
+    import math
+
+    from nbdatatools_spark.operators.analysis import dp_counts
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 70 else "b") for i in range(100)], "i long, g string"
+    )
+    out = {r["g"]: r for r in dp_counts(df, "g", epsilon=1.0, seed=42).collect()}
+    assert out["a"]["true_count"] == 70 and out["b"]["true_count"] == 30
+    # replay the deterministic Laplace draw in pure python
+    for g, n in (("a", 70), ("b", 30)):
+        h = int(hashlib.md5(f"{g}:42".encode()).hexdigest()[:13], 16)
+        u = (h + 0.5) / float(1 << 52) - 0.5
+        noise = -1.0 * math.copysign(1.0, u) * math.log(1.0 - 2.0 * abs(u))
+        assert out[g]["noisy_count"] == pytest.approx(n + noise, abs=1e-6)
+        assert out[g]["abs_error"] == pytest.approx(abs(noise), abs=1e-6)
+    # determinism across partitionings
+    out2 = {r["g"]: r["noisy_count"] for r in dp_counts(df.repartition(7), "g").collect()}
+    assert out2 == {g: r["noisy_count"] for g, r in out.items()}
+    with pytest.raises(ValueError):
+        dp_counts(df, "g", epsilon=0)
+
+
+def test_dp_counts_error_scales_with_epsilon(spark):
+    from nbdatatools_spark.operators.analysis import dp_counts
+
+    df = spark.createDataFrame([(i, f"g{i%20}") for i in range(200)], "i long, g string")
+    e1 = sum(r["abs_error"] for r in dp_counts(df, "g", epsilon=1.0).collect())
+    e10 = sum(r["abs_error"] for r in dp_counts(df, "g", epsilon=10.0).collect())
+    assert e10 == pytest.approx(e1 / 10.0, rel=1e-6)  # error ~ 1/eps exactly
+
+
+def test_rollup_revenue_consistency(spark, sf_dir):
+    import __spark_entry__ as e
+
+    out = e.orders_rollup_revenue(spark, sf_dir).collect()
+    detail = [r for r in out if r["gid"] == 0]
+    subtotal = {r["o_orderpriority"]: r for r in out if r["gid"] == 1}
+    grand = [r for r in out if r["gid"] == 3]
+    assert len(grand) == 1
+    assert grand[0]["n_orders"] == sum(r["n_orders"] for r in detail)
+    for p, s in subtotal.items():
+        rows = [r for r in detail if r["o_orderpriority"] == p]
+        assert s["n_orders"] == sum(r["n_orders"] for r in rows)
+        assert s["revenue"] == pytest.approx(sum(r["revenue"] for r in rows), abs=0.01)
