@@ -4001,10 +4001,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     heavy hitters, silhouette — they displaced the r3-era refresh
     entries, which are all hash-green in recorded rounds, back to the
     tail); 49 = fit_embeddings_model (pinned-invariant oracle, green in
-    r5). After this round every registry entry EXCEPT the 10
-    PENDING_FIRST_RECORDING batch-4/5 additions (window was full) has a
-    driver CORRECTNESS row; round 7 rotates those 10 into slots 0-9,
-    displacing long-green entries to the tail.
+    r5). After this round every registry entry EXCEPT the 15
+    PENDING_FIRST_RECORDING batch-4/5/6/7 additions (window was full)
+    has a driver CORRECTNESS row; round 7 rotates those 15 into slots
+    0-14, displacing long-green entries to the tail.
     """
     return {
         # -- round-6 window slots 0-23: the 24 entries never driver-
