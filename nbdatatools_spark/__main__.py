@@ -21,6 +21,7 @@ reference user can run the same commands against the Spark engine:
         (byte-compatible slabtastic .slab files — cli/CMD_slab_*.java)
     events seasonal|cusum|mad|concurrency|triangles|theil_sen|bootstrap_ci
            |dp_counts
+    fetch dlhf (Hugging Face dataset download; gated on huggingface_hub)
     explain (physical plan + Catalyst cost estimates for any gate query)
     cleanup cleanfvec
     version
@@ -787,6 +788,24 @@ def _cmd_corpus_bloom_decontam(args) -> int:
     print(json.dumps(summary.asDict()))
     for r in out.where("contaminated").orderBy("id").collect():
         print(json.dumps(r.asDict()))
+    return 0
+
+
+def _cmd_fetch_dlhf(args) -> int:
+    """Hugging Face dataset fetch (reference `fetch dlhf`, README.md:85-86).
+    Gated on huggingface_hub: absent -> exit 1 with the install hint
+    (never fake success — the multimodal-stub policy)."""
+    from nbdatatools_spark.sources.convert import fetch_hf_dataset
+
+    try:
+        path = fetch_hf_dataset(
+            args.repo_id, args.local_dir,
+            allow_patterns=args.allow_patterns or None,
+        )
+    except NotImplementedError as e:
+        print(json.dumps({"error": str(e)}))
+        return 1
+    print(json.dumps({"downloaded": path}))
     return 0
 
 
@@ -1708,6 +1727,13 @@ def build_parser() -> argparse.ArgumentParser:
             ev.add_argument("--epsilon", type=float, default=1.0)
             ev.add_argument("--seed", type=int, default=42)
         ev.set_defaults(func=_cmd_events)
+
+    fx = sub.add_parser("fetch").add_subparsers(dest="what", required=True)
+    fd = fx.add_parser("dlhf")
+    fd.add_argument("repo_id")
+    fd.add_argument("--local-dir", required=True)
+    fd.add_argument("--allow-patterns", nargs="*", default=None)
+    fd.set_defaults(func=_cmd_fetch_dlhf)
 
     cl = sub.add_parser("cleanup").add_subparsers(dest="what", required=True)
     cc = cl.add_parser("cleanfvec")

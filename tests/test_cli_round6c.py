@@ -190,3 +190,17 @@ def test_events_dp_counts_cli(spark, capsys):
         or abs(abs(r["noisy_count"] - r["true_count"]) - r["abs_error"]) < 1e-6
         for r in rows
     )
+
+
+def test_fetch_dlhf_cli_gated(spark, capsys):
+    """Without huggingface_hub the command exits 1 with the install hint
+    (loud failure, never fake success)."""
+    try:
+        import huggingface_hub  # noqa: F401
+
+        return  # hub present in this env: the gate path is not testable
+    except ImportError:
+        pass
+    assert main(["fetch", "dlhf", "some/repo", "--local-dir", "/tmp/x"]) == 1
+    rows = _lines(capsys)
+    assert "huggingface_hub" in rows[0]["error"]
