@@ -689,6 +689,49 @@ def kneser_ney_bigrams(
     )
 
 
+def _cms_tokens(df: DataFrame, text_col: str) -> DataFrame:
+    """Normalized token stream for the CMS family (shared by the batch
+    audit and the streaming sketch — identical tokenization, so the
+    stream-equals-batch parity holds by construction)."""
+    from nbdatatools_spark.functions.text import normalize_text
+
+    return df.select(
+        F.explode_outer(tokens(normalize_text(F.col(text_col)))).alias("token")
+    ).where(F.length("token") > 0)
+
+
+def _cms_pos(d: int, tok, width: int):
+    """Row-d sketch position of a token: md5-uint52 of 'd:token' mod width
+    (the repo's portable hash convention — DuckDB-replicable)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(str(d)), tok)), 1, 13), 16, 10
+    ).cast("long")
+    return (h % F.lit(width)).cast("int")
+
+
+def cms_cells(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-min-sketch cell counts (d, pos, cnt) over a document frame —
+    the shared build for :func:`cms_heavy_hitters` (batch audit) and
+    ``streaming.events.stream_cms_sketch`` (running sketch as native
+    streaming aggregation state). ONE groupBy over (row, position) keys
+    with map-side combine; at most depth*width result cells regardless of
+    corpus size."""
+    toks = _cms_tokens(df, text_col)
+    stack_args = []
+    for d in range(depth):
+        stack_args += [F.lit(d), _cms_pos(d, F.col("token"), width)]
+    return (
+        toks.select(F.stack(F.lit(depth), *stack_args).alias("d", "pos"))
+        .groupBy("d", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def cms_heavy_hitters(
     df: DataFrame,
     text_col: str = "text",
@@ -716,27 +759,12 @@ def cms_heavy_hitters(
     Returns (token, exact_n, cms_est, overestimate) ordered by
     (exact_n DESC, token).
     """
-    from nbdatatools_spark.functions.text import normalize_text
-
-    toks = (
-        df.select(F.explode_outer(tokens(normalize_text(F.col(text_col)))).alias("token"))
-        .where(F.length("token") > 0)
-    )
+    toks = _cms_tokens(df, text_col)
 
     def pos_of(d, tok):
-        h = F.conv(
-            F.substring(F.md5(F.concat_ws(":", F.lit(str(d)), tok)), 1, 13), 16, 10
-        ).cast("long")
-        return (h % F.lit(width)).cast("int")
+        return _cms_pos(d, tok, width)
 
-    stack_args = []
-    for d in range(depth):
-        stack_args += [F.lit(d), pos_of(d, F.col("token"))]
-    cells = (
-        toks.select(F.stack(F.lit(depth), *stack_args).alias("d", "pos"))
-        .groupBy("d", "pos")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    cells = cms_cells(df, text_col=text_col, depth=depth, width=width)
 
     exact = (
         toks.groupBy("token")

@@ -327,3 +327,28 @@ def stream_drift_monitor(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_cms_sketch(
+    stream: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Running count-min sketch over a document STREAM: the same (d, pos)
+    cell aggregation as the batch ``operators.lm.cms_cells``, expressed as
+    a native streaming aggregation — Spark keeps the running counts as
+    aggregation state, and the state is BOUNDED at depth*width cells
+    regardless of how much text flows through (the whole point of a
+    sketch in a stream: frequency tracking with O(1) memory, no watermark
+    or eviction needed because the key space cannot grow).
+
+    Returns the streaming cells frame (d, pos, cnt); drive it with
+    outputMode("complete") to a sink (or foreachBatch-snapshot it).
+    Stream-equals-batch: draining any prefix of the stream yields exactly
+    ``cms_cells`` of the same rows — pinned by
+    tests/test_streaming.py::test_stream_cms_equals_batch.
+    """
+    from nbdatatools_spark.operators.lm import cms_cells
+
+    return cms_cells(stream, text_col=text_col, depth=depth, width=width)

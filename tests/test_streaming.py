@@ -414,3 +414,40 @@ def test_stream_drift_monitor_matches_batch_psi(spark, tmp_path, sf_dir):
     assert len(got) == len(expect)  # one micro-batch (single file)
     for (bid, dim), v in got.items():
         assert v == expect[dim]
+
+
+def test_stream_cms_equals_batch(spark, sf_dir, tmp_path):
+    """Running CMS sketch: draining the document stream leaves exactly the
+    batch cms_cells counts in the (bounded, depth x width) aggregation
+    state — and the sketch never underestimates."""
+    from nbdatatools_spark.operators.lm import cms_cells
+    from nbdatatools_spark.streaming.events import stream_cms_sketch
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    docs = spark.read.parquet(src)
+    expected = {
+        (r["d"], r["pos"]): r["cnt"]
+        for r in cms_cells(docs, depth=4, width=256).collect()
+    }
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.dirname(src) if src.endswith(".parquet") and not os.path.isdir(src) else src)
+    )
+    cells = stream_cms_sketch(stream, depth=4, width=256)
+    q = (
+        cells.writeStream.format("memory")
+        .queryName("cms_cells_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "cms_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["d"], r["pos"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM cms_cells_stream").collect()
+    }
+    assert got == expected
+    assert len(got) <= 4 * 256  # bounded state
