@@ -3968,6 +3968,51 @@ def orders_rollup_revenue(spark, sf_dir):
     )
 
 
+def doc_pii_redaction(spark, sf_dir):
+    """PII scrub audit (functions/text.py::redact_pii + pii_counts):
+    emails/IPs/phones injected deterministically (doc_id % 4/7/5), typed
+    placeholders substituted in redaction order so a dotted quad never
+    double-counts as a phone. Chained codegen regex — map-side only."""
+    from nbdatatools_spark.functions.text import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    injected = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(t, F.lit(" contact bob@example.com now")))
+        .when(F.col("doc_id") % 7 == 0, F.concat(t, F.lit(" from 192.168.10.42 today")))
+        .when(F.col("doc_id") % 5 == 0, F.concat(t, F.lit(" call 555-123-4567")))
+        .otherwise(t)
+    )
+    return (
+        docs.select("doc_id", injected.alias("__t"))
+        .select(
+            "doc_id",
+            pii_counts(F.col("__t")).alias("c"),
+            redact_pii(F.col("__t")).alias("redacted"),
+        )
+        .select("doc_id", "c.*", "redacted")
+        .orderBy("doc_id")
+    )
+
+
+def events_k_anonymity(spark, sf_dir):
+    """k-anonymity audit at k=5 over the (event_type, day, value-decile)
+    quasi-identifier tuple (quality_checks.py::k_anonymity) — the
+    equivalence classes a grouped release would expose. The release-gate
+    companion to events_dp_counts."""
+    from nbdatatools_spark.operators.quality_checks import k_anonymity
+
+    ev = _t(spark, sf_dir, "events")
+    quasi = ev.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.least(F.greatest(F.floor(F.col("value") / 10), F.lit(0)), F.lit(9))
+        .cast("int")
+        .alias("value_bin"),
+    )
+    return k_anonymity(quasi, ["event_type", "day", "value_bin"], k=5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4001,10 +4046,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     heavy hitters, silhouette — they displaced the r3-era refresh
     entries, which are all hash-green in recorded rounds, back to the
     tail); 49 = fit_embeddings_model (pinned-invariant oracle, green in
-    r5). After this round every registry entry EXCEPT the 15
+    r5). After this round every registry entry EXCEPT the 17
     PENDING_FIRST_RECORDING batch-4/5/6/7 additions (window was full)
-    has a driver CORRECTNESS row; round 7 rotates those 15 into slots
-    0-14, displacing long-green entries to the tail.
+    has a driver CORRECTNESS row; round 7 rotates those 17 into slots
+    0-16, displacing long-green entries to the tail.
     """
     return {
         # -- round-6 window slots 0-23: the 24 entries never driver-
@@ -4226,6 +4271,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6 batch 7 (pending first recording; round-7 window rotation)
         "events_dp_counts": events_dp_counts,
         "orders_rollup_revenue": orders_rollup_revenue,
+        "doc_pii_redaction": doc_pii_redaction,
+        "events_k_anonymity": events_k_anonymity,
     }
 
 
@@ -4249,6 +4296,8 @@ PENDING_FIRST_RECORDING: frozenset[str] = frozenset(
         "embedding_cka",
         "events_dp_counts",
         "orders_rollup_revenue",
+        "doc_pii_redaction",
+        "events_k_anonymity",
     }
 )
 
@@ -8813,5 +8862,52 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
             ORDER BY gid, o_orderpriority, o_orderstatus
+        """,
+        # PII scrub: chained global regexp_replace in redaction order;
+        # counts on the previous stage's output (no double counting)
+        "doc_pii_redaction": """
+            WITH t0 AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 4 = 0 THEN text || ' contact bob@example.com now'
+                            WHEN doc_id % 7 = 0 THEN text || ' from 192.168.10.42 today'
+                            WHEN doc_id % 5 = 0 THEN text || ' call 555-123-4567'
+                            ELSE text END AS t
+                FROM documents),
+            s1 AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+                       regexp_replace(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '[EMAIL]', 'g') AS t1
+                FROM t0),
+            s2 AS (
+                SELECT doc_id, n_emails,
+                       CAST(len(regexp_extract_all(t1,
+                           '\\b(?:(?:25[0-5]|2[0-4]\\d|1?\\d?\\d)\\.){3}(?:25[0-5]|2[0-4]\\d|1?\\d?\\d)\\b')) AS INT) AS n_ips,
+                       regexp_replace(t1,
+                           '\\b(?:(?:25[0-5]|2[0-4]\\d|1?\\d?\\d)\\.){3}(?:25[0-5]|2[0-4]\\d|1?\\d?\\d)\\b',
+                           '[IP]', 'g') AS t2
+                FROM s1),
+            s3 AS (
+                SELECT doc_id, n_emails, n_ips,
+                       CAST(len(regexp_extract_all(t2,
+                           '\\b(?:\\+?\\d{1,3}[-. ])?(?:\\(\\d{2,4}\\)[-. ]?)?\\d{3,4}[-. ]\\d{3,4}(?:[-. ]\\d{2,4})?\\b')) AS INT) AS n_phones,
+                       regexp_replace(t2,
+                           '\\b(?:\\+?\\d{1,3}[-. ])?(?:\\(\\d{2,4}\\)[-. ]?)?\\d{3,4}[-. ]\\d{3,4}(?:[-. ]\\d{2,4})?\\b',
+                           '[PHONE]', 'g') AS redacted
+                FROM s2)
+            SELECT doc_id, n_emails, n_phones, n_ips, redacted
+            FROM s3 ORDER BY doc_id
+        """,
+        # k-anonymity: equivalence classes below k over the quasi tuple
+        "events_k_anonymity": """
+            WITH q AS (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       CAST(least(greatest(floor(value / 10), 0), 9) AS INT) AS value_bin
+                FROM events)
+            SELECT event_type, day, value_bin, count(*) AS n
+            FROM q GROUP BY 1, 2, 3 HAVING count(*) < 5
+            ORDER BY event_type, day, value_bin
         """,
     }

@@ -133,6 +133,8 @@ HEADLINE = [
     # round-6 batch-7 additions
     "events_dp_counts",
     "orders_rollup_revenue",
+    "doc_pii_redaction",
+    "events_k_anonymity",
 ]
 
 

@@ -20,7 +20,7 @@ reference user can run the same commands against the Spark engine:
     slab get|namespaces|check|analyze|import|append|export|rewrite
         (byte-compatible slabtastic .slab files — cli/CMD_slab_*.java)
     events seasonal|cusum|mad|concurrency|triangles|theil_sen|bootstrap_ci
-           |dp_counts
+           |dp_counts|k_anonymity
     fetch dlhf (Hugging Face dataset download; gated on huggingface_hub)
     explain (physical plan + Catalyst cost estimates for any gate query)
     cleanup cleanfvec
@@ -1012,6 +1012,17 @@ def _cmd_events(args) -> int:
                 ev, ts_col=args.ts_col, duration_minutes=args.duration
             )
         )
+    if args.what == "k_anonymity":
+        from nbdatatools_spark.operators.quality_checks import k_anonymity
+
+        quasi = [c.strip() for c in args.quasi.split(",") if c.strip()]
+        risky = k_anonymity(ev, quasi, k=args.k).localCheckpoint(eager=False)
+        summary = risky.agg(
+            F.count(F.lit(1)).alias("n_risky_groups"),
+            F.coalesce(F.sum("n"), F.lit(0)).alias("n_rows_at_risk"),
+        ).first()
+        print(json.dumps(summary.asDict()))
+        return _emit_rows(risky.limit(args.limit))
     if args.what == "dp_counts":
         from nbdatatools_spark.operators.analysis import dp_counts
 
@@ -1703,7 +1714,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     evp = sub.add_parser("events").add_subparsers(dest="what", required=True)
     for w in ("seasonal", "cusum", "mad", "concurrency", "triangles",
-              "theil_sen", "bootstrap_ci", "dp_counts"):
+              "theil_sen", "bootstrap_ci", "dp_counts", "k_anonymity"):
         ev = evp.add_parser(w)
         ev.add_argument("--input", required=True)
         ev.add_argument("--ts-col", default="ts")
@@ -1726,6 +1737,10 @@ def build_parser() -> argparse.ArgumentParser:
         if w == "dp_counts":
             ev.add_argument("--epsilon", type=float, default=1.0)
             ev.add_argument("--seed", type=int, default=42)
+        if w == "k_anonymity":
+            ev.add_argument("--quasi", default="event_type,user_id")
+            ev.add_argument("-k", type=int, default=5)
+            ev.add_argument("--limit", type=int, default=100)
         ev.set_defaults(func=_cmd_events)
 
     fx = sub.add_parser("fetch").add_subparsers(dest="what", required=True)

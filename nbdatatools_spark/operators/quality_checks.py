@@ -225,3 +225,27 @@ def profile_columns(
             )
         )
     return row.select(F.explode(F.array(*entries)).alias("__p")).select("__p.*")
+
+
+def k_anonymity(df, quasi_cols, k: int = 5):
+    """k-anonymity audit (Sweeney 2002): equivalence classes over the
+    quasi-identifier columns with fewer than ``k`` members — the groups a
+    release at this granularity would expose to re-identification. The
+    release-gating companion to analysis.dp_counts: run this BEFORE
+    publishing any grouped aggregate of user-linked data.
+
+    ONE groupBy over the quasi tuple with map-side combine; the risky-set
+    result is bounded by the quasi-space, not the row count. Returns the
+    risky groups (quasi values + n) ordered by the quasi columns; empty
+    result == the release is k-anonymous at this granularity.
+    """
+    from pyspark.sql import functions as F
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") < k)
+        .orderBy(*quasi_cols)
+    )

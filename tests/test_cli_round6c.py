@@ -204,3 +204,11 @@ def test_fetch_dlhf_cli_gated(spark, capsys):
     assert main(["fetch", "dlhf", "some/repo", "--local-dir", "/tmp/x"]) == 1
     rows = _lines(capsys)
     assert "huggingface_hub" in rows[0]["error"]
+
+
+def test_events_k_anonymity_cli(spark, capsys):
+    assert main(["events", "k_anonymity", "--input", EVENTS, "-k", "3",
+                 "--quasi", "event_type,user_id", "--limit", "5"]) == 0
+    rows = _lines(capsys)
+    assert {"n_risky_groups", "n_rows_at_risk"} <= set(rows[0])
+    assert all(r["n"] < 3 for r in rows[1:])

@@ -173,3 +173,53 @@ def test_rollup_revenue_consistency(spark, sf_dir):
         rows = [r for r in detail if r["o_orderpriority"] == p]
         assert s["n_orders"] == sum(r["n_orders"] for r in rows)
         assert s["revenue"] == pytest.approx(sum(r["revenue"] for r in rows), abs=0.01)
+
+
+# --- privacy gates (batch 7b) --------------------------------------------------
+
+
+def test_k_anonymity_risky_groups(spark):
+    from nbdatatools_spark.operators.quality_checks import k_anonymity
+
+    rows = [("a", 1)] * 10 + [("a", 2)] * 3 + [("b", 1)] * 1
+    df = spark.createDataFrame(rows, "g string, v int")
+    out = {(r["g"], r["v"]): r["n"] for r in k_anonymity(df, ["g", "v"], k=5).collect()}
+    assert out == {("a", 2): 3, ("b", 1): 1}
+    # k-anonymous release -> empty result
+    assert k_anonymity(df.where("g = 'a' and v = 1"), ["g", "v"], k=5).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        k_anonymity(df, ["g"], k=1)
+
+
+def test_pii_redaction_and_counts(spark):
+    from nbdatatools_spark.functions.text import pii_counts, redact_pii
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail me at a.b+c@test.org or x@y.io thanks"),
+            (1, "server 10.0.0.1 and 255.255.255.255 up"),
+            (2, "call 555-123-4567 or (044) 1234-5678"),
+            (3, "plain text, no pii at all"),
+            (4, "ip 192.168.1.1 is not a phone"),
+        ],
+        "i long, t string",
+    )
+    rows = {
+        r["i"]: r
+        for r in df.select(
+            "i", pii_counts(F.col("t")).alias("c"), redact_pii(F.col("t")).alias("red")
+        )
+        .select("i", "c.*", "red")
+        .collect()
+    }
+    assert rows[0]["n_emails"] == 2 and "[EMAIL]" in rows[0]["red"]
+    assert "@" not in rows[0]["red"]
+    assert rows[1]["n_ips"] == 2 and rows[1]["n_phones"] == 0
+    assert rows[2]["n_phones"] == 2 and "[PHONE]" in rows[2]["red"]
+    assert rows[3]["n_emails"] == rows[3]["n_phones"] == rows[3]["n_ips"] == 0
+    assert rows[3]["red"] == "plain text, no pii at all"
+    # the IP-before-phone ordering: dotted quad never counted as phone
+    assert rows[4]["n_ips"] == 1 and rows[4]["n_phones"] == 0
