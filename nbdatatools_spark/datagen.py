@@ -156,20 +156,32 @@ def make_test_dataset(
     from nbdatatools_spark.sources.xvec import write_xvec
 
     os.makedirs(outdir, exist_ok=True)
+    # persisted for the four writes below; try/finally so an aborted write
+    # can't leave session-lifetime cached RDDs behind (VERDICT r6 nit)
     base = generate_vectors(spark, n_base, dimensions, seed=seed).persist()
     queries = generate_vectors(spark, n_query, dimensions, seed=seed + 1).persist()
     truth = exact_knn(queries, base, k=k, metric=metric).persist()
 
-    write_xvec(base, os.path.join(outdir, "base.fvec"))
-    write_xvec(queries, os.path.join(outdir, "query.fvec"))
-    write_xvec(
-        truth.select("ordinal", F.col("indices").cast("array<int>").alias("vector")),
-        os.path.join(outdir, "indices.ivec"),
-    )
-    write_xvec(
-        truth.select("ordinal", F.col("distances").cast("array<float>").alias("vector")),
-        os.path.join(outdir, "distances.fvec"),
-    )
+    try:
+        write_xvec(base, os.path.join(outdir, "base.fvec"))
+        write_xvec(queries, os.path.join(outdir, "query.fvec"))
+        write_xvec(
+            truth.select(
+                "ordinal", F.col("indices").cast("array<int>").alias("vector")
+            ),
+            os.path.join(outdir, "indices.ivec"),
+        )
+        write_xvec(
+            truth.select(
+                "ordinal",
+                F.col("distances").cast("array<float>").alias("vector"),
+            ),
+            os.path.join(outdir, "distances.fvec"),
+        )
+    finally:
+        base.unpersist()
+        queries.unpersist()
+        truth.unpersist()
     manifest = f"""name: {os.path.basename(os.path.normpath(outdir))}
 attributes:
   dimensions: {dimensions}
@@ -186,9 +198,6 @@ profiles:
 """
     with open(os.path.join(outdir, "dataset.yaml"), "w") as f:
         f.write(manifest)
-    base.unpersist()
-    queries.unpersist()
-    truth.unpersist()
     from nbdatatools_spark.sources.dataset import load_dataset
 
     return load_dataset(outdir)

@@ -68,10 +68,11 @@ def bigram_lm_score(
         )
 
     corpus_toks = _toks(corpus)
-    # unigram counts keyed by md5(token); V = distinct tokens. Persisted
-    # (vocab-sized, the facets.py caching pattern): the V count job
-    # materializes it, and the scoring join below reuses the cached
-    # counts instead of re-tokenizing the corpus.
+    # unigram counts keyed by md5(token); V = distinct tokens. Local-
+    # checkpointed (lazy — the module's reuse policy: released when the
+    # frame is GC'd, no session-lifetime persistentRDDs entry): the V
+    # count job materializes it, and the scoring join below reuses the
+    # cached counts instead of re-tokenizing the corpus.
     # explode_outer across this module: inner explode's inferred size()>0
     # filter inlines the tokenize chain into an interpreted per-row scan
     # filter (the winnow_candidate_pairs trap; measured 3x on this gate).
@@ -82,7 +83,7 @@ def bigram_lm_score(
         .where(F.col("__w").isNotNull())
         .groupBy(F.md5(F.col("__w")).alias("__h1"))
         .agg(F.count(F.lit(1)).alias("__n1"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     vocab_size = uni.count()  # bounded driver scalar, inlined below
     # bigram digests per doc: (doc, md5(bigram), md5(first token)).
@@ -124,11 +125,11 @@ def bigram_lm_score(
             )
         )
 
-    # Self-scoring reuses ONE persisted bigram-digest pass for both the
-    # model counts and the per-doc scoring rows (they are the same
+    # Self-scoring reuses ONE checkpointed bigram-digest pass for both
+    # the model counts and the per-doc scoring rows (they are the same
     # relation); scoring a separate corpus computes each side once.
     if lm_corpus is None:
-        doc_bigrams = _bigrams(corpus_toks).persist()
+        doc_bigrams = _bigrams(corpus_toks).localCheckpoint(eager=False)
         corpus_bigrams = doc_bigrams
     else:
         corpus_bigrams = _bigrams(corpus_toks)
@@ -449,7 +450,7 @@ def pmi_bigrams(
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n1"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     from nbdatatools_spark.functions.text import _let
 
@@ -549,12 +550,13 @@ def perplexity_buckets(
 
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
-    # persisted: the scored frame is read three times (the n_scored count,
-    # the ranked tier branch, the unscored branch) — without the persist
-    # the whole LM model build re-runs per action
+    # local-checkpointed (lazy): the scored frame is read three times (the
+    # n_scored count, the ranked tier branch, the unscored branch) —
+    # without it the whole LM model build re-runs per action; unlike
+    # .persist() the blocks release when the frame is GC'd.
     scored = bigram_lm_score(
         docs, text_col=text_col, id_col=id_col, add_k=add_k, lm_corpus=lm_corpus
-    ).persist()
+    ).localCheckpoint(eager=False)
     has_score = scored.where(F.col("lm_score").isNotNull())
     n_scored = has_score.count()  # bounded driver scalar, inlined below
     ranked = global_row_index(

@@ -1,0 +1,64 @@
+"""Session-lifetime cache hygiene (VERDICT r5/r6 'persist leak' class).
+
+Operators may reuse an intermediate frame across several actions, but the
+repo policy is ``localCheckpoint(eager=False)`` — RDD-level blocks that the
+ContextCleaner releases when the frame is garbage-collected — NOT
+``DataFrame.persist()``, whose CacheManager entry survives until an explicit
+``unpersist()`` the caller of a lazy returned frame can never safely issue.
+
+The test pins the class functionally: after running every operator that
+historically shipped the leak (bigram LM, Kneser-Ney, perplexity buckets,
+PMI collocations — lm.py r6; rake/source_overlap fixed earlier), the
+session CacheManager must be exactly as empty as it started.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _cache_manager(spark):
+    return spark._jsparkSession.sharedState().cacheManager()
+
+
+@pytest.fixture()
+def tiny_docs(spark):
+    rows = [
+        (i, f"the quick brown fox {i} jumps over the lazy dog " * 3)
+        for i in range(20)
+    ]
+    return spark.createDataFrame(rows, "doc_id INT, text STRING")
+
+
+def test_lm_operators_leave_no_cachemanager_entries(spark, tiny_docs):
+    from nbdatatools_spark.operators.lm import (
+        bigram_lm_score,
+        kneser_ney_bigrams,
+        perplexity_buckets,
+        pmi_bigrams,
+    )
+
+    spark.catalog.clearCache()
+    assert _cache_manager(spark).isEmpty()
+
+    bigram_lm_score(tiny_docs).collect()
+    kneser_ney_bigrams(tiny_docs, top_n=10).collect()
+    perplexity_buckets(tiny_docs, n_buckets=3).collect()
+    pmi_bigrams(tiny_docs, min_count=1, top_k=10).collect()
+
+    # localCheckpoint blocks are RDD-level (GC-released); the CacheManager —
+    # the session-lifetime store DataFrame.persist() writes to — must have
+    # gained nothing.
+    assert _cache_manager(spark).isEmpty()
+
+
+def test_rake_and_overlap_leave_no_cachemanager_entries(spark, tiny_docs):
+    from nbdatatools_spark.operators.analysis import rake_keyphrases
+    from nbdatatools_spark.operators.dedup import source_overlap_matrix
+
+    spark.catalog.clearCache()
+    docs = tiny_docs.withColumn(
+        "source", F.when(F.col("doc_id") % 2 == 0, "a").otherwise("b")
+    )
+    rake_keyphrases(docs, top_n=5).collect()
+    source_overlap_matrix(docs, group_col="source", n=3).collect()
+    assert _cache_manager(spark).isEmpty()
