@@ -3399,8 +3399,10 @@ def doc_dataset_card(spark, sf_dir):
 
 def doc_rake_keyphrases(spark, sf_dir):
     """Corpus RAKE keyphrase extraction (analysis.py::rake_keyphrases):
-    stopword-run segmentation via ONE per-doc window, integer
-    degree/frequency word scores, DECIMAL-summed phrase scores, top-25
+    stopword- AND punctuation-run segmentation (punctuation runs become
+    sentinel boundary tokens, so phrases never span sentence boundaries
+    — ADVICE r6) via ONE per-doc window, integer degree/frequency word
+    scores, DECIMAL-summed phrase scores, top-25
     TakeOrderedAndProject."""
     from nbdatatools_spark.operators.analysis import rake_keyphrases
 
@@ -3596,8 +3598,10 @@ def doc_contrastive_pairs(spark, sf_dir):
     """Contrastive training-pair mining (packing.py::
     contrastive_chunk_pairs, 32-token disjoint chunks): anchor/positive
     = adjacent chunks of one document, negative = first chunk of the
-    next chunk-bearing document (deterministic, never same-doc). One
-    equi-self-join on (doc, chunk_id+1) plus a doc-grain lead window."""
+    next chunk-bearing document (deterministic, never same-doc — a
+    single-chunked-doc corpus emits NULL negatives instead of wrapping
+    to itself). One equi-self-join on (doc, chunk_id+1) plus a
+    doc-grain lead window."""
     from nbdatatools_spark.operators.packing import contrastive_chunk_pairs
 
     docs = _t(spark, sf_dir, "documents")
@@ -3941,13 +3945,16 @@ def embedding_cka(spark, sf_dir):
 
 def events_dp_counts(spark, sf_dir):
     """Differentially-private event-type counts (analysis.py::dp_counts,
-    Laplace mechanism at eps = 1): deterministic md5-seeded noise so the
-    release is reproducible and SQL-replayable; true count + abs error
-    kept for the mechanism audit."""
+    Laplace mechanism at eps = 1) in AUDIT mode: a pinned seed makes the
+    md5 noise reproducible and SQL-replayable, and audit=True keeps
+    true_count/abs_error for the eps-calibration check. This is the
+    mechanism AUDIT, not a private release — the production default
+    (seed=None) draws a fresh secret seed per release and emits
+    noisy_count only (the ADVICE r6 contract)."""
     from nbdatatools_spark.operators.analysis import dp_counts
 
     ev = _t(spark, sf_dir, "events")
-    return dp_counts(ev, "event_type", epsilon=1.0, seed=42)
+    return dp_counts(ev, "event_type", epsilon=1.0, seed=42, audit=True)
 
 
 def orders_rollup_revenue(spark, sf_dir):
@@ -7959,8 +7966,8 @@ def oracle_sql() -> dict[str, str]:
             WITH arrs AS (
                 SELECT doc_id AS doc,
                        regexp_split_to_array(
-                           trim(lower(regexp_replace(text, '[^a-zA-Z\\s]', ' ',
-                                                     'g'))),
+                           trim(regexp_replace(lower(text), '[^a-z\\s]+', ' 0 ',
+                                               'g')),
                            '\\s+') AS a
                 FROM documents),
             toks AS (
@@ -7970,8 +7977,8 @@ def oracle_sql() -> dict[str, str]:
             toks2 AS (SELECT doc, pos, w FROM toks WHERE length(w) > 0),
             marked AS (
                 SELECT doc, pos, w,
-                       CASE WHEN w IN ({_STOPWORD_SQL_LIST}) THEN 1 ELSE 0 END
-                         AS isstop
+                       CASE WHEN w IN ({_STOPWORD_SQL_LIST}) OR w = '0'
+                            THEN 1 ELSE 0 END AS isstop
                 FROM toks2),
             runs AS (
                 SELECT doc, pos, w,

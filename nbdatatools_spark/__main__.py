@@ -1026,8 +1026,16 @@ def _cmd_events(args) -> int:
     if args.what == "dp_counts":
         from nbdatatools_spark.operators.analysis import dp_counts
 
+        # release mode by default: fresh secret seed, noisy_count only;
+        # --seed/--audit opt into the reproducible mechanism audit
         return _emit_rows(
-            dp_counts(ev, args.key_col, epsilon=args.epsilon, seed=args.seed)
+            dp_counts(
+                ev,
+                args.key_col,
+                epsilon=args.epsilon,
+                seed=args.seed,
+                audit=args.audit,
+            )
         )
     if args.what in ("theil_sen", "bootstrap_ci"):
         daily = ev.groupBy(
@@ -1736,7 +1744,14 @@ def build_parser() -> argparse.ArgumentParser:
             ev.add_argument("--alpha", type=float, default=0.05)
         if w == "dp_counts":
             ev.add_argument("--epsilon", type=float, default=1.0)
-            ev.add_argument("--seed", type=int, default=42)
+            # default None = fresh secret seed per release (a known seed
+            # makes the noise recomputable -> no privacy)
+            ev.add_argument("--seed", type=int, default=None)
+            ev.add_argument(
+                "--audit",
+                action="store_true",
+                help="include true_count/abs_error (mechanism audit, NOT a release)",
+            )
         if w == "k_anonymity":
             ev.add_argument("--quasi", default="event_type,user_id")
             ev.add_argument("-k", type=int, default=5)

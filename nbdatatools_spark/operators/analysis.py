@@ -1275,10 +1275,14 @@ def rake_keyphrases(
     phrase as the sum of its word scores; return the ``top_n`` phrases
     by score.
 
-    Window-native formulation (no UDF): tokens get a per-doc position;
-    a run id = running count of stopword/boundary tokens segments each
-    doc into phrases (one window over in-doc positions); degree(w) =
-    sum over phrases containing w of phrase length, freq(w) = word
+    Window-native formulation (no UDF): each punctuation run is first
+    rewritten to a sentinel boundary token ('0' — impossible as a word
+    after the non-letter strip), so punctuation segments phrases exactly
+    like stopwords do (ADVICE r6: the old per-char strip let phrases
+    span sentence boundaries). Tokens get a per-doc position; a run id
+    = running count of boundary tokens (stopword OR sentinel) segments
+    each doc into phrases (one window over in-doc positions); degree(w)
+    = sum over phrases containing w of phrase length, freq(w) = word
     occurrences — both integer aggregates.
 
     Exactness: scores are ratios of integers combined by a 9dp-rounded
@@ -1294,12 +1298,17 @@ def rake_keyphrases(
     toks = df.select(
         F.col(id_col).alias("__doc"),
         F.posexplode_outer(
-            tokens(F.lower(F.regexp_replace(F.col(text_col), r"[^a-zA-Z\s]", " ")))
+            tokens(
+                F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z\s]+", " 0 ")
+            )
         ).alias("__pos", "__w"),
     ).where(F.col("__w").isNotNull() & (F.length("__w") > 0))
     stop_arr = F.array(*[F.lit(w) for w in sorted(STOPWORDS)])
     marked = toks.withColumn(
-        "__isstop", F.array_contains(stop_arr, F.col("__w")).cast("int")
+        "__isstop",
+        (
+            F.array_contains(stop_arr, F.col("__w")) | (F.col("__w") == "0")
+        ).cast("int"),
     )
     w = Window.partitionBy("__doc").orderBy("__pos").rowsBetween(
         Window.unboundedPreceding, 0
@@ -1499,14 +1508,30 @@ def vocab_growth(
     cumulative distinct needs NO per-prefix rescan — vocab_at(b) counts
     digests whose FIRST document (one min aggregate) lands in bucket
     <= b, and both cumulatives are running sums over the n_buckets-row
-    bucket table.
+    bucket table. Bucketing uses the two-phase global-row-index
+    discipline (windows.global_row_index — range-partitioned, no
+    single-reducer ntile window; ADVICE r6) with NTILE's exact integer
+    arithmetic on the 0-based index, so bucket assignment is
+    bit-identical to SQL ntile at any scale.
     """
     from nbdatatools_spark.functions.text import tokens
+    from nbdatatools_spark.operators.windows import global_row_index
 
-    ranked = df.select(
+    toks = df.select(
         F.col(id_col).alias("__id"),
         tokens(F.lower(F.col(text_col))).alias("__t"),
-        F.ntile(n_buckets).over(Window.orderBy(F.col(id_col))).alias("bucket"),
+    )
+    idx = global_row_index(toks, [F.col("__id").asc()], out="__rn")
+    n_docs = idx.count()  # bounded driver scalar: inlines NTILE's q/r split
+    q, r = divmod(n_docs, n_buckets)
+    # SQL NTILE over n rows: first r buckets get q+1 rows, the rest q.
+    cut = r * (q + 1)
+    big = F.expr(f"CAST(__rn DIV {q + 1} AS INT) + 1")
+    small = F.expr(f"CAST({r} + (__rn - {cut}) DIV {max(q, 1)} AS INT) + 1")
+    ranked = idx.select(
+        "__id",
+        "__t",
+        F.when(F.col("__rn") < cut, big).otherwise(small).alias("bucket"),
     )
     tok = (
         ranked.select(
@@ -1655,6 +1680,7 @@ def linear_cka(
     m: int = 8,
     dims: int | None = None,
     id_col: str = "vec_id",
+    impl: str = "auto",
 ) -> DataFrame:
     """Linear Centered Kernel Alignment between a full embedding and its
     first-``m``-dimension truncation (Kornblith et al. ICML 2019 eq. 5,
@@ -1666,24 +1692,39 @@ def linear_cka(
     (the quantitative companion to the Matryoshka family: CKA ~ 1 means
     the prefix already spans the geometry).
 
-    Engine-exactness: ONE full d x d covariance table via a per-row
-    upper... no — all (i, j) pairs from a dim-pair self-join, products
+    Shared rounding discipline (both impls, engine-exact): products
     rounded to 9dp and DECIMAL-summed, covariances rounded to 9dp,
     squared terms rounded to 12dp and DECIMAL-summed into the three
     Frobenius norms (all three read the SAME cov table: Cxy = the
     (i < d, j < m) block, Cxx = everything, Cyy = the (i < m, j < m)
     block). Returns one row (d, m, n, cka) at 6dp.
 
-    Scale note: the dim-pair join materializes n * d^2 slim rows —
-    the oracle-exact audit path, fine for d <= ~128. For d in the
-    hundreds use covariance_matrix(impl="gemm") and compute CKA from
-    its output (one Arrow pass; same formula).
+    Two implementations, the covariance_matrix expr/gemm duality:
+
+    - ``impl="gemm"`` (default via ``auto`` for d > 16 — VERDICT r6 #3):
+      one Arrow pass computes per-partition int64 gramian partials of
+      the 9dp-SCALED products (``rint(x*y * 1e9)`` — the decimal sum as
+      an exact integer sum, so float accumulation order cannot perturb
+      it), the driver combines P partials of d^2 scalars and replays the
+      round9/round12 chain with java.math.BigDecimal semantics
+      (HALF_UP over the double's shortest decimal repr). Per-row cost
+      is a d^2 GEMM flop; nothing n*d^2-sized ever shuffles.
+    - ``impl="expr"`` (the oracle/audit path): all (i, j) pairs from a
+      dim-pair self-join — n * d^2 slim rows through Catalyst, exactly
+      what the DuckDB oracle replays. ~8x the gemm wall at d=64;
+      keep it for audits and tiny frames.
     """
     if dims is None:
         first = df.select(F.size(vec).alias("d")).first()
         dims = int(first["d"])
     if not 0 < m <= dims:
         raise ValueError(f"need 0 < m <= dims, got m={m} dims={dims}")
+    if impl == "auto":
+        impl = "gemm" if dims > 16 else "expr"
+    if impl == "gemm":
+        return _cka_gemm(df, vec, dims, m)
+    if impl != "expr":
+        raise ValueError(f"impl must be 'auto', 'expr' or 'gemm', got {impl!r}")
     ex = df.select(
         F.col(id_col).alias("rid"),
         F.posexplode(F.col(vec).cast("array<double>")).alias("i", "v"),
@@ -1751,33 +1792,144 @@ def linear_cka(
     )
 
 
+def _round_half_up(x: float, k: int) -> float:
+    """Replicate Spark's ``round(double, k)``: java.math.BigDecimal over
+    the double's shortest decimal repr (Double.toString == Python repr),
+    setScale(k, HALF_UP), back to double."""
+    import math as _math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if _math.isnan(x) or _math.isinf(x):
+        return x
+    return float(Decimal(repr(x)).quantize(Decimal(1).scaleb(-k), ROUND_HALF_UP))
+
+
+def _cka_gemm(df: DataFrame, vec: str, dims: int, m: int) -> DataFrame:
+    """Gramian-partials implementation of linear_cka — bit-compatible with
+    the expr path's DECIMAL discipline (see linear_cka docstring).
+
+    The expr path sums ``round(x*y, 9)`` into a DECIMAL: every addend is
+    an exact multiple of 1e-9, so the whole sum is exactly
+    ``sum(rint(x*y * 1e9)) * 1e-9`` — an int64 sum (bounded: |xy| <= ~1e3
+    scaled by 1e9 over <= 2^31 rows stays under 2^63), which numpy
+    accumulates exactly and order-independently. The driver then replays
+    the mean/cov/Frobenius rounding chain on d^2 scalars with exact
+    Decimal arithmetic. Requires uniform vector length >= dims (ragged
+    frames take the expr path, which counts per-cell)."""
+    import numpy as np
+
+    spark = df.sparkSession
+    d = dims
+
+    def partials(batches):
+        import pandas as pd
+
+        n = 0
+        sv = np.zeros(d, dtype=np.int64)
+        sxy = np.zeros((d, d), dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vals = pdf["__v"].to_list()
+            if any(v is None or len(v) < d for v in vals):
+                raise ValueError(
+                    f"linear_cka(impl='gemm') needs uniform vectors of >= {d} dims"
+                )
+            mat = np.asarray([v[:d] for v in vals], dtype=np.float64)
+            n += mat.shape[0]
+            sv += np.rint(mat * 1e9).astype(np.int64).sum(axis=0)
+            # block the outer products so peak memory stays ~256*d^2 doubles
+            for s in range(0, mat.shape[0], 256):
+                blk = mat[s : s + 256]
+                prods = blk[:, :, None] * blk[:, None, :]
+                sxy += np.rint(prods * 1e9).astype(np.int64).sum(axis=0)
+        yield pd.DataFrame(
+            {"n": [n], "sv": [sv.tolist()], "sxy": [sxy.ravel().tolist()]}
+        )
+
+    rows = (
+        df.select(F.col(vec).alias("__v"))
+        .mapInPandas(partials, "n long, sv array<long>, sxy array<long>")
+        .collect()
+    )
+    n_tot = sum(r["n"] for r in rows)
+    if n_tot == 0:
+        raise ValueError("linear_cka needs at least one row")
+    sv = np.zeros(d, dtype=object)
+    sxy = np.zeros((d, d), dtype=object)
+    for r in rows:
+        sv += np.asarray(r["sv"], dtype=object)
+        sxy += np.asarray(r["sxy"], dtype=object).reshape(d, d)
+
+    from decimal import Decimal
+
+    # mean_i = round9(double(decimal_sum) / n) — the expr path's chain
+    mu = [
+        _round_half_up(float(Decimal(int(sv[i])) / Decimal(10**9)) / n_tot, 9)
+        for i in range(d)
+    ]
+    q12 = Decimal(1).scaleb(-12)
+    fxy = Decimal(0)
+    fxx = Decimal(0)
+    fyy = Decimal(0)
+    for i in range(d):
+        for j in range(d):
+            sxy_dbl = float(Decimal(int(sxy[i][j])) / Decimal(10**9))
+            c = _round_half_up(sxy_dbl / n_tot - mu[i] * mu[j], 9)
+            sq = Decimal(repr(_round_half_up(c * c, 12))).quantize(q12)
+            fxx += sq
+            if j < m:
+                fxy += sq
+                if i < m:
+                    fyy += sq
+    cka = _round_half_up(
+        float(fxy) / ((float(fxx) * float(fyy)) ** 0.5), 6
+    )
+    return spark.createDataFrame(
+        [(d, m, n_tot, cka)], "d INT, m INT, n BIGINT, cka DOUBLE"
+    )
+
+
 def dp_counts(
     df: DataFrame,
     group_col: str,
     epsilon: float = 1.0,
-    seed: int = 42,
+    seed: int | None = None,
+    audit: bool = False,
 ) -> DataFrame:
     """Differentially-private group counts via the Laplace mechanism
-    (Dwork et al. 2006; sensitivity 1 for a count), with DETERMINISTIC
-    noise: the Laplace draw is inverse-CDF over an md5-uint52 uniform of
+    (Dwork et al. 2006; sensitivity 1 for a count), with seeded noise:
+    the Laplace draw is inverse-CDF over an md5-uint52 uniform of
     (group, seed) — reproducible across runs, partitionings, and engines
     (the repo's sampling convention applied to noise).
 
         u ~ U(-1/2, 1/2);  noise = -(1/eps) * sign(u) * ln(1 - 2|u|)
 
-    Returns (group, noisy_count, true_count, abs_error) at 6dp. The
-    true-count/error columns exist for MECHANISM AUDITS (calibration of
-    eps against observed error) — an actual private release publishes
-    noisy_count alone and discards the rest. One aggregate + a map-side
-    noise projection; any scale.
+    Default output is the RELEASE shape: (group, noisy_count) only.
+    ``audit=True`` adds true_count and abs_error for MECHANISM AUDITS
+    (calibrating eps against observed error) — an audit frame is NOT a
+    private release and must never leave the trust boundary. One
+    aggregate + a map-side noise projection; any scale.
 
-    Deterministic-noise caveat: a fixed seed means re-releasing the same
-    group never re-randomizes — correct for audit reproducibility, but a
-    production release must rotate seeds per release to avoid averaging
-    attacks.
+    SECURITY CONTRACT (ADVICE r6): the noise is a deterministic function
+    of (group, seed), so the mechanism provides differential privacy
+    ONLY if the seed is secret and single-use — anyone who knows it can
+    recompute and subtract the noise exactly. The default ``seed=None``
+    draws a fresh 64-bit secret from ``os.urandom`` per release (the
+    production mode: unpredictable to consumers, still deterministic
+    WITHIN the release so retries/partitionings agree). Pass an explicit
+    seed only for reproducible audits/tests, and treat any release made
+    with a known seed as public true counts. Re-releasing with fresh
+    seeds still composes: k releases at eps each spend k*eps budget
+    (averaging recovers the true count) — rotation is not a substitute
+    for budget accounting.
     """
     if epsilon <= 0:
         raise ValueError(f"epsilon must be > 0, got {epsilon}")
+    if seed is None:
+        import os as _os
+
+        seed = int.from_bytes(_os.urandom(8), "big")
     counts = df.groupBy(F.col(group_col).alias("g")).agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -1798,12 +1950,13 @@ def dp_counts(
         * F.signum(u)
         * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u))
     )
-    return (
-        counts.select(
-            F.col("g").alias(group_col),
-            F.round(F.col("n") + noise, 6).alias("noisy_count"),
+    cols = [
+        F.col("g").alias(group_col),
+        F.round(F.col("n") + noise, 6).alias("noisy_count"),
+    ]
+    if audit:
+        cols += [
             F.col("n").alias("true_count"),
             F.round(F.abs(noise), 6).alias("abs_error"),
-        )
-        .orderBy(group_col)
-    )
+        ]
+    return counts.select(*cols).orderBy(group_col)

@@ -343,6 +343,9 @@ def contrastive_chunk_pairs(
     Returns (doc_id, chunk_a, chunk_b, anchor, positive, negative_doc,
     negative); documents with < 2 chunks contribute nothing; the LAST
     chunked document wraps to the first (so every pair has a negative).
+    Degenerate case: when only ONE document yields chunks, the wrap would
+    point back at the anchor's own document — the pair is emitted with
+    NULL negative_doc/negative instead (never a same-document negative).
     """
     chunks = chunk_documents(
         df, chunk_size=chunk_size, stride=None, id_col=id_col, text_col=text_col
@@ -361,22 +364,26 @@ def contrastive_chunk_pairs(
     pairs = a.join(b, ["doc_id", "chunk_a"])
     docs_with_chunks = chunks.select(F.col(id_col).alias("doc_id")).distinct()
     w = Window.orderBy("doc_id")
+    wrapped = F.coalesce(
+        F.lead("doc_id").over(w),
+        F.first("doc_id").over(
+            Window.orderBy("doc_id").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    # single-chunked-doc corpus: the wrap points back at the anchor's own
+    # document — NULL it out rather than ship a same-doc "negative"
     nxt = docs_with_chunks.select(
         "doc_id",
-        F.coalesce(
-            F.lead("doc_id").over(w), F.first("doc_id").over(
-                Window.orderBy("doc_id").rowsBetween(
-                    Window.unboundedPreceding, Window.unboundedFollowing
-                )
-            )
-        ).alias("negative_doc"),
+        F.when(wrapped != F.col("doc_id"), wrapped).alias("negative_doc"),
     )
     first_chunks = chunks.where(F.col("chunk_id") == 0).select(
         F.col(id_col).alias("negative_doc"), F.col("chunk_text").alias("negative")
     )
     return (
         pairs.join(nxt, "doc_id")
-        .join(first_chunks, "negative_doc")
+        .join(first_chunks, "negative_doc", "left")
         .select(
             "doc_id", "chunk_a", "chunk_b", "anchor", "positive",
             "negative_doc", "negative",

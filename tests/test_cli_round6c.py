@@ -183,11 +183,23 @@ def test_analyze_cka_cli(spark, capsys):
 
 
 def test_events_dp_counts_cli(spark, capsys):
+    # default = release shape: noisy_count only, fresh secret seed
     assert main(["events", "dp_counts", "--input", EVENTS, "--epsilon", "2.0"]) == 0
     rows = _lines(capsys)
+    assert rows and all(set(r) == {"event_type", "noisy_count"} for r in rows)
+    # --seed + --audit = reproducible mechanism audit
+    assert (
+        main(
+            [
+                "events", "dp_counts", "--input", EVENTS,
+                "--epsilon", "2.0", "--seed", "42", "--audit",
+            ]
+        )
+        == 0
+    )
+    rows = _lines(capsys)
     assert rows and all(
-        abs(r["noisy_count"] - r["true_count"]) == r["abs_error"]
-        or abs(abs(r["noisy_count"] - r["true_count"]) - r["abs_error"]) < 1e-6
+        abs(abs(r["noisy_count"] - r["true_count"]) - r["abs_error"]) < 1e-6
         for r in rows
     )
 

@@ -124,7 +124,10 @@ def test_dp_counts_property(spark, counts, eps):
 
     rows = [(f"g{gi}",) for gi, c in enumerate(counts) for _ in range(c)]
     df = spark.createDataFrame(rows, "g string")
-    got = {r["g"]: r for r in dp_counts(df, "g", epsilon=eps).collect()}
+    got = {
+        r["g"]: r
+        for r in dp_counts(df, "g", epsilon=eps, seed=42, audit=True).collect()
+    }
     for gi, c in enumerate(counts):
         g = f"g{gi}"
         h = int(hashlib.md5(f"{g}:42".encode()).hexdigest()[:13], 16)

@@ -121,6 +121,26 @@ def test_cka_validation(spark, embeddings):
         linear_cka(embeddings, m=0)
     with pytest.raises(ValueError):
         linear_cka(embeddings, m=65)
+    with pytest.raises(ValueError):
+        linear_cka(embeddings, m=8, impl="nope")
+
+
+def test_cka_gemm_matches_expr_exactly(spark, embeddings):
+    """VERDICT r6 #3: the gemm default must be BIT-identical to the
+    dim-pair expr path (the oracle contract) — the int64-scaled product
+    sums replay the DECIMAL discipline exactly, not approximately."""
+    from nbdatatools_spark.operators.analysis import linear_cka
+
+    for m in (3, 8, 64):
+        g = linear_cka(embeddings, m=m, impl="gemm").first()
+        e = linear_cka(embeddings, m=m, impl="expr").first()
+        assert tuple(g) == tuple(e)
+    # auto routes d=64 through gemm (no n*d^2 Catalyst self-join)
+    plan = (
+        linear_cka(embeddings, m=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan and "Generate" not in plan
 
 
 # --- dp counts / rollup (batch 7) ---------------------------------------------
@@ -135,7 +155,10 @@ def test_dp_counts_mechanism(spark):
     df = spark.createDataFrame(
         [(i, "a" if i < 70 else "b") for i in range(100)], "i long, g string"
     )
-    out = {r["g"]: r for r in dp_counts(df, "g", epsilon=1.0, seed=42).collect()}
+    out = {
+        r["g"]: r
+        for r in dp_counts(df, "g", epsilon=1.0, seed=42, audit=True).collect()
+    }
     assert out["a"]["true_count"] == 70 and out["b"]["true_count"] == 30
     # replay the deterministic Laplace draw in pure python
     for g, n in (("a", 70), ("b", 30)):
@@ -144,19 +167,44 @@ def test_dp_counts_mechanism(spark):
         noise = -1.0 * math.copysign(1.0, u) * math.log(1.0 - 2.0 * abs(u))
         assert out[g]["noisy_count"] == pytest.approx(n + noise, abs=1e-6)
         assert out[g]["abs_error"] == pytest.approx(abs(noise), abs=1e-6)
-    # determinism across partitionings
-    out2 = {r["g"]: r["noisy_count"] for r in dp_counts(df.repartition(7), "g").collect()}
+    # determinism across partitionings (same explicit seed)
+    out2 = {
+        r["g"]: r["noisy_count"]
+        for r in dp_counts(df.repartition(7), "g", seed=42).collect()
+    }
     assert out2 == {g: r["noisy_count"] for g, r in out.items()}
     with pytest.raises(ValueError):
         dp_counts(df, "g", epsilon=0)
+
+
+def test_dp_counts_release_shape_and_secret_seed(spark):
+    """ADVICE r6: the default output is the release shape — noisy_count
+    only, with a fresh secret seed per release (two default-seed calls
+    must not reproduce each other's noise)."""
+    from nbdatatools_spark.operators.analysis import dp_counts
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 70 else "b") for i in range(100)], "i long, g string"
+    )
+    rel = dp_counts(df, "g", epsilon=0.5)
+    assert rel.columns == ["g", "noisy_count"]
+    r1 = {r["g"]: r["noisy_count"] for r in rel.collect()}
+    r2 = {r["g"]: r["noisy_count"] for r in dp_counts(df, "g", epsilon=0.5).collect()}
+    assert r1 != r2  # fresh urandom seed each release (P[collision] ~ 2^-64)
 
 
 def test_dp_counts_error_scales_with_epsilon(spark):
     from nbdatatools_spark.operators.analysis import dp_counts
 
     df = spark.createDataFrame([(i, f"g{i%20}") for i in range(200)], "i long, g string")
-    e1 = sum(r["abs_error"] for r in dp_counts(df, "g", epsilon=1.0).collect())
-    e10 = sum(r["abs_error"] for r in dp_counts(df, "g", epsilon=10.0).collect())
+    e1 = sum(
+        r["abs_error"]
+        for r in dp_counts(df, "g", epsilon=1.0, seed=42, audit=True).collect()
+    )
+    e10 = sum(
+        r["abs_error"]
+        for r in dp_counts(df, "g", epsilon=10.0, seed=42, audit=True).collect()
+    )
     assert e10 == pytest.approx(e1 / 10.0, rel=1e-6)  # error ~ 1/eps exactly
 
 

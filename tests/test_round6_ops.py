@@ -287,6 +287,19 @@ def test_rake_scores_differential(spark):
     assert abs(out["models"]["score"] - 2.0) < 1e-9
 
 
+def test_rake_punctuation_is_a_phrase_boundary(spark):
+    """ADVICE r6: punctuation with NO adjacent stopword must still split
+    phrases (the old per-char strip let 'alpha beta. gamma delta' form a
+    single four-word phrase spanning the sentence boundary)."""
+    from nbdatatools_spark.operators.analysis import rake_keyphrases
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta. gamma delta")], "doc_id long, text string"
+    )
+    out = {r["phrase"] for r in rake_keyphrases(df, top_n=50).collect()}
+    assert out == {"alpha beta", "gamma delta"}
+
+
 def test_rake_respects_max_phrase_len(spark, documents):
     from nbdatatools_spark.operators.analysis import rake_keyphrases
 

@@ -171,6 +171,23 @@ def test_contrastive_pairs_wraparound(spark, documents):
     assert out.where(F.col("negative_doc") == F.col("doc_id")).count() == 0
 
 
+def test_contrastive_pairs_single_doc_corpus_nulls_negative(spark):
+    """ADVICE r6: with ONE chunk-bearing document the lead() wrap would
+    point at the anchor's own doc — the pair must ship a NULL negative,
+    never a same-document one."""
+    from nbdatatools_spark.operators.packing import contrastive_chunk_pairs
+
+    docs = spark.createDataFrame(
+        [(7, " ".join(f"w{i}" for i in range(10))), (8, "")],
+        "doc_id long, text string",
+    )
+    out = contrastive_chunk_pairs(docs, chunk_size=4).collect()
+    assert len(out) == 2  # doc 7: 3 chunks -> 2 adjacent pairs
+    for r in out:
+        assert r["doc_id"] == 7
+        assert r["negative_doc"] is None and r["negative"] is None
+
+
 # --- N-gram novelty ---------------------------------------------------------
 
 
@@ -230,3 +247,33 @@ def test_vocab_growth_totals_match_direct_counts(spark, documents):
     )
     assert rows[-1]["cum_tokens"] == tok.count()
     assert rows[-1]["cum_vocab"] == tok.distinct().count()
+
+
+def test_vocab_growth_buckets_match_sql_ntile(spark):
+    """ADVICE r6: bucketing moved off the single-reducer ntile window onto
+    the two-phase global index; the integer arithmetic must still equal
+    SQL NTILE exactly — including the non-divisible remainder split."""
+    from nbdatatools_spark.operators.analysis import vocab_growth
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} shared") for i in range(23)], "doc_id long, text string"
+    )
+    rows = vocab_growth(docs, n_buckets=10).collect()
+    # 23 docs / 10 buckets: NTILE gives 3,3,3,2,2,2,2,2,2,2 docs per bucket;
+    # each doc contributes 2 tokens.
+    sizes = [3, 3, 3, 2, 2, 2, 2, 2, 2, 2]
+    cum = 0
+    for r, s in zip(rows, sizes):
+        cum += 2 * s
+        assert r["cum_tokens"] == cum
+    # vocab: tok{i} unique per doc + 1 shared token first seen in bucket 1
+    assert rows[0]["cum_vocab"] == 4 and rows[-1]["cum_vocab"] == 24
+
+
+def test_vocab_growth_plan_has_no_unpartitioned_data_window(spark, documents):
+    from nbdatatools_spark.operators.analysis import vocab_growth
+
+    plan = vocab_growth(documents, n_buckets=10)._jdf.queryExecution().executedPlan().toString()
+    # the only window may run over the P-row partition-count table /
+    # n_buckets-row bucket table — never a Window directly above the scan
+    assert "ntile" not in plan.lower()
