@@ -4041,26 +4041,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       and in round 1 a failure there shadowed everything after it — at
       position 49 a failure can only shadow the already-recorded tail.
 
-    Round-6 layout: entries 0-23 = the 24 queries never driver-recorded
-    through round 5 (the deferred relational completions q9/q13/q15/q16/
-    q17/q19/q20/q21/q22 and the round-5 session-2 additions); entries
-    24-35 = the round-6 batch-1 additions (lloyd kmeans, sq8 error,
-    seasonal/cusum/mad/concurrency/triangles, dataset card, rake,
-    kneser-ney, minhash calibration, ipf); 36-41 = the batch-2 additions
-    (whiten, jl projection, scd2 pit, contrastive pairs, ngram novelty,
-    vocab growth); 42-48 = the batch-3 QC/sketch additions (fertility,
-    encoding QC, script profile, length drift, bloom decontaminate, CMS
-    heavy hitters, silhouette — they displaced the r3-era refresh
-    entries, which are all hash-green in recorded rounds, back to the
-    tail); 49 = fit_embeddings_model (pinned-invariant oracle, green in
-    r5). After this round every registry entry EXCEPT the 17
-    PENDING_FIRST_RECORDING batch-4/5/6/7 additions (window was full)
-    has a driver CORRECTNESS row; round 7 rotates those 17 into slots
-    0-16, displacing long-green entries to the tail.
+    Round-7 layout: entries 0-16 = the 17 round-6 batch-4/5/6/7
+    additions that never got a driver row (the r6 window was full; all
+    17 judge-verified against the bit-exact local oracle in round 6);
+    entry 17 = doc_rake_keyphrases RE-RECORDED because its segmentation
+    changed this round (punctuation boundaries — ADVICE r6), so its r6
+    green row no longer attests the current code; entries 18+ = the
+    round-7 additions, then r6-green re-record fillers (every filler is
+    hash-green in CORRECTNESS_r06 — re-recording them is harmless and
+    keeps the window exactly 50); 49 = fit_embeddings_model (pinned).
+    After this round EVERY registry entry has a driver CORRECTNESS row
+    and PENDING_FIRST_RECORDING is empty.
     """
     return {
-        # -- round-6 window slots 0-23: the 24 entries never driver-
-        #    recorded in rounds 1-5 (r5 PENDING_FIRST_RECORDING set) --
+        # -- slots 0-16: round-6 batch-4/5/6/7, first driver recording --
+        "doc_span_corruption": doc_span_corruption,
+        "embedding_hubness": embedding_hubness,
+        "corpus_source_similarity": corpus_source_similarity,
+        "embedding_robust_scale": embedding_robust_scale,
+        "doc_boilerplate_prefixes": doc_boilerplate_prefixes,
+        "doc_quality_auc": doc_quality_auc,
+        "doc_score_calibration": doc_score_calibration,
+        "doc_filter_agreement": doc_filter_agreement,
+        "embedding_mutual_knn": embedding_mutual_knn,
+        "doc_cross_corpus_near_dups": doc_cross_corpus_near_dups,
+        "events_theil_sen": events_theil_sen,
+        "events_bootstrap_ci": events_bootstrap_ci,
+        "embedding_cka": embedding_cka,
+        "events_dp_counts": events_dp_counts,
+        "orders_rollup_revenue": orders_rollup_revenue,
+        "doc_pii_redaction": doc_pii_redaction,
+        "events_k_anonymity": events_k_anonymity,
+        # -- slot 17: re-record (punctuation-boundary fix this round) --
+        "doc_rake_keyphrases": doc_rake_keyphrases,
+        # -- slots 18-48: r6-green re-record fillers (displaced by
+        #    round-7 additions as they land) --
         "q9_product_profit": q9_product_profit,
         "q13_customer_distribution": q13_customer_distribution,
         "q15_top_supplier": q15_top_supplier,
@@ -4085,7 +4100,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": embedding_outliers,
         "doc_winnow_verify": doc_winnow_verify,
         "doc_langid_eval": doc_langid_eval,
-        # -- slots 24-35: the 12 round-6 additions (first driver rows) --
         "embedding_lloyd_kmeans": embedding_lloyd_kmeans,
         "embedding_sq8_error": embedding_sq8_error,
         "events_seasonal_decompose": events_seasonal_decompose,
@@ -4093,20 +4107,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_mad_outliers": events_mad_outliers,
         "events_concurrency": events_concurrency,
         "events_triangle_count": events_triangle_count,
+        # position 49 — last recorded slot; see docstring.
+        "fit_embeddings_model": fit_embeddings_model,
+        # -- tail: every entry below is hash-green in a recorded round --
         "doc_dataset_card": doc_dataset_card,
-        "doc_rake_keyphrases": doc_rake_keyphrases,
         "doc_kneser_ney": doc_kneser_ney,
         "doc_minhash_calibration": doc_minhash_calibration,
         "doc_ipf_balance": doc_ipf_balance,
-        # -- slots 36-41: the 6 round-6 batch-2 additions --
         "embedding_whiten": embedding_whiten,
         "embedding_jl_projection": embedding_jl_projection,
         "events_scd2_pit": events_scd2_pit,
         "doc_contrastive_pairs": doc_contrastive_pairs,
         "doc_ngram_novelty": doc_ngram_novelty,
         "corpus_vocab_growth": corpus_vocab_growth,
-        # -- slots 42-48: the 7 round-6 batch-3 additions (first driver
-        #    rows; they displace the r3-era refresh entries to the tail) --
         "doc_fertility": doc_fertility,
         "doc_encoding_quality": doc_encoding_quality,
         "doc_script_profile": doc_script_profile,
@@ -4114,9 +4127,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bloom_decontaminate": doc_bloom_decontaminate,
         "corpus_cms_heavy_hitters": corpus_cms_heavy_hitters,
         "embedding_silhouette": embedding_silhouette,
-        # position 49 — last recorded slot; see docstring.
-        "fit_embeddings_model": fit_embeddings_model,
-        # -- tail: every entry below is hash-green in a recorded round --
         "predicate_store_roundtrip": predicate_store_roundtrip,
         "knn_cosine_topk": knn_cosine_topk,
         "knn_euclidean_topk": knn_euclidean_topk,
@@ -4259,54 +4269,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_price_histogram": part_price_histogram,
         "supplier_balance_rank": supplier_balance_rank,
         "orders_running_total": orders_running_total,
-        # round-6 batch 4 (pending first recording; round-7 window rotation)
-        "doc_span_corruption": doc_span_corruption,
-        "embedding_hubness": embedding_hubness,
-        "corpus_source_similarity": corpus_source_similarity,
-        "embedding_robust_scale": embedding_robust_scale,
-        "doc_boilerplate_prefixes": doc_boilerplate_prefixes,
-        # round-6 batch 5 (pending first recording; round-7 window rotation)
-        "doc_quality_auc": doc_quality_auc,
-        "doc_score_calibration": doc_score_calibration,
-        "doc_filter_agreement": doc_filter_agreement,
-        "embedding_mutual_knn": embedding_mutual_knn,
-        "doc_cross_corpus_near_dups": doc_cross_corpus_near_dups,
-        # round-6 batch 6 (pending first recording; round-7 window rotation)
-        "events_theil_sen": events_theil_sen,
-        "events_bootstrap_ci": events_bootstrap_ci,
-        "embedding_cka": embedding_cka,
-        # round-6 batch 7 (pending first recording; round-7 window rotation)
-        "events_dp_counts": events_dp_counts,
-        "orders_rollup_revenue": orders_rollup_revenue,
-        "doc_pii_redaction": doc_pii_redaction,
-        "events_k_anonymity": events_k_anonymity,
     }
 
 
-# Tail entries still awaiting their first driver CORRECTNESS row. The
-# round-6 50-slot window was full when batch 4 landed; rotate these into
-# window slots in round 7 (the queries() docstring discipline).
-PENDING_FIRST_RECORDING: frozenset[str] = frozenset(
-    {
-        "doc_span_corruption",
-        "embedding_hubness",
-        "corpus_source_similarity",
-        "embedding_robust_scale",
-        "doc_boilerplate_prefixes",
-        "doc_quality_auc",
-        "doc_score_calibration",
-        "doc_filter_agreement",
-        "embedding_mutual_knn",
-        "doc_cross_corpus_near_dups",
-        "events_theil_sen",
-        "events_bootstrap_ci",
-        "embedding_cka",
-        "events_dp_counts",
-        "orders_rollup_revenue",
-        "doc_pii_redaction",
-        "events_k_anonymity",
-    }
-)
+# Tail entries still awaiting their first driver CORRECTNESS row. Empty
+# since the round-7 rotation: every registry entry either has a recorded
+# hash-green row or sits inside the round-7 window (slots 0-49).
+PENDING_FIRST_RECORDING: frozenset[str] = frozenset()
 
 
 _STOPWORD_SQL_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)

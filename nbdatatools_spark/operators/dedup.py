@@ -659,45 +659,51 @@ def simhash(
     return agg.select("id", sim.alias("simhash"))
 
 
-def simhash_near_dups(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+def hamming_near_dup_pairs(
+    hashed: DataFrame,
+    id_col: str = "id",
+    hash_col: str = "simhash",
     max_hamming: int = 3,
-    shingle_size: int = 4,
-    impl: str = "numpy",
+    n_bits: int = 64,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+    """Near-dup pairs over ANY 64-bit-packed fingerprint column (SimHash,
+    image dHash/aHash, audio fingerprints...) by hamming distance <=
+    ``max_hamming`` — the shared blocking engine behind simhash_near_dups
+    and multimodal.media_near_dup_pairs.
 
     Blocking: split the hash into ``max_hamming + 1`` equal chunks; by
     pigeonhole any pair within ``max_hamming`` bit flips shares at least one
     unchanged chunk — join per chunk, then exact hamming via bit_count(xor).
-    (Round 1 hard-coded 4 chunks, silently losing recall for max_hamming > 3.)
-    ``impl="md5"`` uses the portable 60-bit simhash, DuckDB-replicable."""
-    n_bits = 60 if impl == "md5" else 64
+    Never all-pairs: the join is equi-keyed on (chunk_idx, chunk value), so
+    shuffle and candidate volume scale with chunk-bucket occupancy, not n^2.
+
+    Returns (id_a, id_b, hamming INT), id_a < id_b, deduped across chunks.
+    """
     n_chunks = max_hamming + 1
     # equal-width chunks; the last chunk absorbs the remainder bits
     width = n_bits // n_chunks
     # Break lineage: the signature table feeds BOTH sides of the self-join;
-    # without this the vote pipeline is recomputed per branch AND its very
-    # deep expression tree is re-analyzed by the optimizer for every join
+    # without this the upstream pipeline is recomputed per branch AND its
+    # expression tree is re-analyzed by the optimizer for every join
     # subplan (planning dominated the runtime, measured). The materialized
-    # table is tiny: 16 bytes/doc.
-    sh = simhash(df, id_col, text_col, shingle_size, impl=impl).localCheckpoint()
+    # table is tiny: 16 bytes/row.
+    sh = hashed.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("__h")
+    ).localCheckpoint()
     chunk_exprs = []
     for c in range(n_chunks):
         lo = c * width
         w = n_bits - lo if c == n_chunks - 1 else width
         chunk_exprs.append(
-            F.shiftrightunsigned(F.col("simhash"), lo).bitwiseAND(F.lit((1 << w) - 1))
+            F.shiftrightunsigned(F.col("__h"), lo).bitwiseAND(F.lit((1 << w) - 1))
         )
     chunks = sh.select(
         "id",
-        "simhash",
+        "__h",
         F.posexplode(F.array(*chunk_exprs)).alias("chunk_idx", "chunk"),
     )
     a, b = chunks.alias("a"), chunks.alias("b")
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
@@ -707,12 +713,31 @@ def simhash_near_dups(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            F.bit_count(F.col("a.__h").bitwiseXOR(F.col("b.__h"))).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return pairs
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    shingle_size: int = 4,
+    impl: str = "numpy",
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming — the
+    pigeonhole chunk blocking of :func:`hamming_near_dup_pairs` over
+    :func:`simhash` signatures. (Round 1 hard-coded 4 chunks, silently
+    losing recall for max_hamming > 3.) ``impl="md5"`` uses the portable
+    60-bit simhash, DuckDB-replicable."""
+    n_bits = 60 if impl == "md5" else 64
+    sh = simhash(df, id_col, text_col, shingle_size, impl=impl)
+    return hamming_near_dup_pairs(
+        sh, id_col="id", hash_col="simhash", max_hamming=max_hamming, n_bits=n_bits
+    )
 
 
 # --- test-set decontamination ----------------------------------------------
