@@ -4020,6 +4020,84 @@ def events_k_anonymity(spark, sf_dir):
     return k_anonymity(quasi, ["event_type", "day", "value_bin"], k=5)
 
 
+# ---------------------------------------------------------------------------
+# Round-7 batch 1: multimodal perceptual-hash dedup
+# ---------------------------------------------------------------------------
+
+def media_near_dup_pairs(spark, sf_dir):
+    """Image near-duplicate pairs via 64-bit dHash + pigeonhole Hamming
+    blocking (multimodal.py::image_dhash + media_near_dup_pairs,
+    dedup.py::hamming_near_dup_pairs) — the perceptual-hash face of the
+    dedup family, end-to-end through the REAL BMP codec: deterministic
+    16x18 gray images (pixel = first md5 byte of 'px:<d>:<y>:<x>') are
+    encoded to 24-bit BMP bytes, decoded back, channel-meaned, 2x2
+    block-pooled to the 8x9 dHash grid and packed. Planted structure:
+    doc_id % 10 == 1 copies doc_id-1's image exactly (hamming 0);
+    doc_id % 20 == 3 copies it with pixel (0,0) bumped +100 (hamming <=
+    2). Every arithmetic step is exact in IEEE doubles (gray = 3v/3,
+    block = sum/4), so the DuckDB oracle replays the full hash chain
+    bit-for-bit — without touching BMP bytes, which the codec round-trip
+    pytest covers instead. Hamming joins are chunk-equi-keyed (never
+    all-pairs); the oracle's all-pairs form is the small-n audit."""
+    from nbdatatools_spark.functions.media_codecs import encode_bmp
+    from nbdatatools_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d_eff = F.when(
+        (F.col("doc_id") % 10 == 1) | (F.col("doc_id") % 20 == 3),
+        F.col("doc_id") - 1,
+    ).otherwise(F.col("doc_id"))
+    pix = docs.select(
+        F.col("doc_id").alias("media_id"),
+        d_eff.alias("__de"),
+        (F.col("doc_id") % 20 == 3).alias("__bump"),
+    ).select(
+        "media_id",
+        F.expr(
+            "transform(sequence(0, 15), y -> transform(sequence(0, 17), x -> "
+            "CAST(conv(substring(md5(concat('px:', CAST(__de AS STRING), ':', "
+            "CAST(y AS STRING), ':', CAST(x AS STRING))), 1, 2), 16, 10) "
+            "AS INT)))"
+        ).alias("__px"),
+        "__bump",
+    ).select(
+        "media_id",
+        F.expr(
+            "transform(sequence(0, 15), y -> transform(sequence(0, 17), x -> "
+            "CASE WHEN __bump AND y = 0 AND x = 0 "
+            "THEN least(__px[0][0] + 100, 255) ELSE __px[y][x] END))"
+        ).alias("pixels"),
+    )
+
+    def to_bmp(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            # Arrow hands nested lists as object arrays of row arrays —
+            # stack explicitly before the uint8 cast
+            blobs = [
+                encode_bmp(np.stack([np.asarray(row) for row in px]).astype(np.uint8))
+                for px in pdf["pixels"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "image/bmp",
+                    "data": blobs,
+                    "meta": [None] * len(pdf),
+                }
+            )
+
+    media = pix.mapInPandas(
+        to_bmp,
+        "media_id BIGINT, kind STRING, data BINARY, "
+        "meta STRUCT<width INT, height INT, channels INT, sample_rate INT, "
+        "duration_ms BIGINT>",
+    )
+    return mm.media_near_dup_pairs(media, max_hamming=3).orderBy("id_a", "id_b")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4074,8 +4152,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_k_anonymity": events_k_anonymity,
         # -- slot 17: re-record (punctuation-boundary fix this round) --
         "doc_rake_keyphrases": doc_rake_keyphrases,
-        # -- slots 18-48: r6-green re-record fillers (displaced by
-        #    round-7 additions as they land) --
+        # -- round-7 additions (first driver rows) --
+        "media_near_dup_pairs": media_near_dup_pairs,
+        # -- r6-green re-record fillers (displaced by round-7 additions
+        #    as they land) --
         "q9_product_profit": q9_product_profit,
         "q13_customer_distribution": q13_customer_distribution,
         "q15_top_supplier": q15_top_supplier,
@@ -4106,10 +4186,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cusum_change": events_cusum_change,
         "events_mad_outliers": events_mad_outliers,
         "events_concurrency": events_concurrency,
-        "events_triangle_count": events_triangle_count,
         # position 49 — last recorded slot; see docstring.
         "fit_embeddings_model": fit_embeddings_model,
         # -- tail: every entry below is hash-green in a recorded round --
+        "events_triangle_count": events_triangle_count,
         "doc_dataset_card": doc_dataset_card,
         "doc_kneser_ney": doc_kneser_ney,
         "doc_minhash_calibration": doc_minhash_calibration,
@@ -8885,5 +8965,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, day, value_bin, count(*) AS n
             FROM q GROUP BY 1, 2, 3 HAVING count(*) < 5
             ORDER BY event_type, day, value_bin
+        """,
+        # dHash replay without BMP bytes: pixel fn -> exact 2x2 block means
+        # (sum/4.0, IEEE-exact quarters) -> 8x9 gradient bits -> all-pairs
+        # hamming (small-n audit of the engine's pigeonhole chunk join)
+        "media_near_dup_pairs": """
+            WITH eff AS (
+                SELECT doc_id AS d,
+                       CASE WHEN doc_id % 10 = 1 OR doc_id % 20 = 3
+                            THEN doc_id - 1 ELSE doc_id END AS de,
+                       (doc_id % 20 = 3) AS bump
+                FROM documents),
+            grid AS (
+                SELECT y.y AS y, x.x AS x
+                FROM (SELECT unnest(range(16)) AS y) y
+                CROSS JOIN (SELECT unnest(range(18)) AS x) x),
+            px AS (
+                SELECT d, y, x,
+                       CASE WHEN bump AND y = 0 AND x = 0
+                            THEN least(('0x' || substr(md5('px:' || de || ':0:0'),
+                                                       1, 2))::INT + 100, 255)
+                            ELSE ('0x' || substr(md5('px:' || de || ':' || y || ':'
+                                                     || x), 1, 2))::INT
+                       END AS v
+                FROM eff CROSS JOIN grid),
+            blk AS (
+                SELECT d, y // 2 AS r, x // 2 AS c, sum(v) / 4.0 AS m
+                FROM px GROUP BY d, y // 2, x // 2),
+            bits AS (
+                SELECT l.d AS d, l.r * 8 + l.c AS b,
+                       CASE WHEN rt.m > l.m THEN 1 ELSE 0 END AS bit
+                FROM blk l JOIN blk rt
+                  ON rt.d = l.d AND rt.r = l.r AND rt.c = l.c + 1
+                WHERE l.c < 8),
+            ham AS (
+                SELECT p.d AS id_a, q.d AS id_b,
+                       CAST(sum(CASE WHEN p.bit <> q.bit THEN 1 ELSE 0 END)
+                            AS INT) AS hamming
+                FROM bits p JOIN bits q ON p.b = q.b AND p.d < q.d
+                GROUP BY p.d, q.d)
+            SELECT id_a, id_b, hamming FROM ham
+            WHERE hamming <= 3 ORDER BY id_a, id_b
         """,
     }

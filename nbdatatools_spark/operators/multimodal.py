@@ -185,6 +185,104 @@ def sample_video_frames(
     )
 
 
+def _pack_bits_le(bits: np.ndarray) -> int:
+    """Row-major bit array -> SIGNED 64-bit int (bit b = flat index b),
+    wrapping bit 63 into the sign the way a JVM long does."""
+    val = 0
+    for b, bit in enumerate(bits.ravel()):
+        if bit:
+            val |= 1 << b
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
+def image_dhash(media: DataFrame, grid: tuple[int, int] = (8, 9)) -> DataFrame:
+    """(media_id, dhash BIGINT): 64-bit difference hash (dHash — the
+    row-gradient perceptual hash; cf. pHash family): decode -> grayscale
+    -> block-mean resize to ``grid`` (default 8 rows x 9 cols) -> bit
+    (r, c) = 1 iff block(r, c+1) > block(r, c), packed row-major (bit
+    index = r * (cols-1) + c, bit 63 wraps into the long's sign).
+
+    Engine-exact by construction for gray inputs with 2^k block pooling:
+    channel mean (v+v+v)/3 and block mean (4-px sum)/4 are exact IEEE
+    doubles, so the > comparisons are bit-identical across engines — the
+    driver gate replays the whole hash in DuckDB SQL. Pair mining:
+    dedup.hamming_near_dup_pairs over the returned column.
+    """
+    oh, ow = grid
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for data, kind, meta in zip(pdf["data"], pdf["kind"], pdf["meta"]):
+                img = decode_image(bytes(data), kind, meta).astype(np.float64)
+                gray = img.mean(axis=2)
+                pooled = block_mean_resize(gray, (oh, ow)).astype(np.float64)
+                bits = pooled[:, 1:] > pooled[:, :-1]
+                hashes.append(_pack_bits_le(bits))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash": pd.array(hashes, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(run, "media_id BIGINT, dhash BIGINT")
+
+
+def image_ahash(media: DataFrame, grid: tuple[int, int] = (8, 8)) -> DataFrame:
+    """(media_id, ahash BIGINT): 64-bit average hash — block-mean resize
+    to ``grid``, bit = 1 iff block mean > image mean (mean of the pooled
+    grid — exact: 0.25-multiples summed then / 64). Same packing and
+    pair-mining contract as :func:`image_dhash`; aHash is cheaper but
+    weaker against brightness shifts."""
+    oh, ow = grid
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for data, kind, meta in zip(pdf["data"], pdf["kind"], pdf["meta"]):
+                img = decode_image(bytes(data), kind, meta).astype(np.float64)
+                gray = img.mean(axis=2)
+                pooled = block_mean_resize(gray, (oh, ow)).astype(np.float64)
+                bits = pooled > pooled.mean()
+                hashes.append(_pack_bits_le(bits))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "ahash": pd.array(hashes, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(run, "media_id BIGINT, ahash BIGINT")
+
+
+def media_near_dup_pairs(
+    media: DataFrame, max_hamming: int = 3, method: str = "dhash"
+) -> DataFrame:
+    """Image near-duplicate pairs — the multimodal face of the dedup
+    family: perceptual hash (dHash default, aHash optional) + the
+    pigeonhole Hamming chunk join shared with SimHash
+    (dedup.hamming_near_dup_pairs). Never all-pairs; candidates scale
+    with chunk-bucket occupancy. Returns (id_a, id_b, hamming INT)."""
+    from nbdatatools_spark.operators.dedup import hamming_near_dup_pairs
+
+    if method == "dhash":
+        hashed = image_dhash(media)
+    elif method == "ahash":
+        hashed = image_ahash(media)
+    else:
+        raise ValueError(f"method must be 'dhash' or 'ahash', got {method!r}")
+    return hamming_near_dup_pairs(
+        hashed,
+        id_col="media_id",
+        hash_col=method,
+        max_hamming=max_hamming,
+        n_bits=64,
+    )
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Pure-Catalyst metadata aggregation over a media table (no decode):
     per kind: count, total bytes, avg duration."""
