@@ -4098,6 +4098,74 @@ def media_near_dup_pairs(spark, sf_dir):
     return mm.media_near_dup_pairs(media, max_hamming=3).orderBy("id_a", "id_b")
 
 
+def corpus_unigram_lm(spark, sf_dir):
+    """Unigram-LM (SentencePiece-style) tokenizer training
+    (unigram.py::unigram_train, Kudo 2018): seed substring vocabulary ->
+    hard-EM Viterbi re-estimation over the DISTINCT-word table -> pruned
+    piece probabilities. Pinned-invariant oracle gate (the
+    corpus_bpe_merges pattern): the EM loop is not SQL-expressible, but
+    the SEED stage is pure weighted substring counting — the oracle
+    replicates the top-5 multi-char seed pieces exactly (real hash
+    bite) — and the booleans pin contracts any correct trainer
+    satisfies: piece probs sum to 1, per-iteration Viterbi LL is
+    monotone non-decreasing (the hard-EM guarantee), every corpus
+    character survives pruning, the vocab respects its bound, and a
+    20-doc encode round-trip reconstructs the normalized text. The full
+    trainer keeps its pure-Python differential in tests/test_unigram.py.
+    """
+    from nbdatatools_spark.functions.text import normalize_text
+    from nbdatatools_spark.operators.bpe import corpus_base_chars
+    from nbdatatools_spark.operators.unigram import (
+        seed_vocabulary,
+        unigram_encode,
+        unigram_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pieces, hist = unigram_train(
+        docs, vocab_size=512, max_piece_len=6, seed_size=2000, n_iter=2
+    )
+    top_seed = (
+        seed_vocabulary(docs, max_piece_len=6, seed_size=2000)
+        .where(F.length("piece") >= 2)
+        .orderBy(F.desc("freq"), "piece")
+        .limit(5)
+        .collect()
+    )
+    chars = corpus_base_chars(docs)
+    table = {p for p, _ in pieces}
+    probs_normalized = abs(sum(pr for _, pr in pieces) - 1.0) < 1e-6
+    ll_monotone = all(b >= a - 1e-6 for a, b in zip(hist, hist[1:]))
+    singles_retained = all(c in table for c in chars)
+    vocab_bounded = len(pieces) <= 512 + len(chars)
+    sample = docs.orderBy("doc_id").limit(20)
+    rt = unigram_encode(sample, pieces).select(
+        (
+            F.concat_ws("", "unigram_tokens")
+            == F.regexp_replace(normalize_text(F.col("text")), " ", "")
+        ).alias("ok")
+    )
+    encode_roundtrip = bool(rt.agg(F.min("ok")).first()[0])
+    rows = [
+        (
+            r["piece"],
+            int(r["freq"]),
+            probs_normalized,
+            ll_monotone,
+            singles_retained,
+            vocab_bounded,
+            encode_roundtrip,
+        )
+        for r in top_seed
+    ]
+    return spark.createDataFrame(
+        rows,
+        "piece string, seed_freq bigint, probs_normalized boolean, "
+        "ll_monotone boolean, singles_retained boolean, "
+        "vocab_bounded boolean, encode_roundtrip boolean",
+    ).orderBy(F.desc("seed_freq"), "piece")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4154,6 +4222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rake_keyphrases": doc_rake_keyphrases,
         # -- round-7 additions (first driver rows) --
         "media_near_dup_pairs": media_near_dup_pairs,
+        "corpus_unigram_lm": corpus_unigram_lm,
         # -- r6-green re-record fillers (displaced by round-7 additions
         #    as they land) --
         "q9_product_profit": q9_product_profit,
@@ -4185,10 +4254,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_seasonal_decompose": events_seasonal_decompose,
         "events_cusum_change": events_cusum_change,
         "events_mad_outliers": events_mad_outliers,
-        "events_concurrency": events_concurrency,
         # position 49 — last recorded slot; see docstring.
         "fit_embeddings_model": fit_embeddings_model,
         # -- tail: every entry below is hash-green in a recorded round --
+        "events_concurrency": events_concurrency,
         "events_triangle_count": events_triangle_count,
         "doc_dataset_card": doc_dataset_card,
         "doc_kneser_ney": doc_kneser_ney,
@@ -9006,5 +9075,31 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY p.d, q.d)
             SELECT id_a, id_b, hamming FROM ham
             WHERE hamming <= 3 ORDER BY id_a, id_b
+        """,
+        # unigram-LM pinned-invariant gate: seed substring counting is
+        # SQL-exact (top-5 multi-char pieces); EM contracts pin TRUE
+        "corpus_unigram_lm": f"""
+            WITH nrm AS (SELECT {_NORM} AS t FROM documents),
+            w AS (SELECT unnest(string_split(t, ' ')) AS word
+                  FROM nrm WHERE length(t) > 0),
+            v AS (SELECT word, count(*) AS cnt FROM w
+                  WHERE word <> '' GROUP BY word),
+            s1 AS (SELECT word, cnt,
+                          unnest(generate_series(1, length(word) - 1)) AS i
+                   FROM v WHERE length(word) >= 2),
+            s2 AS (SELECT word, cnt, i,
+                          unnest(generate_series(
+                              2, least(6, length(word) - i + 1))) AS l
+                   FROM s1),
+            subs AS (SELECT substring(word, CAST(i AS INT), CAST(l AS INT))
+                            AS piece, cnt
+                     FROM s2),
+            agg AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS seed_freq
+                    FROM subs GROUP BY piece)
+            SELECT piece, seed_freq,
+                   TRUE AS probs_normalized, TRUE AS ll_monotone,
+                   TRUE AS singles_retained, TRUE AS vocab_bounded,
+                   TRUE AS encode_roundtrip
+            FROM agg ORDER BY seed_freq DESC, piece LIMIT 5
         """,
     }

@@ -14,9 +14,11 @@ reference user can run the same commands against the Spark engine:
     datasets list|download|plan|curlify|prebuffer
     vectordata info|views|profiles|size|sample|cat|prebuffer|verify
     corpus stats|run|tune_dedup|cluster_sizes|select_budget|card|keyphrases
-           |kneser_ney|calibrate_minhash|balance|qc|length_drift|cms_topk
-           |bloom_decontam|source_similarity|boilerplate|filter_eval
-           |cross_dedup (report / pipeline / tuning / audits / hygiene)
+           |kneser_ney|train_unigram|calibrate_minhash|balance|qc
+           |length_drift|cms_topk|bloom_decontam|source_similarity
+           |boilerplate|filter_eval|cross_dedup
+           (report / pipeline / tuning / audits / hygiene / tokenizers)
+    media hash|near_dups|stats (perceptual-hash image dedup, metadata)
     slab get|namespaces|check|analyze|import|append|export|rewrite
         (byte-compatible slabtastic .slab files — cli/CMD_slab_*.java)
     events seasonal|cusum|mad|concurrency|triangles|theil_sen|bootstrap_ci
@@ -671,6 +673,53 @@ def _cmd_corpus_kneser_ney(args) -> int:
             discount=args.discount, top_n=args.top,
         )
     )
+
+
+def _cmd_corpus_train_unigram(args) -> int:
+    from nbdatatools_spark.operators.unigram import unigram_train
+
+    spark = _spark()
+    docs = spark.read.parquet(args.input)
+    pieces, hist = unigram_train(
+        docs,
+        text_col=args.text_col,
+        vocab_size=args.vocab_size,
+        max_piece_len=args.max_piece_len,
+        seed_size=args.seed_size,
+        n_iter=args.iters,
+    )
+    print(json.dumps({"ll_history": hist, "n_pieces": len(pieces)}))
+    return _emit_rows(
+        spark.createDataFrame(
+            [(i, p, float(pr)) for i, (p, pr) in enumerate(pieces)],
+            "piece_id INT, piece STRING, prob DOUBLE",
+        ).limit(args.top)
+    )
+
+
+def _cmd_media_hash(args) -> int:
+    from nbdatatools_spark.operators.multimodal import image_ahash, image_dhash
+
+    media = _spark().read.parquet(args.input)
+    fn = image_dhash if args.method == "dhash" else image_ahash
+    return _emit_rows(fn(media).limit(args.limit))
+
+
+def _cmd_media_near_dups(args) -> int:
+    from nbdatatools_spark.operators.multimodal import media_near_dup_pairs
+
+    media = _spark().read.parquet(args.input)
+    return _emit_rows(
+        media_near_dup_pairs(
+            media, max_hamming=args.max_hamming, method=args.method
+        ).orderBy("id_a", "id_b")
+    )
+
+
+def _cmd_media_stats(args) -> int:
+    from nbdatatools_spark.operators.multimodal import media_stats
+
+    return _emit_rows(media_stats(_spark().read.parquet(args.input)))
 
 
 def _cmd_corpus_calibrate_minhash(args) -> int:
@@ -1582,6 +1631,29 @@ def build_parser() -> argparse.ArgumentParser:
     ckn.add_argument("--discount", type=float, default=0.75)
     ckn.add_argument("--top", type=int, default=20)
     ckn.set_defaults(func=_cmd_corpus_kneser_ney)
+    ctu = cp.add_parser("train_unigram")
+    ctu.add_argument("--input", required=True)
+    ctu.add_argument("--text-col", default="text")
+    ctu.add_argument("--vocab-size", type=int, default=512)
+    ctu.add_argument("--max-piece-len", type=int, default=6)
+    ctu.add_argument("--seed-size", type=int, default=2000)
+    ctu.add_argument("--iters", type=int, default=3)
+    ctu.add_argument("--top", type=int, default=100)
+    ctu.set_defaults(func=_cmd_corpus_train_unigram)
+    md = sub.add_parser("media").add_subparsers(dest="what", required=True)
+    mh = md.add_parser("hash")
+    mh.add_argument("--input", required=True)
+    mh.add_argument("--method", choices=["dhash", "ahash"], default="dhash")
+    mh.add_argument("--limit", type=int, default=100)
+    mh.set_defaults(func=_cmd_media_hash)
+    mnd = md.add_parser("near_dups")
+    mnd.add_argument("--input", required=True)
+    mnd.add_argument("--method", choices=["dhash", "ahash"], default="dhash")
+    mnd.add_argument("--max-hamming", type=int, default=3)
+    mnd.set_defaults(func=_cmd_media_near_dups)
+    mst = md.add_parser("stats")
+    mst.add_argument("--input", required=True)
+    mst.set_defaults(func=_cmd_media_stats)
     cmc = cp.add_parser("calibrate_minhash")
     cmc.add_argument("--input", required=True)
     cmc.add_argument("--text-col", default="text")

@@ -1,0 +1,65 @@
+"""Round-7 CLI wiring: corpus train_unigram, media hash/near_dups/stats."""
+
+import json
+import os
+
+import numpy as np
+
+from nbdatatools_spark.__main__ import main
+
+SF = os.environ.get("NBDT_TEST_SF_DIR", "/root/testdata/sf0.001")
+DOCS = os.path.join(SF, "documents.parquet")
+
+
+def _lines(capsys):
+    return [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+
+
+def test_corpus_train_unigram_cli(spark, capsys):
+    assert main(
+        ["corpus", "train_unigram", "--input", DOCS, "--vocab-size", "128",
+         "--seed-size", "300", "--iters", "2", "--top", "10"]
+    ) == 0
+    rows = _lines(capsys)
+    meta, pieces = rows[0], rows[1:]
+    assert meta["n_pieces"] <= 128 + 64
+    assert len(meta["ll_history"]) == 2
+    assert meta["ll_history"][1] >= meta["ll_history"][0] - 1e-6
+    assert len(pieces) == 10
+    assert all(p["prob"] > 0 for p in pieces)
+    # sorted by prob desc
+    probs = [p["prob"] for p in pieces]
+    assert probs == sorted(probs, reverse=True)
+
+
+def _media_parquet(spark, tmp_path):
+    from nbdatatools_spark.functions.media_codecs import encode_bmp
+    from nbdatatools_spark.operators.multimodal import MEDIA_SCHEMA
+
+    rng = np.random.Generator(np.random.Philox(key=3))
+    img1 = rng.integers(0, 256, size=(32, 36), dtype=np.int64).astype(np.uint8)
+    img2 = rng.integers(0, 256, size=(32, 36), dtype=np.int64).astype(np.uint8)
+    rows = [
+        (1, "image/bmp", encode_bmp(img1), None),
+        (2, "image/bmp", encode_bmp(img1), None),  # exact dup of 1
+        (3, "image/bmp", encode_bmp(img2), None),
+    ]
+    path = str(tmp_path / "media.parquet")
+    spark.createDataFrame(rows, MEDIA_SCHEMA).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_media_cli(spark, capsys, tmp_path):
+    path = _media_parquet(spark, tmp_path)
+    assert main(["media", "hash", "--input", path]) == 0
+    rows = _lines(capsys)
+    h = {r["media_id"]: r["dhash"] for r in rows}
+    assert h[1] == h[2] and h[1] != h[3]
+
+    assert main(["media", "near_dups", "--input", path]) == 0
+    rows = _lines(capsys)
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in rows] == [(1, 2, 0)]
+
+    assert main(["media", "stats", "--input", path]) == 0
+    rows = _lines(capsys)
+    assert rows[0]["kind"] == "image/bmp" and rows[0]["n"] == 3
