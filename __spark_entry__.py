@@ -4166,6 +4166,58 @@ def corpus_unigram_lm(spark, sf_dir):
     ).orderBy(F.desc("seed_freq"), "piece")
 
 
+def doc_sentence_dedup(spark, sf_dir):
+    """Cross-document repeated-sentence removal (dedup.py::
+    sentence_dedup, min_docs=2 — the RefinedWeb line-dedup rule at
+    sentence grain): sentinel-split sentences shuffle as md5 digests,
+    one count-distinct-docs aggregate flags repeats, survivors re-join
+    in position order. All integers/strings — hash-exact."""
+    from nbdatatools_spark.operators.dedup import sentence_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return sentence_dedup(docs, min_docs=2)
+
+
+def doc_temperature_mix(spark, sf_dir):
+    """Temperature-scaled source mixture (sampling.py::
+    temperature_mixture_rates, T=2, token weights): p_s ∝ w_s^(1/2)
+    flattens the source distribution; rate_s = (q_s/w_s)·min_u(w_u/q_u)
+    — the normalizer cancels, so the whole computation is per-stratum
+    ratios + one global min (no cross-strata sum; order-independent,
+    engine-exact at 6dp). Fully distributed: the strata table never
+    reaches the driver."""
+    from nbdatatools_spark.functions.text import token_count
+    from nbdatatools_spark.operators.sampling import temperature_mixture_rates
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", token_count(F.col("text")).alias("__tok")
+    )
+    return temperature_mixture_rates(
+        docs, strata_col="source", temperature=2.0, weight_col="__tok"
+    )
+
+
+def doc_containment_pairs(spark, sf_dir):
+    """Asymmetric containment near-dups (dedup.py::containment_verify
+    over md5 banded-LSH candidates): c_ab = |A∩B|/|A| catches short
+    documents embedded in long ones where Jaccard stays low (excerpt
+    mirrors, quote farms). Candidates are bucket-equi-joined (never
+    all-pairs); the exact set intersection runs on candidates only.
+    int/int ratios at 6dp — hash-exact."""
+    from nbdatatools_spark.operators.dedup import (
+        containment_verify,
+        minhash_lsh_candidates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(
+        docs, num_hashes=32, bands=8, shingle_size=5, impl="md5"
+    )
+    return containment_verify(
+        cand, docs, shingle_size=5, threshold=0.2
+    ).orderBy("id_a", "id_b")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4223,6 +4275,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-7 additions (first driver rows) --
         "media_near_dup_pairs": media_near_dup_pairs,
         "corpus_unigram_lm": corpus_unigram_lm,
+        "doc_sentence_dedup": doc_sentence_dedup,
+        "doc_temperature_mix": doc_temperature_mix,
+        "doc_containment_pairs": doc_containment_pairs,
         # -- r6-green re-record fillers (displaced by round-7 additions
         #    as they land) --
         "q9_product_profit": q9_product_profit,
@@ -4251,12 +4306,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid_eval": doc_langid_eval,
         "embedding_lloyd_kmeans": embedding_lloyd_kmeans,
         "embedding_sq8_error": embedding_sq8_error,
-        "events_seasonal_decompose": events_seasonal_decompose,
-        "events_cusum_change": events_cusum_change,
-        "events_mad_outliers": events_mad_outliers,
         # position 49 — last recorded slot; see docstring.
         "fit_embeddings_model": fit_embeddings_model,
         # -- tail: every entry below is hash-green in a recorded round --
+        "events_seasonal_decompose": events_seasonal_decompose,
+        "events_cusum_change": events_cusum_change,
+        "events_mad_outliers": events_mad_outliers,
         "events_concurrency": events_concurrency,
         "events_triangle_count": events_triangle_count,
         "doc_dataset_card": doc_dataset_card,
@@ -9101,5 +9156,94 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS singles_retained, TRUE AS vocab_bounded,
                    TRUE AS encode_roundtrip
             FROM agg ORDER BY seed_freq DESC, piece LIMIT 5
+        """,
+        # sentence dedup: sentinel-split sentences, digest-keyed
+        # count-distinct-docs dup set, position-ordered rebuild
+        "doc_sentence_dedup": """
+            WITH segs AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE list_filter(
+                                list_transform(
+                                    string_split(
+                                        regexp_replace(trim(text),
+                                                       '([.!?])\\s+',
+                                                       '\\1' || chr(1), 'g'),
+                                        chr(1)),
+                                    x -> trim(x)),
+                                x -> length(x) > 0)
+                       END AS ss
+                FROM documents),
+            s AS (
+                SELECT doc_id,
+                       CAST(generate_subscripts(ss, 1) AS INT) AS pos,
+                       unnest(ss) AS sent
+                FROM segs),
+            dups AS (
+                SELECT md5(sent) AS h FROM s
+                GROUP BY md5(sent) HAVING count(DISTINCT doc_id) >= 2),
+            kept AS (
+                SELECT doc_id, pos, sent FROM s
+                WHERE md5(sent) NOT IN (SELECT h FROM dups)),
+            reb AS (
+                SELECT doc_id, CAST(count(*) AS INT) AS kept_n,
+                       string_agg(sent, ' ' ORDER BY pos, sent) AS t
+                FROM kept GROUP BY doc_id),
+            tot AS (SELECT doc_id, CAST(count(*) AS INT) AS n
+                    FROM s GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(tot.n, 0) AS n_sentences,
+                   COALESCE(tot.n, 0) - COALESCE(reb.kept_n, 0) AS n_removed,
+                   COALESCE(reb.t, '') AS text_dedup
+            FROM documents d
+            LEFT JOIN tot ON tot.doc_id = d.doc_id
+            LEFT JOIN reb ON reb.doc_id = d.doc_id
+            ORDER BY d.doc_id
+        """,
+        # temperature mixture: per-stratum ratios + one global min —
+        # no cross-strata sum anywhere (the normalizer cancels)
+        "doc_temperature_mix": f"""
+            WITH w AS (
+                SELECT source AS stratum, CAST(sum({_NTOK}) AS BIGINT) AS weight
+                FROM documents GROUP BY source),
+            q AS (SELECT stratum, weight,
+                         round(exp(ln(CAST(weight AS DOUBLE)) / 2.0), 9) AS qv
+                  FROM w),
+            m AS (SELECT min(weight / qv) AS minr FROM q)
+            SELECT stratum, weight,
+                   round(1.0 * qv / weight * minr, 6) AS rate,
+                   round(1.0 * qv * minr, 6) AS expected_weight
+            FROM q CROSS JOIN m ORDER BY stratum
+        """,
+        # containment: md5 banded-LSH candidates (shared CTEs) + exact
+        # distinct-shingle intersection ratios
+        "doc_containment_pairs": f"""
+            WITH {_minhash_ctes(32, 8, 5, 2000)},
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM capped a JOIN capped b
+                  ON a.band = b.band AND a.band_hash = b.band_hash
+                 AND a.doc_id < b.doc_id),
+            dg AS (SELECT DISTINCT doc_id, g FROM sh),
+            sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                   FROM dg GROUP BY doc_id),
+            inter AS (
+                SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS ni
+                FROM cand c
+                JOIN dg ga ON ga.doc_id = c.id_a
+                JOIN dg gb ON gb.doc_id = c.id_b AND gb.g = ga.g
+                GROUP BY c.id_a, c.id_b),
+            scored AS (
+                SELECT i.id_a, i.id_b,
+                       round(1.0 * i.ni / sa.n, 6) AS c_ab,
+                       round(1.0 * i.ni / sb.n, 6) AS c_ba
+                FROM inter i
+                JOIN sz sa ON sa.doc_id = i.id_a
+                JOIN sz sb ON sb.doc_id = i.id_b)
+            SELECT id_a, id_b, c_ab, c_ba,
+                   greatest(c_ab, c_ba) AS containment
+            FROM scored WHERE greatest(c_ab, c_ba) >= 0.2
+            ORDER BY id_a, id_b
         """,
     }

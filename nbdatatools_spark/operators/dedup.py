@@ -1171,6 +1171,127 @@ def minhash_quality_report(
     )
 
 
+def sentence_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-sentence removal (the RefinedWeb /
+    MassiveText line-dedup rule at sentence granularity): any sentence
+    whose md5 digest occurs in >= ``min_docs`` DISTINCT documents is
+    dropped from every document; the survivors are re-joined in original
+    order. Complements paragraph_dedup (whole-unit drop) and
+    remove_duplicate_spans (token windows) at the sentence grain —
+    boilerplate lines, cookie banners and licence footers repeat across
+    pages long before whole paragraphs do.
+
+    Returns (id, n_sentences, n_removed, text_dedup) — empty/sentence-
+    free docs survive with ''.
+
+    100-TB shape: sentences shuffle as md5 digests (raw strings never
+    leave their doc rows); the dup set is one digest-keyed aggregate
+    (count DISTINCT doc) equi-joined back; the rebuild is one groupBy(id)
+    with an array_sort on (position, sentence) — per-task state is one
+    document's sentences.
+    """
+    from nbdatatools_spark.functions.text import sentences_of
+
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    sents = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode_outer(sentences_of(F.col(text_col))).alias("pos", "s"),
+        )
+        .where(F.col("s").isNotNull())
+        .select("id", "pos", "s", F.md5("s").alias("__h"))
+    )
+    dup = (
+        sents.groupBy("__h")
+        .agg(F.countDistinct("id").alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__h", F.lit(True).alias("__dup"))
+    )
+    marked = sents.join(dup, "__h", "left")
+    totals = sents.groupBy("id").agg(F.count(F.lit(1)).alias("__n"))
+    rebuilt = (
+        marked.where(F.col("__dup").isNull())
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("__kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                    lambda x: x["s"],
+                ),
+                " ",
+            ).alias("__t"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(totals, "id", "left")
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("__n", F.lit(0)).cast("int").alias("n_sentences"),
+            (F.coalesce("__n", F.lit(0)) - F.coalesce("__kept", F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+            F.coalesce("__t", F.lit("")).alias("text_dedup"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def containment_verify(
+    candidates: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-set CONTAINMENT on candidate pairs: c_ab =
+    |A∩B| / |A|, c_ba = |A∩B| / |B|; keeps pairs with max(c_ab, c_ba)
+    >= threshold — the asymmetric near-dup signal Jaccard misses (a
+    short document fully embedded in a long one has low Jaccard but
+    containment ~1: quote farms, wrapper pages, excerpt mirrors).
+
+    Same candidate-bounded shape as jaccard_verify: shingle sets join
+    only for LSH candidates. Ratios are int/int divisions rounded to
+    6dp — engine-exact.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("__norm")
+    ).select(
+        "id",
+        F.array_distinct(
+            char_ngrams_of_norm(F.col("__norm"), shingle_size)
+        ).alias("sh"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    return (
+        candidates.join(
+            sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"),
+            "id_a",
+        )
+        .join(
+            sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / F.size("sh_a"), 6).alias("c_ab"),
+            F.round(inter / F.size("sh_b"), 6).alias("c_ba"),
+        )
+        .withColumn("containment", F.greatest("c_ab", "c_ba"))
+        .where(F.col("containment") >= threshold)
+    )
+
+
 def winnow_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -114,6 +114,61 @@ def mixture_rates(
     return {s: (props[s] * t / weights[s]) if props[s] > 0 else 0.0 for s in props}
 
 
+def temperature_mixture_rates(
+    df: DataFrame,
+    strata_col: str = "source",
+    temperature: float = 2.0,
+    weight_col: str | None = None,
+    cap: float = 1.0,
+) -> DataFrame:
+    """Temperature-scaled mixture rates (the multilingual/multi-source
+    sampling rule of mBERT/XLM-R/PaLM data recipes): target proportions
+    p_s ∝ w_s^(1/T) flatten the natural distribution toward uniform as T
+    grows (T=1 keeps it, T→∞ is uniform). Rates solve the same program as
+    mixture_rates — the largest retained corpus with kept_s/total = p_s
+    and rate_s <= cap:
+
+        q_s   = round9(w_s^(1/T))
+        rate_s = cap * (q_s / w_s) * min_u(w_u / q_u)
+
+    (the normalizer cancels, so NO cross-strata sum exists — every term
+    is a per-stratum ratio plus one global min, order-independent and
+    engine-exact at the 6dp output rounding).
+
+    Fully DataFrame-native — the strata table never reaches the driver
+    (at millions of domains it stays distributed; the min is a 1-row
+    broadcast). Returns (stratum, weight, rate, expected_weight).
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    if not 0 < cap <= 1:
+        raise ValueError(f"cap must be in (0, 1], got {cap}")
+    w = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        (
+            F.sum(weight_col) if weight_col else F.count(F.lit(1))
+        ).alias("weight")
+    )
+    q = w.withColumn(
+        "__q",
+        F.round(F.exp(F.log(F.col("weight").cast("double")) / temperature), 9),
+    )
+    minr = q.agg(F.min(F.col("weight") / F.col("__q")).alias("__minr"))
+    return (
+        q.crossJoin(F.broadcast(minr))
+        .select(
+            "stratum",
+            "weight",
+            F.round(
+                F.lit(cap) * F.col("__q") / F.col("weight") * F.col("__minr"), 6
+            ).alias("rate"),
+            F.round(F.lit(cap) * F.col("__q") * F.col("__minr"), 6).alias(
+                "expected_weight"
+            ),
+        )
+        .orderBy("stratum")
+    )
+
+
 def domain_cap(
     df: DataFrame,
     cap: int,
