@@ -135,6 +135,13 @@ HEADLINE = [
     "orders_rollup_revenue",
     "doc_pii_redaction",
     "events_k_anonymity",
+    # round-7 additions
+    "media_near_dup_pairs",
+    "corpus_unigram_lm",
+    "doc_sentence_dedup",
+    "doc_temperature_mix",
+    "doc_containment_pairs",
+    "doc_rake_keyphrases",
 ]
 
 

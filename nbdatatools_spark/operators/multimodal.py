@@ -258,26 +258,107 @@ def image_ahash(media: DataFrame, grid: tuple[int, int] = (8, 8)) -> DataFrame:
     return media.mapInPandas(run, "media_id BIGINT, ahash BIGINT")
 
 
+def audio_fingerprint(media: DataFrame, bits: int = 64) -> DataFrame:
+    """(media_id, afp BIGINT): 64-bit energy-delta audio fingerprint
+    (Chromaprint-style, energy-only): decode -> mono -> split into
+    ``bits + 1`` EQUAL segments (content-length invariant, unlike fixed-
+    ms framing) -> RMS per segment -> bit b = 1 iff rms[b+1] > rms[b],
+    packed like image_dhash. Same pair-mining contract:
+    dedup.hamming_near_dup_pairs / media_near_dup_pairs(method='afp').
+    wav/pcm16 decode is real; compressed kinds raise (no audio libs)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for data, kind, meta in zip(pdf["data"], pdf["kind"], pdf["meta"]):
+                if kind == "audio/wav" or bytes(data[:4]) == b"RIFF":
+                    samples, _sr = decode_wav(bytes(data))
+                    pcm = samples.astype(np.float64).mean(axis=1)
+                elif kind in ("audio/pcm16", "audio"):
+                    pcm = np.frombuffer(bytes(data), dtype="<i2").astype(np.float64)
+                else:
+                    raise NotImplementedError(
+                        f"audio codec for {kind!r} not available (wav/pcm16 built in)"
+                    )
+                n_seg = bits + 1
+                if len(pcm) < n_seg:
+                    pcm = np.pad(pcm, (0, n_seg - len(pcm)))
+                # equal segments via integer boundaries (same rule as
+                # block_mean_resize's axis cuts)
+                cuts = (np.arange(n_seg + 1) * len(pcm)) // n_seg
+                rms = np.array(
+                    [
+                        float(np.sqrt(np.mean(pcm[cuts[i] : cuts[i + 1]] ** 2)))
+                        for i in range(n_seg)
+                    ]
+                )
+                hashes.append(_pack_bits_le(rms[1:] > rms[:-1]))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "afp": pd.array(hashes, dtype="int64")}
+            )
+
+    return media.mapInPandas(run, "media_id BIGINT, afp BIGINT")
+
+
+def video_dhash(media: DataFrame, grid: tuple[int, int] = (8, 9)) -> DataFrame:
+    """(media_id, vhash BIGINT): clip-level perceptual hash for RVID
+    video — per-frame image dHash bits combined by MAJORITY VOTE across
+    frames (bit = 1 iff more than half the frames set it), so the hash
+    is stable under frame sampling/truncation. Pair mining via
+    media_near_dup_pairs(method='vhash')."""
+    oh, ow = grid
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for data, kind in zip(pdf["data"], pdf["kind"]):
+                if bytes(data[:4]) != b"RVID":
+                    raise NotImplementedError(
+                        f"video codec for {kind!r} not available (RVID built in)"
+                    )
+                frames = decode_rvid(bytes(data))
+                votes = np.zeros((oh, ow - 1), dtype=np.int64)
+                for fr in frames:
+                    gray = fr.astype(np.float64).mean(axis=2)
+                    pooled = block_mean_resize(gray, (oh, ow)).astype(np.float64)
+                    votes += (pooled[:, 1:] > pooled[:, :-1]).astype(np.int64)
+                hashes.append(_pack_bits_le(votes * 2 > len(frames)))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "vhash": pd.array(hashes, dtype="int64")}
+            )
+
+    return media.mapInPandas(run, "media_id BIGINT, vhash BIGINT")
+
+
+_HASHERS = {
+    "dhash": image_dhash,
+    "ahash": image_ahash,
+    "afp": audio_fingerprint,
+    "vhash": video_dhash,
+}
+
+
 def media_near_dup_pairs(
     media: DataFrame, max_hamming: int = 3, method: str = "dhash"
 ) -> DataFrame:
-    """Image near-duplicate pairs — the multimodal face of the dedup
-    family: perceptual hash (dHash default, aHash optional) + the
+    """Media near-duplicate pairs — the multimodal face of the dedup
+    family: a 64-bit perceptual fingerprint per modality (image dHash/
+    aHash, audio energy-delta, video majority-vote dHash) + the
     pigeonhole Hamming chunk join shared with SimHash
     (dedup.hamming_near_dup_pairs). Never all-pairs; candidates scale
     with chunk-bucket occupancy. Returns (id_a, id_b, hamming INT)."""
     from nbdatatools_spark.operators.dedup import hamming_near_dup_pairs
 
-    if method == "dhash":
-        hashed = image_dhash(media)
-    elif method == "ahash":
-        hashed = image_ahash(media)
-    else:
-        raise ValueError(f"method must be 'dhash' or 'ahash', got {method!r}")
+    try:
+        hashed = _HASHERS[method](media)
+    except KeyError:
+        raise ValueError(
+            f"method must be one of {sorted(_HASHERS)}, got {method!r}"
+        ) from None
     return hamming_near_dup_pairs(
         hashed,
         id_col="media_id",
-        hash_col=method,
+        hash_col=method,  # each hasher names its column after the method
         max_hamming=max_hamming,
         n_bits=64,
     )

@@ -108,3 +108,76 @@ def test_ahash_brightness_invariance_weaker_than_dhash(spark, media):
 def test_media_near_dup_validation(spark, media):
     with pytest.raises(ValueError):
         media_near_dup_pairs(media, method="phash-dct")
+
+
+def _wav(rng, n=16000, amp_profile=None):
+    from nbdatatools_spark.functions.media_codecs import encode_wav
+
+    t = np.arange(n)
+    base = np.sin(2 * np.pi * 440 * t / 16000)
+    env = amp_profile if amp_profile is not None else rng.random(8)
+    gain = np.repeat(env, int(np.ceil(n / len(env))))[:n]
+    samples = (base * gain * 20000).astype(np.int16)
+    return encode_wav(samples, 16000)
+
+
+def test_audio_fingerprint_near_dups(spark):
+    from nbdatatools_spark.operators.multimodal import (
+        audio_fingerprint,
+        media_near_dup_pairs,
+    )
+
+    rng = np.random.Generator(np.random.Philox(key=5))
+    env_a = rng.random(64)
+    env_b = rng.random(64)
+    rows = [
+        (1, "audio/wav", _wav(rng, amp_profile=env_a), None),
+        # same envelope, mild perturbation -> near-dup
+        (2, "audio/wav", _wav(rng, amp_profile=env_a + rng.normal(0, 0.01, 64)), None),
+        (3, "audio/wav", _wav(rng, amp_profile=env_b), None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    fp = {r["media_id"]: r["afp"] for r in audio_fingerprint(media).collect()}
+    assert len(fp) == 3
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in media_near_dup_pairs(media, max_hamming=6, method="afp").collect()
+    }
+    assert (1, 2) in pairs and (1, 3) not in pairs and (2, 3) not in pairs
+    # content-length invariance: truncating 10% keeps the hash close
+    short = spark.createDataFrame(
+        [(9, "audio/wav", _wav(rng, n=14400, amp_profile=env_a), None)],
+        MEDIA_SCHEMA,
+    )
+    fp9 = audio_fingerprint(short).collect()[0]["afp"]
+    ham = bin((fp9 ^ fp[1]) & ((1 << 64) - 1)).count("1")
+    assert ham <= 16
+
+
+def test_video_dhash_majority_vote(spark):
+    from nbdatatools_spark.functions.media_codecs import encode_rvid
+    from nbdatatools_spark.operators.multimodal import media_near_dup_pairs, video_dhash
+
+    rng = np.random.Generator(np.random.Philox(key=13))
+    base = rng.integers(0, 256, size=(16, 18, 3), dtype=np.int64).astype(np.uint8)
+    clip_a = np.stack([base] * 8)  # static clip
+    # same content, one corrupted frame -> majority vote absorbs it
+    noisy_frame = rng.integers(0, 256, size=(16, 18, 3), dtype=np.int64).astype(np.uint8)
+    clip_b = np.stack([base] * 7 + [noisy_frame])
+    other = np.stack(
+        [rng.integers(0, 256, size=(16, 18, 3), dtype=np.int64).astype(np.uint8)] * 8
+    )
+    rows = [
+        (1, "video/rvid", encode_rvid(clip_a), None),
+        (2, "video/rvid", encode_rvid(clip_b), None),
+        (3, "video/rvid", encode_rvid(other), None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    h = {r["media_id"]: r["vhash"] for r in video_dhash(media).collect()}
+    assert h[1] == h[2]  # 1 bad frame of 8 cannot flip a majority bit
+    assert h[1] != h[3]
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in media_near_dup_pairs(media, max_hamming=3, method="vhash").collect()
+    }
+    assert (1, 2) in pairs and (1, 3) not in pairs
