@@ -4114,7 +4114,6 @@ def corpus_unigram_lm(spark, sf_dir):
     trainer keeps its pure-Python differential in tests/test_unigram.py.
     """
     from nbdatatools_spark.functions.text import normalize_text
-    from nbdatatools_spark.operators.bpe import corpus_base_chars
     from nbdatatools_spark.operators.unigram import (
         seed_vocabulary,
         unigram_encode,
@@ -4125,14 +4124,16 @@ def corpus_unigram_lm(spark, sf_dir):
     pieces, hist = unigram_train(
         docs, vocab_size=512, max_piece_len=6, seed_size=2000, n_iter=2
     )
-    top_seed = (
-        seed_vocabulary(docs, max_piece_len=6, seed_size=2000)
-        .where(F.length("piece") >= 2)
-        .orderBy(F.desc("freq"), "piece")
-        .limit(5)
-        .collect()
-    )
-    chars = corpus_base_chars(docs)
+    # ONE seed collection serves both checks: its len>=2 head is the
+    # oracle-replicated hash bite, its len==1 rows are the corpus
+    # alphabet (seed_vocabulary includes every single char by
+    # construction — same set as corpus_base_chars, one pass cheaper)
+    seed_rows = seed_vocabulary(docs, max_piece_len=6, seed_size=2000).collect()
+    top_seed = sorted(
+        (r for r in seed_rows if len(r["piece"]) >= 2),
+        key=lambda r: (-r["freq"], r["piece"]),
+    )[:5]
+    chars = sorted(r["piece"] for r in seed_rows if len(r["piece"]) == 1)
     table = {p for p, _ in pieces}
     probs_normalized = abs(sum(pr for _, pr in pieces) - 1.0) < 1e-6
     ll_monotone = all(b >= a - 1e-6 for a, b in zip(hist, hist[1:]))

@@ -136,11 +136,16 @@ HEADLINE = [
     "doc_pii_redaction",
     "events_k_anonymity",
     # round-7 additions
+    # (doc_containment_pairs stays a gate but NOT a headline entry: the
+    # banded candidates grow quadratically inside the sf0.1 corpus's
+    # duplicate cliques (~75k pairs -> 31s; 10x replica 463s). Production
+    # bounds the verify with containment_verify(max_pairs=...) — the same
+    # md5 pair-sample knob as minhash_calibration. Same policy as
+    # doc_dedup_cluster_sizes / embedding_hubness.)
     "media_near_dup_pairs",
     "corpus_unigram_lm",
     "doc_sentence_dedup",
     "doc_temperature_mix",
-    "doc_containment_pairs",
     "doc_rake_keyphrases",
 ]
 

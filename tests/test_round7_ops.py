@@ -81,3 +81,24 @@ def test_containment_asymmetric_pairs(spark):
     assert (1, 2) in out and out[(1, 2)]["c_ba"] >= 0.95
     assert out[(1, 2)]["c_ab"] < 0.95  # asymmetry: long side not contained
     assert (1, 3) not in out
+
+
+def test_containment_max_pairs_deterministic(spark, documents):
+    from nbdatatools_spark.operators.dedup import (
+        containment_verify,
+        minhash_lsh_candidates,
+    )
+
+    cand = minhash_lsh_candidates(
+        documents, num_hashes=16, bands=4, shingle_size=5, impl="md5"
+    )
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in containment_verify(cand, documents, threshold=0.2).collect()
+    }
+    a = containment_verify(cand, documents, threshold=0.2, max_pairs=10).collect()
+    b = containment_verify(
+        cand.repartition(7), documents, threshold=0.2, max_pairs=10
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # content-stable sample
+    assert {(r["id_a"], r["id_b"]) for r in a} <= full
