@@ -451,3 +451,83 @@ def test_stream_cms_equals_batch(spark, sf_dir, tmp_path):
     }
     assert got == expected
     assert len(got) <= 4 * 256  # bounded state
+
+
+def test_stream_minhash_candidates_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming banded-LSH dedup: for buckets under the cap, draining the
+    document stream emits EXACTLY the batch candidate pair set (pairs are
+    the same 2-subsets, discovered incrementally across micro-batches)."""
+    from nbdatatools_spark.operators.dedup import minhash_lsh_candidates
+    from nbdatatools_spark.streaming.dedup_lsh import stream_minhash_candidates
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    src = str(tmp_path / "docs_stream")
+    docs.coalesce(3).write.parquet(src)  # 3 files -> 3 micro-batches
+
+    expected = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            docs, num_hashes=16, bands=4, shingle_size=5,
+            impl="numpy", max_bucket=100000,
+        ).collect()
+    }
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    cand = stream_minhash_candidates(
+        stream, num_hashes=16, bands=4, shingle_size=5, max_bucket=100000
+    )
+    q = (
+        cand.writeStream.format("memory")
+        .queryName("lsh_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "lsh_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM lsh_stream").collect()
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    assert got == expected and expected
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+
+
+def test_stream_minhash_bucket_cap_saturates(spark, tmp_path):
+    """Over-cap buckets stop emitting: 10 identical docs with cap 4 emit
+    at most C(4,2) pairs per band and never grow state past the cap."""
+    from nbdatatools_spark.streaming.dedup_lsh import stream_minhash_candidates
+
+    docs = spark.createDataFrame(
+        [(i, "identical boilerplate text repeated everywhere") for i in range(10)],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "sat_stream")
+    docs.coalesce(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    cand = stream_minhash_candidates(
+        stream, num_hashes=16, bands=4, shingle_size=5, max_bucket=4
+    )
+    q = (
+        cand.writeStream.format("memory")
+        .queryName("lsh_sat")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "sat_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM lsh_sat").collect()
+    per_band = {}
+    for r in rows:
+        per_band.setdefault(r["band"], set()).add((r["id_a"], r["id_b"]))
+    assert per_band  # identical docs definitely collide
+    for band, pairs in per_band.items():
+        assert len(pairs) <= 6  # C(4,2) with cap 4
