@@ -4031,7 +4031,10 @@ def media_near_dup_pairs(spark, sf_dir):
     dedup family, end-to-end through the REAL BMP codec: deterministic
     16x18 gray images (pixel = first md5 byte of 'px:<d>:<y>:<x>') are
     encoded to 24-bit BMP bytes, decoded back, channel-meaned, 2x2
-    block-pooled to the 8x9 dHash grid and packed. Planted structure:
+    block-pooled to the 8x9 dHash grid and packed. Pixels come from TWO
+    md5s per row (32 hex chars + 4 = 18 byte-pairs), let-bound so the
+    digest is computed once per row, not once per pixel — 32 md5/doc vs
+    the naive 288 (measured 6.1s -> ~2s at sf0.1). Planted structure:
     doc_id % 10 == 1 copies doc_id-1's image exactly (hamming 0);
     doc_id % 20 == 3 copies it with pixel (0,0) bumped +100 (hamming <=
     2). Every arithmetic step is exact in IEEE doubles (gray = 3v/3,
@@ -4047,26 +4050,53 @@ def media_near_dup_pairs(spark, sf_dir):
         (F.col("doc_id") % 10 == 1) | (F.col("doc_id") % 20 == 3),
         F.col("doc_id") - 1,
     ).otherwise(F.col("doc_id"))
+    from nbdatatools_spark.functions.text import _let
+
+    # 36 hex chars per row = 18 pixels from TWO md5s; the rowhex array is
+    # LET-BOUND (functions.text._let) so each row digest is computed once
+    # — an attribute reference inside the nested pixel lambdas would be
+    # re-inlined by CollapseProject and re-evaluated per pixel
+    rowhex = F.expr(
+        "transform(sequence(0, 15), y -> "
+        "concat(md5(concat('pxr:', CAST(__de AS STRING), ':', "
+        "CAST(y AS STRING))), "
+        "substring(md5(concat('pxr2:', CAST(__de AS STRING), ':', "
+        "CAST(y AS STRING))), 1, 4)))"
+    )
+
+    def pixels_of(rh):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda y: F.transform(
+                F.sequence(F.lit(0), F.lit(17)),
+                lambda x: F.when(
+                    F.col("__bump") & (y == 0) & (x == 0),
+                    F.least(
+                        F.conv(
+                            F.element_at(rh, 1).substr(F.lit(1), F.lit(2)), 16, 10
+                        ).cast("int")
+                        + 100,
+                        F.lit(255),
+                    ),
+                ).otherwise(
+                    F.conv(
+                        F.element_at(rh, y.cast("int") + 1).substr(
+                            (x.cast("int") * 2 + 1).cast("int"), F.lit(2)
+                        ),
+                        16,
+                        10,
+                    ).cast("int")
+                ),
+            ),
+        )
+
     pix = docs.select(
         F.col("doc_id").alias("media_id"),
         d_eff.alias("__de"),
         (F.col("doc_id") % 20 == 3).alias("__bump"),
     ).select(
         "media_id",
-        F.expr(
-            "transform(sequence(0, 15), y -> transform(sequence(0, 17), x -> "
-            "CAST(conv(substring(md5(concat('px:', CAST(__de AS STRING), ':', "
-            "CAST(y AS STRING), ':', CAST(x AS STRING))), 1, 2), 16, 10) "
-            "AS INT)))"
-        ).alias("__px"),
-        "__bump",
-    ).select(
-        "media_id",
-        F.expr(
-            "transform(sequence(0, 15), y -> transform(sequence(0, 17), x -> "
-            "CASE WHEN __bump AND y = 0 AND x = 0 "
-            "THEN least(__px[0][0] + 100, 255) ELSE __px[y][x] END))"
-        ).alias("pixels"),
+        _let(rowhex, pixels_of).alias("pixels"),
     )
 
     def to_bmp(batches):
@@ -9108,10 +9138,12 @@ def oracle_sql() -> dict[str, str]:
             px AS (
                 SELECT d, y, x,
                        CASE WHEN bump AND y = 0 AND x = 0
-                            THEN least(('0x' || substr(md5('px:' || de || ':0:0'),
-                                                       1, 2))::INT + 100, 255)
-                            ELSE ('0x' || substr(md5('px:' || de || ':' || y || ':'
-                                                     || x), 1, 2))::INT
+                            THEN least(('0x' || substr(
+                                md5('pxr:' || de || ':0'), 1, 2))::INT + 100, 255)
+                            ELSE ('0x' || substr(
+                                md5('pxr:' || de || ':' || y)
+                                || substr(md5('pxr2:' || de || ':' || y), 1, 4),
+                                x * 2 + 1, 2))::INT
                        END AS v
                 FROM eff CROSS JOIN grid),
             blk AS (
