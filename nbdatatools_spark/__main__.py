@@ -16,7 +16,8 @@ reference user can run the same commands against the Spark engine:
     corpus stats|run|tune_dedup|cluster_sizes|select_budget|card|keyphrases
            |kneser_ney|train_unigram|calibrate_minhash|balance|qc
            |length_drift|cms_topk|bloom_decontam|source_similarity
-           |boilerplate|filter_eval|cross_dedup
+           |boilerplate|filter_eval|cross_dedup|sentence_dedup
+           |temperature_mix|containment
            (report / pipeline / tuning / audits / hygiene / tokenizers)
     media hash|near_dups|stats (perceptual-hash image dedup, metadata)
     slab get|namespaces|check|analyze|import|append|export|rewrite
@@ -694,6 +695,64 @@ def _cmd_corpus_train_unigram(args) -> int:
             [(i, p, float(pr)) for i, (p, pr) in enumerate(pieces)],
             "piece_id INT, piece STRING, prob DOUBLE",
         ).limit(args.top)
+    )
+
+
+def _cmd_corpus_sentence_dedup(args) -> int:
+    from nbdatatools_spark.operators.dedup import sentence_dedup
+
+    docs = _spark().read.parquet(args.input)
+    out = sentence_dedup(
+        docs, id_col=args.id_col, text_col=args.text_col, min_docs=args.min_docs
+    )
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"written": args.output}))
+        return 0
+    return _emit_rows(out.limit(args.limit))
+
+
+def _cmd_corpus_temperature_mix(args) -> int:
+    from nbdatatools_spark.operators.sampling import temperature_mixture_rates
+
+    docs = _spark().read.parquet(args.input)
+    return _emit_rows(
+        temperature_mixture_rates(
+            docs,
+            strata_col=args.strata_col,
+            temperature=args.temperature,
+            cap=args.cap,
+        )
+    )
+
+
+def _cmd_corpus_containment(args) -> int:
+    from pyspark.sql import functions as F
+
+    from nbdatatools_spark.operators.dedup import (
+        containment_verify,
+        minhash_lsh_candidates,
+    )
+
+    docs = _spark().read.parquet(args.input)
+    cand = minhash_lsh_candidates(
+        docs,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        num_hashes=args.num_hashes,
+        bands=args.bands,
+        shingle_size=args.shingle_size,
+    )
+    return _emit_rows(
+        containment_verify(
+            cand,
+            docs,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            shingle_size=args.shingle_size,
+            threshold=args.threshold,
+            max_pairs=args.max_pairs,
+        ).orderBy(F.desc("containment"), "id_a", "id_b").limit(args.limit)
     )
 
 
@@ -1640,6 +1699,31 @@ def build_parser() -> argparse.ArgumentParser:
     ctu.add_argument("--iters", type=int, default=3)
     ctu.add_argument("--top", type=int, default=100)
     ctu.set_defaults(func=_cmd_corpus_train_unigram)
+    csd = cp.add_parser("sentence_dedup")
+    csd.add_argument("--input", required=True)
+    csd.add_argument("--text-col", default="text")
+    csd.add_argument("--id-col", default="doc_id")
+    csd.add_argument("--min-docs", type=int, default=2)
+    csd.add_argument("--output", default=None)
+    csd.add_argument("--limit", type=int, default=100)
+    csd.set_defaults(func=_cmd_corpus_sentence_dedup)
+    ctm = cp.add_parser("temperature_mix")
+    ctm.add_argument("--input", required=True)
+    ctm.add_argument("--strata-col", default="source")
+    ctm.add_argument("--temperature", type=float, default=2.0)
+    ctm.add_argument("--cap", type=float, default=1.0)
+    ctm.set_defaults(func=_cmd_corpus_temperature_mix)
+    cct = cp.add_parser("containment")
+    cct.add_argument("--input", required=True)
+    cct.add_argument("--text-col", default="text")
+    cct.add_argument("--id-col", default="doc_id")
+    cct.add_argument("--num-hashes", type=int, default=32)
+    cct.add_argument("--bands", type=int, default=8)
+    cct.add_argument("--shingle-size", type=int, default=5)
+    cct.add_argument("--threshold", type=float, default=0.5)
+    cct.add_argument("--max-pairs", type=int, default=None)
+    cct.add_argument("--limit", type=int, default=100)
+    cct.set_defaults(func=_cmd_corpus_containment)
     md = sub.add_parser("media").add_subparsers(dest="what", required=True)
     mh = md.add_parser("hash")
     mh.add_argument("--input", required=True)

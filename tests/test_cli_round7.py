@@ -63,3 +63,29 @@ def test_media_cli(spark, capsys, tmp_path):
     assert main(["media", "stats", "--input", path]) == 0
     rows = _lines(capsys)
     assert rows[0]["kind"] == "image/bmp" and rows[0]["n"] == 3
+
+
+def test_corpus_sentence_dedup_cli(spark, capsys):
+    assert main(["corpus", "sentence_dedup", "--input", DOCS, "--limit", "20"]) == 0
+    rows = _lines(capsys)
+    assert rows and {"doc_id", "n_sentences", "n_removed", "text_dedup"} <= set(rows[0])
+    assert all(r["n_removed"] <= r["n_sentences"] for r in rows)
+
+
+def test_corpus_temperature_mix_cli(spark, capsys):
+    assert main(
+        ["corpus", "temperature_mix", "--input", DOCS, "--temperature", "2.0"]
+    ) == 0
+    rows = _lines(capsys)
+    assert rows and all(0.0 < r["rate"] <= 1.0 + 1e-9 for r in rows)
+    assert any(abs(r["rate"] - 1.0) < 1e-6 for r in rows)  # argmin stratum keeps all
+
+
+def test_corpus_containment_cli(spark, capsys):
+    assert main(
+        ["corpus", "containment", "--input", DOCS, "--threshold", "0.2",
+         "--max-pairs", "50", "--limit", "10"]
+    ) == 0
+    rows = _lines(capsys)
+    for r in rows:
+        assert r["containment"] >= 0.2 and r["id_a"] < r["id_b"]
