@@ -173,6 +173,40 @@ def _op_stratified_sample(df, rates=None, strata_col="source", key_col="doc_id",
     )
 
 
+def _op_sentence_dedup(df, min_docs=2, id_col="doc_id", text_col="text", **_):
+    """Cross-document repeated-sentence removal (round 7): replaces the
+    text column with the sentence-deduped rebuild, preserving every
+    other column (ONE equi-join back on id)."""
+    from nbdatatools_spark.operators.dedup import sentence_dedup
+
+    sd = sentence_dedup(
+        df, id_col=id_col, text_col=text_col, min_docs=int(min_docs)
+    ).select(id_col, F.col("text_dedup").alias(text_col))
+    return df.drop(text_col).join(sd, id_col)
+
+
+def _op_temperature_sample(df, temperature=2.0, strata_col="source",
+                           key_col="doc_id", cap=1.0, seed=42, **_):
+    """Temperature-balanced downsampling (round 7): rates = p ∝ w^(1/T)
+    from temperature_mixture_rates, applied as the deterministic
+    per-stratum hash sample (the stratified_sample convention). The
+    rates table is strata-bounded — broadcast join, no driver collect."""
+    from nbdatatools_spark.operators.sampling import (
+        _HASH_SPACE,
+        sample_hash,
+        temperature_mixture_rates,
+    )
+
+    rates = temperature_mixture_rates(
+        df, strata_col=strata_col, temperature=float(temperature), cap=float(cap)
+    ).select(F.col("stratum").alias(strata_col), "rate")
+    joined = df.join(F.broadcast(rates), strata_col, "left")
+    return joined.where(
+        sample_hash(F.col(key_col), int(seed))
+        < F.coalesce(F.col("rate"), F.lit(1.0)) * _HASH_SPACE
+    ).drop("rate")
+
+
 def _op_schema_check(df, columns=None, **_):
     """Data-contract guard: fail the pipeline LOUDLY at plan time if the
     frame is missing expected columns (optionally with types). ``columns``
@@ -246,6 +280,8 @@ STEP_REGISTRY = {
     "token_budget": _op_token_budget,
     "domain_cap": _op_domain_cap,
     "stratified_sample": _op_stratified_sample,
+    "sentence_dedup": _op_sentence_dedup,
+    "temperature_sample": _op_temperature_sample,
 }
 
 

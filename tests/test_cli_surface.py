@@ -612,3 +612,39 @@ def test_pipeline_remove_dup_spans_rewrites_text(spark):
     got = {r.doc_id: r.text for r in out.collect()}
     assert got == {1: "e f", 2: "z q"}
     assert [r.source for r in out.collect()] == ["s1", "s1"]
+
+
+def test_pipeline_round7_steps(spark, documents):
+    """sentence_dedup / temperature_sample pipeline steps compose, keep
+    the schema, and match the underlying operators."""
+    from pyspark.sql import functions as F
+
+    from nbdatatools_spark.operators.sampling import (
+        sample_hash,
+        temperature_mixture_rates,
+    )
+    from nbdatatools_spark.plans.pipeline import run_pipeline
+
+    steps = [
+        {"op": "sentence_dedup", "min_docs": 2},
+        {"op": "temperature_sample", "temperature": 2.0},
+    ]
+    out, report = run_pipeline(documents, steps, count_steps=True)
+    assert set(documents.columns) <= set(out.columns)
+    assert [r["op"] for r in report] == ["sentence_dedup", "temperature_sample"]
+    n_docs = documents.count()
+    assert 0 < out.count() <= n_docs
+    # the kept set per stratum matches the rate applied via hash sample
+    rates = {
+        r["stratum"]: r["rate"]
+        for r in temperature_mixture_rates(documents, temperature=2.0).collect()
+    }
+    kept = out.select("doc_id", "source").collect()
+    hs = {
+        r["doc_id"]: r["h"]
+        for r in documents.select(
+            "doc_id", sample_hash(F.col("doc_id")).alias("h")
+        ).collect()
+    }
+    for r in kept:
+        assert hs[r["doc_id"]] < rates[r["source"]] * float(1 << 52)
