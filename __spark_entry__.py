@@ -4249,6 +4249,25 @@ def doc_containment_pairs(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def embedding_cluster_purity(spark, sf_dir):
+    """External cluster validation (clustering.py::lloyd_assignments +
+    cluster_label_agreement): purity + NMI of the deterministic k=8
+    2-iteration Lloyd clustering against the embeddings' ground-truth
+    labels — the Manning-IR evaluation pair, the audit that says whether
+    unsupervised curation clusters track real classes. The oracle
+    unrolls the SAME Lloyd CTEs as embedding_lloyd_kmeans down to
+    per-row assignments, joins labels, and replays the 9dp-DECIMAL
+    entropy/MI sums. One row (n, n_clusters, n_labels, purity, nmi)."""
+    from nbdatatools_spark.operators.clustering import (
+        cluster_label_agreement,
+        lloyd_assignments,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assign = lloyd_assignments(emb, k=8, iterations=2)
+    return cluster_label_agreement(assign, emb)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4309,6 +4328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sentence_dedup": doc_sentence_dedup,
         "doc_temperature_mix": doc_temperature_mix,
         "doc_containment_pairs": doc_containment_pairs,
+        "embedding_cluster_purity": embedding_cluster_purity,
         # -- r6-green re-record fillers (displaced by round-7 additions
         #    as they land) --
         "q9_product_profit": q9_product_profit,
@@ -4336,10 +4356,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow_verify": doc_winnow_verify,
         "doc_langid_eval": doc_langid_eval,
         "embedding_lloyd_kmeans": embedding_lloyd_kmeans,
-        "embedding_sq8_error": embedding_sq8_error,
         # position 49 — last recorded slot; see docstring.
         "fit_embeddings_model": fit_embeddings_model,
         # -- tail: every entry below is hash-green in a recorded round --
+        "embedding_sq8_error": embedding_sq8_error,
         "events_seasonal_decompose": events_seasonal_decompose,
         "events_cusum_change": events_cusum_change,
         "events_mad_outliers": events_mad_outliers,
@@ -5012,8 +5032,9 @@ def _ks_normal_oracle() -> str:
     """
 
 
-def _lloyd_oracle(k: int = 8, iterations: int = 2) -> str:
-    """DuckDB replica of clustering.lloyd_fixed_iterations: unrolled
+def _lloyd_assign_ctes(k: int = 8, iterations: int = 2) -> str:
+    """Shared WITH-body replicating clustering._lloyd_final_assign down to
+    the per-row FINAL assignment table ``bf(vec_id, cid, d)`` — unrolled
     iteration CTEs with the SAME sequential zip-fold euclidean distance
     (list_reduce == Spark's F.aggregate left fold, bit-identical) and the
     same 9dp-DECIMAL mean / 6dp rounding discipline."""
@@ -5052,15 +5073,21 @@ def _lloyd_oracle(k: int = 8, iterations: int = 2) -> str:
             FROM {prev} p LEFT JOIN m{it} n ON p.cid = n.cid)""")
     fin = iterations
     body = ",".join(parts)
-    return f"""
-        WITH {body},
+    return f"""{body},
         af AS (
             SELECT e.vec_id, c.cid, {dist} AS d
             FROM emb e CROSS JOIN cent{fin} c),
         bf AS (
             SELECT vec_id, cid, d FROM (
                 SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-                FROM af) WHERE rn = 1)
+                FROM af) WHERE rn = 1)"""
+
+
+def _lloyd_oracle(k: int = 8, iterations: int = 2) -> str:
+    """DuckDB replica of clustering.lloyd_fixed_iterations (the final
+    per-cluster aggregate over the shared assignment CTEs)."""
+    return f"""
+        WITH {_lloyd_assign_ctes(k, iterations)}
         SELECT cid AS centroid_id, count(*) AS n_assigned,
                round(CAST(CAST(sum(CAST(round(d * d, 9) AS DECIMAL(20,9)))
                      AS DECIMAL(38,9)) AS DOUBLE), 6) AS inertia
@@ -9189,6 +9216,48 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS singles_retained, TRUE AS vocab_bounded,
                    TRUE AS encode_roundtrip
             FROM agg ORDER BY seed_freq DESC, piece LIMIT 5
+        """,
+        # purity/NMI over the shared Lloyd assignment CTEs + label join;
+        # entropy/MI terms 9dp-rounded and DECIMAL-summed (token_entropy
+        # ln discipline)
+        "embedding_cluster_purity": f"""
+            WITH {_lloyd_assign_ctes(8, 2)},
+            lab AS (SELECT vec_id, label FROM embeddings),
+            ct AS (SELECT b.cid AS c, l.label AS lbl, count(*) AS nij
+                   FROM bf b JOIN lab l USING (vec_id)
+                   GROUP BY b.cid, l.label),
+            tot AS (SELECT CAST(sum(nij) AS BIGINT) AS ntot FROM ct),
+            nc AS (SELECT c, CAST(sum(nij) AS BIGINT) AS nc FROM ct GROUP BY c),
+            nl AS (SELECT lbl, CAST(sum(nij) AS BIGINT) AS nl FROM ct GROUP BY lbl),
+            hc AS (SELECT -CAST(CAST(sum(CAST(round(
+                       (nc / CAST(ntot AS DOUBLE))
+                       * ln(CAST(nc AS DOUBLE) / ntot), 9) AS DECIMAL(20,9)))
+                       AS DECIMAL(38,9)) AS DOUBLE) AS h
+                   FROM nc CROSS JOIN tot),
+            hl AS (SELECT -CAST(CAST(sum(CAST(round(
+                       (nl / CAST(ntot AS DOUBLE))
+                       * ln(CAST(nl AS DOUBLE) / ntot), 9) AS DECIMAL(20,9)))
+                       AS DECIMAL(38,9)) AS DOUBLE) AS h
+                   FROM nl CROSS JOIN tot),
+            mi AS (SELECT CAST(CAST(sum(CAST(round(
+                       (ct.nij / CAST(ntot AS DOUBLE))
+                       * ln((CAST(ct.nij AS DOUBLE) * ntot)
+                            / (CAST(nc.nc AS DOUBLE) * nl.nl)), 9)
+                       AS DECIMAL(20,9))) AS DECIMAL(38,9)) AS DOUBLE) AS mi,
+                       max(ntot) AS nrows,
+                       count(DISTINCT ct.c) AS kc,
+                       count(DISTINCT ct.lbl) AS kl
+                   FROM ct JOIN nc USING (c) JOIN nl USING (lbl)
+                   CROSS JOIN tot),
+            maj AS (SELECT CAST(sum(mx) AS BIGINT) AS maj FROM (
+                        SELECT c, max(nij) AS mx FROM ct GROUP BY c))
+            SELECT CAST(mi.nrows AS BIGINT) AS n,
+                   CAST(kc AS INT) AS n_clusters,
+                   CAST(kl AS INT) AS n_labels,
+                   round(maj / CAST(mi.nrows AS DOUBLE), 6) AS purity,
+                   CASE WHEN hc.h > 0 AND hl.h > 0
+                        THEN round(mi.mi / sqrt(hc.h * hl.h), 6) END AS nmi
+            FROM mi CROSS JOIN maj CROSS JOIN hc CROSS JOIN hl
         """,
         # sentence dedup: sentinel-split sentences, digest-keyed
         # count-distinct-docs dup set, position-ordered rebuild

@@ -382,6 +382,30 @@ def lloyd_fixed_iterations(
     Returns ``(centroid_id, n_assigned, inertia)`` per final cluster,
     inertia = DECIMAL-exact sum of squared (6dp-rounded) distances.
     """
+    final = _lloyd_final_assign(df, k, iterations, id_col, vec_col)
+    return (
+        final.groupBy(F.col("__cid").alias("centroid_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            F.round(
+                F.sum(
+                    F.round(F.col("__d") * F.col("__d"), 9).cast("decimal(20,9)")
+                )
+                .cast("decimal(38,9)")
+                .cast("double"),
+                6,
+            ).alias("inertia"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+def _lloyd_final_assign(
+    df: DataFrame, k: int, iterations: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Shared Lloyd loop: returns the FINAL assignment frame
+    (__id, __v, __cid, __d) — see lloyd_fixed_iterations for the
+    determinism contract."""
     base = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
@@ -437,21 +461,128 @@ def lloyd_fixed_iterations(
             i: new_cents.get(i, centroids[i]) for i in range(len(centroids))
         }
 
-    final = _assign(base, centroids)
-    return (
-        final.groupBy(F.col("__cid").alias("centroid_id"))
-        .agg(
-            F.count(F.lit(1)).alias("n_assigned"),
-            F.round(
-                F.sum(
-                    F.round(F.col("__d") * F.col("__d"), 9).cast("decimal(20,9)")
-                )
-                .cast("decimal(38,9)")
-                .cast("double"),
-                6,
-            ).alias("inertia"),
+    return _assign(base, centroids)
+
+
+def lloyd_assignments(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-row FINAL Lloyd assignments (id, centroid_id, dist) under the
+    exact same determinism contract as :func:`lloyd_fixed_iterations`
+    (which aggregates the identical assignment frame) — the input to
+    external cluster validation (:func:`cluster_label_agreement`) and
+    label-aware curation."""
+    final = _lloyd_final_assign(df, k, iterations, id_col, vec_col)
+    return final.select(
+        F.col("__id").alias(id_col),
+        F.col("__cid").alias("centroid_id"),
+        F.col("__d").alias("dist"),
+    )
+
+
+def cluster_label_agreement(
+    assignments: DataFrame,
+    labeled: DataFrame,
+    id_col: str = "vec_id",
+    cluster_col: str = "centroid_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """External cluster validation against ground-truth labels: PURITY
+    (fraction of points whose cluster's majority label is theirs) and
+    NMI (mutual information over sqrt(H(C) * H(L)) — the standard
+    clustering-evaluation pair; Manning et al., IR book §16.3).
+
+    Engine-exact: every probability is a ratio of exact integers; each
+    entropy/MI term is 9dp-rounded and DECIMAL-summed (the token_entropy
+    ln discipline), outputs at 6dp. NMI is NULL when either marginal
+    entropy is zero (single cluster or single label — agreement is
+    undefined, not 1.0).
+
+    Scale shape: ONE equi-join on id, one (cluster, label) contingency
+    aggregate (bounded by k * n_labels), then driver-free arithmetic on
+    the bounded tables. Returns one row
+    (n, n_clusters, n_labels, purity, nmi).
+    """
+    ct = (
+        assignments.select(F.col(id_col).alias("__id"), F.col(cluster_col).alias("__c"))
+        .join(
+            labeled.select(
+                F.col(id_col).alias("__id"), F.col(label_col).alias("__l")
+            ),
+            "__id",
         )
-        .orderBy("centroid_id")
+        .groupBy("__c", "__l")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=False)
+    )
+    tot = ct.agg(F.sum("__n").alias("__N"))
+    nc = ct.groupBy("__c").agg(F.sum("__n").alias("__nc"))
+    nl = ct.groupBy("__l").agg(F.sum("__n").alias("__nl"))
+
+    def _ent_sum(df, cnt):
+        # -sum round9((m/N) * ln(m/N)), DECIMAL-summed
+        term = F.round(
+            (F.col(cnt) / F.col("__N"))
+            * F.log(F.col(cnt).cast("double") / F.col("__N")),
+            9,
+        ).cast("decimal(20,9)")
+        return (
+            df.crossJoin(F.broadcast(tot))
+            .agg((-F.sum(term).cast("decimal(38,9)").cast("double")).alias("h"))
+        )
+
+    hc = _ent_sum(nc, "__nc").select(F.col("h").alias("__hc"))
+    hl = _ent_sum(nl, "__nl").select(F.col("h").alias("__hl"))
+    # fresh name for ct's count on the join spine: every side of this
+    # four-way self-join derives from ct, and resolving the original
+    # "__n" by name is ambiguous across the shared lineage
+    ct2 = ct.select(
+        "__c", "__l", F.col("__n").alias("__nij")
+    )
+    mi_term = F.round(
+        (F.col("__nij") / F.col("__N"))
+        * F.log(
+            (F.col("__nij").cast("double") * F.col("__N"))
+            / (F.col("__nc").cast("double") * F.col("__nl"))
+        ),
+        9,
+    ).cast("decimal(20,9)")
+    mi = (
+        ct2.join(F.broadcast(nc), "__c")
+        .join(F.broadcast(nl), "__l")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(mi_term).cast("decimal(38,9)").cast("double").alias("__mi"),
+            F.max("__N").alias("__N"),
+            F.countDistinct("__c").alias("__kc"),
+            F.countDistinct("__l").alias("__kl"),
+        )
+    )
+    maj = (
+        ct.groupBy("__c")
+        .agg(F.max("__n").alias("__mx"))
+        .agg(F.sum("__mx").alias("__maj"))
+    )
+    return (
+        mi.crossJoin(F.broadcast(maj))
+        .crossJoin(F.broadcast(hc))
+        .crossJoin(F.broadcast(hl))
+        .select(
+            F.col("__N").cast("bigint").alias("n"),
+            F.col("__kc").cast("int").alias("n_clusters"),
+            F.col("__kl").cast("int").alias("n_labels"),
+            F.round(F.col("__maj") / F.col("__N"), 6).alias("purity"),
+            F.when(
+                (F.col("__hc") > 0) & (F.col("__hl") > 0),
+                F.round(
+                    F.col("__mi") / F.sqrt(F.col("__hc") * F.col("__hl")), 6
+                ),
+            ).alias("nmi"),
+        )
     )
 
 

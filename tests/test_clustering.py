@@ -280,3 +280,58 @@ def test_group_centroids_partition_invariance(spark):
     a = sorted(map(tuple, group_centroids(df.repartition(1), "src").collect()))
     b = sorted(map(tuple, group_centroids(df.repartition(7), "src").collect()))
     assert a == b
+
+
+def test_cluster_label_agreement_closed_forms(spark):
+    from nbdatatools_spark.operators.clustering import cluster_label_agreement
+
+    # perfect agreement: clusters == labels -> purity 1, NMI 1
+    assign = spark.createDataFrame(
+        [(i, i % 2) for i in range(20)], "vec_id long, centroid_id int"
+    )
+    labels = spark.createDataFrame(
+        [(i, "even" if i % 2 == 0 else "odd") for i in range(20)],
+        "vec_id long, label string",
+    )
+    r = cluster_label_agreement(assign, labels).first()
+    assert (r["n"], r["n_clusters"], r["n_labels"]) == (20, 2, 2)
+    assert r["purity"] == 1.0 and r["nmi"] == 1.0
+
+    # single label: H(L) = 0 -> NMI undefined (NULL), purity 1
+    one = spark.createDataFrame(
+        [(i, "only") for i in range(20)], "vec_id long, label string"
+    )
+    r1 = cluster_label_agreement(assign, one).first()
+    assert r1["purity"] == 1.0 and r1["nmi"] is None
+
+    # independent split: clusters orthogonal to labels -> NMI ~ 0
+    ortho = spark.createDataFrame(
+        [(i, "a" if i < 10 else "b") for i in range(20)],
+        "vec_id long, label string",
+    )
+    r2 = cluster_label_agreement(assign, ortho).first()
+    assert abs(r2["nmi"]) < 1e-6 and r2["purity"] == 0.5
+
+
+def test_lloyd_assignments_match_fixed_iterations(spark, embeddings):
+    from nbdatatools_spark.operators.clustering import (
+        lloyd_assignments,
+        lloyd_fixed_iterations,
+    )
+    from pyspark.sql import functions as F
+
+    assign = lloyd_assignments(embeddings, k=4, iterations=2)
+    agg = {
+        r["centroid_id"]: r["n_assigned"]
+        for r in lloyd_fixed_iterations(embeddings, k=4, iterations=2).collect()
+    }
+    got = {
+        r["centroid_id"]: r["cnt"]
+        for r in assign.groupBy("centroid_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert got == agg
+    # partition invariance of per-row assignments
+    a = sorted(map(tuple, assign.collect()))
+    b = sorted(map(tuple, lloyd_assignments(
+        embeddings.repartition(7), k=4, iterations=2).collect()))
+    assert a == b
