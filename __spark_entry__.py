@@ -4268,6 +4268,20 @@ def embedding_cluster_purity(spark, sf_dir):
     return cluster_label_agreement(assign, emb)
 
 
+def embedding_knn_accuracy(spark, sf_dir):
+    """Leave-one-out 3-NN label accuracy (knn.py::knn_label_accuracy,
+    cosine, majority vote with (count DESC, label ASC) ties): the
+    supervised audit of embedding geometry, per-label + grand-total
+    ROLLUP. expr impl for oracle parity (the hubness/mutual-knn policy:
+    gate-side exact quadratic at sf0.01; production rides the GEMM
+    partial top-k, and at corpus scale the neighbor lists come from the
+    ANN family)."""
+    from nbdatatools_spark.operators.knn import knn_label_accuracy
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_label_accuracy(emb, k=3, metric="cosine", impl="expr")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4329,6 +4343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_temperature_mix": doc_temperature_mix,
         "doc_containment_pairs": doc_containment_pairs,
         "embedding_cluster_purity": embedding_cluster_purity,
+        "embedding_knn_accuracy": embedding_knn_accuracy,
         # -- r6-green re-record fillers (displaced by round-7 additions
         #    as they land) --
         "q9_product_profit": q9_product_profit,
@@ -4355,10 +4370,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": embedding_outliers,
         "doc_winnow_verify": doc_winnow_verify,
         "doc_langid_eval": doc_langid_eval,
-        "embedding_lloyd_kmeans": embedding_lloyd_kmeans,
         # position 49 — last recorded slot; see docstring.
         "fit_embeddings_model": fit_embeddings_model,
         # -- tail: every entry below is hash-green in a recorded round --
+        "embedding_lloyd_kmeans": embedding_lloyd_kmeans,
         "embedding_sq8_error": embedding_sq8_error,
         "events_seasonal_decompose": events_seasonal_decompose,
         "events_cusum_change": events_cusum_change,
@@ -9216,6 +9231,35 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS singles_retained, TRUE AS vocab_bounded,
                    TRUE AS encode_roundtrip
             FROM agg ORDER BY seed_freq DESC, piece LIMIT 5
+        """,
+        # leave-one-out 3-NN label accuracy: exact cosine rank (the
+        # mutual-knn oracle shape), majority vote, ROLLUP totals
+        "embedding_knn_accuracy": f"""
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+                       FROM embeddings),
+            pairs AS (
+                SELECT q.vec_id AS qid, q.label AS ql, b.vec_id AS bid,
+                       b.label AS bl, {_COS_DIST} AS dist
+                FROM v q CROSS JOIN v b WHERE q.vec_id <> b.vec_id),
+            rk AS (SELECT qid, ql, bl,
+                          row_number() OVER (PARTITION BY qid
+                              ORDER BY dist ASC, bid ASC) AS rn
+                   FROM pairs),
+            nb AS (SELECT qid, ql, bl FROM rk WHERE rn <= 3),
+            votes AS (SELECT qid, ql, bl, count(*) AS v
+                      FROM nb GROUP BY qid, ql, bl),
+            pred AS (SELECT qid, ql, bl AS pred FROM (
+                         SELECT *, row_number() OVER (PARTITION BY qid
+                             ORDER BY v DESC, bl ASC) AS rv
+                         FROM votes) WHERE rv = 1),
+            sc AS (SELECT ql AS true_label,
+                          CASE WHEN pred = ql THEN 1 ELSE 0 END AS ok
+                   FROM pred)
+            SELECT CAST(GROUPING(true_label) AS INT) AS gid, true_label,
+                   count(*) AS n, CAST(sum(ok) AS BIGINT) AS n_correct,
+                   round(CAST(sum(ok) AS DOUBLE) / count(*), 6) AS accuracy
+            FROM sc GROUP BY ROLLUP (true_label)
+            ORDER BY gid, true_label
         """,
         # purity/NMI over the shared Lloyd assignment CTEs + label join;
         # entropy/MI terms 9dp-rounded and DECIMAL-summed (token_entropy

@@ -411,6 +411,79 @@ def hubness_stats(
     )
 
 
+def knn_label_accuracy(
+    df: DataFrame,
+    k: int = 3,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    impl: str = "gemm",
+) -> DataFrame:
+    """Leave-one-out k-NN classification accuracy over a labeled vector
+    table — the supervised audit of embedding geometry (if labels are
+    real classes, k-NN accuracy upper-bounds what a retrieval pipeline
+    can surface; the ML-eval sibling of verify_knn's recall).
+
+    Per query: drop self, keep the k nearest (ties (dist, id) — the
+    engine-exact rank), MAJORITY VOTE over neighbor labels (ties break
+    on count DESC then label ASC), compare to the row's own label.
+    Returns a ROLLUP: one row per true label plus the grand-total row
+    (gid=1, label NULL) — (gid, label, n, n_correct, accuracy at 6dp).
+
+    Plan: ONE self-KNN (GEMM partial top-k default; ``impl="expr"`` is
+    the oracle-parity audit path — a deliberate quadratic, keep it off
+    hot paths), one (query, neighbor-label) vote aggregate, one ranking
+    window over <= k rows per query, one rollup. All counts integer.
+    """
+    from pyspark.sql import Window
+
+    from nbdatatools_spark.operators.similarity import brute_force_topk
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    labels = df.select(F.col(id_col).alias("__id"), F.col(label_col).alias("__l"))
+    pairs = brute_force_topk(
+        df, df, k + 1, metric=metric, query_id=id_col, base_id=id_col,
+        vec_col=vec_col, impl=impl,
+    ).where(F.col("query_id") != F.col("base_id"))
+    w = Window.partitionBy("query_id").orderBy("distance", "base_id")
+    neigh = (
+        pairs.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .join(
+            labels.select(
+                F.col("__id").alias("base_id"), F.col("__l").alias("__nl")
+            ),
+            "base_id",
+        )
+    )
+    votes = neigh.groupBy("query_id", "__nl").agg(F.count(F.lit(1)).alias("__v"))
+    wv = Window.partitionBy("query_id").orderBy(F.desc("__v"), F.asc("__nl"))
+    pred = (
+        votes.withColumn("__rv", F.row_number().over(wv))
+        .where(F.col("__rv") == 1)
+        .select("query_id", F.col("__nl").alias("__pred"))
+    )
+    scored = pred.join(
+        labels.select(F.col("__id").alias("query_id"), F.col("__l")), "query_id"
+    ).select(
+        F.col("__l").alias("true_label"),
+        (F.col("__pred") == F.col("__l")).cast("int").alias("__ok"),
+    )
+    return (
+        scored.rollup("true_label")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__ok").alias("n_correct"),
+            F.round(F.sum("__ok") / F.count(F.lit(1)), 6).alias("accuracy"),
+        )
+        .select("gid", "true_label", "n", "n_correct", "accuracy")
+        .orderBy("gid", "true_label")
+    )
+
+
 def mutual_knn_pairs(
     df: DataFrame,
     k: int = 10,

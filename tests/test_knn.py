@@ -144,3 +144,41 @@ def test_hybrid_filtered_truth(vecs):
         d = np.sqrt(((m64[allowed] - m64[qi]) ** 2).sum(axis=1))
         order = allowed[np.lexsort((allowed, d))][:K]
         assert got[qi] == [int(x) for x in order]
+
+
+def test_knn_label_accuracy_closed_form(spark):
+    from nbdatatools_spark.operators.knn import knn_label_accuracy
+
+    # two tight, well-separated clusters -> leave-one-out 1-NN is perfect
+    rows = []
+    for i in range(10):
+        rows.append((i, [1.0 + 0.01 * i, 0.0], 0))
+        rows.append((100 + i, [0.0, 1.0 + 0.01 * i], 1))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["true_label"]: r for r in knn_label_accuracy(df, k=1).collect() if r["gid"] == 0}
+    assert out[0]["accuracy"] == 1.0 and out[1]["accuracy"] == 1.0
+    total = [r for r in knn_label_accuracy(df, k=1).collect() if r["gid"] == 1]
+    assert total[0]["n"] == 20 and total[0]["accuracy"] == 1.0
+
+
+def test_knn_label_accuracy_gemm_matches_expr(spark, sf_dir):
+    import os
+
+    from nbdatatools_spark.operators.knn import knn_label_accuracy
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    a = knn_label_accuracy(emb, k=3, impl="expr").collect()
+    b = knn_label_accuracy(emb, k=3, impl="gemm").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_knn_label_accuracy_validation(spark, sf_dir):
+    import os
+
+    import pytest
+
+    from nbdatatools_spark.operators.knn import knn_label_accuracy
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    with pytest.raises(ValueError):
+        knn_label_accuracy(emb, k=0)
