@@ -5,6 +5,7 @@ reference user can run the same commands against the Spark engine:
     analyze count_zeros|describe|select|slice|find|check-endian
             |verify_knn|verify_profiles|tune_ann|tune_compression
             |sq8-error|silhouette|hubness|robust-scale|cka
+            |cluster_purity|knn_accuracy
     compute knn|sort|ivf_build|ivf_append|ivf_search|kmeans|mutual-knn
     convert file
     generate vectors|dataset|mktestdata|fvec-extract|ivec-extract|ivec-shuffle
@@ -938,6 +939,36 @@ def _cmd_analyze_silhouette(args) -> int:
     )
 
 
+def _cmd_analyze_cluster_purity(args) -> int:
+    from nbdatatools_spark.operators.clustering import (
+        cluster_label_agreement,
+        lloyd_assignments,
+    )
+
+    df = _spark().read.parquet(args.input)
+    assign = lloyd_assignments(
+        df, k=args.k, iterations=args.iterations,
+        id_col=args.id_col, vec_col=args.vec_col,
+    )
+    return _emit_rows(
+        cluster_label_agreement(
+            assign, df, id_col=args.id_col, label_col=args.label_col
+        )
+    )
+
+
+def _cmd_analyze_knn_accuracy(args) -> int:
+    from nbdatatools_spark.operators.knn import knn_label_accuracy
+
+    df = _spark().read.parquet(args.input)
+    return _emit_rows(
+        knn_label_accuracy(
+            df, k=args.k, metric=args.metric, id_col=args.id_col,
+            vec_col=args.vec_col, label_col=args.label_col,
+        )
+    )
+
+
 def _cmd_corpus_source_similarity(args) -> int:
     from nbdatatools_spark.operators.lm import source_similarity
 
@@ -1862,6 +1893,22 @@ def build_parser() -> argparse.ArgumentParser:
     asl2.add_argument("--label-col", default="label")
     asl2.add_argument("--id-col", default="vec_id")
     asl2.set_defaults(func=_cmd_analyze_silhouette)
+    acp = an.add_parser("cluster_purity")
+    acp.add_argument("--input", required=True)
+    acp.add_argument("-k", type=int, default=8)
+    acp.add_argument("--iterations", type=int, default=2)
+    acp.add_argument("--vec-col", default="embedding")
+    acp.add_argument("--label-col", default="label")
+    acp.add_argument("--id-col", default="vec_id")
+    acp.set_defaults(func=_cmd_analyze_cluster_purity)
+    aka = an.add_parser("knn_accuracy")
+    aka.add_argument("--input", required=True)
+    aka.add_argument("-k", type=int, default=3)
+    aka.add_argument("--metric", default="cosine")
+    aka.add_argument("--vec-col", default="embedding")
+    aka.add_argument("--label-col", default="label")
+    aka.add_argument("--id-col", default="vec_id")
+    aka.set_defaults(func=_cmd_analyze_knn_accuracy)
 
     km = co.add_parser("kmeans")
     km.add_argument("--input", required=True)

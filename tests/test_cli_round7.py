@@ -89,3 +89,23 @@ def test_corpus_containment_cli(spark, capsys):
     rows = _lines(capsys)
     for r in rows:
         assert r["containment"] >= 0.2 and r["id_a"] < r["id_b"]
+
+
+EMB = os.path.join(SF, "embeddings.parquet")
+
+
+def test_analyze_cluster_purity_cli(spark, capsys):
+    assert main(["analyze", "cluster_purity", "--input", EMB, "-k", "4"]) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 1
+    r = rows[0]
+    assert 0.0 < r["purity"] <= 1.0
+    assert r["nmi"] is None or -1e-9 <= r["nmi"] <= 1.0 + 1e-9
+
+
+def test_analyze_knn_accuracy_cli(spark, capsys):
+    assert main(["analyze", "knn_accuracy", "--input", EMB, "-k", "1"]) == 0
+    rows = _lines(capsys)
+    total = [r for r in rows if r["gid"] == 1]
+    assert total and 0.0 <= total[0]["accuracy"] <= 1.0
+    assert sum(r["n"] for r in rows if r["gid"] == 0) == total[0]["n"]
