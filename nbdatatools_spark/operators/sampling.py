@@ -148,6 +148,11 @@ def temperature_mixture_rates(
             F.sum(weight_col) if weight_col else F.count(F.lit(1))
         ).alias("weight")
     )
+    # zero/negative-weight strata (possible with a weight_col of all-zero
+    # token counts) would poison the global min with ln(0) -> NaN; they
+    # carry no mass to balance, so they drop from the program. Callers
+    # keep/drop their rows explicitly.
+    w = w.where(F.col("weight") > 0)
     q = w.withColumn(
         "__q",
         F.round(F.exp(F.log(F.col("weight").cast("double")) / temperature), 9),

@@ -188,6 +188,11 @@ def unigram_train(
     seed_rows = seed_vocabulary(
         df, text_col, max_piece_len=max_piece_len, seed_size=seed_size
     ).collect()  # bounded: seed_size + alphabet rows
+    if not seed_rows:
+        raise ValueError(
+            "unigram_train needs a non-empty corpus (no words after "
+            "normalization)"
+        )
     total = float(sum(r["freq"] for r in seed_rows))
     logp = {r["piece"]: math.log(r["freq"] / total) for r in seed_rows}
     singles = {p for p in logp if len(p) == 1}

@@ -102,3 +102,28 @@ def test_containment_max_pairs_deterministic(spark, documents):
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # content-stable sample
     assert {(r["id_a"], r["id_b"]) for r in a} <= full
+
+
+def test_temperature_mixture_zero_weight_strata_dropped(spark):
+    from pyspark.sql import functions as F
+
+    from nbdatatools_spark.operators.sampling import temperature_mixture_rates
+
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 5), ("b", 0), ("b", 0), ("c", 10)],
+        "source string, tok int",
+    )
+    rows = temperature_mixture_rates(df, weight_col="tok", temperature=2.0).collect()
+    strata = {r["stratum"] for r in rows}
+    assert strata == {"a", "c"}  # zero-mass stratum dropped, not NaN-poisoned
+    assert all(r["rate"] == r["rate"] for r in rows)  # no NaN
+
+
+def test_unigram_empty_corpus_raises(spark):
+    import pytest
+
+    from nbdatatools_spark.operators.unigram import unigram_train
+
+    df = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-empty"):
+        unigram_train(df)
