@@ -372,6 +372,7 @@ def hubness_stats(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     impl: str = "gemm",
+    neighbors: DataFrame | None = None,
 ) -> DataFrame:
     """k-occurrence hubness audit (Radovanovic et al. JMLR 2010): for each
     vector, N_k = how many OTHER vectors list it among their k nearest
@@ -386,16 +387,28 @@ def hubness_stats(
     universe so zero-occurrence anti-hubs report 0. Shuffles carry
     (query_id, base_id, distance) triples only.
 
+    ``neighbors`` is the CORPUS-SCALE path: pass a precomputed directed
+    neighbor list (query_id, base_id, distance) from the ANN family
+    (similarity.lsh_topk / ivf_topk / ivf_search_index) and the exact
+    self-KNN — the one deliberate quadratic — is skipped entirely; the
+    counting stage is the same keyed groupBy either way. Self rows and
+    over-k lists are normalized here, so raw ANN output plugs straight
+    in.
+
     Returns (id, k_occurrence) — every input id exactly once.
     """
     from pyspark.sql import Window
 
-    from nbdatatools_spark.operators.similarity import brute_force_topk
+    if neighbors is None:
+        from nbdatatools_spark.operators.similarity import brute_force_topk
 
-    pairs = brute_force_topk(
-        df, df, k + 1, metric=metric, query_id=id_col, base_id=id_col,
-        vec_col=vec_col, impl=impl,
-    ).where(F.col("query_id") != F.col("base_id"))
+        pairs = brute_force_topk(
+            df, df, k + 1, metric=metric, query_id=id_col, base_id=id_col,
+            vec_col=vec_col, impl=impl,
+        )
+    else:
+        pairs = neighbors.select("query_id", "base_id", "distance")
+    pairs = pairs.where(F.col("query_id") != F.col("base_id"))
     w = Window.partitionBy("query_id").orderBy("distance", "base_id")
     topk = pairs.withColumn("__rk", F.row_number().over(w)).where(
         F.col("__rk") <= k
@@ -491,6 +504,7 @@ def mutual_knn_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     impl: str = "gemm",
+    neighbors: DataFrame | None = None,
 ) -> DataFrame:
     """Mutual k-NN pairs: unordered pairs (a, b) where each vector lists
     the other in its k nearest (self excluded) — the high-precision
@@ -502,16 +516,23 @@ def mutual_knn_pairs(
     Plan: ONE self-KNN at k+1 (GEMM partial top-k default), self-drop +
     deterministic re-rank to k, then the directed edge list self-joins on
     the REVERSED key pair — an equi-join on (query, base) ids, never
-    all-pairs. Returns (id_a, id_b, distance) with id_a < id_b, ordered.
+    all-pairs. ``neighbors`` is the corpus-scale path (see
+    hubness_stats): a precomputed ANN neighbor list replaces the exact
+    self-KNN; the reciprocity join is unchanged. Returns
+    (id_a, id_b, distance) with id_a < id_b, ordered.
     """
     from pyspark.sql import Window
 
-    from nbdatatools_spark.operators.similarity import brute_force_topk
+    if neighbors is None:
+        from nbdatatools_spark.operators.similarity import brute_force_topk
 
-    pairs = brute_force_topk(
-        df, df, k + 1, metric=metric, query_id=id_col, base_id=id_col,
-        vec_col=vec_col, impl=impl,
-    ).where(F.col("query_id") != F.col("base_id"))
+        pairs = brute_force_topk(
+            df, df, k + 1, metric=metric, query_id=id_col, base_id=id_col,
+            vec_col=vec_col, impl=impl,
+        )
+    else:
+        pairs = neighbors.select("query_id", "base_id", "distance")
+    pairs = pairs.where(F.col("query_id") != F.col("base_id"))
     w = Window.partitionBy("query_id").orderBy("distance", "base_id")
     edges = (
         pairs.withColumn("__rk", F.row_number().over(w))

@@ -182,3 +182,30 @@ def test_knn_label_accuracy_validation(spark, sf_dir):
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     with pytest.raises(ValueError):
         knn_label_accuracy(emb, k=0)
+
+
+def test_hubness_and_mutual_knn_accept_ann_neighbors(spark, sf_dir):
+    """The documented corpus-scale path: precomputed ANN neighbor lists
+    replace the exact self-KNN. With exact neighbors fed in, results must
+    equal the internal path bit-for-bit; with LSH neighbors the counting
+    machinery still runs end-to-end."""
+    import os
+
+    from nbdatatools_spark.operators.knn import hubness_stats, mutual_knn_pairs
+    from nbdatatools_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    exact = brute_force_topk(
+        emb, emb, 6, metric="cosine", query_id="vec_id", base_id="vec_id",
+        vec_col="embedding", impl="gemm",
+    )
+    a = hubness_stats(emb, k=5).collect()
+    b = hubness_stats(emb, k=5, neighbors=exact).collect()
+    assert a == b
+    pa = mutual_knn_pairs(emb, k=5).collect()
+    pb = mutual_knn_pairs(emb, k=5, neighbors=exact).collect()
+    assert pa == pb
+    # ANN-fed: runs, bounded, every id reports
+    ann = lsh_topk(emb, emb, 6, dim=64, n_bits=8)
+    h = hubness_stats(emb, k=5, neighbors=ann)
+    assert h.count() == emb.count()
