@@ -4282,6 +4282,61 @@ def embedding_knn_accuracy(spark, sf_dir):
     return knn_label_accuracy(emb, k=3, metric="cosine", impl="expr")
 
 
+def events_autocorrelation(spark, sf_dir):
+    """Daily-series autocorrelation function at lags 0..14 (temporal.py::
+    autocorrelation): the periodicity probe — one map-side date-grain
+    aggregate, then the lag self-join and moment sums run on the
+    calendar-bounded DAY table only. Deviations/products round(9)-then-
+    DECIMAL-sum (order-independent); acf at 6dp — hash-exact."""
+    from nbdatatools_spark.operators.temporal import autocorrelation
+
+    ev = _t(spark, sf_dir, "events")
+    return autocorrelation(ev, max_lag=14)
+
+
+def events_survival_km(spark, sf_dir):
+    """Kaplan-Meier survival over user lifetimes (temporal.py::
+    kaplan_meier, censor_days=1): right-censoring-honest retention —
+    subjects whose last event touches the final day of the data horizon
+    are censored, not churned (the sf events table is a 30-day window
+    with near-universal final-day activity, so a 1-day censor boundary
+    is the informative setting). One groupBy(user) reduces events to subjects;
+    the product-limit curve rides exp(cumsum(round(ln(1 - d/n), 9)))
+    with DECIMAL sums over the duration grain (calendar-bounded), a
+    total-death step floors S to exactly 0 via a running flag (no
+    ln(0)). survival at 6dp — hash-exact."""
+    from nbdatatools_spark.operators.temporal import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events")
+    return kaplan_meier(ev, censor_days=1)
+
+
+def orders_benford(spark, sf_dir):
+    """Benford first-digit audit of o_totalprice (quality_checks.py::
+    benford_audit): string-based leading-digit extraction (no
+    floor(log10) float hazard at powers of ten), 9-key groupBy, global
+    chi-square folded from the digit table. Expected probs via
+    round(ln(1+1/d)/ln(10), 9) on both engines — hash-exact."""
+    from nbdatatools_spark.operators.quality_checks import benford_audit
+
+    orders = _t(spark, sf_dir, "orders")
+    return benford_audit(orders, "o_totalprice")
+
+
+def doc_lang_source_chi2(spark, sf_dir):
+    """Chi-square independence of lang x source (quality_checks.py::
+    chi_square_independence): the corpus bias audit — one contingency
+    groupBy, the full R x C grid restored by a marginal cross join so
+    UNOBSERVED cells still contribute (0-E)^2/E, Cramér's V effect
+    size. Cell terms round(9)-then-DECIMAL-sum — hash-exact."""
+    from nbdatatools_spark.operators.quality_checks import (
+        chi_square_independence,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return chi_square_independence(docs, "lang", "source")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4344,6 +4399,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_containment_pairs": doc_containment_pairs,
         "embedding_cluster_purity": embedding_cluster_purity,
         "embedding_knn_accuracy": embedding_knn_accuracy,
+        "events_autocorrelation": events_autocorrelation,
+        "events_survival_km": events_survival_km,
+        "orders_benford": orders_benford,
+        "doc_lang_source_chi2": doc_lang_source_chi2,
         # -- r6-green re-record fillers (displaced by round-7 additions
         #    as they land) --
         "q9_product_profit": q9_product_profit,
@@ -4366,13 +4425,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pagerank": events_pagerank,
         "doc_tfidf_topterms": doc_tfidf_topterms,
         "corpus_packing_report": corpus_packing_report,
+        # position 49 — last recorded slot; see docstring.
+        "fit_embeddings_model": fit_embeddings_model,
+        # -- tail: every entry below is hash-green in a recorded round --
         "doc_curriculum_interleave": doc_curriculum_interleave,
         "embedding_outliers": embedding_outliers,
         "doc_winnow_verify": doc_winnow_verify,
         "doc_langid_eval": doc_langid_eval,
-        # position 49 — last recorded slot; see docstring.
-        "fit_embeddings_model": fit_embeddings_model,
-        # -- tail: every entry below is hash-green in a recorded round --
         "embedding_lloyd_kmeans": embedding_lloyd_kmeans,
         "embedding_sq8_error": embedding_sq8_error,
         "events_seasonal_decompose": events_seasonal_decompose,
@@ -9391,5 +9450,157 @@ def oracle_sql() -> dict[str, str]:
                    greatest(c_ab, c_ba) AS containment
             FROM scored WHERE greatest(c_ab, c_ba) >= 0.2
             ORDER BY id_a, id_b
+        """,
+        # ACF: day-grain series, round(9)-DECIMAL moment sums, calendar-
+        # day lag join — mirrors temporal.autocorrelation's expression
+        # tree exactly
+        "events_autocorrelation": """
+            WITH daily AS (
+                SELECT CAST(ts AS DATE) AS day,
+                       CAST(count(*) AS DOUBLE) AS value
+                FROM events GROUP BY 1),
+            st AS (
+                SELECT round(
+                    CAST(CAST(sum(CAST(round(value, 9) AS DECIMAL(25,9)))
+                              AS DECIMAL(38,9)) AS DOUBLE) / count(*), 9
+                ) AS mu FROM daily),
+            dev AS (SELECT day, round(value - mu, 9) AS d
+                    FROM daily CROSS JOIN st),
+            den AS (
+                SELECT CAST(CAST(sum(CAST(round(d * d, 9) AS DECIMAL(30,9)))
+                                 AS DECIMAL(38,9)) AS DOUBLE) AS den
+                FROM dev),
+            lags AS (SELECT CAST(unnest(generate_series(0, 14)) AS INTEGER)
+                            AS lag),
+            pairs AS (
+                SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+                       CAST(CAST(sum(CAST(round(a.d * b.d, 9)
+                                          AS DECIMAL(30,9)))
+                                 AS DECIMAL(38,9)) AS DOUBLE) AS num
+                FROM dev a CROSS JOIN lags l
+                JOIN dev b ON b.day = a.day + l.lag
+                GROUP BY l.lag)
+            SELECT lag, n_pairs, round(num / den, 6) AS acf
+            FROM pairs CROSS JOIN den ORDER BY lag
+        """,
+        # Kaplan-Meier: subject lifetimes, duration-grain product-limit
+        # via exp(cumsum(round(ln(factor), 9))) with the total-death flag
+        "events_survival_km": """
+            WITH subj AS (
+                SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+                FROM events GROUP BY user_id),
+            h AS (SELECT max(ts) AS max_ts FROM events),
+            life AS (
+                SELECT date_diff('day', CAST(first_ts AS DATE),
+                                 CAST(last_ts AS DATE)) AS dur,
+                       date_diff('day', CAST(last_ts AS DATE),
+                                 CAST(max_ts AS DATE)) >= 1 AS observed
+                FROM subj CROSS JOIN h),
+            grain AS (
+                SELECT dur,
+                       CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_events,
+                       CAST(sum(CASE WHEN observed THEN 0 ELSE 1 END)
+                            AS BIGINT) AS n_censored
+                FROM life GROUP BY dur),
+            ar AS (
+                SELECT dur, n_events, n_censored,
+                       CAST(n_events + n_censored
+                            + coalesce(sum(n_events + n_censored) OVER
+                                (ORDER BY dur ROWS BETWEEN 1 FOLLOWING
+                                 AND UNBOUNDED FOLLOWING), 0)
+                            AS BIGINT) AS n_at_risk
+                FROM grain),
+            fac AS (
+                SELECT dur, n_at_risk, n_events, n_censored,
+                       round(1.0 - CAST(n_events AS DOUBLE) / n_at_risk, 9)
+                           AS factor
+                FROM ar),
+            cur AS (
+                SELECT dur, n_at_risk, n_events, n_censored,
+                       max(CASE WHEN factor = 0.0 THEN 1 ELSE 0 END)
+                           OVER w AS dead,
+                       CAST(CAST(sum(CAST(CASE WHEN factor > 0.0
+                                          THEN round(ln(factor), 9)
+                                          ELSE 0.0 END AS DECIMAL(25,9)))
+                                 OVER w AS DECIMAL(38,9)) AS DOUBLE)
+                           AS lnsum
+                FROM fac
+                WINDOW w AS (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW))
+            SELECT dur AS duration_days, n_at_risk, n_events, n_censored,
+                   CASE WHEN dead = 1 THEN 0.0
+                        ELSE round(exp(lnsum), 6) END AS survival
+            FROM cur WHERE n_events > 0 ORDER BY duration_days
+        """,
+        # Benford: string leading-digit, full 1..9 grid, global chi2
+        "orders_benford": """
+            WITH sig AS (
+                SELECT substring(regexp_replace(
+                           CAST(o_totalprice AS VARCHAR), '[^1-9]', '',
+                           'g'), 1, 1) AS digit
+                FROM orders
+                WHERE o_totalprice > 0),
+            cnt AS (SELECT digit, CAST(count(*) AS BIGINT) AS c
+                    FROM sig WHERE digit <> '' GROUP BY digit),
+            grid AS (SELECT CAST(unnest(generate_series(1, 9)) AS VARCHAR)
+                            AS digit),
+            counts AS (
+                SELECT grid.digit, coalesce(cnt.c, 0) AS n_obs
+                FROM grid LEFT JOIN cnt ON cnt.digit = grid.digit),
+            tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM counts),
+            scored AS (
+                SELECT CAST(counts.digit AS INTEGER) AS digit, n_obs,
+                       round(ln(1.0 + 1.0 / CAST(counts.digit AS DOUBLE))
+                             / ln(10.0), 9) AS p_expected,
+                       round(CAST(n_obs AS DOUBLE) / n, 6) AS p_observed,
+                       n
+                FROM counts CROSS JOIN tot),
+            c2 AS (
+                SELECT round(
+                    CAST(CAST(sum(CAST(round(
+                        pow(n_obs - n * p_expected, 2)
+                        / (n * p_expected), 9) AS DECIMAL(30,9)))
+                        AS DECIMAL(38,9)) AS DOUBLE), 6) AS chi2
+                FROM scored)
+            SELECT digit, n_obs, p_expected, p_observed, chi2
+            FROM scored CROSS JOIN c2 ORDER BY digit
+        """,
+        # chi-square independence: contingency + restored zero cells
+        "doc_lang_source_chi2": """
+            WITH base AS (
+                SELECT coalesce(CAST(lang AS VARCHAR), '<null>') AS a,
+                       coalesce(CAST(source AS VARCHAR), '<null>') AS b
+                FROM documents),
+            cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o
+                      FROM base GROUP BY a, b),
+            ma AS (SELECT a, CAST(sum(o) AS BIGINT) AS na
+                   FROM cells GROUP BY a),
+            mb AS (SELECT b, CAST(sum(o) AS BIGINT) AS nb
+                   FROM cells GROUP BY b),
+            nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+            grid AS (
+                SELECT ma.na, mb.nb, coalesce(c.o, 0) AS o
+                FROM ma CROSS JOIN mb
+                LEFT JOIN cells c ON c.a = ma.a AND c.b = mb.b),
+            terms AS (
+                SELECT round(
+                    pow(o - CAST(na AS DOUBLE) * nb / n, 2)
+                    / (CAST(na AS DOUBLE) * nb / n), 9) AS term
+                FROM grid CROSS JOIN nn),
+            stat AS (
+                SELECT CAST(CAST(sum(CAST(term AS DECIMAL(30,9)))
+                                 AS DECIMAL(38,9)) AS DOUBLE) AS chi2_raw
+                FROM terms),
+            dims AS (SELECT CAST(count(DISTINCT a) AS BIGINT) AS levels_a,
+                            CAST(count(DISTINCT b) AS BIGINT) AS levels_b
+                     FROM cells)
+            SELECT n, levels_a, levels_b,
+                   (levels_a - 1) * (levels_b - 1) AS dof,
+                   round(chi2_raw, 6) AS chi2,
+                   round(sqrt(chi2_raw
+                              / (n * least(levels_a - 1, levels_b - 1))),
+                         6) AS cramers_v
+            FROM nn CROSS JOIN dims CROSS JOIN stat
         """,
     }

@@ -249,3 +249,161 @@ def k_anonymity(df, quasi_cols, k: int = 5):
         .where(F.col("n") < k)
         .orderBy(*quasi_cols)
     )
+
+
+def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """Benford's-law first-digit audit of a positive numeric column
+    (beyond-reference surface, SURVEY §7.8) — the classic fabricated- or
+    truncated-data smell test: organically-grown magnitudes put digit d
+    first with probability ``log10(1 + 1/d)``; synthetic, capped, or
+    copy-pasted values don't.
+
+    First significant digit extraction is STRING-based (strip everything
+    but 1-9 from the value's canonical repr, take the first char) — no
+    ``floor(v / 10^floor(log10 v))`` float hazard at powers of ten.
+    Rows with value <= 0 or no significant digit are excluded from n.
+
+    Scale shape: one map-side project + a 9-key groupBy; the chi-square
+    statistic folds the 9-row digit table (broadcast-sized). Per-digit
+    terms round to 9dp and DECIMAL-sum; outputs round to 6dp.
+
+    Returns 9 rows ``(digit, n_obs, p_expected, p_observed, chi2)`` —
+    ``chi2`` is the GLOBAL statistic (8 dof), repeated per row.
+    """
+    sig = (
+        df.select(
+            F.col(value_col).alias("__v"),
+            F.substring(
+                F.regexp_replace(
+                    F.col(value_col).cast("string"), "[^1-9]", ""
+                ),
+                1,
+                1,
+            ).alias("digit"),
+        )
+        .where((F.col("__v") > 0) & (F.col("digit") != ""))
+        .select("digit")
+    )
+    digits = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("string").alias("digit")
+    )
+    counts = (
+        digits.join(sig.groupBy("digit").count(), "digit", "left")
+        .select("digit", F.coalesce("count", F.lit(0)).alias("n_obs"))
+    )
+    total = counts.agg(F.sum("n_obs").alias("n"))
+    scored = counts.crossJoin(F.broadcast(total)).select(
+        F.col("digit").cast("int").alias("digit"),
+        "n_obs",
+        F.round(
+            F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+            / F.log(F.lit(10.0)),
+            9,
+        ).alias("p_expected"),
+        F.round(F.col("n_obs") / F.col("n"), 6).alias("p_observed"),
+        F.col("n"),
+    )
+    chi2 = scored.agg(
+        F.round(
+            F.sum(
+                F.round(
+                    F.pow(
+                        F.col("n_obs") - F.col("n") * F.col("p_expected"), 2
+                    )
+                    / (F.col("n") * F.col("p_expected")),
+                    9,
+                ).cast("decimal(30,9)")
+            )
+            .cast("decimal(38,9)")
+            .cast("double"),
+            6,
+        ).alias("chi2")
+    )
+    return (
+        scored.crossJoin(F.broadcast(chi2))
+        .select("digit", "n_obs", "p_expected", "p_observed", "chi2")
+        .orderBy("digit")
+    )
+
+
+def chi_square_independence(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns, plus Cramér's V effect size (beyond-reference surface,
+    SURVEY §7.8) — the bias audit that says whether e.g. language and
+    source are entangled in a corpus (a skew that stratified sampling
+    must then correct for).
+
+    ``chi2 = sum_cells (O - E)^2 / E`` with ``E = n_a * n_b / n`` from
+    the marginals; ``dof = (R-1)(C-1)``;
+    ``V = sqrt(chi2 / (n * min(R-1, C-1)))``.
+
+    Scale shape: one groupBy(a, b) contingency aggregate (map-side
+    partial) — everything downstream runs on the R*C cell table,
+    broadcast-sized for real categorical columns. Null categories
+    participate as their own level via a sentinel. Cell terms round to
+    9dp and DECIMAL-sum; outputs round to 6dp.
+
+    Returns one row ``(n, levels_a, levels_b, dof, chi2, cramers_v)``.
+    """
+    base = df.select(
+        F.coalesce(F.col(col_a).cast("string"), F.lit("<null>")).alias("a"),
+        F.coalesce(F.col(col_b).cast("string"), F.lit("<null>")).alias("b"),
+    )
+    cells = base.groupBy("a", "b").agg(F.count(F.lit(1)).alias("o"))
+    ma = cells.groupBy("a").agg(F.sum("o").alias("na"))
+    mb = cells.groupBy("b").agg(F.sum("o").alias("nb"))
+    n = cells.agg(F.sum("o").alias("n"))
+    # the full R x C grid: an UNOBSERVED cell still contributes
+    # (0 - E)^2 / E = E to the statistic
+    grid = ma.crossJoin(F.broadcast(mb)).join(cells, ["a", "b"], "left").select(
+        "na", "nb", F.coalesce("o", F.lit(0)).alias("o")
+    )
+    terms = (
+        grid.crossJoin(F.broadcast(n))
+        .select(
+            F.round(
+                F.pow(
+                    F.col("o")
+                    - F.col("na").cast("double") * F.col("nb") / F.col("n"),
+                    2,
+                )
+                / (F.col("na").cast("double") * F.col("nb") / F.col("n")),
+                9,
+            ).alias("term")
+        )
+    )
+    stat = terms.agg(
+        F.sum(F.col("term").cast("decimal(30,9)"))
+        .cast("decimal(38,9)")
+        .cast("double")
+        .alias("chi2_raw")
+    )
+    dims = cells.agg(
+        F.countDistinct("a").alias("levels_a"),
+        F.countDistinct("b").alias("levels_b"),
+    )
+    return (
+        n.crossJoin(F.broadcast(dims))
+        .crossJoin(F.broadcast(stat))
+        .select(
+            "n",
+            "levels_a",
+            "levels_b",
+            ((F.col("levels_a") - 1) * (F.col("levels_b") - 1)).alias("dof"),
+            F.round("chi2_raw", 6).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2_raw")
+                    / (
+                        F.col("n")
+                        * F.least(
+                            F.col("levels_a") - 1, F.col("levels_b") - 1
+                        )
+                    )
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )

@@ -991,3 +991,189 @@ def bootstrap_mean_ci(
         .select(F.col("g").alias(group_col), "n", "mean", "ci_lo", "ci_hi")
         .orderBy(group_col)
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str | None = None,
+    max_lag: int = 14,
+) -> DataFrame:
+    """Autocorrelation function (ACF) of the daily event series at lags
+    ``0..max_lag`` (beyond-reference surface, SURVEY §7.8) — the
+    periodicity probe that tells a pipeline whether its traffic has a
+    weekly cycle before it commits to a seasonal model.
+
+    Series grain: daily row count (or daily sum of ``value_col``).
+    Estimator: the standard biased ACF,
+    ``r(l) = sum_t (y_t - m)(y_{t+l} - m) / sum_t (y_t - m)^2``
+    with the mean over the full series. Lag is measured in CALENDAR
+    days (pairs join on ``datediff == l``), so gap days simply produce
+    no pair — no imputation.
+
+    Scale shape: one map-side date-grain aggregate reduces events to a
+    calendar-bounded series; the lag self-join and the moment sums run
+    on the DAY-grain table (365 rows/year, broadcast-sized), never on
+    events. Float discipline: deviations and products round to 9dp and
+    sum as DECIMAL(38,9) (order-independent, oracle-replicable);
+    outputs round to 6dp.
+
+    Returns ``(lag, n_pairs, acf)`` ordered by lag.
+    """
+    if max_lag < 0:
+        raise ValueError(f"max_lag must be >= 0, got {max_lag}")
+    daily = df.groupBy(F.to_date(ts_col).alias("day")).agg(
+        (
+            F.count(F.lit(1)).cast("double")
+            if value_col is None
+            else F.sum(F.col(value_col)).cast("double")
+        ).alias("value")
+    )
+    stats = daily.agg(
+        F.round(
+            F.sum(F.round("value", 9).cast("decimal(25,9)"))
+            .cast("decimal(38,9)")
+            .cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("mu")
+    )
+    dev = daily.crossJoin(F.broadcast(stats)).select(
+        "day", F.round(F.col("value") - F.col("mu"), 9).alias("d")
+    )
+    denom = dev.agg(
+        F.sum(F.round(F.col("d") * F.col("d"), 9).cast("decimal(30,9)"))
+        .cast("decimal(38,9)")
+        .cast("double")
+        .alias("den")
+    )
+    lags = df.sparkSession.range(0, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a, b = dev.alias("a"), dev.alias("b")
+    pairs = (
+        a.join(F.broadcast(lags), F.lit(True))
+        .join(
+            b,
+            F.col("b.day") == F.date_add(F.col("a.day"), F.col("lag")),
+        )
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.round(F.col("a.d") * F.col("b.d"), 9).cast("decimal(30,9)"))
+            .cast("decimal(38,9)")
+            .cast("double")
+            .alias("num"),
+        )
+    )
+    return (
+        pairs.crossJoin(F.broadcast(denom))
+        .select(
+            "lag",
+            "n_pairs",
+            F.round(F.col("num") / F.col("den"), 6).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    ts_col: str = "ts",
+    subject_col: str = "user_id",
+    censor_days: int = 7,
+) -> DataFrame:
+    """Kaplan-Meier survival curve over subject lifetimes (beyond-
+    reference surface, SURVEY §7.8) — the retention estimator that
+    handles right-censoring honestly, unlike a naive "% still active at
+    day t" which treats recently-arrived users as churned.
+
+    Lifetime: ``datediff(last event, first event)`` per subject. A
+    subject whose last event falls within ``censor_days`` of the
+    global max timestamp is CENSORED (still alive as far as the data
+    can tell); otherwise its lifetime ended (an "event" in survival
+    terms). Product-limit estimator at each distinct lifetime t with
+    at least one event: ``S(t) = prod_{t_i <= t} (1 - d_i / n_i)``
+    where ``n_i`` counts subjects with lifetime >= t_i.
+
+    Scale shape: one groupBy(subject) reduces events to a subject
+    table; everything after runs on the LIFETIME grain (distinct
+    durations — calendar-bounded, hundreds of rows). The cumulative
+    product rides ``exp(cumsum(ln(factor)))`` with each ln rounded to
+    9dp and DECIMAL-summed; a factor of exactly 0 (everyone at risk
+    dies) forces S = 0 from that point via a running max flag instead
+    of ln(0). Windows over the duration grain only.
+
+    Returns ``(duration_days, n_at_risk, n_events, n_censored,
+    survival)`` ordered by duration, one row per distinct lifetime
+    with >= 1 event.
+    """
+    if censor_days < 0:
+        raise ValueError(f"censor_days must be >= 0, got {censor_days}")
+    subj = df.groupBy(subject_col).agg(
+        F.min(ts_col).alias("first_ts"), F.max(ts_col).alias("last_ts")
+    )
+    horizon = df.agg(F.max(ts_col).alias("max_ts"))
+    life = subj.crossJoin(F.broadcast(horizon)).select(
+        F.datediff(F.to_date("last_ts"), F.to_date("first_ts")).alias("dur"),
+        (
+            F.datediff(F.to_date("max_ts"), F.to_date("last_ts")) >= censor_days
+        ).alias("observed"),
+    )
+    grain = life.groupBy("dur").agg(
+        F.sum(F.col("observed").cast("long")).alias("n_events"),
+        F.sum((~F.col("observed")).cast("long")).alias("n_censored"),
+    )
+    w_after = Window.orderBy("dur").rowsBetween(1, Window.unboundedFollowing)
+    at_risk = grain.select(
+        "dur",
+        "n_events",
+        "n_censored",
+        (
+            F.col("n_events")
+            + F.col("n_censored")
+            + F.coalesce(
+                F.sum(F.col("n_events") + F.col("n_censored")).over(w_after),
+                F.lit(0),
+            )
+        ).alias("n_at_risk"),
+    )
+    factored = at_risk.select(
+        "dur",
+        "n_at_risk",
+        "n_events",
+        "n_censored",
+        F.round(
+            F.lit(1.0) - F.col("n_events") / F.col("n_at_risk"), 9
+        ).alias("factor"),
+    )
+    w_upto = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    curve = factored.select(
+        "dur",
+        "n_at_risk",
+        "n_events",
+        "n_censored",
+        F.max((F.col("factor") == 0.0).cast("int")).over(w_upto).alias("dead"),
+        F.sum(
+            F.when(F.col("factor") > 0.0, F.round(F.log("factor"), 9))
+            .otherwise(F.lit(0.0))
+            .cast("decimal(25,9)")
+        )
+        .over(w_upto)
+        .cast("decimal(38,9)")
+        .cast("double")
+        .alias("lnsum"),
+    )
+    return (
+        curve.where(F.col("n_events") > 0)
+        .select(
+            F.col("dur").alias("duration_days"),
+            "n_at_risk",
+            "n_events",
+            "n_censored",
+            F.when(F.col("dead") == 1, F.lit(0.0))
+            .otherwise(F.round(F.exp("lnsum"), 6))
+            .alias("survival"),
+        )
+        .orderBy("duration_days")
+    )
