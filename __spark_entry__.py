@@ -4337,6 +4337,50 @@ def doc_lang_source_chi2(spark, sf_dir):
     return chi_square_independence(docs, "lang", "source")
 
 
+def corpus_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-token audit (lm.py::hll_distinct, p=8): the
+    cardinality sibling of the CMS gate — 256 registers regardless of
+    corpus size, md5-uint52 hashing (low 8 bits pick the register,
+    leading-zero rank of the 44-bit suffix feeds the max), the harmonic
+    denominator as an EXACT int64 sum of 2^(45-M). The oracle rebuilds
+    every register in SQL (bin() bit-length parity checked both
+    engines). Estimate + linear-counting branch at 6dp — hash-exact."""
+    from nbdatatools_spark.operators.lm import hll_distinct
+
+    docs = _t(spark, sf_dir, "documents")
+    return hll_distinct(docs, precision=8)
+
+
+def corpus_source_jsd(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence between per-source unigram
+    distributions (analysis.py::source_jsd, top-512 vocab): the
+    distributional source-mix audit. Disjoint-support mass contributes
+    exactly p*log2(2) = p bits, so the pair sum needs only ONE shared-
+    token equi-join plus the slice-pair grid (no outer join); pairs
+    with zero shared tokens surface as JSD = 1. round(9)-DECIMAL term
+    sums; 6dp output — hash-exact."""
+    from nbdatatools_spark.operators.analysis import source_jsd
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_jsd(docs, vocab_size=512)
+
+
+def orders_association_rules(spark, sf_dir):
+    """Market-basket association rules over order line items
+    (analysis.py::association_rules on lineitem l_orderkey x l_partkey,
+    min_pair_count=3): support / both confidences / lift at the pair
+    grain. The only quadratic is per-basket and capped (baskets over 64
+    distinct items are dropped before the pair join — the frequent-
+    itemset guard); the pair join is basket-key equi-colocated, never
+    all-pairs. Lift routes through doubles — hash-exact."""
+    from nbdatatools_spark.operators.analysis import association_rules
+
+    li = _t(spark, sf_dir, "lineitem")
+    return association_rules(
+        li, "l_orderkey", "l_partkey", min_pair_count=3
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4403,6 +4447,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_survival_km": events_survival_km,
         "orders_benford": orders_benford,
         "doc_lang_source_chi2": doc_lang_source_chi2,
+        "corpus_hll_distinct": corpus_hll_distinct,
+        "corpus_source_jsd": corpus_source_jsd,
+        "orders_association_rules": orders_association_rules,
         # -- r6-green re-record fillers (displaced by round-7 additions
         #    as they land) --
         "q9_product_profit": q9_product_profit,
@@ -4422,12 +4469,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_remove_dup_spans": doc_remove_dup_spans,
         "doc_dedup_cluster_sizes": doc_dedup_cluster_sizes,
         "doc_token_budget_select": doc_token_budget_select,
-        "events_pagerank": events_pagerank,
-        "doc_tfidf_topterms": doc_tfidf_topterms,
-        "corpus_packing_report": corpus_packing_report,
         # position 49 — last recorded slot; see docstring.
         "fit_embeddings_model": fit_embeddings_model,
         # -- tail: every entry below is hash-green in a recorded round --
+        "events_pagerank": events_pagerank,
+        "doc_tfidf_topterms": doc_tfidf_topterms,
+        "corpus_packing_report": corpus_packing_report,
         "doc_curriculum_interleave": doc_curriculum_interleave,
         "embedding_outliers": embedding_outliers,
         "doc_winnow_verify": doc_winnow_verify,
@@ -9602,5 +9649,134 @@ def oracle_sql() -> dict[str, str]:
                               / (n * least(levels_a - 1, levels_b - 1))),
                          6) AS cramers_v
             FROM nn CROSS JOIN dims CROSS JOIN stat
+        """,
+        # HLL: md5-uint52 registers rebuilt in SQL, exact int64 harmonic
+        # sum via bit shifts, linear-counting branch
+        "corpus_hll_distinct": """
+            WITH nrm AS (SELECT trim(regexp_replace(lower(text), '\\s+',
+                                ' ', 'g')) AS t FROM documents),
+            tok AS (SELECT unnest(string_split(t, ' ')) AS token
+                    FROM nrm WHERE length(t) > 0),
+            tk AS (SELECT token FROM tok WHERE length(token) > 0),
+            hs AS (SELECT ('0x' || substring(md5(token), 1, 13))::BIGINT
+                          AS h FROM tk),
+            hr AS (SELECT CAST(h % 256 AS INT) AS reg, h >> 8 AS w
+                   FROM hs),
+            rk AS (SELECT reg, CASE WHEN w = 0 THEN 45
+                               ELSE 44 - length(bin(w)) + 1 END AS rank
+                   FROM hr),
+            regs AS (SELECT reg, max(rank) AS mx FROM rk GROUP BY reg),
+            sk AS (SELECT CAST(count(*) AS BIGINT) AS used,
+                          CAST(sum(CAST(1 AS BIGINT) << (45 - mx))
+                               AS BIGINT) AS hsum_used
+                   FROM regs),
+            cnts AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+                            CAST(count(DISTINCT token) AS BIGINT)
+                                AS exact_distinct
+                     FROM tk),
+            o AS (SELECT n_tokens, exact_distinct,
+                         CAST(256 AS INT) AS registers,
+                         CAST(256 - used AS BIGINT) AS zero_registers,
+                         CAST(hsum_used + (256 - used)
+                              * (CAST(1 AS BIGINT) << 45)
+                              AS BIGINT) AS hsum
+                  FROM cnts CROSS JOIN sk),
+            e AS (SELECT *,
+                         CAST(0.7182725932495458 AS DOUBLE) * 256 * 256
+                         * 35184372088832.0 / hsum AS raw
+                  FROM o),
+            est AS (SELECT n_tokens, exact_distinct, registers,
+                           zero_registers,
+                           CASE WHEN raw <= 640.0 AND zero_registers > 0
+                                THEN round(256.0 * ln(256.0
+                                           / zero_registers), 6)
+                                ELSE round(raw, 6) END AS hll_estimate
+                    FROM e)
+            SELECT n_tokens, exact_distinct, registers, zero_registers,
+                   hll_estimate,
+                   round((hll_estimate - exact_distinct)
+                         / exact_distinct, 6) AS rel_error
+            FROM est
+        """,
+        # pairwise JSD: top-512 vocab, shared-support equi-join + the
+        # disjoint mass in closed form, zero-overlap pairs restored by
+        # the slice-pair grid
+        "corpus_source_jsd": """
+            WITH nrm AS (SELECT source AS g,
+                                trim(regexp_replace(lower(text), '\\s+',
+                                ' ', 'g')) AS t FROM documents),
+            tok AS (SELECT g, unnest(string_split(t, ' ')) AS token
+                    FROM nrm WHERE length(t) > 0),
+            tk AS (SELECT g, token FROM tok WHERE length(token) > 0),
+            top AS (SELECT token FROM (
+                        SELECT token, count(*) AS n FROM tk
+                        GROUP BY token ORDER BY n DESC, token LIMIT 512)),
+            cnt AS (SELECT g, tk.token, CAST(count(*) AS BIGINT) AS c
+                    FROM tk JOIN top ON tk.token = top.token
+                    GROUP BY g, tk.token),
+            tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS t
+                    FROM cnt GROUP BY g),
+            probs AS (SELECT g, token,
+                             round(CAST(c AS DOUBLE) / t, 9) AS p
+                      FROM cnt JOIN tot USING (g)),
+            sh AS (
+                SELECT a.g AS source_a, b.g AS source_b,
+                       CAST(count(*) AS BIGINT) AS shared_tokens,
+                       CAST(CAST(sum(CAST(round(a.p, 9) AS DECIMAL(20,9)))
+                            AS DECIMAL(38,9)) AS DOUBLE) AS sa,
+                       CAST(CAST(sum(CAST(round(b.p, 9) AS DECIMAL(20,9)))
+                            AS DECIMAL(38,9)) AS DOUBLE) AS sb,
+                       CAST(CAST(sum(CAST(round(a.p * ln(2.0 * a.p
+                                / (a.p + b.p)) / ln(2.0), 9)
+                            AS DECIMAL(20,9))) AS DECIMAL(38,9))
+                            AS DOUBLE) AS ta,
+                       CAST(CAST(sum(CAST(round(b.p * ln(2.0 * b.p
+                                / (a.p + b.p)) / ln(2.0), 9)
+                            AS DECIMAL(20,9))) AS DECIMAL(38,9))
+                            AS DOUBLE) AS tb
+                FROM probs a JOIN probs b
+                  ON a.token = b.token AND a.g < b.g
+                GROUP BY 1, 2),
+            grid AS (SELECT a.g AS source_a, b.g AS source_b
+                     FROM tot a JOIN tot b ON a.g < b.g)
+            SELECT source_a, source_b,
+                   coalesce(shared_tokens, 0) AS shared_tokens,
+                   round(0.5 * (coalesce(ta, 0.0)
+                                + (1.0 - coalesce(sa, 0.0)))
+                         + 0.5 * (coalesce(tb, 0.0)
+                                  + (1.0 - coalesce(sb, 0.0))),
+                         6) AS jsd_bits
+            FROM grid LEFT JOIN sh USING (source_a, source_b)
+            ORDER BY source_a, source_b
+        """,
+        # association rules: distinct basket items, 64-item basket cap,
+        # basket-key pair equi-join, double-routed lift
+        "orders_association_rules": """
+            WITH it AS (SELECT DISTINCT l_orderkey AS bk,
+                               l_partkey AS itm FROM lineitem),
+            ok AS (SELECT bk FROM it GROUP BY bk
+                   HAVING count(*) <= 64),
+            capped AS (SELECT it.bk, it.itm FROM it JOIN ok USING (bk)),
+            nb AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS nb
+                   FROM capped),
+            marg AS (SELECT itm, CAST(count(*) AS BIGINT) AS n
+                     FROM capped GROUP BY itm),
+            pairs AS (
+                SELECT a.itm AS item_a, b.itm AS item_b,
+                       CAST(count(*) AS BIGINT) AS n_ab
+                FROM capped a JOIN capped b
+                  ON a.bk = b.bk AND a.itm < b.itm
+                GROUP BY 1, 2 HAVING count(*) >= 3)
+            SELECT item_a, item_b, ma.n AS n_a, mb.n AS n_b, n_ab,
+                   round(CAST(n_ab AS DOUBLE) / nb, 6) AS support,
+                   round(CAST(n_ab AS DOUBLE) / ma.n, 6) AS conf_a_to_b,
+                   round(CAST(n_ab AS DOUBLE) / mb.n, 6) AS conf_b_to_a,
+                   round(CAST(n_ab AS DOUBLE) * nb
+                         / (CAST(ma.n AS DOUBLE) * mb.n), 6) AS lift
+            FROM pairs
+            JOIN marg ma ON ma.itm = pairs.item_a
+            JOIN marg mb ON mb.itm = pairs.item_b
+            CROSS JOIN nb
+            ORDER BY n_ab DESC, item_a, item_b
         """,
     }

@@ -1960,3 +1960,220 @@ def dp_counts(
             F.round(F.abs(noise), 6).alias("abs_error"),
         ]
     return counts.select(*cols).orderBy(group_col)
+
+
+def source_jsd(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    vocab_size: int = 512,
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (in bits) between per-slice
+    unigram token distributions — the distributional distance companion
+    to :func:`~nbdatatools_spark.operators.lm.source_similarity`'s
+    tf-idf cosine: symmetric, bounded [0, 1], and sensitive to mass
+    re-allocation that cosine (which ignores scale) misses.
+
+    Distributions live on the GLOBAL top-``vocab_size`` tokens
+    (TakeOrderedAndProject — no full-vocab shuffle), renormalized within
+    that vocabulary per slice. The pair sum splits into the
+    shared-support part (one token-keyed equi-join between slice pairs)
+    plus the disjoint-support mass, which contributes exactly
+    ``p * log2(2p / p) = p`` bits — so tokens absent from one side never
+    need an outer join: ``JSD = 0.5 * (T_a + (1 - S_a)) + 0.5 *
+    (T_b + (1 - S_b))`` with ``T`` the shared-token term sum and ``S``
+    the shared mass. Per-token probabilities and terms round to 9dp and
+    DECIMAL-sum; output at 6dp.
+
+    Scale shape: token counts are one digest-keyed groupBy; the pair
+    join runs on the ``slices x vocab_size`` table (broadcast-sized for
+    real slice counts). Returns ``(source_a, source_b, shared_tokens,
+    jsd_bits)`` for pairs a < b, ordered.
+    """
+    from nbdatatools_spark.functions.text import normalize_text, tokens
+
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    toks = df.select(
+        F.col(group_col).alias("g"),
+        F.explode_outer(tokens(normalize_text(F.col(text_col)))).alias("token"),
+    ).where(F.length("token") > 0)
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy(F.desc("__n"), "token")
+        .limit(vocab_size)
+        .select("token")
+    )
+    cnt = (
+        toks.join(F.broadcast(top), "token")
+        .groupBy("g", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cnt.groupBy("g").agg(F.sum("c").alias("t"))
+    probs = cnt.join(F.broadcast(tot), "g").select(
+        "g", "token", F.round(F.col("c") / F.col("t"), 9).alias("p")
+    )
+    a, b = probs.alias("a"), probs.alias("b")
+    ln2 = F.log(F.lit(2.0))
+    shared = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.g") < F.col("b.g")),
+        )
+        .groupBy(F.col("a.g").alias("source_a"), F.col("b.g").alias("source_b"))
+        .agg(
+            F.count(F.lit(1)).alias("shared_tokens"),
+            F.sum(F.round(F.col("a.p"), 9).cast("decimal(20,9)"))
+            .cast("decimal(38,9)")
+            .cast("double")
+            .alias("sa"),
+            F.sum(F.round(F.col("b.p"), 9).cast("decimal(20,9)"))
+            .cast("decimal(38,9)")
+            .cast("double")
+            .alias("sb"),
+            F.sum(
+                F.round(
+                    F.col("a.p")
+                    * F.log(
+                        F.lit(2.0)
+                        * F.col("a.p")
+                        / (F.col("a.p") + F.col("b.p"))
+                    )
+                    / ln2,
+                    9,
+                ).cast("decimal(20,9)")
+            )
+            .cast("decimal(38,9)")
+            .cast("double")
+            .alias("ta"),
+            F.sum(
+                F.round(
+                    F.col("b.p")
+                    * F.log(
+                        F.lit(2.0)
+                        * F.col("b.p")
+                        / (F.col("a.p") + F.col("b.p"))
+                    )
+                    / ln2,
+                    9,
+                ).cast("decimal(20,9)")
+            )
+            .cast("decimal(38,9)")
+            .cast("double")
+            .alias("tb"),
+        )
+    )
+    # the pair universe: slices with NO shared tokens are maximally
+    # divergent (JSD = 1 bit) and must not vanish with the inner join
+    ga = tot.select(F.col("g").alias("source_a"))
+    gb = tot.select(F.col("g").alias("source_b"))
+    grid = ga.join(
+        F.broadcast(gb), F.col("source_a") < F.col("source_b")
+    )
+    return (
+        grid.join(shared, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce("shared_tokens", F.lit(0)).alias("shared_tokens"),
+            F.round(
+                F.lit(0.5)
+                * (
+                    F.coalesce("ta", F.lit(0.0))
+                    + (F.lit(1.0) - F.coalesce("sa", F.lit(0.0)))
+                )
+                + F.lit(0.5)
+                * (
+                    F.coalesce("tb", F.lit(0.0))
+                    + (F.lit(1.0) - F.coalesce("sb", F.lit(0.0)))
+                ),
+                6,
+            ).alias("jsd_bits"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 3,
+    max_basket_items: int = 64,
+) -> DataFrame:
+    """Pairwise association rules over baskets (Agrawal & Srikant 1994,
+    the pair grain): for item pairs co-occurring in at least
+    ``min_pair_count`` baskets, report support, both conditional
+    confidences, and lift — the market-basket readout, and for corpora
+    the "these two sources/tags travel together" audit.
+
+    Scale shape: the ONLY quadratic is per-basket, and it is capped —
+    baskets with more than ``max_basket_items`` distinct items are
+    dropped outright (one groupBy(basket) count + a semi-join, the
+    standard frequent-itemset guard: a 10k-item basket would alone emit
+    5*10^7 pairs). The pair grain is then an equi-join on the basket key
+    — co-located, never all-pairs across baskets. Item marginals count
+    DISTINCT baskets per item over the capped basket set, so
+    ``confidence = P(b | a)`` is exact over the measured population.
+    Lift routes through doubles (no int64 overflow at 100-TB counts).
+
+    Returns ``(item_a, item_b, n_a, n_b, n_ab, support, conf_a_to_b,
+    conf_b_to_a, lift)`` ordered by (n_ab DESC, item_a, item_b).
+    """
+    if min_pair_count < 1:
+        raise ValueError(f"min_pair_count must be >= 1, got {min_pair_count}")
+    if max_basket_items < 2:
+        raise ValueError(
+            f"max_basket_items must be >= 2, got {max_basket_items}"
+        )
+    items = df.select(
+        F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
+    ).distinct()
+    ok = (
+        items.groupBy("bk")
+        .agg(F.count(F.lit(1)).alias("__sz"))
+        .where(F.col("__sz") <= max_basket_items)
+        .select("bk")
+    )
+    capped = items.join(ok, "bk", "left_semi")
+    n_baskets = capped.select("bk").distinct().agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    marg = capped.groupBy("it").agg(F.count(F.lit(1)).alias("n"))
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.it") < F.col("b.it")),
+        )
+        .groupBy(F.col("a.it").alias("item_a"), F.col("b.it").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_pair_count)
+    )
+    ma = marg.select(F.col("it").alias("item_a"), F.col("n").alias("n_a"))
+    mb = marg.select(F.col("it").alias("item_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(ma, "item_a")
+        .join(mb, "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "n_a",
+            "n_b",
+            "n_ab",
+            F.round(F.col("n_ab") / F.col("nb"), 6).alias("support"),
+            F.round(F.col("n_ab") / F.col("n_a"), 6).alias("conf_a_to_b"),
+            F.round(F.col("n_ab") / F.col("n_b"), 6).alias("conf_b_to_a"),
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.col("nb")
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_ab"), "item_a", "item_b")
+    )

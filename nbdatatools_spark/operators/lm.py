@@ -879,3 +879,98 @@ def source_similarity(
         )
         .orderBy("source_a", "source_b")
     )
+
+
+def hll_distinct(
+    df: DataFrame,
+    text_col: str = "text",
+    precision: int = 8,
+) -> DataFrame:
+    """HyperLogLog distinct-token audit (Flajolet et al. 2007): build a
+    ``2^precision``-register HLL over the corpus token stream, report the
+    estimate next to the exact distinct count and the relative error —
+    the sketch-quality readout, the cardinality sibling of
+    :func:`cms_heavy_hitters`.
+
+    100-TB shape: the sketch is the point — ``m = 2^precision`` registers
+    REGARDLESS of corpus size. The build is one groupBy(register) with
+    map-side partial max, so the shuffle carries at most
+    ``partitions * m`` partial registers, never the vocabulary. Tokens
+    hash via the repo's portable md5-uint52 convention: low ``precision``
+    bits pick the register, the leading-zero rank of the remaining
+    ``52 - precision`` bits feeds the register max. The harmonic-mean
+    denominator ``sum 2^-M_j`` is computed as an EXACT integer sum of
+    ``2^(rmax - M_j)`` (every term a dyadic rational scaled to int64 —
+    no float accumulation-order hazard); the linear-counting small-range
+    correction applies below ``2.5 m`` when empty registers remain. The
+    exact distinct side exists to AUDIT the sketch (one distinct-count
+    aggregate); production drops it and keeps the m-cell sketch.
+
+    Returns one row ``(n_tokens, exact_distinct, registers, zero_registers,
+    hll_estimate, rel_error)``; estimate and error at 6dp.
+    """
+    if not 4 <= precision <= 16:
+        raise ValueError(f"precision must be in [4, 16], got {precision}")
+    m = 1 << precision
+    rbits = 52 - precision
+    rmax = rbits + 1  # rank of an all-zero suffix
+    toks = _cms_tokens(df, text_col)
+    h = F.conv(F.substring(F.md5("token"), 1, 13), 16, 10).cast("long")
+    hashed = toks.select(
+        (h % m).cast("int").alias("reg"),
+        F.shiftright(h, precision).alias("w"),
+    )
+    # rank = leading zeros of the rbits-wide suffix + 1; bin() drops
+    # leading zeros so bitlength(w) = length(bin(w)) for w > 0
+    ranked = hashed.select(
+        "reg",
+        F.when(F.col("w") == 0, F.lit(rmax))
+        .otherwise(F.lit(rbits) - F.length(F.bin("w")) + 1)
+        .cast("int")
+        .alias("rank"),
+    )
+    regs = ranked.groupBy("reg").agg(F.max("rank").alias("mx"))
+    # exact integer harmonic sum: 2^-M scaled by 2^rmax
+    sketch = regs.agg(
+        F.count(F.lit(1)).alias("used"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {rmax} - mx)")).alias(
+            "hsum_used"
+        ),
+    )
+    counts = toks.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("token").alias("exact_distinct"),
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    out = counts.crossJoin(F.broadcast(sketch)).select(
+        "n_tokens",
+        "exact_distinct",
+        F.lit(m).alias("registers"),
+        (F.lit(m) - F.col("used")).alias("zero_registers"),
+        # empty registers contribute 2^-0 = 1 -> 2^rmax each, exactly
+        (
+            F.col("hsum_used")
+            + (F.lit(m) - F.col("used")).cast("long")
+            * F.shiftleft(F.lit(1).cast("long"), rmax)
+        ).alias("hsum"),
+    )
+    pow2 = float(1 << rmax)
+    raw = F.lit(alpha) * m * m * pow2 / F.col("hsum")
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("zero_registers") > 0),
+        F.round(
+            F.lit(float(m))
+            * F.log(F.lit(float(m)) / F.col("zero_registers")),
+            6,
+        ),
+    ).otherwise(F.round(raw, 6))
+    return out.select(
+        "n_tokens",
+        "exact_distinct",
+        "registers",
+        "zero_registers",
+        est.alias("hll_estimate"),
+        F.round(
+            (est - F.col("exact_distinct")) / F.col("exact_distinct"), 6
+        ).alias("rel_error"),
+    )
