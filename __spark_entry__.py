@@ -4381,6 +4381,41 @@ def orders_association_rules(spark, sf_dir):
     )
 
 
+def doc_isotonic_calibration(spark, sf_dir):
+    """Isotonic (PAV) recalibration of the quality score at the bin
+    grain (evaluation.py::isotonic_calibration): the pool-adjacent-
+    violators SOLUTION in closed form via the minimax identity
+    iso_i = max_{j<=i} min_{k>=i} wmean(j..k) — a bounded relational
+    plan (B-row prefix sums, B^2 interval means, B^3 fold), never the
+    sequential pooling loop. Non-decreasing by construction; interval
+    means at 9dp, outputs 6dp — hash-exact."""
+    from nbdatatools_spark.operators.evaluation import isotonic_calibration
+
+    return isotonic_calibration(
+        _scored_docs(spark, sf_dir), "score", "y", n_bins=10, lo=0.0, hi=1.0
+    )
+
+
+def doc_sliced_auc(spark, sf_dir):
+    """Per-source exact ROC-AUC (evaluation.py::grouped_ranking_auc):
+    the slice-fairness readout — rank-sum identity per source with
+    tie-averaged ranks; the running sum is a KEYED window over
+    per-(source, score) groups (parallel across sources, no global
+    sort), NULL for degenerate slices. Rank sums are exact
+    half-integer arithmetic — hash-exact."""
+    from nbdatatools_spark.operators.evaluation import grouped_ranking_auc
+
+    docs = _t(spark, sf_dir, "documents")
+    from nbdatatools_spark.functions.text import quality_score
+
+    scored = docs.select(
+        "source",
+        F.round(quality_score(F.col("text")), 6).alias("score"),
+        (F.col("n_chars") >= 400).alias("y"),
+    )
+    return grouped_ranking_auc(scored, "score", "y", "source")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4450,6 +4485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_hll_distinct": corpus_hll_distinct,
         "corpus_source_jsd": corpus_source_jsd,
         "orders_association_rules": orders_association_rules,
+        "doc_isotonic_calibration": doc_isotonic_calibration,
+        "doc_sliced_auc": doc_sliced_auc,
         # -- r6-green re-record fillers (displaced by round-7 additions
         #    as they land) --
         "q9_product_profit": q9_product_profit,
@@ -4467,11 +4504,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_perplexity_buckets": doc_perplexity_buckets,
         "corpus_source_overlap": corpus_source_overlap,
         "doc_remove_dup_spans": doc_remove_dup_spans,
-        "doc_dedup_cluster_sizes": doc_dedup_cluster_sizes,
-        "doc_token_budget_select": doc_token_budget_select,
         # position 49 — last recorded slot; see docstring.
         "fit_embeddings_model": fit_embeddings_model,
         # -- tail: every entry below is hash-green in a recorded round --
+        "doc_dedup_cluster_sizes": doc_dedup_cluster_sizes,
+        "doc_token_budget_select": doc_token_budget_select,
         "events_pagerank": events_pagerank,
         "doc_tfidf_topterms": doc_tfidf_topterms,
         "corpus_packing_report": corpus_packing_report,
@@ -9778,5 +9815,66 @@ def oracle_sql() -> dict[str, str]:
             JOIN marg mb ON mb.itm = pairs.item_b
             CROSS JOIN nb
             ORDER BY n_ab DESC, item_a, item_b
+        """,
+        # isotonic calibration: PAV via the minimax identity over the
+        # 10-bin table — prefix sums, interval means, min-then-max fold
+        "doc_isotonic_calibration": f"""
+            WITH sc AS (SELECT {_QUALITY6} AS s,
+                               CAST(n_chars >= 400 AS INT) AS y
+                        FROM documents),
+            b AS (SELECT least(greatest(CAST(floor((s - 0.0) / 0.1)
+                              AS INT), 0), 9) AS bin, s, y
+                  FROM sc),
+            bins AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                            CAST(sum(y) AS BIGINT) AS sy,
+                            round(CAST(CAST(sum(CAST(round(s, 9)
+                                 AS DECIMAL(20,9))) AS DECIMAL(38,9))
+                                 AS DOUBLE) / count(*), 6) AS mean_score
+                     FROM b GROUP BY bin),
+            pre AS (SELECT bin, n, sy, mean_score,
+                           CAST(sum(n) OVER w AS BIGINT) AS cn,
+                           CAST(sum(sy) OVER w AS BIGINT) AS cy
+                    FROM bins
+                    WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW)),
+            lh AS (SELECT bin AS b2, cn, cy, cn - n AS pn,
+                          cy - sy AS py FROM pre),
+            iv AS (SELECT j.b2 AS j, k.b2 AS k,
+                          round((k.cy - j.py) / (k.cn - j.pn), 9) AS m
+                   FROM lh j JOIN lh k ON j.b2 <= k.b2),
+            mn AS (SELECT p.bin AS i, iv.j, min(iv.m) AS lo_m
+                   FROM pre p JOIN iv
+                     ON iv.j <= p.bin AND iv.k >= p.bin
+                   GROUP BY 1, 2),
+            iso AS (SELECT i, round(max(lo_m), 6) AS isotonic_rate
+                    FROM mn GROUP BY i)
+            SELECT pre.bin, pre.n, pre.mean_score,
+                   round(CAST(sy AS DOUBLE) / n, 6) AS positive_rate,
+                   isotonic_rate
+            FROM pre JOIN iso ON iso.i = pre.bin ORDER BY bin
+        """,
+        # per-source AUC: keyed rank-sum windows, NULL on degenerate
+        # slices
+        "doc_sliced_auc": f"""
+            WITH sc AS (SELECT source, {_QUALITY6} AS s,
+                               CAST(n_chars >= 400 AS INT) AS y
+                        FROM documents),
+            g AS (SELECT source, s, count(*) AS n, sum(y) AS np
+                  FROM sc GROUP BY source, s),
+            r AS (SELECT source, n, np,
+                         coalesce(sum(n) OVER (PARTITION BY source
+                              ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS bef
+                  FROM g),
+            p AS (SELECT source, CAST(sum(np) AS BIGINT) AS n_pos,
+                         CAST(sum(n) - sum(np) AS BIGINT) AS n_neg,
+                         sum(np * (bef + (n + 1) / 2.0)) AS rpos
+                  FROM r GROUP BY source)
+            SELECT source, n_pos, n_neg,
+                   CASE WHEN n_pos > 0 AND n_neg > 0
+                        THEN round((rpos - (n_pos * (n_pos + 1)) / 2.0)
+                                   / (CAST(n_pos AS DOUBLE) * n_neg), 6)
+                   END AS auc
+            FROM p ORDER BY source
         """,
     }

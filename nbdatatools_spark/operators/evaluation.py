@@ -192,3 +192,189 @@ def filter_agreement(
         F.round(po, 6).alias("agreement"),
         F.when(pe < 1.0, F.round((po - pe) / (1 - pe), 6)).alias("kappa"),
     )
+
+
+def grouped_ranking_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: Column | str,
+    group_col: str,
+) -> DataFrame:
+    """Per-slice exact ROC-AUC — :func:`ranking_auc` partitioned by a
+    group column (source, language, shard): the fairness readout that
+    catches a quality filter scoring one slice well and another at
+    chance before the filter gates a mixed corpus.
+
+    Same rank-sum identity per group; ties collapse to per-(group,
+    score) rows first, so the window state is |distinct scores in the
+    group| and the running sum is a KEYED window (partitioned by group —
+    parallel across groups, never a single-reducer global sort). AUC is
+    NULL for degenerate slices (all-positive or all-negative).
+
+    Returns ``(group, n_pos, n_neg, auc)`` ordered by group.
+    """
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    grouped = (
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.col(score_col).alias("__s"),
+            lab.cast("int").alias("__y"),
+        )
+        .groupBy("__g", "__s")
+        .agg(F.count(F.lit(1)).alias("__n"), F.sum("__y").alias("__np"))
+    )
+    w = (
+        Window.partitionBy("__g")
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = grouped.select(
+        "__g",
+        "__n",
+        "__np",
+        F.coalesce(F.sum("__n").over(w), F.lit(0)).alias("__before"),
+    )
+    avg_rank = F.col("__before") + (F.col("__n") + 1) / F.lit(2.0)
+    per = ranked.groupBy("__g").agg(
+        F.sum("__np").cast("bigint").alias("n_pos"),
+        (F.sum("__n") - F.sum("__np")).cast("bigint").alias("n_neg"),
+        F.sum(F.col("__np") * avg_rank).alias("__rpos"),
+    )
+    return per.select(
+        F.col("__g").alias(group_col),
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(
+                (
+                    F.col("__rpos")
+                    - (F.col("n_pos") * (F.col("n_pos") + 1)) / F.lit(2.0)
+                )
+                / (F.col("n_pos").cast("double") * F.col("n_neg")),
+                6,
+            ),
+        ).alias("auc"),
+    ).orderBy(group_col)
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: Column | str,
+    n_bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Isotonic (PAV) calibration of a score against a boolean label,
+    at the bin grain: the monotone recalibration map a curation team
+    fits when a quality score ranks well (high AUC) but its raw values
+    lie (reliability diagram off the diagonal). Platt's sibling with no
+    parametric-shape assumption.
+
+    The pool-adjacent-violators SOLUTION is computed in closed form via
+    the minimax identity (Robertson-Wright-Dykstra):
+
+        iso_i = max_{j <= i} min_{k >= i} wmean(y, bins j..k)
+
+    — NOT the sequential pooling loop, so the whole fit is a bounded
+    relational plan: bin prefix sums over the B-row bin table, the
+    B^2 interval means from prefix differences, and a (i, j <= i <= k)
+    range join folded by min-then-max. B is fixed and small (10-100);
+    B^3 interval tuples cost nothing while events/documents never leave
+    their one binning aggregate. Interval means round to 9dp; outputs
+    to 6dp. The result is non-decreasing by construction.
+
+    Returns ``(bin, n, mean_score, positive_rate, isotonic_rate)`` for
+    occupied bins, ordered by bin.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    width = (hi - lo) / n_bins
+    idx = F.floor(
+        (F.col("__s") - F.lit(float(lo))) / F.lit(float(width))
+    ).cast("int")
+    bins = (
+        df.select(
+            F.col(score_col).cast("double").alias("__s"),
+            lab.cast("int").alias("__y"),
+        )
+        .select(
+            F.least(F.greatest(idx, F.lit(0)), F.lit(n_bins - 1)).alias(
+                "bin"
+            ),
+            "__s",
+            "__y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__y").alias("sy"),
+            F.round(
+                F.sum(F.round(F.col("__s"), 9).cast("decimal(20,9)"))
+                .cast("decimal(38,9)")
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_score"),
+        )
+    )
+    # prefix sums over the occupied-bin table (B rows, bounded)
+    w_pre = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pre = bins.select(
+        "bin",
+        "n",
+        "sy",
+        "mean_score",
+        F.sum("n").over(w_pre).alias("cn"),
+        F.sum("sy").over(w_pre).alias("cy"),
+    )
+    lohi = pre.select(
+        F.col("bin").alias("__b"),
+        F.col("cn").alias("__cn"),
+        F.col("cy").alias("__cy"),
+        (F.col("cn") - F.col("n")).alias("__pn"),
+        (F.col("cy") - F.col("sy")).alias("__py"),
+    )
+    jj = lohi.select(
+        F.col("__b").alias("j"), F.col("__pn").alias("pn_j"),
+        F.col("__py").alias("py_j"),
+    )
+    kk = lohi.select(
+        F.col("__b").alias("k"), F.col("__cn").alias("cn_k"),
+        F.col("__cy").alias("cy_k"),
+    )
+    ivals = jj.join(F.broadcast(kk), F.col("j") <= F.col("k")).select(
+        "j",
+        "k",
+        F.round(
+            (F.col("cy_k") - F.col("py_j"))
+            / (F.col("cn_k") - F.col("pn_j")),
+            9,
+        ).alias("m"),
+    )
+    pos = pre.select(F.col("bin").alias("i"))
+    iso = (
+        pos.join(
+            F.broadcast(ivals),
+            (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")),
+        )
+        .groupBy("i", "j")
+        .agg(F.min("m").alias("inner"))
+        .groupBy("i")
+        .agg(F.round(F.max("inner"), 6).alias("isotonic_rate"))
+    )
+    return (
+        pre.join(F.broadcast(iso), pre["bin"] == iso["i"])
+        .select(
+            "bin",
+            "n",
+            "mean_score",
+            F.round(F.col("sy") / F.col("n"), 6).alias("positive_rate"),
+            "isotonic_rate",
+        )
+        .orderBy("bin")
+    )
