@@ -4416,6 +4416,107 @@ def doc_sliced_auc(spark, sf_dir):
     return grouped_ranking_auc(scored, "score", "y", "source")
 
 
+def embedding_intrinsic_dim(spark, sf_dir):
+    """Participation-ratio intrinsic dimension (analysis.py::
+    intrinsic_dimension, first 32 dims): PR = trace(C)^2 / ||C||_F^2 —
+    the truncation-budget audit, no eigendecomposition. Gate pins
+    impl='expr' (the DuckDB-replayable dim-pair chain, CKA's sibling);
+    production auto-routes d > 16 through the bit-equal int64-gramian
+    gemm pass (nothing n*d^2-sized shuffles)."""
+    from nbdatatools_spark.operators.analysis import intrinsic_dimension
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return intrinsic_dimension(emb, dims=32, impl="expr")
+
+
+def doc_textrank_keywords(spark, sf_dir):
+    """Corpus TextRank keywords (analysis.py::textrank_keywords,
+    window=2, 6 iterations, min_count=10, top-25): the word
+    co-occurrence graph ranked with the shared 9dp-DECIMAL PageRank
+    recursion — the oracle unrolls all 6 iterations into chained CTEs
+    over the SAME edge construction (offset equi-joins on (doc, pos),
+    linear in corpus tokens). Cut and order on (6dp rank DESC, token) —
+    engine-exact."""
+    from nbdatatools_spark.operators.analysis import textrank_keywords
+
+    docs = _t(spark, sf_dir, "documents")
+    return textrank_keywords(
+        docs, window=2, iterations=6, min_count=10, topk=25, id_col="doc_id"
+    )
+
+
+def doc_length_batching(spark, sf_dir):
+    """Length-grouped vs arrival-order batching padding audit
+    (packing.py::length_batching_audit, B=32): per-batch padded tokens
+    under both orders via the two-phase global row index (no
+    single-reducer window). Integer accounting; ratio at 6dp —
+    hash-exact."""
+    from nbdatatools_spark.operators.packing import length_batching_audit
+
+    docs = _t(spark, sf_dir, "documents")
+    return length_batching_audit(docs, batch_size=32)
+
+
+def _textrank_oracle(
+    iterations: int = 6,
+    damping: float = 0.85,
+    window: int = 2,
+    min_count: int = 10,
+    topk: int = 25,
+) -> str:
+    """DuckDB replica of textrank_keywords: the candidate-filtered word
+    co-occurrence graph + graph.pagerank's fixed power iteration unrolled
+    into chained CTEs (same per-edge round(,9)-then-DECIMAL contribution
+    sums as _pagerank_oracle — identical expression trees)."""
+    d = repr(float(damping))
+    its = []
+    for t in range(1, iterations + 1):
+        its.append(f"""
+        r{t} AS (
+            SELECT nodes.node,
+                   round((1.0 - {d}) / nn.n
+                         + {d} * coalesce(CAST(inc.i AS DOUBLE), 0.0), 9) AS rank
+            FROM nodes CROSS JOIN nn
+            LEFT JOIN (
+                SELECT ew.d AS node,
+                       sum(CAST(round((r{t - 1}.rank * ew.w) / ew.ow, 9)
+                                AS DECIMAL(28,9))) AS i
+                FROM ew JOIN r{t - 1} ON ew.s = r{t - 1}.node
+                GROUP BY ew.d) inc
+              ON nodes.node = inc.node)""")
+    return f"""
+        WITH nrm AS (SELECT doc_id AS doc, {_NORM} AS t FROM documents),
+        arr AS (SELECT doc, regexp_split_to_array(t, '\\s+') AS a
+                FROM nrm WHERE length(t) > 0),
+        tokp AS (SELECT doc, CAST(generate_subscripts(a, 1) - 1 AS INT)
+                        AS pos, unnest(a) AS w
+                 FROM arr),
+        fp AS (SELECT doc, pos, w FROM tokp
+               WHERE length(w) > 0 AND w NOT IN ({_STOPWORD_SQL_LIST})),
+        cand AS (SELECT w FROM fp GROUP BY w
+                 HAVING count(*) >= {min_count}),
+        cp AS (SELECT fp.doc, fp.pos, fp.w FROM fp JOIN cand USING (w)),
+        offs AS (SELECT CAST(unnest(generate_series(1, {window})) AS INT)
+                        AS o),
+        prs AS (SELECT least(a.w, b.w) AS u, greatest(a.w, b.w) AS v
+                FROM cp a CROSS JOIN offs
+                JOIN cp b ON b.doc = a.doc AND b.pos = a.pos + offs.o
+                WHERE a.w <> b.w),
+        und AS (SELECT u, v, CAST(count(*) AS DOUBLE) AS w
+                FROM prs GROUP BY u, v),
+        e AS (SELECT u AS s, v AS d, w FROM und
+              UNION ALL SELECT v AS s, u AS d, w FROM und),
+        nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        ow AS (SELECT s, sum(w) AS ow FROM e GROUP BY s),
+        ew AS (SELECT e.s, e.d, e.w, ow.ow FROM e JOIN ow USING (s)),
+        r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+        {",".join(its)}
+        SELECT node AS token, round(rank, 6) AS rank
+        FROM r{iterations} ORDER BY rank DESC, token LIMIT {topk}
+    """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4487,6 +4588,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_association_rules": orders_association_rules,
         "doc_isotonic_calibration": doc_isotonic_calibration,
         "doc_sliced_auc": doc_sliced_auc,
+        "embedding_intrinsic_dim": embedding_intrinsic_dim,
+        "doc_textrank_keywords": doc_textrank_keywords,
+        "doc_length_batching": doc_length_batching,
         # -- r6-green re-record fillers (displaced by round-7 additions
         #    as they land) --
         "q9_product_profit": q9_product_profit,
@@ -4501,12 +4605,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pmi_bigrams": corpus_pmi_bigrams,
         "corpus_zipf_fit": corpus_zipf_fit,
         "doc_winnow_pairs": doc_winnow_pairs,
-        "doc_perplexity_buckets": doc_perplexity_buckets,
-        "corpus_source_overlap": corpus_source_overlap,
-        "doc_remove_dup_spans": doc_remove_dup_spans,
         # position 49 — last recorded slot; see docstring.
         "fit_embeddings_model": fit_embeddings_model,
         # -- tail: every entry below is hash-green in a recorded round --
+        "doc_perplexity_buckets": doc_perplexity_buckets,
+        "corpus_source_overlap": corpus_source_overlap,
+        "doc_remove_dup_spans": doc_remove_dup_spans,
         "doc_dedup_cluster_sizes": doc_dedup_cluster_sizes,
         "doc_token_budget_select": doc_token_budget_select,
         "events_pagerank": events_pagerank,
@@ -9876,5 +9980,86 @@ def oracle_sql() -> dict[str, str]:
                                    / (CAST(n_pos AS DOUBLE) * n_neg), 6)
                    END AS auc
             FROM p ORDER BY source
+        """,
+        # participation-ratio intrinsic dim: the CKA expr covariance
+        # chain, trace + Frobenius folds
+        "embedding_intrinsic_dim": """
+            WITH ex AS (
+                SELECT vec_id AS rid,
+                       CAST(generate_subscripts(e, 1) - 1 AS INT) AS i,
+                       unnest(e) AS v
+                FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                      FROM embeddings)),
+            ex2 AS (SELECT * FROM ex WHERE i < 32),
+            sums AS (
+                SELECT a.i AS i, b.i AS j, count(*) AS n,
+                       CAST(CAST(sum(CAST(round(a.v * b.v, 9)
+                                 AS DECIMAL(25,9))) AS DECIMAL(38,9))
+                            AS DOUBLE) AS sxy
+                FROM ex2 a JOIN ex2 b ON a.rid = b.rid GROUP BY 1, 2),
+            means AS (
+                SELECT i, round(CAST(CAST(sum(CAST(round(v, 9)
+                                AS DECIMAL(20,9))) AS DECIMAL(38,9))
+                                AS DOUBLE) / count(*), 9) AS mu
+                FROM ex2 GROUP BY i),
+            cov AS (
+                SELECT s.i, s.j, s.n,
+                       round(s.sxy / s.n - mi.mu * mj.mu, 9) AS c
+                FROM sums s
+                JOIN means mi ON mi.i = s.i
+                JOIN means mj ON mj.i = s.j),
+            agg AS (
+                SELECT max(n) AS n,
+                       CAST(CAST(sum(CASE WHEN i = j
+                                 THEN CAST(c AS DECIMAL(20,9)) END)
+                                 AS DECIMAL(38,9)) AS DOUBLE) AS tr_raw,
+                       CAST(CAST(sum(CAST(round(c * c, 12)
+                                 AS DECIMAL(24,12))) AS DECIMAL(38,12))
+                            AS DOUBLE) AS fr_raw
+                FROM cov)
+            SELECT CAST(32 AS INT) AS d, CAST(n AS BIGINT) AS n,
+                   round(tr_raw, 6) AS trace,
+                   round(fr_raw, 6) AS frob_sq,
+                   round(tr_raw * tr_raw / fr_raw, 6) AS intrinsic_dim
+            FROM agg
+        """,
+        "doc_textrank_keywords": _textrank_oracle(),
+        # length batching: global row indexes per strategy, integer
+        # padding accounting
+        "doc_length_batching": f"""
+            WITH base AS (SELECT doc_id AS id,
+                                 CAST({_NTOK} AS BIGINT) AS len
+                          FROM documents),
+            arr AS (SELECT len, row_number() OVER (ORDER BY id) - 1
+                           AS idx FROM base),
+            srt AS (SELECT len, row_number() OVER (ORDER BY len, id) - 1
+                           AS idx FROM base),
+            pa AS (SELECT CAST(floor(idx / 32) AS BIGINT) AS b,
+                          count(*) AS n, max(len) AS mx, sum(len) AS sm
+                   FROM arr GROUP BY 1),
+            ps AS (SELECT CAST(floor(idx / 32) AS BIGINT) AS b,
+                          count(*) AS n, max(len) AS mx, sum(len) AS sm
+                   FROM srt GROUP BY 1),
+            ta AS (SELECT 'arrival' AS strategy,
+                          CAST(sum(n) AS BIGINT) AS n_docs,
+                          CAST(count(*) AS BIGINT) AS n_batches,
+                          CAST(sum(sm) AS BIGINT) AS total_tokens,
+                          CAST(sum(n * mx - sm) AS BIGINT)
+                              AS padded_tokens
+                   FROM pa),
+            ts AS (SELECT 'sorted' AS strategy,
+                          CAST(sum(n) AS BIGINT) AS n_docs,
+                          CAST(count(*) AS BIGINT) AS n_batches,
+                          CAST(sum(sm) AS BIGINT) AS total_tokens,
+                          CAST(sum(n * mx - sm) AS BIGINT)
+                              AS padded_tokens
+                   FROM ps),
+            u AS (SELECT * FROM ta UNION ALL SELECT * FROM ts)
+            SELECT strategy, n_docs, n_batches, total_tokens,
+                   padded_tokens,
+                   round(CAST(padded_tokens AS DOUBLE)
+                         / (padded_tokens + total_tokens), 6)
+                       AS waste_ratio
+            FROM u ORDER BY strategy
         """,
     }

@@ -1816,50 +1816,9 @@ def _cka_gemm(df: DataFrame, vec: str, dims: int, m: int) -> DataFrame:
     the mean/cov/Frobenius rounding chain on d^2 scalars with exact
     Decimal arithmetic. Requires uniform vector length >= dims (ragged
     frames take the expr path, which counts per-cell)."""
-    import numpy as np
-
     spark = df.sparkSession
     d = dims
-
-    def partials(batches):
-        import pandas as pd
-
-        n = 0
-        sv = np.zeros(d, dtype=np.int64)
-        sxy = np.zeros((d, d), dtype=np.int64)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            vals = pdf["__v"].to_list()
-            if any(v is None or len(v) < d for v in vals):
-                raise ValueError(
-                    f"linear_cka(impl='gemm') needs uniform vectors of >= {d} dims"
-                )
-            mat = np.asarray([v[:d] for v in vals], dtype=np.float64)
-            n += mat.shape[0]
-            sv += np.rint(mat * 1e9).astype(np.int64).sum(axis=0)
-            # block the outer products so peak memory stays ~256*d^2 doubles
-            for s in range(0, mat.shape[0], 256):
-                blk = mat[s : s + 256]
-                prods = blk[:, :, None] * blk[:, None, :]
-                sxy += np.rint(prods * 1e9).astype(np.int64).sum(axis=0)
-        yield pd.DataFrame(
-            {"n": [n], "sv": [sv.tolist()], "sxy": [sxy.ravel().tolist()]}
-        )
-
-    rows = (
-        df.select(F.col(vec).alias("__v"))
-        .mapInPandas(partials, "n long, sv array<long>, sxy array<long>")
-        .collect()
-    )
-    n_tot = sum(r["n"] for r in rows)
-    if n_tot == 0:
-        raise ValueError("linear_cka needs at least one row")
-    sv = np.zeros(d, dtype=object)
-    sxy = np.zeros((d, d), dtype=object)
-    for r in rows:
-        sv += np.asarray(r["sv"], dtype=object)
-        sxy += np.asarray(r["sxy"], dtype=object).reshape(d, d)
+    n_tot, sv, sxy = _gramian_int64(df, vec, d, caller="linear_cka")
 
     from decimal import Decimal
 
@@ -2176,4 +2135,295 @@ def association_rules(
             ).alias("lift"),
         )
         .orderBy(F.desc("n_ab"), "item_a", "item_b")
+    )
+
+
+def _gramian_int64(df: DataFrame, vec: str, d: int, caller: str):
+    """Shared 9dp-scaled int64 gramian collection (see _cka_gemm: each
+    decimal-sum addend round(x*y, 9) is an exact multiple of 1e-9, so
+    sum(rint(x*y*1e9)) as int64 reproduces it order-independently).
+    Returns (n_total, sv, sxy) with sv/sxy as exact python-int arrays."""
+    import numpy as np
+
+    def partials(batches):
+        import pandas as pd
+
+        n = 0
+        sv = np.zeros(d, dtype=np.int64)
+        sxy = np.zeros((d, d), dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vals = pdf["__v"].to_list()
+            if any(v is None or len(v) < d for v in vals):
+                raise ValueError(
+                    f"{caller}(impl='gemm') needs uniform vectors of >= {d} dims"
+                )
+            mat = np.asarray([v[:d] for v in vals], dtype=np.float64)
+            n += mat.shape[0]
+            sv += np.rint(mat * 1e9).astype(np.int64).sum(axis=0)
+            # block the outer products so peak memory stays ~256*d^2 doubles
+            for s in range(0, mat.shape[0], 256):
+                blk = mat[s : s + 256]
+                prods = blk[:, :, None] * blk[:, None, :]
+                sxy += np.rint(prods * 1e9).astype(np.int64).sum(axis=0)
+        yield pd.DataFrame(
+            {"n": [n], "sv": [sv.tolist()], "sxy": [sxy.ravel().tolist()]}
+        )
+
+    rows = (
+        df.select(F.col(vec).alias("__v"))
+        .mapInPandas(partials, "n long, sv array<long>, sxy array<long>")
+        .collect()
+    )
+    n_tot = sum(r["n"] for r in rows)
+    if n_tot == 0:
+        raise ValueError(f"{caller} needs at least one row")
+    sv = np.zeros(d, dtype=object)
+    sxy = np.zeros((d, d), dtype=object)
+    for r in rows:
+        sv += np.asarray(r["sv"], dtype=object)
+        sxy += np.asarray(r["sxy"], dtype=object).reshape(d, d)
+    return n_tot, sv, sxy
+
+
+def intrinsic_dimension(
+    df: DataFrame,
+    vec: str = "embedding",
+    dims: int | None = None,
+    impl: str = "auto",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Participation-ratio intrinsic dimension of an embedding column:
+
+        PR = (sum_i var_i)^2 / sum_ij cov_ij^2 = trace(C)^2 / ||C||_F^2
+
+    (Gao et al. 2017's participation ratio) — "how many directions does
+    the embedding actually use": PR = d for isotropic noise, PR -> 1
+    when one direction dominates. The truncation-budget audit run BEFORE
+    committing to a Matryoshka/PCA cut; no eigendecomposition needed,
+    both invariants come straight off the covariance matrix.
+
+    Implementations (the covariance/CKA expr-gemm duality, bit-equal):
+
+    - ``impl="expr"`` (the oracle path): n*d^2 slim dim-pair rows
+      through Catalyst — products round(x*y, 9) DECIMAL-summed,
+      cov = round(sxy/n - mu_i*mu_j, 9), trace/Frobenius folded as
+      DECIMAL sums of round(c^2, 12).
+    - ``impl="gemm"`` (default via ``auto`` for d > 16): one Arrow pass
+      of 9dp-scaled int64 gramian partials (exact, order-independent),
+      the driver replays the identical rounding chain with Decimal
+      arithmetic on d^2 scalars. Nothing n*d^2-sized ever shuffles.
+
+    Returns one row ``(d, n, trace, frob_sq, intrinsic_dim)`` at 6dp.
+    """
+    if dims is None:
+        first = df.select(F.size(vec).alias("d")).first()
+        dims = int(first["d"]) if first is not None else 0
+    if dims < 1:
+        raise ValueError("intrinsic_dimension needs at least one dimension")
+    if impl == "auto":
+        impl = "gemm" if dims > 16 else "expr"
+    if impl == "gemm":
+        return _intrinsic_gemm(df, vec, dims)
+    if impl != "expr":
+        raise ValueError(f"impl must be 'auto', 'expr' or 'gemm', got {impl!r}")
+    d = dims
+    ex = df.select(
+        F.col(id_col).alias("rid"),
+        F.posexplode(F.col(vec).cast("array<double>")).alias("i", "v"),
+    ).where(F.col("i") < d)
+    a, b = ex.alias("a"), ex.alias("b")
+    sums = (
+        a.join(b, F.col("a.rid") == F.col("b.rid"))
+        .select(
+            F.col("a.i").alias("i"),
+            F.col("b.i").alias("j"),
+            (F.col("a.v") * F.col("b.v")).alias("xy"),
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round("xy", 9).cast("decimal(25,9)"))
+            .cast("decimal(38,9)")
+            .cast("double")
+            .alias("sxy"),
+        )
+    )
+    means = ex.groupBy("i").agg(
+        F.round(
+            F.sum(F.round("v", 9).cast("decimal(20,9)"))
+            .cast("decimal(38,9)")
+            .cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("mu")
+    )
+    mi = means.select("i", F.col("mu").alias("mi"))
+    mj = means.select(F.col("i").alias("j"), F.col("mu").alias("mj"))
+    cov = (
+        sums.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            "i",
+            "j",
+            "n",
+            F.round(
+                F.col("sxy") / F.col("n") - F.col("mi") * F.col("mj"), 9
+            ).alias("c"),
+        )
+    )
+    agg = cov.agg(
+        F.max("n").alias("n"),
+        F.sum(
+            F.when(F.col("i") == F.col("j"), F.col("c").cast("decimal(20,9)"))
+        )
+        .cast("decimal(38,9)")
+        .cast("double")
+        .alias("trace"),
+        F.sum(F.round(F.col("c") * F.col("c"), 12).cast("decimal(24,12)"))
+        .cast("decimal(38,12)")
+        .cast("double")
+        .alias("frob_sq"),
+    )
+    return agg.select(
+        F.lit(d).alias("d"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round("trace", 6).alias("trace"),
+        F.round("frob_sq", 6).alias("frob_sq"),
+        F.round(
+            F.col("trace") * F.col("trace") / F.col("frob_sq"), 6
+        ).alias("intrinsic_dim"),
+    )
+
+
+def _intrinsic_gemm(df: DataFrame, vec: str, d: int) -> DataFrame:
+    """Driver replay of intrinsic_dimension's expr rounding chain from
+    exact int64 gramian partials — see _gramian_int64 / _cka_gemm."""
+    from decimal import Decimal
+
+    spark = df.sparkSession
+    n_tot, sv, sxy = _gramian_int64(df, vec, d, caller="intrinsic_dimension")
+    mu = [
+        _round_half_up(float(Decimal(int(sv[i])) / Decimal(10**9)) / n_tot, 9)
+        for i in range(d)
+    ]
+    q9 = Decimal(1).scaleb(-9)
+    q12 = Decimal(1).scaleb(-12)
+    trace = Decimal(0)
+    frob = Decimal(0)
+    for i in range(d):
+        for j in range(d):
+            sxy_dbl = float(Decimal(int(sxy[i][j])) / Decimal(10**9))
+            c = _round_half_up(sxy_dbl / n_tot - mu[i] * mu[j], 9)
+            if i == j:
+                trace += Decimal(repr(c)).quantize(q9)
+            frob += Decimal(repr(_round_half_up(c * c, 12))).quantize(q12)
+    tr = float(trace)
+    fq = float(frob)
+    return spark.createDataFrame(
+        [
+            (
+                d,
+                n_tot,
+                _round_half_up(tr, 6),
+                _round_half_up(fq, 6),
+                _round_half_up(tr * tr / fq, 6),
+            )
+        ],
+        "d INT, n BIGINT, trace DOUBLE, frob_sq DOUBLE, intrinsic_dim DOUBLE",
+    )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 2,
+    damping: float = 0.85,
+    iterations: int = 6,
+    min_count: int = 5,
+    topk: int = 25,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Corpus-level TextRank keywords (Mihalcea & Tarau 2004): build the
+    word co-occurrence graph — an undirected edge between tokens
+    appearing within ``window`` positions of each other — and rank nodes
+    with the shared fixed-iteration PageRank. The graph-centrality
+    sibling of RAKE: RAKE scores phrases by degree/frequency inside
+    stopword-delimited runs, TextRank lets importance FLOW, so a
+    mid-frequency term bridging many contexts outranks a frequent but
+    isolated one.
+
+    Determinism/scale: candidate nodes are non-stopword tokens with
+    global count >= ``min_count`` (bounds the graph by vocabulary, not
+    corpus); co-occurrence pairs come from ``window`` offset equi-joins
+    on (doc, position) — linear in corpus tokens, never per-doc
+    quadratic; the power iteration is graph.pagerank's 9dp-DECIMAL
+    recursion (oracle-unrollable). Ordering and the top-k cut use the
+    6dp rank then token, so the cut is engine-exact.
+
+    Returns ``(token, rank)`` — top ``topk`` by (rank DESC, token).
+    """
+    from nbdatatools_spark.functions.text import (
+        STOPWORDS,
+        normalize_text,
+        tokens,
+    )
+    from nbdatatools_spark.operators.graph import pagerank
+
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    doc_key = (
+        F.col(id_col) if id_col else F.monotonically_increasing_id()
+    )
+    pos = (
+        df.select(
+            doc_key.alias("doc"),
+            F.posexplode_outer(tokens(normalize_text(F.col(text_col)))).alias(
+                "pos", "w"
+            ),
+        )
+        .where(F.length("w") > 0)
+        .where(~F.col("w").isin(*STOPWORDS))
+        .localCheckpoint(eager=False)
+    )
+    cand = (
+        pos.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= min_count)
+        .select("w")
+    )
+    cpos = pos.join(F.broadcast(cand), "w")
+    offs = df.sparkSession.range(1, window + 1).select(
+        F.col("id").cast("int").alias("o")
+    )
+    a = cpos.select("doc", "pos", F.col("w").alias("wa"))
+    b = cpos.select(
+        "doc", F.col("pos").alias("pos_b"), F.col("w").alias("wb")
+    )
+    pairs = (
+        a.join(F.broadcast(offs), F.lit(True))
+        .join(
+            b,
+            (b["doc"] == a["doc"]) & (b["pos_b"] == a["pos"] + F.col("o")),
+        )
+        .where(F.col("wa") != F.col("wb"))
+        .select(
+            F.least("wa", "wb").alias("u"), F.greatest("wa", "wb").alias("v")
+        )
+    )
+    und = pairs.groupBy("u", "v").agg(F.count(F.lit(1)).alias("w"))
+    edges = und.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "w"
+    ).union(und.select(F.col("v"), F.col("u"), "w"))
+    ranks = pagerank(
+        edges, damping=damping, iterations=iterations, weight="w"
+    )
+    return (
+        ranks.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), "node")
+        .limit(topk)
+        .select(F.col("node").alias("token"), "rank")
     )

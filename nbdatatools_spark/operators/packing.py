@@ -510,3 +510,81 @@ def span_corruption(
         )
         .orderBy("id")
     )
+
+
+def length_batching_audit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_size: int = 32,
+) -> DataFrame:
+    """Padding-waste audit of length-grouped vs arrival-order batching —
+    the measurement behind the classic training-loader optimization:
+    batching sequences sorted by length makes every batch near-uniform,
+    so padding-to-max wastes almost nothing, while arrival-order batches
+    pay ``batch_max - len`` per sequence. Run it BEFORE wiring a
+    length-bucketed loader to know what the reorder actually buys.
+
+    Both strategies are measured with the same accounting: documents get
+    a global row index in strategy order (the two-phase
+    windows.global_row_index discipline — range partition + local index
+    + broadcast offsets, no single-reducer window), batch = idx div
+    ``batch_size``, and each batch pays ``n_in_batch * max_len -
+    sum_len`` padding tokens (the trailing partial batch pays only its
+    own size). Everything is integer counts; the ratio divides at the
+    end.
+
+    Returns two rows ``(strategy, n_docs, n_batches, total_tokens,
+    padded_tokens, waste_ratio)`` — strategy in ('arrival', 'sorted'),
+    ordered; waste_ratio = padded / (padded + total) at 6dp.
+    """
+    from nbdatatools_spark.functions.text import token_count
+    from nbdatatools_spark.operators.windows import global_row_index
+
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        token_count(F.col(text_col)).cast("long").alias("__len"),
+    ).localCheckpoint(eager=False)
+
+    def audit(order_cols, name):
+        idx = global_row_index(base, order_cols, out="__idx")
+        per = (
+            idx.select(
+                F.floor(F.col("__idx") / F.lit(batch_size))
+                .cast("long")
+                .alias("__b"),
+                "__len",
+            )
+            .groupBy("__b")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.max("__len").alias("__mx"),
+                F.sum("__len").alias("__sm"),
+            )
+        )
+        return per.agg(
+            F.sum("__n").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+            F.sum("__sm").cast("bigint").alias("total_tokens"),
+            F.sum(F.col("__n") * F.col("__mx") - F.col("__sm"))
+            .cast("bigint")
+            .alias("padded_tokens"),
+        ).select(F.lit(name).alias("strategy"), "*")
+
+    rows = audit([F.col("__id")], "arrival").unionAll(
+        audit([F.col("__len"), F.col("__id")], "sorted")
+    )
+    return rows.select(
+        "strategy",
+        "n_docs",
+        "n_batches",
+        "total_tokens",
+        "padded_tokens",
+        F.round(
+            F.col("padded_tokens")
+            / (F.col("padded_tokens") + F.col("total_tokens")),
+            6,
+        ).alias("waste_ratio"),
+    ).orderBy("strategy")
