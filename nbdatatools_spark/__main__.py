@@ -1132,6 +1132,20 @@ def _cmd_events(args) -> int:
         )
     if args.what == "seasonal":
         return _emit_rows(temporal.seasonal_decompose(ev, ts_col=args.ts_col))
+    if args.what == "acf":
+        return _emit_rows(
+            temporal.autocorrelation(
+                ev, ts_col=args.ts_col, value_col=args.value_col,
+                max_lag=args.max_lag,
+            )
+        )
+    if args.what == "survival":
+        return _emit_rows(
+            temporal.kaplan_meier(
+                ev, ts_col=args.ts_col, subject_col=args.subject_col,
+                censor_days=args.censor_days,
+            )
+        )
     if args.what == "cusum":
         return _emit_rows(
             temporal.cusum_changepoints(
@@ -1444,6 +1458,142 @@ def _cmd_slab(args) -> int:
         print(json.dumps({"file": target, "records": len(records)}))
         return 0
     raise SystemExit(2)
+
+
+def _cmd_analyze_benford(args) -> int:
+    from nbdatatools_spark.operators.quality_checks import benford_audit
+
+    return _emit_rows(
+        benford_audit(_spark().read.parquet(args.input), args.value_col)
+    )
+
+
+def _cmd_analyze_chi2(args) -> int:
+    from nbdatatools_spark.operators.quality_checks import (
+        chi_square_independence,
+    )
+
+    return _emit_rows(
+        chi_square_independence(
+            _spark().read.parquet(args.input), args.col_a, args.col_b
+        )
+    )
+
+
+def _cmd_analyze_assoc(args) -> int:
+    from nbdatatools_spark.operators.analysis import association_rules
+
+    return _emit_rows(
+        association_rules(
+            _spark().read.parquet(args.input),
+            args.basket_col,
+            args.item_col,
+            min_pair_count=args.min_pairs,
+            max_basket_items=args.max_basket,
+        ).limit(args.limit)
+    )
+
+
+def _cmd_analyze_intrinsic_dim(args) -> int:
+    from nbdatatools_spark.operators.analysis import intrinsic_dimension
+
+    return _emit_rows(
+        intrinsic_dimension(
+            _spark().read.parquet(args.input),
+            vec=args.vec_col,
+            dims=args.dims,
+            impl=args.impl,
+            id_col=args.id_col,
+        )
+    )
+
+
+def _cmd_corpus_hll(args) -> int:
+    from nbdatatools_spark.operators.lm import hll_distinct
+
+    return _emit_rows(
+        hll_distinct(
+            _spark().read.parquet(args.input),
+            text_col=args.text_col,
+            precision=args.precision,
+        )
+    )
+
+
+def _cmd_corpus_jsd(args) -> int:
+    from nbdatatools_spark.operators.analysis import source_jsd
+
+    return _emit_rows(
+        source_jsd(
+            _spark().read.parquet(args.input),
+            group_col=args.group_col,
+            text_col=args.text_col,
+            vocab_size=args.vocab,
+        )
+    )
+
+
+def _cmd_corpus_textrank(args) -> int:
+    from nbdatatools_spark.operators.analysis import textrank_keywords
+
+    return _emit_rows(
+        textrank_keywords(
+            _spark().read.parquet(args.input),
+            text_col=args.text_col,
+            window=args.window,
+            iterations=args.iterations,
+            min_count=args.min_count,
+            topk=args.top,
+            id_col=args.id_col,
+        )
+    )
+
+
+def _cmd_corpus_batching(args) -> int:
+    from nbdatatools_spark.operators.packing import length_batching_audit
+
+    return _emit_rows(
+        length_batching_audit(
+            _spark().read.parquet(args.input),
+            id_col=args.id_col,
+            text_col=args.text_col,
+            batch_size=args.batch_size,
+        )
+    )
+
+
+def _cmd_corpus_isotonic(args) -> int:
+    from pyspark.sql import functions as F
+
+    from nbdatatools_spark.operators.evaluation import isotonic_calibration
+
+    df = _spark().read.parquet(args.input)
+    scored = df.select(
+        F.round(F.expr(args.score_expr), 6).alias("__score"),
+        F.expr(args.label_expr).cast("boolean").alias("__label"),
+    )
+    return _emit_rows(
+        isotonic_calibration(
+            scored, "__score", "__label", n_bins=args.bins, lo=args.lo,
+            hi=args.hi,
+        )
+    )
+
+
+def _cmd_corpus_sliced_auc(args) -> int:
+    from pyspark.sql import functions as F
+
+    from nbdatatools_spark.operators.evaluation import grouped_ranking_auc
+
+    df = _spark().read.parquet(args.input)
+    scored = df.select(
+        F.col(args.group_col),
+        F.round(F.expr(args.score_expr), 6).alias("__score"),
+        F.expr(args.label_expr).cast("boolean").alias("__label"),
+    )
+    return _emit_rows(
+        grouped_ranking_auc(scored, "__score", "__label", args.group_col)
+    )
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -1826,6 +1976,46 @@ def build_parser() -> argparse.ArgumentParser:
     cbp.add_argument("--min-docs", type=int, default=3)
     cbp.add_argument("--top", type=int, default=50)
     cbp.set_defaults(func=_cmd_corpus_boilerplate)
+    chl = cp.add_parser("hll")
+    chl.add_argument("--input", required=True)
+    chl.add_argument("--text-col", default="text")
+    chl.add_argument("--precision", type=int, default=8)
+    chl.set_defaults(func=_cmd_corpus_hll)
+    cjd = cp.add_parser("jsd")
+    cjd.add_argument("--input", required=True)
+    cjd.add_argument("--text-col", default="text")
+    cjd.add_argument("--group-col", default="source")
+    cjd.add_argument("--vocab", type=int, default=512)
+    cjd.set_defaults(func=_cmd_corpus_jsd)
+    ctr = cp.add_parser("textrank")
+    ctr.add_argument("--input", required=True)
+    ctr.add_argument("--text-col", default="text")
+    ctr.add_argument("--id-col", default="doc_id")
+    ctr.add_argument("--window", type=int, default=2)
+    ctr.add_argument("--iterations", type=int, default=6)
+    ctr.add_argument("--min-count", type=int, default=5)
+    ctr.add_argument("--top", type=int, default=25)
+    ctr.set_defaults(func=_cmd_corpus_textrank)
+    cba = cp.add_parser("batching_audit")
+    cba.add_argument("--input", required=True)
+    cba.add_argument("--text-col", default="text")
+    cba.add_argument("--id-col", default="doc_id")
+    cba.add_argument("--batch-size", type=int, default=32)
+    cba.set_defaults(func=_cmd_corpus_batching)
+    cis = cp.add_parser("isotonic")
+    cis.add_argument("--input", required=True)
+    cis.add_argument("--score-expr", required=True)
+    cis.add_argument("--label-expr", required=True)
+    cis.add_argument("--bins", type=int, default=10)
+    cis.add_argument("--lo", type=float, default=0.0)
+    cis.add_argument("--hi", type=float, default=1.0)
+    cis.set_defaults(func=_cmd_corpus_isotonic)
+    csa = cp.add_parser("sliced_auc")
+    csa.add_argument("--input", required=True)
+    csa.add_argument("--score-expr", required=True)
+    csa.add_argument("--label-expr", required=True)
+    csa.add_argument("--group-col", default="source")
+    csa.set_defaults(func=_cmd_corpus_sliced_auc)
 
     gdn = gn.add_parser("denoising-pairs")
     gdn.add_argument("--input", required=True)
@@ -1909,6 +2099,30 @@ def build_parser() -> argparse.ArgumentParser:
     aka.add_argument("--label-col", default="label")
     aka.add_argument("--id-col", default="vec_id")
     aka.set_defaults(func=_cmd_analyze_knn_accuracy)
+    abf = an.add_parser("benford")
+    abf.add_argument("--input", required=True)
+    abf.add_argument("--value-col", required=True)
+    abf.set_defaults(func=_cmd_analyze_benford)
+    ax2 = an.add_parser("chi2")
+    ax2.add_argument("--input", required=True)
+    ax2.add_argument("--col-a", required=True)
+    ax2.add_argument("--col-b", required=True)
+    ax2.set_defaults(func=_cmd_analyze_chi2)
+    aas = an.add_parser("assoc")
+    aas.add_argument("--input", required=True)
+    aas.add_argument("--basket-col", required=True)
+    aas.add_argument("--item-col", required=True)
+    aas.add_argument("--min-pairs", type=int, default=3)
+    aas.add_argument("--max-basket", type=int, default=64)
+    aas.add_argument("--limit", type=int, default=100)
+    aas.set_defaults(func=_cmd_analyze_assoc)
+    aid = an.add_parser("intrinsic-dim")
+    aid.add_argument("--input", required=True)
+    aid.add_argument("--vec-col", default="embedding")
+    aid.add_argument("--dims", type=int, default=None)
+    aid.add_argument("--impl", default="auto")
+    aid.add_argument("--id-col", default="vec_id")
+    aid.set_defaults(func=_cmd_analyze_intrinsic_dim)
 
     km = co.add_parser("kmeans")
     km.add_argument("--input", required=True)
@@ -1925,7 +2139,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     evp = sub.add_parser("events").add_subparsers(dest="what", required=True)
     for w in ("seasonal", "cusum", "mad", "concurrency", "triangles",
-              "theil_sen", "bootstrap_ci", "dp_counts", "k_anonymity"):
+              "theil_sen", "bootstrap_ci", "dp_counts", "k_anonymity",
+              "acf", "survival"):
         ev = evp.add_parser(w)
         ev.add_argument("--input", required=True)
         ev.add_argument("--ts-col", default="ts")
@@ -1959,6 +2174,12 @@ def build_parser() -> argparse.ArgumentParser:
             ev.add_argument("--quasi", default="event_type,user_id")
             ev.add_argument("-k", type=int, default=5)
             ev.add_argument("--limit", type=int, default=100)
+        if w == "acf":
+            ev.add_argument("--max-lag", type=int, default=14)
+            ev.add_argument("--value-col", default=None)
+        if w == "survival":
+            ev.add_argument("--subject-col", default="user_id")
+            ev.add_argument("--censor-days", type=int, default=7)
         ev.set_defaults(func=_cmd_events)
 
     fx = sub.add_parser("fetch").add_subparsers(dest="what", required=True)
