@@ -9668,7 +9668,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM dev a CROSS JOIN lags l
                 JOIN dev b ON b.day = a.day + l.lag
                 GROUP BY l.lag)
-            SELECT lag, n_pairs, round(num / den, 6) AS acf
+            SELECT lag, n_pairs,
+                   CASE WHEN den <> 0.0 THEN round(num / den, 6) END AS acf
             FROM pairs CROSS JOIN den ORDER BY lag
         """,
         # Kaplan-Meier: subject lifetimes, duration-grain product-limit

@@ -147,6 +147,19 @@ HEADLINE = [
     "doc_sentence_dedup",
     "doc_temperature_mix",
     "doc_rake_keyphrases",
+    # round-7 batch-2+ additions
+    "events_autocorrelation",
+    "events_survival_km",
+    "orders_benford",
+    "doc_lang_source_chi2",
+    "corpus_hll_distinct",
+    "corpus_source_jsd",
+    "orders_association_rules",
+    "doc_isotonic_calibration",
+    "doc_sliced_auc",
+    "embedding_intrinsic_dim",
+    "doc_textrank_keywords",
+    "doc_length_batching",
 ]
 
 
@@ -178,6 +191,17 @@ def main() -> None:
         )
 
     qs["knn_cosine_topk"] = knn_cosine_topk_gemm
+
+    # Same policy for intrinsic dimension: the gate pins impl="expr"
+    # (DuckDB-replayable dim-pair chain); the bench measures the bit-equal
+    # int64-gramian gemm pass a 100TB deployment runs.
+    def intrinsic_dim_gemm(spark, sf_dir):
+        from nbdatatools_spark.operators.analysis import intrinsic_dimension
+
+        emb = entrymod._t(spark, sf_dir, "embeddings")
+        return intrinsic_dimension(emb, dims=32, impl="gemm")
+
+    qs["embedding_intrinsic_dim"] = intrinsic_dim_gemm
 
     # Same reasoning for MinHash: the gate runs the portable md5 expr path so
     # DuckDB can replicate the banding; the bench measures the vectorized

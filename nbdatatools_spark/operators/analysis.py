@@ -2291,8 +2291,11 @@ def intrinsic_dimension(
         F.col("n").cast("bigint").alias("n"),
         F.round("trace", 6).alias("trace"),
         F.round("frob_sq", 6).alias("frob_sq"),
-        F.round(
-            F.col("trace") * F.col("trace") / F.col("frob_sq"), 6
+        F.when(
+            F.col("frob_sq") != 0.0,
+            F.round(
+                F.col("trace") * F.col("trace") / F.col("frob_sq"), 6
+            ),
         ).alias("intrinsic_dim"),
     )
 

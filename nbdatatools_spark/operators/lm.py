@@ -970,7 +970,10 @@ def hll_distinct(
         "registers",
         "zero_registers",
         est.alias("hll_estimate"),
-        F.round(
-            (est - F.col("exact_distinct")) / F.col("exact_distinct"), 6
+        F.when(
+            F.col("exact_distinct") > 0,
+            F.round(
+                (est - F.col("exact_distinct")) / F.col("exact_distinct"), 6
+            ),
         ).alias("rel_error"),
     )

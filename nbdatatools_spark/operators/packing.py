@@ -582,9 +582,12 @@ def length_batching_audit(
         "n_batches",
         "total_tokens",
         "padded_tokens",
-        F.round(
-            F.col("padded_tokens")
-            / (F.col("padded_tokens") + F.col("total_tokens")),
-            6,
+        F.when(
+            F.col("padded_tokens") + F.col("total_tokens") > 0,
+            F.round(
+                F.col("padded_tokens")
+                / (F.col("padded_tokens") + F.col("total_tokens")),
+                6,
+            ),
         ).alias("waste_ratio"),
     ).orderBy("strategy")

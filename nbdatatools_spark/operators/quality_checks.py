@@ -300,17 +300,24 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
             / F.log(F.lit(10.0)),
             9,
         ).alias("p_expected"),
-        F.round(F.col("n_obs") / F.col("n"), 6).alias("p_observed"),
+        F.when(
+            F.col("n") > 0, F.round(F.col("n_obs") / F.col("n"), 6)
+        ).alias("p_observed"),
         F.col("n"),
     )
     chi2 = scored.agg(
         F.round(
             F.sum(
                 F.round(
-                    F.pow(
-                        F.col("n_obs") - F.col("n") * F.col("p_expected"), 2
-                    )
-                    / (F.col("n") * F.col("p_expected")),
+                    F.when(
+                        F.col("n") > 0,
+                        F.pow(
+                            F.col("n_obs")
+                            - F.col("n") * F.col("p_expected"),
+                            2,
+                        )
+                        / (F.col("n") * F.col("p_expected")),
+                    ),
                     9,
                 ).cast("decimal(30,9)")
             )
@@ -393,17 +400,21 @@ def chi_square_independence(
             "levels_b",
             ((F.col("levels_a") - 1) * (F.col("levels_b") - 1)).alias("dof"),
             F.round("chi2_raw", 6).alias("chi2"),
-            F.round(
-                F.sqrt(
-                    F.col("chi2_raw")
-                    / (
-                        F.col("n")
-                        * F.least(
-                            F.col("levels_a") - 1, F.col("levels_b") - 1
+            F.when(
+                F.least(F.col("levels_a"), F.col("levels_b")) > 1,
+                F.round(
+                    F.sqrt(
+                        F.col("chi2_raw")
+                        / (
+                            F.col("n")
+                            * F.least(
+                                F.col("levels_a") - 1,
+                                F.col("levels_b") - 1,
+                            )
                         )
-                    )
+                    ),
+                    6,
                 ),
-                6,
             ).alias("cramers_v"),
         )
     )

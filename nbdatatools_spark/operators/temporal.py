@@ -1022,12 +1022,18 @@ def autocorrelation(
     """
     if max_lag < 0:
         raise ValueError(f"max_lag must be >= 0, got {max_lag}")
-    daily = df.groupBy(F.to_date(ts_col).alias("day")).agg(
-        (
-            F.count(F.lit(1)).cast("double")
-            if value_col is None
-            else F.sum(F.col(value_col)).cast("double")
-        ).alias("value")
+    # the mean, denominator and lag-pair branches all read the day-grain
+    # series: checkpoint it (calendar-bounded) so events scan ONCE
+    daily = (
+        df.groupBy(F.to_date(ts_col).alias("day"))
+        .agg(
+            (
+                F.count(F.lit(1)).cast("double")
+                if value_col is None
+                else F.sum(F.col(value_col)).cast("double")
+            ).alias("value")
+        )
+        .localCheckpoint(eager=False)
     )
     stats = daily.agg(
         F.round(
@@ -1071,7 +1077,9 @@ def autocorrelation(
         .select(
             "lag",
             "n_pairs",
-            F.round(F.col("num") / F.col("den"), 6).alias("acf"),
+            F.when(
+                F.col("den") != 0.0, F.round(F.col("num") / F.col("den"), 6)
+            ).alias("acf"),
         )
         .orderBy("lag")
     )
@@ -1110,10 +1118,12 @@ def kaplan_meier(
     """
     if censor_days < 0:
         raise ValueError(f"censor_days must be >= 0, got {censor_days}")
+    # the horizon is derivable from the subject table (max of last
+    # events == max over events), so events scan ONCE
     subj = df.groupBy(subject_col).agg(
         F.min(ts_col).alias("first_ts"), F.max(ts_col).alias("last_ts")
-    )
-    horizon = df.agg(F.max(ts_col).alias("max_ts"))
+    ).localCheckpoint(eager=False)
+    horizon = subj.agg(F.max("last_ts").alias("max_ts"))
     life = subj.crossJoin(F.broadcast(horizon)).select(
         F.datediff(F.to_date("last_ts"), F.to_date("first_ts")).alias("dur"),
         (
