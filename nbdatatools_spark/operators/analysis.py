@@ -2430,3 +2430,92 @@ def textrank_keywords(
         .limit(topk)
         .select(F.col("node").alias("token"), "rank")
     )
+
+
+def rfm_segments(
+    df: DataFrame,
+    customer_col: str = "o_custkey",
+    ts_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    n_buckets: int = 5,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic warehouse cohorting readout: bucket every customer into
+    ``n_buckets`` equal-population tiers per dimension, then report the
+    segment grid. Bucket 0 = smallest value (oldest recency-gap /
+    fewest orders / least spend), so (0, B-1, B-1) reads "recently
+    active heavy spender".
+
+    Scale shape: one groupBy(customer) reduces orders to the customer
+    grain; each dimension ranks with the TWO-PHASE global row index
+    (windows.global_row_index — range partition + local index +
+    broadcast offsets, no single-reducer window) and buckets by
+    ``floor(idx * B / n)`` (exact equal-population cuts, no ntile).
+    Monetary sums ride round(,2)-DECIMAL (order-independent), so rank
+    order is engine-exact. Ties across a bucket boundary split by
+    (value, customer) — deterministic.
+
+    Returns ``(r_bucket, f_bucket, m_bucket, n_customers, avg_recency_days,
+    avg_orders, avg_monetary)`` for occupied segments, ordered.
+    """
+    from nbdatatools_spark.operators.windows import global_row_index
+
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    cust = df.groupBy(F.col(customer_col).alias("cust")).agg(
+        F.max(F.to_date(ts_col)).alias("last_day"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.round(F.col(amount_col), 2).cast("decimal(24,2)"))
+        .cast("decimal(38,2)")
+        .alias("money"),
+    ).localCheckpoint(eager=False)
+    horizon = cust.agg(F.max("last_day").alias("h"))
+    base = cust.crossJoin(F.broadcast(horizon)).select(
+        "cust",
+        F.datediff(F.col("h"), F.col("last_day")).alias("recency"),
+        "freq",
+        "money",
+    )
+    n = cust.agg(F.count(F.lit(1)).alias("n"))
+
+    def bucketize(frame, col, out):
+        idx = global_row_index(frame, [F.col(col), F.col("cust")], out="__i")
+        return idx.crossJoin(F.broadcast(n)).select(
+            "cust",
+            F.floor(F.col("__i") * n_buckets / F.col("n"))
+            .cast("int")
+            .alias(out),
+        )
+
+    r = bucketize(base.select("cust", "recency"), "recency", "r_bucket")
+    f = bucketize(base.select("cust", "freq"), "freq", "f_bucket")
+    m = bucketize(base.select("cust", "money"), "money", "m_bucket")
+    return (
+        base.join(r, "cust")
+        .join(f, "cust")
+        .join(m, "cust")
+        .groupBy("r_bucket", "f_bucket", "m_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum(F.col("recency").cast("decimal(20,0)"))
+                .cast("decimal(38,0)")
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_recency_days"),
+            F.round(
+                F.sum(F.col("freq").cast("decimal(20,0)"))
+                .cast("decimal(38,0)")
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_orders"),
+            F.round(
+                F.sum("money").cast("decimal(38,2)").cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_monetary"),
+        )
+        .orderBy("r_bucket", "f_bucket", "m_bucket")
+    )

@@ -2051,3 +2051,49 @@ def cross_corpus_near_dups(
     return verified.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     ).orderBy("id_a", "id_b")
+
+
+def source_dup_rate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-slice exact-duplicate pressure: for each source, how many of
+    its documents have a normalized text that appears more than once
+    ANYWHERE in the corpus — the triage readout that says which crawls /
+    feeds are pumping in copies before a full dedup pass is scheduled.
+
+    One md5-digest groupBy over the corpus (16-byte keys, never text),
+    one join back, one per-source aggregate. Returns ``(group, n_docs,
+    n_dup_docs, n_distinct_texts, dup_rate)`` ordered by group;
+    dup_rate = dup docs / docs at 6dp.
+    """
+    from nbdatatools_spark.functions.text import normalize_text
+
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.md5(normalize_text(F.col(text_col))).alias("__h"),
+    )
+    counts = base.groupBy("__h").agg(F.count(F.lit(1)).alias("__c"))
+    return (
+        base.join(counts, "__h")
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("__c") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+            F.countDistinct("__h").alias("n_distinct_texts"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_docs",
+            "n_dup_docs",
+            "n_distinct_texts",
+            F.round(F.col("n_dup_docs") / F.col("n_docs"), 6).alias(
+                "dup_rate"
+            ),
+        )
+        .orderBy(group_col)
+    )

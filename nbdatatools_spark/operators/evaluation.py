@@ -378,3 +378,74 @@ def isotonic_calibration(
         )
         .orderBy("bin")
     )
+
+
+def filter_yield_curve(
+    df: DataFrame,
+    score_col: str,
+    weight_col: str | None = None,
+    n_steps: int = 20,
+) -> DataFrame:
+    """Retention-vs-threshold curve for a quality filter: for each
+    threshold ``t = i / n_steps`` (i in 0..n_steps), the fraction of
+    documents — and of a weight column, typically tokens — that a
+    ``score >= t`` filter keeps. The yield curve is what turns "pick a
+    quality threshold" from a guess into a budget decision (keep 40% of
+    tokens -> t = 0.62).
+
+    Scale shape: one broadcast of the (n_steps+1)-row threshold grid,
+    one conditional aggregate per threshold key — the scan reads the
+    data once, the shuffle carries n_steps+1 keys of partials. All
+    integer counts; fractions divide at the end (6dp).
+
+    Returns ``(threshold, n_docs, n_kept, doc_yield, weight_total,
+    weight_kept, weight_yield)`` ordered by threshold.
+    """
+    if n_steps < 1:
+        raise ValueError(f"n_steps must be >= 1, got {n_steps}")
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    base = df.select(
+        F.col(score_col).cast("double").alias("__s"), w.alias("__w")
+    )
+    grid = df.sparkSession.range(0, n_steps + 1).select(
+        F.round(F.col("id") / F.lit(float(n_steps)), 6).alias("threshold")
+    )
+    return (
+        base.join(F.broadcast(grid), F.lit(True))
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("__s") >= F.col("threshold"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum("__w").cast("bigint").alias("weight_total"),
+            F.sum(
+                F.when(F.col("__s") >= F.col("threshold"), F.col("__w"))
+                .otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("weight_kept"),
+        )
+        .select(
+            "threshold",
+            "n_docs",
+            "n_kept",
+            F.when(
+                F.col("n_docs") > 0,
+                F.round(F.col("n_kept") / F.col("n_docs"), 6),
+            ).alias("doc_yield"),
+            "weight_total",
+            "weight_kept",
+            F.when(
+                F.col("weight_total") > 0,
+                F.round(F.col("weight_kept") / F.col("weight_total"), 6),
+            ).alias("weight_yield"),
+        )
+        .orderBy("threshold")
+    )

@@ -1187,3 +1187,111 @@ def kaplan_meier(
         )
         .orderBy("duration_days")
     )
+
+
+def cross_correlation(
+    df: DataFrame,
+    key_a: str,
+    key_b: str,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str | None = None,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Lead-lag cross-correlation between two event types' daily series
+    (beyond-reference surface, SURVEY §7.8) — "does A lead B, and by how
+    many days": ``ccf(l) = sum_t da(t) db(t+l) / sqrt(den_a * den_b)``
+    with full-series means and variances (the standard sample CCF).
+    Positive lag = ``key_a`` leads ``key_b``.
+
+    Scale shape: :func:`autocorrelation`'s discipline — ONE date-grain
+    aggregate reduces events to two calendar-bounded day series
+    (checkpointed: one events scan feeds every branch); the signed-lag
+    join and the moment sums run on the DAY grain. round(9)-DECIMAL
+    sums; ccf at 6dp. Returns ``(lag, n_pairs, ccf)`` for lags
+    ``-max_lag..max_lag``, ordered; ccf NULL if either series has zero
+    variance.
+    """
+    if max_lag < 0:
+        raise ValueError(f"max_lag must be >= 0, got {max_lag}")
+    daily = (
+        df.where(F.col(key_col).isin(key_a, key_b))
+        .groupBy(F.col(key_col).alias("k"), F.to_date(ts_col).alias("day"))
+        .agg(
+            (
+                F.count(F.lit(1)).cast("double")
+                if value_col is None
+                else F.sum(F.col(value_col)).cast("double")
+            ).alias("value")
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def side(key, tag):
+        s = daily.where(F.col("k") == key)
+        mu = s.agg(
+            F.round(
+                F.sum(F.round("value", 9).cast("decimal(25,9)"))
+                .cast("decimal(38,9)")
+                .cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias(f"mu_{tag}")
+        )
+        dev = s.crossJoin(F.broadcast(mu)).select(
+            F.col("day").alias(f"day_{tag}"),
+            F.round(F.col("value") - F.col(f"mu_{tag}"), 9).alias(
+                f"d_{tag}"
+            ),
+        )
+        den = dev.agg(
+            F.sum(
+                F.round(F.col(f"d_{tag}") * F.col(f"d_{tag}"), 9).cast(
+                    "decimal(30,9)"
+                )
+            )
+            .cast("decimal(38,9)")
+            .cast("double")
+            .alias(f"den_{tag}")
+        )
+        return dev, den
+
+    dev_a, den_a = side(key_a, "a")
+    dev_b, den_b = side(key_b, "b")
+    lags = df.sparkSession.range(-max_lag, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    pairs = (
+        dev_a.join(F.broadcast(lags), F.lit(True))
+        .join(
+            dev_b,
+            F.col("day_b") == F.date_add(F.col("day_a"), F.col("lag")),
+        )
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.round(F.col("d_a") * F.col("d_b"), 9).cast("decimal(30,9)")
+            )
+            .cast("decimal(38,9)")
+            .cast("double")
+            .alias("num"),
+        )
+    )
+    return (
+        pairs.crossJoin(F.broadcast(den_a))
+        .crossJoin(F.broadcast(den_b))
+        .select(
+            "lag",
+            "n_pairs",
+            F.when(
+                (F.col("den_a") != 0.0) & (F.col("den_b") != 0.0),
+                F.round(
+                    F.col("num")
+                    / F.sqrt(F.col("den_a") * F.col("den_b")),
+                    6,
+                ),
+            ).alias("ccf"),
+        )
+        .orderBy("lag")
+    )
