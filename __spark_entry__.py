@@ -4517,6 +4517,59 @@ def _textrank_oracle(
     """
 
 
+def events_cross_correlation(spark, sf_dir):
+    """Lead-lag cross-correlation click -> purchase at lags -7..7
+    (temporal.py::cross_correlation): the "does A lead B" probe —
+    autocorrelation's discipline (one events scan, signed-lag joins and
+    moment sums on the calendar-bounded day grain), ccf normalized by
+    sqrt(den_a * den_b). round(9)-DECIMAL sums; 6dp — hash-exact."""
+    from nbdatatools_spark.operators.temporal import cross_correlation
+
+    ev = _t(spark, sf_dir, "events")
+    return cross_correlation(ev, "click", "purchase", max_lag=7)
+
+
+def orders_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation, 5 equal-population tiers per axis
+    (analysis.py::rfm_segments): one groupBy(customer), then each
+    dimension ranks with the two-phase global row index and buckets by
+    floor(idx*B/n) — no ntile, no single-reducer window. Money rides
+    round(,2)-DECIMAL sums so rank order is engine-exact; ties split by
+    (value, customer). Segment-grid counts + DECIMAL averages —
+    hash-exact."""
+    from nbdatatools_spark.operators.analysis import rfm_segments
+
+    orders = _t(spark, sf_dir, "orders")
+    return rfm_segments(orders, n_buckets=5)
+
+
+def doc_filter_yield(spark, sf_dir):
+    """Quality-filter yield curve (evaluation.py::filter_yield_curve,
+    21 thresholds, token-weighted): docs and tokens retained per
+    score >= t cut — the threshold-picking budget readout. One scan,
+    21-key conditional aggregate; integer counts, 6dp fractions —
+    hash-exact."""
+    from nbdatatools_spark.functions.text import quality_score, token_count
+    from nbdatatools_spark.operators.evaluation import filter_yield_curve
+
+    base = _t(spark, sf_dir, "documents").select(
+        F.round(quality_score(F.col("text")), 6).alias("score"),
+        token_count(F.col("text")).cast("long").alias("ntok"),
+    )
+    return filter_yield_curve(base, "score", "ntok", n_steps=20)
+
+
+def corpus_source_dup_rate(spark, sf_dir):
+    """Per-source exact-duplicate pressure (dedup.py::source_dup_rate):
+    corpus-wide md5(normalized text) digest counts, one join back, one
+    per-source aggregate — which feeds are pumping copies. Integer
+    counts, 6dp rate — hash-exact."""
+    from nbdatatools_spark.operators.dedup import source_dup_rate
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_dup_rate(docs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4591,6 +4644,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_intrinsic_dim": embedding_intrinsic_dim,
         "doc_textrank_keywords": doc_textrank_keywords,
         "doc_length_batching": doc_length_batching,
+        "events_cross_correlation": events_cross_correlation,
+        "orders_rfm_segments": orders_rfm_segments,
+        "doc_filter_yield": doc_filter_yield,
+        "corpus_source_dup_rate": corpus_source_dup_rate,
         # -- r6-green re-record fillers (displaced by round-7 additions
         #    as they land) --
         "q9_product_profit": q9_product_profit,
@@ -4601,13 +4658,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "q20_part_suppliers": q20_part_suppliers,
         "q21_late_sole_suppliers": q21_late_sole_suppliers,
+        # position 49 — last recorded slot; see docstring.
+        "fit_embeddings_model": fit_embeddings_model,
+        # -- tail: every entry below is hash-green in a recorded round --
         "q22_idle_customers": q22_idle_customers,
         "corpus_pmi_bigrams": corpus_pmi_bigrams,
         "corpus_zipf_fit": corpus_zipf_fit,
         "doc_winnow_pairs": doc_winnow_pairs,
-        # position 49 — last recorded slot; see docstring.
-        "fit_embeddings_model": fit_embeddings_model,
-        # -- tail: every entry below is hash-green in a recorded round --
         "doc_perplexity_buckets": doc_perplexity_buckets,
         "corpus_source_overlap": corpus_source_overlap,
         "doc_remove_dup_spans": doc_remove_dup_spans,
@@ -10062,5 +10119,135 @@ def oracle_sql() -> dict[str, str]:
                          / (padded_tokens + total_tokens), 6)
                        AS waste_ratio
             FROM u ORDER BY strategy
+        """,
+        # lead-lag CCF: two day-grain series, signed-lag join, round(9)-
+        # DECIMAL moment sums — autocorrelation's SQL with two sides
+        "events_cross_correlation": """
+            WITH daily AS (
+                SELECT event_type AS k, CAST(ts AS DATE) AS day,
+                       CAST(count(*) AS DOUBLE) AS value
+                FROM events WHERE event_type IN ('click', 'purchase')
+                GROUP BY 1, 2),
+            mua AS (SELECT round(
+                        CAST(CAST(sum(CAST(round(value, 9)
+                             AS DECIMAL(25,9))) AS DECIMAL(38,9))
+                             AS DOUBLE) / count(*), 9) AS mu_a
+                    FROM daily WHERE k = 'click'),
+            mub AS (SELECT round(
+                        CAST(CAST(sum(CAST(round(value, 9)
+                             AS DECIMAL(25,9))) AS DECIMAL(38,9))
+                             AS DOUBLE) / count(*), 9) AS mu_b
+                    FROM daily WHERE k = 'purchase'),
+            deva AS (SELECT day AS day_a, round(value - mu_a, 9) AS d_a
+                     FROM daily CROSS JOIN mua WHERE k = 'click'),
+            devb AS (SELECT day AS day_b, round(value - mu_b, 9) AS d_b
+                     FROM daily CROSS JOIN mub WHERE k = 'purchase'),
+            dena AS (SELECT CAST(CAST(sum(CAST(round(d_a * d_a, 9)
+                          AS DECIMAL(30,9))) AS DECIMAL(38,9)) AS DOUBLE)
+                          AS den_a FROM deva),
+            denb AS (SELECT CAST(CAST(sum(CAST(round(d_b * d_b, 9)
+                          AS DECIMAL(30,9))) AS DECIMAL(38,9)) AS DOUBLE)
+                          AS den_b FROM devb),
+            lags AS (SELECT CAST(unnest(generate_series(-7, 7)) AS INTEGER)
+                            AS lag),
+            pairs AS (
+                SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+                       CAST(CAST(sum(CAST(round(a.d_a * b.d_b, 9)
+                            AS DECIMAL(30,9))) AS DECIMAL(38,9))
+                            AS DOUBLE) AS num
+                FROM deva a CROSS JOIN lags l
+                JOIN devb b ON b.day_b = a.day_a + l.lag
+                GROUP BY l.lag)
+            SELECT lag, n_pairs,
+                   CASE WHEN den_a <> 0.0 AND den_b <> 0.0
+                        THEN round(num / sqrt(den_a * den_b), 6) END AS ccf
+            FROM pairs CROSS JOIN dena CROSS JOIN denb ORDER BY lag
+        """,
+        # RFM: customer-grain reduce, row_number ranks (ties by
+        # (value, customer)), floor(idx*B/n) equal-population cuts
+        "orders_rfm_segments": """
+            WITH cust AS (
+                SELECT o_custkey AS cust,
+                       max(CAST(o_orderdate AS DATE)) AS last_day,
+                       CAST(count(*) AS BIGINT) AS freq,
+                       CAST(sum(CAST(round(o_totalprice, 2)
+                            AS DECIMAL(24,2))) AS DECIMAL(38,2)) AS money
+                FROM orders GROUP BY o_custkey),
+            h AS (SELECT max(last_day) AS h FROM cust),
+            base AS (SELECT cust,
+                            date_diff('day', last_day, h) AS recency,
+                            freq, money
+                     FROM cust CROSS JOIN h),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+            rb AS (SELECT cust, CAST(floor((row_number() OVER
+                       (ORDER BY recency, cust) - 1) * 5 / n) AS INT)
+                       AS r_bucket
+                   FROM base CROSS JOIN nn),
+            fb AS (SELECT cust, CAST(floor((row_number() OVER
+                       (ORDER BY freq, cust) - 1) * 5 / n) AS INT)
+                       AS f_bucket
+                   FROM base CROSS JOIN nn),
+            mb AS (SELECT cust, CAST(floor((row_number() OVER
+                       (ORDER BY money, cust) - 1) * 5 / n) AS INT)
+                       AS m_bucket
+                   FROM base CROSS JOIN nn)
+            SELECT r_bucket, f_bucket, m_bucket,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   round(CAST(CAST(sum(CAST(recency AS DECIMAL(20,0)))
+                        AS DECIMAL(38,0)) AS DOUBLE) / count(*), 6)
+                       AS avg_recency_days,
+                   round(CAST(CAST(sum(CAST(freq AS DECIMAL(20,0)))
+                        AS DECIMAL(38,0)) AS DOUBLE) / count(*), 6)
+                       AS avg_orders,
+                   round(CAST(CAST(sum(money) AS DECIMAL(38,2))
+                        AS DOUBLE) / count(*), 6) AS avg_monetary
+            FROM base
+            JOIN rb USING (cust) JOIN fb USING (cust) JOIN mb USING (cust)
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        # yield curve: 21-threshold conditional aggregate over the
+        # quality score, token-weighted
+        "doc_filter_yield": f"""
+            WITH base AS (SELECT {_QUALITY6} AS s,
+                                 CAST({_NTOK} AS BIGINT) AS w
+                          FROM documents),
+            grid AS (SELECT round(CAST(unnest(generate_series(0, 20))
+                            AS DOUBLE) / 20.0, 6) AS threshold),
+            agg AS (
+                SELECT threshold,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(CASE WHEN s >= threshold THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_kept,
+                       CAST(sum(w) AS BIGINT) AS weight_total,
+                       CAST(sum(CASE WHEN s >= threshold THEN w ELSE 0 END)
+                            AS BIGINT) AS weight_kept
+                FROM base CROSS JOIN grid GROUP BY threshold)
+            SELECT threshold, n_docs, n_kept,
+                   CASE WHEN n_docs > 0
+                        THEN round(CAST(n_kept AS DOUBLE) / n_docs, 6)
+                   END AS doc_yield,
+                   weight_total, weight_kept,
+                   CASE WHEN weight_total > 0
+                        THEN round(CAST(weight_kept AS DOUBLE)
+                                   / weight_total, 6)
+                   END AS weight_yield
+            FROM agg ORDER BY threshold
+        """,
+        # per-source dup pressure: corpus-wide normalized-text digests
+        "corpus_source_dup_rate": f"""
+            WITH base AS (SELECT source AS g, md5({_NORM}) AS h
+                          FROM documents),
+            counts AS (SELECT h, CAST(count(*) AS BIGINT) AS c
+                       FROM base GROUP BY h)
+            SELECT g AS source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_docs,
+                   CAST(count(DISTINCT base.h) AS BIGINT)
+                       AS n_distinct_texts,
+                   round(CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*), 6) AS dup_rate
+            FROM base JOIN counts ON counts.h = base.h
+            GROUP BY g ORDER BY source
         """,
     }

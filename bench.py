@@ -160,6 +160,10 @@ HEADLINE = [
     "embedding_intrinsic_dim",
     "doc_textrank_keywords",
     "doc_length_batching",
+    "events_cross_correlation",
+    "orders_rfm_segments",
+    "doc_filter_yield",
+    "corpus_source_dup_rate",
 ]
 
 

@@ -1146,6 +1146,14 @@ def _cmd_events(args) -> int:
                 censor_days=args.censor_days,
             )
         )
+    if args.what == "ccf":
+        return _emit_rows(
+            temporal.cross_correlation(
+                ev, args.key_a, args.key_b, ts_col=args.ts_col,
+                key_col=args.key_col, value_col=args.value_col,
+                max_lag=args.max_lag,
+            )
+        )
     if args.what == "cusum":
         return _emit_rows(
             temporal.cusum_changepoints(
@@ -1458,6 +1466,48 @@ def _cmd_slab(args) -> int:
         print(json.dumps({"file": target, "records": len(records)}))
         return 0
     raise SystemExit(2)
+
+
+def _cmd_analyze_rfm(args) -> int:
+    from nbdatatools_spark.operators.analysis import rfm_segments
+
+    return _emit_rows(
+        rfm_segments(
+            _spark().read.parquet(args.input),
+            customer_col=args.customer_col,
+            ts_col=args.ts_col,
+            amount_col=args.amount_col,
+            n_buckets=args.buckets,
+        )
+    )
+
+
+def _cmd_corpus_yield_curve(args) -> int:
+    from pyspark.sql import functions as F
+
+    from nbdatatools_spark.operators.evaluation import filter_yield_curve
+
+    df = _spark().read.parquet(args.input)
+    base = df.select(
+        F.round(F.expr(args.score_expr), 6).alias("__score"),
+        F.expr(args.weight_expr).cast("long").alias("__w"),
+    )
+    return _emit_rows(
+        filter_yield_curve(base, "__score", "__w", n_steps=args.steps)
+    )
+
+
+def _cmd_corpus_dup_rate(args) -> int:
+    from nbdatatools_spark.operators.dedup import source_dup_rate
+
+    return _emit_rows(
+        source_dup_rate(
+            _spark().read.parquet(args.input),
+            id_col=args.id_col,
+            text_col=args.text_col,
+            group_col=args.group_col,
+        )
+    )
 
 
 def _cmd_analyze_benford(args) -> int:
@@ -2016,6 +2066,18 @@ def build_parser() -> argparse.ArgumentParser:
     csa.add_argument("--label-expr", required=True)
     csa.add_argument("--group-col", default="source")
     csa.set_defaults(func=_cmd_corpus_sliced_auc)
+    cyc = cp.add_parser("yield_curve")
+    cyc.add_argument("--input", required=True)
+    cyc.add_argument("--score-expr", required=True)
+    cyc.add_argument("--weight-expr", default="1")
+    cyc.add_argument("--steps", type=int, default=20)
+    cyc.set_defaults(func=_cmd_corpus_yield_curve)
+    cdr = cp.add_parser("dup_rate")
+    cdr.add_argument("--input", required=True)
+    cdr.add_argument("--text-col", default="text")
+    cdr.add_argument("--id-col", default="doc_id")
+    cdr.add_argument("--group-col", default="source")
+    cdr.set_defaults(func=_cmd_corpus_dup_rate)
 
     gdn = gn.add_parser("denoising-pairs")
     gdn.add_argument("--input", required=True)
@@ -2123,6 +2185,13 @@ def build_parser() -> argparse.ArgumentParser:
     aid.add_argument("--impl", default="auto")
     aid.add_argument("--id-col", default="vec_id")
     aid.set_defaults(func=_cmd_analyze_intrinsic_dim)
+    arf = an.add_parser("rfm")
+    arf.add_argument("--input", required=True)
+    arf.add_argument("--customer-col", default="o_custkey")
+    arf.add_argument("--ts-col", default="o_orderdate")
+    arf.add_argument("--amount-col", default="o_totalprice")
+    arf.add_argument("--buckets", type=int, default=5)
+    arf.set_defaults(func=_cmd_analyze_rfm)
 
     km = co.add_parser("kmeans")
     km.add_argument("--input", required=True)
@@ -2140,7 +2209,7 @@ def build_parser() -> argparse.ArgumentParser:
     evp = sub.add_parser("events").add_subparsers(dest="what", required=True)
     for w in ("seasonal", "cusum", "mad", "concurrency", "triangles",
               "theil_sen", "bootstrap_ci", "dp_counts", "k_anonymity",
-              "acf", "survival"):
+              "acf", "survival", "ccf"):
         ev = evp.add_parser(w)
         ev.add_argument("--input", required=True)
         ev.add_argument("--ts-col", default="ts")
@@ -2176,6 +2245,12 @@ def build_parser() -> argparse.ArgumentParser:
             ev.add_argument("--limit", type=int, default=100)
         if w == "acf":
             ev.add_argument("--max-lag", type=int, default=14)
+            ev.add_argument("--value-col", default=None)
+        if w == "ccf":
+            ev.add_argument("--key-a", required=True)
+            ev.add_argument("--key-b", required=True)
+            ev.add_argument("--key-col", default="event_type")
+            ev.add_argument("--max-lag", type=int, default=7)
             ev.add_argument("--value-col", default=None)
         if w == "survival":
             ev.add_argument("--subject-col", default="user_id")

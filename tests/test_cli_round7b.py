@@ -133,3 +133,47 @@ def test_corpus_sliced_auc_cli(spark, capsys):
     for r in rows:
         if r["auc"] is not None:
             assert 0.0 <= r["auc"] <= 1.0
+
+
+def test_events_ccf_cli(spark, capsys):
+    assert main(
+        ["events", "ccf", "--input", EVENTS, "--key-a", "click",
+         "--key-b", "purchase", "--max-lag", "3"]
+    ) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 7
+    assert {r["lag"] for r in rows} == set(range(-3, 4))
+    assert all(
+        r["ccf"] is None or -1.0 - 1e-9 <= r["ccf"] <= 1.0 + 1e-9
+        for r in rows
+    )
+
+
+def test_analyze_rfm_cli(spark, capsys):
+    assert main(["analyze", "rfm", "--input", ORDERS, "--buckets", "4"]) == 0
+    rows = _lines(capsys)
+    assert rows
+    for r in rows:
+        assert 0 <= r["r_bucket"] < 4
+        assert r["n_customers"] > 0
+
+
+def test_corpus_yield_curve_cli(spark, capsys):
+    assert main(
+        ["corpus", "yield_curve", "--input", DOCS, "--score-expr",
+         "least(n_chars / 2000.0, 1.0)", "--weight-expr", "n_chars",
+         "--steps", "10"]
+    ) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 11
+    ys = [r["doc_yield"] for r in rows]
+    assert ys == sorted(ys, reverse=True)
+
+
+def test_corpus_dup_rate_cli(spark, capsys):
+    assert main(["corpus", "dup_rate", "--input", DOCS]) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 20
+    for r in rows:
+        assert 0.0 <= r["dup_rate"] <= 1.0
+        assert r["n_distinct_texts"] <= r["n_docs"]
