@@ -881,6 +881,39 @@ def source_similarity(
     )
 
 
+def hll_registers(
+    df: DataFrame,
+    text_col: str = "text",
+    precision: int = 8,
+) -> DataFrame:
+    """HLL register table ``(reg, mx)`` over a document frame — the
+    shared build for :func:`hll_distinct` (batch audit) and
+    ``streaming.events.stream_hll_sketch`` (running sketch: groupBy +
+    max is a native streaming aggregation whose state is bounded at
+    ``2^precision`` registers regardless of stream length). md5-uint52
+    hashing; rank = leading zeros of the (52 - precision)-bit suffix
+    + 1, via bin() bit-length (no float log)."""
+    m = 1 << precision
+    rbits = 52 - precision
+    rmax = rbits + 1
+    toks = _cms_tokens(df, text_col)
+    h = F.conv(F.substring(F.md5("token"), 1, 13), 16, 10).cast("long")
+    hashed = toks.select(
+        (h % m).cast("int").alias("reg"),
+        F.shiftright(h, precision).alias("w"),
+    )
+    # rank = leading zeros of the rbits-wide suffix + 1; bin() drops
+    # leading zeros so bitlength(w) = length(bin(w)) for w > 0
+    ranked = hashed.select(
+        "reg",
+        F.when(F.col("w") == 0, F.lit(rmax))
+        .otherwise(F.lit(rbits) - F.length(F.bin("w")) + 1)
+        .cast("int")
+        .alias("rank"),
+    )
+    return ranked.groupBy("reg").agg(F.max("rank").alias("mx"))
+
+
 def hll_distinct(
     df: DataFrame,
     text_col: str = "text",
@@ -915,21 +948,7 @@ def hll_distinct(
     rbits = 52 - precision
     rmax = rbits + 1  # rank of an all-zero suffix
     toks = _cms_tokens(df, text_col)
-    h = F.conv(F.substring(F.md5("token"), 1, 13), 16, 10).cast("long")
-    hashed = toks.select(
-        (h % m).cast("int").alias("reg"),
-        F.shiftright(h, precision).alias("w"),
-    )
-    # rank = leading zeros of the rbits-wide suffix + 1; bin() drops
-    # leading zeros so bitlength(w) = length(bin(w)) for w > 0
-    ranked = hashed.select(
-        "reg",
-        F.when(F.col("w") == 0, F.lit(rmax))
-        .otherwise(F.lit(rbits) - F.length(F.bin("w")) + 1)
-        .cast("int")
-        .alias("rank"),
-    )
-    regs = ranked.groupBy("reg").agg(F.max("rank").alias("mx"))
+    regs = hll_registers(df, text_col=text_col, precision=precision)
     # exact integer harmonic sum: 2^-M scaled by 2^rmax
     sketch = regs.agg(
         F.count(F.lit(1)).alias("used"),

@@ -352,3 +352,28 @@ def stream_cms_sketch(
     from nbdatatools_spark.operators.lm import cms_cells
 
     return cms_cells(stream, text_col=text_col, depth=depth, width=width)
+
+
+def stream_hll_sketch(
+    stream: DataFrame,
+    text_col: str = "text",
+    precision: int = 8,
+) -> DataFrame:
+    """Running HyperLogLog registers over a document STREAM: the same
+    register build as the batch ``operators.lm.hll_registers``, expressed
+    as a native streaming aggregation — groupBy(register) + max(rank)
+    keeps the running maxima as aggregation state, BOUNDED at
+    ``2^precision`` cells however much text flows through (the HLL
+    insert is idempotent and order-free, so no watermark or eviction is
+    needed and any drain prefix equals the batch build of the same
+    rows).
+
+    Returns the streaming register frame (reg, mx); drive it with
+    outputMode("complete") (or foreachBatch-snapshot it) and feed the
+    drained registers to the batch estimator arithmetic for a running
+    distinct-count readout. Stream-equals-batch pinned by
+    tests/test_streaming.py::test_stream_hll_equals_batch.
+    """
+    from nbdatatools_spark.operators.lm import hll_registers
+
+    return hll_registers(stream, text_col=text_col, precision=precision)

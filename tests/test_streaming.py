@@ -531,3 +531,41 @@ def test_stream_minhash_bucket_cap_saturates(spark, tmp_path):
     assert per_band  # identical docs definitely collide
     for band, pairs in per_band.items():
         assert len(pairs) <= 6  # C(4,2) with cap 4
+
+
+def test_stream_hll_equals_batch(spark, sf_dir, tmp_path):
+    """Running HLL sketch: draining the document stream leaves exactly the
+    batch hll_registers maxima in the (bounded, 2^p) aggregation state."""
+    from nbdatatools_spark.operators.lm import hll_registers
+    from nbdatatools_spark.streaming.events import stream_hll_sketch
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    docs = spark.read.parquet(src)
+    expected = {
+        r["reg"]: r["mx"]
+        for r in hll_registers(docs, precision=8).collect()
+    }
+
+    src_stream = str(tmp_path / "docs_hll_stream")
+    docs.coalesce(3).write.parquet(src_stream)  # 3 files -> 3 micro-batches
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_stream)
+    )
+    regs = stream_hll_sketch(stream, precision=8)
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("hll_regs_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "hll_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["reg"]: r["mx"]
+        for r in spark.sql("SELECT * FROM hll_regs_stream").collect()
+    }
+    assert got == expected
+    assert len(got) <= 256  # bounded state
