@@ -2071,6 +2071,10 @@ def source_dup_rate(
     """
     from nbdatatools_spark.functions.text import normalize_text
 
+    # base is read by both the digest counts and the join-back; the
+    # normalize+md5 recompute is cheap codegen, measured FASTER than a
+    # localCheckpoint of the digest rows (3.5s vs 4.2s at the 10x
+    # replica), so no materialization here
     base = df.select(
         F.col(group_col).alias("g"),
         F.md5(normalize_text(F.col(text_col))).alias("__h"),
