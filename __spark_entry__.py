@@ -4596,12 +4596,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     17 judge-verified against the bit-exact local oracle in round 6);
     entry 17 = doc_rake_keyphrases RE-RECORDED because its segmentation
     changed this round (punctuation boundaries — ADVICE r6), so its r6
-    green row no longer attests the current code; entries 18+ = the
-    round-7 additions, then r6-green re-record fillers (every filler is
-    hash-green in CORRECTNESS_r06 — re-recording them is harmless and
-    keeps the window exactly 50); 49 = fit_embeddings_model (pinned).
-    After this round EVERY registry entry has a driver CORRECTNESS row
-    and PENDING_FIRST_RECORDING is empty.
+    green row no longer attests the current code; entries 18-40 = the
+    23 round-7 additions (multimodal/unigram/sentence-dedup batch, the
+    statistical-audit batch, the eval/graph/geometry batch, the
+    CCF/RFM/yield/dup-rate batch — every one verified hash-exact
+    against the local oracle at sf0.001 AND sf0.01 and under 7 shuffle
+    partitions before entering the window); entries 41-48 = r6-green
+    re-record fillers (every filler is hash-green in CORRECTNESS_r06 —
+    re-recording them is harmless and keeps the window exactly 50);
+    49 = fit_embeddings_model (pinned). After this round EVERY registry
+    entry has a driver CORRECTNESS row and PENDING_FIRST_RECORDING is
+    empty.
     """
     return {
         # -- slots 0-16: round-6 batch-4/5/6/7, first driver recording --
