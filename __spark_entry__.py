@@ -4570,6 +4570,31 @@ def corpus_source_dup_rate(spark, sf_dir):
     return source_dup_rate(docs)
 
 
+def corpus_source_gini(spark, sf_dir):
+    """Source-concentration audit (analysis.py::source_concentration):
+    Lorenz curve + Gini of per-source token mass — one token-count
+    aggregate to the slice grain, ranking window over the bounded slice
+    table, DECIMAL-exact Gini sum (int64-overflow-proof at 100-TB token
+    masses). Integer weights, 6dp shares — hash-exact."""
+    from nbdatatools_spark.operators.analysis import source_concentration
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_concentration(docs)
+
+
+def embedding_isotropy_sample(spark, sf_dir):
+    """Isotropy audit (analysis.py::embedding_isotropy, S=64): the 64
+    vectors with smallest md5(id) (order-free deterministic draw), all
+    C(64,2) exact cosines via the knn decimal-fold convention, mean /
+    mean-abs / max-abs — the narrow-cone pre-check before whitening.
+    Sample is a TakeOrdered regardless of corpus size; the S^2 block is
+    a broadcast self-join of a bounded frame — hash-exact."""
+    from nbdatatools_spark.operators.analysis import embedding_isotropy
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_isotropy(emb, sample_size=64)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4596,13 +4621,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     17 judge-verified against the bit-exact local oracle in round 6);
     entry 17 = doc_rake_keyphrases RE-RECORDED because its segmentation
     changed this round (punctuation boundaries — ADVICE r6), so its r6
-    green row no longer attests the current code; entries 18-40 = the
-    23 round-7 additions (multimodal/unigram/sentence-dedup batch, the
+    green row no longer attests the current code; entries 18-42 = the
+    round-7 additions (multimodal/unigram/sentence-dedup batch, the
     statistical-audit batch, the eval/graph/geometry batch, the
     CCF/RFM/yield/dup-rate batch — every one verified hash-exact
     against the local oracle at sf0.001 AND sf0.01 and under 7 shuffle
-    partitions before entering the window); entries 41-48 = r6-green
-    re-record fillers (every filler is hash-green in CORRECTNESS_r06 —
+    partitions before entering the window, ending with the
+    concentration/isotropy pair); entries 43-48 = r6-green re-record
+    fillers (every filler is hash-green in CORRECTNESS_r06 —
     re-recording them is harmless and keeps the window exactly 50);
     49 = fit_embeddings_model (pinned). After this round EVERY registry
     entry has a driver CORRECTNESS row and PENDING_FIRST_RECORDING is
@@ -4653,6 +4679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_rfm_segments": orders_rfm_segments,
         "doc_filter_yield": doc_filter_yield,
         "corpus_source_dup_rate": corpus_source_dup_rate,
+        "corpus_source_gini": corpus_source_gini,
+        "embedding_isotropy_sample": embedding_isotropy_sample,
         # -- r6-green re-record fillers (displaced by round-7 additions
         #    as they land) --
         "q9_product_profit": q9_product_profit,
@@ -4661,11 +4689,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_part_counts": q16_supplier_part_counts,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
-        "q20_part_suppliers": q20_part_suppliers,
-        "q21_late_sole_suppliers": q21_late_sole_suppliers,
         # position 49 — last recorded slot; see docstring.
         "fit_embeddings_model": fit_embeddings_model,
         # -- tail: every entry below is hash-green in a recorded round --
+        "q20_part_suppliers": q20_part_suppliers,
+        "q21_late_sole_suppliers": q21_late_sole_suppliers,
         "q22_idle_customers": q22_idle_customers,
         "corpus_pmi_bigrams": corpus_pmi_bigrams,
         "corpus_zipf_fit": corpus_zipf_fit,
@@ -10254,5 +10282,73 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE) / count(*), 6) AS dup_rate
             FROM base JOIN counts ON counts.h = base.h
             GROUP BY g ORDER BY source
+        """,
+        # Lorenz/Gini over per-source token mass: DECIMAL-exact Gini sum
+        "corpus_source_gini": f"""
+            WITH w AS (SELECT source AS g,
+                              CAST(sum({_NTOK}) AS BIGINT) AS w
+                       FROM documents GROUP BY source),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(w) AS BIGINT) AS tw FROM w),
+            ranked AS (SELECT g, w,
+                              CAST(row_number() OVER (ORDER BY w, g)
+                                   AS INT) AS rank
+                       FROM w),
+            gini AS (
+                SELECT round(
+                    CAST(CAST(sum(CAST(2 * rank - n - 1 AS DECIMAL(20,0))
+                              * CAST(w AS DECIMAL(18,0)))
+                              AS DECIMAL(38,0)) AS DOUBLE)
+                    / (CAST(max(n) AS DOUBLE) * max(tw)), 6) AS gini
+                FROM ranked CROSS JOIN tot)
+            SELECT rank, g AS source, w AS weight,
+                   round(CAST(w AS DOUBLE) / tw, 6) AS share,
+                   round(CAST(sum(w) OVER (ORDER BY rank
+                              ROWS UNBOUNDED PRECEDING) AS DOUBLE) / tw,
+                         6) AS cum_share,
+                   gini
+            FROM ranked CROSS JOIN tot CROSS JOIN gini ORDER BY rank
+        """,
+        # isotropy: smallest-md5(id) 64-sample, exact pairwise cosines
+        # via the decimal-fold-equivalent grouped sums
+        "embedding_isotropy_sample": """
+            WITH s AS (SELECT vec_id AS id,
+                              CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                       LIMIT 64),
+            ex AS (SELECT id, CAST(generate_subscripts(v, 1) AS INT) AS i,
+                          unnest(v) AS x
+                   FROM s),
+            dots AS (
+                SELECT a.id AS ia, b.id AS ib,
+                       CAST(CAST(sum(CAST(round(a.x * b.x, 9)
+                            AS DECIMAL(25,9))) AS DECIMAL(25,9))
+                            AS DOUBLE) AS dot
+                FROM ex a JOIN ex b ON a.i = b.i AND a.id < b.id
+                GROUP BY 1, 2),
+            nrms AS (
+                SELECT id, sqrt(CAST(CAST(sum(CAST(round(x * x, 9)
+                            AS DECIMAL(25,9))) AS DECIMAL(25,9))
+                            AS DOUBLE)) AS nr
+                FROM ex GROUP BY id),
+            cosv AS (
+                SELECT round(dot / (na.nr * nb.nr), 9) AS cos
+                FROM dots
+                JOIN nrms na ON na.id = dots.ia
+                JOIN nrms nb ON nb.id = dots.ib),
+            stats AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                       round(CAST(CAST(sum(CAST(cos AS DECIMAL(20,9)))
+                            AS DECIMAL(38,9)) AS DOUBLE) / count(*), 6)
+                           AS mean_cos,
+                       round(CAST(CAST(sum(CAST(abs(cos)
+                            AS DECIMAL(20,9))) AS DECIMAL(38,9))
+                            AS DOUBLE) / count(*), 6) AS mean_abs_cos,
+                       round(max(abs(cos)), 6) AS max_abs_cos
+                FROM cosv),
+            ns AS (SELECT CAST(count(*) AS INT) AS n_sampled FROM s)
+            SELECT n_sampled, n_pairs, mean_cos, mean_abs_cos, max_abs_cos
+            FROM ns CROSS JOIN stats
         """,
     }

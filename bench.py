@@ -164,6 +164,8 @@ HEADLINE = [
     "orders_rfm_segments",
     "doc_filter_yield",
     "corpus_source_dup_rate",
+    "corpus_source_gini",
+    "embedding_isotropy_sample",
 ]
 
 

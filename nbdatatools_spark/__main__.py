@@ -1510,6 +1510,31 @@ def _cmd_corpus_dup_rate(args) -> int:
     )
 
 
+def _cmd_corpus_gini(args) -> int:
+    from nbdatatools_spark.operators.analysis import source_concentration
+
+    return _emit_rows(
+        source_concentration(
+            _spark().read.parquet(args.input),
+            group_col=args.group_col,
+            text_col=args.text_col,
+        )
+    )
+
+
+def _cmd_analyze_isotropy(args) -> int:
+    from nbdatatools_spark.operators.analysis import embedding_isotropy
+
+    return _emit_rows(
+        embedding_isotropy(
+            _spark().read.parquet(args.input),
+            vec=args.vec_col,
+            id_col=args.id_col,
+            sample_size=args.sample,
+        )
+    )
+
+
 def _cmd_analyze_benford(args) -> int:
     from nbdatatools_spark.operators.quality_checks import benford_audit
 
@@ -2078,6 +2103,11 @@ def build_parser() -> argparse.ArgumentParser:
     cdr.add_argument("--id-col", default="doc_id")
     cdr.add_argument("--group-col", default="source")
     cdr.set_defaults(func=_cmd_corpus_dup_rate)
+    cgn = cp.add_parser("gini")
+    cgn.add_argument("--input", required=True)
+    cgn.add_argument("--text-col", default="text")
+    cgn.add_argument("--group-col", default="source")
+    cgn.set_defaults(func=_cmd_corpus_gini)
 
     gdn = gn.add_parser("denoising-pairs")
     gdn.add_argument("--input", required=True)
@@ -2192,6 +2222,12 @@ def build_parser() -> argparse.ArgumentParser:
     arf.add_argument("--amount-col", default="o_totalprice")
     arf.add_argument("--buckets", type=int, default=5)
     arf.set_defaults(func=_cmd_analyze_rfm)
+    aio = an.add_parser("isotropy")
+    aio.add_argument("--input", required=True)
+    aio.add_argument("--vec-col", default="embedding")
+    aio.add_argument("--id-col", default="vec_id")
+    aio.add_argument("--sample", type=int, default=64)
+    aio.set_defaults(func=_cmd_analyze_isotropy)
 
     km = co.add_parser("kmeans")
     km.add_argument("--input", required=True)

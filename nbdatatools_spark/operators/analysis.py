@@ -2519,3 +2519,146 @@ def rfm_segments(
         )
         .orderBy("r_bucket", "f_bucket", "m_bucket")
     )
+
+
+def source_concentration(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Source-concentration audit: Lorenz curve + Gini coefficient of
+    per-slice token mass — "is this corpus really 20 sources, or one
+    source wearing 20 hats". A Gini of 0 means perfectly even
+    contribution; near 1 means a single slice dominates (and its biases
+    dominate the trained model).
+
+    Gini over the ascending-mass order (ties split by slice name):
+    ``G = sum_i (2i - n - 1) w_(i) / (n * sum w)``. One token-count
+    aggregate reduces the corpus to the slice grain; the ranking window
+    runs over the SLICE table only (bounded — the module's day-grain
+    exception). Integer weights; shares at 6dp.
+
+    Returns ``(rank, group, weight, share, cum_share, gini)`` ascending
+    by rank, gini repeated per row (the benford chi2 convention).
+    """
+    from nbdatatools_spark.functions.text import token_count
+
+    w = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.sum(token_count(F.col(text_col)).cast("long")).alias("w")
+    )
+    win = Window.orderBy("w", "g")
+    tot = w.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("w").alias("tw")
+    )
+    ranked = (
+        w.select("g", "w", F.row_number().over(win).alias("rank"))
+        .crossJoin(F.broadcast(tot))
+    )
+    upto = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    gini = ranked.agg(
+        F.round(
+            F.sum(
+                (F.lit(2) * F.col("rank") - F.col("n") - 1)
+                .cast("decimal(20,0)")
+                * F.col("w").cast("decimal(18,0)")
+            )
+            .cast("decimal(38,0)")
+            .cast("double")
+            / (F.max("n").cast("double") * F.max("tw")),
+            6,
+        ).alias("gini")
+    )
+    return (
+        ranked.select(
+            "rank",
+            F.col("g").alias(group_col),
+            "w",
+            F.round(F.col("w") / F.col("tw"), 6).alias("share"),
+            F.round(F.sum("w").over(upto) / F.col("tw"), 6).alias(
+                "cum_share"
+            ),
+        )
+        .crossJoin(F.broadcast(gini))
+        .select(
+            "rank", group_col,
+            F.col("w").alias("weight"),
+            "share", "cum_share", "gini",
+        )
+        .orderBy("rank")
+    )
+
+
+def embedding_isotropy(
+    df: DataFrame,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 64,
+) -> DataFrame:
+    """Isotropy audit via a deterministic pairwise-cosine sample: take
+    the ``sample_size`` vectors with the smallest md5(id) (an
+    order-free, partition-invariant pseudo-random draw — the repo's
+    sampling convention), compute all C(S,2) exact cosines, and report
+    their mean / mean-absolute / max-absolute. Isotropic embeddings
+    read mean |cos| near 0; anisotropic ones (the common "narrow cone"
+    pathology, Ethayarajh 2019) read large positive means — the cheap
+    pre-check before whitening is scheduled.
+
+    Scale shape: the sample is a TakeOrdered of S rows regardless of
+    corpus size; the S^2 cosine block is a broadcast self-join of a
+    bounded frame. Dot products ride round(9)-DECIMAL sums per the
+    distance-kernel convention. Returns one row ``(n_sampled, n_pairs,
+    mean_cos, mean_abs_cos, max_abs_cos)`` at 6dp.
+    """
+    if sample_size < 2:
+        raise ValueError(f"sample_size must be >= 2, got {sample_size}")
+    sample = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec).cast("array<double>").alias("v"),
+            F.md5(F.col(id_col).cast("string")).alias("__k"),
+        )
+        .orderBy("__k", "id")
+        .limit(sample_size)
+        .drop("__k")
+        .localCheckpoint(eager=False)
+    )
+    a, b = sample.alias("a"), sample.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: F.round(x * y, 9)),
+        F.lit(0.0).cast("decimal(25,9)"),
+        lambda acc, t: (acc + t.cast("decimal(25,9)")).cast("decimal(25,9)"),
+    ).cast("double")
+    nrm = lambda side: F.sqrt(
+        F.aggregate(
+            F.transform(F.col(f"{side}.v"), lambda x: F.round(x * x, 9)),
+            F.lit(0.0).cast("decimal(25,9)"),
+            lambda acc, t: (acc + t.cast("decimal(25,9)")).cast(
+                "decimal(25,9)"
+            ),
+        ).cast("double")
+    )
+    pairs = a.join(b, F.col("a.id") < F.col("b.id")).select(
+        F.round(dot / (nrm("a") * nrm("b")), 9).alias("cos")
+    )
+    n_sampled = sample.agg(
+        F.count(F.lit(1)).cast("int").alias("n_sampled")
+    )
+    stats = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.sum(F.col("cos").cast("decimal(20,9)"))
+            .cast("decimal(38,9)")
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_cos"),
+        F.round(
+            F.sum(F.abs(F.col("cos")).cast("decimal(20,9)"))
+            .cast("decimal(38,9)")
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_abs_cos"),
+        F.round(F.max(F.abs(F.col("cos"))), 6).alias("max_abs_cos"),
+    )
+    return n_sampled.crossJoin(F.broadcast(stats))

@@ -177,3 +177,23 @@ def test_corpus_dup_rate_cli(spark, capsys):
     for r in rows:
         assert 0.0 <= r["dup_rate"] <= 1.0
         assert r["n_distinct_texts"] <= r["n_docs"]
+
+
+def test_corpus_gini_cli(spark, capsys):
+    assert main(["corpus", "gini", "--input", DOCS]) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 20
+    cs = [r["cum_share"] for r in rows]
+    assert cs == sorted(cs)
+    assert len({r["gini"] for r in rows}) == 1
+    assert 0.0 <= rows[0]["gini"] <= 1.0
+
+
+def test_analyze_isotropy_cli(spark, capsys):
+    assert main(
+        ["analyze", "isotropy", "--input", EMB, "--sample", "16"]
+    ) == 0
+    (row,) = _lines(capsys)
+    assert row["n_sampled"] == 16 and row["n_pairs"] == 120
+    assert -1.0 <= row["mean_cos"] <= 1.0
+    assert row["mean_abs_cos"] <= row["max_abs_cos"] + 1e-9

@@ -1,0 +1,128 @@
+"""Round-7 batch-7 operator closed-forms: source concentration (Gini),
+embedding isotropy sample."""
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _gini(weights):
+    ws = sorted(weights)
+    n = len(ws)
+    tot = sum(ws)
+    return sum((2 * (i + 1) - n - 1) * w for i, w in enumerate(ws)) / (n * tot)
+
+
+def test_source_concentration_closed_form(spark):
+    from nbdatatools_spark.operators.analysis import source_concentration
+
+    # source weights 10, 30, 60 tokens
+    rows = (
+        [("a", " ".join(["w"] * 10))]
+        + [("b", " ".join(["w"] * 30))]
+        + [("c", " ".join(["w"] * 60))]
+    )
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = source_concentration(df).collect()
+    assert [r["source"] for r in out] == ["a", "b", "c"]  # ascending mass
+    assert [r["weight"] for r in out] == [10, 30, 60]
+    assert out[0]["share"] == pytest.approx(0.1, abs=1e-6)
+    assert out[1]["cum_share"] == pytest.approx(0.4, abs=1e-6)
+    assert out[2]["cum_share"] == pytest.approx(1.0, abs=1e-6)
+    want = _gini([10, 30, 60])
+    assert out[0]["gini"] == pytest.approx(want, abs=1e-6)
+    assert len({r["gini"] for r in out}) == 1
+
+
+def test_source_concentration_extremes(spark):
+    from nbdatatools_spark.operators.analysis import source_concentration
+
+    even = spark.createDataFrame(
+        [(f"s{i}", "w w w w") for i in range(8)], "source string, text string"
+    )
+    assert source_concentration(even).first()["gini"] == pytest.approx(
+        0.0, abs=1e-6
+    )
+    skew = spark.createDataFrame(
+        [("big", " ".join(["w"] * 1000))]
+        + [(f"s{i}", "w") for i in range(9)],
+        "source string, text string",
+    )
+    g = source_concentration(skew).first()["gini"]
+    assert g > 0.85
+
+
+def test_source_concentration_partition_invariant(spark, documents):
+    from nbdatatools_spark.operators.analysis import source_concentration
+
+    a = source_concentration(documents).collect()
+    b = source_concentration(documents.repartition(7)).collect()
+    assert a == b
+    cs = [r["cum_share"] for r in a]
+    assert cs == sorted(cs)
+
+
+def test_embedding_isotropy_closed_form(spark):
+    from nbdatatools_spark.operators.analysis import embedding_isotropy
+
+    # 6 vectors, sample 4 by smallest md5(id): replicate selection + stats
+    vecs = {
+        i: [float(x) for x in np.random.RandomState(i).randn(8)]
+        for i in range(6)
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    out = embedding_isotropy(df, sample_size=4).first()
+    sel = sorted(range(6), key=lambda i: hashlib.md5(str(i).encode()).hexdigest())[:4]
+    cos = []
+    for x in range(len(sel)):
+        for y in range(x + 1, len(sel)):
+            a_id, b_id = sorted((sel[x], sel[y]))
+            va, vb = np.array(vecs[a_id]), np.array(vecs[b_id])
+            cos.append(
+                float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+            )
+    assert out["n_sampled"] == 4 and out["n_pairs"] == 6
+    assert out["mean_cos"] == pytest.approx(np.mean(cos), abs=1e-5)
+    assert out["mean_abs_cos"] == pytest.approx(
+        np.mean(np.abs(cos)), abs=1e-5
+    )
+    assert out["max_abs_cos"] == pytest.approx(np.max(np.abs(cos)), abs=1e-5)
+    with pytest.raises(ValueError):
+        embedding_isotropy(df, sample_size=1)
+
+
+def test_embedding_isotropy_detects_anisotropy(spark):
+    from nbdatatools_spark.operators.analysis import embedding_isotropy
+
+    rng = np.random.RandomState(0)
+    # narrow cone: common direction + small noise
+    base = rng.randn(16)
+    aniso = [
+        (i, [float(x) for x in base + 0.1 * rng.randn(16)])
+        for i in range(100)
+    ]
+    iso = [(i, [float(x) for x in rng.randn(16)]) for i in range(100)]
+    schema = "vec_id long, embedding array<double>"
+    r_aniso = embedding_isotropy(
+        spark.createDataFrame(aniso, schema), sample_size=32
+    ).first()
+    r_iso = embedding_isotropy(
+        spark.createDataFrame(iso, schema), sample_size=32
+    ).first()
+    assert r_aniso["mean_cos"] > 0.9
+    assert abs(r_iso["mean_cos"]) < 0.3
+
+
+def test_embedding_isotropy_partition_invariant(spark, embeddings):
+    from nbdatatools_spark.operators.analysis import embedding_isotropy
+
+    a = embedding_isotropy(embeddings, sample_size=32).collect()
+    b = embedding_isotropy(embeddings.repartition(7), sample_size=32).collect()
+    assert a == b
+    assert a[0]["n_pairs"] == 32 * 31 // 2
