@@ -62,3 +62,52 @@ def test_rake_and_overlap_leave_no_cachemanager_entries(spark, tiny_docs):
     rake_keyphrases(docs, top_n=5).collect()
     source_overlap_matrix(docs, group_col="source", n=3).collect()
     assert _cache_manager(spark).isEmpty()
+
+
+def test_round7_operators_leave_no_cachemanager_entries(spark, tiny_docs):
+    """Round-7 batch-2+ operators checkpoint day/subject/position-grain
+    frames (autocorrelation, kaplan_meier, cross_correlation, textrank,
+    length_batching, rfm, isotropy) — all via localCheckpoint, never
+    persist(): the CacheManager must stay empty."""
+    from datetime import datetime
+
+    from nbdatatools_spark.operators.analysis import (
+        embedding_isotropy,
+        rfm_segments,
+        textrank_keywords,
+    )
+    from nbdatatools_spark.operators.packing import length_batching_audit
+    from nbdatatools_spark.operators.temporal import (
+        autocorrelation,
+        cross_correlation,
+        kaplan_meier,
+    )
+
+    spark.catalog.clearCache()
+    assert _cache_manager(spark).isEmpty()
+
+    ev = spark.createDataFrame(
+        [
+            (i, datetime(2024, 1, 1 + i % 9), "a" if i % 2 else "b")
+            for i in range(40)
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+    autocorrelation(ev, max_lag=3).collect()
+    kaplan_meier(ev, censor_days=1).collect()
+    cross_correlation(ev, "a", "b", max_lag=2).collect()
+    textrank_keywords(tiny_docs, min_count=2, topk=5, id_col="doc_id").collect()
+    length_batching_audit(tiny_docs, batch_size=4).collect()
+    orders = spark.createDataFrame(
+        [(i % 7, datetime(2024, 1, 1 + i % 20), 10.0 * (i + 1))
+         for i in range(40)],
+        "o_custkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    rfm_segments(orders, n_buckets=3).collect()
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 2.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    embedding_isotropy(emb, sample_size=4).collect()
+
+    assert _cache_manager(spark).isEmpty()
