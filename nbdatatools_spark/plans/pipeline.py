@@ -260,6 +260,37 @@ def _op_classifier_filter(df, threshold=0.5, top_frac=0.25, bottom_frac=0.25,
     return quality_filter(df, model, threshold=float(threshold), text_col=text_col)
 
 
+def _op_quality_budget(df, keep_weight_frac=0.5, n_steps=100,
+                       text_col="text", id_col="doc_id", **_):
+    """Token-budget quality cut: keep the HIGHEST-quality documents whose
+    combined token mass still meets ``keep_weight_frac`` of the corpus —
+    the yield-curve threshold pick as a pipeline step ("keep the best
+    half of the tokens"). The threshold is the LARGEST score cut whose
+    token yield stays >= the target, read off evaluation.
+    filter_yield_curve's (n_steps+1)-row table (a bounded driver
+    collect, the mixture-rates convention); the filter itself is one
+    map-side predicate."""
+    from nbdatatools_spark.functions.text import quality_score, token_count
+    from nbdatatools_spark.operators.evaluation import filter_yield_curve
+
+    frac = float(keep_weight_frac)
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"keep_weight_frac must be in (0, 1], got {frac}")
+    scored = df.select(
+        F.round(quality_score(F.col(text_col)), 6).alias("__q"),
+        token_count(F.col(text_col)).cast("long").alias("__w"),
+    )
+    curve = filter_yield_curve(scored, "__q", "__w", n_steps=int(n_steps))
+    rows = curve.collect()  # bounded: n_steps + 1 rows
+    eligible = [
+        r["threshold"]
+        for r in rows
+        if r["weight_yield"] is not None and r["weight_yield"] >= frac
+    ]
+    cut = max(eligible) if eligible else 0.0
+    return df.where(F.round(quality_score(F.col(text_col)), 6) >= cut)
+
+
 STEP_REGISTRY = {
     "strip_markup": _op_strip_markup,
     "redact_pii": _op_redact_pii,
@@ -282,6 +313,7 @@ STEP_REGISTRY = {
     "stratified_sample": _op_stratified_sample,
     "sentence_dedup": _op_sentence_dedup,
     "temperature_sample": _op_temperature_sample,
+    "quality_budget": _op_quality_budget,
 }
 
 

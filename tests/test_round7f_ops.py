@@ -182,3 +182,36 @@ def test_source_dup_rate_partition_invariant(spark, documents):
     assert a == b
     for r in a:
         assert 0.0 <= r["dup_rate"] <= 1.0
+
+
+def test_pipeline_quality_budget_step(spark, documents):
+    from pyspark.sql import functions as F
+
+    from nbdatatools_spark.functions.text import token_count
+    from nbdatatools_spark.plans.pipeline import run_pipeline
+
+    out, report = run_pipeline(
+        documents, [{"op": "quality_budget", "keep_weight_frac": 0.5}]
+    )
+    total = documents.agg(
+        F.sum(token_count(F.col("text")).cast("long"))
+    ).first()[0]
+    kept = out.agg(
+        F.sum(token_count(F.col("text")).cast("long"))
+    ).first()[0]
+    # meets the budget without keeping everything (scores vary at sf0.001)
+    assert kept >= 0.5 * total
+    assert out.count() < documents.count()
+    assert out.columns == documents.columns
+    assert report[0]["op"] == "quality_budget"
+    # deterministic across partitionings
+    out2, _ = run_pipeline(
+        documents.repartition(7),
+        [{"op": "quality_budget", "keep_weight_frac": 0.5}],
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in out2.collect()
+    )
+    with pytest.raises(ValueError):
+        run_pipeline(documents, [{"op": "quality_budget",
+                                  "keep_weight_frac": 0.0}])
