@@ -449,3 +449,72 @@ def filter_yield_curve(
         )
         .orderBy("threshold")
     )
+
+
+def score_quantile_align(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    out_col: str = "score_pct",
+) -> DataFrame:
+    """Within-slice quantile normalization of a score: replace each row's
+    score with its percent rank INSIDE its slice (source, shard,
+    scorer-version), so a single global threshold means the same thing
+    everywhere — the fix for per-slice scorer bias that
+    :func:`grouped_ranking_auc` diagnoses ("source X's scorer runs 0.2
+    hot, so a global 0.5 cut keeps its garbage and drops source Y's
+    good middle").
+
+    percent rank with tie-averaging: rows sharing a score get the mean
+    of the ranks they occupy, scaled to [0, 1] by (n_group - 1) —
+    matching the rank-sum convention of the AUC family, so a slice's
+    AUC against any label is invariant under this transform. Degenerate
+    single-row slices map to 0.5.
+
+    Scale shape: ties collapse to per-(group, score) rows first, so the
+    KEYED running-sum window state is |distinct scores in the slice|;
+    the original frame joins back on (group, score) — no row-grain
+    window, parallel across slices.
+
+    Returns ``df`` with ``out_col`` appended (6dp).
+    """
+    grouped = (
+        df.select(
+            F.col(group_col).alias("__g"), F.col(score_col).alias("__s")
+        )
+        .groupBy("__g", "__s")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    w = (
+        Window.partitionBy("__g")
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tot = grouped.groupBy("__g").agg(F.sum("__n").alias("__tot"))
+    ranked = (
+        grouped.select(
+            "__g",
+            "__s",
+            (
+                F.coalesce(F.sum("__n").over(w), F.lit(0))
+                + (F.col("__n") + 1) / F.lit(2.0)
+            ).alias("__avg_rank"),
+        )
+        .join(tot, "__g")
+        .select(
+            "__g",
+            "__s",
+            F.when(F.col("__tot") > 1,
+                   F.round(
+                       (F.col("__avg_rank") - 1)
+                       / (F.col("__tot") - 1),
+                       6,
+                   ))
+            .otherwise(F.lit(0.5))
+            .alias(out_col),
+        )
+    )
+    return df.join(
+        ranked,
+        (df[group_col] == ranked["__g"]) & (df[score_col] == ranked["__s"]),
+    ).drop("__g", "__s")

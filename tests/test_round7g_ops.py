@@ -126,3 +126,62 @@ def test_embedding_isotropy_partition_invariant(spark, embeddings):
     b = embedding_isotropy(embeddings.repartition(7), sample_size=32).collect()
     assert a == b
     assert a[0]["n_pairs"] == 32 * 31 // 2
+
+
+def test_score_quantile_align_closed_form(spark):
+    from nbdatatools_spark.operators.evaluation import score_quantile_align
+
+    rows = [
+        ("a", 10.0), ("a", 20.0), ("a", 20.0), ("a", 30.0), ("a", 40.0),
+        ("b", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "source string, score double")
+    out = score_quantile_align(df, "score", "source").collect()
+    got = sorted((r["source"], r["score"], r["score_pct"]) for r in out)
+    # group a (n=5, n-1=4): ranks 1, (2+3)/2=2.5, 2.5, 4, 5 ->
+    # pct (r-1)/4 = 0, .375, .375, .75, 1.0; single-row group b -> 0.5
+    want = [
+        ("a", 10.0, 0.0),
+        ("a", 20.0, 0.375),
+        ("a", 20.0, 0.375),
+        ("a", 30.0, 0.75),
+        ("a", 40.0, 1.0),
+        ("b", 1.0, 0.5),
+    ]
+    for (gs, ss, ps), (gw, sw, pw) in zip(got, want):
+        assert (gs, ss) == (gw, sw)
+        assert ps == pytest.approx(pw, abs=1e-6)
+
+
+def test_score_quantile_align_preserves_auc_and_rows(spark, documents):
+    from pyspark.sql import functions as F
+
+    from nbdatatools_spark.functions.text import quality_score
+    from nbdatatools_spark.operators.evaluation import (
+        grouped_ranking_auc,
+        score_quantile_align,
+    )
+
+    scored = documents.select(
+        "source",
+        "doc_id",
+        F.round(quality_score(F.col("text")), 6).alias("score"),
+        (F.col("n_chars") >= 400).alias("y"),
+    )
+    aligned = score_quantile_align(scored, "score", "source")
+    assert aligned.count() == scored.count()
+    # percent-rank is a monotone within-slice transform: per-slice AUC
+    # is invariant
+    a = {r["source"]: r["auc"] for r in
+         grouped_ranking_auc(scored, "score", "y", "source").collect()}
+    b = {r["source"]: r["auc"] for r in
+         grouped_ranking_auc(aligned, "score_pct", "y", "source").collect()}
+    for s in a:
+        if a[s] is not None:
+            assert b[s] == pytest.approx(a[s], abs=1e-6)
+    # partition invariance
+    x = sorted(map(tuple, score_quantile_align(
+        scored, "score", "source").collect()))
+    yy = sorted(map(tuple, score_quantile_align(
+        scored.repartition(7), "score", "source").collect()))
+    assert x == yy
