@@ -2391,13 +2391,21 @@ def textrank_keywords(
         raise ValueError(f"window must be >= 1, got {window}")
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
-    doc_key = (
-        F.col(id_col) if id_col else F.monotonically_increasing_id()
+    # doc key in its OWN projection before the generator:
+    # monotonically_increasing_id inside the posexplode select would run
+    # per OUTPUT row (every token its own doc -> empty edge table)
+    base = (
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__txt"))
+        if id_col
+        else df.select(
+            F.monotonically_increasing_id().alias("doc"),
+            F.col(text_col).alias("__txt"),
+        )
     )
     pos = (
-        df.select(
-            doc_key.alias("doc"),
-            F.posexplode_outer(tokens(normalize_text(F.col(text_col)))).alias(
+        base.select(
+            "doc",
+            F.posexplode_outer(tokens(normalize_text(F.col("__txt")))).alias(
                 "pos", "w"
             ),
         )

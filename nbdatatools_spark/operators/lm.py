@@ -996,3 +996,126 @@ def hll_distinct(
             ),
         ).alias("rel_error"),
     )
+
+
+def ppmi_word_vectors(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 2,
+    vocab_size: int = 512,
+    dim: int = 64,
+) -> DataFrame:
+    """Static word vectors via PPMI + truncated SVD (Levy & Goldberg
+    2014: SGNS is implicitly factorizing the shifted PMI matrix) — train
+    small, fully deterministic word embeddings from the corpus itself,
+    no external model: the in-engine tool for query expansion, lexical
+    drift probes, and cheap similarity features.
+
+    Pipeline: co-occurrence counts within ``window`` positions over the
+    top-``vocab_size`` tokens (offset equi-joins on (doc, pos) — linear
+    in corpus tokens, the textrank edge discipline), positive PMI
+    ``max(0, ln(n_ab * T / (n_a * n_b)))`` per cell, then SVD of the
+    V x V PPMI matrix on the DRIVER — bounded by vocabulary choice, not
+    corpus size (V=512 -> a 2 MB dense matrix; the fitting-sketch
+    collect shape). Vectors are ``U_d * sqrt(S_d)`` with a
+    deterministic sign convention (the largest-|loading| coordinate of
+    each component is made positive), so results are partition- and
+    platform-stable up to float noise.
+
+    Returns ``(token, freq, vector)`` for the vocabulary, vector values
+    rounded to 6dp, ordered by (freq DESC, token).
+    """
+    from nbdatatools_spark.functions.text import normalize_text, tokens
+
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if not 1 <= dim <= vocab_size:
+        raise ValueError(f"need 1 <= dim <= vocab_size, got dim={dim}")
+    spark = df.sparkSession
+    # the doc id MUST be assigned in its own projection BEFORE the
+    # generator: monotonically_increasing_id in the same select as
+    # posexplode runs per OUTPUT row, giving every token its own "doc"
+    # and an empty pair table
+    base = df.select(
+        F.monotonically_increasing_id().alias("doc"),
+        F.col(text_col).alias("__txt"),
+    )
+    pos = (
+        base.select(
+            "doc",
+            F.posexplode_outer(
+                tokens(normalize_text(F.col("__txt")))
+            ).alias("pos", "w"),
+        )
+        .where(F.length("w") > 0)
+        .localCheckpoint(eager=False)
+    )
+    vocab = (
+        pos.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "w")
+        .limit(vocab_size)
+        .localCheckpoint(eager=False)
+    )
+    cpos = pos.join(F.broadcast(vocab.select("w")), "w")
+    offs = spark.range(1, window + 1).select(
+        F.col("id").cast("int").alias("o")
+    )
+    a = cpos.select("doc", "pos", F.col("w").alias("wa"))
+    b = cpos.select("doc", F.col("pos").alias("pos_b"), F.col("w").alias("wb"))
+    # symmetric counts: each (a earlier, b later) occurrence feeds both
+    # (wa, wb) and (wb, wa) — the Levy-Goldberg symmetric-context window
+    raw = (
+        a.join(F.broadcast(offs), F.lit(True))
+        .join(
+            b,
+            (b["doc"] == a["doc"]) & (b["pos_b"] == a["pos"] + F.col("o")),
+        )
+        .select("wa", "wb")
+    )
+    pairs = (
+        raw.select("wa", "wb")
+        .union(raw.select(F.col("wb").alias("wa"), F.col("wa").alias("wb")))
+        .groupBy("wa", "wb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    cells = pairs.collect()  # bounded: <= vocab_size^2 non-zero cells
+    vrows = vocab.collect()
+    import numpy as np
+
+    toks = [r["w"] for r in vrows]
+    freq = {r["w"]: int(r["freq"]) for r in vrows}
+    idx = {w: i for i, w in enumerate(toks)}
+    v = len(toks)
+    if v == 0:
+        return spark.createDataFrame(
+            [], "token string, freq bigint, vector array<double>"
+        )
+    c = np.zeros((v, v), dtype=np.float64)
+    for r in cells:
+        c[idx[r["wa"]], idx[r["wb"]]] = float(r["n_ab"])
+    total = c.sum()
+    if total == 0:
+        vecs = np.zeros((v, min(dim, v)))
+    else:
+        na = c.sum(axis=1, keepdims=True)
+        nb = c.sum(axis=0, keepdims=True)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            pmi = np.log(c * total / (na * nb))
+        ppmi = np.where(np.isfinite(pmi) & (pmi > 0), pmi, 0.0)
+        u, s, _ = np.linalg.svd(ppmi, full_matrices=False)
+        d = min(dim, v)
+        u, s = u[:, :d], s[:d]
+        # deterministic signs: largest-|loading| coordinate positive
+        for k in range(d):
+            j = int(np.argmax(np.abs(u[:, k])))
+            if u[j, k] < 0:
+                u[:, k] = -u[:, k]
+        vecs = u * np.sqrt(s)
+    rows = [
+        (w, freq[w], [round(float(x), 6) for x in vecs[idx[w]]])
+        for w in toks
+    ]
+    return spark.createDataFrame(
+        rows, "token string, freq bigint, vector array<double>"
+    ).orderBy(F.desc("freq"), "token")

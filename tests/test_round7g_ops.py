@@ -185,3 +185,49 @@ def test_score_quantile_align_preserves_auc_and_rows(spark, documents):
     yy = sorted(map(tuple, score_quantile_align(
         scored.repartition(7), "score", "source").collect()))
     assert x == yy
+
+
+def test_ppmi_word_vectors_topic_geometry(spark):
+    from nbdatatools_spark.operators.lm import ppmi_word_vectors
+
+    # rotations make within-topic co-occurrence symmetric, so every
+    # within-topic pair shares the same context profile
+    animal_rots = ["cat dog pet", "dog pet cat", "pet cat dog"]
+    car_rots = ["car road drive", "road drive car", "drive car road"]
+    docs = [(i, animal_rots[i % 3]) for i in range(21)] + [
+        (100 + i, car_rots[i % 3]) for i in range(21)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["token"]: np.array(r["vector"]) for r in
+           ppmi_word_vectors(df, vocab_size=16, dim=2).collect()}
+    assert set(out) == {"cat", "dog", "pet", "car", "road", "drive"}
+
+    def cos(a, b):
+        return float(out[a] @ out[b]) / (
+            np.linalg.norm(out[a]) * np.linalg.norm(out[b])
+        )
+
+    within = min(cos("cat", "dog"), cos("cat", "pet"), cos("car", "road"))
+    across = max(cos("cat", "car"), cos("dog", "road"), cos("pet", "drive"))
+    assert within > across + 0.3
+
+    with pytest.raises(ValueError):
+        ppmi_word_vectors(df, window=0)
+    with pytest.raises(ValueError):
+        ppmi_word_vectors(df, dim=0)
+
+
+def test_ppmi_word_vectors_deterministic(spark, documents):
+    from nbdatatools_spark.operators.lm import ppmi_word_vectors
+
+    # sf0.001 documents hold 31 distinct tokens (the HLL gate's
+    # exact_distinct), so a 16-token vocab is always fully populated
+    a = ppmi_word_vectors(documents, vocab_size=16, dim=8).collect()
+    b = ppmi_word_vectors(
+        documents.repartition(7), vocab_size=16, dim=8
+    ).collect()
+    assert a == b
+    assert len(a) == 16
+    freqs = [r["freq"] for r in a]
+    assert freqs == sorted(freqs, reverse=True)
+    assert all(len(r["vector"]) == 8 for r in a)
