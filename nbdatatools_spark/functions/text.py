@@ -721,3 +721,35 @@ def script_profile(col: Column) -> Column:
         .alias("dominant_ratio")
     )
     return F.struct(*fields)
+
+
+def compression_ratio(col: Column, level: int = 6) -> Column:
+    """DEFLATE compression ratio of the UTF-8 text —
+    ``len(zlib.compress(bytes)) / len(bytes)`` — the classic
+    duplication/templating quality signal (low ratio = repetitive or
+    boilerplate text; used as a page filter in Dolma and RedPajama-v2
+    style pipelines). Empty text -> NULL.
+
+    Implementation note: DEFLATE is not expressible in Catalyst, so this
+    is the module's one Arrow-batched pandas UDF (vectorized batches,
+    never row-at-a-time Python). Output is deterministic for a fixed
+    zlib build (the CPython bundled zlib here), but NOT replayable by a
+    SQL oracle — downstream gates are rows-only / pytest-differential by
+    design.
+    """
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _ratio_batch(texts):
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return None
+            return round(len(zlib.compress(raw, level)) / len(raw), 6)
+
+        return texts.map(one)
+
+    return pandas_udf(_ratio_batch, "double")(col)

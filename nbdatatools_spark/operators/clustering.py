@@ -688,3 +688,110 @@ def simplified_silhouette(
         )
         .orderBy(label_col)
     )
+
+
+def kcenter_select(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset selection: pick ``k``
+    maximally-spread vectors — the classic 2-approximation to the k-center
+    objective (Gonzalez 1985) and the standard diversity-driven
+    data-selection / active-learning coreset (Sener & Savarese,
+    "Active Learning for Convolutional Neural Networks: A Core-Set
+    Approach", ICLR 2018). Returns ``(rank, <id_col>, sq_dist)`` where
+    ``sq_dist`` is the selected point's squared L2 distance to the
+    nearest previously-selected center at selection time (NULL for the
+    seed; the LAST row's value is the coverage radius^2 achieved by the
+    first k-1 centers).
+
+    Determinism / exactness contract (what makes the gate oracle-able):
+    the seed is the row with the smallest id; squared distances use the
+    dot-product identity ``x.x - 2*x.c + c.c`` with every inner product a
+    left-to-right double fold (bit-matching DuckDB's
+    ``list_inner_product``, the knn_euclidean_topk discipline), clamped
+    at 0 and rounded to 9dp; the next center is argmax of the running
+    min-distance with ties toward the smallest id. An engine unrolling
+    the same k steps reproduces every selection bit-for-bit.
+
+    Scale shape: per selection ONE map-side projection over the corpus
+    (distance to the single new center — the running min makes each
+    round O(n*d), total O(n*k*d), never O(n*k^2*d)) plus ONE
+    TakeOrderedAndProject(1); driver state is the k x d chosen table
+    (the Lloyd/centroid-literal discipline, k and d both bounded).
+    ``localCheckpoint`` cuts the per-round lineage. Corpus rows never
+    hit the driver; each round's argmax collects exactly one row.
+    Reference analogue: none (brief-driven data-selection operator).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from nbdatatools_spark.functions.distance import dot_product
+
+    pts = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+    ).withColumn(
+        "__ss", dot_product(F.col("__v"), F.col("__v"))
+    ).localCheckpoint(eager=False)
+
+    seed = pts.orderBy(F.asc("__id")).limit(1).collect()
+    if not seed:
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [], f"rank int, {id_col} {df.schema[id_col].dataType.simpleString()}, sq_dist double"
+        )
+    chosen = [(_plain_scalar(seed[0]["__id"]), list(seed[0]["__v"]), None)]
+
+    def _sq_dist_to(center_vec: list) -> F.Column:
+        # x.x - 2*x.c + c.c, every term a left-to-right double fold:
+        # c.c folds driver-side over the same widened doubles, so all
+        # three engines (Spark fold, Python fold, DuckDB
+        # list_inner_product) agree bit-for-bit.
+        c = [float(x) for x in center_vec]
+        cc = 0.0
+        for x in c:
+            cc = cc + x * x
+        xc = dot_product(F.col("__v"), F.array(*[F.lit(x) for x in c]))
+        return F.round(
+            F.greatest(F.lit(0.0), F.col("__ss") - 2.0 * xc + F.lit(cc)), 9
+        )
+
+    state = (
+        pts.where(F.col("__id") != F.lit(chosen[0][0]))
+        .withColumn("__mind", _sq_dist_to(chosen[0][1]))
+        .localCheckpoint()
+    )
+    for _ in range(1, k):
+        nxt = state.orderBy(F.desc("__mind"), F.asc("__id")).limit(1).collect()
+        if not nxt:
+            break
+        row = nxt[0]
+        chosen.append((_plain_scalar(row["__id"]), list(row["__v"]), float(row["__mind"])))
+        state = (
+            state.where(F.col("__id") != F.lit(chosen[-1][0]))
+            .withColumn(
+                "__mind", F.least(F.col("__mind"), _sq_dist_to(chosen[-1][1]))
+            )
+            .localCheckpoint()
+        )
+    spark = df.sparkSession
+    id_type = df.schema[id_col].dataType.simpleString()
+    return spark.createDataFrame(
+        [(i + 1, cid, d) for i, (cid, _, d) in enumerate(chosen)],
+        f"rank int, {id_col} {id_type}, sq_dist double",
+    )
+
+
+def _plain_scalar(v):
+    """Pass ids through unchanged except numpy scalars -> Python ints
+    (createDataFrame rejects numpy types on some Arrow paths)."""
+    try:
+        import numpy as np
+
+        if isinstance(v, np.generic):
+            return v.item()
+    except Exception:
+        pass
+    return v

@@ -27,6 +27,7 @@ from nbdatatools_spark.functions.text import (
     char_ngrams_of_norm,
     doc_fingerprint,
     normalize_text,
+    tokens,
 )
 from nbdatatools_spark.operators.analysis import is_zero_vector
 
@@ -2100,4 +2101,111 @@ def source_dup_rate(
             ),
         )
         .orderBy(group_col)
+    )
+
+
+def cosine_threshold_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT all-pairs cosine-threshold similarity join over unit-
+    normalized token-frequency vectors via prefix filtering (Bayardo,
+    Ma & Srikant, "Scaling Up All Pairs Similarity Search", WWW 2007) —
+    the non-probabilistic sibling of MinHash-LSH: every pair with
+    cosine >= threshold is returned, no recall loss, no banding tune.
+
+    Prefix-filter guarantee: order every doc's tokens by the global
+    (df ASC, digest ASC) total order (rarest first). With
+    ``suffix2(t) = sum of w^2 from t onward``, the FIRST shared token t*
+    of any pair with cos >= tau satisfies (Cauchy-Schwarz over the
+    suffix) ``sqrt(suffix2(t*)) >= cos >= tau`` in BOTH docs — so
+    indexing only tokens with ``suffix2 >= tau^2`` (a contiguous rarest-
+    first head, typically a small fraction of each doc) finds every
+    qualifying pair. Candidates then verify with the exact dot product.
+
+    Scale shape (the LSH discipline, but exact): tokens shuffle as
+    16-byte md5 digests only; candidate generation is ONE equi-join on
+    PREFIX postings (rare tokens -> tiny buckets; the frequent-token
+    quadratic blowup is exactly what the prefix cut removes); verify is
+    candidate-keyed, never all-pairs. Per-doc prefix selection is a
+    keyed window (parallel across docs).
+
+    Exactness contract: ||tf|| = sqrt(INTEGER sum of tf^2); per-token
+    weights w = tf/||tf|| double; w^2 and cross products round to 9dp
+    and DECIMAL-sum (order-invariant); the prefix test keeps
+    ``suffix2 >= tau^2 - 1e-6`` (slack absorbs the 9dp rounding so the
+    guarantee stays sound); final filter on the DECIMAL-summed cosine.
+    Engine-replayable bit-for-bit.
+
+    Returns ``(id_a, id_b, cosine)`` with id_a < id_b, cosine >=
+    threshold rounded to 6dp.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0,1], got {threshold}")
+    tau2 = threshold * threshold - 1e-6
+    tf = (
+        docs.select(
+            F.col(id_col).alias("__id"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("__t"),
+        )
+        .where(F.col("__t") != "")
+        .groupBy("__id", F.md5("__t").alias("__h"))
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    norms = tf.groupBy("__id").agg(
+        F.sqrt(F.sum(F.col("__tf") * F.col("__tf")).cast("double")).alias("__nrm")
+    )
+    post = (
+        tf.join(norms, "__id")
+        .select(
+            "__id", "__h", (F.col("__tf").cast("double") / F.col("__nrm")).alias("__w")
+        )
+        .localCheckpoint(eager=False)
+    )
+    dfreq = post.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    keyed = post.join(dfreq, "__h")
+    w_order = Window.partitionBy("__id").orderBy(F.asc("__df"), F.asc("__h"))
+    suffix2 = (
+        F.sum(F.round(F.col("__w") * F.col("__w"), 9).cast("decimal(20,9)"))
+        .over(w_order.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        .cast("double")
+    )
+    prefix = (
+        keyed.withColumn("__sfx", suffix2)
+        .where(F.col("__sfx") >= F.lit(tau2))
+        .select("__id", "__h")
+    )
+    cand = (
+        prefix.alias("pa")
+        .join(prefix.alias("pb"), "__h")
+        .where(F.col("pa.__id") < F.col("pb.__id"))
+        .select(F.col("pa.__id").alias("__a"), F.col("pb.__id").alias("__b"))
+        .distinct()
+    )
+    pa = post.select(
+        F.col("__id").alias("__a"), "__h", F.col("__w").alias("__wa")
+    )
+    pb = post.select(
+        F.col("__id").alias("__b"), "__h", F.col("__w").alias("__wb")
+    )
+    verified = (
+        cand.join(pa, "__a")
+        .join(pb, ["__b", "__h"])
+        .groupBy("__a", "__b")
+        .agg(
+            F.sum(
+                F.round(F.col("__wa") * F.col("__wb"), 9).cast("decimal(20,9)")
+            )
+            .cast("decimal(38,9)")
+            .cast("double")
+            .alias("__cos")
+        )
+        .where(F.col("__cos") >= F.lit(float(threshold)))
+    )
+    return verified.select(
+        F.col("__a").alias("id_a"),
+        F.col("__b").alias("id_b"),
+        F.round("__cos", 6).alias("cosine"),
     )

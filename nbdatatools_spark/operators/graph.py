@@ -191,6 +191,155 @@ def triangle_stats(
     )
 
 
+def hits_scores(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+) -> DataFrame:
+    """Kleinberg HITS hub/authority scores after exactly ``iterations``
+    synchronous update rounds over a directed edge list (duplicate edges
+    collapsed — HITS is defined on the adjacency matrix, not a multigraph).
+    Returns ``(node, authority, hub)``, both rounded to 9dp.
+
+        a_t(v) = sum_{(u,v) in E} h_{t-1}(u)   then L2-normalized,
+        h_t(v) = sum_{(v,u) in E} a_t(u)        then L2-normalized.
+
+    Scale shape: PageRank's power-iteration discipline exactly
+    (``pagerank`` above) — each half-step is ONE edge-keyed equi-join plus
+    ONE keyed aggregate; per-iteration state is ``(node, score)``, the
+    normalizer is a broadcast 1-row aggregate, and ``localCheckpoint``
+    cuts the doubling lineage per round.
+
+    Exactness contract (what makes the gate oracle-able): raw sums are
+    9dp-rounded contributions DECIMAL-summed (order-invariant); the L2
+    norm is sqrt of a DECIMAL sum of 9dp-rounded squares; the normalized
+    score is one double divide rounded to 9dp. An engine replaying the
+    same fixed iteration count reproduces every score bit-for-bit.
+    Reference analogue: none (graph analytics are brief-driven; the
+    recursion discipline follows graph.py::pagerank).
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    e = (
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .union(e.select(F.col("__d").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _normalize(raw: DataFrame, col: str) -> DataFrame:
+        # raw: (node, col) with 0.0 for nodes that received no mass.
+        norm = raw.agg(
+            F.sqrt(
+                F.sum(F.round(F.col(col) * F.col(col), 9).cast(_CONTRIB_DEC))
+                .cast("double")
+            ).alias("__n")
+        )
+        return raw.crossJoin(F.broadcast(norm)).select(
+            "node",
+            F.when(F.col("__n") > 0.0, F.round(F.col(col) / F.col("__n"), 9))
+            .otherwise(F.lit(0.0))
+            .alias(col),
+        )
+
+    hubs = nodes.select("node", F.lit(1.0).alias("hub"))
+    auths = nodes.select("node", F.lit(1.0).alias("authority"))
+    for _ in range(iterations):
+        a_raw = (
+            e.join(hubs.withColumnRenamed("node", "__s"), "__s")
+            .groupBy(F.col("__d").alias("node"))
+            .agg(F.sum(F.round("hub", 9).cast(_CONTRIB_DEC)).alias("__a"))
+        )
+        a_raw = nodes.join(a_raw, "node", "left").select(
+            "node",
+            F.coalesce(F.col("__a").cast("double"), F.lit(0.0)).alias("authority"),
+        )
+        auths = _normalize(a_raw, "authority").localCheckpoint()
+        h_raw = (
+            e.join(auths.withColumnRenamed("node", "__d"), "__d")
+            .groupBy(F.col("__s").alias("node"))
+            .agg(F.sum(F.round("authority", 9).cast(_CONTRIB_DEC)).alias("__h"))
+        )
+        h_raw = nodes.join(h_raw, "node", "left").select(
+            "node",
+            F.coalesce(F.col("__h").cast("double"), F.lit(0.0)).alias("hub"),
+        )
+        hubs = _normalize(h_raw, "hub").localCheckpoint()
+    return auths.join(hubs, "node").select("node", "authority", "hub")
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+) -> DataFrame:
+    """Deterministic synchronous label propagation (community detection)
+    over an UNDIRECTED simple graph after exactly ``iterations`` rounds.
+    Returns ``(node, community)`` where ``community`` is the surviving
+    label (initially each node's own id).
+
+    Update rule (all nodes in parallel, integer arithmetic only —
+    trivially oracle-able): each node adopts the label with the highest
+    vote count among its neighbors' current labels PLUS its own current
+    label (the self-vote damps the 2-cycle oscillation synchronous LPA
+    is known for on bipartite structures); ties break toward the
+    SMALLEST label. A fixed iteration count makes the output exact and
+    engine-replayable regardless of convergence.
+
+    Scale shape: per round ONE edge-keyed join (neighbor label lookup) +
+    ONE (node, label) count aggregate + ONE per-node arg-min — the same
+    bounded power-iteration shape as ``pagerank``; state is one row per
+    node, lineage cut per round with ``localCheckpoint``.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    both = canon.union(
+        canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=False)
+    nodes = both.select(F.col("a").alias("node")).distinct().localCheckpoint()
+    labels = nodes.select("node", F.col("node").alias("community"))
+    for _ in range(iterations):
+        votes = (
+            both.join(labels.withColumnRenamed("node", "b"), "b")
+            .select(F.col("a").alias("node"), "community")
+            .union(labels.select("node", "community"))  # self-vote
+            .groupBy("node", "community")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        # arg-max by (count DESC, label ASC) via a struct min: min over
+        # (-count, label) is (max count, then min label) — one aggregate,
+        # no ranking window.
+        labels = (
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("__c")).alias("nc"),
+                        F.col("community").alias("l"),
+                    )
+                ).alias("__b")
+            )
+            .select("node", F.col("__b.l").alias("community"))
+            .localCheckpoint()
+        )
+    return labels
+
+
 def cooccurrence_edges(
     df: DataFrame,
     bucket_cols: Sequence[str],

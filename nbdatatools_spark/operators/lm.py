@@ -1119,3 +1119,68 @@ def ppmi_word_vectors(
     return spark.createDataFrame(
         rows, "token string, freq bigint, vector array<double>"
     ).orderBy(F.desc("freq"), "token")
+
+
+def negative_sampling_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 1000,
+    power: float = 0.75,
+) -> DataFrame:
+    """word2vec-style negative-sampling table (Mikolov et al.,
+    "Distributed Representations of Words and Phrases...", NeurIPS 2013
+    §2.2): the top-``vocab_size`` tokens by count with sampling weight
+    proportional to ``count^power`` (0.75 dampens head dominance) and the
+    cumulative weight boundary a sampler needs for inverse-CDF draws —
+    the companion table to ppmi_word_vectors' static embeddings.
+
+    Exactness: weights are ``round(count^0.75, 9)`` DECIMAL-normalized
+    by their DECIMAL sum (order-invariant); ``cum_weight`` is a running
+    DECIMAL sum over the deterministic (count DESC, token ASC) order, so
+    every boundary is engine-exact. The final row's cum_weight is the
+    rounding-residual short of 1.0 by construction — samplers clamp.
+
+    Scale shape: ONE explode -> token count aggregate (map-side partial,
+    md5-digest keys are unnecessary here because the vocab cut happens
+    immediately); the top-k cut is a TakeOrderedAndProject; the running
+    sum is a window over the VOCAB-sized table only (bounded by
+    ``vocab_size``, never corpus-sized — the vocab_topk discipline).
+
+    Returns ``(rank, token, count, weight, cum_weight)``.
+    """
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    counts = (
+        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), F.asc("token"))
+        .limit(vocab_size)
+    )
+    w = F.round(F.pow(F.col("count").cast("double"), F.lit(float(power))), 9)
+    weighted = counts.select(
+        "token", "count", w.cast(_TERM_DEC).alias("__w")
+    )
+    denom = weighted.agg(F.sum("__w").cast(_SUM_DEC).alias("__z"))
+    order = Window.orderBy(F.desc("count"), F.asc("token"))
+    return (
+        weighted.crossJoin(F.broadcast(denom))
+        .select(
+            F.row_number().over(order).alias("rank"),
+            "token",
+            "count",
+            F.round((F.col("__w") / F.col("__z")).cast("double"), 9).alias(
+                "weight"
+            ),
+            F.round(
+                (
+                    F.sum("__w").over(
+                        order.rowsBetween(Window.unboundedPreceding, 0)
+                    )
+                    / F.col("__z")
+                ).cast("double"),
+                9,
+            ).alias("cum_weight"),
+        )
+        .orderBy("rank")
+    )

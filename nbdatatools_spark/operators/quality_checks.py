@@ -418,3 +418,98 @@ def chi_square_independence(
             ).alias("cramers_v"),
         )
     )
+
+
+def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Mutual information + normalized MI between two categorical columns
+    (chi_square_independence's information-theoretic sibling; NMI here
+    measures column-vs-column metadata entanglement, distinct from
+    clustering.cluster_label_agreement which scores a clustering against
+    ground truth).
+
+    ``MI = sum_cells (o/n) * ln(o*n / (na*nb))`` over OBSERVED cells
+    (empty cells contribute 0 in the limit); ``H(X) = -sum (na/n) ln(na/n)``;
+    ``NMI = MI / sqrt(H(X) * H(Y))`` (NULL when either entropy is 0 — a
+    constant column carries no information to normalize by).
+
+    Scale shape: ONE groupBy(a, b) contingency aggregate (map-side
+    partial); marginals re-aggregate the cell table, which is
+    broadcast-sized for real categorical columns. Cell terms round to
+    9dp and DECIMAL-sum (order-invariant); outputs round to 6dp. Null
+    categories participate via a sentinel.
+
+    Returns one row ``(n, levels_a, levels_b, mi, h_a, h_b, nmi)``.
+    """
+    base = df.select(
+        F.coalesce(F.col(col_a).cast("string"), F.lit("<null>")).alias("a"),
+        F.coalesce(F.col(col_b).cast("string"), F.lit("<null>")).alias("b"),
+    )
+    cells = base.groupBy("a", "b").agg(F.count(F.lit(1)).alias("o"))
+    ma = cells.groupBy("a").agg(F.sum("o").alias("na"))
+    mb = cells.groupBy("b").agg(F.sum("o").alias("nb"))
+    n = cells.agg(F.sum("o").alias("n"))
+
+    def _entropy(marg: DataFrame, cnt: str, out: str) -> DataFrame:
+        return (
+            marg.crossJoin(F.broadcast(n))
+            .select(
+                F.round(
+                    -(F.col(cnt).cast("double") / F.col("n"))
+                    * F.log(F.col(cnt).cast("double") / F.col("n")),
+                    9,
+                ).alias("t")
+            )
+            .agg(
+                F.sum(F.col("t").cast("decimal(30,9)"))
+                .cast("decimal(38,9)")
+                .cast("double")
+                .alias(out)
+            )
+        )
+
+    mi_terms = (
+        cells.join(ma, "a")
+        .join(mb, "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.round(
+                (F.col("o").cast("double") / F.col("n"))
+                * F.log(
+                    F.col("o").cast("double")
+                    * F.col("n")
+                    / (F.col("na").cast("double") * F.col("nb"))
+                ),
+                9,
+            ).alias("t")
+        )
+    )
+    mi = mi_terms.agg(
+        F.sum(F.col("t").cast("decimal(30,9)"))
+        .cast("decimal(38,9)")
+        .cast("double")
+        .alias("mi_raw")
+    )
+    dims = cells.agg(
+        F.countDistinct("a").alias("levels_a"),
+        F.countDistinct("b").alias("levels_b"),
+    )
+    return (
+        n.crossJoin(F.broadcast(dims))
+        .crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(_entropy(ma, "na", "ha_raw")))
+        .crossJoin(F.broadcast(_entropy(mb, "nb", "hb_raw")))
+        .select(
+            "n",
+            "levels_a",
+            "levels_b",
+            F.round("mi_raw", 6).alias("mi"),
+            F.round("ha_raw", 6).alias("h_a"),
+            F.round("hb_raw", 6).alias("h_b"),
+            F.when(
+                (F.col("ha_raw") > 0.0) & (F.col("hb_raw") > 0.0),
+                F.round(
+                    F.col("mi_raw") / F.sqrt(F.col("ha_raw") * F.col("hb_raw")), 6
+                ),
+            ).alias("nmi"),
+        )
+    )

@@ -1295,3 +1295,57 @@ def cross_correlation(
         )
         .orderBy("lag")
     )
+
+
+def burstiness(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    min_events: int = 3,
+) -> DataFrame:
+    """Per-entity inter-arrival burstiness (Goh & Barabási, "Burstiness
+    and memory in complex systems", EPL 81, 2008): for each entity's gap
+    sequence, ``B = (sigma - mu) / (sigma + mu)`` — -1 for a perfectly
+    regular clock, 0 for a Poisson process, -> 1 for extreme bursts. The
+    bot-vs-human traffic audit (and, on document timestamps, the
+    crawl-cadence audit).
+
+    Exactness: gaps are INTEGER epoch-MICROsecond differences (B is
+    scale-invariant; the reported mean/std divide to seconds at the
+    end); mu and sigma come from integer sums (sum g, sum g^2 as
+    DECIMAL — order-invariant, overflow-proof at 100-TB event counts),
+    population sigma = sqrt(Sg2/n - mu^2) clamped at 0. One keyed lag window (per-entity,
+    parallel across entities) + one keyed aggregate — no global sort.
+    Entities with fewer than ``min_events`` events carry no gap
+    statistics and are dropped.
+
+    Returns ``(<user_col>, n_events, mean_gap_s, std_gap_s, burstiness)``
+    rounded to 6dp.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gaps = df.select(F.col(user_col), (us - F.lag(us).over(w)).alias("g"))
+    stats = (
+        gaps.groupBy(user_col)
+        .agg(
+            (F.count(F.lit(1))).alias("n_rows"),
+            F.count("g").alias("n_gaps"),
+            F.sum(F.col("g").cast("decimal(38,0)")).alias("sg"),
+            F.sum(F.col("g").cast("decimal(19,0)") * F.col("g")).alias("sg2"),
+        )
+        .where(F.col("n_rows") >= min_events)
+    )
+    mu = F.col("sg").cast("double") / F.col("n_gaps")
+    var = F.greatest(
+        F.lit(0.0), F.col("sg2").cast("double") / F.col("n_gaps") - mu * mu
+    )
+    sig = F.sqrt(var)
+    return stats.select(
+        F.col(user_col),
+        F.col("n_rows").alias("n_events"),
+        F.round(mu / 1e6, 6).alias("mean_gap_s"),
+        F.round(sig / 1e6, 6).alias("std_gap_s"),
+        F.when(sig + mu > 0.0, F.round((sig - mu) / (sig + mu), 6)).alias(
+            "burstiness"
+        ),
+    )
