@@ -4506,7 +4506,7 @@ def _textrank_oracle(
                 FROM prs GROUP BY u, v),
         e AS (SELECT u AS s, v AS d, w FROM und
               UNION ALL SELECT v AS s, u AS d, w FROM und),
-        nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+        nodes AS MATERIALIZED (SELECT s AS node FROM e UNION SELECT d FROM e),
         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
         ow AS (SELECT s, sum(w) AS ow FROM e GROUP BY s),
         ew AS (SELECT e.s, e.d, e.w, ow.ow FROM e JOIN ow USING (s)),
@@ -5128,7 +5128,7 @@ def _pagerank_oracle(iterations: int = 10, damping: float = 0.85) -> str:
                    CAST(count(*) AS DOUBLE) AS w
             FROM p WHERE to_type IS NOT NULL
             GROUP BY from_type, to_type),
-        nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+        nodes AS MATERIALIZED (SELECT s AS node FROM e UNION SELECT d FROM e),
         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
         ow AS (SELECT s, sum(w) AS ow FROM e GROUP BY s),
         ew AS (SELECT e.s, e.d, e.w, ow.ow FROM e JOIN ow USING (s)),
@@ -10352,3 +10352,694 @@ def oracle_sql() -> dict[str, str]:
             FROM ns CROSS JOIN stats
         """,
     }
+
+
+# ============================================================================
+# ROUND-8 CANDIDATES — staged OUTSIDE the live registry.
+#
+# The round-7 recording window is full (43 first recordings + fillers +
+# the pinned slot 49) and the zero-PENDING-carryover discipline (r6
+# verdict #7) holds, so new gates land here with their oracles and
+# rotate INTO queries()/oracle_sql() window slots at the round-8 head.
+# `scripts/check_oracle.py --candidates <sf_dir>` sweeps this registry
+# with the same bit-exact compare as the live one, and
+# tests/test_round8_candidates.py pins the full set at sf0.001.
+# ============================================================================
+
+def events_hits(spark, sf_dir):
+    """HITS hub/authority scores over the event-type transition graph
+    (graph.py::hits_scores, 5 fixed synchronous rounds): which states
+    route journeys (hubs) vs receive them (authorities) — PageRank's
+    bipartite-role sibling. Each half-step is one edge-keyed join + one
+    keyed aggregate; 9dp DECIMAL-summed raw scores and DECIMAL-summed
+    squared norms make every value bit-replayable; the oracle chains 5
+    explicit iteration CTE pairs."""
+    from nbdatatools_spark.operators.graph import hits_scores
+
+    edges = events_transition_counts(spark, sf_dir)
+    h = hits_scores(edges, src="from_type", dst="to_type", iterations=5)
+    return h.select(
+        F.col("node").alias("event_type"),
+        F.round("authority", 6).alias("authority"),
+        F.round("hub", 6).alias("hub"),
+    ).orderBy("event_type")
+
+
+def events_label_propagation(spark, sf_dir):
+    """Synchronous label-propagation communities over the user
+    co-visitation graph (graph.py::label_propagation, 4 fixed rounds,
+    self-vote, ties to the smallest label) — the community readout on
+    the SAME capped/supported edge list the triangle census uses. All
+    integer arithmetic; the oracle unrolls every round with a QUALIFY
+    arg-max."""
+    from nbdatatools_spark.operators.graph import (
+        cooccurrence_edges,
+        label_propagation,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    occ = ev.select(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
+    )
+    edges = cooccurrence_edges(
+        occ, ["event_type", "h"], "user_id", max_bucket=100, min_support=3
+    )
+    return (
+        label_propagation(edges, iterations=4)
+        .select(F.col("node").alias("user_id"), "community")
+        .orderBy("user_id")
+    )
+
+
+def embedding_kcenter(spark, sf_dir):
+    """Greedy k-center (farthest-point) coreset selection over the full
+    embedding table (clustering.py::kcenter_select, k=8, seed = min id):
+    the diversity-driven data-selection primitive (Sener & Savarese
+    ICLR'18). Squared distances via the x.x - 2x.c + c.c identity with
+    left-to-right folds (the knn_euclidean discipline), 9dp-rounded,
+    argmax ties to the smallest id; the oracle unrolls all 8 selections
+    into chained ORDER BY ... LIMIT 1 CTEs."""
+    from nbdatatools_spark.operators.clustering import kcenter_select
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sel = kcenter_select(emb, k=8)
+    return sel.select(
+        "rank", "vec_id", F.round("sq_dist", 6).alias("sq_dist")
+    ).orderBy("rank")
+
+
+def doc_cosine_threshold_pairs(spark, sf_dir):
+    """EXACT cosine-threshold similarity join (dedup.py::
+    cosine_threshold_pairs, tau=0.9) — prefix-filtered AllPairs (Bayardo
+    et al. WWW'07): the zero-recall-loss near-dup join. Tokens shuffle
+    as md5 digests; candidates come from rarest-first prefix postings
+    only; verify is candidate-keyed. The oracle replays the identical
+    pipeline (global (df, digest) order, DECIMAL suffix norms, DECIMAL
+    dot products) — hash-exact."""
+    from nbdatatools_spark.operators.dedup import cosine_threshold_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return cosine_threshold_pairs(docs, threshold=0.9).orderBy("id_a", "id_b")
+
+
+def doc_metadata_mi(spark, sf_dir):
+    """Mutual information + NMI between language and source
+    (quality_checks.py::mutual_information): the information-theoretic
+    bias audit (chi2's sibling) — how much knowing the source tells you
+    about the language. One contingency aggregate; 9dp DECIMAL-summed
+    cell terms — hash-exact."""
+    from nbdatatools_spark.operators.quality_checks import mutual_information
+
+    return mutual_information(_t(spark, sf_dir, "documents"), "lang", "source")
+
+
+def corpus_negative_sampling(spark, sf_dir):
+    """word2vec negative-sampling table (lm.py::negative_sampling_table,
+    top-100 vocab, count^0.75): sampling weights + inverse-CDF cumulative
+    boundaries. DECIMAL-normalized weights and a vocab-bounded running
+    DECIMAL sum — hash-exact."""
+    from nbdatatools_spark.operators.lm import negative_sampling_table
+
+    return negative_sampling_table(
+        _t(spark, sf_dir, "documents"), vocab_size=100
+    )
+
+
+def events_burstiness(spark, sf_dir):
+    """Per-user inter-arrival burstiness B = (sigma-mu)/(sigma+mu)
+    (temporal.py::burstiness, Goh & Barabási 2008): the bot-vs-human
+    cadence audit. Integer microsecond gaps, DECIMAL moment sums, one
+    keyed lag window ordered by (ts, event_id) — hash-exact."""
+    from nbdatatools_spark.operators.temporal import burstiness
+
+    ev = _t(spark, sf_dir, "events")
+    return burstiness(ev, min_events=3, tie_col="event_id").orderBy("user_id")
+
+
+def doc_score_quantile_align(spark, sf_dir):
+    """Per-slice score quantile alignment (evaluation.py::
+    score_quantile_align): replace the quality score with its
+    tie-averaged percent rank INSIDE each source, so one global cut
+    means the same thing on every slice (the fix for the per-source
+    scorer bias doc_sliced_auc diagnoses). Keyed windows over per-(source,
+    score) groups only — hash-exact."""
+    from nbdatatools_spark.functions.text import quality_score
+    from nbdatatools_spark.operators.evaluation import score_quantile_align
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.round(quality_score(F.col("text")), 6).alias("score"),
+    )
+    out = score_quantile_align(docs, "score", "source")
+    return out.select("doc_id", "source", "score", "score_pct").orderBy("doc_id")
+
+
+def doc_compression_ratio(spark, sf_dir):
+    """DEFLATE compression-ratio quality signal (functions/text.py::
+    compression_ratio): zlib level-6 compressed-bytes / raw-bytes per
+    document — the classic repetition/boilerplate page filter (Dolma,
+    RedPajama-v2 family). DEFLATE is not SQL-expressible, so this is a
+    ROWS-ONLY gate by design (pytest pins the zlib differential and the
+    repetitive < diverse ordering); the Arrow-batched pandas UDF is the
+    module's one intentional Python kernel."""
+    from nbdatatools_spark.functions.text import compression_ratio
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id", compression_ratio(F.col("text")).alias("compression_ratio")
+    ).orderBy("doc_id")
+
+
+def _hits_oracle(iterations: int = 5) -> str:
+    """DuckDB replica of graph.hits_scores over the transition graph:
+    every synchronous round unrolled — raw sums are round(,9)-then-
+    DECIMAL(28,9)-summed per in/out neighborhood, the L2 norm is sqrt of
+    a DECIMAL sum of 9dp squares, the normalized score one double divide
+    rounded to 9dp; identical expression trees to the engine."""
+    its = []
+    for t in range(1, iterations + 1):
+        its.append(f"""
+        ar{t} AS MATERIALIZED (
+            SELECT nodes.node, coalesce(CAST(s.v AS DOUBLE), 0.0) AS v
+            FROM nodes LEFT JOIN (
+                SELECT e.d AS node,
+                       sum(CAST(round(h{t - 1}.v, 9) AS DECIMAL(28,9))) AS v
+                FROM e JOIN h{t - 1} ON e.s = h{t - 1}.node
+                GROUP BY e.d) s ON nodes.node = s.node),
+        an{t} AS MATERIALIZED (
+            SELECT sqrt(CAST(sum(CAST(round(v * v, 9) AS DECIMAL(28,9)))
+                        AS DOUBLE)) AS n
+            FROM ar{t}),
+        a{t} AS MATERIALIZED (
+            SELECT node, CASE WHEN n > 0.0 THEN round(v / n, 9)
+                              ELSE 0.0 END AS v
+            FROM ar{t} CROSS JOIN an{t}),
+        hr{t} AS MATERIALIZED (
+            SELECT nodes.node, coalesce(CAST(s.v AS DOUBLE), 0.0) AS v
+            FROM nodes LEFT JOIN (
+                SELECT e.s AS node,
+                       sum(CAST(round(a{t}.v, 9) AS DECIMAL(28,9))) AS v
+                FROM e JOIN a{t} ON e.d = a{t}.node
+                GROUP BY e.s) s ON nodes.node = s.node),
+        hn{t} AS MATERIALIZED (
+            SELECT sqrt(CAST(sum(CAST(round(v * v, 9) AS DECIMAL(28,9)))
+                        AS DOUBLE)) AS n
+            FROM hr{t}),
+        h{t} AS MATERIALIZED (
+            SELECT node, CASE WHEN n > 0.0 THEN round(v / n, 9)
+                              ELSE 0.0 END AS v
+            FROM hr{t} CROSS JOIN hn{t})""")
+    return f"""
+        WITH p AS (
+            SELECT user_id, event_type AS from_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS to_type
+            FROM events),
+        e AS (
+            SELECT DISTINCT from_type AS s, to_type AS d
+            FROM p WHERE to_type IS NOT NULL),
+        nodes AS MATERIALIZED (SELECT s AS node FROM e UNION SELECT d FROM e),
+        h0 AS MATERIALIZED (SELECT node, 1.0 AS v FROM nodes),
+        {",".join(its)}
+        SELECT a{iterations}.node AS event_type,
+               round(a{iterations}.v, 6) AS authority,
+               round(h{iterations}.v, 6) AS hub
+        FROM a{iterations} JOIN h{iterations} USING (node)
+        ORDER BY event_type
+    """
+
+
+def _lpa_oracle(iterations: int = 4) -> str:
+    """DuckDB replica of graph.label_propagation over the co-visitation
+    graph (the triangle census's edge construction verbatim): every
+    synchronous round unrolled — neighbor + self votes counted per
+    (node, label), arg-max by (count DESC, label ASC) via QUALIFY."""
+    its = []
+    for t in range(1, iterations + 1):
+        its.append(f"""
+        v{t} AS MATERIALIZED (
+            SELECT node, c, count(*) AS cnt FROM (
+                SELECT bo.a AS node, l{t - 1}.c AS c
+                FROM bidir bo JOIN l{t - 1} ON bo.b = l{t - 1}.node
+                UNION ALL
+                SELECT node, c FROM l{t - 1})
+            GROUP BY node, c),
+        l{t} AS MATERIALIZED (
+            SELECT node, c FROM v{t}
+            QUALIFY row_number() OVER (PARTITION BY node
+                                       ORDER BY cnt DESC, c ASC) = 1)""")
+    return f"""
+        WITH occ0 AS (
+            SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id
+            FROM events),
+        kept AS (
+            SELECT event_type, h FROM occ0
+            GROUP BY event_type, h HAVING count(*) <= 100),
+        occ AS (
+            SELECT o.event_type, o.h, o.user_id
+            FROM occ0 o JOIN kept k
+              ON o.event_type = k.event_type AND o.h = k.h),
+        edges AS (
+            SELECT a.user_id AS a, b.user_id AS b
+            FROM occ a JOIN occ b
+              ON a.event_type = b.event_type AND a.h = b.h
+             AND a.user_id < b.user_id
+            GROUP BY a.user_id, b.user_id
+            HAVING count(*) >= 3),
+        bidir AS MATERIALIZED (SELECT a, b FROM edges
+                 UNION ALL SELECT b AS a, a AS b FROM edges),
+        nodes AS MATERIALIZED (SELECT DISTINCT a AS node FROM bidir),
+        l0 AS MATERIALIZED (SELECT node, node AS c FROM nodes),
+        {",".join(its)}
+        SELECT node AS user_id, c AS community
+        FROM l{iterations} ORDER BY user_id
+    """
+
+
+def _kcenter_oracle(k: int = 8) -> str:
+    """DuckDB replica of clustering.kcenter_select: the greedy
+    farthest-point loop unrolled — seed = min id, every squared distance
+    the x.x - 2x.c + c.c identity over list_inner_product (bit-matching
+    the engine's folds), clamped + 9dp-rounded, argmax ties to the
+    smallest id."""
+    steps = []
+    finals = ["SELECT 1 AS rank, id AS vec_id, CAST(NULL AS DOUBLE) AS sq_dist FROM c1"]
+    for t in range(2, k + 1):
+        prev_m = f"m{t - 1}"
+        steps.append(f"""
+        c{t} AS MATERIALIZED (SELECT id, e, ss, mind FROM {prev_m}
+                 ORDER BY mind DESC, id ASC LIMIT 1)""")
+        if t < k:
+            steps.append(f"""
+        m{t} AS MATERIALIZED (
+            SELECT m.id, m.e, m.ss,
+                   least(m.mind,
+                         round(greatest(0.0, m.ss
+                               - 2 * list_inner_product(m.e, c.e) + c.ss),
+                               9)) AS mind
+            FROM {prev_m} m CROSS JOIN c{t} c WHERE m.id <> c.id)""")
+        finals.append(
+            f"SELECT {t}, id, round(mind, 6) FROM c{t}"
+        )
+    return f"""
+        WITH pts AS (
+            SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e,
+                   list_inner_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])) AS ss
+            FROM embeddings),
+        c1 AS MATERIALIZED (SELECT id, e, ss FROM pts ORDER BY id ASC LIMIT 1),
+        m1 AS MATERIALIZED (
+            SELECT p.id, p.e, p.ss,
+                   round(greatest(0.0, p.ss
+                         - 2 * list_inner_product(p.e, c.e) + c.ss), 9) AS mind
+            FROM pts p CROSS JOIN c1 c WHERE p.id <> c.id),
+        {",".join(steps)}
+        SELECT * FROM ({" UNION ALL ".join(finals)}) ORDER BY rank
+    """
+
+
+def _cosine_pairs_oracle(threshold: float = 0.9) -> str:
+    """DuckDB replica of dedup.cosine_threshold_pairs: the full AllPairs
+    pipeline — md5 token digests, integer norm, global (df ASC, digest
+    ASC) order, DECIMAL suffix norms with the 1e-6 soundness slack,
+    prefix-posting candidate join, DECIMAL dot-product verify."""
+    tau2 = repr(threshold * threshold - 1e-6)
+    tau = repr(float(threshold))
+    return f"""
+        WITH tok AS (
+            SELECT doc_id AS id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+            FROM documents WHERE length(trim(text)) > 0),
+        tf AS (
+            SELECT id, md5(t) AS h, count(*) AS tf
+            FROM tok WHERE t <> '' GROUP BY id, md5(t)),
+        nrm AS (
+            SELECT id, sqrt(CAST(sum(tf * tf) AS DOUBLE)) AS nr
+            FROM tf GROUP BY id),
+        post AS (
+            SELECT tf.id, tf.h, CAST(tf AS DOUBLE) / nr AS w
+            FROM tf JOIN nrm ON tf.id = nrm.id),
+        dfq AS (SELECT h, count(*) AS df FROM post GROUP BY h),
+        sfx AS (
+            SELECT post.id, post.h, post.w,
+                   CAST(sum(CAST(round(w * w, 9) AS DECIMAL(20,9)))
+                        OVER (PARTITION BY post.id
+                              ORDER BY dfq.df ASC, post.h ASC
+                              ROWS BETWEEN CURRENT ROW
+                              AND UNBOUNDED FOLLOWING) AS DOUBLE) AS s
+            FROM post JOIN dfq ON post.h = dfq.h),
+        pre AS (SELECT id, h FROM sfx WHERE s >= {tau2}),
+        cand AS (
+            SELECT DISTINCT pa.id AS a, pb.id AS b
+            FROM pre pa JOIN pre pb ON pa.h = pb.h AND pa.id < pb.id),
+        ver AS (
+            SELECT c.a, c.b,
+                   CAST(CAST(sum(CAST(round(wa.w * wb.w, 9)
+                        AS DECIMAL(20,9))) AS DECIMAL(38,9)) AS DOUBLE) AS cos
+            FROM cand c
+            JOIN post wa ON wa.id = c.a
+            JOIN post wb ON wb.id = c.b AND wb.h = wa.h
+            GROUP BY c.a, c.b
+            HAVING CAST(CAST(sum(CAST(round(wa.w * wb.w, 9)
+                  AS DECIMAL(20,9))) AS DECIMAL(38,9)) AS DOUBLE) >= {tau})
+        SELECT a AS id_a, b AS id_b, round(cos, 6) AS cosine
+        FROM ver ORDER BY id_a, id_b
+    """
+
+
+def round8_candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Round-8 rotation candidates: same contract as queries(), kept out
+    of the live window so the round-7 recording layout stays attested.
+    Rotate into window slots 0..N at the round-8 head."""
+    return {
+        "events_hits": events_hits,
+        "events_label_propagation": events_label_propagation,
+        "embedding_kcenter": embedding_kcenter,
+        "doc_cosine_threshold_pairs": doc_cosine_threshold_pairs,
+        "doc_metadata_mi": doc_metadata_mi,
+        "corpus_negative_sampling": corpus_negative_sampling,
+        "events_burstiness": events_burstiness,
+        "doc_score_quantile_align": doc_score_quantile_align,
+        "doc_compression_ratio": doc_compression_ratio,
+        "corpus_ppmi_invariants": corpus_ppmi_invariants,
+    }
+
+
+def round8_candidate_oracles() -> dict[str, str]:
+    """DuckDB oracles for the round-8 candidates (doc_compression_ratio
+    is rows-only by design: DEFLATE is not SQL-expressible)."""
+    return {
+        "events_hits": _hits_oracle(5),
+        "events_label_propagation": _lpa_oracle(4),
+        "embedding_kcenter": _kcenter_oracle(8),
+        "doc_cosine_threshold_pairs": _cosine_pairs_oracle(0.9),
+        "doc_metadata_mi": """
+            WITH base AS (
+                SELECT coalesce(CAST(lang AS VARCHAR), '<null>') AS a,
+                       coalesce(CAST(source AS VARCHAR), '<null>') AS b
+                FROM documents),
+            cells AS (SELECT a, b, count(*) AS o FROM base GROUP BY a, b),
+            ma AS (SELECT a, CAST(sum(o) AS BIGINT) AS na FROM cells GROUP BY a),
+            mb AS (SELECT b, CAST(sum(o) AS BIGINT) AS nb FROM cells GROUP BY b),
+            n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+            mi AS (
+                SELECT CAST(CAST(sum(CAST(round(
+                           (CAST(o AS DOUBLE) / n.n)
+                           * ln(CAST(o AS DOUBLE) * n.n
+                                / (CAST(na AS DOUBLE) * nb)), 9)
+                       AS DECIMAL(30,9))) AS DECIMAL(38,9)) AS DOUBLE) AS v
+                FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN n),
+            ha AS (
+                SELECT CAST(CAST(sum(CAST(round(
+                           -(CAST(na AS DOUBLE) / n.n)
+                           * ln(CAST(na AS DOUBLE) / n.n), 9)
+                       AS DECIMAL(30,9))) AS DECIMAL(38,9)) AS DOUBLE) AS v
+                FROM ma CROSS JOIN n),
+            hb AS (
+                SELECT CAST(CAST(sum(CAST(round(
+                           -(CAST(nb AS DOUBLE) / n.n)
+                           * ln(CAST(nb AS DOUBLE) / n.n), 9)
+                       AS DECIMAL(30,9))) AS DECIMAL(38,9)) AS DOUBLE) AS v
+                FROM mb CROSS JOIN n),
+            dims AS (SELECT CAST(count(DISTINCT a) AS BIGINT) AS levels_a,
+                            CAST(count(DISTINCT b) AS BIGINT) AS levels_b
+                     FROM cells)
+            SELECT n.n, dims.levels_a, dims.levels_b,
+                   round(mi.v, 6) AS mi,
+                   round(ha.v, 6) AS h_a,
+                   round(hb.v, 6) AS h_b,
+                   CASE WHEN ha.v > 0.0 AND hb.v > 0.0
+                        THEN round(mi.v / sqrt(ha.v * hb.v), 6) END AS nmi
+            FROM n CROSS JOIN dims CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb
+        """,
+        "corpus_negative_sampling": """
+            WITH tok AS (
+                SELECT unnest(regexp_split_to_array(trim(lower(text)),
+                                                    '\\s+')) AS token
+                FROM documents WHERE length(trim(text)) > 0),
+            g AS (
+                SELECT token, CAST(count(*) AS BIGINT) AS count
+                FROM tok WHERE token <> ''
+                GROUP BY token
+                ORDER BY count DESC, token ASC LIMIT 100),
+            w AS (
+                SELECT token, count,
+                       CAST(round(pow(CAST(count AS DOUBLE), 0.75), 9)
+                            AS DECIMAL(20,9)) AS wv
+                FROM g),
+            z AS (SELECT CAST(sum(wv) AS DECIMAL(38,9)) AS z FROM w)
+            SELECT CAST(row_number() OVER (ORDER BY count DESC, token ASC)
+                        AS INT) AS rank,
+                   token, count,
+                   round(CAST(wv AS DOUBLE) / CAST(z AS DOUBLE), 9) AS weight,
+                   round(CAST(sum(wv) OVER (ORDER BY count DESC, token ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS DOUBLE) / CAST(z AS DOUBLE), 9) AS cum_weight
+            FROM w CROSS JOIN z ORDER BY rank
+        """,
+        "events_burstiness": """
+            WITH g AS (
+                SELECT user_id,
+                       epoch_us(ts) - lag(epoch_us(ts))
+                           OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS g
+                FROM events),
+            s AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                       count(g) AS n_gaps,
+                       CAST(sum(g) AS DOUBLE) AS sg,
+                       CAST(sum(CAST(g AS HUGEINT) * g) AS DOUBLE) AS sg2
+                FROM g GROUP BY user_id HAVING count(*) >= 3)
+            SELECT user_id, n_events,
+                   round((sg / n_gaps) / 1000000.0, 6) AS mean_gap_s,
+                   round(sqrt(greatest(0.0, sg2 / n_gaps
+                              - (sg / n_gaps) * (sg / n_gaps))) / 1000000.0,
+                         6) AS std_gap_s,
+                   CASE WHEN sqrt(greatest(0.0, sg2 / n_gaps
+                                 - (sg / n_gaps) * (sg / n_gaps)))
+                             + sg / n_gaps > 0.0
+                        THEN round((sqrt(greatest(0.0, sg2 / n_gaps
+                                        - (sg / n_gaps) * (sg / n_gaps)))
+                                    - sg / n_gaps)
+                                   / (sqrt(greatest(0.0, sg2 / n_gaps
+                                          - (sg / n_gaps) * (sg / n_gaps)))
+                                      + sg / n_gaps), 6)
+                   END AS burstiness
+            FROM s ORDER BY user_id
+        """,
+        "corpus_ppmi_invariants": _ppmi_oracle(2, 512),
+        "doc_score_quantile_align": f"""
+            WITH sc AS (SELECT doc_id, source, {_QUALITY6} AS score
+                        FROM documents),
+            g AS (SELECT source, score, count(*) AS n
+                  FROM sc GROUP BY source, score),
+            t AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot
+                  FROM g GROUP BY source),
+            r AS (SELECT source, score,
+                         CAST(coalesce(sum(n) OVER (PARTITION BY source
+                              ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS DOUBLE)
+                         + (n + 1) / 2.0 AS avg_rank
+                  FROM g),
+            p AS (SELECT r.source, r.score,
+                         CASE WHEN t.tot > 1
+                              THEN round((avg_rank - 1) / (t.tot - 1), 6)
+                              ELSE 0.5 END AS score_pct
+                  FROM r JOIN t ON r.source = t.source)
+            SELECT sc.doc_id, sc.source, sc.score, p.score_pct
+            FROM sc JOIN p ON sc.source = p.source AND sc.score = p.score
+            ORDER BY sc.doc_id
+        """,
+    }
+
+
+def corpus_ppmi_invariants(spark, sf_dir):
+    """Pinned-invariant gate for PPMI-SVD static word vectors
+    (lm.py::ppmi_word_vectors — Levy & Goldberg 2014; the SVD runs on
+    the driver over the vocab-bounded PPMI matrix, so the vectors
+    themselves are not SQL-expressible; the fit_embeddings_model
+    discipline applies).
+
+    Exact SQL-replicable scalars (computed here as DataFrame ops with
+    the identical expression trees the oracle replays): vocabulary
+    size, total symmetric co-occurrence count T, the PPMI Frobenius
+    norm^2 (9dp DECIMAL-summed squared cells), and the arg-max PPMI
+    cell with its (wa, wb) tie-break. Boolean contract on the SVD
+    output (exact order statistics, tolerance only for the 6dp vector
+    rounding): truncated energy <= Frobenius^2; energy >= d/V share of
+    Frobenius^2 (top-d of V nonneg values); one vector per vocab
+    token; every vector exactly min(dim, V) wide."""
+    from nbdatatools_spark.functions.text import normalize_text, tokens
+    from nbdatatools_spark.operators.lm import ppmi_word_vectors
+
+    window, vocab_size, dim = 2, 512, 64
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.posexplode_outer(tokens(normalize_text(F.col("text")))).alias(
+            "pos", "w"
+        ),
+    ).where(F.length("w") > 0)
+    vocab = (
+        base.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "w")
+        .limit(vocab_size)
+        .localCheckpoint(eager=False)
+    )
+    cpos = base.join(F.broadcast(vocab.select("w")), "w").localCheckpoint(
+        eager=False
+    )
+    offs = spark.range(1, window + 1).select(F.col("id").cast("int").alias("o"))
+    a = cpos.select("doc", "pos", F.col("w").alias("wa"))
+    b = cpos.select("doc", F.col("pos").alias("pos_b"), F.col("w").alias("wb"))
+    raw = (
+        a.join(F.broadcast(offs), F.lit(True))
+        .join(b, (b["doc"] == a["doc"]) & (b["pos_b"] == a["pos"] + F.col("o")))
+        .select("wa", "wb")
+    )
+    pairs = (
+        raw.union(raw.select(F.col("wb").alias("wa"), F.col("wa").alias("wb")))
+        .groupBy("wa", "wb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .localCheckpoint(eager=False)
+    )
+    na = pairs.groupBy("wa").agg(F.sum("n_ab").alias("na"))
+    nb = pairs.groupBy("wb").agg(F.sum("n_ab").alias("nb"))
+    tot = pairs.agg(F.sum("n_ab").alias("T"))
+    ppmi_cells = (
+        pairs.join(na, "wa")
+        .join(nb, "wb")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "wa",
+            "wb",
+            F.log(
+                (F.col("n_ab").cast("double") * F.col("T"))
+                / (F.col("na").cast("double") * F.col("nb"))
+            ).alias("pmi"),
+        )
+        .where(F.col("pmi") > 0.0)
+        .localCheckpoint(eager=False)
+    )
+    frob = ppmi_cells.agg(
+        F.round(
+            F.sum(F.round(F.col("pmi") * F.col("pmi"), 9).cast("decimal(30,9)"))
+            .cast("decimal(38,9)")
+            .cast("double"),
+            6,
+        ).alias("frobenius_sq")
+    )
+    top = (
+        ppmi_cells.orderBy(F.desc("pmi"), "wa", "wb")
+        .limit(1)
+        .select(
+            F.col("wa").alias("top_pair_wa"),
+            F.col("wb").alias("top_pair_wb"),
+            F.round("pmi", 6).alias("top_ppmi"),
+        )
+    )
+    nv = vocab.agg(F.count(F.lit(1)).alias("n_vocab"))
+
+    # --- SVD-output booleans (driver-side; the fit_model sketch shape) ---
+    vec_rows = ppmi_word_vectors(
+        docs, window=window, vocab_size=vocab_size, dim=dim
+    ).collect()
+    frob_val = float(frob.collect()[0]["frobenius_sq"])  # ||PPMI||_F^2
+    top_val = float(top.collect()[0]["top_ppmi"])  # max cell
+    v_count = int(nv.collect()[0]["n_vocab"])
+    d_eff = min(dim, v_count)
+    # W = U_d sqrt(S_d), so ||W||_F^2 = sum of the top-d singular VALUES
+    # (truncated nuclear norm) and every row norm^2 <= s_1. Spectral
+    # bounds tying the SVD output to the SQL scalars: s_1 <= ||F||,
+    # s_1 >= max|cell|, energy <= d * s_1.
+    fnorm = frob_val ** 0.5
+    energy = sum(sum(x * x for x in r["vector"]) for r in vec_rows)
+    max_rownsq = max(
+        (sum(x * x for x in r["vector"]) for r in vec_rows), default=0.0
+    )
+    tol = 1e-3  # absorbs the 6dp per-coordinate vector rounding
+    flags = {
+        "energy_le_rank_bound": energy <= d_eff * fnorm + tol,
+        "energy_ge_top_cell": energy >= top_val - tol,
+        "max_vec_normsq_le_fnorm": max_rownsq <= fnorm + tol,
+        "vocab_complete": len(vec_rows) == v_count,
+        "dims_ok": all(len(r["vector"]) == d_eff for r in vec_rows),
+    }
+    flag_cols = [F.lit(bool(v)).alias(k) for k, v in flags.items()]
+    return (
+        nv.crossJoin(F.broadcast(tot.select(F.col("T").alias("total_pairs"))))
+        .crossJoin(F.broadcast(frob))
+        .crossJoin(F.broadcast(top))
+        .select(
+            "n_vocab",
+            "total_pairs",
+            "frobenius_sq",
+            "top_pair_wa",
+            "top_pair_wb",
+            "top_ppmi",
+            *flag_cols,
+        )
+    )
+
+
+def _ppmi_oracle(window: int = 2, vocab_size: int = 512) -> str:
+    """DuckDB replica of corpus_ppmi_invariants' exact scalars (the
+    identical co-occurrence + PPMI expression trees; tokp follows the
+    textrank token-position CTE) + literal TRUEs for the SVD contract."""
+    return f"""
+        WITH nrm AS (
+            SELECT doc_id AS doc,
+                   CASE WHEN length({_NORM}) = 0 THEN []::VARCHAR[]
+                        ELSE string_split({_NORM}, ' ') END AS a
+            FROM documents),
+        tokp AS (
+            SELECT doc, CAST(generate_subscripts(a, 1) - 1 AS INT) AS pos,
+                   unnest(a) AS w
+            FROM nrm),
+        tk AS (SELECT doc, pos, w FROM tokp WHERE length(w) > 0),
+        vocab AS (
+            SELECT w, count(*) AS freq FROM tk GROUP BY w
+            ORDER BY freq DESC, w LIMIT {vocab_size}),
+        cpos AS (SELECT tk.doc, tk.pos, tk.w FROM tk
+                 JOIN vocab ON tk.w = vocab.w),
+        raw AS (
+            SELECT a.w AS wa, b.w AS wb
+            FROM cpos a
+            JOIN (SELECT unnest(generate_series(1, {window})) AS o) offs ON TRUE
+            JOIN cpos b ON b.doc = a.doc AND b.pos = a.pos + offs.o),
+        pairs AS (
+            SELECT wa, wb, count(*) AS n_ab FROM (
+                SELECT wa, wb FROM raw
+                UNION ALL SELECT wb AS wa, wa AS wb FROM raw)
+            GROUP BY wa, wb),
+        na AS (SELECT wa, sum(n_ab) AS na FROM pairs GROUP BY wa),
+        nb AS (SELECT wb, sum(n_ab) AS nb FROM pairs GROUP BY wb),
+        tot AS (SELECT sum(n_ab) AS T FROM pairs),
+        cells AS (
+            SELECT wa, wb,
+                   ln((CAST(n_ab AS DOUBLE) * T)
+                      / (CAST(na AS DOUBLE) * nb)) AS pmi
+            FROM pairs JOIN na USING (wa) JOIN nb USING (wb) CROSS JOIN tot),
+        pos_cells AS (SELECT * FROM cells WHERE pmi > 0.0),
+        frob AS (
+            SELECT round(CAST(CAST(sum(CAST(round(pmi * pmi, 9)
+                       AS DECIMAL(30,9))) AS DECIMAL(38,9)) AS DOUBLE), 6)
+                   AS frobenius_sq
+            FROM pos_cells),
+        top AS (
+            SELECT wa AS top_pair_wa, wb AS top_pair_wb,
+                   round(pmi, 6) AS top_ppmi
+            FROM pos_cells ORDER BY pmi DESC, wa, wb LIMIT 1),
+        nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vocab FROM vocab),
+        tp AS (SELECT CAST(T AS BIGINT) AS total_pairs FROM tot)
+        SELECT n_vocab, total_pairs, frobenius_sq,
+               top_pair_wa, top_pair_wb, top_ppmi,
+               TRUE AS energy_le_rank_bound,
+               TRUE AS energy_ge_top_cell,
+               TRUE AS max_vec_normsq_le_fnorm,
+               TRUE AS vocab_complete,
+               TRUE AS dims_ok
+        FROM nv CROSS JOIN tp CROSS JOIN frob CROSS JOIN top
+    """

@@ -1118,6 +1118,124 @@ def _cmd_analyze_sq8_error(args) -> int:
     return _emit_rows(sq8_error_report(df, vec_col=args.vec_col))
 
 
+def _cmd_graph(args) -> int:
+    """Graph analytics over an edge-list parquet (src/dst columns)."""
+    from pyspark.sql import functions as F
+
+    from nbdatatools_spark.operators import graph
+
+    edges = _spark().read.parquet(args.edges)
+    if args.what == "pagerank":
+        out = graph.pagerank(
+            edges, src=args.src, dst=args.dst, weight=args.weight,
+            damping=args.damping, iterations=args.iterations,
+        ).orderBy(F.desc("rank"), "node")
+    elif args.what == "hits":
+        out = graph.hits_scores(
+            edges, src=args.src, dst=args.dst, iterations=args.iterations
+        ).orderBy(F.desc("authority"), "node")
+    elif args.what == "communities":
+        lp = graph.label_propagation(
+            edges, src=args.src, dst=args.dst, iterations=args.iterations
+        )
+        out = (
+            lp.groupBy("community")
+            .agg(F.count(F.lit(1)).alias("size"))
+            .orderBy(F.desc("size"), "community")
+        )
+    else:  # triangles
+        out = graph.triangle_stats(edges, src=args.src, dst=args.dst)
+    if args.limit:
+        out = out.limit(args.limit)
+    return _emit_rows(out)
+
+
+def _cmd_corpus_cosine_pairs(args) -> int:
+    from nbdatatools_spark.operators.dedup import cosine_threshold_pairs
+
+    docs = _spark().read.parquet(args.input)
+    pairs = cosine_threshold_pairs(
+        docs, threshold=args.threshold, text_col=args.text_col,
+        id_col=args.id_col,
+    )
+    if args.output:
+        pairs.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"pairs": args.output}))
+        return 0
+    return _emit_rows(pairs.orderBy("id_a", "id_b").limit(args.limit))
+
+
+def _cmd_corpus_neg_sampling(args) -> int:
+    from nbdatatools_spark.operators.lm import negative_sampling_table
+
+    docs = _spark().read.parquet(args.input)
+    return _emit_rows(
+        negative_sampling_table(
+            docs, text_col=args.text_col, vocab_size=args.vocab_size,
+            power=args.power,
+        )
+    )
+
+
+def _cmd_corpus_ppmi(args) -> int:
+    from nbdatatools_spark.operators.lm import ppmi_word_vectors
+
+    docs = _spark().read.parquet(args.input)
+    vecs = ppmi_word_vectors(
+        docs, text_col=args.text_col, window=args.window,
+        vocab_size=args.vocab_size, dim=args.dim,
+    )
+    vecs.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"vectors": args.output}))
+    return 0
+
+
+def _cmd_corpus_compression(args) -> int:
+    from pyspark.sql import functions as F
+
+    from nbdatatools_spark.functions.text import compression_ratio
+
+    docs = _spark().read.parquet(args.input)
+    scored = docs.withColumn(
+        "compression_ratio", compression_ratio(F.col(args.text_col))
+    )
+    if args.output:
+        scored.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"scored": args.output}))
+        return 0
+    return _emit_rows(
+        scored.select(args.id_col, "compression_ratio")
+        .orderBy("compression_ratio")
+        .limit(args.limit)
+    )
+
+
+def _cmd_corpus_quantile_align(args) -> int:
+    from nbdatatools_spark.operators.evaluation import score_quantile_align
+
+    docs = _spark().read.parquet(args.input)
+    out = score_quantile_align(docs, args.score_col, args.group_col)
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"aligned": args.output}))
+    return 0
+
+
+def _cmd_analyze_mi(args) -> int:
+    from nbdatatools_spark.operators.quality_checks import mutual_information
+
+    df = _spark().read.parquet(args.input)
+    return _emit_rows(mutual_information(df, args.col_a, args.col_b))
+
+
+def _cmd_analyze_kcenter(args) -> int:
+    from nbdatatools_spark.operators.clustering import kcenter_select
+
+    df = _spark().read.parquet(args.input)
+    return _emit_rows(
+        kcenter_select(df, k=args.k, id_col=args.id_col, vec_col=args.vec_col)
+    )
+
+
 def _cmd_events(args) -> int:
     """Temporal analytics over an events parquet (ts column)."""
     from pyspark.sql import functions as F
@@ -1153,6 +1271,13 @@ def _cmd_events(args) -> int:
                 key_col=args.key_col, value_col=args.value_col,
                 max_lag=args.max_lag,
             )
+        )
+    if args.what == "burstiness":
+        return _emit_rows(
+            temporal.burstiness(
+                ev, user_col=args.user_col, ts_col=args.ts_col,
+                min_events=args.min_events,
+            ).orderBy(F.desc("burstiness"))
         )
     if args.what == "cusum":
         return _emit_rows(
@@ -2245,7 +2370,7 @@ def build_parser() -> argparse.ArgumentParser:
     evp = sub.add_parser("events").add_subparsers(dest="what", required=True)
     for w in ("seasonal", "cusum", "mad", "concurrency", "triangles",
               "theil_sen", "bootstrap_ci", "dp_counts", "k_anonymity",
-              "acf", "survival", "ccf"):
+              "acf", "survival", "ccf", "burstiness"):
         ev = evp.add_parser(w)
         ev.add_argument("--input", required=True)
         ev.add_argument("--ts-col", default="ts")
@@ -2291,7 +2416,74 @@ def build_parser() -> argparse.ArgumentParser:
         if w == "survival":
             ev.add_argument("--subject-col", default="user_id")
             ev.add_argument("--censor-days", type=int, default=7)
+        if w == "burstiness":
+            ev.add_argument("--user-col", default="user_id")
+            ev.add_argument("--min-events", type=int, default=3)
         ev.set_defaults(func=_cmd_events)
+
+    gr = sub.add_parser("graph").add_subparsers(dest="what", required=True)
+    for w in ("pagerank", "hits", "communities", "triangles"):
+        g = gr.add_parser(w)
+        g.add_argument("--edges", required=True)
+        g.add_argument("--src", default="src")
+        g.add_argument("--dst", default="dst")
+        g.add_argument("--limit", type=int, default=50)
+        if w == "pagerank":
+            g.add_argument("--weight", default=None)
+            g.add_argument("--damping", type=float, default=0.85)
+        if w in ("pagerank", "hits", "communities"):
+            g.add_argument(
+                "--iterations", type=int, default=10 if w == "pagerank" else 5
+            )
+        g.set_defaults(func=_cmd_graph)
+
+    ccp = cp.add_parser("cosine_pairs")
+    ccp.add_argument("--input", required=True)
+    ccp.add_argument("--threshold", type=float, default=0.9)
+    ccp.add_argument("--text-col", default="text")
+    ccp.add_argument("--id-col", default="doc_id")
+    ccp.add_argument("--output", default=None)
+    ccp.add_argument("--limit", type=int, default=100)
+    ccp.set_defaults(func=_cmd_corpus_cosine_pairs)
+    cns = cp.add_parser("neg_sampling")
+    cns.add_argument("--input", required=True)
+    cns.add_argument("--text-col", default="text")
+    cns.add_argument("--vocab-size", type=int, default=1000)
+    cns.add_argument("--power", type=float, default=0.75)
+    cns.set_defaults(func=_cmd_corpus_neg_sampling)
+    cpp = cp.add_parser("ppmi")
+    cpp.add_argument("--input", required=True)
+    cpp.add_argument("--output", required=True)
+    cpp.add_argument("--text-col", default="text")
+    cpp.add_argument("--window", type=int, default=2)
+    cpp.add_argument("--vocab-size", type=int, default=512)
+    cpp.add_argument("--dim", type=int, default=64)
+    cpp.set_defaults(func=_cmd_corpus_ppmi)
+    ccr = cp.add_parser("compression")
+    ccr.add_argument("--input", required=True)
+    ccr.add_argument("--text-col", default="text")
+    ccr.add_argument("--id-col", default="doc_id")
+    ccr.add_argument("--output", default=None)
+    ccr.add_argument("--limit", type=int, default=50)
+    ccr.set_defaults(func=_cmd_corpus_compression)
+    cqa = cp.add_parser("quantile_align")
+    cqa.add_argument("--input", required=True)
+    cqa.add_argument("--output", required=True)
+    cqa.add_argument("--score-col", required=True)
+    cqa.add_argument("--group-col", required=True)
+    cqa.set_defaults(func=_cmd_corpus_quantile_align)
+
+    ami = an.add_parser("mi")
+    ami.add_argument("--input", required=True)
+    ami.add_argument("--col-a", required=True)
+    ami.add_argument("--col-b", required=True)
+    ami.set_defaults(func=_cmd_analyze_mi)
+    akc = an.add_parser("kcenter")
+    akc.add_argument("--input", required=True)
+    akc.add_argument("-k", type=int, default=8)
+    akc.add_argument("--id-col", default="vec_id")
+    akc.add_argument("--vec-col", default="embedding")
+    akc.set_defaults(func=_cmd_analyze_kcenter)
 
     fx = sub.add_parser("fetch").add_subparsers(dest="what", required=True)
     fd = fx.add_parser("dlhf")

@@ -2148,9 +2148,11 @@ def cosine_threshold_pairs(
     tf = (
         docs.select(
             F.col(id_col).alias("__id"),
-            F.explode(tokens(F.lower(F.col(text_col)))).alias("__t"),
+            # explode_outer + explicit drop (the InferFiltersFromGenerate
+            # scan-filter hazard -- see winnow_candidate_pairs)
+            F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("__t"),
         )
-        .where(F.col("__t") != "")
+        .where(F.col("__t").isNotNull() & (F.col("__t") != ""))
         .groupBy("__id", F.md5("__t").alias("__h"))
         .agg(F.count(F.lit(1)).alias("__tf"))
     )

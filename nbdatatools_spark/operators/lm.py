@@ -1151,7 +1151,13 @@ def negative_sampling_table(
     if vocab_size < 1:
         raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
     counts = (
-        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+        # explode_outer + drop, never inner explode of a computed array
+        # (InferFiltersFromGenerate pushes an interpreted size()>0 scan
+        # filter otherwise -- the doc_winnow_pairs 292s lesson)
+        docs.select(
+            F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("token")
+        )
+        .where(F.col("token").isNotNull() & (F.col("token") != ""))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("count"))
         .orderBy(F.desc("count"), F.asc("token"))
@@ -1169,16 +1175,16 @@ def negative_sampling_table(
             F.row_number().over(order).alias("rank"),
             "token",
             "count",
-            F.round((F.col("__w") / F.col("__z")).cast("double"), 9).alias(
-                "weight"
-            ),
+            # cast decimals to double BEFORE dividing: decimal/decimal
+            # result scale differs between engines, double/double doesn't
             F.round(
-                (
-                    F.sum("__w").over(
-                        order.rowsBetween(Window.unboundedPreceding, 0)
-                    )
-                    / F.col("__z")
-                ).cast("double"),
+                F.col("__w").cast("double") / F.col("__z").cast("double"), 9
+            ).alias("weight"),
+            F.round(
+                F.sum("__w")
+                .over(order.rowsBetween(Window.unboundedPreceding, 0))
+                .cast("double")
+                / F.col("__z").cast("double"),
                 9,
             ).alias("cum_weight"),
         )

@@ -1302,6 +1302,7 @@ def burstiness(
     user_col: str = "user_id",
     ts_col: str = "ts",
     min_events: int = 3,
+    tie_col: str | None = None,
 ) -> DataFrame:
     """Per-entity inter-arrival burstiness (Goh & Barabási, "Burstiness
     and memory in complex systems", EPL 81, 2008): for each entity's gap
@@ -1322,7 +1323,11 @@ def burstiness(
     Returns ``(<user_col>, n_events, mean_gap_s, std_gap_s, burstiness)``
     rounded to 6dp.
     """
-    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tie_col).asc()] if tie_col else []
+    )  # tie_col pins gap order under equal timestamps (gap^2 sums are
+    # NOT telescoping, so tie order matters for engine-exact gates)
+    w = Window.partitionBy(user_col).orderBy(*order)
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     gaps = df.select(F.col(user_col), (us - F.lag(us).over(w)).alias("g"))
     stats = (

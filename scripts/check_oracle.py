@@ -98,8 +98,10 @@ def hazard_scan(con, sql, sdf):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--candidates"]
+    candidates = "--candidates" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
     spark = get_spark("oracle-check", shuffle_partitions=8)
     con = duckdb.connect()
     for name in (
@@ -109,8 +111,13 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM '{p}'")
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    if candidates:
+        # round-8 staging registry (same contract, outside the live window)
+        qs = entrymod.round8_candidate_queries()
+        oracles = entrymod.round8_candidate_oracles()
+    else:
+        qs = entrymod.queries()
+        oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

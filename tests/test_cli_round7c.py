@@ -1,0 +1,126 @@
+"""Round-8 candidate CLI wiring: graph pagerank/hits/communities/
+triangles, events burstiness, analyze mi/kcenter, corpus cosine_pairs/
+neg_sampling/ppmi/compression/quantile_align."""
+
+import json
+import os
+
+import pytest
+
+from nbdatatools_spark.__main__ import main
+
+SF = os.environ.get("NBDT_TEST_SF_DIR", "/root/testdata/sf0.001")
+DOCS = os.path.join(SF, "documents.parquet")
+EVENTS = os.path.join(SF, "events.parquet")
+EMB = os.path.join(SF, "embeddings.parquet")
+
+
+def _lines(capsys):
+    return [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+
+
+@pytest.fixture(scope="module")
+def edges_pq(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("graph") / "edges.parquet")
+    spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")],
+        "src string, dst string",
+    ).write.mode("overwrite").parquet(p)
+    return p
+
+
+def test_graph_hits_cli(spark, capsys, edges_pq):
+    assert main(["graph", "hits", "--edges", edges_pq, "--iterations", "3"]) == 0
+    rows = _lines(capsys)
+    assert {r["node"] for r in rows} == {"a", "b", "c", "d"}
+    auth = [r["authority"] for r in rows]
+    assert auth == sorted(auth, reverse=True)
+    assert all(0.0 <= r["authority"] <= 1.0 and 0.0 <= r["hub"] <= 1.0 for r in rows)
+
+
+def test_graph_pagerank_and_communities_cli(spark, capsys, edges_pq):
+    assert main(["graph", "pagerank", "--edges", edges_pq,
+                 "--iterations", "4"]) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 4 and all(r["rank"] > 0 for r in rows)
+    assert main(["graph", "communities", "--edges", edges_pq,
+                 "--iterations", "3"]) == 0
+    rows = _lines(capsys)
+    assert sum(r["size"] for r in rows) == 4
+
+
+def test_graph_triangles_cli(spark, capsys, edges_pq):
+    assert main(["graph", "triangles", "--edges", edges_pq]) == 0
+    (row,) = _lines(capsys)
+    assert row["n_triangles"] == 1 and row["n_nodes"] == 4
+
+
+def test_events_burstiness_cli(spark, capsys):
+    assert main(["events", "burstiness", "--input", EVENTS,
+                 "--min-events", "3"]) == 0
+    rows = _lines(capsys)
+    assert rows
+    b = [r["burstiness"] for r in rows if r["burstiness"] is not None]
+    assert b == sorted(b, reverse=True)
+    assert all(-1.0 <= x <= 1.0 for x in b)
+
+
+def test_analyze_mi_cli(spark, capsys):
+    assert main(["analyze", "mi", "--input", DOCS,
+                 "--col-a", "lang", "--col-b", "source"]) == 0
+    (row,) = _lines(capsys)
+    assert row["mi"] >= 0.0 and row["n"] > 0
+
+
+def test_analyze_kcenter_cli(spark, capsys):
+    assert main(["analyze", "kcenter", "--input", EMB, "-k", "4"]) == 0
+    rows = _lines(capsys)
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4]
+    assert rows[0]["sq_dist"] is None
+    d = [r["sq_dist"] for r in rows[1:]]
+    assert d == sorted(d, reverse=True)
+
+
+def test_corpus_cosine_pairs_cli(spark, capsys):
+    assert main(["corpus", "cosine_pairs", "--input", DOCS,
+                 "--threshold", "0.95", "--limit", "5"]) == 0
+    rows = _lines(capsys)
+    assert rows and all(r["cosine"] >= 0.95 for r in rows)
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+
+
+def test_corpus_neg_sampling_cli(spark, capsys):
+    assert main(["corpus", "neg_sampling", "--input", DOCS,
+                 "--vocab-size", "5"]) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 5
+    assert rows[-1]["cum_weight"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_corpus_ppmi_cli(spark, capsys, tmp_path):
+    out = str(tmp_path / "vecs.parquet")
+    assert main(["corpus", "ppmi", "--input", DOCS, "--output", out,
+                 "--vocab-size", "16", "--dim", "4"]) == 0
+    vecs = spark.read.parquet(out)
+    assert vecs.count() == 16
+    assert len(vecs.first()["vector"]) == 4
+
+
+def test_corpus_compression_cli(spark, capsys):
+    assert main(["corpus", "compression", "--input", DOCS,
+                 "--limit", "3"]) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 3
+    cr = [r["compression_ratio"] for r in rows]
+    assert cr == sorted(cr)
+
+
+def test_corpus_quantile_align_cli(spark, capsys, tmp_path):
+    out = str(tmp_path / "aligned.parquet")
+    assert main(["corpus", "quantile_align", "--input", DOCS,
+                 "--score-col", "n_chars", "--group-col", "source",
+                 "--output", out]) == 0
+    aligned = spark.read.parquet(out)
+    assert aligned.count() == spark.read.parquet(DOCS).count()
+    vals = [r["score_pct"] for r in aligned.select("score_pct").collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)

@@ -1,0 +1,71 @@
+"""Round-8 candidate gates vs the bit-exact DuckDB oracle at sf0.001 —
+the same compare scripts/check_oracle.py runs, pinned in CI so every
+candidate is hash-ready before it rotates into the live window."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as e
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def _canon(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in idx) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for name in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings".split()
+    ):
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM '{p}'")
+    yield con
+    con.close()
+
+
+ORACLED = sorted(e.round8_candidate_oracles())
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_candidate_matches_oracle(spark, sf_dir, duck, name):
+    sdf = e.round8_candidate_queries()[name](spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    cur = duck.execute(e.round8_candidate_oracles()[name])
+    ocols = [d[0] for d in cur.description]
+    orows = cur.fetchall()
+    assert sorted(sdf.columns) == sorted(ocols), name
+    assert len(srows) == len(orows), name
+    assert _canon(sdf.columns, srows) == _canon(ocols, orows), name
+    assert len(srows) > 0, f"{name}: degenerate empty gate"
+
+
+def test_rows_only_candidates_run(spark, sf_dir):
+    rows_only = set(e.round8_candidate_queries()) - set(ORACLED)
+    assert rows_only == {"doc_compression_ratio"}
+    for name in rows_only:
+        out = e.round8_candidate_queries()[name](spark, sf_dir)
+        assert out.count() > 0
+
+
+def test_candidates_disjoint_from_live_registry():
+    live = set(e.queries())
+    assert not live & set(e.round8_candidate_queries())
+    # every oracled candidate is a real candidate
+    assert set(ORACLED) <= set(e.round8_candidate_queries())
