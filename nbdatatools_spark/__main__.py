@@ -1156,7 +1156,7 @@ def _cmd_corpus_cosine_pairs(args) -> int:
     docs = _spark().read.parquet(args.input)
     pairs = cosine_threshold_pairs(
         docs, threshold=args.threshold, text_col=args.text_col,
-        id_col=args.id_col,
+        id_col=args.id_col, max_posting=args.max_posting,
     )
     if args.output:
         pairs.write.mode("overwrite").parquet(args.output)
@@ -2444,6 +2444,10 @@ def build_parser() -> argparse.ArgumentParser:
     ccp.add_argument("--id-col", default="doc_id")
     ccp.add_argument("--output", default=None)
     ccp.add_argument("--limit", type=int, default=100)
+    ccp.add_argument(
+        "--max-posting", type=int, default=None,
+        help="cap prefix postings (approximation escape hatch for "
+             "degenerate tiny-vocab corpora; default exact)")
     ccp.set_defaults(func=_cmd_corpus_cosine_pairs)
     cns = cp.add_parser("neg_sampling")
     cns.add_argument("--input", required=True)

@@ -2109,6 +2109,7 @@ def cosine_threshold_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_posting: int | None = None,
 ) -> DataFrame:
     """EXACT all-pairs cosine-threshold similarity join over unit-
     normalized token-frequency vectors via prefix filtering (Bayardo,
@@ -2138,6 +2139,18 @@ def cosine_threshold_pairs(
     ``suffix2 >= tau^2 - 1e-6`` (slack absorbs the 9dp rounding so the
     guarantee stays sound); final filter on the DECIMAL-summed cosine.
     Engine-replayable bit-for-bit.
+
+    ``max_posting`` (default None = EXACT): when set, prefix postings
+    whose bucket exceeds the cap are dropped from CANDIDATE GENERATION —
+    the LSH ``max_bucket`` escape hatch for degenerate tiny-vocabulary
+    corpora where NO token is rare (a 41-token vocabulary over 50k docs
+    puts every posting in the thousands and the exact candidate set in
+    the billions; measured on the 10x scaling replica). This LOSES the
+    exactness guarantee for pairs whose every shared prefix token is
+    capped — on Zipfian real-text vocabularies the cap never binds
+    because prefixes are rarest-first by construction. Leave None for
+    the recall guarantee; set ~(expected dup-cluster size * 10) when a
+    corpus audit (vocab_topk) shows a degenerate vocabulary.
 
     Returns ``(id_a, id_b, cosine)`` with id_a < id_b, cosine >=
     threshold rounded to 6dp.
@@ -2179,6 +2192,13 @@ def cosine_threshold_pairs(
         .where(F.col("__sfx") >= F.lit(tau2))
         .select("__id", "__h")
     )
+    if max_posting is not None:
+        sizes = prefix.groupBy("__h").agg(F.count(F.lit(1)).alias("__pn"))
+        prefix = prefix.join(
+            sizes.where(F.col("__pn") <= max_posting).drop("__pn"),
+            "__h",
+            "left_semi",
+        )
     cand = (
         prefix.alias("pa")
         .join(prefix.alias("pb"), "__h")

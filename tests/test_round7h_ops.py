@@ -391,3 +391,21 @@ def test_compression_ratio_orders_repetitive_below_diverse(spark):
     assert got[3] is None and got[4] is None
     want = round(len(zlib.compress(rep.encode(), 6)) / len(rep.encode()), 6)
     assert got[1] == pytest.approx(want, abs=1e-9)
+
+
+def test_cosine_threshold_pairs_max_posting_cap(spark):
+    """The cap drops candidates only through over-cap prefix postings:
+    capped output is a subset of exact, and pairs whose shared prefix
+    tokens sit in small postings survive."""
+    from nbdatatools_spark.operators.dedup import cosine_threshold_pairs
+
+    # 20 docs sharing a common token + 2 planted near-dups on rare tokens
+    rows = [(i, f"common{i % 2} shared filler{i}") for i in range(20)]
+    rows += [(100, "rareq rarew raree rarer"), (101, "rareq rarew raree rarex")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {(r["id_a"], r["id_b"])
+             for r in cosine_threshold_pairs(docs, 0.7).collect()}
+    capped = {(r["id_a"], r["id_b"])
+              for r in cosine_threshold_pairs(docs, 0.7, max_posting=3).collect()}
+    assert capped <= exact
+    assert (100, 101) in capped  # rare-token prefix posting is under cap
