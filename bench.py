@@ -166,6 +166,11 @@ HEADLINE = [
     "corpus_source_dup_rate",
     "corpus_source_gini",
     "embedding_isotropy_sample",
+    # round-8 candidate additions (resolved from the candidate registry
+    # until their round-8 window rotation; cheap map/aggregate plans)
+    "events_burstiness",
+    "doc_metadata_mi",
+    "corpus_negative_sampling",
 ]
 
 
@@ -180,6 +185,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
+    # round-8 candidates benched ahead of their window rotation
+    qs.update(entrymod.round8_candidate_queries())
 
     # Same query semantics as the gate's knn_cosine_topk, but on the GEMM
     # scale path: the gate pins impl="expr" for bit-exact DuckDB agreement
