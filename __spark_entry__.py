@@ -10723,6 +10723,10 @@ def round8_candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFr
         "doc_score_quantile_align": doc_score_quantile_align,
         "doc_compression_ratio": doc_compression_ratio,
         "corpus_ppmi_invariants": corpus_ppmi_invariants,
+        "corpus_log_odds": corpus_log_odds,
+        "doc_ndcg_by_source": doc_ndcg_by_source,
+        "doc_rbo_scorers": doc_rbo_scorers,
+        "doc_selection_parity": doc_selection_parity,
     }
 
 
@@ -10829,6 +10833,10 @@ def round8_candidate_oracles() -> dict[str, str]:
             FROM s ORDER BY user_id
         """,
         "corpus_ppmi_invariants": _ppmi_oracle(2, 512),
+        "corpus_log_odds": _log_odds_oracle(0.01, 25),
+        "doc_ndcg_by_source": _ndcg_oracle(10),
+        "doc_rbo_scorers": _rbo_oracle(20, 0.9),
+        "doc_selection_parity": _SELECTION_PARITY_ORACLE,
         "doc_score_quantile_align": f"""
             WITH sc AS (SELECT doc_id, source, {_QUALITY6} AS score
                         FROM documents),
@@ -11043,3 +11051,190 @@ def _ppmi_oracle(window: int = 2, vocab_size: int = 512) -> str:
                TRUE AS dims_ok
         FROM nv CROSS JOIN tp CROSS JOIN frob CROSS JOIN top
     """
+
+
+def corpus_log_odds(spark, sf_dir):
+    """"Fightin' Words" log-odds-with-Dirichlet-prior corpus comparison
+    (analysis.py::log_odds_tokens, en vs de, alpha=0.01, top-25/side):
+    which tokens are STATISTICALLY over-represented per slice — the
+    sampling-variance-honest "what changed between these corpora"
+    readout (Monroe et al. 2008). One conditional-sum vocab aggregate;
+    two TakeOrderedAndProjects; double arithmetic over integer counts —
+    hash-exact."""
+    from nbdatatools_spark.operators.analysis import log_odds_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return log_odds_tokens(
+        docs, "lang", "en", "de", alpha=0.01, top_k=25
+    )
+
+
+def doc_ndcg_by_source(spark, sf_dir):
+    """Per-source nDCG@10 of the quality score against the long-document
+    gain (evaluation.py::ndcg_at_k): the top-weighted ranking-quality
+    readout per slice — AUC's graded, position-discounted sibling. Two
+    keyed ranking windows + one keyed aggregate; per-rank terms
+    9dp-DECIMAL-summed; the log2 discount is replicated as ln(x)/ln(2)
+    in both engines — hash-exact."""
+    from nbdatatools_spark.functions.text import quality_score
+    from nbdatatools_spark.operators.evaluation import ndcg_at_k
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.round(quality_score(F.col("text")), 6).alias("score"),
+        (F.col("n_chars") >= 400).cast("int").alias("gain"),
+    )
+    return ndcg_at_k(scored, "score", "gain", k=10, group_col="source")
+
+
+def doc_rbo_scorers(spark, sf_dir):
+    """Rank-biased overlap between the heuristic quality ranking and the
+    raw-length ranking (evaluation.py::rbo_overlap, k=20, p=0.9): the
+    top-weighted scorer-agreement readout (Webber et al. 2010). Both
+    rankings restricted to rank <= k before the depth grid (TakeOrdered-
+    sized state); depth terms 9dp-DECIMAL-summed — hash-exact."""
+    from nbdatatools_spark.functions.text import quality_score
+    from nbdatatools_spark.operators.evaluation import rbo_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.round(quality_score(F.col("text")), 6).alias("sa"),
+        F.col("n_chars").cast("double").alias("sb"),
+    )
+    return rbo_overlap(scored, "sa", "sb", k=20, p=0.9)
+
+
+def doc_selection_parity(spark, sf_dir):
+    """Per-source selection-rate parity of the quality >= 0.5 cut
+    (evaluation.py::selection_parity): the demographic-parity audit for
+    data curation — which slices a filter disproportionately drops. One
+    contingency aggregate — hash-exact."""
+    from nbdatatools_spark.functions.text import quality_score
+    from nbdatatools_spark.operators.evaluation import selection_parity
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = docs.select(
+        "source",
+        (F.round(quality_score(F.col("text")), 6) >= 0.5).alias("keep"),
+    )
+    return selection_parity(kept, "keep", "source")
+
+
+def _log_odds_oracle(alpha: float = 0.01, top_k: int = 25) -> str:
+    a = repr(float(alpha))
+    return f"""
+        WITH tok AS (
+            SELECT lang = 'en' AS isa,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+            FROM documents WHERE lang IN ('en', 'de')
+              AND length(trim(text)) > 0),
+        counts AS (
+            SELECT w, CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS ya,
+                   CAST(sum(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS yb
+            FROM tok WHERE w <> '' GROUP BY w),
+        tot AS (SELECT CAST(sum(ya) AS BIGINT) AS na,
+                       CAST(sum(yb) AS BIGINT) AS nb,
+                       CAST(count(*) AS BIGINT) AS v
+                FROM counts),
+        scored AS (
+            SELECT w AS token, ya AS count_a, yb AS count_b,
+                   round((ln((ya + {a}) / (na + {a} * v - ya - {a}))
+                          - ln((yb + {a}) / (nb + {a} * v - yb - {a})))
+                         / sqrt(1.0 / (ya + {a}) + 1.0 / (yb + {a})), 6) AS z
+            FROM counts CROSS JOIN tot)
+        SELECT 'a' AS side, token, count_a, count_b, z FROM
+            (SELECT * FROM scored ORDER BY z DESC, token LIMIT {top_k})
+        UNION ALL
+        SELECT 'b', token, count_a, count_b, z FROM
+            (SELECT * FROM scored ORDER BY z ASC, token LIMIT {top_k})
+    """
+
+
+def _ndcg_oracle(k: int = 10) -> str:
+    term = (
+        "CAST(round((pow(2.0, CAST(gain AS DOUBLE)) - 1.0)"
+        " / (ln(CAST({r} AS DOUBLE) + 1.0) / ln(2.0)), 9) AS DECIMAL(30,9))"
+    )
+    return f"""
+        WITH sc AS (SELECT doc_id, source, {_QUALITY6} AS score,
+                           CAST(n_chars >= 400 AS INT) AS gain
+                    FROM documents),
+        r AS (SELECT source AS g, gain,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY score DESC, doc_id ASC) AS r,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY gain DESC, doc_id ASC) AS ri
+              FROM sc),
+        agg AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(CAST(sum(CASE WHEN r <= {k} THEN
+                       {term.format(r="r")} END) AS DECIMAL(38,9))
+                       AS DOUBLE) AS dcg,
+                   CAST(CAST(sum(CASE WHEN ri <= {k} THEN
+                       {term.format(r="ri")} END) AS DECIMAL(38,9))
+                       AS DOUBLE) AS idcg
+            FROM r GROUP BY g)
+        SELECT g AS "group", n_items,
+               round(coalesce(dcg, 0.0), 6) AS dcg,
+               round(coalesce(idcg, 0.0), 6) AS idcg,
+               CASE WHEN idcg > 0.0 THEN round(dcg / idcg, 6) END AS ndcg
+        FROM agg ORDER BY g
+    """
+
+
+def _rbo_oracle(k: int = 20, p: float = 0.9) -> str:
+    pr = repr(float(p))
+    one_minus = repr(1.0 - float(p))
+    return f"""
+        WITH sc AS (SELECT doc_id, {_QUALITY6} AS sa,
+                           CAST(n_chars AS DOUBLE) AS sb
+                    FROM documents),
+        ra AS (SELECT doc_id AS id,
+                      row_number() OVER (ORDER BY sa DESC, doc_id ASC) AS ra
+               FROM sc QUALIFY ra <= {k}),
+        rb AS (SELECT doc_id AS id,
+                      row_number() OVER (ORDER BY sb DESC, doc_id ASC) AS rb
+               FROM sc QUALIFY rb <= {k}),
+        m AS (SELECT greatest(ra.ra, rb.rb) AS m FROM ra JOIN rb USING (id)),
+        depths AS (SELECT CAST(unnest(generate_series(1, {k})) AS INT) AS d),
+        xd AS (SELECT d, count(m.m) AS x
+               FROM depths LEFT JOIN m ON m.m <= depths.d GROUP BY d),
+        terms AS (
+            SELECT d, x,
+                   CAST(round(pow(CAST({pr} AS DOUBLE), d - 1)
+                              * CAST(x AS DOUBLE) / d, 9)
+                        AS DECIMAL(30,9)) AS t
+            FROM xd),
+        agg AS (
+            SELECT max(CASE WHEN d = {k} THEN x END) AS xk,
+                   CAST({one_minus} AS DOUBLE)
+                   * CAST(CAST(sum(t) AS DECIMAL(38,9)) AS DOUBLE) AS rmin
+            FROM terms)
+        SELECT {k} AS k, CAST({pr} AS DOUBLE) AS p,
+               CAST(xk AS INT) AS overlap_at_k,
+               round(rmin, 6) AS rbo_min,
+               round(rmin + pow(CAST({pr} AS DOUBLE), {k})
+                     * xk / CAST({k} AS DOUBLE), 6) AS rbo_ext
+        FROM agg
+    """
+
+
+_SELECTION_PARITY_ORACLE = f"""
+    WITH base AS (
+        SELECT coalesce(CAST(source AS VARCHAR), '<null>') AS g,
+               {_QUALITY6} >= 0.5 AS k
+        FROM documents),
+    per AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN k THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+            FROM base GROUP BY g),
+    overall AS (SELECT CAST(sum(n_kept) AS DOUBLE) / sum(n) AS orate FROM per)
+    SELECT g AS source, n, n_kept,
+           round(CAST(n_kept AS DOUBLE) / n, 6) AS keep_rate,
+           CASE WHEN orate > 0.0
+                THEN round((CAST(n_kept AS DOUBLE) / n) / orate, 6)
+           END AS rate_ratio
+    FROM per CROSS JOIN overall ORDER BY source
+"""

@@ -1220,6 +1220,53 @@ def _cmd_corpus_quantile_align(args) -> int:
     return 0
 
 
+def _cmd_corpus_log_odds(args) -> int:
+    from nbdatatools_spark.operators.analysis import log_odds_tokens
+
+    docs = _spark().read.parquet(args.input)
+    return _emit_rows(
+        log_odds_tokens(
+            docs, args.group_col, args.group_a, args.group_b,
+            text_col=args.text_col, alpha=args.alpha, top_k=args.top_k,
+        )
+    )
+
+
+def _cmd_corpus_ndcg(args) -> int:
+    from nbdatatools_spark.operators.evaluation import ndcg_at_k
+
+    df = _spark().read.parquet(args.input)
+    return _emit_rows(
+        ndcg_at_k(
+            df, args.score_col, args.gain_col, k=args.k,
+            group_col=args.group_col, id_col=args.id_col,
+            exponential=not args.linear,
+        )
+    )
+
+
+def _cmd_corpus_rbo(args) -> int:
+    from nbdatatools_spark.operators.evaluation import rbo_overlap
+
+    df = _spark().read.parquet(args.input)
+    return _emit_rows(
+        rbo_overlap(
+            df, args.score_a, args.score_b, k=args.k, p=args.p,
+            id_col=args.id_col,
+        )
+    )
+
+
+def _cmd_corpus_parity(args) -> int:
+    from pyspark.sql import functions as F
+
+    from nbdatatools_spark.operators.evaluation import selection_parity
+
+    df = _spark().read.parquet(args.input)
+    kept = df.withColumn("__keep", F.expr(args.keep_expr))
+    return _emit_rows(selection_parity(kept, "__keep", args.group_col))
+
+
 def _cmd_analyze_mi(args) -> int:
     from nbdatatools_spark.operators.quality_checks import mutual_information
 
@@ -2476,6 +2523,40 @@ def build_parser() -> argparse.ArgumentParser:
     cqa.add_argument("--score-col", required=True)
     cqa.add_argument("--group-col", required=True)
     cqa.set_defaults(func=_cmd_corpus_quantile_align)
+
+    clo = cp.add_parser("log_odds")
+    clo.add_argument("--input", required=True)
+    clo.add_argument("--group-col", required=True)
+    clo.add_argument("--group-a", required=True)
+    clo.add_argument("--group-b", required=True)
+    clo.add_argument("--text-col", default="text")
+    clo.add_argument("--alpha", type=float, default=0.01)
+    clo.add_argument("--top-k", type=int, default=25)
+    clo.set_defaults(func=_cmd_corpus_log_odds)
+    cnd = cp.add_parser("ndcg")
+    cnd.add_argument("--input", required=True)
+    cnd.add_argument("--score-col", required=True)
+    cnd.add_argument("--gain-col", required=True)
+    cnd.add_argument("-k", type=int, default=10)
+    cnd.add_argument("--group-col", default=None)
+    cnd.add_argument("--id-col", default="doc_id")
+    cnd.add_argument("--linear", action="store_true",
+                     help="linear gains (raw magnitudes) instead of 2^g-1")
+    cnd.set_defaults(func=_cmd_corpus_ndcg)
+    crb = cp.add_parser("rbo")
+    crb.add_argument("--input", required=True)
+    crb.add_argument("--score-a", required=True)
+    crb.add_argument("--score-b", required=True)
+    crb.add_argument("-k", type=int, default=20)
+    crb.add_argument("-p", type=float, default=0.9)
+    crb.add_argument("--id-col", default="doc_id")
+    crb.set_defaults(func=_cmd_corpus_rbo)
+    cpr = cp.add_parser("parity")
+    cpr.add_argument("--input", required=True)
+    cpr.add_argument("--keep-expr", required=True,
+                     help="boolean SQL expression deciding keep/drop")
+    cpr.add_argument("--group-col", required=True)
+    cpr.set_defaults(func=_cmd_corpus_parity)
 
     ami = an.add_parser("mi")
     ami.add_argument("--input", required=True)

@@ -2683,3 +2683,86 @@ def embedding_isotropy(
         F.round(F.max(F.abs(F.col("cos"))), 6).alias("max_abs_cos"),
     )
     return n_sampled.crossJoin(F.broadcast(stats))
+
+
+def log_odds_tokens(
+    docs: DataFrame,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    text_col: str = "text",
+    alpha: float = 0.01,
+    top_k: int = 25,
+) -> DataFrame:
+    """"Fightin' Words" corpus comparison (Monroe, Colaresi & Quinn,
+    Political Analysis 2008): which tokens are statistically
+    OVER-represented in slice A vs slice B, via the log-odds-ratio with
+    an uninformative Dirichlet prior and its z-score — the
+    sampling-variance-honest alternative to raw tf-idf deltas for
+    "what changed between these two sources / snapshots / shards".
+
+        delta_w = ln((y_aw + a) / (n_a + a0 - y_aw - a))
+                - ln((y_bw + a) / (n_b + a0 - y_bw - a)),
+        var_w   = 1/(y_aw + a) + 1/(y_bw + a),
+        z_w     = delta_w / sqrt(var_w),      a0 = a * V.
+
+    Returns the ``top_k`` tokens per side (side 'a' by z DESC, side 'b'
+    by z ASC), ties on token ASC: ``(side, token, count_a, count_b, z)``
+    with z rounded to 6dp.
+
+    Scale shape: ONE token-count aggregate per side over the union vocab
+    (map-side partial; the pivot is a conditional sum, not a join), V
+    and n_a/n_b from the same vocab-sized table; top-k via two
+    TakeOrderedAndProjects. All arithmetic is double over integer
+    counts — engine-replayable.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    from nbdatatools_spark.functions.text import tokens
+
+    both = docs.where(
+        F.col(group_col).isin([group_a, group_b])
+    ).select(
+        (F.col(group_col) == group_a).alias("__isa"),
+        F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("__w"),
+    ).where(F.col("__w").isNotNull() & (F.col("__w") != ""))
+    counts = both.groupBy("__w").agg(
+        F.sum(F.when(F.col("__isa"), 1).otherwise(0)).alias("ya"),
+        F.sum(F.when(~F.col("__isa"), 1).otherwise(0)).alias("yb"),
+    )
+    totals = counts.agg(
+        F.sum("ya").alias("na"),
+        F.sum("yb").alias("nb"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    a = float(alpha)
+    scored = counts.crossJoin(F.broadcast(totals)).select(
+        F.col("__w").alias("token"),
+        F.col("ya").alias("count_a"),
+        F.col("yb").alias("count_b"),
+        F.round(
+            (
+                F.log(
+                    (F.col("ya") + a)
+                    / (F.col("na") + a * F.col("v") - F.col("ya") - a)
+                )
+                - F.log(
+                    (F.col("yb") + a)
+                    / (F.col("nb") + a * F.col("v") - F.col("yb") - a)
+                )
+            )
+            / F.sqrt(1.0 / (F.col("ya") + a) + 1.0 / (F.col("yb") + a)),
+            6,
+        ).alias("z"),
+    )
+    top_a = (
+        scored.orderBy(F.desc("z"), "token")
+        .limit(top_k)
+        .select(F.lit("a").alias("side"), "token", "count_a", "count_b", "z")
+    )
+    top_b = (
+        scored.orderBy(F.asc("z"), "token")
+        .limit(top_k)
+        .select(F.lit("b").alias("side"), "token", "count_a", "count_b", "z")
+    )
+    return top_a.unionAll(top_b)

@@ -518,3 +518,218 @@ def score_quantile_align(
         ranked,
         (df[group_col] == ranked["__g"]) & (df[score_col] == ranked["__s"]),
     ).drop("__g", "__s")
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    score_col: str,
+    gain_col: str,
+    k: int = 10,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    exponential: bool = True,
+) -> DataFrame:
+    """Normalized discounted cumulative gain at ``k`` — THE graded
+    ranking-quality metric (Järvelin & Kekäläinen 2002): how well the
+    score orders items against their true gains, top-weighted by the
+    1/log2(rank+1) discount. ``group_col`` scopes the metric per query /
+    slice (NULL group column = one global row).
+
+        DCG@k  = sum_{i<=k} (2^gain_i - 1) / log2(i + 1)   by score rank,
+        (``exponential=False`` uses the linear-gain variant gain_i /
+        log2(i+1) — required when gains are raw magnitudes rather than
+        small relevance grades: 2^gain overflows past gain ~1000),
+        IDCG@k = the same under the ideal (gain-sorted) order,
+        nDCG   = DCG / IDCG   (NULL when IDCG = 0 — no positive gain).
+
+    Ranks tie-break on (score DESC, id ASC) / (gain DESC, id ASC) — fully
+    deterministic, engine-replayable; per-rank terms round to 9dp and
+    DECIMAL-sum. Scale shape: two KEYED ranking windows (parallel across
+    groups; k-bounded after the rank filter) + one keyed aggregate.
+
+    Returns ``(group, n_items, dcg, idcg, ndcg)`` rounded to 6dp.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    g = (
+        F.col(group_col).cast("string")
+        if group_col
+        else F.lit("<all>")
+    ).alias("__g")
+    base = df.select(
+        g,
+        F.col(score_col).alias("__s"),
+        F.col(gain_col).cast("double").alias("__gain"),
+        F.col(id_col).alias("__id"),
+    )
+    w_score = Window.partitionBy("__g").orderBy(F.desc("__s"), F.asc("__id"))
+    w_gain = Window.partitionBy("__g").orderBy(F.desc("__gain"), F.asc("__id"))
+    ranked = base.select(
+        "__g",
+        "__gain",
+        F.row_number().over(w_score).alias("__r"),
+        F.row_number().over(w_gain).alias("__ri"),
+    )
+    num = (
+        (F.pow(F.lit(2.0), F.col("__gain")) - 1.0)
+        if exponential
+        else F.col("__gain")
+    )
+    term = lambda r: F.round(  # noqa: E731
+        num / F.log(2.0, F.col(r).cast("double") + 1.0), 9
+    ).cast("decimal(30,9)")
+    agg = ranked.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.when(F.col("__r") <= k, term("__r")))
+        .cast("decimal(38,9)")
+        .cast("double")
+        .alias("__dcg"),
+        F.sum(F.when(F.col("__ri") <= k, term("__ri")))
+        .cast("decimal(38,9)")
+        .cast("double")
+        .alias("__idcg"),
+    )
+    return agg.select(
+        F.col("__g").alias("group"),
+        "n_items",
+        F.round(F.coalesce(F.col("__dcg"), F.lit(0.0)), 6).alias("dcg"),
+        F.round(F.coalesce(F.col("__idcg"), F.lit(0.0)), 6).alias("idcg"),
+        F.when(
+            F.col("__idcg") > 0.0, F.round(F.col("__dcg") / F.col("__idcg"), 6)
+        ).alias("ndcg"),
+    ).orderBy("group")
+
+
+def rbo_overlap(
+    df: DataFrame,
+    score_a: str,
+    score_b: str,
+    k: int = 20,
+    p: float = 0.9,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rank-biased overlap between the two rankings induced by two score
+    columns over the same items (Webber, Moffat & Zobel, TOIS 2010) —
+    the top-weighted "do these two scorers agree where it matters"
+    readout (e.g. exact-KNN order vs ANN order, old vs new quality
+    model). Depth-d prefix overlap X_d = |A_d ∩ B_d| counted via
+    max(rank_a, rank_b) <= d; reported at truncation depth ``k``:
+
+        rbo_min = (1 - p) * sum_{d=1..k} p^(d-1) * X_d / d
+        rbo_ext = rbo_min + p^k * X_k / k      (point extrapolation)
+
+    Ranks tie-break on (score DESC, id ASC). Scale shape: two global
+    ranking windows restricted by rank <= k (TakeOrdered-sized state —
+    only the top-k of each ranking participate, never the corpus) + one
+    k-row depth grid join; per-depth terms round to 9dp and DECIMAL-sum.
+
+    Returns one row ``(k, p, overlap_at_k, rbo_min, rbo_ext)``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 0.0 < p < 1.0:
+        raise ValueError(f"p must be in (0,1), got {p}")
+    spark = df.sparkSession
+    ra = df.select(
+        F.col(id_col).alias("__id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc(score_a), F.asc(id_col)))
+        .alias("__ra"),
+    ).where(F.col("__ra") <= k)
+    rb = df.select(
+        F.col(id_col).alias("__id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc(score_b), F.asc(id_col)))
+        .alias("__rb"),
+    ).where(F.col("__rb") <= k)
+    m = ra.join(rb, "__id").select(
+        F.greatest("__ra", "__rb").alias("__m")
+    )
+    depths = spark.range(1, k + 1).select(F.col("id").cast("int").alias("d"))
+    xd = (
+        depths.join(F.broadcast(m), F.col("__m") <= F.col("d"), "left")
+        .groupBy("d")
+        .agg(F.count("__m").alias("x"))
+    )
+    terms = xd.select(
+        "d",
+        "x",
+        F.round(
+            F.pow(F.lit(float(p)), F.col("d") - 1)
+            * F.col("x").cast("double")
+            / F.col("d"),
+            9,
+        )
+        .cast("decimal(30,9)")
+        .alias("__t"),
+    )
+    agg = terms.agg(
+        F.max(F.when(F.col("d") == k, F.col("x"))).alias("__xk"),
+        (
+            F.lit(1.0 - float(p))
+            * F.sum("__t").cast("decimal(38,9)").cast("double")
+        ).alias("__min"),
+    )
+    return agg.select(
+        F.lit(k).alias("k"),
+        F.lit(float(p)).alias("p"),
+        F.col("__xk").cast("int").alias("overlap_at_k"),
+        F.round("__min", 6).alias("rbo_min"),
+        F.round(
+            F.col("__min")
+            + F.pow(F.lit(float(p)), F.lit(k)) * F.col("__xk") / F.lit(float(k)),
+            6,
+        ).alias("rbo_ext"),
+    )
+
+
+def selection_parity(
+    df: DataFrame,
+    keep_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-slice selection-rate parity audit: after any filter decides
+    ``keep_col``, which slices (source, language, shard) are being
+    disproportionately dropped — the demographic-parity readout for data
+    curation (a filter that silently halves one language's keep rate is
+    a corpus-composition change the dataset card must show).
+
+    ``rate_ratio`` = slice keep rate / overall keep rate (the 80%-rule
+    shape); NULL when the overall rate is 0. One contingency aggregate
+    (map-side partial); outputs 6dp.
+
+    Returns ``(<group_col>, n, n_kept, keep_rate, rate_ratio)``.
+    """
+    base = df.select(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("<null>")).alias(
+            "__g"
+        ),
+        F.col(keep_col).cast("boolean").alias("__k"),
+    )
+    per = base.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("__k"), 1).otherwise(0)).alias("n_kept"),
+    )
+    overall = per.agg(
+        (F.sum("n_kept").cast("double") / F.sum("n")).alias("__or")
+    )
+    return (
+        per.crossJoin(F.broadcast(overall))
+        .select(
+            F.col("__g").alias(group_col),
+            "n",
+            "n_kept",
+            F.round(F.col("n_kept").cast("double") / F.col("n"), 6).alias(
+                "keep_rate"
+            ),
+            F.when(
+                F.col("__or") > 0.0,
+                F.round(
+                    (F.col("n_kept").cast("double") / F.col("n"))
+                    / F.col("__or"),
+                    6,
+                ),
+            ).alias("rate_ratio"),
+        )
+        .orderBy(group_col)
+    )

@@ -124,3 +124,32 @@ def test_corpus_quantile_align_cli(spark, capsys, tmp_path):
     assert aligned.count() == spark.read.parquet(DOCS).count()
     vals = [r["score_pct"] for r in aligned.select("score_pct").collect()]
     assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_corpus_log_odds_cli(spark, capsys):
+    assert main(["corpus", "log_odds", "--input", DOCS, "--group-col", "lang",
+                 "--group-a", "en", "--group-b", "de", "--top-k", "3"]) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 6
+    assert {r["side"] for r in rows} == {"a", "b"}
+
+
+def test_corpus_ndcg_cli(spark, capsys):
+    assert main(["corpus", "ndcg", "--input", DOCS, "--score-col", "n_chars",
+                 "--gain-col", "n_chars", "-k", "5", "--linear"]) == 0
+    (row,) = _lines(capsys)
+    assert row["ndcg"] == 1.0  # score == gain: perfect ranking
+
+
+def test_corpus_rbo_cli(spark, capsys):
+    assert main(["corpus", "rbo", "--input", DOCS, "--score-a", "n_chars",
+                 "--score-b", "n_chars", "-k", "10"]) == 0
+    (row,) = _lines(capsys)
+    assert row["rbo_ext"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_corpus_parity_cli(spark, capsys):
+    assert main(["corpus", "parity", "--input", DOCS,
+                 "--keep-expr", "n_chars >= 300", "--group-col", "source"]) == 0
+    rows = _lines(capsys)
+    assert rows and all(0.0 <= r["keep_rate"] <= 1.0 for r in rows)

@@ -1,0 +1,204 @@
+"""Round-8 candidate batch 2: Fightin'-Words log-odds, nDCG@k,
+rank-biased overlap, selection parity."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# analysis: log-odds corpus comparison
+# ---------------------------------------------------------------------------
+
+def test_log_odds_separates_planted_tokens(spark):
+    from nbdatatools_spark.operators.analysis import log_odds_tokens
+
+    rows = []
+    for i in range(30):
+        rows.append((i, "en", "common alpha alpha"))
+    for i in range(30, 60):
+        rows.append((i, "de", "common beta beta"))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = log_odds_tokens(docs, "lang", "en", "de", top_k=2).collect()
+    a_side = [r["token"] for r in out if r["side"] == "a"]
+    b_side = [r["token"] for r in out if r["side"] == "b"]
+    assert a_side[0] == "alpha" and b_side[0] == "beta"
+    z = {(r["side"], r["token"]): r["z"] for r in out}
+    assert z[("a", "alpha")] > 0 > z[("b", "beta")]
+    # the shared token is NOT the most distinctive on either side
+    assert ("a", "common") not in list(z)[:1]
+
+
+def test_log_odds_matches_python(spark):
+    from collections import Counter
+
+    from nbdatatools_spark.operators.analysis import log_odds_tokens
+
+    a_text = "x x y z z z"
+    b_text = "x y y y w"
+    docs = spark.createDataFrame(
+        [(1, "en", a_text), (2, "de", b_text)],
+        "doc_id long, lang string, text string",
+    )
+    got = {(r["side"], r["token"]): r for r in
+           log_odds_tokens(docs, "lang", "en", "de", alpha=0.01, top_k=10).collect()}
+
+    ca, cb = Counter(a_text.split()), Counter(b_text.split())
+    vocab = set(ca) | set(cb)
+    na, nb, v, a = sum(ca.values()), sum(cb.values()), len(vocab), 0.01
+    for w in vocab:
+        ya, yb = ca[w], cb[w]
+        delta = math.log((ya + a) / (na + a * v - ya - a)) - math.log(
+            (yb + a) / (nb + a * v - yb - a)
+        )
+        z = round(delta / math.sqrt(1 / (ya + a) + 1 / (yb + a)), 6)
+        row = got.get(("a", w)) or got.get(("b", w))
+        assert row is not None and row["z"] == pytest.approx(z, abs=1e-6)
+        assert row["count_a"] == ya and row["count_b"] == yb
+
+
+def test_log_odds_ignores_other_groups(spark):
+    from nbdatatools_spark.operators.analysis import log_odds_tokens
+
+    docs = spark.createDataFrame(
+        [(1, "en", "aa"), (2, "de", "bb"), (3, "fr", "poison poison poison")],
+        "doc_id long, lang string, text string",
+    )
+    out = log_odds_tokens(docs, "lang", "en", "de", top_k=10).collect()
+    assert all(r["token"] != "poison" for r in out)
+    with pytest.raises(ValueError):
+        log_odds_tokens(docs, "lang", "en", "de", top_k=0)
+
+
+# ---------------------------------------------------------------------------
+# evaluation: nDCG@k
+# ---------------------------------------------------------------------------
+
+def test_ndcg_perfect_and_inverted(spark):
+    from nbdatatools_spark.operators.evaluation import ndcg_at_k
+
+    rows = [(i, float(10 - i), 1 if i < 3 else 0) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, score double, gain int")
+    r = ndcg_at_k(df, "score", "gain", k=10).collect()[0]
+    assert r["ndcg"] == 1.0  # score order == gain order
+
+    inv = spark.createDataFrame(
+        [(i, float(i), 1 if i < 3 else 0) for i in range(10)],
+        "doc_id long, score double, gain int",
+    )
+    r2 = ndcg_at_k(inv, "score", "gain", k=10).collect()[0]
+    assert 0.0 < r2["ndcg"] < 1.0
+    # differential: positives land at ranks 8, 9, 10
+    dcg = sum(1 / math.log2(i + 1) for i in (8, 9, 10))
+    idcg = sum(1 / math.log2(i + 1) for i in (1, 2, 3))
+    assert r2["ndcg"] == pytest.approx(dcg / idcg, abs=1e-6)
+
+
+def test_ndcg_zero_gain_null_and_graded(spark):
+    from nbdatatools_spark.operators.evaluation import ndcg_at_k
+
+    allz = spark.createDataFrame(
+        [(1, 1.0, 0), (2, 0.5, 0)], "doc_id long, score double, gain int"
+    )
+    assert ndcg_at_k(allz, "score", "gain", k=5).collect()[0]["ndcg"] is None
+
+    graded = spark.createDataFrame(
+        [(1, 3.0, 3), (2, 2.0, 1), (3, 1.0, 2)],
+        "doc_id long, score double, gain int",
+    )
+    r = ndcg_at_k(graded, "score", "gain", k=3).collect()[0]
+    dcg = (2**3 - 1) / math.log2(2) + (2**1 - 1) / math.log2(3) + (2**2 - 1) / math.log2(4)
+    idcg = (2**3 - 1) / math.log2(2) + (2**2 - 1) / math.log2(3) + (2**1 - 1) / math.log2(4)
+    assert r["ndcg"] == pytest.approx(dcg / idcg, abs=1e-6)
+    with pytest.raises(ValueError):
+        ndcg_at_k(graded, "score", "gain", k=0)
+
+
+def test_ndcg_grouped(spark, documents):
+    from nbdatatools_spark.functions.text import quality_score
+    from nbdatatools_spark.operators.evaluation import ndcg_at_k
+
+    scored = documents.select(
+        "doc_id", "source",
+        F.round(quality_score(F.col("text")), 6).alias("score"),
+        (F.col("n_chars") >= 400).cast("int").alias("gain"),
+    )
+    rows = ndcg_at_k(scored, "score", "gain", k=10, group_col="source").collect()
+    assert len(rows) == documents.select("source").distinct().count()
+    assert all(r["ndcg"] is None or 0.0 <= r["ndcg"] <= 1.0 + 1e-9 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# evaluation: RBO
+# ---------------------------------------------------------------------------
+
+def test_rbo_identical_and_disjoint(spark):
+    from nbdatatools_spark.operators.evaluation import rbo_overlap
+
+    same = spark.createDataFrame(
+        [(i, float(i), float(i)) for i in range(30)],
+        "doc_id long, sa double, sb double",
+    )
+    r = rbo_overlap(same, "sa", "sb", k=10, p=0.9).collect()[0]
+    assert r["rbo_ext"] == pytest.approx(1.0, abs=1e-6)
+    assert r["overlap_at_k"] == 10
+
+    disj = spark.createDataFrame(
+        [(i, float(100 - i), float(i)) for i in range(40)],
+        "doc_id long, sa double, sb double",
+    )
+    r2 = rbo_overlap(disj, "sa", "sb", k=10, p=0.9).collect()[0]
+    assert r2["overlap_at_k"] == 0 and r2["rbo_min"] == 0.0 and r2["rbo_ext"] == 0.0
+
+
+def test_rbo_matches_python(spark):
+    from nbdatatools_spark.operators.evaluation import rbo_overlap
+
+    rows = [(i, float((i * 7) % 13), float((i * 5) % 13)) for i in range(13)]
+    df = spark.createDataFrame(rows, "doc_id long, sa double, sb double")
+    k, p = 8, 0.8
+    r = rbo_overlap(df, "sa", "sb", k=k, p=p).collect()[0]
+
+    ra = sorted(rows, key=lambda t: (-t[1], t[0]))[:k]
+    rb = sorted(rows, key=lambda t: (-t[2], t[0]))[:k]
+    rmin, x = 0.0, None
+    for d in range(1, k + 1):
+        A = {t[0] for t in ra[:d]}
+        B = {t[0] for t in rb[:d]}
+        x = len(A & B)
+        rmin += p ** (d - 1) * x / d
+    rmin *= 1 - p
+    assert r["rbo_min"] == pytest.approx(rmin, abs=1e-5)
+    assert r["overlap_at_k"] == x
+    assert r["rbo_ext"] == pytest.approx(rmin + p**k * x / k, abs=1e-5)
+    with pytest.raises(ValueError):
+        rbo_overlap(df, "sa", "sb", k=5, p=1.0)
+
+
+# ---------------------------------------------------------------------------
+# evaluation: selection parity
+# ---------------------------------------------------------------------------
+
+def test_selection_parity_closed_form(spark):
+    from nbdatatools_spark.operators.evaluation import selection_parity
+
+    rows = [("a", True)] * 8 + [("a", False)] * 2 + [("b", True)] * 2 + [
+        ("b", False)
+    ] * 8
+    df = spark.createDataFrame(rows, "g string, keep boolean")
+    got = {r["g"]: r for r in selection_parity(df, "keep", "g").collect()}
+    assert got["a"]["keep_rate"] == 0.8 and got["b"]["keep_rate"] == 0.2
+    assert got["a"]["rate_ratio"] == pytest.approx(0.8 / 0.5, abs=1e-6)
+    assert got["b"]["rate_ratio"] == pytest.approx(0.2 / 0.5, abs=1e-6)
+
+
+def test_selection_parity_all_dropped_and_nulls(spark):
+    from nbdatatools_spark.operators.evaluation import selection_parity
+
+    df = spark.createDataFrame(
+        [("a", False), (None, False)], "g string, keep boolean"
+    )
+    rows = selection_parity(df, "keep", "g").collect()
+    assert {r["g"] for r in rows} == {"a", "<null>"}
+    assert all(r["rate_ratio"] is None for r in rows)  # overall rate 0
