@@ -10727,6 +10727,8 @@ def round8_candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFr
         "doc_ndcg_by_source": doc_ndcg_by_source,
         "doc_rbo_scorers": doc_rbo_scorers,
         "doc_selection_parity": doc_selection_parity,
+        "doc_wasserstein_shift": doc_wasserstein_shift,
+        "doc_domain_reweight": doc_domain_reweight,
     }
 
 
@@ -10837,6 +10839,8 @@ def round8_candidate_oracles() -> dict[str, str]:
         "doc_ndcg_by_source": _ndcg_oracle(10),
         "doc_rbo_scorers": _rbo_oracle(20, 0.9),
         "doc_selection_parity": _SELECTION_PARITY_ORACLE,
+        "doc_wasserstein_shift": _WASSERSTEIN_ORACLE,
+        "doc_domain_reweight": _domain_reweight_oracle(2.0, 0.1),
         "doc_score_quantile_align": f"""
             WITH sc AS (SELECT doc_id, source, {_QUALITY6} AS score
                         FROM documents),
@@ -11238,3 +11242,106 @@ _SELECTION_PARITY_ORACLE = f"""
            END AS rate_ratio
     FROM per CROSS JOIN overall ORDER BY source
 """
+
+
+def doc_wasserstein_shift(spark, sf_dir):
+    """Exact 1-D Wasserstein-1 distance between en and de document-length
+    distributions (analysis.py::wasserstein_1d): the drift family's
+    metric member — PSI/KS say THAT mass moved, W1 says HOW FAR in value
+    units. Two-phase range-partitioned cumsums (no single-reducer
+    window); per-value terms 9dp-DECIMAL-summed — hash-exact and
+    partition-invariant by construction."""
+    from nbdatatools_spark.operators.analysis import wasserstein_1d
+
+    docs = _t(spark, sf_dir, "documents")
+    return wasserstein_1d(docs, "n_chars", "lang", "en", "de")
+
+
+def doc_domain_reweight(spark, sf_dir):
+    """DoReMi-style loss-driven domain reweighting (sampling.py::
+    domain_reweight, eta=2, smoothing=0.1; Xie et al. NeurIPS 2023):
+    upweight the sources the proxy loss finds hardest — the loss-driven
+    member of the mixture family (mixture_rates = target shares,
+    temperature_mixture_rates = power tilt). The heuristic quality score
+    stands in as the per-document proxy loss. One domain-keyed aggregate;
+    DECIMAL loss sums and DECIMAL normalizer — hash-exact."""
+    from nbdatatools_spark.functions.text import quality_score
+    from nbdatatools_spark.operators.sampling import domain_reweight
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source", F.round(quality_score(F.col("text")), 6).alias("loss")
+    )
+    return domain_reweight(scored, "source", "loss", eta=2.0, smoothing=0.1)
+
+
+_WASSERSTEIN_ORACLE = """
+    WITH base AS (
+        SELECT CAST(n_chars AS DOUBLE) AS v, lang = 'en' AS isa
+        FROM documents WHERE lang IN ('en', 'de')),
+    g AS (SELECT v,
+                 CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS ia,
+                 CAST(sum(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS ib
+          FROM base GROUP BY v),
+    tot AS (SELECT CAST(sum(ia) AS BIGINT) AS n_a,
+                   CAST(sum(ib) AS BIGINT) AS n_b FROM g),
+    cum AS (SELECT v,
+                   sum(ia) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS ca,
+                   sum(ib) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cb,
+                   lead(v) OVER (ORDER BY v) AS nxt
+            FROM g),
+    terms AS (
+        SELECT n_a, n_b,
+               CAST(CASE WHEN n_a > 0 AND n_b > 0 THEN
+                    round(abs(CAST(ca AS DOUBLE) / n_a
+                              - CAST(cb AS DOUBLE) / n_b)
+                          * (coalesce(nxt, v) - v), 9)
+               END AS DECIMAL(30,9)) AS t
+        FROM cum CROSS JOIN tot)
+    SELECT n_a, n_b,
+           CASE WHEN n_a > 0 AND n_b > 0
+                THEN round(CAST(CAST(sum(t) AS DECIMAL(38,9)) AS DOUBLE), 6)
+           END AS wasserstein
+    FROM terms GROUP BY n_a, n_b
+"""
+
+
+def _domain_reweight_oracle(eta: float = 2.0, smoothing: float = 0.1) -> str:
+    e = repr(float(eta))
+    one_minus = repr(1.0 - float(smoothing))
+    s = repr(float(smoothing))
+    return f"""
+        WITH sc AS (SELECT coalesce(CAST(source AS VARCHAR), '<null>') AS d,
+                           {_QUALITY6} AS l
+                    FROM documents),
+        per AS (SELECT d, CAST(count(*) AS BIGINT) AS n,
+                       CAST(count(l) AS BIGINT) AS nl,
+                       CAST(CAST(sum(CAST(round(l, 9) AS DECIMAL(30,9)))
+                            AS DECIMAL(38,9)) AS DOUBLE) AS sl
+                FROM sc GROUP BY d),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+                       CAST(sum(nl) AS BIGINT) AS tnl,
+                       CAST(CAST(sum(CAST(sl AS DECIMAL(38,9)))
+                            AS DECIMAL(38,9)) AS DOUBLE) AS tsl,
+                       CAST(count(*) AS BIGINT) AS nd
+                FROM per),
+        tilted AS (
+            SELECT d, n, nd,
+                   CAST(n AS DOUBLE) / tn AS share,
+                   CASE WHEN nl > 0 THEN sl / nl END AS ml,
+                   round((CAST(n AS DOUBLE) / tn)
+                         * exp(CAST({e} AS DOUBLE)
+                               * (coalesce(sl / nl, tsl / tnl)
+                                  - tsl / tnl)), 9) AS w
+            FROM per CROSS JOIN tot),
+        z AS (SELECT CAST(CAST(sum(CAST(w AS DECIMAL(20,9)))
+                     AS DECIMAL(38,9)) AS DOUBLE) AS z FROM tilted)
+        SELECT d AS source, n AS n_rows,
+               round(share, 6) AS share,
+               round(ml, 6) AS mean_loss,
+               round(CAST({one_minus} AS DOUBLE) * w / z
+                     + CAST({s} AS DOUBLE) / nd, 6) AS weight
+        FROM tilted CROSS JOIN z ORDER BY source
+    """

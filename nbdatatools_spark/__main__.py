@@ -1267,6 +1267,29 @@ def _cmd_corpus_parity(args) -> int:
     return _emit_rows(selection_parity(kept, "__keep", args.group_col))
 
 
+def _cmd_corpus_wasserstein(args) -> int:
+    from nbdatatools_spark.operators.analysis import wasserstein_1d
+
+    df = _spark().read.parquet(args.input)
+    return _emit_rows(
+        wasserstein_1d(
+            df, args.value_col, args.group_col, args.group_a, args.group_b
+        )
+    )
+
+
+def _cmd_corpus_reweight(args) -> int:
+    from nbdatatools_spark.operators.sampling import domain_reweight
+
+    df = _spark().read.parquet(args.input)
+    return _emit_rows(
+        domain_reweight(
+            df, args.domain_col, args.loss_col, eta=args.eta,
+            smoothing=args.smoothing,
+        )
+    )
+
+
 def _cmd_analyze_mi(args) -> int:
     from nbdatatools_spark.operators.quality_checks import mutual_information
 
@@ -2557,6 +2580,21 @@ def build_parser() -> argparse.ArgumentParser:
                      help="boolean SQL expression deciding keep/drop")
     cpr.add_argument("--group-col", required=True)
     cpr.set_defaults(func=_cmd_corpus_parity)
+
+    cws = cp.add_parser("wasserstein")
+    cws.add_argument("--input", required=True)
+    cws.add_argument("--value-col", required=True)
+    cws.add_argument("--group-col", required=True)
+    cws.add_argument("--group-a", required=True)
+    cws.add_argument("--group-b", required=True)
+    cws.set_defaults(func=_cmd_corpus_wasserstein)
+    crw = cp.add_parser("reweight")
+    crw.add_argument("--input", required=True)
+    crw.add_argument("--domain-col", required=True)
+    crw.add_argument("--loss-col", required=True)
+    crw.add_argument("--eta", type=float, default=1.0)
+    crw.add_argument("--smoothing", type=float, default=0.0)
+    crw.set_defaults(func=_cmd_corpus_reweight)
 
     ami = an.add_parser("mi")
     ami.add_argument("--input", required=True)

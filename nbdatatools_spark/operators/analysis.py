@@ -2766,3 +2766,109 @@ def log_odds_tokens(
         .select(F.lit("b").alias("side"), "token", "count_a", "count_b", "z")
     )
     return top_a.unionAll(top_b)
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth-mover) distance between two slices'
+    empirical value distributions:
+
+        W1 = integral |F_a(x) - F_b(x)| dx
+           = sum over sorted distinct values of |F_a(v) - F_b(v)| * gap
+
+    — the metric sibling of the PSI/KS drift family: PSI says "the score
+    distribution moved", W1 says BY HOW MUCH in value units (the natural
+    readout for "did the new scorer shift mass toward longer documents").
+
+    Scale shape: ONE distinct-value contingency aggregate, then the
+    two-phase range-partition cumsum discipline (ranking_auc's shape —
+    partition-local running sums + P-row broadcast offsets, no
+    single-reducer window); the cross-partition gap for each partition's
+    last value comes from a P-row next-partition-minimum table. Per-value
+    terms round to 9dp and DECIMAL-sum — engine-exact regardless of
+    partitioning.
+
+    Returns one row ``(n_a, n_b, wasserstein)`` (6dp); NULL distance when
+    either slice is empty.
+    """
+    base = df.where(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(value_col).cast("double").alias("__v"),
+        (F.col(group_col) == group_a).alias("__isa"),
+    )
+    g = base.groupBy("__v").agg(
+        F.sum(F.when(F.col("__isa"), 1).otherwise(0)).alias("__ia"),
+        F.sum(F.when(~F.col("__isa"), 1).otherwise(0)).alias("__ib"),
+    )
+    n_part = max(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")), 1
+    )
+    g2 = (
+        g.repartitionByRange(n_part, F.col("__v"))
+        .sortWithinPartitions("__v")
+        .select("*", F.spark_partition_id().alias("__pid"))
+        .localCheckpoint(eager=False)
+    )
+    w_loc = (
+        Window.partitionBy("__pid")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        g2.groupBy("__pid")
+        .agg(
+            F.sum("__ia").alias("__ca"),
+            F.sum("__ib").alias("__cb"),
+            F.min("__v").alias("__first_v"),
+        )
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__ca").over(w_off), F.lit(0)).alias("__offa"),
+            F.coalesce(F.sum("__cb").over(w_off), F.lit(0)).alias("__offb"),
+            # the NEXT partition's first value closes this partition's last gap
+            F.lead("__first_v").over(Window.orderBy("__pid")).alias("__next_first"),
+        )
+    )
+    w_lead = Window.partitionBy("__pid").orderBy("__v")
+    cum = g2.join(F.broadcast(offs), "__pid").select(
+        "__v",
+        (F.sum("__ia").over(w_loc) + F.col("__offa")).alias("__cuma"),
+        (F.sum("__ib").over(w_loc) + F.col("__offb")).alias("__cumb"),
+        F.coalesce(F.lead("__v").over(w_lead), F.col("__next_first")).alias(
+            "__next"
+        ),
+    )
+    tot = g.agg(
+        F.sum("__ia").cast("bigint").alias("n_a"),
+        F.sum("__ib").cast("bigint").alias("n_b"),
+    )
+    # term guarded on both slice totals: an empty slice would push NaN
+    # into the ANSI decimal cast (double / 0 -> Inf -> abs -> NaN -> throw)
+    terms = cum.crossJoin(F.broadcast(tot)).select(
+        "n_a",
+        "n_b",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.round(
+                F.abs(
+                    F.col("__cuma").cast("double") / F.col("n_a")
+                    - F.col("__cumb").cast("double") / F.col("n_b")
+                )
+                * (F.coalesce(F.col("__next"), F.col("__v")) - F.col("__v")),
+                9,
+            ),
+        ).cast("decimal(30,9)").alias("__t"),
+    )
+    return terms.groupBy("n_a", "n_b").agg(
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.round(
+                F.sum("__t").cast("decimal(38,9)").cast("double"), 6
+            ),
+        ).alias("wasserstein")
+    )

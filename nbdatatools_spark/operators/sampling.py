@@ -516,3 +516,111 @@ def ipf_weights(
         "weight",
         F.round(F.col("n") * F.col("weight"), 6).alias("weighted_n"),
     ).orderBy("row_key", "col_key")
+
+
+def domain_reweight(
+    df: DataFrame,
+    domain_col: str,
+    loss_col: str,
+    eta: float = 1.0,
+    smoothing: float = 0.0,
+) -> DataFrame:
+    """DoReMi-style exponentiated-gradient domain reweighting (Xie et
+    al., "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    Pretraining", NeurIPS 2023, eq. 1 update shape): tilt each domain's
+    mixture weight by its EXCESS loss relative to the corpus mean —
+    domains the (proxy) model finds hardest get upweighted:
+
+        w_d  prop  share_d * exp(eta * (mean_loss_d - mean_loss)),
+        weight_d = (1 - smoothing) * w_d / Z + smoothing / D.
+
+    The one-step closed form of the DoReMi inner update with the current
+    token share as reference weights (run it per training round with
+    refreshed per-domain losses for the full iterative recipe — each
+    round is one call). Complements mixture_rates (target-share
+    rebalance) and temperature_mixture_rates (power tilt): this one is
+    LOSS-driven.
+
+    Exactness: per-domain mean losses from 9dp-DECIMAL loss sums over
+    exact counts; the tilt is double exp; Z is a DECIMAL sum of
+    9dp-rounded tilted shares; weights round to 6dp. One keyed aggregate
+    over domains (map-side partial) — the domain table is
+    broadcast-sized by construction. ANSI-safe: rows with NULL loss are
+    excluded from the mean but still counted in the share.
+
+    Returns ``(<domain_col>, n_rows, share, mean_loss, weight)``.
+    """
+    if smoothing < 0.0 or smoothing >= 1.0:
+        raise ValueError(f"smoothing must be in [0,1), got {smoothing}")
+    per = (
+        df.select(
+            F.coalesce(F.col(domain_col).cast("string"), F.lit("<null>")).alias(
+                "__d"
+            ),
+            F.col(loss_col).cast("double").alias("__l"),
+        )
+        .groupBy("__d")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.count("__l").alias("__nl"),
+            F.sum(F.round("__l", 9).cast("decimal(30,9)"))
+            .cast("decimal(38,9)")
+            .cast("double")
+            .alias("__sl"),
+        )
+    )
+    tot = per.agg(
+        F.sum("__n").alias("__tn"),
+        F.sum("__nl").alias("__tnl"),
+        F.sum(F.col("__sl").cast("decimal(38,9)"))
+        .cast("decimal(38,9)")
+        .cast("double")
+        .alias("__tsl"),
+        F.count(F.lit(1)).alias("__nd"),
+    )
+    e = float(eta)
+    s = float(smoothing)
+    tilted = per.crossJoin(F.broadcast(tot)).select(
+        "__d",
+        "__n",
+        "__nd",
+        (F.col("__n").cast("double") / F.col("__tn")).alias("__share"),
+        F.when(F.col("__nl") > 0, F.col("__sl") / F.col("__nl")).alias(
+            "__ml"
+        ),
+        F.round(
+            (F.col("__n").cast("double") / F.col("__tn"))
+            * F.exp(
+                e
+                * (
+                    F.coalesce(
+                        F.col("__sl") / F.col("__nl"),
+                        F.col("__tsl") / F.col("__tnl"),
+                    )
+                    - F.col("__tsl") / F.col("__tnl")
+                )
+            ),
+            9,
+        ).alias("__w"),
+    )
+    z = tilted.agg(
+        F.sum(F.col("__w").cast("decimal(20,9)"))
+        .cast("decimal(38,9)")
+        .cast("double")
+        .alias("__z")
+    )
+    return (
+        tilted.crossJoin(F.broadcast(z))
+        .select(
+            F.col("__d").alias(domain_col),
+            F.col("__n").alias("n_rows"),
+            F.round("__share", 6).alias("share"),
+            F.round("__ml", 6).alias("mean_loss"),
+            F.round(
+                F.lit(1.0 - s) * F.col("__w") / F.col("__z")
+                + F.lit(s) / F.col("__nd"),
+                6,
+            ).alias("weight"),
+        )
+        .orderBy(domain_col)
+    )

@@ -153,3 +153,19 @@ def test_corpus_parity_cli(spark, capsys):
                  "--keep-expr", "n_chars >= 300", "--group-col", "source"]) == 0
     rows = _lines(capsys)
     assert rows and all(0.0 <= r["keep_rate"] <= 1.0 for r in rows)
+
+
+def test_corpus_wasserstein_cli(spark, capsys):
+    assert main(["corpus", "wasserstein", "--input", DOCS,
+                 "--value-col", "n_chars", "--group-col", "lang",
+                 "--group-a", "en", "--group-b", "de"]) == 0
+    (row,) = _lines(capsys)
+    assert row["wasserstein"] >= 0.0 and row["n_a"] > 0
+
+
+def test_corpus_reweight_cli(spark, capsys):
+    assert main(["corpus", "reweight", "--input", DOCS,
+                 "--domain-col", "source", "--loss-col", "n_chars",
+                 "--eta", "0.01"]) == 0
+    rows = _lines(capsys)
+    assert rows and sum(r["weight"] for r in rows) == pytest.approx(1.0, abs=1e-4)

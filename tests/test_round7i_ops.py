@@ -202,3 +202,103 @@ def test_selection_parity_all_dropped_and_nulls(spark):
     rows = selection_parity(df, "keep", "g").collect()
     assert {r["g"] for r in rows} == {"a", "<null>"}
     assert all(r["rate_ratio"] is None for r in rows)  # overall rate 0
+
+
+# ---------------------------------------------------------------------------
+# analysis: 1-D Wasserstein
+# ---------------------------------------------------------------------------
+
+def test_wasserstein_identical_zero_and_shift(spark):
+    from nbdatatools_spark.operators.analysis import wasserstein_1d
+
+    rows = [(float(v), "a") for v in range(10)] + [
+        (float(v), "b") for v in range(10)
+    ]
+    df = spark.createDataFrame(rows, "v double, g string")
+    r = wasserstein_1d(df, "v", "g", "a", "b").collect()[0]
+    assert r["wasserstein"] == 0.0 and r["n_a"] == r["n_b"] == 10
+
+    # b = a + 3: W1 of a pure location shift equals the shift
+    shifted = [(float(v), "a") for v in range(10)] + [
+        (float(v + 3), "b") for v in range(10)
+    ]
+    df2 = spark.createDataFrame(shifted, "v double, g string")
+    r2 = wasserstein_1d(df2, "v", "g", "a", "b").collect()[0]
+    assert r2["wasserstein"] == pytest.approx(3.0, abs=1e-6)
+
+
+def test_wasserstein_matches_scipy_free_python(spark):
+    from nbdatatools_spark.operators.analysis import wasserstein_1d
+
+    a = [1.0, 1.0, 4.0, 9.0, 2.5]
+    b = [0.5, 6.0, 6.0, 3.0]
+    rows = [(v, "a") for v in a] + [(v, "b") for v in b]
+    df = spark.createDataFrame(rows, "v double, g string")
+    r = wasserstein_1d(df, "v", "g", "a", "b").collect()[0]
+
+    vals = sorted(set(a) | set(b))
+    w1 = 0.0
+    for i, v in enumerate(vals[:-1]):
+        fa = sum(1 for x in a if x <= v) / len(a)
+        fb = sum(1 for x in b if x <= v) / len(b)
+        w1 += abs(fa - fb) * (vals[i + 1] - v)
+    assert r["wasserstein"] == pytest.approx(w1, abs=1e-6)
+
+
+def test_wasserstein_partition_invariant(spark):
+    from nbdatatools_spark.operators.analysis import wasserstein_1d
+
+    rows = [(float((i * 17) % 101), "a" if i % 3 else "b") for i in range(200)]
+    df = spark.createDataFrame(rows, "v double, g string")
+    r1 = wasserstein_1d(df.repartition(1), "v", "g", "a", "b").collect()
+    r2 = wasserstein_1d(df.repartition(13), "v", "g", "a", "b").collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+
+
+# ---------------------------------------------------------------------------
+# sampling: DoReMi domain reweighting
+# ---------------------------------------------------------------------------
+
+def test_domain_reweight_upweights_hard_domains(spark):
+    from nbdatatools_spark.operators.sampling import domain_reweight
+
+    rows = [("easy", 0.1)] * 50 + [("hard", 0.9)] * 50
+    df = spark.createDataFrame(rows, "d string, loss double")
+    got = {r["d"]: r for r in domain_reweight(df, "d", "loss", eta=1.0).collect()}
+    assert got["hard"]["weight"] > got["easy"]["weight"]
+    assert got["hard"]["weight"] + got["easy"]["weight"] == pytest.approx(
+        1.0, abs=1e-5
+    )
+    # closed form: equal shares, excess = +-0.4
+    import math
+
+    z = 0.5 * math.exp(0.4) + 0.5 * math.exp(-0.4)
+    assert got["hard"]["weight"] == pytest.approx(
+        0.5 * math.exp(0.4) / z, abs=1e-5
+    )
+
+
+def test_domain_reweight_eta_zero_recovers_shares(spark):
+    from nbdatatools_spark.operators.sampling import domain_reweight
+
+    rows = [("a", 0.2)] * 30 + [("b", 0.9)] * 10
+    df = spark.createDataFrame(rows, "d string, loss double")
+    got = {r["d"]: r for r in domain_reweight(df, "d", "loss", eta=0.0).collect()}
+    assert got["a"]["weight"] == pytest.approx(0.75, abs=1e-6)
+    assert got["b"]["weight"] == pytest.approx(0.25, abs=1e-6)
+
+
+def test_domain_reweight_smoothing_and_null_loss(spark):
+    from nbdatatools_spark.operators.sampling import domain_reweight
+
+    rows = [("a", 0.2), ("a", 0.4), ("b", None), ("b", None)]
+    df = spark.createDataFrame(rows, "d string, loss double")
+    got = {r["d"]: r for r in
+           domain_reweight(df, "d", "loss", eta=1.0, smoothing=0.5).collect()}
+    # b has no losses -> gets the corpus mean -> zero excess; a's mean IS
+    # the corpus mean too -> equal tilts -> weights = shares = 0.5 each
+    assert got["b"]["mean_loss"] is None
+    assert got["a"]["weight"] == pytest.approx(0.5, abs=1e-6)
+    assert got["b"]["weight"] == pytest.approx(0.5, abs=1e-6)
+    with pytest.raises(ValueError):
+        domain_reweight(df, "d", "loss", smoothing=1.0)
