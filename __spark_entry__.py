@@ -10729,6 +10729,9 @@ def round8_candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFr
         "doc_selection_parity": doc_selection_parity,
         "doc_wasserstein_shift": doc_wasserstein_shift,
         "doc_domain_reweight": doc_domain_reweight,
+        "events_diff_in_diff": events_diff_in_diff,
+        "doc_conformal_threshold": doc_conformal_threshold,
+        "embedding_procrustes": embedding_procrustes,
     }
 
 
@@ -10841,6 +10844,9 @@ def round8_candidate_oracles() -> dict[str, str]:
         "doc_selection_parity": _SELECTION_PARITY_ORACLE,
         "doc_wasserstein_shift": _WASSERSTEIN_ORACLE,
         "doc_domain_reweight": _domain_reweight_oracle(2.0, 0.1),
+        "events_diff_in_diff": _DIFF_IN_DIFF_ORACLE,
+        "doc_conformal_threshold": _conformal_oracle(0.1),
+        "embedding_procrustes": _PROCRUSTES_ORACLE,
         "doc_score_quantile_align": f"""
             WITH sc AS (SELECT doc_id, source, {_QUALITY6} AS score
                         FROM documents),
@@ -11345,3 +11351,171 @@ def _domain_reweight_oracle(eta: float = 2.0, smoothing: float = 0.1) -> str:
                      + CAST({s} AS DOUBLE) / nd, 6) AS weight
         FROM tilted CROSS JOIN z ORDER BY source
     """
+
+
+def events_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences over the event stream (temporal.py::
+    diff_in_diff; even user_ids as the 'treated' cohort, cutoff at
+    mid-January): the quasi-experimental effect readout that nets out
+    the shared time trend — ab_test_report's observational sibling. One
+    (treat, post) contingency aggregate with 9dp-DECIMAL cell sums —
+    hash-exact."""
+    from nbdatatools_spark.operators.temporal import diff_in_diff
+
+    ev = _t(spark, sf_dir, "events")
+    tagged = ev.withColumn("treat", F.col("user_id") % 2 == 0)
+    return diff_in_diff(tagged, "treat", "value", cutoff="2024-01-16")
+
+
+def doc_conformal_threshold(spark, sf_dir):
+    """Per-source split-conformal calibration thresholds at alpha=0.1
+    (evaluation.py::conformal_threshold): the exact
+    ceil((n+1)(1-alpha))-th order statistic of the quality score per
+    slice — the distribution-free coverage knob. One keyed ranking
+    window; tie-safe (equal scores share the selected VALUE) —
+    hash-exact."""
+    from nbdatatools_spark.functions.text import quality_score
+    from nbdatatools_spark.operators.evaluation import conformal_threshold
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source", F.round(quality_score(F.col("text")), 6).alias("score")
+    )
+    return conformal_threshold(scored, "score", alpha=0.1, group_col="source")
+
+
+def embedding_procrustes(spark, sf_dir):
+    """Pinned-invariant gate for orthogonal Procrustes alignment
+    (analysis.py::procrustes_align, Schönemann 1966) against a PLANTED
+    orthogonal transform (dimension reversal + alternating sign flips):
+    the embedding-snapshot drift tool must recover it exactly. Exact
+    SQL-replicable scalars: n, d, and both traces (9dp-DECIMAL element
+    sums; the planted transform preserves squared entries bit-for-bit,
+    so trace_b replays from the SAME expression). Boolean contract on
+    the driver SVD: residual ~ 0, nuclear norm = trace (B = A R0 makes
+    M = A^T A R0, so sum of singular values = trace(A^T A)), recovered
+    R orthonormal."""
+    from nbdatatools_spark.operators.analysis import procrustes_align
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rot = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(sequence(1, size(embedding)), i -> CAST("
+            "element_at(embedding, size(embedding) - i + 1)"
+            " * (CASE WHEN i % 2 = 0 THEN -1.0 ELSE 1.0 END) AS DOUBLE))"
+        ).alias("embedding"),
+    )
+    r, stats = procrustes_align(emb, rot)
+    row = stats.collect()[0]
+    import numpy as np
+
+    rm = np.asarray(r)
+    ortho = float(np.abs(rm.T @ rm - np.eye(rm.shape[0])).max()) < 1e-6
+    flags = {
+        "residual_le_tol": row["residual_sq"] <= 1e-3,
+        "nuclear_eq_trace": abs(row["nuclear_m"] - row["trace_a"]) <= 1e-3,
+        "rotation_orthonormal": ortho,
+    }
+    # exact scalars re-derived as DataFrame expressions (the oracle's
+    # expression trees); booleans pinned from the driver SVD above
+    traces = emb.select(
+        F.explode("embedding").alias("__x")
+    ).agg(
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("__x").cast("double") * F.col("__x").cast("double"),
+                    9,
+                ).cast("decimal(30,9)")
+            )
+            .cast("decimal(38,9)")
+            .cast("double"),
+            6,
+        ).alias("trace_a")
+    )
+    n_d = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.size("embedding")).alias("d"),
+    )
+    return (
+        n_d.crossJoin(F.broadcast(traces))
+        .select(
+            "n",
+            "d",
+            "trace_a",
+            F.col("trace_a").alias("trace_b"),
+            *[F.lit(bool(v)).alias(k) for k, v in flags.items()],
+        )
+    )
+
+
+_DIFF_IN_DIFF_ORACLE = """
+    WITH cells AS (
+        SELECT user_id % 2 = 0 AS t,
+               ts >= TIMESTAMP '2024-01-16' AS post,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(CAST(sum(CAST(round(CAST(value AS DOUBLE), 9)
+                    AS DECIMAL(30,9))) AS DECIMAL(38,9)) AS DOUBLE) AS s
+        FROM events GROUP BY 1, 2),
+    wide AS (
+        SELECT max(CASE WHEN t AND NOT post THEN n END) AS n_t_pre,
+               max(CASE WHEN t AND post THEN n END) AS n_t_post,
+               max(CASE WHEN NOT t AND NOT post THEN n END) AS n_c_pre,
+               max(CASE WHEN NOT t AND post THEN n END) AS n_c_post,
+               max(CASE WHEN t AND NOT post THEN s END)
+                   / max(CASE WHEN t AND NOT post THEN n END) AS mtpre,
+               max(CASE WHEN t AND post THEN s END)
+                   / max(CASE WHEN t AND post THEN n END) AS mtpost,
+               max(CASE WHEN NOT t AND NOT post THEN s END)
+                   / max(CASE WHEN NOT t AND NOT post THEN n END) AS mcpre,
+               max(CASE WHEN NOT t AND post THEN s END)
+                   / max(CASE WHEN NOT t AND post THEN n END) AS mcpost
+        FROM cells)
+    SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+           round(mtpre, 6) AS mean_t_pre,
+           round(mtpost, 6) AS mean_t_post,
+           round(mcpre, 6) AS mean_c_pre,
+           round(mcpost, 6) AS mean_c_post,
+           round((mtpost - mtpre) - (mcpost - mcpre), 6) AS did
+    FROM wide
+"""
+
+
+def _conformal_oracle(alpha: float = 0.1) -> str:
+    keep = repr(1.0 - float(alpha))
+    return f"""
+        WITH sc AS (SELECT source, {_QUALITY6} AS s FROM documents),
+        c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+              FROM sc GROUP BY source),
+        q AS (SELECT source, n,
+                     least(CAST(ceil((n + 1) * CAST({keep} AS DOUBLE))
+                                AS BIGINT), n) AS qi
+              FROM c),
+        r AS (SELECT source, s,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY s ASC) AS rn
+              FROM sc)
+        SELECT r.source AS "group", q.n, q.qi AS q_index,
+               round(r.s, 6) AS threshold
+        FROM r JOIN q ON r.source = q.source AND r.rn = q.qi
+        ORDER BY "group"
+    """
+
+
+_PROCRUSTES_ORACLE = """
+    WITH x AS (
+        SELECT CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+    tr AS (
+        SELECT round(CAST(CAST(sum(CAST(round(v * v, 9) AS DECIMAL(30,9)))
+                   AS DECIMAL(38,9)) AS DOUBLE), 6) AS trace_a
+        FROM x),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(max(len(embedding)) AS INT) AS d
+           FROM embeddings)
+    SELECT nd.n, nd.d, tr.trace_a, tr.trace_a AS trace_b,
+           TRUE AS residual_le_tol,
+           TRUE AS nuclear_eq_trace,
+           TRUE AS rotation_orthonormal
+    FROM nd CROSS JOIN tr
+"""

@@ -1290,6 +1290,46 @@ def _cmd_corpus_reweight(args) -> int:
     )
 
 
+def _cmd_corpus_conformal(args) -> int:
+    from nbdatatools_spark.operators.evaluation import conformal_threshold
+
+    df = _spark().read.parquet(args.input)
+    return _emit_rows(
+        conformal_threshold(
+            df, args.score_col, alpha=args.alpha, group_col=args.group_col
+        )
+    )
+
+
+def _cmd_events_did(args) -> int:
+    from nbdatatools_spark.operators.temporal import diff_in_diff
+
+    ev = _spark().read.parquet(args.input)
+    return _emit_rows(
+        diff_in_diff(
+            ev.selectExpr("*", f"({args.treat_expr}) AS __treat"),
+            "__treat", args.value_col, ts_col=args.ts_col, cutoff=args.cutoff,
+        )
+    )
+
+
+def _cmd_analyze_procrustes(args) -> int:
+    from nbdatatools_spark.operators.analysis import procrustes_align
+
+    spark = _spark()
+    a = spark.read.parquet(args.input_a)
+    b = spark.read.parquet(args.input_b)
+    r, stats = procrustes_align(
+        a, b, id_col=args.id_col, vec_a=args.vec_col, vec_b=args.vec_col
+    )
+    if args.rotation_out:
+        spark.createDataFrame(
+            [(i, row) for i, row in enumerate(r)],
+            "dim int, rotation array<double>",
+        ).write.mode("overwrite").parquet(args.rotation_out)
+    return _emit_rows(stats)
+
+
 def _cmd_analyze_mi(args) -> int:
     from nbdatatools_spark.operators.quality_checks import mutual_information
 
@@ -1342,6 +1382,8 @@ def _cmd_events(args) -> int:
                 max_lag=args.max_lag,
             )
         )
+    if args.what == "did":
+        return _cmd_events_did(args)
     if args.what == "burstiness":
         return _emit_rows(
             temporal.burstiness(
@@ -2440,7 +2482,7 @@ def build_parser() -> argparse.ArgumentParser:
     evp = sub.add_parser("events").add_subparsers(dest="what", required=True)
     for w in ("seasonal", "cusum", "mad", "concurrency", "triangles",
               "theil_sen", "bootstrap_ci", "dp_counts", "k_anonymity",
-              "acf", "survival", "ccf", "burstiness"):
+              "acf", "survival", "ccf", "burstiness", "did"):
         ev = evp.add_parser(w)
         ev.add_argument("--input", required=True)
         ev.add_argument("--ts-col", default="ts")
@@ -2489,6 +2531,11 @@ def build_parser() -> argparse.ArgumentParser:
         if w == "burstiness":
             ev.add_argument("--user-col", default="user_id")
             ev.add_argument("--min-events", type=int, default=3)
+        if w == "did":
+            ev.add_argument("--treat-expr", required=True,
+                            help="boolean SQL expression tagging the cohort")
+            ev.add_argument("--value-col", default="value")
+            ev.add_argument("--cutoff", required=True)
         ev.set_defaults(func=_cmd_events)
 
     gr = sub.add_parser("graph").add_subparsers(dest="what", required=True)
@@ -2596,11 +2643,25 @@ def build_parser() -> argparse.ArgumentParser:
     crw.add_argument("--smoothing", type=float, default=0.0)
     crw.set_defaults(func=_cmd_corpus_reweight)
 
+    cct = cp.add_parser("conformal")
+    cct.add_argument("--input", required=True)
+    cct.add_argument("--score-col", required=True)
+    cct.add_argument("--alpha", type=float, default=0.1)
+    cct.add_argument("--group-col", default=None)
+    cct.set_defaults(func=_cmd_corpus_conformal)
+
     ami = an.add_parser("mi")
     ami.add_argument("--input", required=True)
     ami.add_argument("--col-a", required=True)
     ami.add_argument("--col-b", required=True)
     ami.set_defaults(func=_cmd_analyze_mi)
+    apr = an.add_parser("procrustes")
+    apr.add_argument("--input-a", required=True)
+    apr.add_argument("--input-b", required=True)
+    apr.add_argument("--id-col", default="vec_id")
+    apr.add_argument("--vec-col", default="embedding")
+    apr.add_argument("--rotation-out", default=None)
+    apr.set_defaults(func=_cmd_analyze_procrustes)
     akc = an.add_parser("kcenter")
     akc.add_argument("--input", required=True)
     akc.add_argument("-k", type=int, default=8)

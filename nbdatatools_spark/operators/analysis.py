@@ -2872,3 +2872,134 @@ def wasserstein_1d(
             ),
         ).alias("wasserstein")
     )
+
+
+def _cross_gramian_int64(
+    joined: DataFrame, vec_a: str, vec_b: str, d: int, caller: str
+):
+    """Shared 9dp-scaled int64 CROSS-gramian collection over id-joined
+    vector pairs (the _gramian_int64 discipline: every decimal-sum addend
+    round(x*y, 9) is an exact multiple of 1e-9, so sum(rint(x*y*1e9)) as
+    int64 reproduces it order-independently). Returns
+    ``(n, trace_a_int, trace_b_int, m_int[d][d])`` as exact python ints,
+    with M = A^T B in row-major (i indexes A's dims, j indexes B's)."""
+    import numpy as np
+
+    def partials(batches):
+        import pandas as pd
+
+        n = 0
+        ta = np.int64(0)
+        tb = np.int64(0)
+        m = np.zeros((d, d), dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            va = pdf["__a"].to_list()
+            vb = pdf["__b"].to_list()
+            if any(v is None or len(v) < d for v in va + vb):
+                raise ValueError(
+                    f"{caller} needs uniform vectors of >= {d} dims"
+                )
+            A = np.asarray([v[:d] for v in va], dtype=np.float64)
+            B = np.asarray([v[:d] for v in vb], dtype=np.float64)
+            n += A.shape[0]
+            ta += np.rint(A * A * 1e9).astype(np.int64).sum()
+            tb += np.rint(B * B * 1e9).astype(np.int64).sum()
+            for s in range(0, A.shape[0], 256):
+                blk_a, blk_b = A[s : s + 256], B[s : s + 256]
+                prods = blk_a[:, :, None] * blk_b[:, None, :]
+                m += np.rint(prods * 1e9).astype(np.int64).sum(axis=0)
+        yield pd.DataFrame(
+            {
+                "n": [n],
+                "ta": [int(ta)],
+                "tb": [int(tb)],
+                "m": [m.ravel().tolist()],
+            }
+        )
+
+    rows = joined.select(
+        F.col(vec_a).alias("__a"), F.col(vec_b).alias("__b")
+    ).mapInPandas(partials, "n long, ta long, tb long, m array<long>").collect()
+    n_tot = sum(r["n"] for r in rows)
+    if n_tot == 0:
+        raise ValueError(f"{caller} needs at least one joined row")
+    import numpy as _np
+
+    ta = sum(int(r["ta"]) for r in rows)
+    tb = sum(int(r["tb"]) for r in rows)
+    m = _np.zeros((d, d), dtype=object)
+    for r in rows:
+        m += _np.asarray(r["m"], dtype=object).reshape(d, d)
+    return n_tot, ta, tb, m
+
+
+def procrustes_align(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    id_col: str = "vec_id",
+    vec_a: str = "embedding",
+    vec_b: str = "embedding",
+    dims: int | None = None,
+):
+    """Orthogonal Procrustes alignment between two embedding snapshots
+    (Schönemann 1966): the rotation R = U V^T from SVD(A^T B = U S V^T)
+    that maps space A onto space B with minimal Frobenius error — the
+    standard tool for comparing embeddings across model versions /
+    checkpoints (align, THEN measure drift; unaligned cosine drift
+    conflates rotation with real change).
+
+    Returns ``(R, stats_df)``: R as a plain d x d list (row i = where
+    A's dim i lands), stats_df one row ``(n, d, trace_a, trace_b,
+    nuclear_m, residual_sq, relative_residual)`` where
+    ``residual_sq = ||A R - B||_F^2 = trace_a + trace_b - 2 * sum(S)``
+    (the Procrustes identity) and ``relative_residual = residual_sq /
+    trace_b`` (0 = B is an exact rotation of A).
+
+    Scale shape: ONE id-equi-join + ONE Arrow-batched cross-gramian pass
+    (d^2 int64 partials per batch — the _gramian_int64 discipline, exact
+    and order-independent); the SVD runs on the d x d matrix on the
+    driver (the kmeans/fitting bounded-collect shape). Corpus size never
+    hits the driver.
+    """
+    import numpy as np
+
+    joined = df_a.select(
+        F.col(id_col).alias("__id"), F.col(vec_a).alias("__va")
+    ).join(
+        df_b.select(F.col(id_col).alias("__id"), F.col(vec_b).alias("__vb")),
+        "__id",
+    )
+    if dims is None:
+        first = joined.select(F.size("__va").alias("s")).first()
+        if first is None:
+            raise ValueError("procrustes_align needs at least one joined row")
+        dims = int(first["s"])
+    n, ta_i, tb_i, m_i = _cross_gramian_int64(
+        joined, "__va", "__vb", dims, caller="procrustes_align"
+    )
+    ta = float(ta_i) * 1e-9
+    tb = float(tb_i) * 1e-9
+    m = np.asarray(m_i, dtype=np.float64) * 1e-9
+    u, s, vt = np.linalg.svd(m)
+    r = u @ vt
+    nuclear = float(s.sum())
+    residual = max(0.0, ta + tb - 2.0 * nuclear)
+    spark = df_a.sparkSession
+    stats = spark.createDataFrame(
+        [
+            (
+                n,
+                dims,
+                round(ta, 6),
+                round(tb, 6),
+                round(nuclear, 6),
+                round(residual, 6),
+                round(residual / tb, 6) if tb > 0 else None,
+            )
+        ],
+        "n bigint, d int, trace_a double, trace_b double, nuclear_m double,"
+        " residual_sq double, relative_residual double",
+    )
+    return [[float(x) for x in row] for row in r], stats

@@ -733,3 +733,48 @@ def selection_parity(
         )
         .orderBy(group_col)
     )
+
+
+def conformal_threshold(
+    df: DataFrame,
+    score_col: str,
+    alpha: float = 0.1,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Split-conformal calibration threshold (Vovk et al.; Angelopoulos
+    & Bates 2023 tutorial form): the ceil((n+1)(1-alpha))-th smallest
+    nonconformity score — predictions whose score is <= the threshold
+    get coverage >= 1-alpha on exchangeable data. Per ``group_col``
+    slice when given (per-source thresholds are mixture-shift insurance).
+
+    The order statistic is exact and tie-safe (row_number among equal
+    scores always lands on the same VALUE); the index clamps to n when
+    (n+1)(1-alpha) exceeds it. One KEYED ranking window (parallel across
+    slices) — threshold selection state is one slice's scores.
+
+    Returns ``(group, n, q_index, threshold)``.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0,1), got {alpha}")
+    g = (
+        F.col(group_col).cast("string") if group_col else F.lit("<all>")
+    ).alias("__g")
+    base = df.select(g, F.col(score_col).cast("double").alias("__s"))
+    w = Window.partitionBy("__g").orderBy(F.asc("__s"))
+    counts = base.groupBy("__g").agg(F.count(F.lit(1)).alias("n"))
+    qidx = F.least(
+        F.ceil((F.col("n") + 1) * F.lit(1.0 - float(alpha))).cast("bigint"),
+        F.col("n"),
+    )
+    ranked = base.select("__g", "__s", F.row_number().over(w).alias("__r"))
+    return (
+        ranked.join(counts.select("__g", "n", qidx.alias("q_index")), "__g")
+        .where(F.col("__r") == F.col("q_index"))
+        .select(
+            F.col("__g").alias("group"),
+            "n",
+            "q_index",
+            F.round("__s", 6).alias("threshold"),
+        )
+        .orderBy("group")
+    )

@@ -1354,3 +1354,76 @@ def burstiness(
             "burstiness"
         ),
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    treat_col: str,
+    value_col: str,
+    ts_col: str = "ts",
+    cutoff: str = "2024-01-01",
+) -> DataFrame:
+    """Difference-in-differences estimate over an event stream: the
+    treatment effect net of the shared time trend,
+
+        DiD = (mean_T_post - mean_T_pre) - (mean_C_post - mean_C_pre)
+
+    — the standard quasi-experimental readout when a change rolled out
+    to one cohort at a known time (the A/B report's observational
+    sibling; ab_test_report assumes randomized assignment, this one
+    nets out pre-existing cohort level differences instead).
+
+    Exactness: cell means from 9dp-DECIMAL value sums over exact counts;
+    ONE (treat, post) contingency aggregate (map-side partial). DiD is
+    NULL unless all four cells are populated.
+
+    Returns one row ``(n_t_pre, n_t_post, n_c_pre, n_c_post, mean_t_pre,
+    mean_t_post, mean_c_pre, mean_c_post, did)`` rounded to 6dp.
+    """
+    cells = (
+        df.select(
+            F.col(treat_col).cast("boolean").alias("__t"),
+            (F.col(ts_col).cast("timestamp") >= F.lit(cutoff).cast("timestamp"))
+            .alias("__post"),
+            F.col(value_col).cast("double").alias("__v"),
+        )
+        .groupBy("__t", "__post")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.round("__v", 9).cast("decimal(30,9)"))
+            .cast("decimal(38,9)")
+            .cast("double")
+            .alias("__s"),
+        )
+    )
+
+    def cell(t, post, col):
+        return F.max(
+            F.when((F.col("__t") == t) & (F.col("__post") == post), F.col(col))
+        )
+
+    wide = cells.agg(
+        cell(True, False, "__n").alias("n_t_pre"),
+        cell(True, True, "__n").alias("n_t_post"),
+        cell(False, False, "__n").alias("n_c_pre"),
+        cell(False, True, "__n").alias("n_c_post"),
+        (cell(True, False, "__s") / cell(True, False, "__n")).alias("__mtpre"),
+        (cell(True, True, "__s") / cell(True, True, "__n")).alias("__mtpost"),
+        (cell(False, False, "__s") / cell(False, False, "__n")).alias("__mcpre"),
+        (cell(False, True, "__s") / cell(False, True, "__n")).alias("__mcpost"),
+    )
+    return wide.select(
+        "n_t_pre",
+        "n_t_post",
+        "n_c_pre",
+        "n_c_post",
+        F.round("__mtpre", 6).alias("mean_t_pre"),
+        F.round("__mtpost", 6).alias("mean_t_post"),
+        F.round("__mcpre", 6).alias("mean_c_pre"),
+        F.round("__mcpost", 6).alias("mean_c_post"),
+        F.round(
+            (F.col("__mtpost") - F.col("__mtpre"))
+            - (F.col("__mcpost") - F.col("__mcpre")),
+            6,
+        ).alias("did"),
+    )

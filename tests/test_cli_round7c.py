@@ -169,3 +169,29 @@ def test_corpus_reweight_cli(spark, capsys):
                  "--eta", "0.01"]) == 0
     rows = _lines(capsys)
     assert rows and sum(r["weight"] for r in rows) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_events_did_cli(spark, capsys):
+    assert main(["events", "did", "--input", EVENTS,
+                 "--treat-expr", "user_id % 2 = 0",
+                 "--cutoff", "2024-01-16"]) == 0
+    (row,) = _lines(capsys)
+    assert row["did"] is not None and row["n_t_pre"] > 0
+
+
+def test_corpus_conformal_cli(spark, capsys):
+    assert main(["corpus", "conformal", "--input", DOCS,
+                 "--score-col", "n_chars", "--alpha", "0.2",
+                 "--group-col", "lang"]) == 0
+    rows = _lines(capsys)
+    assert rows and all(r["q_index"] <= r["n"] for r in rows)
+
+
+def test_analyze_procrustes_cli(spark, capsys, tmp_path):
+    rout = str(tmp_path / "rot.parquet")
+    assert main(["analyze", "procrustes", "--input-a", EMB, "--input-b", EMB,
+                 "--rotation-out", rout]) == 0
+    (row,) = _lines(capsys)
+    assert row["residual_sq"] <= 1e-6
+    rot = spark.read.parquet(rout)
+    assert rot.count() == row["d"]

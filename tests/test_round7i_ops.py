@@ -302,3 +302,118 @@ def test_domain_reweight_smoothing_and_null_loss(spark):
     assert got["b"]["weight"] == pytest.approx(0.5, abs=1e-6)
     with pytest.raises(ValueError):
         domain_reweight(df, "d", "loss", smoothing=1.0)
+
+
+# ---------------------------------------------------------------------------
+# temporal: diff-in-diff
+# ---------------------------------------------------------------------------
+
+def test_diff_in_diff_planted_effect(spark):
+    import datetime
+
+    from nbdatatools_spark.operators.temporal import diff_in_diff
+
+    t0 = datetime.datetime(2024, 1, 1)
+    t1 = datetime.datetime(2024, 2, 1)
+    rows = []
+    # control: 10 -> 12 (trend +2); treated: 20 -> 27 (trend +2, effect +5)
+    for i in range(20):
+        rows += [(True, 20.0, t0), (True, 27.0, t1),
+                 (False, 10.0, t0), (False, 12.0, t1)]
+    df = spark.createDataFrame(rows, "treat boolean, value double, ts timestamp")
+    r = diff_in_diff(df, "treat", "value", cutoff="2024-01-15").collect()[0]
+    assert r["did"] == pytest.approx(5.0, abs=1e-6)
+    assert r["n_t_pre"] == r["n_c_post"] == 20
+
+
+def test_diff_in_diff_missing_cell_null(spark):
+    import datetime
+
+    from nbdatatools_spark.operators.temporal import diff_in_diff
+
+    df = spark.createDataFrame(
+        [(True, 1.0, datetime.datetime(2024, 1, 1)),
+         (False, 1.0, datetime.datetime(2024, 1, 1))],
+        "treat boolean, value double, ts timestamp",
+    )
+    r = diff_in_diff(df, "treat", "value", cutoff="2024-01-15").collect()[0]
+    assert r["did"] is None and r["n_t_post"] is None
+
+
+# ---------------------------------------------------------------------------
+# evaluation: conformal threshold
+# ---------------------------------------------------------------------------
+
+def test_conformal_threshold_order_statistic(spark):
+    from nbdatatools_spark.operators.evaluation import conformal_threshold
+
+    scores = [float(v) for v in range(1, 20)]  # 1..19, n=19
+    df = spark.createDataFrame([(s,) for s in scores], "s double")
+    r = conformal_threshold(df, "s", alpha=0.1).collect()[0]
+    # ceil(20 * 0.9) = 18 -> the 18th smallest = 18.0
+    assert r["q_index"] == 18 and r["threshold"] == 18.0
+    # coverage property on exchangeable data: at least 1-alpha of scores <= t
+    assert sum(s <= r["threshold"] for s in scores) / len(scores) >= 0.9 - 1e-9
+
+
+def test_conformal_threshold_clamps_and_groups(spark):
+    from nbdatatools_spark.operators.evaluation import conformal_threshold
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 7.0)], "g string, s double"
+    )
+    got = {r["group"]: r for r in
+           conformal_threshold(df, "s", alpha=0.05, group_col="g").collect()}
+    assert got["a"]["q_index"] == 2 and got["a"]["threshold"] == 2.0
+    assert got["b"]["q_index"] == 1 and got["b"]["threshold"] == 7.0  # clamped
+    with pytest.raises(ValueError):
+        conformal_threshold(df, "s", alpha=0.0)
+
+
+# ---------------------------------------------------------------------------
+# analysis: Procrustes alignment
+# ---------------------------------------------------------------------------
+
+def test_procrustes_recovers_planted_rotation(spark, embeddings):
+    import numpy as np
+
+    from nbdatatools_spark.operators.analysis import procrustes_align
+
+    sub = embeddings.where(F.col("vec_id") < 200)
+    rot = sub.select(
+        "vec_id",
+        F.expr(
+            "transform(sequence(1, size(embedding)), i -> CAST("
+            "element_at(embedding, size(embedding) - i + 1)"
+            " * (CASE WHEN i % 2 = 0 THEN -1.0 ELSE 1.0 END) AS DOUBLE))"
+        ).alias("embedding"),
+    )
+    r, stats = procrustes_align(sub, rot)
+    row = stats.collect()[0]
+    assert row["residual_sq"] <= 1e-6
+    assert row["relative_residual"] <= 1e-9
+    rm = np.asarray(r)
+    assert float(np.abs(rm.T @ rm - np.eye(rm.shape[0])).max()) < 1e-9
+    # R actually maps A onto B: apply to one vector
+    a = np.asarray(sub.orderBy("vec_id").first()["embedding"], dtype=np.float64)
+    b = np.asarray(rot.orderBy("vec_id").first()["embedding"], dtype=np.float64)
+    assert np.abs(a @ rm - b).max() < 1e-6
+
+
+def test_procrustes_identity_and_noise(spark, embeddings):
+    import numpy as np
+
+    from nbdatatools_spark.operators.analysis import procrustes_align
+
+    sub = embeddings.where(F.col("vec_id") < 100)
+    r, stats = procrustes_align(sub, sub)
+    row = stats.collect()[0]
+    assert row["residual_sq"] <= 1e-6
+    rm = np.asarray(r)
+    assert np.abs(rm - np.eye(rm.shape[0])).max() < 1e-6  # identity recovered
+    # unrelated spaces: residual strictly positive
+    shuffled = sub.select(
+        (F.col("vec_id") + 1).alias("vec_id"), "embedding"
+    ).where(F.col("vec_id") < 100)
+    _, stats2 = procrustes_align(sub, shuffled)
+    assert stats2.collect()[0]["residual_sq"] > 0.1
