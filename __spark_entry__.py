@@ -10732,6 +10732,7 @@ def round8_candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFr
         "events_diff_in_diff": events_diff_in_diff,
         "doc_conformal_threshold": doc_conformal_threshold,
         "embedding_procrustes": embedding_procrustes,
+        "embedding_knn_overlap": embedding_knn_overlap,
     }
 
 
@@ -10847,6 +10848,7 @@ def round8_candidate_oracles() -> dict[str, str]:
         "events_diff_in_diff": _DIFF_IN_DIFF_ORACLE,
         "doc_conformal_threshold": _conformal_oracle(0.1),
         "embedding_procrustes": _PROCRUSTES_ORACLE,
+        "embedding_knn_overlap": _knn_overlap_oracle(10, 16),
         "doc_score_quantile_align": f"""
             WITH sc AS (SELECT doc_id, source, {_QUALITY6} AS score
                         FROM documents),
@@ -11519,3 +11521,60 @@ _PROCRUSTES_ORACLE = """
            TRUE AS rotation_orthonormal
     FROM nd CROSS JOIN tr
 """
+
+
+def embedding_knn_overlap(spark, sf_dir):
+    """Neighborhood preservation under Matryoshka-style truncation
+    (knn.py::knn_overlap, k=10): mean overlap between each vector's
+    full-dimension 10-NN set and its first-16-dims 10-NN set — the
+    direct QA readout for dimension truncation / projection / model
+    swaps (recall@k is this with B = the ANN index). Gate pins
+    impl='expr' for fold parity (the knn_cosine_topk discipline); GEMM
+    is the production path. Per-point overlaps 9dp-DECIMAL-summed —
+    hash-exact."""
+    from nbdatatools_spark.operators.knn import knn_overlap
+
+    emb = _t(spark, sf_dir, "embeddings")
+    trunc = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(slice(embedding, 1, 16), x -> CAST(x AS FLOAT))"
+        ).alias("embedding"),
+    )
+    return knn_overlap(emb, trunc, k=10, impl="expr")
+
+
+def _knn_overlap_oracle(k: int = 10, trunc: int = 16) -> str:
+    def knn_cte(rel: str) -> str:
+        return f"""(
+            SELECT q.id AS qid, b.id AS bid
+            FROM {rel} q CROSS JOIN {rel} b
+            WHERE q.id <> b.id
+            QUALIFY row_number() OVER (
+                PARTITION BY q.id
+                ORDER BY ({_COS_DIST}) ASC NULLS LAST, b.id ASC) <= {k})"""
+    return f"""
+        WITH a AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+        t AS (SELECT vec_id AS id,
+                     list_slice(CAST(embedding AS DOUBLE[]), 1, {trunc}) AS e
+              FROM embeddings),
+        ea AS MATERIALIZED {knn_cte("a")},
+        eb AS MATERIALIZED {knn_cte("t")},
+        ka AS (SELECT qid, count(*) AS ka FROM ea GROUP BY qid),
+        kb AS (SELECT qid, count(*) AS kb FROM eb GROUP BY qid),
+        com AS (SELECT ea.qid, count(*) AS nc
+                FROM ea JOIN eb ON ea.qid = eb.qid AND ea.bid = eb.bid
+                GROUP BY ea.qid),
+        pp AS (SELECT round(CAST(coalesce(nc, 0) AS DOUBLE)
+                            / least(ka, kb), 9) AS ov
+               FROM ka JOIN kb USING (qid) LEFT JOIN com USING (qid))
+        SELECT CAST(count(*) AS BIGINT) AS n_points, CAST({k} AS INT) AS k,
+               round(CAST(CAST(sum(CAST(ov AS DECIMAL(20,9)))
+                    AS DECIMAL(38,9)) AS DOUBLE) / count(*), 6)
+                   AS mean_overlap,
+               round(min(ov), 6) AS min_overlap,
+               round(CAST(sum(CASE WHEN ov >= 1.0 THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*), 6) AS frac_perfect
+        FROM pp
+    """

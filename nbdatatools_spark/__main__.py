@@ -1330,6 +1330,20 @@ def _cmd_analyze_procrustes(args) -> int:
     return _emit_rows(stats)
 
 
+def _cmd_analyze_knn_overlap(args) -> int:
+    from nbdatatools_spark.operators.knn import knn_overlap
+
+    spark = _spark()
+    a = spark.read.parquet(args.input_a)
+    b = spark.read.parquet(args.input_b)
+    return _emit_rows(
+        knn_overlap(
+            a, b, k=args.k, metric=args.metric, id_col=args.id_col,
+            vec_a=args.vec_col, vec_b=args.vec_col, impl=args.impl,
+        )
+    )
+
+
 def _cmd_analyze_mi(args) -> int:
     from nbdatatools_spark.operators.quality_checks import mutual_information
 
@@ -2655,6 +2669,15 @@ def build_parser() -> argparse.ArgumentParser:
     ami.add_argument("--col-a", required=True)
     ami.add_argument("--col-b", required=True)
     ami.set_defaults(func=_cmd_analyze_mi)
+    ako = an.add_parser("knn-overlap")
+    ako.add_argument("--input-a", required=True)
+    ako.add_argument("--input-b", required=True)
+    ako.add_argument("-k", type=int, default=10)
+    ako.add_argument("--metric", default="cosine")
+    ako.add_argument("--id-col", default="vec_id")
+    ako.add_argument("--vec-col", default="embedding")
+    ako.add_argument("--impl", default="gemm")
+    ako.set_defaults(func=_cmd_analyze_knn_overlap)
     apr = an.add_parser("procrustes")
     apr.add_argument("--input-a", required=True)
     apr.add_argument("--input-b", required=True)

@@ -553,3 +553,97 @@ def mutual_knn_pairs(
         .select("id_a", "id_b", F.round("__d", 6).alias("distance"))
         .orderBy("id_a", "id_b")
     )
+
+
+def knn_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    k: int = 10,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_a: str = "embedding",
+    vec_b: str = "embedding",
+    impl: str = "gemm",
+    neighbors_a: DataFrame | None = None,
+    neighbors_b: DataFrame | None = None,
+) -> DataFrame:
+    """Neighborhood-preservation score between two embedding spaces over
+    the SAME ids: mean per-point overlap of the k-nearest-neighbor sets,
+
+        overlap(i) = |kNN_A(i)  intersect  kNN_B(i)| / min(k_A(i), k_B(i))
+
+    — the direct QA readout for any space transformation: Matryoshka /
+    PCA / JL truncation ("how much neighborhood structure survives 16
+    dims"), a re-embedding model swap, or an ANN index vs the exact
+    space (recall@k is this with B = approximate). 1.0 = neighborhoods
+    intact; ~k/n = unrelated spaces.
+
+    Plan: ONE self-KNN per space at k+1 (GEMM partial top-k default;
+    ``neighbors_a/b`` accept precomputed ANN lists — the hubness /
+    mutual-kNN corpus-scale convention), self-drop + deterministic
+    re-rank to k, then the two directed edge lists equi-join on
+    (query, base) — never all-pairs. Per-point overlaps round to 9dp
+    and DECIMAL-sum into the mean (engine-exact).
+
+    Returns one row ``(n_points, k, mean_overlap, min_overlap,
+    frac_perfect)`` (6dp).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from nbdatatools_spark.operators.similarity import brute_force_topk
+
+    def edges(df, vec, nbrs):
+        if nbrs is None:
+            pairs = brute_force_topk(
+                df, df, k + 1, metric=metric, query_id=id_col,
+                base_id=id_col, vec_col=vec, impl=impl,
+            )
+        else:
+            pairs = nbrs.select("query_id", "base_id", "distance")
+        pairs = pairs.where(F.col("query_id") != F.col("base_id"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("distance").asc_nulls_last(), F.col("base_id").asc()
+        )
+        return (
+            pairs.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= k)
+            .select("query_id", "base_id")
+        )
+
+    ea = edges(df_a, vec_a, neighbors_a).localCheckpoint(eager=False)
+    eb = edges(df_b, vec_b, neighbors_b).localCheckpoint(eager=False)
+    ka = ea.groupBy("query_id").agg(F.count(F.lit(1)).alias("__ka"))
+    kb = eb.groupBy("query_id").agg(F.count(F.lit(1)).alias("__kb"))
+    common = (
+        ea.join(eb, ["query_id", "base_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__nc"))
+    )
+    per_point = (
+        ka.join(kb, "query_id")
+        .join(common, "query_id", "left")
+        .select(
+            F.round(
+                F.coalesce(F.col("__nc"), F.lit(0)).cast("double")
+                / F.least("__ka", "__kb"),
+                9,
+            ).alias("__ov")
+        )
+    )
+    return per_point.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.lit(k).alias("k"),
+        F.round(
+            F.sum(F.col("__ov").cast("decimal(20,9)"))
+            .cast("decimal(38,9)")
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_overlap"),
+        F.round(F.min("__ov"), 6).alias("min_overlap"),
+        F.round(
+            F.sum(F.when(F.col("__ov") >= 1.0, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("frac_perfect"),
+    )

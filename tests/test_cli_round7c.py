@@ -195,3 +195,10 @@ def test_analyze_procrustes_cli(spark, capsys, tmp_path):
     assert row["residual_sq"] <= 1e-6
     rot = spark.read.parquet(rout)
     assert rot.count() == row["d"]
+
+
+def test_analyze_knn_overlap_cli(spark, capsys):
+    assert main(["analyze", "knn-overlap", "--input-a", EMB, "--input-b", EMB,
+                 "-k", "5"]) == 0
+    (row,) = _lines(capsys)
+    assert row["mean_overlap"] == 1.0

@@ -417,3 +417,79 @@ def test_procrustes_identity_and_noise(spark, embeddings):
     ).where(F.col("vec_id") < 100)
     _, stats2 = procrustes_align(sub, shuffled)
     assert stats2.collect()[0]["residual_sq"] > 0.1
+
+
+# ---------------------------------------------------------------------------
+# knn: neighborhood overlap
+# ---------------------------------------------------------------------------
+
+def test_knn_overlap_identity_and_truncation(spark, embeddings):
+    from nbdatatools_spark.operators.knn import knn_overlap
+
+    sub = embeddings.where(F.col("vec_id") < 150)
+    r = knn_overlap(sub, sub, k=5, impl="expr").collect()[0]
+    assert r["mean_overlap"] == 1.0 and r["frac_perfect"] == 1.0
+
+    trunc = sub.select(
+        "vec_id",
+        F.expr("transform(slice(embedding, 1, 8), x -> CAST(x AS FLOAT))")
+        .alias("embedding"),
+    )
+    r2 = knn_overlap(sub, trunc, k=5, impl="expr").collect()[0]
+    assert 0.0 <= r2["mean_overlap"] < 1.0
+    assert r2["n_points"] == 150
+    with pytest.raises(ValueError):
+        knn_overlap(sub, sub, k=0)
+
+
+def test_knn_overlap_gemm_matches_expr(spark, embeddings):
+    from nbdatatools_spark.operators.knn import knn_overlap
+
+    sub = embeddings.where(F.col("vec_id") < 150)
+    trunc = sub.select(
+        "vec_id",
+        F.expr("transform(slice(embedding, 1, 16), x -> CAST(x AS FLOAT))")
+        .alias("embedding"),
+    )
+    a = knn_overlap(sub, trunc, k=10, impl="expr").collect()[0]
+    b = knn_overlap(sub, trunc, k=10, impl="gemm").collect()[0]
+    # neighbor SETS agree between kernels (distances differ in last bits
+    # only, which cannot reorder distinct synthetic vectors at k=10)
+    assert a["mean_overlap"] == b["mean_overlap"]
+    assert a["min_overlap"] == b["min_overlap"]
+
+
+def test_knn_overlap_matches_numpy(spark, embeddings):
+    import numpy as np
+
+    from nbdatatools_spark.operators.knn import knn_overlap
+
+    sub = embeddings.where(F.col("vec_id") < 80)
+    trunc = sub.select(
+        "vec_id",
+        F.expr("transform(slice(embedding, 1, 16), x -> CAST(x AS FLOAT))")
+        .alias("embedding"),
+    )
+    got = knn_overlap(sub, trunc, k=5, impl="expr").collect()[0]
+
+    rows = sub.orderBy("vec_id").collect()
+    ids = [r["vec_id"] for r in rows]
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+    def knn_sets(M, k):
+        nrm = M / np.linalg.norm(M, axis=1, keepdims=True)
+        d = 1 - nrm @ nrm.T
+        out = {}
+        for i in range(len(ids)):
+            order = sorted(
+                (j for j in range(len(ids)) if j != i),
+                key=lambda j: (d[i, j], ids[j]),
+            )
+            out[ids[i]] = {ids[j] for j in order[:k]}
+        return out
+
+    ka = knn_sets(X, 5)
+    kb = knn_sets(X[:, :16], 5)
+    ovs = [len(ka[i] & kb[i]) / 5 for i in ids]
+    assert got["mean_overlap"] == pytest.approx(sum(ovs) / len(ovs), abs=1e-6)
+    assert got["min_overlap"] == pytest.approx(min(ovs), abs=1e-6)
