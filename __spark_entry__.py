@@ -10733,6 +10733,7 @@ def round8_candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFr
         "doc_conformal_threshold": doc_conformal_threshold,
         "embedding_procrustes": embedding_procrustes,
         "embedding_knn_overlap": embedding_knn_overlap,
+        "doc_balanced_shards": doc_balanced_shards,
     }
 
 
@@ -10849,6 +10850,7 @@ def round8_candidate_oracles() -> dict[str, str]:
         "doc_conformal_threshold": _conformal_oracle(0.1),
         "embedding_procrustes": _PROCRUSTES_ORACLE,
         "embedding_knn_overlap": _knn_overlap_oracle(10, 16),
+        "doc_balanced_shards": _balanced_shards_oracle(8),
         "doc_score_quantile_align": f"""
             WITH sc AS (SELECT doc_id, source, {_QUALITY6} AS score
                         FROM documents),
@@ -11577,4 +11579,39 @@ def _knn_overlap_oracle(k: int = 10, trunc: int = 16) -> str:
                round(CAST(sum(CASE WHEN ov >= 1.0 THEN 1 ELSE 0 END)
                     AS DOUBLE) / count(*), 6) AS frac_perfect
         FROM pp
+    """
+
+
+def doc_balanced_shards(spark, sf_dir):
+    """Balanced training-shard assignment audit (packing.py::
+    shard_balance_report, 8 shards by n_chars): serpentine deal over the
+    (weight DESC, id) two-phase global index — N output files whose
+    token totals match so no data-loader rank starves. All integer
+    arithmetic on the index — hash-exact."""
+    from nbdatatools_spark.operators.packing import shard_balance_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return shard_balance_report(docs, 8, "n_chars")
+
+
+def _balanced_shards_oracle(n_shards: int = 8) -> str:
+    n2 = 2 * n_shards
+    return f"""
+        WITH idx AS (
+            SELECT n_chars,
+                   row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1
+                       AS i
+            FROM documents),
+        a AS (SELECT n_chars,
+                     CAST(CASE WHEN i % {n2} < {n_shards} THEN i % {n2}
+                          ELSE {n2} - 1 - (i % {n2}) END AS INT) AS shard
+              FROM idx),
+        per AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+                       CAST(sum(n_chars) AS BIGINT) AS total_weight
+                FROM a GROUP BY shard),
+        m AS (SELECT CAST(sum(total_weight) AS DOUBLE) / count(*) AS mw
+              FROM per)
+        SELECT shard, n_rows, total_weight,
+               round(total_weight / mw, 6) AS weight_ratio
+        FROM per CROSS JOIN m ORDER BY shard
     """

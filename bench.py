@@ -171,6 +171,10 @@ HEADLINE = [
     "events_burstiness",
     "doc_metadata_mi",
     "corpus_negative_sampling",
+    "doc_selection_parity",
+    "doc_conformal_threshold",
+    "events_diff_in_diff",
+    "doc_balanced_shards",
 ]
 
 

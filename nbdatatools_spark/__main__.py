@@ -1344,6 +1344,28 @@ def _cmd_analyze_knn_overlap(args) -> int:
     )
 
 
+def _cmd_corpus_shards(args) -> int:
+    from nbdatatools_spark.operators.packing import (
+        balanced_shards,
+        shard_balance_report,
+    )
+
+    df = _spark().read.parquet(args.input)
+    if args.output:
+        assigned = balanced_shards(
+            df, args.n_shards, args.weight_col, id_col=args.id_col
+        )
+        assigned.write.mode("overwrite").partitionBy("shard").parquet(
+            args.output
+        )
+        print(json.dumps({"shards": args.output, "n": args.n_shards}))
+        return 0
+    return _emit_rows(
+        shard_balance_report(df, args.n_shards, args.weight_col,
+                             id_col=args.id_col)
+    )
+
+
 def _cmd_analyze_mi(args) -> int:
     from nbdatatools_spark.operators.quality_checks import mutual_information
 
@@ -2657,6 +2679,14 @@ def build_parser() -> argparse.ArgumentParser:
     crw.add_argument("--smoothing", type=float, default=0.0)
     crw.set_defaults(func=_cmd_corpus_reweight)
 
+    csh = cp.add_parser("shards")
+    csh.add_argument("--input", required=True)
+    csh.add_argument("--n-shards", type=int, default=8)
+    csh.add_argument("--weight-col", default="n_chars")
+    csh.add_argument("--id-col", default="doc_id")
+    csh.add_argument("--output", default=None,
+                     help="write shard-partitioned parquet instead of the report")
+    csh.set_defaults(func=_cmd_corpus_shards)
     cct = cp.add_parser("conformal")
     cct.add_argument("--input", required=True)
     cct.add_argument("--score-col", required=True)

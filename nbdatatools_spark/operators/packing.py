@@ -591,3 +591,71 @@ def length_batching_audit(
             ),
         ).alias("waste_ratio"),
     ).orderBy("strategy")
+
+
+def balanced_shards(
+    df: DataFrame,
+    n_shards: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    out_col: str = "shard",
+) -> DataFrame:
+    """Deterministic near-balanced shard assignment by weight (token
+    count): the output-sharding step of a training-data pipeline — N
+    files whose token totals match, so no data-loader rank starves.
+
+    Greedy shape: order rows by (weight DESC, id ASC) and deal them
+    boustrophedon (serpentine) across shards — shard
+    ``idx % (2n) < n ? idx % n : n - 1 - idx % n`` — the classic
+    card-dealing balance trick: each full double-round gives every
+    shard exactly one heavy and one light pick, so totals track the
+    optimum closely without any sequential bin-packing state.
+
+    Scale shape: ONE two-phase global row index over (weight DESC, id)
+    (windows.global_row_index — range-partitioned, no single-reducer
+    window) + a pure modular projection. Fully deterministic and
+    engine-replayable (integer arithmetic on the index).
+
+    Returns ``df`` + ``out_col`` (int shard id).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from nbdatatools_spark.operators.windows import global_row_index
+
+    idx = global_row_index(
+        df, [F.col(weight_col).desc(), F.col(id_col).asc()], out="__idx"
+    )
+    m = F.col("__idx") % F.lit(2 * n_shards)
+    shard = F.when(m < n_shards, m).otherwise(2 * n_shards - 1 - m)
+    return idx.withColumn(out_col, shard.cast("int")).drop("__idx")
+
+
+def shard_balance_report(
+    df: DataFrame,
+    n_shards: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-shard totals for :func:`balanced_shards` — the balance audit
+    a shard writer logs: ``(shard, n_rows, total_weight)`` plus each
+    shard's ratio to the mean shard weight (1.0 = perfectly even)."""
+    assigned = balanced_shards(df, n_shards, weight_col, id_col)
+    per = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col(weight_col).cast("long")).alias("total_weight"),
+    )
+    mean = per.agg(
+        (F.sum("total_weight").cast("double") / F.count(F.lit(1))).alias("__m")
+    )
+    return (
+        per.crossJoin(F.broadcast(mean))
+        .select(
+            "shard",
+            "n_rows",
+            "total_weight",
+            F.round(F.col("total_weight") / F.col("__m"), 6).alias(
+                "weight_ratio"
+            ),
+        )
+        .orderBy("shard")
+    )

@@ -202,3 +202,14 @@ def test_analyze_knn_overlap_cli(spark, capsys):
                  "-k", "5"]) == 0
     (row,) = _lines(capsys)
     assert row["mean_overlap"] == 1.0
+
+
+def test_corpus_shards_cli(spark, capsys, tmp_path):
+    assert main(["corpus", "shards", "--input", DOCS, "--n-shards", "4"]) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 4
+    assert all(0.9 < r["weight_ratio"] < 1.1 for r in rows)
+    out = str(tmp_path / "sharded")
+    assert main(["corpus", "shards", "--input", DOCS, "--n-shards", "4",
+                 "--output", out]) == 0
+    assert spark.read.parquet(out).count() == spark.read.parquet(DOCS).count()

@@ -493,3 +493,37 @@ def test_knn_overlap_matches_numpy(spark, embeddings):
     ovs = [len(ka[i] & kb[i]) / 5 for i in ids]
     assert got["mean_overlap"] == pytest.approx(sum(ovs) / len(ovs), abs=1e-6)
     assert got["min_overlap"] == pytest.approx(min(ovs), abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# packing: balanced shards
+# ---------------------------------------------------------------------------
+
+def test_balanced_shards_partition_and_balance(spark, documents):
+    from nbdatatools_spark.operators.packing import (
+        balanced_shards,
+        shard_balance_report,
+    )
+
+    out = balanced_shards(documents, 8, "n_chars")
+    assert out.count() == documents.count()
+    assert out.select("shard").distinct().count() == 8
+    rep = shard_balance_report(documents, 8, "n_chars").collect()
+    ratios = [r["weight_ratio"] for r in rep]
+    # serpentine deal keeps shard totals within a few percent of the mean
+    assert max(ratios) < 1.05 and min(ratios) > 0.95
+    with pytest.raises(ValueError):
+        balanced_shards(documents, 0, "n_chars")
+
+
+def test_balanced_shards_deterministic_and_beats_roundrobin(spark):
+    from nbdatatools_spark.operators.packing import shard_balance_report
+
+    rows = [(i, (i * 37) % 997 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    a = sorted(map(tuple, shard_balance_report(df, 4, "w").collect()))
+    b = sorted(map(tuple,
+                   shard_balance_report(df.repartition(11), 4, "w").collect()))
+    assert a == b  # partition-invariant
+    tot = [r[2] for r in a]
+    assert (max(tot) - min(tot)) / (sum(tot) / 4) < 0.02
