@@ -10734,6 +10734,7 @@ def round8_candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFr
         "embedding_procrustes": embedding_procrustes,
         "embedding_knn_overlap": embedding_knn_overlap,
         "doc_balanced_shards": doc_balanced_shards,
+        "events_histogram_quantiles": events_histogram_quantiles,
     }
 
 
@@ -10851,6 +10852,7 @@ def round8_candidate_oracles() -> dict[str, str]:
         "embedding_procrustes": _PROCRUSTES_ORACLE,
         "embedding_knn_overlap": _knn_overlap_oracle(10, 16),
         "doc_balanced_shards": _balanced_shards_oracle(8),
+        "events_histogram_quantiles": _histogram_quantiles_oracle(0.0, 512.0, 64),
         "doc_score_quantile_align": f"""
             WITH sc AS (SELECT doc_id, source, {_QUALITY6} AS score
                         FROM documents),
@@ -11614,4 +11616,54 @@ def _balanced_shards_oracle(n_shards: int = 8) -> str:
         SELECT shard, n_rows, total_weight,
                round(total_weight / mw, 6) AS weight_ratio
         FROM per CROSS JOIN m ORDER BY shard
+    """
+
+
+def events_histogram_quantiles(spark, sf_dir):
+    """Streaming-mergeable histogram-sketch quantiles (analysis.py::
+    histogram_quantiles, 64 bins on [0, 512], p in {.25, .5, .75, .9,
+    .99}): the fixed-grid quantile whose state the streaming build
+    (streaming.events.stream_value_histogram) shares verbatim —
+    completes the sketch trio (HLL distinct, CMS frequency, histogram
+    QUANTILE). Bin counts + one n_bins-row cumulative window + linear
+    interpolation, all double-over-integers — hash-exact."""
+    from nbdatatools_spark.operators.analysis import histogram_quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    return histogram_quantiles(
+        ev, "value", probs=(0.25, 0.5, 0.75, 0.9, 0.99),
+        lo=0.0, hi=512.0, n_bins=64,
+    )
+
+
+def _histogram_quantiles_oracle(
+    lo: float = 0.0, hi: float = 512.0, n_bins: int = 64
+) -> str:
+    w = (float(hi) - float(lo)) / n_bins
+    probs = "(0.25), (0.5), (0.75), (0.9), (0.99)"
+    return f"""
+        WITH h AS (
+            SELECT least(greatest(CAST(floor((CAST(value AS DOUBLE)
+                       - CAST({lo!r} AS DOUBLE)) / CAST({w!r} AS DOUBLE))
+                       AS INT), 0), {n_bins - 1}) AS bin,
+                   count(*) AS n
+            FROM events WHERE value IS NOT NULL GROUP BY 1),
+        c AS (SELECT bin, n,
+                     sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                                  PRECEDING AND CURRENT ROW) AS cum
+              FROM h),
+        tot AS (SELECT sum(n) AS total FROM h),
+        grid AS (SELECT CAST(p AS DOUBLE) AS p FROM (VALUES {probs}) t(p)),
+        cand AS (
+            SELECT p, total,
+                   min({{'bin': bin, 'n': n, 'cum': cum}}) AS b
+            FROM grid CROSS JOIN tot
+            LEFT JOIN c ON CAST(cum AS DOUBLE) >= p * CAST(total AS DOUBLE)
+            GROUP BY p, total)
+        SELECT p, CAST(total AS BIGINT) AS n, CAST(b.bin AS INT) AS bin,
+               round(least(CAST({lo!r} AS DOUBLE) + CAST({w!r} AS DOUBLE)
+                     * (b.bin + (p * CAST(total AS DOUBLE)
+                        - (CAST(b.cum AS DOUBLE) - b.n)) / b.n),
+                     CAST({hi!r} AS DOUBLE)), 6) AS estimate
+        FROM cand ORDER BY p
     """

@@ -1366,6 +1366,19 @@ def _cmd_corpus_shards(args) -> int:
     )
 
 
+def _cmd_events_quantiles(args) -> int:
+    from nbdatatools_spark.operators.analysis import histogram_quantiles
+
+    ev = _spark().read.parquet(args.input)
+    probs = tuple(float(x) for x in args.probs.split(","))
+    return _emit_rows(
+        histogram_quantiles(
+            ev, args.value_col, probs, lo=args.lo, hi=args.hi,
+            n_bins=args.n_bins,
+        )
+    )
+
+
 def _cmd_analyze_mi(args) -> int:
     from nbdatatools_spark.operators.quality_checks import mutual_information
 
@@ -1420,6 +1433,8 @@ def _cmd_events(args) -> int:
         )
     if args.what == "did":
         return _cmd_events_did(args)
+    if args.what == "quantiles":
+        return _cmd_events_quantiles(args)
     if args.what == "burstiness":
         return _emit_rows(
             temporal.burstiness(
@@ -2518,7 +2533,7 @@ def build_parser() -> argparse.ArgumentParser:
     evp = sub.add_parser("events").add_subparsers(dest="what", required=True)
     for w in ("seasonal", "cusum", "mad", "concurrency", "triangles",
               "theil_sen", "bootstrap_ci", "dp_counts", "k_anonymity",
-              "acf", "survival", "ccf", "burstiness", "did"):
+              "acf", "survival", "ccf", "burstiness", "did", "quantiles"):
         ev = evp.add_parser(w)
         ev.add_argument("--input", required=True)
         ev.add_argument("--ts-col", default="ts")
@@ -2567,6 +2582,12 @@ def build_parser() -> argparse.ArgumentParser:
         if w == "burstiness":
             ev.add_argument("--user-col", default="user_id")
             ev.add_argument("--min-events", type=int, default=3)
+        if w == "quantiles":
+            ev.add_argument("--value-col", default="value")
+            ev.add_argument("--probs", default="0.25,0.5,0.75,0.9,0.99")
+            ev.add_argument("--lo", type=float, default=0.0)
+            ev.add_argument("--hi", type=float, default=512.0)
+            ev.add_argument("--n-bins", type=int, default=64)
         if w == "did":
             ev.add_argument("--treat-expr", required=True,
                             help="boolean SQL expression tagging the cohort")

@@ -3003,3 +3003,106 @@ def procrustes_align(
         " residual_sq double, relative_residual double",
     )
     return [[float(x) for x in row] for row in r], stats
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Fixed-grid value histogram: ``(bin, n)`` counts over ``n_bins``
+    equal-width bins on [lo, hi], values outside clamped to the edge
+    bins (the calibration_bins grid discipline). ONE map-side projection
+    + ONE groupBy with state BOUNDED at n_bins cells — which is exactly
+    why the same build runs unchanged as a STREAMING aggregation
+    (streaming.events.stream_value_histogram): counts are order-free
+    and idempotent-merge, the HLL/CMS sketch pattern.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    width = (hi - lo) / n_bins
+    idx = F.floor(
+        (F.col(value_col).cast("double") - F.lit(float(lo)))
+        / F.lit(float(width))
+    ).cast("int")
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            F.least(F.greatest(idx, F.lit(0)), F.lit(n_bins - 1)).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probs: Sequence[float] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    lo: float = 0.0,
+    hi: float = 1.0,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Streaming-mergeable quantile estimates from the fixed-grid
+    histogram: for each probability p, locate the first bin whose
+    cumulative count reaches ``p * n`` and interpolate linearly inside
+    it — error bounded by ONE bin width, the classic histogram-sketch
+    quantile (the fixed-grid sibling of approx_percentile's GK sketch,
+    but with MERGEABLE state that the streaming build shares verbatim).
+
+    Plan: the histogram aggregate (bounded n_bins state), ONE cumulative
+    window over the n_bins-row table only (the vocab-table discipline),
+    and a broadcast probs-grid join picking the qualifying bin via one
+    struct-min aggregate. All arithmetic double-over-integers, rounded
+    to 6dp — engine-exact.
+
+    Returns ``(p, n, bin, estimate)`` ordered by p.
+    """
+    for p in probs:
+        if not 0.0 < p <= 1.0:
+            raise ValueError(f"probs must be in (0,1], got {p}")
+    hist = value_histogram(df, value_col, lo, hi, n_bins)
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bin",
+        "n",
+        F.sum("n").over(w).alias("cum"),
+    ).localCheckpoint(eager=False)
+    spark = df.sparkSession
+    grid = spark.createDataFrame([(float(p),) for p in probs], "p double")
+    tot = hist.agg(F.sum("n").alias("total"))
+    width = (float(hi) - float(lo)) / n_bins
+    cand = (
+        grid.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(cum),
+            F.col("cum") >= F.col("p") * F.col("total"),
+            "left",
+        )
+        .groupBy("p", "total")
+        .agg(
+            F.min(F.struct(F.col("bin"), F.col("n"), F.col("cum"))).alias("__b")
+        )
+    )
+    est = (
+        F.lit(float(lo))
+        + F.lit(width)
+        * (
+            F.col("__b.bin")
+            + (
+                F.col("p") * F.col("total")
+                - (F.col("__b.cum") - F.col("__b.n"))
+            )
+            / F.col("__b.n")
+        )
+    )
+    return cand.select(
+        "p",
+        F.col("total").alias("n"),
+        F.col("__b.bin").alias("bin"),
+        F.round(F.least(est, F.lit(float(hi))), 6).alias("estimate"),
+    ).orderBy("p")

@@ -377,3 +377,29 @@ def stream_hll_sketch(
     from nbdatatools_spark.operators.lm import hll_registers
 
     return hll_registers(stream, text_col=text_col, precision=precision)
+
+
+def stream_value_histogram(
+    stream: DataFrame,
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 100.0,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Running fixed-grid value histogram over a STREAM — the same build
+    as the batch ``operators.analysis.value_histogram`` expressed as a
+    native streaming aggregation (groupBy(bin) + count), state BOUNDED
+    at ``n_bins`` cells however much data flows through; counts are
+    order-free and idempotent-merge so no watermark or eviction is
+    needed and any drain prefix equals the batch build of the same rows
+    (the stream_hll_sketch / stream_cms_sketch pattern — this completes
+    the sketch trio: distinct, frequency, QUANTILE).
+
+    Drive with outputMode("complete") and feed the drained bins to
+    ``operators.analysis.histogram_quantiles``'s estimator arithmetic
+    for a running quantile readout. Stream-equals-batch pinned by
+    tests/test_streaming_round7.py.
+    """
+    from nbdatatools_spark.operators.analysis import value_histogram
+
+    return value_histogram(stream, value_col, lo, hi, n_bins)

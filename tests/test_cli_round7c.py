@@ -213,3 +213,11 @@ def test_corpus_shards_cli(spark, capsys, tmp_path):
     assert main(["corpus", "shards", "--input", DOCS, "--n-shards", "4",
                  "--output", out]) == 0
     assert spark.read.parquet(out).count() == spark.read.parquet(DOCS).count()
+
+
+def test_events_quantiles_cli(spark, capsys):
+    assert main(["events", "quantiles", "--input", EVENTS,
+                 "--probs", "0.5,0.9", "--hi", "512"]) == 0
+    rows = _lines(capsys)
+    assert [r["p"] for r in rows] == [0.5, 0.9]
+    assert rows[0]["estimate"] <= rows[1]["estimate"]

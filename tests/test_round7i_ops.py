@@ -527,3 +527,75 @@ def test_balanced_shards_deterministic_and_beats_roundrobin(spark):
     assert a == b  # partition-invariant
     tot = [r[2] for r in a]
     assert (max(tot) - min(tot)) / (sum(tot) / 4) < 0.02
+
+
+# ---------------------------------------------------------------------------
+# analysis/streaming: histogram-sketch quantiles
+# ---------------------------------------------------------------------------
+
+def test_histogram_quantiles_accuracy_bound(spark, sf_dir):
+    """Estimates land within one bin width of the exact percentile when
+    the grid covers the data range."""
+    import os
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    from nbdatatools_spark.operators.analysis import histogram_quantiles
+
+    probs = (0.25, 0.5, 0.75, 0.9)
+    got = {r["p"]: r["estimate"] for r in
+           histogram_quantiles(ev, "value", probs, lo=0.0, hi=512.0,
+                               n_bins=128).collect()}
+    exact = ev.selectExpr(
+        "percentile(value, array(0.25, 0.5, 0.75, 0.9)) AS q"
+    ).first()["q"]
+    width = 512.0 / 128
+    for p, e in zip(probs, exact):
+        assert abs(got[p] - e) <= width + 1e-9
+
+
+def test_histogram_quantiles_validation_and_edges(spark):
+    from nbdatatools_spark.operators.analysis import histogram_quantiles
+
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    rows = histogram_quantiles(df, "v", (1.0,), lo=0.0, hi=100.0,
+                               n_bins=10).collect()
+    assert rows[0]["estimate"] <= 100.0  # p=1 clamps to hi
+    with pytest.raises(ValueError):
+        histogram_quantiles(df, "v", (0.0,))
+    with pytest.raises(ValueError):
+        histogram_quantiles(df, "v", (0.5,), lo=1.0, hi=1.0)
+
+
+def test_stream_histogram_equals_batch(spark, sf_dir, tmp_path):
+    """Running value histogram: draining the event stream leaves exactly
+    the batch bin counts in the (bounded, n_bins) aggregation state."""
+    import os
+
+    from nbdatatools_spark.operators.analysis import value_histogram
+    from nbdatatools_spark.streaming.events import stream_value_histogram
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    expected = {
+        r["bin"]: r["n"]
+        for r in value_histogram(ev, "value", 0.0, 512.0, 32).collect()
+    }
+    src_stream = str(tmp_path / "ev_hist_stream")
+    ev.coalesce(3).write.parquet(src_stream)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_stream)
+    )
+    hist = stream_value_histogram(stream, "value", 0.0, 512.0, 32)
+    q = (
+        hist.writeStream.format("memory")
+        .queryName("hist_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "hist_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["bin"]: r["n"] for r in spark.table("hist_stream").collect()}
+    assert got == expected
+    assert len(got) <= 32  # bounded state
