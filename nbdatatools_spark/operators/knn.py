@@ -585,6 +585,12 @@ def knn_overlap(
     (query, base) — never all-pairs. Per-point overlaps round to 9dp
     and DECIMAL-sum into the mean (engine-exact).
 
+    Scale note (measured, 2k -> 20k vectors): the EXACT default is the
+    deliberate GEMM-absorbed quadratic of the hubness family — 6.1x
+    wall at the 10x step (100x pairwise work). At corpus scale pass ANN
+    neighbor lists (similarity.ivf_topk / lsh_topk output) through
+    ``neighbors_a/b``; the overlap join itself is keyed and linear.
+
     Returns one row ``(n_points, k, mean_overlap, min_overlap,
     frac_perfect)`` (6dp).
     """
