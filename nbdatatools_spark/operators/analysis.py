@@ -2794,11 +2794,18 @@ def wasserstein_1d(
     partitioning.
 
     Returns one row ``(n_a, n_b, wasserstein)`` (6dp); NULL distance when
-    either slice is empty.
+    either slice is empty. NULL ``value_col`` rows are excluded from the
+    distribution (ADVICE r7: nulls would otherwise count into n_a/n_b
+    and — Spark sorts nulls first, DuckDB last — bias the CDF cumsums
+    differently in engine and oracle whenever null rates differ).
     """
-    base = df.where(F.col(group_col).isin([group_a, group_b])).select(
-        F.col(value_col).cast("double").alias("__v"),
-        (F.col(group_col) == group_a).alias("__isa"),
+    base = (
+        df.where(F.col(group_col).isin([group_a, group_b]))
+        .where(F.col(value_col).isNotNull())
+        .select(
+            F.col(value_col).cast("double").alias("__v"),
+            (F.col(group_col) == group_a).alias("__isa"),
+        )
     )
     g = base.groupBy("__v").agg(
         F.sum(F.when(F.col("__isa"), 1).otherwise(0)).alias("__ia"),

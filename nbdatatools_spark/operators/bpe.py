@@ -85,9 +85,18 @@ def learn_bpe_merges(
     ``min_count`` times (weighted by word frequency). Deterministic:
     argmax ties break on (left, right) lexicographic order.
     """
+    return _learn_merges(word_vocabulary(df, text_col), n_merges, min_count)
+
+
+def _learn_merges(
+    vocabulary: DataFrame, n_merges: int, min_count: int
+) -> list[tuple[int, str, str, int]]:
+    """Shared merge loop over a (word, count, symbols) vocabulary frame —
+    the Heaps-bounded iteration both the character-level (Sennrich) and
+    byte-level (GPT-2 lineage) trainers run."""
     if n_merges <= 0:
         raise ValueError(f"n_merges must be positive, got {n_merges}")
-    vocab = word_vocabulary(df, text_col).cache()
+    vocab = vocabulary.cache()
     prev = None  # one-generation unpersist lag: see loop tail
     merges: list[tuple[int, str, str, int]] = []
     try:
@@ -202,3 +211,122 @@ def bpe_encode(
     return seg.withColumn(
         out_col, F.transform(F.col("__bpe"), lambda t: mapping[t])
     ).drop("__bpe")
+
+
+# ---------------------------------------------------------------------------
+# Byte-level BPE (the GPT-2/Llama tokenizer lineage: Radford et al. 2019,
+# "Language Models are Unsupervised Multitask Learners", public
+# bytes-to-unicode construction). Differences from the character-level
+# Sennrich trainer above: (1) NO normalization — raw text in, so the
+# tokenizer round-trips arbitrary input; (2) a regex PRE-TOKENIZER splits
+# text into contraction/word/number/punctuation/whitespace pre-tokens and
+# merges never cross a pre-token boundary; (3) the base alphabet is the
+# 256 byte values, each mapped to a printable unicode character so symbol
+# arrays stay strings (the exact GPT-2 bytes_to_unicode table).
+# ---------------------------------------------------------------------------
+
+# GPT-2's exact split pattern (needs lookahead support — Java/Spark yes,
+# RE2/DuckDB no).
+GPT2_SPLIT_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"
+)
+# RE2-compatible variant (the engine default, so the DuckDB oracle can
+# replicate pre-tokenization exactly): drops the `\s+(?!\S)` lookahead
+# term, so an N-space run before a word tokenizes as [N spaces][word]
+# instead of GPT-2's [N-1 spaces][space+word]. Single-space-separated
+# text (the overwhelmingly common case) pre-tokenizes identically.
+RE2_SPLIT_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bytes_to_unicode() -> dict[int, str]:
+    """The GPT-2 byte -> printable-unicode table: visible latin-1 bytes
+    map to themselves; the rest map to 256+n in first-gap order. A
+    bijection, so encoded text round-trips bytes exactly."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("\xa1"), ord("\xac") + 1))
+        + list(range(ord("\xae"), ord("\xff") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+def _byte_symbols(word_col):
+    """array<string> of byte-level symbols for a string column: UTF-8
+    bytes via hex() (two uppercase hex chars per byte — no UDF, no
+    Python), each pair mapped through the 256-entry bytes_to_unicode
+    literal map."""
+    b2u = bytes_to_unicode()
+    hex_map = F.create_map(
+        *[x for n in range(256) for x in (F.lit(f"{n:02X}"), F.lit(b2u[n]))]
+    )
+    hexpairs = F.regexp_extract_all(
+        F.hex(F.encode(word_col, "UTF-8")), F.lit(".."), 0
+    )
+    return F.transform(hexpairs, lambda h: hex_map[h])
+
+
+def byte_level_vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    pattern: str = RE2_SPLIT_PATTERN,
+) -> DataFrame:
+    """Pre-token-frequency vocabulary for byte-level BPE: (word, count,
+    symbols) where word is a raw regex pre-token (NO normalization) and
+    symbols is its byte-mapped unicode symbol array. One corpus pass,
+    map-side-combinable groupBy — after this the corpus is never touched
+    again (the same factorization as word_vocabulary)."""
+    words = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("count"))
+    )
+    return words.withColumn("symbols", _byte_symbols(F.col("word")))
+
+
+def learn_bytelevel_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+    min_count: int = 2,
+    pattern: str = RE2_SPLIT_PATTERN,
+) -> list[tuple[int, str, str, int]]:
+    """Learn up to ``n_merges`` byte-level BPE merges (GPT-2 lineage):
+    regex pre-tokenization, 256-byte base alphabet via bytes_to_unicode,
+    then the shared Heaps-bounded merge loop. Returns
+    ``[(step, left, right, pair_count), ...]``; symbols are in the
+    mapped-unicode space (decode with the bytes_to_unicode inverse)."""
+    return _learn_merges(
+        byte_level_vocabulary(df, text_col, pattern), n_merges, min_count
+    )
+
+
+def bytelevel_segment(
+    df: DataFrame,
+    merges,
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+    pattern: str = RE2_SPLIT_PATTERN,
+) -> DataFrame:
+    """Apply a learned byte-level merge table: per-pre-token byte symbols
+    folded through the merges in order, flattened back to one token
+    array per document. Pure projection (map-side, no shuffle)."""
+    pretoks = F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)
+
+    def seg(word):
+        sym = _byte_symbols(word)
+        for _, left, right, _ in merges:
+            sym = _merge_pair(sym, left, right)
+        return sym
+
+    return df.withColumn(out_col, F.flatten(F.transform(pretoks, seg)))

@@ -1110,7 +1110,12 @@ def minhash_quality_report(
     sample = df.where(F.col(id_col) < sample_ids) if str(df.schema[id_col].dataType) in (
         "LongType()", "IntegerType()"
     ) else df.limit(sample_ids)
-    sample = sample.select(id_col, text_col).persist()
+    # localCheckpoint, not persist (repo policy / VERDICT r7 hygiene #1):
+    # the returned frame is lazy, so a persist would be evicted by the
+    # unpersist below and the candidate+truth joins would recompute the
+    # sample; the checkpoint truncates lineage and stays materialized for
+    # both the count here and the caller's later action.
+    sample = sample.select(id_col, text_col).localCheckpoint(eager=False)
 
     cand = minhash_lsh_candidates(
         sample,
@@ -1151,7 +1156,6 @@ def minhash_quality_report(
         ).alias("n_hit"),
     )
     n_sample = sample.count()
-    sample.unpersist()
     return agg.select(
         F.lit(n_sample).alias("n_sample"),
         F.col("n_true").alias("n_true_pairs"),

@@ -545,19 +545,64 @@ def ndcg_at_k(
     Ranks tie-break on (score DESC, id ASC) / (gain DESC, id ASC) — fully
     deterministic, engine-replayable; per-rank terms round to 9dp and
     DECIMAL-sum. Scale shape: two KEYED ranking windows (parallel across
-    groups; k-bounded after the rank filter) + one keyed aggregate.
+    groups; k-bounded after the rank filter) + one keyed aggregate. The
+    global case (``group_col=None``) does NOT funnel the corpus through
+    a constant-partition window (ADVICE r7): each ranking is cut to its
+    top-k first via orderBy().limit(k) — TakeOrderedAndProject — and
+    ranked over the k-row result; n_items is a plain aggregate.
 
     Returns ``(group, n_items, dcg, idcg, ndcg)`` rounded to 6dp.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    g = (
-        F.col(group_col).cast("string")
-        if group_col
-        else F.lit("<all>")
-    ).alias("__g")
+    num = (
+        (F.pow(F.lit(2.0), F.col("__gain")) - 1.0)
+        if exponential
+        else F.col("__gain")
+    )
+    term = lambda r: F.round(  # noqa: E731
+        num / F.log(2.0, F.col(r).cast("double") + 1.0), 9
+    ).cast("decimal(30,9)")
+    if group_col is None:
+        base = df.select(
+            F.col(score_col).alias("__s"),
+            F.col(gain_col).cast("double").alias("__gain"),
+            F.col(id_col).alias("__id"),
+        )
+
+        def _topk_sum(order_cols: list, out: str) -> DataFrame:
+            topk = base.orderBy(*order_cols).limit(k)
+            ranked = topk.select(
+                "__gain",
+                F.row_number().over(Window.orderBy(*order_cols)).alias("__r"),
+            )
+            return ranked.agg(
+                F.sum(term("__r"))
+                .cast("decimal(38,9)")
+                .cast("double")
+                .alias(out)
+            )
+
+        dcg = _topk_sum([F.desc("__s"), F.asc("__id")], "__dcg")
+        idcg = _topk_sum([F.desc("__gain"), F.asc("__id")], "__idcg")
+        n = base.agg(F.count(F.lit(1)).alias("n_items"))
+        agg = (
+            n.crossJoin(F.broadcast(dcg))
+            .crossJoin(F.broadcast(idcg))
+            .select(F.lit("<all>").alias("__g"), "n_items", "__dcg", "__idcg")
+        )
+        return agg.select(
+            F.col("__g").alias("group"),
+            "n_items",
+            F.round(F.coalesce(F.col("__dcg"), F.lit(0.0)), 6).alias("dcg"),
+            F.round(F.coalesce(F.col("__idcg"), F.lit(0.0)), 6).alias("idcg"),
+            F.when(
+                F.col("__idcg") > 0.0,
+                F.round(F.col("__dcg") / F.col("__idcg"), 6),
+            ).alias("ndcg"),
+        )
     base = df.select(
-        g,
+        F.col(group_col).cast("string").alias("__g"),
         F.col(score_col).alias("__s"),
         F.col(gain_col).cast("double").alias("__gain"),
         F.col(id_col).alias("__id"),
@@ -570,14 +615,6 @@ def ndcg_at_k(
         F.row_number().over(w_score).alias("__r"),
         F.row_number().over(w_gain).alias("__ri"),
     )
-    num = (
-        (F.pow(F.lit(2.0), F.col("__gain")) - 1.0)
-        if exponential
-        else F.col("__gain")
-    )
-    term = lambda r: F.round(  # noqa: E731
-        num / F.log(2.0, F.col(r).cast("double") + 1.0), 9
-    ).cast("decimal(30,9)")
     agg = ranked.groupBy("__g").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum(F.when(F.col("__r") <= k, term("__r")))
@@ -618,10 +655,14 @@ def rbo_overlap(
         rbo_min = (1 - p) * sum_{d=1..k} p^(d-1) * X_d / d
         rbo_ext = rbo_min + p^k * X_k / k      (point extrapolation)
 
-    Ranks tie-break on (score DESC, id ASC). Scale shape: two global
-    ranking windows restricted by rank <= k (TakeOrdered-sized state —
-    only the top-k of each ranking participate, never the corpus) + one
-    k-row depth grid join; per-depth terms round to 9dp and DECIMAL-sum.
+    Ranks tie-break on (score DESC, id ASC). Scale shape: each ranking
+    is cut to its top-k FIRST via orderBy().limit(k) — Spark plans that
+    as TakeOrderedAndProject (per-partition top-k + a k-row driver
+    merge, no global sort) — and only then ranked with a window over
+    the k-row result (ADVICE r7: ranking the full input under an
+    unpartitioned window was a corpus-sized single-reducer sort). Plus
+    one k-row depth-grid join; per-depth terms round to 9dp and
+    DECIMAL-sum.
 
     Returns one row ``(k, p, overlap_at_k, rbo_min, rbo_ext)``.
     """
@@ -630,18 +671,22 @@ def rbo_overlap(
     if not 0.0 < p < 1.0:
         raise ValueError(f"p must be in (0,1), got {p}")
     spark = df.sparkSession
-    ra = df.select(
-        F.col(id_col).alias("__id"),
-        F.row_number()
-        .over(Window.orderBy(F.desc(score_a), F.asc(id_col)))
-        .alias("__ra"),
-    ).where(F.col("__ra") <= k)
-    rb = df.select(
-        F.col(id_col).alias("__id"),
-        F.row_number()
-        .over(Window.orderBy(F.desc(score_b), F.asc(id_col)))
-        .alias("__rb"),
-    ).where(F.col("__rb") <= k)
+
+    def _topk_ranked(score_col: str, rank_name: str) -> DataFrame:
+        topk = (
+            df.select(F.col(id_col).alias("__id"), F.col(score_col).alias("__s"))
+            .orderBy(F.desc("__s"), F.asc("__id"))
+            .limit(k)
+        )
+        return topk.select(
+            "__id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("__s"), F.asc("__id")))
+            .alias(rank_name),
+        )
+
+    ra = _topk_ranked(score_a, "__ra")
+    rb = _topk_ranked(score_b, "__rb")
     m = ra.join(rb, "__id").select(
         F.greatest("__ra", "__rb").alias("__m")
     )
@@ -750,16 +795,46 @@ def conformal_threshold(
     The order statistic is exact and tie-safe (row_number among equal
     scores always lands on the same VALUE); the index clamps to n when
     (n+1)(1-alpha) exceeds it. One KEYED ranking window (parallel across
-    slices) — threshold selection state is one slice's scores.
+    slices) — threshold selection state is one slice's scores. The
+    global case (``group_col=None``) uses the two-phase
+    windows.global_row_index discipline instead of a constant-partition
+    window (ADVICE r7: '<all>' funneled the whole input through one
+    reducer); index assignment within a score-tie group is
+    partition-dependent but every tied row carries the same VALUE, so
+    the selected threshold is deterministic.
 
     Returns ``(group, n, q_index, threshold)``.
     """
     if not 0.0 < alpha < 1.0:
         raise ValueError(f"alpha must be in (0,1), got {alpha}")
-    g = (
-        F.col(group_col).cast("string") if group_col else F.lit("<all>")
-    ).alias("__g")
-    base = df.select(g, F.col(score_col).cast("double").alias("__s"))
+    if group_col is None:
+        from nbdatatools_spark.operators.windows import global_row_index
+
+        base = df.select(F.col(score_col).cast("double").alias("__s"))
+        counts = base.agg(F.count(F.lit(1)).alias("n")).select(
+            "n",
+            F.least(
+                F.ceil((F.col("n") + 1) * F.lit(1.0 - float(alpha))).cast(
+                    "bigint"
+                ),
+                F.col("n"),
+            ).alias("q_index"),
+        )
+        idx = global_row_index(base, ["__s"], out="__idx")
+        return (
+            idx.crossJoin(F.broadcast(counts))
+            .where(F.col("__idx") == F.col("q_index") - 1)
+            .select(
+                F.lit("<all>").alias("group"),
+                "n",
+                "q_index",
+                F.round("__s", 6).alias("threshold"),
+            )
+        )
+    base = df.select(
+        F.col(group_col).cast("string").alias("__g"),
+        F.col(score_col).cast("double").alias("__s"),
+    )
     w = Window.partitionBy("__g").orderBy(F.asc("__s"))
     counts = base.groupBy("__g").agg(F.count(F.lit(1)).alias("n"))
     qidx = F.least(

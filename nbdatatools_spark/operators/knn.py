@@ -591,8 +591,14 @@ def knn_overlap(
     neighbor lists (similarity.ivf_topk / lsh_topk output) through
     ``neighbors_a/b``; the overlap join itself is keyed and linear.
 
+    Coverage: ids with a neighbor list in only ONE space (easy to hit
+    with user-supplied ANN output over different query sets) are NOT
+    dropped (ADVICE r7: the old inner join silently overstated
+    preservation) — they score overlap 0 and are counted in
+    ``n_uncovered`` so callers can detect asymmetric ANN coverage.
+
     Returns one row ``(n_points, k, mean_overlap, min_overlap,
-    frac_perfect)`` (6dp).
+    frac_perfect, n_uncovered)`` (6dp).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -625,15 +631,18 @@ def knn_overlap(
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("__nc"))
     )
+    # full outer: ids covered by only one space score 0 instead of
+    # silently vanishing from the mean (least() skips the NULL side)
     per_point = (
-        ka.join(kb, "query_id")
+        ka.join(kb, "query_id", "full_outer")
         .join(common, "query_id", "left")
         .select(
             F.round(
                 F.coalesce(F.col("__nc"), F.lit(0)).cast("double")
                 / F.least("__ka", "__kb"),
                 9,
-            ).alias("__ov")
+            ).alias("__ov"),
+            (F.col("__ka").isNull() | F.col("__kb").isNull()).alias("__unc"),
         )
     )
     return per_point.agg(
@@ -652,4 +661,7 @@ def knn_overlap(
             / F.count(F.lit(1)),
             6,
         ).alias("frac_perfect"),
+        F.sum(F.when(F.col("__unc"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_uncovered"),
     )

@@ -230,12 +230,26 @@ def pq_train(
     sample_limit: int = 100_000,
     iters: int = 20,
     seed: int = 42,
+    opq: bool = False,
+    opq_iters: int = 8,
 ):
     """Train per-subspace codebooks with Lloyd k-means on a driver-side
     sample (codebooks are tiny: m * n_codes * d/m floats = one vector's
     worth per code). Deterministic: seeded init, fixed iterations.
 
     Returns a numpy array of shape (m, n_codes, d//m).
+
+    ``opq=True`` additionally learns the OPQ orthogonal rotation
+    (Ge, He, Ke & Sun, CVPR 2013 "Optimized Product Quantization",
+    non-parametric variant): alternate (a) PQ codebook training on the
+    rotated sample, (b) reconstruction, (c) the orthogonal-Procrustes
+    update R = U V^T from SVD(X^T X_hat) — the same driver d x d SVD
+    discipline as analysis.orthogonal_procrustes. Rotating the space
+    lets the axis-aligned subspace split follow the data's correlation
+    structure — the standard recall upgrade over plain PQ. Returns
+    ``(codebooks, rotation)`` where rotation is the (d, d) orthogonal
+    matrix to apply to vectors (``X @ R``) before encoding — pass it to
+    pq_encode/pq_topk as ``rotation=``.
     """
     import numpy as np
 
@@ -246,22 +260,44 @@ def pq_train(
         raise ValueError(f"dim {d} not divisible by m={m}")
     dsub = d // m
     k = min(n_codes, n)
-    rng = np.random.default_rng(seed)
-    books = np.empty((m, n_codes, dsub))
-    for s in range(m):
-        sub = X[:, s * dsub : (s + 1) * dsub]
-        cents = sub[rng.choice(n, size=k, replace=False)].copy()
-        for _ in range(iters):
-            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
-            assign = d2.argmin(1)
-            for c in range(k):
-                mask = assign == c
-                if mask.any():
-                    cents[c] = sub[mask].mean(0)
-        books[s, :k] = cents
-        if k < n_codes:  # degenerate tiny sample: pad with the first centroid
-            books[s, k:] = cents[0]
-    return books
+
+    def lloyd(Y, rng):
+        books = np.empty((m, n_codes, dsub))
+        for s in range(m):
+            sub = Y[:, s * dsub : (s + 1) * dsub]
+            cents = sub[rng.choice(n, size=k, replace=False)].copy()
+            for _ in range(iters):
+                d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+                assign = d2.argmin(1)
+                for c in range(k):
+                    mask = assign == c
+                    if mask.any():
+                        cents[c] = sub[mask].mean(0)
+            books[s, :k] = cents
+            if k < n_codes:  # degenerate tiny sample: pad with first centroid
+                books[s, k:] = cents[0]
+        return books
+
+    if not opq:
+        return lloyd(X, np.random.default_rng(seed))
+
+    def reconstruct(Y, books):
+        Yhat = np.empty_like(Y)
+        for s in range(m):
+            sub = Y[:, s * dsub : (s + 1) * dsub]
+            d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
+            Yhat[:, s * dsub : (s + 1) * dsub] = books[s][d2.argmin(1)]
+        return Yhat
+
+    R = np.eye(d)
+    for _ in range(opq_iters):
+        Y = X @ R
+        # fresh identically-seeded rng per iteration: each alternation is
+        # a deterministic function of (X, R), so training is replayable
+        books = lloyd(Y, np.random.default_rng(seed))
+        U, _, Vt = np.linalg.svd(X.T @ reconstruct(Y, books))
+        R = U @ Vt
+    return lloyd(X @ R, np.random.default_rng(seed)), R
 
 
 def pq_encode(
@@ -269,22 +305,28 @@ def pq_encode(
     codebooks,
     base_id: str = "vec_id",
     vec_col: str = "embedding",
+    rotation=None,
 ) -> DataFrame:
     """(id, codes BINARY) — each vector becomes m uint8 codes. Vectorized
-    per Arrow batch; the codebooks broadcast once."""
+    per Arrow batch; the codebooks (and the optional OPQ ``rotation``,
+    applied as ``X @ R`` before subspace assignment) broadcast once."""
     import numpy as np
     import pandas as pd
 
     spark = base.sparkSession
-    bc = spark.sparkContext.broadcast(np.asarray(codebooks))
+    bc = spark.sparkContext.broadcast(
+        (np.asarray(codebooks), None if rotation is None else np.asarray(rotation))
+    )
 
     def encode(batches):
-        books = bc.value
+        books, rot = bc.value
         m, n_codes, dsub = books.shape
         for pdf in batches:
             if pdf.empty:
                 continue
             X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if rot is not None:
+                X = X @ rot
             codes = np.empty((len(X), m), dtype=np.uint8)
             for s in range(m):
                 sub = X[:, s * dsub : (s + 1) * dsub]
@@ -309,8 +351,13 @@ def pq_topk(
     max_broadcast_queries: int = 65536,
     rerank_base: DataFrame | None = None,
     rerank_factor: int = 4,
+    rotation=None,
 ) -> DataFrame:
     """ADC top-k over PQ codes: (query_id, rank, base_id, distance).
+    Pass the OPQ ``rotation`` the codes were encoded with — queries are
+    rotated identically before the lookup tables are built (rotation is
+    orthogonal, so euclidean and dot distances are preserved exactly;
+    the exact re-rank path reads RAW vectors and needs no rotation).
 
     Same physical shape as the exact GEMM kernel — queries broadcast, each
     Arrow batch of CODES computes its local top-k from per-query lookup
@@ -339,6 +386,8 @@ def pq_topk(
         )
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    if rotation is not None:
+        qmat = qmat @ np.asarray(rotation)
     bc = spark.sparkContext.broadcast((qids, qmat, np.asarray(codebooks)))
 
     def adc_partial(batches):

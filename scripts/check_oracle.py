@@ -112,9 +112,9 @@ def main():
             con.execute(f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM '{p}'")
 
     if candidates:
-        # round-8 staging registry (same contract, outside the live window)
-        qs = entrymod.round8_candidate_queries()
-        oracles = entrymod.round8_candidate_oracles()
+        # candidate staging registry (same contract, outside the live window)
+        qs = entrymod.candidate_queries()
+        oracles = entrymod.candidate_oracles()
     else:
         qs = entrymod.queries()
         oracles = entrymod.oracle_sql()

@@ -1,6 +1,9 @@
-"""Round-8 candidate gates vs the bit-exact DuckDB oracle at sf0.001 —
+"""Candidate-staging gates vs the bit-exact DuckDB oracle at sf0.001 —
 the same compare scripts/check_oracle.py runs, pinned in CI so every
-candidate is hash-ready before it rotates into the live window."""
+staged candidate is hash-ready before it rotates into the live window.
+
+The staging registry (`__spark_entry__.candidate_queries()`) is empty
+right after a rotation; the whole module skips cleanly then."""
 
 import math
 import os
@@ -40,14 +43,14 @@ def duck(sf_dir):
     con.close()
 
 
-ORACLED = sorted(e.round8_candidate_oracles())
+ORACLED = sorted(e.candidate_oracles())
 
 
 @pytest.mark.parametrize("name", ORACLED)
 def test_candidate_matches_oracle(spark, sf_dir, duck, name):
-    sdf = e.round8_candidate_queries()[name](spark, sf_dir)
+    sdf = e.candidate_queries()[name](spark, sf_dir)
     srows = [tuple(r) for r in sdf.collect()]
-    cur = duck.execute(e.round8_candidate_oracles()[name])
+    cur = duck.execute(e.candidate_oracles()[name])
     ocols = [d[0] for d in cur.description]
     orows = cur.fetchall()
     assert sorted(sdf.columns) == sorted(ocols), name
@@ -57,15 +60,16 @@ def test_candidate_matches_oracle(spark, sf_dir, duck, name):
 
 
 def test_rows_only_candidates_run(spark, sf_dir):
-    rows_only = set(e.round8_candidate_queries()) - set(ORACLED)
-    assert rows_only == {"doc_compression_ratio"}
-    for name in rows_only:
-        out = e.round8_candidate_queries()[name](spark, sf_dir)
-        assert out.count() > 0
+    """Candidates without an oracle (rows-only by design) must still run
+    and produce rows."""
+    rows_only = set(e.candidate_queries()) - set(ORACLED)
+    for name in sorted(rows_only):
+        out = e.candidate_queries()[name](spark, sf_dir)
+        assert out.count() > 0, name
 
 
 def test_candidates_disjoint_from_live_registry():
     live = set(e.queries())
-    assert not live & set(e.round8_candidate_queries())
+    assert not live & set(e.candidate_queries())
     # every oracled candidate is a real candidate
-    assert set(ORACLED) <= set(e.round8_candidate_queries())
+    assert set(ORACLED) <= set(e.candidate_queries())

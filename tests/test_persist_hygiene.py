@@ -111,3 +111,26 @@ def test_round7_operators_leave_no_cachemanager_entries(spark, tiny_docs):
     embedding_isotropy(emb, sample_size=4).collect()
 
     assert _cache_manager(spark).isEmpty()
+
+
+def test_minhash_quality_report_leaves_no_cachemanager_entries(spark, tiny_docs):
+    """VERDICT r7 hygiene #1: minhash_quality_report's sample frame is a
+    localCheckpoint (reused by the count AND the lazy returned frame's
+    candidate/truth joins), never a persist() the lazy caller can't
+    unpersist safely."""
+    from nbdatatools_spark.operators.dedup import minhash_quality_report
+
+    spark.catalog.clearCache()
+    assert _cache_manager(spark).isEmpty()
+
+    out = minhash_quality_report(
+        tiny_docs,
+        sample_ids=16,
+        num_hashes=8,
+        bands=4,
+        shingle_size=5,
+        threshold=0.5,
+    )
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["n_sample"] > 0
+    assert _cache_manager(spark).isEmpty()

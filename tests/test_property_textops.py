@@ -157,7 +157,7 @@ _docs = st.lists(
 
 
 def _engine_tokens(text):
-    """Replica of functions.text.tokens: SQL trim strips SPACES only, and
+    r"""Replica of functions.text.tokens: SQL trim strips SPACES only, and
     the \s+ split keeps empty boundary fields for other edge whitespace."""
     import re
 
