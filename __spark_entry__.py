@@ -11767,6 +11767,244 @@ def _histogram_quantiles_oracle(
     """
 
 
+# ---------------------------------------------------------------------------
+# Round-8 batch 1: nonparametric hypothesis tests + agreement + graph QA
+# ---------------------------------------------------------------------------
+
+
+def events_mann_whitney(spark, sf_dir):
+    """Two-sample Mann-Whitney U per event type (stats.py::mann_whitney_u):
+    does the event value differ in distribution between the user_id%2
+    variants — the heavy-tail-proof replacement for the t-test in A/B
+    readouts. Tie-averaged ranks via the two-phase (group, value) count
+    index (no data-sized window); tie-corrected z, A-S-erf p at 4dp."""
+    from nbdatatools_spark.operators.stats import mann_whitney_u
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    ev = ev.withColumn(
+        "variant", F.concat(F.lit("v"), (F.col("user_id") % 2).cast("string"))
+    )
+    return mann_whitney_u(ev, "event_type", "variant", "value")
+
+
+def events_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis H per event type (stats.py::kruskal_wallis) across
+    the user_id%3 variants — the k-sample rank test behind 'did ANY of
+    the cohorts shift'. Same two-phase rank machinery as mann_whitney;
+    tie-corrected H; all inputs integer counts and exact .5-ranks."""
+    from nbdatatools_spark.operators.stats import kruskal_wallis
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    ev = ev.withColumn(
+        "variant", F.concat(F.lit("v"), (F.col("user_id") % 3).cast("string"))
+    )
+    return kruskal_wallis(ev, "event_type", "variant", "value")
+
+
+def events_levene_test(spark, sf_dir):
+    """Brown-Forsythe robust equality-of-variance test per event type
+    (stats.py::brown_forsythe) across user_id%3 variants: one-way ANOVA F
+    on median-centered absolute deviations — did a cohort's value become
+    more VOLATILE even if its level held. Exact interpolated medians,
+    DECIMAL-summed moments, no windows."""
+    from nbdatatools_spark.operators.stats import brown_forsythe
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    ev = ev.withColumn(
+        "variant", F.concat(F.lit("v"), (F.col("user_id") % 3).cast("string"))
+    )
+    return brown_forsythe(ev, "event_type", "variant", "value")
+
+
+def events_spearman_corr(spark, sf_dir):
+    """Spearman rank correlation per event type (stats.py::spearman_corr)
+    between day-of-month and value — the monotone drift detector that
+    survives outliers where Pearson saturates. Two two-phase rank passes
+    joined back row-level; DECIMAL-summed Pearson on exact .5-ranks."""
+    from nbdatatools_spark.operators.stats import spearman_corr
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    ev = ev.withColumn("dom", F.dayofmonth("ts").cast("double"))
+    return spearman_corr(ev, "event_type", "dom", "value")
+
+
+def events_mann_kendall(spark, sf_dir):
+    """Mann-Kendall monotone trend of each event type's daily volume
+    (stats.py::mann_kendall): pairwise sign sum over the date-grain
+    series (the theil_sen bounded O(n^2)-within-group convention),
+    tie-corrected variance, +-1 continuity-corrected z, trend verdict
+    at p < 0.05."""
+    from nbdatatools_spark.operators.stats import mann_kendall
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    series = daily.select(
+        "event_type",
+        F.datediff("d", F.lit("1970-01-01")).cast("double").alias("x"),
+        "y",
+    )
+    return mann_kendall(series, "event_type", "x", "y")
+
+
+def doc_source_fdr(spark, sf_dir):
+    """Per-source English-rate anomaly screen with Benjamini-Hochberg FDR
+    control (stats.py::bh_adjust): a two-proportion z-test of each
+    source's P(lang='en') against the REST of the corpus (pooled-variance
+    z, A-S-erf two-sided p at 4dp — the ab_test discipline), then the
+    BH step-up over the 20-source family. The multiple-comparisons
+    discipline a per-slice QC dashboard needs before flagging sources.
+    Family-sized ranking windows run over the 20-row aggregate only."""
+    from nbdatatools_spark.operators.stats import bh_adjust, _erf
+
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_en"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("__tn"), F.sum("n_en").alias("__tk")
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    ns = F.col("n_docs").cast("double")
+    nr = (F.col("__tn") - F.col("n_docs")).cast("double")
+    ps = F.col("n_en").cast("double") / ns
+    pr = (F.col("__tk") - F.col("n_en")).cast("double") / nr
+    pp = F.col("__tk").cast("double") / F.col("__tn").cast("double")
+    se = F.sqrt(pp * (1.0 - pp) * (1.0 / ns + 1.0 / nr))
+    z = F.when(se == 0.0, F.lit(0.0)).otherwise((ps - pr) / se)
+    import math as _math
+
+    p = F.round(
+        1.0 - _erf(F.abs(z) / F.lit(_math.sqrt(2.0))), 4
+    ) + 0.0
+    tested = j.select(
+        "source",
+        F.col("n_docs"),
+        F.round(ps, 6).alias("en_rate"),
+        (F.round(z, 6) + 0.0).alias("z"),
+        p.alias("p_raw"),
+    )
+    adjusted = bh_adjust(tested, "p_raw", ["source"], alpha=0.05)
+    return (
+        tested.select("source", "n_docs", "en_rate", "z")
+        .join(adjusted, "source")
+        .select(
+            "source", "n_docs", "en_rate", "z",
+            "p_value", "p_rank", "p_adj", "rejected",
+        )
+        .orderBy("source")
+    )
+
+
+def events_assortativity(spark, sf_dir):
+    """Degree assortativity of the user co-visitation graph
+    (graph.py::degree_assortativity, Newman 2002) over the SAME edges as
+    events_triangle_count: Pearson correlation of endpoint degrees over
+    the doubled edge-end list — do heavy users co-occur with heavy users.
+    One-row census; DECIMAL-summed correlation."""
+    from nbdatatools_spark.operators.graph import (
+        cooccurrence_edges,
+        degree_assortativity,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    occ = ev.select(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
+    )
+    edges = cooccurrence_edges(
+        occ, ["event_type", "h"], "user_id", max_bucket=100, min_support=3
+    )
+    return degree_assortativity(edges, src="src", dst="dst")
+
+
+def events_kcore(spark, sf_dir):
+    """3-core of the user co-visitation graph (graph.py::kcore, Seidman
+    1983): iterative peeling to the maximal subgraph of degree >= 3 —
+    the density filter before community analysis. Fixpoint of a
+    shrinking set (not SQL-expressible: rows-only driver check; the
+    bit-exact evidence is tests/test_stats_graph.py's differential vs a
+    pure-Python peeler)."""
+    from nbdatatools_spark.operators.graph import cooccurrence_edges, kcore
+
+    ev = _t(spark, sf_dir, "events")
+    occ = ev.select(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
+    )
+    edges = cooccurrence_edges(
+        occ, ["event_type", "h"], "user_id", max_bucket=100, min_support=3
+    )
+    return kcore(edges, k=3, src="src", dst="dst")
+
+
+def doc_fleiss_kappa(spark, sf_dir):
+    """Fleiss' kappa across THREE document 'raters' — the quality filter
+    (quality_score >= 0.5), the length filter (n_chars >= 400), and the
+    language filter (lang = 'en') (evaluation.py::fleiss_kappa, Fleiss
+    1971): how much the stacked curation heuristics agree beyond their
+    base rates, the multi-rater generalization of doc_filter_agreement's
+    Cohen kappa. One (item, category) aggregate; bounded reduces."""
+    from nbdatatools_spark.operators.evaluation import fleiss_kappa
+
+    docs = _t(spark, sf_dir, "documents")
+    verdicts = (
+        docs.select(
+            "doc_id",
+            F.lit("quality").alias("rater"),
+            (F.round(quality_score(F.col("text")), 6) >= 0.5).alias("keep"),
+        )
+        .unionByName(
+            docs.select(
+                "doc_id",
+                F.lit("length").alias("rater"),
+                (F.col("n_chars") >= 400).alias("keep"),
+            )
+        )
+        .unionByName(
+            docs.select(
+                "doc_id",
+                F.lit("lang").alias("rater"),
+                (F.col("lang") == "en").alias("keep"),
+            )
+        )
+    )
+    return fleiss_kappa(verdicts, "doc_id", "rater", "keep")
+
+
+def doc_lexical_diversity(spark, sf_dir):
+    """Per-source lexical diversity (analysis.py::lexical_diversity):
+    Guiraud root TTR, hapax ratio, Yule's K over the vocab_topk
+    tokenizer — the vocabulary-richness readout that separates template
+    farms from varied prose. Frequency-of-frequencies table, all-integer
+    until the final divisions."""
+    from nbdatatools_spark.operators.analysis import lexical_diversity
+
+    return lexical_diversity(
+        _t(spark, sf_dir, "documents"), group_col="source", text_col="text"
+    )
+
+
+def embedding_two_sample_shift(spark, sf_dir):
+    """Distribution shift between label<5 and label>=5 embeddings via
+    RBF-kernel MMD^2 (Gretton et al. 2012) and energy distance (Szekely
+    & Rizzo 2004) (stats.py::two_sample_distance): the joint-geometry
+    two-sample test that catches what per-dim PSI misses. Deterministic
+    md5-ordered 64-vector samples; per-dim DECIMAL squared distances;
+    9dp-quantized kernels before DECIMAL block sums (libm-proof)."""
+    from nbdatatools_spark.operators.stats import two_sample_distance
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return two_sample_distance(
+        emb.where(F.col("label") < 5),
+        emb.where(F.col("label") >= 5),
+        vec="embedding",
+        id_col="vec_id",
+        gamma=None,
+        sample_size=64,
+    )
+
+
 # ============================================================================
 # CANDIDATE STAGING — new gates built after this round's recording
 # window is attested land HERE (with their oracles), not in queries():
@@ -11781,10 +12019,427 @@ def _histogram_quantiles_oracle(
 def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Round-9 rotation candidates: same contract as queries(), kept out
     of the live window so the round-8 recording layout stays attested."""
-    return {}
+    return {
+        "events_mann_whitney": events_mann_whitney,
+        "events_kruskal_wallis": events_kruskal_wallis,
+        "events_levene_test": events_levene_test,
+        "events_spearman_corr": events_spearman_corr,
+        "events_mann_kendall": events_mann_kendall,
+        "doc_source_fdr": doc_source_fdr,
+        "events_assortativity": events_assortativity,
+        "events_kcore": events_kcore,
+        "doc_fleiss_kappa": doc_fleiss_kappa,
+        "doc_lexical_diversity": doc_lexical_diversity,
+        "embedding_two_sample_shift": embedding_two_sample_shift,
+    }
+
+
+# Shared SQL fragments for the round-8 candidate oracles: the repo's
+# DECIMAL-sum convention and the tie-averaged per-(group, value) rank
+# table (cum-count window on the COLLAPSED count table — the oracle may
+# use plain windows; only the engine needs the two-phase discipline).
+_DS = "CAST(sum(CAST(round({x}, 9) AS DECIMAL(30,9))) AS DOUBLE)"
+
+
+def _rank_ctes(base_sql: str) -> str:
+    """CTEs: base(g, c, s) -> cnt/rk (tie-averaged ranks per (g, s)) and
+    tt (per-group sum of t^3 - t tie terms)."""
+    return f"""
+        base AS ({base_sql}),
+        cnt AS (SELECT g, s, count(*) AS n FROM base GROUP BY g, s),
+        rk AS (SELECT g, s, n,
+                      CAST(coalesce(sum(n) OVER (PARTITION BY g ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS BIGINT) + (n + 1) / 2.0 AS avg_rank
+               FROM cnt),
+        tt AS (SELECT g, {_DS.format(x='n*n*n - n')} AS tt
+               FROM rk GROUP BY g)
+    """
+
+
+# A-S 7.1.26 two-sided p-value from a z column named {z}: 4dp (the
+# ks/ab_test libm discipline). {t} = 1/(1 + 0.3275911*|z|/sqrt(2)).
+def _p2_sql(z: str) -> str:
+    import math
+
+    s2 = repr(math.sqrt(2.0))
+    t = f"(1.0/(1.0 + 0.3275911*(abs({z})/{s2})))"
+    poly = (
+        f"(0.254829592*{t} - 0.284496736*power({t},2) + 1.421413741*power({t},3)"
+        f" - 1.453152027*power({t},4) + 1.061405429*power({t},5))"
+    )
+    return (
+        f"round(1.0 - (1.0 - {poly} * exp(-(abs({z})/{s2})*(abs({z})/{s2}))), 4) + 0.0"
+    )
 
 
 def candidate_oracles() -> dict[str, str]:
     """DuckDB oracles for the round-9 candidates (rows-only gates omit
-    their entry by design)."""
-    return {}
+    their entry by design — events_kcore is a shrinking-set fixpoint)."""
+    ds = _DS.format
+    mwu_base = """
+        SELECT event_type AS g,
+               'v' || CAST(user_id % 2 AS VARCHAR) AS c,
+               CAST(value AS DOUBLE) AS s
+        FROM events WHERE value IS NOT NULL"""
+    kw_base = mwu_base.replace("user_id % 2", "user_id % 3")
+    edges_ctes = """
+        occ0 AS (
+            SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id
+            FROM events),
+        kept AS (
+            SELECT event_type, h FROM occ0
+            GROUP BY event_type, h HAVING count(*) <= 100),
+        occ AS (
+            SELECT o.event_type, o.h, o.user_id
+            FROM occ0 o JOIN kept k
+              ON o.event_type = k.event_type AND o.h = k.h),
+        edges AS (
+            SELECT a.user_id AS a, b.user_id AS b
+            FROM occ a JOIN occ b
+              ON a.event_type = b.event_type AND a.h = b.h
+             AND a.user_id < b.user_id
+            GROUP BY a.user_id, b.user_id
+            HAVING count(*) >= 3),
+        deg AS (
+            SELECT node, count(*) AS deg FROM (
+                SELECT a AS node FROM edges
+                UNION ALL SELECT b FROM edges) GROUP BY node)"""
+    return {
+        # Mann-Whitney: tie-averaged rank sums over the collapsed count
+        # table, DECIMAL R-sums, tie-corrected z, A-S-erf p
+        "events_mann_whitney": f"""
+            WITH {_rank_ctes(mwu_base)},
+            cc AS (SELECT g, s, c, count(*) AS nc FROM base GROUP BY g, s, c),
+            pc AS (SELECT cc.g, cc.c, CAST(sum(cc.nc) AS BIGINT) AS n,
+                          {ds(x='cc.nc * rk.avg_rank')} AS r
+                   FROM cc JOIN rk ON rk.g = cc.g AND rk.s = cc.s
+                   GROUP BY cc.g, cc.c),
+            two AS (SELECT g, count(*) AS k,
+                           min(c) AS class_a, max(c) AS class_b,
+                           arg_min(n, c) AS n_a, arg_max(n, c) AS n_b,
+                           arg_min(r, c) AS ra
+                    FROM pc GROUP BY g HAVING count(*) = 2),
+            f AS (SELECT two.g, class_a, class_b, n_a, n_b,
+                         CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+                         CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS nn,
+                         ra - CAST(n_a AS DOUBLE)*(CAST(n_a AS DOUBLE)+1)/2.0 AS ua,
+                         tt.tt AS tv
+                  FROM two JOIN tt ON tt.g = two.g),
+            zc AS (SELECT *,
+                          CASE WHEN na*nb/12.0*((nn + 1.0) - tv/(nn*(nn - 1.0))) <= 0.0
+                               THEN 0.0
+                               ELSE (ua - na*nb/2.0)
+                                    / sqrt(na*nb/12.0*((nn + 1.0) - tv/(nn*(nn - 1.0))))
+                          END AS z
+                   FROM f)
+            SELECT g AS event_type, class_a, class_b, n_a, n_b,
+                   round(ua, 6) + 0.0 AS u_a,
+                   round(z, 6) + 0.0 AS z,
+                   {_p2_sql('z')} AS p_value
+            FROM zc ORDER BY event_type
+        """,
+        # Kruskal-Wallis: per-class DECIMAL rank sums, tie-corrected H
+        "events_kruskal_wallis": f"""
+            WITH {_rank_ctes(kw_base)},
+            cc AS (SELECT g, s, c, count(*) AS nc FROM base GROUP BY g, s, c),
+            pc AS (SELECT cc.g, cc.c, CAST(sum(cc.nc) AS BIGINT) AS n,
+                          {ds(x='cc.nc * rk.avg_rank')} AS r
+                   FROM cc JOIN rk ON rk.g = cc.g AND rk.s = cc.s
+                   GROUP BY cc.g, cc.c),
+            agg AS (SELECT g, CAST(count(*) AS INT) AS k,
+                           CAST(sum(n) AS BIGINT) AS n0,
+                           {ds(x='r*r/n')} AS rr
+                    FROM pc GROUP BY g),
+            hh AS (SELECT agg.g, agg.k, agg.n0,
+                          CAST(agg.n0 AS DOUBLE) AS nn, agg.rr, tt.tt AS tv
+                   FROM agg JOIN tt ON tt.g = agg.g),
+            calc AS (SELECT g, k, n0,
+                            12.0/(nn*(nn + 1.0)) * rr - 3.0*(nn + 1.0) AS h,
+                            1.0 - tv/(nn*nn*nn - nn) AS corr
+                     FROM hh)
+            SELECT g AS event_type, k AS k_classes, n0 AS n,
+                   round(h, 6) + 0.0 AS h_stat,
+                   round(CASE WHEN corr <= 0.0 THEN h ELSE h/corr END, 6) + 0.0 AS h_adj,
+                   CAST(k - 1 AS INT) AS dof
+            FROM calc ORDER BY event_type
+        """,
+        # Brown-Forsythe: quantile_cont medians, DECIMAL z-moments, ANOVA F
+        "events_levene_test": f"""
+            WITH base AS ({kw_base}),
+            med AS (SELECT g, c, quantile_cont(s, 0.5) AS m
+                    FROM base GROUP BY g, c),
+            zt AS (SELECT b.g, b.c, round(abs(b.s - med.m), 9) AS z
+                   FROM base b JOIN med ON med.g = b.g AND med.c = b.c),
+            pc AS (SELECT g, c, count(*) AS n,
+                          {ds(x='z')} AS sz, {ds(x='z*z')} AS szz
+                   FROM zt GROUP BY g, c),
+            agg AS (SELECT g, CAST(count(*) AS INT) AS k,
+                           CAST(sum(n) AS BIGINT) AS n0,
+                           {ds(x='sz')} AS tz,
+                           {ds(x='sz*sz/n')} AS bz,
+                           {ds(x='szz - sz*sz/n')} AS wss
+                    FROM pc GROUP BY g),
+            calc AS (SELECT g, k, n0, wss,
+                            CAST(k AS DOUBLE) AS kk, CAST(n0 AS DOUBLE) AS nn,
+                            bz - tz*tz/CAST(n0 AS DOUBLE) AS bss
+                     FROM agg)
+            SELECT g AS event_type, k AS k_classes, n0 AS n,
+                   round(CASE WHEN wss <= 0.0 OR k < 2 OR n0 <= k THEN NULL
+                         ELSE (bss/(kk - 1.0))/(wss/(nn - kk)) END, 6) + 0.0 AS f_stat,
+                   CAST(k - 1 AS INT) AS df1,
+                   CAST(n0 - k AS BIGINT) AS df2
+            FROM calc ORDER BY event_type
+        """,
+        # Spearman: two tie-averaged rank tables joined back row-level,
+        # DECIMAL Pearson on the ranks
+        "events_spearman_corr": f"""
+            WITH base AS (
+                SELECT event_type AS g,
+                       CAST(date_part('day', ts) AS DOUBLE) AS x,
+                       CAST(value AS DOUBLE) AS y
+                FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+            cx AS (SELECT g, x, count(*) AS n FROM base GROUP BY g, x),
+            rx AS (SELECT g, x,
+                          CAST(coalesce(sum(n) OVER (PARTITION BY g ORDER BY x
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                              0) AS BIGINT) + (n + 1) / 2.0 AS rnk
+                   FROM cx),
+            cy AS (SELECT g, y, count(*) AS n FROM base GROUP BY g, y),
+            ry AS (SELECT g, y,
+                          CAST(coalesce(sum(n) OVER (PARTITION BY g ORDER BY y
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                              0) AS BIGINT) + (n + 1) / 2.0 AS rnk
+                   FROM cy),
+            rr AS (SELECT b.g, rx.rnk AS rxv, ry.rnk AS ryv
+                   FROM base b
+                   JOIN rx ON rx.g = b.g AND rx.x = b.x
+                   JOIN ry ON ry.g = b.g AND ry.y = b.y),
+            agg AS (SELECT g, CAST(count(*) AS DOUBLE) AS v,
+                           {ds(x='rxv')} AS sx, {ds(x='ryv')} AS sy,
+                           {ds(x='rxv*rxv')} AS sxx, {ds(x='rxv*ryv')} AS sxy,
+                           {ds(x='ryv*ryv')} AS syy
+                    FROM rr GROUP BY g)
+            SELECT g AS event_type, CAST(v AS BIGINT) AS n,
+                   round(CASE WHEN sqrt(v*sxx - sx*sx)*sqrt(v*syy - sy*sy) <= 0.0
+                         THEN NULL
+                         ELSE (v*sxy - sx*sy)
+                              /(sqrt(v*sxx - sx*sx)*sqrt(v*syy - sy*sy)) END,
+                         6) + 0.0 AS rho
+            FROM agg ORDER BY event_type
+        """,
+        # Mann-Kendall: pairwise sign sum on the date-grain series,
+        # tie-corrected variance, continuity-corrected z
+        "events_mann_kendall": f"""
+            WITH daily AS (
+                SELECT event_type AS g,
+                       CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS DOUBLE) AS x,
+                       CAST(count(*) AS DOUBLE) AS y
+                FROM events GROUP BY 1, CAST(ts AS DATE)),
+            ss AS (SELECT a.g, CAST(sum(sign(b.y - a.y)) AS DOUBLE) AS s
+                   FROM daily a JOIN daily b ON a.g = b.g AND a.x < b.x
+                   GROUP BY a.g),
+            np AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY g),
+            tv AS (SELECT g, {ds(x='t*(t - 1.0)*(2.0*t + 5.0)')} AS tt
+                   FROM (SELECT g, CAST(count(*) AS DOUBLE) AS t
+                         FROM daily GROUP BY g, y) GROUP BY g),
+            zc AS (SELECT np.g, np.n, ss.s,
+                          CASE WHEN ss.s = 0.0
+                                 OR (CAST(np.n AS DOUBLE)*(CAST(np.n AS DOUBLE) - 1.0)
+                                     *(2.0*CAST(np.n AS DOUBLE) + 5.0) - tv.tt)/18.0 <= 0.0
+                               THEN 0.0
+                               ELSE (ss.s - sign(ss.s))
+                                    / sqrt((CAST(np.n AS DOUBLE)*(CAST(np.n AS DOUBLE) - 1.0)
+                                            *(2.0*CAST(np.n AS DOUBLE) + 5.0) - tv.tt)/18.0)
+                          END AS z
+                   FROM np JOIN ss ON ss.g = np.g JOIN tv ON tv.g = np.g)
+            SELECT g AS event_type, n AS n_points, CAST(s AS BIGINT) AS s_stat,
+                   round(z, 6) + 0.0 AS z,
+                   {_p2_sql('z')} AS p_value,
+                   CASE WHEN {_p2_sql('z')} >= 0.05 THEN 'no_trend'
+                        WHEN s > 0 THEN 'increasing'
+                        ELSE 'decreasing' END AS trend
+            FROM zc ORDER BY event_type
+        """,
+        # per-source en-rate z vs rest + BH step-up over the family
+        "doc_source_fdr": f"""
+            WITH per AS (SELECT source, count(*) AS n_docs,
+                                CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                                     AS BIGINT) AS n_en
+                         FROM documents GROUP BY source),
+            tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tn,
+                           CAST(sum(n_en) AS BIGINT) AS tk FROM per),
+            calc AS (SELECT source, n_docs,
+                            CAST(n_en AS DOUBLE)/CAST(n_docs AS DOUBLE) AS ps,
+                            CAST(tk - n_en AS DOUBLE)/CAST(tn - n_docs AS DOUBLE) AS pr,
+                            CAST(tk AS DOUBLE)/CAST(tn AS DOUBLE) AS pp,
+                            CAST(n_docs AS DOUBLE) AS ns,
+                            CAST(tn - n_docs AS DOUBLE) AS nr
+                     FROM per CROSS JOIN tot),
+            zt AS (SELECT source, n_docs, ps,
+                          CASE WHEN sqrt(pp*(1.0 - pp)*(1.0/ns + 1.0/nr)) = 0.0
+                               THEN 0.0
+                               ELSE (ps - pr)/sqrt(pp*(1.0 - pp)*(1.0/ns + 1.0/nr))
+                          END AS z
+                   FROM calc),
+            pt AS (SELECT source, n_docs, ps, z, {_p2_sql('z')} AS p FROM zt),
+            rkd AS (SELECT *, CAST(row_number() OVER (ORDER BY p ASC, source ASC)
+                                  AS INT) AS r,
+                           CAST(count(*) OVER () AS BIGINT) AS m
+                    FROM pt),
+            adj AS (SELECT *, least(1.0, min(round(CAST(m AS DOUBLE)*p/r, 9))
+                        OVER (ORDER BY r DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                        AS pa
+                    FROM rkd)
+            SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+                   round(ps, 6) AS en_rate, round(z, 6) + 0.0 AS z,
+                   round(p, 6) + 0.0 AS p_value, r AS p_rank,
+                   round(pa, 6) + 0.0 AS p_adj, pa <= 0.05 AS rejected
+            FROM adj ORDER BY source
+        """,
+        # degree assortativity over the triangle-gate co-visitation edges
+        "events_assortativity": f"""
+            WITH {edges_ctes},
+            ends AS (SELECT e.a AS u, e.b AS v FROM edges e
+                     UNION ALL SELECT e.b, e.a FROM edges e),
+            xy AS (SELECT CAST(d1.deg AS DOUBLE) AS x, CAST(d2.deg AS DOUBLE) AS y
+                   FROM ends JOIN deg d1 ON d1.node = ends.u
+                             JOIN deg d2 ON d2.node = ends.v),
+            agg AS (SELECT CAST(count(*) AS DOUBLE) AS m,
+                           {ds(x='x')} AS sx, {ds(x='y')} AS sy,
+                           {ds(x='x*y')} AS sxy, {ds(x='x*x')} AS sxx,
+                           {ds(x='y*y')} AS syy
+                    FROM xy),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+            ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges)
+            SELECT n_nodes, n_edges,
+                   round(CASE WHEN sqrt(m*sxx - sx*sx)*sqrt(m*syy - sy*sy) <= 0.0
+                         THEN NULL
+                         ELSE (m*sxy - sx*sy)
+                              /(sqrt(m*sxx - sx*sx)*sqrt(m*syy - sy*sy)) END,
+                         6) + 0.0 AS assortativity
+            FROM nn, ne, agg
+        """,
+        # Fleiss kappa over the three filter raters
+        "doc_fleiss_kappa": f"""
+            WITH v AS (
+                SELECT doc_id, 'quality' AS rater,
+                       CAST(({_QUALITY6} >= 0.5) AS VARCHAR) AS c FROM documents
+                UNION ALL
+                SELECT doc_id, 'length', CAST((n_chars >= 400) AS VARCHAR)
+                FROM documents
+                UNION ALL
+                SELECT doc_id, 'lang', CAST((lang = 'en') AS VARCHAR)
+                FROM documents),
+            ic AS (SELECT doc_id, c, count(*) AS n FROM v GROUP BY doc_id, c),
+            pi AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS ni,
+                          CAST(sum(n*n) AS BIGINT) AS sq
+                   FROM ic GROUP BY doc_id),
+            modal AS (SELECT ni AS nr FROM (
+                          SELECT ni, count(*) AS f FROM pi GROUP BY ni
+                          ORDER BY f DESC, ni ASC LIMIT 1)),
+            kept AS (SELECT pi.* FROM pi CROSS JOIN modal WHERE ni = nr),
+            drp AS (SELECT CAST(count(*) AS BIGINT) AS n_items_dropped
+                    FROM pi CROSS JOIN modal WHERE ni <> nr),
+            ia AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+                          CAST(max(ni) AS INT) AS nrr,
+                          {ds(x='(CAST(sq AS DOUBLE) - CAST(ni AS DOUBLE))'
+                              '/(CAST(ni AS DOUBLE)*(CAST(ni AS DOUBLE) - 1.0))')}
+                              AS sp
+                   FROM kept),
+            cc AS (SELECT ic.c, CAST(sum(ic.n) AS BIGINT) AS nc
+                   FROM ic JOIN kept ON kept.doc_id = ic.doc_id
+                   GROUP BY ic.c),
+            ca AS (SELECT CAST(count(*) AS INT) AS n_categories,
+                          {ds(x='(CAST(nc AS DOUBLE)/CAST(ia.n_items*ia.nrr AS DOUBLE))'
+                              '*(CAST(nc AS DOUBLE)/CAST(ia.n_items*ia.nrr AS DOUBLE))')}
+                              AS pe
+                   FROM cc CROSS JOIN ia GROUP BY ia.n_items, ia.nrr)
+            SELECT ia.n_items, drp.n_items_dropped, ia.nrr AS n_raters,
+                   ca.n_categories,
+                   round(ia.sp/CAST(ia.n_items AS DOUBLE), 6) + 0.0 AS p_bar,
+                   round(ca.pe, 6) + 0.0 AS p_e,
+                   round(CASE WHEN ca.pe >= 1.0 THEN NULL
+                         ELSE (ia.sp/CAST(ia.n_items AS DOUBLE) - ca.pe)
+                              /(1.0 - ca.pe) END, 6) + 0.0 AS kappa
+            FROM ia CROSS JOIN ca CROSS JOIN drp
+        """,
+        # lexical diversity: frequency-of-frequencies closed forms
+        "doc_lexical_diversity": """
+            WITH t AS (
+                SELECT source,
+                       unnest(string_split(
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                           ' ')) AS token
+                FROM documents),
+            tok AS (SELECT source, token, count(*) AS m FROM t
+                    WHERE length(token) > 0 GROUP BY source, token),
+            fr AS (SELECT source, m, count(*) AS vm FROM tok GROUP BY source, m),
+            agg AS (SELECT source,
+                           CAST(sum(m*vm) AS BIGINT) AS n,
+                           CAST(sum(vm) AS BIGINT) AS v,
+                           CAST(sum(CASE WHEN m = 1 THEN vm ELSE 0 END) AS BIGINT) AS h,
+                           CAST(sum(m*m*vm) AS BIGINT) AS m2
+                    FROM fr GROUP BY source)
+            SELECT source, n AS n_tokens, v AS n_types,
+                   round(CAST(v AS DOUBLE)/sqrt(CAST(n AS DOUBLE)), 6) AS root_ttr,
+                   round(CAST(h AS DOUBLE)/CAST(v AS DOUBLE), 6) AS hapax_ratio,
+                   round(1e4*(CAST(m2 AS DOUBLE) - CAST(n AS DOUBLE))
+                         /(CAST(n AS DOUBLE)*CAST(n AS DOUBLE)), 6) AS yule_k
+            FROM agg ORDER BY source
+        """,
+        # MMD^2 + energy distance: md5-ordered 64-samples, per-dim DECIMAL
+        # squared distances, 9dp-quantized kernels, DECIMAL block sums
+        "embedding_two_sample_shift": f"""
+            WITH sa AS (
+                SELECT 'a' AS side, CAST(vec_id AS VARCHAR) AS id,
+                       CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE label < 5
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)
+                LIMIT 64),
+            sb AS (
+                SELECT 'b' AS side, CAST(vec_id AS VARCHAR) AS id,
+                       CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE label >= 5
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)
+                LIMIT 64),
+            u AS (SELECT * FROM sa UNION ALL SELECT * FROM sb),
+            g AS (SELECT round(1.0/CAST(min(len(v)) AS DOUBLE), 9) AS gamma FROM u),
+            pr AS (SELECT x.side AS s1, y.side AS s2, x.id AS xi, y.id AS yi,
+                          x.v AS xv, y.v AS yv
+                   FROM u x JOIN u y
+                     ON (x.side < y.side)
+                     OR (x.side = y.side AND x.id < y.id)),
+            dd AS (SELECT s1, s2, xi, yi,
+                          CAST(sum(CAST(round((a - b)*(a - b), 9)
+                              AS DECIMAL(25,9))) AS DOUBLE) AS d2
+                   FROM (SELECT s1, s2, xi, yi, unnest(xv) AS a, unnest(yv) AS b
+                         FROM pr)
+                   GROUP BY s1, s2, xi, yi),
+            bl AS (SELECT s1, s2,
+                          {ds(x='exp(-g.gamma*d2)')} AS ks,
+                          {ds(x='sqrt(d2)')} AS dsm
+                   FROM dd CROSS JOIN g GROUP BY s1, s2),
+            pick AS (SELECT
+                        max(CASE WHEN s1 = 'a' AND s2 = 'a' THEN ks END) AS kaa,
+                        max(CASE WHEN s1 = 'b' AND s2 = 'b' THEN ks END) AS kbb,
+                        max(CASE WHEN s1 = 'a' AND s2 = 'b' THEN ks END) AS kab,
+                        max(CASE WHEN s1 = 'a' AND s2 = 'a' THEN dsm END) AS daa,
+                        max(CASE WHEN s1 = 'b' AND s2 = 'b' THEN dsm END) AS dbb,
+                        max(CASE WHEN s1 = 'a' AND s2 = 'b' THEN dsm END) AS dab
+                     FROM bl),
+            cn AS (SELECT CAST(sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END)
+                              AS DOUBLE) AS na,
+                          CAST(sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END)
+                              AS DOUBLE) AS nb
+                   FROM u)
+            SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                   g.gamma AS gamma,
+                   round(2.0*kaa/(na*(na - 1.0)) + 2.0*kbb/(nb*(nb - 1.0))
+                         - 2.0*kab/(na*nb), 6) + 0.0 AS mmd2,
+                   round(2.0*dab/(na*nb) - 2.0*daa/(na*(na - 1.0))
+                         - 2.0*dbb/(nb*(nb - 1.0)), 6) + 0.0 AS energy
+            FROM pick CROSS JOIN cn CROSS JOIN g
+        """,
+    }

@@ -501,6 +501,11 @@ def vocab_coverage(
                 "__local"
             ),
         )
+        # pin the partitioning: both the row branch and the P-row offset
+        # branch must read the SAME materialized exchange (AQE may re-plan
+        # an unpinned ReusedExchange differently per consumer — the
+        # global_row_index sf0.1 defect)
+        .localCheckpoint(eager=False)
     )
     wl = (
         Window.partitionBy("__pid")
@@ -3113,3 +3118,59 @@ def histogram_quantiles(
         F.col("__b.bin").alias("bin"),
         F.round(F.least(est, F.lit(float(hi))), 6).alias("estimate"),
     ).orderBy("p")
+
+
+def lexical_diversity(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-slice lexical diversity profile — the vocabulary-richness
+    readout that separates template/boilerplate-heavy sources from
+    genuinely varied text (low diversity = SEO spam / log dumps even when
+    quality filters pass):
+
+    - ``root_ttr``: types / sqrt(tokens) (Guiraud 1954 — the
+      length-robust type-token ratio),
+    - ``hapax_ratio``: fraction of types occurring exactly once,
+    - ``yule_k``: 10^4 * (sum_m m^2 V_m - N) / N^2 (Yule 1944; LOW K =
+      diverse, HIGH K = repetitive),
+
+    over normalized whitespace tokens (the vocab_topk tokenizer, so the
+    numbers are comparable with the rest of the corpus-stats family).
+
+    Returns ``(group, n_tokens, n_types, root_ttr, hapax_ratio, yule_k)``
+    per slice at 6dp, ordered by group.
+
+    Plan: one (group, token) count aggregate -> one (group, freq) count
+    aggregate (the frequency-of-frequencies table is tiny) -> one group
+    reduce. All integer counts until the final divisions — engine-exact.
+    """
+    from nbdatatools_spark.functions.text import normalize_text, tokens
+
+    ex = df.select(
+        F.col(group_col).alias("__g"),
+        F.explode_outer(tokens(normalize_text(F.col(text_col)))).alias("__t"),
+    ).where(F.col("__t").isNotNull() & (F.length("__t") > 0))
+    tok = ex.groupBy("__g", "__t").agg(F.count(F.lit(1)).alias("__m"))
+    freqs = tok.groupBy("__g", "__m").agg(F.count(F.lit(1)).alias("__vm"))
+    agg = freqs.groupBy("__g").agg(
+        F.sum(F.col("__m") * F.col("__vm")).alias("__n"),
+        F.sum("__vm").alias("__v"),
+        F.sum(F.when(F.col("__m") == 1, F.col("__vm")).otherwise(F.lit(0))).alias(
+            "__h"
+        ),
+        F.sum(F.col("__m") * F.col("__m") * F.col("__vm")).alias("__m2"),
+    )
+    n = F.col("__n").cast("double")
+    v = F.col("__v").cast("double")
+    return agg.select(
+        F.col("__g").alias(group_col),
+        F.col("__n").cast("bigint").alias("n_tokens"),
+        F.col("__v").cast("bigint").alias("n_types"),
+        F.round(v / F.sqrt(n), 6).alias("root_ttr"),
+        F.round(F.col("__h").cast("double") / v, 6).alias("hapax_ratio"),
+        F.round(
+            1e4 * (F.col("__m2").cast("double") - n) / (n * n), 6
+        ).alias("yule_k"),
+    ).orderBy(group_col)

@@ -63,6 +63,11 @@ def ranking_auc(
         grouped.repartitionByRange(n_part, F.col("__s"))
         .sortWithinPartitions("__s")
         .select("*", F.spark_partition_id().alias("__pid"))
+        # pin the partitioning: the row branch and the P-row offset branch
+        # must read the SAME materialized exchange (AQE may re-plan an
+        # unpinned ReusedExchange differently per consumer — the
+        # global_row_index sf0.1 defect)
+        .localCheckpoint(eager=False)
     )
     w_loc = (
         Window.partitionBy("__pid")
@@ -852,4 +857,113 @@ def conformal_threshold(
             F.round("__s", 6).alias("threshold"),
         )
         .orderBy("group")
+    )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str,
+    rater_col: str,
+    category_col,
+) -> DataFrame:
+    """Fleiss' kappa (Fleiss 1971): chance-corrected agreement among a
+    FIXED number of raters per item over categorical verdicts — the
+    multi-rater generalization of filter_agreement's Cohen kappa, e.g.
+    "do the C4 / Gopher / repetition filters agree on which documents to
+    keep beyond what their base rates predict".
+
+        P_i    = (sum_c n_ic^2 - n) / (n (n-1))     per item
+        P_bar  = mean_i P_i
+        P_e    = sum_c (sum_i n_ic / (N n))^2
+        kappa  = (P_bar - P_e) / (1 - P_e)
+
+    Every item must have the SAME rater count n (the statistic is
+    undefined otherwise): items whose count differs from the global
+    modal n are excluded and reported in ``n_items_dropped`` so ragged
+    panels surface instead of silently biasing P_e.
+
+    Returns ONE row ``(n_items, n_items_dropped, n_raters, n_categories,
+    p_bar, p_e, kappa)`` at 6dp.
+
+    Plan: one (item, category) count aggregate, one item-level reduce,
+    one category-level reduce (bounded by the category alphabet), all
+    DECIMAL-summed — map-side combinable, no windows, no pairs.
+    """
+    cat = (
+        F.col(category_col) if isinstance(category_col, str) else category_col
+    )
+    base = df.select(
+        F.col(item_col).alias("__i"),
+        F.col(rater_col).alias("__r"),
+        cat.cast("string").alias("__c"),
+    ).where(F.col("__c").isNotNull())
+    ic = base.groupBy("__i", "__c").agg(F.count(F.lit(1)).alias("__n"))
+    per_item = ic.groupBy("__i").agg(
+        F.sum("__n").alias("__ni"),
+        F.sum(F.col("__n") * F.col("__n")).alias("__sq"),
+    )
+    # modal rater count decides the panel size; off-count items drop loudly
+    modal = (
+        per_item.groupBy("__ni")
+        .agg(F.count(F.lit(1)).alias("__f"))
+        .orderBy(F.col("__f").desc(), F.col("__ni").asc())
+        .limit(1)
+        .select(F.col("__ni").alias("__nr"))
+    )
+    tagged = per_item.crossJoin(F.broadcast(modal)).localCheckpoint(
+        eager=False
+    )
+    kept = tagged.where(F.col("__ni") == F.col("__nr"))
+    dropped = tagged.where(F.col("__ni") != F.col("__nr")).agg(
+        F.count(F.lit(1)).alias("n_items_dropped")
+    )
+
+    def _dsum(expr):
+        return F.sum(F.round(expr, 9).cast("decimal(30,9)")).cast("double")
+
+    nr = F.col("__nr").cast("double")
+    item_agg = kept.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.max("__nr").alias("__nrr"),
+        _dsum(
+            (F.col("__sq").cast("double") - nr) / (nr * (nr - 1.0))
+        ).alias("__sp"),
+    )
+    cat_counts = (
+        ic.join(
+            kept.select("__i"), "__i", "left_semi"
+        )
+        .groupBy("__c")
+        .agg(F.sum("__n").alias("__nc"))
+    )
+    cat_agg = cat_counts.crossJoin(F.broadcast(item_agg)).agg(
+        F.count(F.lit(1)).alias("n_categories"),
+        _dsum(
+            (
+                F.col("__nc").cast("double")
+                / (F.col("n_items") * F.col("__nrr")).cast("double")
+            )
+            * (
+                F.col("__nc").cast("double")
+                / (F.col("n_items") * F.col("__nrr")).cast("double")
+            )
+        ).alias("__pe"),
+    )
+    p_bar = F.col("__sp") / F.col("n_items").cast("double")
+    p_e = F.col("__pe")
+    kappa = F.when(p_e >= 1.0, F.lit(None).cast("double")).otherwise(
+        (p_bar - p_e) / (1.0 - p_e)
+    )
+    return (
+        item_agg.crossJoin(F.broadcast(cat_agg))
+        .crossJoin(F.broadcast(dropped))
+        .select(
+            F.col("n_items").cast("bigint").alias("n_items"),
+            F.col("n_items_dropped").cast("bigint").alias("n_items_dropped"),
+            F.col("__nrr").cast("int").alias("n_raters"),
+            F.col("n_categories").cast("int").alias("n_categories"),
+            (F.round(p_bar, 6) + 0.0).alias("p_bar"),
+            (F.round(p_e, 6) + 0.0).alias("p_e"),
+            (F.round(kappa, 6) + 0.0).alias("kappa"),
+        )
     )

@@ -54,6 +54,10 @@ def pack_sequences(
         df.repartitionByRange(n_part, F.col(order_col))
         .sortWithinPartitions(order_col)
         .withColumn("__pid", F.spark_partition_id())
+        # pin the partitioning: the mapInPandas branch and the P-row offset
+        # branch must read the SAME materialized exchange (the
+        # global_row_index sf0.1 AQE defect)
+        .localCheckpoint(eager=False)
     )
 
     # phase 1: partition-local exclusive running sum — Arrow-batched pass in
@@ -138,6 +142,8 @@ def pack_sequences_bucketed(
         df.repartitionByRange(n_part, F.col(bucket_col), F.col(order_col))
         .sortWithinPartitions(bucket_col, order_col)
         .withColumn("__pid", F.spark_partition_id())
+        # pin the partitioning (the global_row_index sf0.1 AQE defect)
+        .localCheckpoint(eager=False)
     )
     out_schema = StructType(list(d.schema) + [StructField("__local_start", LongType())])
     tok, bkt = token_col, bucket_col

@@ -338,6 +338,10 @@ def token_budget_select(
         df.repartitionByRange(n_part, *order)
         .sortWithinPartitions(*order)
         .withColumn("__pid", F.spark_partition_id())
+        # pin the partitioning: the mapInPandas branch and the P-row offset
+        # branch must read the SAME materialized exchange (the
+        # global_row_index sf0.1 AQE defect)
+        .localCheckpoint(eager=False)
     )
     out_schema = StructType(list(d.schema) + [StructField("__local_start", LongType())])
     tok = token_col

@@ -1,0 +1,647 @@
+"""Distribution-comparison hypothesis tests (SURVEY §7.8 training-data
+extension): the nonparametric readouts a curation team runs before
+trusting that two slices of a corpus (variants, sources, time windows)
+actually differ — rank tests that survive heavy-tailed metrics where the
+t-test's normality assumption is junk.
+
+- ``mann_whitney_u``: two-sample rank-sum test per group (Mann & Whitney
+  1947) with tie-corrected normal approximation.
+- ``kruskal_wallis``: k-sample rank test per group (Kruskal & Wallis
+  1952), tie-corrected H.
+- ``brown_forsythe``: equality-of-variance F test on median-centered
+  absolute deviations (Brown & Forsythe 1974) — the robust Levene.
+- ``spearman_corr``: rank correlation per group via average ranks.
+- ``mann_kendall``: monotone-trend test over grouped, date-grain series
+  (Mann 1945 / Kendall 1975), tie-corrected variance.
+- ``bh_adjust``: Benjamini-Hochberg step-up FDR correction over a
+  BOUNDED hypothesis family (one row per already-aggregated test).
+- ``two_sample_distance``: RBF-kernel MMD^2 (Gretton et al. 2012) and
+  energy distance (Szekely & Rizzo 2004) between two deterministic
+  md5-ordered samples — the distribution-shift readout for embeddings.
+
+Exactness: rank tables reduce to integer counts (average ranks are exact
+.5 multiples), sums ride round(9)-DECIMAL accumulators, z p-values use
+the Abramowitz-Stegun erf (the ks/ab_test discipline) at 4dp; everything
+is DuckDB-replicable bit-for-bit.
+
+Scale shape: average ranks come from per-(group, value) collapsed count
+tables indexed with the TWO-PHASE running sum (the
+windows.global_row_index / ranking_auc discipline — range-partition,
+partition-local cumsum, P-row offset table broadcast back; no
+single-reducer data-sized window). Mann-Kendall's pairwise join is
+O(n^2) WITHIN each group and intended for date-grain series (the
+theil_sen convention). ``bh_adjust``'s family-sized windows run over an
+aggregate output (one row per hypothesis), never over row-level data.
+``two_sample_distance`` is a TakeOrdered sample regardless of corpus
+size; its (2S)^2 pair block is a bounded-frame nested-loop join (the
+embedding_isotropy convention).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dsum(expr):
+    """Order-invariant float sum: round(9) -> DECIMAL(30,9) accumulate."""
+    return F.sum(F.round(expr, 9).cast("decimal(30,9)")).cast("double")
+
+
+def _erf(x):
+    """Abramowitz-Stegun 7.1.26 erf as a Column expr (|err| < 1.5e-7)."""
+    sign = F.when(x < 0, -1.0).otherwise(1.0)
+    ax = F.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = (
+        0.254829592 * t
+        - 0.284496736 * F.pow(t, 2)
+        + 1.421413741 * F.pow(t, 3)
+        - 1.453152027 * F.pow(t, 4)
+        + 1.061405429 * F.pow(t, 5)
+    )
+    return sign * (1.0 - poly * F.exp(-ax * ax))
+
+
+def _two_sided_p(z):
+    """Two-sided normal p-value at 4dp (exp's last ulp is libm-dependent,
+    the ks/ab_test rounding discipline)."""
+    return F.round(1.0 - _erf(F.abs(z) / F.lit(math.sqrt(2.0))), 4) + 0.0
+
+
+def grouped_avg_ranks(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-(group, value) tie-averaged ascending ranks WITHIN each group,
+    without a data-sized window.
+
+    Returns ``(group, value, n, avg_rank)`` where ``n`` is the tie-group
+    size and ``avg_rank`` the mean rank its rows share (1-based within
+    the group). NULL values are excluded from the ranking (they carry no
+    order information; the wasserstein_1d NULL discipline).
+
+    Plan: collapse to per-(group, value) counts, two-phase running sum
+    over the (group, value) total order (groups are contiguous in that
+    order, so the within-group preceding-count is the global one minus
+    the group's first offset — a group-count aggregate broadcast back).
+    The only unpartitioned window runs over the P-row partition-count
+    table.
+    """
+    grouped = (
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.col(value_col).cast("double").alias("__s"),
+        )
+        .where(F.col("__s").isNotNull())
+        .groupBy("__g", "__s")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    n_part = max(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")), 1
+    )
+    g2 = (
+        grouped.repartitionByRange(n_part, F.col("__g"), F.col("__s"))
+        .sortWithinPartitions("__g", "__s")
+        .select("*", F.spark_partition_id().alias("__pid"))
+        # pin the partitioning: the row branch and the P-row offset branch
+        # must read the SAME materialized exchange (the global_row_index
+        # sf0.1 AQE defect)
+        .localCheckpoint(eager=False)
+    )
+    w_loc = (
+        Window.partitionBy("__pid")
+        .orderBy("__g", "__s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        g2.groupBy("__pid")
+        .agg(F.sum("__n").alias("__cnt"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+        )
+    )
+    before = g2.join(F.broadcast(offs), "__pid").select(
+        "__g",
+        "__s",
+        "__n",
+        (
+            F.coalesce(F.sum("__n").over(w_loc), F.lit(0)) + F.col("__off")
+        ).alias("__before"),
+    )
+    gstart = before.groupBy("__g").agg(F.min("__before").alias("__gstart"))
+    return before.join(F.broadcast(gstart), "__g").select(
+        F.col("__g").alias(group_col),
+        F.col("__s").alias(value_col),
+        F.col("__n").alias("n"),
+        (
+            (F.col("__before") - F.col("__gstart"))
+            + (F.col("__n") + 1) / F.lit(2.0)
+        ).alias("avg_rank"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    class_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Two-sample Mann-Whitney U test per group: does ``value_col`` differ
+    in distribution between the two classes of ``class_col``.
+
+    ``class_col`` must take exactly TWO values within each group (groups
+    violating this are dropped with the k-count exposed via the paired
+    kruskal_wallis operator — run that first when the arity is unknown).
+    ``class_a`` is the lexicographically smaller label; ``u_a`` its U
+    statistic; z uses the tie-corrected normal approximation with NO
+    continuity correction (exactly replicable in SQL):
+
+        sigma^2 = n_a*n_b/12 * ((n+1) - sum(t^3-t)/(n*(n-1)))
+
+    Returns ``(group, class_a, class_b, n_a, n_b, u_a, z, p_value)``
+    per group, p two-sided at 4dp.
+
+    Plan: ONE grouped_avg_ranks pass over (group, value) + a per-(group,
+    value, class) count table joined on the tie group — rank sums are
+    DECIMAL-accumulated products of counts and exact .5-multiple ranks.
+    """
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(class_col).cast("string").alias("__c"),
+        F.col(value_col).cast("double").alias("__s"),
+    ).where(F.col("__s").isNotNull() & F.col("__c").isNotNull())
+    ranks = grouped_avg_ranks(base, "__g", "__s")
+    cls = base.groupBy("__g", "__s", "__c").agg(
+        F.count(F.lit(1)).alias("__nc")
+    )
+    joined = cls.join(ranks, ["__g", "__s"])
+    per_class = joined.groupBy("__g", "__c").agg(
+        F.sum("__nc").alias("__n"),
+        _dsum(F.col("__nc") * F.col("avg_rank")).alias("__r"),
+    )
+    ties = ranks.groupBy("__g").agg(
+        _dsum(F.col("n") * F.col("n") * F.col("n") - F.col("n")).alias("__t")
+    )
+    two = (
+        per_class.groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).alias("__k"),
+            F.min_by(F.struct("__n", "__r"), "__c").alias("__a"),
+            F.max_by(F.struct("__n", "__r"), "__c").alias("__b"),
+            F.min("__c").alias("class_a"),
+            F.max("__c").alias("class_b"),
+        )
+        .where(F.col("__k") == 2)
+    )
+    na = F.col("__a.__n").cast("double")
+    nb = F.col("__b.__n").cast("double")
+    n = na + nb
+    u_a = F.col("__a.__r") - na * (na + 1) / 2.0
+    mu = na * nb / 2.0
+    joined2 = two.join(F.broadcast(ties), "__g")
+    sigma2 = (
+        na * nb / 12.0 * ((n + 1.0) - F.col("__t") / (n * (n - 1.0)))
+    )
+    z = F.when(sigma2 <= 0.0, F.lit(0.0)).otherwise(
+        (u_a - mu) / F.sqrt(sigma2)
+    )
+    return joined2.select(
+        F.col("__g").alias(group_col),
+        "class_a",
+        "class_b",
+        F.col("__a.__n").cast("bigint").alias("n_a"),
+        F.col("__b.__n").cast("bigint").alias("n_b"),
+        (F.round(u_a, 6) + 0.0).alias("u_a"),
+        (F.round(z, 6) + 0.0).alias("z"),
+        _two_sided_p(z).alias("p_value"),
+    ).orderBy(group_col)
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    class_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Kruskal-Wallis H test per group: does ``value_col`` differ in
+    distribution across the k classes of ``class_col``.
+
+        H = 12/(N(N+1)) * sum_c R_c^2/n_c - 3(N+1)
+        H_adj = H / (1 - sum(t^3-t)/(N^3-N))        (tie correction)
+
+    Returns ``(group, k_classes, n, h_stat, h_adj, dof)`` per group
+    (p-values need the chi-square CDF — pair with a lookup at the chosen
+    alpha; the statistic itself is the engine-exact part).
+
+    Plan: the mann_whitney_u rank machinery with a k-row per-class
+    aggregate instead of the two-class pivot.
+    """
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(class_col).cast("string").alias("__c"),
+        F.col(value_col).cast("double").alias("__s"),
+    ).where(F.col("__s").isNotNull() & F.col("__c").isNotNull())
+    ranks = grouped_avg_ranks(base, "__g", "__s")
+    cls = base.groupBy("__g", "__s", "__c").agg(
+        F.count(F.lit(1)).alias("__nc")
+    )
+    per_class = (
+        cls.join(ranks, ["__g", "__s"])
+        .groupBy("__g", "__c")
+        .agg(
+            F.sum("__nc").alias("__n"),
+            _dsum(F.col("__nc") * F.col("avg_rank")).alias("__r"),
+        )
+    )
+    agg = per_class.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.sum("__n").alias("__nn"),
+        _dsum(F.col("__r") * F.col("__r") / F.col("__n")).alias("__rr"),
+    )
+    ties = ranks.groupBy("__g").agg(
+        _dsum(F.col("n") * F.col("n") * F.col("n") - F.col("n")).alias("__t")
+    )
+    nn = F.col("__nn").cast("double")
+    h = 12.0 / (nn * (nn + 1.0)) * F.col("__rr") - 3.0 * (nn + 1.0)
+    corr = 1.0 - F.col("__t") / (nn * nn * nn - nn)
+    return (
+        agg.join(F.broadcast(ties), "__g")
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__k").cast("int").alias("k_classes"),
+            F.col("__nn").cast("bigint").alias("n"),
+            (F.round(h, 6) + 0.0).alias("h_stat"),
+            (F.round(F.when(corr <= 0.0, h).otherwise(h / corr), 6) + 0.0).alias(
+                "h_adj"
+            ),
+            (F.col("__k") - 1).cast("int").alias("dof"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def brown_forsythe(
+    df: DataFrame,
+    group_col: str,
+    class_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Brown-Forsythe equality-of-variance test per group (the
+    median-centered Levene — robust to heavy tails): one-way ANOVA F on
+    ``z = |value - median(class)|``.
+
+    Returns ``(group, k_classes, n, f_stat, df1, df2)`` per group.
+
+    Plan: per-(group, class) exact interpolated medians (percentile, the
+    mad_outliers convention) broadcast back, then two keyed aggregates —
+    sum/sum-of-squares of z per class, combined in closed form. No
+    windows at all.
+    """
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(class_col).cast("string").alias("__c"),
+        F.col(value_col).cast("double").alias("__s"),
+    ).where(F.col("__s").isNotNull() & F.col("__c").isNotNull())
+    med = base.groupBy("__g", "__c").agg(
+        F.expr("percentile(__s, 0.5)").alias("__m")
+    )
+    z = base.join(F.broadcast(med), ["__g", "__c"]).select(
+        "__g", "__c", F.round(F.abs(F.col("__s") - F.col("__m")), 9).alias("__z")
+    )
+    per_class = z.groupBy("__g", "__c").agg(
+        F.count(F.lit(1)).alias("__n"),
+        _dsum(F.col("__z")).alias("__sz"),
+        _dsum(F.col("__z") * F.col("__z")).alias("__szz"),
+    )
+    # within-class SS = szz - sz^2/n ; between SS from class means vs grand
+    agg = per_class.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.sum("__n").alias("__nn"),
+        _dsum(F.col("__sz")).alias("__tz"),
+        _dsum(F.col("__sz") * F.col("__sz") / F.col("__n")).alias("__bz"),
+        _dsum(F.col("__szz") - F.col("__sz") * F.col("__sz") / F.col("__n")).alias(
+            "__wss"
+        ),
+    )
+    k = F.col("__k").cast("double")
+    nn = F.col("__nn").cast("double")
+    bss = F.col("__bz") - F.col("__tz") * F.col("__tz") / nn
+    f = F.when(
+        (F.col("__wss") <= 0.0) | (F.col("__k") < 2) | (F.col("__nn") <= F.col("__k")),
+        F.lit(None).cast("double"),
+    ).otherwise((bss / (k - 1.0)) / (F.col("__wss") / (nn - k)))
+    return agg.select(
+        F.col("__g").alias(group_col),
+        F.col("__k").cast("int").alias("k_classes"),
+        F.col("__nn").cast("bigint").alias("n"),
+        (F.round(f, 6) + 0.0).alias("f_stat"),
+        (F.col("__k") - 1).cast("int").alias("df1"),
+        (F.col("__nn") - F.col("__k")).cast("bigint").alias("df2"),
+    ).orderBy(group_col)
+
+
+def spearman_corr(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Spearman rank correlation per group: Pearson correlation of the
+    tie-averaged ranks of x and y (rows with NULL in either column are
+    excluded from both rankings).
+
+    Returns ``(group, n, rho)`` per group at 6dp.
+
+    Plan: TWO grouped_avg_ranks passes (one per axis) joined back to the
+    row-level frame on (group, value) — ranks are exact .5 multiples, the
+    Pearson reduction rides DECIMAL sums, so the result is replayable.
+    """
+    base = (
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.col(x_col).cast("double").alias("__x"),
+            F.col(y_col).cast("double").alias("__y"),
+        )
+        .where(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    rx = grouped_avg_ranks(base, "__g", "__x").select(
+        "__g", "__x", F.col("avg_rank").alias("__rx")
+    )
+    ry = grouped_avg_ranks(base, "__g", "__y").select(
+        "__g", "__y", F.col("avg_rank").alias("__ry")
+    )
+    ranked = base.join(rx, ["__g", "__x"]).join(ry, ["__g", "__y"])
+    agg = ranked.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("double").alias("v"),
+        _dsum(F.col("__rx")).alias("sx"),
+        _dsum(F.col("__ry")).alias("sy"),
+        _dsum(F.col("__rx") * F.col("__rx")).alias("sxx"),
+        _dsum(F.col("__rx") * F.col("__ry")).alias("sxy"),
+        _dsum(F.col("__ry") * F.col("__ry")).alias("syy"),
+    )
+    num = F.col("v") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        F.col("v") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ) * F.sqrt(F.col("v") * F.col("syy") - F.col("sy") * F.col("sy"))
+    rho = F.when(den <= 0.0, F.lit(None).cast("double")).otherwise(num / den)
+    return agg.select(
+        F.col("__g").alias(group_col),
+        F.col("v").cast("bigint").alias("n"),
+        (F.round(rho, 6) + 0.0).alias("rho"),
+    ).orderBy(group_col)
+
+
+def mann_kendall(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Mann-Kendall monotone-trend test per group over a date-grain
+    series: S = sum of sign(y_j - y_i) over x_i < x_j, tie-corrected
+    variance, z with the standard +-1 continuity correction:
+
+        var = (n(n-1)(2n+5) - sum_t t(t-1)(2t+5)) / 18
+        z   = (S - sign(S)) / sqrt(var)     (0 when S = 0)
+
+    Returns ``(group, n_points, s_stat, z, p_value, trend)`` —
+    trend in {'increasing','decreasing','no_trend'} at p < 0.05.
+
+    Intended for GROUPED, date-grain series (the theil_sen convention:
+    the pairwise self-join is O(n^2) WITHIN each group and keyed on it,
+    so groups parallelize; a year of daily points is ~66k pairs).
+    """
+    s = (
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.col(x_col).cast("double").alias("__x"),
+            F.col(y_col).cast("double").alias("__y"),
+        )
+        .where(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    a, b = s.alias("a"), s.alias("b")
+    pairs = a.join(
+        b, (F.col("a.__g") == F.col("b.__g")) & (F.col("a.__x") < F.col("b.__x"))
+    ).select(
+        F.col("a.__g").alias("__g"),
+        F.signum(F.col("b.__y") - F.col("a.__y")).alias("__sg"),
+    )
+    s_stat = pairs.groupBy("__g").agg(
+        F.sum("__sg").cast("double").alias("__s")
+    )
+    n_pts = s.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+    ties = (
+        s.groupBy("__g", "__y")
+        .agg(F.count(F.lit(1)).cast("double").alias("__t"))
+        .groupBy("__g")
+        .agg(
+            _dsum(
+                F.col("__t") * (F.col("__t") - 1.0) * (2.0 * F.col("__t") + 5.0)
+            ).alias("__tt")
+        )
+    )
+    n = F.col("__n").cast("double")
+    var = (n * (n - 1.0) * (2.0 * n + 5.0) - F.col("__tt")) / 18.0
+    z = F.when((F.col("__s") == 0.0) | (var <= 0.0), F.lit(0.0)).otherwise(
+        (F.col("__s") - F.signum(F.col("__s"))) / F.sqrt(var)
+    )
+    p = _two_sided_p(z)
+    return (
+        n_pts.join(s_stat, "__g")
+        .join(F.broadcast(ties), "__g")
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__n").cast("bigint").alias("n_points"),
+            F.col("__s").cast("bigint").alias("s_stat"),
+            (F.round(z, 6) + 0.0).alias("z"),
+            p.alias("p_value"),
+            F.when(p >= 0.05, F.lit("no_trend"))
+            .when(F.col("__s") > 0, F.lit("increasing"))
+            .otherwise(F.lit("decreasing"))
+            .alias("trend"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def bh_adjust(
+    df: DataFrame,
+    p_col: str,
+    key_cols: list,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR correction over a BOUNDED hypothesis
+    family: ranks p ascending, adjusted p_i = min_{j>=i}(m * p_(j) / j)
+    clamped to 1, rejects at ``p_adj <= alpha``.
+
+    Input MUST be an already-aggregated family — one row per hypothesis
+    (per-source tests, per-slice comparisons): the ranking windows here
+    are family-sized by construction (the P-row offset-table precedent),
+    NOT row-level windows. Ties on p break by ``key_cols`` so the rank
+    assignment is deterministic.
+
+    Returns the input keys + ``(p_value, p_rank, p_adj, rejected)``
+    ordered by key.
+    """
+    keys = [F.col(k) for k in key_cols]
+    base = df.select(
+        *keys, F.col(p_col).cast("double").alias("__p")
+    ).where(F.col("__p").isNotNull())
+    w_rank = Window.orderBy(F.col("__p").asc(), *[k.asc() for k in keys])
+    w_m = Window.partitionBy()
+    ranked = base.select(
+        *key_cols,
+        F.col("__p"),
+        F.row_number().over(w_rank).alias("__r"),
+        F.count(F.lit(1)).over(w_m).alias("__m"),
+    )
+    w_tail = Window.orderBy(F.col("__r").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    adj = F.least(
+        F.lit(1.0),
+        F.min(
+            F.round(
+                F.col("__m").cast("double") * F.col("__p") / F.col("__r"), 9
+            )
+        ).over(w_tail),
+    )
+    return ranked.select(
+        *key_cols,
+        (F.round(F.col("__p"), 6) + 0.0).alias("p_value"),
+        F.col("__r").cast("int").alias("p_rank"),
+        (F.round(adj, 6) + 0.0).alias("p_adj"),
+        (adj <= alpha).alias("rejected"),
+    ).orderBy(*key_cols)
+
+
+def two_sample_distance(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    gamma: float | None = None,
+    sample_size: int = 256,
+) -> DataFrame:
+    """RBF-kernel MMD^2 (unbiased U-statistic, Gretton et al. 2012) and
+    energy distance (Szekely & Rizzo 2004) between two embedding
+    populations — the two-sample distribution-shift readout that catches
+    what per-dimension drift checks (PSI) miss: joint-geometry changes.
+
+        mmd2   = 2*Kaa/(na(na-1)) + 2*Kbb/(nb(nb-1)) - 2*Kab/(na*nb)
+        energy = 2*Dab/(na*nb) - 2*Daa/(na(na-1)) - 2*Dbb/(nb(nb-1))
+
+    with k(x,y) = exp(-gamma * ||x-y||^2), d(x,y) = ||x-y||; gamma
+    defaults to 1/dim (the median heuristic needs a data-dependent pass —
+    pass an explicit gamma for that). Sampling: the ``sample_size``
+    vectors with smallest md5(id) per side (the embedding_isotropy
+    order-free deterministic draw).
+
+    Exactness: squared distances are per-dimension round(9)-DECIMAL sums
+    (order-free); kernel/distance values round to 9dp before
+    DECIMAL-accumulating the block sums (exp's last ulp is
+    libm-dependent; a 1e-9 quantization makes both engines agree), final
+    stats at 6dp. Returns ONE row ``(n_a, n_b, gamma, mmd2, energy)``.
+
+    Scale shape: each side is a TakeOrdered of S rows regardless of
+    corpus size; the single pair join is a nested loop over the bounded
+    2S-row union (side_a < side_b gives cross pairs, same-side id< gives
+    within pairs) — never a corpus-level product.
+    """
+    if sample_size < 2:
+        raise ValueError(f"sample_size must be >= 2, got {sample_size}")
+
+    def _sample(sdf, tag):
+        return (
+            sdf.select(
+                F.lit(tag).alias("side"),
+                F.col(id_col).cast("string").alias("id"),
+                F.col(vec).cast("array<double>").alias("v"),
+                F.md5(F.col(id_col).cast("string")).alias("__k"),
+            )
+            .orderBy("__k", "id")
+            .limit(sample_size)
+            .drop("__k")
+        )
+
+    u = _sample(df_a, "a").unionByName(_sample(df_b, "b")).localCheckpoint(
+        eager=False
+    )
+    x, y = u.alias("x"), u.alias("y")
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("x.v"),
+            F.col("y.v"),
+            lambda p, q: F.round((p - q) * (p - q), 9),
+        ),
+        F.lit(0.0).cast("decimal(25,9)"),
+        lambda acc, t: (acc + t.cast("decimal(25,9)")).cast("decimal(25,9)"),
+    ).cast("double")
+    pairs = x.join(
+        y,
+        (F.col("x.side") < F.col("y.side"))
+        | ((F.col("x.side") == F.col("y.side")) & (F.col("x.id") < F.col("y.id"))),
+    ).select(
+        F.col("x.side").alias("sa"),
+        F.col("y.side").alias("sb"),
+        d2.alias("__d2"),
+    )
+    counts = u.groupBy("side").agg(F.count(F.lit(1)).alias("n"))
+    na = F.max(F.when(F.col("side") == "a", F.col("n"))).cast("double")
+    nb = F.max(F.when(F.col("side") == "b", F.col("n"))).cast("double")
+    cnt = counts.agg(na.alias("na"), nb.alias("nb"))
+    # gamma default 1/dim attached as a 1-row broadcast scalar (the repo's
+    # crossJoin(F.broadcast(<1-row aggregate>)) convention — no driver
+    # collect during plan construction)
+    if gamma is not None:
+        gdf = df_a.sparkSession.range(1).select(
+            F.lit(round(float(gamma), 9)).alias("__gamma")
+        )
+    else:
+        gdf = u.agg(
+            F.round(1.0 / F.min(F.size("v")).cast("double"), 9).alias("__gamma")
+        )
+    blocks = (
+        pairs.crossJoin(F.broadcast(gdf))
+        .groupBy("sa", "sb")
+        .agg(
+            _dsum(F.exp(-F.col("__gamma") * F.col("__d2"))).alias("ks"),
+            _dsum(F.sqrt(F.col("__d2"))).alias("ds"),
+        )
+    )
+    pick = lambda col, s1, s2: F.max(
+        F.when((F.col("sa") == s1) & (F.col("sb") == s2), F.col(col))
+    )
+    agg = blocks.agg(
+        pick("ks", "a", "a").alias("kaa"),
+        pick("ks", "b", "b").alias("kbb"),
+        pick("ks", "a", "b").alias("kab"),
+        pick("ds", "a", "a").alias("daa"),
+        pick("ds", "b", "b").alias("dbb"),
+        pick("ds", "a", "b").alias("dab"),
+    )
+    out = agg.crossJoin(F.broadcast(cnt)).crossJoin(F.broadcast(gdf))
+    A, B = F.col("na"), F.col("nb")
+    mmd2 = (
+        2.0 * F.col("kaa") / (A * (A - 1.0))
+        + 2.0 * F.col("kbb") / (B * (B - 1.0))
+        - 2.0 * F.col("kab") / (A * B)
+    )
+    energy = (
+        2.0 * F.col("dab") / (A * B)
+        - 2.0 * F.col("daa") / (A * (A - 1.0))
+        - 2.0 * F.col("dbb") / (B * (B - 1.0))
+    )
+    return out.select(
+        A.cast("bigint").alias("n_a"),
+        B.cast("bigint").alias("n_b"),
+        F.col("__gamma").alias("gamma"),
+        (F.round(mmd2, 6) + 0.0).alias("mmd2"),
+        (F.round(energy, 6) + 0.0).alias("energy"),
+    )

@@ -70,11 +70,15 @@ def global_row_index(
     2. per-partition row counts -> running offsets (a window over the P-row
        count table only), broadcast-joined back on partition id.
 
-    Both branches reference the SAME range-partition Exchange subtree, so the
-    physical plan materializes the shuffle once and reads it twice
-    (ReusedExchange) — no checkpoint, no driver collect, single action.
-    The only unpartitioned window runs over P rows (one per partition), not
-    the data.
+    The pid-tagged frame is localCheckpoint(eager=False)-pinned so BOTH
+    branches (the data rows and the P-row offset table) read the same
+    materialized partitioning. Without the pin the two branches merely
+    share a ReusedExchange, and AQE is free to re-plan them differently
+    in larger plans (observed at sf0.1 / 8 shuffle partitions: the offset
+    side saw different partition boundaries than the row side, yielding
+    duplicated/gapped indexes — caught by the round-8 sf0.1 oracle
+    sweep). The only unpartitioned window runs over P rows (one per
+    partition), not the data.
 
     ``order_cols`` must be a total order (unique key tuples) — with ties the
     index assignment within a tie group is partition-dependent, exactly as
@@ -92,6 +96,7 @@ def global_row_index(
                 "__local"
             ),
         )
+        .localCheckpoint(eager=False)
     )
     woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = (
