@@ -11920,8 +11920,9 @@ def events_assortativity(spark, sf_dir):
 
 
 def events_kcore(spark, sf_dir):
-    """3-core of the user co-visitation graph (graph.py::kcore, Seidman
-    1983): iterative peeling to the maximal subgraph of degree >= 3 —
+    """2-core of the user co-visitation graph (graph.py::kcore, Seidman
+    1983): iterative peeling to the maximal subgraph of degree >= 2 —
+    non-degenerate at every test SF (the 3-core is empty at sf0.001) —
     the density filter before community analysis. Fixpoint of a
     shrinking set (not SQL-expressible: rows-only driver check; the
     bit-exact evidence is tests/test_stats_graph.py's differential vs a
@@ -11935,7 +11936,7 @@ def events_kcore(spark, sf_dir):
     edges = cooccurrence_edges(
         occ, ["event_type", "h"], "user_id", max_bucket=100, min_support=3
     )
-    return kcore(edges, k=3, src="src", dst="dst")
+    return kcore(edges, k=2, src="src", dst="dst")
 
 
 def doc_fleiss_kappa(spark, sf_dir):

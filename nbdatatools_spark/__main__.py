@@ -1143,6 +1143,10 @@ def _cmd_graph(args) -> int:
             .agg(F.count(F.lit(1)).alias("size"))
             .orderBy(F.desc("size"), "community")
         )
+    elif args.what == "assortativity":
+        out = graph.degree_assortativity(edges, src=args.src, dst=args.dst)
+    elif args.what == "kcore":
+        out = graph.kcore(edges, k=args.k, src=args.src, dst=args.dst)
     else:  # triangles
         out = graph.triangle_stats(edges, src=args.src, dst=args.dst)
     if args.limit:
@@ -1435,6 +1439,37 @@ def _cmd_events(args) -> int:
         return _cmd_events_did(args)
     if args.what == "quantiles":
         return _cmd_events_quantiles(args)
+    if args.what in ("mwu", "kruskal", "levene"):
+        from nbdatatools_spark.operators import stats
+
+        classed = ev.withColumn("__class", F.expr(args.class_expr))
+        fn = {
+            "mwu": stats.mann_whitney_u,
+            "kruskal": stats.kruskal_wallis,
+            "levene": stats.brown_forsythe,
+        }[args.what]
+        return _emit_rows(fn(classed, args.key_col, "__class", args.value_col))
+    if args.what == "spearman":
+        from nbdatatools_spark.operators import stats
+
+        xed = ev.withColumn("__x", F.expr(args.x_expr))
+        return _emit_rows(
+            stats.spearman_corr(xed, args.key_col, "__x", args.value_col)
+        )
+    if args.what == "trend":
+        from nbdatatools_spark.operators import stats
+
+        daily = ev.groupBy(
+            args.key_col, F.to_date(args.ts_col).alias("__d")
+        ).agg(F.count(F.lit(1)).cast("double").alias("__y"))
+        series = daily.select(
+            args.key_col,
+            F.datediff("__d", F.lit("1970-01-01")).cast("double").alias("__x"),
+            "__y",
+        )
+        return _emit_rows(
+            stats.mann_kendall(series, args.key_col, "__x", "__y")
+        )
     if args.what == "burstiness":
         return _emit_rows(
             temporal.burstiness(
@@ -1806,6 +1841,92 @@ def _cmd_corpus_gini(args) -> int:
             _spark().read.parquet(args.input),
             group_col=args.group_col,
             text_col=args.text_col,
+        )
+    )
+
+
+def _cmd_corpus_diversity(args) -> int:
+    from nbdatatools_spark.operators.analysis import lexical_diversity
+
+    return _emit_rows(
+        lexical_diversity(
+            _spark().read.parquet(args.input),
+            group_col=args.group_col,
+            text_col=args.text_col,
+        )
+    )
+
+
+def _cmd_corpus_fleiss(args) -> int:
+    """Fleiss kappa over a LONG-format verdict table (item, rater,
+    category) — pre-melt filter outputs with `corpus run --report` or any
+    per-filter projection."""
+    from nbdatatools_spark.operators.evaluation import fleiss_kappa
+
+    return _emit_rows(
+        fleiss_kappa(
+            _spark().read.parquet(args.input),
+            args.item_col,
+            args.rater_col,
+            args.category_col,
+        )
+    )
+
+
+def _cmd_corpus_fdr(args) -> int:
+    """Per-slice rate anomaly screen with BH FDR control: two-proportion
+    z of each slice's flag rate vs the rest, then the step-up."""
+    import math as _math
+
+    from pyspark.sql import functions as F
+
+    from nbdatatools_spark.operators.stats import _erf, bh_adjust
+
+    docs = _spark().read.parquet(args.input)
+    per = docs.groupBy(args.group_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.expr(args.flag_expr), 1).otherwise(0)).alias("n_flag"),
+    )
+    tot = per.agg(F.sum("n_rows").alias("__tn"), F.sum("n_flag").alias("__tk"))
+    j = per.crossJoin(F.broadcast(tot))
+    ns = F.col("n_rows").cast("double")
+    nr = (F.col("__tn") - F.col("n_rows")).cast("double")
+    ps = F.col("n_flag").cast("double") / ns
+    pr = (F.col("__tk") - F.col("n_flag")).cast("double") / nr
+    pp = F.col("__tk").cast("double") / F.col("__tn").cast("double")
+    se = F.sqrt(pp * (1.0 - pp) * (1.0 / ns + 1.0 / nr))
+    z = F.when(se == 0.0, F.lit(0.0)).otherwise((ps - pr) / se)
+    p = F.round(1.0 - _erf(F.abs(z) / F.lit(_math.sqrt(2.0))), 4) + 0.0
+    tested = j.select(
+        args.group_col,
+        "n_rows",
+        F.round(ps, 6).alias("flag_rate"),
+        (F.round(z, 6) + 0.0).alias("z"),
+        p.alias("p_raw"),
+    )
+    adjusted = bh_adjust(tested, "p_raw", [args.group_col], alpha=args.alpha)
+    return _emit_rows(
+        tested.select(args.group_col, "n_rows", "flag_rate", "z")
+        .join(adjusted, args.group_col)
+        .orderBy(args.group_col)
+    )
+
+
+def _cmd_analyze_two_sample(args) -> int:
+    from pyspark.sql import functions as F
+
+    from nbdatatools_spark.operators.stats import two_sample_distance
+
+    emb = _spark().read.parquet(args.input)
+    side = F.expr(args.split_expr)
+    return _emit_rows(
+        two_sample_distance(
+            emb.where(side),
+            emb.where(~side),
+            vec=args.vec_col,
+            id_col=args.id_col,
+            gamma=args.gamma,
+            sample_size=args.sample_size,
         )
     )
 
@@ -2397,6 +2518,28 @@ def build_parser() -> argparse.ArgumentParser:
     cgn.add_argument("--group-col", default="source")
     cgn.set_defaults(func=_cmd_corpus_gini)
 
+    cdv = cp.add_parser("diversity")
+    cdv.add_argument("--input", required=True)
+    cdv.add_argument("--text-col", default="text")
+    cdv.add_argument("--group-col", default="source")
+    cdv.set_defaults(func=_cmd_corpus_diversity)
+
+    cfl = cp.add_parser("fleiss")
+    cfl.add_argument("--input", required=True,
+                     help="long-format verdicts: (item, rater, category)")
+    cfl.add_argument("--item-col", default="doc_id")
+    cfl.add_argument("--rater-col", default="rater")
+    cfl.add_argument("--category-col", default="verdict")
+    cfl.set_defaults(func=_cmd_corpus_fleiss)
+
+    cfd = cp.add_parser("fdr")
+    cfd.add_argument("--input", required=True)
+    cfd.add_argument("--group-col", default="source")
+    cfd.add_argument("--flag-expr", default="lang = 'en'",
+                     help="boolean SQL expression whose per-slice rate is screened")
+    cfd.add_argument("--alpha", type=float, default=0.05)
+    cfd.set_defaults(func=_cmd_corpus_fdr)
+
     gdn = gn.add_parser("denoising-pairs")
     gdn.add_argument("--input", required=True)
     gdn.add_argument("--output", required=True)
@@ -2530,10 +2673,21 @@ def build_parser() -> argparse.ArgumentParser:
     a8.add_argument("--vec-col", default="embedding")
     a8.set_defaults(func=_cmd_analyze_sq8_error)
 
+    a2s = an.add_parser("two-sample")
+    a2s.add_argument("--input", required=True)
+    a2s.add_argument("--split-expr", required=True,
+                     help="boolean SQL expression: true rows = sample A")
+    a2s.add_argument("--vec-col", default="embedding")
+    a2s.add_argument("--id-col", default="vec_id")
+    a2s.add_argument("--gamma", type=float, default=None)
+    a2s.add_argument("--sample-size", type=int, default=256)
+    a2s.set_defaults(func=_cmd_analyze_two_sample)
+
     evp = sub.add_parser("events").add_subparsers(dest="what", required=True)
     for w in ("seasonal", "cusum", "mad", "concurrency", "triangles",
               "theil_sen", "bootstrap_ci", "dp_counts", "k_anonymity",
-              "acf", "survival", "ccf", "burstiness", "did", "quantiles"):
+              "acf", "survival", "ccf", "burstiness", "did", "quantiles",
+              "mwu", "kruskal", "levene", "spearman", "trend"):
         ev = evp.add_parser(w)
         ev.add_argument("--input", required=True)
         ev.add_argument("--ts-col", default="ts")
@@ -2593,10 +2747,24 @@ def build_parser() -> argparse.ArgumentParser:
                             help="boolean SQL expression tagging the cohort")
             ev.add_argument("--value-col", default="value")
             ev.add_argument("--cutoff", required=True)
+        if w in ("mwu", "kruskal", "levene"):
+            ev.add_argument("--key-col", default="event_type")
+            ev.add_argument("--value-col", default="value")
+            ev.add_argument(
+                "--class-expr", default="'v' || CAST(user_id % 2 AS STRING)",
+                help="SQL expression assigning each row a class label",
+            )
+        if w == "spearman":
+            ev.add_argument("--key-col", default="event_type")
+            ev.add_argument("--value-col", default="value")
+            ev.add_argument("--x-expr", default="CAST(day(ts) AS DOUBLE)")
+        if w == "trend":
+            ev.add_argument("--key-col", default="event_type")
         ev.set_defaults(func=_cmd_events)
 
     gr = sub.add_parser("graph").add_subparsers(dest="what", required=True)
-    for w in ("pagerank", "hits", "communities", "triangles"):
+    for w in ("pagerank", "hits", "communities", "triangles",
+              "assortativity", "kcore"):
         g = gr.add_parser(w)
         g.add_argument("--edges", required=True)
         g.add_argument("--src", default="src")
@@ -2609,6 +2777,8 @@ def build_parser() -> argparse.ArgumentParser:
             g.add_argument(
                 "--iterations", type=int, default=10 if w == "pagerank" else 5
             )
+        if w == "kcore":
+            g.add_argument("-k", type=int, default=3)
         g.set_defaults(func=_cmd_graph)
 
     ccp = cp.add_parser("cosine_pairs")

@@ -1,0 +1,119 @@
+"""Round-8 batch-1 CLI wiring: events mwu/kruskal/levene/spearman/trend,
+graph assortativity/kcore, corpus diversity/fleiss/fdr, analyze
+two-sample."""
+
+import json
+import os
+
+import pytest
+
+from nbdatatools_spark.__main__ import main
+
+SF = os.environ.get("NBDT_TEST_SF_DIR", "/root/testdata/sf0.001")
+DOCS = os.path.join(SF, "documents.parquet")
+EVENTS = os.path.join(SF, "events.parquet")
+EMB = os.path.join(SF, "embeddings.parquet")
+
+
+def _lines(capsys):
+    return [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+
+
+def test_events_mwu_cli(spark, capsys):
+    assert main(["events", "mwu", "--input", EVENTS]) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 5
+    assert all(
+        set(r) == {"event_type", "class_a", "class_b", "n_a", "n_b",
+                   "u_a", "z", "p_value"}
+        for r in rows
+    )
+    assert all(0.0 <= r["p_value"] <= 1.0 for r in rows)
+
+
+def test_events_kruskal_and_levene_cli(spark, capsys):
+    expr = "'v' || CAST(user_id % 3 AS STRING)"
+    assert main(["events", "kruskal", "--input", EVENTS,
+                 "--class-expr", expr]) == 0
+    rows = _lines(capsys)
+    assert all(r["k_classes"] == 3 and r["dof"] == 2 for r in rows)
+    assert main(["events", "levene", "--input", EVENTS,
+                 "--class-expr", expr]) == 0
+    rows = _lines(capsys)
+    assert all(r["df1"] == 2 and r["f_stat"] >= 0.0 for r in rows)
+
+
+def test_events_spearman_and_trend_cli(spark, capsys):
+    assert main(["events", "spearman", "--input", EVENTS]) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 5 and all(-1.0 <= r["rho"] <= 1.0 for r in rows)
+    assert main(["events", "trend", "--input", EVENTS]) == 0
+    rows = _lines(capsys)
+    assert all(
+        r["trend"] in ("increasing", "decreasing", "no_trend") for r in rows
+    )
+
+
+@pytest.fixture(scope="module")
+def edges_pq(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("graph8") / "edges.parquet")
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    spark.createDataFrame(
+        [(str(a), str(b)) for a, b in clique] + [("3", "9"), ("9", "8")],
+        "src string, dst string",
+    ).write.mode("overwrite").parquet(p)
+    return p
+
+
+def test_graph_assortativity_cli(spark, capsys, edges_pq):
+    assert main(["graph", "assortativity", "--edges", edges_pq]) == 0
+    (row,) = _lines(capsys)
+    assert row["n_nodes"] == 6 and row["n_edges"] == 8
+    assert -1.0 <= row["assortativity"] <= 1.0
+
+
+def test_graph_kcore_cli(spark, capsys, edges_pq):
+    assert main(["graph", "kcore", "--edges", edges_pq, "-k", "3"]) == 0
+    rows = _lines(capsys)
+    assert {r["node"] for r in rows} == {"0", "1", "2", "3"}
+    assert all(r["degree"] == 3 for r in rows)
+
+
+def test_corpus_diversity_cli(spark, capsys):
+    assert main(["corpus", "diversity", "--input", DOCS]) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 20
+    assert all(r["n_types"] <= r["n_tokens"] for r in rows)
+    assert all(0.0 <= r["hapax_ratio"] <= 1.0 for r in rows)
+
+
+def test_corpus_fleiss_cli(spark, capsys, tmp_path):
+    p = str(tmp_path / "verdicts.parquet")
+    rows = [(i, f"r{j}", str((i + j) % 2 == 0)) for i in range(20) for j in range(3)]
+    spark.createDataFrame(
+        rows, "doc_id long, rater string, verdict string"
+    ).write.mode("overwrite").parquet(p)
+    assert main(["corpus", "fleiss", "--input", p]) == 0
+    (row,) = _lines(capsys)
+    assert row["n_items"] == 20 and row["n_raters"] == 3
+    assert -1.0 <= row["kappa"] <= 1.0
+
+
+def test_corpus_fdr_cli(spark, capsys):
+    assert main(["corpus", "fdr", "--input", DOCS,
+                 "--flag-expr", "n_chars >= 400"]) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 20
+    adj = sorted((r["p_rank"], r["p_adj"]) for r in rows)
+    assert [a for _, a in adj] == sorted(a for _, a in adj)  # step-up monotone
+    assert all(r["p_adj"] >= r["p_value"] - 1e-9 for r in rows)
+
+
+def test_analyze_two_sample_cli(spark, capsys):
+    assert main(["analyze", "two-sample", "--input", EMB,
+                 "--split-expr", "label < 5", "--sample-size", "32"]) == 0
+    (row,) = _lines(capsys)
+    assert row["n_a"] == 32 and row["n_b"] == 32
+    assert row["gamma"] == 0.015625
+    # same underlying distribution: both stats must sit near zero
+    assert abs(row["mmd2"]) < 0.05 and abs(row["energy"]) < 0.5
