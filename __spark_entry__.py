@@ -12006,6 +12006,77 @@ def embedding_two_sample_shift(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-8 batch 2: LSA topics, Page-Hinkley, robust means, ESS, Brier
+# ---------------------------------------------------------------------------
+
+
+def corpus_lsa_topics(spark, sf_dir):
+    """LSA topic sketch (lm.py::lsa_topics, Deerwester et al. 1990):
+    truncated SVD of the tf-idf doc-term matrix via ONE doc-keyed
+    gramian self-join + a driver eigendecomposition bounded by the
+    128-term vocabulary (the ppmi_word_vectors collect shape), top-8
+    |loading| terms per topic, deterministic sign convention. Rows-only
+    driver check (eigensolvers are platform-floating); numpy
+    differential + orthonormality invariants in tests/test_lsa.py."""
+    from nbdatatools_spark.operators.lm import lsa_topics
+
+    return lsa_topics(
+        _t(spark, sf_dir, "documents"),
+        vocab_size=128, n_topics=5, top_terms=8, min_df=2,
+    )
+
+
+def events_page_hinkley(spark, sf_dir):
+    """Page-Hinkley mean-shift detection on the daily event-count series
+    (temporal.py::page_hinkley, Page 1954): running-mean deviations with
+    closed-form cumsum + running-min — the baseline-free sibling of
+    events_cusum_change. Calendar-bounded windows, DECIMAL cumsums."""
+    from nbdatatools_spark.operators.temporal import page_hinkley
+
+    ev = _t(spark, sf_dir, "events")
+    return page_hinkley(ev, ts_col="ts", delta=0.5, lambda_=10.0)
+
+
+def events_trimmed_mean(spark, sf_dir):
+    """Per-event-type trimmed (10%) and winsorized means of the event
+    value (stats.py::trimmed_stats): the robust location readouts for
+    heavy-tailed metrics. One percentile aggregate broadcast back, one
+    DECIMAL-mean pass."""
+    from nbdatatools_spark.operators.stats import trimmed_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return trimmed_stats(ev, "event_type", "value", trim=0.1)
+
+
+def doc_sampling_ess(spark, sf_dir):
+    """Kish effective sample size per source with n_chars as the
+    sampling weight (stats.py::effective_sample_size, Kish 1965):
+    ESS = (sum w)^2 / sum w^2 — how much of each slice's row count is
+    REAL under length-weighted sampling, the variance sanity gauge for
+    every reweighting scheme. One aggregate."""
+    from nbdatatools_spark.operators.stats import effective_sample_size
+
+    docs = _t(spark, sf_dir, "documents")
+    return effective_sample_size(docs, "source", "n_chars")
+
+
+def doc_brier_decomposition(spark, sf_dir):
+    """Brier score + Murphy decomposition of the quality score against
+    the length label (evaluation.py::brier_decomposition, Murphy 1973):
+    reliability / resolution / uncertainty over 10 fixed bins with the
+    within-bin residual emitted — completes the calibration family
+    (bins, isotonic, quantile-align) with the proper-scoring view."""
+    from nbdatatools_spark.operators.evaluation import brier_decomposition
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.round(quality_score(F.col("text")), 6).alias("score"),
+        (F.col("n_chars") >= 400).alias("label"),
+    )
+    return brier_decomposition(scored, "score", "label", n_bins=10)
+
+
 # ============================================================================
 # CANDIDATE STAGING — new gates built after this round's recording
 # window is attested land HERE (with their oracles), not in queries():
@@ -12032,6 +12103,11 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fleiss_kappa": doc_fleiss_kappa,
         "doc_lexical_diversity": doc_lexical_diversity,
         "embedding_two_sample_shift": embedding_two_sample_shift,
+        "corpus_lsa_topics": corpus_lsa_topics,
+        "events_page_hinkley": events_page_hinkley,
+        "events_trimmed_mean": events_trimmed_mean,
+        "doc_sampling_ess": doc_sampling_ess,
+        "doc_brier_decomposition": doc_brier_decomposition,
     }
 
 
@@ -12136,6 +12212,7 @@ def candidate_oracles() -> dict[str, str]:
                    FROM f)
             SELECT g AS event_type, class_a, class_b, n_a, n_b,
                    round(ua, 6) + 0.0 AS u_a,
+                   round(2.0*ua/(na*nb) - 1.0, 6) + 0.0 AS cliffs_delta,
                    round(z, 6) + 0.0 AS z,
                    {_p2_sql('z')} AS p_value
             FROM zc ORDER BY event_type
@@ -12442,5 +12519,118 @@ def candidate_oracles() -> dict[str, str]:
                    round(2.0*dab/(na*nb) - 2.0*daa/(na*(na - 1.0))
                          - 2.0*dbb/(nb*(nb - 1.0)), 6) + 0.0 AS energy
             FROM pick CROSS JOIN cn CROSS JOIN g
+        """,
+        # Page-Hinkley: running mean, DECIMAL cumsum deviations, running min
+        "events_page_hinkley": """
+            WITH daily AS (
+                SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+                FROM events GROUP BY 1),
+            c AS (SELECT day, n_events,
+                         CAST(sum(CAST(n_events AS DECIMAL(30,9))) OVER w
+                              AS DOUBLE) / count(*) OVER w AS xbar
+                  FROM daily
+                  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW)),
+            d AS (SELECT day, n_events, xbar,
+                         round(CAST(n_events AS DOUBLE) - xbar - 0.5, 9) AS dd
+                  FROM c),
+            m AS (SELECT day, n_events, xbar,
+                         CAST(sum(CAST(dd AS DECIMAL(30,9))) OVER w AS DOUBLE)
+                             AS mt
+                  FROM d
+                  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW)),
+            p AS (SELECT day, n_events, xbar, mt,
+                         mt - min(mt) OVER w AS ph
+                  FROM m
+                  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW))
+            SELECT day, n_events,
+                   round(xbar, 6) AS running_mean,
+                   round(mt, 6) AS m_t,
+                   round(ph, 6) + 0.0 AS ph,
+                   ph > 10.0 AS is_alarm
+            FROM p ORDER BY day
+        """,
+        # trimmed/winsorized means: quantile_cont cuts, DECIMAL means
+        "events_trimmed_mean": f"""
+            WITH base AS (
+                SELECT event_type AS g, CAST(value AS DOUBLE) AS s
+                FROM events WHERE value IS NOT NULL),
+            cuts AS (SELECT g, quantile_cont(s, 0.1) AS lo,
+                            quantile_cont(s, 0.9) AS hi
+                     FROM base GROUP BY g),
+            j AS (SELECT b.g, b.s, c.lo, c.hi
+                  FROM base b JOIN cuts c ON c.g = b.g),
+            agg AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                           max(lo) AS lo_cut, max(hi) AS hi_cut,
+                           {_DS.format(x='s')} AS ssum,
+                           CAST(sum(CASE WHEN s >= lo AND s <= hi
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+                           {_DS.format(x='CASE WHEN s >= lo AND s <= hi THEN s END')}
+                               AS tsum,
+                           {_DS.format(x='least(greatest(s, lo), hi)')} AS wsum
+                    FROM j GROUP BY g)
+            SELECT g AS event_type, n,
+                   round(lo_cut, 6) AS lo_cut, round(hi_cut, 6) AS hi_cut,
+                   round(ssum/n, 6) AS mean,
+                   round(tsum/nt, 6) AS trimmed_mean,
+                   round(wsum/n, 6) AS winsorized_mean
+            FROM agg ORDER BY event_type
+        """,
+        # Kish ESS: one aggregate, DECIMAL weight moments
+        "doc_sampling_ess": f"""
+            WITH base AS (
+                SELECT source AS g, CAST(n_chars AS DOUBLE) AS w
+                FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+            agg AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                           {_DS.format(x='w')} AS sw,
+                           {_DS.format(x='w*w')} AS sww
+                    FROM base GROUP BY g)
+            SELECT g AS source, n,
+                   round(sw, 6) AS sum_w,
+                   round(sw*sw/sww, 6) AS ess,
+                   round(sw*sw/sww/n, 6) AS ess_ratio,
+                   round(n/(sw*sw/sww), 6) AS design_effect
+            FROM agg ORDER BY source
+        """,
+        # Brier + Murphy decomposition over 10 fixed bins
+        "doc_brier_decomposition": f"""
+            WITH base AS (
+                SELECT least(greatest(round({_QUALITY6}, 6), 0.0), 1.0) AS p,
+                       CAST(CAST(n_chars >= 400 AS INT) AS DOUBLE) AS o
+                FROM documents),
+            b AS (SELECT least(9, CAST(floor(p*10) AS INT)) AS bin, p, o
+                  FROM base),
+            per AS (SELECT bin, count(*) AS nk,
+                           {_DS.format(x='p')} AS sp,
+                           {_DS.format(x='o')} AS so,
+                           {_DS.format(x='(p - o)*(p - o)')} AS sq
+                    FROM b GROUP BY bin),
+            tot AS (SELECT CAST(sum(nk) AS BIGINT) AS n,
+                           {_DS.format(x='so')} AS tto,
+                           {_DS.format(x='sq')} AS ttq
+                    FROM per),
+            comps AS (SELECT max(n) AS n,
+                             max(round(tto/CAST(n AS DOUBLE), 9)) AS obar,
+                             max(round(ttq/CAST(n AS DOUBLE), 9)) AS brier,
+                             {_DS.format(
+                                 x='CAST(nk AS DOUBLE)*(sp/nk - so/nk)*(sp/nk - so/nk)')}
+                                 AS rel_n,
+                             {_DS.format(
+                                 x='CAST(nk AS DOUBLE)*(so/nk - tto/CAST(n AS DOUBLE))'
+                                 '*(so/nk - tto/CAST(n AS DOUBLE))')}
+                                 AS res_n
+                      FROM per CROSS JOIN tot)
+            SELECT CAST(n AS BIGINT) AS n,
+                   round(obar, 6) AS base_rate,
+                   round(brier, 6) AS brier,
+                   round(rel_n/CAST(n AS DOUBLE), 6) + 0.0 AS reliability,
+                   round(res_n/CAST(n AS DOUBLE), 6) + 0.0 AS resolution,
+                   round(obar*(1.0 - obar), 6) + 0.0 AS uncertainty,
+                   round(brier - (rel_n/CAST(n AS DOUBLE)
+                         - res_n/CAST(n AS DOUBLE)
+                         + obar*(1.0 - obar)), 6) + 0.0 AS within_bin_var
+            FROM comps
         """,
     }

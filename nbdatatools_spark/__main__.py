@@ -1470,6 +1470,18 @@ def _cmd_events(args) -> int:
         return _emit_rows(
             stats.mann_kendall(series, args.key_col, "__x", "__y")
         )
+    if args.what == "page_hinkley":
+        return _emit_rows(
+            temporal.page_hinkley(
+                ev, ts_col=args.ts_col, delta=args.delta, lambda_=args.lam
+            )
+        )
+    if args.what == "trimmed":
+        from nbdatatools_spark.operators import stats
+
+        return _emit_rows(
+            stats.trimmed_stats(ev, args.key_col, args.value_col, trim=args.trim)
+        )
     if args.what == "burstiness":
         return _emit_rows(
             temporal.burstiness(
@@ -1909,6 +1921,51 @@ def _cmd_corpus_fdr(args) -> int:
         tested.select(args.group_col, "n_rows", "flag_rate", "z")
         .join(adjusted, args.group_col)
         .orderBy(args.group_col)
+    )
+
+
+def _cmd_corpus_lsa(args) -> int:
+    from nbdatatools_spark.operators.lm import lsa_topics
+
+    return _emit_rows(
+        lsa_topics(
+            _spark().read.parquet(args.input),
+            text_col=args.text_col,
+            id_col=args.id_col,
+            vocab_size=args.vocab_size,
+            n_topics=args.topics,
+            top_terms=args.top_terms,
+            min_df=args.min_df,
+        )
+    )
+
+
+def _cmd_corpus_ess(args) -> int:
+    from nbdatatools_spark.operators.stats import effective_sample_size
+
+    return _emit_rows(
+        effective_sample_size(
+            _spark().read.parquet(args.input), args.group_col, args.weight_col
+        )
+    )
+
+
+def _cmd_corpus_brier(args) -> int:
+    from pyspark.sql import functions as F
+
+    from nbdatatools_spark.operators.evaluation import brier_decomposition
+
+    docs = _spark().read.parquet(args.input)
+    return _emit_rows(
+        brier_decomposition(
+            docs.select(
+                F.col(args.score_col).alias("__score"),
+                F.expr(args.label_expr).alias("__label"),
+            ),
+            "__score",
+            "__label",
+            n_bins=args.n_bins,
+        )
     )
 
 
@@ -2540,6 +2597,30 @@ def build_parser() -> argparse.ArgumentParser:
     cfd.add_argument("--alpha", type=float, default=0.05)
     cfd.set_defaults(func=_cmd_corpus_fdr)
 
+    cls_ = cp.add_parser("lsa")
+    cls_.add_argument("--input", required=True)
+    cls_.add_argument("--text-col", default="text")
+    cls_.add_argument("--id-col", default="doc_id")
+    cls_.add_argument("--vocab-size", type=int, default=256)
+    cls_.add_argument("--topics", type=int, default=5)
+    cls_.add_argument("--top-terms", type=int, default=8)
+    cls_.add_argument("--min-df", type=int, default=2)
+    cls_.set_defaults(func=_cmd_corpus_lsa)
+
+    ces = cp.add_parser("ess")
+    ces.add_argument("--input", required=True)
+    ces.add_argument("--group-col", default="source")
+    ces.add_argument("--weight-col", default="n_chars")
+    ces.set_defaults(func=_cmd_corpus_ess)
+
+    cbr = cp.add_parser("brier")
+    cbr.add_argument("--input", required=True)
+    cbr.add_argument("--score-col", required=True)
+    cbr.add_argument("--label-expr", required=True,
+                     help="boolean/int SQL expression for the outcome")
+    cbr.add_argument("--n-bins", type=int, default=10)
+    cbr.set_defaults(func=_cmd_corpus_brier)
+
     gdn = gn.add_parser("denoising-pairs")
     gdn.add_argument("--input", required=True)
     gdn.add_argument("--output", required=True)
@@ -2687,7 +2768,8 @@ def build_parser() -> argparse.ArgumentParser:
     for w in ("seasonal", "cusum", "mad", "concurrency", "triangles",
               "theil_sen", "bootstrap_ci", "dp_counts", "k_anonymity",
               "acf", "survival", "ccf", "burstiness", "did", "quantiles",
-              "mwu", "kruskal", "levene", "spearman", "trend"):
+              "mwu", "kruskal", "levene", "spearman", "trend",
+              "page_hinkley", "trimmed"):
         ev = evp.add_parser(w)
         ev.add_argument("--input", required=True)
         ev.add_argument("--ts-col", default="ts")
@@ -2760,6 +2842,13 @@ def build_parser() -> argparse.ArgumentParser:
             ev.add_argument("--x-expr", default="CAST(day(ts) AS DOUBLE)")
         if w == "trend":
             ev.add_argument("--key-col", default="event_type")
+        if w == "page_hinkley":
+            ev.add_argument("--delta", type=float, default=0.5)
+            ev.add_argument("--lam", type=float, default=10.0)
+        if w == "trimmed":
+            ev.add_argument("--key-col", default="event_type")
+            ev.add_argument("--value-col", default="value")
+            ev.add_argument("--trim", type=float, default=0.1)
         ev.set_defaults(func=_cmd_events)
 
     gr = sub.add_parser("graph").add_subparsers(dest="what", required=True)

@@ -967,3 +967,94 @@ def fleiss_kappa(
             (F.round(kappa, 6) + 0.0).alias("kappa"),
         )
     )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    score_col: str,
+    label_col,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Brier score with the Murphy (1973) reliability / resolution /
+    uncertainty decomposition over fixed [0,1] score bins — the single
+    number that says whether a quality scorer's probabilities are USABLE
+    as probabilities, split into the part that is miscalibration
+    (reliability, lower better), the part that is discrimination
+    (resolution, higher better), and the floor set by the base rate
+    (uncertainty).
+
+        brier       = mean (p_i - o_i)^2            (raw, unbinned)
+        reliability = sum_k n_k (pbar_k - obar_k)^2 / N
+        resolution  = sum_k n_k (obar_k - obar)^2 / N
+        uncertainty = obar (1 - obar)
+
+    The binned identity ``brier = reliability - resolution + uncertainty
+    + within_bin_var`` is emitted with its residual term so the binning
+    error is visible rather than silently folded in.
+
+    Returns ONE row ``(n, base_rate, brier, reliability, resolution,
+    uncertainty, within_bin_var)`` at 6dp.
+
+    Plan: one row pass -> one n_bins-row aggregate -> one reduce; every
+    sum is a round(9)-DECIMAL accumulator. Scores are clamped to [0,1];
+    NULL scores/labels excluded.
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    base = df.select(
+        F.least(
+            F.greatest(F.col(score_col).cast("double"), F.lit(0.0)), F.lit(1.0)
+        ).alias("__p"),
+        lab.cast("int").cast("double").alias("__o"),
+    ).where(F.col("__p").isNotNull() & F.col("__o").isNotNull())
+    bin_ = F.least(
+        F.lit(n_bins - 1), F.floor(F.col("__p") * n_bins).cast("int")
+    )
+
+    def _dsum(expr):
+        return F.sum(F.round(expr, 9).cast("decimal(30,9)")).cast("double")
+
+    per_bin = base.groupBy(bin_.alias("__b")).agg(
+        F.count(F.lit(1)).alias("__nk"),
+        _dsum(F.col("__p")).alias("__sp"),
+        _dsum(F.col("__o")).alias("__so"),
+        _dsum((F.col("__p") - F.col("__o")) * (F.col("__p") - F.col("__o"))).alias(
+            "__sq"
+        ),
+    )
+    tot = per_bin.agg(
+        F.sum("__nk").alias("__n"),
+        _dsum(F.col("__so")).alias("__to"),
+        _dsum(F.col("__sq")).alias("__tq"),
+    )
+    j = per_bin.crossJoin(F.broadcast(tot))
+    nk = F.col("__nk").cast("double")
+    pbar = F.col("__sp") / nk
+    obar_k = F.col("__so") / nk
+    obar = F.col("__to") / F.col("__n").cast("double")
+    comps = j.agg(
+        F.max("__n").alias("n"),
+        F.max(F.round(F.col("__to") / F.col("__n").cast("double"), 9)).alias(
+            "__obar"
+        ),
+        F.max(F.round(F.col("__tq") / F.col("__n").cast("double"), 9)).alias(
+            "__brier"
+        ),
+        _dsum(nk * (pbar - obar_k) * (pbar - obar_k)).alias("__rel_n"),
+        _dsum(nk * (obar_k - obar) * (obar_k - obar)).alias("__res_n"),
+    )
+    rel = F.col("__rel_n") / F.col("n").cast("double")
+    res = F.col("__res_n") / F.col("n").cast("double")
+    unc = F.col("__obar") * (1.0 - F.col("__obar"))
+    return comps.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round("__obar", 6).alias("base_rate"),
+        F.round("__brier", 6).alias("brier"),
+        (F.round(rel, 6) + 0.0).alias("reliability"),
+        (F.round(res, 6) + 0.0).alias("resolution"),
+        (F.round(unc, 6) + 0.0).alias("uncertainty"),
+        (F.round(F.col("__brier") - (rel - res + unc), 6) + 0.0).alias(
+            "within_bin_var"
+        ),
+    )

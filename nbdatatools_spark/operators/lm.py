@@ -1190,3 +1190,113 @@ def negative_sampling_table(
         )
         .orderBy("rank")
     )
+
+
+def lsa_topics(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 256,
+    n_topics: int = 5,
+    top_terms: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Latent semantic analysis topics (Deerwester et al. 1990):
+    truncated SVD of the tf-idf document-term matrix, reported as the
+    ``top_terms`` highest-|loading| terms of each of the ``n_topics``
+    leading right singular vectors — the deterministic, training-free
+    topic sketch for corpus drift and slice comparison.
+
+    Pipeline: (doc, term, tf*idf) over the top-``vocab_size`` tokens by
+    document frequency (idf = round(ln(N/df), 9), the tfidf_top_terms
+    convention), then the V x V term gramian ``G = A^T A`` via ONE
+    doc-keyed self-join (per-doc fan-out bounded by the doc's distinct
+    vocab terms), DECIMAL-summed cells, and an eigendecomposition of the
+    collected gramian on the DRIVER — bounded by vocabulary choice, not
+    corpus size (V=256 -> 0.5 MB dense; the ppmi_word_vectors collect
+    shape). Right singular vectors of A are eigenvectors of G; singular
+    values are sqrt of its eigenvalues. Deterministic sign convention:
+    each topic's largest-|loading| coordinate is made positive
+    (ties break to the lexicographically first term).
+
+    Returns ``(topic, sv, term_rank, term, loading)`` — ``n_topics *
+    top_terms`` rows, loadings at 6dp, ordered (topic, term_rank).
+    Eigensolver output is platform-floating; the driver gate records
+    rows-only, with the numpy differential + orthonormality invariants
+    in tests/test_lsa.py as the correctness evidence.
+    """
+    from nbdatatools_spark.functions.text import normalize_text, tokens
+
+    if n_topics < 1 or top_terms < 1:
+        raise ValueError("n_topics and top_terms must be >= 1")
+    spark = df.sparkSession
+    ex = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode_outer(tokens(normalize_text(F.col(text_col)))).alias("w"),
+        )
+        .where(F.col("w").isNotNull() & (F.length("w") > 0))
+        .localCheckpoint(eager=False)
+    )
+    n_docs = ex.select("doc").distinct().count()
+    vocab = (
+        ex.groupBy("w")
+        .agg(F.count_distinct("doc").alias("df"))
+        .where(F.col("df") >= min_df)
+        .orderBy(F.desc("df"), "w")
+        .limit(vocab_size)
+        .select(
+            "w",
+            F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 9).alias("idf"),
+        )
+    )
+    tf = ex.groupBy("doc", "w").agg(F.count(F.lit(1)).alias("tf"))
+    A = tf.join(F.broadcast(vocab), "w").select(
+        "doc", "w", (F.col("tf") * F.col("idf")).alias("wgt")
+    ).localCheckpoint(eager=False)
+    a1 = A.select("doc", F.col("w").alias("t1"), F.col("wgt").alias("w1"))
+    a2 = A.select("doc", F.col("w").alias("t2"), F.col("wgt").alias("w2"))
+    cells = (
+        a1.join(a2, "doc")
+        .where(F.col("t1") <= F.col("t2"))  # symmetric: store upper triangle
+        .groupBy("t1", "t2")
+        .agg(
+            F.sum(F.round(F.col("w1") * F.col("w2"), 9).cast("decimal(30,9)"))
+            .cast("double")
+            .alias("g")
+        )
+        .collect()
+    )  # bounded: <= vocab_size^2 cells
+    vrows = vocab.collect()
+    import numpy as np
+
+    toks = sorted(r["w"] for r in vrows)
+    idx = {w: i for i, w in enumerate(toks)}
+    v = len(toks)
+    out_schema = "topic int, sv double, term_rank int, term string, loading double"
+    if v == 0:
+        return spark.createDataFrame([], out_schema)
+    G = np.zeros((v, v), dtype=np.float64)
+    for r in cells:
+        i, j = idx[r["t1"]], idx[r["t2"]]
+        G[i, j] = r["g"]
+        G[j, i] = r["g"]
+    eigval, eigvec = np.linalg.eigh(G)
+    order = np.argsort(eigval)[::-1]
+    k = min(n_topics, v)
+    rows = []
+    for t in range(k):
+        col = eigvec[:, order[t]].copy()
+        sv = float(np.sqrt(max(eigval[order[t]], 0.0)))
+        # sign fix: largest |loading|, ties to the first term index
+        j = int(np.argmax(np.abs(col)))
+        if col[j] < 0:
+            col = -col
+        ranked = sorted(
+            range(v), key=lambda i: (-abs(col[i]), toks[i])
+        )[: min(top_terms, v)]
+        for rk, i in enumerate(ranked):
+            rows.append(
+                (t, round(sv, 6), rk, toks[i], round(float(col[i]), 6))
+            )
+    return spark.createDataFrame(rows, out_schema).orderBy("topic", "term_rank")

@@ -162,8 +162,11 @@ def mann_whitney_u(
 
         sigma^2 = n_a*n_b/12 * ((n+1) - sum(t^3-t)/(n*(n-1)))
 
-    Returns ``(group, class_a, class_b, n_a, n_b, u_a, z, p_value)``
-    per group, p two-sided at 4dp.
+    Returns ``(group, class_a, class_b, n_a, n_b, u_a, cliffs_delta, z,
+    p_value)`` per group, p two-sided at 4dp. ``cliffs_delta`` is the
+    nonparametric effect size (Cliff 1993) derived from the same U:
+    ``2*U_a/(n_a*n_b) - 1`` — the p-value says whether the shift is
+    real; delta says whether it is big enough to matter.
 
     Plan: ONE grouped_avg_ranks pass over (group, value) + a per-(group,
     value, class) count table joined on the tie group — rank sums are
@@ -216,6 +219,7 @@ def mann_whitney_u(
         F.col("__a.__n").cast("bigint").alias("n_a"),
         F.col("__b.__n").cast("bigint").alias("n_b"),
         (F.round(u_a, 6) + 0.0).alias("u_a"),
+        (F.round(2.0 * u_a / (na * nb) - 1.0, 6) + 0.0).alias("cliffs_delta"),
         (F.round(z, 6) + 0.0).alias("z"),
         _two_sided_p(z).alias("p_value"),
     ).orderBy(group_col)
@@ -645,3 +649,102 @@ def two_sample_distance(
         (F.round(mmd2, 6) + 0.0).alias("mmd2"),
         (F.round(energy, 6) + 0.0).alias("energy"),
     )
+
+
+def trimmed_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    trim: float = 0.1,
+) -> DataFrame:
+    """Per-group trimmed and winsorized means — the robust location
+    estimates for heavy-tailed metrics (one pathological value cannot
+    move them): trim cuts rows outside the [trim, 1-trim] exact
+    interpolated percentiles; winsorize clamps them to those bounds.
+
+    Returns ``(group, n, lo_cut, hi_cut, mean, trimmed_mean,
+    winsorized_mean)`` at 6dp, ordered by group. NULL values excluded.
+
+    Plan: one percentile aggregate per group broadcast back, one pass of
+    filter/clamp + DECIMAL means — no windows, no pairs.
+    """
+    if not 0.0 <= trim < 0.5:
+        raise ValueError(f"trim must be in [0, 0.5), got {trim}")
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("double").alias("__s"),
+    ).where(F.col("__s").isNotNull())
+    cuts = base.groupBy("__g").agg(
+        F.expr(f"percentile(__s, {float(trim)!r})").alias("__lo"),
+        F.expr(f"percentile(__s, {float(1.0 - trim)!r})").alias("__hi"),
+    )
+    j = base.join(F.broadcast(cuts), "__g")
+    w = F.least(F.greatest(F.col("__s"), F.col("__lo")), F.col("__hi"))
+    agg = j.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("__lo").alias("lo_cut"),
+        F.max("__hi").alias("hi_cut"),
+        _dsum(F.col("__s")).alias("__sum"),
+        F.sum(
+            F.when(
+                (F.col("__s") >= F.col("__lo")) & (F.col("__s") <= F.col("__hi")),
+                1,
+            ).otherwise(0)
+        ).alias("__nt"),
+        _dsum(
+            F.when(
+                (F.col("__s") >= F.col("__lo")) & (F.col("__s") <= F.col("__hi")),
+                F.col("__s"),
+            )
+        ).alias("__tsum"),
+        _dsum(F.round(w, 9)).alias("__wsum"),
+    )
+    return agg.select(
+        F.col("__g").alias(group_col),
+        F.col("n").cast("bigint").alias("n"),
+        F.round("lo_cut", 6).alias("lo_cut"),
+        F.round("hi_cut", 6).alias("hi_cut"),
+        F.round(F.col("__sum") / F.col("n"), 6).alias("mean"),
+        F.round(F.col("__tsum") / F.col("__nt"), 6).alias("trimmed_mean"),
+        F.round(F.col("__wsum") / F.col("n"), 6).alias("winsorized_mean"),
+    ).orderBy(group_col)
+
+
+def effective_sample_size(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Kish effective sample size per stratum (Kish 1965):
+
+        ESS = (sum w)^2 / sum w^2,   design_effect = n / ESS
+
+    — the sanity gauge for any weighted sampling scheme (DSIR,
+    temperature mixing, domain reweighting): a stratum whose weights are
+    dominated by a few rows has ESS << n, and estimates from it carry
+    far more variance than the row count suggests.
+
+    Returns ``(group, n, sum_w, ess, ess_ratio, design_effect)`` at 6dp,
+    ordered by group. Rows with NULL or non-positive weight are excluded
+    (they contribute no sampling mass).
+
+    Plan: ONE map-side-combinable aggregate per group. Nothing else.
+    """
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(weight_col).cast("double").alias("__w"),
+    ).where(F.col("__w").isNotNull() & (F.col("__w") > 0.0))
+    agg = base.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("__w")).alias("__sw"),
+        _dsum(F.col("__w") * F.col("__w")).alias("__sww"),
+    )
+    ess = F.col("__sw") * F.col("__sw") / F.col("__sww")
+    return agg.select(
+        F.col("__g").alias(group_col),
+        F.col("n").cast("bigint").alias("n"),
+        F.round("__sw", 6).alias("sum_w"),
+        F.round(ess, 6).alias("ess"),
+        F.round(ess / F.col("n"), 6).alias("ess_ratio"),
+        F.round(F.col("n") / ess, 6).alias("design_effect"),
+    ).orderBy(group_col)

@@ -1427,3 +1427,68 @@ def diff_in_diff(
             6,
         ).alias("did"),
     )
+
+
+def page_hinkley(
+    df: DataFrame,
+    ts_col: str = "ts",
+    delta: float = 0.5,
+    lambda_: float = 10.0,
+) -> DataFrame:
+    """Page-Hinkley mean-shift detection on the daily event-count series
+    (Page 1954; Hinkley 1971) — the sequential-analysis cousin of
+    cusum_changepoints that needs NO baseline window: it tracks each
+    day's deviation from the RUNNING mean, so slow drifts and late
+    shifts both register.
+
+    The textbook recursion is re-expressed closed-form (the CUSUM
+    discipline — no sequential state):
+
+        m_t  = sum_{i<=t} (x_i - xbar_i - delta),  xbar_i = mean(x_1..x_i)
+        PH_t = m_t - min_{s<=t} m_s,   alarm when PH_t > lambda
+
+    — cumulative sums, a running mean, and a running min: all plain
+    window functions over the DATE-grain series (window state is
+    calendar-bounded, never event-rows). DECIMAL cumsums per the repo's
+    windowed-sum convention (segment-tree float evaluation is
+    association-order-dependent).
+
+    Returns ``(day, n_events, running_mean, m_t, ph, is_alarm)`` ordered
+    by day, 6dp.
+    """
+    daily = df.groupBy(F.to_date(ts_col).alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    withmean = daily.select(
+        "day",
+        "n_events",
+        (
+            F.sum(F.col("n_events").cast("decimal(30,9)")).over(wcum).cast("double")
+            / F.count(F.lit(1)).over(wcum)
+        ).alias("__xbar"),
+    )
+    dev = withmean.select(
+        "day",
+        "n_events",
+        F.col("__xbar"),
+        F.round(
+            F.col("n_events").cast("double") - F.col("__xbar") - F.lit(float(delta)),
+            9,
+        ).alias("__d"),
+    )
+    m = dev.select(
+        "day",
+        "n_events",
+        "__xbar",
+        F.sum(F.col("__d").cast("decimal(30,9)")).over(wcum).cast("double").alias("__m"),
+    )
+    ph = F.col("__m") - F.min("__m").over(wcum)
+    return m.select(
+        "day",
+        "n_events",
+        F.round("__xbar", 6).alias("running_mean"),
+        F.round("__m", 6).alias("m_t"),
+        (F.round(ph, 6) + 0.0).alias("ph"),
+        (ph > float(lambda_)).alias("is_alarm"),
+    ).orderBy("day")

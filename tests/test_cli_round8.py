@@ -25,7 +25,7 @@ def test_events_mwu_cli(spark, capsys):
     assert len(rows) == 5
     assert all(
         set(r) == {"event_type", "class_a", "class_b", "n_a", "n_b",
-                   "u_a", "z", "p_value"}
+                   "u_a", "cliffs_delta", "z", "p_value"}
         for r in rows
     )
     assert all(0.0 <= r["p_value"] <= 1.0 for r in rows)
@@ -117,3 +117,49 @@ def test_analyze_two_sample_cli(spark, capsys):
     assert row["gamma"] == 0.015625
     # same underlying distribution: both stats must sit near zero
     assert abs(row["mmd2"]) < 0.05 and abs(row["energy"]) < 0.5
+
+
+def test_corpus_lsa_cli(spark, capsys):
+    assert main(["corpus", "lsa", "--input", DOCS, "--vocab-size", "32",
+                 "--topics", "2", "--top-terms", "3"]) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 6
+    assert {r["topic"] for r in rows} == {0, 1}
+    svs = sorted({r["topic"]: r["sv"] for r in rows}.items())
+    assert svs[0][1] >= svs[1][1]  # singular values descend
+
+
+def test_events_page_hinkley_cli(spark, capsys):
+    assert main(["events", "page_hinkley", "--input", EVENTS]) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 30
+    assert all(r["ph"] >= 0.0 for r in rows)
+
+
+def test_events_trimmed_cli(spark, capsys):
+    assert main(["events", "trimmed", "--input", EVENTS]) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 5
+    for r in rows:
+        assert r["lo_cut"] <= r["hi_cut"]
+        assert r["lo_cut"] - 1e9 <= r["trimmed_mean"] <= r["hi_cut"] + 1e-9
+
+
+def test_corpus_ess_cli(spark, capsys):
+    assert main(["corpus", "ess", "--input", DOCS]) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 20
+    assert all(0.0 < r["ess"] <= r["n"] + 1e-9 for r in rows)
+
+
+def test_corpus_brier_cli(spark, capsys):
+    assert main(["corpus", "brier", "--input", DOCS,
+                 "--score-col", "n_chars",
+                 "--label-expr", "n_chars >= 400"]) == 0
+    (row,) = _lines(capsys)
+    assert row["n"] == 500
+    assert abs(
+        row["brier"]
+        - (row["reliability"] - row["resolution"] + row["uncertainty"]
+           + row["within_bin_var"])
+    ) < 5e-6

@@ -35,6 +35,7 @@ def test_mann_whitney_hand_computed(two_sample):
     r = mann_whitney_u(two_sample, "g", "c", "v").collect()[0]
     assert (r["n_a"], r["n_b"]) == (5, 5)
     assert r["u_a"] == 5.0
+    assert r["cliffs_delta"] == -0.6  # 2*5/25 - 1
     assert abs(r["z"] - (-1.566699)) < 1e-6
     assert abs(r["p_value"] - 0.1172) < 5e-4
 
