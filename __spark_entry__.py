@@ -12077,6 +12077,52 @@ def doc_brier_decomposition(spark, sf_dir):
     return brier_decomposition(scored, "score", "label", n_bins=10)
 
 
+# ---------------------------------------------------------------------------
+# Round-8 batch 3: DBSCAN, Welch ANOVA, Cramér's V
+# ---------------------------------------------------------------------------
+
+
+def embedding_dbscan(spark, sf_dir):
+    """Density-based clustering of the first 300 embeddings
+    (clustering.py::dbscan, Ester et al. 1996): eps-neighbor pairs at
+    cosine >= 0.3 (exact method on the bounded subset — the LSH-blocked
+    path is the corpus default), core/border/noise roles, clusters =
+    components of the core-core graph. Rows-only driver check (iterative
+    fixpoint); the pure-Python differential in tests/test_dbscan.py is
+    the correctness evidence."""
+    from nbdatatools_spark.operators.clustering import dbscan
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    return dbscan(emb, eps_cosine=0.7, min_pts=4, method="exact")
+
+
+def events_welch_anova(spark, sf_dir):
+    """Welch's heteroscedastic one-way ANOVA of the event value across
+    the user_id%3 variants per event type (stats.py::welch_anova, Welch
+    1951) — the mean test that survives the unequal variances
+    events_levene_test detects. DECIMAL moments, closed-form F and
+    Welch-Satterthwaite df2."""
+    from nbdatatools_spark.operators.stats import welch_anova
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    ev = ev.withColumn(
+        "variant", F.concat(F.lit("v"), (F.col("user_id") % 3).cast("string"))
+    )
+    return welch_anova(ev, "event_type", "variant", "value")
+
+
+def doc_cramers_v(spark, sf_dir):
+    """Cramér's V (bias-corrected, Bergsma 2013) between document
+    language and source (stats.py::cramers_v): the EFFECT SIZE behind
+    doc_lang_source_chi2's test statistic — at corpus scale everything
+    is 'significant'; V says whether the association is material.
+    Cell-table chi2 with the zero-cell mass added in closed form."""
+    from nbdatatools_spark.operators.stats import cramers_v
+
+    docs = _t(spark, sf_dir, "documents")
+    return cramers_v(docs, "lang", "source")
+
+
 # ============================================================================
 # CANDIDATE STAGING — new gates built after this round's recording
 # window is attested land HERE (with their oracles), not in queries():
@@ -12108,6 +12154,9 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_trimmed_mean": events_trimmed_mean,
         "doc_sampling_ess": doc_sampling_ess,
         "doc_brier_decomposition": doc_brier_decomposition,
+        "embedding_dbscan": embedding_dbscan,
+        "events_welch_anova": events_welch_anova,
+        "doc_cramers_v": doc_cramers_v,
     }
 
 
@@ -12632,5 +12681,102 @@ def candidate_oracles() -> dict[str, str]:
                          - res_n/CAST(n AS DOUBLE)
                          + obar*(1.0 - obar)), 6) + 0.0 AS within_bin_var
             FROM comps
+        """,
+        # Welch ANOVA: per-class DECIMAL moments, weighted grand mean,
+        # closed-form F + Welch-Satterthwaite df2
+        "events_welch_anova": f"""
+            WITH base AS ({kw_base}),
+            per AS (SELECT g, c, CAST(count(*) AS BIGINT) AS n,
+                           {_DS.format(x='s')} AS sx,
+                           {_DS.format(x='s*s')} AS sxx
+                    FROM base GROUP BY g, c),
+            keyed AS (SELECT g, c, n,
+                             sx/CAST(n AS DOUBLE) AS m,
+                             CASE WHEN n >= 2 THEN
+                                 (sxx - sx*sx/CAST(n AS DOUBLE))
+                                     /(CAST(n AS DOUBLE) - 1.0) END AS v
+                      FROM per),
+            ok AS (SELECT *, CAST(n AS DOUBLE)/v AS w
+                   FROM keyed WHERE n >= 2 AND v IS NOT NULL AND v > 0.0),
+            dropped AS (SELECT g, CAST(count(*) AS INT) AS kd
+                        FROM keyed
+                        WHERE NOT coalesce(n >= 2 AND v IS NOT NULL AND v > 0.0,
+                                           FALSE)
+                        GROUP BY g),
+            tot AS (SELECT g, CAST(count(*) AS BIGINT) AS k,
+                           CAST(sum(n) AS BIGINT) AS nn,
+                           {_DS.format(x='w')} AS ww,
+                           {_DS.format(x='w*m')} AS wm
+                    FROM ok GROUP BY g),
+            agg AS (SELECT ok.g, max(tot.k) AS k2, max(tot.nn) AS nn2,
+                           {_DS.format(x='ok.w*(ok.m - tot.wm/tot.ww)'
+                               '*(ok.m - tot.wm/tot.ww)')} AS a_n,
+                           {_DS.format(x='(1.0 - ok.w/tot.ww)'
+                               '*(1.0 - ok.w/tot.ww)'
+                               '/(CAST(ok.n AS DOUBLE) - 1.0)')} AS h
+                    FROM ok JOIN tot ON tot.g = ok.g GROUP BY ok.g),
+            calc AS (SELECT agg.g, k2, nn2, h,
+                            CAST(k2 AS DOUBLE) AS kk,
+                            a_n/(CAST(k2 AS DOUBLE) - 1.0) AS a
+                     FROM agg)
+            SELECT calc.g AS event_type,
+                   CAST(k2 AS INT) AS k_classes,
+                   CAST(coalesce(dropped.kd, 0) AS INT) AS k_dropped,
+                   nn2 AS n,
+                   round(CASE WHEN k2 < 2 OR h <= 0.0 THEN NULL
+                         ELSE a/(1.0 + 2.0*(kk - 2.0)/(kk*kk - 1.0)*h) END,
+                         6) + 0.0 AS f_stat,
+                   CAST(k2 - 1 AS INT) AS df1,
+                   round(CASE WHEN h > 0.0
+                         THEN (kk*kk - 1.0)/(3.0*h) END, 6) + 0.0 AS df2
+            FROM calc LEFT JOIN dropped ON dropped.g = calc.g
+            ORDER BY event_type
+        """,
+        # Cramér's V: cell-table chi2 + closed-form zero-cell mass
+        "doc_cramers_v": f"""
+            WITH base AS (
+                SELECT CAST(lang AS VARCHAR) AS a, CAST(source AS VARCHAR) AS b
+                FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL),
+            cells AS (SELECT a, b, count(*) AS n FROM base GROUP BY a, b),
+            ra AS (SELECT a, CAST(sum(n) AS BIGINT) AS ra FROM cells GROUP BY a),
+            cb AS (SELECT b, CAST(sum(n) AS BIGINT) AS cb FROM cells GROUP BY b),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS t,
+                           CAST(count(DISTINCT a) AS BIGINT) AS r,
+                           CAST(count(DISTINCT b) AS BIGINT) AS c
+                    FROM cells),
+            j AS (SELECT cells.n, ra.ra, cb.cb, tot.t, tot.r, tot.c,
+                         CAST(ra.ra AS DOUBLE)*CAST(cb.cb AS DOUBLE)
+                             /CAST(tot.t AS DOUBLE) AS e
+                  FROM cells JOIN ra ON ra.a = cells.a
+                             JOIN cb ON cb.b = cells.b
+                             CROSS JOIN tot),
+            chi AS (SELECT max(t) AS n, max(r) AS r_levels, max(c) AS c_levels,
+                           {_DS.format(
+                               x='(CAST(n AS DOUBLE) - e)*(CAST(n AS DOUBLE) - e)/e')}
+                               AS chi2p,
+                           {_DS.format(x='e')} AS se
+                    FROM j),
+            calc AS (SELECT n, r_levels, c_levels,
+                            chi2p + (CAST(n AS DOUBLE) - se) AS chi2,
+                            CAST(n AS DOUBLE) AS nn,
+                            CAST(r_levels AS DOUBLE) AS rr,
+                            CAST(c_levels AS DOUBLE) AS cc
+                     FROM chi)
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(r_levels AS INT) AS r_levels,
+                   CAST(c_levels AS INT) AS c_levels,
+                   round(chi2, 6) + 0.0 AS chi2,
+                   round(CASE WHEN least(rr - 1.0, cc - 1.0) <= 0.0 THEN NULL
+                         ELSE sqrt(chi2/nn/least(rr - 1.0, cc - 1.0)) END,
+                         6) + 0.0 AS v,
+                   round(CASE WHEN least(rr - (rr-1.0)*(rr-1.0)/(nn-1.0) - 1.0,
+                                        cc - (cc-1.0)*(cc-1.0)/(nn-1.0) - 1.0)
+                                  <= 0.0 THEN NULL
+                         ELSE sqrt(greatest(0.0, chi2/nn
+                                   - (rr-1.0)*(cc-1.0)/(nn-1.0))
+                              /least(rr - (rr-1.0)*(rr-1.0)/(nn-1.0) - 1.0,
+                                     cc - (cc-1.0)*(cc-1.0)/(nn-1.0) - 1.0)) END,
+                         6) + 0.0 AS v_corrected
+            FROM calc
         """,
     }

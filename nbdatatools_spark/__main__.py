@@ -1476,6 +1476,13 @@ def _cmd_events(args) -> int:
                 ev, ts_col=args.ts_col, delta=args.delta, lambda_=args.lam
             )
         )
+    if args.what == "welch":
+        from nbdatatools_spark.operators import stats
+
+        classed = ev.withColumn("__class", F.expr(args.class_expr))
+        return _emit_rows(
+            stats.welch_anova(classed, args.key_col, "__class", args.value_col)
+        )
     if args.what == "trimmed":
         from nbdatatools_spark.operators import stats
 
@@ -1965,6 +1972,29 @@ def _cmd_corpus_brier(args) -> int:
             "__score",
             "__label",
             n_bins=args.n_bins,
+        )
+    )
+
+
+def _cmd_corpus_cramers(args) -> int:
+    from nbdatatools_spark.operators.stats import cramers_v
+
+    return _emit_rows(
+        cramers_v(_spark().read.parquet(args.input), args.col_a, args.col_b)
+    )
+
+
+def _cmd_analyze_dbscan(args) -> int:
+    from nbdatatools_spark.operators.clustering import dbscan
+
+    return _emit_rows(
+        dbscan(
+            _spark().read.parquet(args.input),
+            eps_cosine=args.eps,
+            min_pts=args.min_pts,
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+            method=args.method,
         )
     )
 
@@ -2621,6 +2651,12 @@ def build_parser() -> argparse.ArgumentParser:
     cbr.add_argument("--n-bins", type=int, default=10)
     cbr.set_defaults(func=_cmd_corpus_brier)
 
+    ccv = cp.add_parser("cramers")
+    ccv.add_argument("--input", required=True)
+    ccv.add_argument("--col-a", default="lang")
+    ccv.add_argument("--col-b", default="source")
+    ccv.set_defaults(func=_cmd_corpus_cramers)
+
     gdn = gn.add_parser("denoising-pairs")
     gdn.add_argument("--input", required=True)
     gdn.add_argument("--output", required=True)
@@ -2754,6 +2790,16 @@ def build_parser() -> argparse.ArgumentParser:
     a8.add_argument("--vec-col", default="embedding")
     a8.set_defaults(func=_cmd_analyze_sq8_error)
 
+    adb = an.add_parser("dbscan")
+    adb.add_argument("--input", required=True)
+    adb.add_argument("--eps", type=float, default=0.05,
+                     help="1 - cosine similarity neighborhood radius")
+    adb.add_argument("--min-pts", type=int, default=4)
+    adb.add_argument("--id-col", default="vec_id")
+    adb.add_argument("--vec-col", default="embedding")
+    adb.add_argument("--method", default="lsh", choices=["lsh", "exact"])
+    adb.set_defaults(func=_cmd_analyze_dbscan)
+
     a2s = an.add_parser("two-sample")
     a2s.add_argument("--input", required=True)
     a2s.add_argument("--split-expr", required=True,
@@ -2769,7 +2815,7 @@ def build_parser() -> argparse.ArgumentParser:
               "theil_sen", "bootstrap_ci", "dp_counts", "k_anonymity",
               "acf", "survival", "ccf", "burstiness", "did", "quantiles",
               "mwu", "kruskal", "levene", "spearman", "trend",
-              "page_hinkley", "trimmed"):
+              "page_hinkley", "trimmed", "welch"):
         ev = evp.add_parser(w)
         ev.add_argument("--input", required=True)
         ev.add_argument("--ts-col", default="ts")
@@ -2829,7 +2875,7 @@ def build_parser() -> argparse.ArgumentParser:
                             help="boolean SQL expression tagging the cohort")
             ev.add_argument("--value-col", default="value")
             ev.add_argument("--cutoff", required=True)
-        if w in ("mwu", "kruskal", "levene"):
+        if w in ("mwu", "kruskal", "levene", "welch"):
             ev.add_argument("--key-col", default="event_type")
             ev.add_argument("--value-col", default="value")
             ev.add_argument(

@@ -795,3 +795,115 @@ def _plain_scalar(v):
     except Exception:
         pass
     return v
+
+
+def dbscan_from_pairs(
+    points: DataFrame,
+    pairs: DataFrame,
+    min_pts: int = 4,
+    id_col: str = "vec_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Density-based clustering (DBSCAN, Ester et al. 1996) from a
+    precomputed epsilon-neighbor PAIR LIST — the neighbor-graph
+    formulation: a point is CORE when its eps-neighborhood (itself
+    included) holds >= ``min_pts`` points; clusters are the connected
+    components of the core-core adjacency; non-core points with a core
+    neighbor become BORDER points of their smallest core neighbor's
+    cluster; everything else is NOISE.
+
+    ``pairs`` supplies the eps-neighbor edges (id_a, id_b), one row per
+    unordered pair — produced by ``dedup.embedding_near_dups`` (LSH
+    blocking at corpus scale, ``method="exact"`` for audits) or any ANN
+    join: the hubness/mutual-kNN convention of accepting precomputed
+    neighbor inputs so the quadratic never lives here.
+
+    Returns ``(id, cluster, role)`` for EVERY point in ``points``:
+    cluster = the min point-id reachable through core points (NULL for
+    noise), role in {'core','border','noise'}, ordered by id.
+
+    Scale shape: one degree aggregate, one components run over the
+    core-core subgraph (min-label propagation, O(diameter) rounds), two
+    keyed joins for border assignment. Deterministic: cluster labels are
+    min-ids, border ties take the smallest cluster label.
+    """
+    from nbdatatools_spark.operators.dedup import connected_components
+
+    ids = points.select(F.col(id_col).alias("id")).distinct()
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        edges.select(F.col("a").alias("id"))
+        .unionAll(edges.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+    )
+    # neighborhood includes the point itself
+    core = deg.where(F.col("__deg") + 1 >= min_pts).select("id")
+    core_a = core.withColumnRenamed("id", "a")
+    core_b = core.withColumnRenamed("id", "b")
+    core_edges = edges.join(core_a, "a", "left_semi").join(
+        core_b, "b", "left_semi"
+    )
+    comp = connected_components(core_edges, id_a="a", id_b="b")
+    # isolated core points (no core neighbor) are their own cluster
+    core_lbl = (
+        core.join(comp, comp["id"] == core["id"], "left")
+        .select(core["id"], F.coalesce("component", core["id"]).alias("cluster"))
+        .localCheckpoint(eager=False)
+    )
+    # border: non-core endpoint adjacent to a core point -> min cluster
+    half = edges.unionAll(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    border = (
+        half.join(
+            core_lbl.select(F.col("id").alias("b"), "cluster"), "b"
+        )
+        .join(core_lbl.select(F.col("id").alias("a")), "a", "left_anti")
+        .groupBy("a")
+        .agg(F.min("cluster").alias("cluster"))
+        .select(F.col("a").alias("id"), "cluster")
+    )
+    labeled = core_lbl.select("id", "cluster", F.lit("core").alias("role")).unionByName(
+        border.select("id", "cluster", F.lit("border").alias("role"))
+    )
+    return (
+        ids.join(labeled, "id", "left")
+        .select(
+            "id",
+            "cluster",
+            F.coalesce("role", F.lit("noise")).alias("role"),
+        )
+        .orderBy("id")
+    )
+
+
+def dbscan(
+    df: DataFrame,
+    eps_cosine: float = 0.05,
+    min_pts: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "lsh",
+) -> DataFrame:
+    """DBSCAN over an embedding column: eps-neighbors are pairs with
+    cosine similarity >= 1 - ``eps_cosine`` from
+    ``dedup.embedding_near_dups`` (LSH blocking by default — the corpus
+    path; ``method="exact"`` for bounded audits), then the
+    ``dbscan_from_pairs`` graph phase."""
+    from nbdatatools_spark.operators.dedup import embedding_near_dups
+
+    pairs = embedding_near_dups(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=1.0 - eps_cosine,
+        method=method,
+    )
+    return dbscan_from_pairs(df, pairs, min_pts=min_pts, id_col=id_col)

@@ -748,3 +748,187 @@ def effective_sample_size(
         F.round(ess / F.col("n"), 6).alias("ess_ratio"),
         F.round(F.col("n") / ess, 6).alias("design_effect"),
     ).orderBy(group_col)
+
+
+def welch_anova(
+    df: DataFrame,
+    group_col: str,
+    class_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA per group (Welch 1951) —
+    the k-sample mean comparison that does NOT assume equal variances
+    (the assumption brown_forsythe exists to test):
+
+        w_c   = n_c / s_c^2            (sample variance, ddof = 1)
+        xbar_w = sum w_c xbar_c / W
+        A     = sum w_c (xbar_c - xbar_w)^2 / (k - 1)
+        B     = 1 + 2(k-2)/(k^2-1) * H,  H = sum (1 - w_c/W)^2/(n_c - 1)
+        F     = A / B,  df1 = k - 1,  df2 = (k^2 - 1) / (3 H)
+
+    Classes with n_c < 2 or zero variance are excluded (their weight is
+    undefined) and surfaced via ``k_dropped``. Returns ``(group,
+    k_classes, k_dropped, n, f_stat, df1, df2)`` at 6dp, ordered by
+    group.
+
+    Plan: one per-(group, class) DECIMAL moment aggregate, one k-row
+    reduce joined back for W — no windows, no pairs, map-side
+    combinable.
+    """
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(class_col).cast("string").alias("__c"),
+        F.col(value_col).cast("double").alias("__s"),
+    ).where(F.col("__s").isNotNull() & F.col("__c").isNotNull())
+    per = base.groupBy("__g", "__c").agg(
+        F.count(F.lit(1)).alias("__n"),
+        _dsum(F.col("__s")).alias("__sx"),
+        _dsum(F.col("__s") * F.col("__s")).alias("__sxx"),
+    )
+    n = F.col("__n").cast("double")
+    # ANSI guard: the n=1 class would divide by zero before the >=2 filter
+    var = F.when(
+        F.col("__n") >= 2,
+        (F.col("__sxx") - F.col("__sx") * F.col("__sx") / n) / (n - 1.0),
+    )
+    keyed = per.select(
+        "__g",
+        "__c",
+        "__n",
+        (F.col("__sx") / n).alias("__m"),
+        var.alias("__v"),
+    ).localCheckpoint(eager=False)
+    good = (F.col("__n") >= 2) & F.col("__v").isNotNull() & (F.col("__v") > 0.0)
+    ok = keyed.where(good)
+    dropped = keyed.where(~F.coalesce(good, F.lit(False))).groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__kd")
+    )
+    w = ok.select(
+        "__g", "__c", "__n", "__m", (F.col("__n").cast("double") / F.col("__v")).alias("__w")
+    )
+    tot = w.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.sum("__n").alias("__nn"),
+        _dsum(F.col("__w")).alias("__ww"),
+        _dsum(F.col("__w") * F.col("__m")).alias("__wm"),
+    )
+    j = w.join(F.broadcast(tot), "__g")
+    xw = F.col("__wm") / F.col("__ww")
+    kk = F.col("__k").cast("double")
+    agg = j.groupBy("__g").agg(
+        F.max("__k").alias("__k2"),
+        F.max("__nn").alias("__nn2"),
+        _dsum(F.col("__w") * (F.col("__m") - xw) * (F.col("__m") - xw)).alias(
+            "__a_n"
+        ),
+        _dsum(
+            (1.0 - F.col("__w") / F.col("__ww"))
+            * (1.0 - F.col("__w") / F.col("__ww"))
+            / (F.col("__n") - 1.0)
+        ).alias("__h"),
+    )
+    k2 = F.col("__k2").cast("double")
+    a = F.col("__a_n") / (k2 - 1.0)
+    b = 1.0 + 2.0 * (k2 - 2.0) / (k2 * k2 - 1.0) * F.col("__h")
+    f = F.when(
+        (F.col("__k2") < 2) | (F.col("__h") <= 0.0), F.lit(None).cast("double")
+    ).otherwise(a / b)
+    df2 = F.when(F.col("__h") > 0.0, (k2 * k2 - 1.0) / (3.0 * F.col("__h")))
+    return (
+        agg.join(F.broadcast(dropped), "__g", "left")
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__k2").cast("int").alias("k_classes"),
+            F.coalesce(F.col("__kd"), F.lit(0)).cast("int").alias("k_dropped"),
+            F.col("__nn2").cast("bigint").alias("n"),
+            (F.round(f, 6) + 0.0).alias("f_stat"),
+            (F.col("__k2") - 1).cast("int").alias("df1"),
+            (F.round(df2, 6) + 0.0).alias("df2"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def cramers_v(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    corrected: bool = True,
+) -> DataFrame:
+    """Cramér's V association between two categorical columns, with the
+    Bergsma (2013) bias correction — the effect size the chi-square
+    test's p-value does not give you (at 100-TB row counts EVERYTHING is
+    'significant'; V says whether the association is material):
+
+        chi2 = sum (n_ij - e_ij)^2 / e_ij,  e_ij = r_i c_j / n
+        V    = sqrt(chi2/n / min(r-1, c-1))
+        Vcorr: phi2' = max(0, chi2/n - (r-1)(c-1)/(n-1)),
+               r' = r - (r-1)^2/(n-1), c' = c - (c-1)^2/(n-1),
+               V' = sqrt(phi2' / min(r'-1, c'-1))
+
+    Returns ONE row ``(n, r_levels, c_levels, chi2, v, v_corrected)`` at
+    6dp. NULL categories are excluded.
+
+    Plan: one (a, b) cell aggregate, two marginal reduces broadcast
+    back, one DECIMAL chi2 sum over the CELL table (bounded by the
+    category alphabet product, never rows).
+    """
+    base = df.select(
+        F.col(col_a).cast("string").alias("__a"),
+        F.col(col_b).cast("string").alias("__b"),
+    ).where(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+    cells = base.groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("__n"))
+    cells = cells.localCheckpoint(eager=False)
+    ra = cells.groupBy("__a").agg(F.sum("__n").alias("__ra"))
+    cb = cells.groupBy("__b").agg(F.sum("__n").alias("__cb"))
+    tot = cells.agg(
+        F.sum("__n").alias("__t"),
+        F.count_distinct("__a").alias("__r"),
+        F.count_distinct("__b").alias("__c"),
+    )
+    j = (
+        cells.join(F.broadcast(ra), "__a")
+        .join(F.broadcast(cb), "__b")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("__ra").cast("double") * F.col("__cb").cast("double") / F.col(
+        "__t"
+    ).cast("double")
+    chi = j.agg(
+        F.max("__t").alias("n"),
+        F.max("__r").alias("r_levels"),
+        F.max("__c").alias("c_levels"),
+        _dsum(
+            (F.col("__n").cast("double") - e) * (F.col("__n").cast("double") - e) / e
+        ).alias("__chi2"),
+    )
+    # observed-zero cells contribute e_ij (their (0-e)^2/e term) — add the
+    # missing mass in closed form: sum over missing cells of e = n - sum
+    # over PRESENT cells of e. chi2_total = chi2_present + (n - sum_e).
+    sum_e = j.agg(_dsum(e).alias("__se"))
+    full = chi.crossJoin(F.broadcast(sum_e))
+    nn = F.col("n").cast("double")
+    chi2 = F.col("__chi2") + (nn - F.col("__se"))
+    rr = F.col("r_levels").cast("double")
+    cc = F.col("c_levels").cast("double")
+    phi2 = chi2 / nn
+    v = F.when(
+        F.least(rr - 1.0, cc - 1.0) <= 0.0, F.lit(None).cast("double")
+    ).otherwise(F.sqrt(phi2 / F.least(rr - 1.0, cc - 1.0)))
+    phi2c = F.greatest(
+        F.lit(0.0), phi2 - (rr - 1.0) * (cc - 1.0) / (nn - 1.0)
+    )
+    rc = rr - (rr - 1.0) * (rr - 1.0) / (nn - 1.0)
+    ccx = cc - (cc - 1.0) * (cc - 1.0) / (nn - 1.0)
+    vc = F.when(
+        F.least(rc - 1.0, ccx - 1.0) <= 0.0, F.lit(None).cast("double")
+    ).otherwise(F.sqrt(phi2c / F.least(rc - 1.0, ccx - 1.0)))
+    out = full.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("r_levels").cast("int").alias("r_levels"),
+        F.col("c_levels").cast("int").alias("c_levels"),
+        (F.round(chi2, 6) + 0.0).alias("chi2"),
+        (F.round(v, 6) + 0.0).alias("v"),
+        (F.round(vc, 6) + 0.0).alias("v_corrected"),
+    )
+    return out

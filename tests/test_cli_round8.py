@@ -163,3 +163,28 @@ def test_corpus_brier_cli(spark, capsys):
         - (row["reliability"] - row["resolution"] + row["uncertainty"]
            + row["within_bin_var"])
     ) < 5e-6
+
+
+def test_events_welch_cli(spark, capsys):
+    expr = "'v' || CAST(user_id % 3 AS STRING)"
+    assert main(["events", "welch", "--input", EVENTS,
+                 "--class-expr", expr]) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 5
+    assert all(r["k_classes"] == 3 and r["df1"] == 2 for r in rows)
+
+
+def test_corpus_cramers_cli(spark, capsys):
+    assert main(["corpus", "cramers", "--input", DOCS]) == 0
+    (row,) = _lines(capsys)
+    assert row["n"] == 500
+    assert 0.0 <= row["v"] <= 1.0
+    assert row["v_corrected"] <= row["v"] + 1e-9
+
+
+def test_analyze_dbscan_cli(spark, capsys):
+    assert main(["analyze", "dbscan", "--input", EMB, "--eps", "0.7",
+                 "--min-pts", "4", "--method", "exact"]) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 500
+    assert {r["role"] for r in rows} <= {"core", "border", "noise"}
