@@ -12123,6 +12123,108 @@ def doc_cramers_v(spark, sf_dir):
     return cramers_v(docs, "lang", "source")
 
 
+# ---------------------------------------------------------------------------
+# Round-8 batch 4: Cochran Q, Friedman, shift function, shard mixing
+# ---------------------------------------------------------------------------
+
+
+def doc_cochran_q(spark, sf_dir):
+    """Cochran's Q across the three binary document filters (quality,
+    length, language — the fleiss raters) (evaluation.py::cochran_q,
+    Cochran 1950): do the filters PASS at the same rate on the same
+    docs — the significance companion to doc_fleiss_kappa's agreement
+    magnitude. Two bounded reduces over a 0/1 projection."""
+    from nbdatatools_spark.operators.evaluation import cochran_q
+
+    docs = _t(spark, sf_dir, "documents")
+    verdicts = (
+        docs.select(
+            "doc_id",
+            F.lit("quality").alias("rater"),
+            (F.round(quality_score(F.col("text")), 6) >= 0.5).alias("keep"),
+        )
+        .unionByName(
+            docs.select(
+                "doc_id",
+                F.lit("length").alias("rater"),
+                (F.col("n_chars") >= 400).alias("keep"),
+            )
+        )
+        .unionByName(
+            docs.select(
+                "doc_id",
+                F.lit("lang").alias("rater"),
+                (F.col("lang") == "en").alias("keep"),
+            )
+        )
+    )
+    return cochran_q(verdicts, "doc_id", "rater", "keep")
+
+
+def doc_friedman_test(spark, sf_dir):
+    """Friedman rank test across three document scorers — quality score,
+    capped length share, English indicator — blocked by document
+    (stats.py::friedman_test, Friedman 1937 / Conover ties): do the
+    scorers rank documents identically. Within-block ranks from a
+    k^2-per-block self-join (k=3), DECIMAL reduces."""
+    from nbdatatools_spark.operators.stats import friedman_test
+
+    docs = _t(spark, sf_dir, "documents")
+    scores = (
+        docs.select(
+            "doc_id",
+            F.lit("quality").alias("scorer"),
+            F.round(quality_score(F.col("text")), 6).alias("score"),
+        )
+        .unionByName(
+            docs.select(
+                "doc_id",
+                F.lit("length").alias("scorer"),
+                F.round(
+                    F.least(F.col("n_chars") / 1000.0, F.lit(1.0)), 6
+                ).alias("score"),
+            )
+        )
+        .unionByName(
+            docs.select(
+                "doc_id",
+                F.lit("lang").alias("scorer"),
+                (F.col("lang") == "en").cast("int").cast("double").alias("score"),
+            )
+        )
+    )
+    return friedman_test(scores, "doc_id", "scorer", "score")
+
+
+def events_shift_function(spark, sf_dir):
+    """Doksum shift function of the event value between the user_id%2
+    variants per event type (stats.py::shift_function, Doksum 1974):
+    per-decile quantile differences — WHERE the distribution moved, not
+    just whether. Exact interpolated percentile arrays, one aggregate
+    per (group, class)."""
+    from nbdatatools_spark.operators.stats import shift_function
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    ev = ev.withColumn(
+        "variant", F.concat(F.lit("v"), (F.col("user_id") % 2).cast("string"))
+    )
+    return shift_function(ev, "event_type", "variant", "value")
+
+
+def doc_shard_mixing(spark, sf_dir):
+    """Shard mixing audit (packing.py::shard_mixing_report): per-shard
+    source entropy over the balanced_shards(8, n_chars) assignment vs
+    the corpus's source entropy — balanced token mass is not enough; a
+    data-loader rank must also see a MIX of domains. Two-phase shard
+    assignment + bounded entropy reduces, 9dp-rounded logs."""
+    from nbdatatools_spark.operators.packing import shard_mixing_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return shard_mixing_report(
+        docs, n_shards=8, weight_col="n_chars", group_col="source"
+    )
+
+
 # ============================================================================
 # CANDIDATE STAGING — new gates built after this round's recording
 # window is attested land HERE (with their oracles), not in queries():
@@ -12157,6 +12259,10 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dbscan": embedding_dbscan,
         "events_welch_anova": events_welch_anova,
         "doc_cramers_v": doc_cramers_v,
+        "doc_cochran_q": doc_cochran_q,
+        "doc_friedman_test": doc_friedman_test,
+        "events_shift_function": events_shift_function,
+        "doc_shard_mixing": doc_shard_mixing,
     }
 
 
@@ -12778,5 +12884,148 @@ def candidate_oracles() -> dict[str, str]:
                                      cc - (cc-1.0)*(cc-1.0)/(nn-1.0) - 1.0)) END,
                          6) + 0.0 AS v_corrected
             FROM calc
+        """,
+        # Cochran's Q over the three binary filter raters
+        "doc_cochran_q": f"""
+            WITH v AS (
+                SELECT doc_id, 'quality' AS t,
+                       CAST(({_QUALITY6} >= 0.5) AS INT) AS f FROM documents
+                UNION ALL
+                SELECT doc_id, 'length', CAST((n_chars >= 400) AS INT)
+                FROM documents
+                UNION ALL
+                SELECT doc_id, 'lang', CAST((lang = 'en') AS INT)
+                FROM documents),
+            per_item AS (SELECT doc_id, count(*) AS k,
+                                CAST(sum(f) AS BIGINT) AS r
+                         FROM v GROUP BY doc_id),
+            kept AS (SELECT * FROM per_item WHERE k = 3),
+            drp AS (SELECT CAST(count(*) AS BIGINT) AS d
+                    FROM per_item WHERE k <> 3),
+            keptv AS (SELECT v.* FROM v JOIN kept ON kept.doc_id = v.doc_id),
+            cols AS (SELECT t, CAST(sum(f) AS BIGINT) AS c
+                     FROM keptv GROUP BY t),
+            rws AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+                           CAST(sum(r) AS BIGINT) AS tt,
+                           CAST(sum(r*r) AS BIGINT) AS rr
+                    FROM kept),
+            agg AS (SELECT max(n_items) AS n_items, max(tt) AS tt,
+                           max(rr) AS rr, CAST(count(*) AS BIGINT) AS kk,
+                           {_DS.format(
+                               x='(CAST(c AS DOUBLE) - CAST(tt AS DOUBLE)/3)'
+                               '*(CAST(c AS DOUBLE) - CAST(tt AS DOUBLE)/3)')}
+                               AS num
+                    FROM cols CROSS JOIN rws)
+            SELECT n_items, drp.d AS n_items_dropped,
+                   CAST(kk AS INT) AS k_treatments,
+                   round(CASE WHEN CAST(kk AS DOUBLE)*CAST(tt AS DOUBLE)
+                                   - CAST(rr AS DOUBLE) <= 0.0 THEN NULL
+                         ELSE CAST(kk AS DOUBLE)*(CAST(kk AS DOUBLE) - 1.0)*num
+                              /(CAST(kk AS DOUBLE)*CAST(tt AS DOUBLE)
+                                - CAST(rr AS DOUBLE)) END, 6) + 0.0 AS q_stat,
+                   CAST(kk - 1 AS INT) AS dof
+            FROM agg CROSS JOIN drp
+        """,
+        # Friedman (Conover ties): within-block self-join ranks
+        "doc_friedman_test": f"""
+            WITH s AS (
+                SELECT doc_id, 'quality' AS t,
+                       CAST({_QUALITY6} AS DOUBLE) AS v FROM documents
+                UNION ALL
+                SELECT doc_id, 'length',
+                       round(least(n_chars/1000.0, 1.0), 6) FROM documents
+                UNION ALL
+                SELECT doc_id, 'lang',
+                       CAST(CAST((lang = 'en') AS INT) AS DOUBLE)
+                FROM documents),
+            rk AS (SELECT a.doc_id, a.t,
+                          CAST(sum(CASE WHEN b.v < a.v THEN 1 ELSE 0 END)
+                               AS BIGINT)
+                          + (CAST(sum(CASE WHEN b.v = a.v THEN 1 ELSE 0 END)
+                                  AS BIGINT) + 1)/2.0 AS r
+                   FROM s a JOIN s b ON b.doc_id = a.doc_id
+                   GROUP BY a.doc_id, a.t),
+            per_t AS (SELECT t, {_DS.format(x='r')} AS rj FROM rk GROUP BY t),
+            tot AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n,
+                           {_DS.format(x='r*r')} AS rr FROM rk),
+            agg AS (SELECT max(n) AS n2, max(rr) AS rr2,
+                           CAST(count(*) AS BIGINT) AS kk,
+                           {_DS.format(x='rj*rj')} AS rj2
+                    FROM per_t CROSS JOIN tot),
+            calc AS (SELECT n2, kk, rj2, rr2,
+                            CAST(n2 AS DOUBLE) AS n, CAST(kk AS DOUBLE) AS k
+                     FROM agg)
+            SELECT n2 AS n_blocks,
+                   CAST(0 AS BIGINT) AS n_blocks_dropped,
+                   CAST(kk AS INT) AS k_treatments,
+                   round(CASE WHEN rr2 - n*k*(k + 1.0)*(k + 1.0)/4.0 <= 0.0
+                         THEN NULL
+                         ELSE (k - 1.0)*(rj2 - n*(n*k*(k + 1.0)*(k + 1.0)/4.0))
+                              /(rr2 - n*k*(k + 1.0)*(k + 1.0)/4.0) END,
+                         6) + 0.0 AS chi2,
+                   CAST(kk - 1 AS INT) AS dof
+            FROM calc
+        """,
+        # Doksum shift function: per-class decile arrays zipped + joined
+        "events_shift_function": """
+            WITH base AS (
+                SELECT event_type AS g,
+                       'v' || CAST(user_id % 2 AS VARCHAR) AS c,
+                       CAST(value AS DOUBLE) AS s
+                FROM events WHERE value IS NOT NULL),
+            two AS (SELECT g, min(c) AS class_a, max(c) AS class_b
+                    FROM base GROUP BY g HAVING count(DISTINCT c) = 2),
+            qa AS (SELECT g, c, quantile_cont(s,
+                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+                   FROM base GROUP BY g, c),
+            ex AS (SELECT g, c, unnest(qs) AS q,
+                          unnest(CAST([0.1, 0.2, 0.3, 0.4, 0.5,
+                                       0.6, 0.7, 0.8, 0.9] AS DOUBLE[])) AS p
+                   FROM qa)
+            SELECT two.g AS event_type, two.class_a, two.class_b,
+                   round(a.p, 6) AS p,
+                   round(a.q, 6) AS q_a, round(b.q, 6) AS q_b,
+                   round(b.q - a.q, 6) + 0.0 AS shift
+            FROM two
+            JOIN ex a ON a.g = two.g AND a.c = two.class_a
+            JOIN ex b ON b.g = two.g AND b.c = two.class_b AND b.p = a.p
+            ORDER BY event_type, p
+        """,
+        # shard mixing: serpentine deal replay + per-shard entropy
+        "doc_shard_mixing": f"""
+            WITH idx AS (
+                SELECT doc_id, source, n_chars,
+                       row_number() OVER (ORDER BY n_chars DESC, doc_id ASC)
+                           - 1 AS i
+                FROM documents),
+            a AS (SELECT source,
+                         CAST(CASE WHEN i % 16 < 8 THEN i % 16
+                              ELSE 16 - 1 - (i % 16) END AS INT) AS shard
+                  FROM idx),
+            cells AS (SELECT shard, source AS g, count(*) AS n
+                      FROM a GROUP BY shard, source),
+            st AS (SELECT shard, CAST(sum(n) AS BIGINT) AS t
+                   FROM cells GROUP BY shard),
+            ps AS (SELECT c.shard, CAST(sum(c.n) AS BIGINT) AS n_rows,
+                          CAST(count(*) AS INT) AS n_groups,
+                          -{_DS.format(
+                              x='CAST(c.n AS DOUBLE)/CAST(st.t AS DOUBLE)'
+                              '*round(ln(CAST(c.n AS DOUBLE)'
+                              '/CAST(st.t AS DOUBLE)), 9)')} AS entropy
+                   FROM cells c JOIN st ON st.shard = c.shard
+                   GROUP BY c.shard),
+            cc AS (SELECT source AS g, count(*) AS n
+                   FROM documents GROUP BY source),
+            ct AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM cc),
+            ch AS (SELECT -{_DS.format(
+                       x='CAST(cc.n AS DOUBLE)/CAST(ct.t AS DOUBLE)'
+                       '*round(ln(CAST(cc.n AS DOUBLE)'
+                       '/CAST(ct.t AS DOUBLE)), 9)')} AS hc
+                   FROM cc CROSS JOIN ct)
+            SELECT ps.shard, ps.n_rows, ps.n_groups,
+                   round(ps.entropy, 6) + 0.0 AS entropy,
+                   round(CASE WHEN ch.hc > 0.0
+                         THEN ps.entropy/ch.hc END, 6) + 0.0 AS mixing_ratio
+            FROM ps CROSS JOIN ch ORDER BY ps.shard
         """,
     }

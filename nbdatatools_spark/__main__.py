@@ -1483,6 +1483,13 @@ def _cmd_events(args) -> int:
         return _emit_rows(
             stats.welch_anova(classed, args.key_col, "__class", args.value_col)
         )
+    if args.what == "shift":
+        from nbdatatools_spark.operators import stats
+
+        classed = ev.withColumn("__class", F.expr(args.class_expr))
+        return _emit_rows(
+            stats.shift_function(classed, args.key_col, "__class", args.value_col)
+        )
     if args.what == "trimmed":
         from nbdatatools_spark.operators import stats
 
@@ -1972,6 +1979,48 @@ def _cmd_corpus_brier(args) -> int:
             "__score",
             "__label",
             n_bins=args.n_bins,
+        )
+    )
+
+
+def _cmd_corpus_cochran(args) -> int:
+    """Cochran's Q over a LONG-format verdict table (item, rater, flag)."""
+    from nbdatatools_spark.operators.evaluation import cochran_q
+
+    return _emit_rows(
+        cochran_q(
+            _spark().read.parquet(args.input),
+            args.item_col,
+            args.rater_col,
+            args.flag_col,
+        )
+    )
+
+
+def _cmd_corpus_friedman(args) -> int:
+    """Friedman test over a LONG-format score table (block, scorer, score)."""
+    from nbdatatools_spark.operators.stats import friedman_test
+
+    return _emit_rows(
+        friedman_test(
+            _spark().read.parquet(args.input),
+            args.block_col,
+            args.scorer_col,
+            args.score_col,
+        )
+    )
+
+
+def _cmd_corpus_mixing(args) -> int:
+    from nbdatatools_spark.operators.packing import shard_mixing_report
+
+    return _emit_rows(
+        shard_mixing_report(
+            _spark().read.parquet(args.input),
+            n_shards=args.n_shards,
+            weight_col=args.weight_col,
+            group_col=args.group_col,
+            id_col=args.id_col,
         )
     )
 
@@ -2657,6 +2706,30 @@ def build_parser() -> argparse.ArgumentParser:
     ccv.add_argument("--col-b", default="source")
     ccv.set_defaults(func=_cmd_corpus_cramers)
 
+    ccq = cp.add_parser("cochran")
+    ccq.add_argument("--input", required=True,
+                     help="long-format verdicts: (item, rater, flag)")
+    ccq.add_argument("--item-col", default="doc_id")
+    ccq.add_argument("--rater-col", default="rater")
+    ccq.add_argument("--flag-col", default="verdict")
+    ccq.set_defaults(func=_cmd_corpus_cochran)
+
+    cfm = cp.add_parser("friedman")
+    cfm.add_argument("--input", required=True,
+                     help="long-format scores: (block, scorer, score)")
+    cfm.add_argument("--block-col", default="doc_id")
+    cfm.add_argument("--scorer-col", default="scorer")
+    cfm.add_argument("--score-col", default="score")
+    cfm.set_defaults(func=_cmd_corpus_friedman)
+
+    cmx = cp.add_parser("mixing")
+    cmx.add_argument("--input", required=True)
+    cmx.add_argument("--n-shards", type=int, default=8)
+    cmx.add_argument("--weight-col", default="n_chars")
+    cmx.add_argument("--group-col", default="source")
+    cmx.add_argument("--id-col", default="doc_id")
+    cmx.set_defaults(func=_cmd_corpus_mixing)
+
     gdn = gn.add_parser("denoising-pairs")
     gdn.add_argument("--input", required=True)
     gdn.add_argument("--output", required=True)
@@ -2815,7 +2888,7 @@ def build_parser() -> argparse.ArgumentParser:
               "theil_sen", "bootstrap_ci", "dp_counts", "k_anonymity",
               "acf", "survival", "ccf", "burstiness", "did", "quantiles",
               "mwu", "kruskal", "levene", "spearman", "trend",
-              "page_hinkley", "trimmed", "welch"):
+              "page_hinkley", "trimmed", "welch", "shift"):
         ev = evp.add_parser(w)
         ev.add_argument("--input", required=True)
         ev.add_argument("--ts-col", default="ts")
@@ -2875,7 +2948,7 @@ def build_parser() -> argparse.ArgumentParser:
                             help="boolean SQL expression tagging the cohort")
             ev.add_argument("--value-col", default="value")
             ev.add_argument("--cutoff", required=True)
-        if w in ("mwu", "kruskal", "levene", "welch"):
+        if w in ("mwu", "kruskal", "levene", "welch", "shift"):
             ev.add_argument("--key-col", default="event_type")
             ev.add_argument("--value-col", default="value")
             ev.add_argument(

@@ -1058,3 +1058,79 @@ def brier_decomposition(
             "within_bin_var"
         ),
     )
+
+
+def cochran_q(
+    df: DataFrame,
+    item_col: str,
+    treatment_col: str,
+    flag_col,
+) -> DataFrame:
+    """Cochran's Q test (Cochran 1950): do k BINARY treatments (filters,
+    judges, pipeline variants) have the same pass rate on the same
+    items — the k-treatment generalization of McNemar, the significance
+    companion to fleiss_kappa's agreement magnitude:
+
+        Q = k(k-1) * sum_j (C_j - T/k)^2 / (k T - sum_i R_i^2)
+
+    with C_j the per-treatment success totals, R_i the per-item success
+    totals, T the grand total. Items must carry all k treatments;
+    off-count items are dropped loudly (``n_items_dropped``). Q is
+    asymptotically chi-square with k-1 dof.
+
+    Returns ONE row ``(n_items, n_items_dropped, k_treatments, q_stat,
+    dof)`` at 6dp (NULL q when the denominator is 0 — all items
+    unanimous).
+
+    Plan: one (item) reduce + one (treatment) reduce over a 0/1
+    projection — map-side combinable, state bounded by items/treatments.
+    """
+    flag = (F.col(flag_col) if isinstance(flag_col, str) else flag_col).cast(
+        "int"
+    )
+    base = df.select(
+        F.col(item_col).alias("__i"),
+        F.col(treatment_col).alias("__t"),
+        flag.alias("__f"),
+    ).where(F.col("__f").isNotNull())
+    k_all = base.select("__t").distinct().count()
+    per_item = base.groupBy("__i").agg(
+        F.count(F.lit(1)).alias("__k"), F.sum("__f").alias("__r")
+    ).localCheckpoint(eager=False)
+    kept_items = per_item.where(F.col("__k") == k_all)
+    dropped = per_item.where(F.col("__k") != k_all).agg(
+        F.count(F.lit(1)).alias("n_items_dropped")
+    )
+    kept = base.join(kept_items.select("__i"), "__i", "left_semi")
+
+    def _dsum(expr):
+        return F.sum(F.round(expr, 9).cast("decimal(30,9)")).cast("double")
+
+    cols = kept.groupBy("__t").agg(F.sum("__f").alias("__c"))
+    rows_ = kept_items.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("__r").alias("__tt"),
+        F.sum(F.col("__r") * F.col("__r")).alias("__rr"),
+    )
+    colagg = cols.crossJoin(F.broadcast(rows_)).agg(
+        F.max("n_items").alias("n_items"),
+        F.max("__tt").alias("__t2"),
+        F.max("__rr").alias("__r2"),
+        F.count(F.lit(1)).alias("__kk"),
+        _dsum(
+            (F.col("__c").cast("double") - F.col("__tt").cast("double") / k_all)
+            * (F.col("__c").cast("double") - F.col("__tt").cast("double") / k_all)
+        ).alias("__num"),
+    )
+    kk = F.col("__kk").cast("double")
+    den = kk * F.col("__t2").cast("double") - F.col("__r2").cast("double")
+    q = F.when(den <= 0.0, F.lit(None).cast("double")).otherwise(
+        kk * (kk - 1.0) * F.col("__num") / den
+    )
+    return colagg.crossJoin(F.broadcast(dropped)).select(
+        F.col("n_items").cast("bigint").alias("n_items"),
+        F.col("n_items_dropped").cast("bigint").alias("n_items_dropped"),
+        F.col("__kk").cast("int").alias("k_treatments"),
+        (F.round(q, 6) + 0.0).alias("q_stat"),
+        (F.col("__kk") - 1).cast("int").alias("dof"),
+    )

@@ -665,3 +665,73 @@ def shard_balance_report(
         )
         .orderBy("shard")
     )
+
+
+def shard_mixing_report(
+    df: DataFrame,
+    n_shards: int,
+    weight_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Shard mixing audit for :func:`balanced_shards`: per-shard SOURCE
+    entropy vs the corpus's — training shards must not only balance
+    token mass (shard_balance_report) but MIX sources, or a data-loader
+    rank sees one domain for minutes at a time and the loss curve
+    staircases.
+
+        H_shard = -sum_g p_g ln p_g   over the shard's group shares
+        mixing_ratio = H_shard / H_corpus   (1 = perfectly mixed)
+
+    Returns ``(shard, n_rows, n_groups, entropy, mixing_ratio)`` per
+    shard at 6dp, ordered by shard; mixing_ratio NULL when the corpus
+    itself is single-group.
+
+    Plan: the balanced_shards assignment (two-phase global index) -> one
+    (shard, group) count aggregate -> shard-level DECIMAL entropy
+    reduce + a 1-row corpus entropy broadcast. Log terms round to 9dp
+    so both engines agree.
+    """
+    assigned = balanced_shards(
+        df, n_shards, weight_col, id_col=id_col, out_col="__shard"
+    )
+    cells = assigned.groupBy("__shard", F.col(group_col).alias("__g")).agg(
+        F.count(F.lit(1)).alias("__n")
+    ).localCheckpoint(eager=False)
+
+    def _dsum(expr):
+        return F.sum(F.round(expr, 9).cast("decimal(30,9)")).cast("double")
+
+    def _entropy(grouped, key):
+        tot = grouped.groupBy(*key).agg(F.sum("__n").alias("__t"))
+        j = grouped.join(F.broadcast(tot), list(key)) if key else grouped.crossJoin(
+            F.broadcast(tot)
+        )
+        p = F.col("__n").cast("double") / F.col("__t").cast("double")
+        return j.groupBy(*key).agg(
+            F.sum("__n").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_groups"),
+            (-_dsum(p * F.round(F.log(p), 9))).alias("entropy"),
+        )
+
+    per_shard = _entropy(cells, ("__shard",))
+    corpus = _entropy(
+        cells.groupBy("__g").agg(F.sum("__n").alias("__n")), ()
+    ).select(F.col("entropy").alias("__hc"))
+    return (
+        per_shard.crossJoin(F.broadcast(corpus))
+        .select(
+            F.col("__shard").alias("shard"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("n_groups").cast("int").alias("n_groups"),
+            (F.round("entropy", 6) + 0.0).alias("entropy"),
+            (
+                F.round(
+                    F.when(F.col("__hc") > 0.0, F.col("entropy") / F.col("__hc")),
+                    6,
+                )
+                + 0.0
+            ).alias("mixing_ratio"),
+        )
+        .orderBy("shard")
+    )

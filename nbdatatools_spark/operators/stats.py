@@ -932,3 +932,152 @@ def cramers_v(
         (F.round(vc, 6) + 0.0).alias("v_corrected"),
     )
     return out
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Friedman rank test (Friedman 1937, Conover's tie-handling form):
+    do k treatments (scorers, pipeline variants) rank the same blocks
+    (documents) identically — the repeated-measures cousin of
+    kruskal_wallis:
+
+        chi2_F = (k-1) * (sum_j Rj^2 - n^2 k (k+1)^2/4) / A,
+        A = sum_ij r_ij^2 - n k (k+1)^2/4
+
+    with r_ij the tie-averaged rank of treatment j WITHIN block i and
+    Rj its column sum; without ties A reduces to n k(k+1)(k-1)/12 and
+    the classic statistic falls out. Blocks missing any treatment are
+    dropped loudly (``n_blocks_dropped``).
+
+    Returns ONE row ``(n_blocks, n_blocks_dropped, k_treatments, chi2,
+    dof)`` at 6dp (NULL chi2 when A = 0 — every block fully tied).
+
+    Plan: within-block ranks from a k^2-per-block self-join on the
+    block key (k = treatment count, a handful — never data-sized), then
+    two DECIMAL reduces. No windows.
+    """
+    base = df.select(
+        F.col(block_col).alias("__b"),
+        F.col(treatment_col).cast("string").alias("__t"),
+        F.col(value_col).cast("double").alias("__s"),
+    ).where(F.col("__s").isNotNull() & F.col("__t").isNotNull())
+    k_all = base.select("__t").distinct().count()
+    per_block = base.groupBy("__b").agg(F.count(F.lit(1)).alias("__k"))
+    kept_ids = per_block.where(F.col("__k") == k_all).select("__b")
+    dropped = per_block.where(F.col("__k") != k_all).agg(
+        F.count(F.lit(1)).alias("n_blocks_dropped")
+    )
+    kept = base.join(kept_ids, "__b", "left_semi").localCheckpoint(eager=False)
+    o = kept.select(
+        F.col("__b"), F.col("__t").alias("__t2"), F.col("__s").alias("__s2")
+    )
+    ranks = (
+        kept.join(o, "__b")
+        .groupBy("__b", "__t")
+        .agg(
+            (
+                F.sum(F.when(F.col("__s2") < F.col("__s"), 1).otherwise(0))
+                + (F.sum(F.when(F.col("__s2") == F.col("__s"), 1).otherwise(0)) + 1)
+                / F.lit(2.0)
+            ).alias("__r")
+        )
+    )
+    per_t = ranks.groupBy("__t").agg(_dsum(F.col("__r")).alias("__rj"))
+    tot = ranks.agg(
+        F.count_distinct("__b").alias("__n"),
+        _dsum(F.col("__r") * F.col("__r")).alias("__rr"),
+    )
+    agg = per_t.crossJoin(F.broadcast(tot)).agg(
+        F.max("__n").alias("__n2"),
+        F.max("__rr").alias("__rr2"),
+        F.count(F.lit(1)).alias("__kk"),
+        _dsum(F.col("__rj") * F.col("__rj")).alias("__rj2"),
+    )
+    n = F.col("__n2").cast("double")
+    kk = F.col("__kk").cast("double")
+    corr = n * kk * (kk + 1.0) * (kk + 1.0) / 4.0
+    a = F.col("__rr2") - corr
+    num = (kk - 1.0) * (F.col("__rj2") - n * corr)
+    # Rj^2 correction term: sum Rj^2 - n^2 k (k+1)^2/4 = rj2 - n*corr
+    chi2 = F.when(a <= 0.0, F.lit(None).cast("double")).otherwise(num / a)
+    return agg.crossJoin(F.broadcast(dropped)).select(
+        F.col("__n2").cast("bigint").alias("n_blocks"),
+        F.col("n_blocks_dropped").cast("bigint").alias("n_blocks_dropped"),
+        F.col("__kk").cast("int").alias("k_treatments"),
+        (F.round(chi2, 6) + 0.0).alias("chi2"),
+        (F.col("__kk") - 1).cast("int").alias("dof"),
+    )
+
+
+def shift_function(
+    df: DataFrame,
+    group_col: str,
+    class_col: str,
+    value_col: str,
+    probs: tuple = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+) -> DataFrame:
+    """Doksum shift function per group (Doksum 1974): the per-decile
+    quantile difference between the two classes of ``class_col`` — WHERE
+    in the distribution a treatment moved mass (a mean shift, a tail
+    stretch, a variance squeeze all look different here; a single
+    mean/U-test cannot tell them apart).
+
+    ``class_a`` is the lexicographically smaller label; ``shift`` =
+    q_b - q_a at each probe. Exact interpolated percentiles (the
+    mad_outliers convention). Returns ``(group, class_a, class_b, p,
+    q_a, q_b, shift)`` — groups x probes rows at 6dp, ordered
+    (group, p).
+
+    Plan: one percentile-array aggregate per (group, class) + one
+    posexplode of the len(probs)-element arrays + a two-row pivot per
+    group. Nothing row-sized after the first aggregate.
+    """
+    plist = ", ".join(repr(float(p)) for p in probs)
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(class_col).cast("string").alias("__c"),
+        F.col(value_col).cast("double").alias("__s"),
+    ).where(F.col("__s").isNotNull() & F.col("__c").isNotNull())
+    two = base.groupBy("__g").agg(
+        F.count_distinct("__c").alias("__k"),
+        F.min("__c").alias("class_a"),
+        F.max("__c").alias("class_b"),
+    ).where(F.col("__k") == 2)
+    qt = base.groupBy("__g", "__c").agg(
+        F.expr(f"percentile(__s, array({plist}))").alias("__q")
+    )
+    probes = F.array(*[F.lit(float(p)) for p in probs])
+    ex = qt.select(
+        "__g",
+        "__c",
+        F.posexplode(F.arrays_zip(probes.alias("p"), F.col("__q").alias("q"))).alias(
+            "__i", "__pq"
+        ),
+    ).select(
+        "__g", "__c", F.col("__pq.p").alias("p"), F.col("__pq.q").alias("q")
+    )
+    a = ex.select(
+        "__g", F.col("__c").alias("class_a"), "p", F.col("q").alias("q_a")
+    )
+    b = ex.select(
+        "__g", F.col("__c").alias("class_b"), "p", F.col("q").alias("q_b")
+    )
+    out = (
+        two.join(a, ["__g", "class_a"])
+        .join(b, ["__g", "class_b", "p"])
+        .select(
+            F.col("__g").alias(group_col),
+            "class_a",
+            "class_b",
+            F.round("p", 6).alias("p"),
+            F.round("q_a", 6).alias("q_a"),
+            F.round("q_b", 6).alias("q_b"),
+            (F.round(F.col("q_b") - F.col("q_a"), 6) + 0.0).alias("shift"),
+        )
+        .orderBy(group_col, "p")
+    )
+    return out

@@ -174,3 +174,76 @@ def running_zscore_flags(events, z_threshold: float = 3.0, min_n: int = 5):
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def running_page_hinkley(
+    events,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    order_cols: tuple = ("ts", "event_id"),
+    delta: float = 0.5,
+    lambda_: float = 10.0,
+):
+    """Streaming Page-Hinkley mean-shift detector per key — the online
+    form of ``operators.temporal.page_hinkley``'s closed-form batch
+    build, maintained incrementally across micro-batches:
+
+        n += 1; s += x; xbar = s/n
+        m += x - xbar - delta;  m_min = min(m_min, m)
+        ph = m - m_min;  alarm when ph > lambda
+
+    State per key is FOUR scalars (n, sum, m, m_min) — bounded however
+    long the stream runs, the running_decayed_sum GroupState shape.
+    Values fold in ``order_cols`` order within each micro-batch; with
+    in-order arrival the final (n, m, ph) equals the batch operator on
+    the same rows to float-sum rounding (pinned by
+    tests/test_stream_page_hinkley.py).
+
+    Emits ``(key, n, running_mean, m_t, ph, is_alarm)`` per key per
+    micro-batch.
+    """
+    if lambda_ <= 0:
+        raise ValueError(f"lambda_ must be positive, got {lambda_}")
+    order = list(order_cols)
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        (k,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, s, m, m_min = state.get if state.exists else (0, 0.0, 0.0, 0.0)
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            for v in pdf.sort_values(order)[value_col]:
+                x = float(v)
+                n += 1
+                s += x
+                m += round(x - s / n - delta, 9)
+                if m < m_min:
+                    m_min = m
+        state.update((n, s, m, m_min))
+        state.setTimeoutDuration(60 * 60 * 1000)
+        ph = m - m_min
+        yield pd.DataFrame(
+            {
+                "key": [k],
+                "n": [n],
+                "running_mean": [s / n if n else 0.0],
+                "m_t": [m],
+                "ph": [ph],
+                "is_alarm": [ph > lambda_],
+            }
+        )
+
+    out_schema = (
+        "key STRING, n BIGINT, running_mean DOUBLE, m_t DOUBLE, "
+        "ph DOUBLE, is_alarm BOOLEAN"
+    )
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="n BIGINT, s DOUBLE, m DOUBLE, m_min DOUBLE",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

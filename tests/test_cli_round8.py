@@ -188,3 +188,37 @@ def test_analyze_dbscan_cli(spark, capsys):
     rows = _lines(capsys)
     assert len(rows) == 500
     assert {r["role"] for r in rows} <= {"core", "border", "noise"}
+
+
+def test_events_shift_cli(spark, capsys):
+    assert main(["events", "shift", "--input", EVENTS]) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 45  # 5 types x 9 deciles
+    assert all(abs(r["shift"] - (r["q_b"] - r["q_a"])) < 2e-6 for r in rows)
+
+
+def test_corpus_cochran_and_friedman_cli(spark, capsys, tmp_path):
+    p = str(tmp_path / "verdicts8.parquet")
+    rows = [(i, f"r{j}", (i * (j + 1)) % 3 == 0) for i in range(30) for j in range(3)]
+    spark.createDataFrame(
+        rows, "doc_id long, rater string, verdict boolean"
+    ).write.mode("overwrite").parquet(p)
+    assert main(["corpus", "cochran", "--input", p]) == 0
+    (row,) = _lines(capsys)
+    assert row["n_items"] == 30 and row["dof"] == 2
+
+    ps = str(tmp_path / "scores8.parquet")
+    srows = [(i, f"s{j}", float((i * 7 + j * 13) % 19)) for i in range(30) for j in range(3)]
+    spark.createDataFrame(
+        srows, "doc_id long, scorer string, score double"
+    ).write.mode("overwrite").parquet(ps)
+    assert main(["corpus", "friedman", "--input", ps]) == 0
+    (row,) = _lines(capsys)
+    assert row["n_blocks"] == 30 and row["k_treatments"] == 3
+
+
+def test_corpus_mixing_cli(spark, capsys):
+    assert main(["corpus", "mixing", "--input", DOCS, "--n-shards", "4"]) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 4
+    assert all(r["entropy"] >= 0.0 for r in rows)
