@@ -174,6 +174,31 @@ HEADLINE = [
     "doc_conformal_threshold",
     "events_diff_in_diff",
     "doc_balanced_shards",
+    # round-9 candidates (benched ahead of their window rotation; the
+    # rank tests share the two-phase count-table machinery)
+    "events_mann_whitney",
+    "events_kruskal_wallis",
+    "events_levene_test",
+    "events_spearman_corr",
+    "events_mann_kendall",
+    "doc_source_fdr",
+    "events_assortativity",
+    "events_kcore",
+    "doc_fleiss_kappa",
+    "doc_lexical_diversity",
+    "embedding_two_sample_shift",
+    "corpus_lsa_topics",
+    "events_page_hinkley",
+    "events_trimmed_mean",
+    "doc_sampling_ess",
+    "doc_brier_decomposition",
+    "embedding_dbscan",
+    "events_welch_anova",
+    "doc_cramers_v",
+    "doc_cochran_q",
+    "doc_friedman_test",
+    "events_shift_function",
+    "doc_shard_mixing",
 ]
 
 

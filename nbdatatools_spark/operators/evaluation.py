@@ -925,8 +925,13 @@ def fleiss_kappa(
     item_agg = kept.agg(
         F.count(F.lit(1)).alias("n_items"),
         F.max("__nr").alias("__nrr"),
+        # ANSI guard: a 1-rater panel has no pairwise agreement (P_i is
+        # undefined) — NULL the term instead of dividing by zero
         _dsum(
-            (F.col("__sq").cast("double") - nr) / (nr * (nr - 1.0))
+            F.when(
+                F.col("__nr") > 1,
+                (F.col("__sq").cast("double") - nr) / (nr * (nr - 1.0)),
+            )
         ).alias("__sp"),
     )
     cat_counts = (

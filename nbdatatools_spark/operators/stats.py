@@ -632,15 +632,19 @@ def two_sample_distance(
     )
     out = agg.crossJoin(F.broadcast(cnt)).crossJoin(F.broadcast(gdf))
     A, B = F.col("na"), F.col("nb")
-    mmd2 = (
+    # ANSI guard: the unbiased estimators need >= 2 points per side
+    ok = (A >= 2.0) & (B >= 2.0)
+    mmd2 = F.when(
+        ok,
         2.0 * F.col("kaa") / (A * (A - 1.0))
         + 2.0 * F.col("kbb") / (B * (B - 1.0))
-        - 2.0 * F.col("kab") / (A * B)
+        - 2.0 * F.col("kab") / (A * B),
     )
-    energy = (
+    energy = F.when(
+        ok,
         2.0 * F.col("dab") / (A * B)
         - 2.0 * F.col("daa") / (A * (A - 1.0))
-        - 2.0 * F.col("dbb") / (B * (B - 1.0))
+        - 2.0 * F.col("dbb") / (B * (B - 1.0)),
     )
     return out.select(
         A.cast("bigint").alias("n_a"),
@@ -915,14 +919,20 @@ def cramers_v(
     v = F.when(
         F.least(rr - 1.0, cc - 1.0) <= 0.0, F.lit(None).cast("double")
     ).otherwise(F.sqrt(phi2 / F.least(rr - 1.0, cc - 1.0)))
-    phi2c = F.greatest(
-        F.lit(0.0), phi2 - (rr - 1.0) * (cc - 1.0) / (nn - 1.0)
+    # ANSI guard: the bias correction divides by n-1
+    phi2c = F.when(
+        nn > 1.0,
+        F.greatest(F.lit(0.0), phi2 - (rr - 1.0) * (cc - 1.0) / (nn - 1.0)),
     )
     rc = rr - (rr - 1.0) * (rr - 1.0) / (nn - 1.0)
     ccx = cc - (cc - 1.0) * (cc - 1.0) / (nn - 1.0)
-    vc = F.when(
-        F.least(rc - 1.0, ccx - 1.0) <= 0.0, F.lit(None).cast("double")
-    ).otherwise(F.sqrt(phi2c / F.least(rc - 1.0, ccx - 1.0)))
+    # nested whens, not OR: the n-1 divisions must sit in a branch that is
+    # only reached when nn > 1 (Spark's Or does not short-circuit)
+    vc = F.when(nn <= 1.0, F.lit(None).cast("double")).otherwise(
+        F.when(
+            F.least(rc - 1.0, ccx - 1.0) <= 0.0, F.lit(None).cast("double")
+        ).otherwise(F.sqrt(phi2c / F.least(rc - 1.0, ccx - 1.0)))
+    )
     out = full.select(
         F.col("n").cast("bigint").alias("n"),
         F.col("r_levels").cast("int").alias("r_levels"),

@@ -205,3 +205,41 @@ def test_cramers_v_numpy_differential(spark):
     assert abs(r["chi2"] - chi2) < 1e-4
     v = math.sqrt(chi2 / n / min(len(avals) - 1, len(bvals) - 1))
     assert abs(r["v"] - v) < 1e-6
+
+
+def test_cramers_v_degenerate_inputs(spark):
+    from nbdatatools_spark.operators.stats import cramers_v
+
+    one = spark.createDataFrame([("x", "y")], "a string, b string")
+    r = cramers_v(one, "a", "b").collect()[0]
+    assert r["n"] == 1 and r["v"] is None and r["v_corrected"] is None
+    single_level = spark.createDataFrame(
+        [("x", str(i % 3)) for i in range(9)], "a string, b string"
+    )
+    r = cramers_v(single_level, "a", "b").collect()[0]
+    assert r["v"] is None  # min(r-1, c-1) == 0
+
+
+def test_two_sample_distance_tiny_side_null(spark):
+    from nbdatatools_spark.operators.stats import two_sample_distance
+
+    a = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    b = spark.createDataFrame(
+        [(10, [0.0, 0.0]), (11, [1.0, 1.0]), (12, [2.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    r = two_sample_distance(a, b, sample_size=8).collect()[0]
+    assert r["n_a"] == 1
+    assert r["mmd2"] is None and r["energy"] is None
+
+
+def test_fleiss_kappa_single_rater_panel(spark):
+    from nbdatatools_spark.operators.evaluation import fleiss_kappa
+
+    rows = [(i, "r0", str(i % 2)) for i in range(10)]
+    df = spark.createDataFrame(rows, "item long, rater string, cat string")
+    out = fleiss_kappa(df, "item", "rater", "cat").collect()[0]
+    assert out["n_raters"] == 1
+    assert out["p_bar"] is None  # agreement undefined with one rater
