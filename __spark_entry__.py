@@ -12225,6 +12225,46 @@ def doc_shard_mixing(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-8 batch 5: two-sample KS + semantic decontamination
+# ---------------------------------------------------------------------------
+
+
+def events_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov test of the event value between the
+    user_id%2 variants per event type (stats.py::ks_two_sample): the
+    supremum ECDF gap — the whole-distribution companion to the
+    mann_whitney location test. Two-phase cumulative class counts (no
+    data-sized window), asymptotic Kolmogorov p via a bounded 100-term
+    series at 4dp."""
+    from nbdatatools_spark.operators.stats import ks_two_sample
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    ev = ev.withColumn(
+        "variant", F.concat(F.lit("v"), (F.col("user_id") % 2).cast("string"))
+    )
+    return ks_two_sample(ev, "event_type", "variant", "value")
+
+
+def embedding_decontaminate(spark, sf_dir):
+    """Embedding-space test-set decontamination
+    (dedup.py::semantic_decontaminate): train = vec_id < 400, test =
+    re-idded copies of every 10th train vector (planted leakage, the
+    cross-corpus fixture convention); the broadcast-test path whose join
+    predicate IS the cosine threshold — the semantic sibling of the
+    13-gram decontamination rule. Exact DECIMAL-fold cosines."""
+    from nbdatatools_spark.operators.dedup import semantic_decontaminate
+
+    emb = _t(spark, sf_dir, "embeddings")
+    train = emb.where(F.col("vec_id") < 400)
+    test = train.where(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1000000)
+    )
+    return semantic_decontaminate(
+        train, test, threshold=0.95, method="broadcast"
+    )
+
+
 # ============================================================================
 # CANDIDATE STAGING — new gates built after this round's recording
 # window is attested land HERE (with their oracles), not in queries():
@@ -12263,6 +12303,8 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_friedman_test": doc_friedman_test,
         "events_shift_function": events_shift_function,
         "doc_shard_mixing": doc_shard_mixing,
+        "events_ks_test": events_ks_test,
+        "embedding_decontaminate": embedding_decontaminate,
     }
 
 
@@ -13027,5 +13069,90 @@ def candidate_oracles() -> dict[str, str]:
                    round(CASE WHEN ch.hc > 0.0
                          THEN ps.entropy/ch.hc END, 6) + 0.0 AS mixing_ratio
             FROM ps CROSS JOIN ch ORDER BY ps.shard
+        """,
+        # two-sample KS: per-group cumulative class counts, ECDF gap max,
+        # 100-term Kolmogorov series (round9 DECIMAL terms, p at 4dp)
+        "events_ks_test": f"""
+            WITH base AS (
+                SELECT event_type AS g,
+                       'v' || CAST(user_id % 2 AS VARCHAR) AS c,
+                       CAST(value AS DOUBLE) AS s
+                FROM events WHERE value IS NOT NULL),
+            two AS (SELECT g, min(c) AS class_a, max(c) AS class_b
+                    FROM base GROUP BY g HAVING count(DISTINCT c) = 2),
+            grouped AS (
+                SELECT b.g, b.s,
+                       CAST(sum(CASE WHEN b.c = two.class_a THEN 1 ELSE 0 END)
+                            AS BIGINT) AS na,
+                       CAST(sum(CASE WHEN b.c <> two.class_a THEN 1 ELSE 0 END)
+                            AS BIGINT) AS nb
+                FROM base b JOIN two ON two.g = b.g GROUP BY b.g, b.s),
+            cum AS (SELECT g, s,
+                           CAST(sum(na) OVER w AS BIGINT) AS cuma,
+                           CAST(sum(nb) OVER w AS BIGINT) AS cumb
+                    FROM grouped
+                    WINDOW w AS (PARTITION BY g ORDER BY s
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW)),
+            tot AS (SELECT g, CAST(sum(na) AS BIGINT) AS ta,
+                           CAST(sum(nb) AS BIGINT) AS tb
+                    FROM grouped GROUP BY g),
+            gaps AS (SELECT cum.g, tot.ta, tot.tb,
+                            abs(CAST(cuma AS DOUBLE)/CAST(ta AS DOUBLE)
+                                - CAST(cumb AS DOUBLE)/CAST(tb AS DOUBLE))
+                                AS gap
+                     FROM cum JOIN tot ON tot.g = cum.g),
+            dd AS (SELECT g, max(ta) AS na2, max(tb) AS nb2,
+                          max(round(gap, 9)) AS d
+                   FROM gaps GROUP BY g),
+            lamt AS (SELECT g, na2, nb2, d,
+                            d * sqrt(CAST(na2 AS DOUBLE)*CAST(nb2 AS DOUBLE)
+                                     /(CAST(na2 AS DOUBLE)
+                                       + CAST(nb2 AS DOUBLE))) AS lam
+                     FROM dd),
+            ser AS (SELECT g,
+                           CAST(sum(CAST(round(
+                               CASE WHEN k % 2 = 1 THEN 1.0 ELSE -1.0 END
+                               * exp(-2.0*k*k*lam*lam), 9)
+                               AS DECIMAL(30,9))) AS DOUBLE) AS t
+                    FROM lamt CROSS JOIN
+                         (SELECT unnest(generate_series(1, 100)) AS k)
+                    GROUP BY g)
+            SELECT lamt.g AS event_type, two.class_a, two.class_b,
+                   lamt.na2 AS n_a, lamt.nb2 AS n_b,
+                   round(lamt.d, 6) + 0.0 AS d_stat,
+                   round(CASE WHEN lamt.lam <= 0.0 THEN 1.0
+                         ELSE least(1.0, greatest(0.0, 2.0*ser.t)) END,
+                         4) + 0.0 AS p_value
+            FROM lamt JOIN ser ON ser.g = lamt.g
+                      JOIN two ON two.g = lamt.g
+            ORDER BY event_type
+        """,
+        # semantic decontamination: planted-leakage cross cosines,
+        # per-dim DECIMAL folds replayed exactly
+        "embedding_decontaminate": """
+            WITH tr AS (
+                SELECT vec_id AS train_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id < 400),
+            te AS (
+                SELECT vec_id + 1000000 AS test_id,
+                       CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id < 400 AND vec_id % 10 = 0),
+            pr AS (SELECT train_id, test_id, tr.v AS vt, te.v AS ve
+                   FROM tr CROSS JOIN te),
+            d AS (SELECT train_id, test_id,
+                         CAST(sum(CAST(round(a*b, 9) AS DECIMAL(25,9)))
+                              AS DOUBLE) AS dot,
+                         CAST(sum(CAST(round(a*a, 9) AS DECIMAL(25,9)))
+                              AS DOUBLE) AS nt,
+                         CAST(sum(CAST(round(b*b, 9) AS DECIMAL(25,9)))
+                              AS DOUBLE) AS ne
+                  FROM (SELECT train_id, test_id, unnest(vt) AS a,
+                               unnest(ve) AS b FROM pr)
+                  GROUP BY train_id, test_id)
+            SELECT train_id, test_id,
+                   round(round(dot/(sqrt(nt)*sqrt(ne)), 9), 6) AS cosine_sim
+            FROM d WHERE round(dot/(sqrt(nt)*sqrt(ne)), 9) >= 0.95
+            ORDER BY train_id, test_id
         """,
     }

@@ -1490,6 +1490,13 @@ def _cmd_events(args) -> int:
         return _emit_rows(
             stats.shift_function(classed, args.key_col, "__class", args.value_col)
         )
+    if args.what == "ks":
+        from nbdatatools_spark.operators import stats
+
+        classed = ev.withColumn("__class", F.expr(args.class_expr))
+        return _emit_rows(
+            stats.ks_two_sample(classed, args.key_col, "__class", args.value_col)
+        )
     if args.what == "trimmed":
         from nbdatatools_spark.operators import stats
 
@@ -2030,6 +2037,22 @@ def _cmd_corpus_cramers(args) -> int:
 
     return _emit_rows(
         cramers_v(_spark().read.parquet(args.input), args.col_a, args.col_b)
+    )
+
+
+def _cmd_analyze_decontaminate(args) -> int:
+    from nbdatatools_spark.operators.dedup import semantic_decontaminate
+
+    sp = _spark()
+    return _emit_rows(
+        semantic_decontaminate(
+            sp.read.parquet(args.train),
+            sp.read.parquet(args.test),
+            threshold=args.threshold,
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+            method=args.method,
+        )
     )
 
 
@@ -2863,6 +2886,16 @@ def build_parser() -> argparse.ArgumentParser:
     a8.add_argument("--vec-col", default="embedding")
     a8.set_defaults(func=_cmd_analyze_sq8_error)
 
+    adc = an.add_parser("decontaminate")
+    adc.add_argument("--train", required=True)
+    adc.add_argument("--test", required=True)
+    adc.add_argument("--threshold", type=float, default=0.95)
+    adc.add_argument("--id-col", default="vec_id")
+    adc.add_argument("--vec-col", default="embedding")
+    adc.add_argument("--method", default="broadcast",
+                     choices=["broadcast", "lsh"])
+    adc.set_defaults(func=_cmd_analyze_decontaminate)
+
     adb = an.add_parser("dbscan")
     adb.add_argument("--input", required=True)
     adb.add_argument("--eps", type=float, default=0.05,
@@ -2888,7 +2921,7 @@ def build_parser() -> argparse.ArgumentParser:
               "theil_sen", "bootstrap_ci", "dp_counts", "k_anonymity",
               "acf", "survival", "ccf", "burstiness", "did", "quantiles",
               "mwu", "kruskal", "levene", "spearman", "trend",
-              "page_hinkley", "trimmed", "welch", "shift"):
+              "page_hinkley", "trimmed", "welch", "shift", "ks"):
         ev = evp.add_parser(w)
         ev.add_argument("--input", required=True)
         ev.add_argument("--ts-col", default="ts")
@@ -2948,7 +2981,7 @@ def build_parser() -> argparse.ArgumentParser:
                             help="boolean SQL expression tagging the cohort")
             ev.add_argument("--value-col", default="value")
             ev.add_argument("--cutoff", required=True)
-        if w in ("mwu", "kruskal", "levene", "welch", "shift"):
+        if w in ("mwu", "kruskal", "levene", "welch", "shift", "ks"):
             ev.add_argument("--key-col", default="event_type")
             ev.add_argument("--value-col", default="value")
             ev.add_argument(

@@ -2274,3 +2274,95 @@ def cosine_threshold_pairs(
         F.col("__b").alias("id_b"),
         F.round("__cos", 6).alias("cosine"),
     )
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "broadcast",
+) -> DataFrame:
+    """Embedding-space test-set decontamination (the semantic sibling of
+    the 13-gram ``contaminated_ids`` rule): flag every TRAIN vector whose
+    cosine similarity to ANY test vector reaches ``threshold`` —
+    paraphrased or re-tokenized eval leakage that exact n-gram matching
+    cannot see.
+
+    ``method="broadcast"`` (default): the test side is broadcast and the
+    join predicate IS the cosine threshold — one scan over train, work
+    linear in |train| x |test|. The right shape when the test bench is
+    eval-set sized (the Bloom-decontamination convention: the small side
+    rides with every executor). ``method="lsh"``: random-hyperplane
+    blocking via ``embedding_near_dups`` on the tagged union for
+    test sets too large to broadcast; candidates then verify exactly.
+
+    Returns ``(train_id, test_id, cosine_sim)`` for every flagged pair
+    at 6dp (a train row can match several test rows), ordered. Exact
+    cosines ride the round(9)-DECIMAL fold (the isotropy/knn kernel
+    convention) so a SQL oracle replays them bit-for-bit.
+    """
+    tr = train.select(
+        F.col(id_col).alias("train_id"),
+        F.col(vec_col).cast("array<double>").alias("__vt"),
+    )
+    te = test.select(
+        F.col(id_col).alias("test_id"),
+        F.col(vec_col).cast("array<double>").alias("__ve"),
+    )
+
+    def _fold(col):
+        return F.aggregate(
+            col,
+            F.lit(0.0).cast("decimal(25,9)"),
+            lambda acc, t: (acc + t.cast("decimal(25,9)")).cast("decimal(25,9)"),
+        ).cast("double")
+
+    dot = _fold(F.zip_with("__vt", "__ve", lambda x, y: F.round(x * y, 9)))
+    nt = F.sqrt(_fold(F.transform("__vt", lambda x: F.round(x * x, 9))))
+    ne = F.sqrt(_fold(F.transform("__ve", lambda x: F.round(x * x, 9))))
+    cos = F.round(dot / (nt * ne), 9)
+    if method == "broadcast":
+        pairs = tr.join(F.broadcast(te), cos >= float(threshold))
+    elif method == "lsh":
+        shifted = te.select(
+            F.concat(F.lit("t:"), F.col("test_id").cast("string")).alias(
+                id_col
+            ),
+            F.col("__ve").alias(vec_col),
+        )
+        tagged = tr.select(
+            F.col("train_id").cast("string").alias(id_col),
+            F.col("__vt").alias(vec_col),
+        ).unionByName(shifted)
+        dim = len(
+            te.select("__ve").limit(1).collect()[0][0]
+        )  # bounded driver scalar: one test row fixes the dimension
+        cand = embedding_near_dups(
+            tagged, id_col=id_col, vec_col=vec_col,
+            threshold=threshold, method="lsh", dim=dim,
+        )
+        cross = cand.where(
+            F.col("id_a").startswith("t:") != F.col("id_b").startswith("t:")
+        ).select(
+            F.when(
+                F.col("id_b").startswith("t:"), F.col("id_a")
+            ).otherwise(F.col("id_b")).alias("__tid"),
+            F.when(
+                F.col("id_b").startswith("t:"), F.col("id_b")
+            ).otherwise(F.col("id_a")).alias("__eid"),
+            F.col("cosine_sim"),
+        )
+        return cross.select(
+            F.col("__tid").alias("train_id"),
+            F.expr("substring(__eid, 3)").alias("test_id"),
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+        ).orderBy("train_id", "test_id")
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return pairs.select(
+        "train_id",
+        "test_id",
+        F.round(cos, 6).alias("cosine_sim"),
+    ).orderBy("train_id", "test_id")

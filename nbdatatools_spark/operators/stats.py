@@ -1091,3 +1091,162 @@ def shift_function(
         .orderBy(group_col, "p")
     )
     return out
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    class_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test per group: the supremum gap
+    between the two classes' empirical CDFs — the whole-distribution
+    companion to mann_whitney_u (which only sees location) and
+    brown_forsythe (which only sees spread):
+
+        D      = max_v |F_a(v) - F_b(v)|
+        lambda = D * sqrt(n_a n_b / (n_a + n_b))
+        p      = 2 sum_{k>=1} (-1)^(k-1) exp(-2 k^2 lambda^2)   (100 terms,
+                 the asymptotic Kolmogorov series; 4dp — the erf rounding
+                 discipline, exact enough everywhere p matters)
+
+    Classes must be exactly two per group (others drop, the
+    mann_whitney_u contract). Returns ``(group, class_a, class_b, n_a,
+    n_b, d_stat, p_value)`` ordered by group.
+
+    Plan: collapse to per-(group, value) class counts, ONE two-phase
+    inclusive cumsum over the (group, value) order (the
+    grouped_avg_ranks discipline — no data-sized window), per-group max
+    of the CDF gaps, and a bounded 100-term series for p.
+    """
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(class_col).cast("string").alias("__c"),
+        F.col(value_col).cast("double").alias("__s"),
+    ).where(F.col("__s").isNotNull() & F.col("__c").isNotNull())
+    two = (
+        base.groupBy("__g")
+        .agg(
+            F.count_distinct("__c").alias("__k"),
+            F.min("__c").alias("class_a"),
+            F.max("__c").alias("class_b"),
+        )
+        .where(F.col("__k") == 2)
+        .localCheckpoint(eager=False)
+    )
+    tagged = base.join(F.broadcast(two.select("__g", "class_a")), "__g")
+    grouped = tagged.groupBy("__g", "__s").agg(
+        F.sum(F.when(F.col("__c") == F.col("class_a"), 1).otherwise(0)).alias(
+            "__na"
+        ),
+        F.sum(F.when(F.col("__c") != F.col("class_a"), 1).otherwise(0)).alias(
+            "__nb"
+        ),
+    )
+    n_part = max(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")), 1
+    )
+    g2 = (
+        grouped.repartitionByRange(n_part, F.col("__g"), F.col("__s"))
+        .sortWithinPartitions("__g", "__s")
+        .select("*", F.spark_partition_id().alias("__pid"))
+        # pin the partitioning (the global_row_index sf0.1 AQE defect)
+        .localCheckpoint(eager=False)
+    )
+    w_loc = (
+        Window.partitionBy("__pid")
+        .orderBy("__g", "__s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        g2.groupBy("__pid")
+        .agg(
+            F.sum("__na").alias("__ca"), F.sum("__nb").alias("__cb")
+        )
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__ca").over(w_off), F.lit(0)).alias("__offa"),
+            F.coalesce(F.sum("__cb").over(w_off), F.lit(0)).alias("__offb"),
+        )
+    )
+    cum = g2.join(F.broadcast(offs), "__pid").select(
+        "__g",
+        "__s",
+        (F.sum("__na").over(w_loc) + F.col("__offa")).alias("__cuma"),
+        (F.sum("__nb").over(w_loc) + F.col("__offb")).alias("__cumb"),
+    )
+    # per-group start offsets: cumulative counts of EARLIER groups
+    gstart = cum.groupBy("__g").agg(
+        F.min(F.col("__cuma")).alias("__ma"),
+        F.min(F.col("__cumb")).alias("__mb"),
+        F.max(F.col("__cuma")).alias("__xa"),
+        F.max(F.col("__cumb")).alias("__xb"),
+    )
+    # NOTE: min over the group is the cumulative INCLUSIVE count at the
+    # group's FIRST value — subtracting it would drop that value's own
+    # counts. The group's true start offset is (max of previous group),
+    # equal to (min cum) - (counts at first value); recover it from the
+    # totals instead: start = max - group total.
+    tot = grouped.groupBy("__g").agg(
+        F.sum("__na").alias("__ta"), F.sum("__nb").alias("__tb")
+    )
+    st = gstart.join(tot, "__g").select(
+        "__g",
+        (F.col("__xa") - F.col("__ta")).alias("__sa0"),
+        (F.col("__xb") - F.col("__tb")).alias("__sb0"),
+        "__ta",
+        "__tb",
+    )
+    gaps = cum.join(F.broadcast(st), "__g").select(
+        "__g",
+        "__ta",
+        "__tb",
+        F.abs(
+            (F.col("__cuma") - F.col("__sa0")).cast("double")
+            / F.col("__ta").cast("double")
+            - (F.col("__cumb") - F.col("__sb0")).cast("double")
+            / F.col("__tb").cast("double")
+        ).alias("__gap"),
+    )
+    agg = gaps.groupBy("__g").agg(
+        F.max("__ta").alias("__na2"),
+        F.max("__tb").alias("__nb2"),
+        F.max(F.round(F.col("__gap"), 9)).alias("__d"),
+    )
+    na = F.col("__na2").cast("double")
+    nb = F.col("__nb2").cast("double")
+    lam = F.col("__d") * F.sqrt(na * nb / (na + nb))
+    terms = F.expr(
+        "aggregate(sequence(1, 100), CAST(0.0 AS DECIMAL(30,9)), "
+        "(acc, k) -> CAST(acc + CAST(round("
+        "CASE WHEN k % 2 = 1 THEN 1.0 ELSE -1.0 END "
+        "* exp(-2.0 * k * k * __lam * __lam), 9) AS DECIMAL(30,9)) "
+        "AS DECIMAL(30,9)))"
+    ).cast("double")
+    out = (
+        agg.join(two, "__g")
+        .withColumn("__lam", lam)
+        # lam = 0 (identical ECDFs) degenerates the alternating series
+        # (it oscillates 1, 0, 1, ... instead of converging): p is 1 by
+        # definition there. For small positive lam the 100-term truncation
+        # is the DEFINED statistic (engine and oracle share it bit-for-bit;
+        # truncation error only matters where p ~ 1 anyway).
+        .withColumn(
+            "__p",
+            F.when(F.col("__lam") <= 0.0, F.lit(1.0)).otherwise(
+                F.least(F.lit(1.0), F.greatest(F.lit(0.0), 2.0 * terms))
+            ),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            "class_a",
+            "class_b",
+            F.col("__na2").cast("bigint").alias("n_a"),
+            F.col("__nb2").cast("bigint").alias("n_b"),
+            (F.round(F.col("__d"), 6) + 0.0).alias("d_stat"),
+            (F.round(F.col("__p"), 4) + 0.0).alias("p_value"),
+        )
+        .orderBy(group_col)
+    )
+    return out

@@ -3,6 +3,8 @@ graph assortativity/kcore, corpus diversity/fleiss/fdr, analyze
 two-sample."""
 
 import json
+
+from pyspark.sql import functions as F
 import os
 
 import pytest
@@ -222,3 +224,27 @@ def test_corpus_mixing_cli(spark, capsys):
     rows = _lines(capsys)
     assert len(rows) == 4
     assert all(r["entropy"] >= 0.0 for r in rows)
+
+
+def test_events_ks_cli(spark, capsys):
+    assert main(["events", "ks", "--input", EVENTS]) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 5
+    assert all(0.0 <= r["d_stat"] <= 1.0 and 0.0 <= r["p_value"] <= 1.0
+               for r in rows)
+
+
+def test_analyze_decontaminate_cli(spark, capsys, tmp_path):
+    train = EMB
+    test = str(tmp_path / "planted.parquet")
+    sub = spark.read.parquet(EMB).where("vec_id % 25 = 0").withColumn(
+        "vec_id", F.col("vec_id") + F.lit(700000)
+    )
+    sub.write.mode("overwrite").parquet(test)
+    assert main(["analyze", "decontaminate", "--train", train,
+                 "--test", test, "--threshold", "0.999"]) == 0
+    rows = _lines(capsys)
+    planted = {(r["train_id"], r["test_id"]) for r in rows
+               if r["cosine_sim"] >= 0.999999}
+    assert all(t == s + 700000 for s, t in planted)
+    assert len(planted) >= sub.count()
