@@ -4721,9 +4721,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entering) and slot 48 = embedding_procrustes — both deliberately
     LATE because they run driver-side jobs (merge-loop collects / SVD)
     during plan construction (the fit_embeddings_model shadowing
-    rationale); slot 49 = fit_embeddings_model (pinned). After this round every registry
-    entry (256 gates) has a driver CORRECTNESS row and
-    PENDING_FIRST_RECORDING stays empty.
+    rationale); slot 49 = fit_embeddings_model (pinned). After this round
+    every registry entry (257 live gates; 256 oracled +
+    doc_compression_ratio rows-only) has a driver CORRECTNESS row and
+    PENDING_FIRST_RECORDING stays empty. The 25 round-9 candidates live
+    in candidate_queries() until rotation.
     """
     return {
         # -- slots 0-20: round-8 candidates, first driver recording --
@@ -12278,7 +12280,20 @@ def embedding_decontaminate(spark, sf_dir):
 
 def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Round-9 rotation candidates: same contract as queries(), kept out
-    of the live window so the round-8 recording layout stays attested."""
+    of the live window so the round-8 recording layout stays attested.
+
+    Rotation plan for round 9 (all 25 verified hash-exact vs the local
+    DuckDB oracle at sf0.001 AND sf0.01 and under 7 shuffle partitions
+    this round, except the three rows-only-by-design gates: events_kcore
+    and embedding_dbscan are shrinking-set/iterative fixpoints,
+    corpus_lsa_topics is an eigendecomposition — each carries a
+    pure-Python differential pytest instead): move these into window
+    slots 0-24, displace the longest-green entries to the tail, keep
+    fit_embeddings_model pinned at 49. corpus_lsa_topics runs
+    driver-side eigendecomposition jobs during plan construction —
+    place it LATE in the window next to embedding_procrustes (the
+    fit_embeddings_model shadowing rationale).
+    """
     return {
         "events_mann_whitney": events_mann_whitney,
         "events_kruskal_wallis": events_kruskal_wallis,

@@ -1176,18 +1176,13 @@ def ks_two_sample(
         (F.sum("__na").over(w_loc) + F.col("__offa")).alias("__cuma"),
         (F.sum("__nb").over(w_loc) + F.col("__offb")).alias("__cumb"),
     )
-    # per-group start offsets: cumulative counts of EARLIER groups
+    # per-group start offsets = cumulative counts of EARLIER groups. The
+    # cumsum is INCLUSIVE, so the group's own first-value counts must stay
+    # in: start = (group's max cum) - (group total), never min(cum).
     gstart = cum.groupBy("__g").agg(
-        F.min(F.col("__cuma")).alias("__ma"),
-        F.min(F.col("__cumb")).alias("__mb"),
         F.max(F.col("__cuma")).alias("__xa"),
         F.max(F.col("__cumb")).alias("__xb"),
     )
-    # NOTE: min over the group is the cumulative INCLUSIVE count at the
-    # group's FIRST value — subtracting it would drop that value's own
-    # counts. The group's true start offset is (max of previous group),
-    # equal to (min cum) - (counts at first value); recover it from the
-    # totals instead: start = max - group total.
     tot = grouped.groupBy("__g").agg(
         F.sum("__na").alias("__ta"), F.sum("__nb").alias("__tb")
     )

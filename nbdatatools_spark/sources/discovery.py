@@ -207,6 +207,9 @@ class TestDataSources:
     ``.catalog()`` aggregates every location into one Catalog, source order
     preserved (first entry wins name conflicts via Catalog.find_exact)."""
 
+    # not a pytest class despite the reference-parity Test* name
+    __test__ = False
+
     locations: tuple = field(default_factory=tuple)
     optional_locations: tuple = field(default_factory=tuple)
 
