@@ -12267,6 +12267,22 @@ def embedding_decontaminate(spark, sf_dir):
     )
 
 
+def doc_mcnemar(spark, sf_dir):
+    """McNemar's paired test between the quality and length filters
+    (evaluation.py::mcnemar_test, McNemar 1947): is the b-vs-c
+    disagreement SYMMETRIC — the significance behind
+    doc_filter_agreement's kappa on the same filter pair. One
+    2x2 aggregate; df=1 chi-square p via the closed-form erf identity."""
+    from nbdatatools_spark.operators.evaluation import mcnemar_test
+
+    docs = _t(spark, sf_dir, "documents")
+    return mcnemar_test(
+        docs,
+        F.round(quality_score(F.col("text")), 6) >= 0.5,
+        F.col("n_chars") >= 400,
+    )
+
+
 # ============================================================================
 # CANDIDATE STAGING — new gates built after this round's recording
 # window is attested land HERE (with their oracles), not in queries():
@@ -12320,6 +12336,7 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_shard_mixing": doc_shard_mixing,
         "events_ks_test": events_ks_test,
         "embedding_decontaminate": embedding_decontaminate,
+        "doc_mcnemar": doc_mcnemar,
     }
 
 
@@ -12509,14 +12526,32 @@ def candidate_oracles() -> dict[str, str]:
                            {ds(x='rxv')} AS sx, {ds(x='ryv')} AS sy,
                            {ds(x='rxv*rxv')} AS sxx, {ds(x='rxv*ryv')} AS sxy,
                            {ds(x='ryv*ryv')} AS syy
-                    FROM rr GROUP BY g)
+                    FROM rr GROUP BY g),
+            rhoc AS (SELECT g, v, rho, round(rho, 9) AS rho9 FROM (
+                         SELECT g, v,
+                            CASE WHEN sqrt(v*sxx - sx*sx)*sqrt(v*syy - sy*sy)
+                                      <= 0.0 THEN NULL
+                            ELSE (v*sxy - sx*sy)
+                                 /(sqrt(v*sxx - sx*sx)*sqrt(v*syy - sy*sy))
+                            END AS rho
+                         FROM agg))
             SELECT g AS event_type, CAST(v AS BIGINT) AS n,
-                   round(CASE WHEN sqrt(v*sxx - sx*sx)*sqrt(v*syy - sy*sy) <= 0.0
-                         THEN NULL
-                         ELSE (v*sxy - sx*sy)
-                              /(sqrt(v*sxx - sx*sx)*sqrt(v*syy - sy*sy)) END,
-                         6) + 0.0 AS rho
-            FROM agg ORDER BY event_type
+                   round(rho, 6) + 0.0 AS rho,
+                   round(CASE WHEN v > 3.0 AND rho9 IS NOT NULL
+                                   AND abs(rho9) < 1.0
+                         THEN (exp(2.0*(0.5*ln((1.0 + rho9)/(1.0 - rho9))
+                                        - 1.959964/sqrt(v - 3.0))) - 1.0)
+                              /(exp(2.0*(0.5*ln((1.0 + rho9)/(1.0 - rho9))
+                                        - 1.959964/sqrt(v - 3.0))) + 1.0)
+                         END, 4) + 0.0 AS ci_lo,
+                   round(CASE WHEN v > 3.0 AND rho9 IS NOT NULL
+                                   AND abs(rho9) < 1.0
+                         THEN (exp(2.0*(0.5*ln((1.0 + rho9)/(1.0 - rho9))
+                                        + 1.959964/sqrt(v - 3.0))) - 1.0)
+                              /(exp(2.0*(0.5*ln((1.0 + rho9)/(1.0 - rho9))
+                                        + 1.959964/sqrt(v - 3.0))) + 1.0)
+                         END, 4) + 0.0 AS ci_hi
+            FROM rhoc ORDER BY event_type
         """,
         # Mann-Kendall: pairwise sign sum on the date-grain series,
         # tie-corrected variance, continuity-corrected z
@@ -13169,5 +13204,36 @@ def candidate_oracles() -> dict[str, str]:
                    round(round(dot/(sqrt(nt)*sqrt(ne)), 9), 6) AS cosine_sim
             FROM d WHERE round(dot/(sqrt(nt)*sqrt(ne)), 9) >= 0.95
             ORDER BY train_id, test_id
+        """,
+        # McNemar: 2x2 discordant cells, continuity-corrected chi2,
+        # df=1 p via erf(sqrt(x/2))
+        "doc_mcnemar": f"""
+            WITH f AS (SELECT CAST({_QUALITY6} >= 0.5 AS INT) AS a,
+                              CAST(n_chars >= 400 AS INT) AS b
+                       FROM documents),
+            c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(a*b) AS BIGINT) AS n11,
+                         CAST(sum(a*(1 - b)) AS BIGINT) AS n10,
+                         CAST(sum((1 - a)*b) AS BIGINT) AS n01,
+                         CAST(sum((1 - a)*(1 - b)) AS BIGINT) AS n00
+                  FROM f),
+            x AS (SELECT *,
+                         CASE WHEN CAST(n10 + n01 AS DOUBLE) <= 0.0 THEN NULL
+                         ELSE greatest(0.0, abs(CAST(n10 - n01 AS DOUBLE)) - 1.0)
+                              * greatest(0.0, abs(CAST(n10 - n01 AS DOUBLE)) - 1.0)
+                              / CAST(n10 + n01 AS DOUBLE) END AS chi2
+                  FROM c)
+            SELECT n, n11, n10, n01, n00,
+                   round(chi2, 6) + 0.0 AS chi2,
+                   round(1.0 - (CASE WHEN sqrt(chi2/2.0) < 0 THEN -1.0
+                                ELSE 1.0 END)
+                         * (1.0 - (0.254829592*(1.0/(1.0 + 0.3275911*sqrt(chi2/2.0)))
+                            - 0.284496736*power(1.0/(1.0 + 0.3275911*sqrt(chi2/2.0)), 2)
+                            + 1.421413741*power(1.0/(1.0 + 0.3275911*sqrt(chi2/2.0)), 3)
+                            - 1.453152027*power(1.0/(1.0 + 0.3275911*sqrt(chi2/2.0)), 4)
+                            + 1.061405429*power(1.0/(1.0 + 0.3275911*sqrt(chi2/2.0)), 5))
+                            * exp(-sqrt(chi2/2.0)*sqrt(chi2/2.0))),
+                         4) + 0.0 AS p_value
+            FROM x
         """,
     }

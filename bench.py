@@ -199,6 +199,9 @@ HEADLINE = [
     "doc_friedman_test",
     "events_shift_function",
     "doc_shard_mixing",
+    "events_ks_test",
+    "embedding_decontaminate",
+    "doc_mcnemar",
 ]
 
 

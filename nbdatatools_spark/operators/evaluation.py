@@ -1139,3 +1139,48 @@ def cochran_q(
         (F.round(q, 6) + 0.0).alias("q_stat"),
         (F.col("__kk") - 1).cast("int").alias("dof"),
     )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    flag_a: Column | str,
+    flag_b: Column | str,
+) -> DataFrame:
+    """McNemar's paired-proportion test (McNemar 1947, continuity
+    corrected): do two binary filters DISAGREE symmetrically — the
+    significance question behind filter_agreement's kappa (two filters
+    can agree 95% of the time yet one systematically passes documents
+    the other kills; the b vs c asymmetry is that signal):
+
+        chi2 = (|b - c| - 1)^2 / (b + c)
+
+    over the discordant cells b = a-pass/b-fail, c = a-fail/b-pass.
+    Returns ONE row ``(n, n11, n10, n01, n00, chi2, p_value)`` — chi2
+    NULL when b + c = 0 (no disagreement at all); p from the df=1
+    chi-square via erf(sqrt(chi2/2)) (closed form, the A-S discipline,
+    4dp). ONE aggregate with map-side combine."""
+    import math as _math
+
+    from nbdatatools_spark.operators.stats import _erf
+
+    a = (F.col(flag_a) if isinstance(flag_a, str) else flag_a).cast("int")
+    b = (F.col(flag_b) if isinstance(flag_b, str) else flag_b).cast("int")
+    c = df.select(a.alias("__a"), b.alias("__b")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__a") * F.col("__b")).cast("bigint").alias("n11"),
+        F.sum(F.col("__a") * (1 - F.col("__b"))).cast("bigint").alias("n10"),
+        F.sum((1 - F.col("__a")) * F.col("__b")).cast("bigint").alias("n01"),
+        F.sum((1 - F.col("__a")) * (1 - F.col("__b"))).cast("bigint").alias("n00"),
+    )
+    disc = (F.col("n10") + F.col("n01")).cast("double")
+    diff = F.abs((F.col("n10") - F.col("n01")).cast("double")) - 1.0
+    chi2 = F.when(disc <= 0.0, F.lit(None).cast("double")).otherwise(
+        F.greatest(F.lit(0.0), diff) * F.greatest(F.lit(0.0), diff) / disc
+    )
+    # df=1 chi-square survival: P(X > x) = 1 - erf(sqrt(x/2))
+    p = F.round(1.0 - _erf(F.sqrt(chi2 / 2.0)), 4) + 0.0
+    return c.select(
+        "n", "n11", "n10", "n01", "n00",
+        (F.round(chi2, 6) + 0.0).alias("chi2"),
+        p.alias("p_value"),
+    )

@@ -393,10 +393,23 @@ def spearman_corr(
         F.col("v") * F.col("sxx") - F.col("sx") * F.col("sx")
     ) * F.sqrt(F.col("v") * F.col("syy") - F.col("sy") * F.col("sy"))
     rho = F.when(den <= 0.0, F.lit(None).cast("double")).otherwise(num / den)
+    # Fisher-z 95% CI (closed-form atanh, portable to SQL): defined for
+    # n > 3 and |rho| < 1 — both judged on the 9dp-ROUNDED rho so the
+    # boundary is engine-stable (an unrounded |rho| < 1 test can disagree
+    # across engines at perfect correlation, where num/den lands 1 ulp
+    # under 1.0)
+    rho9 = F.round(rho, 9)
+    zf = 0.5 * F.log((1.0 + rho9) / (1.0 - rho9))
+    se = 1.959964 / F.sqrt(F.col("v") - 3.0)
+    ci_ok = (F.col("v") > 3.0) & rho9.isNotNull() & (F.abs(rho9) < 1.0)
+    lo = F.when(ci_ok, F.tanh(zf - se))
+    hi = F.when(ci_ok, F.tanh(zf + se))
     return agg.select(
         F.col("__g").alias(group_col),
         F.col("v").cast("bigint").alias("n"),
         (F.round(rho, 6) + 0.0).alias("rho"),
+        (F.round(lo, 4) + 0.0).alias("ci_lo"),
+        (F.round(hi, 4) + 0.0).alias("ci_hi"),
     ).orderBy(group_col)
 
 

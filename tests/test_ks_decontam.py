@@ -130,3 +130,53 @@ def test_semantic_decontaminate_lsh_agrees_on_plants(spark, embeddings):
     expect = {(i, i + 900000) for i in range(0, 100, 10)}
     assert expect <= lset
     assert lset <= bset
+
+
+def test_mcnemar_differential(spark):
+    from nbdatatools_spark.operators.evaluation import mcnemar_test
+
+    import random
+
+    rnd = random.Random(41)
+    rows = [(rnd.random() < 0.5, rnd.random() < 0.4) for _ in range(300)]
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    r = mcnemar_test(df, "a", "b").collect()[0]
+    b = sum(1 for x, y in rows if x and not y)
+    c = sum(1 for x, y in rows if not x and y)
+    chi2 = (abs(b - c) - 1) ** 2 / (b + c)
+    assert (r["n10"], r["n01"]) == (b, c)
+    assert abs(r["chi2"] - chi2) < 1e-6
+    # p via erf identity
+    p = 1 - math.erf(math.sqrt(chi2 / 2))
+    assert abs(r["p_value"] - p) < 5e-4
+
+
+def test_mcnemar_no_disagreement_null(spark):
+    from nbdatatools_spark.operators.evaluation import mcnemar_test
+
+    df = spark.createDataFrame(
+        [(True, True)] * 5 + [(False, False)] * 5, "a boolean, b boolean"
+    )
+    r = mcnemar_test(df, "a", "b").collect()[0]
+    assert r["chi2"] is None and r["p_value"] is None
+
+
+def test_spearman_fisher_ci(spark):
+    from nbdatatools_spark.operators.stats import spearman_corr
+
+    import random
+
+    rnd = random.Random(43)
+    rows = [("g", float(i), float(i) + rnd.gauss(0, 20)) for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    r = spearman_corr(df, "g", "x", "y").collect()[0]
+    assert r["ci_lo"] < r["rho"] < r["ci_hi"]
+    z = math.atanh(r["rho"])
+    se = 1.959964 / math.sqrt(100 - 3)
+    assert abs(r["ci_lo"] - math.tanh(z - se)) < 5e-4
+    assert abs(r["ci_hi"] - math.tanh(z + se)) < 5e-4
+    # perfect correlation: CI undefined (|rho| = 1)
+    rows = [("g", float(i), float(2 * i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    r = spearman_corr(df, "g", "x", "y").collect()[0]
+    assert r["rho"] == 1.0 and r["ci_lo"] is None and r["ci_hi"] is None
