@@ -12298,13 +12298,13 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Round-9 rotation candidates: same contract as queries(), kept out
     of the live window so the round-8 recording layout stays attested.
 
-    Rotation plan for round 9 (all 25 verified hash-exact vs the local
+    Rotation plan for round 9 (all 26 verified hash-exact vs the local
     DuckDB oracle at sf0.001 AND sf0.01 and under 7 shuffle partitions
     this round, except the three rows-only-by-design gates: events_kcore
     and embedding_dbscan are shrinking-set/iterative fixpoints,
     corpus_lsa_topics is an eigendecomposition — each carries a
     pure-Python differential pytest instead): move these into window
-    slots 0-24, displace the longest-green entries to the tail, keep
+    slots 0-25, displace the longest-green entries to the tail, keep
     fit_embeddings_model pinned at 49. corpus_lsa_topics runs
     driver-side eigendecomposition jobs during plan construction —
     place it LATE in the window next to embedding_procrustes (the
