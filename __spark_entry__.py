@@ -12267,6 +12267,40 @@ def embedding_decontaminate(spark, sf_dir):
     )
 
 
+def doc_concordance(spark, sf_dir):
+    """Lin's concordance correlation per source between the quality
+    score and the capped length share (stats.py::concordance_ccc, Lin
+    1989): Pearson r rewards any linear relation; CCC also punishes
+    scale/location bias — the 'can one scorer replace the other'
+    readout. ONE DECIMAL-moment aggregate per source."""
+    from nbdatatools_spark.operators.stats import concordance_ccc
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        F.round(quality_score(F.col("text")), 6).alias("q"),
+        F.round(F.least(F.col("n_chars") / 1000.0, F.lit(1.0)), 6).alias("l"),
+    )
+    return concordance_ccc(scored, "source", "q", "l")
+
+
+def doc_agreement_limits(spark, sf_dir):
+    """Bland-Altman limits of agreement per source for the same scorer
+    pair (stats.py::agreement_limits, Bland & Altman 1986): systematic
+    bias and the +-1.96 sd band of per-document disagreement — the
+    points-scale companion to doc_concordance. One difference-moment
+    aggregate."""
+    from nbdatatools_spark.operators.stats import agreement_limits
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        F.round(quality_score(F.col("text")), 6).alias("q"),
+        F.round(F.least(F.col("n_chars") / 1000.0, F.lit(1.0)), 6).alias("l"),
+    )
+    return agreement_limits(scored, "source", "q", "l")
+
+
 def doc_mcnemar(spark, sf_dir):
     """McNemar's paired test between the quality and length filters
     (evaluation.py::mcnemar_test, McNemar 1947): is the b-vs-c
@@ -12298,13 +12332,13 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Round-9 rotation candidates: same contract as queries(), kept out
     of the live window so the round-8 recording layout stays attested.
 
-    Rotation plan for round 9 (all 26 verified hash-exact vs the local
+    Rotation plan for round 9 (all 28 verified hash-exact vs the local
     DuckDB oracle at sf0.001 AND sf0.01 and under 7 shuffle partitions
     this round, except the three rows-only-by-design gates: events_kcore
     and embedding_dbscan are shrinking-set/iterative fixpoints,
     corpus_lsa_topics is an eigendecomposition — each carries a
     pure-Python differential pytest instead): move these into window
-    slots 0-25, displace the longest-green entries to the tail, keep
+    slots 0-27, displace the longest-green entries to the tail, keep
     fit_embeddings_model pinned at 49. corpus_lsa_topics runs
     driver-side eigendecomposition jobs during plan construction —
     place it LATE in the window next to embedding_procrustes (the
@@ -12337,6 +12371,8 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ks_test": events_ks_test,
         "embedding_decontaminate": embedding_decontaminate,
         "doc_mcnemar": doc_mcnemar,
+        "doc_concordance": doc_concordance,
+        "doc_agreement_limits": doc_agreement_limits,
     }
 
 
@@ -13235,5 +13271,60 @@ def candidate_oracles() -> dict[str, str]:
                             * exp(-sqrt(chi2/2.0)*sqrt(chi2/2.0))),
                          4) + 0.0 AS p_value
             FROM x
+        """,
+        # Lin CCC: population moments, DECIMAL sums
+        "doc_concordance": f"""
+            WITH sc AS (SELECT source AS g,
+                               CAST({_QUALITY6} AS DOUBLE) AS x,
+                               round(least(n_chars/1000.0, 1.0), 6) AS y
+                        FROM documents),
+            agg AS (SELECT g, CAST(count(*) AS DOUBLE) AS v,
+                           {_DS.format(x='x')} AS sx, {_DS.format(x='y')} AS sy,
+                           {_DS.format(x='x*x')} AS sxx,
+                           {_DS.format(x='x*y')} AS sxy,
+                           {_DS.format(x='y*y')} AS syy
+                    FROM sc GROUP BY g),
+            m AS (SELECT g, v,
+                         sx/v AS mx, sy/v AS my,
+                         sxx/v - (sx/v)*(sx/v) AS vx,
+                         syy/v - (sy/v)*(sy/v) AS vy,
+                         sxy/v - (sx/v)*(sy/v) AS cxy
+                  FROM agg),
+            c AS (SELECT g, v, vx, vy, cxy, mx, my,
+                         CASE WHEN vx + vy + (mx - my)*(mx - my) <= 0.0
+                              THEN NULL
+                         ELSE 2.0*cxy/(vx + vy + (mx - my)*(mx - my)) END
+                             AS ccc,
+                         CASE WHEN sqrt(vx)*sqrt(vy) <= 0.0 THEN NULL
+                         ELSE cxy/(sqrt(vx)*sqrt(vy)) END AS r
+                  FROM m)
+            SELECT g AS source, CAST(v AS BIGINT) AS n,
+                   round(r, 6) + 0.0 AS r,
+                   round(ccc, 6) + 0.0 AS ccc,
+                   round(CASE WHEN r IS NULL OR abs(r) <= 0.0 THEN NULL
+                         ELSE ccc/r END, 6) + 0.0 AS c_b
+            FROM c ORDER BY source
+        """,
+        # Bland-Altman: difference moments, 1.959964 sd band
+        "doc_agreement_limits": f"""
+            WITH sc AS (SELECT source AS g,
+                               round(least(n_chars/1000.0, 1.0), 6)
+                               - CAST({_QUALITY6} AS DOUBLE) AS d
+                        FROM documents),
+            agg AS (SELECT g, CAST(count(*) AS DOUBLE) AS v,
+                           {_DS.format(x='round(d, 9)')} AS sd_,
+                           {_DS.format(x='round(d, 9)*round(d, 9)')} AS sdd
+                    FROM sc GROUP BY g),
+            m AS (SELECT g, v, sd_/v AS bias,
+                         CASE WHEN v >= 2.0 THEN
+                             sqrt(greatest(0.0, sdd/v - (sd_/v)*(sd_/v)))
+                         END AS sd
+                  FROM agg)
+            SELECT g AS source, CAST(v AS BIGINT) AS n,
+                   round(bias, 6) + 0.0 AS bias,
+                   round(sd, 6) + 0.0 AS sd_diff,
+                   round(bias - 1.959964*sd, 6) + 0.0 AS loa_lo,
+                   round(bias + 1.959964*sd, 6) + 0.0 AS loa_hi
+            FROM m ORDER BY source
         """,
     }

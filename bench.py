@@ -202,6 +202,8 @@ HEADLINE = [
     "events_ks_test",
     "embedding_decontaminate",
     "doc_mcnemar",
+    "doc_concordance",
+    "doc_agreement_limits",
 ]
 
 

@@ -1258,3 +1258,105 @@ def ks_two_sample(
         .orderBy(group_col)
     )
     return out
+
+
+def concordance_ccc(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Lin's concordance correlation coefficient per group (Lin 1989):
+    how well two continuous scorers agree on the IDENTITY line — Pearson
+    rewards any linear relation; CCC additionally punishes scale and
+    location bias, which is what "can scorer B replace scorer A" really
+    asks:
+
+        CCC = 2 s_xy / (s_x^2 + s_y^2 + (xbar - ybar)^2)
+
+    (population moments). Also emits Pearson r and the location/scale
+    bias components (Cb = CCC/r, the bias-correction factor). Returns
+    ``(group, n, r, ccc, c_b)`` at 6dp, NULL where either variance is 0.
+
+    Plan: ONE DECIMAL-moment aggregate per group. Nothing else.
+    """
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    ).where(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    agg = base.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("double").alias("v"),
+        _dsum(F.col("__x")).alias("sx"),
+        _dsum(F.col("__y")).alias("sy"),
+        _dsum(F.col("__x") * F.col("__x")).alias("sxx"),
+        _dsum(F.col("__x") * F.col("__y")).alias("sxy"),
+        _dsum(F.col("__y") * F.col("__y")).alias("syy"),
+    )
+    v = F.col("v")
+    mx = F.col("sx") / v
+    my = F.col("sy") / v
+    vx = F.col("sxx") / v - mx * mx
+    vy = F.col("syy") / v - my * my
+    cxy = F.col("sxy") / v - mx * my
+    den_c = vx + vy + (mx - my) * (mx - my)
+    ccc = F.when(den_c <= 0.0, F.lit(None).cast("double")).otherwise(
+        2.0 * cxy / den_c
+    )
+    den_r = F.sqrt(vx) * F.sqrt(vy)
+    r = F.when(den_r <= 0.0, F.lit(None).cast("double")).otherwise(cxy / den_r)
+    cb = F.when(
+        r.isNull() | (F.abs(r) <= 0.0), F.lit(None).cast("double")
+    ).otherwise(ccc / r)
+    return agg.select(
+        F.col("__g").alias(group_col),
+        v.cast("bigint").alias("n"),
+        (F.round(r, 6) + 0.0).alias("r"),
+        (F.round(ccc, 6) + 0.0).alias("ccc"),
+        (F.round(cb, 6) + 0.0).alias("c_b"),
+    ).orderBy(group_col)
+
+
+def agreement_limits(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Bland-Altman limits of agreement per group (Bland & Altman 1986):
+    mean difference (the systematic bias of scorer y vs x) and
+    mean +- 1.96 sd bounds (where 95% of per-item disagreements live) —
+    the practical companion to concordance_ccc: CCC says HOW MUCH the
+    scorers agree, the limits say BY HOW MANY POINTS they can differ on
+    one document.
+
+    Returns ``(group, n, bias, sd_diff, loa_lo, loa_hi)`` at 6dp
+    (population sd; NULL sd-dependent columns for n < 2).
+
+    Plan: ONE DECIMAL-moment aggregate over the difference column.
+    """
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        (F.col(y_col).cast("double") - F.col(x_col).cast("double")).alias(
+            "__d"
+        ),
+    ).where(F.col("__d").isNotNull())
+    agg = base.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("double").alias("v"),
+        _dsum(F.round(F.col("__d"), 9)).alias("sd_"),
+        _dsum(F.round(F.col("__d"), 9) * F.round(F.col("__d"), 9)).alias(
+            "sdd"
+        ),
+    )
+    v = F.col("v")
+    bias = F.col("sd_") / v
+    vard = F.greatest(F.lit(0.0), F.col("sdd") / v - bias * bias)
+    sd = F.when(v >= 2.0, F.sqrt(vard))
+    return agg.select(
+        F.col("__g").alias(group_col),
+        v.cast("bigint").alias("n"),
+        (F.round(bias, 6) + 0.0).alias("bias"),
+        (F.round(sd, 6) + 0.0).alias("sd_diff"),
+        (F.round(bias - 1.959964 * sd, 6) + 0.0).alias("loa_lo"),
+        (F.round(bias + 1.959964 * sd, 6) + 0.0).alias("loa_hi"),
+    ).orderBy(group_col)

@@ -180,3 +180,59 @@ def test_spearman_fisher_ci(spark):
     df = spark.createDataFrame(rows, "g string, x double, y double")
     r = spearman_corr(df, "g", "x", "y").collect()[0]
     assert r["rho"] == 1.0 and r["ci_lo"] is None and r["ci_hi"] is None
+
+
+def test_concordance_ccc_closed_forms(spark):
+    from nbdatatools_spark.operators.stats import concordance_ccc
+
+    # identical scorers: CCC = r = 1, Cb = 1
+    rows = [("g", float(i), float(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    r = concordance_ccc(df, "g", "x", "y").collect()[0]
+    assert r["ccc"] == 1.0 and r["r"] == 1.0 and r["c_b"] == 1.0
+    # perfectly correlated but biased: r = 1, CCC < 1
+    rows = [("g", float(i), float(i) + 10.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    r = concordance_ccc(df, "g", "x", "y").collect()[0]
+    assert r["r"] == 1.0 and r["ccc"] < 0.5
+    assert abs(r["c_b"] - r["ccc"]) < 1e-9  # Cb = CCC/r with r = 1
+
+
+def test_concordance_ccc_numpy_differential(spark):
+    import numpy as np
+    from nbdatatools_spark.operators.stats import concordance_ccc
+
+    rng = np.random.RandomState(19)
+    x = rng.rand(200)
+    y = 0.8 * x + 0.1 + rng.rand(200) * 0.05
+    df = spark.createDataFrame(
+        [("g", float(a), float(b)) for a, b in zip(x, y)],
+        "g string, x double, y double",
+    )
+    r = concordance_ccc(df, "g", "x", "y").collect()[0]
+    vx, vy = x.var(), y.var()
+    cxy = ((x - x.mean()) * (y - y.mean())).mean()
+    ccc = 2 * cxy / (vx + vy + (x.mean() - y.mean()) ** 2)
+    assert abs(r["ccc"] - ccc) < 1e-5
+    assert abs(r["r"] - cxy / math.sqrt(vx * vy)) < 1e-5
+
+
+def test_agreement_limits_closed_forms(spark):
+    from nbdatatools_spark.operators.stats import agreement_limits
+
+    import statistics
+
+    diffs = [0.1, -0.2, 0.3, 0.0, 0.15, -0.05]
+    rows = [("g", float(i), float(i) + d) for i, d in enumerate(diffs)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    r = agreement_limits(df, "g", "x", "y").collect()[0]
+    bias = sum(diffs) / len(diffs)
+    sd = statistics.pstdev(diffs)
+    assert abs(r["bias"] - bias) < 1e-6
+    assert abs(r["sd_diff"] - sd) < 1e-6
+    assert abs(r["loa_lo"] - (bias - 1.959964 * sd)) < 1e-5
+    assert abs(r["loa_hi"] - (bias + 1.959964 * sd)) < 1e-5
+    # single row: sd-dependent columns NULL
+    one = spark.createDataFrame([("g", 1.0, 2.0)], "g string, x double, y double")
+    r = agreement_limits(one, "g", "x", "y").collect()[0]
+    assert r["bias"] == 1.0 and r["sd_diff"] is None and r["loa_lo"] is None
