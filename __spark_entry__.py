@@ -4708,27 +4708,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       and in round 1 a failure there shadowed everything after it — at
       position 49 a failure can only shadow the already-recorded tail.
 
-    Round-8 layout (the planned rotation — VERDICT r7 task #1): slots
-    0-20 = the 21 round-8 candidates staged in round 7 (every one
-    judge-verified hash-exact against the local DuckDB oracle at
-    sf0.001 AND sf0.01 and under 7 shuffle partitions before rotation;
-    doc_compression_ratio is rows-only by design — DEFLATE is not
-    SQL-expressible); slots 21-46 = r7-green re-record fillers (the
-    head of the displaced round-7 window — every filler is hash-green
-    in CORRECTNESS_r07, so re-recording is harmless and keeps the
-    window exactly 50); slot 47 = corpus_bytelevel_bpe (new this round,
-    verified hash-exact at sf0.001/sf0.01/7-shuffle-partitions before
-    entering) and slot 48 = embedding_procrustes — both deliberately
-    LATE because they run driver-side jobs (merge-loop collects / SVD)
-    during plan construction (the fit_embeddings_model shadowing
-    rationale); slot 49 = fit_embeddings_model (pinned). After this round
-    every registry entry (257 live gates; 256 oracled +
-    doc_compression_ratio rows-only) has a driver CORRECTNESS row and
-    PENDING_FIRST_RECORDING stays empty. The 25 round-9 candidates live
-    in candidate_queries() until rotation.
+    Round-9 layout (the planned rotation — VERDICT r8 task #1): slots
+    0-26 = 27 of the 28 round-9 candidates staged in round 8 (every one
+    judge-verified against the local DuckDB oracle at sf0.001 AND
+    sf0.01 and under 7 shuffle partitions before rotation — 25
+    hash-exact; events_kcore and embedding_dbscan are rows-only by
+    design: shrinking-set/iterative fixpoints with pure-Python
+    differential pytests in tests/test_dbscan.py and
+    tests/test_stats_graph.py); slots 27-47 = re-record fillers —
+    doc_compression_ratio (rows-only by design — DEFLATE is not
+    SQL-expressible — so it can never satisfy the tail's
+    ever-hash-green invariant and stays inside the window) plus the
+    head of the displaced round-8 window (every filler is hash-green
+    in CORRECTNESS_r08, so re-recording is harmless and keeps the
+    window exactly 50); slot 48 = corpus_lsa_topics (the 28th
+    candidate, rows-only by design — eigendecomposition — with the
+    pure-Python differential in tests/test_lsa.py) — deliberately LATE
+    because it runs driver-side eigendecomposition jobs during plan
+    construction (the fit_embeddings_model shadowing rationale); slot
+    49 = fit_embeddings_model (pinned). Every other registry entry is
+    hash-green in the union of recorded rounds (r1-r8) and sits in the
+    tail. Round-10 work stages in candidate_queries() until rotation.
     """
     return {
-        # -- slots 0-20: round-8 candidates, first driver recording --
+        # -- slots 0-26: round-9 candidates, first driver recording
+        #    (all judge-verified in round 8 before rotation) --
+        "events_mann_whitney": events_mann_whitney,
+        "events_kruskal_wallis": events_kruskal_wallis,
+        "events_levene_test": events_levene_test,
+        "events_spearman_corr": events_spearman_corr,
+        "events_mann_kendall": events_mann_kendall,
+        "doc_source_fdr": doc_source_fdr,
+        "events_assortativity": events_assortativity,
+        "events_kcore": events_kcore,
+        "doc_fleiss_kappa": doc_fleiss_kappa,
+        "doc_lexical_diversity": doc_lexical_diversity,
+        "embedding_two_sample_shift": embedding_two_sample_shift,
+        "events_page_hinkley": events_page_hinkley,
+        "events_trimmed_mean": events_trimmed_mean,
+        "doc_sampling_ess": doc_sampling_ess,
+        "doc_brier_decomposition": doc_brier_decomposition,
+        "embedding_dbscan": embedding_dbscan,
+        "events_welch_anova": events_welch_anova,
+        "doc_cramers_v": doc_cramers_v,
+        "doc_cochran_q": doc_cochran_q,
+        "doc_friedman_test": doc_friedman_test,
+        "events_shift_function": events_shift_function,
+        "doc_shard_mixing": doc_shard_mixing,
+        "events_ks_test": events_ks_test,
+        "embedding_decontaminate": embedding_decontaminate,
+        "doc_mcnemar": doc_mcnemar,
+        "doc_concordance": doc_concordance,
+        "doc_agreement_limits": doc_agreement_limits,
+        # -- slots 27-47: re-record fillers (doc_compression_ratio is
+        #    rows-only by design and must stay inside the window; the
+        #    rest are the displaced round-8 window head, all hash-green
+        #    in CORRECTNESS_r08) --
+        "doc_compression_ratio": doc_compression_ratio,
         "events_hits": events_hits,
         "events_label_propagation": events_label_propagation,
         "embedding_kcenter": embedding_kcenter,
@@ -4737,7 +4773,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_negative_sampling": corpus_negative_sampling,
         "events_burstiness": events_burstiness,
         "doc_score_quantile_align": doc_score_quantile_align,
-        "doc_compression_ratio": doc_compression_ratio,
         "corpus_ppmi_invariants": corpus_ppmi_invariants,
         "corpus_log_odds": corpus_log_odds,
         "doc_ndcg_by_source": doc_ndcg_by_source,
@@ -4750,8 +4785,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn_overlap": embedding_knn_overlap,
         "doc_balanced_shards": doc_balanced_shards,
         "events_histogram_quantiles": events_histogram_quantiles,
-        # -- slots 21-47: r7-green re-record fillers (displaced round-7
-        #    window head; all hash-green in CORRECTNESS_r07) --
+        # slot 48 — corpus_lsa_topics runs driver-side eigendecomposition
+        # jobs during plan construction; LATE so a failure shadows only
+        # the slot after it (49 is pinned green r5-r8). See docstring.
+        "corpus_lsa_topics": corpus_lsa_topics,
+        # position 49 — last recorded slot; see docstring.
+        "fit_embeddings_model": fit_embeddings_model,
+        # -- tail: every entry below is hash-green in a recorded round --
         "doc_span_corruption": doc_span_corruption,
         "embedding_hubness": embedding_hubness,
         "corpus_source_similarity": corpus_source_similarity,
@@ -4778,15 +4818,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cluster_purity": embedding_cluster_purity,
         "embedding_knn_accuracy": embedding_knn_accuracy,
         "events_autocorrelation": events_autocorrelation,
-        # slots 47-48 — byte-level BPE runs driver-side merge jobs and
-        # procrustes driver-side SVD during plan construction; LATE so a
-        # failure shadows only the slots after it (49 is pinned green
-        # r5/r6/r7). See docstring.
         "corpus_bytelevel_bpe": corpus_bytelevel_bpe,
         "embedding_procrustes": embedding_procrustes,
-        # position 49 — last recorded slot; see docstring.
-        "fit_embeddings_model": fit_embeddings_model,
-        # -- tail: every entry below is hash-green in a recorded round --
         "events_survival_km": events_survival_km,
         "orders_benford": orders_benford,
         "doc_lang_source_chi2": doc_lang_source_chi2,
@@ -10475,6 +10508,10 @@ def oracle_sql() -> dict[str, str]:
         # round-8 rotated gates (oracles defined next to their queries,
         # lower in this file; doc_compression_ratio is rows-only by design)
         **_rotated_round8_oracles(),
+        # round-9 rotated gates (oracles defined next to their queries,
+        # lower in this file; events_kcore / embedding_dbscan /
+        # corpus_lsa_topics are rows-only by design)
+        **_rotated_round9_oracles(),
     }
 
 
@@ -12328,51 +12365,304 @@ def doc_mcnemar(spark, sf_dir):
 # ============================================================================
 
 
-def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Round-9 rotation candidates: same contract as queries(), kept out
-    of the live window so the round-8 recording layout stays attested.
+def doc_reservoir_sample(spark, sf_dir):
+    """Deterministic fixed-size uniform sample (sampling.py::
+    reservoir_sample — the bottom-k sketch formulation: the k smallest
+    content-keyed md5-uint52 hashes ARE a uniform k-reservoir, with no
+    sequential state and exact-k output). Partition/engine/run-invariant
+    by construction; plan is one projection + TakeOrderedAndProject (no
+    full sort, no shuffle). Oracle replays the md5 hash order in DuckDB
+    on the shared uint52 convention."""
+    from nbdatatools_spark.operators.sampling import reservoir_sample
 
-    Rotation plan for round 9 (all 28 verified hash-exact vs the local
-    DuckDB oracle at sf0.001 AND sf0.01 and under 7 shuffle partitions
-    this round, except the three rows-only-by-design gates: events_kcore
-    and embedding_dbscan are shrinking-set/iterative fixpoints,
-    corpus_lsa_topics is an eigendecomposition — each carries a
-    pure-Python differential pytest instead): move these into window
-    slots 0-27, displace the longest-green entries to the tail, keep
-    fit_embeddings_model pinned at 49. corpus_lsa_topics runs
-    driver-side eigendecomposition jobs during plan construction —
-    place it LATE in the window next to embedding_procrustes (the
-    fit_embeddings_model shadowing rationale).
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        reservoir_sample(docs, k=40, key_col="doc_id", seed=42)
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def doc_stratified_sample(spark, sf_dir):
+    """Deterministic exactly-k-per-stratum sample (sampling.py::
+    stratified_reservoir — per-source bottom-k sketch: rank by the
+    content-keyed hash within each source, keep the first 8). ONE
+    shuffle on the stratum key; output invariant to partitioning. The
+    fixed-SIZE sibling of the rate-based stratified_sample the mixture
+    pipeline uses. Oracle: DuckDB row_number over the same md5-uint52
+    order."""
+    from nbdatatools_spark.operators.sampling import stratified_reservoir
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        stratified_reservoir(docs, k=8, strata_col="source", key_col="doc_id", seed=42)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    )
+
+
+def corpus_fertility_sweep(spark, sf_dir):
+    """Tokenizer fertility vs vocabulary size (bpe.py::fertility_sweep,
+    Ács 2019's fertility metric over BPE merge checkpoints 0/2/4/8):
+    ONE corpus pass builds the word vocabulary; the merge loop and every
+    checkpoint's re-fold run over the vocabulary only. Checkpoint 0 is
+    character segmentation, so its token total IS the corpus-weighted
+    total word length — exactly SQL-computable, giving the oracle real
+    hash bite on (char_tokens, total_words) as EXACT integers (they
+    encode the checkpoint-0 fertility with no float in the hash); later
+    checkpoints are pinned against the monotone contract (each merge
+    strictly reduces total tokens; fertility non-increasing; vocab
+    non-decreasing). The merge table itself is differential-tested in
+    tests/test_bpe.py; the sweep's invariants in
+    tests/test_round10_candidates.py."""
+    from nbdatatools_spark.operators.bpe import fertility_sweep
+
+    docs = _t(spark, sf_dir, "documents")
+    out = fertility_sweep(docs, checkpoints=(0, 2, 4, 8))
+    rows = out.orderBy("n_merges").collect()
+    ferts = [r["avg_fertility"] for r in rows]
+    toks = [r["total_tokens"] for r in rows]
+    vs = [r["vocab_size"] for r in rows]
+    mono_f = all(ferts[i] >= ferts[i + 1] for i in range(len(ferts) - 1))
+    mono_t = all(toks[i] >= toks[i + 1] for i in range(len(toks) - 1))
+    mono_v = all(vs[i] <= vs[i + 1] for i in range(len(vs) - 1))
+    base = rows[0]
+    return spark.createDataFrame(
+        [
+            (
+                int(base["total_tokens"]),
+                int(base["total_words"]),
+                int(len(rows)),
+                bool(mono_f),
+                bool(mono_t),
+                bool(mono_v),
+            )
+        ],
+        "char_tokens bigint, total_words bigint, "
+        "n_checkpoints int, fertility_nonincreasing boolean, "
+        "tokens_nonincreasing boolean, vocab_nondecreasing boolean",
+    )
+
+
+def doc_fineweb_filter(spark, sf_dir):
+    """FineWeb-style composite quality filter (functions/text.py::
+    fineweb_flags — Penedo et al. 2024's added line-shape heuristics +
+    the Gopher repetition and C4 placeholder rules it retains — ANDed
+    with gopher_quality_flags.keep; the `fineweb_filter` pipeline step
+    runs the same conjunction). The synthetic corpus has no newlines, so
+    the gate reshapes each doc with the SAME deterministic 7-word-line
+    transform as doc_c4_filters (unpunctuated every 3rd line, injected
+    lorem/brace lines on doc_id%17==3 / %19==7) so every line rule
+    actually fires; the oracle replays the reshaping and every fraction
+    with DuckDB list ops. Pure map-side predicate stack — no shuffle."""
+    from nbdatatools_spark.functions.text import (
+        fineweb_flags,
+        gopher_quality_flags,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    nl = F.greatest(F.ceil(F.size(w) / F.lit(7)).cast("int"), F.lit(1))
+    body = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.concat(
+            F.when(i % 11 == 5, F.lit("javascript ")).otherwise(F.lit("")),
+            F.concat_ws(" ", F.slice(w, i * 7 + 1, 7)),
+            F.when(i % 3 == 0, F.lit("")).otherwise(F.lit(".")),
+        ),
+    )
+    pre_lorem = F.when(
+        F.col("doc_id") % 17 == 3, F.array(F.lit("lorem ipsum dolor."))
+    ).otherwise(F.array().cast("array<string>"))
+    pre_brace = F.when(
+        F.col("doc_id") % 19 == 7, F.array(F.lit("code { sample."))
+    ).otherwise(F.array().cast("array<string>"))
+    shaped = docs.select(
+        "doc_id",
+        "text",
+        F.concat_ws("\n", F.concat(pre_lorem, pre_brace, body)).alias("__shaped"),
+    )
+    fw = fineweb_flags(F.col("__shaped"))
+    g = gopher_quality_flags(F.col("text"))
+    return (
+        shaped.select("doc_id", fw.alias("f"), g["keep"].alias("__gk"))
+        .select(
+            "doc_id",
+            "f.ok_punct_lines",
+            "f.ok_short_lines",
+            "f.ok_dup_lines",
+            "f.ok_dup_chars",
+            "f.ok_placeholder",
+            F.col("f.keep").alias("fineweb_keep"),
+            (F.col("f.keep") & F.col("__gk")).alias("composite_keep"),
+            "f.punct_line_frac",
+            "f.short_line_frac",
+            "f.dup_line_frac",
+            "f.dup_char_frac",
+            "f.n_lines",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def corpus_wordpiece(spark, sf_dir):
+    """WordPiece tokenizer training + greedy ## segmentation audit
+    (wordpiece.py::learn_wordpiece — the BERT lineage: Schuster &
+    Nakajima 2012; score = pair/(left*right), the public HF-tokenizers
+    trainer formulation). Same distributed factorization as
+    corpus_bpe_merges: ONE corpus pass builds the ##-symbol vocabulary;
+    each of 8 merge steps runs over the vocabulary only.
+
+    Pinned-invariant oracle gate (the corpus_bpe_merges pattern): the
+    iterative loop is not SQL-expressible, but the FIRST merge is pure
+    pair/symbol counting — the oracle replicates it exactly, including
+    the score argmax, with real hash bite on (left, right, pair_count,
+    left_count, right_count: the two symbol counts encode the winning
+    score EXACTLY as integers, no float rounding in the hash) — and pins
+    TRUE for the structural claims any correct WordPiece run satisfies:
+    merge count bounded, every pair_count >= the min_count floor, every
+    score in (0, 1] (pair <= min(left, right) counts), every merged
+    token's character payload occurring at its claimed position class
+    (word-initial for bare tokens, position > 1 for ##-continuations),
+    and the greedy ## segmenter round-tripping EVERY vocabulary word
+    under the learned vocab with no [UNK] and proper continuation
+    discipline. The full merge table keeps its pure-Python differential
+    in tests/test_wordpiece.py."""
+    from nbdatatools_spark.operators.wordpiece import (
+        learn_wordpiece,
+        wordpiece_base_symbols,
+        wordpiece_vocab,
+        wordpiece_vocabulary,
+        wordpiece_word_pieces,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = learn_wordpiece(docs, n_merges=8, min_count=2)
+    counts = [m[3] for m in merges]
+    scores = [m[4] for m in merges]
+    first_l, first_r = merges[0][1], merges[0][2]
+    wv = wordpiece_vocabulary(docs).localCheckpoint(eager=False)
+    sym_counts = {
+        r["s"]: int(r["n"])
+        for r in (
+            wv.select("count", F.explode("symbols").alias("s"))
+            .where(F.col("s").isin([first_l, first_r]))
+            .groupBy("s")
+            .agg(F.sum("count").alias("n"))
+            .collect()
+        )
+    }
+    # positional containment: bare merged tokens must start some word;
+    # ##-continuations must occur past position 1 of some word
+    pos_checks = []
+    for i, (_, left, right, _, _) in enumerate(merges):
+        tok = left + (right[2:] if right.startswith("##") else right)
+        if tok.startswith("##"):
+            pay = tok[2:]
+            cond = F.locate(pay, F.col("word"), 2) > 0
+        else:
+            cond = F.col("word").startswith(tok)
+        pos_checks.append(F.max(cond.cast("int")).alias(f"t{i}"))
+    in_pos = wv.agg(*pos_checks).first()
+    vocab = wordpiece_vocab(merges, wordpiece_base_symbols(docs))
+    segged = wordpiece_word_pieces(wv.select("word"), vocab)
+    payload = F.concat_ws(
+        "", F.transform("pieces", lambda p: F.regexp_replace(p, "^##", ""))
+    )
+    cont_ok = F.forall(
+        F.slice("pieces", 2, F.greatest(F.size("pieces") - 1, F.lit(0))),
+        lambda p: p.startswith("##"),
+    )
+    roundtrip = segged.agg(
+        F.min(
+            (
+                (payload == F.col("word"))
+                & ~F.array_contains("pieces", "[UNK]")
+                & ~F.element_at("pieces", 1).startswith("##")
+                & cont_ok
+            ).cast("int")
+        ).alias("ok")
+    ).first()["ok"]
+    row = [
+        (
+            first_l,
+            first_r,
+            int(merges[0][3]),
+            sym_counts[first_l],
+            sym_counts[first_r],
+            bool(len(merges) <= 8),
+            bool(all(c >= 2 for c in counts)),
+            bool(all(0.0 < s <= 1.0 for s in scores)),
+            bool(all(int(v) == 1 for v in in_pos)),
+            bool(int(roundtrip) == 1),
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "first_left string, first_right string, first_count bigint, "
+        "first_left_count bigint, first_right_count bigint, "
+        "n_merges_bounded boolean, counts_ge_min boolean, "
+        "scores_in_unit boolean, merged_tokens_positional boolean, "
+        "vocab_roundtrip boolean",
+    )
+
+
+def _wordpiece_oracle() -> str:
+    """DuckDB replica of corpus_wordpiece's FIRST merge: the ##-symbol
+    vocabulary, pair and symbol counts weighted by word frequency, the
+    min_count candidate floor, and the score argmax — with the winning
+    pair's left/right symbol counts emitted as exact integers (they
+    encode the score with no float in the hash)."""
+    return f"""
+        WITH nrm AS (SELECT {{norm}} AS t FROM documents),
+        w AS (SELECT unnest(string_split(t, ' ')) AS word
+              FROM nrm WHERE length(t) > 0),
+        v AS (SELECT word, count(*) AS cnt FROM w
+              WHERE word <> '' GROUP BY word),
+        sy AS (SELECT word, cnt, i,
+                      CASE WHEN i = 1 THEN substring(word, 1, 1)
+                           ELSE '##' || substring(word, CAST(i AS INT), 1)
+                      END AS s
+               FROM (SELECT word, cnt,
+                            unnest(generate_series(1, length(word))) AS i
+                     FROM v)),
+        symc AS (SELECT s, CAST(sum(cnt) AS BIGINT) AS sc
+                 FROM sy GROUP BY s),
+        p AS (SELECT a.s AS left_, b.s AS right_, a.cnt
+              FROM sy a JOIN sy b
+                ON a.word = b.word AND b.i = a.i + 1),
+        agg AS (SELECT left_, right_, CAST(sum(cnt) AS BIGINT) AS c
+                FROM p GROUP BY left_, right_
+                HAVING sum(cnt) >= 2),
+        scored AS (SELECT agg.left_, agg.right_, agg.c, l.sc AS lc, r.sc AS rc,
+                          CAST(agg.c AS DOUBLE)
+                              / (CAST(l.sc AS DOUBLE) * CAST(r.sc AS DOUBLE))
+                              AS score
+                   FROM agg JOIN symc l ON l.s = agg.left_
+                            JOIN symc r ON r.s = agg.right_)
+        SELECT left_ AS first_left, right_ AS first_right, c AS first_count,
+               lc AS first_left_count, rc AS first_right_count,
+               TRUE AS n_merges_bounded, TRUE AS counts_ge_min,
+               TRUE AS scores_in_unit, TRUE AS merged_tokens_positional,
+               TRUE AS vocab_roundtrip
+        FROM scored ORDER BY score DESC, left_, right_ LIMIT 1
+    """
+
+
+def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Round-10 rotation candidates: same contract as queries(), kept out
+    of the live window so the round-9 recording layout stays attested.
+    The 28 round-9 candidates rotated into window slots 0-26 + 48 at the
+    round-9 head (see the queries() docstring); new round-10 gates stage
+    here with their oracles in candidate_oracles() until the round-10
+    rotation.
     """
     return {
-        "events_mann_whitney": events_mann_whitney,
-        "events_kruskal_wallis": events_kruskal_wallis,
-        "events_levene_test": events_levene_test,
-        "events_spearman_corr": events_spearman_corr,
-        "events_mann_kendall": events_mann_kendall,
-        "doc_source_fdr": doc_source_fdr,
-        "events_assortativity": events_assortativity,
-        "events_kcore": events_kcore,
-        "doc_fleiss_kappa": doc_fleiss_kappa,
-        "doc_lexical_diversity": doc_lexical_diversity,
-        "embedding_two_sample_shift": embedding_two_sample_shift,
-        "corpus_lsa_topics": corpus_lsa_topics,
-        "events_page_hinkley": events_page_hinkley,
-        "events_trimmed_mean": events_trimmed_mean,
-        "doc_sampling_ess": doc_sampling_ess,
-        "doc_brier_decomposition": doc_brier_decomposition,
-        "embedding_dbscan": embedding_dbscan,
-        "events_welch_anova": events_welch_anova,
-        "doc_cramers_v": doc_cramers_v,
-        "doc_cochran_q": doc_cochran_q,
-        "doc_friedman_test": doc_friedman_test,
-        "events_shift_function": events_shift_function,
-        "doc_shard_mixing": doc_shard_mixing,
-        "events_ks_test": events_ks_test,
-        "embedding_decontaminate": embedding_decontaminate,
-        "doc_mcnemar": doc_mcnemar,
-        "doc_concordance": doc_concordance,
-        "doc_agreement_limits": doc_agreement_limits,
+        "corpus_wordpiece": corpus_wordpiece,
+        "doc_reservoir_sample": doc_reservoir_sample,
+        "doc_stratified_sample": doc_stratified_sample,
+        "corpus_fertility_sweep": corpus_fertility_sweep,
+        "doc_fineweb_filter": doc_fineweb_filter,
     }
 
 
@@ -12416,8 +12706,171 @@ def _p2_sql(z: str) -> str:
 
 
 def candidate_oracles() -> dict[str, str]:
-    """DuckDB oracles for the round-9 candidates (rows-only gates omit
-    their entry by design — events_kcore is a shrinking-set fixpoint)."""
+    """DuckDB oracles for the round-10 candidates (rows-only gates omit
+    their entry by design). Stays in lock-step with candidate_queries()."""
+    return {
+        "corpus_wordpiece": _wordpiece_oracle().format(norm=_NORM),
+        # bottom-k sketch order on the shared md5-uint52 convention
+        "doc_reservoir_sample": """
+            SELECT doc_id, source, lang FROM (
+                SELECT doc_id, source, lang,
+                       ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'),
+                                          1, 13))::BIGINT AS hv
+                FROM documents
+                ORDER BY hv ASC, doc_id LIMIT 40)
+            ORDER BY doc_id
+        """,
+        # per-source rank over the same hash order, first 8 per stratum
+        "doc_stratified_sample": """
+            WITH h AS (
+                SELECT source, doc_id,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY ('0x' || substring(
+                               md5(CAST(doc_id AS VARCHAR) || ':42'),
+                               1, 13))::BIGINT ASC, doc_id ASC) AS r
+                FROM documents)
+            SELECT source, doc_id FROM h WHERE r <= 8
+            ORDER BY source, doc_id
+        """,
+        # checkpoint-0 fertility as exact integers: char tokens = summed
+        # word lengths, words = word occurrences, over the normalized text
+        "corpus_fertility_sweep": f"""
+            WITH nrm AS (SELECT {_NORM} AS t FROM documents),
+            w AS (SELECT unnest(string_split(t, ' ')) AS word
+                  FROM nrm WHERE length(t) > 0),
+            v AS (SELECT word, count(*) AS cnt FROM w
+                  WHERE word <> '' GROUP BY word)
+            SELECT CAST(sum(length(word) * cnt) AS BIGINT) AS char_tokens,
+                   CAST(sum(cnt) AS BIGINT) AS total_words,
+                   4 AS n_checkpoints,
+                   TRUE AS fertility_nonincreasing,
+                   TRUE AS tokens_nonincreasing,
+                   TRUE AS vocab_nondecreasing
+            FROM v
+        """,
+        # FineWeb line-shape rules on the c4-reshaped text + the Gopher
+        # page conjunction on the raw text (the doc_gopher_filter replica)
+        "doc_fineweb_filter": """
+            WITH base AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(trim(text), '\\s+') AS w
+                FROM documents),
+            shaped AS (
+                SELECT doc_id, text,
+                       list_concat(list_concat(
+                           CASE WHEN doc_id % 17 = 3
+                                THEN ['lorem ipsum dolor.'] ELSE [] END,
+                           CASE WHEN doc_id % 19 = 7
+                                THEN ['code {{ sample.'] ELSE [] END),
+                           list_transform(
+                               range(0, greatest(CAST(ceil(len(w) / 7.0) AS INT), 1)),
+                               i -> (CASE WHEN i % 11 = 5 THEN 'javascript ' ELSE '' END)
+                                    || array_to_string(w[CAST(i*7+1 AS INT):CAST(i*7+7 AS INT)], ' ')
+                                    || (CASE WHEN i % 3 = 0 THEN '' ELSE '.' END)))
+                       AS raw_ls
+                FROM base),
+            l AS (
+                SELECT doc_id, text,
+                       array_to_string(raw_ls, chr(10)) AS sh,
+                       list_filter(list_transform(raw_ls, x -> trim(x)),
+                                   x -> length(x) > 0) AS ls
+                FROM shaped),
+            fw AS (
+                SELECT doc_id, text, sh, ls, len(ls) AS nl,
+                       CASE WHEN len(ls) = 0 THEN 0.0
+                            ELSE CAST(len(list_filter(ls,
+                                     x -> right(x, 1) IN ('.', '!', '?', '"')))
+                                 AS DOUBLE) / len(ls) END AS punct_frac,
+                       CASE WHEN len(ls) = 0 THEN 0.0
+                            ELSE CAST(len(list_filter(ls, x -> length(x) < 30))
+                                 AS DOUBLE) / len(ls) END AS short_frac,
+                       CASE WHEN len(ls) = 0 THEN 0.0
+                            ELSE CAST(len(ls) - len(list_distinct(ls))
+                                 AS DOUBLE) / len(ls) END AS dlf,
+                       CASE WHEN coalesce(list_sum(list_transform(ls,
+                                     x -> length(x))), 0) = 0 THEN 0.0
+                            ELSE CAST(coalesce(list_sum(list_transform(ls,
+                                     x -> CASE WHEN len(list_filter(ls,
+                                              y -> y = x)) > 1
+                                          THEN length(x) ELSE 0 END)), 0)
+                                 AS DOUBLE)
+                                 / list_sum(list_transform(ls, x -> length(x)))
+                       END AS dcf
+                FROM l),
+            gt AS (
+                SELECT doc_id, text,
+                       {tokens} AS toks,
+                       {ntok} AS n,
+                       list_filter(list_transform(string_split(text, chr(10)),
+                                                  x -> trim(x)),
+                                   x -> length(x) > 0) AS gls
+                FROM documents),
+            gm AS (
+                SELECT doc_id,
+                       (n >= 50 AND n <= 100000)
+                       AND (CASE WHEN n = 0 THEN 0.0
+                            ELSE CAST(list_sum(list_transform(toks, x -> length(x)))
+                                      AS DOUBLE) / n END BETWEEN 3.0 AND 10.0)
+                       AND (CASE WHEN n = 0 THEN 0.0
+                            ELSE CAST((length(text) - length(replace(text, '#', '')))
+                                      + (length(text) - length(replace(text, '...', ''))) / 3
+                                      AS DOUBLE) / n END <= 0.1)
+                       AND (CASE WHEN len(gls) = 0 THEN 0.0
+                            ELSE CAST(len(list_filter(gls,
+                                          x -> starts_with(x, '-') OR starts_with(x, '*')
+                                               OR starts_with(x, '•')))
+                                      AS DOUBLE) / len(gls) END <= 0.9)
+                       AND (CASE WHEN len(gls) = 0 THEN 0.0
+                            ELSE CAST(len(list_filter(gls, x -> ends_with(x, '...')))
+                                      AS DOUBLE) / len(gls) END <= 0.3)
+                       AND (CASE WHEN n = 0 THEN 0.0
+                            ELSE CAST(len(list_filter(toks,
+                                          x -> regexp_matches(x, '[a-zA-Z]')))
+                                      AS DOUBLE) / n END >= 0.8)
+                       AND (len(list_intersect(
+                           list_distinct(CASE WHEN length(trim(text)) = 0
+                                              THEN CAST([] AS VARCHAR[])
+                                              ELSE {ltokens} END),
+                           [{stopwords}])) >= 2) AS gk
+                FROM gt)
+            SELECT fw.doc_id,
+                   (punct_frac >= 0.12) AS ok_punct_lines,
+                   (short_frac <= 0.67) AS ok_short_lines,
+                   (dlf <= 0.3) AS ok_dup_lines,
+                   (dcf <= 0.1) AS ok_dup_chars,
+                   (NOT contains(lower(sh), 'lorem ipsum')
+                    AND NOT contains(lower(sh), '{{')) AS ok_placeholder,
+                   (punct_frac >= 0.12 AND short_frac <= 0.67
+                    AND dlf <= 0.3 AND dcf <= 0.1
+                    AND NOT contains(lower(sh), 'lorem ipsum')
+                    AND NOT contains(lower(sh), '{{')) AS fineweb_keep,
+                   (punct_frac >= 0.12 AND short_frac <= 0.67
+                    AND dlf <= 0.3 AND dcf <= 0.1
+                    AND NOT contains(lower(sh), 'lorem ipsum')
+                    AND NOT contains(lower(sh), '{{')
+                    AND gm.gk) AS composite_keep,
+                   round(punct_frac, 6) AS punct_line_frac,
+                   round(short_frac, 6) AS short_line_frac,
+                   round(dlf, 6) AS dup_line_frac,
+                   round(dcf, 6) AS dup_char_frac,
+                   CAST(nl AS INT) AS n_lines
+            FROM fw JOIN gm ON gm.doc_id = fw.doc_id
+            ORDER BY fw.doc_id
+        """.format(
+            tokens=_TOKENS, ntok=_NTOK, ltokens=_LTOKENS,
+            stopwords=_STOPWORD_SQL_LIST,
+        ),
+    }
+
+
+def _rotated_round9_oracles() -> dict[str, str]:
+    """DuckDB oracles for the 28 round-9 rotated gates (rows-only gates
+    omit their entry by design — events_kcore / embedding_dbscan are
+    shrinking-set/iterative fixpoints, corpus_lsa_topics an
+    eigendecomposition; each carries a pure-Python differential pytest).
+    Staged as candidates in round 8, judge-verified, rotated into window
+    slots 0-26 + 48 at the round-9 head."""
     ds = _DS.format
     mwu_base = """
         SELECT event_type AS g,
@@ -12604,8 +13057,8 @@ def candidate_oracles() -> dict[str, str]:
             tv AS (SELECT g, {ds(x='t*(t - 1.0)*(2.0*t + 5.0)')} AS tt
                    FROM (SELECT g, CAST(count(*) AS DOUBLE) AS t
                          FROM daily GROUP BY g, y) GROUP BY g),
-            zc AS (SELECT np.g, np.n, ss.s,
-                          CASE WHEN ss.s = 0.0
+            zc AS (SELECT np.g, np.n, coalesce(ss.s, 0.0) AS s,
+                          CASE WHEN coalesce(ss.s, 0.0) = 0.0
                                  OR (CAST(np.n AS DOUBLE)*(CAST(np.n AS DOUBLE) - 1.0)
                                      *(2.0*CAST(np.n AS DOUBLE) + 5.0) - tv.tt)/18.0 <= 0.0
                                THEN 0.0
@@ -12613,7 +13066,7 @@ def candidate_oracles() -> dict[str, str]:
                                     / sqrt((CAST(np.n AS DOUBLE)*(CAST(np.n AS DOUBLE) - 1.0)
                                             *(2.0*CAST(np.n AS DOUBLE) + 5.0) - tv.tt)/18.0)
                           END AS z
-                   FROM np JOIN ss ON ss.g = np.g JOIN tv ON tv.g = np.g)
+                   FROM np LEFT JOIN ss ON ss.g = np.g JOIN tv ON tv.g = np.g)
             SELECT g AS event_type, n AS n_points, CAST(s AS BIGINT) AS s_stat,
                    round(z, 6) + 0.0 AS z,
                    {_p2_sql('z')} AS p_value,
@@ -12656,7 +13109,8 @@ def candidate_oracles() -> dict[str, str]:
             SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
                    round(ps, 6) AS en_rate, round(z, 6) + 0.0 AS z,
                    round(p, 6) + 0.0 AS p_value, r AS p_rank,
-                   round(pa, 6) + 0.0 AS p_adj, pa <= 0.05 AS rejected
+                   round(pa, 6) + 0.0 AS p_adj,
+                   round(pa, 6) + 0.0 <= 0.05 AS rejected
             FROM adj ORDER BY source
         """,
         # degree assortativity over the triangle-gate co-visitation edges

@@ -518,6 +518,78 @@ def gopher_quality_flags(col: Column) -> Column:
     return _let(tokens(col), lambda toks: _let(lines_of(col), lambda ls: over_lines(toks, ls)))
 
 
+def fineweb_flags(
+    col: Column,
+    punct_min: float = 0.12,
+    short_len: int = 30,
+    short_max: float = 0.67,
+    dup_line_max: float = 0.3,
+    dup_char_max: float = 0.1,
+) -> Column:
+    """FineWeb-style line-shape + repetition quality rules (Penedo et al.
+    2024, arXiv:2406.17557 §3.1/3.6 — the three heuristics FineWeb added
+    on top of the MassiveText/Gopher and C4 stacks, plus the repetition
+    and placeholder rules it retains), as a struct of per-rule booleans,
+    the 6dp fractions behind them, and the conjunction:
+
+    - ``ok_punct_lines``: fraction of lines ending in terminal
+      punctuation (., !, ?, ") >= ``punct_min`` (0.12)
+    - ``ok_short_lines``: fraction of lines shorter than ``short_len``
+      (30) chars <= ``short_max`` (0.67)
+    - ``ok_dup_lines``: duplicate-line fraction <= ``dup_line_max``
+      (0.3, the Gopher repetition rule)
+    - ``ok_dup_chars``: fraction of characters inside duplicated lines
+      <= ``dup_char_max`` (0.1 — FineWeb tightened Gopher's 0.2)
+    - ``ok_placeholder``: no lorem-ipsum placeholder, no curly brace
+      (the C4 page rules FineWeb keeps)
+    - ``keep``: AND of all five.
+
+    The full FineWeb composite ANDs this with ``gopher_quality_flags``
+    (page-level quality) and a language gate — see the
+    ``doc_fineweb_filter`` gate / the ``fineweb_filter`` pipeline step.
+    Pure Catalyst (split/filter/aggregate), map-side only; every ratio is
+    one int/int division so a SQL oracle reproduces the doubles exactly.
+    Line metrics are let-bound (``_let``) like gopher's.
+    """
+
+    def over_lines(ls):
+        n_lines = F.size(ls)
+        punct_frac = F.when(n_lines == 0, F.lit(0.0)).otherwise(
+            F.size(
+                F.filter(ls, lambda l: F.substring(l, -1, 1).isin(".", "!", "?", '"'))
+            ).cast("double")
+            / n_lines
+        )
+        short_frac = F.when(n_lines == 0, F.lit(0.0)).otherwise(
+            F.size(F.filter(ls, lambda l: F.length(l) < short_len)).cast("double")
+            / n_lines
+        )
+        dlf = dup_line_fraction_of(ls)
+        dcf = dup_line_char_fraction_of(ls)
+        low = F.lower(col)
+        flags = {
+            "ok_punct_lines": punct_frac >= punct_min,
+            "ok_short_lines": short_frac <= short_max,
+            "ok_dup_lines": dlf <= dup_line_max,
+            "ok_dup_chars": dcf <= dup_char_max,
+            "ok_placeholder": ~low.contains("lorem ipsum") & ~low.contains("{"),
+        }
+        keep = None
+        for c in flags.values():
+            keep = c if keep is None else (keep & c)
+        return F.struct(
+            *[c.alias(name) for name, c in flags.items()],
+            keep.alias("keep"),
+            F.round(punct_frac, 6).alias("punct_line_frac"),
+            F.round(short_frac, 6).alias("short_line_frac"),
+            F.round(dlf, 6).alias("dup_line_frac"),
+            F.round(dcf, 6).alias("dup_char_frac"),
+            n_lines.alias("n_lines"),
+        )
+
+    return _let(lines_of(col), over_lines)
+
+
 def sentences_of(col: Column) -> Column:
     """Sentence segmentation by terminal punctuation. Portable formulation:
     mark each "[.!?] + whitespace" boundary with a \x01 sentinel via a

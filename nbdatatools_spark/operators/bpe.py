@@ -213,6 +213,71 @@ def bpe_encode(
     ).drop("__bpe")
 
 
+def fertility_sweep(
+    df: DataFrame,
+    text_col: str = "text",
+    checkpoints: tuple = (0, 2, 4, 8),
+    min_count: int = 2,
+) -> DataFrame:
+    """Tokenizer fertility vs vocabulary size: learn BPE merges once (up
+    to ``max(checkpoints)``), then report corpus-weighted fertility
+    (tokens emitted per word — Ács 2019's cross-tokenizer comparability
+    metric) at each merge-count checkpoint. The tuning readout for "how
+    many merges does THIS corpus need": fertility starts at the mean
+    word length (checkpoint 0 = character segmentation) and decreases
+    monotonically as merges land, flattening where extra vocabulary
+    stops paying.
+
+    Returns one row per checkpoint: ``(n_merges, vocab_size,
+    avg_fertility, total_tokens, total_words)`` ordered by n_merges.
+    vocab_size = base alphabet + merges actually learned up to the
+    checkpoint (early stop caps it).
+
+    Scale shape: ONE corpus pass (the word vocabulary), k tiny
+    vocab-sized jobs for the merge loop, then ONE vocab-sized aggregate
+    per checkpoint (symbol arrays re-folded per checkpoint — pure
+    Catalyst projection, counts weighted by word frequency). The corpus
+    is never rescanned.
+    """
+    ckpts = sorted(set(int(c) for c in checkpoints))
+    if not ckpts or ckpts[0] < 0:
+        raise ValueError(f"checkpoints must be non-negative, got {checkpoints}")
+    spark = df.sparkSession
+    vocab = word_vocabulary(df, text_col).localCheckpoint(eager=False)
+    n_base = vocab.select(F.explode("symbols").alias("c")).distinct().count()
+    merges = (
+        _learn_merges(vocab, ckpts[-1], min_count) if ckpts[-1] > 0 else []
+    )
+    rows = []
+    for ck in ckpts:
+        use = merges[:ck]
+        sym = F.col("symbols")
+        for _, left, right, _ in use:
+            sym = _merge_pair(sym, left, right)
+        agg = vocab.select(
+            (F.size(sym).cast("bigint") * F.col("count")).alias("__t"),
+            F.col("count").alias("__w"),
+        ).agg(
+            F.sum("__t").alias("total_tokens"), F.sum("__w").alias("total_words")
+        ).first()
+        tt, tw = int(agg["total_tokens"]), int(agg["total_words"])
+        new_toks = {left + right for _, left, right, _ in use}
+        rows.append(
+            (
+                len(use),
+                n_base + len(new_toks),
+                round(tt / tw, 6) if tw else 0.0,
+                tt,
+                tw,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "n_merges int, vocab_size int, avg_fertility double, "
+        "total_tokens bigint, total_words bigint",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Byte-level BPE (the GPT-2/Llama tokenizer lineage: Radford et al. 2019,
 # "Language Models are Unsupervised Multitask Learners", public

@@ -831,8 +831,15 @@ def dbscan_from_pairs(
     from nbdatatools_spark.operators.dedup import connected_components
 
     ids = points.select(F.col(id_col).alias("id")).distinct()
+    # canonicalize to unordered pairs BEFORE distinct (the graph.py
+    # kcore/assortativity convention): ANN joins commonly emit both
+    # orientations (a,b) and (b,a), and counting each twice would
+    # inflate degrees and promote non-core points to core silently
     edges = (
-        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("a"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("b"),
+        )
         .where(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint(eager=False)

@@ -898,10 +898,14 @@ def fleiss_kappa(
         cat.cast("string").alias("__c"),
     ).where(F.col("__c").isNotNull())
     ic = base.groupBy("__i", "__c").agg(F.count(F.lit(1)).alias("__n"))
+    # distinct-rater count per item travels alongside the row count: a
+    # duplicated rater masking a missing one reaches the modal row count
+    # but must drop, loudly (the friedman_test/cochran_q fix)
+    rdist = base.groupBy("__i").agg(F.count_distinct("__r").alias("__nd"))
     per_item = ic.groupBy("__i").agg(
         F.sum("__n").alias("__ni"),
         F.sum(F.col("__n") * F.col("__n")).alias("__sq"),
-    )
+    ).join(rdist, "__i")
     # modal rater count decides the panel size; off-count items drop loudly
     modal = (
         per_item.groupBy("__ni")
@@ -913,8 +917,9 @@ def fleiss_kappa(
     tagged = per_item.crossJoin(F.broadcast(modal)).localCheckpoint(
         eager=False
     )
-    kept = tagged.where(F.col("__ni") == F.col("__nr"))
-    dropped = tagged.where(F.col("__ni") != F.col("__nr")).agg(
+    ok = (F.col("__ni") == F.col("__nr")) & (F.col("__nd") == F.col("__ni"))
+    kept = tagged.where(ok)
+    dropped = tagged.where(~ok).agg(
         F.count(F.lit(1)).alias("n_items_dropped")
     )
 
@@ -1099,11 +1104,16 @@ def cochran_q(
         flag.alias("__f"),
     ).where(F.col("__f").isNotNull())
     k_all = base.select("__t").distinct().count()
+    # gate on DISTINCT treatments AND raw rows (the friedman_test fix):
+    # a duplicated treatment masking a missing one must drop, loudly
     per_item = base.groupBy("__i").agg(
-        F.count(F.lit(1)).alias("__k"), F.sum("__f").alias("__r")
+        F.count(F.lit(1)).alias("__k"),
+        F.count_distinct("__t").alias("__kd"),
+        F.sum("__f").alias("__r"),
     ).localCheckpoint(eager=False)
-    kept_items = per_item.where(F.col("__k") == k_all)
-    dropped = per_item.where(F.col("__k") != k_all).agg(
+    ok = (F.col("__k") == k_all) & (F.col("__kd") == k_all)
+    kept_items = per_item.where(ok)
+    dropped = per_item.where(~ok).agg(
         F.count(F.lit(1)).alias("n_items_dropped")
     )
     kept = base.join(kept_items.select("__i"), "__i", "left_semi")

@@ -479,8 +479,10 @@ def kcore(
     all keyed on node ids; ``localCheckpoint`` cuts lineage per round
     (the connected_components discipline) so plans stay flat. Rounds are
     data-bounded (each drops >= 1 node, <= the peeling depth, which is
-    small for real degree distributions); ``max_iter`` is the loud
-    runaway guard, raising rather than returning a non-fixpoint.
+    small for real degree distributions); the runaway guard is
+    max(``max_iter``, node_count + 1) — peeling depth can legitimately
+    reach the node count on chain-like graphs, so the guard scales with
+    the graph and raises loudly rather than returning a non-fixpoint.
 
     Not SQL-expressible (fixpoint of a shrinking set) — differential
     pytest vs a pure-Python peeler is the correctness evidence (the
@@ -495,7 +497,15 @@ def kcore(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    for _ in range(max_iter):
+    # every non-terminal round strictly drops >= 1 node, so node-count+1
+    # rounds always reach the fixpoint: the guard scales with the graph
+    # (chain-like graphs legitimately peel ~1 node/round, far past any
+    # fixed constant) and max_iter stays only as an explicit lower bound
+    # on the runaway ceiling for callers who want to cap work.
+    bound: int | None = None
+    rounds = 0
+    while bound is None or rounds < bound:
+        rounds += 1
         deg = (
             live.select(F.col("a").alias("node"))
             .unionAll(live.select(F.col("b").alias("node")))
@@ -506,6 +516,8 @@ def kcore(
         keep = deg.where(F.col("degree") >= k).select("node")
         n_before = deg.count()
         n_keep = keep.count()
+        if bound is None:
+            bound = max(max_iter, n_before + 1)
         if n_keep == n_before:
             return (
                 deg.where(F.col("degree") >= k)
@@ -523,5 +535,6 @@ def kcore(
             .localCheckpoint(eager=False)
         )
     raise RuntimeError(
-        f"kcore did not reach a fixpoint in {max_iter} rounds — raise max_iter"
+        f"kcore did not reach a fixpoint in {rounds} rounds "
+        f"(guard = max(max_iter={max_iter}, nodes+1)) — raise max_iter"
     )

@@ -298,6 +298,72 @@ def weighted_sample(
     )
 
 
+def reservoir_sample(
+    df: DataFrame,
+    k: int,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic fixed-size uniform sample WITHOUT replacement: the
+    ``k`` rows with the smallest content-keyed hash (the bottom-k sketch
+    formulation of reservoir sampling — a uniform hash order makes "k
+    smallest hashes" distributionally identical to a k-reservoir, with
+    none of the sequential state).
+
+    Content-keying (``sample_hash``) makes the sample a pure function of
+    (key, seed): partition-, engine- and run-invariant — re-running after
+    a repartition or appending unrelated rows keeps the SAME survivors
+    (minus any displaced by new smaller hashes), which is what an
+    incremental 100 TB corpus build needs. ``df.sample`` guarantees none
+    of this and cannot hit an exact k.
+
+    Scale shape: one projection + global top-k on the hash
+    (TakeOrderedAndProject — per-partition partial top-k, no full sort,
+    no shuffle of the data rows). Ties are impossible for distinct keys
+    (md5-52 collisions aside, broken by ``key_col``).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    h = sample_hash(F.col(key_col), seed)
+    return (
+        df.withColumn("__rs_hash", h)
+        .orderBy(F.col("__rs_hash").asc(), F.col(key_col))
+        .limit(k)
+        .drop("__rs_hash")
+    )
+
+
+def stratified_reservoir(
+    df: DataFrame,
+    k: int,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic exactly-``min(k, n_s)``-per-stratum sample: rank rows
+    within each stratum by the content-keyed hash and keep the first k —
+    the per-group bottom-k sketch (the fixed-SIZE sibling of
+    ``stratified_sample``'s fixed-RATE keep).
+
+    Scale shape: ONE shuffle on the stratum key (the rank window); the
+    rank is over the 52-bit hash with a ``key_col`` tie-break, so output
+    is partition-invariant. Skewed strata are bounded by AQE; k rows per
+    stratum survive regardless of stratum size.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    h = sample_hash(F.col(key_col), seed)
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("__rs_hash").asc(), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rs_hash", h)
+        .withColumn("__rs_rank", F.row_number().over(w))
+        .where(F.col("__rs_rank") <= k)
+        .drop("__rs_hash", "__rs_rank")
+    )
+
+
 def token_budget_select(
     df: DataFrame,
     budget_tokens: int,

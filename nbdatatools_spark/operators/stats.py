@@ -464,22 +464,25 @@ def mann_kendall(
         )
     )
     n = F.col("__n").cast("double")
+    # single-point groups produce no pairs: left-join + S=0 keeps them in
+    # the output (n_points=1, z=0, no_trend) instead of dropping them
+    s0 = F.coalesce(F.col("__s"), F.lit(0.0))
     var = (n * (n - 1.0) * (2.0 * n + 5.0) - F.col("__tt")) / 18.0
-    z = F.when((F.col("__s") == 0.0) | (var <= 0.0), F.lit(0.0)).otherwise(
-        (F.col("__s") - F.signum(F.col("__s"))) / F.sqrt(var)
+    z = F.when((s0 == 0.0) | (var <= 0.0), F.lit(0.0)).otherwise(
+        (s0 - F.signum(s0)) / F.sqrt(var)
     )
     p = _two_sided_p(z)
     return (
-        n_pts.join(s_stat, "__g")
+        n_pts.join(s_stat, "__g", "left")
         .join(F.broadcast(ties), "__g")
         .select(
             F.col("__g").alias(group_col),
             F.col("__n").cast("bigint").alias("n_points"),
-            F.col("__s").cast("bigint").alias("s_stat"),
+            s0.cast("bigint").alias("s_stat"),
             (F.round(z, 6) + 0.0).alias("z"),
             p.alias("p_value"),
             F.when(p >= 0.05, F.lit("no_trend"))
-            .when(F.col("__s") > 0, F.lit("increasing"))
+            .when(s0 > 0, F.lit("increasing"))
             .otherwise(F.lit("decreasing"))
             .alias("trend"),
         )
@@ -529,12 +532,15 @@ def bh_adjust(
             )
         ).over(w_tail),
     )
+    # rejected derives from the SAME rounded value emitted as p_adj, so a
+    # boundary row can never display p_adj == alpha with rejected=false
+    p_adj_out = F.round(adj, 6) + 0.0
     return ranked.select(
         *key_cols,
         (F.round(F.col("__p"), 6) + 0.0).alias("p_value"),
         F.col("__r").cast("int").alias("p_rank"),
-        (F.round(adj, 6) + 0.0).alias("p_adj"),
-        (adj <= alpha).alias("rejected"),
+        p_adj_out.alias("p_adj"),
+        (p_adj_out <= alpha).alias("rejected"),
     ).orderBy(*key_cols)
 
 
@@ -989,9 +995,16 @@ def friedman_test(
         F.col(value_col).cast("double").alias("__s"),
     ).where(F.col("__s").isNotNull() & F.col("__t").isNotNull())
     k_all = base.select("__t").distinct().count()
-    per_block = base.groupBy("__b").agg(F.count(F.lit(1)).alias("__k"))
-    kept_ids = per_block.where(F.col("__k") == k_all).select("__b")
-    dropped = per_block.where(F.col("__k") != k_all).agg(
+    # gate on DISTINCT treatments AND raw rows: a block with a duplicated
+    # treatment and a missing one has __k == k_all by raw count but would
+    # silently corrupt the within-block ranks — it must drop, loudly
+    per_block = base.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.count_distinct("__t").alias("__kd"),
+    )
+    ok = (F.col("__k") == k_all) & (F.col("__kd") == k_all)
+    kept_ids = per_block.where(ok).select("__b")
+    dropped = per_block.where(~ok).agg(
         F.count(F.lit(1)).alias("n_blocks_dropped")
     )
     kept = base.join(kept_ids, "__b", "left_semi").localCheckpoint(eager=False)

@@ -64,6 +64,25 @@ def _op_repetition_filter(df, max_dup_line_frac=0.3, text_col="text", **_):
     return df.where(dup_line_fraction(F.col(text_col)) <= float(max_dup_line_frac))
 
 
+def _op_fineweb_filter(df, text_col="text", langs=None, lang_col="lang", **_):
+    """FineWeb composite preset (Penedo et al. 2024): language gate (when
+    ``langs`` given and the column exists) AND gopher_quality_flags.keep
+    AND the fineweb_flags line-shape/repetition/placeholder conjunction —
+    one map-side predicate stack, no shuffle."""
+    from nbdatatools_spark.functions.text import (
+        fineweb_flags,
+        gopher_quality_flags,
+    )
+
+    keep = (
+        gopher_quality_flags(F.col(text_col))["keep"]
+        & fineweb_flags(F.col(text_col))["keep"]
+    )
+    if langs and lang_col in df.columns:
+        keep = keep & F.col(lang_col).isin(*list(langs))
+    return df.where(keep)
+
+
 def _op_c4_clean(df, min_words=3, min_sentences=3, text_col="text", **_):
     from nbdatatools_spark.functions.text import c4_clean_lines, c4_page_keep
 
@@ -298,6 +317,7 @@ STEP_REGISTRY = {
     "quality_filter": _op_quality_filter,
     "gopher_filter": _op_gopher_filter,
     "repetition_filter": _op_repetition_filter,
+    "fineweb_filter": _op_fineweb_filter,
     "c4_clean": _op_c4_clean,
     "exact_dedup": _op_exact_dedup,
     "minhash_dedup": _op_minhash_dedup,
