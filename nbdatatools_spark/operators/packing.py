@@ -343,8 +343,13 @@ def contrastive_chunk_pairs(
 
     Scale shape: chunking is map-side (chunk_documents); adjacent pairs
     are one self-join on (id, chunk_id+1) — equi-keyed; the negative
-    attaches via a lead() window over the DISTINCT chunked-doc id table
-    (doc-grain, tiny) followed by one equi-join back to first chunks.
+    attaches via the two-phase partition-offset index
+    (windows.global_row_index) over the DISTINCT chunked-doc id table:
+    next-doc-in-id-order = the doc at (idx + 1) mod n, one keyed
+    self-join on the index — the doc-grain table is corpus-sized (one
+    row per document), so an unpartitioned lead() window here would
+    serialize every doc id through one reducer at 100 TB (VERDICT r8
+    task #3); the index formulation keeps every stage keyed.
 
     Returns (doc_id, chunk_a, chunk_b, anchor, positive, negative_doc,
     negative); documents with < 2 chunks contribute nothing; the LAST
@@ -368,21 +373,26 @@ def contrastive_chunk_pairs(
         F.col("chunk_text").alias("positive"),
     )
     pairs = a.join(b, ["doc_id", "chunk_a"])
+    from nbdatatools_spark.operators.windows import global_row_index
+
     docs_with_chunks = chunks.select(F.col(id_col).alias("doc_id")).distinct()
-    w = Window.orderBy("doc_id")
-    wrapped = F.coalesce(
-        F.lead("doc_id").over(w),
-        F.first("doc_id").over(
-            Window.orderBy("doc_id").rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ),
+    idx = global_row_index(docs_with_chunks, ["doc_id"], out="__idx").localCheckpoint(
+        eager=False
+    )
+    total = idx.agg(F.count(F.lit(1)).alias("__n"))
+    tgt = idx.crossJoin(F.broadcast(total)).select(
+        "doc_id", ((F.col("__idx") + 1) % F.col("__n")).alias("__tgt")
     )
     # single-chunked-doc corpus: the wrap points back at the anchor's own
     # document — NULL it out rather than ship a same-doc "negative"
-    nxt = docs_with_chunks.select(
+    nxt = tgt.join(
+        idx.select(F.col("__idx").alias("__tgt"), F.col("doc_id").alias("__nd")),
+        "__tgt",
+    ).select(
         "doc_id",
-        F.when(wrapped != F.col("doc_id"), wrapped).alias("negative_doc"),
+        F.when(F.col("__nd") != F.col("doc_id"), F.col("__nd")).alias(
+            "negative_doc"
+        ),
     )
     first_chunks = chunks.where(F.col("chunk_id") == 0).select(
         F.col(id_col).alias("negative_doc"), F.col("chunk_text").alias("negative")

@@ -169,3 +169,24 @@ def test_packing_report_closed_form(spark):
         packing_report(df, [])
     with _pt.raises(ValueError):
         packing_report(df, [0, 16])
+
+
+def test_contrastive_negative_no_corpus_grain_window(spark, documents):
+    """VERDICT r8 task #3: the 'next doc in id order' negative must route
+    through the two-phase partition-offset index, not an unpartitioned
+    lead() window over the corpus-grain doc-id table (one row per doc =
+    one reducer at 100 TB). Plan assert: no lead(), and every window spec
+    left in the plan is the sanctioned P-row __pid offset cumsum."""
+    import re
+
+    from nbdatatools_spark.operators.packing import contrastive_chunk_pairs
+
+    plan = (
+        contrastive_chunk_pairs(documents, chunk_size=32)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "lead(" not in plan
+    for spec in re.findall(r"windowspecdefinition\([^)]*\)", plan):
+        assert "__pid" in spec, f"corpus-grain window survived: {spec}"
