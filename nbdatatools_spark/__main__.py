@@ -15,10 +15,11 @@ reference user can run the same commands against the Spark engine:
     datasets list|download|plan|curlify|prebuffer
     vectordata info|views|profiles|size|sample|cat|prebuffer|verify
     corpus stats|run|tune_dedup|cluster_sizes|select_budget|card|keyphrases
-           |kneser_ney|train_unigram|calibrate_minhash|balance|qc
+           |kneser_ney|train_unigram|train_wordpiece|fertility_sweep
+           |calibrate_minhash|balance|qc
            |length_drift|cms_topk|bloom_decontam|source_similarity
            |boilerplate|filter_eval|cross_dedup|sentence_dedup
-           |temperature_mix|containment
+           |temperature_mix|containment|fineweb|reservoir
            (report / pipeline / tuning / audits / hygiene / tokenizers)
     media hash|near_dups|stats (perceptual-hash image dedup, metadata)
     slab get|namespaces|check|analyze|import|append|export|rewrite
@@ -697,6 +698,83 @@ def _cmd_corpus_train_unigram(args) -> int:
             "piece_id INT, piece STRING, prob DOUBLE",
         ).limit(args.top)
     )
+
+
+def _cmd_corpus_train_wordpiece(args) -> int:
+    from nbdatatools_spark.operators.wordpiece import (
+        learn_wordpiece,
+        wordpiece_base_symbols,
+        wordpiece_vocab,
+    )
+
+    spark = _spark()
+    docs = spark.read.parquet(args.input)
+    merges = learn_wordpiece(
+        docs, text_col=args.text_col, n_merges=args.merges, min_count=args.min_count
+    )
+    vocab = wordpiece_vocab(merges, wordpiece_base_symbols(docs, args.text_col))
+    print(json.dumps({"n_merges": len(merges), "vocab_size": len(vocab)}))
+    return _emit_rows(
+        spark.createDataFrame(
+            [(s, l, r, c, float(sc)) for s, l, r, c, sc in merges],
+            "step INT, left STRING, right STRING, pair_count BIGINT, score DOUBLE",
+        )
+    )
+
+
+def _cmd_corpus_fertility_sweep(args) -> int:
+    from nbdatatools_spark.operators.bpe import fertility_sweep
+
+    docs = _spark().read.parquet(args.input)
+    return _emit_rows(
+        fertility_sweep(
+            docs,
+            text_col=args.text_col,
+            checkpoints=tuple(int(c) for c in args.checkpoints.split(",")),
+            min_count=args.min_count,
+        ).orderBy("n_merges")
+    )
+
+
+def _cmd_corpus_fineweb(args) -> int:
+    from pyspark.sql import functions as F
+
+    from nbdatatools_spark.functions.text import fineweb_flags, gopher_quality_flags
+
+    docs = _spark().read.parquet(args.input)
+    fw = fineweb_flags(F.col(args.text_col))
+    keep = fw["keep"] & gopher_quality_flags(F.col(args.text_col))["keep"]
+    if args.output:
+        docs.where(keep).write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"written": args.output}))
+        return 0
+    return _emit_rows(
+        docs.select(args.id_col, fw.alias("f"), keep.alias("composite_keep"))
+        .select(args.id_col, "f.*", "composite_keep")
+        .orderBy(args.id_col)
+        .limit(args.limit)
+    )
+
+
+def _cmd_corpus_reservoir(args) -> int:
+    from nbdatatools_spark.operators.sampling import (
+        reservoir_sample,
+        stratified_reservoir,
+    )
+
+    docs = _spark().read.parquet(args.input)
+    if args.per_stratum:
+        out = stratified_reservoir(
+            docs, k=args.k, strata_col=args.strata_col,
+            key_col=args.id_col, seed=args.seed,
+        )
+    else:
+        out = reservoir_sample(docs, k=args.k, key_col=args.id_col, seed=args.seed)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"written": args.output}))
+        return 0
+    return _emit_rows(out.select(args.id_col).orderBy(args.id_col))
 
 
 def _cmd_corpus_sentence_dedup(args) -> int:
@@ -2523,6 +2601,34 @@ def build_parser() -> argparse.ArgumentParser:
     ctu.add_argument("--iters", type=int, default=3)
     ctu.add_argument("--top", type=int, default=100)
     ctu.set_defaults(func=_cmd_corpus_train_unigram)
+    ctw = cp.add_parser("train_wordpiece")
+    ctw.add_argument("--input", required=True)
+    ctw.add_argument("--text-col", default="text")
+    ctw.add_argument("--merges", type=int, default=50)
+    ctw.add_argument("--min-count", type=int, default=2)
+    ctw.set_defaults(func=_cmd_corpus_train_wordpiece)
+    cfs = cp.add_parser("fertility_sweep")
+    cfs.add_argument("--input", required=True)
+    cfs.add_argument("--text-col", default="text")
+    cfs.add_argument("--checkpoints", default="0,8,32,128")
+    cfs.add_argument("--min-count", type=int, default=2)
+    cfs.set_defaults(func=_cmd_corpus_fertility_sweep)
+    cfw = cp.add_parser("fineweb")
+    cfw.add_argument("--input", required=True)
+    cfw.add_argument("--text-col", default="text")
+    cfw.add_argument("--id-col", default="doc_id")
+    cfw.add_argument("--output", default=None)
+    cfw.add_argument("--limit", type=int, default=100)
+    cfw.set_defaults(func=_cmd_corpus_fineweb)
+    crs = cp.add_parser("reservoir")
+    crs.add_argument("--input", required=True)
+    crs.add_argument("--k", type=int, required=True)
+    crs.add_argument("--id-col", default="doc_id")
+    crs.add_argument("--seed", type=int, default=42)
+    crs.add_argument("--per-stratum", action="store_true")
+    crs.add_argument("--strata-col", default="source")
+    crs.add_argument("--output", default=None)
+    crs.set_defaults(func=_cmd_corpus_reservoir)
     csd = cp.add_parser("sentence_dedup")
     csd.add_argument("--input", required=True)
     csd.add_argument("--text-col", default="text")
