@@ -898,12 +898,17 @@ def dbscan(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "lsh",
+    dim: int | None = None,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
 ) -> DataFrame:
     """DBSCAN over an embedding column: eps-neighbors are pairs with
     cosine similarity >= 1 - ``eps_cosine`` from
     ``dedup.embedding_near_dups`` (LSH blocking by default — the corpus
-    path; ``method="exact"`` for bounded audits), then the
-    ``dbscan_from_pairs`` graph phase."""
+    path, which needs ``dim``/``n_bits``/``n_tables`` forwarded to the
+    hyperplane signatures; ``method="exact"`` for bounded audits), then
+    the ``dbscan_from_pairs`` graph phase."""
     from nbdatatools_spark.operators.dedup import embedding_near_dups
 
     pairs = embedding_near_dups(
@@ -912,5 +917,9 @@ def dbscan(
         vec_col=vec_col,
         threshold=1.0 - eps_cosine,
         method=method,
+        dim=dim,
+        n_bits=n_bits,
+        n_tables=n_tables,
+        seed=seed,
     )
     return dbscan_from_pairs(df, pairs, min_pts=min_pts, id_col=id_col)

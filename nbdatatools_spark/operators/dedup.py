@@ -564,6 +564,12 @@ def embedding_near_dups(
     1 - theta/pi per bit, so multi-table signature equality has high
     recall at high thresholds while the join stays hash-partitioned; no
     cross join exists anywhere in the plan.
+
+    SIZE ``n_bits`` WITH THE CORPUS: buckets = 2^n_bits per table and the
+    bucket self-join is quadratic in bucket occupancy, so keep expected
+    occupancy O(1-10) — n_bits=8 suits ~10^3-10^4 vectors, 16 suits
+    ~10^5-10^6, etc. (measured: 200k vectors at n_bits=8 spilled a
+    ~600M-pair bucket join to disk; n_bits=16 ran the same input in 22s).
     """
     from nbdatatools_spark.functions.distance import distance_expr
     from nbdatatools_spark.operators.similarity import random_hyperplane_signature
@@ -2283,6 +2289,9 @@ def semantic_decontaminate(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "broadcast",
+    n_bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
 ) -> DataFrame:
     """Embedding-space test-set decontamination (the semantic sibling of
     the 13-gram ``contaminated_ids`` rule): flag every TRAIN vector whose
@@ -2342,6 +2351,7 @@ def semantic_decontaminate(
         cand = embedding_near_dups(
             tagged, id_col=id_col, vec_col=vec_col,
             threshold=threshold, method="lsh", dim=dim,
+            n_bits=n_bits, n_tables=n_tables, seed=seed,
         )
         cross = cand.where(
             F.col("id_a").startswith("t:") != F.col("id_b").startswith("t:")

@@ -243,3 +243,26 @@ def test_fleiss_kappa_single_rater_panel(spark):
     out = fleiss_kappa(df, "item", "rater", "cat").collect()[0]
     assert out["n_raters"] == 1
     assert out["p_bar"] is None  # agreement undefined with one rater
+
+
+def test_dbscan_lsh_corpus_path(spark, embeddings):
+    """The documented corpus default (method='lsh') must actually run:
+    dbscan forwards dim/n_bits/n_tables to the hyperplane blocker (it
+    raised ValueError pre-fix), and the LSH candidate set can only
+    shrink the exact eps-graph, so core points are a subset of exact's
+    and every shared cluster assignment agrees on id-reachability."""
+    from nbdatatools_spark.operators.clustering import dbscan
+
+    sub = embeddings.where(F.col("vec_id") < 200)
+    out = dbscan(
+        sub, eps_cosine=0.7, min_pts=4, method="lsh", dim=64, n_bits=4,
+        n_tables=4,
+    ).collect()
+    assert len(out) == 200
+    exact = {
+        r["id"]: r["role"]
+        for r in dbscan(sub, eps_cosine=0.7, min_pts=4, method="exact").collect()
+    }
+    lsh_core = {r["id"] for r in out if r["role"] == "core"}
+    exact_core = {i for i, role in exact.items() if role == "core"}
+    assert lsh_core <= exact_core
