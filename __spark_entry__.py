@@ -12505,6 +12505,118 @@ def doc_fineweb_filter(spark, sf_dir):
     )
 
 
+def doc_group_split(spark, sf_dir):
+    """Leakage-safe group-keyed split assignment (sampling.py::
+    group_split): hash the SOURCE key so every document of a source
+    lands in the same split — near-duplicates (which cluster within
+    sources/domains) can never straddle train/test. Pure projection;
+    the gate aggregates to per-split doc and group counts, and the
+    never-straddles invariant is structural (one hash per group).
+    Oracle replays the md5-uint52 hash ranges per source."""
+    from nbdatatools_spark.operators.sampling import group_split
+
+    docs = _t(spark, sf_dir, "documents")
+    out = group_split(
+        docs, "source", fractions=(0.6, 0.2, 0.2), names=("train", "val", "test")
+    )
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("source").alias("n_groups"),
+        )
+        .orderBy("split")
+    )
+
+
+def doc_unimax_budget(spark, sf_dir):
+    """UniMax mixture rates (sampling.py::unimax_rates, Chung et al.
+    2023): distribute a char budget of floor(0.95 * total_chars) as
+    uniformly as possible over sources at max_epochs=1 — small sources
+    cap at one full pass (alloc = their size), the rest settle on the
+    shared water level. With integer char weights and max_epochs=1
+    every cap and cumulative sum is integer-exact, so the driver-side
+    scan and the SQL window replay the same doubles; the oracle
+    computes the water level with the sorted-cumsum closed form.
+    Driver-side jobs during plan construction (two tiny aggregates) —
+    stays mid-window per the shadowing rationale when rotated."""
+    from nbdatatools_spark.operators.sampling import unimax_rates
+
+    docs = _t(spark, sf_dir, "documents")
+    total = docs.agg(F.sum("n_chars").alias("t")).first()["t"]
+    budget = float(int(0.95 * float(total)))
+    rates = unimax_rates(
+        docs, budget=budget, strata_col="source", weight_col="n_chars",
+        max_epochs=1.0,
+    )
+    w = {
+        r["source"]: int(r["w"])
+        for r in docs.groupBy("source")
+        .agg(F.sum("n_chars").alias("w"))
+        .collect()
+    }
+    rows = [
+        (
+            s,
+            w[s],
+            bool(abs(rates[s] * w[s] - w[s]) < 1e-9),
+            round(rates[s] * w[s], 6),
+            round(rates[s], 6),
+        )
+        for s in sorted(rates)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "source string, w_chars bigint, capped boolean, "
+        "alloc double, rate double",
+    )
+
+
+def doc_krippendorff(spark, sf_dir):
+    """Krippendorff's alpha (evaluation.py::krippendorff_alpha,
+    nominal) over the three filter raters WITH deterministic
+    missingness — the agreement statistic that (unlike
+    doc_fleiss_kappa) keeps partially-rated units: the quality rater
+    rates every doc, the length rater skips doc_id%3==0, the lang
+    rater skips doc_id%7==0, so doc_id%21==0 units carry a single
+    rating and drop loudly while every other ragged unit participates.
+    One (unit, category) aggregate + two bounded reduces."""
+    from nbdatatools_spark.operators.evaluation import krippendorff_alpha
+
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.select(
+        F.col("doc_id").alias("unit"),
+        (F.round(quality_score(F.col("text")), 6) >= 0.5)
+        .cast("string")
+        .alias("cat"),
+    )
+    ln = docs.where(F.col("doc_id") % 3 != 0).select(
+        F.col("doc_id").alias("unit"),
+        (F.col("n_chars") >= 400).cast("string").alias("cat"),
+    )
+    lg = docs.where(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("unit"),
+        (F.col("lang") == "en").cast("string").alias("cat"),
+    )
+    return krippendorff_alpha(q.unionByName(ln).unionByName(lg), "unit", "cat")
+
+
+def embedding_davies_bouldin(spark, sf_dir):
+    """Davies-Bouldin cluster-separation index (clustering.py::
+    davies_bouldin, Davies & Bouldin 1979) over the vec_id%6 synthetic
+    clustering — the exact one-pass internal-quality companion to the
+    sampled silhouette gate. 6dp group_centroids means, 9dp-DECIMAL
+    Euclidean folds, per-cluster worst-R with (r, group) tie-break;
+    avg(r_max) is the DB index. Oracle replays centroids, both distance
+    passes, and the arg-max in DuckDB."""
+    from nbdatatools_spark.operators.clustering import davies_bouldin
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 6).cast("int").alias("cluster"), "embedding"
+    )
+    return davies_bouldin(emb, "cluster")
+
+
 def corpus_wordpiece(spark, sf_dir):
     """WordPiece tokenizer training + greedy ## segmentation audit
     (wordpiece.py::learn_wordpiece — the BERT lineage: Schuster &
@@ -12663,6 +12775,10 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": doc_stratified_sample,
         "corpus_fertility_sweep": corpus_fertility_sweep,
         "doc_fineweb_filter": doc_fineweb_filter,
+        "doc_group_split": doc_group_split,
+        "doc_unimax_budget": doc_unimax_budget,
+        "doc_krippendorff": doc_krippendorff,
+        "embedding_davies_bouldin": embedding_davies_bouldin,
     }
 
 
@@ -12861,6 +12977,162 @@ def candidate_oracles() -> dict[str, str]:
             tokens=_TOKENS, ntok=_NTOK, ltokens=_LTOKENS,
             stopwords=_STOPWORD_SQL_LIST,
         ),
+        # group-keyed split: one md5-uint52 hash per SOURCE, range cuts
+        # at 0.6 / 0.8 (left-to-right double accumulation, = the engine's)
+        "doc_group_split": """
+            WITH g AS (
+                SELECT source,
+                       ('0x' || substring(md5(source || ':42'), 1, 13))::BIGINT
+                           AS hv
+                FROM (SELECT DISTINCT source FROM documents)),
+            lab AS (
+                SELECT source,
+                       CASE WHEN hv < 0.6 * 4503599627370496.0 THEN 'train'
+                            WHEN hv < 0.8 * 4503599627370496.0 THEN 'val'
+                            ELSE 'test' END AS split
+                FROM g)
+            SELECT split, count(*) AS n_docs,
+                   CAST(count(DISTINCT d.source) AS BIGINT) AS n_groups
+            FROM documents d JOIN lab ON lab.source = d.source
+            GROUP BY split ORDER BY split
+        """,
+        # UniMax water level via the sorted-cumsum closed form; integer
+        # caps (max_epochs = 1) keep every share numerator exact
+        "doc_unimax_budget": """
+            WITH caps AS (
+                SELECT source, CAST(sum(n_chars) AS BIGINT) AS w
+                FROM documents GROUP BY source),
+            tot AS (SELECT CAST(floor(0.95 * CAST(sum(w) AS DOUBLE)) AS BIGINT)
+                        AS b FROM caps),
+            ord AS (
+                SELECT source, w,
+                       row_number() OVER (ORDER BY w, source) AS rn,
+                       CAST(coalesce(sum(w) OVER (
+                           ORDER BY w, source
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS BIGINT) AS csum,
+                       CAST(count(*) OVER () AS BIGINT) AS n
+                FROM caps),
+            lv AS (SELECT o.*, tot.b,
+                          CAST(tot.b - o.csum AS DOUBLE)
+                              / CAST(o.n - o.rn + 1 AS DOUBLE) AS share
+                   FROM ord o CROSS JOIN tot),
+            k AS (SELECT min(rn) AS krn FROM lv
+                  WHERE CAST(w AS DOUBLE) > share),
+            th AS (SELECT lv.share AS theta FROM lv JOIN k ON lv.rn = k.krn),
+            al AS (SELECT lv.source, lv.w,
+                          CASE WHEN k.krn IS NULL OR lv.rn < k.krn
+                               THEN CAST(lv.w AS DOUBLE)
+                               ELSE th.theta END AS alloc
+                   FROM lv CROSS JOIN k LEFT JOIN th ON TRUE)
+            SELECT source, w AS w_chars,
+                   (abs(alloc - CAST(w AS DOUBLE)) < 1e-9) AS capped,
+                   round(alloc, 6) AS alloc,
+                   round(alloc / CAST(w AS DOUBLE), 6) AS rate
+            FROM al ORDER BY source
+        """,
+        # Krippendorff alpha, nominal coincidence form, with the gate's
+        # deterministic rater missingness
+        "doc_krippendorff": f"""
+            WITH v AS (
+                SELECT doc_id AS u,
+                       CAST(({_QUALITY6} >= 0.5) AS VARCHAR) AS c
+                FROM documents
+                UNION ALL
+                SELECT doc_id, CAST((n_chars >= 400) AS VARCHAR)
+                FROM documents WHERE doc_id % 3 <> 0
+                UNION ALL
+                SELECT doc_id, CAST((lang = 'en') AS VARCHAR)
+                FROM documents WHERE doc_id % 7 <> 0),
+            uc AS (SELECT u, c, count(*) AS n FROM v GROUP BY u, c),
+            pu AS (SELECT u, CAST(sum(n) AS BIGINT) AS m,
+                          CAST(sum(n * (n - 1)) AS BIGINT) AS aa
+                   FROM uc GROUP BY u),
+            kept AS (SELECT * FROM pu WHERE m >= 2),
+            drp AS (SELECT CAST(count(*) AS BIGINT) AS n_units_dropped
+                    FROM pu WHERE m < 2),
+            ua AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+                          CAST(sum(m) AS BIGINT) AS nn,
+                          {_DS.format(x='CAST(aa AS DOUBLE)/(CAST(m AS DOUBLE) - 1.0)')}
+                              AS agree
+                   FROM kept),
+            nc AS (SELECT uc.c, CAST(sum(uc.n) AS BIGINT) AS ncv
+                   FROM uc JOIN kept ON kept.u = uc.u GROUP BY uc.c),
+            ca AS (SELECT CAST(count(*) AS INT) AS n_categories,
+                          CAST(sum(ncv * ncv) AS BIGINT) AS nc2
+                   FROM nc)
+            SELECT ua.n_units, drp.n_units_dropped, ua.nn AS n_ratings,
+                   ca.n_categories,
+                   round((CAST(ua.nn AS DOUBLE) - ua.agree)
+                         / CAST(ua.nn AS DOUBLE), 6) + 0.0 AS d_o,
+                   round((CAST(ua.nn AS DOUBLE) * CAST(ua.nn AS DOUBLE)
+                          - CAST(ca.nc2 AS DOUBLE))
+                         / (CAST(ua.nn AS DOUBLE)
+                            * (CAST(ua.nn AS DOUBLE) - 1.0)), 6) + 0.0 AS d_e,
+                   round(CASE WHEN (CAST(ua.nn AS DOUBLE) * CAST(ua.nn AS DOUBLE)
+                                    - CAST(ca.nc2 AS DOUBLE))
+                                   / (CAST(ua.nn AS DOUBLE)
+                                      * (CAST(ua.nn AS DOUBLE) - 1.0)) <= 0.0
+                              THEN NULL
+                              ELSE 1.0
+                                   - ((CAST(ua.nn AS DOUBLE) - ua.agree)
+                                      / CAST(ua.nn AS DOUBLE))
+                                     / ((CAST(ua.nn AS DOUBLE)
+                                         * CAST(ua.nn AS DOUBLE)
+                                         - CAST(ca.nc2 AS DOUBLE))
+                                        / (CAST(ua.nn AS DOUBLE)
+                                           * (CAST(ua.nn AS DOUBLE) - 1.0)))
+                         END, 6) + 0.0 AS alpha
+            FROM ua CROSS JOIN ca CROSS JOIN drp
+        """,
+        # Davies-Bouldin over vec_id%6: 6dp centroids, 9dp DECIMAL
+        # Euclidean folds, worst-R arg-max with (r, group) tie-break
+        "embedding_davies_bouldin": """
+            WITH e AS (
+                SELECT vec_id, CAST(vec_id % 6 AS INT) AS g,
+                       CAST(embedding AS DOUBLE[]) AS emb
+                FROM embeddings),
+            ex AS (SELECT g, vec_id,
+                          CAST(generate_subscripts(emb, 1) - 1 AS INT) AS dim,
+                          CAST(unnest(emb) AS DOUBLE) AS v
+                   FROM e),
+            cm AS (SELECT g, dim,
+                          round(CAST(CAST(sum(CAST(round(v, 9) AS DECIMAL(20,9)))
+                                AS DECIMAL(38,9)) AS DOUBLE) / count(*), 6) AS mean
+                   FROM ex GROUP BY g, dim),
+            d1 AS (SELECT ex.g, ex.vec_id,
+                          CAST(round((ex.v - cm.mean) * (ex.v - cm.mean), 9)
+                               AS DECIMAL(30,9)) AS t
+                   FROM ex JOIN cm ON cm.g = ex.g AND cm.dim = ex.dim),
+            dr AS (SELECT g, vec_id,
+                          round(sqrt(CAST(CAST(sum(t) AS DECIMAL(38,9))
+                                AS DOUBLE)), 9) AS dd
+                   FROM d1 GROUP BY g, vec_id),
+            s AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                         CAST(CAST(sum(CAST(dd AS DECIMAL(30,9)))
+                              AS DECIMAL(38,9)) AS DOUBLE) / count(*) AS sv
+                  FROM dr GROUP BY g),
+            cp AS (SELECT a.g AS gi, b.g AS gj,
+                          sqrt(CAST(CAST(sum(CAST(round((a.mean - b.mean)
+                                * (a.mean - b.mean), 9) AS DECIMAL(30,9)))
+                                AS DECIMAL(38,9)) AS DOUBLE)) AS m
+                   FROM cm a JOIN cm b ON a.dim = b.dim AND a.g <> b.g
+                   GROUP BY a.g, b.g),
+            r AS (SELECT cp.gi, cp.gj, (si.sv + sj.sv) / cp.m AS rr
+                  FROM cp JOIN s si ON si.g = cp.gi
+                          JOIN s sj ON sj.g = cp.gj
+                  WHERE cp.m > 0.0),
+            rm AS (SELECT gi, gj, rr,
+                          row_number() OVER (PARTITION BY gi
+                              ORDER BY rr DESC, gj DESC) AS k
+                   FROM r)
+            SELECT s.g AS cluster, s.n AS n_vectors,
+                   round(s.sv, 6) + 0.0 AS s_intra,
+                   rm.gj AS worst_other,
+                   round(rm.rr, 6) + 0.0 AS r_max
+            FROM s LEFT JOIN rm ON rm.gi = s.g AND rm.k = 1
+            ORDER BY cluster
+        """,
     }
 
 

@@ -204,6 +204,14 @@ HEADLINE = [
     "doc_mcnemar",
     "doc_concordance",
     "doc_agreement_limits",
+    # round-10 candidates (benched ahead of their window rotation;
+    # corpus_wordpiece stays a gate but not a headline entry — its 8
+    # sequential vocab-sized merge jobs are trainer cost, ~20s, the
+    # corpus_bytelevel_bpe policy)
+    "doc_reservoir_sample",
+    "doc_stratified_sample",
+    "corpus_fertility_sweep",
+    "doc_fineweb_filter",
 ]
 
 

@@ -354,6 +354,128 @@ def group_centroids(
     )
 
 
+def davies_bouldin(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Davies-Bouldin cluster-separation index (Davies & Bouldin 1979)
+    over a grouped embedding column — the internal clustering-quality
+    companion to ``silhouette_sample``: silhouette scores POINTS
+    (sampled — it is pairwise), DB scores CLUSTERS exactly with one
+    pass: R_ij = (S_i + S_j) / M_ij over intra-cluster mean distances
+    S and centroid separations M; each cluster reports its worst
+    (largest) R against any other cluster, and the DB index is the mean
+    of those — lower is better-separated.
+
+    Returns one row per group: ``(group, n_vectors, s_intra,
+    worst_other, r_max)`` at 6dp, ordered by group — ``avg(r_max)`` is
+    the DB index. Groups need >= 1 vector; a single-group input returns
+    NULL r_max/worst_other (no 'other' exists).
+
+    Exactness: centroids are the 6dp ``group_centroids`` means;
+    distances are Euclidean with per-element 9dp-rounded terms,
+    DECIMAL-summed for S (order-invariant) — an oracle replays every
+    cell bit-for-bit.
+
+    Scale shape: ONE posexplode aggregate for centroids (bounded k x d
+    cells), one broadcast join of the centroid ARRAYS back to the data
+    for the S pass (map-side distance + one keyed aggregate), one k x k
+    bounded self-join for M. Corpus rows are scanned twice, shuffled
+    never (the aggregates are map-side combinable on the group key).
+    """
+    cent_long = group_centroids(df, group_col, vec_col=vec_col)
+    cent = cent_long.groupBy(group_col).agg(
+        F.max("n_vectors").alias("n_vectors"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mean"))),
+            lambda s: s["mean"],
+        ).alias("__c"),
+    )
+
+    def _dist(a, b):
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    a, b, lambda x, y: F.round((x - y) * (x - y), 9)
+                ),
+                F.lit("0").cast("decimal(30,9)"),
+                lambda acc, t: (acc + t.cast("decimal(30,9)")).cast(
+                    "decimal(30,9)"
+                ),
+            ).cast("double")
+        )
+
+    rows = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    s_intra = (
+        rows.join(
+            F.broadcast(
+                cent.select(F.col(group_col).alias("__g"), "__c")
+            ),
+            "__g",
+        )
+        .select(
+            "__g", F.round(_dist(F.col("__v"), F.col("__c")), 9).alias("__d")
+        )
+        .groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            (
+                F.sum(F.col("__d").cast("decimal(30,9)"))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("__s"),
+        )
+    )
+    ci = cent.select(
+        F.col(group_col).alias("__gi"), F.col("__c").alias("__ci")
+    ).join(
+        s_intra.select(F.col("__g").alias("__gi"), F.col("__s").alias("__si")),
+        "__gi",
+    )
+    cj = ci.select(
+        F.col("__gi").alias("__gj"),
+        F.col("__ci").alias("__cj"),
+        F.col("__si").alias("__sj"),
+    )
+    r = (
+        ci.join(cj, F.col("__gi") != F.col("__gj"))
+        .select(
+            "__gi",
+            "__gj",
+            # coincident centroids (M_ij = 0) make R infinite/undefined:
+            # NULL the pair (max ignores NULLs) rather than divide by 0
+            F.when(
+                _dist(F.col("__ci"), F.col("__cj")) > 0.0,
+                (F.col("__si") + F.col("__sj"))
+                / _dist(F.col("__ci"), F.col("__cj")),
+            ).alias("__r"),
+        )
+        .where(F.col("__r").isNotNull())
+        .groupBy("__gi")
+        .agg(
+            F.max_by("__gj", F.struct(F.col("__r"), F.col("__gj"))).alias(
+                "worst_other"
+            ),
+            F.max("__r").alias("__rmax"),
+        )
+    )
+    return (
+        s_intra.join(r, s_intra["__g"] == r["__gi"], "left")
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("n_vectors").cast("bigint").alias("n_vectors"),
+            (F.round("__s", 6) + 0.0).alias("s_intra"),
+            "worst_other",
+            (F.round("__rmax", 6) + 0.0).alias("r_max"),
+        )
+        .orderBy(group_col)
+    )
+
+
 def lloyd_fixed_iterations(
     df: DataFrame,
     k: int = 8,

@@ -1070,6 +1070,90 @@ def brier_decomposition(
     )
 
 
+def krippendorff_alpha(
+    df: DataFrame,
+    unit_col: str,
+    category_col,
+) -> DataFrame:
+    """Krippendorff's alpha for NOMINAL data (Krippendorff 2004, the
+    coincidence-matrix formulation): chance-corrected multi-rater
+    agreement that — unlike ``fleiss_kappa`` — tolerates MISSING ratings
+    (units rated by any subset of raters participate with whatever
+    ratings they have; only single-rating units drop, reported in
+    ``n_units_dropped``).
+
+    With ``n_uc`` the count of category c in unit u and ``m_u`` its
+    rating total (kept when >= 2):
+
+        agree  = sum_u sum_c n_uc (n_uc - 1) / (m_u - 1)
+        n      = sum_u m_u           (total pairable ratings)
+        n_c    = sum_u n_uc          (category marginals)
+        D_o    = (n - agree) / n
+        D_e    = (n^2 - sum_c n_c^2) / (n (n - 1))
+        alpha  = 1 - D_o / D_e       (NULL when D_e = 0: one category)
+
+    Returns ONE row ``(n_units, n_units_dropped, n_ratings,
+    n_categories, d_o, d_e, alpha)`` at 6dp.
+
+    Plan: one (unit, category) count aggregate, one unit-grain reduce
+    (agree terms 9dp-DECIMAL-summed — they are fractions), one
+    category-grain reduce (bounded by the alphabet) — all map-side
+    combinable, no windows, no pairs.
+    """
+    cat = (
+        F.col(category_col) if isinstance(category_col, str) else category_col
+    )
+    base = df.select(
+        F.col(unit_col).alias("__u"), cat.cast("string").alias("__c")
+    ).where(F.col("__c").isNotNull())
+
+    def _dsum(expr):
+        return F.sum(F.round(expr, 9).cast("decimal(30,9)")).cast("double")
+
+    uc = base.groupBy("__u", "__c").agg(F.count(F.lit(1)).alias("__n"))
+    per_u = uc.groupBy("__u").agg(
+        F.sum("__n").alias("__m"),
+        F.sum(F.col("__n") * (F.col("__n") - 1)).alias("__aa"),
+    ).localCheckpoint(eager=False)
+    kept = per_u.where(F.col("__m") >= 2)
+    dropped = per_u.where(F.col("__m") < 2).agg(
+        F.count(F.lit(1)).alias("n_units_dropped")
+    )
+    m = F.col("__m").cast("double")
+    unit_agg = kept.agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum("__m").alias("__nn"),
+        _dsum(F.col("__aa").cast("double") / (m - 1.0)).alias("__agree"),
+    )
+    nc = (
+        uc.join(kept.select("__u"), "__u", "left_semi")
+        .groupBy("__c")
+        .agg(F.sum("__n").alias("__nc"))
+    )
+    cat_agg = nc.agg(
+        F.count(F.lit(1)).alias("n_categories"),
+        F.sum(F.col("__nc") * F.col("__nc")).alias("__nc2"),
+    )
+    out = unit_agg.crossJoin(F.broadcast(cat_agg)).crossJoin(
+        F.broadcast(dropped)
+    )
+    n = F.col("__nn").cast("double")
+    d_o = (n - F.col("__agree")) / n
+    d_e = (n * n - F.col("__nc2").cast("double")) / (n * (n - 1.0))
+    alpha = F.when(d_e <= 0.0, F.lit(None).cast("double")).otherwise(
+        1.0 - d_o / d_e
+    )
+    return out.select(
+        F.col("n_units").cast("bigint").alias("n_units"),
+        F.col("n_units_dropped").cast("bigint").alias("n_units_dropped"),
+        F.col("__nn").cast("bigint").alias("n_ratings"),
+        F.col("n_categories").cast("int").alias("n_categories"),
+        (F.round(d_o, 6) + 0.0).alias("d_o"),
+        (F.round(d_e, 6) + 0.0).alias("d_e"),
+        (F.round(alpha, 6) + 0.0).alias("alpha"),
+    )
+
+
 def cochran_q(
     df: DataFrame,
     item_col: str,

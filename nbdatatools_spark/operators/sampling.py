@@ -259,6 +259,91 @@ def train_val_test_split(
     return df.withColumn("split", split)
 
 
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    fractions: Sequence[float] = (0.98, 0.01, 0.01),
+    names: Sequence[str] = ("train", "val", "test"),
+    seed: int = 42,
+) -> DataFrame:
+    """Leakage-safe split assignment: hash the GROUP key, not the row
+    key — every member of a group (near-dup cluster, source domain, any
+    unit whose members must not straddle splits) lands in the SAME split
+    by construction. Row-keyed splitting leaks: two near-duplicate
+    documents hash independently, one lands in train and one in test,
+    and the eval set is contaminated in exactly the way dedup was meant
+    to prevent. Same content-keyed hash-range mechanics (and the same
+    determinism contract) as ``train_val_test_split``; NULL groups all
+    hash together — pre-assign singleton group ids if that is not
+    intended. Pure projection, no shuffle.
+    """
+    return train_val_test_split(
+        df, fractions=fractions, names=names, key_col=group_col, seed=seed
+    )
+
+
+def unimax_rates(
+    df: DataFrame,
+    budget: float,
+    strata_col: str = "source",
+    weight_col: str | None = None,
+    max_epochs: float = 1.0,
+) -> dict[str, float]:
+    """UniMax sampling rates (Chung et al. 2023, arXiv:2304.09151):
+    distribute a total training ``budget`` (rows, or ``weight_col``
+    units — e.g. tokens) as UNIFORMLY as possible across strata, capped
+    at ``max_epochs`` passes over any stratum — the fairness-first
+    mixture member (mixture_rates hits explicit targets,
+    temperature_mixture_rates tilts by size; UniMax equalizes without
+    over-epoching the small strata).
+
+    Closed-form water-filling over the per-stratum caps ``c_s =
+    max_epochs * w_s`` (sorted ascending, ties on stratum name): the
+    water level theta satisfies ``sum_s min(c_s, theta) = budget``;
+    strata below the level take their full cap. When ``budget >=
+    sum(caps)`` every stratum takes its cap (the budget is not
+    attainable). Returns ``{stratum: rate}`` with ``rate = alloc_s /
+    w_s`` in [0, max_epochs] — rates above 1 mean multiple epochs.
+
+    Driver-side arithmetic over ONE tiny groupBy collect (n_strata
+    rows — the mixture_rates shape); the float operation order is fixed
+    (ascending-cap scan) so an oracle replays every double exactly.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be positive, got {max_epochs}")
+    rows = (
+        df.groupBy(strata_col)
+        .agg(
+            (
+                F.sum(weight_col) if weight_col else F.count(F.lit(1))
+            ).cast("double").alias("w")
+        )
+        .collect()
+    )
+    caps = sorted(
+        ((float(r["w"]) * max_epochs, r[strata_col], float(r["w"])) for r in rows),
+        key=lambda x: (x[0], str(x[1])),
+    )
+    n = len(caps)
+    remaining = float(budget)
+    alloc: dict = {}
+    theta = None
+    for i, (cap, s, w) in enumerate(caps):
+        if theta is None:
+            share = remaining / (n - i)
+            if cap <= share:
+                alloc[s] = cap
+                remaining -= cap
+                continue
+            theta = share
+        alloc[s] = theta
+    return {
+        s: (alloc[s] / w if w > 0 else 0.0) for cap, s, w in caps
+    }
+
+
 def weighted_sample(
     df: DataFrame,
     k: int,
