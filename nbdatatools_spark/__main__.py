@@ -777,6 +777,61 @@ def _cmd_corpus_reservoir(args) -> int:
     return _emit_rows(out.select(args.id_col).orderBy(args.id_col))
 
 
+def _cmd_corpus_unimax(args) -> int:
+    from nbdatatools_spark.operators.sampling import unimax_rates
+
+    docs = _spark().read.parquet(args.input)
+    rates = unimax_rates(
+        docs,
+        budget=args.budget,
+        strata_col=args.strata_col,
+        weight_col=args.weight_col,
+        max_epochs=args.max_epochs,
+    )
+    for s in sorted(rates, key=str):
+        print(json.dumps({"stratum": s, "rate": round(rates[s], 6)}))
+    return 0
+
+
+def _cmd_corpus_group_split(args) -> int:
+    from nbdatatools_spark.operators.sampling import group_split
+
+    docs = _spark().read.parquet(args.input)
+    fractions = tuple(float(f) for f in args.fractions.split(","))
+    names = tuple(args.names.split(","))
+    out = group_split(
+        docs, args.group_col, fractions=fractions, names=names, seed=args.seed
+    )
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"written": args.output}))
+        return 0
+    from pyspark.sql import functions as F
+
+    return _emit_rows(
+        out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(args.group_col).alias("n_groups"),
+        )
+        .orderBy("split")
+    )
+
+
+def _cmd_analyze_krippendorff(args) -> int:
+    from nbdatatools_spark.operators.evaluation import krippendorff_alpha
+
+    df = _spark().read.parquet(args.input)
+    return _emit_rows(krippendorff_alpha(df, args.unit_col, args.category_col))
+
+
+def _cmd_analyze_davies_bouldin(args) -> int:
+    from nbdatatools_spark.operators.clustering import davies_bouldin
+
+    df = _spark().read.parquet(args.input)
+    return _emit_rows(davies_bouldin(df, args.group_col, vec_col=args.vec_col))
+
+
 def _cmd_corpus_sentence_dedup(args) -> int:
     from nbdatatools_spark.operators.dedup import sentence_dedup
 
@@ -2629,6 +2684,21 @@ def build_parser() -> argparse.ArgumentParser:
     crs.add_argument("--strata-col", default="source")
     crs.add_argument("--output", default=None)
     crs.set_defaults(func=_cmd_corpus_reservoir)
+    cum = cp.add_parser("unimax")
+    cum.add_argument("--input", required=True)
+    cum.add_argument("--budget", type=float, required=True)
+    cum.add_argument("--strata-col", default="source")
+    cum.add_argument("--weight-col", default=None)
+    cum.add_argument("--max-epochs", type=float, default=1.0)
+    cum.set_defaults(func=_cmd_corpus_unimax)
+    cgs = cp.add_parser("group_split")
+    cgs.add_argument("--input", required=True)
+    cgs.add_argument("--group-col", required=True)
+    cgs.add_argument("--fractions", default="0.98,0.01,0.01")
+    cgs.add_argument("--names", default="train,val,test")
+    cgs.add_argument("--seed", type=int, default=42)
+    cgs.add_argument("--output", default=None)
+    cgs.set_defaults(func=_cmd_corpus_group_split)
     csd = cp.add_parser("sentence_dedup")
     csd.add_argument("--input", required=True)
     csd.add_argument("--text-col", default="text")
@@ -3012,6 +3082,16 @@ def build_parser() -> argparse.ArgumentParser:
     adb.add_argument("--method", default="lsh", choices=["lsh", "exact"])
     adb.set_defaults(func=_cmd_analyze_dbscan)
 
+    akr = an.add_parser("krippendorff")
+    akr.add_argument("--input", required=True)
+    akr.add_argument("--unit-col", default="unit")
+    akr.add_argument("--category-col", default="category")
+    akr.set_defaults(func=_cmd_analyze_krippendorff)
+    adb = an.add_parser("davies-bouldin")
+    adb.add_argument("--input", required=True)
+    adb.add_argument("--group-col", required=True)
+    adb.add_argument("--vec-col", default="embedding")
+    adb.set_defaults(func=_cmd_analyze_davies_bouldin)
     a2s = an.add_parser("two-sample")
     a2s.add_argument("--input", required=True)
     a2s.add_argument("--split-expr", required=True,
