@@ -12768,6 +12768,18 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round-9 head (see the queries() docstring); new round-10 gates stage
     here with their oracles in candidate_oracles() until the round-10
     rotation.
+
+    Rotation plan for round 10 (all 9 verified hash-exact vs the local
+    DuckDB oracle at sf0.001 AND sf0.01 and under 7 shuffle partitions
+    this round — no rows-only gates in this batch): move these into
+    window slots 0-8, displace the longest-green entries to the tail,
+    keep fit_embeddings_model pinned at 49 and the four rows-only-by-
+    design gates (doc_compression_ratio, events_kcore, embedding_dbscan,
+    corpus_lsa_topics) inside the window. corpus_wordpiece and
+    doc_unimax_budget run driver-side jobs during plan construction
+    (8 merge-loop collects / two tiny aggregates) — place them LATE in
+    the window next to corpus_lsa_topics (the fit_embeddings_model
+    shadowing rationale).
     """
     return {
         "corpus_wordpiece": corpus_wordpiece,
