@@ -12761,6 +12761,110 @@ def _wordpiece_oracle() -> str:
     """
 
 
+def embedding_calinski_harabasz(spark, sf_dir):
+    """Calinski-Harabasz variance-ratio criterion (clustering.py::
+    calinski_harabasz, Calinski & Harabasz 1974) over the vec_id%6
+    synthetic clustering — the GLOBAL variance-ratio companion to the
+    davies_bouldin worst-pair gate: (B/(k-1))/(W/(n-k)) from 6dp
+    group_centroids, a 6dp n_k-weighted global centroid, and 9dp-DECIMAL
+    squared-distance folds. Oracle replays centroids, both dispersion
+    sums, and the ratio in DuckDB."""
+    from nbdatatools_spark.operators.clustering import calinski_harabasz
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 6).cast("int").alias("cluster"), "embedding"
+    )
+    return calinski_harabasz(emb, "cluster")
+
+
+def embedding_hopkins(spark, sf_dir):
+    """Hopkins clusterability statistic (clustering.py::
+    hopkins_statistic, Hopkins & Skellam 1954 / Lawson & Jurs 1990):
+    1-NN distances of 20 uniform probes (md5-uint52 fractions of the
+    per-dim bounding box, 6dp) vs 20 bottom-k-hash real probes
+    (self-excluded), H = sum_u/(sum_u+sum_w) — the pre-flight "is there
+    cluster structure at all" check before paying for k-means/DBSCAN.
+    Both probe sets are m-row broadcast sides; 2 corpus scans, no
+    corpus-keyed shuffle. Oracle replays the md5 probe construction,
+    the bounding box, and both DECIMAL 1-NN sums in DuckDB."""
+    from nbdatatools_spark.operators.clustering import hopkins_statistic
+
+    return hopkins_statistic(
+        _t(spark, sf_dir, "embeddings"), m=20, seed=42
+    )
+
+
+def embedding_lof(spark, sf_dir):
+    """Local Outlier Factor (knn.py::lof_from_knn, Breunig et al. 2000)
+    over the first 300 vectors with exact Euclidean 5-NN (knn.py::
+    lof_scores — broadcast self-crossJoin + rank window with the
+    WindowGroupLimit partial pushdown; the dbscan(method='exact')
+    bounded-audit posture — corpus runs feed lof_from_knn from an ANN
+    join). k-distance / reachability / lrd / LOF per the paper with the
+    deterministic (dist, nbr) tie-break; 9dp distances and lrd, 6dp
+    LOF. Oracle replays the pairwise ranks and all three ratio passes
+    in DuckDB."""
+    from nbdatatools_spark.operators.knn import lof_scores
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    return lof_scores(emb, k=5)
+
+
+def events_link_prediction(spark, sf_dir):
+    """Neighborhood link prediction (graph.py::link_prediction,
+    Liben-Nowell & Kleinberg 2003) over the co-visitation graph: for
+    distance-2 non-edges, common-neighbor count, Jaccard, and
+    Adamic-Adar (DECIMAL-summed 9dp 1/ln(deg) terms); top 50 by
+    (adamic_adar DESC, node_a, node_b). Candidates are generated
+    through the shared-NEIGHBOR wedge join (the triangle_stats shape —
+    cost sum deg^2, bounded by the co-occurrence degree caps), never
+    all-pairs; existing edges leave via one anti-join; top-50 is a
+    TakeOrderedAndProject. Oracle replays the wedge join and both
+    scores in DuckDB."""
+    from nbdatatools_spark.operators.graph import (
+        cooccurrence_edges,
+        link_prediction,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "h", F.date_trunc("hour", "ts")
+    )
+    edges = cooccurrence_edges(
+        ev, ["event_type", "h"], "user_id", max_bucket=100, min_support=3
+    )
+    return link_prediction(edges, top_n=50)
+
+
+def doc_distinct_ngrams(spark, sf_dir):
+    """Distinct-n diversity ratios (analysis.py::distinct_ngrams, Li et
+    al. 2016): per (source, n<=3), unique n-gram types over n-gram
+    tokens — the template-collapse readout the unigram-only
+    lexical_diversity gate can't see. N-grams build JVM-side from the
+    token array (transform over a position sequence + slice — no
+    explode-then-window); one (group, gram) count aggregate per order.
+    Oracle replays the normalized tokenizer and the positional n-gram
+    construction in DuckDB."""
+    from nbdatatools_spark.operators.analysis import distinct_ngrams
+
+    return distinct_ngrams(_t(spark, sf_dir, "documents"))
+
+
+def doc_temperature_scaling(spark, sf_dir):
+    """Temperature scaling (evaluation.py::temperature_scaling, Guo et
+    al. 2017) of the heuristic quality score against the long-document
+    label: 5 fixed Newton steps on the logistic NLL in beta = 1/T, each
+    a full-corpus DECIMAL aggregate cross-joined with the previous
+    ONE-ROW scalar frame — the whole fit is one declarative Catalyst
+    plan (no driver round-trips), beta re-rounded to 9dp per step so
+    the oracle replays the optimization bit-for-bit as a 5-deep CTE
+    chain. Reports beta, T, and mean NLL before/after."""
+    from nbdatatools_spark.operators.evaluation import temperature_scaling
+
+    return temperature_scaling(
+        _scored_docs(spark, sf_dir), "score", "y", iterations=5
+    )
+
+
 def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Round-10 rotation candidates: same contract as queries(), kept out
     of the live window so the round-9 recording layout stays attested.
@@ -12769,10 +12873,10 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     here with their oracles in candidate_oracles() until the round-10
     rotation.
 
-    Rotation plan for round 10 (all 9 verified hash-exact vs the local
+    Rotation plan for round 10 (all 15 verified hash-exact vs the local
     DuckDB oracle at sf0.001 AND sf0.01 and under 7 shuffle partitions
     this round — no rows-only gates in this batch): move these into
-    window slots 0-8, displace the longest-green entries to the tail,
+    window slots 0-14, displace the longest-green entries to the tail,
     keep fit_embeddings_model pinned at 49 and the four rows-only-by-
     design gates (doc_compression_ratio, events_kcore, embedding_dbscan,
     corpus_lsa_topics) inside the window. corpus_wordpiece and
@@ -12791,6 +12895,12 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_unimax_budget": doc_unimax_budget,
         "doc_krippendorff": doc_krippendorff,
         "embedding_davies_bouldin": embedding_davies_bouldin,
+        "embedding_calinski_harabasz": embedding_calinski_harabasz,
+        "embedding_hopkins": embedding_hopkins,
+        "embedding_lof": embedding_lof,
+        "events_link_prediction": events_link_prediction,
+        "doc_distinct_ngrams": doc_distinct_ngrams,
+        "doc_temperature_scaling": doc_temperature_scaling,
     }
 
 
@@ -12831,6 +12941,70 @@ def _p2_sql(z: str) -> str:
     return (
         f"round(1.0 - (1.0 - {poly} * exp(-(abs({z})/{s2})*(abs({z})/{s2}))), 4) + 0.0"
     )
+
+
+def _temperature_oracle(iterations: int = 5) -> str:
+    """DuckDB replica of doc_temperature_scaling: the 5-step Newton
+    chain as GENERATED CTEs — it_i cross-joins it_{i-1}'s one-row beta
+    back over the logits, re-rounding beta to 9dp per step exactly as
+    the engine does, so the whole optimization replays bit-for-bit."""
+    dsum = (
+        "CAST(CAST(sum(CAST(round({x}, 9) AS DECIMAL(30,9)))"
+        " AS DECIMAL(38,9)) AS DOUBLE)"
+    )
+
+    def p(b: str) -> str:
+        return f"(1.0/(1.0 + exp(-({b}) * l)))"
+
+    def nll(b: str) -> str:
+        pc = (
+            f"least(greatest({p(b)}, {1e-12!r}), {1.0 - 1e-12!r})"
+        )
+        return dsum.format(
+            x=f"-(y * ln({pc}) + (1 - y) * ln(1.0 - {pc}))"
+        )
+
+    ctes = [
+        f"""sc AS (
+            SELECT round(ln(s / (1.0 - s)), 9) AS l, y FROM (
+                SELECT least(greatest({{q6}}, {1e-6!r}), {1.0 - 1e-6!r}) AS s,
+                       CAST(n_chars >= 400 AS INT) AS y
+                FROM documents))""",
+        "it0 AS (SELECT 1.0 AS b)",
+    ]
+    for i in range(1, iterations + 1):
+        pb = p("pv.b")
+        ctes.append(
+            f"""it{i} AS (
+            SELECT CASE WHEN h > 0.0 THEN round(b0 - g / h, 9)
+                        ELSE b0 END AS b
+            FROM (SELECT max(pv.b) AS b0,
+                         {dsum.format(x=f'({pb} - y) * l')} AS g,
+                         {dsum.format(x=f'{pb} * (1.0 - {pb}) * l * l')} AS h
+                  FROM sc CROSS JOIN it{i - 1} pv))"""
+        )
+    ctes.append(
+        f"""base AS (
+            SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+                   {nll('1.0')} AS nb
+            FROM sc)"""
+    )
+    ctes.append(
+        f"""fit AS (
+            SELECT max(fv.b) AS bf, {nll('fv.b')} AS na
+            FROM sc CROSS JOIN it{iterations} fv)"""
+    )
+    body = ",\n        ".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT CAST(base.n AS BIGINT) AS n, base.n_pos,
+               round(fit.bf, 6) + 0.0 AS beta,
+               round(CASE WHEN fit.bf <> 0.0 THEN 1.0 / fit.bf END, 6)
+                   + 0.0 AS temperature,
+               round(base.nb / base.n, 6) + 0.0 AS nll_before,
+               round(fit.na / base.n, 6) + 0.0 AS nll_after
+        FROM base CROSS JOIN fit
+    """
 
 
 def candidate_oracles() -> dict[str, str]:
@@ -13145,6 +13319,238 @@ def candidate_oracles() -> dict[str, str]:
             FROM s LEFT JOIN rm ON rm.gi = s.g AND rm.k = 1
             ORDER BY cluster
         """,
+        # CH variance ratio: 6dp cluster + global centroids, DECIMAL
+        # between/within dispersion folds, (B/(k-1))/(W/(n-k))
+        "embedding_calinski_harabasz": """
+            WITH e AS (
+                SELECT vec_id, CAST(vec_id % 6 AS INT) AS g,
+                       CAST(embedding AS DOUBLE[]) AS emb
+                FROM embeddings),
+            ex AS (SELECT g, vec_id,
+                          CAST(generate_subscripts(emb, 1) - 1 AS INT) AS dim,
+                          CAST(unnest(emb) AS DOUBLE) AS v
+                   FROM e),
+            cm AS (SELECT g, dim, count(*) AS nk,
+                          round(CAST(CAST(sum(CAST(round(v, 9) AS DECIMAL(20,9)))
+                                AS DECIMAL(38,9)) AS DOUBLE) / count(*), 6) AS mean
+                   FROM ex GROUP BY g, dim),
+            gm AS (SELECT dim,
+                          round(CAST(CAST(sum(CAST(round(mean * nk, 9)
+                                AS DECIMAL(30,9))) AS DECIMAL(38,9)) AS DOUBLE)
+                                / sum(nk), 6) AS gmean
+                   FROM cm GROUP BY dim),
+            b AS (SELECT CAST(CAST(sum(CAST(round(cm.nk * (cm.mean - gm.gmean)
+                              * (cm.mean - gm.gmean), 9) AS DECIMAL(30,9)))
+                              AS DECIMAL(38,9)) AS DOUBLE) AS b,
+                         count(DISTINCT cm.g) AS k
+                  FROM cm JOIN gm ON gm.dim = cm.dim),
+            wr AS (SELECT ex.g, ex.vec_id,
+                          round(CAST(CAST(sum(CAST(round((ex.v - cm.mean)
+                                * (ex.v - cm.mean), 9) AS DECIMAL(30,9)))
+                                AS DECIMAL(38,9)) AS DOUBLE), 9) AS w
+                   FROM ex JOIN cm ON cm.g = ex.g AND cm.dim = ex.dim
+                   GROUP BY ex.g, ex.vec_id),
+            w AS (SELECT CAST(CAST(sum(CAST(w AS DECIMAL(30,9)))
+                              AS DECIMAL(38,9)) AS DOUBLE) AS w,
+                         count(*) AS n
+                  FROM wr)
+            SELECT CAST(b.k AS INT) AS k, CAST(w.n AS BIGINT) AS n,
+                   round(b.b, 6) + 0.0 AS between_ss,
+                   round(w.w, 6) + 0.0 AS within_ss,
+                   round(CASE WHEN b.k >= 2 AND w.n > b.k AND w.w > 0.0
+                              THEN (b.b / (b.k - 1)) / (w.w / (w.n - b.k))
+                         END, 6) + 0.0 AS ch_index
+            FROM b CROSS JOIN w
+        """,
+        # Hopkins: md5-uint52 probe construction, per-dim bounding box,
+        # DECIMAL 1-NN sums for uniform vs bottom-k-hash real probes
+        "embedding_hopkins": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                       FROM embeddings),
+            ex AS (SELECT vec_id,
+                          CAST(generate_subscripts(emb, 1) - 1 AS INT) AS dim,
+                          CAST(unnest(emb) AS DOUBLE) AS v
+                   FROM e),
+            box AS (SELECT dim, min(v) AS lo, max(v) AS hi
+                    FROM ex GROUP BY dim),
+            rp AS (SELECT vec_id AS pid FROM (
+                       SELECT vec_id,
+                              ('0x' || substring(md5(CAST(vec_id AS VARCHAR)
+                                  || ':42'), 1, 13))::BIGINT AS hv
+                       FROM e ORDER BY hv ASC, vec_id LIMIT 20)),
+            rpx AS (SELECT rp.pid, ex.dim, ex.v AS p
+                    FROM rp JOIN ex ON ex.vec_id = rp.pid),
+            up AS (SELECT j.pid, box.dim,
+                          round(box.lo + (('0x' || substring(md5('42:'
+                                || CAST(j.pid AS VARCHAR) || ':'
+                                || CAST(box.dim AS VARCHAR)), 1, 13))::BIGINT
+                                / 4503599627370496.0) * (box.hi - box.lo),
+                                6) AS p
+                   FROM (SELECT unnest(generate_series(0, 19)) AS pid) j
+                        CROSS JOIN box),
+            ud AS (SELECT up.pid, ex.vec_id,
+                          round(sqrt(CAST(CAST(sum(CAST(round((ex.v - up.p)
+                                * (ex.v - up.p), 9) AS DECIMAL(30,9)))
+                                AS DECIMAL(38,9)) AS DOUBLE)), 9) AS d
+                   FROM up JOIN ex ON ex.dim = up.dim
+                   GROUP BY up.pid, ex.vec_id),
+            us AS (SELECT CAST(CAST(sum(CAST(nn AS DECIMAL(30,9)))
+                              AS DECIMAL(38,9)) AS DOUBLE) AS su,
+                          count(*) AS mu
+                   FROM (SELECT pid, min(d) AS nn FROM ud GROUP BY pid)),
+            wd AS (SELECT rpx.pid, ex.vec_id,
+                          round(sqrt(CAST(CAST(sum(CAST(round((ex.v - rpx.p)
+                                * (ex.v - rpx.p), 9) AS DECIMAL(30,9)))
+                                AS DECIMAL(38,9)) AS DOUBLE)), 9) AS d
+                   FROM rpx JOIN ex ON ex.dim = rpx.dim
+                                   AND ex.vec_id <> rpx.pid
+                   GROUP BY rpx.pid, ex.vec_id),
+            ws AS (SELECT CAST(CAST(sum(CAST(nn AS DECIMAL(30,9)))
+                              AS DECIMAL(38,9)) AS DOUBLE) AS sw,
+                          count(*) AS mw
+                   FROM (SELECT pid, min(d) AS nn FROM wd GROUP BY pid)),
+            nt AS (SELECT count(*) AS n FROM e)
+            SELECT CAST(least(us.mu, ws.mw) AS INT) AS m,
+                   CAST(nt.n AS BIGINT) AS n,
+                   round(us.su, 6) + 0.0 AS sum_u,
+                   round(ws.sw, 6) + 0.0 AS sum_w,
+                   round(CASE WHEN nt.n > ws.mw AND us.su + ws.sw > 0.0
+                              THEN us.su / (us.su + ws.sw) END, 6)
+                       + 0.0 AS hopkins
+            FROM us CROSS JOIN ws CROSS JOIN nt
+        """,
+        # LOF: exact 5-NN ranks (9dp distance, nbr tie-break), then the
+        # k-distance / reachability / lrd / ratio passes
+        "embedding_lof": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                       FROM embeddings WHERE vec_id < 300),
+            ex AS (SELECT vec_id,
+                          CAST(generate_subscripts(emb, 1) - 1 AS INT) AS dim,
+                          CAST(unnest(emb) AS DOUBLE) AS v
+                   FROM e),
+            pd AS (SELECT a.vec_id AS p, b.vec_id AS o,
+                          round(sqrt(CAST(CAST(sum(CAST(round((a.v - b.v)
+                                * (a.v - b.v), 9) AS DECIMAL(30,9)))
+                                AS DECIMAL(38,9)) AS DOUBLE)), 9) AS d
+                   FROM ex a JOIN ex b
+                     ON a.dim = b.dim AND a.vec_id <> b.vec_id
+                   GROUP BY a.vec_id, b.vec_id),
+            nn AS (SELECT p, o, d FROM (
+                       SELECT p, o, d,
+                              row_number() OVER (PARTITION BY p
+                                  ORDER BY d ASC, o ASC) AS rn
+                       FROM pd) WHERE rn <= 5),
+            kd AS (SELECT p, max(d) AS kd FROM nn GROUP BY p),
+            lrd AS (SELECT p, CASE WHEN rs > 0.0
+                                   THEN round(nk / rs, 9) END AS lrd
+                    FROM (SELECT nn.p,
+                                 CAST(CAST(sum(CAST(greatest(nn.d, ko.kd)
+                                     AS DECIMAL(30,9))) AS DECIMAL(38,9))
+                                     AS DOUBLE) AS rs,
+                                 count(*) AS nk
+                          FROM nn JOIN kd ko ON ko.p = nn.o
+                          GROUP BY nn.p)),
+            rat AS (SELECT nn.p,
+                           CAST(CAST(sum(CAST(lo.lrd AS DECIMAL(30,9)))
+                               AS DECIMAL(38,9)) AS DOUBLE) AS ls,
+                           count(*) AS nk,
+                           count(*) FILTER (WHERE lo.lrd IS NULL) AS nullo
+                    FROM nn JOIN lrd lo ON lo.p = nn.o GROUP BY nn.p)
+            SELECT kd.p AS id,
+                   round(kd.kd, 6) + 0.0 AS k_distance,
+                   round(lrd.lrd, 9) + 0.0 AS lrd,
+                   round(CASE WHEN lrd.lrd IS NOT NULL AND rat.nullo = 0
+                              THEN rat.ls / rat.nk / lrd.lrd END, 6)
+                       + 0.0 AS lof,
+                   lrd.lrd IS NULL AS coincident
+            FROM kd JOIN lrd ON lrd.p = kd.p JOIN rat ON rat.p = kd.p
+            ORDER BY id
+        """,
+        # link prediction: the kcore/assortativity co-visitation edge
+        # CTEs, wedge join through the shared neighbor, anti-join out
+        # existing edges, top-50 on (6dp adamic-adar, a, b)
+        "events_link_prediction": """
+            WITH occ0 AS (
+                SELECT DISTINCT event_type, date_trunc('hour', ts) AS h,
+                       user_id
+                FROM events),
+            kept AS (
+                SELECT event_type, h FROM occ0
+                GROUP BY event_type, h HAVING count(*) <= 100),
+            occ AS (
+                SELECT o.event_type, o.h, o.user_id
+                FROM occ0 o JOIN kept k
+                  ON o.event_type = k.event_type AND o.h = k.h),
+            edges AS (
+                SELECT a.user_id AS a, b.user_id AS b
+                FROM occ a JOIN occ b
+                  ON a.event_type = b.event_type AND a.h = b.h
+                 AND a.user_id < b.user_id
+                GROUP BY a.user_id, b.user_id
+                HAVING count(*) >= 3),
+            deg AS (
+                SELECT node, count(*) AS deg FROM (
+                    SELECT a AS node FROM edges
+                    UNION ALL SELECT b FROM edges) GROUP BY node),
+            adj AS (SELECT a AS node, b AS nbr FROM edges
+                    UNION ALL SELECT b, a FROM edges),
+            wed AS (SELECT za.node AS x, zb.node AS y, za.nbr AS z
+                    FROM adj za JOIN adj zb
+                      ON za.nbr = zb.nbr AND za.node < zb.node),
+            sc AS (SELECT x, y, count(*) AS cn,
+                          CAST(CAST(sum(CAST(round(1.0
+                              / ln(CAST(d.deg AS DOUBLE)), 9)
+                              AS DECIMAL(30,9))) AS DECIMAL(38,9))
+                              AS DOUBLE) AS aa
+                   FROM wed JOIN deg d ON d.node = wed.z
+                   GROUP BY x, y),
+            ne AS (SELECT sc.* FROM sc
+                   LEFT JOIN edges e ON e.a = sc.x AND e.b = sc.y
+                   WHERE e.a IS NULL)
+            SELECT ne.x AS node_a, ne.y AS node_b,
+                   CAST(ne.cn AS BIGINT) AS common_neighbors,
+                   round(CAST(ne.cn AS DOUBLE)
+                         / (dx.deg + dy.deg - ne.cn), 6) + 0.0 AS jaccard,
+                   round(ne.aa, 6) + 0.0 AS adamic_adar
+            FROM ne JOIN deg dx ON dx.node = ne.x
+                    JOIN deg dy ON dy.node = ne.y
+            ORDER BY round(ne.aa, 6) DESC, node_a, node_b LIMIT 50
+        """,
+        # distinct-n: normalized whitespace tokens, positional n-gram
+        # lists, per-(source, n) type/token counts
+        "doc_distinct_ngrams": f"""
+            WITH nrm AS (SELECT source, {_NORM} AS t FROM documents),
+            w AS (SELECT source, string_split(t, ' ') AS w
+                  FROM nrm WHERE length(t) > 0),
+            g AS (
+                SELECT source, 1 AS n,
+                       unnest(list_transform(range(0, len(w)),
+                           i -> array_to_string(w[CAST(i + 1 AS INT)
+                                :CAST(i + 1 AS INT)], ' '))) AS gram
+                FROM w WHERE len(w) >= 1
+                UNION ALL
+                SELECT source, 2 AS n,
+                       unnest(list_transform(range(0, len(w) - 1),
+                           i -> array_to_string(w[CAST(i + 1 AS INT)
+                                :CAST(i + 2 AS INT)], ' '))) AS gram
+                FROM w WHERE len(w) >= 2
+                UNION ALL
+                SELECT source, 3 AS n,
+                       unnest(list_transform(range(0, len(w) - 2),
+                           i -> array_to_string(w[CAST(i + 1 AS INT)
+                                :CAST(i + 3 AS INT)], ' '))) AS gram
+                FROM w WHERE len(w) >= 3)
+            SELECT source, CAST(n AS INT) AS n,
+                   CAST(count(*) AS BIGINT) AS total_ngrams,
+                   CAST(count(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
+                   round(CAST(count(DISTINCT gram) AS DOUBLE) / count(*), 6)
+                       + 0.0 AS distinct_ratio
+            FROM g GROUP BY source, n
+            ORDER BY source, n
+        """,
+        "doc_temperature_scaling": _temperature_oracle(5).format(
+            q6=_QUALITY6
+        ),
     }
 
 

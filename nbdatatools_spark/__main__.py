@@ -5,7 +5,8 @@ reference user can run the same commands against the Spark engine:
     analyze count_zeros|describe|select|slice|find|check-endian
             |verify_knn|verify_profiles|tune_ann|tune_compression
             |sq8-error|silhouette|hubness|robust-scale|cka
-            |cluster_purity|knn_accuracy
+            |cluster_purity|knn_accuracy|calinski-harabasz|hopkins
+            |lof|link-prediction|distinct-ngrams|temperature
     compute knn|sort|ivf_build|ivf_append|ivf_search|kmeans|mutual-knn
     convert file
     generate vectors|dataset|mktestdata|fvec-extract|ivec-extract|ivec-shuffle
@@ -830,6 +831,73 @@ def _cmd_analyze_davies_bouldin(args) -> int:
 
     df = _spark().read.parquet(args.input)
     return _emit_rows(davies_bouldin(df, args.group_col, vec_col=args.vec_col))
+
+
+def _cmd_analyze_calinski_harabasz(args) -> int:
+    from nbdatatools_spark.operators.clustering import calinski_harabasz
+
+    df = _spark().read.parquet(args.input)
+    return _emit_rows(
+        calinski_harabasz(df, args.group_col, vec_col=args.vec_col)
+    )
+
+
+def _cmd_analyze_hopkins(args) -> int:
+    from nbdatatools_spark.operators.clustering import hopkins_statistic
+
+    df = _spark().read.parquet(args.input)
+    return _emit_rows(
+        hopkins_statistic(
+            df, m=args.m, id_col=args.id_col, vec_col=args.vec_col,
+            seed=args.seed,
+        )
+    )
+
+
+def _cmd_analyze_lof(args) -> int:
+    from pyspark.sql import functions as F
+
+    from nbdatatools_spark.operators.knn import lof_scores
+
+    df = _spark().read.parquet(args.input)
+    out = lof_scores(df, k=args.k, id_col=args.id_col, vec_col=args.vec_col)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"written": args.output}))
+        return 0
+    return _emit_rows(out.orderBy(F.col("lof").desc_nulls_last()).limit(args.limit))
+
+
+def _cmd_analyze_link_prediction(args) -> int:
+    from nbdatatools_spark.operators.graph import link_prediction
+
+    edges = _spark().read.parquet(args.input)
+    return _emit_rows(
+        link_prediction(edges, src=args.src, dst=args.dst, top_n=args.top_n)
+    )
+
+
+def _cmd_analyze_distinct_ngrams(args) -> int:
+    from nbdatatools_spark.operators.analysis import distinct_ngrams
+
+    df = _spark().read.parquet(args.input)
+    return _emit_rows(
+        distinct_ngrams(
+            df, group_col=args.group_col, text_col=args.text_col,
+            ns=tuple(args.n or (1, 2, 3)),
+        )
+    )
+
+
+def _cmd_analyze_temperature(args) -> int:
+    from nbdatatools_spark.operators.evaluation import temperature_scaling
+
+    df = _spark().read.parquet(args.input)
+    return _emit_rows(
+        temperature_scaling(
+            df, args.score_col, args.label_col, iterations=args.iterations
+        )
+    )
 
 
 def _cmd_corpus_sentence_dedup(args) -> int:
@@ -3092,6 +3160,45 @@ def build_parser() -> argparse.ArgumentParser:
     adb.add_argument("--group-col", required=True)
     adb.add_argument("--vec-col", default="embedding")
     adb.set_defaults(func=_cmd_analyze_davies_bouldin)
+    ach = an.add_parser("calinski-harabasz")
+    ach.add_argument("--input", required=True)
+    ach.add_argument("--group-col", required=True)
+    ach.add_argument("--vec-col", default="embedding")
+    ach.set_defaults(func=_cmd_analyze_calinski_harabasz)
+    ahp = an.add_parser("hopkins")
+    ahp.add_argument("--input", required=True)
+    ahp.add_argument("--m", type=int, default=30)
+    ahp.add_argument("--id-col", default="vec_id")
+    ahp.add_argument("--vec-col", default="embedding")
+    ahp.add_argument("--seed", type=int, default=42)
+    ahp.set_defaults(func=_cmd_analyze_hopkins)
+    alf = an.add_parser("lof")
+    alf.add_argument("--input", required=True)
+    alf.add_argument("--k", type=int, default=5)
+    alf.add_argument("--id-col", default="vec_id")
+    alf.add_argument("--vec-col", default="embedding")
+    alf.add_argument("--output")
+    alf.add_argument("--limit", type=int, default=20)
+    alf.set_defaults(func=_cmd_analyze_lof)
+    alp = an.add_parser("link-prediction")
+    alp.add_argument("--input", required=True)
+    alp.add_argument("--src", default="src")
+    alp.add_argument("--dst", default="dst")
+    alp.add_argument("--top-n", type=int, default=50)
+    alp.set_defaults(func=_cmd_analyze_link_prediction)
+    adn = an.add_parser("distinct-ngrams")
+    adn.add_argument("--input", required=True)
+    adn.add_argument("--group-col", default="source")
+    adn.add_argument("--text-col", default="text")
+    adn.add_argument("--n", type=int, action="append", default=None,
+                     help="n-gram order (repeatable; default 1 2 3)")
+    adn.set_defaults(func=_cmd_analyze_distinct_ngrams)
+    atm = an.add_parser("temperature")
+    atm.add_argument("--input", required=True)
+    atm.add_argument("--score-col", required=True)
+    atm.add_argument("--label-col", required=True)
+    atm.add_argument("--iterations", type=int, default=5)
+    atm.set_defaults(func=_cmd_analyze_temperature)
     a2s = an.add_parser("two-sample")
     a2s.add_argument("--input", required=True)
     a2s.add_argument("--split-expr", required=True,

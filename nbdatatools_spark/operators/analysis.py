@@ -3174,3 +3174,80 @@ def lexical_diversity(
             1e4 * (F.col("__m2").cast("double") - n) / (n * n), 6
         ).alias("yule_k"),
     ).orderBy(group_col)
+
+
+def distinct_ngrams(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    ns: Sequence[int] = (1, 2, 3),
+) -> DataFrame:
+    """Distinct-n diversity ratios (Li et al. 2016's distinct-1/2 —
+    the standard generated-text / curated-slice diversity readout):
+    per slice and n-gram order, the fraction of n-gram TOKENS that are
+    unique TYPES. Near-0 = template spam or decoding collapse, near-1 =
+    every n-gram fresh; the n-gram-order sibling of
+    ``lexical_diversity`` (which is unigram-only but adds
+    frequency-spectrum shape).
+
+    Tokenization is the corpus-stats family's normalized whitespace
+    tokenizer; n-grams are built JVM-side from the token array
+    (``transform`` over a position ``sequence`` + ``slice`` — no
+    explode-then-window, no Python). Documents shorter than n
+    contribute no n-grams of that order.
+
+    Returns ``(group, n, total_ngrams, distinct_ngrams,
+    distinct_ratio)`` at 6dp, ordered by (group, n); slices with zero
+    n-grams of an order are ABSENT for that order (nothing to measure).
+
+    Scale shape: per n, one map-side n-gram explode into ONE
+    (group, gram) count aggregate, then a (group)-keyed reduce —
+    map-side-combinable throughout; the union over ``ns`` is |ns|
+    independent aggregates Catalyst schedules in parallel.
+    """
+    from functools import reduce as _reduce
+
+    from nbdatatools_spark.functions.text import normalize_text, tokens
+
+    if not ns or any(n <= 0 for n in ns):
+        raise ValueError(f"ns must be positive n-gram orders, got {ns!r}")
+    toks = df.select(
+        F.col(group_col).alias("__g"),
+        tokens(normalize_text(F.col(text_col))).alias("__t"),
+    )
+
+    def one(n: int) -> DataFrame:
+        grams = toks.where(F.size("__t") >= n).select(
+            "__g",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__t") - (n - 1)),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("__t"), i, n)
+                    ),
+                )
+            ).alias("__gram"),
+        )
+        counts = grams.groupBy("__g", "__gram").agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        return counts.groupBy("__g").agg(
+            F.lit(n).cast("int").alias("n"),
+            F.sum("__c").cast("bigint").alias("total_ngrams"),
+            F.count(F.lit(1)).cast("bigint").alias("distinct_ngrams"),
+        )
+
+    out = _reduce(DataFrame.unionByName, [one(n) for n in sorted(ns)])
+    return out.select(
+        F.col("__g").alias(group_col),
+        "n",
+        "total_ngrams",
+        "distinct_ngrams",
+        (
+            F.round(
+                F.col("distinct_ngrams") / F.col("total_ngrams").cast("double"),
+                6,
+            )
+            + 0.0
+        ).alias("distinct_ratio"),
+    ).orderBy(group_col, "n")

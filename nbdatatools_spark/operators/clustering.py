@@ -1045,3 +1045,277 @@ def dbscan(
         seed=seed,
     )
     return dbscan_from_pairs(df, pairs, min_pts=min_pts, id_col=id_col)
+
+
+def calinski_harabasz(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Calinski-Harabasz variance-ratio criterion (Calinski & Harabasz
+    1974) over a grouped embedding column — the third internal
+    clustering-quality lens next to ``simplified_silhouette`` (sampled,
+    point-grain) and ``davies_bouldin`` (worst-pair, cluster-grain): CH
+    is the GLOBAL variance ratio (B/(k-1)) / (W/(n-k)) with B = sum_k
+    n_k * ||c_k - c||^2 (between-cluster dispersion about the global
+    centroid) and W = sum_x ||x - c_x||^2 (within-cluster dispersion) —
+    higher is better-separated, and unlike silhouette it is exact in
+    two passes with no pairwise term.
+
+    Returns ONE row ``(k, n, between_ss, within_ss, ch_index)`` at 6dp.
+    Degenerate inputs (k < 2 or n <= k, where a variance ratio does not
+    exist) return NULL ch_index with the dispersions still reported.
+
+    Exactness: cluster centroids are the 6dp ``group_centroids`` means;
+    the global centroid re-derives from the SAME 6dp cluster table as
+    the n_k-weighted mean at 6dp (so the oracle never touches raw rows
+    twice); every squared term is 9dp-rounded and DECIMAL-summed.
+
+    Scale shape: ONE posexplode aggregate for centroids (k x d cells),
+    one broadcast join of centroid arrays back to the rows for W
+    (map-side distance + scalar aggregate), and a k x d-bounded
+    driver-free aggregate for B. Corpus rows are scanned twice; nothing
+    shuffles on a corpus-sized key.
+    """
+    cent_long = group_centroids(df, group_col, vec_col=vec_col)
+    dterm = F.round(F.col("mean") * F.col("n_vectors"), 9).cast(
+        "decimal(30,9)"
+    )
+    glob = (
+        cent_long.groupBy("dim")
+        .agg(
+            F.sum("n_vectors").alias("__n"),
+            F.sum(dterm).cast("decimal(38,9)").alias("__s"),
+        )
+        .select(
+            "dim",
+            F.round(F.col("__s").cast("double") / F.col("__n"), 6).alias(
+                "gmean"
+            ),
+        )
+    )
+    bterm = F.round(
+        F.col("n_vectors")
+        * (F.col("mean") - F.col("gmean"))
+        * (F.col("mean") - F.col("gmean")),
+        9,
+    ).cast("decimal(30,9)")
+    b_ss = (
+        cent_long.join(glob, "dim")
+        .agg(
+            F.sum(bterm).cast("decimal(38,9)").cast("double").alias("b"),
+            F.count_distinct(group_col).alias("k"),
+        )
+    )
+    cent = cent_long.groupBy(group_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mean"))),
+            lambda s: s["mean"],
+        ).alias("__c"),
+    )
+    wterm = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("__v"),
+                F.col("__c"),
+                lambda x, y: F.round((x - y) * (x - y), 9),
+            ),
+            F.lit("0").cast("decimal(30,9)"),
+            lambda acc, t: (acc + t.cast("decimal(30,9)")).cast(
+                "decimal(30,9)"
+            ),
+        ).cast("double"),
+        9,
+    ).cast("decimal(30,9)")
+    w_ss = (
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+        .join(
+            F.broadcast(cent.select(F.col(group_col).alias("__g"), "__c")),
+            "__g",
+        )
+        .agg(
+            F.sum(wterm).cast("decimal(38,9)").cast("double").alias("w"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return (
+        b_ss.crossJoin(F.broadcast(w_ss))
+        .select(
+            F.col("k").cast("int").alias("k"),
+            F.col("n").cast("bigint").alias("n"),
+            (F.round("b", 6) + 0.0).alias("between_ss"),
+            (F.round("w", 6) + 0.0).alias("within_ss"),
+            (
+                F.round(
+                    F.when(
+                        (F.col("k") >= 2)
+                        & (F.col("n") > F.col("k"))
+                        & (F.col("w") > 0.0),
+                        (F.col("b") / (F.col("k") - 1))
+                        / (F.col("w") / (F.col("n") - F.col("k"))),
+                    ),
+                    6,
+                )
+                + 0.0
+            ).alias("ch_index"),
+        )
+    )
+
+
+def hopkins_statistic(
+    df: DataFrame,
+    m: int = 30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Hopkins clusterability statistic (Hopkins & Skellam 1954; the
+    Lawson & Jurs 1990 formulation): compare the 1-NN distance of ``m``
+    UNIFORM probe points (drawn in the data's per-dimension bounding
+    box) against the 1-NN distance of ``m`` sampled REAL points (to the
+    rest of the data, self excluded). H = sum(u) / (sum(u) + sum(w)) —
+    H near 0.5 means the data looks uniform (no cluster structure), H
+    near 1.0 means strongly clustered. The standard pre-flight check
+    before paying for k-means/DBSCAN on an embedding corpus.
+
+    Determinism (what makes the gate hash-replicable): real probes are
+    the ``m`` smallest ``sample_hash(id, seed)`` rows (the bottom-k
+    reservoir convention); uniform probes take, per (probe j, dim i),
+    the fraction md5(seed:j:i-prefix-13-hex)/2^52 of the [min_i, max_i]
+    span, rounded to 6dp — a pure function of (seed, j, i) that any
+    engine replays. Distances use the repo's 9dp-rounded-term DECIMAL
+    Euclidean fold.
+
+    Returns ONE row ``(m, n, sum_u, sum_w, hopkins)`` at 6dp; inputs
+    with n <= m (no "rest of the data" to measure against) return NULL
+    hopkins.
+
+    Scale shape: both probe sets are m-row BROADCAST sides joined
+    against the full corpus (map-side distance, min-aggregate per
+    probe) — 2 corpus scans, no corpus-keyed shuffle, driver state is
+    the 2m probe rows plus the d-row bounding box.
+    """
+    from nbdatatools_spark.operators.sampling import sample_hash
+
+    if m <= 0:
+        raise ValueError(f"m must be positive, got {m}")
+    rows = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    real = (
+        rows.withColumn("__h", sample_hash(F.col("__id"), seed))
+        .orderBy(F.col("__h").asc(), F.col("__id"))
+        .limit(m)
+        .select(F.col("__id").alias("__pid"), F.col("__v").alias("__p"))
+    )
+    # per-dim bounding box of the corpus (d-row aggregate)
+    box = (
+        rows.select(F.posexplode("__v").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    )
+    # uniform probes: fraction_{j,i} = md5-uint52(seed:j:dim)/2^52 of
+    # the span — deterministic, engine-portable (same 13-hex-char
+    # convention as sample_hash)
+    probes = df.sparkSession.range(m).select(
+        F.col("id").alias("__pid")
+    )
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(seed)),
+                        F.col("__pid").cast("string"),
+                        F.col("dim").cast("string"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 52))
+    )
+    uni = (
+        probes.crossJoin(box)
+        .select(
+            "__pid",
+            "dim",
+            F.round(F.col("lo") + frac * (F.col("hi") - F.col("lo")), 6).alias(
+                "u"
+            ),
+        )
+        .groupBy("__pid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "u"))),
+                lambda s: s["u"],
+            ).alias("__p")
+        )
+    )
+
+    def _d2(a, b):
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: F.round((x - y) * (x - y), 9)),
+                F.lit("0").cast("decimal(30,9)"),
+                lambda acc, t: (acc + t.cast("decimal(30,9)")).cast(
+                    "decimal(30,9)"
+                ),
+            ).cast("double")
+        )
+
+    def _nn_sum(pr: DataFrame, exclude_self: bool) -> DataFrame:
+        j = rows.join(F.broadcast(pr), F.lit(True))
+        if exclude_self:
+            j = j.where(F.col("__id") != F.col("__pid"))
+        return (
+            j.select(
+                "__pid",
+                F.round(_d2(F.col("__v"), F.col("__p")), 9).alias("__d"),
+            )
+            .groupBy("__pid")
+            .agg(F.min("__d").alias("__nn"))
+            .agg(
+                F.sum(F.col("__nn").cast("decimal(30,9)"))
+                .cast("decimal(38,9)")
+                .cast("double")
+                .alias("s"),
+                F.count(F.lit(1)).alias("np"),
+            )
+        )
+    su = _nn_sum(uni, exclude_self=False).select(
+        F.col("s").alias("su"), F.col("np").alias("mu")
+    )
+    sw = _nn_sum(real, exclude_self=True).select(
+        F.col("s").alias("sw"), F.col("np").alias("mw")
+    )
+    n_total = rows.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        su.crossJoin(F.broadcast(sw))
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            F.least("mu", "mw").cast("int").alias("m"),
+            F.col("n").cast("bigint").alias("n"),
+            (F.round("su", 6) + 0.0).alias("sum_u"),
+            (F.round("sw", 6) + 0.0).alias("sum_w"),
+            (
+                F.round(
+                    F.when(
+                        (F.col("n") > F.col("mw"))
+                        & (F.col("su") + F.col("sw") > 0.0),
+                        F.col("su") / (F.col("su") + F.col("sw")),
+                    ),
+                    6,
+                )
+                + 0.0
+            ).alias("hopkins"),
+        )
+    )

@@ -538,3 +538,100 @@ def kcore(
         f"kcore did not reach a fixpoint in {rounds} rounds "
         f"(guard = max(max_iter={max_iter}, nodes+1)) — raise max_iter"
     )
+
+
+def link_prediction(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    top_n: int = 50,
+) -> DataFrame:
+    """Neighborhood link-prediction scores for NON-edges at distance 2
+    (Liben-Nowell & Kleinberg 2003) on an UNDIRECTED simple graph: for
+    every node pair (a, b) that shares >= 1 common neighbor and is NOT
+    already an edge, emit the three classic scores — common-neighbor
+    count, Jaccard cn / (deg_a + deg_b - cn), and Adamic-Adar
+    sum_z 1/ln(deg_z) over shared neighbors z (deg_z >= 2 always holds
+    for a shared neighbor, so ln is safe). The standard QA lens over
+    co-visitation graphs: "which missing edges does the graph itself
+    predict" — candidate generation for entity resolution and
+    recommender-shaped audits of ``cooccurrence_edges`` output.
+
+    Returns the ``top_n`` rows ``(node_a, node_b, common_neighbors,
+    jaccard, adamic_adar)`` (node_a < node_b) ordered by
+    (adamic_adar DESC, node_a, node_b); 6dp scores.
+
+    Scale shape: the same wedge join as triangle_stats — the candidate
+    set is generated through the shared NEIGHBOR key (each neighbor z
+    of degree d emits d(d-1)/2 wedges), so the cost is sum_z deg_z^2,
+    bounded by the same degree caps the caller applies upstream
+    (cooccurrence_edges max_bucket/min_support); never all-pairs over
+    nodes. One anti-join removes existing edges; top_n is a
+    TakeOrderedAndProject, not a global sort.
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # adjacency with both orientations: (node, neighbor)
+    adj = canon.select(
+        F.col("a").alias("node"), F.col("b").alias("nbr")
+    ).unionAll(canon.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    # wedges through z: (x, z), (y, z) with x < y -> candidate (x, y)
+    za = adj.select(F.col("nbr").alias("z"), F.col("node").alias("x"))
+    zb = adj.select(F.col("nbr").alias("z"), F.col("node").alias("y"))
+    wedges = za.join(zb, "z").where(F.col("x") < F.col("y"))
+    # per-wedge Adamic-Adar term through z's degree
+    zdeg = deg.select(F.col("node").alias("z"), F.col("deg").alias("__dz"))
+    scored = (
+        wedges.join(zdeg, "z")
+        .groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum(
+                F.round(1.0 / F.log(F.col("__dz").cast("double")), 9).cast(
+                    "decimal(30,9)"
+                )
+            )
+            .cast("decimal(38,9)")
+            .cast("double")
+            .alias("aa"),
+        )
+    )
+    non_edges = scored.join(
+        canon,
+        (scored["x"] == canon["a"]) & (scored["y"] == canon["b"]),
+        "left_anti",
+    )
+    dx = deg.select(F.col("node").alias("x"), F.col("deg").alias("__dx"))
+    dy = deg.select(F.col("node").alias("y"), F.col("deg").alias("__dy"))
+    return (
+        non_edges.join(dx, "x")
+        .join(dy, "y")
+        .select(
+            F.col("x").alias("node_a"),
+            F.col("y").alias("node_b"),
+            F.col("cn").cast("bigint").alias("common_neighbors"),
+            (
+                F.round(
+                    F.col("cn")
+                    / (F.col("__dx") + F.col("__dy") - F.col("cn")).cast(
+                        "double"
+                    ),
+                    6,
+                )
+                + 0.0
+            ).alias("jaccard"),
+            (F.round("aa", 6) + 0.0).alias("adamic_adar"),
+        )
+        .orderBy(
+            F.col("adamic_adar").desc(), F.col("node_a"), F.col("node_b")
+        )
+        .limit(top_n)
+    )

@@ -665,3 +665,160 @@ def knn_overlap(
         .cast("bigint")
         .alias("n_uncovered"),
     )
+
+
+def lof_from_knn(
+    pairs: DataFrame,
+    k: int,
+    id_col: str = "id",
+    nbr_col: str = "nbr",
+    dist_col: str = "dist",
+) -> DataFrame:
+    """Local Outlier Factor (Breunig et al. 2000) from a precomputed
+    k-NN PAIR LIST — the neighbor-graph formulation (the
+    dbscan_from_pairs convention: the quadratic never lives here; feed
+    exact audit pairs or an ANN join): k-distance(p) = the largest
+    neighbor distance, reach-dist(p,o) = max(k-distance(o), d(p,o)),
+    lrd(p) = k / sum_o reach-dist(p,o), LOF(p) = mean_o lrd(o) / lrd(p).
+    LOF ~ 1 means inlier density, >> 1 means local outlier — the
+    standard density-aware embedding-QA score where a global
+    Mahalanobis/z-score misses cluster-relative outliers.
+
+    Contract: ``pairs`` holds EXACTLY the k nearest neighbors per point
+    (self excluded, ties broken by neighbor id — the exact_knn tie
+    discipline; canonical LOF keeps ALL ties at the k-th distance, so
+    scores differ from textbook LOF only on exact-tie inputs, which the
+    deterministic tie-break makes reproducible instead of ambiguous).
+    Points whose reach-distance sum is 0 (k+1 coincident points) have
+    infinite lrd; their lof is NULL and they report ``coincident``
+    = true rather than propagating a division by zero.
+
+    Returns ``(id, k_distance, lrd, lof, coincident)`` per point at 6dp
+    (lrd at 9dp — it is an intermediate ratio the oracle replays),
+    ordered by id.
+
+    Scale shape: three keyed aggregates/joins on the pair list (k*n
+    rows) — k-distance groupBy, a reach join keyed on the NEIGHBOR id,
+    an lrd groupBy, then one more neighbor-keyed join for the lrd
+    ratio. Nothing beyond k*n rows ever shuffles.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    p = pairs.select(
+        F.col(id_col).alias("__p"),
+        F.col(nbr_col).alias("__o"),
+        F.round(F.col(dist_col).cast("double"), 9).alias("__d"),
+    ).localCheckpoint(eager=False)
+    kdist = p.groupBy("__p").agg(F.max("__d").alias("__kd"))
+    reach = p.join(
+        kdist.select(F.col("__p").alias("__o"), F.col("__kd").alias("__kdo")),
+        "__o",
+    ).select(
+        "__p", "__o", F.greatest(F.col("__d"), F.col("__kdo")).alias("__r")
+    )
+    lrd = (
+        reach.groupBy("__p")
+        .agg(
+            F.sum(F.col("__r").cast("decimal(30,9)"))
+            .cast("decimal(38,9)")
+            .cast("double")
+            .alias("__rs"),
+            F.count(F.lit(1)).alias("__nk"),
+        )
+        .select(
+            "__p",
+            F.when(
+                F.col("__rs") > 0.0,
+                F.round(F.col("__nk") / F.col("__rs"), 9),
+            ).alias("__lrd"),
+        )
+    )
+    ratio = (
+        p.join(
+            lrd.select(F.col("__p").alias("__o"), F.col("__lrd").alias("__lrdo")),
+            "__o",
+        )
+        .groupBy("__p")
+        .agg(
+            F.sum(F.col("__lrdo").cast("decimal(30,9)"))
+            .cast("decimal(38,9)")
+            .cast("double")
+            .alias("__ls"),
+            F.count(F.lit(1)).alias("__nk"),
+            F.count(F.when(F.col("__lrdo").isNull(), 1)).alias("__nullo"),
+        )
+    )
+    return (
+        kdist.join(lrd, "__p")
+        .join(ratio, "__p")
+        .select(
+            F.col("__p").alias("id"),
+            (F.round("__kd", 6) + 0.0).alias("k_distance"),
+            (F.round("__lrd", 9) + 0.0).alias("lrd"),
+            (
+                F.round(
+                    F.when(
+                        F.col("__lrd").isNotNull() & (F.col("__nullo") == 0),
+                        F.col("__ls") / F.col("__nk") / F.col("__lrd"),
+                    ),
+                    6,
+                )
+                + 0.0
+            ).alias("lof"),
+            F.col("__lrd").isNull().alias("coincident"),
+        )
+        .orderBy("id")
+    )
+
+
+def lof_scores(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LOF over an embedding column with EXACT Euclidean k-NN — the
+    bounded audit path (broadcast self-crossJoin + rank-k window with
+    the WindowGroupLimit partial pushdown; same posture as
+    dbscan(method='exact')): cap the input to a sample for audits, and
+    feed ``lof_from_knn`` from an ANN join (``similarity`` family /
+    ``mutual_knn_pairs`` inputs) at corpus scale.
+
+    Distances use the repo's 9dp-rounded-term DECIMAL Euclidean fold so
+    an oracle replays every k-NN rank and reach-distance bit-for-bit.
+    """
+    rows = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    other = rows.select(
+        F.col("__id").alias("__oid"), F.col("__v").alias("__ov")
+    )
+    d = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("__v"),
+                F.col("__ov"),
+                lambda x, y: F.round((x - y) * (x - y), 9),
+            ),
+            F.lit("0").cast("decimal(30,9)"),
+            lambda acc, t: (acc + t.cast("decimal(30,9)")).cast(
+                "decimal(30,9)"
+            ),
+        ).cast("double")
+    )
+    pairs = (
+        rows.join(F.broadcast(other), F.col("__id") != F.col("__oid"))
+        .select(
+            F.col("__id").alias("id"),
+            F.col("__oid").alias("nbr"),
+            F.round(d, 9).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("dist").asc_nulls_last(), F.col("nbr").asc()
+    )
+    topk = pairs.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= k
+    )
+    return lof_from_knn(topk, k)

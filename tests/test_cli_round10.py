@@ -1,0 +1,81 @@
+"""Round-10 batch-3 CLI wiring: analyze calinski-harabasz / hopkins /
+lof / link-prediction / distinct-ngrams / temperature."""
+
+import json
+import os
+
+from nbdatatools_spark.__main__ import main
+
+SF = os.environ.get("NBDT_TEST_SF_DIR", "/root/testdata/sf0.001")
+DOCS = os.path.join(SF, "documents.parquet")
+EMB = os.path.join(SF, "embeddings.parquet")
+
+
+def _lines(capsys):
+    return [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+
+
+def test_calinski_harabasz_cli(spark, capsys, tmp_path):
+    clustered = str(tmp_path / "clustered.parquet")
+    df = spark.read.parquet(EMB).selectExpr(
+        "CAST(vec_id % 4 AS INT) AS cluster", "embedding"
+    )
+    df.write.parquet(clustered)
+    assert main(["analyze", "calinski-harabasz", "--input", clustered,
+                 "--group-col", "cluster"]) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 1
+    assert rows[0]["k"] == 4 and rows[0]["ch_index"] is not None
+
+
+def test_hopkins_cli(spark, capsys):
+    assert main(["analyze", "hopkins", "--input", EMB, "--m", "10"]) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 1
+    assert 0.0 < rows[0]["hopkins"] < 1.0
+    assert rows[0]["m"] == 10
+
+
+def test_lof_cli(spark, capsys, tmp_path):
+    small = str(tmp_path / "small.parquet")
+    spark.read.parquet(EMB).where("vec_id < 60").write.parquet(small)
+    assert main(["analyze", "lof", "--input", small, "--k", "4",
+                 "--limit", "8"]) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 8
+    # sorted by lof descending
+    lofs = [r["lof"] for r in rows if r["lof"] is not None]
+    assert lofs == sorted(lofs, reverse=True)
+
+
+def test_link_prediction_cli(spark, capsys, tmp_path):
+    edges = str(tmp_path / "edges.parquet")
+    spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    ).write.parquet(edges)
+    assert main(["analyze", "link-prediction", "--input", edges,
+                 "--top-n", "5"]) == 0
+    rows = _lines(capsys)
+    assert {(r["node_a"], r["node_b"]) for r in rows} == {(1, 3), (2, 4)}
+
+
+def test_distinct_ngrams_cli(spark, capsys):
+    assert main(["analyze", "distinct-ngrams", "--input", DOCS,
+                 "--n", "1", "--n", "2"]) == 0
+    rows = _lines(capsys)
+    assert {r["n"] for r in rows} == {1, 2}
+    assert all(0.0 < r["distinct_ratio"] <= 1.0 for r in rows)
+
+
+def test_temperature_cli(spark, capsys, tmp_path):
+    scored = str(tmp_path / "scored.parquet")
+    spark.read.parquet(DOCS).selectExpr(
+        "round(least(greatest(n_chars / 1000.0, 0.01), 0.99), 6) AS score",
+        "CAST(n_chars >= 400 AS INT) AS y",
+    ).write.parquet(scored)
+    assert main(["analyze", "temperature", "--input", scored,
+                 "--score-col", "score", "--label-col", "y"]) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 1
+    assert rows[0]["temperature"] is not None
+    assert rows[0]["nll_after"] <= rows[0]["nll_before"] + 1e-9
