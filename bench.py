@@ -461,8 +461,15 @@ def main() -> None:
         "load_trail": _LOAD_TRAIL,
         "env": env,
     }
+    # Canonical-SF guard: the committed BENCH_FULL.json is the driver's
+    # sf0.1 artifact; ad-hoc verification runs at other SFs land in a
+    # side file so they can never clobber the attested run (the round-8
+    # VERDICT "driver refresh overwrote the quiet-box artifact" class).
+    full_name = (
+        "BENCH_FULL.json" if abs(sf - 0.1) < 1e-9 else "BENCH_FULL_local.json"
+    )
     full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+        os.path.dirname(os.path.abspath(__file__)), full_name
     )
     with open(full_path, "w") as fh:
         json.dump(full_payload, fh, indent=1, sort_keys=True)
@@ -486,7 +493,7 @@ def main() -> None:
             # compact contention record (VERDICT r4 #6): [start_1m, exit_1m]
             "load": [_LOAD_AT_START[0], round(load1, 1)],
             # complete per-query map lives in the committed artifact
-            "full": "BENCH_FULL.json",
+            "full": full_name,
         }
         if len(_LOAD_TRAIL) > 1:
             # the load-gate wait trail: [[sec_waited, load_1m], ...]
