@@ -12865,6 +12865,117 @@ def doc_temperature_scaling(spark, sf_dir):
     )
 
 
+def doc_ece(spark, sf_dir):
+    """Expected / Maximum Calibration Error (evaluation.py::
+    expected_calibration_error, Naeini et al. 2015 / Guo et al. 2017)
+    of the heuristic quality score vs the long-document label over the
+    same 10 fixed bins as doc_score_calibration — the one-number scalar
+    that closes the calibration family (bins = diagnostic, ECE =
+    scalar, temperature/isotonic = fixes). Per-bin DECIMAL confidence
+    sums, 9dp gaps, n_b-weighted DECIMAL reduction."""
+    from nbdatatools_spark.operators.evaluation import (
+        expected_calibration_error,
+    )
+
+    return expected_calibration_error(
+        _scored_docs(spark, sf_dir), "score", "y", n_bins=10, lo=0.0, hi=1.0
+    )
+
+
+def doc_sinkhorn_shift(spark, sf_dir):
+    """Entropic-OT distribution distance (analysis.py::
+    sinkhorn_distance, Cuturi 2013) between the even- and odd-doc_id
+    halves' n_chars distributions: 12 fixed bins on [0, 2000], cost
+    |i-j|/11, eps 0.25, 10 fixed Sinkhorn iterations as a declarative
+    chain over B-row frames (the temperature_scaling discipline — u/v
+    re-rounded to 9dp per half-step, K cells to 9dp, transport plan to
+    12dp). ONE corpus aggregate builds both histograms (lazily
+    checkpointed); everything after is B^2-bounded. Oracle replays the
+    entire fixed-point loop as a GENERATED 10-deep CTE chain."""
+    from nbdatatools_spark.operators.analysis import sinkhorn_distance
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "grp", (F.col("doc_id") % 2).cast("string")
+    )
+    return sinkhorn_distance(
+        docs, "n_chars", "grp", "0", "1",
+        n_bins=12, lo=0.0, hi=2000.0, eps=0.25, iterations=10,
+    )
+
+
+def corpus_sentencepiece(spark, sf_dir):
+    """SentencePiece-style BPE trainer audit (bpe.py::
+    learn_sentencepiece_bpe, Kudo & Richardson 2018 BPE mode): the
+    Sennrich merge loop over U+2581-marked words — completing the
+    deployed-tokenizer lineage (plain BPE, byte-level BPE, WordPiece,
+    unigram LM, and now the SentencePiece whitespace-marker form).
+
+    Pinned-invariant oracle gate (the corpus_bpe_merges pattern): the
+    FIRST merge is pure pair counting over the marked vocabulary — the
+    oracle replicates it exactly (left, right, exact integer count) —
+    and pins TRUE for the structural claims any correct run satisfies:
+    merge count bounded, every pair count >= the min_count floor, and
+    the segmenter's LOSSLESS round-trip (concat tokens, map U+2581 back
+    to space, trim == the normalized text) holding for EVERY document —
+    the property that distinguishes the SentencePiece form from ##-style
+    WordPiece. Full merge-table differential in
+    tests/test_round10_batch4.py."""
+    from nbdatatools_spark.operators.bpe import (
+        SP_MARK,
+        learn_sentencepiece_bpe,
+        sentencepiece_segment,
+    )
+    from nbdatatools_spark.functions.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = learn_sentencepiece_bpe(docs, n_merges=8, min_count=2)
+    seg = sentencepiece_segment(docs, merges)
+    detok = F.trim(
+        F.regexp_replace(
+            F.concat_ws("", F.col("sp_tokens")), SP_MARK, " "
+        )
+    )
+    roundtrip = seg.agg(
+        F.min(
+            (
+                detok
+                == F.coalesce(normalize_text(F.col("text")), F.lit(""))
+            ).cast("int")
+        ).alias("rt")
+    ).collect()[0]["rt"]
+    row = [
+        (
+            merges[0][1],
+            merges[0][2],
+            int(merges[0][3]),
+            bool(len(merges) <= 8),
+            bool(all(int(m[3]) >= 2 for m in merges)),
+            bool(int(roundtrip) == 1),
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "first_left string, first_right string, first_count bigint, "
+        "n_merges_bounded boolean, counts_ge_min boolean, "
+        "roundtrip_exact boolean",
+    )
+
+
+def doc_packing_efficiency(spark, sf_dir):
+    """Packing-quality audit (packing.py::packing_efficiency) of the
+    doc_pack_sequences configuration (concat-then-chunk at 2048,
+    n_chars as the token count): split-document fraction
+    (attention-contamination), mean documents touching a sequence, and
+    tail padding waste. Two-phase partition-offset cumsum + ONE
+    map-side aggregate; all-integer internals, 6dp ratios."""
+    from nbdatatools_spark.operators.packing import packing_efficiency
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("n_tokens")
+    )
+    return packing_efficiency(docs, 2048)
+
+
 def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Round-10 rotation candidates: same contract as queries(), kept out
     of the live window so the round-9 recording layout stays attested.
@@ -12873,17 +12984,17 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     here with their oracles in candidate_oracles() until the round-10
     rotation.
 
-    Rotation plan for round 10 (all 15 verified hash-exact vs the local
+    Rotation plan for round 10 (all 19 verified hash-exact vs the local
     DuckDB oracle at sf0.001 AND sf0.01 and under 7 shuffle partitions
     this round — no rows-only gates in this batch): move these into
-    window slots 0-14, displace the longest-green entries to the tail,
+    window slots 0-18, displace the longest-green entries to the tail,
     keep fit_embeddings_model pinned at 49 and the four rows-only-by-
     design gates (doc_compression_ratio, events_kcore, embedding_dbscan,
-    corpus_lsa_topics) inside the window. corpus_wordpiece and
-    doc_unimax_budget run driver-side jobs during plan construction
-    (8 merge-loop collects / two tiny aggregates) — place them LATE in
-    the window next to corpus_lsa_topics (the fit_embeddings_model
-    shadowing rationale).
+    corpus_lsa_topics) inside the window. corpus_wordpiece,
+    corpus_sentencepiece, and doc_unimax_budget run driver-side jobs
+    during plan construction (8 merge-loop collects each for the two
+    trainers / two tiny aggregates) — place them LATE in the window next
+    to corpus_lsa_topics (the fit_embeddings_model shadowing rationale).
     """
     return {
         "corpus_wordpiece": corpus_wordpiece,
@@ -12901,6 +13012,10 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_link_prediction": events_link_prediction,
         "doc_distinct_ngrams": doc_distinct_ngrams,
         "doc_temperature_scaling": doc_temperature_scaling,
+        "doc_ece": doc_ece,
+        "doc_sinkhorn_shift": doc_sinkhorn_shift,
+        "corpus_sentencepiece": corpus_sentencepiece,
+        "doc_packing_efficiency": doc_packing_efficiency,
     }
 
 
@@ -13004,6 +13119,103 @@ def _temperature_oracle(iterations: int = 5) -> str:
                round(base.nb / base.n, 6) + 0.0 AS nll_before,
                round(fit.na / base.n, 6) + 0.0 AS nll_after
         FROM base CROSS JOIN fit
+    """
+
+
+def _sinkhorn_oracle(
+    n_bins: int = 12,
+    lo: float = 0.0,
+    hi: float = 2000.0,
+    eps: float = 0.25,
+    iterations: int = 10,
+) -> str:
+    """DuckDB replica of doc_sinkhorn_shift: histograms, the Gibbs
+    kernel, and the ENTIRE fixed-point loop as a generated CTE chain
+    (sa_t/v_t/sb_t/u_t per iteration), re-rounding u/v to 9dp per
+    half-step exactly as the engine does."""
+    B = n_bins
+    width = (hi - lo) / B
+    den = float(B - 1)
+    dsum9 = (
+        "CAST(CAST(sum(CAST(round({x}, 9) AS DECIMAL(30,9)))"
+        " AS DECIMAL(38,9)) AS DOUBLE)"
+    )
+    ctes = [
+        f"bins AS (SELECT CAST(unnest(generate_series(0, {B - 1})) AS INT)"
+        " AS b)",
+        f"""bv AS (
+            SELECT CAST(doc_id % 2 AS VARCHAR) AS g,
+                   least(greatest(CAST(floor((CAST(n_chars AS DOUBLE)
+                       - {lo!r}) / {width!r}) AS INT), 0), {B - 1}) AS b
+            FROM documents WHERE n_chars IS NOT NULL)""",
+        "cnt AS (SELECT g, b, count(*) AS c FROM bv GROUP BY g, b)",
+        "ta AS (SELECT sum(c) AS n FROM cnt WHERE g = '0')",
+        "tb AS (SELECT sum(c) AS n FROM cnt WHERE g = '1')",
+        """ha AS (SELECT bins.b,
+                   round(coalesce(cnt.c, 0) / ta.n, 9) AS m
+            FROM bins LEFT JOIN cnt ON cnt.b = bins.b AND cnt.g = '0'
+                 CROSS JOIN ta)""",
+        """hb AS (SELECT bins.b,
+                   round(coalesce(cnt.c, 0) / tb.n, 9) AS m
+            FROM bins LEFT JOIN cnt ON cnt.b = bins.b AND cnt.g = '1'
+                 CROSS JOIN tb)""",
+        f"""km AS (SELECT x.b AS i, y.b AS j,
+                   round(abs(x.b - y.b) / {den!r}, 9) AS cst,
+                   round(exp(-(abs(x.b - y.b) / {den!r}) / {eps!r}), 9) AS k
+            FROM bins x CROSS JOIN bins y)""",
+        "u0 AS (SELECT b AS i, CASE WHEN m > 0.0 THEN 1.0 ELSE 0.0 END AS u"
+        " FROM ha)",
+    ]
+    # AS MATERIALIZED: DuckDB inlines plain CTEs, and v_t is referenced
+    # twice per level (by sb_t and by the final plan), which makes the
+    # inlined expression tree EXPONENTIAL in the iteration count — the
+    # query never finishes at 10 iterations without materialization
+    for t in range(1, iterations + 1):
+        ctes.append(
+            f"""sa{t} AS MATERIALIZED (
+            SELECT km.j, {dsum9.format(x='km.k * u.u')} AS s
+            FROM km JOIN u{t - 1} u ON u.i = km.i GROUP BY km.j)"""
+        )
+        ctes.append(
+            f"""v{t} AS MATERIALIZED (SELECT hb.b AS j,
+                   CASE WHEN s.s > 0.0 THEN round(hb.m / s.s, 9)
+                        ELSE 0.0 END AS v
+            FROM hb JOIN sa{t} s ON s.j = hb.b)"""
+        )
+        ctes.append(
+            f"""sb{t} AS MATERIALIZED (
+            SELECT km.i, {dsum9.format(x='km.k * v.v')} AS s
+            FROM km JOIN v{t} v ON v.j = km.j GROUP BY km.i)"""
+        )
+        ctes.append(
+            f"""u{t} AS MATERIALIZED (SELECT ha.b AS i,
+                   CASE WHEN s.s > 0.0 THEN round(ha.m / s.s, 9)
+                        ELSE 0.0 END AS u
+            FROM ha JOIN sb{t} s ON s.i = ha.b)"""
+        )
+    ctes.append(
+        f"""pl AS (SELECT km.i, km.cst, round(u.u * km.k * v.v, 12) AS p
+            FROM km JOIN u{iterations} u ON u.i = km.i
+                    JOIN v{iterations} v ON v.j = km.j)"""
+    )
+    ctes.append(
+        f"tot AS (SELECT {dsum9.format(x='p * cst')} AS cost FROM pl)"
+    )
+    ctes.append(
+        """re AS (SELECT i, CAST(CAST(sum(CAST(p AS DECIMAL(30,12)))
+            AS DECIMAL(38,12)) AS DOUBLE) AS rs FROM pl GROUP BY i)"""
+    )
+    ctes.append(
+        f"""me AS (SELECT {dsum9.format(x='abs(re.rs - ha.m)')} AS err
+            FROM re JOIN ha ON ha.b = re.i)"""
+    )
+    body = ",\n        ".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b,
+               round(tot.cost, 6) + 0.0 AS cost,
+               round(me.err, 6) + 0.0 AS marginal_err
+        FROM ta CROSS JOIN tb CROSS JOIN tot CROSS JOIN me
     """
 
 
@@ -13551,6 +13763,96 @@ def candidate_oracles() -> dict[str, str]:
         "doc_temperature_scaling": _temperature_oracle(5).format(
             q6=_QUALITY6
         ),
+        # ECE/MCE: calibration_bins' bin grain, 9dp |acc-conf| gaps,
+        # n_b-weighted DECIMAL reduction
+        "doc_ece": f"""
+            WITH sc AS (SELECT {_QUALITY6} AS s,
+                               CAST(n_chars >= 400 AS INT) AS y
+                        FROM documents),
+            b AS (SELECT least(greatest(CAST(floor((s - 0.0) / 0.1) AS INT),
+                               0), 9) AS bin, s, y
+                  FROM sc),
+            pb AS (SELECT bin, count(*) AS n,
+                          CAST(CAST(sum(CAST(round(s, 9) AS DECIMAL(20,9)))
+                               AS DECIMAL(38,9)) AS DOUBLE) AS ss,
+                          sum(y) AS ys
+                   FROM b GROUP BY bin),
+            g AS (SELECT n, round(abs(ys / n - ss / n), 9) AS gap FROM pb)
+            SELECT CAST(sum(n) AS BIGINT) AS n,
+                   CAST(count(*) AS INT) AS n_bins_occupied,
+                   round(CAST(CAST(sum(CAST(round(gap * n, 9)
+                         AS DECIMAL(30,9))) AS DECIMAL(38,9)) AS DOUBLE)
+                         / sum(n), 6) + 0.0 AS ece,
+                   round(max(gap), 6) + 0.0 AS mce
+            FROM g
+        """,
+        "doc_sinkhorn_shift": _sinkhorn_oracle(),
+        # SentencePiece BPE first merge over the U+2581-marked vocab;
+        # structural claims pinned TRUE (roundtrip has a pytest
+        # differential on the full merge table)
+        "corpus_sentencepiece": f"""
+            WITH nrm AS (SELECT {_NORM} AS t FROM documents),
+            w AS (SELECT unnest(string_split(t, ' ')) AS w0
+                  FROM nrm WHERE length(t) > 0),
+            v AS (SELECT '▁' || w0 AS word, count(*) AS cnt FROM w
+                  WHERE w0 <> '' GROUP BY w0),
+            sy AS (SELECT word, cnt, i, substring(word, CAST(i AS INT), 1) AS s
+                   FROM (SELECT word, cnt,
+                                unnest(generate_series(1, length(word))) AS i
+                         FROM v)),
+            p AS (SELECT a.s AS left_, b.s AS right_, a.cnt
+                  FROM sy a JOIN sy b
+                    ON a.word = b.word AND b.i = a.i + 1),
+            agg AS (SELECT left_, right_, CAST(sum(cnt) AS BIGINT) AS c
+                    FROM p GROUP BY left_, right_
+                    HAVING sum(cnt) >= 2)
+            SELECT left_ AS first_left, right_ AS first_right,
+                   c AS first_count,
+                   TRUE AS n_merges_bounded, TRUE AS counts_ge_min,
+                   TRUE AS roundtrip_exact
+            FROM agg ORDER BY c DESC, left_, right_ LIMIT 1
+        """,
+        # packing audit: the doc_pack_sequences cumsum + one aggregate
+        "doc_packing_efficiency": """
+            WITH c AS (
+                SELECT doc_id, n_chars,
+                       CAST(COALESCE(sum(n_chars) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+                FROM documents),
+            p AS (SELECT n_chars, start_tok // 2048 AS sf,
+                         CASE WHEN n_chars > 0
+                              THEN (start_tok + n_chars - 1) // 2048
+                              ELSE start_tok // 2048 END AS sl
+                  FROM c),
+            a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(CASE WHEN n_chars > 0 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_nonempty,
+                         CAST(sum(n_chars) AS BIGINT) AS total_tokens,
+                         CAST(sum(CASE WHEN n_chars > 0 AND sl <> sf
+                                       THEN 1 ELSE 0 END)
+                              AS BIGINT) AS split_docs,
+                         CAST(sum(CASE WHEN n_chars > 0
+                                       THEN sl - sf + 1 END)
+                              AS BIGINT) AS touches
+                  FROM p)
+            SELECT n_docs, n_nonempty, total_tokens,
+                   CAST(CASE WHEN total_tokens > 0
+                             THEN (total_tokens + 2047) // 2048
+                             ELSE 0 END AS BIGINT) AS n_seqs,
+                   split_docs,
+                   round(CASE WHEN n_nonempty > 0
+                              THEN split_docs / CAST(n_nonempty AS DOUBLE)
+                         END, 6) + 0.0 AS split_frac,
+                   round(CASE WHEN total_tokens > 0
+                              THEN touches / CAST((total_tokens + 2047)
+                                   // 2048 AS DOUBLE)
+                         END, 6) + 0.0 AS docs_per_seq_mean,
+                   CAST(CASE WHEN total_tokens > 0
+                             THEN (2048 - total_tokens % 2048) % 2048
+                             ELSE 0 END AS BIGINT) AS tail_waste_tokens
+            FROM a
+        """,
     }
 
 

@@ -6,7 +6,7 @@ reference user can run the same commands against the Spark engine:
             |verify_knn|verify_profiles|tune_ann|tune_compression
             |sq8-error|silhouette|hubness|robust-scale|cka
             |cluster_purity|knn_accuracy|calinski-harabasz|hopkins
-            |lof|link-prediction|distinct-ngrams|temperature
+            |lof|link-prediction|distinct-ngrams|temperature|ece|sinkhorn
     compute knn|sort|ivf_build|ivf_append|ivf_search|kmeans|mutual-knn
     convert file
     generate vectors|dataset|mktestdata|fvec-extract|ivec-extract|ivec-shuffle
@@ -16,7 +16,8 @@ reference user can run the same commands against the Spark engine:
     datasets list|download|plan|curlify|prebuffer
     vectordata info|views|profiles|size|sample|cat|prebuffer|verify
     corpus stats|run|tune_dedup|cluster_sizes|select_budget|card|keyphrases
-           |kneser_ney|train_unigram|train_wordpiece|fertility_sweep
+           |kneser_ney|train_unigram|train_wordpiece|train_sentencepiece
+           |fertility_sweep|pack_audit
            |calibrate_minhash|balance|qc
            |length_drift|cms_topk|bloom_decontam|source_similarity
            |boilerplate|filter_eval|cross_dedup|sentence_dedup
@@ -719,6 +720,67 @@ def _cmd_corpus_train_wordpiece(args) -> int:
         spark.createDataFrame(
             [(s, l, r, c, float(sc)) for s, l, r, c, sc in merges],
             "step INT, left STRING, right STRING, pair_count BIGINT, score DOUBLE",
+        )
+    )
+
+
+def _cmd_corpus_train_sentencepiece(args) -> int:
+    from nbdatatools_spark.operators.bpe import learn_sentencepiece_bpe
+
+    spark = _spark()
+    docs = spark.read.parquet(args.input)
+    merges = learn_sentencepiece_bpe(
+        docs, text_col=args.text_col, n_merges=args.merges,
+        min_count=args.min_count,
+    )
+    print(json.dumps({"n_merges": len(merges)}))
+    return _emit_rows(
+        spark.createDataFrame(
+            [(s, l, r, int(c)) for s, l, r, c in merges],
+            "step INT, left STRING, right STRING, pair_count BIGINT",
+        )
+    )
+
+
+def _cmd_analyze_ece(args) -> int:
+    from nbdatatools_spark.operators.evaluation import (
+        expected_calibration_error,
+    )
+
+    df = _spark().read.parquet(args.input)
+    return _emit_rows(
+        expected_calibration_error(
+            df, args.score_col, args.label_col, n_bins=args.bins,
+            lo=args.lo, hi=args.hi,
+        )
+    )
+
+
+def _cmd_analyze_sinkhorn(args) -> int:
+    from nbdatatools_spark.operators.analysis import sinkhorn_distance
+
+    df = _spark().read.parquet(args.input)
+    return _emit_rows(
+        sinkhorn_distance(
+            df, args.value_col, args.group_col, args.group_a, args.group_b,
+            n_bins=args.bins, lo=args.lo, hi=args.hi, eps=args.eps,
+            iterations=args.iterations,
+        )
+    )
+
+
+def _cmd_corpus_pack_audit(args) -> int:
+    from pyspark.sql import functions as F
+
+    from nbdatatools_spark.operators.packing import packing_efficiency
+
+    df = _spark().read.parquet(args.input)
+    docs = df.select(
+        args.order_col, F.col(args.token_col).alias("n_tokens")
+    )
+    return _emit_rows(
+        packing_efficiency(
+            docs, args.max_tokens, order_col=args.order_col
         )
     )
 
@@ -2730,6 +2792,18 @@ def build_parser() -> argparse.ArgumentParser:
     ctw.add_argument("--merges", type=int, default=50)
     ctw.add_argument("--min-count", type=int, default=2)
     ctw.set_defaults(func=_cmd_corpus_train_wordpiece)
+    csp = cp.add_parser("train_sentencepiece")
+    csp.add_argument("--input", required=True)
+    csp.add_argument("--text-col", default="text")
+    csp.add_argument("--merges", type=int, default=50)
+    csp.add_argument("--min-count", type=int, default=2)
+    csp.set_defaults(func=_cmd_corpus_train_sentencepiece)
+    cpa = cp.add_parser("pack_audit")
+    cpa.add_argument("--input", required=True)
+    cpa.add_argument("--max-tokens", type=int, required=True)
+    cpa.add_argument("--token-col", default="n_tokens")
+    cpa.add_argument("--order-col", default="doc_id")
+    cpa.set_defaults(func=_cmd_corpus_pack_audit)
     cfs = cp.add_parser("fertility_sweep")
     cfs.add_argument("--input", required=True)
     cfs.add_argument("--text-col", default="text")
@@ -3199,6 +3273,26 @@ def build_parser() -> argparse.ArgumentParser:
     atm.add_argument("--label-col", required=True)
     atm.add_argument("--iterations", type=int, default=5)
     atm.set_defaults(func=_cmd_analyze_temperature)
+    aec = an.add_parser("ece")
+    aec.add_argument("--input", required=True)
+    aec.add_argument("--score-col", required=True)
+    aec.add_argument("--label-col", required=True)
+    aec.add_argument("--bins", type=int, default=10)
+    aec.add_argument("--lo", type=float, default=0.0)
+    aec.add_argument("--hi", type=float, default=1.0)
+    aec.set_defaults(func=_cmd_analyze_ece)
+    ask = an.add_parser("sinkhorn")
+    ask.add_argument("--input", required=True)
+    ask.add_argument("--value-col", required=True)
+    ask.add_argument("--group-col", required=True)
+    ask.add_argument("--group-a", required=True)
+    ask.add_argument("--group-b", required=True)
+    ask.add_argument("--bins", type=int, default=12)
+    ask.add_argument("--lo", type=float, default=0.0)
+    ask.add_argument("--hi", type=float, default=1.0)
+    ask.add_argument("--eps", type=float, default=0.25)
+    ask.add_argument("--iterations", type=int, default=10)
+    ask.set_defaults(func=_cmd_analyze_sinkhorn)
     a2s = an.add_parser("two-sample")
     a2s.add_argument("--input", required=True)
     a2s.add_argument("--split-expr", required=True,

@@ -3251,3 +3251,192 @@ def distinct_ngrams(
             + 0.0
         ).alias("distinct_ratio"),
     ).orderBy(group_col, "n")
+
+
+def sinkhorn_distance(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    n_bins: int = 12,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    eps: float = 0.25,
+    iterations: int = 10,
+) -> DataFrame:
+    """Entropic-regularized optimal-transport cost (Sinkhorn, Cuturi
+    2013) between two slices' binned value distributions — the
+    regularized sibling of :func:`wasserstein_1d`: W1 is exact but only
+    defined on the line; the Sinkhorn machinery is THE corpus-distance
+    primitive that generalizes to any cost matrix (here |i-j|/(B-1)
+    over B fixed-width bins, so at eps -> 0 it approaches W1 on the
+    binned supports, in bin-width units of the normalized cost).
+
+    The fixed-point loop u = a/(Kv), v = b/(Ku) runs a FIXED
+    ``iterations`` count as a declarative chain over B-row frames (the
+    temperature_scaling discipline): each half-step is one B^2-row join
+    + one B-row aggregate; u and v are re-rounded to 9dp per half-step
+    and K = round(exp(-C/eps), 9) cell-wise, so an oracle replays the
+    whole optimization bit-for-bit. Histograms are value-clamped to the
+    edge bins, NULL-dropped, and normalized at 9dp; empty-mass bins
+    carry exact zeros through the updates (0/s = 0; denominators stay
+    positive because K > 0 everywhere).
+
+    Returns ONE row ``(n_a, n_b, cost, marginal_err)`` at 6dp: cost =
+    sum P.C with P = diag(u) K diag(v); marginal_err = sum_i |row-sum
+    P_i - a_i| — the convergence readout (near 0 when the loop has
+    mixed; at 10 iterations and eps >= 0.1 it is < 1e-4 on anything
+    non-degenerate).
+
+    Scale shape: ONE corpus aggregate builds both histograms (B-row
+    result, lazily checkpointed so the 2*iterations references to the
+    tiny frames never rescan the corpus); everything after is
+    B^2-bounded. The corpus is scanned once regardless of iterations.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if eps <= 0:
+        raise ValueError(f"eps must be positive, got {eps}")
+    spark = df.sparkSession
+    width = (hi - lo) / n_bins
+    idx = F.floor(
+        (F.col("__v") - F.lit(float(lo))) / F.lit(float(width))
+    ).cast("int")
+    binned = (
+        df.where(
+            F.col(group_col).isin([group_a, group_b])
+            & F.col(value_col).isNotNull()
+        )
+        .select(
+            F.col(group_col).alias("__g"),
+            F.col(value_col).cast("double").alias("__v"),
+        )
+        .select(
+            "__g",
+            F.least(F.greatest(idx, F.lit(0)), F.lit(n_bins - 1)).alias(
+                "__b"
+            ),
+        )
+        .groupBy("__g", "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("__b"))
+
+    def hist(group: str, mass_col: str, n_col: str) -> DataFrame:
+        h = binned.where(F.col("__g") == group).select("__b", "__c")
+        tot = h.agg(F.sum("__c").alias("__n"))
+        return (
+            bins.join(h, "__b", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "__b",
+                F.round(
+                    F.coalesce(F.col("__c"), F.lit(0)) / F.col("__n"), 9
+                ).alias(mass_col),
+                F.col("__n").alias(n_col),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    a = hist(group_a, "__a", "__na")
+    b = hist(group_b, "__bm", "__nb")
+    # cost + Gibbs kernel over the B x B bin grid (exact cell formulas
+    # both engines replay: C = |i-j|/(B-1), K = round(exp(-C/eps), 9))
+    cost = F.abs(F.col("__i") - F.col("__j")) / F.lit(float(n_bins - 1))
+    kmat = (
+        bins.select(F.col("__b").alias("__i"))
+        .crossJoin(bins.select(F.col("__b").alias("__j")))
+        .select(
+            "__i",
+            "__j",
+            F.round(cost, 9).alias("__cst"),
+            F.round(F.exp(-cost / F.lit(float(eps))), 9).alias("__k"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def _dsum(expr):
+        return (
+            F.sum(F.round(expr, 9).cast("decimal(30,9)"))
+            .cast("decimal(38,9)")
+            .cast("double")
+        )
+
+    u = a.select(
+        F.col("__b").alias("__i"),
+        F.when(F.col("__a") > 0.0, F.lit(1.0)).otherwise(F.lit(0.0)).alias(
+            "__u"
+        ),
+    )
+    for _ in range(iterations):
+        s_j = (
+            kmat.join(u, "__i")
+            .groupBy("__j")
+            .agg(_dsum(F.col("__k") * F.col("__u")).alias("__s"))
+        )
+        v = b.select(F.col("__b").alias("__j"), "__bm").join(s_j, "__j").select(
+            "__j",
+            F.when(
+                F.col("__s") > 0.0,
+                F.round(F.col("__bm") / F.col("__s"), 9),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("__vv"),
+        )
+        s_i = (
+            kmat.join(v, "__j")
+            .groupBy("__i")
+            .agg(_dsum(F.col("__k") * F.col("__vv")).alias("__s"))
+        )
+        u = a.select(F.col("__b").alias("__i"), "__a").join(s_i, "__i").select(
+            "__i",
+            F.when(
+                F.col("__s") > 0.0,
+                F.round(F.col("__a") / F.col("__s"), 9),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("__u"),
+        )
+    plan = (
+        kmat.join(u, "__i")
+        .join(v, "__j")
+        .select(
+            "__i",
+            "__cst",
+            F.round(F.col("__u") * F.col("__k") * F.col("__vv"), 12).alias(
+                "__p"
+            ),
+        )
+    )
+    total = plan.agg(
+        _dsum(F.col("__p") * F.col("__cst")).alias("__cost"),
+    )
+    row_err = (
+        plan.groupBy("__i")
+        .agg(
+            F.sum(F.col("__p").cast("decimal(30,12)"))
+            .cast("decimal(38,12)")
+            .cast("double")
+            .alias("__rs")
+        )
+        .join(a.select(F.col("__b").alias("__i"), "__a"), "__i")
+        .agg(_dsum(F.abs(F.col("__rs") - F.col("__a"))).alias("__err"))
+    )
+    na = a.agg(F.max("__na").alias("n_a"))
+    nb = b.agg(F.max("__nb").alias("n_b"))
+    return (
+        na.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(row_err))
+        .select(
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            (F.round("__cost", 6) + 0.0).alias("cost"),
+            (F.round("__err", 6) + 0.0).alias("marginal_err"),
+        )
+    )

@@ -395,3 +395,94 @@ def bytelevel_segment(
         return sym
 
     return df.withColumn(out_col, F.flatten(F.transform(pretoks, seg)))
+
+
+# U+2581 LOWER ONE EIGHTH BLOCK — the public SentencePiece whitespace
+# marker (Kudo & Richardson 2018): words carry their preceding space as
+# a leading metasymbol so detokenization is a pure concat+replace.
+SP_MARK = "▁"
+
+
+def sentencepiece_vocabulary(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Word-frequency vocabulary with the SentencePiece whitespace
+    marker: (word, count, symbols) where word = '▁' + surface form and
+    symbols are its per-character symbols (the marker is an ordinary
+    first symbol, free to merge into '▁the'-style pieces exactly as the
+    public BPE-mode trainer does with split_by_whitespace=true)."""
+    from ..functions.text import normalize_text
+
+    words = (
+        df.select(
+            F.explode_outer(
+                F.split(normalize_text(F.col(text_col)), " ")
+            ).alias("w")
+        )
+        .where(F.col("w") != "")
+        .select(F.concat(F.lit(SP_MARK), F.col("w")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("count"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    return words.withColumn("symbols", chars)
+
+
+def learn_sentencepiece_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+    min_count: int = 2,
+) -> list[tuple[int, str, str, int]]:
+    """SentencePiece-style BPE trainer (Kudo & Richardson 2018, BPE
+    mode with whitespace pre-splitting): the Sennrich frequency-merge
+    loop over ▁-marked words — completing the deployed-tokenizer
+    lineage next to ``learn_bpe_merges`` (plain), ``learn_bytelevel_bpe``
+    (GPT-2/Llama), ``wordpiece.learn_wordpiece`` (BERT) and the unigram
+    LM (the OTHER SentencePiece mode). Same ``_learn_merges`` Heaps-
+    bounded discipline: every merge step runs over the VOCABULARY frame
+    (bounded by Heaps' law), never the corpus."""
+    return _learn_merges(
+        sentencepiece_vocabulary(df, text_col), n_merges, min_count
+    )
+
+
+def sentencepiece_segment(
+    df: DataFrame,
+    merges,
+    text_col: str = "text",
+    out_col: str = "sp_tokens",
+) -> DataFrame:
+    """Apply a SentencePiece-BPE merge table: per ▁-marked word, fold
+    the character symbols through the merges in order. Pure map-side
+    projection. Detokenization is lossless by construction:
+    ``replace(concat(tokens), '▁', ' ')`` trimmed equals the normalized
+    text (pinned by the gate's round-trip invariant)."""
+    from ..functions.text import normalize_text
+
+    words = F.split(normalize_text(F.col(text_col)), " ")
+
+    def seg(word):
+        marked = F.concat(F.lit(SP_MARK), word)
+        sym = F.transform(
+            F.sequence(F.lit(1), F.length(marked)),
+            lambda i: marked.substr(i, F.lit(1)),
+        )
+        for _, left, right, _ in merges:
+            sym = _merge_pair(sym, left, right)
+        return sym
+
+    return df.withColumn(
+        out_col,
+        F.flatten(
+            F.transform(
+                words,
+                lambda w: F.when(
+                    w == "", F.array().cast("array<string>")
+                ).otherwise(seg(w)),
+            )
+        ),
+    )

@@ -1393,3 +1393,90 @@ def temperature_scaling(
         (F.round(F.col("__nb") / F.col("n"), 6) + 0.0).alias("nll_before"),
         (F.round(F.col("__na") / F.col("n"), 6) + 0.0).alias("nll_after"),
     )
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    score_col: str,
+    label_col: Column | str,
+    n_bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Expected / Maximum Calibration Error (Naeini et al. 2015; the
+    binned summary Guo et al. 2017 popularized): ECE = sum_b (n_b/N) *
+    |acc_b - conf_b| and MCE = max_b |acc_b - conf_b| over the same
+    fixed-width score bins as ``calibration_bins`` — the ONE-NUMBER
+    calibration readout that closes the family (bins = the diagnostic
+    table, ECE = its scalar, temperature/isotonic = the fixes; re-run
+    ECE after either to show the improvement).
+
+    Returns ONE row ``(n, n_bins_occupied, ece, mce)`` at 6dp.
+
+    Exactness: per-bin confidence uses the DECIMAL sum of 9dp-rounded
+    scores; the per-bin |acc - conf| gap is rounded to 9dp before the
+    n_b-weighted DECIMAL reduction, so an oracle replays both levels.
+
+    Scale shape: one map-side bin projection + one n_bins-row groupBy +
+    one scalar reduce — the calibration_bins bill exactly.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    width = (hi - lo) / n_bins
+    idx = F.floor(
+        (F.col("__s") - F.lit(float(lo))) / F.lit(float(width))
+    ).cast("int")
+    per_bin = (
+        df.select(
+            F.col(score_col).cast("double").alias("__s"),
+            lab.cast("int").alias("__y"),
+        )
+        .select(
+            F.least(F.greatest(idx, F.lit(0)), F.lit(n_bins - 1)).alias(
+                "bin"
+            ),
+            "__s",
+            "__y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.round(F.col("__s"), 9).cast("decimal(20,9)"))
+            .cast("decimal(38,9)")
+            .cast("double")
+            .alias("__ss"),
+            F.sum("__y").alias("__ys"),
+        )
+        .select(
+            "__n",
+            F.round(
+                F.abs(
+                    F.col("__ys") / F.col("__n")
+                    - F.col("__ss") / F.col("__n")
+                ),
+                9,
+            ).alias("__gap"),
+        )
+    )
+    return per_bin.agg(
+        F.sum("__n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("int").alias("n_bins_occupied"),
+        (
+            F.round(
+                F.sum(
+                    F.round(F.col("__gap") * F.col("__n"), 9).cast(
+                        "decimal(30,9)"
+                    )
+                )
+                .cast("decimal(38,9)")
+                .cast("double")
+                / F.sum("__n"),
+                6,
+            )
+            + 0.0
+        ).alias("ece"),
+        (F.round(F.max("__gap"), 6) + 0.0).alias("mce"),
+    )

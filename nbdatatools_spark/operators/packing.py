@@ -745,3 +745,95 @@ def shard_mixing_report(
         )
         .orderBy("shard")
     )
+
+
+def packing_efficiency(
+    df: DataFrame,
+    max_tokens: int,
+    token_col: str = "n_tokens",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Packing-quality audit of concat-then-chunk at ``max_tokens``: the
+    numbers a pipeline owner checks before committing a sequence budget
+    — how much attention-contamination the packing creates (documents
+    split across sequence boundaries attend across unrelated context)
+    and how much budget the stream shape wastes:
+
+    - ``split_docs`` / ``split_frac``: non-empty documents whose span
+      crosses a sequence boundary (seq_first != seq_last),
+    - ``docs_per_seq_mean``: mean distinct documents TOUCHING a
+      sequence (sum of per-doc window counts / n_seqs — the
+      cross-contamination fan-in),
+    - ``tail_waste_tokens``: padding the final partial sequence needs.
+
+    Returns ONE row ``(n_docs, n_nonempty, total_tokens, n_seqs,
+    split_docs, split_frac, docs_per_seq_mean, tail_waste_tokens)``;
+    ratios at 6dp, everything else exact integers. Empty inputs return
+    zero counts with NULL ratios.
+
+    Scale shape: :func:`pack_sequences`'s two-phase partition-offset
+    cumsum (no single-reducer window), then ONE map-side-combinable
+    aggregate over the packed frame.
+    """
+    packed = pack_sequences(
+        df, max_tokens, token_col=token_col, order_col=order_col
+    )
+    nonempty = F.col(token_col) > 0
+    spans = F.when(nonempty, F.col("seq_last") - F.col("seq_first") + 1)
+    agg = packed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(nonempty.cast("int")).cast("bigint").alias("n_nonempty"),
+        F.sum(F.col(token_col)).cast("bigint").alias("total_tokens"),
+        F.sum(
+            F.when(
+                nonempty & (F.col("seq_last") != F.col("seq_first")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("split_docs"),
+        F.sum(spans).cast("bigint").alias("__touches"),
+    )
+    n_seqs = (
+        F.when(
+            F.col("total_tokens") > 0,
+            F.floor(
+                (F.col("total_tokens") + max_tokens - 1) / max_tokens
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+    )
+    return agg.select(
+        "n_docs",
+        "n_nonempty",
+        "total_tokens",
+        n_seqs.alias("n_seqs"),
+        "split_docs",
+        (
+            F.round(
+                F.when(
+                    F.col("n_nonempty") > 0,
+                    F.col("split_docs") / F.col("n_nonempty").cast("double"),
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("split_frac"),
+        (
+            F.round(
+                F.when(
+                    n_seqs > 0,
+                    F.col("__touches") / n_seqs.cast("double"),
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("docs_per_seq_mean"),
+        F.when(
+            F.col("total_tokens") > 0,
+            (max_tokens - F.col("total_tokens") % max_tokens) % max_tokens,
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("tail_waste_tokens"),
+    )

@@ -79,3 +79,50 @@ def test_temperature_cli(spark, capsys, tmp_path):
     assert len(rows) == 1
     assert rows[0]["temperature"] is not None
     assert rows[0]["nll_after"] <= rows[0]["nll_before"] + 1e-9
+
+
+def test_train_sentencepiece_cli(spark, capsys):
+    assert main(["corpus", "train_sentencepiece", "--input", DOCS,
+                 "--merges", "5"]) == 0
+    rows = _lines(capsys)
+    head, merges = rows[0], rows[1:]
+    assert head["n_merges"] == len(merges) <= 5
+    for i, m in enumerate(merges):
+        assert m["step"] == i and m["pair_count"] >= 2
+
+
+def test_ece_cli(spark, capsys, tmp_path):
+    scored = str(tmp_path / "scored.parquet")
+    spark.read.parquet(DOCS).selectExpr(
+        "round(least(greatest(n_chars / 1000.0, 0.01), 0.99), 6) AS score",
+        "CAST(n_chars >= 400 AS INT) AS y",
+    ).write.parquet(scored)
+    assert main(["analyze", "ece", "--input", scored,
+                 "--score-col", "score", "--label-col", "y"]) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 1
+    assert 0.0 <= rows[0]["ece"] <= rows[0]["mce"] <= 1.0
+
+
+def test_sinkhorn_cli(spark, capsys, tmp_path):
+    vals = str(tmp_path / "vals.parquet")
+    spark.read.parquet(DOCS).selectExpr(
+        "CAST(n_chars AS DOUBLE) AS v",
+        "CAST(doc_id % 2 AS STRING) AS grp",
+    ).write.parquet(vals)
+    assert main(["analyze", "sinkhorn", "--input", vals,
+                 "--value-col", "v", "--group-col", "grp",
+                 "--group-a", "0", "--group-b", "1",
+                 "--lo", "0", "--hi", "2000"]) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 1
+    assert rows[0]["cost"] >= 0.0 and rows[0]["marginal_err"] < 0.01
+
+
+def test_pack_audit_cli(spark, capsys):
+    assert main(["corpus", "pack_audit", "--input", DOCS,
+                 "--max-tokens", "2048", "--token-col", "n_chars"]) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 1
+    assert rows[0]["n_seqs"] > 0
+    assert 0.0 <= rows[0]["split_frac"] <= 1.0
