@@ -212,6 +212,22 @@ HEADLINE = [
     "doc_stratified_sample",
     "corpus_fertility_sweep",
     "doc_fineweb_filter",
+    # round-10 batch-2..4 candidates (appended last: HEADLINE trims from
+    # the END on line-budget overflow, protecting baseline continuity;
+    # the two merge-loop trainer gates stay out like corpus_wordpiece)
+    "doc_unimax_budget",
+    "doc_group_split",
+    "doc_krippendorff",
+    "embedding_davies_bouldin",
+    "embedding_calinski_harabasz",
+    "embedding_hopkins",
+    "embedding_lof",
+    "events_link_prediction",
+    "doc_distinct_ngrams",
+    "doc_temperature_scaling",
+    "doc_ece",
+    "doc_sinkhorn_shift",
+    "doc_packing_efficiency",
 ]
 
 
