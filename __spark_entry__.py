@@ -12817,10 +12817,13 @@ def events_link_prediction(spark, sf_dir):
     Adamic-Adar (DECIMAL-summed 9dp 1/ln(deg) terms); top 50 by
     (adamic_adar DESC, node_a, node_b). Candidates are generated
     through the shared-NEIGHBOR wedge join (the triangle_stats shape —
-    cost sum deg^2, bounded by the co-occurrence degree caps), never
-    all-pairs; existing edges leave via one anti-join; top-50 is a
-    TakeOrderedAndProject. Oracle replays the wedge join and both
-    scores in DuckDB."""
+    cost sum deg^2) with the max_z_degree=100 hub-center cap applied
+    BEFORE the self-join (at sf0.1 the hour-grain co-visitation graph
+    is near-dense — mean degree ~184 — and the uncapped wedge join is
+    54M rows / ~65s on BOTH engines; the cap bounds it to the low-degree
+    centers, measured 384k wedges), never all-pairs; existing edges
+    leave via one anti-join; top-50 is a TakeOrderedAndProject. Oracle
+    replays the cap, the wedge join and both scores in DuckDB."""
     from nbdatatools_spark.operators.graph import (
         cooccurrence_edges,
         link_prediction,
@@ -12832,7 +12835,7 @@ def events_link_prediction(spark, sf_dir):
     edges = cooccurrence_edges(
         ev, ["event_type", "h"], "user_id", max_bucket=100, min_support=3
     )
-    return link_prediction(edges, top_n=50)
+    return link_prediction(edges, top_n=50, max_z_degree=100)
 
 
 def doc_distinct_ngrams(spark, sf_dir):
@@ -13706,8 +13709,11 @@ def candidate_oracles() -> dict[str, str]:
                     UNION ALL SELECT b FROM edges) GROUP BY node),
             adj AS (SELECT a AS node, b AS nbr FROM edges
                     UNION ALL SELECT b, a FROM edges),
+            keptz AS (SELECT node FROM deg WHERE deg <= 100),
+            adjz AS (SELECT adj.node, adj.nbr FROM adj
+                     JOIN keptz k ON k.node = adj.nbr),
             wed AS (SELECT za.node AS x, zb.node AS y, za.nbr AS z
-                    FROM adj za JOIN adj zb
+                    FROM adjz za JOIN adjz zb
                       ON za.nbr = zb.nbr AND za.node < zb.node),
             sc AS (SELECT x, y, count(*) AS cn,
                           CAST(CAST(sum(CAST(round(1.0

@@ -3440,3 +3440,186 @@ def sinkhorn_distance(
             (F.round("__err", 6) + 0.0).alias("marginal_err"),
         )
     )
+
+
+def vocab_richness(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary-richness ESTIMATORS per slice from the frequency-of-
+    frequencies spectrum — what ``lexical_diversity`` measures about the
+    OBSERVED vocabulary, these extrapolate about the UNSEEN one (the
+    corpus-growth planning question: "how much new vocabulary is left"):
+
+    - ``chao1``: V + V1*(V1-1)/(2*(V2+1)) (Chao 1984, bias-corrected
+      form — defined even when no type occurs exactly twice): a lower
+      bound on the true vocabulary size,
+    - ``unseen_mass``: V1/N (Good 1953; Good-Turing missing mass): the
+      probability the NEXT token is an unseen type — near 0 means the
+      slice's vocabulary is saturated, large means keep crawling,
+    - ``herdan_c``: ln V / ln N (Herdan 1960): the log-log type-token
+      slope, the scale-free diversity companion to Heaps-law fitting.
+
+    Returns ``(group, n_tokens, n_types, v1, v2, chao1, unseen_mass,
+    herdan_c)`` per slice at 6dp, ordered by group; single-token slices
+    report NULL herdan_c (ln N = 0).
+
+    Exactness: every input to the three formulas is an exact integer
+    from two count aggregates; only the final divisions (and two libm
+    ln calls on integers) are floating — engine-exact at 6dp.
+
+    Scale shape: the lexical_diversity bill exactly — one (group,
+    token) count aggregate -> one (group, freq) count aggregate (tiny)
+    -> one group reduce.
+    """
+    from nbdatatools_spark.functions.text import normalize_text, tokens
+
+    ex = df.select(
+        F.col(group_col).alias("__g"),
+        F.explode_outer(tokens(normalize_text(F.col(text_col)))).alias(
+            "__t"
+        ),
+    ).where(F.col("__t").isNotNull() & (F.length("__t") > 0))
+    tok = ex.groupBy("__g", "__t").agg(F.count(F.lit(1)).alias("__m"))
+    freqs = tok.groupBy("__g", "__m").agg(F.count(F.lit(1)).alias("__vm"))
+    agg = freqs.groupBy("__g").agg(
+        F.sum(F.col("__m") * F.col("__vm")).alias("__n"),
+        F.sum("__vm").alias("__v"),
+        F.sum(
+            F.when(F.col("__m") == 1, F.col("__vm")).otherwise(F.lit(0))
+        ).alias("__v1"),
+        F.sum(
+            F.when(F.col("__m") == 2, F.col("__vm")).otherwise(F.lit(0))
+        ).alias("__v2"),
+    )
+    n = F.col("__n").cast("double")
+    v = F.col("__v").cast("double")
+    v1 = F.col("__v1").cast("double")
+    v2 = F.col("__v2").cast("double")
+    return agg.select(
+        F.col("__g").alias(group_col),
+        F.col("__n").cast("bigint").alias("n_tokens"),
+        F.col("__v").cast("bigint").alias("n_types"),
+        F.col("__v1").cast("bigint").alias("v1"),
+        F.col("__v2").cast("bigint").alias("v2"),
+        (
+            F.round(v + v1 * (v1 - 1.0) / (2.0 * (v2 + 1.0)), 6) + 0.0
+        ).alias("chao1"),
+        (F.round(v1 / n, 6) + 0.0).alias("unseen_mass"),
+        (
+            F.round(
+                F.when(F.col("__n") > 1, F.log(v) / F.log(n)), 6
+            )
+            + 0.0
+        ).alias("herdan_c"),
+    ).orderBy(group_col)
+
+
+def approx_distinct_ngrams(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    ns: Sequence[int] = (1, 2, 3),
+    precision: int = 10,
+) -> DataFrame:
+    """HyperLogLog scale path for :func:`distinct_ngrams`: per (slice,
+    n-gram order), the distinct-TYPE count estimated by a
+    ``2^precision``-register HLL keyed on (group, n) — at 100 TB the
+    exact (group, gram) count table IS the corpus (3-gram types grow
+    near-linearly in tokens), while this sketch shuffles at most
+    ``partitions * m`` partial registers per slice. Total n-gram TOKENS
+    stay exact (one integer count), so ``distinct_ratio`` inherits only
+    the HLL error (~1.04/sqrt(m): ~3% at precision 10).
+
+    Same md5-uint52 register convention and exact-integer harmonic sum
+    as ``lm.hll_distinct`` (every 2^-M term a dyadic rational scaled to
+    int64 — no float accumulation-order hazard); linear-counting
+    correction below 2.5m when empty registers remain.
+
+    Returns ``(group, n, total_ngrams, distinct_estimate,
+    distinct_ratio)`` ordered by (group, n); estimates at 6dp.
+    tests/test_round10_batch5.py pins the relative error against the
+    exact operator.
+    """
+    from nbdatatools_spark.functions.text import normalize_text, tokens
+
+    if not ns or any(n <= 0 for n in ns):
+        raise ValueError(f"ns must be positive n-gram orders, got {ns!r}")
+    if not 4 <= precision <= 16:
+        raise ValueError(f"precision must be in [4, 16], got {precision}")
+    from functools import reduce as _reduce
+
+    m = 1 << precision
+    rbits = 52 - precision
+    rmax = rbits + 1
+    toks = df.select(
+        F.col(group_col).alias("__g"),
+        tokens(normalize_text(F.col(text_col))).alias("__t"),
+    )
+
+    def grams(n: int) -> DataFrame:
+        return toks.where(F.size("__t") >= n).select(
+            "__g",
+            F.lit(n).cast("int").alias("__n"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__t") - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i, n)),
+                )
+            ).alias("__gram"),
+        )
+
+    allg = _reduce(DataFrame.unionByName, [grams(n) for n in sorted(ns)])
+    h = F.conv(F.substring(F.md5("__gram"), 1, 13), 16, 10).cast("long")
+    ranked = allg.select(
+        "__g",
+        "__n",
+        (h % m).cast("int").alias("__reg"),
+        F.shiftright(h, precision).alias("__w"),
+    ).select(
+        "__g",
+        "__n",
+        "__reg",
+        F.when(F.col("__w") == 0, F.lit(rmax))
+        .otherwise(F.lit(rbits) - F.length(F.bin("__w")) + 1)
+        .cast("int")
+        .alias("__rank"),
+    )
+    regs = ranked.groupBy("__g", "__n", "__reg").agg(
+        F.max("__rank").alias("__mx")
+    )
+    sketch = regs.groupBy("__g", "__n").agg(
+        F.count(F.lit(1)).alias("__used"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {rmax} - __mx)")
+        ).alias("__hsum_used"),
+    )
+    totals = allg.groupBy("__g", "__n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_ngrams")
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    pow2 = float(1 << rmax)
+    zero = F.lit(m) - F.col("__used")
+    hsum = (
+        F.col("__hsum_used")
+        + zero.cast("long") * F.shiftleft(F.lit(1).cast("long"), rmax)
+    )
+    raw = F.lit(alpha) * m * m * pow2 / hsum
+    est = F.when(
+        (raw <= 2.5 * m) & (zero > 0),
+        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / zero), 6),
+    ).otherwise(F.round(raw, 6))
+    return (
+        totals.join(sketch, ["__g", "__n"])
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__n").alias("n"),
+            "total_ngrams",
+            est.alias("distinct_estimate"),
+            F.round(est / F.col("total_ngrams"), 6).alias(
+                "distinct_ratio"
+            ),
+        )
+        .orderBy(group_col, "n")
+    )

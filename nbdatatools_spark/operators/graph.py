@@ -545,6 +545,7 @@ def link_prediction(
     src: str = "src",
     dst: str = "dst",
     top_n: int = 50,
+    max_z_degree: int | None = None,
 ) -> DataFrame:
     """Neighborhood link-prediction scores for NON-edges at distance 2
     (Liben-Nowell & Kleinberg 2003) on an UNDIRECTED simple graph: for
@@ -568,6 +569,15 @@ def link_prediction(
     (cooccurrence_edges max_bucket/min_support); never all-pairs over
     nodes. One anti-join removes existing edges; top_n is a
     TakeOrderedAndProject, not a global sort.
+
+    ``max_z_degree`` is the in-operator scale lever for DENSE graphs
+    (where upstream support thresholds can't sparsify without emptying
+    smaller slices): wedge CENTERS with degree > the cap are dropped
+    BEFORE the self-join, bounding the wedge count at cap * 2m. The
+    candidates lost are exactly the ones a hub would generate — whose
+    per-wedge Adamic-Adar weight 1/ln(deg_z) is smallest — the standard
+    blocking discipline of entity-resolution candidate generation.
+    Endpoint degrees for Jaccard always come from the FULL graph.
     """
     canon = (
         edges.select(
@@ -583,12 +593,24 @@ def link_prediction(
         F.col("a").alias("node"), F.col("b").alias("nbr")
     ).unionAll(canon.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
-    # wedges through z: (x, z), (y, z) with x < y -> candidate (x, y)
-    za = adj.select(F.col("nbr").alias("z"), F.col("node").alias("x"))
-    zb = adj.select(F.col("nbr").alias("z"), F.col("node").alias("y"))
-    wedges = za.join(zb, "z").where(F.col("x") < F.col("y"))
-    # per-wedge Adamic-Adar term through z's degree
+    # wedges through z: (x, z), (y, z) with x < y -> candidate (x, y);
+    # the z-degree cap filters the adjacency BEFORE the self-join so the
+    # quadratic intermediate never materializes for hub centers
     zdeg = deg.select(F.col("node").alias("z"), F.col("deg").alias("__dz"))
+    if max_z_degree is not None:
+        if max_z_degree < 2:
+            raise ValueError(
+                f"max_z_degree must be >= 2, got {max_z_degree}"
+            )
+        zdeg = zdeg.where(F.col("__dz") <= max_z_degree).localCheckpoint(
+            eager=False
+        )
+    adj_z = adj.join(
+        zdeg.select("z"), adj["nbr"] == F.col("z"), "left_semi"
+    ) if max_z_degree is not None else adj
+    za = adj_z.select(F.col("nbr").alias("z"), F.col("node").alias("x"))
+    zb = adj_z.select(F.col("nbr").alias("z"), F.col("node").alias("y"))
+    wedges = za.join(zb, "z").where(F.col("x") < F.col("y"))
     scored = (
         wedges.join(zdeg, "z")
         .groupBy("x", "y")

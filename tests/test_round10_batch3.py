@@ -342,3 +342,27 @@ def test_temperature_degenerate_labels_keep_beta(spark):
     assert got["beta"] == 1.0 and got["temperature"] == 1.0
     with pytest.raises(ValueError):
         temperature_scaling(df, "score", "y", iterations=0)
+
+
+def test_link_prediction_z_degree_cap(spark):
+    # hub 0 connects to 1..6 (deg 7 > cap); side chain 1-2-3 gives z=2
+    # with deg 3 <= cap. Capped run keeps only wedges through node 2.
+    hub = [(0, i) for i in range(1, 7)] + [(1, 2), (2, 3)]
+    capped = link_prediction(
+        _edges(spark, hub), top_n=100, max_z_degree=3
+    ).collect()
+    pairs = {(r["node_a"], r["node_b"]) for r in capped}
+    assert pairs == {(1, 3)}
+    # endpoint degrees for Jaccard come from the FULL graph: deg(1)=3
+    # (0, 2 and the hub edge... 1 connects to 0 and 2), deg(3)=2 (0, 2)
+    r = capped[0]
+    # 1: neighbors {0, 2}; 3: neighbors {0, 2}; cn via capped z = 1
+    assert r["common_neighbors"] == 1
+    assert abs(r["jaccard"] - 1 / (2 + 2 - 1)) < 1e-6
+    # uncapped run also surfaces hub-centered candidates
+    full = link_prediction(_edges(spark, hub), top_n=100).collect()
+    assert len(full) > len(capped)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        link_prediction(_edges(spark, hub), max_z_degree=1)
