@@ -12979,6 +12979,35 @@ def doc_packing_efficiency(spark, sf_dir):
     return packing_efficiency(docs, 2048)
 
 
+def corpus_vocab_richness(spark, sf_dir):
+    """Unseen-vocabulary estimators per source (analysis.py::
+    vocab_richness): Chao1 lower bound (bias-corrected), Good-Turing
+    missing mass V1/N, Herdan's C — what lexical_diversity measures
+    about the OBSERVED vocabulary, these extrapolate about the unseen
+    one (the "how much new vocabulary is left to crawl" planner). Two
+    count aggregates -> exact-integer spectrum -> closed forms."""
+    from nbdatatools_spark.operators.analysis import vocab_richness
+
+    return vocab_richness(_t(spark, sf_dir, "documents"))
+
+
+def doc_distinct_ngrams_hll(spark, sf_dir):
+    """HLL scale path for distinct-n diversity (analysis.py::
+    approx_distinct_ngrams): per (source, n<=3), the distinct n-gram
+    TYPE count estimated by a 1024-register HyperLogLog — at 100 TB the
+    exact (group, gram) table IS the corpus; this shuffles at most
+    partitions x 1024 partial registers per slice. DETERMINISTIC
+    (md5-uint52 registers, exact-integer harmonic sums), so the oracle
+    replays the sketch itself bit-for-bit — the corpus_hll_distinct
+    discipline at the (group, n) grain; relative error vs the exact
+    operator pinned in tests/test_round10_batch5.py."""
+    from nbdatatools_spark.operators.analysis import approx_distinct_ngrams
+
+    return approx_distinct_ngrams(
+        _t(spark, sf_dir, "documents"), precision=10
+    )
+
+
 def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Round-10 rotation candidates: same contract as queries(), kept out
     of the live window so the round-9 recording layout stays attested.
@@ -12987,10 +13016,11 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     here with their oracles in candidate_oracles() until the round-10
     rotation.
 
-    Rotation plan for round 10 (all 19 verified hash-exact vs the local
+    Rotation plan for round 10 (all 21 verified hash-exact vs the local
     DuckDB oracle at sf0.001 AND sf0.01 and under 7 shuffle partitions
-    this round — no rows-only gates in this batch): move these into
-    window slots 0-18, displace the longest-green entries to the tail,
+    this round — no rows-only gates in this batch; the 19 staged before
+    the round-9 tail sweep are also sf0.1-verified): move these into
+    window slots 0-20, displace the longest-green entries to the tail,
     keep fit_embeddings_model pinned at 49 and the four rows-only-by-
     design gates (doc_compression_ratio, events_kcore, embedding_dbscan,
     corpus_lsa_topics) inside the window. corpus_wordpiece,
@@ -13019,6 +13049,8 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sinkhorn_shift": doc_sinkhorn_shift,
         "corpus_sentencepiece": corpus_sentencepiece,
         "doc_packing_efficiency": doc_packing_efficiency,
+        "corpus_vocab_richness": corpus_vocab_richness,
+        "doc_distinct_ngrams_hll": doc_distinct_ngrams_hll,
     }
 
 
@@ -13769,6 +13801,104 @@ def candidate_oracles() -> dict[str, str]:
         "doc_temperature_scaling": _temperature_oracle(5).format(
             q6=_QUALITY6
         ),
+        # frequency-of-frequencies estimators (the lexical_diversity
+        # spectrum + Chao1 / Good-Turing / Herdan closed forms)
+        "corpus_vocab_richness": """
+            WITH t AS (
+                SELECT source,
+                       unnest(string_split(
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                           ' ')) AS token
+                FROM documents),
+            tok AS (SELECT source, token, count(*) AS m FROM t
+                    WHERE length(token) > 0 GROUP BY source, token),
+            fr AS (SELECT source, m, count(*) AS vm FROM tok
+                   GROUP BY source, m),
+            agg AS (SELECT source,
+                           CAST(sum(m*vm) AS BIGINT) AS n,
+                           CAST(sum(vm) AS BIGINT) AS v,
+                           CAST(sum(CASE WHEN m = 1 THEN vm ELSE 0 END)
+                                AS BIGINT) AS v1,
+                           CAST(sum(CASE WHEN m = 2 THEN vm ELSE 0 END)
+                                AS BIGINT) AS v2
+                    FROM fr GROUP BY source)
+            SELECT source, n AS n_tokens, v AS n_types, v1, v2,
+                   round(CAST(v AS DOUBLE) + CAST(v1 AS DOUBLE)
+                         * (CAST(v1 AS DOUBLE) - 1.0)
+                         / (2.0 * (CAST(v2 AS DOUBLE) + 1.0)), 6)
+                       + 0.0 AS chao1,
+                   round(CAST(v1 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                       + 0.0 AS unseen_mass,
+                   round(CASE WHEN n > 1
+                              THEN ln(CAST(v AS DOUBLE))
+                                   / ln(CAST(n AS DOUBLE)) END, 6)
+                       + 0.0 AS herdan_c
+            FROM agg ORDER BY source
+        """,
+        # deterministic HLL over (source, n)-keyed n-gram streams: the
+        # corpus_hll_distinct register replica at precision 10
+        "doc_distinct_ngrams_hll": f"""
+            WITH nrm AS (SELECT source, {_NORM} AS t FROM documents),
+            w AS (SELECT source, string_split(t, ' ') AS w
+                  FROM nrm WHERE length(t) > 0),
+            g AS (
+                SELECT source, 1 AS n,
+                       unnest(list_transform(range(0, len(w)),
+                           i -> array_to_string(w[CAST(i + 1 AS INT)
+                                :CAST(i + 1 AS INT)], ' '))) AS gram
+                FROM w WHERE len(w) >= 1
+                UNION ALL
+                SELECT source, 2 AS n,
+                       unnest(list_transform(range(0, len(w) - 1),
+                           i -> array_to_string(w[CAST(i + 1 AS INT)
+                                :CAST(i + 2 AS INT)], ' '))) AS gram
+                FROM w WHERE len(w) >= 2
+                UNION ALL
+                SELECT source, 3 AS n,
+                       unnest(list_transform(range(0, len(w) - 2),
+                           i -> array_to_string(w[CAST(i + 1 AS INT)
+                                :CAST(i + 3 AS INT)], ' '))) AS gram
+                FROM w WHERE len(w) >= 3),
+            hs AS (SELECT source, n,
+                          ('0x' || substring(md5(gram), 1, 13))::BIGINT AS h
+                   FROM g),
+            rk AS (SELECT source, n, CAST(h % 1024 AS INT) AS reg,
+                          CASE WHEN (h >> 10) = 0 THEN 43
+                               ELSE 42 - length(bin(h >> 10)) + 1
+                          END AS rank
+                   FROM hs),
+            regs AS (SELECT source, n, reg, max(rank) AS mx
+                     FROM rk GROUP BY source, n, reg),
+            sk AS (SELECT source, n, CAST(count(*) AS BIGINT) AS used,
+                          CAST(sum(CAST(1 AS BIGINT) << (43 - mx))
+                               AS BIGINT) AS hsum_used
+                   FROM regs GROUP BY source, n),
+            tot AS (SELECT source, n, CAST(count(*) AS BIGINT)
+                               AS total_ngrams
+                    FROM g GROUP BY source, n),
+            o AS (SELECT tot.source, tot.n, tot.total_ngrams,
+                         CAST(1024 - sk.used AS BIGINT) AS zero_regs,
+                         CAST(sk.hsum_used + (1024 - sk.used)
+                              * (CAST(1 AS BIGINT) << 43)
+                              AS BIGINT) AS hsum
+                  FROM tot JOIN sk
+                    ON sk.source = tot.source AND sk.n = tot.n),
+            e AS (SELECT *,
+                         CAST({0.7213 / (1.0 + 1.079 / 1024)!r} AS DOUBLE)
+                         * 1024 * 1024 * 8796093022208.0 / hsum AS raw
+                  FROM o),
+            est AS (SELECT source, n, total_ngrams,
+                           CASE WHEN raw <= 2560.0 AND zero_regs > 0
+                                THEN round(1024.0 * ln(1024.0
+                                           / zero_regs), 6)
+                                ELSE round(raw, 6) END AS distinct_estimate
+                    FROM e)
+            SELECT source, CAST(n AS INT) AS n, total_ngrams,
+                   distinct_estimate,
+                   round(distinct_estimate / total_ngrams, 6)
+                       AS distinct_ratio
+            FROM est ORDER BY source, n
+        """,
         # ECE/MCE: calibration_bins' bin grain, 9dp |acc-conf| gaps,
         # n_b-weighted DECIMAL reduction
         "doc_ece": f"""

@@ -17,7 +17,7 @@ reference user can run the same commands against the Spark engine:
     vectordata info|views|profiles|size|sample|cat|prebuffer|verify
     corpus stats|run|tune_dedup|cluster_sizes|select_budget|card|keyphrases
            |kneser_ney|train_unigram|train_wordpiece|train_sentencepiece
-           |fertility_sweep|pack_audit
+           |fertility_sweep|pack_audit|richness
            |calibrate_minhash|balance|qc
            |length_drift|cms_topk|bloom_decontam|source_similarity
            |boilerplate|filter_eval|cross_dedup|sentence_dedup
@@ -940,14 +940,31 @@ def _cmd_analyze_link_prediction(args) -> int:
 
 
 def _cmd_analyze_distinct_ngrams(args) -> int:
-    from nbdatatools_spark.operators.analysis import distinct_ngrams
+    from nbdatatools_spark.operators.analysis import (
+        approx_distinct_ngrams,
+        distinct_ngrams,
+    )
+
+    df = _spark().read.parquet(args.input)
+    ns = tuple(args.n or (1, 2, 3))
+    if args.approx:
+        out = approx_distinct_ngrams(
+            df, group_col=args.group_col, text_col=args.text_col, ns=ns,
+            precision=args.precision,
+        )
+    else:
+        out = distinct_ngrams(
+            df, group_col=args.group_col, text_col=args.text_col, ns=ns
+        )
+    return _emit_rows(out)
+
+
+def _cmd_corpus_richness(args) -> int:
+    from nbdatatools_spark.operators.analysis import vocab_richness
 
     df = _spark().read.parquet(args.input)
     return _emit_rows(
-        distinct_ngrams(
-            df, group_col=args.group_col, text_col=args.text_col,
-            ns=tuple(args.n or (1, 2, 3)),
-        )
+        vocab_richness(df, group_col=args.group_col, text_col=args.text_col)
     )
 
 
@@ -2804,6 +2821,11 @@ def build_parser() -> argparse.ArgumentParser:
     cpa.add_argument("--token-col", default="n_tokens")
     cpa.add_argument("--order-col", default="doc_id")
     cpa.set_defaults(func=_cmd_corpus_pack_audit)
+    cvr = cp.add_parser("richness")
+    cvr.add_argument("--input", required=True)
+    cvr.add_argument("--group-col", default="source")
+    cvr.add_argument("--text-col", default="text")
+    cvr.set_defaults(func=_cmd_corpus_richness)
     cfs = cp.add_parser("fertility_sweep")
     cfs.add_argument("--input", required=True)
     cfs.add_argument("--text-col", default="text")
@@ -3266,6 +3288,9 @@ def build_parser() -> argparse.ArgumentParser:
     adn.add_argument("--text-col", default="text")
     adn.add_argument("--n", type=int, action="append", default=None,
                      help="n-gram order (repeatable; default 1 2 3)")
+    adn.add_argument("--approx", action="store_true",
+                     help="HLL estimate (the 100TB path)")
+    adn.add_argument("--precision", type=int, default=10)
     adn.set_defaults(func=_cmd_analyze_distinct_ngrams)
     atm = an.add_parser("temperature")
     atm.add_argument("--input", required=True)

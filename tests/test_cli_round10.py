@@ -126,3 +126,13 @@ def test_pack_audit_cli(spark, capsys):
     assert len(rows) == 1
     assert rows[0]["n_seqs"] > 0
     assert 0.0 <= rows[0]["split_frac"] <= 1.0
+
+
+def test_richness_and_approx_distinct_cli(spark, capsys):
+    assert main(["corpus", "richness", "--input", DOCS]) == 0
+    rows = _lines(capsys)
+    assert all(r["chao1"] >= r["n_types"] for r in rows)
+    assert main(["analyze", "distinct-ngrams", "--input", DOCS,
+                 "--n", "2", "--approx", "--precision", "8"]) == 0
+    rows = _lines(capsys)
+    assert all(r["distinct_estimate"] > 0 for r in rows)
