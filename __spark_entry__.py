@@ -13017,9 +13017,9 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rotation.
 
     Rotation plan for round 10 (all 21 verified hash-exact vs the local
-    DuckDB oracle at sf0.001 AND sf0.01 and under 7 shuffle partitions
-    this round — no rows-only gates in this batch; the 19 staged before
-    the round-9 tail sweep are also sf0.1-verified): move these into
+    DuckDB oracle at sf0.001 AND sf0.01, under 7 shuffle partitions, AND
+    at sf0.1 this round — no rows-only gates in this batch): move these
+    into
     window slots 0-20, displace the longest-green entries to the tail,
     keep fit_embeddings_model pinned at 49 and the four rows-only-by-
     design gates (doc_compression_ratio, events_kcore, embedding_dbscan,

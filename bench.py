@@ -228,6 +228,8 @@ HEADLINE = [
     "doc_ece",
     "doc_sinkhorn_shift",
     "doc_packing_efficiency",
+    "corpus_vocab_richness",
+    "doc_distinct_ngrams_hll",
 ]
 
 
