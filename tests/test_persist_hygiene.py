@@ -134,3 +134,37 @@ def test_minhash_quality_report_leaves_no_cachemanager_entries(spark, tiny_docs)
     rows = out.collect()
     assert len(rows) == 1 and rows[0]["n_sample"] > 0
     assert _cache_manager(spark).isEmpty()
+
+
+def test_round10_operators_leave_no_cachemanager_entries(spark, tiny_docs):
+    """lof_from_knn / link_prediction / sinkhorn_distance all lazily
+    checkpoint intermediates — pin that none of them writes a
+    session-lifetime CacheManager entry."""
+    from nbdatatools_spark.operators.analysis import sinkhorn_distance
+    from nbdatatools_spark.operators.graph import link_prediction
+    from nbdatatools_spark.operators.knn import lof_scores
+
+    spark.catalog.clearCache()
+    assert _cache_manager(spark).isEmpty()
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3)], "src long, dst long"
+    )
+    link_prediction(edges, max_z_degree=10).collect()
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    lof_scores(emb, k=3).collect()
+
+    vals = tiny_docs.select(
+        F.length("text").cast("double").alias("v"),
+        (F.col("doc_id") % 2).cast("string").alias("grp"),
+    )
+    sinkhorn_distance(
+        vals, "v", "grp", "0", "1", n_bins=4, lo=0.0, hi=400.0,
+        iterations=3,
+    ).collect()
+
+    assert _cache_manager(spark).isEmpty()
