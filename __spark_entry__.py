@@ -13008,6 +13008,38 @@ def doc_distinct_ngrams_hll(spark, sf_dir):
     )
 
 
+def doc_hill_tail(spark, sf_dir):
+    """Hill tail-index of the document-length distribution per source
+    (analysis.py::hill_tail_index, Hill 1975) — the heavy-tail risk
+    planner for the packing/batching family: alpha <= 2 means extreme
+    documents dominate the token budget. k=20 largest order statistics
+    per slice via ONE rank window (WindowGroupLimit partial pushdown),
+    9dp DECIMAL log sums. Oracle replays the order statistics and the
+    estimator in DuckDB (value-grain ordering, so boundary ties are
+    multiset-deterministic)."""
+    from nbdatatools_spark.operators.analysis import hill_tail_index
+
+    return hill_tail_index(
+        _t(spark, sf_dir, "documents"), "n_chars", "source", k=20
+    )
+
+
+def doc_rarity_scores(spark, sf_dir):
+    """Per-document vocabulary-rarity score (analysis.py::
+    rarity_scores): occurrence-weighted mean smoothed IDF — LOW =
+    boilerplate/stopword soup, HIGH = specialized-or-noisy vocabulary;
+    the curation signal between quality filters and dedup. One
+    vocabulary-grain df aggregate + one token-keyed join + one
+    doc-keyed reduce. Integer-nano discipline: BIGINT idf nanos and a
+    pure-integer half-up micro mean — a float round(sum/n, 6) lands on
+    6dp TIES for small round token counts and the two engines' tie
+    paths differ (observed at sf0.1; see the operator docstring).
+    Oracle replays the integer arithmetic in DuckDB."""
+    from nbdatatools_spark.operators.analysis import rarity_scores
+
+    return rarity_scores(_t(spark, sf_dir, "documents"))
+
+
 def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Round-10 rotation candidates: same contract as queries(), kept out
     of the live window so the round-9 recording layout stays attested.
@@ -13016,11 +13048,11 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     here with their oracles in candidate_oracles() until the round-10
     rotation.
 
-    Rotation plan for round 10 (all 21 verified hash-exact vs the local
+    Rotation plan for round 10 (all 23 verified hash-exact vs the local
     DuckDB oracle at sf0.001 AND sf0.01, under 7 shuffle partitions, AND
     at sf0.1 this round — no rows-only gates in this batch): move these
-    into
-    window slots 0-20, displace the longest-green entries to the tail,
+    into window slots 0-22, displace the longest-green entries to the
+    tail,
     keep fit_embeddings_model pinned at 49 and the four rows-only-by-
     design gates (doc_compression_ratio, events_kcore, embedding_dbscan,
     corpus_lsa_topics) inside the window. corpus_wordpiece,
@@ -13051,6 +13083,8 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_packing_efficiency": doc_packing_efficiency,
         "corpus_vocab_richness": corpus_vocab_richness,
         "doc_distinct_ngrams_hll": doc_distinct_ngrams_hll,
+        "doc_hill_tail": doc_hill_tail,
+        "doc_rarity_scores": doc_rarity_scores,
     }
 
 
@@ -13923,6 +13957,59 @@ def candidate_oracles() -> dict[str, str]:
             FROM g
         """,
         "doc_sinkhorn_shift": _sinkhorn_oracle(),
+        # Hill estimator: rank window -> k largest order statistics ->
+        # DECIMAL log-ratio sum (boundary ties are value-grain, so the
+        # kept MULTISET is engine-deterministic without an id tie-break)
+        "doc_hill_tail": """
+            WITH r AS (SELECT source, CAST(n_chars AS DOUBLE) AS x
+                       FROM documents WHERE n_chars > 0),
+            n AS (SELECT source, count(*) AS n FROM r GROUP BY source),
+            t AS (SELECT source, x,
+                         row_number() OVER (PARTITION BY source
+                             ORDER BY x DESC) AS rk
+                  FROM r),
+            tk AS (SELECT * FROM t WHERE rk <= 21),
+            th AS (SELECT source, max(rk) AS rmax, min(x) AS thr
+                   FROM tk GROUP BY source),
+            ls AS (SELECT tk.source,
+                          CAST(CAST(sum(CAST(round(ln(tk.x / th.thr), 9)
+                               AS DECIMAL(30,9))) AS DECIMAL(38,9))
+                               AS DOUBLE) AS ls,
+                          count(*) AS ku
+                   FROM tk JOIN th ON th.source = tk.source
+                   WHERE tk.rk < th.rmax GROUP BY tk.source)
+            SELECT n.source AS source, CAST(n.n AS BIGINT) AS n,
+                   CAST(coalesce(ls.ku, 0) AS INT) AS k_used,
+                   round(th.thr, 6) + 0.0 AS x_threshold,
+                   round(CASE WHEN ls.ku >= 1 AND ls.ls > 0.0
+                              THEN ls.ku / ls.ls END, 6)
+                       + 0.0 AS hill_alpha
+            FROM n LEFT JOIN ls ON ls.source = n.source
+                   LEFT JOIN th ON th.source = n.source
+            ORDER BY source
+        """,
+        # occurrence-weighted mean smoothed IDF per document
+        "doc_rarity_scores": f"""
+            WITH nrm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+            tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w
+                    FROM nrm WHERE length(t) > 0),
+            tk AS (SELECT doc_id, w FROM tok WHERE length(w) > 0),
+            nd AS (SELECT count(*) AS nd FROM documents),
+            dfq AS (SELECT w, count(*) AS dfc FROM (
+                        SELECT DISTINCT doc_id, w FROM tk) GROUP BY w),
+            j AS (SELECT tk.doc_id,
+                         CAST(round(round(ln((nd.nd + 1.0)
+                              / (dfq.dfc + 1.0)), 9) * 1e9, 0)
+                              AS BIGINT) AS idf_nano
+                  FROM tk JOIN dfq ON dfq.w = tk.w CROSS JOIN nd),
+            a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                         CAST(sum(idf_nano) AS BIGINT) AS s
+                  FROM j GROUP BY doc_id)
+            SELECT doc_id, n_tokens,
+                   CAST((s + 500 * n_tokens) // (1000 * n_tokens)
+                        AS DOUBLE) / 1e6 AS rarity
+            FROM a ORDER BY doc_id
+        """,
         # SentencePiece BPE first merge over the U+2581-marked vocab;
         # structural claims pinned TRUE (roundtrip has a pytest
         # differential on the full merge table)

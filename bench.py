@@ -230,6 +230,8 @@ HEADLINE = [
     "doc_packing_efficiency",
     "corpus_vocab_richness",
     "doc_distinct_ngrams_hll",
+    "doc_hill_tail",
+    "doc_rarity_scores",
 ]
 
 

@@ -6,7 +6,7 @@ reference user can run the same commands against the Spark engine:
             |verify_knn|verify_profiles|tune_ann|tune_compression
             |sq8-error|silhouette|hubness|robust-scale|cka
             |cluster_purity|knn_accuracy|calinski-harabasz|hopkins
-            |lof|link-prediction|distinct-ngrams|temperature|ece|sinkhorn
+            |lof|link-prediction|distinct-ngrams|temperature|ece|sinkhorn|hill
     compute knn|sort|ivf_build|ivf_append|ivf_search|kmeans|mutual-knn
     convert file
     generate vectors|dataset|mktestdata|fvec-extract|ivec-extract|ivec-shuffle
@@ -17,7 +17,7 @@ reference user can run the same commands against the Spark engine:
     vectordata info|views|profiles|size|sample|cat|prebuffer|verify
     corpus stats|run|tune_dedup|cluster_sizes|select_budget|card|keyphrases
            |kneser_ney|train_unigram|train_wordpiece|train_sentencepiece
-           |fertility_sweep|pack_audit|richness
+           |fertility_sweep|pack_audit|richness|rarity
            |calibrate_minhash|balance|qc
            |length_drift|cms_topk|bloom_decontam|source_similarity
            |boilerplate|filter_eval|cross_dedup|sentence_dedup
@@ -957,6 +957,31 @@ def _cmd_analyze_distinct_ngrams(args) -> int:
             df, group_col=args.group_col, text_col=args.text_col, ns=ns
         )
     return _emit_rows(out)
+
+
+def _cmd_analyze_hill(args) -> int:
+    from nbdatatools_spark.operators.analysis import hill_tail_index
+
+    df = _spark().read.parquet(args.input)
+    return _emit_rows(
+        hill_tail_index(
+            df, args.value_col, group_col=args.group_col, k=args.k
+        )
+    )
+
+
+def _cmd_corpus_rarity(args) -> int:
+    from nbdatatools_spark.operators.analysis import rarity_scores
+
+    df = _spark().read.parquet(args.input)
+    out = rarity_scores(df, id_col=args.id_col, text_col=args.text_col)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"written": args.output}))
+        return 0
+    from pyspark.sql import functions as F
+
+    return _emit_rows(out.orderBy(F.col("rarity").desc()).limit(args.limit))
 
 
 def _cmd_corpus_richness(args) -> int:
@@ -2826,6 +2851,13 @@ def build_parser() -> argparse.ArgumentParser:
     cvr.add_argument("--group-col", default="source")
     cvr.add_argument("--text-col", default="text")
     cvr.set_defaults(func=_cmd_corpus_richness)
+    crr = cp.add_parser("rarity")
+    crr.add_argument("--input", required=True)
+    crr.add_argument("--id-col", default="doc_id")
+    crr.add_argument("--text-col", default="text")
+    crr.add_argument("--output")
+    crr.add_argument("--limit", type=int, default=20)
+    crr.set_defaults(func=_cmd_corpus_rarity)
     cfs = cp.add_parser("fertility_sweep")
     cfs.add_argument("--input", required=True)
     cfs.add_argument("--text-col", default="text")
@@ -3318,6 +3350,12 @@ def build_parser() -> argparse.ArgumentParser:
     ask.add_argument("--eps", type=float, default=0.25)
     ask.add_argument("--iterations", type=int, default=10)
     ask.set_defaults(func=_cmd_analyze_sinkhorn)
+    ahl = an.add_parser("hill")
+    ahl.add_argument("--input", required=True)
+    ahl.add_argument("--value-col", required=True)
+    ahl.add_argument("--group-col", default="source")
+    ahl.add_argument("--k", type=int, default=50)
+    ahl.set_defaults(func=_cmd_analyze_hill)
     a2s = an.add_parser("two-sample")
     a2s.add_argument("--input", required=True)
     a2s.add_argument("--split-expr", required=True,

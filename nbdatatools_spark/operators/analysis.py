@@ -3623,3 +3623,164 @@ def approx_distinct_ngrams(
         )
         .orderBy(group_col, "n")
     )
+
+
+def hill_tail_index(
+    df: DataFrame,
+    value_col: str,
+    group_col: str = "source",
+    k: int = 50,
+) -> DataFrame:
+    """Hill tail-index estimator (Hill 1975) per slice over a positive
+    value column — the heavy-tail risk planner the packing/batching
+    family needs: alpha <= 2 on the document-length tail means the
+    extreme documents dominate the token budget (infinite variance —
+    the padding/length-batching assumptions break), alpha >= 3 means
+    the tail is benign:
+
+        alpha_hat = k / sum_{i=1..k} ln(x_(i) / x_(k+1))
+
+    over the k largest order statistics (x_(k+1) the threshold).
+
+    Returns ``(group, n, k_used, x_threshold, hill_alpha)`` at 6dp,
+    ordered by group: k_used = min(k, n-1); groups with < 2 positive
+    values, or a degenerate tail (all top-k equal to the threshold:
+    the log-sum is 0) report NULL hill_alpha.
+
+    Exactness: the order statistics are exact (rank window with the
+    (value DESC, group) determinism); log terms are 9dp-rounded and
+    DECIMAL-summed.
+
+    Scale shape: one rank window partitioned by group — the
+    WindowGroupLimit pushdown keeps per-task state at k+1 rows per
+    group before the shuffle — then a (group)-keyed aggregate over at
+    most k+1 rows per group. No corpus-sized state anywhere.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    rows = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("double").alias("__x"),
+    ).where(F.col("__x") > 0.0)
+    w = Window.partitionBy("__g").orderBy(F.col("__x").desc())
+    topk = rows.withColumn("__r", F.row_number().over(w)).where(
+        F.col("__r") <= k + 1
+    )
+    n_per = rows.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+    # threshold = the (k_used + 1)-th largest = the LAST row kept
+    thr = topk.groupBy("__g").agg(
+        F.max("__r").alias("__rmax"), F.min("__x").alias("__thr")
+    )
+    lsum = (
+        topk.join(thr, "__g")
+        .where(F.col("__r") < F.col("__rmax"))
+        .select(
+            "__g",
+            F.round(F.log(F.col("__x") / F.col("__thr")), 9).alias("__l"),
+        )
+        .groupBy("__g")
+        .agg(
+            F.sum(F.col("__l").cast("decimal(30,9)"))
+            .cast("decimal(38,9)")
+            .cast("double")
+            .alias("__ls"),
+            F.count(F.lit(1)).alias("__ku"),
+        )
+    )
+    return (
+        n_per.join(lsum, "__g", "left")
+        .join(thr, "__g", "left")
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__n").cast("bigint").alias("n"),
+            F.coalesce(F.col("__ku"), F.lit(0))
+            .cast("int")
+            .alias("k_used"),
+            (F.round("__thr", 6) + 0.0).alias("x_threshold"),
+            (
+                F.round(
+                    F.when(
+                        (F.col("__ku") >= 1) & (F.col("__ls") > 0.0),
+                        F.col("__ku") / F.col("__ls"),
+                    ),
+                    6,
+                )
+                + 0.0
+            ).alias("hill_alpha"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def rarity_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document vocabulary-rarity score: the mean smoothed IDF of
+    the document's tokens,
+
+        rarity = mean_t ln((N + 1) / (df_t + 1))
+
+    (token occurrences weighted — a document that repeats one rare
+    term scores high) — the curation signal between quality filters
+    and dedup: LOW rarity = boilerplate/stopword soup (every token is
+    everywhere), HIGH rarity = specialized or noisy vocabulary worth a
+    closer look. The document-grain sibling of the corpus tf-idf
+    family.
+
+    Returns ``(id, n_tokens, rarity)`` at 6dp, ordered by id; empty
+    documents are ABSENT (no tokens to score).
+
+    Exactness — the INTEGER-NANO discipline (stronger than the usual
+    9dp-DECIMAL fold, which this operator genuinely needs): per-token
+    idf terms are 9dp-rounded then scaled to exact BIGINT nanos, and
+    the mean is computed ENTIRELY in integer arithmetic with explicit
+    half-up micro-rounding ((sum + 500 n) div (1000 n)). A plain
+    round(sum/n, 6) is NOT engine-stable here: token counts are small
+    round integers, so the mean frequently lands exactly on a 6dp
+    rounding TIE, where Spark's BigDecimal HALF_UP and DuckDB's
+    scaled-multiply round disagree by one ulp (observed at sf0.1).
+    The only floats left are one ln per distinct df value and the
+    final micro->double render of an exact integer.
+
+    Scale shape: one (token) document-frequency aggregate (vocabulary-
+    sized), one token-keyed join back to the exploded corpus (skew on
+    stopwords is bounded by AQE — the token df side is vocabulary-
+    grain, broadcastable for real corpora), one (doc)-keyed aggregate.
+    """
+    from nbdatatools_spark.functions.text import normalize_text, tokens
+
+    ex = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode_outer(tokens(normalize_text(F.col(text_col)))).alias(
+            "__t"
+        ),
+    ).where(F.col("__t").isNotNull() & (F.length("__t") > 0))
+    n_docs = df.select(F.count(F.lit(1)).alias("__nd"))
+    dfreq = ex.select("__id", "__t").distinct().groupBy("__t").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    idf_nano = F.round(
+        F.round(
+            F.log((F.col("__nd") + 1.0) / (F.col("__df") + 1.0)), 9
+        )
+        * 1e9,
+        0,
+    ).cast("long")
+    agg = (
+        ex.join(dfreq, "__t")
+        .crossJoin(F.broadcast(n_docs))
+        .select("__id", idf_nano.alias("__in"))
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("__nt"),
+            F.sum("__in").alias("__s"),
+        )
+    )
+    mean_micro = F.expr("(__s + 500 * __nt) div (1000 * __nt)")
+    return agg.select(
+        F.col("__id").alias(id_col),
+        F.col("__nt").cast("bigint").alias("n_tokens"),
+        (mean_micro.cast("double") / 1e6).alias("rarity"),
+    ).orderBy(id_col)

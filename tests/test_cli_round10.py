@@ -136,3 +136,14 @@ def test_richness_and_approx_distinct_cli(spark, capsys):
                  "--n", "2", "--approx", "--precision", "8"]) == 0
     rows = _lines(capsys)
     assert all(r["distinct_estimate"] > 0 for r in rows)
+
+
+def test_hill_and_rarity_cli(spark, capsys):
+    assert main(["analyze", "hill", "--input", DOCS,
+                 "--value-col", "n_chars", "--k", "10"]) == 0
+    rows = _lines(capsys)
+    assert all(r["k_used"] <= 10 for r in rows)
+    assert main(["corpus", "rarity", "--input", DOCS, "--limit", "5"]) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 5
+    assert rows[0]["rarity"] >= rows[-1]["rarity"]

@@ -81,3 +81,87 @@ def test_approx_distinct_ngrams_validates(spark):
         approx_distinct_ngrams(df, precision=3)
     with pytest.raises(ValueError):
         approx_distinct_ngrams(df, ns=[0])
+
+
+# -- hill tail index -------------------------------------------------------------
+
+
+def test_hill_hand_computed_pareto(spark):
+    import math
+    import random
+
+    rng = random.Random(23)
+    # exact Pareto(alpha=2): x = (1-u)^(-1/2); Hill should recover ~2
+    xs = [(1.0 - rng.random()) ** (-0.5) for _ in range(3000)]
+    from nbdatatools_spark.operators.analysis import hill_tail_index
+
+    df = spark.createDataFrame(
+        [("s", float(x)) for x in xs], "source string, x double"
+    )
+    row = hill_tail_index(df, "x", "source", k=200).collect()[0]
+    assert row["k_used"] == 200
+    # pure-Python replica
+    top = sorted(xs, reverse=True)[:201]
+    thr = top[-1]
+    ls = sum(round(math.log(x / thr), 9) for x in top[:200])
+    assert abs(row["hill_alpha"] - 200 / ls) < 1e-5
+    assert 1.6 < row["hill_alpha"] < 2.5
+
+
+def test_hill_light_vs_heavy_tail_and_degenerate(spark):
+    import random
+
+    rng = random.Random(29)
+    from nbdatatools_spark.operators.analysis import hill_tail_index
+
+    rows = [("heavy", (1.0 - rng.random()) ** (-1.0)) for _ in range(2000)]
+    rows += [("light", abs(rng.gauss(100, 5)) + 1) for _ in range(2000)]
+    df = spark.createDataFrame(rows, "source string, x double")
+    out = {r["source"]: r for r in hill_tail_index(df, "x", "source", k=100).collect()}
+    # heavy tail (alpha ~ 1) vs near-gaussian (large effective alpha)
+    assert out["heavy"]["hill_alpha"] < 2.0
+    assert out["light"]["hill_alpha"] > 4.0
+    # degenerate: constant values -> zero log-sum -> NULL
+    const = spark.createDataFrame(
+        [("c", 5.0)] * 10, "source string, x double"
+    )
+    row = hill_tail_index(const, "x", "source", k=3).collect()[0]
+    assert row["hill_alpha"] is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hill_tail_index(const, "x", "source", k=0)
+
+
+# -- rarity ----------------------------------------------------------------------
+
+
+def test_rarity_hand_computed(spark):
+    import math
+
+    from nbdatatools_spark.operators.analysis import rarity_scores
+
+    # 3 docs; 'common' in all, 'rare' only in doc 0
+    df = spark.createDataFrame(
+        [(0, "common rare"), (1, "common common"), (2, "common")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in rarity_scores(df).collect()}
+    idf_common = round(math.log(4 / 4), 9)   # df=3, N=3 -> ln(1) = 0
+    idf_rare = round(math.log(4 / 2), 9)     # df=1
+    exp0 = (idf_common + idf_rare) / 2
+    assert rows[0]["n_tokens"] == 2
+    assert abs(rows[0]["rarity"] - exp0) < 1e-6
+    # doc 1 repeats the universal token: rarity exactly 0
+    assert rows[1]["rarity"] == 0.0
+    # rarer vocabulary scores strictly higher
+    assert rows[0]["rarity"] > rows[2]["rarity"]
+
+
+def test_rarity_orders_boilerplate_below_specialized(spark, documents):
+    from nbdatatools_spark.operators.analysis import rarity_scores
+
+    out = rarity_scores(documents).collect()
+    assert len(out) == documents.count()
+    vals = [r["rarity"] for r in out]
+    assert min(vals) >= 0.0 and max(vals) > min(vals)
