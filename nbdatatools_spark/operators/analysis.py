@@ -3522,6 +3522,7 @@ def approx_distinct_ngrams(
     text_col: str = "text",
     ns: Sequence[int] = (1, 2, 3),
     precision: int = 10,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """HyperLogLog scale path for :func:`distinct_ngrams`: per (slice,
     n-gram order), the distinct-TYPE count estimated by a
@@ -3536,6 +3537,13 @@ def approx_distinct_ngrams(
     as ``lm.hll_distinct`` (every 2^-M term a dyadic rational scaled to
     int64 — no float accumulation-order hazard); linear-counting
     correction below 2.5m when empty registers remain.
+
+    ``hash_fn``: "md5" (default — DuckDB-replicable, the gate pins it)
+    or "xxhash64" (JVM codegen, cheaper per gram; measured ~10% faster
+    end-to-end at the 100x replica — the wall there is gram
+    CONSTRUCTION, not hashing — so md5 stays the default; same
+    estimator quality, different register assignment so estimates
+    differ within the HLL error band).
 
     Returns ``(group, n, total_ngrams, distinct_estimate,
     distinct_ratio)`` ordered by (group, n); estimates at 6dp.
@@ -3570,8 +3578,14 @@ def approx_distinct_ngrams(
             ).alias("__gram"),
         )
 
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_fn must be md5 or xxhash64, got {hash_fn!r}")
     allg = _reduce(DataFrame.unionByName, [grams(n) for n in sorted(ns)])
-    h = F.conv(F.substring(F.md5("__gram"), 1, 13), 16, 10).cast("long")
+    if hash_fn == "xxhash64":
+        # uniform uint52 from the low 52 bits of the JVM xxhash64
+        h = F.abs(F.xxhash64("__gram")) % F.lit(1 << 52).cast("long")
+    else:
+        h = F.conv(F.substring(F.md5("__gram"), 1, 13), 16, 10).cast("long")
     ranked = allg.select(
         "__g",
         "__n",

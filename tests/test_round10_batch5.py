@@ -165,3 +165,20 @@ def test_rarity_orders_boilerplate_below_specialized(spark, documents):
     assert len(out) == documents.count()
     vals = [r["rarity"] for r in out]
     assert min(vals) >= 0.0 and max(vals) > min(vals)
+
+
+def test_approx_distinct_ngrams_xxhash_path(spark, documents):
+    from nbdatatools_spark.operators.analysis import approx_distinct_ngrams
+
+    exact = {
+        (r["source"], r["n"]): r["distinct_ngrams"]
+        for r in distinct_ngrams(documents).collect()
+    }
+    xx = approx_distinct_ngrams(
+        documents, precision=10, hash_fn="xxhash64"
+    ).collect()
+    for r in xx:
+        ex = exact[(r["source"], r["n"])]
+        assert abs(r["distinct_estimate"] - ex) / ex < 0.15
+    with pytest.raises(ValueError):
+        approx_distinct_ngrams(documents, hash_fn="sha1")
