@@ -13263,20 +13263,23 @@ def _sinkhorn_oracle(
             FROM ha JOIN sb{t} s ON s.i = ha.b)"""
         )
     ctes.append(
-        f"""pl AS (SELECT km.i, km.cst, round(u.u * km.k * v.v, 12) AS p
+        f"""pl AS (SELECT km.j, km.cst, round(u.u * km.k * v.v, 12) AS p
             FROM km JOIN u{iterations} u ON u.i = km.i
                     JOIN v{iterations} v ON v.j = km.j)"""
     )
     ctes.append(
         f"tot AS (SELECT {dsum9.format(x='p * cst')} AS cost FROM pl)"
     )
+    # column-marginal residual vs b: the loop ends on a u-update, so
+    # row sums equal ha by construction — only the hb-side residual
+    # reflects mixing (round-10 ADVICE fix, mirrors sinkhorn_distance)
     ctes.append(
-        """re AS (SELECT i, CAST(CAST(sum(CAST(p AS DECIMAL(30,12)))
-            AS DECIMAL(38,12)) AS DOUBLE) AS rs FROM pl GROUP BY i)"""
+        """re AS (SELECT j, CAST(CAST(sum(CAST(p AS DECIMAL(30,12)))
+            AS DECIMAL(38,12)) AS DOUBLE) AS cs FROM pl GROUP BY j)"""
     )
     ctes.append(
-        f"""me AS (SELECT {dsum9.format(x='abs(re.rs - ha.m)')} AS err
-            FROM re JOIN ha ON ha.b = re.i)"""
+        f"""me AS (SELECT {dsum9.format(x='abs(re.cs - hb.m)')} AS err
+            FROM re JOIN hb ON hb.b = re.j)"""
     )
     body = ",\n        ".join(ctes)
     return f"""
@@ -13722,28 +13725,35 @@ def candidate_oracles() -> dict[str, str]:
                                   ORDER BY d ASC, o ASC) AS rn
                        FROM pd) WHERE rn <= 5),
             kd AS (SELECT p, max(d) AS kd FROM nn GROUP BY p),
-            lrd AS (SELECT p, CASE WHEN rs > 0.0
+            -- LEFT joins mirror lof_from_knn's open-pair-list handling
+            -- (n_missing_neighbors; 0 on this closed self-join set)
+            lrd AS (SELECT p, miss, CASE WHEN rs > 0.0
                                    THEN round(nk / rs, 9) END AS lrd
                     FROM (SELECT nn.p,
-                                 CAST(CAST(sum(CAST(greatest(nn.d, ko.kd)
+                                 CAST(CAST(sum(CAST(CASE WHEN ko.p IS NULL
+                                     THEN NULL
+                                     ELSE greatest(nn.d, ko.kd) END
                                      AS DECIMAL(30,9))) AS DECIMAL(38,9))
                                      AS DOUBLE) AS rs,
-                                 count(*) AS nk
-                          FROM nn JOIN kd ko ON ko.p = nn.o
+                                 count(ko.p) AS nk,
+                                 count(*) FILTER (WHERE ko.p IS NULL)
+                                     AS miss
+                          FROM nn LEFT JOIN kd ko ON ko.p = nn.o
                           GROUP BY nn.p)),
             rat AS (SELECT nn.p,
                            CAST(CAST(sum(CAST(lo.lrd AS DECIMAL(30,9)))
                                AS DECIMAL(38,9)) AS DOUBLE) AS ls,
-                           count(*) AS nk,
+                           count(lo.lrd) AS nk,
                            count(*) FILTER (WHERE lo.lrd IS NULL) AS nullo
-                    FROM nn JOIN lrd lo ON lo.p = nn.o GROUP BY nn.p)
+                    FROM nn LEFT JOIN lrd lo ON lo.p = nn.o GROUP BY nn.p)
             SELECT kd.p AS id,
                    round(kd.kd, 6) + 0.0 AS k_distance,
                    round(lrd.lrd, 9) + 0.0 AS lrd,
                    round(CASE WHEN lrd.lrd IS NOT NULL AND rat.nullo = 0
                               THEN rat.ls / rat.nk / lrd.lrd END, 6)
                        + 0.0 AS lof,
-                   lrd.lrd IS NULL AS coincident
+                   lrd.lrd IS NULL AS coincident,
+                   CAST(lrd.miss AS BIGINT) AS n_missing_neighbors
             FROM kd JOIN lrd ON lrd.p = kd.p JOIN rat ON rat.p = kd.p
             ORDER BY id
         """,

@@ -3284,10 +3284,15 @@ def sinkhorn_distance(
     positive because K > 0 everywhere).
 
     Returns ONE row ``(n_a, n_b, cost, marginal_err)`` at 6dp: cost =
-    sum P.C with P = diag(u) K diag(v); marginal_err = sum_i |row-sum
-    P_i - a_i| — the convergence readout (near 0 when the loop has
-    mixed; at 10 iterations and eps >= 0.1 it is < 1e-4 on anything
-    non-degenerate).
+    sum P.C with P = diag(u) K diag(v); marginal_err = sum_j |col-sum
+    P_j - b_j| — the TRUE convergence readout. The loop's final
+    half-step is u = a/(Kv), which makes the ROW sums of P equal a by
+    construction (up to 9dp rounding), so a row-marginal residual
+    reads ~0 after even one iteration and says nothing about mixing;
+    the unconstrained marginal after an ...v,u ending is the COLUMN
+    one, and its residual against b is what shrinks as the fixed
+    point converges (near 0 when mixed; at 10 iterations and
+    eps >= 0.1 it is < 1e-4 on anything non-degenerate).
 
     Scale shape: ONE corpus aggregate builds both histograms (B-row
     result, lazily checkpointed so the 2*iterations references to the
@@ -3406,7 +3411,7 @@ def sinkhorn_distance(
         kmat.join(u, "__i")
         .join(v, "__j")
         .select(
-            "__i",
+            "__j",
             "__cst",
             F.round(F.col("__u") * F.col("__k") * F.col("__vv"), 12).alias(
                 "__p"
@@ -3416,23 +3421,26 @@ def sinkhorn_distance(
     total = plan.agg(
         _dsum(F.col("__p") * F.col("__cst")).alias("__cost"),
     )
-    row_err = (
-        plan.groupBy("__i")
+    # convergence residual on the COLUMN marginal: the loop ends on a
+    # u-update, so row sums equal a by construction — only the b-side
+    # residual reflects mixing (round-10 ADVICE fix)
+    col_err = (
+        plan.groupBy("__j")
         .agg(
             F.sum(F.col("__p").cast("decimal(30,12)"))
             .cast("decimal(38,12)")
             .cast("double")
-            .alias("__rs")
+            .alias("__cs")
         )
-        .join(a.select(F.col("__b").alias("__i"), "__a"), "__i")
-        .agg(_dsum(F.abs(F.col("__rs") - F.col("__a"))).alias("__err"))
+        .join(b.select(F.col("__b").alias("__j"), "__bm"), "__j")
+        .agg(_dsum(F.abs(F.col("__cs") - F.col("__bm"))).alias("__err"))
     )
     na = a.agg(F.max("__na").alias("n_a"))
     nb = b.agg(F.max("__nb").alias("n_b"))
     return (
         na.crossJoin(F.broadcast(nb))
         .crossJoin(F.broadcast(total))
-        .crossJoin(F.broadcast(row_err))
+        .crossJoin(F.broadcast(col_err))
         .select(
             F.col("n_a").cast("bigint").alias("n_a"),
             F.col("n_b").cast("bigint").alias("n_b"),
@@ -3582,8 +3590,11 @@ def approx_distinct_ngrams(
         raise ValueError(f"hash_fn must be md5 or xxhash64, got {hash_fn!r}")
     allg = _reduce(DataFrame.unionByName, [grams(n) for n in sorted(ns)])
     if hash_fn == "xxhash64":
-        # uniform uint52 from the low 52 bits of the JVM xxhash64
-        h = F.abs(F.xxhash64("__gram")) % F.lit(1 << 52).cast("long")
+        # uniform uint52 = the low 52 bits of the JVM xxhash64 —
+        # branch-free mask, and unlike abs()%m it cannot go negative
+        # (abs(Long.MIN_VALUE) overflows negative and Spark's % keeps
+        # the dividend sign, which would yield a negative register)
+        h = F.xxhash64("__gram").bitwiseAND(F.lit((1 << 52) - 1))
     else:
         h = F.conv(F.substring(F.md5("__gram"), 1, 13), 16, 10).cast("long")
     ranked = allg.select(
@@ -3661,9 +3672,13 @@ def hill_tail_index(
     values, or a degenerate tail (all top-k equal to the threshold:
     the log-sum is 0) report NULL hill_alpha.
 
-    Exactness: the order statistics are exact (rank window with the
-    (value DESC, group) determinism); log terms are 9dp-rounded and
-    DECIMAL-summed.
+    Exactness: the rank window orders by value DESC only, so
+    row_number over boundary TIES is assignment-nondeterministic —
+    but the OUTPUT is deterministic at the value grain: whichever
+    tied rows land inside rank k+1, the kept value MULTISET and the
+    threshold are unchanged, and rows tied WITH the threshold
+    contribute log(x/thr) = 0 to the sum. Log terms are 9dp-rounded
+    and DECIMAL-summed.
 
     Scale shape: one rank window partitioned by group — the
     WindowGroupLimit pushdown keeps per-task state at k+1 rows per

@@ -693,9 +693,21 @@ def lof_from_knn(
     infinite lrd; their lof is NULL and they report ``coincident``
     = true rather than propagating a division by zero.
 
-    Returns ``(id, k_distance, lrd, lof, coincident)`` per point at 6dp
-    (lrd at 9dp — it is an intermediate ratio the oracle replays),
-    ordered by id.
+    The pair list SHOULD be closed over its neighbor ids (every nbr
+    also appears as an id — true of any self-join k-NN, including the
+    documented ANN feeds). When it is not, a neighbor with no own
+    k-distance/lrd cannot contribute to the reach or lrd sums; rather
+    than silently shrinking those sums below k (quietly skewed scores
+    — round-10 ADVICE fix), such pairs are LEFT-joined, counted per
+    point in ``n_missing_neighbors``, and any point with a missing
+    neighbor reports NULL lof (its lrd is computed over the covered
+    neighbors only).
+
+    Returns ``(id, k_distance, lrd, lof, coincident,
+    n_missing_neighbors)`` per point at 6dp (lrd at 9dp — it is an
+    intermediate ratio the oracle replays), ordered by id; on a closed
+    pair list ``n_missing_neighbors`` is identically 0 and scores are
+    unchanged.
 
     Scale shape: three keyed aggregates/joins on the pair list (k*n
     rows) — k-distance groupBy, a reach join keyed on the NEIGHBOR id,
@@ -710,11 +722,22 @@ def lof_from_knn(
         F.round(F.col(dist_col).cast("double"), 9).alias("__d"),
     ).localCheckpoint(eager=False)
     kdist = p.groupBy("__p").agg(F.max("__d").alias("__kd"))
+    # LEFT join: a neighbor absent from the id set has no k-distance —
+    # count it (__miss) instead of silently dropping the pair, and keep
+    # the reach sum over the covered neighbors only
     reach = p.join(
         kdist.select(F.col("__p").alias("__o"), F.col("__kd").alias("__kdo")),
         "__o",
+        "left",
     ).select(
-        "__p", "__o", F.greatest(F.col("__d"), F.col("__kdo")).alias("__r")
+        "__p",
+        "__o",
+        # greatest() SKIPS nulls, so guard explicitly: a missing
+        # neighbor k-distance must surface as a NULL reach, not __d
+        F.when(
+            F.col("__kdo").isNotNull(),
+            F.greatest(F.col("__d"), F.col("__kdo")),
+        ).alias("__r"),
     )
     lrd = (
         reach.groupBy("__p")
@@ -723,10 +746,12 @@ def lof_from_knn(
             .cast("decimal(38,9)")
             .cast("double")
             .alias("__rs"),
-            F.count(F.lit(1)).alias("__nk"),
+            F.count(F.col("__r")).alias("__nk"),
+            F.count(F.when(F.col("__r").isNull(), 1)).alias("__miss"),
         )
         .select(
             "__p",
+            "__miss",
             F.when(
                 F.col("__rs") > 0.0,
                 F.round(F.col("__nk") / F.col("__rs"), 9),
@@ -737,6 +762,7 @@ def lof_from_knn(
         p.join(
             lrd.select(F.col("__p").alias("__o"), F.col("__lrd").alias("__lrdo")),
             "__o",
+            "left",
         )
         .groupBy("__p")
         .agg(
@@ -744,7 +770,7 @@ def lof_from_knn(
             .cast("decimal(38,9)")
             .cast("double")
             .alias("__ls"),
-            F.count(F.lit(1)).alias("__nk"),
+            F.count(F.col("__lrdo")).alias("__nk"),
             F.count(F.when(F.col("__lrdo").isNull(), 1)).alias("__nullo"),
         )
     )
@@ -766,6 +792,7 @@ def lof_from_knn(
                 + 0.0
             ).alias("lof"),
             F.col("__lrd").isNull().alias("coincident"),
+            F.col("__miss").cast("bigint").alias("n_missing_neighbors"),
         )
         .orderBy("id")
     )

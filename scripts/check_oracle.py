@@ -2,6 +2,10 @@
 Spark and its oracle SQL on DuckDB, compare row count / columns / values.
 
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+       [--candidates] [--json OUT.json]
+
+--json writes a machine-readable summary (per-gate status/wall/rows/
+problems + totals) so sweep attestations don't depend on grepping logs.
 """
 
 from __future__ import annotations
@@ -98,8 +102,14 @@ def hazard_scan(con, sql, sdf):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--candidates"]
-    candidates = "--candidates" in sys.argv[1:]
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    args = [a for a in argv if a != "--candidates"]
+    candidates = "--candidates" in argv
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     only = set(args[1:])
     spark = get_spark("oracle-check", shuffle_partitions=8)
@@ -119,6 +129,7 @@ def main():
         qs = entrymod.queries()
         oracles = entrymod.oracle_sql()
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -130,9 +141,22 @@ def main():
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
+            results[name] = {
+                "status": "fail",
+                "wall_sec": round(time.time() - t0, 2),
+                "rows": None,
+                "problems": [f"spark error: {type(e).__name__}: {e}"],
+            }
             continue
         if name not in oracles:
-            print(f"ok(rows-only) {name}: {len(srows)} rows in {time.time()-t0:.1f}s")
+            wall = time.time() - t0
+            print(f"ok(rows-only) {name}: {len(srows)} rows in {wall:.1f}s")
+            results[name] = {
+                "status": "ok_rows_only",
+                "wall_sec": round(wall, 2),
+                "rows": len(srows),
+                "problems": [],
+            }
             continue
         try:
             cur = con.execute(oracles[name])
@@ -141,6 +165,12 @@ def main():
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
+            results[name] = {
+                "status": "fail",
+                "wall_sec": round(time.time() - t0, 2),
+                "rows": len(srows),
+                "problems": [f"duckdb error: {e}"],
+            }
             continue
         problems = []
         HAZARDS.clear()
@@ -156,12 +186,36 @@ def main():
                 problems.append(f"values differ; first diffs: {diffs}")
         if HAZARDS:
             problems.append(f"hash-hazard outputs: {sorted(set(HAZARDS))}")
+        wall = time.time() - t0
+        results[name] = {
+            "status": "fail" if problems else "ok",
+            "wall_sec": round(wall, 2),
+            "rows": len(srows),
+            "problems": problems,
+        }
         if problems:
             failures.append(name)
             print(f"FAIL {name}: " + " | ".join(problems))
         else:
-            print(f"ok {name}: {len(srows)} rows in {time.time()-t0:.1f}s")
+            print(f"ok {name}: {len(srows)} rows in {wall:.1f}s")
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL OK")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "registry": "candidates" if candidates else "live",
+                    "n_checked": len(results),
+                    "n_fail": len(failures),
+                    "failures": failures,
+                    "gates": results,
+                },
+                fh,
+                indent=1,
+            )
+        print(f"json summary -> {json_out}")
     sys.exit(1 if failures else 0)
 
 
