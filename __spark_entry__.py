@@ -4708,31 +4708,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       and in round 1 a failure there shadowed everything after it — at
       position 49 a failure can only shadow the already-recorded tail.
 
-    Round-9 layout (the planned rotation — VERDICT r8 task #1): slots
-    0-26 = 27 of the 28 round-9 candidates staged in round 8 (every one
-    judge-verified against the local DuckDB oracle at sf0.001 AND
-    sf0.01 and under 7 shuffle partitions before rotation — 25
-    hash-exact; events_kcore and embedding_dbscan are rows-only by
-    design: shrinking-set/iterative fixpoints with pure-Python
-    differential pytests in tests/test_dbscan.py and
-    tests/test_stats_graph.py); slots 27-47 = re-record fillers —
-    doc_compression_ratio (rows-only by design — DEFLATE is not
-    SQL-expressible — so it can never satisfy the tail's
-    ever-hash-green invariant and stays inside the window) plus the
-    head of the displaced round-8 window (every filler is hash-green
-    in CORRECTNESS_r08, so re-recording is harmless and keeps the
-    window exactly 50); slot 48 = corpus_lsa_topics (the 28th
-    candidate, rows-only by design — eigendecomposition — with the
-    pure-Python differential in tests/test_lsa.py) — deliberately LATE
-    because it runs driver-side eigendecomposition jobs during plan
-    construction (the fit_embeddings_model shadowing rationale); slot
-    49 = fit_embeddings_model (pinned). Every other registry entry is
-    hash-green in the union of recorded rounds (r1-r8) and sits in the
-    tail. Round-10 work stages in candidate_queries() until rotation.
+    Round-10 layout (the planned rotation — VERDICT r9 task #1): slots
+    0-18 = 19 of the 23 round-10 candidates staged in round 9 (every
+    one judge-verified against the local DuckDB oracle at sf0.001 AND
+    sf0.01 AND sf0.1, and under 7 shuffle partitions, before rotation
+    — all hash-exact; no rows-only gates in this batch); slots 19-43 =
+    the three rows-only-by-design gates that can never satisfy the
+    tail's ever-hash-green invariant and must stay inside the window
+    (events_kcore, embedding_dbscan — iterative fixpoints,
+    tests/test_stats_graph.py + tests/test_dbscan.py;
+    doc_compression_ratio — DEFLATE) plus 22 re-record fillers from
+    the displaced round-9 window head (every filler hash-green in
+    CORRECTNESS_r09, so re-recording is harmless and keeps the window
+    exactly 50); slots 44-47 = the four remaining round-10 candidates
+    that run driver-side jobs during plan construction
+    (doc_sinkhorn_shift / doc_unimax_budget tiny aggregates;
+    corpus_wordpiece / corpus_sentencepiece trainer merge-loop
+    collects) — deliberately LATE so a construction failure can only
+    shadow the slots after it (the fit_embeddings_model rationale);
+    slot 48 = corpus_lsa_topics (rows-only by design —
+    eigendecomposition, tests/test_lsa.py — and also
+    construction-heavy); slot 49 = fit_embeddings_model (pinned).
+    Every other registry entry is hash-green in the union of recorded
+    rounds (r1-r9) and sits in the tail. Round-11 work stages in
+    candidate_queries() until rotation.
     """
     return {
-        # -- slots 0-26: round-9 candidates, first driver recording
-        #    (all judge-verified in round 8 before rotation) --
+        # -- slots 0-18: round-10 candidates, first driver recording
+        #    (all judge-verified in round 9 before rotation) --
+        "doc_reservoir_sample": doc_reservoir_sample,
+        "doc_stratified_sample": doc_stratified_sample,
+        "corpus_fertility_sweep": corpus_fertility_sweep,
+        "doc_fineweb_filter": doc_fineweb_filter,
+        "doc_group_split": doc_group_split,
+        "doc_krippendorff": doc_krippendorff,
+        "embedding_davies_bouldin": embedding_davies_bouldin,
+        "embedding_calinski_harabasz": embedding_calinski_harabasz,
+        "embedding_hopkins": embedding_hopkins,
+        "embedding_lof": embedding_lof,
+        "events_link_prediction": events_link_prediction,
+        "doc_distinct_ngrams": doc_distinct_ngrams,
+        "doc_temperature_scaling": doc_temperature_scaling,
+        "doc_ece": doc_ece,
+        "doc_packing_efficiency": doc_packing_efficiency,
+        "corpus_vocab_richness": corpus_vocab_richness,
+        "doc_distinct_ngrams_hll": doc_distinct_ngrams_hll,
+        "doc_hill_tail": doc_hill_tail,
+        "doc_rarity_scores": doc_rarity_scores,
+        # -- slots 19-43: rows-only-by-design gates (must stay inside
+        #    the window) + re-record fillers from the displaced round-9
+        #    window head (all hash-green in CORRECTNESS_r09) --
+        "events_kcore": events_kcore,
+        "embedding_dbscan": embedding_dbscan,
+        "doc_compression_ratio": doc_compression_ratio,
         "events_mann_whitney": events_mann_whitney,
         "events_kruskal_wallis": events_kruskal_wallis,
         "events_levene_test": events_levene_test,
@@ -4740,7 +4768,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_mann_kendall": events_mann_kendall,
         "doc_source_fdr": doc_source_fdr,
         "events_assortativity": events_assortativity,
-        "events_kcore": events_kcore,
         "doc_fleiss_kappa": doc_fleiss_kappa,
         "doc_lexical_diversity": doc_lexical_diversity,
         "embedding_two_sample_shift": embedding_two_sample_shift,
@@ -4748,7 +4775,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_trimmed_mean": events_trimmed_mean,
         "doc_sampling_ess": doc_sampling_ess,
         "doc_brier_decomposition": doc_brier_decomposition,
-        "embedding_dbscan": embedding_dbscan,
         "events_welch_anova": events_welch_anova,
         "doc_cramers_v": doc_cramers_v,
         "doc_cochran_q": doc_cochran_q,
@@ -4757,14 +4783,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_shard_mixing": doc_shard_mixing,
         "events_ks_test": events_ks_test,
         "embedding_decontaminate": embedding_decontaminate,
+        # -- slots 44-47: construction-heavy round-10 candidates, LATE
+        #    by the shadowing rationale (see docstring) --
+        "doc_sinkhorn_shift": doc_sinkhorn_shift,
+        "doc_unimax_budget": doc_unimax_budget,
+        "corpus_wordpiece": corpus_wordpiece,
+        "corpus_sentencepiece": corpus_sentencepiece,
+        # slot 48 — corpus_lsa_topics runs driver-side eigendecomposition
+        # jobs during plan construction; LATE so a failure shadows only
+        # the slot after it (49 is pinned green r5-r9). See docstring.
+        "corpus_lsa_topics": corpus_lsa_topics,
+        # position 49 — last recorded slot; see docstring.
+        "fit_embeddings_model": fit_embeddings_model,
+        # -- tail: every entry below is hash-green in a recorded round --
         "doc_mcnemar": doc_mcnemar,
         "doc_concordance": doc_concordance,
         "doc_agreement_limits": doc_agreement_limits,
-        # -- slots 27-47: re-record fillers (doc_compression_ratio is
-        #    rows-only by design and must stay inside the window; the
-        #    rest are the displaced round-8 window head, all hash-green
-        #    in CORRECTNESS_r08) --
-        "doc_compression_ratio": doc_compression_ratio,
         "events_hits": events_hits,
         "events_label_propagation": events_label_propagation,
         "embedding_kcenter": embedding_kcenter,
@@ -4785,13 +4819,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn_overlap": embedding_knn_overlap,
         "doc_balanced_shards": doc_balanced_shards,
         "events_histogram_quantiles": events_histogram_quantiles,
-        # slot 48 — corpus_lsa_topics runs driver-side eigendecomposition
-        # jobs during plan construction; LATE so a failure shadows only
-        # the slot after it (49 is pinned green r5-r8). See docstring.
-        "corpus_lsa_topics": corpus_lsa_topics,
-        # position 49 — last recorded slot; see docstring.
-        "fit_embeddings_model": fit_embeddings_model,
-        # -- tail: every entry below is hash-green in a recorded round --
         "doc_span_corruption": doc_span_corruption,
         "embedding_hubness": embedding_hubness,
         "corpus_source_similarity": corpus_source_similarity,
@@ -10512,6 +10539,9 @@ def oracle_sql() -> dict[str, str]:
         # lower in this file; events_kcore / embedding_dbscan /
         # corpus_lsa_topics are rows-only by design)
         **_rotated_round9_oracles(),
+        # round-10 rotated gates (oracles defined next to their queries,
+        # lower in this file; no rows-only gates in this batch)
+        **_rotated_round10_oracles(),
     }
 
 
@@ -13041,51 +13071,16 @@ def doc_rarity_scores(spark, sf_dir):
 
 
 def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Round-10 rotation candidates: same contract as queries(), kept out
-    of the live window so the round-9 recording layout stays attested.
-    The 28 round-9 candidates rotated into window slots 0-26 + 48 at the
-    round-9 head (see the queries() docstring); new round-10 gates stage
-    here with their oracles in candidate_oracles() until the round-10
-    rotation.
-
-    Rotation plan for round 10 (all 23 verified hash-exact vs the local
-    DuckDB oracle at sf0.001 AND sf0.01, under 7 shuffle partitions, AND
-    at sf0.1 this round — no rows-only gates in this batch): move these
-    into window slots 0-22, displace the longest-green entries to the
-    tail,
-    keep fit_embeddings_model pinned at 49 and the four rows-only-by-
-    design gates (doc_compression_ratio, events_kcore, embedding_dbscan,
-    corpus_lsa_topics) inside the window. corpus_wordpiece,
-    corpus_sentencepiece, and doc_unimax_budget run driver-side jobs
-    during plan construction (8 merge-loop collects each for the two
-    trainers / two tiny aggregates) — place them LATE in the window next
-    to corpus_lsa_topics (the fit_embeddings_model shadowing rationale).
+    """Round-11 rotation candidates: same contract as queries(), kept out
+    of the live window so the round-10 recording layout stays attested.
+    The 23 round-10 candidates rotated into window slots 0-18 + 44-47 at
+    the round-10 head (see the queries() docstring); new round-11 gates
+    stage here with their oracles in candidate_oracles() until the
+    round-11 rotation. Verify each at sf0.001, sf0.01, under 7 shuffle
+    partitions, and (for anything join/explode-heavy) sf0.1 before it
+    rotates — `python scripts/check_oracle.py <sf_dir> --candidates`.
     """
-    return {
-        "corpus_wordpiece": corpus_wordpiece,
-        "doc_reservoir_sample": doc_reservoir_sample,
-        "doc_stratified_sample": doc_stratified_sample,
-        "corpus_fertility_sweep": corpus_fertility_sweep,
-        "doc_fineweb_filter": doc_fineweb_filter,
-        "doc_group_split": doc_group_split,
-        "doc_unimax_budget": doc_unimax_budget,
-        "doc_krippendorff": doc_krippendorff,
-        "embedding_davies_bouldin": embedding_davies_bouldin,
-        "embedding_calinski_harabasz": embedding_calinski_harabasz,
-        "embedding_hopkins": embedding_hopkins,
-        "embedding_lof": embedding_lof,
-        "events_link_prediction": events_link_prediction,
-        "doc_distinct_ngrams": doc_distinct_ngrams,
-        "doc_temperature_scaling": doc_temperature_scaling,
-        "doc_ece": doc_ece,
-        "doc_sinkhorn_shift": doc_sinkhorn_shift,
-        "corpus_sentencepiece": corpus_sentencepiece,
-        "doc_packing_efficiency": doc_packing_efficiency,
-        "corpus_vocab_richness": corpus_vocab_richness,
-        "doc_distinct_ngrams_hll": doc_distinct_ngrams_hll,
-        "doc_hill_tail": doc_hill_tail,
-        "doc_rarity_scores": doc_rarity_scores,
-    }
+    return {}
 
 
 # Shared SQL fragments for the round-8 candidate oracles: the repo's
@@ -13292,8 +13287,15 @@ def _sinkhorn_oracle(
 
 
 def candidate_oracles() -> dict[str, str]:
-    """DuckDB oracles for the round-10 candidates (rows-only gates omit
-    their entry by design). Stays in lock-step with candidate_queries()."""
+    """DuckDB oracles for the round-11 staging candidates. Stays in
+    lock-step with candidate_queries()."""
+    return {}
+
+
+def _rotated_round10_oracles() -> dict[str, str]:
+    """DuckDB oracles for the 23 gates staged during round 9 and rotated
+    into the live window at the round-10 head (merged into oracle_sql();
+    no rows-only gates in this batch)."""
     return {
         "corpus_wordpiece": _wordpiece_oracle().format(norm=_NORM),
         # bottom-k sketch order on the shared md5-uint52 convention
