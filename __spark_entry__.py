@@ -13070,6 +13070,101 @@ def doc_rarity_scores(spark, sf_dir):
     return rarity_scores(_t(spark, sf_dir, "documents"))
 
 
+# ============================================================================
+# ROUND-11 CANDIDATE GATES (staged during round 10): KN perplexity
+# apply-at-scale, per-slice score-PSI drift, dataset-card snapshot diff,
+# LSH recall/cost tradeoff — the VERDICT r9 task-8 user-pull set.
+# ============================================================================
+
+
+def doc_kn_perplexity(spark, sf_dir):
+    """Per-document interpolated Kneser-Ney bigram perplexity (lm.py::
+    kn_perplexity_score, Chen & Goodman 1998) against a model trained
+    on the held-in two thirds (doc_id % 3 != 0), scoring the held-out
+    third — the apply-at-scale gate the KN family was missing
+    (doc_kneser_ney reports the model's top bigrams; this SCORES
+    documents with the model, the CCNet-style quality tier input with
+    the production smoothing). Three LEFT digest joins onto the scored
+    bigram stream, the three-way backoff CASE (known w1 / unseen w1 ->
+    pure continuation / double-unseen -> KenLM-style 1e-9 floor),
+    INTEGER-NANO logp mean (the rarity_scores 6dp-tie discipline).
+    Oracle replays the model tables, backoff CASE, and integer mean."""
+    from nbdatatools_spark.operators.lm import kn_perplexity_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return kn_perplexity_score(
+        docs.where(F.col("doc_id") % 3 != 0),
+        docs.where(F.col("doc_id") % 3 == 0),
+        discount=0.75,
+        floor=1e-9,
+    )
+
+
+def doc_score_psi_drift(spark, sf_dir):
+    """Per-source PSI of the 6dp heuristic quality score between the
+    even-doc_id (baseline) and odd-doc_id (current) snapshots
+    (evaluation.py::score_psi) — the calibration-drift composite the
+    score_quantile_align family was missing: embedding_psi_drift
+    watches the representation, THIS watches the decision variable
+    itself per slice. 10 fixed bins on [0, 1], add-one smoothing, full
+    per-group grid, 9dp DECIMAL-summed (p-q)ln(p/q) terms."""
+    from nbdatatools_spark.functions.text import quality_score
+    from nbdatatools_spark.operators.evaluation import score_psi
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.round(quality_score(F.col("text")), 6).alias("score"),
+    )
+    return score_psi(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        "score",
+        "source",
+        n_bins=10,
+        lo=0.0,
+        hi=1.0,
+    )
+
+
+def doc_card_diff(spark, sf_dir):
+    """Dataset-card snapshot diff (analysis.py::dataset_card_diff):
+    old = even doc_ids, new = odd doc_ids with source 'src0' relabeled
+    'src0_v2' — so the gate exercises all four statuses (removed src0,
+    added src0_v2, changed/unchanged elsewhere). Per-slice metric
+    deltas are differences of already-6dp card metrics (no new float
+    accumulation); one slice-grain full-outer join."""
+    from nbdatatools_spark.operators.analysis import dataset_card_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1).withColumn(
+        "source",
+        F.when(F.col("source") == "src0", F.lit("src0_v2")).otherwise(
+            F.col("source")
+        ),
+    )
+    return dataset_card_diff(old, new)
+
+
+def embedding_lsh_tradeoff(spark, sf_dir):
+    """LSH recall@k vs candidate-cost curve (similarity.py::
+    lsh_tradeoff_report): ties the ANN tuning loop to a driver-oracled
+    gate — for n_bits in {4, 8, 12}, recall of LSH top-10 against
+    exact cosine top-10 (id-set comparison) and the mean bucket-join
+    candidate count (the portable cost proxy; wall latency is a box
+    artifact). The seeded hyperplanes inline as literals, so the
+    oracle replays signatures, bucket joins, exact ranks, and both
+    ratios bit-for-bit per setting."""
+    from nbdatatools_spark.operators.similarity import lsh_tradeoff_report
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20)
+    return lsh_tradeoff_report(
+        q, emb, k=10, dim=64, bits_list=(4, 8, 12), seed=42
+    )
+
+
 def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Round-11 rotation candidates: same contract as queries(), kept out
     of the live window so the round-10 recording layout stays attested.
@@ -13080,7 +13175,12 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     partitions, and (for anything join/explode-heavy) sf0.1 before it
     rotates — `python scripts/check_oracle.py <sf_dir> --candidates`.
     """
-    return {}
+    return {
+        "doc_kn_perplexity": doc_kn_perplexity,
+        "doc_score_psi_drift": doc_score_psi_drift,
+        "doc_card_diff": doc_card_diff,
+        "embedding_lsh_tradeoff": embedding_lsh_tradeoff,
+    }
 
 
 # Shared SQL fragments for the round-8 candidate oracles: the repo's
@@ -13286,10 +13386,287 @@ def _sinkhorn_oracle(
     """
 
 
+def _kn_perplexity_oracle(discount: float = 0.75, floor: float = 1e-9) -> str:
+    """DuckDB replica of doc_kn_perplexity: model tables from the
+    held-in slice (string-keyed — grouping by strings equals grouping
+    by their 1:1 md5 digests), the three-way backoff CASE, the 9dp
+    -ln(p) nano terms, and the pure-integer half-up micro mean."""
+    d = repr(float(discount))
+    fl = repr(float(floor))
+    return f"""
+        WITH t AS (
+            SELECT {_LTOKENS} AS a FROM documents
+            WHERE doc_id % 3 <> 0 AND length(trim(text)) > 0),
+        prs AS (
+            SELECT unnest(list_transform(range(2, len(a) + 1),
+                          i -> struct_pack(w1 := a[i - 1], w2 := a[i]))) AS p
+            FROM t WHERE len(a) >= 2),
+        pairs AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM prs),
+        types AS (SELECT w1, w2, count(*) AS nb FROM pairs GROUP BY w1, w2),
+        c1 AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY w1),
+        nf AS (SELECT w1, count(*) AS nf FROM types GROUP BY w1),
+        np AS (SELECT w2, count(*) AS np FROM types GROUP BY w2),
+        nt AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM types),
+        s0 AS (
+            SELECT doc_id, {_LTOKENS} AS a FROM documents
+            WHERE doc_id % 3 = 0 AND length(trim(text)) > 0),
+        sprs AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(2, len(a) + 1),
+                          i -> struct_pack(w1 := a[i - 1], w2 := a[i]))) AS p
+            FROM s0 WHERE len(a) >= 2),
+        spairs AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM sprs),
+        jt AS (
+            SELECT s.doc_id, ty.nb, c1.c1, nf.nf,
+                   coalesce(np.np, 0) AS np, nt.nt
+            FROM spairs s
+            LEFT JOIN types ty ON ty.w1 = s.w1 AND ty.w2 = s.w2
+            LEFT JOIN c1 ON c1.w1 = s.w1
+            LEFT JOIN nf ON nf.w1 = s.w1
+            LEFT JOIN np ON np.w2 = s.w2
+            CROSS JOIN nt),
+        pp AS (
+            SELECT doc_id,
+                   CASE WHEN c1 IS NOT NULL THEN
+                       greatest(coalesce(nb, 0) - {d}, 0.0) / c1
+                       + (({d} * nf) / c1) * (np / nt)
+                   ELSE np / nt END AS praw,
+                   CASE WHEN nb IS NULL THEN 1 ELSE 0 END AS u
+            FROM jt),
+        terms AS (
+            SELECT doc_id,
+                   CAST(round(round(-ln(CASE WHEN praw > 0.0 THEN praw
+                                             ELSE {fl} END), 9)
+                              * 1e9, 0) AS BIGINT) AS tn,
+                   u
+            FROM pp),
+        ag AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(tn) AS BIGINT) AS s,
+                   CAST(sum(u) AS BIGINT) AS nu
+            FROM terms GROUP BY doc_id)
+        SELECT doc_id, n AS n_bigrams, nu AS n_unseen,
+               -(CAST((s + 500 * n) // (1000 * n) AS DOUBLE) / 1e6) + 0.0
+                   AS mean_logp,
+               round(exp(CAST((s + 500 * n) // (1000 * n) AS DOUBLE) / 1e6),
+                     6) + 0.0 AS perplexity
+        FROM ag ORDER BY doc_id
+    """
+
+
+def _card_sql(where: str, relabel: bool = False) -> str:
+    """The dataset_card oracle body parameterized by snapshot: WHERE
+    clause + optional src0 -> src0_v2 relabel (the diff gate's 'added/
+    removed' exercise). Mirrors the doc_dataset_card oracle exactly."""
+    src = (
+        "CASE WHEN source = 'src0' THEN 'src0_v2' ELSE source END"
+        if relabel
+        else "source"
+    )
+    return f"""(
+        WITH doc AS (
+            SELECT {src} AS slice, lang, {_NTOK} AS ntok,
+                   md5({_NORM}) AS dig,
+                   CAST(round({_PUNCT}, 9) AS DECIMAL(20,9)) AS punct
+            FROM documents WHERE {where}),
+        ps AS (
+            SELECT slice, count(*) AS n_docs,
+                   CAST(sum(ntok) AS BIGINT) AS total_tokens,
+                   round(CAST(sum(ntok) AS DOUBLE) / count(*), 6)
+                     AS mean_tokens,
+                   round(quantile_cont(ntok, 0.5), 6) AS p50_tokens,
+                   count(DISTINCT dig) AS nd,
+                   round(CAST(CAST(sum(punct) AS DECIMAL(38,9)) AS DOUBLE)
+                         / count(*), 6) AS mean_punct_ratio
+            FROM doc GROUP BY slice),
+        lc AS (SELECT slice, lang, count(*) AS nl
+               FROM doc GROUP BY slice, lang),
+        st AS (SELECT slice, CAST(sum(nl) AS BIGINT) AS n,
+                      count(*) AS n_langs
+               FROM lc GROUP BY slice),
+        ent AS (
+            SELECT lc.slice, st.n_langs,
+                   round(-CAST(CAST(sum(CAST(round(
+                         (CAST(nl AS DOUBLE) / n)
+                         * ln(CAST(nl AS DOUBLE) / n), 12)
+                         AS DECIMAL(24,12))) AS DECIMAL(38,12)) AS DOUBLE), 6)
+                     AS lang_entropy
+            FROM lc JOIN st ON lc.slice = st.slice
+            GROUP BY lc.slice, st.n_langs)
+        SELECT ps.slice, ps.n_docs, ps.total_tokens, ps.mean_tokens,
+               ps.p50_tokens,
+               round(1.0 - nd / CAST(n_docs AS DOUBLE), 6) AS dup_rate,
+               ent.n_langs, ent.lang_entropy, ps.mean_punct_ratio
+        FROM ps JOIN ent ON ps.slice = ent.slice)"""
+
+
+def _card_diff_oracle() -> str:
+    metrics = [
+        "n_docs",
+        "total_tokens",
+        "mean_tokens",
+        "p50_tokens",
+        "dup_rate",
+        "n_langs",
+        "lang_entropy",
+        "mean_punct_ratio",
+    ]
+    deltas = ",\n               ".join(
+        f"round(CAST(n.{m} AS DOUBLE) - CAST(o.{m} AS DOUBLE), 6) + 0.0"
+        f" AS d_{m}"
+        for m in metrics
+    )
+    changed = " OR ".join(
+        f"(round(CAST(n.{m} AS DOUBLE) - CAST(o.{m} AS DOUBLE), 6) + 0.0)"
+        f" <> 0.0"
+        for m in metrics
+    )
+    return f"""
+        WITH o AS {_card_sql("doc_id % 2 = 0")},
+        n AS {_card_sql("doc_id % 2 = 1", relabel=True)}
+        SELECT coalesce(o.slice, n.slice) AS slice,
+               CASE WHEN o.n_docs IS NULL THEN 'added'
+                    WHEN n.n_docs IS NULL THEN 'removed'
+                    WHEN {changed} THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               CAST(o.n_docs AS BIGINT) AS n_docs_old,
+               CAST(n.n_docs AS BIGINT) AS n_docs_new,
+               {deltas}
+        FROM o FULL OUTER JOIN n ON o.slice = n.slice
+        ORDER BY slice
+    """
+
+
+def _lsh_sig_sql(dim: int, n_bits: int, seed: int, vec: str = "e") -> str:
+    """Signature expression shared with _ann_lsh_oracle: the seeded
+    hyperplanes inlined as literals, bit j set when dot > 0."""
+    from nbdatatools_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_bits, seed)
+    return " + ".join(
+        "(CASE WHEN list_inner_product({v}, [{vals}]) > 0"
+        " THEN {bit} ELSE 0 END)".format(
+            v=vec,
+            vals=", ".join(repr(float(x)) for x in plane),
+            bit=1 << j,
+        )
+        for j, plane in enumerate(planes)
+    )
+
+
+def _lsh_tradeoff_oracle(
+    k: int = 10, dim: int = 64, bits_list=(4, 8, 12), seed: int = 42
+) -> str:
+    """DuckDB replica of embedding_lsh_tradeoff: exact cosine top-k
+    ground truth (same (dist, bid) tie-break as the engine), then per
+    n_bits the signature bucket join, candidate count, LSH top-k, and
+    the two exact-integer ratios."""
+    cos = (
+        "1 - list_inner_product(q.qe, {b})"
+        " / (sqrt(list_inner_product(q.qe, q.qe))"
+        " * sqrt(list_inner_product({b}, {b})))"
+    )
+    ctes = [
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
+        " FROM embeddings)",
+        "q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 20)",
+        "nq AS (SELECT CAST(count(*) AS BIGINT) AS nq FROM q)",
+        f"""ex AS (SELECT qid, bid FROM (
+            SELECT q.qid, v.vec_id AS bid,
+                   row_number() OVER (PARTITION BY q.qid
+                       ORDER BY ({cos.format(b='v.e')}) ASC NULLS LAST,
+                                v.vec_id ASC) AS rn
+            FROM q CROSS JOIN v) WHERE rn <= {k})""",
+    ]
+    blocks = []
+    for b in bits_list:
+        sig = _lsh_sig_sql(dim, int(b), seed)
+        ctes.append(
+            f"s{b} AS (SELECT vec_id, e, ({sig}) AS sig FROM v)"
+        )
+        ctes.append(
+            f"q{b} AS (SELECT vec_id AS qid, e AS qe, sig FROM s{b}"
+            f" WHERE vec_id < 20)"
+        )
+        ctes.append(
+            f"""p{b} AS (SELECT q.qid, s.vec_id AS bid,
+                   ({cos.format(b='s.e')}) AS dist
+            FROM q{b} q JOIN s{b} s ON q.sig = s.sig)"""
+        )
+        ctes.append(
+            f"c{b} AS (SELECT CAST(count(*) AS BIGINT) AS c FROM p{b})"
+        )
+        ctes.append(
+            f"""t{b} AS (SELECT qid, bid FROM (
+                SELECT qid, bid, row_number() OVER (PARTITION BY qid
+                    ORDER BY dist ASC NULLS LAST, bid ASC) AS rn
+                FROM p{b}) WHERE rn <= {k})"""
+        )
+        ctes.append(
+            f"m{b} AS (SELECT CAST(count(*) AS BIGINT) AS m"
+            f" FROM t{b} JOIN ex USING (qid, bid))"
+        )
+        blocks.append(
+            f"""SELECT {int(b)} AS n_bits, nq.nq AS n_queries,
+                   round(m{b}.m / ({int(k)} * nq.nq), 6) AS recall_at_k,
+                   round(c{b}.c / CAST(nq.nq AS DOUBLE), 6)
+                       AS mean_candidates
+            FROM nq CROSS JOIN m{b} CROSS JOIN c{b}"""
+        )
+    body = ",\n        ".join(ctes)
+    union = "\n            UNION ALL\n            ".join(blocks)
+    return f"""
+        WITH {body}
+        SELECT * FROM ({union}) ORDER BY n_bits
+    """
+
+
 def candidate_oracles() -> dict[str, str]:
     """DuckDB oracles for the round-11 staging candidates. Stays in
     lock-step with candidate_queries()."""
-    return {}
+    return {
+        "doc_kn_perplexity": _kn_perplexity_oracle(),
+        "doc_score_psi_drift": f"""
+            WITH sc AS (SELECT doc_id, source, {_QUALITY6} AS score
+                        FROM documents),
+            b AS (SELECT source AS g,
+                         least(greatest(CAST(floor((score - 0.0) / 0.1)
+                             AS INT), 0), 9) AS bin,
+                         CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS side
+                  FROM sc WHERE score IS NOT NULL),
+            c AS (SELECT g, bin,
+                         sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS cb,
+                         sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cc
+                  FROM b GROUP BY g, bin),
+            t AS (SELECT g, CAST(sum(cb) AS BIGINT) AS nb,
+                         CAST(sum(cc) AS BIGINT) AS nc
+                  FROM c GROUP BY g),
+            grid AS (SELECT t.g, t.nb, t.nc,
+                            CAST(unnest(generate_series(0, 9)) AS INT)
+                                AS bin
+                     FROM t),
+            fl AS (SELECT grid.g, grid.nb, grid.nc, grid.bin,
+                          coalesce(c.cb, 0) AS cb, coalesce(c.cc, 0) AS cc
+                   FROM grid LEFT JOIN c
+                     ON c.g = grid.g AND c.bin = grid.bin),
+            tm AS (SELECT g, nb, nc,
+                          CAST(round(
+                              (CAST(cb + 1 AS DOUBLE) / (nb + 10)
+                               - CAST(cc + 1 AS DOUBLE) / (nc + 10))
+                              * ln((CAST(cb + 1 AS DOUBLE) / (nb + 10))
+                                   / (CAST(cc + 1 AS DOUBLE) / (nc + 10))),
+                              9) AS DECIMAL(20,9)) AS term
+                   FROM fl)
+            SELECT g AS source,
+                   CAST(max(nb) AS BIGINT) AS n_baseline,
+                   CAST(max(nc) AS BIGINT) AS n_current,
+                   round(CAST(CAST(sum(term) AS DECIMAL(38,9)) AS DOUBLE),
+                         6) AS psi
+            FROM tm GROUP BY g ORDER BY source
+        """,
+        "doc_card_diff": _card_diff_oracle(),
+        "embedding_lsh_tradeoff": _lsh_tradeoff_oracle(),
+    }
 
 
 def _rotated_round10_oracles() -> dict[str, str]:

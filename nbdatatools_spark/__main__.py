@@ -7,6 +7,7 @@ reference user can run the same commands against the Spark engine:
             |sq8-error|silhouette|hubness|robust-scale|cka
             |cluster_purity|knn_accuracy|calinski-harabasz|hopkins
             |lof|link-prediction|distinct-ngrams|temperature|ece|sinkhorn|hill
+            |lsh-tradeoff
     compute knn|sort|ivf_build|ivf_append|ivf_search|kmeans|mutual-knn
     convert file
     generate vectors|dataset|mktestdata|fvec-extract|ivec-extract|ivec-shuffle
@@ -22,6 +23,7 @@ reference user can run the same commands against the Spark engine:
            |length_drift|cms_topk|bloom_decontam|source_similarity
            |boilerplate|filter_eval|cross_dedup|sentence_dedup
            |temperature_mix|containment|fineweb|reservoir
+           |kn_perplexity|score_psi|card_diff
            (report / pipeline / tuning / audits / hygiene / tokenizers)
     media hash|near_dups|stats (perceptual-hash image dedup, metadata)
     slab get|namespaces|check|analyze|import|append|export|rewrite
@@ -680,6 +682,52 @@ def _cmd_corpus_kneser_ney(args) -> int:
     )
 
 
+def _cmd_corpus_kn_perplexity(args) -> int:
+    from nbdatatools_spark.operators.lm import kn_perplexity_score
+
+    spark = _spark()
+    train = spark.read.parquet(args.train)
+    score = spark.read.parquet(args.input)
+    out = kn_perplexity_score(
+        train, score, text_col=args.text_col, id_col=args.id_col,
+        discount=args.discount, floor=args.floor,
+    )
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"written": args.output}))
+        return 0
+    return _emit_rows(out.limit(args.limit))
+
+
+def _cmd_corpus_score_psi(args) -> int:
+    from nbdatatools_spark.operators.evaluation import score_psi
+
+    spark = _spark()
+    return _emit_rows(
+        score_psi(
+            spark.read.parquet(args.baseline),
+            spark.read.parquet(args.current),
+            args.score_col, args.group_col,
+            n_bins=args.bins, lo=args.lo, hi=args.hi,
+        )
+    )
+
+
+def _cmd_corpus_card_diff(args) -> int:
+    from nbdatatools_spark.operators.analysis import dataset_card_diff
+
+    spark = _spark()
+    return _emit_rows(
+        dataset_card_diff(
+            spark.read.parquet(args.old),
+            spark.read.parquet(args.new),
+            group_col=args.group_col,
+            text_col=args.text_col,
+            lang_col=args.lang_col,
+        )
+    )
+
+
 def _cmd_corpus_train_unigram(args) -> int:
     from nbdatatools_spark.operators.unigram import unigram_train
 
@@ -928,6 +976,26 @@ def _cmd_analyze_lof(args) -> int:
         print(json.dumps({"written": args.output}))
         return 0
     return _emit_rows(out.orderBy(F.col("lof").desc_nulls_last()).limit(args.limit))
+
+
+def _cmd_analyze_lsh_tradeoff(args) -> int:
+    from nbdatatools_spark.operators.similarity import lsh_tradeoff_report
+
+    spark = _spark()
+    base = spark.read.parquet(args.input)
+    q = (
+        spark.read.parquet(args.queries)
+        if args.queries
+        else base.limit(args.n_queries)
+    )
+    bits = tuple(int(b) for b in args.bits.split(","))
+    return _emit_rows(
+        lsh_tradeoff_report(
+            q, base, k=args.k, dim=args.dim, bits_list=bits,
+            seed=args.seed, query_id=args.id_col, base_id=args.id_col,
+            vec_col=args.vec_col,
+        )
+    )
 
 
 def _cmd_analyze_link_prediction(args) -> int:
@@ -2819,6 +2887,32 @@ def build_parser() -> argparse.ArgumentParser:
     ckn.add_argument("--discount", type=float, default=0.75)
     ckn.add_argument("--top", type=int, default=20)
     ckn.set_defaults(func=_cmd_corpus_kneser_ney)
+    ckpp = cp.add_parser("kn_perplexity")
+    ckpp.add_argument("--train", required=True)
+    ckpp.add_argument("--input", required=True)
+    ckpp.add_argument("--text-col", default="text")
+    ckpp.add_argument("--id-col", default="doc_id")
+    ckpp.add_argument("--discount", type=float, default=0.75)
+    ckpp.add_argument("--floor", type=float, default=1e-9)
+    ckpp.add_argument("--output")
+    ckpp.add_argument("--limit", type=int, default=20)
+    ckpp.set_defaults(func=_cmd_corpus_kn_perplexity)
+    cpsi = cp.add_parser("score_psi")
+    cpsi.add_argument("--baseline", required=True)
+    cpsi.add_argument("--current", required=True)
+    cpsi.add_argument("--score-col", default="score")
+    cpsi.add_argument("--group-col", default="source")
+    cpsi.add_argument("--bins", type=int, default=10)
+    cpsi.add_argument("--lo", type=float, default=0.0)
+    cpsi.add_argument("--hi", type=float, default=1.0)
+    cpsi.set_defaults(func=_cmd_corpus_score_psi)
+    ccd = cp.add_parser("card_diff")
+    ccd.add_argument("--old", required=True)
+    ccd.add_argument("--new", required=True)
+    ccd.add_argument("--group-col", default="source")
+    ccd.add_argument("--text-col", default="text")
+    ccd.add_argument("--lang-col", default="lang")
+    ccd.set_defaults(func=_cmd_corpus_card_diff)
     ctu = cp.add_parser("train_unigram")
     ctu.add_argument("--input", required=True)
     ctu.add_argument("--text-col", default="text")
@@ -3308,6 +3402,17 @@ def build_parser() -> argparse.ArgumentParser:
     alf.add_argument("--output")
     alf.add_argument("--limit", type=int, default=20)
     alf.set_defaults(func=_cmd_analyze_lof)
+    alt = an.add_parser("lsh-tradeoff")
+    alt.add_argument("--input", required=True)
+    alt.add_argument("--queries")
+    alt.add_argument("--n-queries", type=int, default=20)
+    alt.add_argument("--k", type=int, default=10)
+    alt.add_argument("--dim", type=int, default=64)
+    alt.add_argument("--bits", default="4,8,12")
+    alt.add_argument("--seed", type=int, default=42)
+    alt.add_argument("--id-col", default="vec_id")
+    alt.add_argument("--vec-col", default="embedding")
+    alt.set_defaults(func=_cmd_analyze_lsh_tradeoff)
     alp = an.add_parser("link-prediction")
     alp.add_argument("--input", required=True)
     alp.add_argument("--src", default="src")

@@ -1267,6 +1267,83 @@ def dataset_card(
     )
 
 
+def dataset_card_diff(
+    old: DataFrame,
+    new: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """What changed between two dataset snapshots, per slice — the
+    release-to-release diff a training-data card consumer actually
+    asks for (":func:`dataset_card` exists; what MOVED since the last
+    snapshot" is the user question): both snapshots' cards FULL-OUTER
+    joined on the slice key, with per-metric deltas and a status
+    column.
+
+    Returns one row per slice present in EITHER snapshot, ordered by
+    slice: ``(slice, status, n_docs_old, n_docs_new, d_n_docs,
+    d_total_tokens, d_mean_tokens, d_p50_tokens, d_dup_rate,
+    d_n_langs, d_lang_entropy, d_mean_punct_ratio)`` — status in
+    {'added', 'removed', 'changed', 'unchanged'} ('unchanged' = every
+    delta exactly 0 at the cards' own 6dp grain), deltas = new - old
+    at 6dp, NULL on added/removed rows (no counterpart to diff
+    against).
+
+    Exactness: every delta is a difference of two already-6dp-rounded
+    card metrics (or exact integers) — no new float accumulation, so
+    the diff inherits the card's engine-exactness bit-for-bit.
+
+    100-TB shape: two dataset_card plans (each two keyed aggregates)
+    + one slice-grain full-outer join; nothing beyond slice-count
+    rows joins.
+    """
+    a = dataset_card(old, group_col, text_col, lang_col)
+    b = dataset_card(new, group_col, text_col, lang_col)
+    oldc = a.select(
+        "slice", *[F.col(c).alias(f"__o_{c}") for c in a.columns[1:]]
+    )
+    newc = b.select(
+        "slice", *[F.col(c).alias(f"__n_{c}") for c in b.columns[1:]]
+    )
+    j = oldc.join(newc, "slice", "full_outer")
+
+    def delta(col: str):
+        return F.round(
+            F.col(f"__n_{col}").cast("double")
+            - F.col(f"__o_{col}").cast("double"),
+            6,
+        ) + 0.0
+
+    metrics = [
+        "n_docs",
+        "total_tokens",
+        "mean_tokens",
+        "p50_tokens",
+        "dup_rate",
+        "n_langs",
+        "lang_entropy",
+        "mean_punct_ratio",
+    ]
+    changed = None
+    for m in metrics:
+        c = delta(m) != 0.0
+        changed = c if changed is None else (changed | c)
+    status = (
+        F.when(F.col("__o_n_docs").isNull(), F.lit("added"))
+        .when(F.col("__n_n_docs").isNull(), F.lit("removed"))
+        .when(changed, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        "slice",
+        status.alias("status"),
+        F.col("__o_n_docs").cast("bigint").alias("n_docs_old"),
+        F.col("__n_n_docs").cast("bigint").alias("n_docs_new"),
+        *[delta(m).alias(f"d_{m}") for m in metrics],
+    ).orderBy("slice")
+
+
 def rake_keyphrases(
     df: DataFrame,
     text_col: str = "text",

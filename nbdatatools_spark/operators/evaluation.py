@@ -1480,3 +1480,102 @@ def expected_calibration_error(
         ).alias("ece"),
         (F.round(F.max("__gap"), 6) + 0.0).alias("mce"),
     )
+
+
+def score_psi(
+    baseline: DataFrame,
+    current: DataFrame,
+    score_col: str,
+    group_col: str,
+    n_bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Per-slice Population Stability Index on a SCORE column between
+    two snapshots — the calibration-drift monitor for a deployed
+    quality classifier (the temporal composite the score_quantile_align
+    family was missing): embedding_psi watches the representation
+    drift, THIS watches the decision variable itself, per slice, so a
+    retrained or decaying scorer shows up as PSI > 0.25 on the slices
+    it moved (0.1-0.25 drifting, < 0.1 stable — the standard bands).
+
+        PSI_g = sum_bins (p_b - q_b) * ln(p_b / q_b)
+
+    over ``n_bins`` fixed-width bins on [lo, hi] (out-of-range scores
+    clamp to the edge bins; NULL scores drop), add-one smoothing on
+    counts so empty bins stay defined, full per-group bin grid (a bin
+    empty on BOTH sides still contributes its smoothing term — the
+    embedding_psi convention).
+
+    Returns ``(group, n_baseline, n_current, psi)`` at 6dp ordered by
+    group; groups present in only one snapshot still report (their
+    missing side is the smoothed-uniform reference).
+
+    100-TB shape: two map-side bin projections union (no join) into
+    ONE (group, bin) groupBy with conditional counts, then a
+    group-grain rollup over the exploded n_bins grid. The (p-q)*ln(p/q)
+    terms are rounded to 9dp and DECIMAL-summed (order-invariant).
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    width = (hi - lo) / n_bins
+
+    def binned(df: DataFrame, tag: int) -> DataFrame:
+        x = F.col(score_col).cast("double")
+        idx = F.floor((x - F.lit(float(lo))) / F.lit(float(width))).cast(
+            "int"
+        )
+        clamped = F.least(F.greatest(idx, F.lit(0)), F.lit(n_bins - 1))
+        return df.where(F.col(score_col).isNotNull()).select(
+            F.col(group_col).alias("__g"),
+            clamped.alias("__bin"),
+            F.lit(tag).alias("__side"),
+        )
+
+    counts = (
+        binned(baseline, 0)
+        .unionByName(binned(current, 1))
+        .groupBy("__g", "__bin")
+        .agg(
+            F.sum(F.when(F.col("__side") == 0, 1).otherwise(0)).alias(
+                "__cb"
+            ),
+            F.sum(F.when(F.col("__side") == 1, 1).otherwise(0)).alias(
+                "__cc"
+            ),
+        )
+    )
+    totals = counts.groupBy("__g").agg(
+        F.sum("__cb").alias("__nb"), F.sum("__cc").alias("__nc")
+    )
+    grid = totals.select(
+        "__g",
+        "__nb",
+        "__nc",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("__bin"),
+    )
+    full = grid.join(counts, ["__g", "__bin"], "left").na.fill(
+        0, ["__cb", "__cc"]
+    )
+    p = (F.col("__cb") + 1).cast("double") / (F.col("__nb") + F.lit(n_bins))
+    q = (F.col("__cc") + 1).cast("double") / (F.col("__nc") + F.lit(n_bins))
+    term = F.round((p - q) * F.log(p / q), 9).cast("decimal(20,9)")
+    return (
+        full.groupBy("__g")
+        .agg(
+            F.round(
+                F.sum(term).cast("decimal(38,9)").cast("double"), 6
+            ).alias("psi"),
+            F.sum("__cb").cast("bigint").alias("n_baseline"),
+            F.sum("__cc").cast("bigint").alias("n_current"),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            "n_baseline",
+            "n_current",
+            "psi",
+        )
+        .orderBy(group_col)
+    )

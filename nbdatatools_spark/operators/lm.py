@@ -591,6 +591,78 @@ def perplexity_buckets(
     return tiered.unionByName(unscored)
 
 
+def _kn_bigram_pairs(
+    docs: DataFrame, text_col: str, id_col: str, keep_id: bool = False
+) -> DataFrame:
+    """Digest-keyed bigram stream for the KN family: one row per bigram
+    occurrence with md5 keys for the pair, w1, and w2 (slim-digest
+    discipline — raw strings carry once as exemplars, never as join
+    keys). ``keep_id`` additionally carries the document id (the
+    scoring path needs the doc grain; the training path does not)."""
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        tokens(F.lower(F.col(text_col))).alias("__t"),
+    )
+    from nbdatatools_spark.functions.text import _let
+
+    def pairs_of(t):
+        return F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(2), F.size(t)),
+                lambda i: F.struct(
+                    F.element_at(t, i - 1).alias("w1"),
+                    F.element_at(t, i).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.expr("CAST(array() AS array<struct<w1:string,w2:string>>)"))
+
+    # explode_outer + explicit null drop (the winnow_candidate_pairs trap:
+    # inner explode's inferred size()>0 filter inlines the tokenize chain
+    # into an interpreted per-row scan filter).
+    cols = [
+        F.md5(F.concat("__p.w1", F.lit(" "), "__p.w2")).alias("__hb"),
+        F.md5("__p.w1").alias("__h1"),
+        F.md5("__p.w2").alias("__h2"),
+        F.col("__p.w1").alias("__w1"),
+        F.col("__p.w2").alias("__w2"),
+    ]
+    if keep_id:
+        cols = [F.col("__id")] + cols
+    return (
+        toks.select("__id", F.explode_outer(_let(F.col("__t"), pairs_of)).alias("__p"))
+        .where(F.col("__p").isNotNull())
+        .select(*cols)
+        .localCheckpoint(eager=False)
+    )
+
+
+def _kn_model_tables(docs: DataFrame, text_col: str, id_col: str):
+    """The four interpolated-KN bigram model tables + the global type
+    count: types(__hb, __nb, w1, w2, __h1, __h2), c1(__h1, __c1),
+    nfollow(__h1, __nf), nprec(__h2, __np), n_types (bounded driver
+    scalar — vocab-grain count job, the mixture_rates collect pattern)."""
+    pairs = _kn_bigram_pairs(docs, text_col, id_col)
+    # distinct bigram types with counts + exemplar strings (md5 is 1:1 on
+    # the space-joined pair — whitespace-split tokens cannot collide)
+    types = (
+        pairs.groupBy("__hb")
+        .agg(
+            F.count(F.lit(1)).alias("__nb"),
+            F.min("__w1").alias("w1"),
+            F.min("__w2").alias("w2"),
+            F.min("__h1").alias("__h1"),
+            F.min("__h2").alias("__h2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    c1 = pairs.groupBy("__h1").agg(F.count(F.lit(1)).alias("__c1"))
+    nfollow = types.groupBy("__h1").agg(F.count(F.lit(1)).alias("__nf"))
+    nprec = types.groupBy("__h2").agg(F.count(F.lit(1)).alias("__np"))
+    n_types = types.count()  # bounded driver scalar (vocab-bounded)
+    return types, c1, nfollow, nprec, n_types
+
+
 def kneser_ney_bigrams(
     docs: DataFrame,
     text_col: str = "text",
@@ -621,56 +693,9 @@ def kneser_ney_bigrams(
     the global type count is one bounded driver scalar; the final top-n
     is a TakeOrderedAndProject, never a full sort.
     """
-    toks = docs.select(
-        F.col(id_col).alias("__id"),
-        tokens(F.lower(F.col(text_col))).alias("__t"),
+    types, c1, nfollow, nprec, n_types = _kn_model_tables(
+        docs, text_col=text_col, id_col=id_col
     )
-    from nbdatatools_spark.functions.text import _let
-
-    def pairs_of(t):
-        return F.when(
-            F.size(t) >= 2,
-            F.transform(
-                F.sequence(F.lit(2), F.size(t)),
-                lambda i: F.struct(
-                    F.element_at(t, i - 1).alias("w1"),
-                    F.element_at(t, i).alias("w2"),
-                ),
-            ),
-        ).otherwise(F.expr("CAST(array() AS array<struct<w1:string,w2:string>>)"))
-
-    # explode_outer + explicit null drop (the winnow_candidate_pairs trap:
-    # inner explode's inferred size()>0 filter inlines the tokenize chain
-    # into an interpreted per-row scan filter).
-    pairs = (
-        toks.select(F.explode_outer(_let(F.col("__t"), pairs_of)).alias("__p"))
-        .where(F.col("__p").isNotNull())
-        .select(
-            F.md5(F.concat("__p.w1", F.lit(" "), "__p.w2")).alias("__hb"),
-            F.md5("__p.w1").alias("__h1"),
-            F.md5("__p.w2").alias("__h2"),
-            F.col("__p.w1").alias("__w1"),
-            F.col("__p.w2").alias("__w2"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    # distinct bigram types with counts + exemplar strings (md5 is 1:1 on
-    # the space-joined pair — whitespace-split tokens cannot collide)
-    types = (
-        pairs.groupBy("__hb")
-        .agg(
-            F.count(F.lit(1)).alias("__nb"),
-            F.min("__w1").alias("w1"),
-            F.min("__w2").alias("w2"),
-            F.min("__h1").alias("__h1"),
-            F.min("__h2").alias("__h2"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    c1 = pairs.groupBy("__h1").agg(F.count(F.lit(1)).alias("__c1"))
-    nfollow = types.groupBy("__h1").agg(F.count(F.lit(1)).alias("__nf"))
-    nprec = types.groupBy("__h2").agg(F.count(F.lit(1)).alias("__np"))
-    n_types = types.count()  # bounded driver scalar (vocab-bounded)
     d = float(discount)
     term1 = F.greatest(F.col("__nb") - d, F.lit(0.0)) / F.col("__c1")
     term2 = ((d * F.col("__nf")) / F.col("__c1")) * (
@@ -689,6 +714,94 @@ def kneser_ney_bigrams(
         .orderBy(F.desc("p_kn"), "w1", "w2")
         .limit(top_n)
     )
+
+
+def kn_perplexity_score(
+    train: DataFrame,
+    score: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+    floor: float = 1e-9,
+) -> DataFrame:
+    """Per-document perplexity under an interpolated Kneser-Ney bigram
+    model trained on a SEPARATE corpus — the apply-at-scale companion
+    to :func:`kneser_ney_bigrams` (which reports the model's top
+    bigrams but scores nothing): train on the reference slice, score
+    every held-out document. The CCNet-style quality signal with the
+    production smoothing instead of ``bigram_lm_score``'s add-k.
+
+    Probability per scored bigram (w1, w2):
+
+    - both known:  P_KN = max(c(w1 w2) - d, 0)/c(w1 .)
+      + (d * N1+(w1,.)/c(w1 .)) * Pcont(w2)   (unseen bigrams of known
+      words get pure discounted continuation mass — the standard KN
+      backoff behavior),
+    - w1 unseen:   P = Pcont(w2) = N1+(. , w2) / N1+(. , .),
+    - P <= 0 (w2 also unseen): the ``floor`` (1e-9 default) — the
+      KenLM-style OOV floor, so one novel token cannot zero a document.
+
+    Returns ``(doc_id, n_bigrams, n_unseen, mean_logp, perplexity)``
+    per scored document with >= 1 bigram, ordered by id: n_unseen =
+    bigrams absent from the model's type table, mean_logp = mean
+    9dp-rounded ln P (INTEGER-NANO mean — n_bigrams are small round
+    integers, exactly the 6dp-tie hazard rarity_scores hit), and
+    perplexity = exp(-mean_logp) at 6dp.
+
+    100-TB shape: model tables are vocab-grain and join digest-keyed
+    onto the scored bigram stream (three LEFT hash joins + one
+    (doc)-keyed aggregate); the scored corpus never shuffles strings,
+    only 16-byte digests. n_types is one bounded driver scalar.
+    """
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0,1), got {discount}")
+    if not 0.0 < floor < 1.0:
+        raise ValueError(f"floor must be in (0,1), got {floor}")
+    types, c1, nfollow, nprec, n_types = _kn_model_tables(
+        train, text_col=text_col, id_col=id_col
+    )
+    d = float(discount)
+    sc = _kn_bigram_pairs(score, text_col, id_col, keep_id=True)
+    joined = (
+        sc.select("__id", "__hb", "__h1", "__h2")
+        .join(types.select("__hb", "__nb"), "__hb", "left")
+        .join(c1, "__h1", "left")
+        .join(nfollow, "__h1", "left")
+        .join(nprec, "__h2", "left")
+    )
+    pcont = F.coalesce(F.col("__np"), F.lit(0)).cast("double") / F.lit(
+        float(n_types)
+    )
+    p_known = (
+        F.greatest(F.coalesce(F.col("__nb"), F.lit(0)) - d, F.lit(0.0))
+        / F.col("__c1")
+        + ((d * F.col("__nf")) / F.col("__c1")) * pcont
+    )
+    p_raw = F.when(F.col("__c1").isNotNull(), p_known).otherwise(pcont)
+    p_eff = F.when(p_raw > 0.0, p_raw).otherwise(F.lit(float(floor)))
+    # negated log terms are >= 0 (p <= 1), so the integer half-up mean
+    # never divides a negative sum (div semantics differ cross-engine
+    # on negatives)
+    neg_nano = F.round(F.round(-F.log(p_eff), 9) * 1e9, 0).cast("long")
+    per_doc = joined.select(
+        "__id",
+        neg_nano.alias("__t"),
+        F.col("__nb").isNull().cast("int").alias("__unseen"),
+    ).groupBy("__id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__t").alias("__s"),
+        F.sum("__unseen").alias("__nu"),
+    )
+    mean_micro = F.expr("(__s + 500 * __n) div (1000 * __n)")
+    return per_doc.select(
+        F.col("__id").alias(id_col),
+        F.col("__n").cast("bigint").alias("n_bigrams"),
+        F.col("__nu").cast("bigint").alias("n_unseen"),
+        (-(mean_micro.cast("double") / 1e6) + 0.0).alias("mean_logp"),
+        (F.round(F.exp(mean_micro.cast("double") / 1e6), 6) + 0.0).alias(
+            "perplexity"
+        ),
+    ).orderBy(id_col)
 
 
 def _cms_tokens(df: DataFrame, text_col: str) -> DataFrame:

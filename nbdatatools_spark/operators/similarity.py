@@ -1316,6 +1316,106 @@ def ann_tuning_report(
     )
 
 
+def lsh_tradeoff_report(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    bits_list=(4, 8, 12),
+    seed: int = 42,
+    query_id: str = "vec_id",
+    base_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k vs candidate-cost curve for random-hyperplane LSH — the
+    fully-declarative, oracle-replayable sibling of
+    :func:`ann_tuning_report` (whose IVF ground truth needs a k-means
+    no SQL oracle can replay): before an index commits to n_bits, this
+    reports what each setting BUYS (recall against exact cosine top-k)
+    and what it COSTS (mean bucket-join candidates per query — the
+    scan-cost dial; wall latency is a box artifact, candidate count is
+    the portable proxy).
+
+    One row per n_bits, ordered: ``(n_bits, n_queries, recall_at_k,
+    mean_candidates)`` — recall = total |LSH-top-k ∩ exact-top-k| /
+    (k * n_queries) (id-set comparison, never distances, so kernel
+    float noise can't blur it), both ratios single exact-integer
+    divisions rendered at 6dp.
+
+    100-TB shape: ground truth is ONE broadcast query-side crossJoin +
+    rank-k window (the exact_knn audit posture — cap the query sample
+    upstream); each n_bits adds one signature bucket join (shuffles on
+    the signature, uniform by construction) + two query-grain
+    aggregates. No driver loops — the per-bits blocks are a unionByName
+    of 1-row frames, one Catalyst plan.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not bits_list:
+        raise ValueError("bits_list must be non-empty")
+    q = queries.select(
+        F.col(query_id).alias("qid"), F.col(vec_col).alias("qvec")
+    )
+    b = base.select(F.col(base_id).alias("bid"), F.col(vec_col).alias("bvec"))
+    nq = q.agg(F.count(F.lit(1)).alias("__nq"))
+    dist = distance_expr("cosine", F.col("qvec"), F.col("bvec"))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("__d").asc_nulls_last(), F.col("bid").asc()
+    )
+    truth = (
+        b.join(F.broadcast(q), how="cross")
+        .select("qid", "bid", dist.alias("__d"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select("qid", "bid")
+        .localCheckpoint(eager=False)
+    )
+
+    blocks = []
+    for n_bits in bits_list:
+        approx = lsh_topk(
+            queries, base, k, dim,
+            n_bits=int(n_bits), seed=seed,
+            query_id=query_id, base_id=base_id, vec_col=vec_col,
+        ).select(F.col("query_id").alias("qid"), F.col("base_id").alias("bid"))
+        qsig = q.select(
+            "qid",
+            random_hyperplane_signature(
+                F.col("qvec"), dim, int(n_bits), seed
+            ).alias("sig"),
+        )
+        bsig = b.select(
+            random_hyperplane_signature(
+                F.col("bvec"), dim, int(n_bits), seed
+            ).alias("sig")
+        )
+        n_cand = (
+            bsig.join(F.broadcast(qsig), "sig")
+            .agg(F.count(F.lit(1)).alias("__cand"))
+        )
+        n_match = approx.join(truth, ["qid", "bid"]).agg(
+            F.count(F.lit(1)).alias("__m")
+        )
+        blocks.append(
+            nq.crossJoin(F.broadcast(n_match))
+            .crossJoin(F.broadcast(n_cand))
+            .select(
+                F.lit(int(n_bits)).alias("n_bits"),
+                F.col("__nq").cast("bigint").alias("n_queries"),
+                F.round(
+                    F.col("__m") / (F.lit(int(k)) * F.col("__nq")), 6
+                ).alias("recall_at_k"),
+                F.round(F.col("__cand") / F.col("__nq"), 6).alias(
+                    "mean_candidates"
+                ),
+            )
+        )
+    out = blocks[0]
+    for blk in blocks[1:]:
+        out = out.unionByName(blk)
+    return out.orderBy("n_bits")
+
+
 def truncate_embeddings(
     df: DataFrame,
     dims: int,

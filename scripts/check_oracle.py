@@ -52,9 +52,20 @@ def norm_cell(v):
     return v
 
 
+def _none_safe_key(row):
+    """Rows can mix None with values in the same column (NULL deltas on
+    added/removed diff rows; NULL asof matches): Python can't order
+    None against ints, so key each cell as (is-None, value). The driver
+    itself is fine — pandas sort_values handles NaN."""
+    return tuple((v is None, 0 if v is None else v) for v in row)
+
+
 def norm_rows(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(norm_cell(r[i]) for i in idx) for r in rows)
+    return sorted(
+        (tuple(norm_cell(r[i]) for i in idx) for r in rows),
+        key=_none_safe_key,
+    )
 
 
 _SCALAR_INTS = {"tinyint", "smallint", "int", "bigint"}

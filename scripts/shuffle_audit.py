@@ -121,6 +121,13 @@ def _window_sample(spark, sf_dir):
     )
 
 
+def _allpairs_capped(spark, sf_dir):
+    from nbdatatools_spark.operators.dedup import cosine_threshold_pairs
+
+    docs = _docs(spark, sf_dir)
+    return cosine_threshold_pairs(docs, threshold=0.9, max_posting=400)
+
+
 def _link_uncapped(spark, sf_dir):
     from nbdatatools_spark.operators.graph import (
         cooccurrence_edges,
@@ -158,7 +165,12 @@ AUDITS = [
      "doc_decontaminate"),
     ("decontaminate", "bloom_prefilter", "map-side screen, survivors only",
      "doc_bloom_decontaminate"),
-    ("uniform_sample", "window_sort", "whole table through ONE sort task",
+    # honest null result, kept deliberately: Catalyst's
+    # LimitPushDownThroughWindow rewrites the naive global-row_number
+    # form into the SAME TakeOrderedAndProject as the bottom-k sketch
+    # (verified via explain) — the reservoir operator's value at this
+    # shape is exact-k determinism, not shuffle savings
+    ("uniform_sample", "window_sort", "Catalyst rewrites to bottom-k too",
      _window_sample),
     ("uniform_sample", "bottomk_sketch", "k rows/partition partial top-k",
      "doc_reservoir_sample"),
@@ -166,8 +178,19 @@ AUDITS = [
      _link_uncapped),
     ("link_prediction", "z_degree_cap", "cap*2m wedges (384k at sf0.1)",
      "events_link_prediction"),
-    ("allpairs_cosine", "prefix_filter", "rarest-first postings only",
+    # the synthetic corpus has a BOUNDED (~257-type) vocabulary — the
+    # documented degenerate case for AllPairs: no token is rare, prefix
+    # postings reach ~3.8k docs at sf0.1, and the exact verify is
+    # genuinely quadratic ON BOTH ENGINES (Spark ~282 s, DuckDB ~208 s
+    # for the same 1776 pairs — an algorithmic cost, not a plan
+    # failure). max_posting=400 is the operator's own escape hatch:
+    # 0.9 s / 64 pairs (the lost 1712 are frequent-token-only
+    # statistical near-collisions this corpus manufactures; Zipfian
+    # real text never binds the cap). Both variants audited.
+    ("allpairs_cosine", "exact_prefix", "rarest-first postings, no cap",
      "doc_cosine_threshold_pairs"),
+    ("allpairs_cosine", "posting_cap", "max_posting=400 (degenerate-vocab lever)",
+     _allpairs_capped),
     ("minhash_lsh", "banded", "32 hashes -> 8 band keys per doc",
      "minhash_candidate_pairs"),
 ]
@@ -184,8 +207,11 @@ def main():
         i = argv.index("--md")
         md_out = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
-    skip_uncapped = "--skip-uncapped" in argv
-    argv = [a for a in argv if a != "--skip-uncapped"]
+    # --skip-uncapped / --fast: omit the two deliberately-expensive
+    # exact variants (uncapped link prediction ~40-95 s; exact AllPairs
+    # on the degenerate-vocab corpus ~280 s at sf0.1)
+    skip_uncapped = "--skip-uncapped" in argv or "--fast" in argv
+    argv = [a for a in argv if a not in ("--skip-uncapped", "--fast")]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
 
     spark = get_spark(
@@ -199,7 +225,7 @@ def main():
 
     rows = []
     for family, variant, posture, src in AUDITS:
-        if skip_uncapped and variant == "uncapped":
+        if skip_uncapped and variant in ("uncapped", "exact_prefix"):
             continue
         fn = gates[src] if isinstance(src, str) else src
         # settle any in-flight accounting, snapshot, run, snapshot

@@ -1,0 +1,69 @@
+"""Round-11 batch-1 CLI wiring: corpus kn_perplexity / score_psi /
+card_diff, analyze lsh-tradeoff."""
+
+import json
+import os
+
+from nbdatatools_spark.__main__ import main
+
+SF = os.environ.get("NBDT_TEST_SF_DIR", "/root/testdata/sf0.001")
+DOCS = os.path.join(SF, "documents.parquet")
+EMB = os.path.join(SF, "embeddings.parquet")
+
+
+def _lines(capsys):
+    return [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+
+
+def test_kn_perplexity_cli(spark, capsys, tmp_path):
+    train = str(tmp_path / "train.parquet")
+    held = str(tmp_path / "held.parquet")
+    docs = spark.read.parquet(DOCS)
+    docs.where("doc_id % 3 != 0").write.parquet(train)
+    docs.where("doc_id % 3 = 0").write.parquet(held)
+    assert main(["corpus", "kn_perplexity", "--train", train,
+                 "--input", held, "--limit", "5"]) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 5
+    assert all(r["perplexity"] > 0 for r in rows)
+    assert all(r["n_bigrams"] >= 1 for r in rows)
+
+
+def test_score_psi_cli(spark, capsys, tmp_path):
+    base = str(tmp_path / "base.parquet")
+    cur = str(tmp_path / "cur.parquet")
+    scored = spark.read.parquet(DOCS).selectExpr(
+        "source", "round(n_chars / 2000.0, 6) AS score"
+    )
+    scored.where("score <= 0.5").write.parquet(base)
+    scored.where("score > 0.5").write.parquet(cur)
+    assert main(["corpus", "score_psi", "--baseline", base,
+                 "--current", cur]) == 0
+    rows = _lines(capsys)
+    assert rows and all("psi" in r for r in rows)
+    # disjoint halves of the score range must read as a big shift
+    assert max(r["psi"] for r in rows) > 0.25
+
+
+def test_card_diff_cli(spark, capsys, tmp_path):
+    old = str(tmp_path / "old.parquet")
+    new = str(tmp_path / "new.parquet")
+    docs = spark.read.parquet(DOCS)
+    docs.where("doc_id % 2 = 0").write.parquet(old)
+    docs.where("doc_id % 2 = 1").write.parquet(new)
+    assert main(["corpus", "card_diff", "--old", old, "--new", new]) == 0
+    rows = _lines(capsys)
+    assert rows
+    assert all(
+        r["status"] in ("added", "removed", "changed", "unchanged")
+        for r in rows
+    )
+
+
+def test_lsh_tradeoff_cli(spark, capsys):
+    assert main(["analyze", "lsh-tradeoff", "--input", EMB,
+                 "--n-queries", "5", "--k", "5", "--bits", "4,8"]) == 0
+    rows = _lines(capsys)
+    assert [r["n_bits"] for r in rows] == [4, 8]
+    assert all(0.0 <= r["recall_at_k"] <= 1.0 for r in rows)
+    assert rows[0]["mean_candidates"] >= rows[1]["mean_candidates"]
