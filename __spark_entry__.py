@@ -10983,11 +10983,15 @@ def _rotated_round8_oracles() -> dict[str, str]:
             s AS (
                 SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
                        count(g) AS n_gaps,
+                       CAST(sum(g) AS BIGINT) AS sgi,
                        CAST(sum(g) AS DOUBLE) AS sg,
                        CAST(sum(CAST(g AS HUGEINT) * g) AS DOUBLE) AS sg2
                 FROM g GROUP BY user_id HAVING count(*) >= 3)
             SELECT user_id, n_events,
-                   round((sg / n_gaps) / 1000000.0, 6) AS mean_gap_s,
+                   -- pure-integer half-up micro mean (6dp-seconds ==
+                   -- integer micros; float round ties at sf0.1)
+                   CAST((2 * sgi + n_gaps) // (2 * n_gaps) AS DOUBLE)
+                       / 1000000.0 AS mean_gap_s,
                    round(sqrt(greatest(0.0, sg2 / n_gaps
                               - (sg / n_gaps) * (sg / n_gaps))) / 1000000.0,
                          6) AS std_gap_s,
@@ -13165,6 +13169,72 @@ def embedding_lsh_tradeoff(spark, sf_dir):
     )
 
 
+def doc_mink_prob(spark, sf_dir):
+    """Min-K% Prob contamination/membership signal (lm.py::
+    mink_prob_score, Shi et al. 2023): per held-out document, the mean
+    log probability of its 20% least-probable bigrams under the
+    held-in KN model — the memorization audit (a document the model
+    knows has NO very-surprising spans). Shares the doc_kn_perplexity
+    scored term stream; ONE per-doc rank window (ties value-grain
+    deterministic) + integer half-up micro mean. Oracle replays the
+    term CTEs, the rank, and the integer mean."""
+    from nbdatatools_spark.operators.lm import mink_prob_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return mink_prob_score(
+        docs.where(F.col("doc_id") % 3 != 0),
+        docs.where(F.col("doc_id") % 3 == 0),
+        k_pct=0.2,
+        discount=0.75,
+        floor=1e-9,
+    )
+
+
+def doc_gwet_ac1(spark, sf_dir):
+    """Gwet's AC1 agreement (evaluation.py::gwet_ac1, Gwet 2008) over
+    the same three-rater ragged panel as doc_krippendorff (quality
+    rates all, length skips doc_id%3==0, lang skips doc_id%7==0) —
+    the prevalence-stable companion the kappa family needs: on skewed
+    label splits kappa collapses toward 0 while AC1 tracks the
+    observed agreement. Ragged items participate (>= 2 raters);
+    single-rating items (doc_id%21==0) drop loudly. One (item,
+    category) aggregate + two bounded reduces."""
+    from nbdatatools_spark.operators.evaluation import gwet_ac1
+
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.select(
+        F.col("doc_id").alias("unit"),
+        F.lit("q").alias("rater"),
+        (F.round(quality_score(F.col("text")), 6) >= 0.5)
+        .cast("string")
+        .alias("cat"),
+    )
+    ln = docs.where(F.col("doc_id") % 3 != 0).select(
+        F.col("doc_id").alias("unit"),
+        F.lit("len").alias("rater"),
+        (F.col("n_chars") >= 400).cast("string").alias("cat"),
+    )
+    lg = docs.where(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("unit"),
+        F.lit("lang").alias("rater"),
+        (F.col("lang") == "en").cast("string").alias("cat"),
+    )
+    return gwet_ac1(q.unionByName(ln).unionByName(lg), "unit", "rater", "cat")
+
+
+def doc_auc_delong(spark, sf_dir):
+    """ROC-AUC with the DeLong variance and 95% normal CI
+    (evaluation.py::auc_delong_ci, DeLong et al. 1988 / Sun & Xu 2014
+    midranks) for the heuristic quality score vs the long-document
+    label — the error bar doc_quality_auc was missing. Placement
+    values at the (score)-group grain over the ranking_auc two-phase
+    partition-offset rank sums; 9dp DECIMAL-summed moments; one fixed
+    double variance expression both engines replay."""
+    from nbdatatools_spark.operators.evaluation import auc_delong_ci
+
+    return auc_delong_ci(_scored_docs(spark, sf_dir), "score", "y")
+
+
 def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Round-11 rotation candidates: same contract as queries(), kept out
     of the live window so the round-10 recording layout stays attested.
@@ -13180,6 +13250,9 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_score_psi_drift": doc_score_psi_drift,
         "doc_card_diff": doc_card_diff,
         "embedding_lsh_tradeoff": embedding_lsh_tradeoff,
+        "doc_mink_prob": doc_mink_prob,
+        "doc_gwet_ac1": doc_gwet_ac1,
+        "doc_auc_delong": doc_auc_delong,
     }
 
 
@@ -13386,15 +13459,14 @@ def _sinkhorn_oracle(
     """
 
 
-def _kn_perplexity_oracle(discount: float = 0.75, floor: float = 1e-9) -> str:
-    """DuckDB replica of doc_kn_perplexity: model tables from the
-    held-in slice (string-keyed — grouping by strings equals grouping
-    by their 1:1 md5 digests), the three-way backoff CASE, the 9dp
-    -ln(p) nano terms, and the pure-integer half-up micro mean."""
+def _kn_terms_ctes(discount: float = 0.75, floor: float = 1e-9) -> str:
+    """Shared CTE chain for the KN scoring oracles (doc_kn_perplexity /
+    doc_mink_prob): model tables from the held-in slice (string-keyed —
+    grouping by strings equals grouping by their 1:1 md5 digests), the
+    three-way backoff CASE, and the 9dp -ln(p) BIGINT nano terms."""
     d = repr(float(discount))
     fl = repr(float(floor))
-    return f"""
-        WITH t AS (
+    return f"""t AS (
             SELECT {_LTOKENS} AS a FROM documents
             WHERE doc_id % 3 <> 0 AND length(trim(text)) > 0),
         prs AS (
@@ -13439,7 +13511,14 @@ def _kn_perplexity_oracle(discount: float = 0.75, floor: float = 1e-9) -> str:
                                              ELSE {fl} END), 9)
                               * 1e9, 0) AS BIGINT) AS tn,
                    u
-            FROM pp),
+            FROM pp)"""
+
+
+def _kn_perplexity_oracle(discount: float = 0.75, floor: float = 1e-9) -> str:
+    """DuckDB replica of doc_kn_perplexity: the shared KN term CTEs +
+    the pure-integer half-up micro mean."""
+    return f"""
+        WITH {_kn_terms_ctes(discount, floor)},
         ag AS (
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(tn) AS BIGINT) AS s,
@@ -13450,6 +13529,39 @@ def _kn_perplexity_oracle(discount: float = 0.75, floor: float = 1e-9) -> str:
                    AS mean_logp,
                round(exp(CAST((s + 500 * n) // (1000 * n) AS DOUBLE) / 1e6),
                      6) + 0.0 AS perplexity
+        FROM ag ORDER BY doc_id
+    """
+
+
+def _mink_prob_oracle(
+    k_pct: float = 0.2, discount: float = 0.75, floor: float = 1e-9
+) -> str:
+    """DuckDB replica of doc_mink_prob: the shared KN term CTEs, a
+    per-doc rank on the nano term DESC (ties are value-grain
+    deterministic — tied terms carry the identical value), keep
+    max(1, floor(k_pct * n)), integer half-up micro mean."""
+    kp = repr(float(k_pct))
+    return f"""
+        WITH {_kn_terms_ctes(discount, floor)},
+        rk AS (
+            SELECT doc_id, tn,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY tn DESC) AS r,
+                   count(*) OVER (PARTITION BY doc_id) AS n
+            FROM terms),
+        kept AS (
+            SELECT doc_id, n, tn,
+                   greatest(1, CAST(floor({kp} * n) AS INT)) AS k
+            FROM rk
+            WHERE r <= greatest(1, CAST(floor({kp} * n) AS INT))),
+        ag AS (
+            SELECT doc_id, CAST(max(n) AS BIGINT) AS n,
+                   CAST(max(k) AS INT) AS k,
+                   CAST(sum(tn) AS BIGINT) AS s
+            FROM kept GROUP BY doc_id)
+        SELECT doc_id, n AS n_bigrams, k AS k_used,
+               -(CAST((s + 500 * k) // (1000 * k) AS DOUBLE) / 1e6) + 0.0
+                   AS mink_logp
         FROM ag ORDER BY doc_id
     """
 
@@ -13666,6 +13778,126 @@ def candidate_oracles() -> dict[str, str]:
         """,
         "doc_card_diff": _card_diff_oracle(),
         "embedding_lsh_tradeoff": _lsh_tradeoff_oracle(),
+        "doc_mink_prob": _mink_prob_oracle(),
+        "doc_gwet_ac1": f"""
+            WITH rr AS (
+                SELECT doc_id AS i, 'q' AS r,
+                       CAST({_QUALITY6} >= 0.5 AS VARCHAR) AS c
+                FROM documents
+                UNION ALL
+                SELECT doc_id, 'len', CAST(n_chars >= 400 AS VARCHAR)
+                FROM documents WHERE doc_id % 3 <> 0
+                UNION ALL
+                SELECT doc_id, 'lang', CAST(lang = 'en' AS VARCHAR)
+                FROM documents WHERE doc_id % 7 <> 0),
+            ic AS (SELECT i, c, count(*) AS n FROM rr GROUP BY i, c),
+            rd AS (SELECT i, count(DISTINCT r) AS nd FROM rr GROUP BY i),
+            per AS (SELECT ic.i, sum(n) AS ri, sum(n * (n - 1)) AS agr
+                    FROM ic GROUP BY ic.i),
+            tagged AS (SELECT per.*, rd.nd FROM per JOIN rd ON rd.i = per.i),
+            kept AS (SELECT * FROM tagged WHERE nd = ri AND ri >= 2),
+            drp AS (SELECT CAST(count(*) AS BIGINT) AS n_items_dropped
+                    FROM tagged WHERE NOT (nd = ri AND ri >= 2)),
+            ia AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+                          CAST(CAST(sum(CAST(round(CAST(agr AS DOUBLE)
+                              / (ri * (ri - 1.0)), 9) AS DECIMAL(30,9)))
+                              AS DECIMAL(38,9)) AS DOUBLE) AS sp
+                   FROM kept),
+            sh AS (SELECT ic.c,
+                          CAST(CAST(sum(CAST(round(CAST(ic.n AS DOUBLE)
+                              / kept.ri, 9) AS DECIMAL(30,9)))
+                              AS DECIMAL(38,9)) AS DOUBLE) AS sc
+                   FROM ic JOIN kept ON kept.i = ic.i GROUP BY ic.c),
+            ca AS (SELECT CAST(count(*) AS INT) AS n_categories,
+                          CAST(CAST(sum(CAST(round((sc / ia.n_items)
+                              * (1.0 - sc / ia.n_items), 9)
+                              AS DECIMAL(30,9))) AS DECIMAL(38,9))
+                              AS DOUBLE) AS spq
+                   FROM sh CROSS JOIN ia)
+            SELECT ia.n_items, drp.n_items_dropped, ca.n_categories,
+                   round(ia.sp / ia.n_items, 6) + 0.0 AS pa,
+                   round(CASE WHEN ca.n_categories > 1
+                              THEN ca.spq / (ca.n_categories - 1) END, 6)
+                       + 0.0 AS pe,
+                   round(CASE WHEN ca.n_categories > 1
+                              AND ca.spq / (ca.n_categories - 1) < 1.0
+                              THEN (ia.sp / ia.n_items
+                                    - ca.spq / (ca.n_categories - 1))
+                                   / (1.0 - ca.spq / (ca.n_categories - 1))
+                         END, 6) + 0.0 AS ac1
+            FROM ia CROSS JOIN ca CROSS JOIN drp
+        """,
+        "doc_auc_delong": f"""
+            WITH sc AS (SELECT {_QUALITY6} AS s,
+                               CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END
+                                   AS y
+                        FROM documents),
+            g AS (SELECT s, count(*) AS n, sum(y) AS np,
+                         count(*) - sum(y) AS nn
+                  FROM sc GROUP BY s),
+            r AS (SELECT s, n, np, nn,
+                         CAST(coalesce(sum(n) OVER w, 0) AS BIGINT) AS ba,
+                         CAST(coalesce(sum(np) OVER w, 0) AS BIGINT) AS bp,
+                         CAST(coalesce(sum(nn) OVER w, 0) AS BIGINT) AS bm
+                  FROM g
+                  WINDOW w AS (ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+            t AS (SELECT CAST(sum(np) AS BIGINT) AS n1,
+                         CAST(sum(nn) AS BIGINT) AS n0
+                  FROM g),
+            v AS (SELECT r.np, r.nn,
+                         round(((ba + (n + 1) / 2.0)
+                                - (bp + (np + 1) / 2.0))
+                               / CAST(t.n0 AS DOUBLE), 9) AS v10,
+                         round(1.0 - ((ba + (n + 1) / 2.0)
+                                      - (bm + (nn + 1) / 2.0))
+                                     / CAST(t.n1 AS DOUBLE), 9) AS v01,
+                         t.n1, t.n0
+                  FROM r CROSS JOIN t),
+            a AS (SELECT CAST(max(n1) AS BIGINT) AS n_pos,
+                         CAST(max(n0) AS BIGINT) AS n_neg,
+                         CAST(CAST(sum(CAST(np * v10 AS DECIMAL(30,9)))
+                             AS DECIMAL(38,9)) AS DOUBLE) AS s10,
+                         CAST(CAST(sum(CAST(np * round(v10 * v10, 9)
+                             AS DECIMAL(30,9))) AS DECIMAL(38,9))
+                             AS DOUBLE) AS q10,
+                         CAST(CAST(sum(CAST(nn * v01 AS DECIMAL(30,9)))
+                             AS DECIMAL(38,9)) AS DOUBLE) AS s01,
+                         CAST(CAST(sum(CAST(nn * round(v01 * v01, 9)
+                             AS DECIMAL(30,9))) AS DECIMAL(38,9))
+                             AS DOUBLE) AS q01
+                  FROM v)
+            SELECT n_pos, n_neg,
+                   round(CASE WHEN n_pos > 0 AND n_neg > 0
+                              THEN s10 / n_pos END, 6) + 0.0 AS auc,
+                   round(CASE WHEN n_pos > 1 AND n_neg > 1 THEN
+                       sqrt(greatest((q10 - n_pos * (s10 / n_pos)
+                                      * (s10 / n_pos)) / (n_pos - 1.0),
+                                     0.0) / n_pos
+                            + greatest((q01 - n_neg * (s01 / n_neg)
+                                        * (s01 / n_neg)) / (n_neg - 1.0),
+                                       0.0) / n_neg)
+                   END, 6) + 0.0 AS se,
+                   round(CASE WHEN n_pos > 1 AND n_neg > 1 THEN
+                       s10 / n_pos - 1.959963984540054 *
+                       sqrt(greatest((q10 - n_pos * (s10 / n_pos)
+                                      * (s10 / n_pos)) / (n_pos - 1.0),
+                                     0.0) / n_pos
+                            + greatest((q01 - n_neg * (s01 / n_neg)
+                                        * (s01 / n_neg)) / (n_neg - 1.0),
+                                       0.0) / n_neg)
+                   END, 6) + 0.0 AS ci_lo,
+                   round(CASE WHEN n_pos > 1 AND n_neg > 1 THEN
+                       s10 / n_pos + 1.959963984540054 *
+                       sqrt(greatest((q10 - n_pos * (s10 / n_pos)
+                                      * (s10 / n_pos)) / (n_pos - 1.0),
+                                     0.0) / n_pos
+                            + greatest((q01 - n_neg * (s01 / n_neg)
+                                        * (s01 / n_neg)) / (n_neg - 1.0),
+                                       0.0) / n_neg)
+                   END, 6) + 0.0 AS ci_hi
+            FROM a
+        """,
     }
 
 

@@ -7,7 +7,7 @@ reference user can run the same commands against the Spark engine:
             |sq8-error|silhouette|hubness|robust-scale|cka
             |cluster_purity|knn_accuracy|calinski-harabasz|hopkins
             |lof|link-prediction|distinct-ngrams|temperature|ece|sinkhorn|hill
-            |lsh-tradeoff
+            |lsh-tradeoff|gwet|auc-ci
     compute knn|sort|ivf_build|ivf_append|ivf_search|kmeans|mutual-knn
     convert file
     generate vectors|dataset|mktestdata|fvec-extract|ivec-extract|ivec-shuffle
@@ -23,7 +23,7 @@ reference user can run the same commands against the Spark engine:
            |length_drift|cms_topk|bloom_decontam|source_similarity
            |boilerplate|filter_eval|cross_dedup|sentence_dedup
            |temperature_mix|containment|fineweb|reservoir
-           |kn_perplexity|score_psi|card_diff
+           |kn_perplexity|score_psi|card_diff|mink_prob
            (report / pipeline / tuning / audits / hygiene / tokenizers)
     media hash|near_dups|stats (perceptual-hash image dedup, metadata)
     slab get|namespaces|check|analyze|import|append|export|rewrite
@@ -726,6 +726,39 @@ def _cmd_corpus_card_diff(args) -> int:
             lang_col=args.lang_col,
         )
     )
+
+
+def _cmd_corpus_mink_prob(args) -> int:
+    from nbdatatools_spark.operators.lm import mink_prob_score
+
+    spark = _spark()
+    out = mink_prob_score(
+        spark.read.parquet(args.train),
+        spark.read.parquet(args.input),
+        text_col=args.text_col, id_col=args.id_col,
+        k_pct=args.k_pct, discount=args.discount, floor=args.floor,
+    )
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"written": args.output}))
+        return 0
+    return _emit_rows(out.limit(args.limit))
+
+
+def _cmd_analyze_gwet(args) -> int:
+    from nbdatatools_spark.operators.evaluation import gwet_ac1
+
+    df = _spark().read.parquet(args.input)
+    return _emit_rows(
+        gwet_ac1(df, args.item_col, args.rater_col, args.cat_col)
+    )
+
+
+def _cmd_analyze_auc_ci(args) -> int:
+    from nbdatatools_spark.operators.evaluation import auc_delong_ci
+
+    df = _spark().read.parquet(args.input)
+    return _emit_rows(auc_delong_ci(df, args.score_col, args.label_col))
 
 
 def _cmd_corpus_train_unigram(args) -> int:
@@ -2913,6 +2946,17 @@ def build_parser() -> argparse.ArgumentParser:
     ccd.add_argument("--text-col", default="text")
     ccd.add_argument("--lang-col", default="lang")
     ccd.set_defaults(func=_cmd_corpus_card_diff)
+    cmk = cp.add_parser("mink_prob")
+    cmk.add_argument("--train", required=True)
+    cmk.add_argument("--input", required=True)
+    cmk.add_argument("--text-col", default="text")
+    cmk.add_argument("--id-col", default="doc_id")
+    cmk.add_argument("--k-pct", type=float, default=0.2)
+    cmk.add_argument("--discount", type=float, default=0.75)
+    cmk.add_argument("--floor", type=float, default=1e-9)
+    cmk.add_argument("--output")
+    cmk.add_argument("--limit", type=int, default=20)
+    cmk.set_defaults(func=_cmd_corpus_mink_prob)
     ctu = cp.add_parser("train_unigram")
     ctu.add_argument("--input", required=True)
     ctu.add_argument("--text-col", default="text")
@@ -3413,6 +3457,17 @@ def build_parser() -> argparse.ArgumentParser:
     alt.add_argument("--id-col", default="vec_id")
     alt.add_argument("--vec-col", default="embedding")
     alt.set_defaults(func=_cmd_analyze_lsh_tradeoff)
+    agw = an.add_parser("gwet")
+    agw.add_argument("--input", required=True)
+    agw.add_argument("--item-col", default="item")
+    agw.add_argument("--rater-col", default="rater")
+    agw.add_argument("--cat-col", default="category")
+    agw.set_defaults(func=_cmd_analyze_gwet)
+    aci = an.add_parser("auc-ci")
+    aci.add_argument("--input", required=True)
+    aci.add_argument("--score-col", default="score")
+    aci.add_argument("--label-col", default="label")
+    aci.set_defaults(func=_cmd_analyze_auc_ci)
     alp = an.add_parser("link-prediction")
     alp.add_argument("--input", required=True)
     alp.add_argument("--src", default="src")

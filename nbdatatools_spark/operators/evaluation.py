@@ -1579,3 +1579,248 @@ def score_psi(
         )
         .orderBy(group_col)
     )
+
+
+def gwet_ac1(
+    df: DataFrame,
+    item_col: str,
+    rater_col: str,
+    category_col,
+) -> DataFrame:
+    """Gwet's AC1 (Gwet 2008): chance-corrected multi-rater nominal
+    agreement that stays stable under skewed prevalence — the known
+    paradox of :func:`fleiss_kappa` (two raters agreeing 95% of the
+    time on a 95/5 label split can score kappa ~ 0; AC1 reads ~0.9) —
+    and, unlike Fleiss, defined for RAGGED panels (any item with >= 2
+    distinct raters contributes; no modal-count requirement):
+
+        pa   = mean_i sum_c n_ic (n_ic - 1) / (r_i (r_i - 1))
+        pi_c = mean_i n_ic / r_i
+        pe   = (1 / (C - 1)) * sum_c pi_c (1 - pi_c)
+        AC1  = (pa - pe) / (1 - pe)
+
+    Items whose row count differs from their DISTINCT rater count (a
+    duplicated rater masking a missing one — the friedman/fleiss gate)
+    or with < 2 raters drop loudly into ``n_items_dropped``.
+
+    Returns ONE row ``(n_items, n_items_dropped, n_categories, pa, pe,
+    ac1)`` at 6dp; a single-category panel reports pa = 1 with NULL
+    pe/ac1 (the C - 1 denominator is undefined).
+
+    Plan: one (item, category) count aggregate, one item-grain reduce,
+    one category-grain reduce (bounded by the category alphabet) — all
+    9dp-DECIMAL-summed, map-side combinable, no windows, no pairs.
+    """
+    cat = (
+        F.col(category_col) if isinstance(category_col, str) else category_col
+    )
+    base = df.select(
+        F.col(item_col).alias("__i"),
+        F.col(rater_col).alias("__r"),
+        cat.cast("string").alias("__c"),
+    ).where(F.col("__c").isNotNull())
+    ic = base.groupBy("__i", "__c").agg(F.count(F.lit(1)).alias("__n"))
+    rdist = base.groupBy("__i").agg(F.count_distinct("__r").alias("__nd"))
+    per_item = (
+        ic.groupBy("__i")
+        .agg(
+            F.sum("__n").alias("__ri"),
+            F.sum(F.col("__n") * (F.col("__n") - 1)).alias("__agr"),
+        )
+        .join(rdist, "__i")
+        .localCheckpoint(eager=False)
+    )
+    ok = (F.col("__nd") == F.col("__ri")) & (F.col("__ri") >= 2)
+    kept = per_item.where(ok)
+    dropped = per_item.where(~ok).agg(
+        F.count(F.lit(1)).alias("n_items_dropped")
+    )
+
+    def _dsum(expr):
+        return F.sum(F.round(expr, 9).cast("decimal(30,9)")).cast(
+            "decimal(38,9)"
+        ).cast("double")
+
+    ri = F.col("__ri").cast("double")
+    item_agg = kept.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _dsum(F.col("__agr").cast("double") / (ri * (ri - 1.0))).alias(
+            "__sp"
+        ),
+    )
+    shares = (
+        ic.join(kept.select("__i", "__ri"), "__i")
+        .groupBy("__c")
+        .agg(
+            _dsum(
+                F.col("__n").cast("double") / F.col("__ri").cast("double")
+            ).alias("__sc")
+        )
+    )
+    pi_c = F.col("__sc") / F.col("n_items").cast("double")
+    cat_agg = shares.crossJoin(F.broadcast(item_agg)).agg(
+        F.count(F.lit(1)).alias("n_categories"),
+        _dsum(pi_c * (F.lit(1.0) - pi_c)).alias("__spq"),
+    )
+    pa = F.col("__sp") / F.col("n_items").cast("double")
+    pe = F.when(
+        F.col("n_categories") > 1,
+        F.col("__spq") / (F.col("n_categories") - 1).cast("double"),
+    )
+    ac1 = F.when(
+        pe.isNotNull() & (pe < 1.0), (pa - pe) / (F.lit(1.0) - pe)
+    )
+    return (
+        item_agg.crossJoin(F.broadcast(cat_agg))
+        .crossJoin(F.broadcast(dropped))
+        .select(
+            F.col("n_items").cast("bigint").alias("n_items"),
+            F.col("n_items_dropped").cast("bigint").alias(
+                "n_items_dropped"
+            ),
+            F.col("n_categories").cast("int").alias("n_categories"),
+            (F.round(pa, 6) + 0.0).alias("pa"),
+            (F.round(pe, 6) + 0.0).alias("pe"),
+            (F.round(ac1, 6) + 0.0).alias("ac1"),
+        )
+    )
+
+
+def auc_delong_ci(
+    df: DataFrame,
+    score_col: str,
+    label_col,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """ROC-AUC with the DeLong variance and normal CI (DeLong, DeLong &
+    Clarke-Pearson 1988, midrank formulation per Sun & Xu 2014) — the
+    error bar :func:`ranking_auc` was missing: an AUC of 0.71 on 200
+    docs and on 2M docs are different claims, and eval reports need
+    the interval, not the point.
+
+    Placement values at the (score)-group grain (all tied rows share
+    one value): for positives ``V10 = (R - R+) / n0`` and for
+    negatives ``V01 = 1 - (R - R-) / n1``, with R / R+ / R- the
+    tie-averaged midranks over the combined / positive-only /
+    negative-only samples. AUC = mean V10; s10/s01 = sample variances;
+    SE = sqrt(s10/n1 + s01/n0); CI = AUC +/- z*SE.
+
+    Returns ONE row ``(n_pos, n_neg, auc, se, ci_lo, ci_hi)`` at 6dp;
+    panels with < 2 positives or < 2 negatives report NULL se/ci (the
+    sample variance is undefined), and degenerate single-class panels
+    report NULL auc.
+
+    Plan: ONE groupBy(score) collapse, then the ranking_auc two-phase
+    partition-offset running sums (one exchange materialized once —
+    no single-reducer window) carrying all three cumulative counts;
+    placement values are 9dp-rounded and DECIMAL-summed (count-
+    weighted), variances computed from the rendered sums in one fixed
+    double expression both engines replay.
+    """
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    grouped = (
+        df.select(F.col(score_col).alias("__s"), lab.cast("int").alias("__y"))
+        .groupBy("__s")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__y").alias("__np"),
+        )
+        .withColumn("__nn", F.col("__n") - F.col("__np"))
+    )
+    n_part = max(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")), 1
+    )
+    g2 = (
+        grouped.repartitionByRange(n_part, F.col("__s"))
+        .sortWithinPartitions("__s")
+        .select("*", F.spark_partition_id().alias("__pid"))
+        .localCheckpoint(eager=False)
+    )
+    w_loc = (
+        Window.partitionBy("__pid")
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        g2.groupBy("__pid")
+        .agg(
+            F.sum("__n").alias("__cn"),
+            F.sum("__np").alias("__cp"),
+            F.sum("__nn").alias("__cm"),
+        )
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__cn").over(w_off), F.lit(0)).alias("__offn"),
+            F.coalesce(F.sum("__cp").over(w_off), F.lit(0)).alias("__offp"),
+            F.coalesce(F.sum("__cm").over(w_off), F.lit(0)).alias("__offm"),
+        )
+    )
+    ranked = g2.join(F.broadcast(offs), "__pid").select(
+        "__s",
+        "__n",
+        "__np",
+        "__nn",
+        (F.coalesce(F.sum("__n").over(w_loc), F.lit(0)) + F.col("__offn")).alias("__ba"),
+        (F.coalesce(F.sum("__np").over(w_loc), F.lit(0)) + F.col("__offp")).alias("__bp"),
+        (F.coalesce(F.sum("__nn").over(w_loc), F.lit(0)) + F.col("__offm")).alias("__bm"),
+    )
+    totals = ranked.agg(
+        F.sum("__np").cast("bigint").alias("__n1"),
+        F.sum("__nn").cast("bigint").alias("__n0"),
+    )
+    r_all = F.col("__ba") + (F.col("__n") + 1) / F.lit(2.0)
+    r_pos = F.col("__bp") + (F.col("__np") + 1) / F.lit(2.0)
+    r_neg = F.col("__bm") + (F.col("__nn") + 1) / F.lit(2.0)
+    n0d = F.col("__n0").cast("double")
+    n1d = F.col("__n1").cast("double")
+    # ANSI guard: a single-class panel (n0 or n1 = 0) must not divide —
+    # the final when() NULLs auc/se anyway
+    v10 = F.round(
+        F.when(n0d > 0.0, (r_all - r_pos) / n0d).otherwise(F.lit(0.0)), 9
+    )
+    v01 = F.round(
+        F.when(n1d > 0.0, F.lit(1.0) - (r_all - r_neg) / n1d).otherwise(
+            F.lit(0.0)
+        ),
+        9,
+    )
+
+    def _dsum(expr):
+        return F.sum(expr.cast("decimal(30,9)")).cast(
+            "decimal(38,9)"
+        ).cast("double")
+
+    sums = ranked.crossJoin(F.broadcast(totals)).agg(
+        F.max("__n1").alias("n_pos"),
+        F.max("__n0").alias("n_neg"),
+        _dsum(F.col("__np") * v10).alias("__s10"),
+        _dsum(F.col("__np") * F.round(v10 * v10, 9)).alias("__q10"),
+        _dsum(F.col("__nn") * v01).alias("__s01"),
+        _dsum(F.col("__nn") * F.round(v01 * v01, 9)).alias("__q01"),
+    )
+    n1 = F.col("n_pos").cast("double")
+    n0 = F.col("n_neg").cast("double")
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.col("__s10") / n1,
+    )
+    s10 = (F.col("__q10") - n1 * auc * auc) / (n1 - 1.0)
+    s01 = (F.col("__q01") - n0 * (F.col("__s01") / n0) * (F.col("__s01") / n0)) / (
+        n0 - 1.0
+    )
+    se = F.when(
+        (F.col("n_pos") > 1) & (F.col("n_neg") > 1),
+        F.sqrt(
+            F.greatest(s10, F.lit(0.0)) / n1
+            + F.greatest(s01, F.lit(0.0)) / n0
+        ),
+    )
+    return sums.select(
+        "n_pos",
+        "n_neg",
+        (F.round(auc, 6) + 0.0).alias("auc"),
+        (F.round(se, 6) + 0.0).alias("se"),
+        (F.round(auc - F.lit(float(z)) * se, 6) + 0.0).alias("ci_lo"),
+        (F.round(auc + F.lit(float(z)) * se, 6) + 0.0).alias("ci_hi"),
+    )

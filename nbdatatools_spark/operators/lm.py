@@ -753,6 +753,38 @@ def kn_perplexity_score(
     (doc)-keyed aggregate); the scored corpus never shuffles strings,
     only 16-byte digests. n_types is one bounded driver scalar.
     """
+    per_doc = _kn_scored_terms(
+        train, score, text_col, id_col, discount, floor
+    ).groupBy("__id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__t").alias("__s"),
+        F.sum("__unseen").alias("__nu"),
+    )
+    mean_micro = F.expr("(__s + 500 * __n) div (1000 * __n)")
+    return per_doc.select(
+        F.col("__id").alias(id_col),
+        F.col("__n").cast("bigint").alias("n_bigrams"),
+        F.col("__nu").cast("bigint").alias("n_unseen"),
+        (-(mean_micro.cast("double") / 1e6) + 0.0).alias("mean_logp"),
+        (F.round(F.exp(mean_micro.cast("double") / 1e6), 6) + 0.0).alias(
+            "perplexity"
+        ),
+    ).orderBy(id_col)
+
+
+def _kn_scored_terms(
+    train: DataFrame,
+    score: DataFrame,
+    text_col: str,
+    id_col: str,
+    discount: float,
+    floor: float,
+) -> DataFrame:
+    """Per-bigram scored term stream shared by :func:`kn_perplexity_score`
+    and :func:`mink_prob_score`: one row per scored bigram occurrence —
+    ``(__id, __t, __unseen)`` with ``__t`` the 9dp-rounded -ln P as
+    exact BIGINT nanos (always >= 0: P <= 1) and ``__unseen`` = 1 when
+    the bigram is absent from the model's type table."""
     if not 0.0 < discount < 1.0:
         raise ValueError(f"discount must be in (0,1), got {discount}")
     if not 0.0 < floor < 1.0:
@@ -783,24 +815,76 @@ def kn_perplexity_score(
     # never divides a negative sum (div semantics differ cross-engine
     # on negatives)
     neg_nano = F.round(F.round(-F.log(p_eff), 9) * 1e9, 0).cast("long")
-    per_doc = joined.select(
+    return joined.select(
         "__id",
         neg_nano.alias("__t"),
         F.col("__nb").isNull().cast("int").alias("__unseen"),
-    ).groupBy("__id").agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.sum("__t").alias("__s"),
-        F.sum("__unseen").alias("__nu"),
     )
-    mean_micro = F.expr("(__s + 500 * __n) div (1000 * __n)")
-    return per_doc.select(
+
+
+def mink_prob_score(
+    train: DataFrame,
+    score: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_pct: float = 0.2,
+    discount: float = 0.75,
+    floor: float = 1e-9,
+) -> DataFrame:
+    """Min-K% Prob membership/contamination signal (Shi et al. 2023,
+    "Detecting Pretraining Data from Large Language Models") over the
+    interpolated-KN bigram model: per scored document, the mean log
+    probability of its K% LEAST-probable bigrams. A document the model
+    has effectively memorized has NO very-surprising spans, so its
+    min-k mean sits close to 0; genuinely novel text drags it down.
+    The standard eval-contamination audit, here driven by the engine's
+    own KN model instead of an external LLM.
+
+    Returns ``(doc_id, n_bigrams, k_used, mink_logp)`` per scored
+    document with >= 1 bigram, ordered by id: k_used =
+    max(1, floor(k_pct * n_bigrams)); mink_logp = the INTEGER-NANO
+    mean of the k_used smallest 9dp log-probabilities.
+
+    Determinism at ties: the per-doc rank window orders by the nano
+    term value alone, so row_number over tied terms is assignment-
+    nondeterministic — but the KEPT MULTISET is value-grain
+    deterministic (the hill_tail rationale: whichever tied rows land
+    inside k_used carry the identical value), so the sum and mean are
+    engine-exact.
+
+    100-TB shape: the scored term stream (one row per bigram) takes
+    ONE (doc)-keyed rank window (per-task state bounded by the doc's
+    own bigram count) + one (doc)-keyed aggregate; model joins are the
+    kn_perplexity_score digest joins.
+    """
+    if not 0.0 < k_pct <= 1.0:
+        raise ValueError(f"k_pct must be in (0,1], got {k_pct}")
+    terms = _kn_scored_terms(
+        train, score, text_col, id_col, discount, floor
+    )
+    n_per = terms.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.partitionBy("__id").orderBy(F.col("__t").desc())
+    ranked = (
+        terms.withColumn("__r", F.row_number().over(w))
+        .join(n_per, "__id")
+        .withColumn(
+            "__k",
+            F.greatest(
+                F.lit(1),
+                F.floor(F.lit(float(k_pct)) * F.col("__n")).cast("int"),
+            ),
+        )
+        .where(F.col("__r") <= F.col("__k"))
+    )
+    agg = ranked.groupBy("__id", "__n", "__k").agg(
+        F.sum("__t").alias("__s")
+    )
+    mean_micro = F.expr("(__s + 500 * __k) div (1000 * __k)")
+    return agg.select(
         F.col("__id").alias(id_col),
         F.col("__n").cast("bigint").alias("n_bigrams"),
-        F.col("__nu").cast("bigint").alias("n_unseen"),
-        (-(mean_micro.cast("double") / 1e6) + 0.0).alias("mean_logp"),
-        (F.round(F.exp(mean_micro.cast("double") / 1e6), 6) + 0.0).alias(
-            "perplexity"
-        ),
+        F.col("__k").cast("int").alias("k_used"),
+        (-(mean_micro.cast("double") / 1e6) + 0.0).alias("mink_logp"),
     ).orderBy(id_col)
 
 

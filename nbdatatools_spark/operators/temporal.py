@@ -1315,10 +1315,17 @@ def burstiness(
     scale-invariant; the reported mean/std divide to seconds at the
     end); mu and sigma come from integer sums (sum g, sum g^2 as
     DECIMAL — order-invariant, overflow-proof at 100-TB event counts),
-    population sigma = sqrt(Sg2/n - mu^2) clamped at 0. One keyed lag window (per-entity,
-    parallel across entities) + one keyed aggregate — no global sort.
-    Entities with fewer than ``min_events`` events carry no gap
-    statistics and are dropped.
+    population sigma = sqrt(Sg2/n - mu^2) clamped at 0. ``mean_gap_s``
+    at 6dp IS the integer-microsecond mean, so it uses the pure-integer
+    half-up division ``(2*Sg + n) div (2n)`` (the rarity_scores
+    INTEGER-NANO discipline): a float round(Sg/n/1e6, 6) lands the
+    exact rational on a 6dp rounding TIE whenever n divides neatly,
+    where Spark's BigDecimal HALF_UP and DuckDB's scaled-multiply
+    disagree by an ulp (observed at sf0.1, round-10 sweep). sigma stays
+    a float sqrt (irrational outputs don't sit on the rounding grid).
+    One keyed lag window (per-entity, parallel across entities) + one
+    keyed aggregate — no global sort. Entities with fewer than
+    ``min_events`` events carry no gap statistics and are dropped.
 
     Returns ``(<user_col>, n_events, mean_gap_s, std_gap_s, burstiness)``
     rounded to 6dp.
@@ -1345,10 +1352,14 @@ def burstiness(
         F.lit(0.0), F.col("sg2").cast("double") / F.col("n_gaps") - mu * mu
     )
     sig = F.sqrt(var)
+    # pure-integer half-up micro mean: exact at the 6dp-seconds grain
+    mean_micro = F.expr(
+        "(2 * CAST(sg AS BIGINT) + n_gaps) div (2 * n_gaps)"
+    )
     return stats.select(
         F.col(user_col),
         F.col("n_rows").alias("n_events"),
-        F.round(mu / 1e6, 6).alias("mean_gap_s"),
+        (mean_micro.cast("double") / 1e6).alias("mean_gap_s"),
         F.round(sig / 1e6, 6).alias("std_gap_s"),
         F.when(sig + mu > 0.0, F.round((sig - mu) / (sig + mu), 6)).alias(
             "burstiness"

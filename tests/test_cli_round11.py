@@ -67,3 +67,47 @@ def test_lsh_tradeoff_cli(spark, capsys):
     assert [r["n_bits"] for r in rows] == [4, 8]
     assert all(0.0 <= r["recall_at_k"] <= 1.0 for r in rows)
     assert rows[0]["mean_candidates"] >= rows[1]["mean_candidates"]
+
+
+def test_mink_prob_cli(spark, capsys, tmp_path):
+    train = str(tmp_path / "mtrain.parquet")
+    held = str(tmp_path / "mheld.parquet")
+    docs = spark.read.parquet(DOCS)
+    docs.where("doc_id % 3 != 0").write.parquet(train)
+    docs.where("doc_id % 3 = 0").write.parquet(held)
+    assert main(["corpus", "mink_prob", "--train", train,
+                 "--input", held, "--limit", "5"]) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 5
+    assert all(r["mink_logp"] <= 0 for r in rows)
+    assert all(r["k_used"] >= 1 for r in rows)
+
+
+def test_gwet_cli(spark, capsys, tmp_path):
+    panel = str(tmp_path / "panel.parquet")
+    spark.read.parquet(DOCS).selectExpr(
+        "doc_id AS item", "'len' AS rater",
+        "CAST(n_chars >= 400 AS STRING) AS category"
+    ).unionAll(
+        spark.read.parquet(DOCS).selectExpr(
+            "doc_id", "'lang'", "CAST(lang = 'en' AS STRING)"
+        )
+    ).write.parquet(panel)
+    assert main(["analyze", "gwet", "--input", panel]) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 1
+    assert rows[0]["n_items"] > 0
+    assert -1.0 <= rows[0]["ac1"] <= 1.0
+
+
+def test_auc_ci_cli(spark, capsys, tmp_path):
+    scored = str(tmp_path / "scored.parquet")
+    spark.read.parquet(DOCS).selectExpr(
+        "round(n_chars / 2000.0, 6) AS score",
+        "CAST(n_chars >= 400 AS INT) AS label",
+    ).write.parquet(scored)
+    assert main(["analyze", "auc-ci", "--input", scored]) == 0
+    rows = _lines(capsys)
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["ci_lo"] <= r["auc"] <= r["ci_hi"]

@@ -175,3 +175,28 @@ def test_hill_tail_boundary_ties_deterministic(spark):
         assert abs(r["hill_alpha"] - expected) < 1e-5
         seen.add((r["x_threshold"], r["hill_alpha"]))
     assert len(seen) == 1
+
+
+def test_burstiness_mean_gap_integer_halfup(spark):
+    # round-10 sf0.1 sweep finding (events_burstiness hash-fail): the
+    # mean of integer MICRO gaps at 6dp-of-seconds is integer-micro
+    # grain, so a float round(sg/n/1e6, 6) lands exact rationals on
+    # 6dp ties where the engines' rounding disagrees by an ulp. The
+    # fix is the pure-integer half-up mean: gaps [1us, 2us] -> mean
+    # 1.5us -> half-up 2us, deterministically on both engines.
+    from datetime import datetime, timezone
+
+    from nbdatatools_spark.operators.temporal import burstiness
+
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        (1, 10, t0),
+        (1, 11, t0.replace(microsecond=1)),
+        (1, 12, t0.replace(microsecond=3)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, ts timestamp"
+    )
+    r = burstiness(df, min_events=3, tie_col="event_id").collect()[0]
+    assert r["n_events"] == 3
+    assert r["mean_gap_s"] == 2e-06
