@@ -13235,6 +13235,30 @@ def doc_auc_delong(spark, sf_dir):
     return auc_delong_ci(_scored_docs(spark, sf_dir), "score", "y")
 
 
+def doc_sliced_ece(spark, sf_dir):
+    """Per-source Expected/Maximum Calibration Error (evaluation.py::
+    expected_calibration_error with group_col — Naeini et al. 2015) of
+    the heuristic quality score vs the long-document label: the sliced
+    calibration audit doc_sliced_auc has for ranking — a scorer can be
+    globally calibrated (doc_ece) while badly mis-calibrated on
+    individual slices, which is exactly how per-source curation bias
+    hides. Same 10 fixed bins; one (source x bin) aggregate + one
+    source-grain reduce."""
+    from nbdatatools_spark.functions.text import quality_score
+    from nbdatatools_spark.operators.evaluation import (
+        expected_calibration_error,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.round(quality_score(F.col("text")), 6).alias("score"),
+        (F.col("n_chars") >= 400).alias("y"),
+    )
+    return expected_calibration_error(
+        docs, "score", "y", n_bins=10, lo=0.0, hi=1.0, group_col="source"
+    )
+
+
 def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Round-11 rotation candidates: same contract as queries(), kept out
     of the live window so the round-10 recording layout stays attested.
@@ -13253,6 +13277,7 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mink_prob": doc_mink_prob,
         "doc_gwet_ac1": doc_gwet_ac1,
         "doc_auc_delong": doc_auc_delong,
+        "doc_sliced_ece": doc_sliced_ece,
     }
 
 
@@ -13779,6 +13804,29 @@ def candidate_oracles() -> dict[str, str]:
         "doc_card_diff": _card_diff_oracle(),
         "embedding_lsh_tradeoff": _lsh_tradeoff_oracle(),
         "doc_mink_prob": _mink_prob_oracle(),
+        "doc_sliced_ece": f"""
+            WITH sc AS (SELECT source, {_QUALITY6} AS s,
+                               CAST(n_chars >= 400 AS INT) AS y
+                        FROM documents),
+            b AS (SELECT source,
+                         least(greatest(CAST(floor((s - 0.0) / 0.1) AS INT),
+                               0), 9) AS bin, s, y
+                  FROM sc),
+            pb AS (SELECT source, bin, count(*) AS n,
+                          CAST(CAST(sum(CAST(round(s, 9) AS DECIMAL(20,9)))
+                               AS DECIMAL(38,9)) AS DOUBLE) AS ss,
+                          sum(y) AS ys
+                   FROM b GROUP BY source, bin),
+            g AS (SELECT source, n, round(abs(ys / n - ss / n), 9) AS gap
+                  FROM pb)
+            SELECT source, CAST(sum(n) AS BIGINT) AS n,
+                   CAST(count(*) AS INT) AS n_bins_occupied,
+                   round(CAST(CAST(sum(CAST(round(gap * n, 9)
+                         AS DECIMAL(30,9))) AS DECIMAL(38,9)) AS DOUBLE)
+                         / sum(n), 6) + 0.0 AS ece,
+                   round(max(gap), 6) + 0.0 AS mce
+            FROM g GROUP BY source ORDER BY source
+        """,
         "doc_gwet_ac1": f"""
             WITH rr AS (
                 SELECT doc_id AS i, 'q' AS r,

@@ -832,7 +832,7 @@ def _cmd_analyze_ece(args) -> int:
     return _emit_rows(
         expected_calibration_error(
             df, args.score_col, args.label_col, n_bins=args.bins,
-            lo=args.lo, hi=args.hi,
+            lo=args.lo, hi=args.hi, group_col=args.group_col,
         )
     )
 
@@ -3497,6 +3497,7 @@ def build_parser() -> argparse.ArgumentParser:
     aec.add_argument("--bins", type=int, default=10)
     aec.add_argument("--lo", type=float, default=0.0)
     aec.add_argument("--hi", type=float, default=1.0)
+    aec.add_argument("--group-col")
     aec.set_defaults(func=_cmd_analyze_ece)
     ask = an.add_parser("sinkhorn")
     ask.add_argument("--input", required=True)

@@ -1402,6 +1402,7 @@ def expected_calibration_error(
     n_bins: int = 10,
     lo: float = 0.0,
     hi: float = 1.0,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Expected / Maximum Calibration Error (Naeini et al. 2015; the
     binned summary Guo et al. 2017 popularized): ECE = sum_b (n_b/N) *
@@ -1411,14 +1412,20 @@ def expected_calibration_error(
     table, ECE = its scalar, temperature/isotonic = the fixes; re-run
     ECE after either to show the improvement).
 
-    Returns ONE row ``(n, n_bins_occupied, ece, mce)`` at 6dp.
+    Returns ONE row ``(n, n_bins_occupied, ece, mce)`` at 6dp — or,
+    with ``group_col``, one row per slice ``(group, n,
+    n_bins_occupied, ece, mce)`` ordered by group: the sliced
+    calibration audit (a scorer can be globally calibrated while badly
+    mis-calibrated on individual slices — the per-source sibling of
+    doc_sliced_auc).
 
     Exactness: per-bin confidence uses the DECIMAL sum of 9dp-rounded
     scores; the per-bin |acc - conf| gap is rounded to 9dp before the
     n_b-weighted DECIMAL reduction, so an oracle replays both levels.
 
-    Scale shape: one map-side bin projection + one n_bins-row groupBy +
-    one scalar reduce — the calibration_bins bill exactly.
+    Scale shape: one map-side bin projection + one (group x n_bins)-row
+    groupBy + one (group)-grain reduce — the calibration_bins bill
+    exactly.
     """
     if n_bins < 2:
         raise ValueError(f"n_bins must be >= 2, got {n_bins}")
@@ -1429,19 +1436,23 @@ def expected_calibration_error(
     idx = F.floor(
         (F.col("__s") - F.lit(float(lo))) / F.lit(float(width))
     ).cast("int")
+    gcols = [F.col(group_col).alias("__g")] if group_col else []
+    gkeys = ["__g"] if group_col else []
     per_bin = (
         df.select(
+            *gcols,
             F.col(score_col).cast("double").alias("__s"),
             lab.cast("int").alias("__y"),
         )
         .select(
+            *gkeys,
             F.least(F.greatest(idx, F.lit(0)), F.lit(n_bins - 1)).alias(
                 "bin"
             ),
             "__s",
             "__y",
         )
-        .groupBy("bin")
+        .groupBy(*gkeys, "bin")
         .agg(
             F.count(F.lit(1)).alias("__n"),
             F.sum(F.round(F.col("__s"), 9).cast("decimal(20,9)"))
@@ -1451,6 +1462,7 @@ def expected_calibration_error(
             F.sum("__y").alias("__ys"),
         )
         .select(
+            *gkeys,
             "__n",
             F.round(
                 F.abs(
@@ -1461,7 +1473,7 @@ def expected_calibration_error(
             ).alias("__gap"),
         )
     )
-    return per_bin.agg(
+    aggs = [
         F.sum("__n").cast("bigint").alias("n"),
         F.count(F.lit(1)).cast("int").alias("n_bins_occupied"),
         (
@@ -1479,7 +1491,16 @@ def expected_calibration_error(
             + 0.0
         ).alias("ece"),
         (F.round(F.max("__gap"), 6) + 0.0).alias("mce"),
-    )
+    ]
+    if group_col:
+        return (
+            per_bin.groupBy("__g")
+            .agg(*aggs)
+            .select(F.col("__g").alias(group_col), "n",
+                    "n_bins_occupied", "ece", "mce")
+            .orderBy(group_col)
+        )
+    return per_bin.agg(*aggs)
 
 
 def score_psi(

@@ -245,3 +245,48 @@ def test_mink_validation_and_k_floor(spark):
         mink_prob_score(tr, sc, k_pct=0.0)
     with pytest.raises(ValueError):
         mink_prob_score(tr, sc, k_pct=1.5)
+
+
+# -- sliced ece --------------------------------------------------------------
+
+
+def test_sliced_ece_matches_global_on_single_group(spark):
+    from nbdatatools_spark.operators.evaluation import (
+        expected_calibration_error,
+    )
+
+    rows = [(0.1 * (i % 10) + 0.05, int(i % 3 == 0)) for i in range(90)]
+    df = spark.createDataFrame(rows, "score double, y int")
+    g = expected_calibration_error(df, "score", "y").collect()[0]
+    sliced = expected_calibration_error(
+        df.selectExpr("'only' AS src", "score", "y"),
+        "score",
+        "y",
+        group_col="src",
+    ).collect()
+    assert len(sliced) == 1
+    s = sliced[0]
+    assert s["src"] == "only"
+    assert (s["n"], s["n_bins_occupied"], s["ece"], s["mce"]) == (
+        g["n"], g["n_bins_occupied"], g["ece"], g["mce"],
+    )
+
+
+def test_sliced_ece_exposes_slice_miscalibration(spark):
+    from nbdatatools_spark.operators.evaluation import (
+        expected_calibration_error,
+    )
+
+    # slice "good": labels match scores (calibrated); slice "bad":
+    # same scores, all labels 0 (badly over-confident)
+    good = [("good", 0.05 + 0.1 * (i % 10), int((i * 7) % 10 < (i % 10)))
+            for i in range(200)]
+    bad = [("bad", 0.05 + 0.1 * (i % 10), 0) for i in range(200)]
+    df = spark.createDataFrame(
+        good + bad, "src string, score double, y int"
+    )
+    rows = {r["src"]: r for r in expected_calibration_error(
+        df, "score", "y", group_col="src"
+    ).collect()}
+    assert rows["bad"]["ece"] > rows["good"]["ece"]
+    assert rows["bad"]["ece"] > 0.3
