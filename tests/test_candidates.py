@@ -24,9 +24,19 @@ def _norm(v):
     return v
 
 
+def _none_safe_key(row):
+    # rows can mix None with values in a column (card-diff deltas on
+    # added/removed slices) — Python can't order None vs int, so key
+    # each cell as (is-None, value); the driver's pandas path is fine
+    return tuple((v is None, 0 if v is None else v) for v in row)
+
+
 def _canon(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in idx) for r in rows)
+    return sorted(
+        (tuple(_norm(r[i]) for i in idx) for r in rows),
+        key=_none_safe_key,
+    )
 
 
 @pytest.fixture(scope="module")
