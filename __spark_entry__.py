@@ -13259,6 +13259,67 @@ def doc_sliced_ece(spark, sf_dir):
     )
 
 
+def doc_filter_funnel(spark, sf_dir):
+    """Cumulative filter-attrition funnel (plans/pipeline.py::
+    filter_funnel): the curation-ablation table (C4/Gopher appendix
+    attrition, RefinedWeb Table 2, FineWeb funnel) for the chain
+    lang=en -> quality >= 0.3 -> 100 <= n_chars <= 20000 -> >= 20
+    tokens. ONE corpus pass: cumulative boolean flags, one global
+    aggregate, the k+1 report rows unfold declaratively; pcts are
+    pure-integer half-up 6dp ratios (integer/integer quotients are
+    exactly the cross-engine rounding-tie class)."""
+    from nbdatatools_spark.functions.text import quality_score, token_count
+    from nbdatatools_spark.plans.pipeline import filter_funnel
+
+    docs = _t(spark, sf_dir, "documents")
+    stages = [
+        ("lang_en", F.col("lang") == "en"),
+        ("quality_ge_030", F.round(quality_score(F.col("text")), 6) >= 0.3),
+        ("len_100_20000", F.col("n_chars").between(100, 20000)),
+        ("min_20_tokens", token_count(F.col("text")) >= 20),
+    ]
+    return filter_funnel(docs, stages)
+
+
+def doc_source_perplexity(spark, sf_dir):
+    """Per-source Kneser-Ney perplexity tiers (lm.py::
+    kn_perplexity_by_slice): the CCNet domain-quality table — slice
+    mean of the per-doc integer-micro KN means (train = doc_id%3 != 0,
+    score = the held-out third, the doc_kn_perplexity split), ntile(3)
+    head/middle/tail ordered by (mean micro, source). Both means are
+    pure-integer half-up (doc and source counts are small round
+    denominators — the 6dp-tie class); perplexity = exp at 6dp
+    (off-grid, float-round safe)."""
+    from nbdatatools_spark.operators.lm import kn_perplexity_by_slice
+
+    docs = _t(spark, sf_dir, "documents")
+    return kn_perplexity_by_slice(
+        docs.where(F.col("doc_id") % 3 != 0),
+        docs.where(F.col("doc_id") % 3 == 0),
+        slice_col="source",
+        discount=0.75,
+        floor=1e-9,
+    )
+
+
+def embedding_label_drift(spark, sf_dir):
+    """Per-label centroid drift between embedding snapshots
+    (analysis.py::centroid_drift): even vec_ids = snapshot A, odd =
+    snapshot B; per-label centroid cosine + L2 — the class-conditional
+    companion to embedding_psi_drift's marginal histograms (a new
+    encoder checkpoint moves class means first). round(,9) DECIMAL
+    folds for every cross-partition sum; 6dp outputs."""
+    from nbdatatools_spark.operators.analysis import centroid_drift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return centroid_drift(
+        emb.where(F.col("vec_id") % 2 == 0),
+        emb.where(F.col("vec_id") % 2 == 1),
+        group_col="label",
+        vec_col="embedding",
+    )
+
+
 def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Round-11 rotation candidates: same contract as queries(), kept out
     of the live window so the round-10 recording layout stays attested.
@@ -13278,6 +13339,9 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gwet_ac1": doc_gwet_ac1,
         "doc_auc_delong": doc_auc_delong,
         "doc_sliced_ece": doc_sliced_ece,
+        "doc_filter_funnel": doc_filter_funnel,
+        "doc_source_perplexity": doc_source_perplexity,
+        "embedding_label_drift": embedding_label_drift,
     }
 
 
@@ -13945,6 +14009,120 @@ def candidate_oracles() -> dict[str, str]:
                                        0.0) / n_neg)
                    END, 6) + 0.0 AS ci_hi
             FROM a
+        """,
+        "doc_filter_funnel": f"""
+            WITH base AS (
+                SELECT CAST({_NTOK} AS BIGINT) AS nt,
+                       coalesce(lang = 'en', false) AS p1,
+                       coalesce({_QUALITY6} >= 0.3, false) AS p2,
+                       coalesce(n_chars BETWEEN 100 AND 20000, false) AS p3,
+                       coalesce(CAST({_NTOK} AS BIGINT) >= 20, false) AS p4
+                FROM documents),
+            c AS (SELECT nt, p1 AS c1, p1 AND p2 AS c2,
+                         (p1 AND p2) AND p3 AS c3,
+                         ((p1 AND p2) AND p3) AND p4 AS c4
+                  FROM base),
+            a AS (SELECT CAST(count(*) AS BIGINT) AS d0,
+                         CAST(coalesce(sum(nt), 0) AS BIGINT) AS t0,
+                         CAST(coalesce(sum(CASE WHEN c1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS d1,
+                         CAST(coalesce(sum(CASE WHEN c1 THEN nt ELSE 0 END), 0) AS BIGINT) AS t1,
+                         CAST(coalesce(sum(CASE WHEN c2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS d2,
+                         CAST(coalesce(sum(CASE WHEN c2 THEN nt ELSE 0 END), 0) AS BIGINT) AS t2,
+                         CAST(coalesce(sum(CASE WHEN c3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS d3,
+                         CAST(coalesce(sum(CASE WHEN c3 THEN nt ELSE 0 END), 0) AS BIGINT) AS t3,
+                         CAST(coalesce(sum(CASE WHEN c4 THEN 1 ELSE 0 END), 0) AS BIGINT) AS d4,
+                         CAST(coalesce(sum(CASE WHEN c4 THEN nt ELSE 0 END), 0) AS BIGINT) AS t4
+                  FROM c),
+            s AS (
+                SELECT 0 AS stage, 'input' AS name, d0 AS docs, t0 AS tokens,
+                       d0 AS pdocs, t0 AS ptokens, d0, t0 FROM a
+                UNION ALL SELECT 1, 'lang_en', d1, t1, d0, t0, d0, t0 FROM a
+                UNION ALL SELECT 2, 'quality_ge_030', d2, t2, d1, t1, d0, t0 FROM a
+                UNION ALL SELECT 3, 'len_100_20000', d3, t3, d2, t2, d0, t0 FROM a
+                UNION ALL SELECT 4, 'min_20_tokens', d4, t4, d3, t3, d0, t0 FROM a)
+            SELECT CAST(stage AS INT) AS stage, name, docs, tokens,
+                   CAST(pdocs - docs AS BIGINT) AS drop_docs,
+                   CAST(ptokens - tokens AS BIGINT) AS drop_tokens,
+                   CASE WHEN d0 > 0 THEN
+                       CAST((2 * CAST(docs AS HUGEINT) * 1000000 + d0)
+                            // (2 * CAST(d0 AS HUGEINT)) AS DOUBLE) / 1e6 + 0.0
+                   END AS pct_docs,
+                   CASE WHEN t0 > 0 THEN
+                       CAST((2 * CAST(tokens AS HUGEINT) * 1000000 + t0)
+                            // (2 * CAST(t0 AS HUGEINT)) AS DOUBLE) / 1e6 + 0.0
+                   END AS pct_tokens
+            FROM s ORDER BY stage
+        """,
+        "doc_source_perplexity": f"""
+            WITH {_kn_terms_ctes(0.75, 1e-9)},
+            ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(tn) AS BIGINT) AS s
+                   FROM terms GROUP BY doc_id),
+            pm AS (SELECT doc_id, n, (s + 500 * n) // (1000 * n) AS mm
+                   FROM ag),
+            lab AS (SELECT pm.n, pm.mm, d.source
+                    FROM pm JOIN documents d ON d.doc_id = pm.doc_id),
+            sa AS (SELECT source, CAST(count(*) AS BIGINT) AS nd,
+                          CAST(sum(n) AS BIGINT) AS nb,
+                          CAST(sum(mm) AS HUGEINT) AS sm
+                   FROM lab GROUP BY source),
+            mi AS (SELECT source, nd, nb,
+                          CAST((2 * sm + nd) // (2 * CAST(nd AS HUGEINT))
+                               AS BIGINT) AS micro
+                   FROM sa),
+            ti AS (SELECT *, ntile(3) OVER (ORDER BY micro, source) AS t
+                   FROM mi)
+            SELECT source, nd AS n_docs, nb AS n_bigrams,
+                   -(CAST(micro AS DOUBLE) / 1e6) + 0.0 AS mean_logp,
+                   round(exp(CAST(micro AS DOUBLE) / 1e6), 6) + 0.0
+                       AS perplexity,
+                   CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                          ELSE 'tail' END AS tier
+            FROM ti ORDER BY mean_logp DESC, source
+        """,
+        "embedding_label_drift": """
+            WITH ea AS (
+                SELECT label AS g,
+                       CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS d,
+                       CAST(unnest(embedding) AS DOUBLE) AS x
+                FROM embeddings WHERE vec_id % 2 = 0),
+            eb AS (
+                SELECT label AS g,
+                       CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS d,
+                       CAST(unnest(embedding) AS DOUBLE) AS x
+                FROM embeddings WHERE vec_id % 2 = 1),
+            ma AS (SELECT g, d,
+                          round(CAST(sum(CAST(round(x, 9) AS DECIMAL(30,9)))
+                                     AS DOUBLE) / count(*), 9) AS m
+                   FROM ea GROUP BY g, d),
+            mb AS (SELECT g, d,
+                          round(CAST(sum(CAST(round(x, 9) AS DECIMAL(30,9)))
+                                     AS DOUBLE) / count(*), 9) AS m
+                   FROM eb GROUP BY g, d),
+            jm AS (SELECT ma.g,
+                          CAST(sum(CAST(round(ma.m * mb.m, 9)
+                                        AS DECIMAL(30,9))) AS DOUBLE) AS dot,
+                          CAST(sum(CAST(round(ma.m * ma.m, 9)
+                                        AS DECIMAL(30,9))) AS DOUBLE) AS aa,
+                          CAST(sum(CAST(round(mb.m * mb.m, 9)
+                                        AS DECIMAL(30,9))) AS DOUBLE) AS bb,
+                          CAST(sum(CAST(round((ma.m - mb.m) * (ma.m - mb.m), 9)
+                                        AS DECIMAL(30,9))) AS DOUBLE) AS l2
+                   FROM ma JOIN mb ON mb.g = ma.g AND mb.d = ma.d
+                   GROUP BY ma.g),
+            ca AS (SELECT label AS g, CAST(count(*) AS BIGINT) AS n_a
+                   FROM embeddings WHERE vec_id % 2 = 0 GROUP BY label),
+            cb AS (SELECT label AS g, CAST(count(*) AS BIGINT) AS n_b
+                   FROM embeddings WHERE vec_id % 2 = 1 GROUP BY label),
+            cn AS (SELECT coalesce(ca.g, cb.g) AS g, ca.n_a, cb.n_b
+                   FROM ca FULL OUTER JOIN cb ON cb.g = ca.g)
+            SELECT cn.g AS label, cn.n_a, cn.n_b,
+                   CASE WHEN jm.aa > 0 AND jm.bb > 0 THEN
+                       round(jm.dot / (sqrt(jm.aa) * sqrt(jm.bb)), 6)
+                   END + 0.0 AS cosine,
+                   round(sqrt(jm.l2), 6) + 0.0 AS l2
+            FROM cn LEFT JOIN jm ON jm.g = cn.g
+            ORDER BY label
         """,
     }
 

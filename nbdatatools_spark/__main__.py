@@ -23,7 +23,7 @@ reference user can run the same commands against the Spark engine:
            |length_drift|cms_topk|bloom_decontam|source_similarity
            |boilerplate|filter_eval|cross_dedup|sentence_dedup
            |temperature_mix|containment|fineweb|reservoir
-           |kn_perplexity|score_psi|card_diff|mink_prob
+           |kn_perplexity|score_psi|card_diff|mink_prob\n           |funnel|slice_perplexity
            (report / pipeline / tuning / audits / hygiene / tokenizers)
     media hash|near_dups|stats (perceptual-hash image dedup, metadata)
     slab get|namespaces|check|analyze|import|append|export|rewrite
@@ -743,6 +743,51 @@ def _cmd_corpus_mink_prob(args) -> int:
         print(json.dumps({"written": args.output}))
         return 0
     return _emit_rows(out.limit(args.limit))
+
+
+def _cmd_corpus_funnel(args) -> int:
+    from pyspark.sql import functions as F
+
+    from nbdatatools_spark.plans.pipeline import filter_funnel
+
+    spark = _spark()
+    stages = [
+        (s["name"], F.expr(s["expr"])) for s in json.loads(args.stages)
+    ]
+    return _emit_rows(
+        filter_funnel(
+            spark.read.parquet(args.input), stages,
+            text_col=args.text_col,
+            token_col=args.token_col,
+        )
+    )
+
+
+def _cmd_corpus_slice_perplexity(args) -> int:
+    from nbdatatools_spark.operators.lm import kn_perplexity_by_slice
+
+    spark = _spark()
+    return _emit_rows(
+        kn_perplexity_by_slice(
+            spark.read.parquet(args.train),
+            spark.read.parquet(args.input),
+            slice_col=args.slice_col, text_col=args.text_col,
+            id_col=args.id_col, discount=args.discount, floor=args.floor,
+        )
+    )
+
+
+def _cmd_analyze_centroid_drift(args) -> int:
+    from nbdatatools_spark.operators.analysis import centroid_drift
+
+    spark = _spark()
+    return _emit_rows(
+        centroid_drift(
+            spark.read.parquet(args.baseline),
+            spark.read.parquet(args.current),
+            group_col=args.group_col, vec_col=args.vec_col,
+        )
+    )
 
 
 def _cmd_analyze_gwet(args) -> int:
@@ -2957,6 +3002,24 @@ def build_parser() -> argparse.ArgumentParser:
     cmk.add_argument("--output")
     cmk.add_argument("--limit", type=int, default=20)
     cmk.set_defaults(func=_cmd_corpus_mink_prob)
+    cfn = cp.add_parser("funnel")
+    cfn.add_argument("--input", required=True)
+    cfn.add_argument(
+        "--stages", required=True,
+        help='JSON list of {"name": ..., "expr": SQL boolean} stages',
+    )
+    cfn.add_argument("--text-col", default="text")
+    cfn.add_argument("--token-col")
+    cfn.set_defaults(func=_cmd_corpus_funnel)
+    csl = cp.add_parser("slice_perplexity")
+    csl.add_argument("--train", required=True)
+    csl.add_argument("--input", required=True)
+    csl.add_argument("--slice-col", default="source")
+    csl.add_argument("--text-col", default="text")
+    csl.add_argument("--id-col", default="doc_id")
+    csl.add_argument("--discount", type=float, default=0.75)
+    csl.add_argument("--floor", type=float, default=1e-9)
+    csl.set_defaults(func=_cmd_corpus_slice_perplexity)
     ctu = cp.add_parser("train_unigram")
     ctu.add_argument("--input", required=True)
     ctu.add_argument("--text-col", default="text")
@@ -3468,6 +3531,12 @@ def build_parser() -> argparse.ArgumentParser:
     aci.add_argument("--score-col", default="score")
     aci.add_argument("--label-col", default="label")
     aci.set_defaults(func=_cmd_analyze_auc_ci)
+    acd = an.add_parser("centroid-drift")
+    acd.add_argument("--baseline", required=True)
+    acd.add_argument("--current", required=True)
+    acd.add_argument("--group-col", default="label")
+    acd.add_argument("--vec-col", default="embedding")
+    acd.set_defaults(func=_cmd_analyze_centroid_drift)
     alp = an.add_parser("link-prediction")
     alp.add_argument("--input", required=True)
     alp.add_argument("--src", default="src")

@@ -3890,3 +3890,85 @@ def rarity_scores(
         F.col("__nt").cast("bigint").alias("n_tokens"),
         (mean_micro.cast("double") / 1e6).alias("rarity"),
     ).orderBy(id_col)
+
+
+def centroid_drift(
+    a: DataFrame,
+    b: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group centroid shift between two embedding snapshots — the
+    class-conditional drift monitor: ``embedding_psi`` watches marginal
+    per-dimension histograms, but a re-embedded corpus (new encoder
+    checkpoint, new preprocessing) moves each CLASS's mean vector, and
+    the per-group centroid cosine is the standard cheap alarm before
+    anything downstream (ANN indexes, dedup thresholds, classifiers)
+    silently degrades.
+
+    For each group present in both snapshots: cosine similarity and L2
+    distance between the group's mean vectors. Groups present in only
+    one snapshot report NULL metrics with their counts (added/removed
+    classes surface rather than vanish — the card_diff convention).
+
+    Determinism: per-dim sums are round(x, 9) DECIMAL folds; means
+    round to 9dp; cross-centroid products round(.,9) DECIMAL-sum —
+    the embedding-stats discipline (covariance/CKA/psi), hash-exact on
+    both engines. Final cosine/l2 at 6dp (+0.0 kills -0.0).
+
+    100-TB shape: two (group, dim) map-side-combinable aggregates (the
+    shuffle payload is groups x dims partials per task, not rows), one
+    (group, dim)-keyed join of two group x dim frames, one group-grain
+    reduce. Nothing scales with row count but the scans.
+    """
+    def _means(df: DataFrame, side: str) -> DataFrame:
+        ex = df.select(
+            F.col(group_col).alias("__g"),
+            F.posexplode(F.col(vec_col)).alias("__d", "__x"),
+        )
+        return ex.groupBy("__g", "__d").agg(
+            F.round(
+                F.sum(F.round(F.col("__x").cast("double"), 9).cast("decimal(30,9)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias(f"__m{side}")
+        )
+
+    def _counts(df: DataFrame, side: str) -> DataFrame:
+        return df.groupBy(F.col(group_col).alias("__g")).agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"n_{side}")
+        )
+
+    ma, mb = _means(a, "a"), _means(b, "b")
+    s9 = lambda c: F.sum(F.round(c, 9).cast("decimal(30,9)")).cast("double")  # noqa: E731
+    joined = ma.join(mb, ["__g", "__d"]).groupBy("__g").agg(
+        s9(F.col("__ma") * F.col("__mb")).alias("__dot"),
+        s9(F.col("__ma") * F.col("__ma")).alias("__aa"),
+        s9(F.col("__mb") * F.col("__mb")).alias("__bb"),
+        s9((F.col("__ma") - F.col("__mb")) * (F.col("__ma") - F.col("__mb"))).alias(
+            "__l2"
+        ),
+    )
+    counts = _counts(a, "a").join(_counts(b, "b"), "__g", "full_outer")
+    return (
+        counts.join(joined, "__g", "left")
+        .select(
+            F.col("__g").alias(group_col),
+            "n_a",
+            "n_b",
+            (
+                F.when(
+                    (F.col("__aa") > 0) & (F.col("__bb") > 0),
+                    F.round(
+                        F.col("__dot")
+                        / (F.sqrt(F.col("__aa")) * F.sqrt(F.col("__bb"))),
+                        6,
+                    ),
+                )
+                + 0.0
+            ).alias("cosine"),
+            (F.round(F.sqrt(F.col("__l2")), 6) + 0.0).alias("l2"),
+        )
+        .orderBy(group_col)
+    )

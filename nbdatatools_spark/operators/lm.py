@@ -888,6 +888,90 @@ def mink_prob_score(
     ).orderBy(id_col)
 
 
+def kn_perplexity_by_slice(
+    train: DataFrame,
+    score: DataFrame,
+    slice_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+    floor: float = 1e-9,
+) -> DataFrame:
+    """Per-slice Kneser-Ney perplexity report with head/middle/tail
+    tiers: aggregate :func:`kn_perplexity_score`'s per-document means to
+    the slice grain (source / domain / snapshot) and rank slices into
+    terciles — the domain-level quality table of the CCNet pipeline
+    (Wenzek et al. arXiv:1911.00359 bucket documents; The Pile and
+    corpus ablations publish the same statistic per COMPONENT, which is
+    this report). "Which domains does my reference LM find fluent" is
+    the first mixture-reweighting input after a new crawl lands.
+
+    Determinism: each document's mean ln P is the pure-integer half-up
+    MICRO mean of 9dp nano terms (exactly ``kn_perplexity_score``); the
+    slice mean over those per-doc micro integers is again an integer
+    half-up mean, so every reported mean sits on the micro grid on both
+    engines (the rarity_scores/burstiness 6dp-tie discipline — doc and
+    slice counts are exactly the small round denominators that tie).
+    ``perplexity`` = exp of that micro-grain mean at 6dp (irrational,
+    off-grid, float-round safe). Tiers: ntile(3) ordered by
+    (slice mean micro, slice) — deterministic, slice names break ties.
+
+    100-TB shape: the scored term stream never shuffles strings (16-byte
+    digest joins, see ``kn_perplexity_score``); this adds one (doc)
+    aggregate, one digest join to recover the slice key, one slice-grain
+    aggregate, and a window over the slice-count-sized frame. DECIMAL
+    sums: 10^12 docs x 2e7 micros overflows BIGINT.
+
+    Returns one row per slice: ``(slice_col, n_docs, n_bigrams,
+    mean_logp, perplexity, tier)`` ordered by (mean micro, slice).
+    """
+    per_doc = _kn_scored_terms(
+        train, score, text_col, id_col, discount, floor
+    ).groupBy("__id").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__t").alias("__s")
+    )
+    doc_micro = per_doc.select(
+        "__id",
+        F.col("__n"),
+        F.expr("(__s + 500 * __n) div (1000 * __n)").alias("__mm"),
+    )
+    labeled = doc_micro.join(
+        score.select(
+            F.col(id_col).alias("__id"), F.col(slice_col).alias("__g")
+        ),
+        "__id",
+    )
+    agg = labeled.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__nd"),
+        F.sum("__n").cast("long").alias("__nb"),
+        F.sum(F.col("__mm").cast("decimal(38,0)")).alias("__sm"),
+    )
+    sliced = agg.select(
+        F.col("__g"),
+        F.col("__nd").cast("bigint").alias("n_docs"),
+        F.col("__nb").alias("n_bigrams"),
+        F.expr(
+            "CAST((2 * __sm + __nd) div (2 * CAST(__nd AS DECIMAL(38,0)))"
+            " AS BIGINT)"
+        ).alias("__micro"),
+    )
+    w = Window.orderBy(F.col("__micro").asc(), F.col("__g").asc())
+    tier = F.ntile(3).over(w)
+    return sliced.select(
+        F.col("__g").alias(slice_col),
+        "n_docs",
+        "n_bigrams",
+        (-(F.col("__micro").cast("double") / 1e6) + 0.0).alias("mean_logp"),
+        (F.round(F.exp(F.col("__micro").cast("double") / 1e6), 6) + 0.0).alias(
+            "perplexity"
+        ),
+        F.when(tier == 1, F.lit("head"))
+        .when(tier == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("tier"),
+    ).orderBy(F.desc("mean_logp"), F.asc(slice_col))
+
+
 def _cms_tokens(df: DataFrame, text_col: str) -> DataFrame:
     """Normalized token stream for the CMS family (shared by the batch
     audit and the streaming sketch — identical tokenization, so the

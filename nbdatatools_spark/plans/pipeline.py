@@ -381,3 +381,103 @@ def run_pipeline(
             row["rows"] = out.count()
         report.append(row)
     return out, report
+
+
+def filter_funnel(
+    df: DataFrame,
+    stages: list[tuple[str, "F.Column"]],
+    text_col: str = "text",
+    token_col: str | None = None,
+) -> DataFrame:
+    """Cumulative filter-attrition report: for an ORDERED list of
+    ``(name, boolean Column)`` filter stages, the documents and tokens
+    surviving after each stage is applied cumulatively — the curation
+    funnel table every large-corpus writeup publishes (C4 / Gopher
+    appendix attrition, RefinedWeb Table 2, FineWeb's filtering funnel)
+    and the first thing a data engineer asks of a new filter chain
+    ("which stage is eating my tokens?").
+
+    One corpus pass: every stage becomes a cumulative boolean flag and
+    ONE global aggregate produces all per-stage doc/token sums
+    (map-side combinable, no shuffle beyond the single-row reduce); the
+    k+1 report rows then unfold from that row declaratively. A NULL
+    predicate drops the row (WHERE semantics).
+
+    Returns one row per stage, stage 0 = the unfiltered input:
+    ``(stage, name, docs, tokens, drop_docs, drop_tokens, pct_docs,
+    pct_tokens)`` — pcts are of the ORIGINAL input at 6dp via the
+    pure-integer half-up ratio (integer/integer quotients land on the
+    6dp grid exactly where float rounding ties cross-engine).
+
+    100-TB shape: flags are map-side expressions over the scan; the
+    aggregate is one row. Nothing scales with anything but the scan.
+    """
+    from nbdatatools_spark.functions.text import token_count
+
+    if not stages:
+        raise ValueError("stages must be a non-empty list of (name, Column)")
+    names = [n for n, _ in stages]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate stage names: {names}")
+    ntok = (
+        F.col(token_col).cast("long")
+        if token_col
+        else token_count(F.col(text_col)).cast("long")
+    )
+    work = df.select(ntok.alias("__nt"), *[
+        F.coalesce(pred.cast("boolean"), F.lit(False)).alias(f"__p{i}")
+        for i, (_, pred) in enumerate(stages, 1)
+    ])
+    cum = F.lit(True)
+    aggs = [
+        F.count(F.lit(1)).alias("d0"),
+        F.coalesce(F.sum("__nt"), F.lit(0)).cast("long").alias("t0"),
+    ]
+    for i in range(1, len(stages) + 1):
+        cum = cum & F.col(f"__p{i}")
+        aggs.append(
+            F.coalesce(F.sum(cum.cast("long")), F.lit(0)).cast("long").alias(f"d{i}")
+        )
+        aggs.append(
+            F.coalesce(F.sum(F.when(cum, F.col("__nt")).otherwise(F.lit(0))), F.lit(0))
+            .cast("long")
+            .alias(f"t{i}")
+        )
+    one = work.agg(*aggs)
+    entries = []
+    for i, name in enumerate(["input"] + names):
+        prev = max(i - 1, 0)
+        entries.append(
+            F.struct(
+                F.lit(i).cast("int").alias("stage"),
+                F.lit(name).alias("name"),
+                F.col(f"d{i}").alias("docs"),
+                F.col(f"t{i}").alias("tokens"),
+                (F.col(f"d{prev}") - F.col(f"d{i}")).cast("long").alias("drop_docs"),
+                (F.col(f"t{prev}") - F.col(f"t{i}")).cast("long").alias("drop_tokens"),
+            )
+        )
+    rows = one.select(
+        F.col("d0").alias("__d0"), F.col("t0").alias("__t0"),
+        F.explode(F.array(*entries)).alias("s"),
+    )
+    # integer half-up 6dp ratio; DECIMAL(38,0) so 2*tokens*1e6 cannot
+    # overflow BIGINT at 100-TB token counts (ANSI would throw)
+    pct = lambda v, tot: F.when(  # noqa: E731
+        F.col(f"__{tot}") > 0,
+        F.expr(
+            f"(2 * CAST(s.{v} AS DECIMAL(38,0)) * 1000000 + __{tot})"
+            f" div (2 * CAST(__{tot} AS DECIMAL(38,0)))"
+        ).cast("double")
+        / 1e6,
+    )
+    return rows.select(
+        F.col("s.stage").alias("stage"),
+        F.col("s.name").alias("name"),
+        F.col("s.docs").alias("docs"),
+        F.col("s.tokens").alias("tokens"),
+        F.col("s.drop_docs").alias("drop_docs"),
+        F.col("s.drop_tokens").alias("drop_tokens"),
+        (pct("docs", "d0") + 0.0).alias("pct_docs"),
+        (pct("tokens", "t0") + 0.0).alias("pct_tokens"),
+    ).orderBy("stage")

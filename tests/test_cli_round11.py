@@ -111,3 +111,44 @@ def test_auc_ci_cli(spark, capsys, tmp_path):
     assert len(rows) == 1
     r = rows[0]
     assert r["ci_lo"] <= r["auc"] <= r["ci_hi"]
+
+
+def test_funnel_cli(capsys):
+    stages = json.dumps([
+        {"name": "lang_en", "expr": "lang = 'en'"},
+        {"name": "long_docs", "expr": "n_chars >= 200"},
+    ])
+    assert main(["corpus", "funnel", "--input", DOCS,
+                 "--stages", stages]) == 0
+    rows = _lines(capsys)
+    assert [r["stage"] for r in rows] == [0, 1, 2]
+    assert rows[0]["name"] == "input" and rows[0]["pct_docs"] == 1.0
+    assert rows[1]["docs"] <= rows[0]["docs"]
+    assert rows[2]["docs"] <= rows[1]["docs"]
+
+
+def test_slice_perplexity_cli(spark, capsys, tmp_path):
+    train = str(tmp_path / "sp_train.parquet")
+    held = str(tmp_path / "sp_held.parquet")
+    docs = spark.read.parquet(DOCS)
+    docs.where("doc_id % 3 != 0").write.parquet(train)
+    docs.where("doc_id % 3 = 0").write.parquet(held)
+    assert main(["corpus", "slice_perplexity", "--train", train,
+                 "--input", held]) == 0
+    rows = _lines(capsys)
+    assert rows and {r["tier"] for r in rows} == {"head", "middle", "tail"}
+    ppl = [r["perplexity"] for r in rows]
+    assert ppl == sorted(ppl)
+
+
+def test_centroid_drift_cli(spark, capsys, tmp_path):
+    a = str(tmp_path / "emb_a.parquet")
+    b = str(tmp_path / "emb_b.parquet")
+    emb = spark.read.parquet(EMB)
+    emb.where("vec_id % 2 = 0").write.parquet(a)
+    emb.where("vec_id % 2 = 1").write.parquet(b)
+    assert main(["analyze", "centroid-drift", "--baseline", a,
+                 "--current", b]) == 0
+    rows = _lines(capsys)
+    assert rows and all(-1.0 <= r["cosine"] <= 1.0 for r in rows)
+    assert all(r["l2"] >= 0.0 for r in rows)
