@@ -13320,6 +13320,26 @@ def embedding_label_drift(spark, sf_dir):
     )
 
 
+def doc_dedup_savings(spark, sf_dir):
+    """Token-weighted dedup impact report (dedup.py::dedup_savings):
+    per near-dup cluster-size bucket, the documents and tokens a
+    min-id-survivor transitive MinHash pass removes — the capacity
+    answer ("how many tokens does the run buy?") behind
+    doc_dedup_cluster_sizes' distribution. Same banded-LSH -> Jaccard ->
+    components chain; the oracle replays it with the RECURSIVE
+    reachability CTE plus arg_min survivor tokens. All-integer output."""
+    from nbdatatools_spark.operators.dedup import dedup_savings
+
+    return dedup_savings(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=32,
+        bands=8,
+        shingle_size=5,
+        threshold=0.5,
+        impl="md5",
+    )
+
+
 def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Round-11 rotation candidates: same contract as queries(), kept out
     of the live window so the round-10 recording layout stays attested.
@@ -13342,6 +13362,7 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_filter_funnel": doc_filter_funnel,
         "doc_source_perplexity": doc_source_perplexity,
         "embedding_label_drift": embedding_label_drift,
+        "doc_dedup_savings": doc_dedup_savings,
     }
 
 
@@ -14124,6 +14145,52 @@ def candidate_oracles() -> dict[str, str]:
             FROM cn LEFT JOIN jm ON jm.g = cn.g
             ORDER BY label
         """,
+        "doc_dedup_savings": f"""
+            WITH RECURSIVE {{mh}},
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM capped a JOIN capped b
+                  ON a.band = b.band AND a.band_hash = b.band_hash
+                 AND a.doc_id < b.doc_id),
+            sets AS (
+                SELECT doc_id,
+                       list_distinct(
+                           list_transform(range(1, greatest(length(t) - 4, 1) + 1),
+                                          i -> substring(t, CAST(i AS INT), 5))) AS g
+                FROM nrm),
+            ver AS (
+                SELECT c.id_a, c.id_b
+                FROM cand c
+                JOIN sets sa ON sa.doc_id = c.id_a
+                JOIN sets sb ON sb.doc_id = c.id_b
+                WHERE CAST(len(list_intersect(sa.g, sb.g)) AS DOUBLE)
+                      / len(list_distinct(list_concat(sa.g, sb.g))) >= 0.5),
+            edges AS (
+                SELECT id_a AS s, id_b AS d FROM ver
+                UNION
+                SELECT id_b, id_a FROM ver),
+            reach(id, r) AS (
+                SELECT s, d FROM edges
+                UNION
+                SELECT w.id, e.d FROM reach w JOIN edges e ON e.s = w.r),
+            comp AS (
+                SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id),
+            allc AS (
+                SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp,
+                       CAST({{nt}} AS BIGINT) AS nt
+                FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+            pc AS (SELECT comp, count(*) AS cluster_size,
+                          CAST(sum(nt) AS BIGINT) AS tok,
+                          CAST(arg_min(nt, doc_id) AS BIGINT) AS kept
+                   FROM allc GROUP BY comp)
+            SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+                   CAST(count(*) AS BIGINT) AS n_clusters,
+                   CAST(sum(cluster_size) AS BIGINT) AS docs,
+                   CAST(sum(cluster_size - 1) AS BIGINT) AS docs_removed,
+                   CAST(sum(tok) AS BIGINT) AS tokens,
+                   CAST(sum(tok - kept) AS BIGINT) AS tokens_removed
+            FROM pc GROUP BY cluster_size ORDER BY cluster_size
+        """.format(mh=_minhash_ctes(32, 8, 5, 2000), nt=_NTOK),
     }
 
 

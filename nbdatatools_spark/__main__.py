@@ -16,7 +16,7 @@ reference user can run the same commands against the Spark engine:
     catalog
     datasets list|download|plan|curlify|prebuffer
     vectordata info|views|profiles|size|sample|cat|prebuffer|verify
-    corpus stats|run|tune_dedup|cluster_sizes|select_budget|card|keyphrases
+    corpus stats|run|tune_dedup|cluster_sizes|dedup_savings|select_budget|card|keyphrases
            |kneser_ney|train_unigram|train_wordpiece|train_sentencepiece
            |fertility_sweep|pack_audit|richness|rarity
            |calibrate_minhash|balance|qc
@@ -612,6 +612,22 @@ def _cmd_corpus_cluster_sizes(args) -> int:
         num_hashes=args.num_hashes, bands=args.bands,
         threshold=args.threshold,
     ).orderBy("cluster_size").collect()
+    for r in rows:
+        print(json.dumps(r.asDict()))
+    return 0
+
+
+def _cmd_corpus_dedup_savings(args) -> int:
+    """Token-weighted dedup impact: per cluster-size bucket, the docs
+    and tokens a min-id-survivor transitive dedup pass removes."""
+    from nbdatatools_spark.operators.dedup import dedup_savings
+
+    spark = _spark()
+    rows = dedup_savings(
+        spark.read.parquet(args.input), id_col=args.id_col,
+        text_col=args.text_col, num_hashes=args.num_hashes,
+        bands=args.bands, threshold=args.threshold,
+    ).collect()
     for r in rows:
         print(json.dumps(r.asDict()))
     return 0
@@ -2938,6 +2954,14 @@ def build_parser() -> argparse.ArgumentParser:
     ccs.add_argument("--bands", type=int, default=8)
     ccs.add_argument("--threshold", type=float, default=0.5)
     ccs.set_defaults(func=_cmd_corpus_cluster_sizes)
+    cds = cp.add_parser("dedup_savings")
+    cds.add_argument("--input", required=True)
+    cds.add_argument("--text-col", default="text")
+    cds.add_argument("--id-col", default="doc_id")
+    cds.add_argument("--num-hashes", type=int, default=32)
+    cds.add_argument("--bands", type=int, default=8)
+    cds.add_argument("--threshold", type=float, default=0.5)
+    cds.set_defaults(func=_cmd_corpus_dedup_savings)
     csb = cp.add_parser("select_budget")
     csb.add_argument("--input", required=True)
     csb.add_argument("--output", required=True)

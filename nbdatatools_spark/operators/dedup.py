@@ -1656,6 +1656,80 @@ def dedup_cluster_sizes(
     )
 
 
+def dedup_savings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_size: int = 5,
+    threshold: float = 0.5,
+    max_iter: int = 20,
+    impl: str = "md5",
+) -> DataFrame:
+    """Token-weighted dedup impact report — what a transitive MinHash
+    dedup pass would actually SAVE, before committing to it: per
+    cluster-size bucket, how many documents and how many tokens the
+    min-id-survivor rule removes. :func:`dedup_cluster_sizes` answers
+    "how does the duplicate mass distribute"; this answers the capacity
+    question every dedup proposal gets asked first — "how many tokens
+    does the run buy us?" (dedup ablations in Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" report
+    exactly this table).
+
+    Same composed chain as the gate-verified pieces (banded LSH ->
+    Jaccard verify -> min-label components -> singletons join as their
+    own cluster), plus each doc's whitespace token count carried through
+    the component join and ``min_by(tokens, id)`` marking the survivor —
+    8-byte shuffle keys throughout, output bounded by distinct cluster
+    sizes. Returns ``(cluster_size, n_clusters, docs, docs_removed,
+    tokens, tokens_removed)`` — all integers, ordered by size.
+    """
+    from nbdatatools_spark.functions.text import token_count
+
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, num_hashes, bands, shingle_size, impl=impl
+    )
+    verified = jaccard_verify(cands, df, id_col, text_col, shingle_size, threshold)
+    comp = connected_components(verified, max_iter=max_iter)
+    allc = (
+        df.select(
+            F.col(id_col).alias("id"),
+            token_count(F.col(text_col)).cast("long").alias("__nt"),
+        )
+        .join(comp, "id", "left")
+        .select(
+            "id", "__nt", F.coalesce("component", F.col("id")).alias("component")
+        )
+    )
+    per_comp = allc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.sum("__nt").cast("long").alias("__tok"),
+        F.expr("min_by(__nt, id)").cast("long").alias("__kept"),
+    )
+    return (
+        per_comp.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("cluster_size").cast("long").alias("docs"),
+            F.sum(F.col("cluster_size") - 1).cast("long").alias("docs_removed"),
+            F.sum("__tok").cast("long").alias("tokens"),
+            F.sum(F.col("__tok") - F.col("__kept")).cast("long").alias(
+                "tokens_removed"
+            ),
+        )
+        .select(
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            "n_clusters",
+            "docs",
+            "docs_removed",
+            "tokens",
+            "tokens_removed",
+        )
+        .orderBy("cluster_size")
+    )
+
+
 def winnow_verify(
     df: DataFrame,
     id_col: str = "doc_id",

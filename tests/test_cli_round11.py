@@ -152,3 +152,10 @@ def test_centroid_drift_cli(spark, capsys, tmp_path):
     rows = _lines(capsys)
     assert rows and all(-1.0 <= r["cosine"] <= 1.0 for r in rows)
     assert all(r["l2"] >= 0.0 for r in rows)
+
+
+def test_dedup_savings_cli(capsys):
+    assert main(["corpus", "dedup_savings", "--input", DOCS]) == 0
+    rows = _lines(capsys)
+    assert rows and rows[0]["cluster_size"] == 1
+    assert all(r["docs"] == r["cluster_size"] * r["n_clusters"] for r in rows)

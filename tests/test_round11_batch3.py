@@ -176,3 +176,49 @@ def test_centroid_drift_one_sided_group(spark):
     out = {r["label"]: r for r in centroid_drift(a, b).collect()}
     assert out[7]["n_a"] == 1 and out[7]["n_b"] is None
     assert out[7]["cosine"] is None and out[7]["l2"] is None
+
+
+# -- dedup_savings -----------------------------------------------------------
+
+
+def test_dedup_savings_consistent_with_cluster_sizes(spark, sf_dir):
+    from nbdatatools_spark.operators.dedup import (
+        dedup_cluster_sizes,
+        dedup_savings,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kw = dict(num_hashes=32, bands=8, shingle_size=5, threshold=0.5, impl="md5")
+    hist = {
+        r["cluster_size"]: r["n_clusters"]
+        for r in dedup_cluster_sizes(docs, **kw).collect()
+    }
+    sav = dedup_savings(docs, **kw).collect()
+    assert {r["cluster_size"]: r["n_clusters"] for r in sav} == hist
+    for r in sav:
+        assert r["docs"] == r["cluster_size"] * r["n_clusters"]
+        assert r["docs_removed"] == (r["cluster_size"] - 1) * r["n_clusters"]
+        if r["cluster_size"] == 1:
+            assert r["tokens_removed"] == 0
+        else:
+            assert 0 <= r["tokens_removed"] < r["tokens"]
+    # total docs reconcile with the corpus
+    assert sum(r["docs"] for r in sav) == docs.count()
+
+
+def test_dedup_savings_min_id_survivor(spark):
+    from nbdatatools_spark.operators.dedup import dedup_savings
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (10, base + " tail one"),   # near-dup pair: min id 10 survives
+        (20, base + " tail two!"),
+        (30, "completely different text with nothing shared here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["cluster_size"]: r for r in dedup_savings(df).collect()}
+    assert out[2]["n_clusters"] == 1 and out[1]["n_clusters"] == 1
+    # survivor = doc 10 (13 tokens); removed = doc 20's 13 tokens
+    nt10, nt20 = len(rows[0][1].split()), len(rows[1][1].split())
+    assert out[2]["tokens"] == nt10 + nt20
+    assert out[2]["tokens_removed"] == nt20
