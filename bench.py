@@ -232,6 +232,20 @@ HEADLINE = [
     "doc_distinct_ngrams_hll",
     "doc_hill_tail",
     "doc_rarity_scores",
+    # round-10 staged round-11 candidates (doc_dedup_savings stays a gate
+    # but not a headline entry — the full LSH+verify+closure chain is
+    # ~129s at sf0.1, the doc_dedup_cluster_sizes policy)
+    "doc_kn_perplexity",
+    "doc_score_psi_drift",
+    "doc_card_diff",
+    "embedding_lsh_tradeoff",
+    "doc_mink_prob",
+    "doc_gwet_ac1",
+    "doc_auc_delong",
+    "doc_sliced_ece",
+    "doc_filter_funnel",
+    "doc_source_perplexity",
+    "embedding_label_drift",
 ]
 
 
