@@ -13340,6 +13340,26 @@ def doc_dedup_savings(spark, sf_dir):
     )
 
 
+def doc_source_contamination(spark, sf_dir):
+    """Per-source contamination dashboard (dedup.py::
+    contamination_by_slice): the domain-grain rollup of the 13-gram
+    decontamination rule (Dodge et al. 2021 report C4 benchmark overlap
+    by domain) — test = doc_id % 101 == 0 (the doc_contamination_frac
+    split), per source the docs/tokens carrying any test 13-gram with
+    integer half-up 6dp rates. Grams shuffle as 8-byte hashes; the
+    oracle replays string grams (same parity precedent as
+    doc_contamination_frac)."""
+    from nbdatatools_spark.operators.dedup import contamination_by_slice
+
+    docs = _t(spark, sf_dir, "documents")
+    return contamination_by_slice(
+        docs.where(F.col("doc_id") % 101 != 0),
+        docs.where(F.col("doc_id") % 101 == 0),
+        slice_col="source",
+        n=13,
+    )
+
+
 def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Round-11 rotation candidates: same contract as queries(), kept out
     of the live window so the round-10 recording layout stays attested.
@@ -13374,6 +13394,7 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_source_perplexity": doc_source_perplexity,
         "embedding_label_drift": embedding_label_drift,
         "doc_dedup_savings": doc_dedup_savings,
+        "doc_source_contamination": doc_source_contamination,
     }
 
 
@@ -14202,6 +14223,48 @@ def candidate_oracles() -> dict[str, str]:
                    CAST(sum(tok - kept) AS BIGINT) AS tokens_removed
             FROM pc GROUP BY cluster_size ORDER BY cluster_size
         """.format(mh=_minhash_ctes(32, 8, 5, 2000), nt=_NTOK),
+        "doc_source_contamination": f"""
+            WITH nrm AS (
+                SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                FROM documents),
+            toks AS (
+                SELECT doc_id, string_split(t, ' ') AS w
+                FROM nrm WHERE length(t) > 0),
+            tg AS (
+                SELECT DISTINCT array_to_string(w[i:i+12], ' ') AS gram
+                FROM (SELECT w, unnest(generate_series(1, greatest(len(w)-12, 1))) AS i
+                      FROM toks WHERE doc_id % 101 = 0)),
+            trg AS (
+                SELECT DISTINCT doc_id, array_to_string(w[i:i+12], ' ') AS gram
+                FROM (SELECT doc_id, w,
+                             unnest(generate_series(1, greatest(len(w)-12, 1))) AS i
+                      FROM toks WHERE doc_id % 101 <> 0)),
+            hitdocs AS (
+                SELECT DISTINCT doc_id FROM trg
+                WHERE gram IN (SELECT gram FROM tg)),
+            base AS (
+                SELECT d.source, CAST({{nt}} AS BIGINT) AS nt,
+                       CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+                FROM documents d LEFT JOIN hitdocs h USING (doc_id)
+                WHERE d.doc_id % 101 <> 0),
+            a AS (SELECT source, CAST(count(*) AS BIGINT) AS nd,
+                         CAST(sum(hit) AS BIGINT) AS nc,
+                         CAST(sum(nt) AS BIGINT) AS tok,
+                         CAST(sum(CASE WHEN hit = 1 THEN nt ELSE 0 END)
+                              AS BIGINT) AS tokc
+                  FROM base GROUP BY source)
+            SELECT source, nd AS n_docs, nc AS n_contaminated,
+                   CASE WHEN nd > 0 THEN
+                       CAST((2 * CAST(nc AS HUGEINT) * 1000000 + nd)
+                            // (2 * CAST(nd AS HUGEINT)) AS DOUBLE) / 1e6 + 0.0
+                   END AS doc_rate,
+                   tok AS n_tokens, tokc AS tokens_contaminated,
+                   CASE WHEN tok > 0 THEN
+                       CAST((2 * CAST(tokc AS HUGEINT) * 1000000 + tok)
+                            // (2 * CAST(tok AS HUGEINT)) AS DOUBLE) / 1e6 + 0.0
+                   END AS token_rate
+            FROM a ORDER BY source
+        """.format(nt=_NTOK),
     }
 
 

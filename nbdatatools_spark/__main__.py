@@ -16,7 +16,8 @@ reference user can run the same commands against the Spark engine:
     catalog
     datasets list|download|plan|curlify|prebuffer
     vectordata info|views|profiles|size|sample|cat|prebuffer|verify
-    corpus stats|run|tune_dedup|cluster_sizes|dedup_savings|select_budget|card|keyphrases
+    corpus stats|run|tune_dedup|cluster_sizes|dedup_savings|source_contamination
+        |select_budget|card|keyphrases
            |kneser_ney|train_unigram|train_wordpiece|train_sentencepiece
            |fertility_sweep|pack_audit|richness|rarity
            |calibrate_minhash|balance|qc
@@ -627,6 +628,22 @@ def _cmd_corpus_dedup_savings(args) -> int:
         spark.read.parquet(args.input), id_col=args.id_col,
         text_col=args.text_col, num_hashes=args.num_hashes,
         bands=args.bands, threshold=args.threshold,
+    ).collect()
+    for r in rows:
+        print(json.dumps(r.asDict()))
+    return 0
+
+
+def _cmd_corpus_source_contamination(args) -> int:
+    """Per-slice contamination dashboard: docs/tokens per source carrying
+    any test-set word n-gram, with 6dp rates."""
+    from nbdatatools_spark.operators.dedup import contamination_by_slice
+
+    spark = _spark()
+    rows = contamination_by_slice(
+        spark.read.parquet(args.input), spark.read.parquet(args.test),
+        slice_col=args.slice_col, id_col=args.id_col,
+        text_col=args.text_col, n=args.n,
     ).collect()
     for r in rows:
         print(json.dumps(r.asDict()))
@@ -2962,6 +2979,14 @@ def build_parser() -> argparse.ArgumentParser:
     cds.add_argument("--bands", type=int, default=8)
     cds.add_argument("--threshold", type=float, default=0.5)
     cds.set_defaults(func=_cmd_corpus_dedup_savings)
+    csc = cp.add_parser("source_contamination")
+    csc.add_argument("--input", required=True)
+    csc.add_argument("--test", required=True)
+    csc.add_argument("--slice-col", default="source")
+    csc.add_argument("--id-col", default="doc_id")
+    csc.add_argument("--text-col", default="text")
+    csc.add_argument("--n", type=int, default=13)
+    csc.set_defaults(func=_cmd_corpus_source_contamination)
     csb = cp.add_parser("select_budget")
     csb.add_argument("--input", required=True)
     csb.add_argument("--output", required=True)

@@ -1001,6 +1001,66 @@ def decontaminate(
     return train.join(hits.withColumnRenamed("id", id_col), id_col, "left_anti")
 
 
+def contamination_by_slice(
+    train: DataFrame,
+    test: DataFrame,
+    slice_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Per-slice contamination dashboard — the domain-grain rollup of
+    :func:`contaminated_ids` (Dodge et al. 2021 report C4 benchmark
+    contamination BY DOMAIN; "which sources leak the eval set" is the
+    remediation question after any contamination hit): per slice, the
+    documents and tokens carrying at least one test-set word n-gram,
+    with pure-integer half-up 6dp rates.
+
+    Same shuffle discipline as the underlying rule (grams travel as
+    8-byte hashes, the test gram table broadcasts) plus one slice-grain
+    aggregate. Returns ``(slice_col, n_docs, n_contaminated, doc_rate,
+    n_tokens, tokens_contaminated, token_rate)`` ordered by slice.
+    """
+    from nbdatatools_spark.functions.text import token_count
+
+    hits = contaminated_ids(train, test, id_col, text_col, n).select(
+        "id", F.lit(1).alias("__hit")
+    )
+    base = train.select(
+        F.col(id_col).alias("id"),
+        F.col(slice_col).alias("__g"),
+        token_count(F.col(text_col)).cast("long").alias("__nt"),
+    ).join(hits, "id", "left")
+    agg = base.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_contaminated"),
+        F.coalesce(F.sum("__nt"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(
+            F.sum(F.when(F.col("__hit") == 1, F.col("__nt")).otherwise(F.lit(0))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("tokens_contaminated"),
+    )
+    rate = lambda num, den: F.when(  # noqa: E731 — integer half-up 6dp
+        F.col(den) > 0,
+        F.expr(
+            f"(2 * CAST({num} AS DECIMAL(38,0)) * 1000000 + {den})"
+            f" div (2 * CAST({den} AS DECIMAL(38,0)))"
+        ).cast("double")
+        / 1e6,
+    )
+    return agg.select(
+        F.col("__g").alias(slice_col),
+        "n_docs",
+        "n_contaminated",
+        (rate("n_contaminated", "n_docs") + 0.0).alias("doc_rate"),
+        "n_tokens",
+        "tokens_contaminated",
+        (rate("tokens_contaminated", "n_tokens") + 0.0).alias("token_rate"),
+    ).orderBy(slice_col)
+
+
 # --- paragraph-level dedup -------------------------------------------------
 
 def paragraph_dedup(

@@ -159,3 +159,16 @@ def test_dedup_savings_cli(capsys):
     rows = _lines(capsys)
     assert rows and rows[0]["cluster_size"] == 1
     assert all(r["docs"] == r["cluster_size"] * r["n_clusters"] for r in rows)
+
+
+def test_source_contamination_cli(spark, capsys, tmp_path):
+    train = str(tmp_path / "ct_train.parquet")
+    test = str(tmp_path / "ct_test.parquet")
+    docs = spark.read.parquet(DOCS)
+    docs.where("doc_id % 101 != 0").write.parquet(train)
+    docs.where("doc_id % 101 = 0").write.parquet(test)
+    assert main(["corpus", "source_contamination", "--input", train,
+                 "--test", test]) == 0
+    rows = _lines(capsys)
+    assert rows and all(0.0 <= r["doc_rate"] <= 1.0 for r in rows)
+    assert all(r["n_contaminated"] <= r["n_docs"] for r in rows)

@@ -222,3 +222,58 @@ def test_dedup_savings_min_id_survivor(spark):
     nt10, nt20 = len(rows[0][1].split()), len(rows[1][1].split())
     assert out[2]["tokens"] == nt10 + nt20
     assert out[2]["tokens_removed"] == nt20
+
+
+# -- contamination_by_slice --------------------------------------------------
+
+
+def test_source_contamination_consistent_with_frac(spark, sf_dir):
+    from nbdatatools_spark.operators.dedup import (
+        contamination_by_slice,
+        contamination_fraction,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train = docs.where(F.col("doc_id") % 101 != 0)
+    test = docs.where(F.col("doc_id") % 101 == 0)
+    frac = contamination_fraction(train, test, n=13).collect()
+    src = {
+        r["doc_id"]: r["source"]
+        for r in docs.select("doc_id", "source").collect()
+    }
+    hit_by_src = {}
+    for r in frac:
+        if r["n_contaminated"] > 0:
+            g = src[r["id"]]
+            hit_by_src[g] = hit_by_src.get(g, 0) + 1
+    out = contamination_by_slice(train, test, n=13).collect()
+    for r in out:
+        assert r["n_contaminated"] == hit_by_src.get(r["source"], 0)
+        if r["n_docs"]:
+            expect = (2 * r["n_contaminated"] * 10**6 + r["n_docs"]) // (
+                2 * r["n_docs"]
+            )
+            assert r["doc_rate"] == expect / 1e6
+
+
+def test_source_contamination_hand_built(spark):
+    from nbdatatools_spark.operators.dedup import contamination_by_slice
+
+    gram = " ".join(f"w{i}" for i in range(13))
+    train = spark.createDataFrame(
+        [
+            (1, "src_a", gram + " trailing tokens here"),
+            (2, "src_a", "totally clean text " + " ".join(f"c{i}" for i in range(13))),
+            (3, "src_b", "also clean " + " ".join(f"d{i}" for i in range(13))),
+        ],
+        "doc_id long, source string, text string",
+    )
+    test = spark.createDataFrame(
+        [(100, "bench", gram)], "doc_id long, source string, text string"
+    )
+    out = {r["source"]: r for r in contamination_by_slice(train, test).collect()}
+    assert out["src_a"]["n_contaminated"] == 1 and out["src_a"]["n_docs"] == 2
+    assert out["src_a"]["doc_rate"] == 0.5
+    assert out["src_a"]["tokens_contaminated"] == 16  # 13-gram + 3 trailing
+    assert out["src_b"]["n_contaminated"] == 0
+    assert out["src_b"]["doc_rate"] == 0.0 and out["src_b"]["token_rate"] == 0.0
