@@ -13370,11 +13370,12 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     partitions, and (for anything join/explode-heavy) sf0.1 before it
     rotates — `python scripts/check_oracle.py <sf_dir> --candidates`.
 
-    Round-11 rotation plan (all 12 candidates verified hash-exact at
-    sf0.001/sf0.01/sf0.1 + 7 shuffle partitions this round): slots 0-8
+    Round-11 rotation plan (all 13 candidates verified hash-exact at
+    sf0.001/sf0.01/sf0.1 + 7 shuffle partitions this round): slots 0-9
     take the plan-light gates (score_psi_drift, card_diff,
     lsh_tradeoff, gwet_ac1, auc_delong, sliced_ece, filter_funnel,
-    label_drift, dedup_savings); the three KN-family gates
+    label_drift, dedup_savings, source_contamination); the three
+    KN-family gates
     (kn_perplexity, mink_prob, source_perplexity) go LATE per the
     shadowing rationale — `_kn_model_tables` collects the n_types
     scalar during plan construction, which runs a driver job. Displace
