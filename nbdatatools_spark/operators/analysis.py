@@ -2177,22 +2177,30 @@ def association_rules(
     items = df.select(
         F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
     ).distinct()
-    ok = (
+    # ONE basket aggregate feeds the cap filter, the pair generation,
+    # the item marginals, and the basket census (optimization round 10,
+    # guide §2.4): the old plan aggregated the item table by basket
+    # TWICE (size census + collect_set) with a semi-join between them,
+    # and ran the marginals as a third aggregate over the semi-joined
+    # rows. The size filter on count(1) keeps singleton baskets exactly
+    # as the old cap did (the >= 2 filter below applies only to the
+    # pair branch); marginals explode the capped arrays back out —
+    # identical row multiset to the old capped item table.
+    baskets = (
         items.groupBy("bk")
-        .agg(F.count(F.lit(1)).alias("__sz"))
+        .agg(
+            F.sort_array(F.collect_set("it")).alias("its"),
+            F.count(F.lit(1)).alias("__sz"),
+        )
         .where(F.col("__sz") <= max_basket_items)
-        .select("bk")
+        .localCheckpoint(eager=False)
     )
-    capped = items.join(ok, "bk", "left_semi")
-    n_baskets = capped.select("bk").distinct().agg(
-        F.count(F.lit(1)).alias("nb")
-    )
-    marg = capped.groupBy("it").agg(F.count(F.lit(1)).alias("n"))
-    # pairs map-side from the sorted per-basket array (bounded at
-    # max_basket_items by the semi-join above); explode_outer + null
-    # drop per the InferFiltersFromGenerate rule
-    baskets = capped.groupBy("bk").agg(
-        F.sort_array(F.collect_set("it")).alias("its")
+    n_baskets = baskets.agg(F.count(F.lit(1)).alias("nb"))
+    marg = (
+        baskets.select(F.explode_outer("its").alias("it"))
+        .where(F.col("it").isNotNull())
+        .groupBy("it")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     pair_expr = F.expr(
         "flatten(transform(sequence(0, size(its) - 2), i -> "
@@ -3484,6 +3492,15 @@ def sinkhorn_distance(
             .otherwise(F.lit(0.0))
             .alias("__u"),
         )
+        # cut lineage each iteration (optimization round 10, guide §3.3
+        # "very large plans — planning time itself becomes the
+        # bottleneck"): without this the final plan inlines all
+        # 2*iterations B^2 joins (~550KB formatted at B=12, several
+        # seconds of pure optimizer/codegen time on a 12-row problem).
+        # u is a 9dp-rounded B-row frame, so checkpointing changes no
+        # value; v's lineage is one join off the checkpointed u, so it
+        # stays shallow without its own checkpoint.
+        u = u.localCheckpoint(eager=False)
     plan = (
         kmat.join(u, "__i")
         .join(v, "__j")

@@ -288,6 +288,7 @@ def minhash_lsh_candidates(
     max_bucket: int = 2000,
     impl: str = "numpy",
     side_col: str | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded LSH.
 
@@ -309,9 +310,22 @@ def minhash_lsh_candidates(
     their other bands, and exact-dup handling belongs to exact_dedup anyway.
     The cap costs one extra aggregation on the (band, band_hash) key —
     map-side combinable, no extra pass over the text.
+
+    ``signatures``: optional precomputed ``(id, signature)`` frame (the
+    exact shape :func:`minhash_signatures` returns, same ``num_hashes``/
+    ``shingle_size``/``impl``). Callers that need the signatures AGAIN
+    downstream (minhash_calibration's estimator join) pass the shared
+    frame here so the corpus-wide signature pass runs once, not twice
+    (optimization round 10, guide §1.2 "remove unnecessary passes").
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size, impl=impl)
+    sig = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(
+            df, id_col, text_col, num_hashes, shingle_size, impl=impl
+        )
+    )
 
     def band_hash(b):
         joined = F.concat_ws(
@@ -390,12 +404,37 @@ def jaccard_verify(
 
     Joins shingle sets only for candidates (tiny vs corpus), computes
     |A∩B| / |A∪B| with array_intersect/array_union on distinct shingles.
+
+    Physical shape (optimization round 10, guide §2.3/§2.4): shingle
+    arrays are built ONLY for documents that appear in a candidate pair
+    — a semi-join of the corpus against the candidate id set runs first,
+    so the normalize+ngram+array_distinct work (the verify stage's
+    dominant compute) and the join-side build are candidate-bounded, not
+    corpus-sized. The restricted shingle table is then localCheckpointed
+    once and read by BOTH pair-side joins; before, each side's join
+    recomputed the full-corpus shingle table independently (2 full
+    text passes + 2 corpus-sized broadcast builds per verify).
+    Inner-join semantics are unchanged: rows whose ids are absent from
+    ``df`` never produced output before either.
     """
+    # the candidate frame feeds both the id-set semi-join and the pair
+    # join below — materialize it once so an expensive upstream (the
+    # banded LSH chain) is not computed twice
+    candidates = candidates.localCheckpoint(eager=False)
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("id"))
+        .unionAll(candidates.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
     sh = df.select(
-        F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("__norm")
+        F.col(id_col).alias("id"), F.col(text_col).alias("__t")
+    ).join(cand_ids, "id", "left_semi").select(
+        "id", normalize_text(F.col("__t")).alias("__norm")
     ).select(
         "id", F.array_distinct(char_ngrams_of_norm(F.col("__norm"), shingle_size)).alias("sh")
-    ).select("id", "sh", F.size("sh").alias("ns"))
+    ).select(
+        "id", "sh", F.size("sh").alias("ns")
+    ).localCheckpoint(eager=False)
     # |A u B| = |A| + |B| - |A n B| on the already-distinct shingle arrays:
     # same integers as size(array_union(...)) without materializing a new
     # union array per pair (the verify stage's dominant allocation)
@@ -472,24 +511,25 @@ def connected_components(
             .agg(F.min("__dc").alias("__nbr_comp"))
             .select(F.col("src").alias("id"), "__nbr_comp")
         )
+        upd = F.least(
+            "component", F.coalesce("__nbr_comp", F.col("component"))
+        )
+        # carry the changed flag in the SAME update join (optimization
+        # round 10): labels only ever decrease, so changed == (new <
+        # old); the old per-round convergence check re-JOINED new vs old
+        # labels — one extra join job every round. The flag filter now
+        # reads the already-materialized checkpoint.
         new_labels = (
             labels.join(nbr, "id", "left")
             .select(
                 "id",
-                F.least(
-                    "component", F.coalesce("__nbr_comp", F.col("component"))
-                ).alias("component"),
+                upd.alias("component"),
+                (upd < F.col("component")).alias("__changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("__changed")).limit(1).count()
+        labels = new_labels.select("id", "component")
         if changed == 0:
             break
     return labels
@@ -1870,8 +1910,18 @@ def minhash_calibration(
 
     Returns ``(id_a, id_b, est_jaccard, exact_jaccard, abs_err)``.
     """
+    # ONE corpus-wide signature pass shared between candidate generation
+    # and the estimator join below (optimization round 10): before, the
+    # banding chain and the estimator each ran their own full
+    # minhash_signatures pass over the corpus — the single most
+    # expensive stage in this operator, paid twice. localCheckpoint so
+    # both consumers read the same materialization.
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_size, impl=impl
+    ).localCheckpoint(eager=False)
     cands = minhash_lsh_candidates(
-        df, id_col, text_col, num_hashes, bands, shingle_size, impl=impl
+        df, id_col, text_col, num_hashes, bands, shingle_size, impl=impl,
+        signatures=sigs,
     )
     if max_pairs is not None:
         # Calibration is a statistical readout — at corpus scale you sample
@@ -1897,9 +1947,6 @@ def minhash_calibration(
             cands.orderBy(rank.asc(), F.col("id_a").asc(), F.col("id_b").asc())
             .limit(int(max_pairs))
         )
-    sigs = minhash_signatures(
-        df, id_col, text_col, num_hashes, shingle_size, impl=impl
-    )
     est = (
         cands.join(
             sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("__sa")),

@@ -1327,10 +1327,16 @@ def temperature_scaling(
         F.greatest(F.col(score_col).cast("double"), F.lit(float(eps))),
         F.lit(1.0 - float(eps)),
     )
+    # materialize (logit, label) ONCE (optimization round 10, guide
+    # §1.2/§5): the Newton chain makes iterations+2 passes over these
+    # rows — without the checkpoint each pass re-evaluated the caller's
+    # score expression (typically a regex-heavy quality score over raw
+    # text) from the scan up; with it the passes re-read two narrow
+    # columns. Values unchanged: __l is 9dp-rounded before storage.
     rows = df.select(
         F.round(F.log(s_clamped / (1.0 - s_clamped)), 9).alias("__l"),
         lab.cast("int").alias("__y"),
-    )
+    ).localCheckpoint(eager=False)
 
     def _dsum(expr):
         return (

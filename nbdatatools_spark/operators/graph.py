@@ -361,19 +361,32 @@ def cooccurrence_edges(
     support count is one map-side-combinable aggregate on the pair key.
 
     Returns ``(src, dst, weight)`` with src < dst.
+
+    Physical shape (optimization round 10, guide §2.4 "remove shuffles
+    outright"): the old plan self-joined the distinct occurrence table
+    on the bucket key (two more shuffles of the whole table, plus a
+    separate bucket-size aggregate + semi-join for the cap). Pairs are
+    now generated map-side: one collect_list aggregate — keyed exactly
+    like the preceding distinct, so it reuses that exchange — then a
+    double explode with the src < dst filter. The cap filters on the
+    SAME count(1) the old semi-join used (NULL nodes count toward
+    bucket size exactly as before), and NULL bucket keys are dropped
+    explicitly — the old equi-joins never matched them. Identical
+    (src, dst, weight) multiset; the occurrence table crosses the
+    network once instead of three times.
     """
     occ = df.select(*bucket_cols, F.col(node_col).alias("__n")).distinct()
+    for c in bucket_cols:
+        occ = occ.where(F.col(c).isNotNull())
+    lists = occ.groupBy(*bucket_cols).agg(
+        F.collect_list("__n").alias("__ns"),
+        F.count(F.lit(1)).alias("__bn"),
+    )
     if max_bucket:
-        sizes = occ.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("__bn"))
-        occ = occ.join(
-            sizes.where(F.col("__bn") <= max_bucket).drop("__bn"),
-            list(bucket_cols),
-            "left_semi",
-        )
-    a = occ.select(*bucket_cols, F.col("__n").alias("src"))
-    b = occ.select(*bucket_cols, F.col("__n").alias("dst"))
+        lists = lists.where(F.col("__bn") <= max_bucket)
     return (
-        a.join(b, list(bucket_cols))
+        lists.select("__ns", F.explode("__ns").alias("src"))
+        .select("src", F.explode("__ns").alias("dst"))
         .where(F.col("src") < F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("weight"))
@@ -514,8 +527,17 @@ def kcore(
             .localCheckpoint(eager=False)
         )
         keep = deg.where(F.col("degree") >= k).select("node")
-        n_before = deg.count()
-        n_keep = keep.count()
+        # ONE aggregate job for both counts (optimization round 10):
+        # the old two .count() actions each scheduled a full job over
+        # the same checkpointed degree table every round
+        counts = deg.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.when(F.col("degree") >= k, 1).otherwise(0)).alias(
+                "__k"
+            ),
+        ).first()
+        n_before = int(counts["__n"])
+        n_keep = int(counts["__k"] or 0)
         if bound is None:
             bound = max(max_iter, n_before + 1)
         if n_keep == n_before:

@@ -834,12 +834,26 @@ def lof_scores(
             ),
         ).cast("double")
     )
-    pairs = (
-        rows.join(F.broadcast(other), F.col("__id") != F.col("__oid"))
+    # compute each unordered pair's distance ONCE and mirror it
+    # (optimization round 10, guide §1.2): the DECIMAL zip_with fold is
+    # the dominant compute here, and d is exactly symmetric —
+    # round((x-y)^2, 9) == round((y-x)^2, 9) bit-for-bit and the
+    # accumulation order over dims is unchanged — so evaluating it on
+    # id < nbr and unioning the mirrored half is value-identical at
+    # half the fold work. The checkpoint stops the union's two branches
+    # from re-running the crossJoin.
+    half = (
+        rows.join(F.broadcast(other), F.col("__id") < F.col("__oid"))
         .select(
             F.col("__id").alias("id"),
             F.col("__oid").alias("nbr"),
             F.round(d, 9).alias("dist"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    pairs = half.unionAll(
+        half.select(
+            F.col("nbr").alias("id"), F.col("id").alias("nbr"), "dist"
         )
     )
     w = Window.partitionBy("id").orderBy(

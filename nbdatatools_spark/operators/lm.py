@@ -1532,17 +1532,44 @@ def lsa_topics(
         )
     )
     tf = ex.groupBy("doc", "w").agg(F.count(F.lit(1)).alias("tf"))
+    # A is consumed exactly once (by the gramian list aggregate below) —
+    # no checkpoint needed since the pair fan-out moved map-side
     A = tf.join(F.broadcast(vocab), "w").select(
         "doc", "w", (F.col("tf") * F.col("idf")).alias("wgt")
-    ).localCheckpoint(eager=False)
-    a1 = A.select("doc", F.col("w").alias("t1"), F.col("wgt").alias("w1"))
-    a2 = A.select("doc", F.col("w").alias("t2"), F.col("wgt").alias("w2"))
+    )
+    # Gramian pairs generated MAP-SIDE from a sorted per-doc term list
+    # (optimization round 10, guide §2.4): the old doc-keyed self-join
+    # shuffled and sorted A twice just to fan out each doc's term pairs;
+    # one collect_list aggregate + posexplode/slice emits the identical
+    # (t1 <= t2) upper-triangle pair multiset without the join — the
+    # array is term-sorted, so slice-from-i yields pairs in the same
+    # lexicographic orientation, and the 9dp DECIMAL cell sums are
+    # order-invariant. NULL docs are dropped explicitly (the old join
+    # never matched them).
+    lists = (
+        A.where(F.col("doc").isNotNull())
+        .groupBy("doc")
+        .agg(F.array_sort(F.collect_list(F.struct("w", "wgt"))).alias("__ts"))
+    )
     cells = (
-        a1.join(a2, "doc")
-        .where(F.col("t1") <= F.col("t2"))  # symmetric: store upper triangle
-        .groupBy("t1", "t2")
+        lists.select("__ts", F.posexplode("__ts").alias("__i", "__s1"))
+        .select(
+            "__s1",
+            F.explode(
+                F.slice(
+                    "__ts", F.col("__i") + 1, F.size("__ts") - F.col("__i")
+                )
+            ).alias("__s2"),
+        )
+        .groupBy(
+            F.col("__s1.w").alias("t1"), F.col("__s2.w").alias("t2")
+        )
         .agg(
-            F.sum(F.round(F.col("w1") * F.col("w2"), 9).cast("decimal(30,9)"))
+            F.sum(
+                F.round(F.col("__s1.wgt") * F.col("__s2.wgt"), 9).cast(
+                    "decimal(30,9)"
+                )
+            )
             .cast("double")
             .alias("g")
         )

@@ -1342,12 +1342,19 @@ def lsh_tradeoff_report(
     float noise can't blur it), both ratios single exact-integer
     divisions rendered at 6dp.
 
-    100-TB shape: ground truth is ONE broadcast query-side crossJoin +
-    rank-k window (the exact_knn audit posture — cap the query sample
-    upstream); each n_bits adds one signature bucket join (shuffles on
-    the signature, uniform by construction) + two query-grain
-    aggregates. No driver loops — the per-bits blocks are a unionByName
-    of 1-row frames, one Catalyst plan.
+    100-TB shape (tightened in optimization round 10, guide §1.2/§2.4):
+    ground truth is ONE broadcast query-side crossJoin + rank-k window
+    (the exact_knn audit posture — cap the query sample upstream). The
+    base table is scanned ONCE for all settings — a single projection
+    evaluates every n_bits signature and is localCheckpointed; before,
+    each n_bits ran two independent base scans (one inside lsh_topk, one
+    for the candidate count), 2*len(bits_list)+1 full passes with the
+    hyperplane dot products re-evaluated in each. Per n_bits there is
+    now exactly one bucket join (broadcast query side), read twice: the
+    candidate count is the row count of the SAME join that feeds the
+    top-k window (they were always the same rows — the old plan just
+    computed the join twice), and the recall join broadcasts the
+    Q*k-row truth table instead of sort-merging it.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -1371,29 +1378,58 @@ def lsh_tradeoff_report(
         .localCheckpoint(eager=False)
     )
 
+    # one base pass computing every setting's signature, materialized once
+    bsigs = b.select(
+        "bid",
+        "bvec",
+        *[
+            random_hyperplane_signature(
+                F.col("bvec"), dim, int(nb), seed
+            ).alias(f"__sig{int(nb)}")
+            for nb in bits_list
+        ],
+    ).localCheckpoint(eager=False)
+    qsigs = q.select(
+        "qid",
+        "qvec",
+        *[
+            random_hyperplane_signature(
+                F.col("qvec"), dim, int(nb), seed
+            ).alias(f"__sig{int(nb)}")
+            for nb in bits_list
+        ],
+    )
+
     blocks = []
     for n_bits in bits_list:
-        approx = lsh_topk(
-            queries, base, k, dim,
-            n_bits=int(n_bits), seed=seed,
-            query_id=query_id, base_id=base_id, vec_col=vec_col,
-        ).select(F.col("query_id").alias("qid"), F.col("base_id").alias("bid"))
-        qsig = q.select(
-            "qid",
-            random_hyperplane_signature(
-                F.col("qvec"), dim, int(n_bits), seed
-            ).alias("sig"),
+        sig_col = f"__sig{int(n_bits)}"
+        pairs = (
+            bsigs.select("bid", "bvec", F.col(sig_col).alias("sig"))
+            .join(
+                F.broadcast(
+                    qsigs.select("qid", "qvec", F.col(sig_col).alias("sig"))
+                ),
+                "sig",
+            )
+            .select(
+                "qid",
+                "bid",
+                distance_expr("cosine", F.col("qvec"), F.col("bvec")).alias(
+                    "distance"
+                ),
+            )
+            .localCheckpoint(eager=False)
         )
-        bsig = b.select(
-            random_hyperplane_signature(
-                F.col("bvec"), dim, int(n_bits), seed
-            ).alias("sig")
+        n_cand = pairs.agg(F.count(F.lit(1)).alias("__cand"))
+        w_b = Window.partitionBy("qid").orderBy(
+            F.col("distance").asc_nulls_last(), F.col("bid").asc()
         )
-        n_cand = (
-            bsig.join(F.broadcast(qsig), "sig")
-            .agg(F.count(F.lit(1)).alias("__cand"))
+        approx = (
+            pairs.withColumn("__rk", F.row_number().over(w_b))
+            .where(F.col("__rk") <= k)
+            .select("qid", "bid")
         )
-        n_match = approx.join(truth, ["qid", "bid"]).agg(
+        n_match = approx.join(F.broadcast(truth), ["qid", "bid"]).agg(
             F.count(F.lit(1)).alias("__m")
         )
         blocks.append(

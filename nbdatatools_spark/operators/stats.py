@@ -72,7 +72,10 @@ def _two_sided_p(z):
 
 
 def grouped_avg_ranks(
-    df: DataFrame, group_col: str, value_col: str
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Per-(group, value) tie-averaged ascending ranks WITHIN each group,
     without a data-sized window.
@@ -88,16 +91,30 @@ def grouped_avg_ranks(
     the group's first offset — a group-count aggregate broadcast back).
     The only unpartitioned window runs over the P-row partition-count
     table.
+
+    ``counts``: optional precomputed per-(group, value) count table —
+    columns exactly ``(group_col, value_col, "__n")``, NULL values
+    already excluded. Callers that also need per-(group, value, class)
+    counts (the rank-test family) derive this table from theirs with
+    one tiny aggregate instead of paying a second corpus scan
+    (optimization round 10, guide §1.2).
     """
-    grouped = (
-        df.select(
+    if counts is not None:
+        grouped = counts.select(
             F.col(group_col).alias("__g"),
-            F.col(value_col).cast("double").alias("__s"),
+            F.col(value_col).alias("__s"),
+            F.col("__n"),
         )
-        .where(F.col("__s").isNotNull())
-        .groupBy("__g", "__s")
-        .agg(F.count(F.lit(1)).alias("__n"))
-    )
+    else:
+        grouped = (
+            df.select(
+                F.col(group_col).alias("__g"),
+                F.col(value_col).cast("double").alias("__s"),
+            )
+            .where(F.col("__s").isNotNull())
+            .groupBy("__g", "__s")
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
     n_part = max(
         int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")), 1
     )
@@ -177,10 +194,16 @@ def mann_whitney_u(
         F.col(class_col).cast("string").alias("__c"),
         F.col(value_col).cast("double").alias("__s"),
     ).where(F.col("__s").isNotNull() & F.col("__c").isNotNull())
-    ranks = grouped_avg_ranks(base, "__g", "__s")
+    # ONE corpus pass (optimization round 10): the (group, value, class)
+    # count table is the only corpus-sized aggregate; the (group, value)
+    # tie table the rank machinery needs is derived from it with a tiny
+    # second-stage aggregate (sum of per-class counts == direct count).
+    # Before, grouped_avg_ranks ran its own full scan of base.
     cls = base.groupBy("__g", "__s", "__c").agg(
         F.count(F.lit(1)).alias("__nc")
-    )
+    ).localCheckpoint(eager=False)
+    grouped = cls.groupBy("__g", "__s").agg(F.sum("__nc").alias("__n"))
+    ranks = grouped_avg_ranks(base, "__g", "__s", counts=grouped)
     joined = cls.join(ranks, ["__g", "__s"])
     per_class = joined.groupBy("__g", "__c").agg(
         F.sum("__nc").alias("__n"),
@@ -249,10 +272,12 @@ def kruskal_wallis(
         F.col(class_col).cast("string").alias("__c"),
         F.col(value_col).cast("double").alias("__s"),
     ).where(F.col("__s").isNotNull() & F.col("__c").isNotNull())
-    ranks = grouped_avg_ranks(base, "__g", "__s")
+    # ONE corpus pass — same sharing as mann_whitney_u (round 10)
     cls = base.groupBy("__g", "__s", "__c").agg(
         F.count(F.lit(1)).alias("__nc")
-    )
+    ).localCheckpoint(eager=False)
+    grouped = cls.groupBy("__g", "__s").agg(F.sum("__nc").alias("__n"))
+    ranks = grouped_avg_ranks(base, "__g", "__s", counts=grouped)
     per_class = (
         cls.join(ranks, ["__g", "__s"])
         .groupBy("__g", "__c")
