@@ -59,6 +59,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _ts(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """_t plus the scan-parallelism guard (session.spread_small_input):
+    for gates whose FIRST stage is a heavy map-side text kernel (regex
+    quality stacks, line reshaping) — an under-split scan single-threads
+    that kernel (optimization round 10, guide §2.5). No-op when the scan
+    already has >= defaultParallelism splits, i.e. on production
+    layouts. Used only where the win was measured; an exchange on every
+    light gate costs more than it buys (see spread_small_input)."""
+    from nbdatatools_spark.session import spread_small_input
+
+    return spread_small_input(_t(spark, sf_dir, name))
+
+
 def _dec2(col):
     """Exact 2-decimal money cast applied BEFORE arithmetic, so downstream
     products/sums are exact decimal math — engine-independent to the bit."""
@@ -864,7 +877,7 @@ def doc_c4_filters(spark, sf_dir):
         c4_page_keep,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")  # heavy line-reshape kernel (r10)
     w = F.split(F.trim(F.col("text")), r"\s+")
     nl = F.greatest(F.ceil(F.size(w) / F.lit(7)).cast("int"), F.lit(1))
     body = F.transform(
@@ -2577,7 +2590,7 @@ def doc_gopher_filter(spark, sf_dir):
     reproduces the doubles exactly."""
     from nbdatatools_spark.functions.text import gopher_quality_flags
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")  # heavy rule stack (r10)
     return (
         docs.select("doc_id", gopher_quality_flags(F.col("text")).alias("g"))
         .select("doc_id", "g.*")
@@ -3913,7 +3926,8 @@ def _scored_docs(spark, sf_dir):
     so per-score grouping is engine-exact) + a long-document label."""
     from nbdatatools_spark.functions.text import quality_score
 
-    docs = _t(spark, sf_dir, "documents")
+    # _ts: the regex quality stack is the heavy first stage (round 10)
+    docs = _ts(spark, sf_dir, "documents")
     return docs.select(
         F.round(quality_score(F.col("text")), 6).alias("score"),
         (F.col("n_chars") >= 400).alias("y"),
@@ -4137,7 +4151,8 @@ def media_near_dup_pairs(spark, sf_dir):
     from nbdatatools_spark.functions.media_codecs import encode_bmp
     from nbdatatools_spark.operators import multimodal as mm
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # _ts: 32 md5s + a BMP codec round-trip per row (round 10)
+    docs = _ts(spark, sf_dir, "documents").select("doc_id")
     d_eff = F.when(
         (F.col("doc_id") % 10 == 1) | (F.col("doc_id") % 20 == 3),
         F.col("doc_id") - 1,
@@ -12494,7 +12509,7 @@ def doc_fineweb_filter(spark, sf_dir):
         gopher_quality_flags,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")  # heavy line-reshape kernel (r10)
     w = F.split(F.trim(F.col("text")), r"\s+")
     nl = F.greatest(F.ceil(F.size(w) / F.lit(7)).cast("int"), F.lit(1))
     body = F.transform(

@@ -2248,6 +2248,10 @@ def _gramian_int64(df: DataFrame, vec: str, d: int, caller: str):
     Returns (n_total, sv, sxy) with sv/sxy as exact python-int arrays."""
     import numpy as np
 
+    from nbdatatools_spark.session import spread_small_input
+
+    df = spread_small_input(df)  # d^2 GEMM flops per row: heavy kernel
+
     def partials(batches):
         import pandas as pd
 

@@ -58,8 +58,10 @@ def word_vocabulary(
     # explode_outer: the inner explode's inferred size()>0 filter would
     # inline the normalize+split chain at the scan (winnow trap); null
     # rows fail the != '' predicate below.
+    from nbdatatools_spark.session import spread_small_input
+
     words = (
-        df.select(
+        spread_small_input(df).select(
             F.explode_outer(F.split(normalize_text(F.col(text_col)), " ")).alias("word")
         )
         .where(F.col("word") != "")

@@ -239,11 +239,20 @@ def minhash_signatures(
     limit and fall back to interpreted evaluation — 30x slower measured.
     """
     if impl == "numpy":
+        from nbdatatools_spark.session import spread_small_input
+
         sig = _minhash_numpy_udf(num_hashes, shingle_size)
-        return df.select(
+        return spread_small_input(df).select(
             F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("__norm")
         ).select("id", sig("__norm").alias("signature"))
-    exploded = _shingle_rows(df, id_col, text_col, shingle_size, distinct=False)
+    from nbdatatools_spark.session import spread_small_input
+
+    # expr/md5 path: the shingle explode + per-shingle hash is the
+    # heaviest per-row kernel in the repo — spread an under-split scan
+    # first (round 10; no-op on production layouts)
+    exploded = _shingle_rows(
+        spread_small_input(df), id_col, text_col, shingle_size, distinct=False
+    )
     if impl == "md5":
         # Portable path: h1/h2 = two disjoint 13-hex-digit (52-bit) slices of
         # md5(shingle) — md5 renders identically in Spark and DuckDB, so the
@@ -426,9 +435,16 @@ def jaccard_verify(
         .unionAll(candidates.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sh = df.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("__t")
-    ).join(cand_ids, "id", "left_semi").select(
+    # broadcast the bounded candidate-id set so the semi-join is a
+    # map-side filter — a shuffled semi-join here would move the TEXT
+    # payloads across the network just to drop most of them (guide §2.3
+    # "shuffle keys and metadata instead of payloads")
+    from nbdatatools_spark.session import spread_small_input
+
+    sh = spread_small_input(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+        .join(F.broadcast(cand_ids), "id", "left_semi")
+    ).select(
         "id", normalize_text(F.col("__t")).alias("__norm")
     ).select(
         "id", F.array_distinct(char_ngrams_of_norm(F.col("__norm"), shingle_size)).alias("sh")
@@ -617,6 +633,9 @@ def embedding_near_dups(
     sim = (1.0 - distance_expr("cosine", F.col("__va"), F.col("__vb"))).alias(
         "cosine_sim"
     )
+    from nbdatatools_spark.session import spread_small_input
+
+    df = spread_small_input(df)  # DECIMAL cosine folds / signatures: heavy per row
     if method == "exact":
         a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
         b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
@@ -713,6 +732,9 @@ def simhash(
     _simhash_numpy_udf). ``impl="expr"``: higher-order array functions,
     fully JVM-side — 64 flat vote columns into one hash-aggregate.
     """
+    from nbdatatools_spark.session import spread_small_input
+
+    df = spread_small_input(df)  # per-shingle hash votes: heavy kernel (r10)
     if impl == "numpy":
         sim = _simhash_numpy_udf(shingle_size)
         return df.select(
@@ -1200,7 +1222,13 @@ def duplicate_span_stats(
         raise ValueError(f"min_dup_docs must be >= 2, got {min_dup_docs}")
     from nbdatatools_spark.functions.text import word_shingles
 
-    rows = df.select(
+    from nbdatatools_spark.session import spread_small_input
+
+    # spread the under-split scan so the explode + md5 kernel
+    # parallelizes (round 10); deliberately NOT checkpointed — the
+    # digest stream is corpus-token-sized and the source_dup_rate
+    # measurement showed recompute beats materializing slim digest rows
+    rows = spread_small_input(df).select(
         F.col(id_col).alias("__id"),
         F.explode_outer(word_shingles(F.col(text_col), span_tokens)).alias("__g"),
     ).where(F.col("__g").isNotNull()).select("__id", F.md5("__g").alias("__h"))
@@ -1658,7 +1686,11 @@ def remove_duplicate_spans(
         raise ValueError(f"k must be >= 1, got {k}")
     if min_occurrences < 2:
         raise ValueError(f"min_occurrences must be >= 2, got {min_occurrences}")
-    toks = df.select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__t"))
+    from nbdatatools_spark.session import spread_small_input
+
+    toks = spread_small_input(df).select(
+        F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__t")
+    )
     # positional grams: (doc, start, digest); docs shorter than k emit none
     def gram_structs(t):
         return F.when(
@@ -2012,8 +2044,10 @@ def ngram_novelty(
     """
     from nbdatatools_spark.functions.text import word_shingles
 
+    from nbdatatools_spark.session import spread_small_input
+
     grams = (
-        df.select(
+        spread_small_input(df).select(
             F.col(id_col).alias("__id"),
             F.explode_outer(word_shingles(F.col(text_col), n)).alias("__g"),
         )
@@ -2137,8 +2171,12 @@ def bloom_decontaminate(
     # and pandas_udf can't resolve pd.Series from this nested scope
     bloom_hits = pandas_udf(_hits_batch, "int")
 
+    from nbdatatools_spark.session import spread_small_input
+
+    # per-gram python md5 probes: the heaviest per-row kernel here —
+    # spread an under-split train scan first (round 10; no-op at scale)
     per_doc = (
-        train.select(
+        spread_small_input(train).select(
             F.col(id_col).alias("id"),
             F.array_distinct(
                 F.filter(word_shingles(F.col(text_col), n), lambda g: F.length(g) > 0)
@@ -2514,7 +2552,11 @@ def semantic_decontaminate(
     ne = F.sqrt(_fold(F.transform("__ve", lambda x: F.round(x * x, 9))))
     cos = F.round(dot / (nt * ne), 9)
     if method == "broadcast":
-        pairs = tr.join(F.broadcast(te), cos >= float(threshold))
+        from nbdatatools_spark.session import spread_small_input
+
+        pairs = spread_small_input(tr).join(
+            F.broadcast(te), cos >= float(threshold)
+        )
     elif method == "lsh":
         shifted = te.select(
             F.concat(F.lit("t:"), F.col("test_id").cast("string")).alias(

@@ -896,8 +896,14 @@ def fleiss_kappa(
         F.col(item_col).alias("__i"),
         F.col(rater_col).alias("__r"),
         cat.cast("string").alias("__c"),
-    ).where(F.col("__c").isNotNull())
-    ic = base.groupBy("__i", "__c").agg(F.count(F.lit(1)).alias("__n"))
+    ).where(F.col("__c").isNotNull()).localCheckpoint(eager=False)
+    # base feeds BOTH the (item, category) counts and the rater census;
+    # ic feeds the item reduce AND the category reduce — one
+    # materialization each instead of re-evaluating the caller's
+    # (typically regex-scored) rater union per consumer (round 10)
+    ic = base.groupBy("__i", "__c").agg(
+        F.count(F.lit(1)).alias("__n")
+    ).localCheckpoint(eager=False)
     # distinct-rater count per item travels alongside the row count: a
     # duplicated rater masking a missing one reaches the modal row count
     # but must drop, loudly (the friedman_test/cochran_q fix)
@@ -1110,7 +1116,12 @@ def krippendorff_alpha(
     def _dsum(expr):
         return F.sum(F.round(expr, 9).cast("decimal(30,9)")).cast("double")
 
-    uc = base.groupBy("__u", "__c").agg(F.count(F.lit(1)).alias("__n"))
+    # uc feeds the unit reduce AND the category marginals — one
+    # materialization instead of two evaluations of the caller's rater
+    # union (round 10, the fleiss/gwet shape)
+    uc = base.groupBy("__u", "__c").agg(
+        F.count(F.lit(1)).alias("__n")
+    ).localCheckpoint(eager=False)
     per_u = uc.groupBy("__u").agg(
         F.sum("__n").alias("__m"),
         F.sum(F.col("__n") * (F.col("__n") - 1)).alias("__aa"),
@@ -1182,11 +1193,16 @@ def cochran_q(
     flag = (F.col(flag_col) if isinstance(flag_col, str) else flag_col).cast(
         "int"
     )
+    # materialize the 0/1 projection once (optimization round 10, the
+    # friedman_test shape): base feeds the k-census action, the
+    # per-item reduce and the kept semi-join — the caller's flag
+    # expression (typically a regex quality score) otherwise
+    # re-evaluates from the scan three times
     base = df.select(
         F.col(item_col).alias("__i"),
         F.col(treatment_col).alias("__t"),
         flag.alias("__f"),
-    ).where(F.col("__f").isNotNull())
+    ).where(F.col("__f").isNotNull()).localCheckpoint(eager=False)
     k_all = base.select("__t").distinct().count()
     # gate on DISTINCT treatments AND raw rows (the friedman_test fix):
     # a duplicated treatment masking a missing one must drop, loudly
@@ -1645,8 +1661,14 @@ def gwet_ac1(
         F.col(item_col).alias("__i"),
         F.col(rater_col).alias("__r"),
         cat.cast("string").alias("__c"),
-    ).where(F.col("__c").isNotNull())
-    ic = base.groupBy("__i", "__c").agg(F.count(F.lit(1)).alias("__n"))
+    ).where(F.col("__c").isNotNull()).localCheckpoint(eager=False)
+    # base feeds BOTH the (item, category) counts and the rater census;
+    # ic feeds the item reduce AND the category reduce — one
+    # materialization each instead of re-evaluating the caller's
+    # (typically regex-scored) rater union per consumer (round 10)
+    ic = base.groupBy("__i", "__c").agg(
+        F.count(F.lit(1)).alias("__n")
+    ).localCheckpoint(eager=False)
     rdist = base.groupBy("__i").agg(F.count_distinct("__r").alias("__nd"))
     per_item = (
         ic.groupBy("__i")

@@ -375,7 +375,13 @@ def cooccurrence_edges(
     (src, dst, weight) multiset; the occurrence table crosses the
     network once instead of three times.
     """
-    occ = df.select(*bucket_cols, F.col(node_col).alias("__n")).distinct()
+    from nbdatatools_spark.session import spread_small_input
+
+    occ = (
+        spread_small_input(df)
+        .select(*bucket_cols, F.col(node_col).alias("__n"))
+        .distinct()
+    )
     for c in bucket_cols:
         occ = occ.where(F.col(c).isNotNull())
     lists = occ.groupBy(*bucket_cols).agg(

@@ -814,9 +814,13 @@ def lof_scores(
     Distances use the repo's 9dp-rounded-term DECIMAL Euclidean fold so
     an oracle replays every k-NN rank and reach-distance bit-for-bit.
     """
-    rows = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).cast("array<double>").alias("__v"),
+    from nbdatatools_spark.session import spread_small_input
+
+    rows = spread_small_input(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
     )
     other = rows.select(
         F.col("__id").alias("__oid"), F.col("__v").alias("__ov")

@@ -977,8 +977,13 @@ def _cms_tokens(df: DataFrame, text_col: str) -> DataFrame:
     audit and the streaming sketch — identical tokenization, so the
     stream-equals-batch parity holds by construction)."""
     from nbdatatools_spark.functions.text import normalize_text
+    from nbdatatools_spark.session import spread_small_input
 
-    return df.select(
+    # the CMS consumers hash every token depth times (md5-uint52 per
+    # row) — spread an under-split batch scan first (round 10). On a
+    # STREAMING frame getNumPartitions is unsupported and the helper
+    # returns the input unchanged (stream==batch parity unaffected).
+    return spread_small_input(df).select(
         F.explode_outer(tokens(normalize_text(F.col(text_col)))).alias("token")
     ).where(F.length("token") > 0)
 
@@ -1511,8 +1516,10 @@ def lsa_topics(
     if n_topics < 1 or top_terms < 1:
         raise ValueError("n_topics and top_terms must be >= 1")
     spark = df.sparkSession
+    from nbdatatools_spark.session import spread_small_input
+
     ex = (
-        df.select(
+        spread_small_input(df).select(
             F.col(id_col).alias("doc"),
             F.explode_outer(tokens(normalize_text(F.col(text_col)))).alias("w"),
         )

@@ -1363,7 +1363,13 @@ def lsh_tradeoff_report(
     q = queries.select(
         F.col(query_id).alias("qid"), F.col(vec_col).alias("qvec")
     )
-    b = base.select(F.col(base_id).alias("bid"), F.col(vec_col).alias("bvec"))
+    from nbdatatools_spark.session import spread_small_input
+
+    # hyperplane signatures + the exact-truth crossJoin are per-row
+    # heavy: spread an under-split base scan once for both (round 10)
+    b = spread_small_input(
+        base.select(F.col(base_id).alias("bid"), F.col(vec_col).alias("bvec"))
+    )
     nq = q.agg(F.count(F.lit(1)).alias("__nq"))
     dist = distance_expr("cosine", F.col("qvec"), F.col("bvec"))
     w = Window.partitionBy("qid").orderBy(

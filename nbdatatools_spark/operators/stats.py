@@ -1014,11 +1014,18 @@ def friedman_test(
     block key (k = treatment count, a handful — never data-sized), then
     two DECIMAL reduces. No windows.
     """
+    # materialize (block, treatment, value) once (optimization round
+    # 10): base feeds the k-census action below, the per-block gate,
+    # the kept semi-join AND both sides of the rank self-join — without
+    # the checkpoint the caller's (typically regex-scored) projection
+    # re-evaluated from the scan four times
     base = df.select(
         F.col(block_col).alias("__b"),
         F.col(treatment_col).cast("string").alias("__t"),
         F.col(value_col).cast("double").alias("__s"),
-    ).where(F.col("__s").isNotNull() & F.col("__t").isNotNull())
+    ).where(
+        F.col("__s").isNotNull() & F.col("__t").isNotNull()
+    ).localCheckpoint(eager=False)
     k_all = base.select("__t").distinct().count()
     # gate on DISTINCT treatments AND raw rows: a block with a duplicated
     # treatment and a missing one has __k == k_all by raw count but would

