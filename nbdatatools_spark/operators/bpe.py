@@ -58,10 +58,13 @@ def word_vocabulary(
     # explode_outer: the inner explode's inferred size()>0 filter would
     # inline the normalize+split chain at the scan (winnow trap); null
     # rows fail the != '' predicate below.
-    from nbdatatools_spark.session import spread_small_input
-
+    # NOT spread (optimization round 10): the vocab merge loop runs ~10
+    # tiny iteration jobs over the CACHED vocabulary whose partitioning
+    # inherits from this plan — widening it taxed every iteration more
+    # than the one-pass parallelism won (fertility_sweep regressed
+    # 3.8s -> 5.7-8.5s in both full-bench runs; reverted on evidence)
     words = (
-        spread_small_input(df).select(
+        df.select(
             F.explode_outer(F.split(normalize_text(F.col(text_col)), " ")).alias("word")
         )
         .where(F.col("word") != "")

@@ -239,10 +239,13 @@ def minhash_signatures(
     limit and fall back to interpreted evaluation — 30x slower measured.
     """
     if impl == "numpy":
-        from nbdatatools_spark.session import spread_small_input
-
+        # numpy path NOT spread (round 10): the vectorized kernel chews
+        # the whole test corpus in ~1s on one task; the exchange + 32
+        # Arrow worker spin-ups cost more than they buy (bench showed
+        # minhash_candidate_pairs +0.7-1.4s with it), and at production
+        # input layouts the spread is a no-op anyway
         sig = _minhash_numpy_udf(num_hashes, shingle_size)
-        return spread_small_input(df).select(
+        return df.select(
             F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("__norm")
         ).select("id", sig("__norm").alias("signature"))
     from nbdatatools_spark.session import spread_small_input
@@ -734,7 +737,12 @@ def simhash(
     """
     from nbdatatools_spark.session import spread_small_input
 
-    df = spread_small_input(df)  # per-shingle hash votes: heavy kernel (r10)
+    if impl != "numpy":
+        # expr/md5 shingle-vote kernels are per-row heavy — spread an
+        # under-split scan (r10). The numpy kernel is NOT spread: it
+        # clears the test corpus in ~1s on one task and the exchange +
+        # Arrow worker spin-ups cost more (the minhash-numpy finding).
+        df = spread_small_input(df)
     if impl == "numpy":
         sim = _simhash_numpy_udf(shingle_size)
         return df.select(
