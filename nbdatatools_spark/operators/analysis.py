@@ -2177,22 +2177,37 @@ def association_rules(
     items = df.select(
         F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
     ).distinct()
-    # ONE basket aggregate feeds the cap filter, the pair generation,
-    # the item marginals, and the basket census (optimization round 10,
-    # guide §2.4): the old plan aggregated the item table by basket
-    # TWICE (size census + collect_set) with a semi-join between them,
-    # and ran the marginals as a third aggregate over the semi-joined
-    # rows. The size filter on count(1) keeps singleton baskets exactly
-    # as the old cap did (the >= 2 filter below applies only to the
-    # pair branch); marginals explode the capped arrays back out —
-    # identical row multiset to the old capped item table.
-    baskets = (
+    # ONE basket aggregate feeds the pair generation, the item
+    # marginals, and the basket census (optimization round 10, guide
+    # §2.4): the old plan aggregated the item table by basket TWICE
+    # (size census + collect_set) with a semi-join between them, and
+    # ran the marginals as a third aggregate over the semi-joined rows.
+    # Marginals explode the capped arrays back out — identical row
+    # multiset to the old capped item table.
+    #
+    # Cap placement (optimization round 11, VERDICT r10 #3 / guide §2.5
+    # skew + §5): the r10 shape collect_set every basket and filtered on
+    # size AFTERWARD, so one pathological giant basket was materialized
+    # in a single aggregation buffer before being dropped. Over-cap
+    # basket KEYS are now found first with a count-only aggregate
+    # (map-side combinable; the over-cap key set is small by definition)
+    # and broadcast-anti-joined out of the item stream BEFORE the
+    # collect_set, so ``max_basket_items`` provably bounds the
+    # aggregation buffer. The count(1)-over-distinct-(bk,it) semantics
+    # match the r10 ``__sz`` filter exactly (NULL items counted toward
+    # basket size, as before); the distinct item table is
+    # localCheckpointed once so both passes share one scan + exchange.
+    items = items.localCheckpoint(eager=False)
+    over_cap = (
         items.groupBy("bk")
-        .agg(
-            F.sort_array(F.collect_set("it")).alias("its"),
-            F.count(F.lit(1)).alias("__sz"),
-        )
-        .where(F.col("__sz") <= max_basket_items)
+        .agg(F.count(F.lit(1)).alias("__sz"))
+        .where(F.col("__sz") > max_basket_items)
+        .select("bk")
+    )
+    baskets = (
+        items.join(F.broadcast(over_cap), "bk", "left_anti")
+        .groupBy("bk")
+        .agg(F.sort_array(F.collect_set("it")).alias("its"))
         .localCheckpoint(eager=False)
     )
     n_baskets = baskets.agg(F.count(F.lit(1)).alias("nb"))

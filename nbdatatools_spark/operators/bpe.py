@@ -98,15 +98,41 @@ def _learn_merges(
 ) -> list[tuple[int, str, str, int]]:
     """Shared merge loop over a (word, count, symbols) vocabulary frame —
     the Heaps-bounded iteration both the character-level (Sennrich) and
-    byte-level (GPT-2 lineage) trainers run."""
+    byte-level (GPT-2 lineage) trainers run.
+
+    Batched argmax (optimization round 11, VERDICT r10 #8 / guide §1.2):
+    instead of one driver job per merge, each job collects the TOP-K
+    pairs and applies the longest prefix provably identical to the
+    sequential argmax chain. A candidate at position j is accepted when
+
+    1. its symbols are disjoint from every accepted merge's
+       {left, right, merged} set S — merging (a, b) can only change the
+       count of pairs touching a, b or "ab" (a merge replaces two
+       adjacent symbols with one; neighbors become adjacent to the NEW
+       symbol, never to each other), so disjointness makes the listed
+       count still exact;
+    2. its count is strictly above the K-th count when the list was
+       truncated — any pair NOT in the list (and so any NEW pair a
+       previous merge created: its count is bounded by the count of an
+       existing pair sharing a symbol with S) stays strictly weaker;
+    3. no LATER candidate with the SAME count shares a symbol with S —
+       such a pair could keep (or a new pair derived from it could
+       reach) that count and win the (count DESC, pair ASC) tie-break.
+
+    The first batch stop ends the batch, never training: a rejected
+    candidate means the next argmax needs fresh counts, so the next job
+    re-enumerates. A fresh job whose best pair is under ``min_count``
+    ends training exactly as the sequential loop did. Equivalence to the
+    one-merge-per-job loop is pinned by differential test."""
     if n_merges <= 0:
         raise ValueError(f"n_merges must be positive, got {n_merges}")
+    top_k = 16
     vocab = vocabulary.cache()
     prev = None  # one-generation unpersist lag: see loop tail
     merges: list[tuple[int, str, str, int]] = []
     try:
-        for step in range(n_merges):
-            pairs = (
+        while len(merges) < n_merges:
+            top = (
                 # one-symbol words have no adjacent pair; sequence(1, 0)
                 # would generate a DESCENDING [1, 0] — filter them out
                 vocab.where(F.size("symbols") >= 2)
@@ -125,14 +151,44 @@ def _learn_merges(
                 .groupBy("pair.left", "pair.right")
                 .agg(F.sum("count").alias("pair_count"))
                 .orderBy(F.desc("pair_count"), "left", "right")
-                .limit(1)
+                .limit(top_k)
                 .collect()
             )
-            if not pairs or pairs[0]["pair_count"] < min_count:
+            if not top or top[0]["pair_count"] < min_count:
                 break
-            left, right, cnt = pairs[0]["left"], pairs[0]["right"], int(pairs[0]["pair_count"])
-            merges.append((step, left, right, cnt))
-            nxt = vocab.withColumn("symbols", _merge_pair(F.col("symbols"), left, right)).cache()
+            # any pair missing from a truncated list has count <= the
+            # K-th count; a complete list enumerates every pair
+            safe_floor = int(top[-1]["pair_count"]) if len(top) == top_k else -1
+            symbols_touched: set[str] = set()
+            accepted: list[tuple[str, str, int]] = []
+            for j, row in enumerate(top):
+                left, right = row["left"], row["right"]
+                cnt = int(row["pair_count"])
+                if cnt < min_count or len(merges) + len(accepted) >= n_merges:
+                    break
+                if j > 0:
+                    if left in symbols_touched or right in symbols_touched:
+                        break
+                    if cnt <= safe_floor:
+                        break
+                    if any(
+                        int(t["pair_count"]) == cnt
+                        and (
+                            t["left"] in symbols_touched
+                            or t["right"] in symbols_touched
+                        )
+                        for t in top[j + 1 :]
+                    ):
+                        break
+                accepted.append((left, right, cnt))
+                symbols_touched.update((left, right, left + right))
+            nxt = vocab
+            for left, right, cnt in accepted:
+                merges.append((len(merges), left, right, cnt))
+                nxt = nxt.withColumn(
+                    "symbols", _merge_pair(F.col("symbols"), left, right)
+                )
+            nxt = nxt.cache()
             # the pair-count job above materialized THIS generation's cache,
             # so the grandparent is no longer reachable from any lazy plan —
             # unpersist it one generation late instead of forcing an extra

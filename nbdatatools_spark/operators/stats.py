@@ -385,9 +385,17 @@ def spearman_corr(
 
     Returns ``(group, n, rho)`` per group at 6dp.
 
-    Plan: TWO grouped_avg_ranks passes (one per axis) joined back to the
-    row-level frame on (group, value) — ranks are exact .5 multiples, the
-    Pearson reduction rides DECIMAL sums, so the result is replayable.
+    Plan (optimization round 11, guide §1.2 — one corpus aggregate
+    instead of two): both axes rank in ONE pass. The frame is melted to
+    (group, axis, value) rows, counted by (group, axis, value) in one
+    map-side-combinable aggregate, and a single grouped_avg_ranks run
+    over the melted count table — grouped by the (group, axis) struct —
+    ranks both axes at once; rx/ry split back out by axis tag. The
+    two-phase running sums are exact integer count sums over a total
+    order, so per-(group, axis) ranks are bit-identical to the two
+    separate passes (pinned by test). Ranks stay exact .5 multiples and
+    the Pearson reduction rides DECIMAL sums, so the result is
+    replayable.
     """
     base = (
         df.select(
@@ -398,11 +406,30 @@ def spearman_corr(
         .where(F.col("__x").isNotNull() & F.col("__y").isNotNull())
         .localCheckpoint(eager=False)
     )
-    rx = grouped_avg_ranks(base, "__g", "__x").select(
-        "__g", "__x", F.col("avg_rank").alias("__rx")
+    melted = base.select(
+        "__g", F.lit(0).alias("__ax"), F.col("__x").alias("__s")
+    ).unionAll(
+        base.select("__g", F.lit(1).alias("__ax"), F.col("__y").alias("__s"))
     )
-    ry = grouped_avg_ranks(base, "__g", "__y").select(
-        "__g", "__y", F.col("avg_rank").alias("__ry")
+    counts = (
+        melted.groupBy("__g", "__ax", "__s")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(F.struct("__g", "__ax").alias("__ga"), "__s", "__n")
+    )
+    # checkpoint the two-axis rank table once: rx and ry are two filters
+    # over the SAME pass, not two pipelines
+    ranks = grouped_avg_ranks(counts, "__ga", "__s", counts=counts).localCheckpoint(
+        eager=False
+    )
+    rx = ranks.where(F.col("__ga.__ax") == 0).select(
+        F.col("__ga.__g").alias("__g"),
+        F.col("__s").alias("__x"),
+        F.col("avg_rank").alias("__rx"),
+    )
+    ry = ranks.where(F.col("__ga.__ax") == 1).select(
+        F.col("__ga.__g").alias("__g"),
+        F.col("__s").alias("__y"),
+        F.col("avg_rank").alias("__ry"),
     )
     ranked = base.join(rx, ["__g", "__x"]).join(ry, ["__g", "__y"])
     agg = ranked.groupBy("__g").agg(
