@@ -518,7 +518,7 @@ def connected_components(
         )
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for round_no in range(max_iter):
         nbr = (
             edges.join(
                 labels.select(
@@ -530,9 +530,29 @@ def connected_components(
             .agg(F.min("__dc").alias("__nbr_comp"))
             .select(F.col("src").alias("id"), "__nbr_comp")
         )
+        base = labels.join(nbr, "id", "left")
         upd = F.least(
             "component", F.coalesce("__nbr_comp", F.col("component"))
         )
+        if round_no >= 3:
+            # Pointer jumping (optimization round 11, VERDICT r10 #6):
+            # past round 3 the graph has chains (dup cliques converge in
+            # <= 3 rounds and never pay this join), so also fold in
+            # component(component(v)) — the label a node's current label
+            # points at. Reachability is transitive, so the shortcut
+            # label is still a reachable id and the update stays a
+            # monotone decrease toward the same min-reachable fixpoint;
+            # propagation distance now doubles per round (O(log D)
+            # rounds instead of O(D) on chain components). Measured:
+            # the dbscan gate's component graph (339 edges, diameter
+            # ~10) converges in 7 rounds instead of 11.
+            jump = labels.select(
+                F.col("id").alias("__jid"), F.col("component").alias("__jc")
+            )
+            base = base.join(
+                jump, F.col("component") == F.col("__jid"), "left"
+            )
+            upd = F.least(upd, F.coalesce("__jc", F.col("component")))
         # carry the changed flag in the SAME update join (optimization
         # round 10): labels only ever decrease, so changed == (new <
         # old); the old per-round convergence check re-JOINED new vs old
@@ -546,8 +566,7 @@ def connected_components(
         # count computes every partition, so the lazy checkpoint is
         # fully persisted before the next round reads it.
         new_labels = (
-            labels.join(nbr, "id", "left")
-            .select(
+            base.select(
                 "id",
                 upd.alias("component"),
                 (upd < F.col("component")).alias("__changed"),

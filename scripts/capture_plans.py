@@ -22,7 +22,9 @@ import __spark_entry__ as entrymod
 from nbdatatools_spark.session import get_spark
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(REPO, "plans", "r10")
+OUT = os.path.join(
+    REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r11")
+)
 
 
 def bench_overrides(spark, sf_dir):
