@@ -1384,7 +1384,15 @@ def lsh_tradeoff_report(
         .localCheckpoint(eager=False)
     )
 
-    # one base pass computing every setting's signature, materialized once
+    # one base pass computing every setting's signature, materialized once.
+    # Storage trade, stated explicitly (round-11 ADVICE note): this
+    # checkpoint holds (bid, bvec, one signature per setting) — a copy of
+    # the evaluated base slice in executor block storage. The tradeoff
+    # report is an AUDIT operator run on a capped sample at production
+    # (the ann_tuning_report posture: cap the query/base sample
+    # upstream), where one materialization beats 2*len(bits_list) base
+    # rescans; on a full 100-TB corpus the caller bounds the base side
+    # first, exactly as with the exact-knn audit paths.
     bsigs = b.select(
         "bid",
         "bvec",

@@ -108,6 +108,12 @@ def spread_small_input(df):
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:
+        # .rdd compiles the physical plan at call time — accepted cost
+        # (round-11 ADVICE review): it is the only partition count that
+        # reflects real file SPLITS (inputFiles() would mis-read one big
+        # splittable file as under-split and add a corpus shuffle at
+        # production), and the compile is driver-side milliseconds
+        # against kernels that run seconds.
         n = df.rdd.getNumPartitions()
     except Exception:
         return df
